@@ -1,0 +1,16 @@
+"""Query/operator catalog.
+
+Importing this package registers every operator module's queries into
+:mod:`rs_streamloader_spark.operators.registry`.
+"""
+
+from rs_streamloader_spark.operators import (  # noqa: F401
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    text,
+)
+from rs_streamloader_spark.operators.registry import REGISTRY, QuerySpec, register
+
+__all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -1,0 +1,375 @@
+"""Deduplication operators (SURVEY.md §2.5): exact, keyed
+latest-wins, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (100 TB posture):
+
+- exact dedup groups on a content hash, never on the raw text — the
+  shuffle moves 32-byte keys, not documents;
+- keyed latest-wins is a ranking window (single shuffle on the key) —
+  the same plan the Loader's ``dedupe='last'`` upsert mode uses
+  (reference semantics discussion: SURVEY.md §2 M3);
+- n-gram Jaccard joins on shingles (inverted-index join), never a
+  cross join;
+- MinHash-LSH banding reduces candidate generation to equality joins
+  on (band_index, band_hash) — O(near-duplicates), not O(n²);
+- SimHash banding (4×8-bit bands over a 32-bit fingerprint) has
+  guaranteed recall for Hamming distance ≤ 3 by pigeonhole, so the
+  banded plan is exactly equivalent to the all-pairs oracle.
+
+Everything is md5-based so the DuckDB oracles replicate the exact
+algorithm (same hashes, same candidates, same output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rs_streamloader_spark.operators.registry import register
+from rs_streamloader_spark.session import load_tables
+
+JACCARD_THRESHOLD = 0.2
+N_MINHASH = 16
+N_BANDS = 4  # 4 bands × 4 rows
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 3
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT MD5(text) AS content_hash,
+           COUNT(*) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM documents
+    GROUP BY MD5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash; keeps the lowest doc_id per group."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    return (
+        t.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+@register(
+    "dedup_keyed_latest",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type FROM (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keyed_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed latest-wins dedup — the sane-default upsert batch-dedup
+    variant (``dedupe='last'``), vs the reference's keep-all-rows
+    DELETE-then-INSERT (lib/RedshiftLoader.ts:369-384)."""
+    t = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        t.select("user_id", "event_id", "ts", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+_SHINGLE_SQL = """
+      SELECT doc_id, UNNEST(LIST_DISTINCT(
+               LIST_TRANSFORM(RANGE(1, LEN(ws) - 1),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+             )) AS sh
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents)
+"""
+
+
+def _shingles(t: DataFrame) -> DataFrame:
+    """Distinct word-trigram shingles per doc (explode-based)."""
+    ws = F.split(F.col("text"), " ")
+    # guard: sequence(0, n) descends for n<0, so gate on size>=3
+    grams = F.expr(
+        "CASE WHEN size(ws) >= 3 THEN"
+        " transform(sequence(0, size(ws) - 3),"
+        "           i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+        " ELSE array() END"
+    )
+    return (
+        t.select("doc_id", ws.alias("ws"))
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("sh"))
+    )
+
+
+_JACCARD_ORACLE = f"""
+    WITH s AS ({_SHINGLE_SQL}),
+    n AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+    FROM inter
+    JOIN n na ON na.doc_id = doc_a
+    JOIN n nb ON nb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard near-dup pairs (inverted-index join
+    on shingles — O(co-shingled pairs), no cross join; hot shingles are
+    the skew risk, handled by AQE skew-join at scale)."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    s = _shingles(t).cache()
+    n = s.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = s.alias("a")
+    b = s.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("i"))
+    return (
+        inter.join(n.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(n.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+def _minhash_oracle() -> str:
+    mins = ",\n             ".join(
+        f"MIN(MD5('{k}|' || sh)) AS h{k}" for k in range(N_MINHASH)
+    )
+    bands = []
+    rows = N_MINHASH // N_BANDS
+    for b in range(N_BANDS):
+        cat = " || ".join(f"h{b * rows + r}" for r in range(rows))
+        bands.append(f"SELECT doc_id, {b} AS band_idx, MD5({cat}) AS band_val FROM sig")
+    bands_sql = "\n      UNION ALL\n      ".join(bands)
+    return f"""
+    WITH s AS ({_SHINGLE_SQL}),
+    sig AS (SELECT doc_id, {mins} FROM s GROUP BY doc_id),
+    bands AS (
+      {bands_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    ),
+    n AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM cand c
+      JOIN s sa ON sa.doc_id = c.doc_a
+      JOIN s sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+    FROM inter
+    JOIN n na ON na.doc_id = doc_a
+    JOIN n nb ON nb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= {JACCARD_THRESHOLD}
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 permutations via seeded md5, min over lexicographic
+    hex) + LSH banding (4 bands × 4 rows) → equality-join candidate
+    pairs → exact-Jaccard verification.
+
+    The oracle replicates the identical algorithm, so the compare is
+    exact including any LSH false negatives. At 100 TB the only
+    shuffles are: shingle→signature agg, band self-join (tiny keys),
+    and the candidate verification join."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    s = _shingles(t).cache()
+
+    sig = s.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("sh")))).alias(f"h{k}")
+            for k in range(N_MINHASH)
+        ]
+    )
+    rows = N_MINHASH // N_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)])).alias(
+                "band_val"
+            ),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_val")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    n = s.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(s.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            s.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sb.sh") == F.col("sa.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("i"))
+    return (
+        inter.join(n.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(n.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_SQL = f"""
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN sgn > 0 THEN CAST(POWER(2, bit) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS fp
+      FROM (
+        SELECT doc_id, bit, SUM(CASE WHEN hexbit = 1 THEN 1 ELSE -1 END) AS sgn
+        FROM (
+          SELECT doc_id, bit,
+                 (STRPOS('0123456789abcdef',
+                         SUBSTR(MD5(tok), CAST(1 + bit // 4 AS INTEGER), 1)) - 1)
+                 // CAST(POWER(2, bit % 4) AS INTEGER) % 2 AS hexbit
+          FROM (
+            SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS tok
+            FROM documents
+          ), (SELECT UNNEST(RANGE(0, {SIMHASH_BITS})) AS bit)
+        )
+        GROUP BY doc_id, bit
+      )
+      GROUP BY doc_id
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH fps AS ({_SIMHASH_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(BIT_COUNT(XOR(a.fp, b.fp)) AS INTEGER) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE BIT_COUNT(XOR(a.fp, b.fp)) <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over distinct word tokens (bit i of token hash
+    from the md5 hex digits), near-dup = Hamming distance ≤ 3.
+
+    Candidate generation uses 4×8-bit band equality joins — pigeonhole
+    guarantees recall for distance ≤ 3, so the banded plan returns
+    exactly the all-pairs oracle result without an O(n²) join."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = t.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    bits = toks.select(
+        "doc_id",
+        F.md5("tok").alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    )
+    hexdigit = F.substring(
+        F.col("h"), (F.col("bit") / 4).cast("int") + 1, 1
+    )
+    hexval = F.instr(F.lit("0123456789abcdef"), hexdigit) - 1
+    hexbit = (
+        hexval / F.expr("CAST(pow(2, bit % 4) AS INT)")
+    ).cast("int") % 2
+    sgn = (
+        bits.select("doc_id", "bit", F.when(hexbit == 1, 1).otherwise(-1).alias("d"))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("d").alias("sgn"))
+    )
+    fps = sgn.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("sgn") > 0, F.expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("fp")
+    )
+
+    # banded candidate join: 4 bands of 8 bits each
+    band_cols = [
+        (F.shiftright(F.col("fp"), b * 8) % 256).alias(f"band{b}") for b in range(4)
+    ]
+    banded = fps.select("doc_id", "fp", *band_cols)
+    bands = banded.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("bi"), F.col(f"band{b}").alias("bv"))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "fp", "band.bi", "band.bv")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )

@@ -1,0 +1,104 @@
+"""Multimodal column plumbing (SURVEY.md §2.5).
+
+Images/audio/video are treated as opaque ``binary`` columns with typed
+metadata alongside. The container has no media libraries, so the
+actual decode is stubbed (deterministic fake features derived from the
+bytes, clearly marked) — but the Spark-side plumbing is real: binary
+columns, typed metadata extraction in codegen, and an Arrow-batched
+``mapInPandas`` feature-extraction stage with an explicit output
+schema, partitioned so each batch stays memory-bounded at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rs_streamloader_spark.operators.registry import register
+from rs_streamloader_spark.session import load_tables
+
+
+def synth_media(t: DataFrame) -> DataFrame:
+    """Synthesize an opaque media payload per document (the testdata
+    ships no real media; payload = utf-8 bytes of the text, standing in
+    for e.g. a JPEG buffer) plus typed metadata."""
+    return t.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
+            F.lit("application/x-fake").alias("mime"),
+        ).alias("media_meta"),
+    )
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS INTEGER) AS n_bytes,
+           MD5(text) AS content_hash,
+           CAST(ASCII(SUBSTR(text, 1, 1)) AS INTEGER) AS first_byte
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over binary media columns — stays entirely in
+    JVM codegen (no Python), which is the pattern for manifest-level
+    media bookkeeping at 100 TB (size accounting, content-addressed
+    dedup by payload hash)."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    m = synth_media(t)
+    return m.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.md5("payload").alias("content_hash"),
+        F.expr("CAST(ascii(substring(CAST(payload AS STRING), 1, 1)) AS INT)").alias(
+            "first_byte"
+        ),
+    )
+
+
+# output schema of the fake feature extractor
+_FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes int, byte_sum bigint, byte_min int, byte_max int"
+)
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB media decoder (mapInPandas body).
+
+    A real deployment would decode the payload here (PIL / torchaudio /
+    pyav) and emit embeddings, dimensions, frame samples, etc. Those
+    libraries are not in this container, so this emits deterministic
+    byte-level statistics instead — exercising the real plumbing
+    (Arrow batches in, typed rows out, bounded memory per batch).
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len).astype("int32"),
+                "byte_sum": payloads.map(lambda b: int(sum(b))).astype("int64"),
+                "byte_min": payloads.map(lambda b: int(min(b))).astype("int32"),
+                "byte_max": payloads.map(lambda b: int(max(b))).astype("int32"),
+            }
+        )
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # Pandas-UDF pipeline: driver records rows-only check
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    ``mapInPandas`` — the decode/resize/frame-sample slot. Repartitions
+    by doc_id so batches are balanced; at scale, payload bytes flow
+    executor→Python worker via Arrow without driver involvement."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    media = synth_media(t).repartition("doc_id")
+    return media.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)

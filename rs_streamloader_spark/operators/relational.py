@@ -1,0 +1,689 @@
+"""Relational operator surface (SURVEY.md §2.4).
+
+The reference (OTooleMichael/rs-streamloader) performs none of these
+itself — every relational capability lives in the SQL it emits to
+Redshift (/root/reference/lib/RedshiftLoader.ts:337-386). This engine
+provides them natively through Catalyst. Each query here doubles as a
+coverage proof for one operator category: expressed declaratively with
+the DataFrame API so predicate pushdown, column pruning, partial
+aggregation, and broadcast-join selection are applied by the
+optimizer.
+
+Scale posture (100 TB): no driver-side collects; dimension tables
+(region/nation/part/supplier/customer) are broadcast-hinted where they
+are the small side; fact-fact joins shuffle on their join keys and
+rely on AQE for skew handling. Double-typed aggregates are rounded to
+2 decimals on BOTH engine and oracle sides so the value-hash compare
+is stable under parallel summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rs_streamloader_spark.operators.registry import register
+from rs_streamloader_spark.session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir, *names)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (hash agg, partial+final) — TPC-H Q1 style pricing summary
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 2)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 2)                                   AS avg_price,
+           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-scan group-aggregate with filter pushdown; Catalyst plans
+    partial (map-side) + final aggregation automatically."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way join + agg + top-k — TPC-H Q3 style
+# ---------------------------------------------------------------------------
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem with selective dimension filter;
+    customer side broadcast (small), orders⋈lineitem shuffles on
+    orderkey. Top-k plans as TakeOrderedAndProject (no full sort)."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp"))
+        .join(
+            t["orders"].filter(
+                F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snowflake join chain — TPC-H Q5 style (5-way)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake chain: fact tables shuffle-join on keys; all four
+    dimension tables are broadcast. Catalyst collapses the broadcast
+    chain into one stage over the lineitem scan."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
+    return (
+        t["lineitem"]
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast equi-join
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*)                      AS n_items,
+           ROUND(SUM(l_quantity), 2)     AS total_qty,
+           ROUND(AVG(l_extendedprice),2) AS avg_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ small-dim with an explicit broadcast hint — at 100 TB the
+    part dim stays far under the broadcast threshold per brand rollup,
+    so no shuffle of the fact side is needed."""
+    t = _t(spark, sf_dir, "lineitem", "part")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outer / semi / anti joins (the upsert DELETE..WHERE id IN is a semi join —
+# reference lib/RedshiftLoader.ts:377-378)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join — the relational core of the reference's upsert
+    DELETE (RedshiftLoader.ts:377-378)."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the keep-unmatched half of a pure-Spark upsert
+    (SURVEY.md §2 M3 fallback strategy)."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct / count-distinct
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase agg under AQE)."""
+    t = _t(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+           o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (CAST(YEAR(o_orderdate) AS INTEGER), o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (year → priority → grand total)."""
+    t = _t(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .withColumn("order_year", F.year("o_orderdate"))
+        .rollup("order_year", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over two low-cardinality dimensions."""
+    t = _t(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions: ranking, frames, lag/lead
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_topn_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             ) AS BIGINT) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via ranking window; one shuffle on the
+    partition key, sorted within partitions (no global sort)."""
+    t = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame (ROWS UNBOUNDED PRECEDING..CURRENT) — the
+    incremental sum is order-deterministic given the unique tiebreak."""
+    t = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(DATE_DIFF('day',
+             LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             o_orderdate) AS INTEGER) AS days_since_prev
+    FROM orders
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag: days between consecutive orders per customer."""
+    t = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "days_since_prev"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global sort / top-k
+# ---------------------------------------------------------------------------
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice, o_orderdate
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: planned as TakeOrderedAndProject — per-partition
+    heaps + driver merge of k rows, never a full shuffle sort."""
+    t = _t(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "o_orderdate",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (multi-body loads to one table are an implicit UNION ALL —
+# reference lib/RedshiftLoader.ts:194-197)
+# ---------------------------------------------------------------------------
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT 'customer' AS party_kind, c_name AS name, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer
+    UNION ALL
+    SELECT 'supplier' AS party_kind, s_name AS name, ROUND(s_acctbal, 2) AS acctbal
+    FROM supplier
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL by name — the Spark analogue of the reference's
+    multiple bodies loading into one table."""
+    t = _t(spark, sf_dir, "customer", "supplier")
+    c = t["customer"].select(
+        F.lit("customer").alias("party_kind"),
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    s = t["supplier"].select(
+        F.lit("supplier").alias("party_kind"),
+        F.col("s_name").alias("name"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct INTERSECT (nations having both customers and suppliers)."""
+    t = _t(spark, sf_dir, "customer", "supplier")
+    return (
+        t["customer"]
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct EXCEPT (nations with customers but no suppliers)."""
+    t = _t(spark, sf_dir, "customer", "supplier")
+    return (
+        t["customer"]
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .subtract(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions: string / date / math (SURVEY.md §2.4 scalar row)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_string_date",
+    oracle="""
+    SELECT o_orderkey,
+           UPPER(o_orderpriority)                          AS priority_uc,
+           SUBSTR(o_orderstatus, 1, 1)                     AS status_c,
+           CONCAT(o_orderstatus, '-', o_orderpriority)     AS status_pri,
+           CAST(LENGTH(o_orderpriority) AS INTEGER)        AS pri_len,
+           CAST(YEAR(o_orderdate) AS INTEGER)              AS order_year,
+           CAST(MONTH(o_orderdate) AS INTEGER)             AS order_month,
+           STRFTIME(o_orderdate, '%Y-%m-%d')               AS order_day
+    FROM orders
+    """,
+)
+def scalar_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row string/date scalar functions — all JVM-side built-ins
+    inside whole-stage codegen, no Python in the hot path."""
+    t = _t(spark, sf_dir, "orders")
+    return t["orders"].select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("priority_uc"),
+        F.substring("o_orderstatus", 1, 1).alias("status_c"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_pri"),
+        F.length("o_orderpriority").alias("pri_len"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+    )
+
+
+@register(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           ABS(l_discount - 0.05)                           AS disc_dev,
+           CAST(FLOOR(l_quantity) AS BIGINT)                AS qty_floor,
+           CAST(CEIL(l_extendedprice / 1000) AS BIGINT)     AS price_k
+    FROM lineitem
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row arithmetic — IEEE-754 double ops evaluate bit-identically
+    in any engine given the same expression tree, so no rounding is
+    needed for the oracle compare."""
+    t = _t(spark, sf_dir, "lineitem")
+    return t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("charge"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured: JSON extraction (events.props)
+# ---------------------------------------------------------------------------
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string column + aggregation."""
+    t = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time bucketing (batch analogue of a tumbling window)
+# ---------------------------------------------------------------------------
+
+@register(
+    "time_bucket_agg",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:00') AS hour_bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM("value"), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour bucket aggregation over the events stream table
+    (batch form; the streaming form with watermarks lives in
+    rs_streamloader_spark.streaming)."""
+    t = _t(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+                "hour_bucket"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (conditional aggregation)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id %% 10 AS user_bucket,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY 1
+    """.replace("%%", "%"),
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (explicit values avoid the extra
+    distinct-collection job and keep the schema stable at scale)."""
+    t = _t(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )

@@ -1,0 +1,153 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY.md
+§2.5 — north-star extensions; no reference analogue).
+
+All hot-path expressions are JVM-side built-ins (length/replace/md5)
+inside whole-stage codegen — no Python UDFs. Every formula is chosen
+to be bit-deterministic and expressible identically in DuckDB so the
+oracle compare is exact:
+
+- token counts via the length/replace identity (single-space text),
+- language-ID via non-overlapping marker-word occurrence counting
+  (leftmost non-overlapping ``replace`` semantics match across
+  engines),
+- fingerprints via ``md5`` (identical lowercase-hex output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rs_streamloader_spark.operators.registry import register
+from rs_streamloader_spark.session import load_tables
+
+
+def n_tokens_col(text: str = "text"):
+    """Whitespace token count: len(t) - len(replace(t,' ','')) + 1."""
+    return (
+        F.length(text) - F.length(F.regexp_replace(F.col(text), " ", "")) + F.lit(1)
+    ).cast("bigint")
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_measured,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+             / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer expressed arithmetically —
+    stays in codegen, no explode)."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    nonspace = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    ntok = F.length("text") - nonspace + 1
+    return t.select(
+        "doc_id",
+        ntok.cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        (nonspace.cast("double") / ntok).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+           CASE WHEN LENGTH(text) >= 200 THEN 1 ELSE 0 END
+             + CASE WHEN (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) >= 40
+                    THEN 1 ELSE 0 END
+             + CASE WHEN LENGTH(REPLACE(text, ' ', '')) * 1.0
+                         / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+                         BETWEEN 3 AND 8 THEN 1 ELSE 0 END AS quality_score
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length, token count, and mean token
+    length band — integer-valued so the compare is exact."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    nonspace = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    ntok = F.length("text") - nonspace + 1
+    avg_len = nonspace * F.lit(1.0) / ntok
+    score = (
+        F.when(F.length("text") >= 200, 1).otherwise(0)
+        + F.when(ntok >= 40, 1).otherwise(0)
+        + F.when((avg_len >= 3) & (avg_len <= 8), 1).otherwise(0)
+    )
+    return t.select(
+        "doc_id",
+        ntok.cast("bigint").alias("n_tokens"),
+        score.cast("int").alias("quality_score"),
+    )
+
+
+def _marker_count_sql(marker: str) -> str:
+    """DuckDB: non-overlapping occurrences of ``marker`` as a word."""
+    pad = f"' ' || text || ' '"
+    return (
+        f"CAST((LENGTH({pad}) - LENGTH(REPLACE({pad}, ' {marker} ', ' ')))"
+        f" / {len(marker) + 1} AS BIGINT)"
+    )
+
+
+def _marker_count_col(marker: str):
+    pad = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    removed = F.length(pad) - F.length(
+        F.regexp_replace(pad, F.lit(f" {marker} "), F.lit(" "))
+    )
+    return (removed / (len(marker) + 1)).cast("bigint")
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN ({_marker_count_sql('the')} + {_marker_count_sql('a')}) * 20
+                     >= (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+                THEN 'en' ELSE 'other' END AS predicted_lang,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (stopword-density n-gram
+    family): predict 'en' when ≥5% of tokens are English function
+    words; confusion matrix against the labelled ``lang`` column.
+
+    The replace-based counter is non-overlapping leftmost-first in
+    both engines, so counts agree exactly."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    ntok = n_tokens_col()
+    en_markers = _marker_count_col("the") + _marker_count_col("a")
+    predicted = F.when(en_markers * 20 >= ntok, "en").otherwise("other")
+    return (
+        t.select("lang", predicted.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id, MD5(text) AS fingerprint,
+           SUBSTR(MD5(text), 1, 8) AS fp_prefix
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting via md5 (identical lowercase hex in both
+    engines); the prefix doubles as a shard/bucket key at scale."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    return t.select(
+        "doc_id",
+        F.md5("text").alias("fingerprint"),
+        F.substring(F.md5("text"), 1, 8).alias("fp_prefix"),
+    )

@@ -1,0 +1,92 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]``; the configs below are chosen so
+the same code scales to a multi-executor cluster: AQE on (runtime
+re-planning, skew-join splitting, partition coalescing), broadcast
+threshold generous for the small dimension tables, Arrow enabled for
+the Pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(
+    app_name: str = "rs_streamloader_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Read the given parquet tables from ``sf_dir`` and register each
+    as a temp view; returns a dict of DataFrames.
+
+    The testdata's ``events.ts`` is parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; we read it as long nanos
+    (``nanosAsLong``) and rebuild a microsecond timestamp (the values
+    are micro-aligned, so this matches DuckDB's own NANOS→micros
+    conversion exactly)."""
+    out = {}
+    for name in names:
+        df = _read_parquet_nanos_safe(spark, os.path.join(sf_dir, f"{name}.parquet"))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def _read_parquet_nanos_safe(spark: SparkSession, path: str):
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force schema resolution
+    except AnalysisException as exc:
+        if "TIMESTAMP(NANOS" not in str(exc):
+            raise
+        # left set for the session: the scan consults it at execution time
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    for field in df.schema.fields:
+        # nanos columns surface as LongType under nanosAsLong; rebuild
+        # micro timestamps (testdata convention: the column is 'ts').
+        # TIMESTAMP_NTZ, matching how Spark reads the other tables'
+        # (isAdjustedToUTC=false) timestamps — keeps every query
+        # independent of the session timezone.
+        if isinstance(field.dataType, LongType) and field.name == "ts":
+            df = df.withColumn(
+                field.name,
+                F.expr(
+                    f"timestampadd(MICROSECOND, CAST({field.name} div 1000 AS BIGINT),"
+                    f" TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+    return df

@@ -1,0 +1,74 @@
+"""Ingestion normalizer: anything → DataFrame (SURVEY.md §2.1 S1-S4).
+
+The reference accepts ``Readable | string | Buffer | AsyncGenerator``
+(/root/reference/lib/types.ts:22-23) and converts everything to
+newline-delimited JSON on its way to S3
+(lib/utils.ts:20-79). The Spark-native equivalents:
+
+- DataFrame            → passthrough (already a plan)
+- path str             → ``spark.read`` with the configured format
+- str / bytes body     → parsed as JSONL (the reference's wire format)
+- list[dict]           → ``createDataFrame``
+- iterator / generator → batched ``createDataFrame`` + union, giving
+  bounded-memory ingestion analogous to the reference's backpressured
+  generator→Readable bridge (utils.ts:41-63)
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+GENERATOR_BATCH_ROWS = 10_000
+
+
+def _jsonl_to_df(spark: SparkSession, text: str) -> DataFrame:
+    lines = [ln for ln in text.splitlines() if ln.strip()]
+    return spark.createDataFrame([json.loads(ln) for ln in lines])
+
+
+def _batched(it: Iterator[dict], size: int) -> Iterator[list[dict]]:
+    batch: list[dict] = []
+    for row in it:
+        batch.append(row)
+        if len(batch) >= size:
+            yield batch
+            batch = []
+    if batch:
+        yield batch
+
+
+def to_dataframe(
+    spark: SparkSession,
+    body: Any,
+    fmt: str = "json",
+    schema=None,
+) -> DataFrame:
+    """Normalize an upload body to a DataFrame (reference
+    ``ensureS3BodyAcceptable``, utils.ts:65-79 — except lazy: nothing
+    is materialized until the load starts)."""
+    if isinstance(body, DataFrame):
+        return body
+    if isinstance(body, bytes):
+        body = body.decode("utf-8")
+    if isinstance(body, str):
+        if "\n" in body or body.lstrip().startswith("{"):
+            return _jsonl_to_df(spark, body)
+        # otherwise treat as a path readable by Spark
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.format(fmt).load(body)
+    if isinstance(body, list):
+        return spark.createDataFrame(body, schema=schema)
+    if isinstance(body, (Iterator, Iterable)):
+        out: DataFrame | None = None
+        for batch in _batched(iter(body), GENERATOR_BATCH_ROWS):
+            df = spark.createDataFrame(batch, schema=schema)
+            out = df if out is None else out.unionByName(df)
+        if out is None:
+            raise ValueError("empty generator body")
+        return out
+    raise TypeError(f"unsupported body type: {type(body)!r}")

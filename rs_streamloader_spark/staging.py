@@ -1,0 +1,100 @@
+"""Staged part writes + COPY manifest (SURVEY.md §2.1 S6-S7, S10).
+
+The reference uploads each body as one S3 object and then writes a
+manifest JSON listing every part with ``mandatory: true`` so the COPY
+is all-or-nothing (/root/reference/lib/RedshiftLoader.ts:143-160,
+299-336). Spark-native: the union of sources is written to a unique
+staging prefix — one object per partition, bounded by
+``maxRecordsPerFile`` (the reference's ~100k-row split heuristic,
+README.md:360-366, automated) — and the manifest is built from the
+committed file listing, never from driver-accumulated state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class StageResult:
+    prefix: str
+    files: list[str]
+    manifest_path: str | None = None
+    extra: dict = field(default_factory=dict)
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    return fs, jpath, jvm
+
+
+def list_committed_files(spark: SparkSession, prefix: str) -> list[str]:
+    """List data files the write committed under ``prefix`` via the
+    Hadoop FS API (works for file://, s3a://, …)."""
+    fs, jpath, _ = _fs_and_path(spark, prefix)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # _SUCCESS, committer temp files
+        out.append(status.getPath().toString())
+    return sorted(out)
+
+
+def write_stage(
+    df: DataFrame,
+    prefix: str,
+    fmt: str = "json",
+    gzip: bool = False,
+    max_records_per_file: int = 100_000,
+) -> StageResult:
+    """Write the staged parts: one object per partition, capped at
+    ``max_records_per_file`` rows each (S10 — the reference asks users
+    to hand-split at ~100k rows; Spark does it in the writer)."""
+    writer = (
+        df.write.mode("errorifexists")
+        .option("maxRecordsPerFile", max_records_per_file)
+    )
+    if gzip:
+        writer = writer.option("compression", "gzip")
+    writer.format(fmt).save(prefix)
+    files = list_committed_files(df.sparkSession, prefix)
+    return StageResult(prefix=prefix, files=files)
+
+
+def write_manifest(spark: SparkSession, stage: StageResult) -> StageResult:
+    """Write the COPY manifest: ``{"entries": [{"url": ..., "mandatory":
+    true}, ...]}`` (RedshiftLoader.ts:299-311), derived from the
+    committed listing."""
+    manifest = {
+        "entries": [{"url": f, "mandatory": True} for f in stage.files]
+    }
+    manifest_path = os.path.join(stage.prefix, "manifest.json")
+    fs, jpath, jvm = _fs_and_path(spark, manifest_path)
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    finally:
+        stream.close()
+    stage.manifest_path = manifest_path
+    return stage
+
+
+def delete_stage(spark: SparkSession, prefix: str) -> bool:
+    """Best-effort recursive delete of the staging prefix (reference
+    ``cleanUpS3``, RedshiftLoader.ts:198-257)."""
+    fs, jpath, _ = _fs_and_path(spark, prefix)
+    if fs.exists(jpath):
+        return bool(fs.delete(jpath, True))
+    return False
