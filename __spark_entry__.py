@@ -9,9 +9,20 @@ a DuckDB oracle string there. See SURVEY.md §2 for the inventory.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Make the package importable by executor Python workers (they inherit
+# PYTHONPATH, not the driver's sys.path) — needed for the
+# applyInPandas/mapInPandas operators regardless of the caller's cwd.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in [_REPO_ROOT, os.environ.get("PYTHONPATH", "")] if p
+)
 
 from rs_streamloader_spark.operators import REGISTRY
 

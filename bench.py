@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Benchmark: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Execution is measured with a noop write (full plan runs, nothing is
+collected to the driver) — the number reflects scan+shuffle+compute,
+which is what scales.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from rs_streamloader_spark.operators import REGISTRY
+    from rs_streamloader_spark.session import get_session
+
+    spark = get_session(app_name="rs_streamloader_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen once on a tiny plan so query 1 isn't charged
+    # for session startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(REGISTRY):
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # record the failure, keep benching
+            timings[name] = -1.0
+            print(f"BENCH FAIL {name}: {exc}", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "total_query_seconds",
+        "value": round(sum(t for t in timings.values() if t >= 0), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

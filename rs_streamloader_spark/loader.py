@@ -182,7 +182,7 @@ class Loader:
 
             if self.sink is not None:
                 staged = self.spark.read.format(self.options.staging_format).load(
-                    stage.prefix
+                    stage.data_prefix
                 )
                 if upload_type == INSERT:
                     self.sink.insert(staged)

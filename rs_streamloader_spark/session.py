@@ -10,10 +10,20 @@ the Pandas-UDF paths.
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# executor Python workers inherit PYTHONPATH (not the driver's
+# sys.path); make our package importable for Pandas-UDF operators
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _PKG_ROOT not in sys.path:
+    sys.path.insert(0, _PKG_ROOT)
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in [_PKG_ROOT, os.environ.get("PYTHONPATH", "")] if p
+)
 
 
 def get_session(

@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 @dataclass
 class StageResult:
-    prefix: str
+    prefix: str  # job staging root (data + manifest live under it)
+    data_prefix: str  # parts directory — what a sink should read
     files: list[str]
     manifest_path: str | None = None
     extra: dict = field(default_factory=dict)
@@ -61,16 +62,20 @@ def write_stage(
 ) -> StageResult:
     """Write the staged parts: one object per partition, capped at
     ``max_records_per_file`` rows each (S10 — the reference asks users
-    to hand-split at ~100k rows; Spark does it in the writer)."""
+    to hand-split at ~100k rows; Spark does it in the writer). Parts
+    land under ``{prefix}/data/`` so the manifest (a sibling object,
+    like the reference's separate manifest key) is never read back as
+    data."""
+    data_prefix = os.path.join(prefix, "data")
     writer = (
         df.write.mode("errorifexists")
         .option("maxRecordsPerFile", max_records_per_file)
     )
     if gzip:
         writer = writer.option("compression", "gzip")
-    writer.format(fmt).save(prefix)
-    files = list_committed_files(df.sparkSession, prefix)
-    return StageResult(prefix=prefix, files=files)
+    writer.format(fmt).save(data_prefix)
+    files = list_committed_files(df.sparkSession, data_prefix)
+    return StageResult(prefix=prefix, data_prefix=data_prefix, files=files)
 
 
 def write_manifest(spark: SparkSession, stage: StageResult) -> StageResult:

@@ -1,0 +1,136 @@
+"""Streaming tests (SURVEY.md §5(c)): incremental file arrival →
+foreachBatch load, and watermarked window aggregations over the
+events table."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rs_streamloader_spark.sinks.native import NativeTableSink
+from rs_streamloader_spark.streaming import (
+    StreamingLoader,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+SCHEMA = "id BIGINT, text STRING, number DOUBLE"
+
+
+def write_file(src_dir: str, name: str, rows: list[dict]) -> None:
+    os.makedirs(src_dir, exist_ok=True)
+    with open(os.path.join(src_dir, name), "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+class TestStreamingLoader:
+    def test_incremental_files_append(self, spark, tmp_path):
+        src = str(tmp_path / "in")
+        sink = NativeTableSink(spark, str(tmp_path / "tbl"))
+        sl = StreamingLoader(spark, src, SCHEMA, sink, load_mode="insert")
+
+        write_file(src, "a.json", [{"id": 1, "text": "x", "number": 1.0}])
+        sl.run_available()
+        assert sink.read().count() == 1
+
+        # a new file arriving later is picked up by the next run — the
+        # streaming form of add-while-running (reference S5)
+        write_file(src, "b.json", [{"id": 2, "text": "y", "number": 2.0}])
+        sl.run_available()
+        assert sink.read().count() == 2
+
+        # re-running with no new files is a no-op (checkpoint dedup)
+        sl.run_available()
+        assert sink.read().count() == 2
+
+    def test_streaming_upsert_latest_wins(self, spark, tmp_path):
+        src = str(tmp_path / "in")
+        sink = NativeTableSink(spark, str(tmp_path / "tbl"))
+        sl = StreamingLoader(spark, src, SCHEMA, sink, load_mode="upsert")
+
+        write_file(src, "a.json", [{"id": 1, "text": "orig", "number": 1.0}])
+        sl.run_available()
+        write_file(src, "b.json", [{"id": 1, "text": "updated", "number": 2.0}])
+        sl.run_available()
+
+        rows = sink.read().collect()
+        assert len(rows) == 1
+        assert rows[0]["text"] == "updated"
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, tmp_path_factory):
+    """The events table replayed as a file stream (batch-parity check
+    runs the same builders on the batch DataFrame)."""
+    from rs_streamloader_spark.session import load_tables
+
+    return load_tables(spark, "/root/testdata/sf0.001", "events")["events"]
+
+
+class TestWindows:
+    def test_tumbling_matches_batch_groupby(self, spark, events_stream):
+        out = tumbling_window_agg(events_stream).collect()
+        # cross-check totals against a plain date_trunc aggregation
+        expect = (
+            events_stream.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        assert sum(r["n_events"] for r in out) == sum(r["n"] for r in expect)
+        assert len(out) == len(expect)
+        for r in out:
+            assert (r["window_end"] - r["window_start"]).total_seconds() == 3600
+
+    def test_sliding_windows_overlap(self, spark, events_stream):
+        out = sliding_window_agg(events_stream).collect()
+        n_total = events_stream.count()
+        # each event lands in window_size/slide = 4 windows
+        assert sum(r["n_events"] for r in out) == 4 * n_total
+
+    def test_session_window_gap(self, spark, events_stream):
+        out = session_window_agg(events_stream, gap="30 minutes").collect()
+        assert out
+        # sessions are per-user, non-overlapping, ≥1 event
+        by_user: dict = {}
+        for r in out:
+            by_user.setdefault(r["user_id"], []).append(r)
+            assert r["n_events"] >= 1
+        for sessions in by_user.values():
+            sessions.sort(key=lambda r: r["session_start"])
+            for a, b in zip(sessions, sessions[1:]):
+                assert a["session_end"] <= b["session_start"]
+
+    def test_tumbling_on_stream_with_watermark(self, spark, tmp_path):
+        src = str(tmp_path / "ev")
+        write_file(
+            src,
+            "e.json",
+            [
+                {"ts": "2024-01-01T00:05:00", "event_type": "click", "value": 1.5},
+                {"ts": "2024-01-01T00:45:00", "event_type": "click", "value": 2.5},
+                {"ts": "2024-01-01T01:05:00", "event_type": "view", "value": 1.0},
+            ],
+        )
+        stream = (
+            spark.readStream.schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+            .json(src)
+        )
+        agg = tumbling_window_agg(stream, watermark="1 minute")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("win_test")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.sql("SELECT * FROM win_test ORDER BY window_start").collect()
+        assert [(r["event_type"], r["n_events"]) for r in rows] == [
+            ("click", 2),
+            ("view", 1),
+        ]
