@@ -1,0 +1,267 @@
+"""Advanced relational operators (SURVEY.md §2.4 rows the core module
+doesn't cover): as-of join, range/theta join via interval bucketing,
+cross join, GROUPING SETS, Pandas-UDF scalar path, approx distinct.
+
+The reference has none of these (it emits only COPY/DELETE/INSERT
+SQL — /root/reference/lib/RedshiftLoader.ts:337-386); each is the
+idiomatic Spark formulation with a scale note.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+from rs_streamloader_spark.operators.registry import register
+from rs_streamloader_spark.session import load_tables
+
+RANGE_DAYS = 7
+RANGE_ORDER_MOD = 100  # sample 1/100 orders as range-join probes
+
+
+# ---------------------------------------------------------------------------
+# As-of join (most recent prior click per purchase)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT purchase_id, user_id, purchase_ts, click_ts, click_id FROM (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+             c.ts AS click_ts, c.event_id AS click_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC
+             ) AS rn
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id AND c.ts < p.ts
+    ) WHERE rn = 1
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the user's most recent strictly
+    prior click (ties on ts broken by highest event_id).
+
+    Spark formulation is the scalable union+ordered-window
+    carry-forward: one shuffle on user_id, no per-row range probe —
+    the plan that survives a billion-event table, vs. the oracle's
+    quadratic-per-user pair join (fine for DuckDB at test scale)."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts"),
+        F.col("event_id"),
+        F.lit(1).alias("kind"),  # clicks sort after purchases at equal ts
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts"), F.col("event_id"), F.lit(0).alias("kind")
+    )
+    unioned = clicks.unionByName(purchases).withColumn(
+        "click_info",
+        F.when(
+            F.col("kind") == 1, F.struct(F.col("ts"), F.col("event_id"))
+        ),
+    )
+    # strictly-prior: window ends one row before current; clicks at the
+    # same ts sort after purchases (kind 1 > 0) so they're excluded
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    matched = unioned.withColumn(
+        "last_click", F.last("click_info", ignorenulls=True).over(w)
+    )
+    return (
+        matched.filter((F.col("kind") == 0) & F.col("last_click").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("last_click.ts").alias("click_ts"),
+            F.col("last_click.event_id").alias("click_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range / theta join via interval bucketing
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_range",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           COUNT(l.l_orderkey) AS n_shipments,
+           ROUND(COALESCE(SUM(l.l_quantity), 0), 2) AS qty_shipped
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL {RANGE_DAYS} DAY
+    WHERE o.o_orderkey % {RANGE_ORDER_MOD} = 0
+    GROUP BY o.o_orderkey
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: per probe order, global shipment volume in
+    the week after its order date.
+
+    Instead of a nested-loop theta join, both sides are bucketed by
+    calendar day and joined on the bucket key with the residual range
+    predicate — the standard interval-bucketing rewrite that turns an
+    O(n·m) probe into an equi-join shuffle (each probe interval
+    explodes into {RANGE_DAYS} bucket rows)."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    probes = (
+        t["orders"]
+        .filter(F.col("o_orderkey") % RANGE_ORDER_MOD == 0)
+        .select("o_orderkey", "o_orderdate")
+        .withColumn(
+            "day",
+            F.explode(
+                F.sequence(
+                    F.to_date("o_orderdate"),
+                    F.date_add(F.to_date("o_orderdate"), RANGE_DAYS - 1),
+                )
+            ),
+        )
+    )
+    ship = t["lineitem"].select(
+        "l_orderkey",
+        "l_quantity",
+        "l_shipdate",
+        F.to_date("l_shipdate").alias("day"),
+    )
+    joined = probes.join(ship, "day", "left").filter(
+        F.col("l_shipdate").isNull()
+        | (
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (
+                F.col("l_shipdate")
+                < F.col("o_orderdate") + F.expr(f"INTERVAL {RANGE_DAYS} DAY")
+            )
+        )
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(
+            F.count("l_orderkey").alias("n_shipments"),
+            F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2).alias(
+                "qty_shipped"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross join
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, event_type
+    FROM region CROSS JOIN (SELECT DISTINCT event_type FROM events)
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product of two small distinct sets (the only
+    sane cross-join shape at scale: both sides tiny post-aggregation)."""
+    t = load_tables(spark, sf_dir, "region", "events")
+    return t["region"].select("r_name").crossJoin(
+        t["events"].select("event_type").distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (via the SQL surface)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL API (same Catalyst
+    Expand-based plan as rollup/cube)."""
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pandas UDF (Arrow-vectorized scalar path)
+# ---------------------------------------------------------------------------
+
+def _charge_fn(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+    # elementwise IEEE-754 ops — identical results to the SQL engines
+    return price * (1.0 - disc) * (1.0 + tax)
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge_udf
+    FROM lineitem
+    WHERE l_quantity > 45
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar Pandas UDF — the sanctioned shape for
+    custom Python logic (vectorized, ~10-100× over row-at-a-time
+    UDFs). The filter still pushes down to the scan because the UDF
+    sits only in the projection."""
+    t = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    charge_udf = pandas_udf(_charge_fn, "double")  # lazy: needs a live session
+    return (
+        t.filter(F.col("l_quantity") > 45)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            charge_udf("l_extendedprice", "l_discount", "l_tax").alias("charge_udf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct (HLL) — engine-specific sketch, rows-only check
+# ---------------------------------------------------------------------------
+
+@register("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): sketch values are
+    engine-specific so there is no cross-engine oracle; the rows-only
+    check plus the in-row exact/approx comparison bound documents
+    correctness (rsd=0.05)."""
+    t = load_tables(spark, sf_dir, "orders")["orders"]
+    return (
+        t.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.05).alias("approx_customers"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+        )
+        .withColumn(
+            "within_10pct",
+            (
+                F.abs(F.col("approx_customers") - F.col("exact_customers"))
+                <= 0.1 * F.col("exact_customers")
+            ),
+        )
+    )

@@ -1,0 +1,90 @@
+"""Plan-quality tests: assert the optimizer decisions we rely on at
+100 TB actually appear in the physical plan (pushdown, pruning,
+broadcast, bounded shuffles). A regression here fails CI before it
+shows up in a benchmark."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rs_streamloader_spark.operators.relational import (
+    join_broadcast_dim,
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q5_local_supplier_volume,
+    topk_orders,
+)
+from rs_streamloader_spark.plans import (
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+    scan_columns,
+    shuffle_count,
+    wholestage_codegen_spans,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    df = q1_pricing_summary(spark, SF_SMOKE)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+
+
+def test_q1_column_pruning(spark):
+    df = q1_pricing_summary(spark, SF_SMOKE)
+    cols = scan_columns(df)
+    assert cols, "no scans found"
+    li = max(cols, key=len)
+    # only the 7 needed columns are read, not the full 11-column table
+    assert "l_orderkey" not in li and "l_partkey" not in li
+    assert {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"} <= li
+
+
+def test_q3_broadcasts_customer_side(spark):
+    df = q3_shipping_priority(spark, SF_SMOKE)
+    assert has_broadcast_join(df)
+    # selective dimension filter reaches its scan
+    assert any("c_mktsegment" in p for p in pushed_filters(df))
+
+
+def test_q5_snowflake_is_broadcast_chain(spark):
+    df = q5_local_supplier_volume(spark, SF_SMOKE)
+    text = explain_str(df)
+    assert text.count("BroadcastHashJoin") >= 3
+    # the only shuffles allowed: lineitem⋈orders sides + final agg
+    assert shuffle_count(df) <= 4, explain_str(df)
+
+
+def test_broadcast_dim_join_no_fact_shuffle_before_join(spark):
+    df = join_broadcast_dim(spark, SF_SMOKE)
+    assert has_broadcast_join(df)
+    # fact side shuffles only for the final aggregation
+    assert shuffle_count(df) <= 1
+
+
+def test_topk_plans_as_take_ordered(spark):
+    df = topk_orders(spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_aggregation_is_partial_plus_final(spark):
+    df = q1_pricing_summary(spark, SF_SMOKE)
+    text = explain_str(df)
+    # map-side combine: two HashAggregate levels around one exchange
+    assert text.count("HashAggregate") >= 2
+
+
+def test_codegen_covers_relational_plans(spark):
+    df = q1_pricing_summary(spark, SF_SMOKE)
+    df.collect()  # AQE: codegen markers appear once the plan is final
+    assert wholestage_codegen_spans(df) >= 1
+
+
+def test_scalar_projection_reads_only_needed_columns(spark):
+    from rs_streamloader_spark.operators.relational import scalar_math
+
+    df = scalar_math(spark, SF_SMOKE)
+    (li,) = scan_columns(df)
+    assert "l_returnflag" not in li and "l_shipdate" not in li
