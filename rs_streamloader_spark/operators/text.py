@@ -135,6 +135,33 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+                AS INTEGER) AS n_pieces,
+           CAST(LEN(LIST_DISTINCT(
+                regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')))
+                AS INTEGER) AS n_unique_pieces
+    FROM documents
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word token counting with a BPE-ish regex (letter runs,
+    digit runs, single punctuation glyphs) — regexes chosen from the
+    RE2∩Java-compatible subset so both engines tokenize identically."""
+    from rs_streamloader_spark.functions import bpe_ish_tokens
+
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    pieces = bpe_ish_tokens("text")
+    return t.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).alias("n_unique_pieces"),
+    )
+
+
+@register(
     "doc_fingerprint",
     oracle="""
     SELECT doc_id, MD5(text) AS fingerprint,
