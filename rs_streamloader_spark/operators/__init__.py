@@ -6,6 +6,7 @@ Importing this package registers every operator module's queries into
 
 from rs_streamloader_spark.operators import (  # noqa: F401
     advanced,
+    analytic,
     dedup,
     multimodal,
     relational,

@@ -1,0 +1,286 @@
+"""Analytic operator surface beyond the core relational set:
+sessionization, exact percentiles, correlated subqueries, lateral
+explode, ordered aggregation, ntile bucketing, unpivot.
+
+None of these exist in the reference (it emits only COPY / DELETE /
+INSERT SQL — /root/reference/lib/RedshiftLoader.ts:337-386); they are
+part of the §2.4 native surface this engine provides through Catalyst.
+
+Scale posture: sessionization uses ``session_window`` (one shuffle on
+the user key, state merged per partition — no self-join); the
+correlated subquery is decorrelated by Catalyst into a broadcast-able
+aggregate join; explode fans out before the aggregation so the
+count shuffle operates on (token, 1) pairs — the classic map-side
+combinable shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rs_streamloader_spark.operators.registry import register
+from rs_streamloader_spark.session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir, *names)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — batch session_window vs gaps-and-islands oracle
+# ---------------------------------------------------------------------------
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, "value",
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, "value",
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*)                               AS n_events,
+           ROUND(SUM("value"), 2)                 AS session_value
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap over the events
+    table (batch form of the streaming ``session_window`` operator).
+    Spark merges an event into the current session iff it lands
+    STRICTLY before prev_ts + gap, so the oracle's new-session flag is
+    ``diff >= gap``. One shuffle on user_id; session state merges
+    per-partition — no self-join, which is what survives 100 TB."""
+    t = _t(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles / median (sort-based agg)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.25), 2) AS p25,
+           ROUND(MEDIAN(o_totalprice), 2)              AS p50,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.75), 2) AS p75,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.95), 2) AS p95
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group. Exact
+    percentile is a sort-based aggregate; at 100 TB the approximate
+    sketch (``agg_approx_distinct``'s cousin ``percentile_approx``) is
+    the scale path — this query is the exactness proof."""
+    t = _t(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 2).alias("p25"),
+            F.round(F.median("o_totalprice"), 2).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.75)), 2).alias("p75"),
+            F.round(F.percentile("o_totalprice", F.lit(0.95)), 2).alias("p95"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (Catalyst decorrelates into an agg join)
+# ---------------------------------------------------------------------------
+
+_ABOVE_TYPE_AVG_SQL = """
+SELECT p.p_partkey, p.p_name, p.p_type,
+       ROUND(p.p_retailprice, 2) AS p_retailprice
+FROM part p
+WHERE p.p_retailprice > (
+    SELECT AVG(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type
+)
+"""
+
+
+@register("subquery_above_type_avg", oracle=_ABOVE_TYPE_AVG_SQL)
+def subquery_above_type_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, given to Catalyst as SQL so the
+    decorrelation rewrite (subquery → aggregate + join on p_type) is
+    exercised — the physical plan is a broadcast hash join against the
+    per-type averages, not a per-row re-scan."""
+    t = _t(spark, sf_dir, "part")
+    t["part"].createOrReplaceTempView("part")
+    return spark.sql(_ABOVE_TYPE_AVG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Lateral explode + agg (UNNEST)
+# ---------------------------------------------------------------------------
+
+@register(
+    "explode_word_counts",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 50
+    """,
+)
+def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode (lateral unnest) + count + top-k: the word-count shape.
+    The explode fans out BEFORE the shuffle so the aggregation gets
+    map-side partial combines; top-k is TakeOrderedAndProject."""
+    t = _t(spark, sf_dir, "documents")
+    return (
+        t["documents"]
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (LISTAGG / STRING_AGG)
+# ---------------------------------------------------------------------------
+
+@register(
+    "string_agg_ordered",
+    oracle="""
+    SELECT s_nationkey AS nationkey,
+           COUNT(*) AS n_suppliers,
+           STRING_AGG(s_name, ',' ORDER BY s_name) AS supplier_names
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-deterministic string aggregation: collect_list is
+    unordered across partitions, so sort the array after collection —
+    the only way to get stable LISTAGG semantics distributed."""
+    t = _t(spark, sf_dir, "supplier")
+    return (
+        t["supplier"]
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+                "supplier_names"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# NTILE bucketing
+# ---------------------------------------------------------------------------
+
+@register(
+    "ntile_price_quartiles",
+    oracle="""
+    SELECT o_orderpriority, quartile,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM (
+      SELECT o_orderpriority, o_totalprice,
+             CAST(NTILE(4) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+             ) AS INTEGER) AS quartile
+      FROM orders
+    )
+    GROUP BY o_orderpriority, quartile
+    """,
+)
+def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) bucketing per priority class, then per-bucket min/max —
+    quartile boundary discovery without a global sort."""
+    t = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        t["orders"]
+        .select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (melt)
+# ---------------------------------------------------------------------------
+
+@register(
+    "unpivot_status_counts",
+    oracle="""
+    WITH wide AS (
+      SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+      FROM orders GROUP BY 1
+    )
+    SELECT order_year, order_status, n_orders FROM wide
+    UNPIVOT (n_orders FOR order_status IN (status_f, status_o, status_p))
+    """,
+)
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-then-unpivot round trip: wide conditional counts melted
+    back to long form with ``DataFrame.unpivot`` (no shuffle — melt is
+    a per-row generator)."""
+    t = _t(spark, sf_dir, "orders")
+    wide = (
+        t["orders"]
+        .withColumn("order_year", F.year("o_orderdate"))
+        .groupBy("order_year")
+        .agg(
+            F.count_if(F.col("o_orderstatus") == "F").alias("status_f"),
+            F.count_if(F.col("o_orderstatus") == "O").alias("status_o"),
+            F.count_if(F.col("o_orderstatus") == "P").alias("status_p"),
+        )
+    )
+    return wide.unpivot(
+        ids=["order_year"],
+        values=["status_f", "status_o", "status_p"],
+        variableColumnName="order_status",
+        valueColumnName="n_orders",
+    )
