@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rs_streamloader_spark.operators.registry import register
-from rs_streamloader_spark.session import load_tables
+from rs_streamloader_spark.session import load_tables, spread
 
 JACCARD_THRESHOLD = 0.2
 N_MINHASH = 16
@@ -109,7 +109,7 @@ def _shingles(t: DataFrame) -> DataFrame:
         " ELSE array() END"
     )
     return (
-        t.select("doc_id", ws.alias("ws"))
+        spread(t).select("doc_id", ws.alias("ws"))
         .select("doc_id", F.explode(F.array_distinct(grams)).alias("sh"))
     )
 
@@ -226,9 +226,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(N_BANDS)
     ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("doc_id", "band.band_idx", "band.band_val")
+    # cache: the band table is tiny (4 rows/doc of 32-byte keys) and the
+    # self-join below would otherwise recompute the whole shingle→minhash
+    # lineage for each side
+    bands = (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("band"))
+        .select("doc_id", "band.band_idx", "band.band_val")
+        .cache()
+    )
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -306,33 +311,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantees recall for distance ≤ 3, so the banded plan returns
     exactly the all-pairs oracle result without an O(n²) join."""
     t = load_tables(spark, sf_dir, "documents")["documents"]
-    toks = t.select(
+    toks = spread(t).select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
-    bits = toks.select(
+    # One row per token (NOT token × bit): the 8 hex digits of the md5
+    # prefix become 8 int columns, and the 32 per-bit ±1 sums are 32
+    # aggregate expressions — all inside whole-stage codegen, cutting
+    # the pre-shuffle row count 32× vs. a bit-explode formulation.
+    h = F.md5("tok")
+    tok_v = toks.select(
         "doc_id",
-        F.md5("tok").alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        *[
+            (F.instr(F.lit("0123456789abcdef"), F.substring(h, d + 1, 1)) - 1).alias(
+                f"v{d}"
+            )
+            for d in range(SIMHASH_BITS // 4)
+        ],
     )
-    hexdigit = F.substring(
-        F.col("h"), (F.col("bit") / 4).cast("int") + 1, 1
-    )
-    hexval = F.instr(F.lit("0123456789abcdef"), hexdigit) - 1
-    hexbit = (
-        hexval / F.expr("CAST(pow(2, bit % 4) AS INT)")
-    ).cast("int") % 2
-    sgn = (
-        bits.select("doc_id", "bit", F.when(hexbit == 1, 1).otherwise(-1).alias("d"))
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("d").alias("sgn"))
-    )
-    fps = sgn.groupBy("doc_id").agg(
+    sgn_cols = [
         F.sum(
-            F.when(F.col("sgn") > 0, F.expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("fp")
-    )
+            F.shiftright(F.col(f"v{b // 4}"), b % 4).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sgns = tok_v.groupBy("doc_id").agg(*sgn_cols)
+    fp_expr = sgns["s0"] * 0  # typed zero accumulator
+    for b in range(SIMHASH_BITS):
+        fp_expr = fp_expr + F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(0)
+    # cache: one 8-byte fingerprint per doc; the banded self-join below
+    # reads it from both sides
+    fps = sgns.select("doc_id", fp_expr.cast("bigint").alias("fp")).cache()
 
     # banded candidate join: 4 bands of 8 bits each
     band_cols = [

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rs_streamloader_spark.operators.registry import register
-from rs_streamloader_spark.session import load_tables
+from rs_streamloader_spark.session import load_tables, spread
 
 N_QUERIES = 20  # vec_id < 20 are the query set
 TOP_K = 5
@@ -89,7 +89,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     full corpus — scored corpus-side in parallel, ranked per query.
     Linear in corpus size; this is the correctness baseline for the
     LSH variant."""
-    t = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    t = spread(load_tables(spark, sf_dir, "embeddings")["embeddings"])
     corpus = _with_norm(t).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("emb_b"),
@@ -174,7 +174,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     factor is N_BLOCKS, no driver involvement. Each unordered pair is
     scored in exactly one group. Results are identical to the
     all-pairs oracle (cosines rounded to 6dp on both sides)."""
-    t = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    t = spread(load_tables(spark, sf_dir, "embeddings")["embeddings"])
     base = t.select("vec_id", "embedding", (F.col("vec_id") % N_BLOCKS).alias("blk"))
     replicated = base.select(
         "vec_id",
@@ -244,7 +244,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale this is the serving plan: the corpus is hash-partitioned
     by bucket (a single shuffle, reusable across query batches) and
     each query touches ~corpus/256 candidates."""
-    t = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    t = spread(load_tables(spark, sf_dir, "embeddings")["embeddings"])
     with_b = _with_norm(t).withColumn("bucket", _spark_bucket("embedding"))
     corpus = with_b.select(
         F.col("vec_id").alias("neighbor_id"),

@@ -54,6 +54,23 @@ def get_session(
     return builder.getOrCreate()
 
 
+def spread(df, multiple: int = 1):
+    """Repartition a narrow input to the session's default parallelism
+    before a heavy per-row fan-out (shingling, signature hashing, block
+    replication).
+
+    No-op when the scan already yields at least that many splits —
+    which any real-scale table does — so this only kicks in for small
+    single-file inputs where the expansion would otherwise run on one
+    core. The round-robin shuffle it adds moves only the narrow input
+    rows, never the fanned-out intermediate."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * multiple
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Read the given parquet tables from ``sf_dir`` and register each
     as a temp view; returns a dict of DataFrames.
