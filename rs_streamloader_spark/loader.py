@@ -124,7 +124,10 @@ class Loader:
                 RS_LOAD_STARTED, "cannot add files after the load has started"
             )
         df = to_dataframe(
-            self.spark, body, fmt=self.options.copy_settings.format.lower()
+            self.spark,
+            body,
+            fmt=self.options.copy_settings.format.lower(),
+            copy_settings=self.options.copy_settings,
         )
         self._sources.append(df)
         self._emit("progress", {"task": "addedFile", "i": len(self._sources) - 1})

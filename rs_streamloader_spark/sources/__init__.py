@@ -1,3 +1,15 @@
+from rs_streamloader_spark.sources.copy_reader import (
+    apply_time_format,
+    enforce_max_error,
+    read_body,
+    truncate_columns,
+)
 from rs_streamloader_spark.sources.normalize import to_dataframe
 
-__all__ = ["to_dataframe"]
+__all__ = [
+    "apply_time_format",
+    "enforce_max_error",
+    "read_body",
+    "to_dataframe",
+    "truncate_columns",
+]

@@ -1,0 +1,176 @@
+"""Reader-side application of the COPY-format knobs (SURVEY.md §1.2).
+
+The reference delegates all typing/coercion to Redshift COPY options
+(/root/reference/lib/types.ts:24-50; lib/RedshiftLoader.ts:351-363):
+``FORMAT`` / ``CSV quote+delimiter`` / ``IGNOREHEADER`` / ``ENCODING``
+/ ``GZIP`` / ``TIMEFORMAT`` / ``TRUNCATECOLUMNS`` / ``MAXERROR``.
+This module maps each knob to its Spark reader/projection equivalent
+so a body read through :func:`read_body` behaves like a Redshift COPY
+of the same settings:
+
+================  ===================================================
+COPY knob         Spark mapping
+================  ===================================================
+FORMAT            ``spark.read.format(json|csv|parquet|orc|avro)``
+quote/delimiter   csv reader options
+IGNOREHEADER n    csv ``header`` (n>=1; COPY skips n lines, csv
+                  supports exactly one header line — n>1 rejected)
+ENCODING          reader ``encoding`` option (UTF8/UTF16[LE/BE])
+GZIP              transparent on read (codec from file extension)
+MAXERROR n        PERMISSIVE parse + corrupt-record budget: fail if
+                  more than n unparseable rows, else drop them
+                  (n=0 → FAILFAST, no second pass)
+TIMEFORMAT        ``timestamp_seconds`` / ``timestamp_millis`` /
+                  ``to_timestamp(pattern)`` per target column
+TRUNCATECOLUMNS   ``substring`` projection on string columns
+================  ===================================================
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructType
+
+from rs_streamloader_spark.config import CopySettings
+from rs_streamloader_spark.errors import LoaderError
+
+MAX_ERROR_EXCEEDED = "MAX_ERROR_EXCEEDED"
+CORRUPT_COL = "_corrupt_record"
+
+_ENCODINGS = {
+    "UTF8": "UTF-8",
+    "UTF16": "UTF-16",
+    "UTF16LE": "UTF-16LE",
+    "UTF16BE": "UTF-16BE",
+}
+
+
+def read_body(
+    spark: SparkSession,
+    path: str,
+    settings: CopySettings | None = None,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """Read a staged body applying the COPY settings. With
+    ``max_error > 0`` the schema must be supplied (PERMISSIVE corrupt
+    tracking needs a declared schema to know what failed to parse)."""
+    cs = settings or CopySettings()
+    fmt = cs.format.lower()
+    reader = spark.read
+    if fmt in ("json", "csv"):
+        enc = _ENCODINGS.get(cs.encoding, cs.encoding)
+        reader = reader.option("encoding", enc)
+        if enc != "UTF-8":
+            # multi-byte charsets need the record separator stated
+            # explicitly so line splitting happens in that charset;
+            # BOM-prefixed UTF-16 is not line-splittable by Spark —
+            # use UTF16LE/UTF16BE (the reference exposes both,
+            # lib/types.ts:27)
+            reader = reader.option("lineSep", "\n")
+    if fmt == "csv":
+        if cs.quote is not None:
+            reader = reader.option("quote", cs.quote)
+        if cs.delimiter is not None:
+            reader = reader.option("sep", cs.delimiter)
+        if cs.ignore_header:
+            if cs.ignore_header > 1:
+                raise ValueError(
+                    "csv supports exactly one header line (IGNOREHEADER <= 1)"
+                )
+            reader = reader.option("header", "true")
+
+    parse_checked = fmt in ("json", "csv")
+    if parse_checked and cs.max_error > 0:
+        if schema is None:
+            raise ValueError("max_error > 0 requires an explicit schema")
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        schema = StructType(list(schema.fields)).add(CORRUPT_COL, StringType())
+        reader = (
+            reader.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        )
+        df = reader.format(fmt).load(path)
+        return enforce_max_error(df, cs.max_error)
+
+    if schema is not None:
+        reader = reader.schema(schema)
+    if parse_checked:
+        # MAXERROR 0 is the reference default (lib/utils.ts:107): the
+        # first bad record fails the load — no second pass needed
+        reader = reader.option("mode", "FAILFAST")
+    return reader.format(fmt).load(path)
+
+
+def enforce_max_error(df: DataFrame, max_error: int) -> DataFrame:
+    """Redshift ``MAXERROR n`` semantics over a PERMISSIVE read: allow
+    up to ``n`` unparseable rows (dropping them), fail beyond. The
+    probe is bounded — ``limit(n+1)`` short-circuits the scan as soon
+    as the budget is provably blown, so the cost does not grow with
+    corruption volume."""
+    # Spark disallows referencing ONLY the corrupt column of a raw
+    # json/csv scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache first,
+    # which also makes the probe + clean read a single parse pass
+    df = df.cache()
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).limit(max_error + 1).count()
+    if bad > max_error:
+        raise LoaderError(
+            MAX_ERROR_EXCEEDED,
+            f"more than maxError={max_error} unparseable rows in body",
+        )
+    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+
+def apply_time_format(
+    df: DataFrame, columns: list[str], time_format: str = "auto"
+) -> DataFrame:
+    """COPY ``TIMEFORMAT`` (lib/types.ts:29; RedshiftLoader.ts:351):
+    interpret the named source columns as timestamps.
+
+    - ``auto``: cast (ISO-ish strings / already-typed pass through)
+    - ``epochsecs`` / ``epochmillisecs``: integer epoch conversion
+    - anything else: a Redshift datetime pattern, translated to the
+      Spark pattern dialect for ``to_timestamp``
+    """
+    for name in columns:
+        col = F.col(name)
+        if time_format == "auto":
+            out = col.cast("timestamp")
+        elif time_format == "epochsecs":
+            out = F.timestamp_seconds(col.cast("bigint"))
+        elif time_format == "epochmillisecs":
+            out = F.timestamp_millis(col.cast("bigint"))
+        else:
+            out = F.to_timestamp(col, _redshift_to_spark_pattern(time_format))
+        df = df.withColumn(name, out)
+    return df
+
+
+def _redshift_to_spark_pattern(pattern: str) -> str:
+    """Translate a Redshift/Postgres datetime pattern (``YYYY-MM-DD
+    HH24:MI:SS``) to Spark's Java-style pattern."""
+    subs = [
+        ("YYYY", "yyyy"),
+        ("YY", "yy"),
+        ("HH24", "HH"),
+        ("HH12", "hh"),
+        ("MI", "mm"),
+        ("SS", "ss"),
+        ("MON", "MMM"),
+        ("DD", "dd"),
+    ]
+    out = pattern
+    for src, dst in subs:
+        out = out.replace(src, dst)
+    return out
+
+
+def truncate_columns(df: DataFrame, max_len: int) -> DataFrame:
+    """COPY ``TRUNCATECOLUMNS`` (lib/types.ts:30): clip every string
+    column to ``max_len`` characters instead of failing the load."""
+    for field in df.schema.fields:
+        if isinstance(field.dataType, StringType):
+            df = df.withColumn(field.name, F.substring(F.col(field.name), 1, max_len))
+    return df

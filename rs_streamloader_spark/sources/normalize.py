@@ -45,10 +45,13 @@ def to_dataframe(
     body: Any,
     fmt: str = "json",
     schema=None,
+    copy_settings=None,
 ) -> DataFrame:
     """Normalize an upload body to a DataFrame (reference
     ``ensureS3BodyAcceptable``, utils.ts:65-79 — except lazy: nothing
-    is materialized until the load starts)."""
+    is materialized until the load starts). Path bodies are read with
+    the full COPY-knob mapping (sources.copy_reader) when
+    ``copy_settings`` is given."""
     if isinstance(body, DataFrame):
         return body
     if isinstance(body, bytes):
@@ -57,6 +60,10 @@ def to_dataframe(
         if "\n" in body or body.lstrip().startswith("{"):
             return _jsonl_to_df(spark, body)
         # otherwise treat as a path readable by Spark
+        if copy_settings is not None:
+            from rs_streamloader_spark.sources.copy_reader import read_body
+
+            return read_body(spark, body, copy_settings, schema=schema)
         reader = spark.read
         if schema is not None:
             reader = reader.schema(schema)

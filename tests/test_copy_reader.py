@@ -1,0 +1,113 @@
+"""COPY-knob reader parity tests (SURVEY.md §1.2): format options,
+IGNOREHEADER, MAXERROR budget, TIMEFORMAT, TRUNCATECOLUMNS, encoding.
+Reference behavior: /root/reference/lib/types.ts:24-50,
+lib/RedshiftLoader.ts:351-363."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rs_streamloader_spark.config import CopySettings
+from rs_streamloader_spark.errors import LoaderError
+from rs_streamloader_spark.sources import (
+    apply_time_format,
+    read_body,
+    truncate_columns,
+)
+from rs_streamloader_spark.sources.copy_reader import MAX_ERROR_EXCEEDED
+
+
+def _write(path, text: str, encoding: str = "utf-8") -> str:
+    path.write_text(text, encoding=encoding)
+    return str(path)
+
+
+def test_csv_quote_delimiter_header(spark, tmp_path):
+    p = _write(
+        tmp_path / "t.csv",
+        'id|name\n1|"al|pha"\n2|beta\n',
+    )
+    cs = CopySettings(format="CSV", delimiter="|", quote='"', ignore_header=1)
+    df = read_body(spark, p, cs, schema="id INT, name STRING")
+    rows = {r["id"]: r["name"] for r in df.collect()}
+    assert rows == {1: "al|pha", 2: "beta"}
+
+
+def test_ignore_header_multi_line_rejected(spark, tmp_path):
+    p = _write(tmp_path / "t.csv", "a\nb\n1\n")
+    with pytest.raises(ValueError, match="IGNOREHEADER"):
+        read_body(spark, p, CopySettings(format="CSV", ignore_header=2))
+
+
+def test_max_error_zero_failfast(spark, tmp_path):
+    p = _write(tmp_path / "bad.json", '{"id": 1}\n{broken\n')
+    with pytest.raises(Exception):  # Spark FAILFAST surfaces a parse error
+        read_body(spark, p, CopySettings(format="JSON"), schema="id INT").collect()
+
+
+def test_max_error_budget_allows_and_drops(spark, tmp_path):
+    p = _write(tmp_path / "mixed.json", '{"id": 1}\n{broken\n{"id": 3}\n')
+    df = read_body(spark, p, CopySettings(format="JSON", max_error=1), schema="id INT")
+    assert sorted(r["id"] for r in df.collect()) == [1, 3]
+
+
+def test_max_error_budget_exceeded(spark, tmp_path):
+    p = _write(tmp_path / "worse.json", '{"id": 1}\n{broken\nalso broken\n')
+    with pytest.raises(LoaderError) as exc:
+        read_body(
+            spark, p, CopySettings(format="JSON", max_error=1), schema="id INT"
+        ).collect()
+    assert exc.value.code == MAX_ERROR_EXCEEDED
+
+
+def test_max_error_requires_schema(spark, tmp_path):
+    p = _write(tmp_path / "x.json", '{"id": 1}\n')
+    with pytest.raises(ValueError, match="schema"):
+        read_body(spark, p, CopySettings(format="JSON", max_error=1))
+
+
+def test_time_format_epoch_variants(spark):
+    df = spark.createDataFrame(
+        [(1, "1483228800", "1483228800500")], "id INT, secs STRING, millis STRING"
+    )
+    out = apply_time_format(
+        apply_time_format(df, ["secs"], "epochsecs"), ["millis"], "epochmillisecs"
+    ).select(
+        F.date_format("secs", "yyyy-MM-dd HH:mm:ss").alias("s"),
+        F.date_format("millis", "yyyy-MM-dd HH:mm:ss.SSS").alias("m"),
+    )
+    row = out.first()
+    assert row["s"] == "2017-01-01 00:00:00"
+    assert row["m"] == "2017-01-01 00:00:00.500"
+
+
+def test_time_format_redshift_pattern(spark):
+    df = spark.createDataFrame([("2017/01/02 13:45:59",)], "ts STRING")
+    out = apply_time_format(df, ["ts"], "YYYY/MM/DD HH24:MI:SS")
+    assert (
+        out.select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("x")).first()["x"]
+        == "2017-01-02 13:45:59"
+    )
+
+
+def test_truncate_columns(spark):
+    df = spark.createDataFrame([(1, "abcdefgh", "xy")], "id INT, a STRING, b STRING")
+    row = truncate_columns(df, 4).first()
+    assert (row["id"], row["a"], row["b"]) == (1, "abcd", "xy")
+
+
+def test_encoding_utf16le(spark, tmp_path):
+    p = tmp_path / "t16.csv"
+    p.write_bytes('id;name\n1;héllo\n'.encode("utf-16-le"))
+    cs = CopySettings(format="CSV", delimiter=";", ignore_header=1, encoding="UTF16LE")
+    df = read_body(spark, str(p), cs, schema="id INT, name STRING")
+    assert df.first()["name"] == "héllo"
+
+
+def test_parquet_passthrough(spark, tmp_path):
+    src = spark.createDataFrame([(1, "a")], "id INT, v STRING")
+    dest = str(tmp_path / "p")
+    src.write.parquet(dest)
+    df = read_body(spark, dest, CopySettings(format="PARQUET"))
+    assert df.count() == 1
