@@ -241,6 +241,95 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Grouped-aggregate Pandas UDF (UDAF)
+# ---------------------------------------------------------------------------
+
+@register(
+    "udaf_grouped_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_discount) / SUM(l_extendedprice), 6)
+             AS weighted_avg_disc,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_grouped_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate Pandas UDF (the UDAF slot): price-weighted
+    mean discount per return flag. Note the scale caveat this query
+    exists to document: a grouped-agg Pandas UDF ships the WHOLE group
+    to one Python worker (no partial aggregation), so it's for
+    moderate-cardinality groups — the same quantity as a built-in
+    (sum(x*w)/sum(w)) gets map-side combines and is the 100 TB form."""
+    t = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+
+    @pandas_udf("double")
+    def weighted_avg(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    # a grouped-agg Pandas UDF cannot mix with JVM aggregates in one
+    # agg (INVALID_PANDAS_UDF_PLACEMENT) — the count is a Pandas UDF too
+    @pandas_udf("long")
+    def pd_count(v: pd.Series) -> int:
+        return len(v)
+
+    return (
+        t.groupBy("l_returnflag")
+        .agg(
+            F.round(weighted_avg("l_discount", "l_extendedprice"), 6).alias(
+                "weighted_avg_disc"
+            ),
+            pd_count("l_discount").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (table function, lateral join)
+# ---------------------------------------------------------------------------
+
+class _WordProfile:
+    """UDTF body: per-document distinct-word counts."""
+
+    def eval(self, doc_id, text: str):
+        counts: dict[str, int] = {}
+        for w in text.split(" "):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+        for w, n in counts.items():
+            yield doc_id, w, n
+
+
+@register(
+    "udtf_word_profile",
+    oracle="""
+    SELECT doc_id, word, COUNT(*) AS n
+    FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+    WHERE word <> '' AND doc_id < 100
+    GROUP BY doc_id, word
+    """,
+)
+def udtf_word_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF applied with a LATERAL join — the table-function
+    slot (one input row → many output rows with custom Python logic).
+    Row-at-a-time Python: kept off the big tables by the doc_id filter;
+    the vectorized form of the same computation is
+    ``explode_word_counts``."""
+    from pyspark.sql.functions import udtf
+
+    load_tables(spark, sf_dir, "documents")
+    word_profile = udtf(_WordProfile, returnType="doc_id bigint, word string, n bigint")
+    spark.udtf.register("word_profile", word_profile)
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.word, t.n
+        FROM documents d, LATERAL word_profile(d.doc_id, d.text) t
+        WHERE d.doc_id < 100
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Approximate distinct (HLL) — engine-specific sketch, rows-only check
 # ---------------------------------------------------------------------------
 

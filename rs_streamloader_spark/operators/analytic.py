@@ -246,6 +246,39 @@ def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Array / collection scalar functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_array_ops",
+    oracle="""
+    SELECT p_partkey,
+           CAST(LEN(STRING_SPLIT(p_name, ' ')) AS INTEGER)            AS n_words,
+           ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT(p_name, ' ')), '|') AS sorted_words,
+           ARRAY_TO_STRING(LIST_TRANSFORM(STRING_SPLIT(p_name, ' '),
+                                          w -> UPPER(w)), ' ')        AS upper_name,
+           LIST_CONTAINS(STRING_SPLIT(p_name, ' '), 'widget')         AS is_widget,
+           STRING_SPLIT(p_name, ' ')[1]                               AS first_word
+    FROM part
+    """,
+)
+def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed scalar functions — split / size / sort / lambda
+    transform / contains / element access, all JVM-side built-ins
+    (SURVEY.md §2.4 scalar-functions row, array segment)."""
+    t = _t(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    return t["part"].select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.array_join(F.array_sort(words), "|").alias("sorted_words"),
+        F.array_join(F.transform(words, lambda w: F.upper(w)), " ").alias("upper_name"),
+        F.array_contains(words, "widget").alias("is_widget"),
+        F.element_at(words, 1).alias("first_word"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Unpivot (melt)
 # ---------------------------------------------------------------------------
 
