@@ -246,6 +246,108 @@ def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Salted skew join (explicit hot-key mitigation; result == plain join)
+# ---------------------------------------------------------------------------
+
+N_SALTS = 8
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT e.user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e."value"), 2) AS total_value,
+           MAX(u.n_user_events) AS n_user_events
+    FROM events e
+    JOIN (SELECT user_id, COUNT(*) AS n_user_events FROM events GROUP BY user_id) u
+      ON e.user_id = u.user_id
+    GROUP BY e.user_id
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join: the fact side appends a random-free
+    deterministic salt (event_id % N_SALTS) and the dimension side
+    explodes each key into all N_SALTS variants, so one hot user_id
+    spreads over N_SALTS reducers instead of one straggler task.
+
+    AQE's skew-join split handles this automatically for sort-merge
+    joins; the manual salt is the portable form (works under any join
+    strategy, and for aggregations too). Result is provably identical
+    to the unsalted join — which is exactly what the oracle checks."""
+    t = _t(spark, sf_dir, "events")
+    ev = t["events"]
+    dim = ev.groupBy("user_id").agg(F.count("*").alias("n_user_events"))
+    fact_salted = ev.withColumn("salt", (F.col("event_id") % N_SALTS).cast("int"))
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1)))
+    )
+    return (
+        fact_salted.join(dim_salted, ["user_id", "salt"])
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.max("n_user_events").alias("n_user_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-grain time rollup (hypertable-style continuous aggregate, one pass)
+# ---------------------------------------------------------------------------
+
+@register(
+    "rollup_time_multigrain",
+    oracle="""
+    SELECT grain, bucket, event_type, n_events, total_value FROM (
+      SELECT 'hour' AS grain,
+             STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:00') AS bucket,
+             event_type, COUNT(*) AS n_events, ROUND(SUM("value"), 2) AS total_value
+      FROM events GROUP BY 2, 3
+      UNION ALL
+      SELECT 'day', STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d 00:00'),
+             event_type, COUNT(*), ROUND(SUM("value"), 2)
+      FROM events GROUP BY 2, 3
+      UNION ALL
+      SELECT 'week', STRFTIME(DATE_TRUNC('week', ts), '%Y-%m-%d 00:00'),
+             event_type, COUNT(*), ROUND(SUM("value"), 2)
+      FROM events GROUP BY 2, 3
+    )
+    """,
+)
+def rollup_time_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour/day/week rollups in ONE scan via grouping-sets expansion
+    over pre-computed grain buckets (the hypertable continuous-
+    aggregate shape). One Expand + one shuffle instead of three
+    scans+shuffles — at 100 TB the scan dominates, so this is ~3×
+    cheaper than the UNION ALL form the oracle uses."""
+    t = _t(spark, sf_dir, "events")
+    bucketed = t["events"].select(
+        "event_type",
+        "value",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("b_hour"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd 00:00").alias("b_day"),
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd 00:00").alias("b_week"),
+    )
+    bucketed.createOrReplaceTempView("_multigrain_src")
+    return spark.sql(
+        """
+        SELECT CASE WHEN b_hour IS NOT NULL THEN 'hour'
+                    WHEN b_day  IS NOT NULL THEN 'day'
+                    ELSE 'week' END                         AS grain,
+               COALESCE(b_hour, b_day, b_week)              AS bucket,
+               event_type,
+               COUNT(*)                                     AS n_events,
+               ROUND(SUM(value), 2)                         AS total_value
+        FROM _multigrain_src
+        GROUP BY GROUPING SETS ((b_hour, event_type), (b_day, event_type),
+                                (b_week, event_type))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Array / collection scalar functions
 # ---------------------------------------------------------------------------
 

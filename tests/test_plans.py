@@ -88,3 +88,48 @@ def test_scalar_projection_reads_only_needed_columns(spark):
     df = scalar_math(spark, SF_SMOKE)
     (li,) = scan_columns(df)
     assert "l_returnflag" not in li and "l_shipdate" not in li
+
+
+def test_correlated_subquery_decorrelates_to_join(spark):
+    """Catalyst must rewrite the per-row scalar subquery into an
+    aggregate + join — a surviving correlated subquery would re-scan
+    part per row."""
+    from rs_streamloader_spark.operators.analytic import subquery_above_type_avg
+
+    df = subquery_above_type_avg(spark, SF_SMOKE)
+    text = explain_str(df)
+    assert "Subquery" not in text or "SubqueryBroadcast" in text
+    assert "Join" in text or "BroadcastHashJoin" in text
+
+
+def test_sessionize_single_shuffle(spark):
+    """Session windows must be one shuffle on the user key (no
+    self-join, no extra exchange)."""
+    from rs_streamloader_spark.operators.analytic import sessionize_events
+
+    df = sessionize_events(spark, SF_SMOKE)
+    assert shuffle_count(df) <= 1, explain_str(df)
+
+
+def test_multigrain_rollup_is_single_scan(spark):
+    """The grouping-sets rollup must read events once (Expand), not
+    once per grain like the UNION ALL formulation."""
+    from rs_streamloader_spark.operators.analytic import rollup_time_multigrain
+
+    import re
+
+    df = rollup_time_multigrain(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert len(re.findall(r"(?:File)?Scan parquet", text)) == 1, text
+    assert "Expand" in text
+
+
+def test_asof_join_single_shuffle_no_range_probe(spark):
+    """The as-of join must be the union+window plan: one shuffle on
+    user_id, no join operator at all."""
+    from rs_streamloader_spark.operators.advanced import join_asof
+
+    df = join_asof(spark, SF_SMOKE)
+    text = explain_str(df)
+    assert "SortMergeJoin" not in text and "BroadcastHashJoin" not in text
+    assert shuffle_count(df) <= 1, text
