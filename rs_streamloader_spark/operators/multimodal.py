@@ -90,6 +90,61 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         )
 
 
+FRAME_BYTES = 64
+MAX_FRAMES = 4
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB frame sampler (mapInPandas body): a real deployment would
+    demux/decode video here (pyav) and emit sampled frames; this slices
+    the opaque payload into fixed-size pseudo-frames instead — same
+    plumbing (one input row → up to MAX_FRAMES typed rows, Arrow both
+    ways, bounded memory per batch)."""
+    import hashlib
+
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "frame_hash": [], "frame_bytes": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            for i in range(MAX_FRAMES):
+                chunk = data[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                if not chunk:
+                    break
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["frame_hash"].append(hashlib.md5(chunk).hexdigest())
+                out["frame_bytes"].append(len(chunk))
+        yield pd.DataFrame(out).astype(
+            {"doc_id": "int64", "frame_idx": "int32", "frame_bytes": "int32"}
+        )
+
+
+@register(
+    "multimodal_frames",
+    oracle=f"""
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+           MD5(SUBSTR(text, CAST(i * {FRAME_BYTES} + 1 AS INTEGER), {FRAME_BYTES}))
+             AS frame_hash,
+           CAST(LEAST({FRAME_BYTES}, LENGTH(text) - i * {FRAME_BYTES}) AS INTEGER)
+             AS frame_bytes
+    FROM documents, (SELECT UNNEST(RANGE(0, {MAX_FRAMES})) AS i)
+    WHERE i * {FRAME_BYTES} < LENGTH(text)
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque media payloads via ``mapInPandas`` —
+    the video/audio decode slot. The stub slices deterministic
+    pseudo-frames, so the full pipeline (binary column → Python worker
+    → typed frame rows) IS oracle-checked: the documents corpus is
+    ASCII, making the byte-slice digests reproducible in SQL."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    media = synth_media(t).repartition("doc_id")
+    return media.mapInPandas(
+        _sample_frames,
+        schema="doc_id bigint, frame_idx int, frame_hash string, frame_bytes int",
+    )
+
+
 @register(
     "multimodal_features",
     oracle=None,  # Pandas-UDF pipeline: driver records rows-only check

@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis): the upsert state machine against
+a pure-Python model, and timezone invariance of timestamp queries.
+
+The reference's only data-semantics contract is the upsert
+DELETE-then-INSERT (/root/reference/lib/RedshiftLoader.ts:369-384);
+here it is checked over generated batch sequences instead of one
+fixture."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from rs_streamloader_spark.sinks.native import NativeTableSink
+
+ids = st.integers(min_value=0, max_value=9)
+vals = st.integers(min_value=0, max_value=1000)
+
+
+def unique_batch():
+    """A batch with unique ids (so the model is a plain dict update)."""
+    return st.dictionaries(ids, vals, min_size=1, max_size=6)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=st.lists(unique_batch(), min_size=1, max_size=3))
+def test_upsert_matches_dict_model(spark, tmp_path_factory, batches):
+    """After any sequence of unique-id upsert batches, the table equals
+    the dict built by sequential updates (reference M3 semantics: new
+    rows replace matching ids, non-matching target rows survive)."""
+    root = str(tmp_path_factory.mktemp("upsert_prop"))
+    sink = NativeTableSink(spark, root)
+    model: dict[int, int] = {}
+    for batch in batches:
+        df = spark.createDataFrame(
+            [(k, v) for k, v in batch.items()], "id INT, val INT"
+        )
+        sink.upsert(df, id_field="id")
+        model.update(batch)
+    got = {r["id"]: r["val"] for r in sink.read().collect()}
+    assert got == model
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    target=unique_batch(),
+    update_rows=st.lists(st.tuples(ids, vals), min_size=1, max_size=6),
+)
+def test_upsert_compat_keeps_duplicate_update_rows(
+    spark, tmp_path_factory, target, update_rows
+):
+    """Reference-compat mode: every update row lands, even duplicate
+    ids within the batch (RedshiftLoader.ts:379-380 COPYs all temp rows
+    into the target)."""
+    root = str(tmp_path_factory.mktemp("upsert_compat"))
+    sink = NativeTableSink(spark, root)
+    sink.insert(
+        spark.createDataFrame([(k, v) for k, v in target.items()], "id INT, val INT")
+    )
+    sink.upsert(
+        spark.createDataFrame(update_rows, "id INT, val INT"), id_field="id"
+    )
+    got = sorted((r["id"], r["val"]) for r in sink.read().collect())
+    update_ids = {i for i, _ in update_rows}
+    expected = sorted(
+        [(k, v) for k, v in target.items() if k not in update_ids] + update_rows
+    )
+    assert got == expected
+
+
+@pytest.mark.parametrize("query", ["time_bucket_agg", "sessionize_events"])
+def test_timestamp_queries_are_timezone_invariant(spark, query):
+    """Flipping the session timezone must not change results — all
+    timestamp outputs are TIMESTAMP_NTZ or formatted strings (the
+    events nanos column is rebuilt as NTZ in session.load_tables)."""
+    from rs_streamloader_spark.operators import REGISTRY
+
+    fn = REGISTRY[query].fn
+    sf = "/root/testdata/sf0.001"
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc_rows = set(map(tuple, fn(spark, sf).collect()))
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny_rows = set(map(tuple, fn(spark, sf).collect()))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
+    assert utc_rows == ny_rows
