@@ -381,6 +381,75 @@ def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Map-typed scalar functions (JSON → typed map → map ops)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_map_ops",
+    oracle="""
+    SELECT event_id,
+           ARRAY_TO_STRING(LIST_SORT(JSON_KEYS(props)), ',') AS prop_keys,
+           CAST(LEN(JSON_KEYS(props)) AS INTEGER)            AS n_props,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+    FROM events
+    WHERE event_id % 50 = 0
+    """,
+)
+def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column functions: parse the JSON props string into a
+    typed ``map<string,string>`` (schema_of-free — open key set), then
+    map_keys / size / element access, all JVM-side."""
+    t = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        t["events"]
+        .filter(F.col("event_id") % 50 == 0)
+        .select(
+            "event_id",
+            F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
+            F.size(m).alias("n_props"),
+            F.element_at(m, "k").cast("int").alias("k_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-rank window functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_percent_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 6) AS cume,
+           CAST(RANK()       OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS dense_rnk
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window family (percent_rank / cume_dist /
+    rank / dense_rank) in one pass over a single window definition."""
+    t = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("dense_rnk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Unpivot (melt)
 # ---------------------------------------------------------------------------
 

@@ -1,4 +1,6 @@
 from rs_streamloader_spark.streaming.ingest import StreamingLoader
+from rs_streamloader_spark.streaming.joins import attribution_join
+from rs_streamloader_spark.streaming.stateful import running_user_stats
 from rs_streamloader_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,
@@ -7,6 +9,8 @@ from rs_streamloader_spark.streaming.windows import (
 
 __all__ = [
     "StreamingLoader",
+    "attribution_join",
+    "running_user_stats",
     "session_window_agg",
     "sliding_window_agg",
     "tumbling_window_agg",

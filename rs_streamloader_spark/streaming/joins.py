@@ -1,0 +1,57 @@
+"""Stream-stream joins with watermark-bounded state (SURVEY.md §2.4
+streaming rows; absent from the reference, which has no join surface).
+
+The canonical attribution shape: purchases joined to the clicks that
+preceded them within an attribution window. Both sides carry
+watermarks and the join condition time-bounds the buffered state, so
+each side's state store holds only ``watermark + window`` worth of
+events — the requirement for an unbounded 100 TB/day stream pair."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Inner join: each purchase matched to every click by the same
+    ``key`` in the preceding ``attribution_window``. State eviction
+    needs BOTH the watermarks and the two-sided time bound."""
+    c = clicks
+    p = purchases
+    if c.isStreaming:
+        c = c.withWatermark(ts_col, watermark)
+    if p.isStreaming:
+        p = p.withWatermark(ts_col, watermark)
+    c = c.select(
+        F.col(key).alias("c_key"),
+        F.col(ts_col).alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = p.select(
+        F.col(key).alias("p_key"),
+        F.col(ts_col).alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return p.join(
+        c,
+        (F.col("p_key") == F.col("c_key"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")
+        ),
+    ).select(
+        F.col("p_key").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+    )

@@ -105,6 +105,48 @@ class TestWindows:
             for a, b in zip(sessions, sessions[1:]):
                 assert a["session_end"] <= b["session_start"]
 
+    def test_stream_stream_attribution_join(self, spark, tmp_path):
+        from rs_streamloader_spark.streaming import attribution_join
+
+        schema = "event_id BIGINT, user_id BIGINT, ts TIMESTAMP"
+        cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+        write_file(
+            cdir,
+            "c.json",
+            [
+                {"event_id": 1, "user_id": 7, "ts": "2024-01-01T00:10:00"},
+                {"event_id": 2, "user_id": 7, "ts": "2024-01-01T00:50:00"},
+                {"event_id": 3, "user_id": 8, "ts": "2024-01-01T00:20:00"},
+                # outside the 1h window before user 7's purchase:
+                {"event_id": 4, "user_id": 7, "ts": "2023-12-31T22:00:00"},
+            ],
+        )
+        write_file(
+            pdir,
+            "p.json",
+            [
+                {"event_id": 100, "user_id": 7, "ts": "2024-01-01T01:00:00"},
+                {"event_id": 101, "user_id": 9, "ts": "2024-01-01T01:00:00"},
+            ],
+        )
+        clicks = spark.readStream.schema(schema).json(cdir)
+        purchases = spark.readStream.schema(schema).json(pdir)
+        joined = attribution_join(clicks, purchases)
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("attr_join")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.sql(
+            "SELECT purchase_id, click_id FROM attr_join ORDER BY click_id"
+        ).collect()
+        # purchase 100 (user 7 @01:00) attributes to clicks 1 and 2
+        # (within the prior hour); click 4 is too old; user 9 unmatched
+        assert [(r["purchase_id"], r["click_id"]) for r in rows] == [(100, 1), (100, 2)]
+
     def test_tumbling_on_stream_with_watermark(self, spark, tmp_path):
         src = str(tmp_path / "ev")
         write_file(
