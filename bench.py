@@ -29,6 +29,8 @@ def main() -> None:
     # warm the JVM/codegen once on a tiny plan so query 1 isn't charged
     # for session startup
     spark.range(1000).selectExpr("sum(id)").collect()
+    # ...including the AQE/exchange machinery (needs a real shuffle)
+    spark.range(1000).selectExpr("id % 10 AS k").groupBy("k").count().collect()
     # warm per-table one-time costs (file listing, footer/schema read,
     # the nanos-timestamp fallback probe) — scan/compute cost stays
     # inside the per-query timings
