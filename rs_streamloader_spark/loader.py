@@ -184,17 +184,28 @@ class Loader:
             self._emit("progress", {"task": "uploadedManifest"})
 
             if self.sink is not None:
-                staged = self.spark.read.format(self.options.staging_format).load(
-                    stage.data_prefix
-                )
-                if upload_type == INSERT:
-                    self.sink.insert(staged)
-                elif upload_type == TRUNCATE_INSERT:
-                    self.sink.trunc_insert(staged)
-                else:
-                    self.sink.upsert(
-                        staged, id_field=self.options.id_field, dedupe=dedupe
+                if hasattr(self.sink, "load_staged"):
+                    # manifest-driven sink (Redshift COPY): the warehouse
+                    # reads the staged parts itself — SURVEY.md §3.2
+                    # boundary (3), Redshift cluster→S3
+                    self.sink.load_staged(
+                        stage,
+                        upload_type,
+                        id_field=self.options.id_field,
+                        dedupe=dedupe,
                     )
+                else:
+                    staged = self.spark.read.format(self.options.staging_format).load(
+                        stage.data_prefix
+                    )
+                    if upload_type == INSERT:
+                        self.sink.insert(staged)
+                    elif upload_type == TRUNCATE_INSERT:
+                        self.sink.trunc_insert(staged)
+                    else:
+                        self.sink.upsert(
+                            staged, id_field=self.options.id_field, dedupe=dedupe
+                        )
             self._emit("progress", {"task": "done"})
             self._emit("done")
             return "SUCCESS"
