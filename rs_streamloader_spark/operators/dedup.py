@@ -131,12 +131,9 @@ _JACCARD_ORACLE = f"""
 """
 
 
-@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-trigram Jaccard near-dup pairs (inverted-index join
-    on shingles — O(co-shingled pairs), no cross join; hot shingles are
-    the skew risk, handled by AQE skew-join at scale)."""
-    t = load_tables(spark, sf_dir, "documents")["documents"]
+def _jaccard_pairs(t: DataFrame) -> DataFrame:
+    """Word-trigram Jaccard pairs ≥ threshold — shared by the pair
+    query and the cluster-resolution operator."""
     s = _shingles(t).cache()
     n = s.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = s.alias("a")
@@ -152,6 +149,99 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard near-dup pairs (inverted-index join
+    on shingles — O(co-shingled pairs), no cross join; hot shingles are
+    the skew risk, handled by AQE skew-join at scale)."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    return _jaccard_pairs(t)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    labeled AS (
+      SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_keeper
+    FROM labeled
+"""
+
+
+@register("dedup_cluster", oracle=_CLUSTER_ORACLE)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    near-dup pair graph, cluster id = min doc_id in the component,
+    keeper = that doc. This is the operator a training-data pipeline
+    actually runs — pairs alone don't say which docs to drop.
+
+    Implementation is iterative min-label propagation over the
+    symmetric edge list (each round: one join + one groupBy;
+    ``localCheckpoint`` truncates lineage), converging in ≤ graph
+    diameter rounds. The oracle computes the same components with a
+    recursive CTE. At extreme diameters the alternating large-star/
+    small-star variant (same join primitives) halves rounds to
+    O(log n); pair graphs from a Jaccard threshold are near-cliques,
+    so diameter stays small in practice."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = _jaccard_pairs(t).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .cache()
+    )
+    labels = (
+        edges.select("u").distinct().select("u", F.col("u").alias("label"))
+    ).localCheckpoint()
+    for _ in range(20):  # safeguard; converges in ≤ diameter rounds
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
+        .withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
     )
 
 
