@@ -209,16 +209,22 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
         .cache()
     )
+    # round 0 folded into init: label(u) = min(u, min neighbor)
     labels = (
-        edges.select("u").distinct().select("u", F.col("u").alias("label"))
-    ).localCheckpoint()
+        edges.groupBy("u")
+        .agg(F.least(F.first("u"), F.min("v")).alias("label"))
+        .localCheckpoint()
+    )
+    # labels decrease monotonically, so an unchanged sum ⟺ fixpoint —
+    # a single tiny aggregate per round instead of a join + count
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(20):  # safeguard; converges in ≤ diameter rounds
         neighbor_min = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_min, "u", "left")
             .select(
                 "u",
@@ -227,16 +233,10 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("label"),
             )
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     w = Window.partitionBy("cluster_id")
     return (
         labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
