@@ -381,6 +381,135 @@ def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Ordered funnel (sequential conversion stages)
+# ---------------------------------------------------------------------------
+
+@register(
+    "funnel_stages",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT stage, COUNT(*) AS n_users FROM (
+      SELECT v.user_id,
+             CASE WHEN p.user_id IS NOT NULL THEN 3
+                  WHEN c.user_id IS NOT NULL THEN 2
+                  ELSE 1 END AS stage
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+             LEFT JOIN p ON v.user_id = p.user_id
+    ) GROUP BY stage
+    """,
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → later click → later purchase):
+    users counted at their furthest strictly-ordered stage. Three
+    filtered aggregations joined on user_id — every join is on the
+    same key, so at scale the three stages co-partition and the whole
+    funnel is one shuffle family, not an event self-join."""
+    ev = _t(spark, sf_dir, "events")["events"]
+
+    def first_after(event_type: str, prior: DataFrame, prior_ts: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .join(prior, "user_id")
+            .filter(F.col("ts") > F.col(prior_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = first_after("click", v, "t_view", "t_click")
+    p = first_after("purchase", c, "t_click", "t_purchase")
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .otherwise(1)
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation pipeline (language + quality + exact-dup keeper, per source)
+# ---------------------------------------------------------------------------
+
+@register(
+    "curation_pipeline",
+    oracle="""
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5(text)
+    ), scored AS (
+      SELECT d.source,
+             d.lang IN ('en', 'es', 'de') AS lang_ok,
+             (CASE WHEN LENGTH(d.text) >= 200 THEN 1 ELSE 0 END
+              + CASE WHEN LENGTH(d.text) - LENGTH(REPLACE(d.text, ' ', '')) + 1 >= 40
+                     THEN 1 ELSE 0 END
+              + CASE WHEN CAST(LENGTH(REPLACE(d.text, ' ', '')) AS DOUBLE)
+                          / (LENGTH(d.text) - LENGTH(REPLACE(d.text, ' ', '')) + 1)
+                          BETWEEN 3 AND 8 THEN 1 ELSE 0 END) >= 2 AS quality_ok,
+             k.doc_id IS NOT NULL AS is_keeper
+      FROM documents d LEFT JOIN keepers k ON d.doc_id = k.doc_id
+    )
+    SELECT source,
+           COUNT(*) AS docs_in,
+           CAST(COUNT(*) FILTER (WHERE lang_ok AND quality_ok AND is_keeper)
+                AS BIGINT) AS docs_kept,
+           ROUND(COUNT(*) FILTER (WHERE lang_ok AND quality_ok AND is_keeper)
+                 * 100.0 / COUNT(*), 2) AS pct_kept
+    FROM scored GROUP BY source
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation funnel per source: language allowlist +
+    quality-score gate (functions.quality_score) + exact-dup keeper,
+    reported as kept/in ratios. The composition story: the same column
+    builders used by the standalone text queries chain into one
+    declarative pipeline — one scan, one dedup shuffle, one agg."""
+    from rs_streamloader_spark.functions import quality_score
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    keepers = (
+        d.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
+    kept = (
+        F.col("lang").isin("en", "es", "de")
+        & (quality_score("text") >= 2)
+        & F.col("is_keeper")
+    )
+    return (
+        d.join(
+            keepers.withColumn("is_keeper", F.lit(True)), "doc_id", "left"
+        )
+        .na.fill({"is_keeper": False})
+        .select("source", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs_in"),
+            F.count_if("kept").alias("docs_kept"),
+            F.round(F.count_if("kept") * 100.0 / F.count("*"), 2).alias("pct_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Map-typed scalar functions (JSON → typed map → map ops)
 # ---------------------------------------------------------------------------
 

@@ -48,6 +48,33 @@ class TestStreamingLoader:
         sl.run_available()
         assert sink.read().count() == 2
 
+    def test_failed_batch_replays_after_restart(self, spark, tmp_path):
+        """Exactly-once evidence: a batch that fails BEFORE the sink
+        write is replayed with the same batch_id on restart, and the
+        data lands exactly once (checkpoint offsets + idempotent
+        foreachBatch — SURVEY.md §2.4 exactly-once row)."""
+        src = str(tmp_path / "in")
+        sink = NativeTableSink(spark, str(tmp_path / "tbl"))
+        sl = StreamingLoader(spark, src, SCHEMA, sink, load_mode="insert")
+
+        original_apply = sl._apply_batch
+        boom = {"armed": True}
+
+        def flaky_apply(batch_df, batch_id):
+            if boom["armed"]:
+                boom["armed"] = False
+                raise RuntimeError("injected pre-sink failure")
+            original_apply(batch_df, batch_id)
+
+        sl._apply_batch = flaky_apply
+        write_file(src, "a.json", [{"id": 1, "text": "x", "number": 1.0}])
+        with pytest.raises(Exception, match="injected pre-sink failure"):
+            sl.run_available()
+        assert not sink.exists()  # nothing landed
+
+        sl.run_available()  # restart: same checkpoint, batch replays
+        assert [r["id"] for r in sink.read().collect()] == [1]
+
     def test_streaming_upsert_latest_wins(self, spark, tmp_path):
         src = str(tmp_path / "in")
         sink = NativeTableSink(spark, str(tmp_path / "tbl"))
