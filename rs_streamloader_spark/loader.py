@@ -198,6 +198,23 @@ class Loader:
                     staged = self.spark.read.format(self.options.staging_format).load(
                         stage.data_prefix
                     )
+                    # COPY columnMap semantics against the existing
+                    # target schema (types.ts:32-40)
+                    if (
+                        hasattr(self.sink, "exists")
+                        and self.sink.exists()
+                        and (cs.column_map != "auto" or cs.jsonpaths)
+                    ):
+                        from rs_streamloader_spark.sources.copy_reader import (
+                            align_columns,
+                        )
+
+                        staged = align_columns(
+                            staged,
+                            self.sink.read().schema,
+                            column_map=cs.column_map,
+                            jsonpaths=cs.jsonpaths,
+                        )
                     if upload_type == INSERT:
                         self.sink.insert(staged)
                     elif upload_type == TRUNCATE_INSERT:

@@ -217,6 +217,89 @@ def _spark_bucket(emb: str):
     return total
 
 
+def _duck_cell(alias: str) -> str:
+    """IVF cell for the oracle: 1-based argmax over the fixed centroid
+    projections (first occurrence on exact-equality ties — both engines
+    compute the identical sequential-fold dots, so ties agree)."""
+    dots = ", ".join(
+        f"LIST_DOT_PRODUCT(CAST({alias}.embedding AS DOUBLE[]),"
+        f" CAST([{', '.join(repr(v) for v in hp)}] AS DOUBLE[]))"
+        for hp in HYPERPLANES
+    )
+    return f"LIST_POSITION([{dots}], LIST_MAX([{dots}]))"
+
+
+def _spark_cell(emb: str):
+    projections = []
+    for hp in HYPERPLANES:
+        lit = "array(" + ", ".join(f"{v}D" for v in hp) + ")"
+        projections.append(
+            f"aggregate(zip_with({emb}, {lit}, (x, y) -> CAST(x AS DOUBLE) * y),"
+            f" 0D, (acc, v) -> acc + v)"
+        )
+    ds = "array(" + ", ".join(projections) + ")"
+    return F.expr(f"array_position({ds}, array_max({ds}))").cast("int")
+
+
+@register(
+    "ann_ivf_cells",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND({_DUCK_COS}, 6) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY ROUND({_DUCK_COS}, 6) DESC, b.vec_id
+             ) AS rn
+      FROM embeddings a JOIN embeddings b
+        ON b.vec_id <> a.vec_id
+       AND {_duck_cell('a')} = {_duck_cell('b')}
+      WHERE a.vec_id < {N_QUERIES}
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a fixed deterministic coarse quantizer (argmax
+    over {N_HYPERPLANES} centroid directions ≈ spherical k-means cells
+    with frozen centroids) partitions the corpus; each query probes
+    only its own cell (nprobe=1) and ranks exact cosine within it.
+
+    vs ``ann_lsh_bucketed``: IVF cells are data-direction-aligned
+    (coarser, {N_HYPERPLANES} cells) while LSH gives 2^{N_HYPERPLANES}
+    sign buckets — the two standard serving layouts. At scale the
+    corpus is written partitioned by cell, so a probe is one partition
+    read; a trained k-means quantizer drops in by replacing the
+    centroid literals. The oracle replicates the identical assignment,
+    so recall misses compare exactly."""
+    t = spread(load_tables(spark, sf_dir, "embeddings")["embeddings"])
+    with_cell = _with_norm(t).withColumn("cell", _spark_cell("embedding"))
+    corpus = with_cell.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+        "cell",
+    )
+    queries = with_cell.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+        "cell",
+    )
+    cos = F.round(_dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(queries)
+        .join(corpus, ["cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
 @register(
     "ann_lsh_bucketed",
     oracle=f"""

@@ -1,4 +1,5 @@
 from rs_streamloader_spark.sources.copy_reader import (
+    align_columns,
     apply_time_format,
     enforce_max_error,
     read_body,
@@ -7,6 +8,7 @@ from rs_streamloader_spark.sources.copy_reader import (
 from rs_streamloader_spark.sources.normalize import to_dataframe
 
 __all__ = [
+    "align_columns",
     "apply_time_format",
     "enforce_max_error",
     "read_body",

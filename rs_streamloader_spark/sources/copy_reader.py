@@ -28,6 +28,8 @@ TRUNCATECOLUMNS   ``substring`` projection on string columns
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructType
@@ -165,6 +167,68 @@ def _redshift_to_spark_pattern(pattern: str) -> str:
     for src, dst in subs:
         out = out.replace(src, dst)
     return out
+
+
+def align_columns(
+    df: DataFrame,
+    target_schema: StructType,
+    column_map: str = "auto",
+    jsonpaths: str | None = None,
+) -> DataFrame:
+    """COPY ``columnMap`` semantics (lib/types.ts:32-40;
+    RedshiftLoader.ts:388-393) for the native-table path: project the
+    staged body onto the target table's schema.
+
+    - ``auto``: match by exact name; unmatched target columns become
+      typed NULLs; extra source columns are dropped (Redshift JSON
+      'auto' behavior)
+    - ``auto ignorecase``: same, case-insensitive
+    - ``jsonpaths``: positional — the i-th path's leaf field feeds the
+      i-th target column
+    """
+    from pyspark.sql.types import StructType as _St
+
+    if isinstance(target_schema, list):  # convenience: bare names
+        target_schema = _St.fromDDL(
+            ", ".join(f"{c} STRING" for c in target_schema)
+        )
+    if column_map == "jsonpaths":
+        if not jsonpaths:
+            raise ValueError("column_map='jsonpaths' requires a jsonpaths doc")
+        paths = json.loads(jsonpaths)["jsonpaths"]
+        if len(paths) != len(target_schema.fields):
+            raise ValueError(
+                f"jsonpaths has {len(paths)} entries for "
+                f"{len(target_schema.fields)} target columns"
+            )
+        leaves = [_jsonpath_leaf(p) for p in paths]
+        return df.select(
+            *[
+                F.col(leaf).cast(fld.dataType).alias(fld.name)
+                for leaf, fld in zip(leaves, target_schema.fields)
+            ]
+        )
+    ignorecase = column_map == "auto ignorecase"
+    lookup = {(c.lower() if ignorecase else c): c for c in df.columns}
+    cols = []
+    for fld in target_schema.fields:
+        key = fld.name.lower() if ignorecase else fld.name
+        src = lookup.get(key)
+        if src is None:
+            cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+        else:
+            cols.append(F.col(src).cast(fld.dataType).alias(fld.name))
+    return df.select(*cols)
+
+
+def _jsonpath_leaf(path: str) -> str:
+    """Leaf field name of a simple jsonpath (``$.a.b`` / ``$['a']``)."""
+    leaf = path.strip()
+    if leaf.startswith("$"):
+        leaf = leaf[1:]
+    leaf = leaf.replace("['", ".").replace("']", "").replace('["', ".").replace('"]', "")
+    leaf = leaf.strip(".")
+    return leaf.split(".")[-1]
 
 
 def truncate_columns(df: DataFrame, max_len: int) -> DataFrame:

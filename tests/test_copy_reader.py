@@ -105,6 +105,67 @@ def test_encoding_utf16le(spark, tmp_path):
     assert df.first()["name"] == "héllo"
 
 
+def test_align_columns_auto_nulls_unmatched(spark):
+    from pyspark.sql.types import StructType
+
+    from rs_streamloader_spark.sources import align_columns
+
+    df = spark.createDataFrame([(1, "x", 9.5)], "id INT, name STRING, extra DOUBLE")
+    target = StructType.fromDDL("id BIGINT, name STRING, missing INT")
+    out = align_columns(df, target, "auto")
+    assert out.columns == ["id", "name", "missing"]
+    row = out.first()
+    assert (row["id"], row["name"], row["missing"]) == (1, "x", None)
+    assert dict(out.dtypes)["id"] == "bigint"  # cast to target type
+
+
+def test_align_columns_ignorecase(spark):
+    from pyspark.sql.types import StructType
+
+    from rs_streamloader_spark.sources import align_columns
+
+    df = spark.createDataFrame([(1, "x")], "ID INT, Name STRING")
+    target = StructType.fromDDL("id INT, name STRING")
+    # strict auto: no match (Spark schema is case-preserving)
+    strict = align_columns(df, target, "auto").first()
+    assert strict["id"] is None
+    relaxed = align_columns(df, target, "auto ignorecase").first()
+    assert (relaxed["id"], relaxed["name"]) == (1, "x")
+
+
+def test_align_columns_jsonpaths_positional(spark):
+    from pyspark.sql.types import StructType
+
+    from rs_streamloader_spark.sources import align_columns
+
+    df = spark.createDataFrame([(7, "n", 2.5)], "a INT, b STRING, c DOUBLE")
+    target = StructType.fromDDL("x INT, y STRING, z DOUBLE")
+    jp = '{"jsonpaths": ["$.a", "$[\'b\']", "$.c"]}'
+    row = align_columns(df, target, "jsonpaths", jp).first()
+    assert (row["x"], row["y"], row["z"]) == (7, "n", 2.5)
+
+
+def test_loader_applies_ignorecase_on_insert(spark, tmp_path):
+    from rs_streamloader_spark.loader import Loader
+    from rs_streamloader_spark.sinks.native import NativeTableSink
+
+    sink = NativeTableSink(spark, str(tmp_path / "tbl"))
+    sink.insert(spark.createDataFrame([(1, "seed")], "id INT, name STRING"))
+    loader = Loader(
+        spark,
+        options={
+            "table": "t",
+            "copy_settings": {"column_map": "auto ignorecase"},
+        },
+        sink=sink,
+        staging_root=str(tmp_path / "stage"),
+    )
+    loader.add_source([{"ID": 2, "NAME": "upper"}])
+    assert loader.insert() == "SUCCESS"
+    rows = {r["id"]: r["name"] for r in sink.read().collect()}
+    assert rows == {1: "seed", 2: "upper"}
+
+
 def test_parquet_passthrough(spark, tmp_path):
     src = spark.createDataFrame([(1, "a")], "id INT, v STRING")
     dest = str(tmp_path / "p")
