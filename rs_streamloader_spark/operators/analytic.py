@@ -381,6 +381,173 @@ def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic dataset split (hash-sharded train/val/test)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dataset_split",
+    oracle="""
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM (
+      SELECT doc_id,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               (STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+               AS bucket_raw,
+               (
+                 (STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                 + STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+               ) % 100 AS bucket
+        FROM documents
+      )
+    )
+    GROUP BY split
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content-key
+    hash (first md5 byte of the id, mod 100) — the split survives
+    re-runs, repartitioning, and incremental appends, unlike
+    ``df.sample``/``randomSplit`` whose seeds are engine- and
+    partitioning-dependent. This is how a 100 TB corpus is split:
+    stateless per row, no global coordination."""
+    t = _t(spark, sf_dir, "documents")["documents"]
+    h = F.md5(F.col("doc_id").cast("string"))
+    byte0 = (
+        (F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1) * 16
+        + F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1))
+        - 1
+    )
+    bucket = byte0 % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        t.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling (deterministic per-group cap)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: at most 20 docs per language, chosen by
+    hash order (deterministic pseudo-random, stable under
+    repartitioning) — the per-class balancing step of a training-data
+    pipeline. One shuffle on the stratum key."""
+    t = _t(spark, sf_dir, "documents")["documents"]
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        t.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional expressions
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE o_orderstatus WHEN 'F' THEN 'finished'
+                              WHEN 'O' THEN 'open'
+                              ELSE 'other' END            AS status_label,
+           COALESCE(NULLIF(o_orderpriority, '3-MEDIUM'), 'default') AS pri_or_default,
+           GREATEST(o_totalprice, 1000.0)                 AS price_floor,
+           LEAST(o_totalprice, 500000.0)                  AS price_cap,
+           o_totalprice BETWEEN 1000 AND 2000             AS in_band
+    FROM orders
+    """,
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar family: CASE, NULLIF/COALESCE, GREATEST/
+    LEAST, BETWEEN — all codegen built-ins."""
+    t = _t(spark, sf_dir, "orders")
+    return t["orders"].select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("other")
+        .alias("status_label"),
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")), F.lit("default")
+        ).alias("pri_or_default"),
+        F.greatest("o_totalprice", F.lit(1000.0)).alias("price_floor"),
+        F.least("o_totalprice", F.lit(500000.0)).alias("price_cap"),
+        F.col("o_totalprice").between(1000, 2000).alias("in_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Value-navigation window functions (first/last/nth)
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT user_id, event_id,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           LAST_VALUE(event_type)  OVER w AS latest_type,
+           NTH_VALUE(event_type, 2) OVER w AS second_type
+    FROM events
+    WHERE user_id % 25 = 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value navigation over a running frame: each event sees the
+    user's first, latest, and second event types so far."""
+    t = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t["events"]
+        .filter(F.col("user_id") % 25 == 0)
+        .select(
+            "user_id",
+            "event_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w).alias("latest_type"),
+            F.nth_value("event_type", 2).over(w).alias("second_type"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Ordered funnel (sequential conversion stages)
 # ---------------------------------------------------------------------------
 
