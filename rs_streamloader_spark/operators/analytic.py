@@ -509,6 +509,52 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Date/interval arithmetic scalar family
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           STRFTIME(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d')  AS plus_3m,
+           STRFTIME(LAST_DAY(o_orderdate), '%Y-%m-%d')           AS month_end,
+           CAST(DATE_DIFF('day', o_orderdate,
+                TIMESTAMP '1998-12-31 00:00:00') AS INTEGER)     AS days_to_eoy,
+           CAST(DATE_PART('quarter', o_orderdate) AS INTEGER)    AS qtr,
+           CAST(DATE_PART('dow', o_orderdate) AS INTEGER)        AS dow,
+           STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+)
+def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic: add_months, last_day, datediff,
+    quarter/day-of-week extraction, month truncation — all codegen
+    built-ins (SURVEY.md §2.4 scalar row, date segment). DuckDB's
+    dow is 0=Sunday; Spark's dayofweek is 1=Sunday, aligned with -1."""
+    t = _t(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias(
+                "plus_3m"
+            ),
+            F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+            F.datediff(
+                F.lit("1998-12-31").cast("date"), F.col("o_orderdate")
+            ).alias("days_to_eoy"),
+            F.quarter("o_orderdate").alias("qtr"),
+            (F.dayofweek("o_orderdate") - 1).alias("dow"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Value-navigation window functions (first/last/nth)
 # ---------------------------------------------------------------------------
 

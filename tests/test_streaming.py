@@ -174,6 +174,52 @@ class TestWindows:
         # (within the prior hour); click 4 is too old; user 9 unmatched
         assert [(r["purchase_id"], r["click_id"]) for r in rows] == [(100, 1), (100, 2)]
 
+    def test_late_rows_beyond_watermark_are_dropped(self, spark, tmp_path):
+        """Late-data contract: in append mode a row older than the
+        advanced watermark is dropped, not re-aggregated — the
+        streaming-native replacement for the reference's hard
+        RS_LOAD_STARTED rejection of late adds
+        (/root/reference/lib/RedshiftLoader.ts:137-142)."""
+        src = str(tmp_path / "ev")
+        ckpt = str(tmp_path / "ckpt")
+        schema = "ts TIMESTAMP, event_type STRING, value DOUBLE"
+
+        emitted: list = []
+
+        def run_batch():
+            stream = spark.readStream.schema(schema).json(src)
+            agg = tumbling_window_agg(stream, watermark="10 minutes")
+            q = (
+                agg.writeStream.foreachBatch(
+                    lambda bdf, bid: emitted.extend(bdf.collect())
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        # batch 1 advances the watermark far past the 00:00 hour
+        write_file(src, "a.json", [
+            {"ts": "2024-01-01T00:10:00", "event_type": "click", "value": 1.0},
+            {"ts": "2024-01-01T05:00:00", "event_type": "click", "value": 1.0},
+        ])
+        run_batch()
+        # batch 2: a row for the long-closed 00:00 window arrives late
+        write_file(src, "b.json", [
+            {"ts": "2024-01-01T00:20:00", "event_type": "click", "value": 99.0},
+            {"ts": "2024-01-01T06:00:00", "event_type": "click", "value": 1.0},
+        ])
+        run_batch()
+        rows = {
+            (r["window_start"].hour, r["n_events"], r["total_value"])
+            for r in emitted
+        }
+        # the 00:00 window emitted exactly once, WITHOUT the late row
+        assert (0, 1, 1.0) in rows
+        assert not any(h == 0 and n == 2 for h, n, _ in rows)
+
     def test_tumbling_on_stream_with_watermark(self, spark, tmp_path):
         src = str(tmp_path / "ev")
         write_file(
