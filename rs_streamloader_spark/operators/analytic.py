@@ -29,6 +29,147 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
 
 
 # ---------------------------------------------------------------------------
+# EXISTS / NOT EXISTS correlated subqueries
+# ---------------------------------------------------------------------------
+
+_EXISTS_SQL = """
+SELECT s.s_suppkey, s.s_name, s.s_nationkey
+FROM supplier s
+WHERE EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_nationkey = s.s_nationkey
+)
+AND NOT EXISTS (
+    SELECT 1 FROM customer c2
+    WHERE c2.c_nationkey = s.s_nationkey AND c2.c_acctbal < 0
+)
+"""
+
+
+@register("subquery_exists", oracle=_EXISTS_SQL)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS, decorrelated by Catalyst into a
+    semi-join and an anti-join on the correlation key (suppliers from
+    nations that have customers, none of them overdrawn)."""
+    t = _t(spark, sf_dir, "supplier", "customer")
+    for name, df in t.items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(_EXISTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Outer explode (rows preserved when the array is empty)
+# ---------------------------------------------------------------------------
+
+@register(
+    "explode_outer_props",
+    oracle="""
+    SELECT event_id, word
+    FROM (
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN STRING_SPLIT(event_type, '|')
+                  ELSE [] END AS words
+      FROM events WHERE event_id % 100 = 0
+    ) LEFT JOIN LATERAL UNNEST(words) AS u(word) ON TRUE
+    """,
+)
+def explode_outer_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer``: rows with an empty array survive with a NULL
+    element (plain explode silently drops them — the classic data-loss
+    bug this operator exists to avoid)."""
+    t = _t(spark, sf_dir, "events")
+    words = F.when(
+        F.col("event_type") == "error", F.split("event_type", r"\|")
+    ).otherwise(F.array())
+    return (
+        t["events"]
+        .filter(F.col("event_id") % 100 == 0)
+        .select("event_id", F.explode_outer(words).alias("word"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNION (distinct) + pagination
+# ---------------------------------------------------------------------------
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION
+      SELECT s_nationkey AS nationkey FROM supplier
+    )
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with distinct semantics (union + distinct in Spark —
+    planned as one hash aggregate over the concatenation)."""
+    t = _t(spark, sf_dir, "customer", "supplier")
+    return (
+        t["customer"]
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .union(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+@register(
+    "limit_offset_page",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-free pagination (page 3 of 20): ORDER BY ... LIMIT k
+    OFFSET n. Spark plans offset+limit as a single top-(n+k) with the
+    first n dropped — fine for shallow pages; deep pagination at scale
+    should switch to keyset predicates instead."""
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20 OFFSET 40
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions (filter / exists / reduce)
+# ---------------------------------------------------------------------------
+
+@register(
+    "array_higher_order",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(LIST_FILTER(ws, w -> LENGTH(w) > 4)) AS INTEGER)   AS n_long_words,
+           LIST_REDUCE(LIST_PREPEND(0, LIST_TRANSFORM(ws, w -> LENGTH(w))),
+                       (acc, x) -> acc + x)                            AS total_chars,
+           CAST(EXISTS (SELECT 1 FROM UNNEST(ws) AS t(w) WHERE w = 'spark')
+                AS BOOLEAN)                                            AS mentions_spark
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents)
+    """,
+)
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order lambdas on arrays: filter, aggregate (reduce), and
+    exists — per-row collection processing without explode+reshuffle."""
+    t = _t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    return t["documents"].select(
+        "doc_id",
+        F.size(F.filter(ws, lambda w: F.length(w) > 4)).alias("n_long_words"),
+        F.aggregate(
+            F.transform(ws, lambda w: F.length(w)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.exists(ws, lambda w: w == "spark").alias("mentions_spark"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sessionization — batch session_window vs gaps-and-islands oracle
 # ---------------------------------------------------------------------------
 
