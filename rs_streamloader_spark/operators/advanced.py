@@ -318,7 +318,11 @@ def udtf_word_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
     load_tables(spark, sf_dir, "documents")
-    word_profile = udtf(_WordProfile, returnType="doc_id bigint, word string, n bigint")
+    word_profile = udtf(
+        _WordProfile,
+        returnType="doc_id bigint, word string, n bigint",
+        useArrow=True,  # Arrow-batched UDTF eval, not row-at-a-time
+    )
     spark.udtf.register("word_profile", word_profile)
     return spark.sql(
         """

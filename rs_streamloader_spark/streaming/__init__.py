@@ -4,6 +4,7 @@ from rs_streamloader_spark.streaming.stateful import running_user_stats
 from rs_streamloader_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,
+    streaming_dedup,
     tumbling_window_agg,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "running_user_stats",
     "session_window_agg",
     "sliding_window_agg",
+    "streaming_dedup",
     "tumbling_window_agg",
 ]

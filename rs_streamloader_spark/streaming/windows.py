@@ -56,6 +56,27 @@ def sliding_window_agg(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes it, so state is O(events per watermark window) —
+    the streaming form of the batch ``dedup_exact`` operator, and the
+    idempotency guard for at-least-once upstream sources (e.g. a
+    replayed Kinesis shard). Duplicates arriving within the watermark
+    horizon are suppressed; later ones are by definition beyond the
+    source's redelivery window."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return events.dropDuplicates(list(keys))
+
+
 def session_window_agg(
     events: DataFrame,
     ts_col: str = "ts",

@@ -124,6 +124,23 @@ def test_multigrain_rollup_is_single_scan(spark):
     assert "Expand" in text
 
 
+def test_no_query_uses_row_at_a_time_python(spark):
+    """Catalog-wide guard: no operator may plan a row-at-a-time Python
+    UDF (BatchEvalPython) — Python is allowed only Arrow-batched
+    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) or as the
+    one registered UDTF. A regression here is a 10-100x hot-path
+    slowdown that correctness tests would never catch."""
+    from rs_streamloader_spark.operators import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    offenders = []
+    for name in sorted(REGISTRY):
+        df = REGISTRY[name].fn(spark, SF_SMOKE)
+        if "BatchEvalPython" in explain_str(df, "simple"):
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python in: {offenders}"
+
+
 def test_asof_join_single_shuffle_no_range_probe(spark):
     """The as-of join must be the union+window plan: one shuffle on
     user_id, no join operator at all."""

@@ -174,6 +174,45 @@ class TestWindows:
         # (within the prior hour); click 4 is too old; user 9 unmatched
         assert [(r["purchase_id"], r["click_id"]) for r in rows] == [(100, 1), (100, 2)]
 
+    def test_streaming_dedup_within_watermark(self, spark, tmp_path):
+        """Duplicate event_ids arriving within the watermark horizon
+        are suppressed across micro-batches (bounded-state streaming
+        dedup — the at-least-once-source idempotency guard)."""
+        from rs_streamloader_spark.streaming import streaming_dedup
+
+        src = str(tmp_path / "ev")
+        ckpt = str(tmp_path / "ckpt")
+        schema = "event_id BIGINT, ts TIMESTAMP, value DOUBLE"
+        seen: list = []
+
+        def run():
+            stream = spark.readStream.schema(schema).json(src)
+            out = streaming_dedup(stream, keys=("event_id",), watermark="1 hour")
+            q = (
+                out.writeStream.foreachBatch(
+                    lambda bdf, bid: seen.extend(bdf.collect())
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        write_file(src, "a.json", [
+            {"event_id": 1, "ts": "2024-01-01T00:00:00", "value": 1.0},
+            {"event_id": 1, "ts": "2024-01-01T00:00:05", "value": 1.0},  # in-batch dup
+            {"event_id": 2, "ts": "2024-01-01T00:01:00", "value": 2.0},
+        ])
+        run()
+        # cross-batch dup within the watermark horizon
+        write_file(src, "b.json", [
+            {"event_id": 2, "ts": "2024-01-01T00:02:00", "value": 2.0},
+            {"event_id": 3, "ts": "2024-01-01T00:03:00", "value": 3.0},
+        ])
+        run()
+        assert sorted(r["event_id"] for r in seen) == [1, 2, 3]
+
     def test_late_rows_beyond_watermark_are_dropped(self, spark, tmp_path):
         """Late-data contract: in append mode a row older than the
         advanced watermark is dropped, not re-aggregated — the
