@@ -158,40 +158,72 @@ class CopySettings:
             return self
         if isinstance(overrides, CopySettings):
             overrides = overrides.__dict__
-        known = {k: v for k, v in overrides.items() if k in self.__dict__}
-        return replace(self, **known)
+        unknown = [k for k in overrides if k not in self.__dict__]
+        if unknown:
+            # same contract as merge_options' top-level check — a typo
+            # like 'maxerror' must not silently keep the default
+            raise ValueError(f"unknown copy_settings key(s): {unknown}")
+        return replace(self, **overrides)
 
 
 FilePrefix = Union[str, Callable[..., str]]
 
 
+class _Unset:
+    """Sentinel distinguishing 'field never set on this layer' from a
+    field explicitly set to a value that happens to equal the library
+    default — the distinction JS object layers get for free
+    (utils.ts:119-138) and a plain dataclass default cannot express."""
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return "<UNSET>"
+
+
+UNSET: Any = _Unset()
+
+# Library defaults (layer 0 of the merge). Field comments cite the
+# reference defaults they mirror.
+LIB_DEFAULTS: dict[str, Any] = {
+    "table": None,
+    "loading_table": None,
+    "id_field": "id",  # utils.ts:101
+    "s3_bucket": None,
+    "file_prefix": "",  # str or fn(loader)->str (types.ts:55)
+    "s3_cleanup": CleanupPolicy.SUCCESS,
+    "remove_temp_table": True,  # utils.ts:102
+    "debug": False,
+    "max_retries": 4,  # core.ts:13
+    "backoff_base_s": 1.0,  # core.ts:50 (1000·3^n ms)
+    "backoff_factor": 3.0,
+    # Spark-native knobs (no reference analogue):
+    "staging_format": "json",  # staged parts: json (reference JSONL) | parquet
+    "max_records_per_file": 100_000,  # split heuristic README.md:360-366
+    "aws": None,  # explicit credentials (RedshiftLoader.ts:80-91)
+}
+
+
 @dataclass
 class LoaderOptions:
-    """Per-job options (types.ts:24-83), layered per utils.ts:119-138."""
+    """Per-job options (types.ts:24-83), layered per utils.ts:119-138.
+    Untouched fields stay UNSET so a later merge knows the user never
+    set them; ``merge_options`` resolves everything to concrete values
+    (the object the Loader actually consumes)."""
 
-    table: TableNameLike | None = None
-    loading_table: TableNameLike | None = None
-    id_field: str = "id"  # utils.ts:101
-    s3_bucket: str | None = None
-    file_prefix: FilePrefix = ""  # str or fn(loader)->str (types.ts:55)
-    s3_cleanup: CleanupPolicy | str | bool = CleanupPolicy.SUCCESS
-    remove_temp_table: bool = True  # utils.ts:102
-    debug: bool = False
-    copy_settings: CopySettings = field(default_factory=CopySettings)
-    max_retries: int = 4  # core.ts:13
-    backoff_base_s: float = 1.0  # core.ts:50 (1000·3^n ms)
-    backoff_factor: float = 3.0
-    # Spark-native knobs (no reference analogue):
-    staging_format: str = "json"  # staged part format: json (reference JSONL) | parquet
-    max_records_per_file: int = 100_000  # reference split heuristic README.md:360-366
-    aws: dict | None = None  # explicit credentials (RedshiftLoader.ts:80-91)
-
-    def normalized(self) -> "LoaderOptions":
-        out = replace(self)
-        out.s3_cleanup = CleanupPolicy.coerce(self.s3_cleanup)
-        if isinstance(self.copy_settings, dict):
-            out.copy_settings = CopySettings().merged_with(self.copy_settings)
-        return out
+    table: TableNameLike | None = UNSET
+    loading_table: TableNameLike | None = UNSET
+    id_field: str = UNSET
+    s3_bucket: str | None = UNSET
+    file_prefix: FilePrefix = UNSET
+    s3_cleanup: CleanupPolicy | str | bool = UNSET
+    remove_temp_table: bool = UNSET
+    debug: bool = UNSET
+    copy_settings: CopySettings = UNSET
+    max_retries: int = UNSET
+    backoff_base_s: float = UNSET
+    backoff_factor: float = UNSET
+    staging_format: str = UNSET
+    max_records_per_file: int = UNSET
+    aws: dict | None = UNSET
 
 
 def merge_options(
@@ -199,23 +231,24 @@ def merge_options(
     defaults: LoaderOptions | dict | None = None,
 ) -> LoaderOptions:
     """3-layer merge: library defaults ← ``defaults`` ← ``options``,
-    with ``copy_settings`` deep-merged (utils.ts:119-138)."""
-    base = LoaderOptions()
-
-    def apply(base: LoaderOptions, layer: LoaderOptions | dict | None) -> LoaderOptions:
+    with ``copy_settings`` deep-merged (utils.ts:119-138). Explicitly
+    set fields win even when they equal a library default."""
+    merged: dict[str, Any] = {}
+    cs = CopySettings()
+    for layer in (defaults, options):
         if layer is None:
-            return base
+            continue
         if isinstance(layer, LoaderOptions):
-            layer = {
-                k: v for k, v in layer.__dict__.items() if v != getattr(LoaderOptions(), k)
-            }
+            layer = {k: v for k, v in layer.__dict__.items() if v is not UNSET}
         layer = dict(layer)
-        cs = layer.pop("copy_settings", None)
-        unknown = [k for k in layer if k not in base.__dict__]
+        layer_cs = layer.pop("copy_settings", None)
+        unknown = [k for k in layer if k not in LIB_DEFAULTS]
         if unknown:
             raise ValueError(f"unknown loader option(s): {unknown}")
-        merged = replace(base, **layer)
-        merged.copy_settings = base.copy_settings.merged_with(cs)
-        return merged
-
-    return apply(apply(base, defaults), options).normalized()
+        merged.update(layer)
+        cs = cs.merged_with(layer_cs)
+    resolved = {**LIB_DEFAULTS, **merged}
+    resolved["s3_cleanup"] = CleanupPolicy.coerce(resolved["s3_cleanup"])
+    out = LoaderOptions(**resolved)
+    out.copy_settings = cs
+    return out

@@ -165,6 +165,11 @@ class Loader:
         if not self._sources:  # :277-279
             raise LoaderError(NO_FILES, "no files were added to the loader")
         self._started = True
+        # tag this thread's Spark jobs so abort() from another thread
+        # can cancel the in-flight staging write
+        self.spark.sparkContext.setJobGroup(
+            self.job_id, f"loader {self.job_time}", interruptOnCancel=True
+        )
         error: Exception | None = None
         try:
             df = self._sources[0]
@@ -195,8 +200,13 @@ class Loader:
                         dedupe=dedupe,
                     )
                 else:
-                    staged = self.spark.read.format(self.options.staging_format).load(
-                        stage.data_prefix
+                    # read back with the union's schema: JSON inference
+                    # would stringify timestamps, drop all-null columns,
+                    # and fail outright on zero-row stages
+                    staged = (
+                        self.spark.read.schema(df.schema)
+                        .format(self.options.staging_format)
+                        .load(stage.data_prefix)
                     )
                     # COPY columnMap semantics against the existing
                     # target schema (types.ts:32-40)
@@ -231,6 +241,7 @@ class Loader:
             self._emit("error", exc)
             raise
         finally:
+            self.spark.sparkContext.setJobGroup("", "")
             self._wrap_up(error)
 
     def _wrap_up(self, error: Exception | None = None) -> None:

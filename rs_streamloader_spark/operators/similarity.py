@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from rs_streamloader_spark.functions.vector import dot_expr, norm_expr
 from rs_streamloader_spark.operators.registry import register
 from rs_streamloader_spark.session import load_tables, spread
 
@@ -40,25 +41,11 @@ HYPERPLANES: list[list[float]] = [
 ]
 
 
-def _dot(a: str, b: str):
-    """Sequential left-to-right double fold of a float-vector dot
-    product — bit-deterministic across engines."""
-    return F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-        f" 0D, (acc, v) -> acc + v)"
-    )
+_dot = dot_expr  # shared deterministic fold (functions/vector.py)
 
 
 def _with_norm(df: DataFrame, emb: str = "embedding") -> DataFrame:
-    return df.withColumn(
-        "norm",
-        F.sqrt(
-            F.expr(
-                f"aggregate(transform({emb}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-                f" 0D, (acc, v) -> acc + v)"
-            )
-        ),
-    )
+    return df.withColumn("norm", norm_expr(emb))
 
 
 _DUCK_COS = (

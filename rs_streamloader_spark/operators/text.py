@@ -18,15 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rs_streamloader_spark.functions import (
+    marker_word_count,
+    n_tokens,
+    quality_score,
+)
 from rs_streamloader_spark.operators.registry import register
 from rs_streamloader_spark.session import load_tables
-
-
-def n_tokens_col(text: str = "text"):
-    """Whitespace token count: len(t) - len(replace(t,' ','')) + 1."""
-    return (
-        F.length(text) - F.length(F.regexp_replace(F.col(text), " ", "")) + F.lit(1)
-    ).cast("bigint")
 
 
 @register(
@@ -72,18 +70,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring: length, token count, and mean token
     length band — integer-valued so the compare is exact."""
     t = load_tables(spark, sf_dir, "documents")["documents"]
-    nonspace = F.length(F.regexp_replace(F.col("text"), " ", ""))
-    ntok = F.length("text") - nonspace + 1
-    avg_len = nonspace * F.lit(1.0) / ntok
-    score = (
-        F.when(F.length("text") >= 200, 1).otherwise(0)
-        + F.when(ntok >= 40, 1).otherwise(0)
-        + F.when((avg_len >= 3) & (avg_len <= 8), 1).otherwise(0)
-    )
     return t.select(
         "doc_id",
-        ntok.cast("bigint").alias("n_tokens"),
-        score.cast("int").alias("quality_score"),
+        n_tokens().alias("n_tokens"),
+        quality_score().alias("quality_score"),
     )
 
 
@@ -94,14 +84,6 @@ def _marker_count_sql(marker: str) -> str:
         f"CAST((LENGTH({pad}) - LENGTH(REPLACE({pad}, ' {marker} ', ' ')))"
         f" / {len(marker) + 1} AS BIGINT)"
     )
-
-
-def _marker_count_col(marker: str):
-    pad = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
-    removed = F.length(pad) - F.length(
-        F.regexp_replace(pad, F.lit(f" {marker} "), F.lit(" "))
-    )
-    return (removed / (len(marker) + 1)).cast("bigint")
 
 
 @register(
@@ -124,8 +106,8 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     The replace-based counter is non-overlapping leftmost-first in
     both engines, so counts agree exactly."""
     t = load_tables(spark, sf_dir, "documents")["documents"]
-    ntok = n_tokens_col()
-    en_markers = _marker_count_col("the") + _marker_count_col("a")
+    ntok = n_tokens()
+    en_markers = marker_word_count("the") + marker_word_count("a")
     predicted = F.when(en_markers * 20 >= ntok, "en").otherwise("other")
     return (
         t.select("lang", predicted.alias("predicted_lang"))

@@ -4,12 +4,20 @@ upsert over parquet paths (SURVEY.md §2.2 M1-M5).
 The reference's three load modes (lib/RedshiftLoader.ts:267-275,
 337-386) re-expressed for a lake table:
 
-- INSERT          → ``mode("append")``
-- TRUNCATE_INSERT → ``mode("overwrite")``
+- INSERT          → append into the live version directory
+- TRUNCATE_INSERT → write a new version, retire the old
 - UPSERT          → DELETE-then-INSERT as a relational rewrite:
-  ``target ANTI-JOIN updates ON id`` ∪ ``updates``, committed by
-  versioned-directory swap (staging write + atomic pointer flip), the
-  plain-parquet stand-in for a Delta ``MERGE INTO``.
+  ``target ANTI-JOIN updates ON id`` ∪ ``updates``, committed as a new
+  version — the plain-parquet stand-in for a Delta ``MERGE INTO``.
+
+Commit protocol: versioned directories ``v_<n>_<uuid>`` where the
+commit marker is the ``_SUCCESS`` file Spark's output committer writes
+atomically at job completion. Readers resolve the committed version
+with the highest ``n`` — there is no pointer file to corrupt and no
+rename window: a crash mid-write leaves an uncommitted (ignored)
+directory, a crash after commit but before old-version cleanup leaves
+two committed versions of which the newer wins deterministically.
+Leftover directories are retired on the next successful commit.
 
 Reference upsert semantics are preserved exactly: duplicate ids
 *within* a batch all survive (the reference COPYs every temp row into
@@ -22,42 +30,132 @@ so AQE broadcasts them. No driver-side row handling anywhere.
 
 from __future__ import annotations
 
-import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+_VERSION_RE = re.compile(r"^v_(\d+)_[0-9a-f]+$")
+
 
 class NativeTableSink:
-    """A parquet table rooted at ``{root}/current`` with versioned
-    commits for atomic replace."""
+    """A parquet table rooted at ``{root}``, stored as committed
+    version directories (see module docstring for the protocol)."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root.rstrip("/")
 
-    @property
-    def current_path(self) -> str:
-        return f"{self.root}/current"
-
-    def exists(self) -> bool:
+    # ------------------------------------------------------------------
+    # version resolution
+    # ------------------------------------------------------------------
+    def _fs(self, path: str):
         from rs_streamloader_spark.staging import _fs_and_path
 
-        fs, jpath, _ = _fs_and_path(self.spark, self.current_path)
-        return bool(fs.exists(jpath))
+        return _fs_and_path(self.spark, path)
+
+    def _committed_versions(self) -> list[tuple[int, str]]:
+        """(n, dirname) for every version dir carrying a commit marker
+        (``_SUCCESS`` at its root, or — for tables created by
+        ``insert_batch`` — inside a batch subdirectory)."""
+        fs, root, _ = self._fs(self.root)
+        if not fs.exists(root):
+            return []
+        out = []
+        for status in fs.listStatus(root):
+            if not status.isDirectory():
+                continue
+            name = status.getPath().getName()
+            m = _VERSION_RE.match(name)
+            if not m:
+                continue
+            vdir = f"{self.root}/{name}"
+            fs2, success, _ = self._fs(f"{vdir}/_SUCCESS")
+            committed = fs2.exists(success)
+            if not committed:
+                for sub in fs.listStatus(status.getPath()):
+                    if sub.isDirectory() and sub.getPath().getName().startswith(
+                        "batch_"
+                    ):
+                        fs3, s3, _ = self._fs(
+                            f"{vdir}/{sub.getPath().getName()}/_SUCCESS"
+                        )
+                        if fs3.exists(s3):
+                            committed = True
+                            break
+            if committed:
+                out.append((int(m.group(1)), name))
+        return sorted(out)
+
+    def _live(self) -> tuple[int, str] | None:
+        versions = self._committed_versions()
+        return versions[-1] if versions else None
+
+    def _new_version_path(self, n: int) -> str:
+        return f"{self.root}/v_{n}_{uuid.uuid4().hex[:8]}"
+
+    def _retire_below(self, keep_n: int, keep_name: str) -> None:
+        """Delete committed and stale uncommitted dirs older than the
+        winner (best-effort; failures leave garbage, never bad reads)."""
+        fs, root, _ = self._fs(self.root)
+        if not fs.exists(root):
+            return
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            m = _VERSION_RE.match(name)
+            if m and name != keep_name and int(m.group(1)) <= keep_n:
+                fs.delete(status.getPath(), True)
+
+    # ------------------------------------------------------------------
+    # public surface
+    # ------------------------------------------------------------------
+    @property
+    def current_path(self) -> str:
+        live = self._live()
+        if live is None:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        return f"{self.root}/{live[1]}"
+
+    def exists(self) -> bool:
+        return self._live() is not None
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.current_path)
+        # recursiveFileLookup: batch-keyed subdirs (insert_batch) read
+        # transparently, no partition-column inference
+        return (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .parquet(self.current_path)
+        )
 
     def insert(self, df: DataFrame) -> None:
         """M1: append parts to the table (RedshiftLoader.ts:364-366)."""
-        df.write.mode("append").parquet(self.current_path)
+        live = self._live()
+        if live is None:
+            df.write.parquet(self._new_version_path(1))
+        else:
+            df.write.mode("append").parquet(f"{self.root}/{live[1]}")
+
+    def insert_batch(self, df: DataFrame, batch_id: int) -> None:
+        """Idempotent append: each batch owns the subdirectory
+        ``batch_<id>`` of the live version and writes it with
+        overwrite, so a replayed batch (streaming checkpoint recovery)
+        lands exactly once instead of duplicating — the batchId-keyed
+        staging contract of SURVEY.md §2.4's exactly-once row."""
+        live = self._live()
+        vdir = (
+            self._new_version_path(1) if live is None else f"{self.root}/{live[1]}"
+        )
+        df.write.mode("overwrite").parquet(f"{vdir}/batch_{batch_id}")
 
     def trunc_insert(self, df: DataFrame) -> None:
         """M2: TRUNCATE + COPY ≈ overwrite (RedshiftLoader.ts:367-368)."""
-        df.write.mode("overwrite").parquet(self.current_path)
+        live = self._live()
+        n = 1 if live is None else live[0] + 1
+        path = self._new_version_path(n)
+        df.write.parquet(path)
+        self._retire_below(n, path.rsplit("/", 1)[1])
 
     def upsert(self, updates: DataFrame, id_field: str = "id", dedupe: str | None = None) -> None:
         """M3: keyed upsert (RedshiftLoader.ts:369-384).
@@ -81,29 +179,18 @@ class NativeTableSink:
         elif dedupe is not None:
             raise ValueError(f"unknown dedupe mode: {dedupe!r}")
 
-        if not self.exists():
+        live = self._live()
+        if live is None:
             merged = updates
+            n = 1
         else:
             target = self.read()
             keep = target.join(
                 updates.select(id_field).distinct(), on=id_field, how="left_anti"
             )
             merged = keep.unionByName(updates)
+            n = live[0] + 1
 
-        # versioned commit: write to a fresh dir, then flip the pointer
-        version_path = f"{self.root}/v_{uuid.uuid4().hex}"
-        merged.write.mode("errorifexists").parquet(version_path)
-        self._swap(version_path)
-
-    def _swap(self, new_path: str) -> None:
-        from rs_streamloader_spark.staging import _fs_and_path
-
-        fs, cur, jvm = _fs_and_path(self.spark, self.current_path)
-        hadoop_path = jvm.org.apache.hadoop.fs.Path
-        if fs.exists(cur):
-            old = hadoop_path(f"{self.root}/old_{uuid.uuid4().hex}")
-            fs.rename(cur, old)
-            fs.rename(hadoop_path(new_path), cur)
-            fs.delete(old, True)
-        else:
-            fs.rename(hadoop_path(new_path), cur)
+        path = self._new_version_path(n)
+        merged.write.parquet(path)
+        self._retire_below(n, path.rsplit("/", 1)[1])

@@ -52,6 +52,15 @@ def create_format(cs: CopySettings) -> str:
     return fmt  # AVRO | PARQUET | ORC verbatim
 
 
+# COPY from columnar formats accepts none of the row-format knobs
+# (GZIP/TIMEFORMAT/ENCODING/TRUNCATECOLUMNS/MAXERROR) — Redshift
+# rejects the statement outright. The reference appends them
+# unconditionally (lib/RedshiftLoader.ts:353-363), which breaks its
+# own PARQUET/ORC passthrough; gating them is a deliberate fix, like
+# the aws_iam_rol typo.
+_COLUMNAR_FORMATS = {"PARQUET", "ORC"}
+
+
 def copy_sql(
     table: TableRef,
     manifest_url: str,
@@ -66,15 +75,16 @@ def copy_sql(
         "MANIFEST",
         create_format(cs),
     ]
-    if cs.gzip:
-        clauses.append("GZIP")
-    if cs.time_format:
-        clauses.append(f"TIMEFORMAT '{cs.time_format}'")
-    if cs.encoding and cs.encoding != "UTF8":
-        clauses.append(f"ENCODING {cs.encoding}")
-    if cs.truncate_cols:
-        clauses.append("TRUNCATECOLUMNS")
-    clauses.append(f"MAXERROR {int(cs.max_error)}")
+    if cs.format.upper() not in _COLUMNAR_FORMATS:
+        if cs.gzip:
+            clauses.append("GZIP")
+        if cs.time_format:
+            clauses.append(f"TIMEFORMAT '{cs.time_format}'")
+        if cs.encoding and cs.encoding != "UTF8":
+            clauses.append(f"ENCODING {cs.encoding}")
+        if cs.truncate_cols:
+            clauses.append("TRUNCATECOLUMNS")
+        clauses.append(f"MAXERROR {int(cs.max_error)}")
     return " ".join(clauses) + ";"
 
 

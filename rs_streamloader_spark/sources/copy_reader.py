@@ -56,8 +56,51 @@ def read_body(
 ) -> DataFrame:
     """Read a staged body applying the COPY settings. With
     ``max_error > 0`` the schema must be supplied (PERMISSIVE corrupt
-    tracking needs a declared schema to know what failed to parse)."""
+    tracking needs a declared schema to know what failed to parse).
+    With a non-``auto`` ``time_format`` and a schema, timestamp-typed
+    target columns are parsed per TIMEFORMAT (read as string/long,
+    converted after parse). ``truncate_cols`` has no generic mapping —
+    Redshift clips to each column's VARCHAR length, which a schema-less
+    lake table lacks; call :func:`truncate_columns` with an explicit
+    length instead."""
     cs = settings or CopySettings()
+    fmt = cs.format.lower()
+
+    ts_cols: list[str] = []
+    if cs.time_format != "auto" and schema is not None and fmt in ("json", "csv"):
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        ts_cols = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (TimestampType, TimestampNTZType))
+        ]
+        if ts_cols:
+            # read those columns as raw strings, convert post-parse
+            schema = StructType(
+                [
+                    (
+                        type(f)(f.name, StringType(), f.nullable)
+                        if f.name in ts_cols
+                        else f
+                    )
+                    for f in schema.fields
+                ]
+            )
+    df = _read_raw(spark, path, cs, schema)
+    if ts_cols:
+        df = apply_time_format(df, ts_cols, cs.time_format)
+    return df
+
+
+def _read_raw(
+    spark: SparkSession,
+    path: str,
+    cs: CopySettings,
+    schema: StructType | str | None,
+) -> DataFrame:
     fmt = cs.format.lower()
     reader = spark.read
     if fmt in ("json", "csv"):

@@ -74,7 +74,9 @@ def to_dataframe(
         out: DataFrame | None = None
         for batch in _batched(iter(body), GENERATOR_BATCH_ROWS):
             df = spark.createDataFrame(batch, schema=schema)
-            out = df if out is None else out.unionByName(df)
+            # ragged dict keys across batches infer different schemas —
+            # align by name, null-filling the gaps
+            out = df if out is None else out.unionByName(df, allowMissingColumns=True)
         if out is None:
             raise ValueError("empty generator body")
         return out

@@ -65,7 +65,9 @@ class StreamingLoader:
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         self.batches_seen.append(batch_id)
         if self.load_mode == "insert":
-            self.sink.insert(batch_df)
+            # batchId-keyed overwrite: a replayed batch overwrites its
+            # own subdir instead of appending duplicates
+            self.sink.insert_batch(batch_df, batch_id)
         else:
             # dedupe='last' keeps one row per key within the batch —
             # the sane default for streams (SURVEY.md §2 M3 discussion)

@@ -107,6 +107,26 @@ class TestMergeOptions:
         with pytest.raises(ValueError, match="unknown loader option"):
             merge_options({"tabel": "typo"})
 
+    def test_explicit_default_equal_value_beats_factory_default(self):
+        # a per-job field explicitly set to the library default must
+        # still override a conflicting factory default (regression:
+        # the old merge filtered LoaderOptions fields equal to the
+        # library default, silently inverting the user's choice)
+        from rs_streamloader_spark.config import CleanupPolicy, LoaderOptions
+
+        merged = merge_options(
+            LoaderOptions(s3_cleanup=CleanupPolicy.SUCCESS),
+            {"s3_cleanup": "NEVER"},
+        )
+        assert merged.s3_cleanup is CleanupPolicy.SUCCESS
+
+    def test_untouched_field_takes_factory_default(self):
+        from rs_streamloader_spark.config import CleanupPolicy, LoaderOptions
+
+        merged = merge_options(LoaderOptions(debug=True), {"s3_cleanup": "NEVER"})
+        assert merged.s3_cleanup is CleanupPolicy.NEVER
+        assert merged.debug is True
+
 
 class TestIdentity:
     def test_job_time_format(self):

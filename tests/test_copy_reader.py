@@ -67,6 +67,26 @@ def test_max_error_requires_schema(spark, tmp_path):
         read_body(spark, p, CopySettings(format="JSON", max_error=1))
 
 
+def test_read_body_applies_time_format_to_timestamp_columns(spark, tmp_path):
+    p = _write(tmp_path / "e.json", '{"id": 1, "ts": 1483228800}\n')
+    cs = CopySettings(format="JSON", time_format="epochsecs")
+    df = read_body(spark, p, cs, schema="id INT, ts TIMESTAMP")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    from pyspark.sql import functions as FF
+
+    assert (
+        df.select(FF.date_format("ts", "yyyy-MM-dd").alias("d")).first()["d"]
+        == "2017-01-01"
+    )
+
+
+def test_copy_settings_unknown_key_raises():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="maxerror"):
+        CopySettings().merged_with({"maxerror": 5})
+
+
 def test_time_format_epoch_variants(spark):
     df = spark.createDataFrame(
         [(1, "1483228800", "1483228800500")], "id INT, secs STRING, millis STRING"

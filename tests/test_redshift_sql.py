@@ -65,6 +65,19 @@ class TestCopySql:
             assert frag in sql, frag
 
 
+    def test_columnar_copy_omits_row_format_clauses(self):
+        # PARQUET/ORC COPY rejects GZIP/TIMEFORMAT/ENCODING/
+        # TRUNCATECOLUMNS/MAXERROR — none may be emitted
+        cs = CopySettings(
+            format="PARQUET", gzip=True, truncate_cols=True, max_error=5,
+            encoding="UTF16LE",
+        )
+        sql = copy_sql(TGT, MANIFEST, CRED, cs)
+        for bad in ["GZIP", "TIMEFORMAT", "ENCODING", "TRUNCATECOLUMNS", "MAXERROR"]:
+            assert bad not in sql, bad
+        assert sql.endswith("MANIFEST PARQUET;")
+
+
 class TestMakeQueries:
     def test_insert_single_copy(self):
         # RedshiftLoader.ts:364-366
