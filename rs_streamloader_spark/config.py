@@ -153,7 +153,14 @@ class CopySettings:
     def merged_with(self, overrides: "CopySettings | dict | None") -> "CopySettings":
         """Deep-merge semantics of the reference's ``copySettings``
         (utils.ts:119-138): override fields win, unset fields keep the
-        base value."""
+        base value.
+
+        A DICT override deep-merges (only the provided keys change); a
+        ``CopySettings`` INSTANCE is a full replacement — a frozen
+        dataclass cannot distinguish untouched fields from fields
+        explicitly set to their default, so an instance is taken as
+        the complete, authoritative settings object. Use dicts for
+        layered partial overrides."""
         if overrides is None:
             return self
         if isinstance(overrides, CopySettings):

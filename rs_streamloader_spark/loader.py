@@ -116,9 +116,12 @@ class Loader:
     # ------------------------------------------------------------------
     # ingestion (RedshiftLoader.ts:135-197)
     # ------------------------------------------------------------------
-    def add_source(self, body: Any) -> "Loader":
+    def add_source(self, body: Any, schema: Any = None) -> "Loader":
         """Add one upload body. Raises once the load started
-        (RS_LOAD_STARTED guard, RedshiftLoader.ts:137-142)."""
+        (RS_LOAD_STARTED guard, RedshiftLoader.ts:137-142). ``schema``
+        (DDL string or StructType) is required for path bodies when
+        ``copy_settings.max_error > 0`` or a non-auto ``time_format``
+        is in effect — the COPY-knob reader needs the declared types."""
         if self._started:
             raise LoaderError(
                 RS_LOAD_STARTED, "cannot add files after the load has started"
@@ -127,6 +130,7 @@ class Loader:
             self.spark,
             body,
             fmt=self.options.copy_settings.format.lower(),
+            schema=schema,
             copy_settings=self.options.copy_settings,
         )
         self._sources.append(df)

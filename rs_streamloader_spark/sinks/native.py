@@ -75,10 +75,10 @@ class NativeTableSink:
             fs2, success, _ = self._fs(f"{vdir}/_SUCCESS")
             committed = fs2.exists(success)
             if not committed:
+                # tables created by insert()/insert_batch() carry the
+                # marker inside their first write subdir
                 for sub in fs.listStatus(status.getPath()):
-                    if sub.isDirectory() and sub.getPath().getName().startswith(
-                        "batch_"
-                    ):
+                    if sub.isDirectory():
                         fs3, s3, _ = self._fs(
                             f"{vdir}/{sub.getPath().getName()}/_SUCCESS"
                         )
@@ -88,6 +88,27 @@ class NativeTableSink:
             if committed:
                 out.append((int(m.group(1)), name))
         return sorted(out)
+
+    def _committed_data_paths(self) -> list[str]:
+        """Readable data roots inside the live version: the version
+        root itself when it carries a job-level ``_SUCCESS`` (trunc/
+        upsert writes), plus every write subdir that carries its own
+        marker. Subdirs without a marker are in-flight or crashed
+        writes and are never read — this is what makes appends
+        crash-consistent rather than partially visible."""
+        vdir = self.current_path
+        fs, jpath, _ = self._fs(vdir)
+        paths = []
+        fs2, success, _ = self._fs(f"{vdir}/_SUCCESS")
+        if fs2.exists(success):
+            paths.append(vdir)
+        for status in fs.listStatus(jpath):
+            if status.isDirectory():
+                sub = status.getPath().getName()
+                fs3, s3, _ = self._fs(f"{vdir}/{sub}/_SUCCESS")
+                if fs3.exists(s3):
+                    paths.append(f"{vdir}/{sub}")
+        return paths
 
     def _live(self) -> tuple[int, str] | None:
         versions = self._committed_versions()
@@ -122,20 +143,22 @@ class NativeTableSink:
         return self._live() is not None
 
     def read(self) -> DataFrame:
-        # recursiveFileLookup: batch-keyed subdirs (insert_batch) read
-        # transparently, no partition-column inference
-        return (
-            self.spark.read.option("recursiveFileLookup", "true")
-            .parquet(self.current_path)
-        )
+        # union of committed data roots only — in-flight/crashed append
+        # subdirs are invisible; mergeSchema so appends that widened
+        # the schema surface every column (missing → NULL)
+        paths = self._committed_data_paths()
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def insert(self, df: DataFrame) -> None:
-        """M1: append parts to the table (RedshiftLoader.ts:364-366)."""
+        """M1: append parts to the table (RedshiftLoader.ts:364-366).
+        Each append is its own commit subdir (own ``_SUCCESS``), so a
+        crash mid-append leaves an ignored directory — never a
+        partially visible batch inside a committed version."""
         live = self._live()
-        if live is None:
-            df.write.parquet(self._new_version_path(1))
-        else:
-            df.write.mode("append").parquet(f"{self.root}/{live[1]}")
+        vdir = (
+            self._new_version_path(1) if live is None else f"{self.root}/{live[1]}"
+        )
+        df.write.parquet(f"{vdir}/ins_{uuid.uuid4().hex[:8]}")
 
     def insert_batch(self, df: DataFrame, batch_id: int) -> None:
         """Idempotent append: each batch owns the subdirectory
@@ -168,14 +191,19 @@ class NativeTableSink:
         """
         if dedupe == "last":
             others = [c for c in updates.columns if c != id_field]
-            w = Window.partitionBy(id_field).orderBy(
-                *[F.col(c).desc_nulls_last() for c in others]
-            )
-            updates = (
-                updates.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-            )
+            if not others:
+                # id-only updates: nothing to order by — any row of a
+                # key is "the" row
+                updates = updates.dropDuplicates([id_field])
+            else:
+                w = Window.partitionBy(id_field).orderBy(
+                    *[F.col(c).desc_nulls_last() for c in others]
+                )
+                updates = (
+                    updates.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
         elif dedupe is not None:
             raise ValueError(f"unknown dedupe mode: {dedupe!r}")
 
@@ -188,7 +216,9 @@ class NativeTableSink:
             keep = target.join(
                 updates.select(id_field).distinct(), on=id_field, how="left_anti"
             )
-            merged = keep.unionByName(updates)
+            # schema drift between target and updates NULL-fills the
+            # gaps (COPY 'auto' semantics) instead of erroring
+            merged = keep.unionByName(updates, allowMissingColumns=True)
             n = live[0] + 1
 
         path = self._new_version_path(n)

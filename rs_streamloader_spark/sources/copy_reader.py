@@ -66,32 +66,55 @@ def read_body(
     cs = settings or CopySettings()
     fmt = cs.format.lower()
 
-    ts_cols: list[str] = []
+    ts_fields: dict[str, object] = {}
     if cs.time_format != "auto" and schema is not None and fmt in ("json", "csv"):
         from pyspark.sql.types import TimestampNTZType, TimestampType
 
         if isinstance(schema, str):
             schema = StructType.fromDDL(schema)
-        ts_cols = [
-            f.name
+        ts_fields = {
+            f.name: f.dataType
             for f in schema.fields
             if isinstance(f.dataType, (TimestampType, TimestampNTZType))
-        ]
-        if ts_cols:
+        }
+        if ts_fields:
             # read those columns as raw strings, convert post-parse
             schema = StructType(
                 [
                     (
                         type(f)(f.name, StringType(), f.nullable)
-                        if f.name in ts_cols
+                        if f.name in ts_fields
                         else f
                     )
                     for f in schema.fields
                 ]
             )
     df = _read_raw(spark, path, cs, schema)
-    if ts_cols:
-        df = apply_time_format(df, ts_cols, cs.time_format)
+    if ts_fields:
+        # keep the raw strings so a failed conversion is detectable:
+        # Redshift COPY counts an unparseable timestamp against
+        # MAXERROR — a silent NULL would be data corruption
+        raws = {c: f"__raw_{c}" for c in ts_fields}
+        for c, raw in raws.items():
+            df = df.withColumn(raw, F.col(c))
+        df = apply_time_format(df, list(ts_fields), cs.time_format)
+        # cast back to the DECLARED type (e.g. TIMESTAMP_NTZ) so the
+        # caller's schema contract holds
+        for c, dtype in ts_fields.items():
+            df = df.withColumn(c, F.col(c).cast(dtype))
+        bad_ts = None
+        for c, raw in raws.items():
+            pred = F.col(raw).isNotNull() & F.col(c).isNull()
+            bad_ts = pred if bad_ts is None else (bad_ts | pred)
+        df = df.cache()
+        n_bad = df.filter(bad_ts).limit(cs.max_error + 1).count()
+        if n_bad > cs.max_error:
+            raise LoaderError(
+                MAX_ERROR_EXCEEDED,
+                f"more than maxError={cs.max_error} rows with unparseable"
+                f" TIMEFORMAT '{cs.time_format}' values",
+            )
+        df = df.filter(~bad_ts).drop(*raws.values())
     return df
 
 
@@ -181,14 +204,20 @@ def apply_time_format(
     """
     for name in columns:
         col = F.col(name)
+        # try_* variants: malformed values become NULL instead of an
+        # ANSI cast error, so read_body can count them against the
+        # MAXERROR budget (Redshift COPY semantics) rather than
+        # aborting the whole job on the first bad row
         if time_format == "auto":
-            out = col.cast("timestamp")
+            out = col.try_cast("timestamp")
         elif time_format == "epochsecs":
-            out = F.timestamp_seconds(col.cast("bigint"))
+            out = F.timestamp_seconds(col.try_cast("bigint"))
         elif time_format == "epochmillisecs":
-            out = F.timestamp_millis(col.cast("bigint"))
+            out = F.timestamp_millis(col.try_cast("bigint"))
         else:
-            out = F.to_timestamp(col, _redshift_to_spark_pattern(time_format))
+            out = F.try_to_timestamp(
+                col, F.lit(_redshift_to_spark_pattern(time_format))
+            )
         df = df.withColumn(name, out)
     return df
 
@@ -244,13 +273,17 @@ def align_columns(
                 f"jsonpaths has {len(paths)} entries for "
                 f"{len(target_schema.fields)} target columns"
             )
-        leaves = [_jsonpath_leaf(p) for p in paths]
+        cols = [_jsonpath_to_col(p) for p in paths]
         return df.select(
             *[
-                F.col(leaf).cast(fld.dataType).alias(fld.name)
-                for leaf, fld in zip(leaves, target_schema.fields)
+                F.col(c).cast(fld.dataType).alias(fld.name)
+                for c, fld in zip(cols, target_schema.fields)
             ]
         )
+    if column_map not in ("auto", "auto ignorecase"):
+        # a typo ('ignorecase', 'AUTO') must not silently fall back to
+        # exact-name matching and NULL out the mismatched columns
+        raise ValueError(f"unknown column_map: {column_map!r}")
     ignorecase = column_map == "auto ignorecase"
     lookup = {(c.lower() if ignorecase else c): c for c in df.columns}
     cols = []
@@ -264,14 +297,16 @@ def align_columns(
     return df.select(*cols)
 
 
-def _jsonpath_leaf(path: str) -> str:
-    """Leaf field name of a simple jsonpath (``$.a.b`` / ``$['a']``)."""
-    leaf = path.strip()
-    if leaf.startswith("$"):
-        leaf = leaf[1:]
-    leaf = leaf.replace("['", ".").replace("']", "").replace('["', ".").replace('"]', "")
-    leaf = leaf.strip(".")
-    return leaf.split(".")[-1]
+def _jsonpath_to_col(path: str) -> str:
+    """Dotted column reference for a simple jsonpath: ``$.a.b`` /
+    ``$['a']['b']`` → ``a.b`` (nested struct fields resolve through
+    Spark's dotted syntax; the full path is preserved so ``$.meta.id``
+    binds meta.id, never a same-named top-level column)."""
+    ref = path.strip()
+    if ref.startswith("$"):
+        ref = ref[1:]
+    ref = ref.replace("['", ".").replace("']", "").replace('["', ".").replace('"]', "")
+    return ref.strip(".")
 
 
 def truncate_columns(df: DataFrame, max_len: int) -> DataFrame:

@@ -186,6 +186,61 @@ def test_loader_applies_ignorecase_on_insert(spark, tmp_path):
     assert rows == {1: "seed", 2: "upper"}
 
 
+def test_align_columns_jsonpaths_nested_path_binds_struct_field(spark):
+    from pyspark.sql.types import StructType
+
+    from rs_streamloader_spark.sources import align_columns
+
+    df = spark.createDataFrame(
+        [(99, (7, "x"))], "id INT, meta STRUCT<id: INT, tag: STRING>"
+    )
+    target = StructType.fromDDL("meta_id INT, tag STRING")
+    row = align_columns(df, target, "jsonpaths",
+                        '{"jsonpaths": ["$.meta.id", "$.meta.tag"]}').first()
+    # $.meta.id must bind the nested field, not the top-level id=99
+    assert (row["meta_id"], row["tag"]) == (7, "x")
+
+
+def test_align_columns_unknown_mode_raises(spark):
+    from pyspark.sql.types import StructType
+
+    from rs_streamloader_spark.sources import align_columns
+
+    df = spark.createDataFrame([(1,)], "id INT")
+    with pytest.raises(ValueError, match="column_map"):
+        align_columns(df, StructType.fromDDL("id INT"), "ignorecase")
+
+
+def test_unparseable_timeformat_counts_against_max_error(spark, tmp_path):
+    p = _write(
+        tmp_path / "ts.json",
+        '{"id": 1, "ts": "1483228800"}\n{"id": 2, "ts": "not-a-number"}\n',
+    )
+    # budget 0: the bad timestamp must fail the load, not load as NULL
+    with pytest.raises(LoaderError):
+        read_body(
+            spark, p, CopySettings(format="JSON", time_format="epochsecs"),
+            schema="id INT, ts TIMESTAMP",
+        ).collect()
+    # budget 1: bad row dropped, good row converted
+    df = read_body(
+        spark, p, CopySettings(format="JSON", time_format="epochsecs", max_error=1),
+        schema="id INT, ts TIMESTAMP",
+    )
+    rows = df.collect()
+    assert [r["id"] for r in rows] == [1]
+    assert rows[0]["ts"] is not None
+
+
+def test_timeformat_preserves_declared_ntz_type(spark, tmp_path):
+    p = _write(tmp_path / "ntz.json", '{"id": 1, "ts": "1483228800"}\n')
+    df = read_body(
+        spark, p, CopySettings(format="JSON", time_format="epochsecs"),
+        schema="id INT, ts TIMESTAMP_NTZ",
+    )
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+
+
 def test_parquet_passthrough(spark, tmp_path):
     src = spark.createDataFrame([(1, "a")], "id INT, v STRING")
     dest = str(tmp_path / "p")

@@ -47,6 +47,57 @@ def test_two_committed_versions_newer_wins(spark, tmp_path):
     assert len(leftovers) == 1
 
 
+def test_crashed_append_subdir_is_invisible(spark, tmp_path):
+    """A crashed insert leaves a subdir without _SUCCESS — readers
+    must not see its files."""
+    root = tmp_path / "t"
+    sink = NativeTableSink(spark, str(root))
+    sink.insert(spark.createDataFrame([(1,)], "id INT"))
+    vdir = sink.current_path.replace("file:", "")
+    import os
+
+    crashed = os.path.join(vdir, "ins_deadbeef")
+    os.makedirs(crashed)
+    # steal a real parquet file so it WOULD parse if read
+    committed_sub = next(
+        d for d in os.listdir(vdir) if d.startswith("ins_") and d != "ins_deadbeef"
+    )
+    src_file = next(
+        f for f in os.listdir(os.path.join(vdir, committed_sub))
+        if f.endswith(".parquet")
+    )
+    import shutil
+
+    shutil.copy(os.path.join(vdir, committed_sub, src_file), crashed)
+    assert sink.read().count() == 1  # crashed subdir ignored
+
+
+def test_schema_drift_append_and_upsert_null_fill(spark, tmp_path):
+    sink = NativeTableSink(spark, str(tmp_path / "t"))
+    sink.insert(spark.createDataFrame([(1, "a")], "id INT, a STRING"))
+    sink.insert(spark.createDataFrame([(2, "b")], "id INT, b STRING"))
+    out = sink.read()
+    assert set(out.columns) == {"id", "a", "b"}  # mergeSchema surfaced both
+    rows = {r["id"]: (r["a"], r["b"]) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: (None, "b")}
+    # upsert whose updates lack a target column NULL-fills it
+    sink2 = NativeTableSink(spark, str(tmp_path / "t2"))
+    sink2.insert(spark.createDataFrame([(1, "x")], "id INT, c STRING"))
+    sink2.upsert(spark.createDataFrame([(2,)], "id INT"), id_field="id")
+    got = {r["id"]: r["c"] for r in sink2.read().collect()}
+    assert got == {1: "x", 2: None}
+
+
+def test_dedupe_last_with_id_only_updates(spark, tmp_path):
+    sink = NativeTableSink(spark, str(tmp_path / "t"))
+    sink.upsert(
+        spark.createDataFrame([(1,), (1,), (2,)], "id INT"),
+        id_field="id",
+        dedupe="last",
+    )
+    assert sorted(r["id"] for r in sink.read().collect()) == [1, 2]
+
+
 def test_staged_json_roundtrip_preserves_schema(spark, tmp_path):
     """The staged-readback must carry the source schema: JSON
     inference would stringify timestamps and drop all-null columns."""
