@@ -29,6 +29,130 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
 
 
 # ---------------------------------------------------------------------------
+# Statistical aggregate family
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_statistics",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           ROUND(COVAR_SAMP(l_quantity, l_discount), 6)      AS qty_disc_covar,
+           ROUND(STDDEV_SAMP(l_extendedprice), 2)            AS price_stddev,
+           ROUND(VAR_SAMP(l_quantity), 4)                    AS qty_var,
+           ARG_MIN(l_orderkey, l_extendedprice)              AS cheapest_order,
+           ARG_MAX(l_orderkey, l_extendedprice)              AS priciest_order,
+           BOOL_AND(l_quantity > 0)                          AS all_positive_qty,
+           BOOL_OR(l_discount > 0.09)                        AS any_deep_discount
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: correlation, covariance, stddev,
+    variance, argmin/argmax (min_by/max_by), boolean aggregates — one
+    partial+final hash aggregation, rounded identically on both sides
+    because parallel summation order perturbs last bits.
+
+    min_by/max_by tie-break note: l_extendedprice ties would be
+    nondeterministic; the testdata's continuous prices make ties
+    measure-zero, and the oracle uses DuckDB's arg_min/arg_max on the
+    same data."""
+    t = _t(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+                "qty_disc_covar"
+            ),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+            F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+            F.min_by("l_orderkey", "l_extendedprice").alias("cheapest_order"),
+            F.max_by("l_orderkey", "l_extendedprice").alias("priciest_order"),
+            F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+            F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-score anomaly detection (two-pass: population stats → outliers)
+# ---------------------------------------------------------------------------
+
+@register(
+    "anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, AVG("value") AS mu, STDDEV_SAMP("value") AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(e."value", 2) AS "value",
+           ROUND((e."value" - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE ABS((e."value" - s.mu) / s.sigma) > 3
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| > 3): the aggregate side is a
+    tiny per-type stats table broadcast back against the event scan —
+    two passes over the data but only one shuffle (the stats agg),
+    which is the scalable shape vs. a window over every row."""
+    t = _t(spark, sf_dir, "events")
+    ev = t["events"]
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regular-expression scalar family
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_regexp",
+    oracle="""
+    SELECT doc_id,
+           REGEXP_EXTRACT(text, '[a-z]+', 0)                     AS first_word,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]+')) AS INTEGER) AS n_numbers,
+           REGEXP_REPLACE(text, 'spark', 'SPARK', 'g')           AS shouted,
+           REGEXP_MATCHES(text, 'join|merge')                    AS mentions_join
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar family: extract / extract-all count / global
+    replace / boolean match — patterns from the RE2∩Java-compatible
+    subset so both engines agree."""
+    t = _t(spark, sf_dir, "documents")
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            F.regexp_extract("text", "[a-z]+", 0).alias("first_word"),
+            F.size(F.regexp_extract_all("text", F.lit("[0-9]+"))).alias("n_numbers"),
+            F.regexp_replace("text", "spark", "SPARK").alias("shouted"),
+            F.col("text").rlike("join|merge").alias("mentions_join"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # EXISTS / NOT EXISTS correlated subqueries
 # ---------------------------------------------------------------------------
 
