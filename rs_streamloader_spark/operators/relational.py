@@ -271,6 +271,99 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Join with disjunctive cross-dimension predicate — TPC-H Q7 style
+# ---------------------------------------------------------------------------
+
+@register(
+    "q7_nation_pairs",
+    oracle="""
+    SELECT supp_nation, cust_nation,
+           COUNT(*) AS n_items,
+           ROUND(SUM(volume), 2) AS total_volume
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                    JOIN orders   ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation
+    """,
+)
+def q7_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional trade volume between two nations (TPC-H Q7
+    shape): the disjunctive cross-dimension predicate — (A→B) OR
+    (B→A) — cannot be pushed into either dimension scan alone, so it
+    evaluates post-join on broadcast nation dims; the fact-side joins
+    stay key-equi and shuffle-free beyond orders⋈lineitem."""
+    t = _t(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_volume"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution of counts (double aggregation) — TPC-H Q13 style
+# ---------------------------------------------------------------------------
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-customer order counts (TPC-H Q13 shape):
+    two stacked aggregations — the second groups on the first's
+    aggregate output, a shape Catalyst plans as two exchanges with the
+    second one tiny (cardinality = distinct counts)."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
 # Distinct / count-distinct
 # ---------------------------------------------------------------------------
 

@@ -1,5 +1,8 @@
 from rs_streamloader_spark.streaming.ingest import StreamingLoader
-from rs_streamloader_spark.streaming.joins import attribution_join
+from rs_streamloader_spark.streaming.joins import (
+    attribution_join,
+    attribution_join_outer,
+)
 from rs_streamloader_spark.streaming.stateful import running_user_stats
 from rs_streamloader_spark.streaming.windows import (
     session_window_agg,
@@ -11,6 +14,7 @@ from rs_streamloader_spark.streaming.windows import (
 __all__ = [
     "StreamingLoader",
     "attribution_join",
+    "attribution_join_outer",
     "running_user_stats",
     "session_window_agg",
     "sliding_window_agg",

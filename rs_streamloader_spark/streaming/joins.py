@@ -55,3 +55,51 @@ def attribution_join(
         "click_id",
         "click_ts",
     )
+
+
+def attribution_join_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    attribution_window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """LEFT OUTER variant: every purchase is emitted — matched rows as
+    they join, organic (click-less) purchases with NULL click columns
+    once the watermark passes their join window and no click can
+    still arrive. The NULL-side emission delay IS the correctness
+    contract: emitting earlier could produce a false 'organic' for a
+    click that is merely late."""
+    c = clicks.withWatermark(ts_col, watermark) if clicks.isStreaming else clicks
+    p = (
+        purchases.withWatermark(ts_col, watermark)
+        if purchases.isStreaming
+        else purchases
+    )
+    c = c.select(
+        F.col(key).alias("c_key"),
+        F.col(ts_col).alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = p.select(
+        F.col(key).alias("p_key"),
+        F.col(ts_col).alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return p.join(
+        c,
+        (F.col("p_key") == F.col("c_key"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")
+        ),
+        "left_outer",
+    ).select(
+        F.col("p_key").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+    )

@@ -174,6 +174,58 @@ class TestWindows:
         # (within the prior hour); click 4 is too old; user 9 unmatched
         assert [(r["purchase_id"], r["click_id"]) for r in rows] == [(100, 1), (100, 2)]
 
+    def test_stream_stream_left_outer_emits_organic_after_watermark(
+        self, spark, tmp_path
+    ):
+        """LEFT OUTER stream-stream join: a purchase with no click is
+        withheld until the watermark proves no click can still arrive,
+        then emitted with NULL click columns."""
+        from rs_streamloader_spark.streaming import attribution_join_outer
+
+        schema = "event_id BIGINT, user_id BIGINT, ts TIMESTAMP"
+        cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+        ckpt = str(tmp_path / "ckpt")
+        emitted: list = []
+
+        def run():
+            clicks = spark.readStream.schema(schema).json(cdir)
+            purchases = spark.readStream.schema(schema).json(pdir)
+            joined = attribution_join_outer(clicks, purchases)
+            q = (
+                joined.writeStream.foreachBatch(
+                    lambda bdf, bid: emitted.extend(bdf.collect())
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        write_file(cdir, "c.json", [
+            {"event_id": 1, "user_id": 7, "ts": "2024-01-01T00:50:00"},
+        ])
+        write_file(pdir, "p.json", [
+            {"event_id": 100, "user_id": 7, "ts": "2024-01-01T01:00:00"},
+            {"event_id": 101, "user_id": 9, "ts": "2024-01-01T01:00:00"},  # organic
+        ])
+        run()
+        matched = {r["purchase_id"]: r["click_id"] for r in emitted}
+        assert matched.get(100) == 1
+        # organic purchase 101 not emitted yet — its window is open
+        assert 101 not in matched
+
+        # advance the watermark far past purchase 101's join window
+        write_file(cdir, "c2.json", [
+            {"event_id": 2, "user_id": 8, "ts": "2024-01-01T06:00:00"},
+        ])
+        write_file(pdir, "p2.json", [
+            {"event_id": 102, "user_id": 8, "ts": "2024-01-01T06:00:00"},
+        ])
+        run()
+        matched = {r["purchase_id"]: r["click_id"] for r in emitted}
+        assert 101 in matched and matched[101] is None  # organic, NULL click
+
     def test_streaming_dedup_within_watermark(self, spark, tmp_path):
         """Duplicate event_ids arriving within the watermark horizon
         are suppressed across micro-batches (bounded-state streaming
