@@ -29,6 +29,89 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
 
 
 # ---------------------------------------------------------------------------
+# HAVING-gated semi join — TPC-H Q18 style
+# ---------------------------------------------------------------------------
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_name, o_orderkey, o_orderdate,
+           ROUND(o_totalprice, 2) AS o_totalprice,
+           ROUND(total_qty, 2)    AS total_qty
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150
+    ) big ON big.l_orderkey = o_orderkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 shape): aggregate-with-HAVING
+    derived table joined back to the fact — the HAVING filter runs
+    post-aggregation, shrinking the join input to the qualifying keys
+    before any wide row is assembled."""
+    t = _t(spark, sf_dir, "orders", "customer", "lineitem")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE window frame (value-based, not row-based)
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING
+           ) AS BIGINT) AS n_similar_priced
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: for each order, how many of the same
+    customer's orders are within ±1000 in price — rows enter the frame
+    by ORDER-BY value distance, not row position (ties all share one
+    frame, unlike a ROWS frame)."""
+    t = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") % 50 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.count("*").over(w).alias("n_similar_priced"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Statistical aggregate family
 # ---------------------------------------------------------------------------
 
