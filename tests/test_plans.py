@@ -124,6 +124,20 @@ def test_multigrain_rollup_is_single_scan(spark):
     assert "Expand" in text
 
 
+def test_spread_is_noop_on_wide_input(spark):
+    """spread() must repartition narrow inputs but leave inputs that
+    already have enough splits untouched (no gratuitous shuffle on a
+    real-scale scan)."""
+    from rs_streamloader_spark.session import spread
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    assert spread(narrow).rdd.getNumPartitions() >= target
+    wide = spark.range(1000).repartition(target + 4)
+    out = spread(wide)
+    assert out is wide  # identity — no plan change at all
+
+
 def test_no_query_uses_row_at_a_time_python(spark):
     """Catalog-wide guard: no operator may plan a row-at-a-time Python
     UDF (BatchEvalPython) — Python is allowed only Arrow-batched
