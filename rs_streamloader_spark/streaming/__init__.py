@@ -3,7 +3,10 @@ from rs_streamloader_spark.streaming.joins import (
     attribution_join,
     attribution_join_outer,
 )
-from rs_streamloader_spark.streaming.stateful import running_user_stats
+from rs_streamloader_spark.streaming.stateful import (
+    running_user_stats,
+    sessionize_stateful,
+)
 from rs_streamloader_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,
@@ -16,6 +19,7 @@ __all__ = [
     "attribution_join",
     "attribution_join_outer",
     "running_user_stats",
+    "sessionize_stateful",
     "session_window_agg",
     "sliding_window_agg",
     "streaming_dedup",

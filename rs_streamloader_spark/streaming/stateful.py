@@ -36,6 +36,78 @@ def _update_user_stats(
     )
 
 
+SESSION_OUTPUT = (
+    "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, n_events BIGINT"
+)
+SESSION_STATE = "start TIMESTAMP, last TIMESTAMP, n BIGINT"
+SESSION_GAP_S = 30 * 60
+
+
+def _close_sessions(
+    key: Tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Emit a session row only when the event-time timeout fires —
+    i.e. the watermark passed last_event + gap, proving the session
+    can no longer grow. The state store holds one (start, last, n)
+    triple per open session per user."""
+    import datetime as _dt
+
+    (user_id,) = key
+    if state.hasTimedOut:
+        start, last, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [start],
+                "session_end": [last],
+                "n_events": [n],
+            }
+        )
+        return
+    start, last, n = state.get if state.exists else (None, None, 0)
+    for pdf in batches:
+        ts = pd.to_datetime(pdf["ts"])
+        lo, hi = ts.min(), ts.max()
+        start = lo.to_pydatetime() if start is None else min(start, lo.to_pydatetime())
+        last = hi.to_pydatetime() if last is None else max(last, hi.to_pydatetime())
+        n += len(pdf)
+    state.update((start, last, n))
+    timeout_at = last + _dt.timedelta(seconds=SESSION_GAP_S)
+    state.setTimeoutTimestamp(int(timeout_at.timestamp() * 1000))
+    yield pd.DataFrame(
+        {"user_id": [], "session_start": [], "session_end": [], "n_events": []}
+    ).astype(
+        {
+            "user_id": "int64",
+            "session_start": "datetime64[us]",
+            "session_end": "datetime64[us]",
+            "n_events": "int64",
+        }
+    )
+
+
+def sessionize_stateful(events: DataFrame, watermark: str = "0 seconds") -> DataFrame:
+    """Custom stateful sessionization with EVENT-TIME TIMEOUT: unlike
+    the built-in ``session_window`` aggregation, arbitrary per-session
+    logic can run at close time (here: emit the completed session;
+    in production: score it, write a feature row, fire an alert).
+    State is evicted by the timeout, so memory is O(open sessions)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _close_sessions,
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def running_user_stats(events: DataFrame) -> DataFrame:
     """Per-user running event count + value total, updated each
     micro-batch; emits the refreshed rows for keys seen in the batch."""

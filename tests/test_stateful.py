@@ -14,6 +14,45 @@ def write_file(src: str, name: str, rows: list[dict]) -> None:
             fh.write(json.dumps(r) + "\n")
 
 
+def test_sessionize_stateful_closes_on_event_time_timeout(spark, tmp_path):
+    """A session is emitted only after the watermark passes
+    last_event + gap; until then it stays open in the state store."""
+    from rs_streamloader_spark.streaming.stateful import sessionize_stateful
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id BIGINT, ts TIMESTAMP"
+    closed: list = []
+
+    def run():
+        stream = spark.readStream.schema(schema).json(src)
+        out = sessionize_stateful(stream)
+        q = (
+            out.writeStream.foreachBatch(lambda bdf, bid: closed.extend(bdf.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_file(src, "a.json", [
+        {"user_id": 1, "ts": "2024-01-01T00:00:00"},
+        {"user_id": 1, "ts": "2024-01-01T00:10:00"},
+    ])
+    run()
+    assert closed == []  # session still open — watermark hasn't passed the gap
+
+    # an event far in the future advances the watermark past 00:10+30m
+    write_file(src, "b.json", [{"user_id": 2, "ts": "2024-01-01T06:00:00"}])
+    run()
+    sessions = [
+        (r["user_id"], r["n_events"], r["session_start"].minute, r["session_end"].minute)
+        for r in closed
+    ]
+    assert (1, 2, 0, 10) in sessions
+
+
 def test_running_user_stats_accumulates_across_batches(spark, tmp_path):
     from rs_streamloader_spark.streaming.stateful import running_user_stats
 
