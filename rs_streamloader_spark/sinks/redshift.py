@@ -27,7 +27,7 @@ from rs_streamloader_spark.sinks.redshift_sql import (
     make_queries,
 )
 from rs_streamloader_spark.sinks.transaction import PoolLike, transaction_query
-from rs_streamloader_spark.staging import StageResult
+from rs_streamloader_spark.staging import StageResult, to_copy_url
 
 
 class RedshiftSink:
@@ -80,12 +80,17 @@ class RedshiftSink:
             )
         if not stage.manifest_path:
             raise ValueError("stage has no manifest; call write_manifest first")
-        loading = self.loading_table or staging_table_name(self.table)
+        # A configured loading_table is only a BASE name: the per-load
+        # temp table is always uniquified ({base}_temp_{jobtime}_{uuid},
+        # RedshiftLoader.ts:343-350) so concurrent upserts sharing a
+        # config never DROP each other's staging table — and the
+        # configured name itself is never dropped.
+        loading = staging_table_name(self.loading_table or self.table)
         plan = make_queries(
             upload_type,
             self.table,
             loading,
-            stage.manifest_path,
+            to_copy_url(stage.manifest_path),
             create_copy_cred_string(self.aws),
             self.copy_settings,
             id_field=id_field,

@@ -43,6 +43,10 @@ def _run_once(
     connect: PoolLike, queries: list[str], clean_up: str | None
 ) -> str:
     client = connect()
+    # each client must be released exactly once — a double release can
+    # corrupt reference-counting pools, so the failure path sets the
+    # flag before the function-level finally runs
+    released = False
     try:
         for q in queries:
             try:
@@ -51,6 +55,7 @@ def _run_once(
                 try:
                     client.query("ROLLBACK;")
                 finally:
+                    released = True
                     client.release()
                 if clean_up:
                     cleaner = connect()
@@ -74,10 +79,8 @@ def _run_once(
                 raise
         return "SUCCESS"
     finally:
-        try:
+        if not released:
             client.release()
-        except Exception:
-            pass
 
 
 def transaction_query(

@@ -78,12 +78,25 @@ def write_stage(
     return StageResult(prefix=prefix, data_prefix=data_prefix, files=files)
 
 
+def to_copy_url(url: str) -> str:
+    """Redshift COPY accepts only ``s3://`` URLs (the reference always
+    builds ``s3://bucket/key``, RedshiftLoader.ts:300-311); Spark/Hadoop
+    paths come back as ``s3a://``/``s3n://``. Rewrite the scheme for
+    anything handed to COPY; other schemes (file:// in tests) pass
+    through untouched."""
+    for scheme in ("s3a://", "s3n://"):
+        if url.startswith(scheme):
+            return "s3://" + url[len(scheme):]
+    return url
+
+
 def write_manifest(spark: SparkSession, stage: StageResult) -> StageResult:
     """Write the COPY manifest: ``{"entries": [{"url": ..., "mandatory":
     true}, ...]}`` (RedshiftLoader.ts:299-311), derived from the
-    committed listing."""
+    committed listing. Entry URLs are scheme-rewritten to ``s3://``
+    because Redshift's COPY rejects ``s3a://`` URLs."""
     manifest = {
-        "entries": [{"url": f, "mandatory": True} for f in stage.files]
+        "entries": [{"url": to_copy_url(f), "mandatory": True} for f in stage.files]
     }
     manifest_path = os.path.join(stage.prefix, "manifest.json")
     fs, jpath, jvm = _fs_and_path(spark, manifest_path)

@@ -67,18 +67,53 @@ def _close_sessions(
             }
         )
         return
-    start, last, n = state.get if state.exists else (None, None, 0)
-    for pdf in batches:
-        ts = pd.to_datetime(pdf["ts"])
-        lo, hi = ts.min(), ts.max()
-        start = lo.to_pydatetime() if start is None else min(start, lo.to_pydatetime())
-        last = hi.to_pydatetime() if last is None else max(last, hi.to_pydatetime())
-        n += len(pdf)
+    # Segment this batch's events (plus the open session carried in
+    # state) on SESSION_GAP_S: two events of one key more than the gap
+    # apart — in the same micro-batch, or replayed together by an
+    # availableNow backfill before the event-time timeout ever fires —
+    # are DIFFERENT sessions and must not be min/max-merged into one
+    # row spanning the gap. Sessions closed by an in-data gap are
+    # emitted immediately; only the trailing open session stays in
+    # state awaiting its timeout.
+    gap = _dt.timedelta(seconds=SESSION_GAP_S)
+    items: list[list] = []  # [start, last, n]
+    if state.exists:
+        s0, l0, n0 = state.get
+        items.append([s0, l0, n0])
+    items += [
+        [t, t, 1]
+        for pdf in batches
+        for t in (x.to_pydatetime() for x in pd.to_datetime(pdf["ts"]))
+    ]
+    if not items:  # defensive: no state and an empty batch
+        return
+    items.sort(key=lambda x: (x[0], x[1]))
+    segments = [items[0]]
+    for st, en, c in items[1:]:
+        cur = segments[-1]
+        if st <= cur[1] + gap:
+            cur[1] = max(cur[1], en)
+            cur[2] += c
+        else:
+            segments.append([st, en, c])
+    closed, (start, last, n) = segments[:-1], segments[-1]
     state.update((start, last, n))
-    timeout_at = last + _dt.timedelta(seconds=SESSION_GAP_S)
-    state.setTimeoutTimestamp(int(timeout_at.timestamp() * 1000))
+    timeout_at = last + gap
+    # epoch-ms computed from a fixed (UTC) epoch — never the OS-local
+    # timezone — and clamped above the current watermark: a watermark
+    # delay larger than SESSION_GAP_S would otherwise make the timeout
+    # <= the watermark, which GroupState rejects and kills the query
+    timeout_ms = int(
+        timeout_at.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000
+    )
+    state.setTimeoutTimestamp(max(state.getCurrentWatermarkMs() + 1, timeout_ms))
     yield pd.DataFrame(
-        {"user_id": [], "session_start": [], "session_end": [], "n_events": []}
+        {
+            "user_id": [user_id] * len(closed),
+            "session_start": [c[0] for c in closed],
+            "session_end": [c[1] for c in closed],
+            "n_events": [c[2] for c in closed],
+        }
     ).astype(
         {
             "user_id": "int64",

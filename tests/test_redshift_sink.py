@@ -6,6 +6,7 @@ Staging is real (local FS parts + manifest); the warehouse is faked."""
 from __future__ import annotations
 
 import json
+import re
 
 import pytest
 
@@ -75,19 +76,45 @@ def test_upsert_reference_query_sequence(spark, tmp_path):
     loader.add_source(ROWS_A)
     assert loader.upsert() == "SUCCESS"
 
-    # RedshiftLoader.ts:369-384 sequence
+    # RedshiftLoader.ts:369-384 sequence; the configured loading table
+    # is only a base name — the actual temp table is uniquified per load
+    # ({base}_temp_{jobtime}_{uuid}, RedshiftLoader.ts:343-350)
     assert log[0] == "BEGIN;"
-    assert log[1] == "DROP TABLE IF EXISTS loading.test_table;"
-    assert log[2] == "CREATE TABLE loading.test_table (LIKE public.test_table);"
-    assert log[3].startswith("COPY loading.test_table FROM '")
+    m = re.fullmatch(
+        r"DROP TABLE IF EXISTS (loading\.test_table_temp_\d{8}_\d{6}_[0-9a-f]{8});",
+        log[1],
+    )
+    assert m, log[1]
+    temp = m.group(1)
+    assert log[2] == f"CREATE TABLE {temp} (LIKE public.test_table);"
+    assert log[3].startswith(f"COPY {temp} FROM '")
     assert (
         log[4]
-        == "DELETE FROM public.test_table WHERE id IN"
-        " (SELECT id FROM loading.test_table);"
+        == f"DELETE FROM public.test_table WHERE id IN (SELECT id FROM {temp});"
     )
-    assert log[5] == "INSERT INTO public.test_table SELECT * FROM loading.test_table;"
-    assert log[6] == "DROP TABLE loading.test_table;"
+    assert log[5] == f"INSERT INTO public.test_table SELECT * FROM {temp};"
+    assert log[6] == f"DROP TABLE {temp};"
     assert log[7] == "COMMIT;"
+
+
+def test_concurrent_upserts_never_share_or_drop_configured_loading_table(
+    spark, tmp_path
+):
+    """Two loads against the same configured loading_table must use
+    distinct temp tables and never DROP the configured name itself
+    (ADVICE r1: concurrent upserts sharing a config collided)."""
+    log: list[str] = []
+    sink = RedshiftSink(
+        make_pool(log), "public.test_table", loading_table="loading.test_table", aws=AWS
+    )
+    for sub in ("a", "b"):
+        loader = make_loader(spark, tmp_path / sub, sink)
+        loader.add_source(ROWS_A)
+        assert loader.upsert() == "SUCCESS"
+    drops = [q for q in log if q.startswith("DROP TABLE IF EXISTS ")]
+    assert len(drops) == 2 and drops[0] != drops[1]
+    assert "DROP TABLE IF EXISTS loading.test_table;" not in log
+    assert "DROP TABLE loading.test_table;" not in log
 
 
 def test_trunc_insert_sequence(spark, tmp_path):
@@ -116,7 +143,7 @@ def test_failure_rolls_back_and_runs_cleanup(spark, tmp_path):
         loader.upsert()
     assert "ROLLBACK;" in log
     # standalone clean-up query after rollback (core.ts:32-39)
-    assert log[-1] == "DROP TABLE IF EXISTS loading.test_table;"
+    assert log[-1].startswith("DROP TABLE IF EXISTS loading.test_table_temp_")
     assert errors  # loader emitted the error event
     # ALWAYS policy removed the stage despite the failure
     from rs_streamloader_spark.staging import list_committed_files

@@ -60,3 +60,15 @@ def test_delete_stage_removes_everything(spark, tmp_path):
     write_manifest(spark, stage)
     assert delete_stage(spark, prefix)
     assert list_committed_files(spark, prefix) == []
+
+
+def test_to_copy_url_rewrites_hadoop_s3_schemes():
+    """Redshift COPY only accepts s3:// URLs (the reference builds
+    s3://bucket/key, RedshiftLoader.ts:300-311); Hadoop listings come
+    back s3a://. ADVICE r1, medium."""
+    from rs_streamloader_spark.staging import to_copy_url
+
+    assert to_copy_url("s3a://bkt/pre/part-0.json.gz") == "s3://bkt/pre/part-0.json.gz"
+    assert to_copy_url("s3n://bkt/k") == "s3://bkt/k"
+    assert to_copy_url("s3://bkt/k") == "s3://bkt/k"
+    assert to_copy_url("file:/tmp/x/part-0.json") == "file:/tmp/x/part-0.json"

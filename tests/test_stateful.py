@@ -53,6 +53,49 @@ def test_sessionize_stateful_closes_on_event_time_timeout(spark, tmp_path):
     assert (1, 2, 0, 10) in sessions
 
 
+def test_sessionize_stateful_splits_in_batch_gaps(spark, tmp_path):
+    """Events of one key more than SESSION_GAP_S apart inside a single
+    micro-batch (the availableNow-replay / backfill shape) must come
+    out as SEPARATE sessions, not one min/max-merged row spanning the
+    gap (ADVICE r1, high)."""
+    from rs_streamloader_spark.streaming.stateful import sessionize_stateful
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id BIGINT, ts TIMESTAMP"
+    closed: list = []
+
+    def run():
+        stream = spark.readStream.schema(schema).json(src)
+        out = sessionize_stateful(stream)
+        q = (
+            out.writeStream.foreachBatch(lambda bdf, bid: closed.extend(bdf.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # one batch, three sessions' worth of events for user 1:
+    # [00:00, 00:05], [02:00], and an open tail [05:00]
+    write_file(src, "a.json", [
+        {"user_id": 1, "ts": "2024-01-01T00:00:00"},
+        {"user_id": 1, "ts": "2024-01-01T00:05:00"},
+        {"user_id": 1, "ts": "2024-01-01T02:00:00"},
+        {"user_id": 1, "ts": "2024-01-01T05:00:00"},
+    ])
+    run()
+    done = [
+        (r["user_id"], r["n_events"], r["session_start"].hour, r["session_end"].hour)
+        for r in closed
+    ]
+    # the two gap-closed sessions are emitted immediately, in-batch
+    assert (1, 2, 0, 0) in done and (1, 1, 2, 2) in done
+    # the trailing session stays open in state (not emitted yet)
+    assert len(done) == 2
+
+
 def test_running_user_stats_accumulates_across_batches(spark, tmp_path):
     from rs_streamloader_spark.streaming.stateful import running_user_stats
 
