@@ -343,6 +343,52 @@ def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAGE_KEY_PRICE = 300000.0
+PAGE_KEY_ORDER = 5000
+
+
+@register(
+    "page_after_key",
+    oracle=f"""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_totalprice <= {PAGE_KEY_PRICE}
+      AND (o_totalprice < {PAGE_KEY_PRICE} OR o_orderkey > {PAGE_KEY_ORDER})
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def page_after_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination: the page AFTER anchor row
+    (o_totalprice, o_orderkey) = ({PAGE_KEY_PRICE}, {PAGE_KEY_ORDER})
+    in (price DESC, key ASC) order — the scale-safe replacement for
+    deep OFFSET (which plans as top-(n+k) and re-ranks every earlier
+    page's rows on every request).
+
+    The composite keyset predicate is written with the redundant
+    conjunct ``o_totalprice <= anchor`` so Catalyst pushes a simple
+    range filter into the parquet scan (min/max row-group pruning at
+    scale); the tiebreak disjunct evaluates post-scan. The result
+    plans as TakeOrderedAndProject over the pruned scan — per-page
+    cost is O(rows below the anchor in the touched row groups), not
+    O(pages seen so far)."""
+    t = load_tables(spark, sf_dir, "orders")["orders"]
+    return (
+        t.filter(
+            (F.col("o_totalprice") <= PAGE_KEY_PRICE)
+            & (
+                (F.col("o_totalprice") < PAGE_KEY_PRICE)
+                | (F.col("o_orderkey") > PAGE_KEY_ORDER)
+            )
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+        .select(
+            "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Higher-order array functions (filter / exists / reduce)
 # ---------------------------------------------------------------------------

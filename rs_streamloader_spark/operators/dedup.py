@@ -27,13 +27,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rs_streamloader_spark.operators.registry import register
-from rs_streamloader_spark.session import load_tables, spread
+from rs_streamloader_spark.session import load_tables, spread, stage_cached
 
 JACCARD_THRESHOLD = 0.2
 N_MINHASH = 16
 N_BANDS = 4  # 4 bands × 4 rows
 SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 3
+
+
+# The dedup family (ngram_jaccard, cluster, minhash_lsh) all start
+# from the same shingle table, and cluster additionally consumes
+# jaccard's pair output — both are shared via session.stage_cached.
 
 
 # ---------------------------------------------------------------------------
@@ -114,6 +119,16 @@ def _shingles(t: DataFrame) -> DataFrame:
     )
 
 
+def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared, cached shingle stage for the whole dedup family."""
+    return stage_cached(
+        spark,
+        sf_dir,
+        "shingles",
+        lambda: _shingles(load_tables(spark, sf_dir, "documents")["documents"]),
+    )
+
+
 _JACCARD_ORACLE = f"""
     WITH s AS ({_SHINGLE_SQL}),
     n AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
@@ -131,10 +146,17 @@ _JACCARD_ORACLE = f"""
 """
 
 
-def _jaccard_pairs(t: DataFrame) -> DataFrame:
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard pairs ≥ threshold — shared by the pair
-    query and the cluster-resolution operator."""
-    s = _shingles(t).cache()
+    query and the cluster-resolution operator (cached: the pair join is
+    the family's most expensive stage, and cluster re-reads it)."""
+    return stage_cached(
+        spark, sf_dir, "jaccard_pairs", lambda: _jaccard_pairs_plan(spark, sf_dir)
+    )
+
+
+def _jaccard_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _shingles_cached(spark, sf_dir)
     n = s.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = s.alias("a")
     b = s.alias("b")
@@ -157,8 +179,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-trigram Jaccard near-dup pairs (inverted-index join
     on shingles — O(co-shingled pairs), no cross join; hot shingles are
     the skew risk, handled by AQE skew-join at scale)."""
-    t = load_tables(spark, sf_dir, "documents")["documents"]
-    return _jaccard_pairs(t)
+    return _jaccard_pairs(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -198,12 +219,13 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric edge list (each round: one join + one groupBy;
     ``localCheckpoint`` truncates lineage), converging in ≤ graph
     diameter rounds. The oracle computes the same components with a
-    recursive CTE. At extreme diameters the alternating large-star/
-    small-star variant (same join primitives) halves rounds to
-    O(log n); pair graphs from a Jaccard threshold are near-cliques,
-    so diameter stays small in practice."""
-    t = load_tables(spark, sf_dir, "documents")["documents"]
-    pairs = _jaccard_pairs(t).select("doc_a", "doc_b")
+    recursive CTE. Two propagation rounds are FUSED per materialized
+    step — label(u) ← min over the 2-hop neighborhood — which is the
+    same round-halving a large-star/small-star alternation buys, with
+    one driver sync per step instead of two; pair graphs from a
+    Jaccard threshold are near-cliques (diameter ~2), so one fused
+    step typically converges."""
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
@@ -216,23 +238,26 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     # labels decrease monotonically, so an unchanged sum ⟺ fixpoint —
-    # a single tiny aggregate per round instead of a join + count
+    # a single tiny aggregate per step instead of a join + count
     prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(20):  # safeguard; converges in ≤ diameter rounds
-        neighbor_min = (
-            edges.join(labels.withColumnRenamed("u", "v"), "v")
-            .groupBy("u")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        labels = (
-            labels.join(neighbor_min, "u", "left")
-            .select(
-                "u",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+    for _ in range(10):  # safeguard; converges in ≤ diameter/2 steps
+        # two hops fused into one lineage before materializing
+        for _hop in range(2):
+            neighbor_min = (
+                edges.join(labels.withColumnRenamed("u", "v"), "v")
+                .groupBy("u")
+                .agg(F.min("label").alias("nbr_label"))
             )
-        ).localCheckpoint()
+            labels = (
+                labels.join(neighbor_min, "u", "left")
+                .select(
+                    "u",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    ).alias("label"),
+                )
+            )
+        labels = labels.localCheckpoint()
         new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:
             break
@@ -297,8 +322,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact including any LSH false negatives. At 100 TB the only
     shuffles are: shingle→signature agg, band self-join (tiny keys),
     and the candidate verification join."""
-    t = load_tables(spark, sf_dir, "documents")["documents"]
-    s = _shingles(t).cache()
+    s = _shingles_cached(spark, sf_dir)
 
     sig = s.groupBy("doc_id").agg(
         *[

@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 
 from rs_streamloader_spark.functions.vector import dot_expr, norm_expr
 from rs_streamloader_spark.operators.registry import register
-from rs_streamloader_spark.session import load_tables, spread
+from rs_streamloader_spark.session import load_tables, spread, stage_cached
 
 N_QUERIES = 20  # vec_id < 20 are the query set
 TOP_K = 5
@@ -46,6 +46,31 @@ _dot = dot_expr  # shared deterministic fold (functions/vector.py)
 
 def _with_norm(df: DataFrame, emb: str = "embedding") -> DataFrame:
     return df.withColumn("norm", norm_expr(emb))
+
+
+def _proj_expr(emb: str, hp: list[float]) -> str:
+    lit = "array(" + ", ".join(f"{v}D" for v in hp) + ")"
+    return (
+        f"aggregate(zip_with({emb}, {lit}, (x, y) -> CAST(x AS DOUBLE) * y),"
+        f" 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _emb_norm_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared cached stage for the similarity family: the spread
+    embeddings table with the vector norm AND the {N_HYPERPLANES}
+    hyperplane/centroid projections precomputed — LSH buckets, near-dup
+    bands, and IVF cells are all sign/argmax views over the same
+    ``projs`` column, so the 64-dim folds run once per vector for the
+    whole family (and once per vector ever, on a warm cache)."""
+    def build() -> DataFrame:
+        t = spread(load_tables(spark, sf_dir, "embeddings")["embeddings"])
+        projs = F.expr(
+            "array(" + ", ".join(_proj_expr("embedding", hp) for hp in HYPERPLANES) + ")"
+        )
+        return _with_norm(t).withColumn("projs", projs)
+
+    return stage_cached(spark, sf_dir, "emb_norm", build)
 
 
 _DUCK_COS = (
@@ -76,13 +101,13 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     full corpus — scored corpus-side in parallel, ranked per query.
     Linear in corpus size; this is the correctness baseline for the
     LSH variant."""
-    t = spread(load_tables(spark, sf_dir, "embeddings")["embeddings"])
-    corpus = _with_norm(t).select(
+    t = _emb_norm_cached(spark, sf_dir)
+    corpus = t.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("emb_b"),
         F.col("norm").alias("norm_b"),
     )
-    queries = _with_norm(t.filter(F.col("vec_id") < N_QUERIES)).select(
+    queries = t.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("emb_a"),
         F.col("norm").alias("norm_a"),
@@ -161,7 +186,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     factor is N_BLOCKS, no driver involvement. Each unordered pair is
     scored in exactly one group. Results are identical to the
     all-pairs oracle (cosines rounded to 6dp on both sides)."""
-    t = spread(load_tables(spark, sf_dir, "embeddings")["embeddings"])
+    t = _emb_norm_cached(spark, sf_dir)
     base = t.select("vec_id", "embedding", (F.col("vec_id") % N_BLOCKS).alias("blk"))
     replicated = base.select(
         "vec_id",
@@ -179,11 +204,11 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_bucket(alias: str) -> str:
-    """Random-hyperplane sign bucket for the oracle (same literal
-    hyperplanes as the Spark side)."""
+def _duck_band(alias: str, hps: list[list[float]]) -> str:
+    """Random-hyperplane sign bucket over a subset of hyperplanes for
+    the oracle (same literal hyperplanes as the Spark side)."""
     terms = []
-    for i, hp in enumerate(HYPERPLANES):
+    for i, hp in enumerate(hps):
         lit = "[" + ", ".join(repr(v) for v in hp) + "]"
         terms.append(
             f"CASE WHEN LIST_DOT_PRODUCT(CAST({alias}.embedding AS DOUBLE[]),"
@@ -192,40 +217,47 @@ def _duck_bucket(alias: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _spark_bucket(emb: str):
+def _duck_bucket(alias: str) -> str:
+    return _duck_band(alias, HYPERPLANES)
+
+
+def _spark_band(first_hp: int, n_hp: int):
+    """Sign bucket over ``n_hp`` consecutive precomputed projections
+    (the cached ``projs`` column), starting at index ``first_hp``."""
     total = F.lit(0)
-    for i, hp in enumerate(HYPERPLANES):
-        lit = "array(" + ", ".join(f"{v}D" for v in hp) + ")"
-        proj = F.expr(
-            f"aggregate(zip_with({emb}, {lit}, (x, y) -> CAST(x AS DOUBLE) * y),"
-            f" 0D, (acc, v) -> acc + v)"
-        )
+    for i in range(n_hp):
+        proj = F.element_at("projs", first_hp + i + 1)
         total = total + F.when(proj > 0, F.lit(1 << i)).otherwise(0)
     return total
 
 
-def _duck_cell(alias: str) -> str:
-    """IVF cell for the oracle: 1-based argmax over the fixed centroid
-    projections (first occurrence on exact-equality ties — both engines
-    compute the identical sequential-fold dots, so ties agree)."""
+def _spark_bucket():
+    return _spark_band(0, N_HYPERPLANES)
+
+
+def _duck_cell(alias: str, k: int = 1) -> str:
+    """IVF cell for the oracle: 1-based position of the k-th largest
+    fixed-centroid projection (k=1 ⟺ argmax — the assignment cell;
+    k=2 — the second probe). First occurrence on exact-equality ties —
+    both engines compute the identical sequential-fold dots, so ties
+    agree on both sides."""
     dots = ", ".join(
         f"LIST_DOT_PRODUCT(CAST({alias}.embedding AS DOUBLE[]),"
         f" CAST([{', '.join(repr(v) for v in hp)}] AS DOUBLE[]))"
         for hp in HYPERPLANES
     )
-    return f"LIST_POSITION([{dots}], LIST_MAX([{dots}]))"
+    return f"LIST_POSITION([{dots}], LIST_SORT([{dots}], 'DESC')[{k}])"
 
 
-def _spark_cell(emb: str):
-    projections = []
-    for hp in HYPERPLANES:
-        lit = "array(" + ", ".join(f"{v}D" for v in hp) + ")"
-        projections.append(
-            f"aggregate(zip_with({emb}, {lit}, (x, y) -> CAST(x AS DOUBLE) * y),"
-            f" 0D, (acc, v) -> acc + v)"
-        )
-    ds = "array(" + ", ".join(projections) + ")"
-    return F.expr(f"array_position({ds}, array_max({ds}))").cast("int")
+def _spark_cell(k: int = 1):
+    """1-based position of the k-th largest precomputed centroid
+    projection (cached ``projs`` column)."""
+    return F.expr(
+        f"array_position(projs, element_at(sort_array(projs, false), {k}))"
+    ).cast("int")
+
+
+IVF_NPROBE = 2
 
 
 @register(
@@ -241,7 +273,7 @@ def _spark_cell(emb: str):
              ) AS rn
       FROM embeddings a JOIN embeddings b
         ON b.vec_id <> a.vec_id
-       AND {_duck_cell('a')} = {_duck_cell('b')}
+       AND {_duck_cell('b')} IN ({_duck_cell('a', 1)}, {_duck_cell('a', 2)})
       WHERE a.vec_id < {N_QUERIES}
     ) WHERE rn <= {TOP_K}
     """,
@@ -249,29 +281,39 @@ def _spark_cell(emb: str):
 def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: a fixed deterministic coarse quantizer (argmax
     over {N_HYPERPLANES} centroid directions ≈ spherical k-means cells
-    with frozen centroids) partitions the corpus; each query probes
-    only its own cell (nprobe=1) and ranks exact cosine within it.
+    with frozen centroids) partitions the corpus; each query probes its
+    nprobe={IVF_NPROBE} nearest cells and ranks exact cosine within
+    them — probing the second-best cell recovers most boundary-vector
+    recall loss (the classic IVF recall/latency dial); remaining misses
+    are neighbors assigned to cells ranked below nprobe for the query.
 
     vs ``ann_lsh_bucketed``: IVF cells are data-direction-aligned
     (coarser, {N_HYPERPLANES} cells) while LSH gives 2^{N_HYPERPLANES}
     sign buckets — the two standard serving layouts. At scale the
     corpus is written partitioned by cell, so a probe is one partition
-    read; a trained k-means quantizer drops in by replacing the
-    centroid literals. The oracle replicates the identical assignment,
-    so recall misses compare exactly."""
-    t = spread(load_tables(spark, sf_dir, "embeddings")["embeddings"])
-    with_cell = _with_norm(t).withColumn("cell", _spark_cell("embedding"))
-    corpus = with_cell.select(
+    read per probed cell; a trained k-means quantizer drops in by
+    replacing the centroid literals. The oracle replicates the
+    identical assignment + probe set, so recall misses compare
+    exactly. The probe-cell explode replicates only the tiny query
+    side; corpus rows stay single-copy."""
+    base = _emb_norm_cached(spark, sf_dir)
+    corpus = base.withColumn("cell", _spark_cell()).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("emb_b"),
         F.col("norm").alias("norm_b"),
         "cell",
     )
-    queries = with_cell.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("emb_a"),
-        F.col("norm").alias("norm_a"),
-        "cell",
+    probe_cells = F.array_distinct(
+        F.array(*[_spark_cell(k) for k in range(1, IVF_NPROBE + 1)])
+    )
+    queries = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("emb_a"),
+            F.col("norm").alias("norm_a"),
+            F.explode(probe_cells).alias("cell"),
+        )
     )
     cos = F.round(_dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 6)
     w = Window.partitionBy("query_id").orderBy(
@@ -314,8 +356,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale this is the serving plan: the corpus is hash-partitioned
     by bucket (a single shuffle, reusable across query batches) and
     each query touches ~corpus/256 candidates."""
-    t = spread(load_tables(spark, sf_dir, "embeddings")["embeddings"])
-    with_b = _with_norm(t).withColumn("bucket", _spark_bucket("embedding"))
+    with_b = _emb_norm_cached(spark, sf_dir).withColumn("bucket", _spark_bucket())
     corpus = with_b.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("emb_b"),
@@ -339,4 +380,94 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
+    )
+
+
+N_NEARDUP_BANDS = 2  # 2 bands × 4 hyperplanes → 16 buckets per band
+
+
+def _neardup_bands() -> list[list[list[float]]]:
+    rows = N_HYPERPLANES // N_NEARDUP_BANDS
+    return [
+        HYPERPLANES[b * rows : (b + 1) * rows] for b in range(N_NEARDUP_BANDS)
+    ]
+
+
+def _neardup_lsh_oracle() -> str:
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, embedding, {bi} AS band_idx,"
+        f" {_duck_band('e', hps)} AS band_val FROM embeddings e"
+        for bi, hps in enumerate(_neardup_bands())
+    )
+    return f"""
+    WITH bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id
+    )
+    SELECT va AS vec_a, vb AS vec_b, ROUND({_DUCK_COS}, 6) AS cosine
+    FROM cand
+    JOIN embeddings a ON a.vec_id = va
+    JOIN embeddings b ON b.vec_id = vb
+    WHERE ROUND({_DUCK_COS}, 6) >= {COSINE_THRESHOLD}
+    """
+
+
+@register("embedding_near_dup_lsh", oracle=_neardup_lsh_oracle())
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via banded hyperplane-LSH candidate
+    generation + exact cosine verification — the SCALE path next to the
+    block-exact ``embedding_near_dup`` oracle baseline.
+
+    Each vector lands in {N_NEARDUP_BANDS} sign buckets (one per band
+    of {N_HYPERPLANES}//{N_NEARDUP_BANDS} hyperplanes); candidates are
+    pairs sharing ANY band bucket — an EQUALITY join on
+    (band_idx, band_val), never a cross join or block replication of
+    the corpus. Work is O(sum of bucket sizes squared) ≈
+    O(near-duplicates), not O(n²): this is the plan that survives a
+    100 TB corpus, with recall bounded by the band structure (pairs
+    whose sign signatures differ in both bands are missed — the oracle
+    replicates the identical banding, so the compare is exact including
+    those misses). Duplicate candidates (pairs matching in both bands)
+    are collapsed by the final per-pair aggregate, so each pair is
+    emitted once."""
+    base = _emb_norm_cached(spark, sf_dir)
+    rows = N_HYPERPLANES // N_NEARDUP_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            _spark_band(bi * rows, rows).alias("band_val"),
+        )
+        for bi in range(N_NEARDUP_BANDS)
+    ]
+    bands = base.select(
+        "vec_id",
+        "embedding",
+        "norm",
+        F.explode(F.array(*band_structs)).alias("band"),
+    ).select("vec_id", "embedding", "norm", "band.band_idx", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cos = F.round(
+        _dot("a.embedding", "b.embedding") / (F.col("a.norm") * F.col("b.norm")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.min("cosine").alias("cosine"))
     )

@@ -38,6 +38,7 @@ from rs_streamloader_spark.config import CopySettings
 from rs_streamloader_spark.errors import LoaderError
 
 MAX_ERROR_EXCEEDED = "MAX_ERROR_EXCEEDED"
+AVRO_UNSUPPORTED = "AVRO_UNSUPPORTED"
 CORRUPT_COL = "_corrupt_record"
 
 _ENCODINGS = {
@@ -53,6 +54,7 @@ def read_body(
     path: str,
     settings: CopySettings | None = None,
     schema: StructType | str | None = None,
+    column_map: str = "auto",
 ) -> DataFrame:
     """Read a staged body applying the COPY settings. With
     ``max_error > 0`` the schema must be supplied (PERMISSIVE corrupt
@@ -62,9 +64,25 @@ def read_body(
     converted after parse). ``truncate_cols`` has no generic mapping —
     Redshift clips to each column's VARCHAR length, which a schema-less
     lake table lacks; call :func:`truncate_columns` with an explicit
-    length instead."""
+    length instead.
+
+    ``column_map='auto ignorecase'`` (JSON only — Redshift's columnMap
+    applies to JSON/AVRO COPY, lib/types.ts:32-40) matches source keys
+    to the target schema case-insensitively AT THE READER: Spark's
+    schema'd JSON parse is case-sensitive (a case-mismatched key would
+    silently become NULL), so the body is parsed with inferred keys and
+    projected onto the schema via :func:`align_columns`. A non-``auto``
+    TIMEFORMAT is applied to the matched source columns before the
+    cast; unparseable timestamps become NULL on this path (they count
+    against MAXERROR only on the exact-case path). Bodies mixing
+    DIFFERENT casings of the same key across rows are rejected by
+    Spark's inference (COLUMN_ALREADY_EXISTS) — casing must be
+    consistent within one body."""
     cs = settings or CopySettings()
     fmt = cs.format.lower()
+
+    if column_map == "auto ignorecase" and schema is not None and fmt == "json":
+        return _read_ignorecase(spark, path, cs, schema)
 
     ts_fields: dict[str, object] = {}
     if cs.time_format != "auto" and schema is not None and fmt in ("json", "csv"):
@@ -118,6 +136,36 @@ def read_body(
     return df
 
 
+def _read_ignorecase(
+    spark: SparkSession,
+    path: str,
+    cs: CopySettings,
+    schema: StructType | str,
+) -> DataFrame:
+    """JSON ``'auto ignorecase'``: parse with inferred keys, then
+    project onto the target schema case-insensitively."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    raw = _read_raw(spark, path, cs, None)
+    if CORRUPT_COL in raw.columns:
+        # schema inference keeps malformed rows under the corrupt
+        # column — apply the same MAXERROR budget as the exact path
+        raw = enforce_max_error(raw, cs.max_error)
+    if cs.time_format != "auto":
+        lookup = {c.lower(): c for c in raw.columns}
+        ts_srcs = [
+            lookup[f.name.lower()]
+            for f in schema.fields
+            if isinstance(f.dataType, (TimestampType, TimestampNTZType))
+            and f.name.lower() in lookup
+        ]
+        if ts_srcs:
+            raw = apply_time_format(raw, ts_srcs, cs.time_format)
+    return align_columns(raw, schema, "auto ignorecase")
+
+
 def _read_raw(
     spark: SparkSession,
     path: str,
@@ -169,6 +217,23 @@ def _read_raw(
         # MAXERROR 0 is the reference default (lib/utils.ts:107): the
         # first bad record fails the load — no second pass needed
         reader = reader.option("mode", "FAILFAST")
+    if fmt == "avro":
+        # the reference accepts AVRO as a COPY format (lib/types.ts:24;
+        # RedshiftLoader.ts:388-393), but spark-avro is an external
+        # module — without it Spark's raw "Failed to find data source"
+        # surfaces; gate it behind a LoaderError naming the jar
+        try:
+            return reader.format(fmt).load(path)
+        except Exception as exc:
+            if "Failed to find data source" in str(exc):
+                raise LoaderError(
+                    AVRO_UNSUPPORTED,
+                    "AVRO bodies need the spark-avro external module on"
+                    " the classpath; relaunch with --packages"
+                    " org.apache.spark:spark-avro_2.13:<spark version>"
+                    " (or add the matching spark-avro jar)",
+                ) from exc
+            raise
     return reader.format(fmt).load(path)
 
 

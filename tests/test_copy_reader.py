@@ -247,3 +247,46 @@ def test_parquet_passthrough(spark, tmp_path):
     src.write.parquet(dest)
     df = read_body(spark, dest, CopySettings(format="PARQUET"))
     assert df.count() == 1
+
+
+def test_avro_without_module_raises_clean_loader_error(spark, tmp_path):
+    """AVRO is a valid reference COPY format (lib/types.ts:24) but
+    spark-avro is an external module; the reader must surface a clean
+    LoaderError naming the jar, not Spark's raw lookup failure."""
+    from rs_streamloader_spark.errors import LoaderError
+    from rs_streamloader_spark.sources.copy_reader import AVRO_UNSUPPORTED
+
+    with pytest.raises(LoaderError) as exc:
+        read_body(spark, str(tmp_path), CopySettings(format="AVRO"))
+    assert exc.value.code == AVRO_UNSUPPORTED
+    assert "spark-avro" in str(exc.value)
+
+
+def test_read_body_json_auto_ignorecase_matches_keys(spark, tmp_path):
+    """Reader-level 'auto ignorecase' (lib/types.ts:32-40): JSON keys
+    with different casing populate the target columns — on the plain
+    schema'd read they would silently parse as NULL."""
+    p = tmp_path / "b.json"
+    p.write_text('{"ID": 1, "Text": "a"}\n{"ID": 2, "Text": "b"}\n')
+    schema = "id BIGINT, text STRING"
+    out = read_body(
+        spark, str(p), CopySettings(format="JSON"), schema,
+        column_map="auto ignorecase",
+    )
+    rows = {r["id"]: r["text"] for r in out.collect()}
+    assert rows == {1: "a", 2: "b"}
+    assert [f.name for f in out.schema.fields] == ["id", "text"]
+
+
+def test_read_body_ignorecase_applies_timeformat(spark, tmp_path):
+    p = tmp_path / "t.json"
+    p.write_text('{"TS": 1500000000, "v": 1}\n')
+    out = read_body(
+        spark,
+        str(p),
+        CopySettings(format="JSON", time_format="epochsecs"),
+        "ts TIMESTAMP, v BIGINT",
+        column_map="auto ignorecase",
+    )
+    row = out.collect()[0]
+    assert row["ts"].year == 2017 and row["v"] == 1

@@ -164,3 +164,16 @@ def test_asof_join_single_shuffle_no_range_probe(spark):
     text = explain_str(df)
     assert "SortMergeJoin" not in text and "BroadcastHashJoin" not in text
     assert shuffle_count(df) <= 1, text
+
+
+def test_page_after_key_pushes_range_and_takes_ordered(spark):
+    """Keyset pagination must push the anchor range predicate into the
+    parquet scan (row-group pruning at scale) and plan the page as
+    TakeOrderedAndProject — not a global sort or an offset."""
+    from rs_streamloader_spark.operators.analytic import page_after_key
+
+    df = page_after_key(spark, SF_SMOKE)
+    assert any("o_totalprice" in p for p in pushed_filters(df)), pushed_filters(df)
+    text = explain_str(df)
+    assert "TakeOrderedAndProject" in text
+    assert "GlobalLimit" not in text or "TakeOrderedAndProject" in text
