@@ -153,6 +153,26 @@ class Loader:
     # ------------------------------------------------------------------
     # load modes (RedshiftLoader.ts:267-275)
     # ------------------------------------------------------------------
+    def create_table(self, schema: Any = None, if_not_exists: bool = True) -> str:
+        """M6 ``createTable`` (reference README.md:52 — documented
+        there but never implemented in lib/): create the target table,
+        from an explicit schema or from the union of the added
+        sources. Does not start the load — sources stay addable."""
+        if self.sink is None:
+            raise LoaderError(NO_FILES, "create_table requires a sink")
+        if schema is None:
+            if not self._sources:
+                raise LoaderError(
+                    NO_FILES, "create_table needs a schema or at least one source"
+                )
+            df = self._sources[0]
+            for other in self._sources[1:]:
+                df = df.unionByName(other, allowMissingColumns=True)
+            schema = df.schema
+        self.sink.create_table(schema, if_not_exists=if_not_exists)
+        self._emit("progress", {"task": "createdTable"})
+        return "SUCCESS"
+
     def insert(self) -> str:
         return self._start(INSERT)
 

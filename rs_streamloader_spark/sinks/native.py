@@ -149,6 +149,22 @@ class NativeTableSink:
         paths = self._committed_data_paths()
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
+    def create_table(self, schema, if_not_exists: bool = True) -> None:
+        """M6 ``createTable`` (reference README.md:52, unimplemented in
+        its lib/): commit an empty version carrying the schema, so
+        subsequent reads/appends see the declared columns. No-op when
+        the table already exists and ``if_not_exists``."""
+        from pyspark.sql.types import StructType
+
+        if self.exists():
+            if if_not_exists:
+                return
+            raise FileExistsError(f"table already exists under {self.root}")
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        empty = self.spark.createDataFrame([], schema)
+        empty.write.parquet(self._new_version_path(1))
+
     def insert(self, df: DataFrame) -> None:
         """M1: append parts to the table (RedshiftLoader.ts:364-366).
         Each append is its own commit subdir (own ``_SUCCESS``), so a

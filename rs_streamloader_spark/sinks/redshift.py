@@ -24,6 +24,7 @@ from rs_streamloader_spark.config import (
 )
 from rs_streamloader_spark.sinks.redshift_sql import (
     create_copy_cred_string,
+    create_table_sql,
     make_queries,
 )
 from rs_streamloader_spark.sinks.transaction import PoolLike, transaction_query
@@ -60,6 +61,15 @@ class RedshiftSink:
         self.backoff_base_s = backoff_base_s
         self.backoff_factor = backoff_factor
         self.executed: list[str] = []  # last plan, for events/debugging
+
+    def create_table(self, schema, if_not_exists: bool = True) -> str:
+        """M6 ``createTable``: documented by the reference (README.md:52)
+        but never implemented in its lib/ — DDL is generated from the
+        Spark schema and executed through the same transactional
+        runner as the load plans."""
+        sql = create_table_sql(self.table, schema, if_not_exists=if_not_exists)
+        self.executed = [sql]
+        return transaction_query(self.connect, [sql])
 
     def load_staged(
         self,

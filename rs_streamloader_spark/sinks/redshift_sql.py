@@ -138,3 +138,47 @@ def make_queries(
         queries.append(f"DROP TABLE {tmp};")
     queries.append("COMMIT;")
     return QueryPlan(queries, clean_up=f"DROP TABLE IF EXISTS {tmp};")
+
+
+# M6 createTable: documented in the reference (README.md:52) but never
+# implemented in lib/ — supplied here so the loader surface is complete.
+# Spark → Redshift type lowering; complex types land in SUPER.
+_REDSHIFT_TYPES = {
+    "ByteType": "SMALLINT",
+    "ShortType": "SMALLINT",
+    "IntegerType": "INTEGER",
+    "LongType": "BIGINT",
+    "FloatType": "REAL",
+    "DoubleType": "DOUBLE PRECISION",
+    "StringType": "VARCHAR(65535)",
+    "BooleanType": "BOOLEAN",
+    "TimestampType": "TIMESTAMP",
+    "TimestampNTZType": "TIMESTAMP",
+    "DateType": "DATE",
+    "BinaryType": "VARBYTE",
+}
+
+
+def redshift_type(dt) -> str:
+    from pyspark.sql.types import DecimalType
+
+    if isinstance(dt, DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    return _REDSHIFT_TYPES.get(type(dt).__name__, "SUPER")
+
+
+def create_table_sql(table: TableRef, schema, if_not_exists: bool = True) -> str:
+    """``CREATE TABLE`` DDL from a Spark schema (M6). ``schema`` is a
+    StructType or DDL string; identifiers quoted like every other
+    template here."""
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    cols = ", ".join(
+        f"{quote_ident(f.name)} {redshift_type(f.dataType)}"
+        + ("" if f.nullable else " NOT NULL")
+        for f in schema.fields
+    )
+    ine = "IF NOT EXISTS " if if_not_exists else ""
+    return f"CREATE TABLE {ine}{table.qualified} ({cols});"

@@ -205,3 +205,39 @@ def test_serializable_violation_retries_then_succeeds(spark, tmp_path):
     loader.add_source(ROWS_A)
     assert loader.upsert() == "SUCCESS"
     assert log.count("COMMIT;") == 2  # failed once, retried whole txn
+
+
+def test_create_table_generates_redshift_ddl(spark, tmp_path):
+    """M6 createTable (reference README.md:52, unimplemented there):
+    Spark schema → quoted Redshift DDL via the transactional runner."""
+    log: list[str] = []
+    sink = RedshiftSink(make_pool(log), "public.test_table", aws=AWS)
+    assert (
+        sink.create_table(
+            "id BIGINT NOT NULL, text STRING, number DOUBLE,"
+            " created_at TIMESTAMP, props MAP<STRING, STRING>"
+        )
+        == "SUCCESS"
+    )
+    assert log == [
+        "CREATE TABLE IF NOT EXISTS public.test_table (id BIGINT NOT NULL,"
+        " text VARCHAR(65535), number DOUBLE PRECISION,"
+        " created_at TIMESTAMP, props SUPER);"
+    ]
+
+
+def test_loader_create_table_from_sources_native(spark, tmp_path):
+    from rs_streamloader_spark.sinks.native import NativeTableSink
+
+    sink = NativeTableSink(spark, str(tmp_path / "tbl"))
+    loader = make_loader(spark, tmp_path, sink)
+    loader.add_source(ROWS_A)
+    assert loader.create_table() == "SUCCESS"
+    assert sink.exists()
+    assert sink.read().count() == 0
+    assert set(sink.read().columns) == {"id", "text", "number"}
+    # creating again with if_not_exists is a no-op; sources still addable
+    assert loader.create_table() == "SUCCESS"
+    loader.add_source(ROWS_B)
+    assert loader.insert() == "SUCCESS"
+    assert sink.read().count() == 3
