@@ -407,31 +407,17 @@ _SIMHASH_SQL = f"""
 """
 
 
-@register(
-    "dedup_simhash",
-    oracle=f"""
-    WITH fps AS ({_SIMHASH_SQL})
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(BIT_COUNT(XOR(a.fp, b.fp)) AS INTEGER) AS hamming
-    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
-    WHERE BIT_COUNT(XOR(a.fp, b.fp)) <= {SIMHASH_MAX_HAMMING}
-    """,
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash over distinct word tokens (bit i of token hash
-    from the md5 hex digits), near-dup = Hamming distance ≤ 3.
-
-    Candidate generation uses 4×8-bit band equality joins — pigeonhole
-    guarantees recall for distance ≤ 3, so the banded plan returns
-    exactly the all-pairs oracle result without an O(n²) join."""
+def _simhash_fps_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One 32-bit fingerprint per doc — the cached stage the banded
+    self-join reads from both sides. One row per token (NOT token ×
+    bit): the 8 hex digits of the md5 prefix become 8 int columns, and
+    the 32 per-bit ±1 sums are 32 aggregate expressions — all inside
+    whole-stage codegen, cutting the pre-shuffle row count 32× vs. a
+    bit-explode formulation."""
     t = load_tables(spark, sf_dir, "documents")["documents"]
     toks = spread(t).select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
-    # One row per token (NOT token × bit): the 8 hex digits of the md5
-    # prefix become 8 int columns, and the 32 per-bit ±1 sums are 32
-    # aggregate expressions — all inside whole-stage codegen, cutting
-    # the pre-shuffle row count 32× vs. a bit-explode formulation.
     h = F.md5("tok")
     tok_v = toks.select(
         "doc_id",
@@ -452,10 +438,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp_expr = sgns["s0"] * 0  # typed zero accumulator
     for b in range(SIMHASH_BITS):
         fp_expr = fp_expr + F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(0)
-    # cache: one 8-byte fingerprint per doc; the banded self-join below
-    # reads it from both sides
-    fps = sgns.select("doc_id", fp_expr.cast("bigint").alias("fp")).cache()
+    return sgns.select("doc_id", fp_expr.cast("bigint").alias("fp"))
 
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH fps AS ({_SIMHASH_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(BIT_COUNT(XOR(a.fp, b.fp)) AS INTEGER) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE BIT_COUNT(XOR(a.fp, b.fp)) <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over distinct word tokens (bit i of token hash
+    from the md5 hex digits), near-dup = Hamming distance ≤ 3.
+
+    Candidate generation uses 4×8-bit band equality joins — pigeonhole
+    guarantees recall for distance ≤ 3, so the banded plan returns
+    exactly the all-pairs oracle result without an O(n²) join."""
+    fps = stage_cached(
+        spark, sf_dir, "simhash_fps", lambda: _simhash_fps_plan(spark, sf_dir)
+    )
     # banded candidate join: 4 bands of 8 bits each
     band_cols = [
         (F.shiftright(F.col("fp"), b * 8) % 256).alias(f"band{b}") for b in range(4)

@@ -177,3 +177,28 @@ def test_page_after_key_pushes_range_and_takes_ordered(spark):
     text = explain_str(df)
     assert "TakeOrderedAndProject" in text
     assert "GlobalLimit" not in text or "TakeOrderedAndProject" in text
+
+
+def test_embedding_near_dup_lsh_is_equality_join(spark):
+    """The LSH near-dup scale path must plan the candidate join as an
+    equality (hash/sort-merge) join on the band key — never a nested
+    loop or cartesian product over the corpus."""
+    from rs_streamloader_spark.operators.similarity import embedding_near_dup_lsh
+
+    df = embedding_near_dup_lsh(spark, SF_SMOKE)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "Join" in text  # the banded self-join is a real equality join
+
+
+def test_ann_ivf_probe_explodes_query_side_only(spark):
+    """nprobe=2 must replicate only the (tiny, broadcast) query side —
+    the corpus stays single-copy with no nested-loop fallback."""
+    from rs_streamloader_spark.operators.similarity import ann_ivf_cells
+
+    df = ann_ivf_cells(spark, SF_SMOKE)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+    assert has_broadcast_join(df), text
