@@ -500,3 +500,47 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+EVAL_SET_MAX_DOC_ID = 50  # doc_id < 50 plays the held-out eval set
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH s AS ({_SHINGLE_SQL}),
+    eval_s AS (
+      SELECT DISTINCT sh FROM s WHERE doc_id < {EVAL_SET_MAX_DOC_ID}
+    )
+    SELECT s.doc_id, COUNT(*) AS n_shared_shingles
+    FROM s JOIN eval_s ON s.sh = eval_s.sh
+    WHERE s.doc_id >= {EVAL_SET_MAX_DOC_ID}
+    GROUP BY s.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-trigram shingle with the held-out eval set (doc_id <
+    {EVAL_SET_MAX_DOC_ID} stands in for the benchmark corpus) — the
+    n-gram-overlap contamination check every LLM training pipeline
+    runs before a data release.
+
+    Plan shape at 100 TB: the eval side reduces to a DISTINCT shingle
+    set (tiny vs the corpus → broadcast), the train side streams
+    through one broadcast-hash semi-join-then-count — the corpus is
+    never self-joined and never shuffled on the shingle. Shares the
+    cached shingle stage with the dedup family."""
+    s = _shingles_cached(spark, sf_dir)
+    eval_sh = (
+        s.filter(F.col("doc_id") < EVAL_SET_MAX_DOC_ID).select("sh").distinct()
+    )
+    return (
+        s.filter(F.col("doc_id") >= EVAL_SET_MAX_DOC_ID)
+        .join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )

@@ -160,3 +160,74 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("fingerprint"),
         F.substring(F.md5("text"), 1, 8).alias("fp_prefix"),
     )
+
+
+PACK_TOKEN_BUDGET = 512
+PACK_N_SHARDS = 16
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % {PACK_N_SHARDS} AS shard,
+             LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS ntok
+      FROM documents
+    ),
+    c AS (
+      SELECT shard, ntok,
+             COALESCE(SUM(ntok) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM toks
+    )
+    SELECT shard,
+           CAST(FLOOR(cum_before / {PACK_TOKEN_BUDGET}) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS bin_tokens
+    FROM c
+    GROUP BY 1, 2
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: documents are packed
+    into fixed token-budget bins ({PACK_TOKEN_BUDGET} tokens) in
+    deterministic doc_id order, sharded {PACK_N_SHARDS} ways so the
+    running-total window parallelizes — a GLOBAL running sum would
+    serialize onto one partition, the classic packing scale trap. Bin
+    assignment is floor(tokens-before-me / budget) within the shard
+    (first-fit in arrival order); the emitted per-bin stats are what a
+    batch builder consumes. At 100 TB the shard count scales with the
+    cluster and each shard's window is one partition of bounded size."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    from pyspark.sql.window import Window
+
+    ntok = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), " ", "")) + 1
+    )
+    toks = t.select(
+        "doc_id", (F.col("doc_id") % PACK_N_SHARDS).alias("shard"), ntok.alias("ntok")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = toks.select(
+        "shard",
+        "ntok",
+        F.coalesce(F.sum("ntok").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return (
+        c.groupBy(
+            "shard",
+            F.floor(F.col("cum_before") / PACK_TOKEN_BUDGET)
+            .cast("bigint")
+            .alias("bin_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("bin_tokens"),
+        )
+    )
