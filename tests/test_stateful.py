@@ -134,3 +134,47 @@ def test_running_user_stats_accumulates_across_batches(spark, tmp_path):
     write_file(src, "b.json", [{"user_id": 1, "value": 2.5}])
     second = run("stateful_b2")
     assert second[1] == (3, 17.5)
+
+
+def test_sessionize_stateful_runs_on_rocksdb_state_store(spark, tmp_path):
+    """The 100 TB state path: the same applyInPandasWithState operator
+    must run unchanged on the RocksDB state store provider (bounded
+    executor memory, state spills to disk) — the provider is config,
+    not code."""
+    from rs_streamloader_spark.streaming.stateful import sessionize_stateful
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    write_file(src, "a.json", [
+        {"user_id": 1, "ts": "2024-01-01T00:00:00"},
+        {"user_id": 1, "ts": "2024-01-01T00:05:00"},
+        {"user_id": 1, "ts": "2024-01-01T02:00:00"},
+    ])
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    closed: list = []
+    try:
+        stream = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP").json(src)
+        q = (
+            sessionize_stateful(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: closed.extend(bdf.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    # the in-batch gap closed the first session immediately
+    assert [(r["user_id"], r["n_events"]) for r in closed] == [(1, 2)]
