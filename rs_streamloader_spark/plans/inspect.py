@@ -49,9 +49,17 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of Exchange (shuffle) operators in the physical plan."""
-    text = explain_str(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", text))
+    """Number of shuffle Exchange operators in the physical plan
+    (broadcast exchanges excluded). Counted in SIMPLE mode — formatted
+    mode splits the operator name from its partitioning arguments, so
+    the pattern would never match there."""
+    text = explain_str(df, "simple")
+    return len(
+        re.findall(
+            r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
+            text,
+        )
+    )
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:

@@ -53,8 +53,8 @@ def test_q5_snowflake_is_broadcast_chain(spark):
     df = q5_local_supplier_volume(spark, SF_SMOKE)
     text = explain_str(df)
     assert text.count("BroadcastHashJoin") >= 3
-    # the only shuffles allowed: lineitem⋈orders sides + final agg
-    assert shuffle_count(df) <= 4, explain_str(df)
+    # every dim broadcasts → the final agg is the only shuffle
+    assert shuffle_count(df) <= 2, explain_str(df, "simple")
 
 
 def test_broadcast_dim_join_no_fact_shuffle_before_join(spark):
@@ -202,3 +202,24 @@ def test_ann_ivf_probe_explodes_query_side_only(spark):
     assert "CartesianProduct" not in text
     assert "BroadcastNestedLoopJoin" not in text
     assert has_broadcast_join(df), text
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Sharded packing must be ONE shuffle on the shard key: the
+    running-total window and the per-bin aggregate share the shard
+    partitioning (a global window would serialize; a second exchange
+    would double the data movement)."""
+    from rs_streamloader_spark.operators.text import pack_sequences
+
+    df = pack_sequences(spark, SF_SMOKE)
+    assert shuffle_count(df) == 1, explain_str(df, "simple")
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval shingle set must broadcast — the training corpus is
+    never shuffled on the shingle key and never self-joined."""
+    from rs_streamloader_spark.operators.dedup import decontaminate_ngram_overlap
+
+    df = decontaminate_ngram_overlap(spark, SF_SMOKE)
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in explain_str(df)
