@@ -223,3 +223,17 @@ def test_decontaminate_broadcasts_eval_side(spark):
     df = decontaminate_ngram_overlap(spark, SF_SMOKE)
     assert has_broadcast_join(df)
     assert "SortMergeJoin" not in explain_str(df)
+
+
+def test_funnel_single_scan_two_shuffles(spark):
+    """The funnel must be the single-pass plan: one events scan + one
+    user_id shuffle (+ the tiny stage-count agg) — not three filtered
+    scans joined together."""
+    import re
+
+    from rs_streamloader_spark.operators.analytic import funnel_stages
+
+    df = funnel_stages(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert len(re.findall(r"(?:File)?Scan parquet", text)) == 1, text
+    assert shuffle_count(df) <= 2
