@@ -104,7 +104,10 @@ _SHINGLE_SQL = """
 
 
 def _shingles(t: DataFrame) -> DataFrame:
-    """Distinct word-trigram shingles per doc (explode-based)."""
+    """Distinct word-trigram shingles per doc (explode-based), with the
+    doc's shingle count ``n`` denormalized onto every row — computed
+    from the pre-explode array size, so it costs a column, not a
+    shuffle, and saves the per-doc-count join in every consumer."""
     ws = F.split(F.col("text"), " ")
     # guard: sequence(0, n) descends for n<0, so gate on size>=3
     grams = F.expr(
@@ -115,7 +118,12 @@ def _shingles(t: DataFrame) -> DataFrame:
     )
     return (
         spread(t).select("doc_id", ws.alias("ws"))
-        .select("doc_id", F.explode(F.array_distinct(grams)).alias("sh"))
+        .select("doc_id", F.array_distinct(grams).alias("gs"))
+        .select(
+            "doc_id",
+            F.size("gs").cast("bigint").alias("n"),
+            F.explode("gs").alias("sh"),
+        )
     )
 
 
@@ -157,19 +165,22 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jaccard_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _shingles_cached(spark, sf_dir)
-    n = s.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = s.alias("a")
     b = s.alias("b")
+    # n rides along on every shingle row, so the per-pair aggregate
+    # picks it up with min() instead of two post-agg count joins
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("i"))
+        .agg(
+            F.count("*").alias("i"),
+            F.min("a.n").alias("na"),
+            F.min("b.n").alias("nb"),
+        )
     )
-    jac = F.col("i").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("i"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
-        inter.join(n.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
-        .join(n.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -362,7 +373,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    n = s.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         cand.join(s.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(
@@ -370,13 +380,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sb.sh") == F.col("sa.sh")),
         )
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
+        .agg(
+            F.count("*").alias("i"),
+            F.min("sa.n").alias("na"),
+            F.min("sb.n").alias("nb"),
+        )
     )
-    jac = F.col("i").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("i"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
-        inter.join(n.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
-        .join(n.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
