@@ -112,22 +112,32 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     Instead of a nested-loop theta join, both sides are bucketed by
     calendar day and joined on the bucket key with the residual range
     predicate — the standard interval-bucketing rewrite that turns an
-    O(n·m) probe into an equi-join shuffle (each probe interval
-    explodes into {RANGE_DAYS} bucket rows)."""
+    O(n·m) probe into an equi-join (each probe interval explodes into
+    {RANGE_DAYS} bucket rows).
+
+    The LEFT-join semantics (probe orders with zero shipments still
+    count) are recovered AFTER an inner join: broadcasting the left
+    side of a left-outer join is impossible, so the naive formulation
+    shuffles the whole fact table on the day key. Here the (small,
+    exploded) probe side broadcasts into an inner join — the fact
+    table streams through unshuffled — and a final tiny left join
+    zero-fills probe orders that matched nothing. Were the probe side
+    too big to broadcast, the day-bucket shuffle join is the
+    fallback."""
     t = load_tables(spark, sf_dir, "orders", "lineitem")
-    probes = (
+    probe_orders = (
         t["orders"]
         .filter(F.col("o_orderkey") % RANGE_ORDER_MOD == 0)
         .select("o_orderkey", "o_orderdate")
-        .withColumn(
-            "day",
-            F.explode(
-                F.sequence(
-                    F.to_date("o_orderdate"),
-                    F.date_add(F.to_date("o_orderdate"), RANGE_DAYS - 1),
-                )
-            ),
-        )
+    )
+    probes = probe_orders.withColumn(
+        "day",
+        F.explode(
+            F.sequence(
+                F.to_date("o_orderdate"),
+                F.date_add(F.to_date("o_orderdate"), RANGE_DAYS - 1),
+            )
+        ),
     )
     ship = t["lineitem"].select(
         "l_orderkey",
@@ -135,24 +145,25 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_shipdate",
         F.to_date("l_shipdate").alias("day"),
     )
-    joined = probes.join(ship, "day", "left").filter(
-        F.col("l_shipdate").isNull()
-        | (
+    agg = (
+        ship.join(F.broadcast(probes), "day")
+        .filter(
             (F.col("l_shipdate") >= F.col("o_orderdate"))
             & (
                 F.col("l_shipdate")
                 < F.col("o_orderdate") + F.expr(f"INTERVAL {RANGE_DAYS} DAY")
             )
         )
-    )
-    return (
-        joined.groupBy("o_orderkey")
+        .groupBy("o_orderkey")
         .agg(
-            F.count("l_orderkey").alias("n_shipments"),
-            F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2).alias(
-                "qty_shipped"
-            ),
+            F.count("l_orderkey").alias("n"),
+            F.sum("l_quantity").alias("qty"),
         )
+    )
+    return probe_orders.join(agg, "o_orderkey", "left").select(
+        "o_orderkey",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_shipments"),
+        F.round(F.coalesce(F.col("qty"), F.lit(0.0)), 2).alias("qty_shipped"),
     )
 
 
