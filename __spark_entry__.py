@@ -50,6 +50,8 @@ def _catalog_order(root: str = _REPO_ROOT) -> list[str]:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):  # unexpected shape — skip, never crash
+            continue
         for name in rows:
             last_seen[name] = max(last_seen.get(name, 0), rnd)
     order = {name: i for i, name in enumerate(REGISTRY)}

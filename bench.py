@@ -53,7 +53,7 @@ def main() -> None:
     # min-of-N runs per query: the min is the steady-state cost (JIT,
     # cache warm, scheduler jitter excluded) and makes round-over-round
     # deltas signal instead of noise
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):
         fn = REGISTRY[name].fn

@@ -69,7 +69,13 @@ class RedshiftSink:
         runner as the load plans."""
         sql = create_table_sql(self.table, schema, if_not_exists=if_not_exists)
         self.executed = [sql]
-        return transaction_query(self.connect, [sql])
+        return transaction_query(
+            self.connect,
+            [sql],
+            max_retries=self.max_retries,
+            backoff_base_s=self.backoff_base_s,
+            backoff_factor=self.backoff_factor,
+        )
 
     def load_staged(
         self,

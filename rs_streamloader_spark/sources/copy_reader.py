@@ -148,11 +148,22 @@ def _read_ignorecase(
 
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
-    raw = _read_raw(spark, path, cs, None)
-    if CORRUPT_COL in raw.columns:
-        # schema inference keeps malformed rows under the corrupt
-        # column — apply the same MAXERROR budget as the exact path
-        raw = enforce_max_error(raw, cs.max_error)
+    if cs.max_error > 0:
+        # inference-based read can't go through _read_raw's schema'd
+        # MAXERROR branch; a PERMISSIVE inference read surfaces
+        # malformed rows under the corrupt column (present only when
+        # any exist), and the same budget applies
+        raw = (
+            _base_reader(spark, cs)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .format("json")
+            .load(path)
+        )
+        if CORRUPT_COL in raw.columns:
+            raw = enforce_max_error(raw, cs.max_error)
+    else:
+        raw = _read_raw(spark, path, cs, None)
     if cs.time_format != "auto":
         lookup = {c.lower(): c for c in raw.columns}
         ts_srcs = [
@@ -166,12 +177,9 @@ def _read_ignorecase(
     return align_columns(raw, schema, "auto ignorecase")
 
 
-def _read_raw(
-    spark: SparkSession,
-    path: str,
-    cs: CopySettings,
-    schema: StructType | str | None,
-) -> DataFrame:
+def _base_reader(spark: SparkSession, cs: CopySettings):
+    """Reader with the charset options applied (shared by the schema'd
+    and inference-based paths)."""
     fmt = cs.format.lower()
     reader = spark.read
     if fmt in ("json", "csv"):
@@ -184,6 +192,17 @@ def _read_raw(
             # use UTF16LE/UTF16BE (the reference exposes both,
             # lib/types.ts:27)
             reader = reader.option("lineSep", "\n")
+    return reader
+
+
+def _read_raw(
+    spark: SparkSession,
+    path: str,
+    cs: CopySettings,
+    schema: StructType | str | None,
+) -> DataFrame:
+    fmt = cs.format.lower()
+    reader = _base_reader(spark, cs)
     if fmt == "csv":
         if cs.quote is not None:
             reader = reader.option("quote", cs.quote)

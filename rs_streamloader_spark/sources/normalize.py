@@ -63,7 +63,15 @@ def to_dataframe(
         if copy_settings is not None:
             from rs_streamloader_spark.sources.copy_reader import read_body
 
-            return read_body(spark, body, copy_settings, schema=schema)
+            # forward the configured columnMap so reader-level
+            # 'auto ignorecase' engages on the Loader path too
+            return read_body(
+                spark,
+                body,
+                copy_settings,
+                schema=schema,
+                column_map=copy_settings.column_map,
+            )
         reader = spark.read
         if schema is not None:
             reader = reader.schema(schema)

@@ -47,12 +47,25 @@ def _close_sessions(
     key: Tuple[Any, ...],
     batches: Iterator[pd.DataFrame],
     state: GroupState,
+    tz_name: str = "UTC",
 ) -> Iterable[pd.DataFrame]:
     """Emit a session row only when the event-time timeout fires —
     i.e. the watermark passed last_event + gap, proving the session
     can no longer grow. The state store holds one (start, last, n)
-    triple per open session per user."""
+    triple per open session per user. ``tz_name`` is the SESSION
+    timezone (bound by :func:`sessionize_stateful`): Arrow hands the
+    pandas UDF tz-naive datetimes localized to
+    ``spark.sql.session.timeZone``, so the epoch for the timeout must
+    be computed in that zone — not UTC blindly, and never the OS-local
+    zone."""
     import datetime as _dt
+
+    try:
+        from zoneinfo import ZoneInfo
+
+        tzinfo = ZoneInfo(tz_name)
+    except Exception:
+        tzinfo = _dt.timezone.utc
 
     (user_id,) = key
     if state.hasTimedOut:
@@ -99,13 +112,11 @@ def _close_sessions(
     closed, (start, last, n) = segments[:-1], segments[-1]
     state.update((start, last, n))
     timeout_at = last + gap
-    # epoch-ms computed from a fixed (UTC) epoch — never the OS-local
-    # timezone — and clamped above the current watermark: a watermark
+    # epoch-ms computed in the session timezone the naive values are
+    # expressed in, clamped above the current watermark: a watermark
     # delay larger than SESSION_GAP_S would otherwise make the timeout
     # <= the watermark, which GroupState rejects and kills the query
-    timeout_ms = int(
-        timeout_at.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000
-    )
+    timeout_ms = int(timeout_at.replace(tzinfo=tzinfo).timestamp() * 1000)
     state.setTimeoutTimestamp(max(state.getCurrentWatermarkMs() + 1, timeout_ms))
     yield pd.DataFrame(
         {
@@ -129,12 +140,31 @@ def sessionize_stateful(events: DataFrame, watermark: str = "0 seconds") -> Data
     the built-in ``session_window`` aggregation, arbitrary per-session
     logic can run at close time (here: emit the completed session;
     in production: score it, write a feature row, fire an alert).
-    State is evicted by the timeout, so memory is O(open sessions)."""
+    State is evicted by the timeout, so memory is O(open sessions).
+
+    The session timezone is captured HERE (driver side) and bound into
+    the state function: the worker receives naive session-local
+    timestamps and must anchor the timeout epoch in that same zone."""
+    import functools
+
+    from pyspark.sql.types import TimestampNTZType
+
+    # TIMESTAMP (instant) values reach pandas localized to the session
+    # timezone; TIMESTAMP_NTZ values are wall-clock and their watermark
+    # epoch treats them as UTC — anchor the timeout accordingly
+    ts_type = events.schema["ts"].dataType
+    if isinstance(ts_type, TimestampNTZType):
+        tz_name = "UTC"
+    else:
+        tz_name = (
+            events.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
+        )
+    fn = functools.partial(_close_sessions, tz_name=tz_name)
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _close_sessions,
+            fn,
             outputStructType=SESSION_OUTPUT,
             stateStructType=SESSION_STATE,
             outputMode="append",

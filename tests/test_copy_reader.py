@@ -290,3 +290,47 @@ def test_read_body_ignorecase_applies_timeformat(spark, tmp_path):
     )
     row = out.collect()[0]
     assert row["ts"].year == 2017 and row["v"] == 1
+
+
+def test_ignorecase_engages_on_loader_path(spark, tmp_path):
+    """CopySettings.column_map must flow through to_dataframe →
+    read_body so the Loader's path bodies get reader-level ignorecase
+    (code-review r2: it was silently dropped, loading NULLs)."""
+    from rs_streamloader_spark.sources.normalize import to_dataframe
+
+    p = tmp_path / "b.json"
+    p.write_text('{"ID": 1, "Text": "a"}\n')
+    df = to_dataframe(
+        spark,
+        str(p),
+        schema="id BIGINT, text STRING",
+        copy_settings=CopySettings(format="JSON", column_map="auto ignorecase"),
+    )
+    assert df.collect()[0].asDict() == {"id": 1, "text": "a"}
+
+
+def test_ignorecase_with_max_error_budget(spark, tmp_path):
+    """MAXERROR + ignorecase must compose: malformed rows count
+    against the budget on the inference path too."""
+    from rs_streamloader_spark.errors import LoaderError
+
+    p = tmp_path / "b.json"
+    p.write_text('{"ID": 1, "Text": "a"}\nnot json at all{{\n{"ID": 2, "Text": "b"}\n')
+    out = read_body(
+        spark, str(p), CopySettings(format="JSON", max_error=1),
+        "id BIGINT, text STRING", column_map="auto ignorecase",
+    )
+    assert {r["id"]: r["text"] for r in out.collect()} == {1: "a", 2: "b"}
+    # budget blown → LoaderError (2 bad rows vs max_error=1)
+    p.write_text('{"ID": 1}\nbad{{\nworse}}\n')
+    with pytest.raises(LoaderError):
+        read_body(
+            spark, str(p), CopySettings(format="JSON", max_error=1),
+            "id BIGINT, text STRING", column_map="auto ignorecase",
+        ).collect()
+    # max_error=0 keeps FAILFAST semantics (parity with the exact path)
+    with pytest.raises(Exception):
+        read_body(
+            spark, str(p), CopySettings(format="JSON", max_error=0),
+            "id BIGINT, text STRING", column_map="auto ignorecase",
+        ).collect()

@@ -178,3 +178,49 @@ def test_sessionize_stateful_runs_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.set(key, prev)
     # the in-batch gap closed the first session immediately
     assert [(r["user_id"], r["n_events"]) for r in closed] == [(1, 2)]
+
+
+def test_sessionize_stateful_non_utc_session_timezone(spark, tmp_path):
+    """Timeout epochs must be anchored in the session timezone the
+    naive pandas timestamps are expressed in (code-review r2): under a
+    UTC-8 session the old UTC anchoring computed timeouts 8h early,
+    closing sessions on the next batch instead of at last+gap."""
+    from rs_streamloader_spark.streaming.stateful import sessionize_stateful
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    closed: list = []
+
+    def run():
+        stream = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP").json(src)
+        q = (
+            sessionize_stateful(stream)
+            .writeStream.foreachBatch(lambda bdf, bid: closed.extend(bdf.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        write_file(src, "a.json", [
+            {"user_id": 1, "ts": "2024-01-01T00:00:00"},
+            {"user_id": 1, "ts": "2024-01-01T00:10:00"},
+        ])
+        run()
+        # a batch 5 min later (watermark moves to 00:15, < 00:10+30m):
+        # the open session must NOT close prematurely
+        write_file(src, "b.json", [{"user_id": 2, "ts": "2024-01-01T00:15:00"}])
+        run()
+        assert closed == [], closed
+        # watermark passes last+gap → now it closes
+        write_file(src, "c.json", [{"user_id": 2, "ts": "2024-01-01T06:00:00"}])
+        run()
+        assert [(r["user_id"], r["n_events"]) for r in closed if r["user_id"] == 1] == [
+            (1, 2)
+        ]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
