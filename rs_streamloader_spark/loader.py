@@ -81,14 +81,26 @@ class Loader:
         )
         self._sources: list[DataFrame] = []
         self._started = False
+        self._aborted = False
         self._listeners: dict[str, list[Callable]] = defaultdict(list)
+        self._staging_ref: TableRef | None = None
+        # sink is assigned BEFORE the file-prefix callable runs — the
+        # reference invokes filePrefix on the fully constructed loader
+        # (RedshiftLoader.ts:128-134), so the callable may read any
+        # attribute, including the sink
+        self.sink = sink
+        bucket = self.options.s3_bucket
+        if bucket and "://" not in bucket and not bucket.startswith("/"):
+            # the reference's s3Bucket option is a bare BUCKET NAME —
+            # a relative local path here would silently stage to the
+            # default FS instead of S3
+            bucket = f"s3a://{bucket}"
         self._staging_root = staging_root or os.path.join(
-            self.options.s3_bucket or "/tmp/rs_streamloader_stage", ""
+            bucket or "/tmp/rs_streamloader_stage", ""
         )
         self.stage_prefix = os.path.join(
             self._staging_root, f"{self._file_prefix()}{self.job_time}_{self.job_id}"
         )
-        self.sink = sink
         if body is not None:
             self.add_source(body)
         for b in bodies or []:
@@ -159,7 +171,7 @@ class Loader:
         from an explicit schema or from the union of the added
         sources. Does not start the load — sources stay addable."""
         if self.sink is None:
-            raise LoaderError(NO_FILES, "create_table requires a sink")
+            raise ValueError("create_table requires a sink")
         if schema is None:
             if not self._sources:
                 raise LoaderError(
@@ -257,8 +269,8 @@ class Loader:
                         self.sink.upsert(
                             staged, id_field=self.options.id_field, dedupe=dedupe
                         )
-            self._emit("progress", {"task": "done"})
-            self._emit("done")
+            self._emit("progress", {"task": "done", "res": "SUCCESS"})
+            self._emit("done", "SUCCESS")  # reference payload, :286-291
             return "SUCCESS"
         except Exception as exc:  # :292-297
             error = exc
@@ -269,10 +281,16 @@ class Loader:
             self._wrap_up(error)
 
     def _wrap_up(self, error: Exception | None = None) -> None:
-        """Apply the S3 cleanup policy (RedshiftLoader.ts:198-257)."""
+        """Apply the S3 cleanup policy (RedshiftLoader.ts:198-257).
+        An aborted job always deletes: abort()'s own delete races the
+        in-flight write (cancelJobGroup is async, tasks may still
+        commit files after it), so the job thread re-deletes here once
+        the write has actually stopped."""
         policy = CleanupPolicy.coerce(self.options.s3_cleanup)
-        should = policy is CleanupPolicy.ALWAYS or (
-            policy is CleanupPolicy.SUCCESS and error is None
+        should = (
+            self._aborted
+            or policy is CleanupPolicy.ALWAYS
+            or (policy is CleanupPolicy.SUCCESS and error is None)
         )
         if should:
             if delete_stage(self.spark, self.stage_prefix):
@@ -282,21 +300,33 @@ class Loader:
     # cancellation (RedshiftLoader.ts:209-223)
     # ------------------------------------------------------------------
     def abort(self) -> None:
-        """Cancel + delete staged objects (RedshiftLoader.ts:219-223)."""
+        """Cancel + delete staged objects (RedshiftLoader.ts:219-223).
+        cancelJobGroup is asynchronous — in-flight tasks may commit
+        files after the delete below, so a concurrent ``_start`` also
+        re-deletes in its wrap-up once its write has stopped."""
         self._started = True  # closes add_source
+        self._aborted = True
         self.spark.sparkContext.cancelJobGroup(self.job_id)
         delete_stage(self.spark, self.stage_prefix)
         self._emit("progress", {"task": "deleteObjects"})
 
     def staging_table(self) -> TableRef:
-        """Unique per-job staging table name (RedshiftLoader.ts:343-350)."""
+        """Unique per-job staging table name (RedshiftLoader.ts:343-350)
+        — generated once and reused, so repeated calls (auditing,
+        monitoring) name the same table."""
         if self.loading_table is not None:
             return self.loading_table
         assert self.table is not None
-        return staging_table_name(self.table, self.job_time)
+        if self._staging_ref is None:
+            self._staging_ref = staging_table_name(self.table, self.job_time)
+        return self._staging_ref
 
     def get_qualified_table(self, which: str = "table") -> str:
-        """Qualified name resolution (RedshiftLoader.ts:258-266)."""
+        """Qualified name resolution (RedshiftLoader.ts:258-266); the
+        reference asserts on unknown table types rather than silently
+        answering."""
+        if which not in ("table", "loading", "loadingTable"):
+            raise ValueError(f"unknown table type: {which!r}")
         ref = self.table if which == "table" else self.staging_table()
         assert ref is not None
         return ref.dotted

@@ -227,16 +227,25 @@ class NativeTableSink:
         if live is None:
             merged = updates
             n = 1
+            cached = None
         else:
+            # updates feeds BOTH the anti-join key side and the union —
+            # cache it so the staged source (or an expensive upstream
+            # plan) is computed once, not twice, in the write job
+            cached = updates.cache()
             target = self.read()
             keep = target.join(
-                updates.select(id_field).distinct(), on=id_field, how="left_anti"
+                cached.select(id_field).distinct(), on=id_field, how="left_anti"
             )
             # schema drift between target and updates NULL-fills the
             # gaps (COPY 'auto' semantics) instead of erroring
-            merged = keep.unionByName(updates, allowMissingColumns=True)
+            merged = keep.unionByName(cached, allowMissingColumns=True)
             n = live[0] + 1
 
         path = self._new_version_path(n)
-        merged.write.parquet(path)
+        try:
+            merged.write.parquet(path)
+        finally:
+            if cached is not None:
+                cached.unpersist()
         self._retire_below(n, path.rsplit("/", 1)[1])

@@ -18,6 +18,7 @@ def attribution_join(
     purchases: DataFrame,
     key: str = "user_id",
     ts_col: str = "ts",
+    id_col: str = "event_id",
     attribution_window: str = "1 hour",
     watermark: str = "2 hours",
 ) -> DataFrame:
@@ -33,12 +34,12 @@ def attribution_join(
     c = c.select(
         F.col(key).alias("c_key"),
         F.col(ts_col).alias("click_ts"),
-        F.col("event_id").alias("click_id"),
+        F.col(id_col).alias("click_id"),
     )
     p = p.select(
         F.col(key).alias("p_key"),
         F.col(ts_col).alias("purchase_ts"),
-        F.col("event_id").alias("purchase_id"),
+        F.col(id_col).alias("purchase_id"),
     )
     return p.join(
         c,
@@ -62,6 +63,7 @@ def attribution_join_outer(
     purchases: DataFrame,
     key: str = "user_id",
     ts_col: str = "ts",
+    id_col: str = "event_id",
     attribution_window: str = "1 hour",
     watermark: str = "10 minutes",
 ) -> DataFrame:
@@ -80,12 +82,12 @@ def attribution_join_outer(
     c = c.select(
         F.col(key).alias("c_key"),
         F.col(ts_col).alias("click_ts"),
-        F.col("event_id").alias("click_id"),
+        F.col(id_col).alias("click_id"),
     )
     p = p.select(
         F.col(key).alias("p_key"),
         F.col(ts_col).alias("purchase_ts"),
-        F.col("event_id").alias("purchase_id"),
+        F.col(id_col).alias("purchase_id"),
     )
     return p.join(
         c,

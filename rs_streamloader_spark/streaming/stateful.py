@@ -39,8 +39,35 @@ def _update_user_stats(
 SESSION_OUTPUT = (
     "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, n_events BIGINT"
 )
-SESSION_STATE = "start TIMESTAMP, last TIMESTAMP, n BIGINT"
+SESSION_STATE = (
+    "starts ARRAY<TIMESTAMP>, lasts ARRAY<TIMESTAMP>, ns ARRAY<BIGINT>"
+)
 SESSION_GAP_S = 30 * 60
+
+
+def _tzinfo_for(tz_name: str):
+    """tzinfo for a Spark session-timezone string. Spark accepts both
+    region ids (zoneinfo) and JVM fixed-offset ids ('GMT+8',
+    'UTC+05:30') that zoneinfo rejects — parse those explicitly; a
+    silent UTC fallback would shift every timeout by the offset."""
+    import datetime as _dt
+    import re as _re
+
+    try:
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(tz_name)
+    except Exception:
+        m = _re.fullmatch(
+            r"(?:GMT|UTC)?\s*([+-])(\d{1,2})(?::?(\d{2}))?", tz_name.strip()
+        )
+        if m:
+            sign = 1 if m.group(1) == "+" else -1
+            offset = _dt.timedelta(
+                hours=int(m.group(2)), minutes=int(m.group(3) or 0)
+            )
+            return _dt.timezone(sign * offset)
+        raise ValueError(f"unrecognized session timezone: {tz_name!r}")
 
 
 def _close_sessions(
@@ -49,57 +76,46 @@ def _close_sessions(
     state: GroupState,
     tz_name: str = "UTC",
 ) -> Iterable[pd.DataFrame]:
-    """Emit a session row only when the event-time timeout fires —
-    i.e. the watermark passed last_event + gap, proving the session
-    can no longer grow. The state store holds one (start, last, n)
-    triple per open session per user. ``tz_name`` is the SESSION
-    timezone (bound by :func:`sessionize_stateful`): Arrow hands the
-    pandas UDF tz-naive datetimes localized to
-    ``spark.sql.session.timeZone``, so the epoch for the timeout must
-    be computed in that zone — not UTC blindly, and never the OS-local
-    zone."""
+    """Watermark-gated sessionization. The state store holds EVERY
+    segment that could still change — the open tail AND gap-closed
+    segments the watermark has not passed yet — so a late event (legal
+    under the watermark delay) still merges into the session it
+    belongs to; emitting a gap-closed segment immediately would freeze
+    it in the append-mode output with no way to retract. A segment is
+    emitted exactly when ``last + gap < watermark``: from then on no
+    admissible event can extend it (anything that could is already
+    below the watermark and dropped upstream).
+
+    ``tz_name`` is the SESSION timezone (bound by
+    :func:`sessionize_stateful`): Arrow hands the pandas UDF tz-naive
+    datetimes localized to ``spark.sql.session.timeZone``, so segment
+    epochs must be computed in that zone — not UTC blindly, and never
+    the OS-local zone."""
     import datetime as _dt
 
-    try:
-        from zoneinfo import ZoneInfo
-
-        tzinfo = ZoneInfo(tz_name)
-    except Exception:
-        tzinfo = _dt.timezone.utc
-
-    (user_id,) = key
-    if state.hasTimedOut:
-        start, last, n = state.get
-        state.remove()
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id],
-                "session_start": [start],
-                "session_end": [last],
-                "n_events": [n],
-            }
-        )
-        return
-    # Segment this batch's events (plus the open session carried in
-    # state) on SESSION_GAP_S: two events of one key more than the gap
-    # apart — in the same micro-batch, or replayed together by an
-    # availableNow backfill before the event-time timeout ever fires —
-    # are DIFFERENT sessions and must not be min/max-merged into one
-    # row spanning the gap. Sessions closed by an in-data gap are
-    # emitted immediately; only the trailing open session stays in
-    # state awaiting its timeout.
+    tzinfo = _tzinfo_for(tz_name)
     gap = _dt.timedelta(seconds=SESSION_GAP_S)
+    gap_ms = SESSION_GAP_S * 1000
+    (user_id,) = key
+
     items: list[list] = []  # [start, last, n]
     if state.exists:
-        s0, l0, n0 = state.get
-        items.append([s0, l0, n0])
-    items += [
-        [t, t, 1]
-        for pdf in batches
-        for t in (x.to_pydatetime() for x in pd.to_datetime(pdf["ts"]))
-    ]
+        starts, lasts, ns = state.get
+        items += [
+            [pd.Timestamp(s).to_pydatetime(), pd.Timestamp(l).to_pydatetime(), int(n)]
+            for s, l, n in zip(starts, lasts, ns)
+        ]
+    if not state.hasTimedOut:
+        items += [
+            [t, t, 1]
+            for pdf in batches
+            for t in (x.to_pydatetime() for x in pd.to_datetime(pdf["ts"]))
+        ]
     if not items:  # defensive: no state and an empty batch
         return
+    # gap-merge: sorted interval union over held segments + new points
+    # (late events merge into HELD segments here — the whole point of
+    # keeping them in state until the watermark passes)
     items.sort(key=lambda x: (x[0], x[1]))
     segments = [items[0]]
     for st, en, c in items[1:]:
@@ -109,21 +125,34 @@ def _close_sessions(
             cur[2] += c
         else:
             segments.append([st, en, c])
-    closed, (start, last, n) = segments[:-1], segments[-1]
-    state.update((start, last, n))
-    timeout_at = last + gap
-    # epoch-ms computed in the session timezone the naive values are
-    # expressed in, clamped above the current watermark: a watermark
-    # delay larger than SESSION_GAP_S would otherwise make the timeout
-    # <= the watermark, which GroupState rejects and kills the query
-    timeout_ms = int(timeout_at.replace(tzinfo=tzinfo).timestamp() * 1000)
-    state.setTimeoutTimestamp(max(state.getCurrentWatermarkMs() + 1, timeout_ms))
+
+    wm_ms = state.getCurrentWatermarkMs()
+
+    def ms(dt) -> int:
+        return int(dt.replace(tzinfo=tzinfo).timestamp() * 1000)
+
+    emit = [s for s in segments if ms(s[1]) + gap_ms < wm_ms]
+    keep = [s for s in segments if ms(s[1]) + gap_ms >= wm_ms]
+    if keep:
+        state.update(
+            (
+                [s[0] for s in keep],
+                [s[1] for s in keep],
+                [s[2] for s in keep],
+            )
+        )
+        # wake when the earliest held segment becomes emittable;
+        # clamped above the watermark (GroupState rejects <= wm)
+        next_ms = min(ms(s[1]) for s in keep) + gap_ms
+        state.setTimeoutTimestamp(max(wm_ms + 1, next_ms))
+    else:
+        state.remove()
     yield pd.DataFrame(
         {
-            "user_id": [user_id] * len(closed),
-            "session_start": [c[0] for c in closed],
-            "session_end": [c[1] for c in closed],
-            "n_events": [c[2] for c in closed],
+            "user_id": [user_id] * len(emit),
+            "session_start": [s[0] for s in emit],
+            "session_end": [s[1] for s in emit],
+            "n_events": [s[2] for s in emit],
         }
     ).astype(
         {

@@ -224,3 +224,48 @@ def test_sessionize_stateful_non_utc_session_timezone(spark, tmp_path):
         ]
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_sessionize_stateful_late_event_bridges_held_sessions(spark, tmp_path):
+    """With a watermark delay, a late event may legally arrive between
+    two gap-separated segments; because gap-closed segments are HELD in
+    state until the watermark passes (not emitted immediately), the
+    late event merges them into the one true session instead of
+    leaving an unretractable split in the append output."""
+    from rs_streamloader_spark.streaming.stateful import sessionize_stateful
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    closed: list = []
+
+    def run():
+        stream = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP").json(src)
+        q = (
+            sessionize_stateful(stream, watermark="1 hour")
+            .writeStream.foreachBatch(lambda bdf, bid: closed.extend(bdf.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # 12:00 and 12:40 are > gap apart — two segments, both held
+    write_file(src, "a.json", [
+        {"user_id": 1, "ts": "2024-01-01T12:00:00"},
+        {"user_id": 1, "ts": "2024-01-01T12:40:00"},
+    ])
+    run()
+    assert closed == []
+    # late 12:15 (legal under the 1h delay) bridges the two segments
+    write_file(src, "b.json", [{"user_id": 1, "ts": "2024-01-01T12:15:00"}])
+    run()
+    # advance the watermark far past 12:40+gap → the ONE merged session emits
+    write_file(src, "c.json", [{"user_id": 2, "ts": "2024-01-02T12:00:00"}])
+    run()
+    ones = [
+        (r["n_events"], r["session_start"].hour, r["session_end"].minute)
+        for r in closed
+        if r["user_id"] == 1
+    ]
+    assert ones == [(3, 12, 40)], closed
