@@ -73,10 +73,27 @@ class TableRef:
 
 _IDENT_OK = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
+# Common SQL/Redshift reserved words that pass the bare-identifier
+# regex but break generated statements when emitted unquoted ('COPY
+# order ...'). Not exhaustive — exotic names still quote via the regex
+# path; this catches the ones people actually name tables/columns.
+_RESERVED = frozenset(
+    """
+    all and any as asc between by case cast check column constraint
+    create cross current_date current_time default delete desc distinct
+    drop else end except exists false for foreign from full group
+    having in inner insert intersect into is join left like limit
+    natural not null of offset on or order outer primary references
+    right select table then to true union unique update user using
+    values when where with
+    """.split()
+)
+
 
 def quote_ident(name: str) -> str:
-    """Quote an SQL identifier unless it is already a safe bare name."""
-    if _IDENT_OK.match(name):
+    """Quote an SQL identifier unless it is already a safe bare name
+    (and not a reserved word)."""
+    if _IDENT_OK.match(name) and name.lower() not in _RESERVED:
         return name
     return '"' + name.replace('"', '""') + '"'
 

@@ -31,11 +31,16 @@ def bpe_ish_tokens(text: str | Column = "text") -> Column:
 
 def marker_word_count(marker: str, text: str | Column = "text") -> Column:
     """Non-overlapping occurrences of ``marker`` as a standalone word
-    (leftmost-first replace semantics — deterministic across engines)."""
+    (leftmost-first replace semantics — deterministic across engines).
+    The marker is regex-escaped so metacharacters ('c++', 'u.s') count
+    literally — and the removed-length arithmetic stays valid because
+    an escaped match length always equals the literal length."""
+    import re
+
     col = F.col(text) if isinstance(text, str) else text
     pad = F.concat(F.lit(" "), col, F.lit(" "))
     removed = F.length(pad) - F.length(
-        F.regexp_replace(pad, F.lit(f" {marker} "), F.lit(" "))
+        F.regexp_replace(pad, F.lit(f" {re.escape(marker)} "), F.lit(" "))
     )
     return (removed / (len(marker) + 1)).cast("bigint")
 

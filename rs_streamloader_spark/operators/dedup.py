@@ -251,7 +251,8 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # labels decrease monotonically, so an unchanged sum ⟺ fixpoint —
     # a single tiny aggregate per step instead of a join + count
     prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(10):  # safeguard; converges in ≤ diameter/2 steps
+    converged = False
+    for _ in range(10):  # converges in ≤ diameter/2 steps
         # two hops fused into one lineage before materializing
         for _hop in range(2):
             neighbor_min = (
@@ -271,8 +272,20 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = labels.localCheckpoint()
         new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # a silent partial result would split one component into
+        # several clusters with several keepers — data corruption for
+        # a dedup decision. Chain-shaped components longer than the
+        # hop cap (20) are pathological for threshold-pair graphs but
+        # must fail loudly, not wrong.
+        raise RuntimeError(
+            "dedup_cluster: label propagation did not converge within "
+            "20 hops — component diameter exceeds the cap; raise the "
+            "iteration cap for this dataset"
+        )
     w = Window.partitionBy("cluster_id")
     return (
         labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))

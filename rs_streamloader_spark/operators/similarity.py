@@ -148,11 +148,15 @@ def _block_pair_scores(pdf):
     mb = np.vstack(b_rows["embedding"].to_numpy()).astype("float64")
     ids_a = a_rows["vec_id"].to_numpy()
     ids_b = b_rows["vec_id"].to_numpy()
-    cos = np.round(
-        (ma @ mb.T)
-        / np.outer(np.sqrt((ma * ma).sum(1)), np.sqrt((mb * mb).sum(1))),
-        6,
+    cos = (ma @ mb.T) / np.outer(
+        np.sqrt((ma * ma).sum(1)), np.sqrt((mb * mb).sum(1))
     )
+    # round half-AWAY-from-zero like SQL ROUND (np.round is half-even,
+    # which can disagree with the oracle exactly on a .5e-6 boundary);
+    # residual risk is BLAS summation order vs the oracle's sequential
+    # fold flipping a last bit within ~1e-13 of a boundary — noted in
+    # the operator docstring
+    cos = np.copysign(np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6, cos)
     hot = cos >= COSINE_THRESHOLD
     lt = ids_a[:, None] < ids_b[None, :]
     i1, j1 = np.nonzero(hot & lt)  # a-side id smaller → (a, b)
@@ -184,8 +188,12 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the 100 TB shape of exact all-pairs similarity: work and
     memory per task are bounded by (corpus/N_BLOCKS)², replication
     factor is N_BLOCKS, no driver involvement. Each unordered pair is
-    scored in exactly one group. Results are identical to the
-    all-pairs oracle (cosines rounded to 6dp on both sides)."""
+    scored in exactly one group. Results match the all-pairs oracle
+    (cosines rounded half-away to 6dp on both sides); the one caveat
+    is numpy's BLAS summation order vs the oracle's sequential fold —
+    a pair whose cosine sits within ~1e-13 of a rounding or threshold
+    boundary could in principle flip, which the exact fold-based
+    queries (ann_*, near_dup_lsh) do not risk."""
     t = _emb_norm_cached(spark, sf_dir)
     base = t.select("vec_id", "embedding", (F.col("vec_id") % N_BLOCKS).alias("blk"))
     replicated = base.select(

@@ -43,10 +43,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays in codegen, no explode)."""
     t = load_tables(spark, sf_dir, "documents")["documents"]
     nonspace = F.length(F.regexp_replace(F.col("text"), " ", ""))
-    ntok = F.length("text") - nonspace + 1
+    ntok = n_tokens()
     return t.select(
         "doc_id",
-        ntok.cast("bigint").alias("n_tokens"),
+        ntok.alias("n_tokens"),
         F.length("text").cast("bigint").alias("n_chars_measured"),
         (nonspace.cast("double") / ntok).alias("avg_token_len"),
     )
@@ -203,11 +203,10 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents")["documents"]
     from pyspark.sql.window import Window
 
-    ntok = (
-        F.length("text") - F.length(F.regexp_replace(F.col("text"), " ", "")) + 1
-    )
     toks = t.select(
-        "doc_id", (F.col("doc_id") % PACK_N_SHARDS).alias("shard"), ntok.alias("ntok")
+        "doc_id",
+        (F.col("doc_id") % PACK_N_SHARDS).alias("shard"),
+        n_tokens().alias("ntok"),
     )
     w = (
         Window.partitionBy("shard")

@@ -107,11 +107,15 @@ def read_body(
                     for f in schema.fields
                 ]
             )
-    df = _read_raw(spark, path, cs, schema)
+    budget_used: dict = {"parse_bad": 0}
+    df = _read_raw(spark, path, cs, schema, budget_used=budget_used)
     if ts_fields:
         # keep the raw strings so a failed conversion is detectable:
         # Redshift COPY counts an unparseable timestamp against
-        # MAXERROR — a silent NULL would be data corruption
+        # MAXERROR — a silent NULL would be data corruption. Parse
+        # errors and timestamp errors share ONE budget, like COPY:
+        # rows already dropped by the parse step consume it first.
+        budget_left = cs.max_error - budget_used["parse_bad"]
         raws = {c: f"__raw_{c}" for c in ts_fields}
         for c, raw in raws.items():
             df = df.withColumn(raw, F.col(c))
@@ -125,12 +129,19 @@ def read_body(
             pred = F.col(raw).isNotNull() & F.col(c).isNull()
             bad_ts = pred if bad_ts is None else (bad_ts | pred)
         df = df.cache()
-        n_bad = df.filter(bad_ts).limit(cs.max_error + 1).count()
-        if n_bad > cs.max_error:
+        try:
+            n_bad = df.filter(bad_ts).limit(max(budget_left, 0) + 1).count()
+        finally:
+            # long-lived sessions run many loads — don't pin every
+            # parsed body in executor storage (the clean read below
+            # re-parses once; bounded, unlike cache accumulation)
+            df.unpersist()
+        if n_bad > budget_left:
             raise LoaderError(
                 MAX_ERROR_EXCEEDED,
-                f"more than maxError={cs.max_error} rows with unparseable"
-                f" TIMEFORMAT '{cs.time_format}' values",
+                f"more than maxError={cs.max_error} total bad rows"
+                f" ({budget_used['parse_bad']} parse +"
+                f" {n_bad} TIMEFORMAT '{cs.time_format}')",
             )
         df = df.filter(~bad_ts).drop(*raws.values())
     return df
@@ -200,7 +211,11 @@ def _read_raw(
     path: str,
     cs: CopySettings,
     schema: StructType | str | None,
+    budget_used: dict | None = None,
 ) -> DataFrame:
+    """``budget_used`` (optional out-param): receives
+    ``{"parse_bad": n}`` so the caller can charge parse failures and
+    later error classes against ONE shared MAXERROR budget."""
     fmt = cs.format.lower()
     reader = _base_reader(spark, cs)
     if fmt == "csv":
@@ -228,7 +243,10 @@ def _read_raw(
             .option("columnNameOfCorruptRecord", CORRUPT_COL)
         )
         df = reader.format(fmt).load(path)
-        return enforce_max_error(df, cs.max_error)
+        clean, n_bad = _enforce_max_error_counted(df, cs.max_error)
+        if budget_used is not None:
+            budget_used["parse_bad"] = n_bad
+        return clean
 
     if schema is not None:
         reader = reader.schema(schema)
@@ -262,17 +280,28 @@ def enforce_max_error(df: DataFrame, max_error: int) -> DataFrame:
     probe is bounded — ``limit(n+1)`` short-circuits the scan as soon
     as the budget is provably blown, so the cost does not grow with
     corruption volume."""
+    return _enforce_max_error_counted(df, max_error)[0]
+
+
+def _enforce_max_error_counted(
+    df: DataFrame, max_error: int
+) -> tuple[DataFrame, int]:
     # Spark disallows referencing ONLY the corrupt column of a raw
-    # json/csv scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache first,
-    # which also makes the probe + clean read a single parse pass
+    # json/csv scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache for the
+    # probe, then release it: a long-lived loader session must not pin
+    # every parsed body in executor storage (the clean read downstream
+    # re-parses once, which is bounded, unlike cache accumulation)
     df = df.cache()
-    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).limit(max_error + 1).count()
+    try:
+        bad = df.filter(F.col(CORRUPT_COL).isNotNull()).limit(max_error + 1).count()
+    finally:
+        df.unpersist()
     if bad > max_error:
         raise LoaderError(
             MAX_ERROR_EXCEEDED,
             f"more than maxError={max_error} unparseable rows in body",
         )
-    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL), bad
 
 
 def apply_time_format(

@@ -24,9 +24,29 @@ from pyspark.sql import DataFrame, SparkSession
 GENERATOR_BATCH_ROWS = 10_000
 
 
-def _jsonl_to_df(spark: SparkSession, text: str) -> DataFrame:
+def _jsonl_to_df(spark: SparkSession, text: str, schema=None) -> DataFrame:
     lines = [ln for ln in text.splitlines() if ln.strip()]
-    return spark.createDataFrame([json.loads(ln) for ln in lines])
+    return spark.createDataFrame([json.loads(ln) for ln in lines], schema=schema)
+
+
+def _csv_text_to_df(
+    spark: SparkSession, text: str, schema=None, copy_settings=None
+) -> DataFrame:
+    """CSV string body → DataFrame honoring the CSV COPY knobs; the
+    reference uploads string bodies verbatim and lets COPY parse them
+    per the format settings, so CSV text is part of the contract."""
+    lines = [ln for ln in text.splitlines() if ln.strip()]
+    reader = spark.read
+    if copy_settings is not None:
+        if copy_settings.quote is not None:
+            reader = reader.option("quote", copy_settings.quote)
+        if copy_settings.delimiter is not None:
+            reader = reader.option("sep", copy_settings.delimiter)
+        if copy_settings.ignore_header:
+            reader = reader.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(spark.sparkContext.parallelize(lines))
 
 
 def _batched(it: Iterator[dict], size: int) -> Iterator[list[dict]]:
@@ -58,7 +78,14 @@ def to_dataframe(
         body = body.decode("utf-8")
     if isinstance(body, str):
         if "\n" in body or body.lstrip().startswith("{"):
-            return _jsonl_to_df(spark, body)
+            # inline text body: parse per the configured COPY format
+            # (the reference uploads the string verbatim and COPY
+            # parses it — utils.ts:66-68)
+            if fmt == "csv":
+                return _csv_text_to_df(
+                    spark, body, schema=schema, copy_settings=copy_settings
+                )
+            return _jsonl_to_df(spark, body, schema=schema)
         # otherwise treat as a path readable by Spark
         if copy_settings is not None:
             from rs_streamloader_spark.sources.copy_reader import read_body
@@ -76,6 +103,8 @@ def to_dataframe(
         if schema is not None:
             reader = reader.schema(schema)
         return reader.format(fmt).load(body)
+    if isinstance(body, dict):  # a single row object — one record
+        return spark.createDataFrame([body], schema=schema)
     if isinstance(body, list):
         return spark.createDataFrame(body, schema=schema)
     if isinstance(body, (Iterator, Iterable)):

@@ -156,3 +156,12 @@ class TestRedaction:
         err = LoaderError("RS_COPY_ERROR", "boom", query="CREDENTIALS AS 'k=v'\nnext")
         assert "k=v" not in err.query
         assert "next" in err.query
+
+
+def test_quote_ident_quotes_reserved_words():
+    from rs_streamloader_spark.config import quote_ident
+
+    assert quote_ident("order") == '"order"'
+    assert quote_ident("USER") == '"USER"'
+    assert quote_ident("safe_name") == "safe_name"
+    assert quote_ident("weird name") == '"weird name"'

@@ -334,3 +334,30 @@ def test_ignorecase_with_max_error_budget(spark, tmp_path):
             spark, str(p), CopySettings(format="JSON", max_error=0),
             "id BIGINT, text STRING", column_map="auto ignorecase",
         ).collect()
+
+
+def test_max_error_budget_shared_across_parse_and_timeformat(spark, tmp_path):
+    """Parse failures and bad TIMEFORMAT values share ONE MAXERROR
+    budget, like Redshift COPY — not a fresh allowance each."""
+    p = tmp_path / "m.json"
+    p.write_text(
+        '{"id": 1, "ts": "1483228800"}\n'
+        "broken{{\n"
+        '{"id": 2, "ts": "not-a-number"}\n'
+    )
+    cs = CopySettings(format="JSON", max_error=2, time_format="epochsecs")
+    out = read_body(spark, str(p), cs, schema="id INT, ts TIMESTAMP")
+    assert [r["id"] for r in out.collect()] == [1]
+    # budget 1: parse failure consumes it, the bad timestamp overflows
+    cs1 = CopySettings(format="JSON", max_error=1, time_format="epochsecs")
+    with pytest.raises(LoaderError) as exc:
+        read_body(spark, str(p), cs1, schema="id INT, ts TIMESTAMP")
+    assert exc.value.code == MAX_ERROR_EXCEEDED
+
+
+def test_marker_word_count_escapes_regex_metachars(spark):
+    from rs_streamloader_spark.functions import marker_word_count
+
+    df = spark.createDataFrame([("we like c++ and c++ a lot",)], "text STRING")
+    assert df.select(marker_word_count("c++").alias("n")).first()["n"] == 2
+    assert df.select(marker_word_count("u.s").alias("n")).first()["n"] == 0

@@ -207,3 +207,35 @@ class TestNaming:
         factory = LoaderFactory(spark, defaults={"id_field": "event_id"})
         ld = factory.create_loader({"table": "t"}, staging_root=stage_root)
         assert ld.options.id_field == "event_id"
+
+
+class TestBodyNormalization:
+    def test_jsonl_string_body_honors_schema(self, spark, stage_root):
+        from rs_streamloader_spark.sources import to_dataframe
+
+        df = to_dataframe(
+            spark, '{"id": 1, "v": 2.5}\n{"id": 2}\n', schema="id BIGINT, v DOUBLE"
+        )
+        assert dict(df.dtypes) == {"id": "bigint", "v": "double"}
+        assert df.count() == 2
+
+    def test_csv_string_body_parses_per_format(self, spark, stage_root):
+        from rs_streamloader_spark.config import CopySettings
+        from rs_streamloader_spark.sources import to_dataframe
+
+        df = to_dataframe(
+            spark,
+            "id|name\n1|alpha\n2|beta\n",
+            fmt="csv",
+            schema="id INT, name STRING",
+            copy_settings=CopySettings(
+                format="CSV", delimiter="|", ignore_header=1
+            ),
+        )
+        assert {r["id"]: r["name"] for r in df.collect()} == {1: "alpha", 2: "beta"}
+
+    def test_single_dict_body_is_one_record(self, spark, stage_root):
+        from rs_streamloader_spark.sources import to_dataframe
+
+        df = to_dataframe(spark, {"id": 7, "v": "x"})
+        assert df.count() == 1 and df.first()["id"] == 7
