@@ -70,6 +70,25 @@ def _tzinfo_for(tz_name: str):
         raise ValueError(f"unrecognized session timezone: {tz_name!r}")
 
 
+def merge_segments(items: list, gap) -> list:
+    """Gap-merge: sorted interval union of ``[start, last, n]`` items
+    (points are ``[t, t, 1]``). Two items belong to one session iff
+    their intervals are within ``gap``; counts add. Pure — the
+    sessionization invariants (order-insensitive, count-preserving,
+    inter-segment gaps > gap) are property-tested."""
+    items = [list(x) for x in items]
+    items.sort(key=lambda x: (x[0], x[1]))
+    segments = [items[0]]
+    for st, en, c in items[1:]:
+        cur = segments[-1]
+        if st <= cur[1] + gap:
+            cur[1] = max(cur[1], en)
+            cur[2] += c
+        else:
+            segments.append([st, en, c])
+    return segments
+
+
 def _close_sessions(
     key: Tuple[Any, ...],
     batches: Iterator[pd.DataFrame],
@@ -116,15 +135,7 @@ def _close_sessions(
     # gap-merge: sorted interval union over held segments + new points
     # (late events merge into HELD segments here — the whole point of
     # keeping them in state until the watermark passes)
-    items.sort(key=lambda x: (x[0], x[1]))
-    segments = [items[0]]
-    for st, en, c in items[1:]:
-        cur = segments[-1]
-        if st <= cur[1] + gap:
-            cur[1] = max(cur[1], en)
-            cur[2] += c
-        else:
-            segments.append([st, en, c])
+    segments = merge_segments(items, gap)
 
     wm_ms = state.getCurrentWatermarkMs()
 

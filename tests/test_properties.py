@@ -95,3 +95,63 @@ def test_timestamp_queries_are_timezone_invariant(spark, query):
     finally:
         spark.conf.set("spark.sql.session.timeZone", original)
     assert utc_rows == ny_rows
+
+
+class TestSegmentMergeProperties:
+    """Property tests for the sessionization gap-merge — the pure core
+    of the stateful operator's correctness."""
+
+    @given(
+        points=st.lists(
+            st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60
+        ),
+        gap=st.integers(min_value=1, max_value=500),
+    )
+    def test_counts_preserved_and_gaps_respected(self, points, gap):
+        from rs_streamloader_spark.streaming.stateful import merge_segments
+
+        segs = merge_segments([[p, p, 1] for p in points], gap)
+        # every event counted exactly once
+        assert sum(s[2] for s in segs) == len(points)
+        # segments ordered, internally consistent, separated by > gap
+        for s in segs:
+            assert s[0] <= s[1]
+        for a, b in zip(segs, segs[1:]):
+            assert b[0] - a[1] > gap
+        # span endpoints are real points
+        pset = set(points)
+        assert all(s[0] in pset and s[1] in pset for s in segs)
+
+    @given(
+        points=st.lists(
+            st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40
+        ),
+        gap=st.integers(min_value=1, max_value=500),
+    )
+    def test_order_insensitive(self, points, gap):
+        from rs_streamloader_spark.streaming.stateful import merge_segments
+
+        a = merge_segments([[p, p, 1] for p in points], gap)
+        b = merge_segments([[p, p, 1] for p in reversed(points)], gap)
+        assert a == b
+
+    @given(
+        points=st.lists(
+            st.integers(min_value=0, max_value=5_000), min_size=2, max_size=40
+        ),
+        gap=st.integers(min_value=1, max_value=300),
+        split=st.integers(min_value=1, max_value=39),
+    )
+    def test_incremental_equals_batch(self, points, gap, split):
+        """Merging a prefix, then merging the result with the rest,
+        equals merging everything at once — the invariant that makes
+        held-state + late-event merging correct across micro-batches."""
+        from rs_streamloader_spark.streaming.stateful import merge_segments
+
+        split = min(split, len(points) - 1)
+        full = merge_segments([[p, p, 1] for p in points], gap)
+        first = merge_segments([[p, p, 1] for p in points[:split]], gap)
+        second = merge_segments(
+            first + [[p, p, 1] for p in points[split:]], gap
+        )
+        assert second == full
