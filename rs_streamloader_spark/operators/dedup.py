@@ -505,7 +505,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "fp", "band.bi", "band.bv")
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    hamming = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).cast("int")
+    # hamming filter BEFORE the distinct: the dedup then runs over the
+    # (small) surviving near-dup set, not every in-bucket candidate —
+    # candidates in dense buckets dominate the join output
+    return (
         a.join(
             b,
             (F.col("a.bi") == F.col("b.bi"))
@@ -515,15 +519,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.fp").alias("fp_a"),
-            F.col("b.fp").alias("fp_b"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
-    return (
-        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
     )
 
 
