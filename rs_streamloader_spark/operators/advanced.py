@@ -369,3 +369,70 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join (interval × interval, vs join_range's point × interval)
+# ---------------------------------------------------------------------------
+
+OVERLAP_MOD = 40  # two disjoint 1/40 order samples play the interval sets
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderkey AS a_key, CAST(o_orderdate AS DATE) AS a_start,
+             CAST(o_orderdate AS DATE) + INTERVAL {RANGE_DAYS} DAY AS a_end
+      FROM orders WHERE o_orderkey % {OVERLAP_MOD} = 0
+    ), b AS (
+      SELECT o_orderkey AS b_key, CAST(o_orderdate AS DATE) AS b_start,
+             CAST(o_orderdate AS DATE) + INTERVAL {RANGE_DAYS} DAY AS b_end
+      FROM orders WHERE o_orderkey % {OVERLAP_MOD} = 1
+    )
+    SELECT a_key, b_key,
+           CAST(DATE_DIFF('day', GREATEST(a_start, b_start),
+                          LEAST(a_end, b_end)) AS BIGINT) AS n_overlap_days
+    FROM a JOIN b ON a_start < b_end AND b_start < a_end
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join — the temporal-join shape
+    (reservations × outages, visits × campaigns) that a naive plan
+    executes as a nested loop over every pair.
+
+    Day-bucketing rewrite: each half-open [start, start+{RANGE_DAYS}d)
+    interval explodes to its covered days and the join is an EQUALITY
+    join on the day; for day-granular intervals sharing-a-day ⟺
+    overlapping, so the rewrite is exact, and the per-pair group count
+    IS the overlap length in days — no residual predicate needed. At
+    scale both sides explode by only the interval length (bounded
+    fan-out) and AQE broadcasts the smaller side; arbitrary-precision
+    intervals use the same plan with a coarser bucket + residual
+    overlap predicate."""
+    t = load_tables(spark, sf_dir, "orders")["orders"]
+
+    def side(mod_val: int, prefix: str) -> DataFrame:
+        return (
+            t.filter(F.col("o_orderkey") % OVERLAP_MOD == mod_val)
+            .select(
+                F.col("o_orderkey").alias(f"{prefix}_key"),
+                F.to_date("o_orderdate").alias(f"{prefix}_start"),
+            )
+            .withColumn(
+                "day",
+                F.explode(
+                    F.sequence(
+                        F.col(f"{prefix}_start"),
+                        F.date_add(F.col(f"{prefix}_start"), RANGE_DAYS - 1),
+                    )
+                ),
+            )
+        )
+
+    return (
+        side(0, "a")
+        .join(side(1, "b"), "day")
+        .groupBy("a_key", "b_key")
+        .agg(F.count("*").cast("bigint").alias("n_overlap_days"))
+    )
