@@ -237,3 +237,14 @@ def test_funnel_single_scan_two_shuffles(spark):
     text = explain_str(df, "simple")
     assert len(re.findall(r"(?:File)?Scan parquet", text)) == 1, text
     assert shuffle_count(df) <= 2
+
+
+def test_interval_overlap_is_equality_join(spark):
+    """The interval×interval join must plan as a day-bucket equality
+    join (broadcast or shuffled) — never a nested loop over pairs."""
+    from rs_streamloader_spark.operators.advanced import join_interval_overlap
+
+    df = join_interval_overlap(spark, SF_SMOKE)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text

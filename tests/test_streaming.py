@@ -340,3 +340,26 @@ class TestWindows:
             ("click", 2),
             ("view", 1),
         ]
+
+
+def test_attribution_join_custom_column_names(spark, tmp_path):
+    """key/ts_col/id_col are all honored — streams with differently
+    named columns join without renames at the call site."""
+    from rs_streamloader_spark.streaming.joins import attribution_join
+
+    clicks = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 101)],
+        "acct BIGINT, at STRING, click_uuid BIGINT",
+    ).selectExpr("acct", "CAST(at AS TIMESTAMP) AS at", "click_uuid")
+    purchases = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00", 201)],
+        "acct BIGINT, at STRING, order_uuid BIGINT",
+    ).selectExpr("acct", "CAST(at AS TIMESTAMP) AS at", "order_uuid")
+    out = attribution_join(
+        clicks.withColumnRenamed("click_uuid", "eid"),
+        purchases.withColumnRenamed("order_uuid", "eid"),
+        key="acct",
+        ts_col="at",
+        id_col="eid",
+    ).collect()
+    assert [(r["purchase_id"], r["click_id"]) for r in out] == [(201, 101)]
