@@ -10,14 +10,32 @@ The reference's three load modes (lib/RedshiftLoader.ts:267-275,
   ``target ANTI-JOIN updates ON id`` ∪ ``updates``, committed as a new
   version — the plain-parquet stand-in for a Delta ``MERGE INTO``.
 
-Commit protocol: versioned directories ``v_<n>_<uuid>`` where the
-commit marker is the ``_SUCCESS`` file Spark's output committer writes
-atomically at job completion. Readers resolve the committed version
-with the highest ``n`` — there is no pointer file to corrupt and no
-rename window: a crash mid-write leaves an uncommitted (ignored)
-directory, a crash after commit but before old-version cleanup leaves
-two committed versions of which the newer wins deterministically.
-Leftover directories are retired on the next successful commit.
+Commit protocol: versioned directories where the commit marker is the
+``_SUCCESS`` file Spark's output committer writes atomically at job
+completion. Readers resolve committed versions only — a crash
+mid-write leaves an uncommitted (ignored) directory, a crash after
+commit but before old-version cleanup leaves two committed versions of
+which the newer wins deterministically. Leftover directories are
+retired on the next successful commit.
+
+Two physical layouts:
+
+- **Unbucketed (default)**: one flat version directory per commit,
+  ``v_<n>_<uuid>``; upsert rewrites the whole table. Simple, correct,
+  and fine for small/medium tables.
+- **Bucketed (``num_buckets=N``)**: rows are hash-assigned to N key
+  buckets (``pmod(hash(cast(key as string)), N)``) written as
+  ``__b=<k>/`` partition subdirectories. Full versions keep the
+  ``v_<n>_<uuid>`` name; upserts/appends commit *delta* versions
+  ``d_<n>_<uuid>`` containing ONLY the buckets whose keys appear in
+  the batch. Readers resolve each bucket to the newest committed
+  version containing it, flooring at the newest full version (a full
+  version defines absent buckets as empty — so TRUNCATE cannot
+  resurrect older rows). This is the reference's touch-only-matched-
+  keys upsert (RedshiftLoader.ts:377-380) on the native path: a 0.1%
+  update batch rewrites ~0.1%·N buckets, not 100 TB. The bucket count
+  and key live in ``_bucketspec`` at the table root so re-opened
+  sinks bucket identically.
 
 Reference upsert semantics are preserved exactly: duplicate ids
 *within* a batch all survive (the reference COPYs every temp row into
@@ -25,11 +43,15 @@ the target — RedshiftLoader.ts:379-380). ``dedupe='last'`` opts into
 the saner latest-wins variant via a ranking window.
 
 Scale: the anti-join shuffles on the id; updates are typically << target,
-so AQE broadcasts them. No driver-side row handling anywhere.
+so AQE broadcasts them. The only driver-side materialization anywhere
+is the ≤N-element distinct-bucket list of an update batch. Writers are
+single-job; concurrent writers to one table must be externally
+serialized (same assumption as the reference's per-job loader).
 """
 
 from __future__ import annotations
 
+import json
 import re
 import uuid
 
@@ -37,16 +59,96 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-_VERSION_RE = re.compile(r"^v_(\d+)_[0-9a-f]+$")
+_VERSION_RE = re.compile(r"^v_(\d+)_[0-9a-f]+$")  # full version
+_DELTA_RE = re.compile(r"^d_(\d+)_(?:b(\d+)_)?[0-9a-f]+$")  # bucket delta
+BUCKET_COL = "__b"
+
+
+def _version_of(name: str) -> tuple[int, bool] | None:
+    """(version number, is_full) for a version dirname, else None."""
+    m = _VERSION_RE.match(name)
+    if m:
+        return int(m.group(1)), True
+    m = _DELTA_RE.match(name)
+    if m:
+        return int(m.group(1)), False
+    return None
 
 
 class NativeTableSink:
     """A parquet table rooted at ``{root}``, stored as committed
-    version directories (see module docstring for the protocol)."""
+    version directories (see module docstring for the protocol).
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``num_buckets``/``bucket_by`` opt into the hash-bucketed layout;
+    both are persisted in ``{root}/_bucketspec`` on first write and
+    re-read on construction, so they only need to be passed when
+    creating a new bucketed table.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        num_buckets: int | None = None,
+        bucket_by: str = "id",
+    ):
         self.spark = spark
         self.root = root.rstrip("/")
+        self._spec_schema_json: str | None = None
+        spec = self._read_spec()
+        if spec is not None:
+            self.num_buckets = int(spec["num_buckets"])
+            self.bucket_by = spec["bucket_by"]
+            self._spec_schema_json = spec.get("schema")
+        else:
+            self.num_buckets = num_buckets
+            self.bucket_by = bucket_by
+            if num_buckets and self._live() is not None:
+                raise ValueError(
+                    f"existing table at {self.root} was written unbucketed; "
+                    "cannot reopen with num_buckets (rewrite via trunc_insert "
+                    "on a fresh bucketed root instead)"
+                )
+
+    @property
+    def bucketed(self) -> bool:
+        return bool(self.num_buckets)
+
+    # ------------------------------------------------------------------
+    # bucket spec (bucketed tables only)
+    # ------------------------------------------------------------------
+    def _spec_jpath(self):
+        return self._fs(f"{self.root}/_bucketspec")
+
+    def _read_spec(self) -> dict | None:
+        fs, jpath, jvm = self._spec_jpath()
+        if not fs.exists(jpath):
+            return None
+        stream = fs.open(jpath)
+        try:
+            raw = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        finally:
+            stream.close()
+        return json.loads(bytes(raw).decode("utf-8"))
+
+    def _save_spec(self, schema) -> None:
+        """Persist bucket count/key (+ the latest schema, used to read
+        an empty bucketed table). Written after commit: a crash in the
+        window only costs the schema refresh, never data visibility."""
+        self._spec_schema_json = schema.json()
+        payload = json.dumps(
+            {
+                "num_buckets": self.num_buckets,
+                "bucket_by": self.bucket_by,
+                "schema": self._spec_schema_json,
+            }
+        )
+        fs, jpath, _ = self._spec_jpath()
+        stream = fs.create(jpath, True)
+        try:
+            stream.write(bytearray(payload.encode("utf-8")))
+        finally:
+            stream.close()
 
     # ------------------------------------------------------------------
     # version resolution
@@ -68,8 +170,8 @@ class NativeTableSink:
             if not status.isDirectory():
                 continue
             name = status.getPath().getName()
-            m = _VERSION_RE.match(name)
-            if not m:
+            v = _version_of(name)
+            if v is None:
                 continue
             vdir = f"{self.root}/{name}"
             fs2, success, _ = self._fs(f"{vdir}/_SUCCESS")
@@ -86,7 +188,7 @@ class NativeTableSink:
                             committed = True
                             break
             if committed:
-                out.append((int(m.group(1)), name))
+                out.append((v[0], name))
         return sorted(out)
 
     def _committed_data_paths(self) -> list[str]:
@@ -117,6 +219,10 @@ class NativeTableSink:
     def _new_version_path(self, n: int) -> str:
         return f"{self.root}/v_{n}_{uuid.uuid4().hex[:8]}"
 
+    def _new_delta_path(self, n: int, batch_id: int | None = None) -> str:
+        tag = f"b{batch_id}_" if batch_id is not None else ""
+        return f"{self.root}/d_{n}_{tag}{uuid.uuid4().hex[:8]}"
+
     def _retire_below(self, keep_n: int, keep_name: str) -> None:
         """Delete committed and stale uncommitted dirs older than the
         winner (best-effort; failures leave garbage, never bad reads)."""
@@ -125,9 +231,97 @@ class NativeTableSink:
             return
         for status in fs.listStatus(root):
             name = status.getPath().getName()
-            m = _VERSION_RE.match(name)
-            if m and name != keep_name and int(m.group(1)) <= keep_n:
+            v = _version_of(name)
+            if v is not None and name != keep_name and v[0] <= keep_n:
                 fs.delete(status.getPath(), True)
+
+    # ------------------------------------------------------------------
+    # bucketed layout
+    # ------------------------------------------------------------------
+    def _bucket_expr(self):
+        # cast-to-string before hashing so an int→bigint drift between
+        # batches cannot silently re-home keys to different buckets
+        return F.pmod(
+            F.hash(F.col(self.bucket_by).cast("string")), F.lit(self.num_buckets)
+        )
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        if BUCKET_COL in df.columns:
+            raise ValueError(f"column name {BUCKET_COL!r} is reserved")
+        if self.bucket_by not in df.columns:
+            raise ValueError(
+                f"bucketed table keyed on {self.bucket_by!r}; batch lacks it"
+            )
+        return df.withColumn(BUCKET_COL, self._bucket_expr())
+
+    def _bucket_dirs_of(self, vdir: str) -> dict[int, str]:
+        """{bucket -> path} for the ``__b=k`` subdirs of a version."""
+        fs, jpath, _ = self._fs(vdir)
+        out = {}
+        if not fs.exists(jpath):
+            return out
+        for status in fs.listStatus(jpath):
+            if status.isDirectory():
+                name = status.getPath().getName()
+                if name.startswith(BUCKET_COL + "="):
+                    out[int(name.split("=", 1)[1])] = f"{vdir}/{name}"
+        return out
+
+    def _bucket_winning_paths(self) -> dict[int, str]:
+        """Resolve each bucket to the newest committed version that
+        contains it, flooring at the newest full version (whose absent
+        buckets are empty by definition)."""
+        won: dict[int, str] = {}
+        for n, name in reversed(self._committed_versions()):
+            vdir = f"{self.root}/{name}"
+            for k, path in self._bucket_dirs_of(vdir).items():
+                won.setdefault(k, path)
+            if _version_of(name)[1]:  # full version: the floor
+                break
+        return won
+
+    def _touched_buckets(self, bucketed_df: DataFrame) -> list[int]:
+        # driver-side list bounded by num_buckets, never by data size
+        return sorted(
+            r[BUCKET_COL]
+            for r in bucketed_df.select(BUCKET_COL).distinct().collect()
+        )
+
+    def _read_buckets(self, paths: list[str]) -> DataFrame | None:
+        if not paths:
+            return None
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def _write_full(self, df: DataFrame, n: int) -> None:
+        path = self._new_version_path(n)
+        self._with_bucket(df).write.partitionBy(BUCKET_COL).parquet(path)
+        self._save_spec(df.schema)
+        self._retire_below(n - 1, "")
+
+    def _write_delta(
+        self, merged_b: DataFrame, n: int, touched: list[int], batch_id: int | None = None
+    ) -> None:
+        """Commit a delta version holding only ``touched`` buckets,
+        then prune the now-shadowed copies of those buckets from older
+        versions (a full version dir itself always survives as the
+        empty-bucket floor; a fully-pruned delta dir is removed)."""
+        path = self._new_delta_path(n, batch_id)
+        merged_b.write.partitionBy(BUCKET_COL).parquet(path)
+        schema = merged_b.drop(BUCKET_COL).schema
+        self._save_spec(schema)
+        keep_name = path.rsplit("/", 1)[1]
+        touched_set = set(touched)
+        for vn, name in self._committed_versions():
+            if name == keep_name or vn >= n:
+                continue
+            vdir = f"{self.root}/{name}"
+            dirs = self._bucket_dirs_of(vdir)
+            for k in touched_set & set(dirs):
+                fs, jpath, _ = self._fs(dirs[k])
+                fs.delete(jpath, True)
+            if not _version_of(name)[1] and not (set(dirs) - touched_set):
+                fs, jpath, _ = self._fs(vdir)
+                fs.delete(jpath, True)
 
     # ------------------------------------------------------------------
     # public surface
@@ -146,6 +340,18 @@ class NativeTableSink:
         # union of committed data roots only — in-flight/crashed append
         # subdirs are invisible; mergeSchema so appends that widened
         # the schema surface every column (missing → NULL)
+        if self.bucketed:
+            paths = sorted(self._bucket_winning_paths().values())
+            df = self._read_buckets(paths)
+            if df is not None:
+                return df
+            # empty bucketed table: schema comes from the spec
+            if self._spec_schema_json:
+                from pyspark.sql.types import StructType
+
+                schema = StructType.fromJson(json.loads(self._spec_schema_json))
+                return self.spark.createDataFrame([], schema)
+            raise FileNotFoundError(f"empty bucketed table {self.root} has no schema")
         paths = self._committed_data_paths()
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
@@ -163,13 +369,25 @@ class NativeTableSink:
         if isinstance(schema, str):
             schema = StructType.fromDDL(schema)
         empty = self.spark.createDataFrame([], schema)
-        empty.write.parquet(self._new_version_path(1))
+        if self.bucketed:
+            # zero-row full version: just the floor marker + spec schema
+            empty.write.parquet(self._new_version_path(1))
+            self._save_spec(schema)
+        else:
+            empty.write.parquet(self._new_version_path(1))
 
     def insert(self, df: DataFrame) -> None:
         """M1: append parts to the table (RedshiftLoader.ts:364-366).
-        Each append is its own commit subdir (own ``_SUCCESS``), so a
-        crash mid-append leaves an ignored directory — never a
-        partially visible batch inside a committed version."""
+
+        Unbucketed: each append is its own commit subdir (own
+        ``_SUCCESS``), so a crash mid-append leaves an ignored
+        directory — never a partially visible batch inside a committed
+        version. Bucketed: the batch's rows are folded into their
+        buckets (existing bucket content ∪ new rows) and committed as
+        a delta touching only those buckets."""
+        if self.bucketed:
+            self._bucketed_append(df, batch_id=None)
+            return
         live = self._live()
         vdir = (
             self._new_version_path(1) if live is None else f"{self.root}/{live[1]}"
@@ -181,17 +399,53 @@ class NativeTableSink:
         ``batch_<id>`` of the live version and writes it with
         overwrite, so a replayed batch (streaming checkpoint recovery)
         lands exactly once instead of duplicating — the batchId-keyed
-        staging contract of SURVEY.md §2.4's exactly-once row."""
+        staging contract of SURVEY.md §2.4's exactly-once row.
+        Bucketed: the batch id is carried in the delta dirname
+        (``d_<n>_b<id>_…``) and a replay of an already-committed batch
+        is skipped."""
+        if self.bucketed:
+            for _, name in self._committed_versions():
+                m = _DELTA_RE.match(name)
+                if m and m.group(2) is not None and int(m.group(2)) == batch_id:
+                    return  # replayed batch: already committed
+            self._bucketed_append(df, batch_id=batch_id)
+            return
         live = self._live()
         vdir = (
             self._new_version_path(1) if live is None else f"{self.root}/{live[1]}"
         )
         df.write.mode("overwrite").parquet(f"{vdir}/batch_{batch_id}")
 
+    def _bucketed_append(self, df: DataFrame, batch_id: int | None) -> None:
+        live = self._live()
+        if live is None:
+            self._write_full(df, 1)
+            return
+        new_b = self._with_bucket(df).cache()
+        try:
+            touched = self._touched_buckets(new_b)
+            won = self._bucket_winning_paths()
+            existing = self._read_buckets([won[k] for k in touched if k in won])
+            merged = (
+                new_b
+                if existing is None
+                else self._with_bucket(existing).unionByName(
+                    new_b, allowMissingColumns=True
+                )
+            )
+            self._write_delta(merged, live[0] + 1, touched, batch_id)
+        finally:
+            new_b.unpersist()
+
     def trunc_insert(self, df: DataFrame) -> None:
-        """M2: TRUNCATE + COPY ≈ overwrite (RedshiftLoader.ts:367-368)."""
+        """M2: TRUNCATE + COPY ≈ overwrite (RedshiftLoader.ts:367-368).
+        Bucketed: a new full version — absent buckets are empty, so
+        truncated rows can never resurface from older deltas."""
         live = self._live()
         n = 1 if live is None else live[0] + 1
+        if self.bucketed:
+            self._write_full(df, n)
+            return
         path = self._new_version_path(n)
         df.write.parquet(path)
         self._retire_below(n, path.rsplit("/", 1)[1])
@@ -204,6 +458,12 @@ class NativeTableSink:
         id via a ranking window (latest physical order wins is
         undefined in the reference, so we require a deterministic
         variant: the max over remaining columns' struct).
+
+        Bucketed tables rewrite ONLY the buckets containing updated
+        ids (anti-join scoped to those buckets), committed as a delta
+        version — the reference's touch-only-matched-keys DELETE+
+        INSERT (RedshiftLoader.ts:377-380) instead of a full-table
+        rewrite.
         """
         if dedupe == "last":
             others = [c for c in updates.columns if c != id_field]
@@ -222,6 +482,15 @@ class NativeTableSink:
                 )
         elif dedupe is not None:
             raise ValueError(f"unknown dedupe mode: {dedupe!r}")
+
+        if self.bucketed:
+            if id_field != self.bucket_by:
+                raise ValueError(
+                    f"bucketed table keyed on {self.bucket_by!r}; "
+                    f"upsert on {id_field!r} cannot prune buckets"
+                )
+            self._bucketed_upsert(updates, id_field)
+            return
 
         live = self._live()
         if live is None:
@@ -249,3 +518,28 @@ class NativeTableSink:
             if cached is not None:
                 cached.unpersist()
         self._retire_below(n, path.rsplit("/", 1)[1])
+
+    def _bucketed_upsert(self, updates: DataFrame, id_field: str) -> None:
+        live = self._live()
+        if live is None:
+            self._write_full(updates, 1)
+            return
+        upd_b = self._with_bucket(updates).cache()
+        try:
+            touched = self._touched_buckets(upd_b)
+            won = self._bucket_winning_paths()
+            target = self._read_buckets([won[k] for k in touched if k in won])
+            if target is None:
+                merged = upd_b
+            else:
+                keep = target.join(
+                    updates.select(id_field).distinct(),
+                    on=id_field,
+                    how="left_anti",
+                )
+                merged = self._with_bucket(keep).unionByName(
+                    upd_b, allowMissingColumns=True
+                )
+            self._write_delta(merged, live[0] + 1, touched)
+        finally:
+            upd_b.unpersist()

@@ -1,0 +1,157 @@
+"""Physical-layout tests for the hash-bucketed native sink: an upsert
+of k keys rewrites only the buckets containing those keys, never the
+whole table (the reference's touch-only-matched-keys DELETE+INSERT,
+RedshiftLoader.ts:377-380, as a lake layout)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rs_streamloader_spark.sinks.native import BUCKET_COL, NativeTableSink
+
+N_BUCKETS = 8
+
+
+def _rows(spark, ids, tag="base"):
+    return spark.createDataFrame(
+        [(i, f"{tag}_{i}") for i in ids], "id INT, payload STRING"
+    )
+
+
+def _version_dirs(root):
+    return sorted(
+        d for d in os.listdir(root) if d.startswith(("v_", "d_"))
+    )
+
+
+def _bucket_subdirs(root, vdir):
+    return sorted(
+        d
+        for d in os.listdir(os.path.join(root, vdir))
+        if d.startswith(BUCKET_COL + "=")
+    )
+
+
+def _expected_buckets(spark, ids):
+    df = _rows(spark, ids).select(
+        F.pmod(F.hash(F.col("id").cast("string")), F.lit(N_BUCKETS)).alias("b")
+    )
+    return sorted({r.b for r in df.distinct().collect()})
+
+
+@pytest.fixture()
+def sink(spark, tmp_path):
+    return NativeTableSink(
+        spark, str(tmp_path / "tbl"), num_buckets=N_BUCKETS, bucket_by="id"
+    )
+
+
+class TestBucketedLayout:
+    def test_upsert_rewrites_only_touched_buckets(self, spark, sink):
+        sink.upsert(_rows(spark, range(200)), id_field="id")
+        root = sink.root
+        (full,) = _version_dirs(root)
+        assert full.startswith("v_1_")
+        assert len(_bucket_subdirs(root, full)) == N_BUCKETS
+
+        upd_ids = [3, 7, 11]
+        touched = _expected_buckets(spark, upd_ids)
+        sink.upsert(_rows(spark, upd_ids, tag="upd"), id_field="id")
+
+        dirs = _version_dirs(root)
+        deltas = [d for d in dirs if d.startswith("d_2_")]
+        assert len(deltas) == 1, dirs
+        # the delta holds exactly the touched buckets — the partial
+        # rewrite the whole feature exists for
+        delta_buckets = [
+            int(d.split("=")[1]) for d in _bucket_subdirs(root, deltas[0])
+        ]
+        assert delta_buckets == touched
+        assert len(delta_buckets) < N_BUCKETS
+        # shadowed copies are pruned from the full version; untouched
+        # buckets stay exactly where they were
+        full_buckets = [int(d.split("=")[1]) for d in _bucket_subdirs(root, full)]
+        assert full_buckets == [b for b in range(N_BUCKETS) if b not in touched]
+
+        got = {(r.id, r.payload) for r in sink.read().collect()}
+        want = {(i, f"upd_{i}") for i in upd_ids} | {
+            (i, f"base_{i}") for i in range(200) if i not in upd_ids
+        }
+        assert got == want
+
+    def test_trunc_insert_floors_older_deltas(self, spark, sink):
+        sink.upsert(_rows(spark, range(50)), id_field="id")
+        sink.upsert(_rows(spark, [1, 2], tag="upd"), id_field="id")
+        sink.trunc_insert(_rows(spark, [100, 101], tag="fresh"))
+        got = {(r.id, r.payload) for r in sink.read().collect()}
+        assert got == {(100, "fresh_100"), (101, "fresh_101")}
+        # old versions retired outright by the new full version
+        assert all(d.startswith("v_3_") for d in _version_dirs(sink.root))
+
+    def test_insert_appends_within_buckets(self, spark, sink):
+        sink.insert(_rows(spark, range(10)))
+        sink.insert(_rows(spark, [3, 4], tag="extra"))
+        df = sink.read()
+        assert df.count() == 12  # append: no key replacement
+        assert df.filter(F.col("id") == 3).count() == 2
+
+    def test_insert_batch_replay_is_idempotent(self, spark, sink):
+        sink.insert_batch(_rows(spark, range(10)), batch_id=0)
+        sink.insert_batch(_rows(spark, [1, 2], tag="b1"), batch_id=1)
+        sink.insert_batch(_rows(spark, [1, 2], tag="b1"), batch_id=1)  # replay
+        assert sink.read().count() == 12
+
+    def test_reopen_reads_bucketspec(self, spark, sink):
+        sink.upsert(_rows(spark, range(20)), id_field="id")
+        reopened = NativeTableSink(sink.spark, sink.root)  # no params
+        assert reopened.bucketed and reopened.num_buckets == N_BUCKETS
+        reopened.upsert(_rows(spark, [5], tag="upd"), id_field="id")
+        assert reopened.read().filter("payload = 'upd_5'").count() == 1
+        # the reopened sink pruned buckets too (one delta, not a full copy)
+        assert any(d.startswith("d_2_") for d in _version_dirs(sink.root))
+
+    def test_duplicate_ids_compat_and_dedupe_last(self, spark, sink):
+        sink.upsert(_rows(spark, range(5)), id_field="id")
+        dup = spark.createDataFrame(
+            [(1, "a"), (1, "b")], "id INT, payload STRING"
+        )
+        sink.upsert(dup, id_field="id")  # compat: both rows land
+        assert sink.read().filter("id = 1").count() == 2
+        sink.upsert(dup, id_field="id", dedupe="last")
+        rows = sink.read().filter("id = 1").collect()
+        assert [(r.id, r.payload) for r in rows] == [(1, "b")]
+
+    def test_create_table_then_read_empty(self, spark, tmp_path):
+        sink = NativeTableSink(
+            spark, str(tmp_path / "t"), num_buckets=4, bucket_by="id"
+        )
+        sink.create_table("id INT, payload STRING")
+        df = sink.read()
+        assert df.count() == 0
+        assert df.columns == ["id", "payload"]
+        sink.upsert(_rows(spark, [1]), id_field="id")
+        assert sink.read().count() == 1
+
+    def test_upsert_on_wrong_key_refuses(self, spark, sink):
+        sink.upsert(_rows(spark, [1]), id_field="id")
+        with pytest.raises(ValueError, match="cannot prune"):
+            sink.upsert(_rows(spark, [2]), id_field="payload")
+
+    def test_reopen_unbucketed_as_bucketed_refuses(self, spark, tmp_path):
+        plain = NativeTableSink(spark, str(tmp_path / "t"))
+        plain.upsert(_rows(spark, [1]), id_field="id")
+        with pytest.raises(ValueError, match="unbucketed"):
+            NativeTableSink(spark, str(tmp_path / "t"), num_buckets=4)
+
+    def test_schema_drift_null_fills(self, spark, sink):
+        sink.upsert(_rows(spark, [1, 2]), id_field="id")
+        wider = spark.createDataFrame(
+            [(3, "w_3", 9.5)], "id INT, payload STRING, score DOUBLE"
+        )
+        sink.upsert(wider, id_field="id")
+        got = sink.read()
+        assert set(got.columns) == {"id", "payload", "score"}
+        assert got.filter("id = 1").collect()[0].score is None
