@@ -219,6 +219,72 @@ _CLUSTER_ORACLE = f"""
 """
 
 
+def propagate_min_labels(edges: DataFrame, max_steps: int = 10) -> DataFrame:
+    """Connected components by iterative min-label propagation over a
+    symmetric edge list ``(u, v)`` → one row ``(u, label)`` per vertex,
+    label = component minimum. Two propagation hops are FUSED per
+    materialized step — label(u) ← min over the 2-hop neighborhood —
+    the same round-halving a large-star/small-star alternation buys,
+    with one driver sync per step instead of two; ``localCheckpoint``
+    truncates lineage each step.
+
+    Convergence is detected by counting labels that changed in the
+    step (``sum(label != old)``) — NOT by comparing ``sum(label)``
+    across steps, which on a multi-billion-vertex graph could overflow
+    int64 and (astronomically unlikely) alias two different label
+    assignments. The changed-count is the same single tiny aggregate
+    per step and is overflow-proof. Raises on non-convergence: a
+    silent partial result would split one component into several
+    clusters with several keepers — data corruption for a dedup
+    decision."""
+    # round 0 folded into init: label(u) = min(u, min neighbor)
+    labels = (
+        edges.groupBy("u")
+        .agg(F.least(F.first("u"), F.min("v")).alias("label"))
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_steps):  # converges in ≤ diameter/2 steps
+        cur = labels.withColumn("__old", F.col("label"))
+        # two hops fused into one lineage before materializing
+        for _hop in range(2):
+            neighbor_min = (
+                edges.join(
+                    cur.select(F.col("u").alias("v"), "label"), "v"
+                )
+                .groupBy("u")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            cur = (
+                cur.join(neighbor_min, "u", "left")
+                .select(
+                    "u",
+                    "__old",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    ).alias("label"),
+                )
+            )
+        cur = cur.localCheckpoint()
+        n_changed = cur.agg(
+            F.sum((F.col("label") != F.col("__old")).cast("int"))
+        ).first()[0]
+        labels = cur.drop("__old")
+        if not n_changed:  # 0, or None on an empty vertex set
+            converged = True
+            break
+    if not converged:
+        # Chain-shaped components longer than the hop cap are
+        # pathological for threshold-pair graphs but must fail loudly,
+        # not wrong.
+        raise RuntimeError(
+            "propagate_min_labels: label propagation did not converge "
+            f"within {2 * max_steps} hops — component diameter exceeds "
+            "the cap; raise max_steps for this dataset"
+        )
+    return labels
+
+
 @register("dedup_cluster", oracle=_CLUSTER_ORACLE)
 def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: connected components over the
@@ -242,50 +308,7 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
         .cache()
     )
-    # round 0 folded into init: label(u) = min(u, min neighbor)
-    labels = (
-        edges.groupBy("u")
-        .agg(F.least(F.first("u"), F.min("v")).alias("label"))
-        .localCheckpoint()
-    )
-    # labels decrease monotonically, so an unchanged sum ⟺ fixpoint —
-    # a single tiny aggregate per step instead of a join + count
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    converged = False
-    for _ in range(10):  # converges in ≤ diameter/2 steps
-        # two hops fused into one lineage before materializing
-        for _hop in range(2):
-            neighbor_min = (
-                edges.join(labels.withColumnRenamed("u", "v"), "v")
-                .groupBy("u")
-                .agg(F.min("label").alias("nbr_label"))
-            )
-            labels = (
-                labels.join(neighbor_min, "u", "left")
-                .select(
-                    "u",
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                    ).alias("label"),
-                )
-            )
-        labels = labels.localCheckpoint()
-        new_sum = labels.agg(F.sum("label")).first()[0]
-        if new_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = new_sum
-    if not converged:
-        # a silent partial result would split one component into
-        # several clusters with several keepers — data corruption for
-        # a dedup decision. Chain-shaped components longer than the
-        # hop cap (20) are pathological for threshold-pair graphs but
-        # must fail loudly, not wrong.
-        raise RuntimeError(
-            "dedup_cluster: label propagation did not converge within "
-            "20 hops — component diameter exceeds the cap; raise the "
-            "iteration cap for this dataset"
-        )
+    labels = propagate_min_labels(edges)
     w = Window.partitionBy("cluster_id")
     return (
         labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))

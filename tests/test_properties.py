@@ -97,6 +97,82 @@ def test_timestamp_queries_are_timezone_invariant(spark, query):
     assert utc_rows == ny_rows
 
 
+class TestMinLabelPropagation:
+    """Connected-components label propagation (dedup_cluster's core)
+    against a pure-Python union-find model, plus the hop-cap boundary
+    (VERDICT r2 item 4: convergence must be overflow-proof and fail
+    loudly past the cap, never silently partial)."""
+
+    @staticmethod
+    def _sym_path_edges(spark, n):
+        pairs = [(i, i + 1) for i in range(n - 1)]
+        return spark.createDataFrame(
+            pairs + [(b, a) for a, b in pairs], "u INT, v INT"
+        )
+
+    def test_path_graph_single_component(self, spark):
+        from rs_streamloader_spark.operators.dedup import propagate_min_labels
+
+        labels = propagate_min_labels(self._sym_path_edges(spark, 16))
+        assert {(r.u, r.label) for r in labels.collect()} == {
+            (i, 0) for i in range(16)
+        }
+
+    def test_cap_boundary_converges_then_raises(self, spark):
+        """max_steps=3 covers 6 hops: a 6-node path (diameter 5, last
+        productive step 2, confirming step 3) converges; an 8-node path
+        (diameter 7, still productive at step 3) must raise — the loud
+        failure that replaced the silent 20-hop partial result."""
+        from rs_streamloader_spark.operators.dedup import propagate_min_labels
+
+        labels = propagate_min_labels(self._sym_path_edges(spark, 6), max_steps=3)
+        assert {r.label for r in labels.collect()} == {0}
+        with pytest.raises(RuntimeError, match="did not converge"):
+            propagate_min_labels(self._sym_path_edges(spark, 8), max_steps=3)
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pairs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=14),
+                st.integers(min_value=0, max_value=14),
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def test_matches_union_find_model(self, spark, pairs):
+        from rs_streamloader_spark.operators.dedup import propagate_min_labels
+
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            return
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        model = {x: find(x) for x in parent}
+
+        edges = spark.createDataFrame(
+            pairs + [(b, a) for a, b in pairs], "u INT, v INT"
+        )
+        labels = propagate_min_labels(edges)
+        assert {(r.u, r.label) for r in labels.collect()} == set(model.items())
+
+
 class TestSegmentMergeProperties:
     """Property tests for the sessionization gap-merge — the pure core
     of the stateful operator's correctness."""
