@@ -14,5 +14,6 @@ from rs_streamloader_spark.operators import (  # noqa: F401
     text,
 )
 from rs_streamloader_spark.operators.registry import REGISTRY, QuerySpec, register
+from rs_streamloader_spark.streaming import replay  # noqa: F401  (registers replay queries)
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -1,0 +1,239 @@
+"""Batch-replay wrappers that run the STREAMING operators as
+driver-checkable catalog queries (VERDICT r2 item 5).
+
+Each wrapper materializes a bounded input (the events table, plus a
+far-future sentinel row where watermark-gated emission needs the
+watermark pushed past the real data), replays it through the actual
+Structured Streaming operator under ``trigger(availableNow=True)``,
+lands the append-mode output in a scratch parquet dir via
+``foreachBatch``, and returns that result as a batch DataFrame. The
+operators under test are the real ones from
+:mod:`rs_streamloader_spark.streaming` — not batch re-implementations —
+so the DuckDB oracles check the streaming semantics end-to-end:
+state + watermark + timeout must reproduce the declarative SQL answer.
+
+The sentinel trick: with an event-time watermark, a session closes
+(or an outer join emits its NULL side) only once the watermark passes
+the point where no admissible event could still change the result.
+A sentinel row 15 days after ``max(ts)`` advances the final watermark
+past every real row, so the availableNow run's trailing no-data batch
+flushes ALL real output; the sentinel's own state stays unemitted
+(the watermark never passes it) and is filtered by its negative key.
+
+Scratch I/O lives under ``$TMPDIR/rs_sl_replay/<appId>/…`` and is
+rewritten per run; volume is one copy of the events table per query.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rs_streamloader_spark.operators.registry import register
+from rs_streamloader_spark.session import _read_parquet_nanos_safe
+from rs_streamloader_spark.streaming.joins import attribution_join_outer
+from rs_streamloader_spark.streaming.stateful import SESSION_GAP_S, sessionize_stateful
+from rs_streamloader_spark.streaming.windows import streaming_dedup
+
+_SENTINEL_USER = -1
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with ``ts`` cast NTZ → TIMESTAMP: event-time watermarks
+    require an instant type. The wrappers cast outputs back to NTZ, a
+    wall-clock round-trip that is exact because the data (plus the
+    +15d sentinel) stays inside Jan–Feb, clear of any DST transition
+    in whatever the session timezone is."""
+    df = _read_parquet_nanos_safe(spark, os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _sentinel_ts(events: DataFrame):
+    """max(ts) + 15 days — one scalar aggregate on the driver (bounded:
+    a single value, never row data)."""
+    return events.agg(
+        F.expr("timestampadd(DAY, 15, max(ts))").alias("s")
+    ).first()["s"]
+
+
+def _replay(
+    spark: SparkSession,
+    tag: str,
+    sf_dir: str,
+    inputs: dict[str, DataFrame],
+    build,
+) -> DataFrame:
+    """Write ``inputs`` as parquet sources, run ``build(streams)`` with
+    availableNow, land append output to scratch parquet, read it back."""
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "rs_sl_replay",
+        spark.sparkContext.applicationId,
+        tag,
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    streams = {}
+    for name, df in inputs.items():
+        path = os.path.join(base, f"in_{name}")
+        df.coalesce(1).write.parquet(path)
+        streams[name] = spark.readStream.schema(df.schema).parquet(path)
+    out = os.path.join(base, "out")
+    q = (
+        build(streams)
+        .writeStream.foreachBatch(
+            lambda bdf, _bid: bdf.write.mode("append").parquet(out)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+_DEDUP_ORACLE = """
+    SELECT event_id, user_id, event_type, ts, value FROM events
+"""
+
+
+@register("streaming_dedup_replay", oracle=_DEDUP_ORACLE)
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` replay: the input is the
+    events table UNION ALL itself — the at-least-once redelivery shape
+    the operator exists for — and the streaming dedup must recover
+    exactly the original table (event_id is unique in the testdata).
+    The watermark delay (90 days) exceeds the data span, so every
+    duplicate falls inside the dedup horizon."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    out = _replay(
+        spark,
+        "dedup",
+        sf_dir,
+        {"events": ev.unionAll(ev)},
+        lambda s: streaming_dedup(s["events"], keys=("event_id",), watermark="90 days"),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "value",
+    )
+
+
+_SESSION_ORACLE = f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_S} SECOND
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+             ) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+"""
+
+
+@register("sessionize_stateful_replay", oracle=_SESSION_ORACLE)
+def sessionize_stateful_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInPandasWithState`` sessionization replay over the whole
+    events table: the sentinel pushes the final watermark 15 days past
+    the data, so every real session times out and emits before the
+    availableNow run terminates. The oracle is the classic SQL
+    sessionization (lag → gap flag → running session id → group), so a
+    hash match proves the stateful path — per-key segment state,
+    event-time timeouts, in-batch gap splitting — reproduces the
+    declarative answer."""
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    sentinel_ts = _sentinel_ts(ev)
+    sentinel = spark.createDataFrame(
+        [(_SENTINEL_USER, sentinel_ts)], ev.schema
+    )
+    out = _replay(
+        spark,
+        "sessionize",
+        sf_dir,
+        {"events": ev.unionByName(sentinel)},
+        lambda s: sessionize_stateful(s["events"]),
+    )
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
+
+
+_ATTRIBUTION_ORACLE = """
+    WITH c AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.purchase_id, p.purchase_ts, c.click_id, c.click_ts
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.click_ts <= p.purchase_ts
+     AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+"""
+
+
+@register("attribution_join_outer_replay", oracle=_ATTRIBUTION_ORACLE)
+def attribution_join_outer_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER attribution replay: clicks and
+    purchases split out of the events table into two streams. Matched
+    rows emit as they join; organic (click-less) purchases emit with
+    NULL click columns only after the watermark passes their join
+    window — the sentinel rows (one per stream, distinct negative
+    users so they cannot match each other) advance both stream
+    watermarks past all real data, flushing every organic purchase.
+    The oracle is the equivalent batch LEFT JOIN with the same
+    two-sided time bound."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    sentinel_ts = _sentinel_ts(ev)
+
+    def side(event_type: str, sentinel_user: int) -> DataFrame:
+        rows = ev.filter(F.col("event_type") == event_type).select(
+            "user_id", "ts", "event_id"
+        )
+        sentinel = spark.createDataFrame(
+            [(sentinel_user, sentinel_ts, sentinel_user)], rows.schema
+        )
+        return rows.unionByName(sentinel)
+
+    out = _replay(
+        spark,
+        "attribution",
+        sf_dir,
+        {"clicks": side("click", -1), "purchases": side("purchase", -2)},
+        lambda s: attribution_join_outer(s["clicks"], s["purchases"]),
+    )
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        "purchase_id",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "click_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+    )
