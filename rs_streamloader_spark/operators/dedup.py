@@ -368,7 +368,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replicates the identical algorithm, so the compare is
     exact including any LSH false negatives. At 100 TB the only
     shuffles are: shingle→signature agg, band self-join (tiny keys),
-    and the candidate verification join."""
+    and the candidate verification join.
+
+    MEASURED recall vs the exact twin ``dedup_ngram_jaccard``: 1.0 at
+    sf0.01 (25/25 pairs), 0.992 at sf0.1 (254/256) — asserted ≥ 0.9 by
+    tests/test_lsh_recall.py. Precision is 1.0 by construction (every
+    candidate is exact-Jaccard-verified)."""
     s = _shingles_cached(spark, sf_dir)
 
     sig = s.groupBy("doc_id").agg(

