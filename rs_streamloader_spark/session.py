@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import os
 import sys
+import threading
+from collections import OrderedDict
 
 from pyspark.sql import SparkSession
 
@@ -59,19 +61,33 @@ def spread(df, multiple: int = 1):
     before a heavy per-row fan-out (shingling, signature hashing, block
     replication).
 
-    No-op when the scan already yields at least that many splits —
-    which any real-scale table does — so this only kicks in for small
-    single-file inputs where the expansion would otherwise run on one
-    core. The round-robin shuffle it adds moves only the narrow input
-    rows, never the fanned-out intermediate."""
+    No-op when the scan already reads at least that many files — which
+    any real-scale table does — so this only kicks in for small
+    few-file inputs where the expansion would otherwise run on a few
+    cores. The width probe is ``inputFiles()`` (driver-side file-index
+    listing), NOT ``df.rdd.getNumPartitions()``: converting to an RDD
+    builds the physical plan's lineage on the driver per call — a
+    sneaky repeated cost when operators compose (ADVICE r2). File count
+    under-reports splits of large splittable files, which only errs
+    toward a harmless extra no-op check. Non-file sources report zero
+    files and get spread, same as the narrow case they are."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * multiple
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plans
+        n_files = 0
+    if n_files < target:
         return df.repartition(target)
     return df
 
 
-_STAGE_CACHE: dict = {}
+# RLock, not Lock: stage builders COMPOSE (the jaccard pair graph's
+# build() calls stage_cached for the shingle stage) — a non-reentrant
+# lock deadlocks the nested acquisition on the same thread
+_STAGE_CACHE: OrderedDict = OrderedDict()
+_STAGE_LOCK = threading.RLock()
+_STAGE_CACHE_MAX = 16
 
 
 def stage_cached(spark: SparkSession, sf_dir: str, key: str, build):
@@ -81,13 +97,41 @@ def stage_cached(spark: SparkSession, sf_dir: str, key: str, build):
     normed-embedding table) register it here, so a catalog sweep — the
     driver's correctness pass, bench.py — computes it once instead of
     once per query. On a long-lived cluster this is the shared curation
-    stage: one materialized intermediate feeding several consumers."""
+    stage: one materialized intermediate feeding several consumers.
+
+    Entries are LRU-bounded at {_STAGE_CACHE_MAX}: evicted stages are
+    unpersisted so a long-lived session spanning many sf_dirs cannot
+    pin unbounded executor storage, and the check-then-build runs under
+    a lock so concurrent callers cannot double-build and leak a
+    persisted copy (ADVICE r2)."""
     k = (spark.sparkContext.applicationId, sf_dir, key)
-    df = _STAGE_CACHE.get(k)
-    if df is None:
-        df = build().cache()
+    with _STAGE_LOCK:
+        df = _STAGE_CACHE.get(k)
+        if df is not None:
+            _STAGE_CACHE.move_to_end(k)
+            return df
+        df = build().cache()  # lazy: materializes on first action, not here
         _STAGE_CACHE[k] = df
-    return df
+        while len(_STAGE_CACHE) > _STAGE_CACHE_MAX:
+            _, old = _STAGE_CACHE.popitem(last=False)
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # a dead session's cache entries are already gone
+        return df
+
+
+def clear_stage_cache(unpersist: bool = True) -> None:
+    """Drop every memoized stage (optionally unpersisting) — used by
+    bench runs that need cold per-operator timings."""
+    with _STAGE_LOCK:
+        while _STAGE_CACHE:
+            _, df = _STAGE_CACHE.popitem(last=False)
+            if unpersist:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):

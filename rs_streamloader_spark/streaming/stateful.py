@@ -75,7 +75,10 @@ def merge_segments(items: list, gap) -> list:
     (points are ``[t, t, 1]``). Two items belong to one session iff
     their intervals are within ``gap``; counts add. Pure — the
     sessionization invariants (order-insensitive, count-preserving,
-    inter-segment gaps > gap) are property-tested."""
+    inter-segment gaps > gap) are property-tested. Empty input merges
+    to no segments (exported API: callers must not need to guard)."""
+    if not items:
+        return []
     items = [list(x) for x in items]
     items.sort(key=lambda x: (x[0], x[1]))
     segments = [items[0]]
@@ -140,6 +143,12 @@ def _close_sessions(
     wm_ms = state.getCurrentWatermarkMs()
 
     def ms(dt) -> int:
+        # DST note: replace(tzinfo=...) resolves an ambiguous wall time
+        # (the fall-back overlap hour) as fold=0 — the FIRST occurrence,
+        # i.e. the pre-transition offset. That is the same resolution
+        # Java's ZoneRules (and therefore Spark's own wall→instant
+        # conversion feeding the watermark) applies to overlaps, so the
+        # timeout epoch and the watermark agree even in that hour.
         return int(dt.replace(tzinfo=tzinfo).timestamp() * 1000)
 
     emit = [s for s in segments if ms(s[1]) + gap_ms < wm_ms]

@@ -124,16 +124,18 @@ def test_multigrain_rollup_is_single_scan(spark):
     assert "Expand" in text
 
 
-def test_spread_is_noop_on_wide_input(spark):
-    """spread() must repartition narrow inputs but leave inputs that
-    already have enough splits untouched (no gratuitous shuffle on a
-    real-scale scan)."""
+def test_spread_is_noop_on_wide_input(spark, tmp_path):
+    """spread() must repartition narrow inputs but leave file scans
+    that already read enough files untouched (no gratuitous shuffle on
+    a real-scale scan). Width is probed from the scan's file listing —
+    never via df.rdd, which builds driver-side lineage per call."""
     from rs_streamloader_spark.session import spread
 
     target = spark.sparkContext.defaultParallelism
     narrow = spark.range(1000).coalesce(1)
-    assert spread(narrow).rdd.getNumPartitions() >= target
-    wide = spark.range(1000).repartition(target + 4)
+    assert "Repartition" in spread(narrow)._jdf.queryExecution().toString()
+    spark.range(1000).repartition(target + 4).write.parquet(str(tmp_path / "w"))
+    wide = spark.read.parquet(str(tmp_path / "w"))
     out = spread(wide)
     assert out is wide  # identity — no plan change at all
 

@@ -177,6 +177,11 @@ class TestSegmentMergeProperties:
     """Property tests for the sessionization gap-merge — the pure core
     of the stateful operator's correctness."""
 
+    def test_empty_input_merges_to_no_segments(self):
+        from rs_streamloader_spark.streaming.stateful import merge_segments
+
+        assert merge_segments([], 10) == []
+
     @given(
         points=st.lists(
             st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60
