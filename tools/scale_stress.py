@@ -37,6 +37,11 @@ import time
 
 import numpy as np
 
+# runnable from any cwd: the package lives next to tools/
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
 KEY_OFFSET = 50_000_000  # far above any base key at these scales
 
 # per-table key columns that must move together across replicas
