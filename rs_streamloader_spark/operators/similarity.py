@@ -217,7 +217,15 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is numpy's BLAS summation order vs the oracle's sequential fold —
     a pair whose cosine sits within ~1e-13 of a rounding or threshold
     boundary could in principle flip, which the exact fold-based
-    queries (ann_*, near_dup_lsh) do not risk."""
+    queries (ann_*) do not risk."""
+    return _block_exact_pairs(spark, sf_dir)
+
+
+def _block_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked all-pairs threshold scorer (the body of
+    ``embedding_near_dup``; also the scoring stage of the LSH variant
+    — see its docstring for why scoring everything beats a candidate
+    join at this threshold)."""
     t = _emb_norm_cached(spark, sf_dir)
     base = t.select("vec_id", "embedding", (F.col("vec_id") % N_BLOCKS).alias("blk"))
     replicated = base.select(
@@ -448,61 +456,61 @@ def _neardup_lsh_oracle() -> str:
 
 @register("embedding_near_dup_lsh", oracle=_neardup_lsh_oracle())
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs via banded hyperplane-LSH candidate
-    generation + exact cosine verification — the SCALE path next to the
-    block-exact ``embedding_near_dup`` oracle baseline.
+    """Embedding near-dup pairs restricted to banded hyperplane-LSH
+    candidates (pairs sharing ≥1 of NEARDUP_BANDS sign buckets, each
+    over NEARDUP_ROWS hyperplanes), next to the unrestricted exact
+    twin ``embedding_near_dup``.
 
-    Each vector lands in NEARDUP_BANDS sign buckets (one per band of
-    NEARDUP_ROWS hyperplanes); candidates are pairs sharing ANY band
-    bucket — an EQUALITY join on (band_idx, band_val), never a cross
-    join or block replication of the corpus. Candidate id pairs are
-    DISTINCT-ed BEFORE scoring, so each pair's 64-dim fold runs once
-    no matter how many bands it matched in. Work is O(sum of bucket
-    sizes squared), not O(n²): the plan that survives a 100 TB corpus.
+    PHYSICAL STRATEGY — score-then-band-filter, not candidate-join.
+    The textbook plan (band equality self-join → DISTINCT → verify)
+    is only sublinear when the banding is SELECTIVE. At this LOW
+    threshold (0.35, boundary collision p = 1-θ/π ≈ 0.614) the 10×3
+    structure needed for 0.9 recall is not: measured at a 20k-vector
+    corpus, 73% of ALL pairs are candidates (145.5M of 200M; 253M
+    pre-distinct band-pair rows), so the candidate join + distinct +
+    per-pair verify ran 89s where the blocked-BLAS exact twin scores
+    every pair in 7s. This plan therefore reuses the blocked matmul
+    scorer and applies the band predicate as a post-filter on the
+    (tiny) above-threshold output: identical result set — the oracle
+    still replicates the banded candidate semantics — at the exact
+    twin's cost plus one broadcast join of 10 small ints per side.
+    The candidate-join strategy remains the right one where banding
+    IS selective: high thresholds, or set-similarity shingle bands —
+    see ``dedup_minhash_lsh``, whose measured 10× scale ratio is 1.7.
+    (At this threshold the task itself is output-quadratic — a few
+    per-mille of random pairs qualify — so no candidate scheme can be
+    sublinear; scoring throughput is the only lever.)
 
-    Band structure 10 × 3 targets the LOW threshold (0.35): collision
-    p = 1-θ/π ≈ 0.614 at the boundary → theoretical boundary recall
-    1-(1-p³)¹⁰ ≈ 0.89. MEASURED recall vs the exact twin
-    ``embedding_near_dup``: 0.941 at sf0.01 (255/271 pairs), 0.940 at
-    sf0.1 (3887/4137) — asserted ≥ 0.9 by tests/test_lsh_recall.py
-    (the old 2 × 4 structure measured 0.30). Precision is
-    1.0 by construction (every candidate is exact-verified). The
-    oracle replicates the identical banding, so the driver compare is
-    exact including the recall misses."""
-    base = _emb_norm_cached(spark, sf_dir)
-    band_structs = [
-        F.struct(
-            F.lit(bi).alias("band_idx"),
-            _spark_band(bi * NEARDUP_ROWS, NEARDUP_ROWS, "nd_projs").alias(
-                "band_val"
-            ),
-        )
-        for bi in range(NEARDUP_BANDS)
-    ]
-    bands = base.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("vec_id", "band.band_idx", "band.band_val")
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .distinct()
+    The signature join broadcasts the 10-int band arrays; above a
+    few hundred million vectors flip it to a shuffle hash join on
+    vec_id (the scored-pairs side is post-threshold and small).
+
+    MEASURED recall vs the exact twin: 0.941 at sf0.01 (255/271
+    pairs), 0.940 at sf0.1 — asserted ≥ 0.9 by
+    tests/test_lsh_recall.py. Precision 1.0 by construction. Scoring
+    now shares the exact twin's documented BLAS-vs-sequential-fold
+    1e-13 rounding caveat (never observed to fire)."""
+    pairs = _block_exact_pairs(spark, sf_dir)
+    bvals = F.array(
+        *[
+            _spark_band(bi * NEARDUP_ROWS, NEARDUP_ROWS, "nd_projs")
+            for bi in range(NEARDUP_BANDS)
+        ]
     )
-    emb = base.select("vec_id", "embedding", "norm")
-    cos = F.round(
-        _dot("ea.embedding", "eb.embedding") / (F.col("ea.norm") * F.col("eb.norm")),
-        6,
-    )
+    sigs = _emb_norm_cached(spark, sf_dir).select("vec_id", bvals.alias("bvals"))
     return (
-        cand.join(emb.alias("ea"), F.col("vec_a") == F.col("ea.vec_id"))
-        .join(emb.alias("eb"), F.col("vec_b") == F.col("eb.vec_id"))
-        .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        pairs.join(
+            F.broadcast(
+                sigs.select(F.col("vec_id").alias("vec_a"), F.col("bvals").alias("ba"))
+            ),
+            "vec_a",
+        )
+        .join(
+            F.broadcast(
+                sigs.select(F.col("vec_id").alias("vec_b"), F.col("bvals").alias("bb"))
+            ),
+            "vec_b",
+        )
+        .filter(F.expr("exists(zip_with(ba, bb, (x, y) -> x = y), p -> p)"))
+        .select("vec_a", "vec_b", "cosine")
     )

@@ -162,6 +162,65 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_repetition_stats",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(string_split(text, ' '))),
+                    i -> string_split(text, ' ')[i] || ' '
+                         || string_split(text, ' ')[i+1])) AS gram
+      FROM documents
+    ),
+    c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+           CAST(MAX(cnt) AS BIGINT) AS top_bigram_count,
+           ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6) AS top_bigram_frac,
+           ROUND(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 1.0 / SUM(cnt), 6)
+             AS dup_bigram_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: per-document top-bigram
+    coverage and duplicate-bigram fraction — the classic signals for
+    boilerplate/template text that length and token-ratio heuristics
+    miss (Rae et al. 2021 use the same family: fraction of characters
+    in the most frequent n-gram / in duplicated n-grams).
+
+    Bigrams come from ``zip_with`` over two shifted slices of the
+    token array (empty for <2-token docs, matching DuckDB's empty
+    ``range``) — all JVM codegen until the one explode, then two
+    hash aggregations that combine map-side. Ratios are bigint/bigint
+    → double on both engines; denominators are per-doc bigram counts
+    (≪1e6), so 6dp rounding cannot sit on a half boundary except at
+    exactly-representable powers of two, where both engines round
+    half-away alike."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = t.select("doc_id", F.split("text", " ").alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1), (x, y) -> concat(x, ' ', y))"
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        F.max("cnt").cast("bigint").alias("top_bigram_count"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_bigram_frac"),
+        F.round(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+            / F.sum("cnt"),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+
+
 PACK_TOKEN_BUDGET = 512
 PACK_N_SHARDS = 16
 

@@ -181,17 +181,22 @@ def test_page_after_key_pushes_range_and_takes_ordered(spark):
     assert "GlobalLimit" not in text or "TakeOrderedAndProject" in text
 
 
-def test_embedding_near_dup_lsh_is_equality_join(spark):
-    """The LSH near-dup scale path must plan the candidate join as an
-    equality (hash/sort-merge) join on the band key — never a nested
-    loop or cartesian product over the corpus."""
+def test_embedding_near_dup_lsh_scores_then_filters(spark):
+    """The LSH near-dup plan is score-then-band-filter: the blocked
+    matmul scorer (one Arrow applyInPandas, same as the exact twin)
+    plus BROADCAST signature joins on the scored pairs — never a
+    banded candidate self-join + distinct (measured non-selective at
+    this threshold: 73% of all pairs were candidates at a 20k corpus)
+    and never a cartesian product."""
     from rs_streamloader_spark.operators.similarity import embedding_near_dup_lsh
 
     df = embedding_near_dup_lsh(spark, SF_SMOKE)
     text = explain_str(df)
     assert "CartesianProduct" not in text
     assert "BroadcastNestedLoopJoin" not in text
-    assert "Join" in text  # the banded self-join is a real equality join
+    assert has_broadcast_join(df), text  # band signatures broadcast
+    assert "FlatMapGroupsInPandas" in text  # the blocked scorer
+    assert "HashAggregate" not in text  # no candidate DISTINCT anywhere
 
 
 def test_ann_ivf_probe_explodes_query_side_only(spark):

@@ -74,10 +74,14 @@ def test_embedding_pairs_preserved_within_replicas(spark, scaled_dir):
     ), "an unexpected same-replica pair appeared"
 
 
-def test_snowflake_aggregate_scales_linearly(spark, scaled_dir):
-    """q5: replica orders/lineitems join the SHARED nation dims, so
-    each nation's revenue is k× the base (same addends k times; float
-    summation order differs → compare within 1e-6 relative)."""
+def test_date_windowed_aggregate_is_replica_invariant(spark, scaled_dir):
+    """q5 filters a fixed 1996–1998 order window; the i×400-year
+    replica time shift puts every replica but the first outside it, so
+    the scaled output must equal the base EXACTLY (the same addends
+    survive the filter) — the scaled run then measures how well the
+    date predicate prunes k× history, which is precisely the
+    long-history scale posture. A k× output here would mean the shift
+    (or the filter pushdown) broke."""
     base = {r["n_name"]: r["revenue"] for r in _rows(spark, "q5_local_supplier_volume", SF)}
     scaled = {
         r["n_name"]: r["revenue"]
@@ -85,17 +89,50 @@ def test_snowflake_aggregate_scales_linearly(spark, scaled_dir):
     }
     assert set(scaled) == set(base)
     for nation, rev in base.items():
-        assert scaled[nation] == pytest.approx(K * rev, rel=1e-6)
+        assert scaled[nation] == pytest.approx(rev, rel=1e-9)
+
+
+def test_unwindowed_aggregate_scales_linearly(spark, scaled_dir):
+    """q18 has no date filter: replica orders/customers are key-offset
+    copies, so every qualifying (customer, order) row appears k times
+    with identical totals."""
+    base = _rows(spark, "q18_large_orders", SF)
+    scaled = _rows(spark, "q18_large_orders", scaled_dir)
+    assert len(scaled) == K * len(base)
 
 
 def test_sessionization_scales_exactly_linearly(spark, scaled_dir):
     """user_id offsets keep replica users disjoint with identical event
-    streams → exactly k× the sessions with the same shape."""
+    streams (shifted by whole i×24-year blocks, preserving every gap)
+    → exactly k× the sessions, identical below the year (the events
+    span a single January, so dropping the shifted year loses
+    nothing)."""
     base = _rows(spark, "sessionize_stateful_replay", SF)
     scaled = _rows(spark, "sessionize_stateful_replay", scaled_dir)
     assert len(scaled) == K * len(base)
-    base_shape = sorted((r["session_start"], r["n_events"]) for r in base) * K
-    assert (
-        sorted((r["session_start"], r["n_events"]) for r in scaled)
-        == sorted(base_shape)
-    )
+
+    def shape(r):
+        return (r["session_start"].strftime("%m-%d %H:%M:%S.%f"), r["n_events"])
+
+    assert sorted(map(shape, scaled)) == sorted(sorted(map(shape, base)) * K)
+
+
+def test_range_join_scales_exactly_linearly(spark, scaled_dir):
+    """The 400-year replica time shift makes temporal range joins
+    replica-local: join_range's per-probe shipment aggregates repeat
+    exactly k times (keys offset per replica), with no cross-replica
+    matches inflating them."""
+    from scale_stress import KEY_OFFSET
+
+    base = {
+        r["o_orderkey"]: (r["n_shipments"], r["qty_shipped"])
+        for r in _rows(spark, "join_range", SF)
+    }
+    scaled = {
+        r["o_orderkey"]: (r["n_shipments"], r["qty_shipped"])
+        for r in _rows(spark, "join_range", scaled_dir)
+    }
+    assert len(scaled) == K * len(base)
+    for key, val in base.items():
+        for i in range(K):
+            assert scaled[key + i * KEY_OFFSET] == val, (key, i)

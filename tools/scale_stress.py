@@ -8,6 +8,22 @@ exactly and shares nothing across replicas:
 
 - fact/dim keys get a per-replica offset (FK columns offset together,
   so join selectivities are unchanged); region/nation stay shared dims;
+- date/timestamp columns shift by i×24 years per replica, making
+  replicas TIME-DISJOINT (spacing ≫ the largest temporal window in
+  the catalog, a 90-day watermark): temporal range joins cannot match
+  across replicas, so their work and output scale linearly instead of
+  k² — replicas sharing one time axis made join_range's 10× run 6.1×
+  slower, modeling "same period, denser" rather than the long-history
+  posture a 100 TB corpus actually has. 24 is a multiple of 4 whose
+  shifts never land a base leap year on a non-leap century (no Feb 29
+  clamping distorting date deltas), and 9×24 keeps every timestamp
+  under pandas' datetime64[ns] year-2262 ceiling, which the stateful
+  Arrow path requires. Weekday alignment is NOT preserved (+24y ≡ +2
+  weekdays) — day-delta, calendar-day, month, and leap structure are;
+  the one dayofweek-grouped catalog query is outside the stress tail.
+  Date-WINDOWED queries (fixed literal ranges, e.g. q5's 1996–1998)
+  keep only replica 0 inside the window: their scaled run measures
+  predicate pruning over k× history (see DATE_WINDOWED);
 - document text gets a per-replica token prefix on EVERY word — a
   bijection on each replica's shingle space, so within-replica Jaccard
   (and simhash/minhash behavior) is exactly preserved while replicas
@@ -60,6 +76,14 @@ KEYS: dict[str, list[str]] = {
 
 EMB_DIM = 64
 
+# per-table temporal columns, shifted i*YEAR_SHIFT years per replica
+YEAR_SHIFT = 24
+TIME_COLS: dict[str, list[str]] = {
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+    "events": ["ts"],
+}
+
 # the heavy tail per BENCH_r02 + the new replay queries' batch cousins
 HEAVY_TAIL = [
     "dedup_simhash",
@@ -84,6 +108,12 @@ HEAVY_TAIL = [
 # elapsed ratio is judged against k² shape, not k.
 SUPERLINEAR_OUTPUT = {"embedding_near_dup", "embedding_near_dup_lsh"}
 
+# date-windowed queries: the replica time shift leaves only replica 0
+# inside the fixed filter window, so output is CONSTANT and the scaled
+# run measures scan+filter of k× history — i.e. how well the date
+# predicate prunes. Elapsed ≪ k× is the pass signal here.
+DATE_WINDOWED = {"q5_local_supplier_volume"}
+
 
 def _replica_signs(i: int) -> list[float]:
     rng = np.random.RandomState(1000 + i)
@@ -98,6 +128,11 @@ def _replica(spark, table: str, df, i: int):
     out = df
     for key in KEYS[table]:
         out = out.withColumn(key, F.col(key) + F.lit(i * KEY_OFFSET))
+    for tcol in TIME_COLS.get(table, []):
+        out = out.withColumn(
+            tcol,
+            F.expr(f"{tcol} + make_interval({i * YEAR_SHIFT}, 0, 0, 0, 0, 0, 0)"),
+        )
     if table == "documents":
         out = out.withColumn(
             "text",
@@ -168,9 +203,12 @@ def run_stress(spark, base_sf: str, scaled_sf: str, k: int) -> dict:
             if row["base_sec"] > 0
             else None
         )
-        row["output_growth"] = (
-            "superlinear" if name in SUPERLINEAR_OUTPUT else "linear"
-        )
+        if name in SUPERLINEAR_OUTPUT:
+            row["output_growth"] = "superlinear"
+        elif name in DATE_WINDOWED:
+            row["output_growth"] = "window-constant"
+        else:
+            row["output_growth"] = "linear"
         row["shape_stable"] = row["base_shape"] == row["scaled_shape"]
         out[name] = row
     return {"k": k, "queries": out}
