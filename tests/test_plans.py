@@ -211,6 +211,19 @@ def test_ann_ivf_probe_explodes_query_side_only(spark):
     assert has_broadcast_join(df), text
 
 
+def test_ann_ivf_kmeans_broadcasts_codebook_and_queries(spark):
+    """The trained-IVF plan must move only small things: the codebook
+    rides a one-row broadcast onto the corpus scan, the probe join
+    broadcasts the exploded query side, and the corpus itself is never
+    cartesian-joined or replicated."""
+    from rs_streamloader_spark.operators.similarity import ann_ivf_kmeans
+
+    df = ann_ivf_kmeans(spark, SF_SMOKE)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert has_broadcast_join(df), text
+
+
 def test_pack_sequences_single_shuffle(spark):
     """Sharded packing must be ONE shuffle on the shard key: the
     running-total window and the per-bin aggregate share the shard
