@@ -221,6 +221,61 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RARE_MAX_FREQ = 2  # a token is "rare" if the whole corpus has ≤ this many
+
+
+@register(
+    "text_corpus_rarity",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    f AS (SELECT w, COUNT(*) AS cf FROM t GROUP BY w)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(cf) * 1.0 / COUNT(*), 6) AS mean_token_corpus_freq,
+           ROUND(SUM(CASE WHEN cf <= {RARE_MAX_FREQ} THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS rare_token_frac
+    FROM t JOIN f USING (w) GROUP BY t.doc_id
+    """,
+)
+def text_corpus_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality scoring: per-document mean corpus
+    frequency of its tokens and the fraction of rare tokens (corpus
+    frequency ≤ {RARE_MAX_FREQ}) — the two-pass signal family (corpus
+    stats pass → per-doc scoring pass) that single-document heuristics
+    like ``text_quality_score`` cannot express; high rare fraction
+    flags OCR noise/gibberish, low flags boilerplate.
+
+    Scale shape: the frequency table aggregates with map-side combine
+    (skew-safe — hot words partial-aggregate before the shuffle), then
+    BROADCASTS into the scoring join, so token rows are shuffled once
+    (the per-doc groupBy). The tempting window formulation
+    (``count(*) over (partition by w)``) is NOT skew-safe: every
+    occurrence of a stopword would land on one partition. Vocabulary
+    grows ~Heaps' law (≪ corpus), so the broadcast holds far past this
+    scale; past that, fall back to a shuffle join on ``w`` for scoring
+    only. Integer-ratio outputs keep the cross-engine compare exact
+    (no transcendental functions: a log-prob variant would inherit
+    libm last-ulp differences between engines)."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = t.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = toks.groupBy("w").agg(F.count("*").alias("cf"))
+    return (
+        toks.join(F.broadcast(freq), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("cf") / F.count("*"), 6).alias("mean_token_corpus_freq"),
+            F.round(
+                F.sum(F.when(F.col("cf") <= RARE_MAX_FREQ, 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("rare_token_frac"),
+        )
+    )
+
+
 PACK_TOKEN_BUDGET = 512
 PACK_N_SHARDS = 16
 
