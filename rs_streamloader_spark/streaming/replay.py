@@ -41,15 +41,35 @@ from rs_streamloader_spark.streaming.windows import streaming_dedup
 
 _SENTINEL_USER = -1
 
+# default shuffle/state-store width pinned for replay runs (see
+# _replay). Right for the JVM-side stateful operators (stream-stream
+# join, dedup), whose per-partition state work is trivial and whose
+# cost is store open/commit cycles; the applyInPandasWithState replay
+# overrides back to the session width because its per-batch work is
+# Python per-group processing, which NEEDS the parallelism (measured
+# 8.2s at 32 partitions vs 12.8s at 4).
+REPLAY_SHUFFLE_PARTITIONS = 4
+
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events with ``ts`` cast NTZ → TIMESTAMP: event-time watermarks
     require an instant type. The wrappers cast outputs back to NTZ, a
     wall-clock round-trip that is exact because the data (plus the
     +15d sentinel) stays inside Jan–Feb, clear of any DST transition
-    in whatever the session timezone is."""
-    df = _read_parquet_nanos_safe(spark, os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    in whatever the session timezone is.
+
+    Cached as a shared stage: all three replay wrappers scan events,
+    and each input-staging write would otherwise re-run the
+    TIMESTAMP(NANOS) fallback read (a caught failure + rescan — ~5s
+    at sf0.1) once per stream side; measured, input staging dominated
+    the replay wall-clock 17s-vs-4s over the streaming job itself."""
+    from rs_streamloader_spark.session import stage_cached
+
+    def build() -> DataFrame:
+        df = _read_parquet_nanos_safe(spark, os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    return stage_cached(spark, sf_dir, "replay_events", build)
 
 
 def _sentinel_ts(events: DataFrame):
@@ -66,6 +86,7 @@ def _replay(
     sf_dir: str,
     inputs: dict[str, DataFrame],
     build,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Write ``inputs`` as parquet sources, run ``build(streams)`` with
     availableNow, land append output to scratch parquet, read it back."""
@@ -80,20 +101,39 @@ def _replay(
     streams = {}
     for name, df in inputs.items():
         path = os.path.join(base, f"in_{name}")
-        df.coalesce(1).write.parquet(path)
+        # NO coalesce(1): availableNow ingests every file in the batch
+        # regardless, event-time logic is order-independent, and a
+        # coalesce over union(cached scan, one-row sentinel relation)
+        # measured 5.9s where the parallel write takes 0.7s
+        df.write.parquet(path)
         streams[name] = spark.readStream.schema(df.schema).parquet(path)
     out = os.path.join(base, "out")
-    q = (
-        build(streams)
-        .writeStream.foreachBatch(
-            lambda bdf, _bid: bdf.write.mode("append").parquet(out)
-        )
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    # a stateful streaming query instantiates one state-store partition
+    # per shuffle partition PER stateful operator PER micro-batch — at
+    # the session default (32 here, 200 on a real cluster) a bounded
+    # replay pays ~32 store open/commit cycles × batches for kilobytes
+    # of state. Pin a small width for the replay (the query captures it
+    # at start; the session value is restored immediately). Real
+    # deployments size this to state volume, not the batch default.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(shuffle_partitions or REPLAY_SHUFFLE_PARTITIONS),
     )
-    q.awaitTermination()
+    try:
+        q = (
+            build(streams)
+            .writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.read.parquet(out)
 
 
@@ -174,6 +214,9 @@ def sessionize_stateful_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         {"events": ev.unionByName(sentinel)},
         lambda s: sessionize_stateful(s["events"]),
+        # Python per-group state processing: keep the session's full
+        # width (see REPLAY_SHUFFLE_PARTITIONS)
+        shuffle_partitions=int(spark.conf.get("spark.sql.shuffle.partitions")),
     )
     return out.filter(F.col("user_id") >= 0).select(
         "user_id",
