@@ -69,13 +69,19 @@ def main() -> None:
         _jaccard_pairs,
         _shingles_cached,
     )
-    from rs_streamloader_spark.operators.similarity import _emb_norm_cached
+    from rs_streamloader_spark.operators.similarity import (
+        _emb_norm_cached,
+        _ivf_codebook_cached,
+    )
+    from rs_streamloader_spark.streaming.replay import _events as _replay_events
 
     stage_timings: dict[str, float] = {}
     for stage_name, builder in [
         ("shingles", lambda: _shingles_cached(spark, SF_DIR)),
         ("jaccard_pairs", lambda: _jaccard_pairs(spark, SF_DIR)),
         ("emb_norm", lambda: _emb_norm_cached(spark, SF_DIR)),
+        ("ivf_codebook", lambda: _ivf_codebook_cached(spark, SF_DIR)),
+        ("replay_events", lambda: _replay_events(spark, SF_DIR)),
     ]:
         try:
             t0 = time.perf_counter()

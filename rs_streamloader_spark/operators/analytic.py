@@ -1239,3 +1239,54 @@ def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="order_status",
         valueColumnName="n_orders",
     )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    a AS (SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS week FROM events)
+    SELECT STRFTIME(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(DATE_DIFF('day', f.cohort_week, a.week) // 7 AS INTEGER)
+             AS week_offset,
+           COUNT(*) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week,
+    counted once per week they return — the classic product-analytics
+    triangle (cohort_week × week_offset → active users).
+
+    Single-pass plan: the per-user first-event week rides a window
+    MIN over the one user_id shuffle, the (user, week, cohort)
+    DISTINCT reuses that partitioning (same-user rows are already
+    co-located, so Catalyst plans no extra exchange), and only the
+    tiny cohort×offset aggregate shuffles again — no self-join of
+    events against a firsts table, which is the formulation that
+    shuffles the fact table twice at 100 TB. Both engines truncate
+    weeks to ISO Monday and count day deltas / 7."""
+    t = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    weeks = (
+        t["events"]
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).alias("week"),
+            F.date_trunc("week", F.min("ts").over(w)).alias("cohort_week"),
+        )
+        .distinct()
+    )
+    return (
+        weeks.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

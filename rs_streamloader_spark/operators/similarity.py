@@ -419,6 +419,42 @@ def _ivf_kmeans_oracle() -> str:
     """
 
 
+def _ivf_codebook_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row trained-codebook stage shared by ann_ivf_kmeans and the
+    bench's stage pre-materialization (see ann_ivf_kmeans for the
+    training recipe and determinism rules)."""
+
+    def train() -> DataFrame:
+        assigned = _emb_norm_cached(spark, sf_dir).withColumn("cell", _spark_cell())
+        dims = (
+            assigned.select(
+                "cell",
+                F.posexplode(
+                    F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+                ).alias("i", "v"),
+            )
+            .groupBy("cell", "i")
+            .agg(F.round(F.avg("v"), 6).alias("m"))
+        )
+        cent = (
+            dims.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("sm"))
+            .select("cell", F.expr("transform(sm, s -> s.m)").alias("c"))
+            .select(
+                "cell",
+                F.expr(
+                    "transform(c, x -> round(x / sqrt(aggregate("
+                    "transform(c, y -> y * y), 0D, (acc, v) -> acc + v)), 6))"
+                ).alias("cn"),
+            )
+        )
+        return cent.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct("cell", "cn"))).alias("cents")
+        )
+
+    return stage_cached(spark, sf_dir, "ivf_kmeans_codebook", train)
+
+
 @register("ann_ivf_kmeans", oracle=_ivf_kmeans_oracle())
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a TRAINED coarse quantizer: one spherical Lloyd step
@@ -451,37 +487,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     projections and cosines are sequential folds on both sides."""
     base = _emb_norm_cached(spark, sf_dir)
     assigned = base.withColumn("cell", _spark_cell())
-
-    def train() -> DataFrame:
-        dims = (
-            assigned.select(
-                "cell",
-                F.posexplode(
-                    F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-                ).alias("i", "v"),
-            )
-            .groupBy("cell", "i")
-            .agg(F.round(F.avg("v"), 6).alias("m"))
-        )
-        cent = (
-            dims.groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("sm"))
-            .select("cell", F.expr("transform(sm, s -> s.m)").alias("c"))
-            .select(
-                "cell",
-                F.expr(
-                    "transform(c, x -> round(x / sqrt(aggregate("
-                    "transform(c, y -> y * y), 0D, (acc, v) -> acc + v)), 6))"
-                ).alias("cn"),
-            )
-        )
-        return cent.groupBy().agg(
-            F.array_sort(F.collect_list(F.struct("cell", "cn"))).alias("cents")
-        )
-
-    # the trained codebook is one tiny row; cache it so the corpus and
-    # query branches (and every later action) reuse one training pass
-    cents_row = stage_cached(spark, sf_dir, "ivf_kmeans_codebook", train)
+    cents_row = _ivf_codebook_cached(spark, sf_dir)
     scored = assigned.crossJoin(F.broadcast(cents_row)).withColumn(
         "ps",
         F.expr(

@@ -5,6 +5,8 @@ shows up in a benchmark."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -222,6 +224,20 @@ def test_ann_ivf_kmeans_broadcasts_codebook_and_queries(spark):
     text = explain_str(df)
     assert "CartesianProduct" not in text
     assert has_broadcast_join(df), text
+
+
+def test_retention_cohorts_two_shuffles(spark):
+    """Retention must be the single-pass plan: the cohort week rides a
+    window MIN over ONE user_id exchange, the (user, week) DISTINCT
+    reuses that partitioning, and only the tiny cohort×offset
+    aggregate exchanges again — never a self-join of events against a
+    firsts table (two fact shuffles at 100 TB)."""
+    from rs_streamloader_spark.operators.analytic import retention_cohorts
+
+    df = retention_cohorts(spark, SF_SMOKE)
+    assert shuffle_count(df) == 2, explain_str(df, "simple")
+    text = explain_str(df, "simple")
+    assert len(re.findall(r"(?:File)?Scan parquet", text)) == 1, text
 
 
 def test_pack_sequences_single_shuffle(spark):
