@@ -61,25 +61,55 @@ def spread(df, multiple: int = 1):
     before a heavy per-row fan-out (shingling, signature hashing, block
     replication).
 
-    No-op when the scan already reads at least that many files — which
-    any real-scale table does — so this only kicks in for small
-    few-file inputs where the expansion would otherwise run on a few
-    cores. The width probe is ``inputFiles()`` (driver-side file-index
-    listing), NOT ``df.rdd.getNumPartitions()``: converting to an RDD
+    No-op when the scan already yields at least that many splits —
+    which any real-scale table does — so this only kicks in for small
+    inputs where the expansion would otherwise run on a few cores.
+
+    The width probe is max(file count, scan bytes ÷
+    ``spark.sql.files.maxPartitionBytes``) — both driver-side plan
+    metadata, NOT ``df.rdd.getNumPartitions()``: converting to an RDD
     builds the physical plan's lineage on the driver per call — a
-    sneaky repeated cost when operators compose (ADVICE r2). File count
-    under-reports splits of large splittable files, which only errs
-    toward a harmless extra no-op check. Non-file sources report zero
-    files and get spread, same as the narrow case they are."""
-    sc = df.sparkSession.sparkContext
+    sneaky repeated cost when operators compose (ADVICE r2). The size
+    term matters because file count alone under-reports splits of
+    large splittable files: 8 × 2 GB parquet files already scan as
+    ~128 splits, and a bare file-count probe would bolt a full-input
+    repartition shuffle onto exactly the big inputs that least need
+    one. Non-file sources report zero files and get spread, same as
+    the narrow case they are."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
     target = sc.defaultParallelism * multiple
     try:
         n_files = len(df.inputFiles())
     except Exception:  # non-file-backed plans
         n_files = 0
-    if n_files < target:
+    est_splits = n_files
+    if 0 < n_files < target:
+        try:
+            raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            size_bytes = raw if isinstance(raw, int) else int(raw.toString())
+            max_pb = _parse_bytes(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            )
+            est_splits = max(n_files, -(-size_bytes // max_pb))
+        except Exception:  # stats unavailable: fall back to file count
+            pass
+    if est_splits < target:
         return df.repartition(target)
     return df
+
+
+_SIZE_SUFFIX = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+
+
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '128m',
+    '134217728b', '1g')."""
+    s = v.strip().lower()
+    for suffix in ("kb", "mb", "gb", "tb", "b", "k", "m", "g", "t"):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * _SIZE_SUFFIX[suffix[0]])
+    return int(s)
 
 
 # RLock, not Lock: stage builders COMPOSE (the jaccard pair graph's

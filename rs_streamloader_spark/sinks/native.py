@@ -25,16 +25,24 @@ Two physical layouts:
   and fine for small/medium tables.
 - **Bucketed (``num_buckets=N``)**: rows are hash-assigned to N key
   buckets (``pmod(hash(cast(key as string)), N)``) written as
-  ``__b=<k>/`` partition subdirectories. Full versions keep the
-  ``v_<n>_<uuid>`` name; upserts/appends commit *delta* versions
-  ``d_<n>_<uuid>`` containing ONLY the buckets whose keys appear in
-  the batch. Readers resolve each bucket to the newest committed
-  version containing it, flooring at the newest full version (a full
-  version defines absent buckets as empty — so TRUNCATE cannot
-  resurrect older rows). This is the reference's touch-only-matched-
-  keys upsert (RedshiftLoader.ts:377-380) on the native path: a 0.1%
-  update batch rewrites ~0.1%·N buckets, not 100 TB. The bucket count
-  and key live in ``_bucketspec`` at the table root so re-opened
+  ``__b=<k>/`` partition subdirectories, in three version kinds:
+  full ``v_<n>`` (replaces the table), REPLACE deltas ``d_<n>``
+  (upserts: replace only the buckets whose keys appear in the batch),
+  and ADDITIVE deltas ``a_<n>`` (appends: ONLY the new rows —
+  O(batch) I/O, never a read-merge-rewrite of bucket content).
+  Readers resolve each bucket to its newest replace-kind version —
+  flooring at the newest full version, so TRUNCATE cannot resurrect
+  older rows — unioned with every additive delta newer than that
+  winner; shadowed bucket copies are pruned best-effort after replace
+  commits (resolution is correct without pruning). This is the
+  reference's touch-only-matched-keys upsert (RedshiftLoader.ts:
+  377-380) on the native path: a 0.1% update batch rewrites
+  ~0.1%·N buckets, not 100 TB, and appends never rewrite at all.
+  ``insert_batch`` carries its batch id in the delta dirname
+  (``…_b<id>_…``) as the replay marker; pruning keeps tagged dirs
+  (possibly emptied) alive so crash-replayed batches stay
+  exactly-once. The bucket count and key live in ``_bucketspec`` at
+  the table root (written atomically via tmp+rename) so re-opened
   sinks bucket identically.
 
 Reference upsert semantics are preserved exactly: duplicate ids
@@ -60,18 +68,36 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 _VERSION_RE = re.compile(r"^v_(\d+)_[0-9a-f]+$")  # full version
-_DELTA_RE = re.compile(r"^d_(\d+)_(?:b(\d+)_)?[0-9a-f]+$")  # bucket delta
+_DELTA_RE = re.compile(r"^d_(\d+)_(?:b(\d+)_)?[0-9a-f]+$")  # replace delta
+_ADDITIVE_RE = re.compile(r"^a_(\d+)_(?:b(\d+)_)?[0-9a-f]+$")  # additive delta
 BUCKET_COL = "__b"
 
+FULL, DELTA, ADDITIVE = "full", "delta", "additive"
 
-def _version_of(name: str) -> tuple[int, bool] | None:
-    """(version number, is_full) for a version dirname, else None."""
+
+def _version_of(name: str) -> tuple[int, str] | None:
+    """(version number, kind) for a version dirname, else None.
+    Kinds: FULL (``v_``, replaces the whole table), DELTA (``d_``,
+    replaces its buckets), ADDITIVE (``a_``, adds rows to its
+    buckets)."""
     m = _VERSION_RE.match(name)
     if m:
-        return int(m.group(1)), True
+        return int(m.group(1)), FULL
     m = _DELTA_RE.match(name)
     if m:
-        return int(m.group(1)), False
+        return int(m.group(1)), DELTA
+    m = _ADDITIVE_RE.match(name)
+    if m:
+        return int(m.group(1)), ADDITIVE
+    return None
+
+
+def _batch_tag_of(name: str) -> int | None:
+    """The replay batch id carried in a delta/additive dirname."""
+    for rx in (_DELTA_RE, _ADDITIVE_RE):
+        m = rx.match(name)
+        if m and m.group(2) is not None:
+            return int(m.group(2))
     return None
 
 
@@ -123,7 +149,12 @@ class NativeTableSink:
     def _read_spec(self) -> dict | None:
         fs, jpath, jvm = self._spec_jpath()
         if not fs.exists(jpath):
-            return None
+            # crash window in _save_spec: old spec deleted, tmp not yet
+            # renamed — recover the newest complete tmp
+            tmp = self._newest_spec_tmp()
+            if tmp is None:
+                return None
+            fs.rename(tmp, jpath)
         stream = fs.open(jpath)
         try:
             raw = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
@@ -131,10 +162,28 @@ class NativeTableSink:
             stream.close()
         return json.loads(bytes(raw).decode("utf-8"))
 
+    def _newest_spec_tmp(self):
+        fs, root, _ = self._fs(self.root)
+        if not fs.exists(root):
+            return None
+        best = None
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if name.startswith("_bucketspec.tmp."):
+                if best is None or status.getModificationTime() > best[0]:
+                    best = (status.getModificationTime(), status.getPath())
+        return best[1] if best else None
+
     def _save_spec(self, schema) -> None:
         """Persist bucket count/key (+ the latest schema, used to read
-        an empty bucketed table). Written after commit: a crash in the
-        window only costs the schema refresh, never data visibility."""
+        an empty bucketed table). Written after commit, atomically:
+        the payload lands in a tmp file first and replaces the old
+        spec by rename, so no crash point leaves a truncated/corrupt
+        spec (a truncate-in-place ``fs.create`` would brick every
+        subsequent constructor). The delete→rename window is covered
+        by tmp recovery in ``_read_spec``."""
+        if not self.bucketed:
+            return
         self._spec_schema_json = schema.json()
         payload = json.dumps(
             {
@@ -144,11 +193,22 @@ class NativeTableSink:
             }
         )
         fs, jpath, _ = self._spec_jpath()
-        stream = fs.create(jpath, True)
+        _, tmp_jpath, _ = self._fs(
+            f"{self.root}/_bucketspec.tmp.{uuid.uuid4().hex[:8]}"
+        )
+        stream = fs.create(tmp_jpath, True)
         try:
             stream.write(bytearray(payload.encode("utf-8")))
         finally:
             stream.close()
+        if fs.exists(jpath):
+            fs.delete(jpath, False)
+        fs.rename(tmp_jpath, jpath)
+        # sweep older tmps (best-effort)
+        for status in fs.listStatus(self._fs(self.root)[1]):
+            name = status.getPath().getName()
+            if name.startswith("_bucketspec.tmp."):
+                fs.delete(status.getPath(), False)
 
     # ------------------------------------------------------------------
     # version resolution
@@ -223,6 +283,10 @@ class NativeTableSink:
         tag = f"b{batch_id}_" if batch_id is not None else ""
         return f"{self.root}/d_{n}_{tag}{uuid.uuid4().hex[:8]}"
 
+    def _new_additive_path(self, n: int, batch_id: int | None = None) -> str:
+        tag = f"b{batch_id}_" if batch_id is not None else ""
+        return f"{self.root}/a_{n}_{tag}{uuid.uuid4().hex[:8]}"
+
     def _retire_below(self, keep_n: int, keep_name: str) -> None:
         """Delete committed and stale uncommitted dirs older than the
         winner (best-effort; failures leave garbage, never bad reads)."""
@@ -267,18 +331,41 @@ class NativeTableSink:
                     out[int(name.split("=", 1)[1])] = f"{vdir}/{name}"
         return out
 
-    def _bucket_winning_paths(self) -> dict[int, str]:
-        """Resolve each bucket to the newest committed version that
-        contains it, flooring at the newest full version (whose absent
-        buckets are empty by definition)."""
-        won: dict[int, str] = {}
-        for n, name in reversed(self._committed_versions()):
+    def _bucket_paths(
+        self, versions: list[tuple[int, str]] | None = None
+    ) -> dict[int, list[str]]:
+        """Resolve each bucket to its readable data roots: the newest
+        REPLACE-kind version (full ``v_`` or delta ``d_``) containing
+        it — flooring at the newest full version, whose absent buckets
+        are empty by definition — plus every ADDITIVE ``a_`` delta
+        NEWER than that winner (older additive rows were folded into
+        the replace write that shadowed them). Correct without any
+        pruning having run; pruning only reclaims space."""
+        if versions is None:
+            versions = self._committed_versions()
+        replace_won: dict[int, tuple[int, str]] = {}
+        additive: dict[int, list[tuple[int, str]]] = {}
+        floor_n = 0
+        for n, name in reversed(versions):
             vdir = f"{self.root}/{name}"
+            kind = _version_of(name)[1]
             for k, path in self._bucket_dirs_of(vdir).items():
-                won.setdefault(k, path)
-            if _version_of(name)[1]:  # full version: the floor
+                if kind == ADDITIVE:
+                    additive.setdefault(k, []).append((n, path))
+                else:
+                    replace_won.setdefault(k, (n, path))
+            if kind == FULL:
+                floor_n = n
                 break
-        return won
+        out: dict[int, list[str]] = {
+            k: [path] for k, (_, path) in replace_won.items()
+        }
+        for k, entries in additive.items():
+            base_n = replace_won.get(k, (floor_n, None))[0]
+            live = [path for n, path in entries if n > base_n]
+            if live:
+                out.setdefault(k, []).extend(live)
+        return out
 
     def _touched_buckets(self, bucketed_df: DataFrame) -> list[int]:
         # driver-side list bounded by num_buckets, never by data size
@@ -299,19 +386,30 @@ class NativeTableSink:
         self._retire_below(n - 1, "")
 
     def _write_delta(
-        self, merged_b: DataFrame, n: int, touched: list[int], batch_id: int | None = None
+        self,
+        merged_b: DataFrame,
+        n: int,
+        touched: list[int],
+        batch_id: int | None = None,
+        versions: list[tuple[int, str]] | None = None,
     ) -> None:
-        """Commit a delta version holding only ``touched`` buckets,
+        """Commit a REPLACE delta holding only ``touched`` buckets,
         then prune the now-shadowed copies of those buckets from older
-        versions (a full version dir itself always survives as the
-        empty-bucket floor; a fully-pruned delta dir is removed)."""
+        versions. A full version dir always survives as the
+        empty-bucket floor; a fully-pruned delta dir is removed ONLY
+        if it carries no batch tag — a ``b<id>`` dirname is the replay
+        marker for ``insert_batch`` idempotence and must outlive its
+        data (deleting it let a crash-replayed batch re-append rows
+        that were already folded into the shadowing write).
+        ``versions`` lets the caller pass the pre-commit listing it
+        already computed, skipping a second driver-side FS walk."""
         path = self._new_delta_path(n, batch_id)
         merged_b.write.partitionBy(BUCKET_COL).parquet(path)
         schema = merged_b.drop(BUCKET_COL).schema
         self._save_spec(schema)
         keep_name = path.rsplit("/", 1)[1]
         touched_set = set(touched)
-        for vn, name in self._committed_versions():
+        for vn, name in versions if versions is not None else self._committed_versions():
             if name == keep_name or vn >= n:
                 continue
             vdir = f"{self.root}/{name}"
@@ -319,7 +417,11 @@ class NativeTableSink:
             for k in touched_set & set(dirs):
                 fs, jpath, _ = self._fs(dirs[k])
                 fs.delete(jpath, True)
-            if not _version_of(name)[1] and not (set(dirs) - touched_set):
+            if (
+                _version_of(name)[1] != FULL
+                and _batch_tag_of(name) is None
+                and not (set(dirs) - touched_set)
+            ):
                 fs, jpath, _ = self._fs(vdir)
                 fs.delete(jpath, True)
 
@@ -341,7 +443,9 @@ class NativeTableSink:
         # subdirs are invisible; mergeSchema so appends that widened
         # the schema surface every column (missing → NULL)
         if self.bucketed:
-            paths = sorted(self._bucket_winning_paths().values())
+            paths = sorted(
+                p for lst in self._bucket_paths().values() for p in lst
+            )
             df = self._read_buckets(paths)
             if df is not None:
                 return df
@@ -369,12 +473,10 @@ class NativeTableSink:
         if isinstance(schema, str):
             schema = StructType.fromDDL(schema)
         empty = self.spark.createDataFrame([], schema)
-        if self.bucketed:
-            # zero-row full version: just the floor marker + spec schema
-            empty.write.parquet(self._new_version_path(1))
-            self._save_spec(schema)
-        else:
-            empty.write.parquet(self._new_version_path(1))
+        # zero-row full version: the floor marker (+ spec schema when
+        # bucketed — _save_spec no-ops otherwise)
+        empty.write.parquet(self._new_version_path(1))
+        self._save_spec(schema)
 
     def insert(self, df: DataFrame) -> None:
         """M1: append parts to the table (RedshiftLoader.ts:364-366).
@@ -405,8 +507,7 @@ class NativeTableSink:
         is skipped."""
         if self.bucketed:
             for _, name in self._committed_versions():
-                m = _DELTA_RE.match(name)
-                if m and m.group(2) is not None and int(m.group(2)) == batch_id:
+                if _batch_tag_of(name) == batch_id:
                     return  # replayed batch: already committed
             self._bucketed_append(df, batch_id=batch_id)
             return
@@ -416,26 +517,45 @@ class NativeTableSink:
         )
         df.write.mode("overwrite").parquet(f"{vdir}/batch_{batch_id}")
 
+    def _merged_spec_schema(self, schema):
+        """Union of the persisted spec schema and ``schema`` (existing
+        fields keep their type; new fields append) — an additive
+        append must never NARROW the spec an earlier wider write
+        recorded, since the spec is what an empty-table read uses."""
+        from pyspark.sql.types import StructType
+
+        if not self._spec_schema_json:
+            return schema
+        merged = StructType.fromJson(json.loads(self._spec_schema_json))
+        have = {f.name for f in merged.fields}
+        for f in schema.fields:
+            if f.name not in have:
+                merged = merged.add(f)
+        return merged
+
     def _bucketed_append(self, df: DataFrame, batch_id: int | None) -> None:
+        """Append = ADDITIVE delta: write ONLY the batch's rows,
+        partitioned by bucket — O(batch) I/O, never a read-merge-
+        rewrite of existing bucket content (which would make steady
+        streaming ingest O(table) per batch, quadratic cumulative).
+        Readers union additive deltas above each bucket's replace
+        floor (see ``_bucket_paths``); the next upsert/trunc folds
+        them into a replace write and pruning reclaims them.
+
+        On an EMPTY table a tagged batch still writes an additive
+        delta — never an untagged full version, which would lose the
+        replay marker: a crash between this commit and the streaming
+        checkpoint would then re-append batch 0's rows on recovery."""
         live = self._live()
-        if live is None:
+        if live is None and batch_id is None:
             self._write_full(df, 1)
             return
-        new_b = self._with_bucket(df).cache()
-        try:
-            touched = self._touched_buckets(new_b)
-            won = self._bucket_winning_paths()
-            existing = self._read_buckets([won[k] for k in touched if k in won])
-            merged = (
-                new_b
-                if existing is None
-                else self._with_bucket(existing).unionByName(
-                    new_b, allowMissingColumns=True
-                )
-            )
-            self._write_delta(merged, live[0] + 1, touched, batch_id)
-        finally:
-            new_b.unpersist()
+        n = 1 if live is None else live[0] + 1
+        new_b = self._with_bucket(df)
+        new_b.write.partitionBy(BUCKET_COL).parquet(
+            self._new_additive_path(n, batch_id)
+        )
+        self._save_spec(self._merged_spec_schema(df.schema))
 
     def trunc_insert(self, df: DataFrame) -> None:
         """M2: TRUNCATE + COPY ≈ overwrite (RedshiftLoader.ts:367-368).
@@ -527,8 +647,11 @@ class NativeTableSink:
         upd_b = self._with_bucket(updates).cache()
         try:
             touched = self._touched_buckets(upd_b)
-            won = self._bucket_winning_paths()
-            target = self._read_buckets([won[k] for k in touched if k in won])
+            versions = self._committed_versions()
+            won = self._bucket_paths(versions)
+            target = self._read_buckets(
+                [p for k in touched for p in won.get(k, [])]
+            )
             if target is None:
                 merged = upd_b
             else:
@@ -540,6 +663,6 @@ class NativeTableSink:
                 merged = self._with_bucket(keep).unionByName(
                     upd_b, allowMissingColumns=True
                 )
-            self._write_delta(merged, live[0] + 1, touched)
+            self._write_delta(merged, live[0] + 1, touched, versions=versions)
         finally:
             upd_b.unpersist()

@@ -155,3 +155,79 @@ class TestBucketedLayout:
         got = sink.read()
         assert set(got.columns) == {"id", "payload", "score"}
         assert got.filter("id = 1").collect()[0].score is None
+
+
+def _all_version_dirs(root):
+    return sorted(
+        d for d in os.listdir(root) if d.startswith(("v_", "d_", "a_"))
+    )
+
+
+class TestAppendAndReplayContracts:
+    """Regression tests for the exactly-once + O(batch) append
+    contracts (round-3 code-review findings)."""
+
+    def test_append_writes_only_the_batch_rows(self, spark, sink):
+        """An append to a populated table must be an additive delta
+        holding exactly the batch's rows — never a read-merge-rewrite
+        of existing bucket content (O(table) per batch at scale)."""
+        sink.upsert(_rows(spark, range(200)), id_field="id")
+        sink.insert(_rows(spark, range(200, 210), tag="new"))
+        adds = [d for d in _all_version_dirs(sink.root) if d.startswith("a_")]
+        assert len(adds) == 1
+        written = spark.read.parquet(os.path.join(sink.root, adds[0]))
+        assert written.count() == 10  # the batch, nothing else
+        assert sink.read().count() == 210
+
+    def test_appended_rows_fold_into_next_upsert(self, spark, sink):
+        sink.upsert(_rows(spark, range(20)), id_field="id")
+        sink.insert(_rows(spark, range(20, 30), tag="new"))
+        sink.upsert(_rows(spark, [5, 25], tag="upd"), id_field="id")
+        out = {r.id: r.payload for r in sink.read().collect()}
+        assert len(out) == 30
+        assert out[5] == "upd_5" and out[25] == "upd_25"
+        assert out[21] == "new_21" and out[3] == "base_3"
+
+    def test_first_batch_on_empty_table_replay_is_idempotent(self, spark, sink):
+        """Crash-replay of batch 0 against a fresh table: the first
+        tagged batch must commit WITH its replay marker (an untagged
+        full version would re-append on recovery)."""
+        sink.insert_batch(_rows(spark, range(10)), batch_id=0)
+        sink.insert_batch(_rows(spark, range(10)), batch_id=0)  # replay
+        assert sink.read().count() == 10
+
+    def test_replay_skipped_even_after_shadowing_upsert_pruned_it(
+        self, spark, sink
+    ):
+        """An upsert that touches every bucket of an earlier tagged
+        batch folds its rows and prunes its bucket dirs — the tagged
+        dirname must survive as the replay marker, or a crash-replay
+        of that batch duplicates rows that were already folded."""
+        sink.insert_batch(_rows(spark, range(10)), batch_id=1)
+        # upsert over the SAME ids: touches every bucket batch 1 wrote
+        sink.upsert(_rows(spark, range(10), tag="upd"), id_field="id")
+        tagged = [d for d in _all_version_dirs(sink.root) if "_b1_" in d]
+        assert tagged, "replay marker dir was deleted by pruning"
+        sink.insert_batch(_rows(spark, range(10)), batch_id=1)  # replay
+        out = {r.id: r.payload for r in sink.read().collect()}
+        assert len(out) == 10, "replayed batch re-appended folded rows"
+        assert all(v.startswith("upd_") for v in out.values())
+
+    def test_spec_recovers_from_crash_between_delete_and_rename(
+        self, spark, tmp_path
+    ):
+        """_save_spec is tmp+rename; if a crash lands between the old
+        spec's delete and the rename, the constructor must recover the
+        newest tmp instead of treating the table as unbucketed."""
+        root = str(tmp_path / "tbl")
+        sink = NativeTableSink(spark, root, num_buckets=N_BUCKETS, bucket_by="id")
+        sink.upsert(_rows(spark, range(20)), id_field="id")
+        spec_path = os.path.join(root, "_bucketspec")
+        with open(spec_path) as fh:
+            payload = fh.read()
+        os.remove(spec_path)
+        with open(os.path.join(root, "_bucketspec.tmp.deadbeef"), "w") as fh:
+            fh.write(payload)
+        reopened = NativeTableSink(spark, root)
+        assert reopened.bucketed and reopened.num_buckets == N_BUCKETS
+        assert reopened.read().count() == 20

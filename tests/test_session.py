@@ -46,6 +46,36 @@ def test_spread_noop_on_wide_file_input(spark, tmp_path):
     assert out is df  # enough files: untouched, no shuffle added
 
 
+def test_spread_noop_on_few_large_splittable_files(spark, tmp_path):
+    """File count alone under-reports splits of large splittable
+    files: one file whose bytes exceed target×maxPartitionBytes
+    already scans wide, and spread() must NOT bolt a full-input
+    shuffle onto it (the round-3 review found exactly that
+    regression). Simulated by dropping maxPartitionBytes so a small
+    file counts as many splits."""
+    from rs_streamloader_spark.session import spread
+
+    spark.range(200_000).coalesce(1).write.parquet(str(tmp_path / "big"))
+    df = spark.read.parquet(str(tmp_path / "big"))
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    try:
+        out = spread(df)
+        assert out is df  # est. splits = bytes/4KB >> parallelism: no-op
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_parse_bytes_suffixes():
+    from rs_streamloader_spark.session import _parse_bytes
+
+    assert _parse_bytes("134217728") == 134217728
+    assert _parse_bytes("134217728b") == 134217728
+    assert _parse_bytes("128m") == 128 * 1024**2
+    assert _parse_bytes("128MB") == 128 * 1024**2
+    assert _parse_bytes("1g") == 1024**3
+
+
 def test_spread_handles_non_file_sources(spark):
     from rs_streamloader_spark.session import spread
 
