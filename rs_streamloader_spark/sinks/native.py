@@ -121,11 +121,13 @@ class NativeTableSink:
         self.spark = spark
         self.root = root.rstrip("/")
         self._spec_schema_json: str | None = None
+        self._max_batch_id: int | None = None
         spec = self._read_spec()
         if spec is not None:
             self.num_buckets = int(spec["num_buckets"])
             self.bucket_by = spec["bucket_by"]
             self._spec_schema_json = spec.get("schema")
+            self._max_batch_id = spec.get("max_batch_id")
         else:
             self.num_buckets = num_buckets
             self.bucket_by = bucket_by
@@ -190,6 +192,10 @@ class NativeTableSink:
                 "num_buckets": self.num_buckets,
                 "bucket_by": self.bucket_by,
                 "schema": self._spec_schema_json,
+                # highest insert_batch id ever applied — the Delta-
+                # txn-version style replay guard that survives even a
+                # truncate retiring the tagged marker dirs
+                "max_batch_id": self._max_batch_id,
             }
         )
         fs, jpath, _ = self._spec_jpath()
@@ -506,9 +512,21 @@ class NativeTableSink:
         (``d_<n>_b<id>_…``) and a replay of an already-committed batch
         is skipped."""
         if self.bucketed:
+            # O(1) replay guard: batch ids commit in order (Structured
+            # Streaming replays only the last uncommitted batch), so
+            # id ≤ recorded max ⟺ already applied — and the spec
+            # survives truncation, where the tagged marker dirs do not
+            if self._max_batch_id is not None and batch_id <= self._max_batch_id:
+                return
+            # legacy tables without max_batch_id: scan for the tag
             for _, name in self._committed_versions():
                 if _batch_tag_of(name) == batch_id:
                     return  # replayed batch: already committed
+            self._max_batch_id = (
+                batch_id
+                if self._max_batch_id is None
+                else max(self._max_batch_id, batch_id)
+            )
             self._bucketed_append(df, batch_id=batch_id)
             return
         live = self._live()

@@ -231,3 +231,22 @@ class TestAppendAndReplayContracts:
         reopened = NativeTableSink(spark, root)
         assert reopened.bucketed and reopened.num_buckets == N_BUCKETS
         assert reopened.read().count() == 20
+
+    def test_replay_skipped_after_truncate_retires_marker_dirs(
+        self, spark, tmp_path
+    ):
+        """trunc_insert retires every older version dir INCLUDING
+        tagged replay markers — the spec's max_batch_id must carry the
+        replay guard across the truncation (Delta txn-version style),
+        or a crash-replayed pre-truncate batch would re-append rows
+        the truncate intentionally discarded."""
+        root = str(tmp_path / "tbl")
+        sink = NativeTableSink(spark, root, num_buckets=N_BUCKETS, bucket_by="id")
+        sink.insert_batch(_rows(spark, range(10)), batch_id=7)
+        sink.trunc_insert(_rows(spark, range(100, 105), tag="kept"))
+        assert not [d for d in _all_version_dirs(root) if "_b7_" in d]
+        # recovery path: a FRESH sink instance (new driver) replays 7
+        reopened = NativeTableSink(spark, root)
+        reopened.insert_batch(_rows(spark, range(10)), batch_id=7)
+        out = sorted(r.id for r in reopened.read().collect())
+        assert out == [100, 101, 102, 103, 104], out
