@@ -74,6 +74,10 @@ BUCKET_COL = "__b"
 
 FULL, DELTA, ADDITIVE = "full", "delta", "additive"
 
+# auto-compaction threshold: fold additive deltas into a replace delta
+# once more than this many have accumulated (see _bucketed_append)
+COMPACT_AFTER = 16
+
 
 def _version_of(name: str) -> tuple[int, str] | None:
     """(version number, kind) for a version dirname, else None.
@@ -285,9 +289,10 @@ class NativeTableSink:
     def _new_version_path(self, n: int) -> str:
         return f"{self.root}/v_{n}_{uuid.uuid4().hex[:8]}"
 
-    def _new_delta_path(self, n: int, batch_id: int | None = None) -> str:
-        tag = f"b{batch_id}_" if batch_id is not None else ""
-        return f"{self.root}/d_{n}_{tag}{uuid.uuid4().hex[:8]}"
+    def _new_delta_path(self, n: int) -> str:
+        # (_DELTA_RE still accepts legacy b<id>-tagged names: pre-r3
+        # tables carried the replay tag on replace deltas)
+        return f"{self.root}/d_{n}_{uuid.uuid4().hex[:8]}"
 
     def _new_additive_path(self, n: int, batch_id: int | None = None) -> str:
         tag = f"b{batch_id}_" if batch_id is not None else ""
@@ -396,7 +401,6 @@ class NativeTableSink:
         merged_b: DataFrame,
         n: int,
         touched: list[int],
-        batch_id: int | None = None,
         versions: list[tuple[int, str]] | None = None,
     ) -> None:
         """Commit a REPLACE delta holding only ``touched`` buckets,
@@ -409,7 +413,7 @@ class NativeTableSink:
         that were already folded into the shadowing write).
         ``versions`` lets the caller pass the pre-commit listing it
         already computed, skipping a second driver-side FS walk."""
-        path = self._new_delta_path(n, batch_id)
+        path = self._new_delta_path(n)
         merged_b.write.partitionBy(BUCKET_COL).parquet(path)
         schema = merged_b.drop(BUCKET_COL).schema
         self._save_spec(schema)
@@ -490,9 +494,9 @@ class NativeTableSink:
         Unbucketed: each append is its own commit subdir (own
         ``_SUCCESS``), so a crash mid-append leaves an ignored
         directory — never a partially visible batch inside a committed
-        version. Bucketed: the batch's rows are folded into their
-        buckets (existing bucket content ∪ new rows) and committed as
-        a delta touching only those buckets."""
+        version. Bucketed: the batch's rows commit as an ADDITIVE
+        delta (``a_<n>``) holding only the new rows — O(batch) I/O;
+        see ``_bucketed_append``."""
         if self.bucketed:
             self._bucketed_append(df, batch_id=None)
             return
@@ -508,9 +512,9 @@ class NativeTableSink:
         overwrite, so a replayed batch (streaming checkpoint recovery)
         lands exactly once instead of duplicating — the batchId-keyed
         staging contract of SURVEY.md §2.4's exactly-once row.
-        Bucketed: the batch id is carried in the delta dirname
-        (``d_<n>_b<id>_…``) and a replay of an already-committed batch
-        is skipped."""
+        Bucketed: the batch commits as an additive delta carrying the
+        id in its dirname (``a_<n>_b<id>_…``) and the spec records
+        the highest applied id, so replays are skipped."""
         if self.bucketed:
             # O(1) replay guard: batch ids commit in order (Structured
             # Streaming replays only the last uncommitted batch), so
@@ -518,16 +522,15 @@ class NativeTableSink:
             # survives truncation, where the tagged marker dirs do not
             if self._max_batch_id is not None and batch_id <= self._max_batch_id:
                 return
-            # legacy tables without max_batch_id: scan for the tag
-            for _, name in self._committed_versions():
+            versions = self._committed_versions()
+            # tag scan runs whenever the spec guard passes — it covers
+            # legacy tables without max_batch_id AND the crash window
+            # where the tagged dir committed but the spec update after
+            # it didn't
+            for _, name in versions:
                 if _batch_tag_of(name) == batch_id:
                     return  # replayed batch: already committed
-            self._max_batch_id = (
-                batch_id
-                if self._max_batch_id is None
-                else max(self._max_batch_id, batch_id)
-            )
-            self._bucketed_append(df, batch_id=batch_id)
+            self._bucketed_append(df, batch_id=batch_id, versions=versions)
             return
         live = self._live()
         vdir = (
@@ -551,20 +554,40 @@ class NativeTableSink:
                 merged = merged.add(f)
         return merged
 
-    def _bucketed_append(self, df: DataFrame, batch_id: int | None) -> None:
+    def _bucketed_append(
+        self,
+        df: DataFrame,
+        batch_id: int | None,
+        versions: list[tuple[int, str]] | None = None,
+    ) -> None:
         """Append = ADDITIVE delta: write ONLY the batch's rows,
         partitioned by bucket — O(batch) I/O, never a read-merge-
         rewrite of existing bucket content (which would make steady
         streaming ingest O(table) per batch, quadratic cumulative).
         Readers union additive deltas above each bucket's replace
-        floor (see ``_bucket_paths``); the next upsert/trunc folds
-        them into a replace write and pruning reclaims them.
+        floor (see ``_bucket_paths``); an upsert/trunc — or the
+        automatic compaction below — folds them into a replace write
+        and pruning reclaims them.
 
         On an EMPTY table a tagged batch still writes an additive
         delta — never an untagged full version, which would lose the
         replay marker: a crash between this commit and the streaming
-        checkpoint would then re-append batch 0's rows on recovery."""
-        live = self._live()
+        checkpoint would then re-append batch 0's rows on recovery.
+
+        ``_max_batch_id`` advances ONLY after the write committed:
+        bumping it first would make a FAILED batch look applied on
+        retry, silently losing its rows (the on-disk tag is
+        failure-safe for free because it only exists after a
+        successful commit; the spec guard must mirror that).
+
+        Pure-append streams accumulate one ``a_`` dir per batch, and
+        every version dir costs driver-side listing work per commit —
+        so once the additive count passes ``COMPACT_AFTER``, the
+        append triggers ``compact()``: amortized O(table/K) extra I/O
+        per append, the LSM bargain."""
+        if versions is None:
+            versions = self._committed_versions()
+        live = versions[-1] if versions else None
         if live is None and batch_id is None:
             self._write_full(df, 1)
             return
@@ -573,7 +596,48 @@ class NativeTableSink:
         new_b.write.partitionBy(BUCKET_COL).parquet(
             self._new_additive_path(n, batch_id)
         )
+        if batch_id is not None:
+            self._max_batch_id = (
+                batch_id
+                if self._max_batch_id is None
+                else max(self._max_batch_id, batch_id)
+            )
         self._save_spec(self._merged_spec_schema(df.schema))
+        n_additive = sum(
+            1 for _, name in versions if _version_of(name)[1] == ADDITIVE
+        )
+        if n_additive + 1 > COMPACT_AFTER:
+            self.compact()
+
+    def compact(self) -> None:
+        """Fold every live additive delta into one REPLACE delta
+        covering the buckets they touch, letting pruning reclaim the
+        per-batch dirs. Crash-safe like every other write: the fold
+        is a normal replace commit (its ``_SUCCESS`` atomically
+        shadows the additive rows via the ``n > base_n`` resolution
+        rule), so a crash at any point leaves either the old state or
+        the compacted one — never duplicates."""
+        if not self.bucketed:
+            return
+        versions = self._committed_versions()
+        paths = self._bucket_paths(versions)
+        additive_buckets = {
+            k
+            for k, lst in paths.items()
+            if any(p.rsplit("/", 2)[-2].startswith("a_") for p in lst)
+        }
+        if not additive_buckets:
+            return
+        live_n = versions[-1][0]
+        content = self._read_buckets(
+            [p for k in additive_buckets for p in paths[k]]
+        )
+        self._write_delta(
+            self._with_bucket(content),
+            live_n + 1,
+            sorted(additive_buckets),
+            versions=versions,
+        )
 
     def trunc_insert(self, df: DataFrame) -> None:
         """M2: TRUNCATE + COPY ≈ overwrite (RedshiftLoader.ts:367-368).

@@ -21,10 +21,8 @@ def _rows(spark, ids, tag="base"):
     )
 
 
-def _version_dirs(root):
-    return sorted(
-        d for d in os.listdir(root) if d.startswith(("v_", "d_"))
-    )
+def _version_dirs(root, prefixes=("v_", "d_", "a_")):
+    return sorted(d for d in os.listdir(root) if d.startswith(prefixes))
 
 
 def _bucket_subdirs(root, vdir):
@@ -157,12 +155,6 @@ class TestBucketedLayout:
         assert got.filter("id = 1").collect()[0].score is None
 
 
-def _all_version_dirs(root):
-    return sorted(
-        d for d in os.listdir(root) if d.startswith(("v_", "d_", "a_"))
-    )
-
-
 class TestAppendAndReplayContracts:
     """Regression tests for the exactly-once + O(batch) append
     contracts (round-3 code-review findings)."""
@@ -173,7 +165,7 @@ class TestAppendAndReplayContracts:
         of existing bucket content (O(table) per batch at scale)."""
         sink.upsert(_rows(spark, range(200)), id_field="id")
         sink.insert(_rows(spark, range(200, 210), tag="new"))
-        adds = [d for d in _all_version_dirs(sink.root) if d.startswith("a_")]
+        adds = [d for d in _version_dirs(sink.root) if d.startswith("a_")]
         assert len(adds) == 1
         written = spark.read.parquet(os.path.join(sink.root, adds[0]))
         assert written.count() == 10  # the batch, nothing else
@@ -206,7 +198,7 @@ class TestAppendAndReplayContracts:
         sink.insert_batch(_rows(spark, range(10)), batch_id=1)
         # upsert over the SAME ids: touches every bucket batch 1 wrote
         sink.upsert(_rows(spark, range(10), tag="upd"), id_field="id")
-        tagged = [d for d in _all_version_dirs(sink.root) if "_b1_" in d]
+        tagged = [d for d in _version_dirs(sink.root) if "_b1_" in d]
         assert tagged, "replay marker dir was deleted by pruning"
         sink.insert_batch(_rows(spark, range(10)), batch_id=1)  # replay
         out = {r.id: r.payload for r in sink.read().collect()}
@@ -244,9 +236,25 @@ class TestAppendAndReplayContracts:
         sink = NativeTableSink(spark, root, num_buckets=N_BUCKETS, bucket_by="id")
         sink.insert_batch(_rows(spark, range(10)), batch_id=7)
         sink.trunc_insert(_rows(spark, range(100, 105), tag="kept"))
-        assert not [d for d in _all_version_dirs(root) if "_b7_" in d]
+        assert not [d for d in _version_dirs(root) if "_b7_" in d]
         # recovery path: a FRESH sink instance (new driver) replays 7
         reopened = NativeTableSink(spark, root)
         reopened.insert_batch(_rows(spark, range(10)), batch_id=7)
         out = sorted(r.id for r in reopened.read().collect())
         assert out == [100, 101, 102, 103, 104], out
+
+    def test_auto_compaction_folds_additive_deltas(self, spark, sink, monkeypatch):
+        """Past COMPACT_AFTER additive deltas, the next append folds
+        them into one replace delta (amortized-O(table/K) LSM
+        bargain) — and the folded table reads identically."""
+        import rs_streamloader_spark.sinks.native as N
+
+        monkeypatch.setattr(N, "COMPACT_AFTER", 3)
+        sink.upsert(_rows(spark, range(10)), id_field="id")
+        for i in range(5):
+            sink.insert(_rows(spark, range(100 + 10 * i, 110 + 10 * i), tag=f"a{i}"))
+        adds = [d for d in _version_dirs(sink.root) if d.startswith("a_")]
+        assert len(adds) <= 3, adds  # folded, not accumulating forever
+        out = {r.id: r.payload for r in sink.read().collect()}
+        assert len(out) == 60
+        assert out[3] == "base_3" and out[117] == "a1_117" and out[145] == "a4_145"
