@@ -98,6 +98,10 @@ HEAVY_TAIL = [
     "q18_large_orders",
     "funnel_stages",
     "pack_sequences",
+    "ann_ivf_kmeans",
+    "text_repetition_stats",
+    "text_corpus_rarity",
+    "retention_cohorts",
 ]
 
 # threshold-pair operators over embeddings have intrinsically
