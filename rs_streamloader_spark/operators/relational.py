@@ -809,3 +809,127 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, _EVENT_TYPES)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 / Q14 / Q19 — scan-heavy aggregates over selective predicates
+# ---------------------------------------------------------------------------
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the pure predicate-pushdown benchmark — every filter
+    (date range, discount band, quantity cap) reaches the parquet
+    scan as a pushed filter + row-group min/max prune, and the single
+    global aggregate is one partial+final pair with no shuffle of
+    data rows (only the per-partition partials)."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q14_promo_effect",
+    oracle="""
+    SELECT ROUND(
+             100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-05-01 00:00:00'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: conditional-aggregate ratio over a fact×dim join.
+    The date filter prunes the lineitem scan BEFORE the join, the
+    part side broadcasts (dim ≪ fact), and both CASE branches ride
+    one aggregation pass — never two joins or two scans."""
+    t = _t(spark, sf_dir, "lineitem", "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0)
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-05-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 45)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR-of-ANDs predicate spanning BOTH join
+    sides (brand/size from part, quantity from lineitem). Catalyst
+    CNF-converts the disjunction and pushes the derivable
+    single-side conjuncts below the join (p_brand IN (…) prunes the
+    broadcast build side; the l_quantity envelope prunes the fact
+    scan), leaving only the cross-side residual above the join — the
+    classic disjunctive-pushdown test."""
+    t = _t(spark, sf_dir, "lineitem", "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 45)
+        )
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )

@@ -226,6 +226,31 @@ def test_ann_ivf_kmeans_broadcasts_codebook_and_queries(spark):
     assert has_broadcast_join(df), text
 
 
+def test_q6_filters_reach_the_scan(spark):
+    """Q6 is the pushdown benchmark: date/discount/quantity filters
+    must appear as PushedFilters on the parquet scan, and the plan
+    has exactly one scan and no join."""
+    from rs_streamloader_spark.operators.relational import q6_forecast_revenue
+
+    df = q6_forecast_revenue(spark, SF_SMOKE)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    assert "Join" not in explain_str(df)
+
+
+def test_q19_broadcasts_dim_under_disjunction(spark):
+    """The OR-of-ANDs predicate spans both join sides; the part side
+    must still broadcast (no cartesian fallback) with the residual
+    evaluated above the join."""
+    from rs_streamloader_spark.operators.relational import q19_discounted_revenue
+
+    df = q19_discounted_revenue(spark, SF_SMOKE)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    assert has_broadcast_join(df), text
+
+
 def test_retention_cohorts_two_shuffles(spark):
     """Retention must be the single-pass plan: the cohort week rides a
     window MIN over ONE user_id exchange, the (user, week) DISTINCT
