@@ -1,0 +1,166 @@
+"""Multi-micro-batch streaming semantics (ROADMAP r2 'rate-limit
+knobs' item): run the REAL stateful operators with
+``maxFilesPerTrigger=1`` over time-sliced input files, so the
+event-time watermark advances across MANY micro-batches — sessions
+span batch boundaries and must close via event-time timeout, join
+state must buffer clicks across batches and emit NULL-side rows only
+when the watermark passes. The output must equal the single-batch
+availableNow replay (itself DuckDB-oracle-checked by the driver),
+proving the operators' incremental semantics, not just their
+one-batch behavior.
+
+Slices are contiguous in event time and arrive oldest-first — the
+arrival order a live stream has — because the operators run real
+watermarks (sessionize at 0 seconds): delivering time-shuffled files
+would legitimately drop late data, which is watermark semantics, not
+a bug."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rs_streamloader_spark.operators import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+N_SLICES = 6
+
+
+def _stage_sliced(df, path, ts_col="ts"):
+    """Write df as N_SLICES single-file parquet slices, contiguous in
+    event time, created oldest-first (FileStreamSource picks files in
+    mtime order by default)."""
+    sliced = df.withColumn(
+        "__slice", F.ntile(N_SLICES).over(Window.orderBy(ts_col))
+    )
+    for i in range(1, N_SLICES + 1):
+        (
+            sliced.filter(F.col("__slice") == i)
+            .drop("__slice")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(path)
+        )
+
+
+def _run_limited(spark, tag, inputs, build):
+    base = os.path.join(tempfile.gettempdir(), "rs_sl_multibatch", tag)
+    shutil.rmtree(base, ignore_errors=True)
+    streams = {}
+    for name, df in inputs.items():
+        path = os.path.join(base, f"in_{name}")
+        _stage_sliced(df, path)
+        streams[name] = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+    out = os.path.join(base, "out")
+    q = (
+        build(streams)
+        .writeStream.foreachBatch(
+            lambda bdf, _bid: bdf.write.mode("append").parquet(out)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len(
+        os.listdir(os.path.join(base, "ckpt", "offsets"))
+    )
+    return spark.read.parquet(out), n_batches
+
+
+def test_sessionize_across_many_microbatches(spark):
+    """Sessions spanning micro-batch boundaries must merge in state
+    and close by event-time timeout — output identical to the
+    single-batch replay."""
+    from rs_streamloader_spark.streaming.replay import (
+        _SENTINEL_USER,
+        _events,
+        _sentinel_ts,
+    )
+    from rs_streamloader_spark.streaming.stateful import sessionize_stateful
+
+    ev = _events(spark, SF).select("user_id", "ts")
+    sentinel = spark.createDataFrame(
+        [(_SENTINEL_USER, _sentinel_ts(ev))], ev.schema
+    )
+    out, n_batches = _run_limited(
+        spark,
+        "sessionize",
+        {"events": ev.unionByName(sentinel)},
+        lambda s: sessionize_stateful(s["events"]),
+    )
+    assert n_batches >= N_SLICES, f"only {n_batches} micro-batches ran"
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in out.filter(F.col("user_id") >= 0).collect()
+    )
+    want = sorted(
+        (
+            r.user_id,
+            r.session_start.replace(tzinfo=None),
+            r.session_end.replace(tzinfo=None),
+            r.n_events,
+        )
+        for r in REGISTRY["sessionize_stateful_replay"].fn(spark, SF).collect()
+    )
+    got = [(u, s.replace(tzinfo=None), e.replace(tzinfo=None), n) for u, s, e, n in got]
+    assert got == want
+
+
+def test_attribution_join_across_many_microbatches(spark):
+    """Stream-stream LEFT OUTER across many batches: clicks buffered
+    in join state must match purchases arriving in LATER batches, and
+    organic purchases emit NULL-side rows only once the watermark
+    passes — output identical to the single-batch replay."""
+    from rs_streamloader_spark.streaming.joins import attribution_join_outer
+    from rs_streamloader_spark.streaming.replay import _events, _sentinel_ts
+
+    ev = _events(spark, SF).select("user_id", "ts", "event_id", "event_type")
+    sentinel_ts = _sentinel_ts(ev)
+
+    def side(event_type, sentinel_user):
+        rows = ev.filter(F.col("event_type") == event_type).select(
+            "user_id", "ts", "event_id"
+        )
+        sentinel = spark.createDataFrame(
+            [(sentinel_user, sentinel_ts, sentinel_user)], rows.schema
+        )
+        return rows.unionByName(sentinel)
+
+    out, n_batches = _run_limited(
+        spark,
+        "attribution",
+        {"clicks": side("click", -1), "purchases": side("purchase", -2)},
+        lambda s: attribution_join_outer(s["clicks"], s["purchases"]),
+    )
+    assert n_batches >= N_SLICES, f"only {n_batches} micro-batches ran"
+
+    def norm(df):
+        return sorted(
+            (
+                r.user_id,
+                r.purchase_id,
+                r.purchase_ts.replace(tzinfo=None),
+                r.click_id,
+                r.click_ts.replace(tzinfo=None) if r.click_ts else None,
+            )
+            for r in df.collect()
+        )
+
+    got = norm(out.filter(F.col("user_id") >= 0))
+    want = norm(
+        REGISTRY["attribution_join_outer_replay"]
+        .fn(spark, SF)
+        .select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+    )
+    assert got == want
