@@ -638,6 +638,27 @@ class NativeTableSink:
             sorted(additive_buckets),
             versions=versions,
         )
+        # retire replay markers the spec guard now covers: the fold's
+        # _save_spec just persisted max_batch_id, so a tagged ADDITIVE
+        # dir with id ≤ that max is provably redundant (the O(1) guard
+        # skips its id before any tag scan). Without this, emptied
+        # marker dirs keep matching the additive count forever — the
+        # trigger would fire compact() on EVERY batch past the
+        # threshold, and per-commit listings would grow O(total
+        # batches ever). Only empty additive dirs are deleted; a
+        # marker whose batch outran a crashed spec save has id > max
+        # and survives until the next successful tagged commit.
+        if self._max_batch_id is not None:
+            for _, name in versions:
+                tag = _batch_tag_of(name)
+                if (
+                    tag is not None
+                    and tag <= self._max_batch_id
+                    and _version_of(name)[1] == ADDITIVE
+                    and not self._bucket_dirs_of(f"{self.root}/{name}")
+                ):
+                    fs, jpath, _ = self._fs(f"{self.root}/{name}")
+                    fs.delete(jpath, True)
 
     def trunc_insert(self, df: DataFrame) -> None:
         """M2: TRUNCATE + COPY ≈ overwrite (RedshiftLoader.ts:367-368).

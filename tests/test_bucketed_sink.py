@@ -258,3 +258,27 @@ class TestAppendAndReplayContracts:
         out = {r.id: r.payload for r in sink.read().collect()}
         assert len(out) == 60
         assert out[3] == "base_3" and out[117] == "a1_117" and out[145] == "a4_145"
+
+    def test_tagged_stream_compaction_retires_markers(
+        self, spark, sink, monkeypatch
+    ):
+        """Streaming insert_batch past COMPACT_AFTER must fold AND
+        retire the now-redundant tagged marker dirs (the spec's
+        max_batch_id covers them) — otherwise emptied markers keep
+        counting as additive dirs and every later batch re-compacts,
+        reinstating the O(table)-per-batch cost."""
+        import rs_streamloader_spark.sinks.native as N
+
+        monkeypatch.setattr(N, "COMPACT_AFTER", 3)
+        for b in range(8):
+            sink.insert_batch(
+                _rows(spark, range(10 * b, 10 * b + 10), tag=f"b{b}"), batch_id=b
+            )
+        adds = [d for d in _version_dirs(sink.root) if d.startswith("a_")]
+        assert len(adds) <= 3, adds  # markers retired, not accumulating
+        assert sink.read().count() == 80
+        # replay guard still holds for a retired-marker batch, even
+        # through a fresh instance (spec carries max_batch_id)
+        reopened = NativeTableSink(spark, sink.root)
+        reopened.insert_batch(_rows(spark, range(10), tag="dup"), batch_id=0)
+        assert reopened.read().count() == 80

@@ -33,11 +33,17 @@ N_SLICES = 6
 
 def _stage_sliced(df, path, ts_col="ts"):
     """Write df as N_SLICES single-file parquet slices, contiguous in
-    event time, created oldest-first (FileStreamSource picks files in
-    mtime order by default)."""
+    event time, created oldest-first. FileStreamSource orders files by
+    mtime with NO tiebreak, so each slice's mtime is explicitly bumped
+    1s apart — on coarse-mtime filesystems equal stamps could reorder
+    slices and the 0-second watermark would (correctly) drop the
+    now-late rows, failing the test for filesystem reasons."""
+    import time
+
     sliced = df.withColumn(
         "__slice", F.ntile(N_SLICES).over(Window.orderBy(ts_col))
     )
+    base_mtime = time.time() - N_SLICES - 60
     for i in range(1, N_SLICES + 1):
         (
             sliced.filter(F.col("__slice") == i)
@@ -46,10 +52,21 @@ def _stage_sliced(df, path, ts_col="ts"):
             .write.mode("append")
             .parquet(path)
         )
+        for name in os.listdir(path):
+            full = os.path.join(path, name)
+            if os.path.getmtime(full) > base_mtime + i:
+                os.utime(full, (base_mtime + i, base_mtime + i))
 
 
 def _run_limited(spark, tag, inputs, build):
-    base = os.path.join(tempfile.gettempdir(), "rs_sl_multibatch", tag)
+    # appId-namespaced like replay._replay: concurrent runs must not
+    # clobber each other's inputs/checkpoints mid-query
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "rs_sl_multibatch",
+        spark.sparkContext.applicationId,
+        tag,
+    )
     shutil.rmtree(base, ignore_errors=True)
     streams = {}
     for name, df in inputs.items():
