@@ -280,3 +280,49 @@ def attribution_join_outer_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         "click_id",
         F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
     )
+
+
+_TUMBLING_ORACLE = """
+    SELECT DATE_TRUNC('hour', ts) AS window_start,
+           DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM("value"), 2) AS total_value
+    FROM events GROUP BY 1, 2, 3
+"""
+
+
+@register("tumbling_window_replay", oracle=_TUMBLING_ORACLE)
+def tumbling_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation replay: append-mode
+    emits a window only once the watermark passes its end, so the
+    sentinel (15 days past the data, a reserved event_type) flushes
+    every real window; its own window stays unemitted in state and is
+    filtered by type. Spark's epoch-aligned ``window('1 hour')``
+    equals the oracle's DATE_TRUNC('hour', ts) bucketing, so the
+    compare is exact — a window emitted early (before its watermark
+    closed) or double-emitted across micro-batches would break the
+    count/sum hash."""
+    from rs_streamloader_spark.streaming.windows import tumbling_window_agg
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    sentinel_ts = _sentinel_ts(ev)
+    sentinel = spark.createDataFrame(
+        [(-1, sentinel_ts, -1, "__sentinel", 0.0)], ev.schema
+    )
+    out = _replay(
+        spark,
+        "tumbling",
+        sf_dir,
+        {"events": ev.unionByName(sentinel)},
+        lambda s: tumbling_window_agg(s["events"]),
+    )
+    return out.filter(F.col("event_type") != "__sentinel").select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
