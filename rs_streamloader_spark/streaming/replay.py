@@ -326,3 +326,50 @@ def tumbling_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+_SLIDING_ORACLE = """
+    WITH w AS (
+      SELECT UNNEST(list_transform(range(0, 4),
+             k -> make_timestamp((CAST(floor(epoch(ts) / 900) AS BIGINT) * 900
+                                  - k * 900) * 1000000)))
+             AS window_start, ts
+      FROM events
+    )
+    SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+           COUNT(*) AS n_events
+    FROM w
+    WHERE ts < window_start + INTERVAL 1 HOUR
+    GROUP BY 1, 2
+"""
+
+
+@register("sliding_window_replay", oracle=_SLIDING_ORACLE)
+def sliding_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (1 hour / 15 min) aggregation replay: every
+    event lands in exactly 4 overlapping windows; the oracle
+    enumerates the same 4 epoch-aligned starts per event. The
+    sentinel's own windows end after the final watermark and stay
+    unemitted, so no output filter is needed — its 15-day offset
+    keeps it out of every real window."""
+    from rs_streamloader_spark.streaming.windows import sliding_window_agg
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    sentinel_ts = _sentinel_ts(ev)
+    sentinel = spark.createDataFrame(
+        [(-1, sentinel_ts, -1, "__sentinel", 0.0)], ev.schema
+    )
+    out = _replay(
+        spark,
+        "sliding",
+        sf_dir,
+        {"events": ev.unionByName(sentinel)},
+        lambda s: sliding_window_agg(s["events"]),
+    )
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+        "n_events",
+    )
