@@ -1290,3 +1290,62 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC: slowly-changing-dimension type 2 from an event log
+# ---------------------------------------------------------------------------
+
+@register(
+    "cdc_scd2_users",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           COALESCE(STRFTIME(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                             '%Y-%m-%d %H:%M:%S'),
+                    '9999-12-31 00:00:00') AS valid_to,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    """,
+)
+def cdc_scd2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 built from the event log: each
+    change of a user's event_type opens a new version row with
+    [valid_from, valid_to) bounds and an is_current flag. This is the
+    history-preserving sibling of the reference's upsert dedupe
+    ('last' keeps only the newest row per key —
+    /root/reference/lib/RedshiftLoader.ts:361-374); SCD2 is what a
+    warehouse keeps when it cannot afford to lose the old versions.
+    Both windows share the user_id partitioning and (ts, event_id)
+    sort, so Catalyst plans ONE exchange + sort reused by the lag,
+    lead, and row_number — change detection never self-joins the log.
+    Timestamps leave as formatted strings (TZ-invariant compare)."""
+    t = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        t["events"]
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+    )
+    nxt = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(nxt, "yyyy-MM-dd HH:mm:ss"),
+            F.lit("9999-12-31 00:00:00"),
+        ).alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )

@@ -621,3 +621,116 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_shingles"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus via a distributed Bloom
+# filter (the reference only ever appends or key-upserts — this is the
+# content-level guard a training-data ingest runs before accepting a batch)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16          # 2^16 bits → 1024 64-bit words
+BLOOM_WORDS = BLOOM_BITS // 64
+PREFIX_WORDS = 4              # boilerplate fingerprint = first 4 words
+
+
+def _prefix_hash(col):
+    """md5 of the first PREFIX_WORDS tokens — a boilerplate-prefix
+    fingerprint (exact-text md5 would also work; the prefix key is
+    what yields non-trivial duplicates in the synthetic corpus and is
+    the realistic boilerplate-dedup key)."""
+    return F.md5(F.array_join(F.slice(F.split(col, " "), 1, PREFIX_WORDS), " "))
+
+
+@register(
+    "dedup_incremental_bloom",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, source,
+             MD5(ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:{PREFIX_WORDS}], ' ')) AS prefix_hash
+      FROM documents
+    )
+    SELECT doc_id, prefix_hash FROM p
+    WHERE source = 'src0'
+      AND prefix_hash IN (SELECT prefix_hash FROM p WHERE source <> 'src0')
+    """,
+)
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: which docs of an incoming batch
+    (source='src0') duplicate the existing corpus (every other
+    source), on a boilerplate-prefix fingerprint. The oracle is the
+    plain semi-join; the engine path is the one that survives 100 TB:
+
+    1. The corpus is compressed into a {BLOOM_BITS}-bit Bloom filter
+       (k=2, positions = two 16-bit slices of the md5) built
+       DISTRIBUTEDLY: each hash explodes to (word_idx, bit) pairs and
+       bit_or-aggregates into {BLOOM_WORDS} 64-bit words. Partial
+       aggregation collapses every task to ≤{BLOOM_WORDS} rows before
+       the exchange, so the only corpus-wide shuffle moves
+       tasks×{BLOOM_WORDS} tiny rows — never the corpus.
+    2. The batch probes the bitmap via two broadcast joins on
+       word_idx ({BLOOM_WORDS}-row build side) — a map-only filter
+       that discards non-duplicates at ~2e-4 false-positive rate for
+       the test fill factor.
+    3. Bloom hits are exact-verified: the surviving candidate keys
+       broadcast back against the corpus (semi), and the confirmed
+       keys broadcast against the candidates — two broadcast semis,
+       no sort-merge join anywhere, so neither the batch nor the
+       corpus is ever shuffled on the key.
+
+    Scale: the bitmap size is a constant; for a real trillion-doc
+    corpus BLOOM_BITS grows to keep fill ≲50% and the same plan holds
+    (the bitmap build's exchange is tasks×words rows regardless of
+    corpus size). Correctness never depends on the filter — step 3
+    removes false positives, and false negatives are impossible."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    keyed = docs.select("doc_id", "source", _prefix_hash(F.col("text")).alias("prefix_hash"))
+    corpus = keyed.filter(F.col("source") != "src0")
+    batch = keyed.filter(F.col("source") == "src0")
+
+    def positions(df):
+        p1 = F.conv(F.substring("prefix_hash", 1, 4), 16, 10).cast("long")
+        p2 = F.conv(F.substring("prefix_hash", 5, 4), 16, 10).cast("long")
+        return df.withColumn("p1", p1).withColumn("p2", p2)
+
+    bitmap = (
+        positions(corpus)
+        .select(F.explode(F.array("p1", "p2")).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("int").alias("word_idx"),
+            (F.col("pos") % 64).cast("int").alias("bitpos"),
+        )
+        .select("word_idx", F.expr("shiftleft(CAST(1 AS BIGINT), bitpos)").alias("bit"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    probed = positions(batch)
+    for i, pos in enumerate(["p1", "p2"], start=1):
+        bm = bitmap.select(
+            F.col("word_idx").alias(f"w{i}"), F.col("bits").alias(f"bits{i}")
+        )
+        probed = (
+            probed.withColumn(f"b{i}", (F.col(pos) % 64).cast("int"))
+            .join(
+                F.broadcast(bm), (F.col(pos) / 64).cast("int") == F.col(f"w{i}"), "left"
+            )
+            .filter(
+                F.col(f"bits{i}").bitwiseAND(
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), b{i})")
+                )
+                != 0
+            )
+        )
+    candidates = probed.select("doc_id", "prefix_hash")
+    confirmed_keys = (
+        corpus.join(
+            F.broadcast(candidates.select("prefix_hash").distinct()),
+            "prefix_hash",
+            "left_semi",
+        )
+        .select("prefix_hash")
+        .distinct()
+    )
+    return candidates.join(F.broadcast(confirmed_keys), "prefix_hash", "left_semi").select(
+        "doc_id", "prefix_hash"
+    )

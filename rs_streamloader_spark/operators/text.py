@@ -344,3 +344,60 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ntok").cast("bigint").alias("bin_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction — training-data compliance pass)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or call 555-'
+                  || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(LENGTH(REGEXP_EXTRACT_ALL(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) AS BIGINT) AS n_emails,
+           CAST(LENGTH(REGEXP_EXTRACT_ALL(raw, '[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]')) AS BIGINT) AS n_phones,
+           MD5(REGEXP_REPLACE(
+             REGEXP_REPLACE(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+', '<EMAIL>', 'g'),
+             '[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g')) AS scrub_hash
+    FROM seeded
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: replace email addresses and phone-shaped
+    digit runs with typed placeholders and count redactions per doc —
+    the compliance scrub every training-data pipeline runs before
+    tokenization. The synthetic corpus contains no organic PII, so a
+    deterministic email+phone is first seeded into each document from
+    its doc_id (same concatenation on both engines); the scrub then
+    provably removes it. Patterns use explicit character classes only
+    (no \\d / lookaround) so Java-regex and RE2 semantics agree; the
+    scrubbed text is compared by md5. Pure JVM codegen
+    (regexp_replace / regexp_count), no Python, no shuffle — a
+    map-only stage that pipelines into whatever follows at 100 TB."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+    phone = r"[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    seeded = t.select("doc_id", raw.alias("raw"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return seeded.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(email)).cast("bigint").alias("n_emails"),
+        F.regexp_count("raw", F.lit(phone)).cast("bigint").alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_hash"),
+    )
