@@ -1349,3 +1349,99 @@ def cdc_scd2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture rebalanced sampling (training-data mixing)
+# ---------------------------------------------------------------------------
+
+def _mix_u_sql() -> str:
+    """DuckDB: deterministic uniform in [0,1) from the first 4 hex
+    digits of md5(doc_id || '_mix') — the same integer Spark computes
+    via conv(), divided by 65536."""
+    h = "MD5(CAST(doc_id AS VARCHAR) || '_mix')"
+    terms = " + ".join(
+        f"(STRPOS('0123456789abcdef', SUBSTR({h}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"(({terms}) / 65536.0)"
+
+
+@register(
+    "domain_mix_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, COUNT(*) AS n,
+             (CAST(SUBSTR(source, 4) AS INT) % 4) + 1 AS w
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(w) AS w_tot FROM w),
+    t AS (SELECT MIN((CAST(n AS DOUBLE) * w_tot) / w) AS t FROM w, tot),
+    rates AS (
+      SELECT source, n, ((w * t) / w_tot) / n AS rate FROM w, tot, t
+    ),
+    u AS (
+      SELECT doc_id, source, {_mix_u_sql()} AS u FROM documents
+    )
+    SELECT r.source, CAST(r.n AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN u.u < r.rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(r.rate, 6) AS rate
+    FROM u JOIN rates r USING (source)
+    GROUP BY r.source, r.n, r.rate
+    """,
+)
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: downsample each source so the kept
+    corpus matches target mixture weights (w = source_num % 4 + 1,
+    standing in for a configured mixture like Pile/Dolma domain
+    weights), taking the largest feasible total — T = min_s(n_s·W/w_s)
+    — so no source is oversampled. Acceptance is a deterministic
+    per-document hash threshold (first 4 md5 hex digits of the doc id
+    → uniform u ∈ [0,1); keep iff u < rate_s), so the sample is stable
+    across re-runs, repartitioning, and incremental appends — the same
+    stateless-per-row property as ``dataset_split``, which is what
+    makes it valid at 100 TB: the only coordination is one tiny
+    per-source aggregate broadcast back to the scan.
+
+    Output is the per-source audit: total docs, kept docs, applied
+    rate. Reference surface: none (novel extension operator,
+    SURVEY.md §2.5 curation family)."""
+    t = _t(spark, sf_dir, "documents")["documents"]
+    w_col = (F.expr("CAST(substring(source, 4) AS INT)") % 4 + 1).alias("w")
+    per_source = t.groupBy("source").agg(F.count("*").alias("n")).withColumn(
+        "w", w_col
+    )
+    tot = per_source.agg(F.sum("w").alias("w_tot"))
+    tmin = (
+        per_source.crossJoin(tot)
+        .agg(
+            F.min(
+                (F.col("n").cast("double") * F.col("w_tot")) / F.col("w")
+            ).alias("t")
+        )
+    )
+    rates = (
+        per_source.crossJoin(tot)
+        .crossJoin(tmin)
+        .select(
+            "source",
+            "n",
+            (((F.col("w") * F.col("t")) / F.col("w_tot")) / F.col("n")).alias("rate"),
+        )
+    )
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("_mix")))
+    u = (F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") / F.lit(65536.0)).alias("u")
+    return (
+        t.select("doc_id", "source", u)
+        .join(F.broadcast(rates), "source")
+        .groupBy("source", "n", "rate")
+        .agg(
+            F.sum(F.when(F.col("u") < F.col("rate"), 1).otherwise(0)).alias("n_kept")
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_total"),
+            F.col("n_kept"),
+            F.round("rate", 6).alias("rate"),
+        )
+    )

@@ -107,7 +107,19 @@ def _shingles(t: DataFrame) -> DataFrame:
     """Distinct word-trigram shingles per doc (explode-based), with the
     doc's shingle count ``n`` denormalized onto every row — computed
     from the pre-explode array size, so it costs a column, not a
-    shuffle, and saves the per-doc-count join in every consumer."""
+    shuffle, and saves the per-doc-count join in every consumer.
+
+    ``explode_outer`` + post-explode null filter instead of plain
+    ``explode``, deliberately: for ``explode``, Catalyst's
+    InferFiltersFromGenerate synthesizes a ``size(gs) > 0 AND
+    isnotnull(gs)`` pre-filter, CollapseProject inlines the whole
+    shingle expression into BOTH predicates with ``split(text)``
+    re-executed per lambda element access, and pushdown evaluates
+    that interpreted (higher-order-fn, non-codegen) monster below the
+    spread Exchange — i.e. on the unparallelized scan. Measured at
+    sf0.1: 7.4s → 0.4s for the identical 260k-row output. The null
+    filter runs post-Exchange on materialized ``gs`` and keeps the
+    semantics exactly (docs with < 3 words produce no shingles)."""
     ws = F.split(F.col("text"), " ")
     # guard: sequence(0, n) descends for n<0, so gate on size>=3
     grams = F.expr(
@@ -122,8 +134,9 @@ def _shingles(t: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             F.size("gs").cast("bigint").alias("n"),
-            F.explode("gs").alias("sh"),
+            F.explode_outer("gs").alias("sh"),
         )
+        .filter(F.col("sh").isNotNull())
     )
 
 
@@ -483,8 +496,16 @@ def _simhash_fps_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen, cutting the pre-shuffle row count 32× vs. a
     bit-explode formulation."""
     t = load_tables(spark, sf_dir, "documents")["documents"]
-    toks = spread(t).select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    # explode_outer + null filter: plain explode makes Catalyst infer a
+    # size/isnotnull pre-filter that re-evaluates array_distinct(split)
+    # twice per row below the spread Exchange (see _shingles)
+    toks = (
+        spread(t)
+        .select(
+            "doc_id",
+            F.explode_outer(F.array_distinct(F.split("text", " "))).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
     )
     h = F.md5("tok")
     tok_v = toks.select(

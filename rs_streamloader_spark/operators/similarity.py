@@ -672,3 +672,85 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr("exists(zip_with(ba, bb, (x, y) -> x = y), p -> p)"))
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: within-cluster embedding pruning)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.3
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+    WITH cells AS (
+      SELECT e.vec_id, {_duck_cell('e')} AS cell, e.embedding FROM embeddings e
+    ),
+    dominated AS (
+      SELECT DISTINCT a.vec_id
+      FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id < a.vec_id
+      WHERE ROUND({_DUCK_COS}, 6) >= {SEMDEDUP_THRESHOLD}
+    )
+    SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+    FROM cells c LEFT JOIN dominated d ON d.vec_id = c.vec_id
+    """
+
+
+@register("dedup_semantic", oracle=_semdedup_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: partition the corpus by
+    coarse-quantizer cell (argmax over the fixed centroid directions —
+    the same cells as ``ann_ivf_cells``), then within each cell drop
+    every vector that has a lower-id cell-mate with cosine ≥
+    {SEMDEDUP_THRESHOLD}; one representative (the lowest id) survives
+    per semantic group. Output is one row per vector with its cell and
+    a 0/1 ``kept`` flag.
+
+    100 TB posture: this is the published SemDeDup recipe precisely
+    BECAUSE it scales — candidate generation is an equality self-join
+    on the cell id, never a global cross join, and the per-cell
+    quadratic work is bounded by cell size. The centroid count is
+    fixed at {N_HYPERPLANES} for this corpus; at real scale it grows
+    ~√n (k-means-trained, see ``ann_ivf_kmeans``'s codebook stage) so
+    cells stay bounded while the plan shape is unchanged. The
+    dominated-id set joins back as a plain equi-join on vec_id (AQE
+    picks broadcast when it is small).
+
+    Reference surface: none (novel extension operator, SURVEY.md
+    §2.5 near-dup family)."""
+    e = _emb_norm_cached(spark, sf_dir).select(
+        "vec_id", _spark_cell(1).alias("cell"), "embedding", "norm"
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("cell").alias("cell_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cell").alias("cell_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos = F.round(_dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 6)
+    dominated = (
+        a.join(
+            b,
+            (F.col("cell_a") == F.col("cell_b")) & (F.col("vec_b") < F.col("vec_a")),
+        )
+        .filter(cos >= SEMDEDUP_THRESHOLD)
+        .select(F.col("vec_a").alias("vec_id"))
+        .distinct()
+        .withColumn("dom", F.lit(1))
+    )
+    return (
+        e.select("vec_id", "cell")
+        .join(dominated, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("dom").isNull(), 1).otherwise(0).alias("kept"),
+        )
+    )

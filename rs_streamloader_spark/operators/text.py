@@ -199,15 +199,18 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-away alike."""
     t = load_tables(spark, sf_dir, "documents")["documents"]
     toks = t.select("doc_id", F.split("text", " ").alias("toks"))
+    # explode_outer + null filter: plain explode makes Catalyst infer a
+    # size/isnotnull pre-filter that re-evaluates the zip_with/slice
+    # bigram build twice per row in interpreted mode (see dedup._shingles)
     grams = toks.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.expr(
                 "zip_with(slice(toks, 1, size(toks) - 1),"
                 " slice(toks, 2, size(toks) - 1), (x, y) -> concat(x, ' ', y))"
             )
         ).alias("gram"),
-    )
+    ).filter(F.col("gram").isNotNull())
     counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
     return counts.groupBy("doc_id").agg(
         F.sum("cnt").cast("bigint").alias("n_bigrams"),
@@ -259,7 +262,9 @@ def text_corpus_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no transcendental functions: a log-prob variant would inherit
     libm last-ulp differences between engines)."""
     t = load_tables(spark, sf_dir, "documents")["documents"]
-    toks = t.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    toks = t.select(
+        "doc_id", F.explode_outer(F.split("text", " ")).alias("w")
+    ).filter(F.col("w").isNotNull())
     freq = toks.groupBy("w").agg(F.count("*").alias("cf"))
     return (
         toks.join(F.broadcast(freq), "w")
@@ -400,4 +405,67 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("raw", F.lit(email)).cast("bigint").alias("n_emails"),
         F.regexp_count("raw", F.lit(phone)).cast("bigint").alias("n_phones"),
         F.md5(scrubbed).alias("scrub_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering (fixed-weight linear classifier)
+# ---------------------------------------------------------------------------
+
+# fixed "trained" weights: bias, n_tokens, avg_token_len, marker density
+_QL_W = (-4.5, 0.04, 0.4, 6.0)
+
+
+@register(
+    "text_quality_logistic",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS DOUBLE)
+               AS ntok,
+             CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+               / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS atl,
+             CAST({_marker_count_sql('the')} + {_marker_count_sql('a')} AS DOUBLE)
+               / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS md
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(((({_QL_W[0]} + {_QL_W[1]} * ntok) + {_QL_W[2]} * atl)
+                  + {_QL_W[3]} * md), 6) AS quality_logit,
+           CAST(CASE WHEN ((({_QL_W[0]} + {_QL_W[1]} * ntok) + {_QL_W[2]} * atl)
+                           + {_QL_W[3]} * md) > 0
+                THEN 1 ELSE 0 END AS INTEGER) AS kept
+    FROM f
+    """,
+)
+def text_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a fixed-weight linear classifier
+    over cheap JVM-computable features (token count, mean token
+    length, function-word density) — the classifier-filter stage of a
+    training-data pipeline (fastText/logreg quality models) with the
+    model weights frozen for determinism. The published score is the
+    LOGIT (pure arithmetic, bit-identical across engines); the keep
+    decision thresholds it at 0 — equivalent to sigmoid(logit) > 0.5
+    without evaluating a transcendental whose last-ulp behaviour
+    differs between engines.
+
+    Whole-stage codegen end to end: length/replace arithmetic, no
+    Python, no explode — per-row cost is O(len(text)) regardless of
+    corpus size. Reference surface: none (novel extension operator,
+    SURVEY.md §2.5 text-analysis family)."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    ntok = n_tokens()
+    nonspace = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    atl = nonspace.cast("double") / ntok
+    md = (
+        (marker_word_count("the") + marker_word_count("a")).cast("double") / ntok
+    )
+    w0, w1, w2, w3 = _QL_W
+    logit = (
+        (F.lit(w0) + F.lit(w1) * ntok.cast("double")) + F.lit(w2) * atl
+    ) + F.lit(w3) * md
+    return t.select(
+        "doc_id",
+        F.round(logit, 6).alias("quality_logit"),
+        F.when(logit > 0, 1).otherwise(0).alias("kept"),
     )

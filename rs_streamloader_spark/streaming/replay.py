@@ -373,3 +373,72 @@ def sliding_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window_end").cast("timestamp_ntz").alias("window_end"),
         "n_events",
     )
+
+
+_NATIVE_GAP_S = 30 * 60
+
+_SESSION_WINDOW_ORACLE = f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL {_NATIVE_GAP_S} SECOND
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+             ) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {_NATIVE_GAP_S} SECOND AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+"""
+
+
+@register("session_window_replay", oracle=_SESSION_WINDOW_ORACLE)
+def session_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native JVM ``session_window`` aggregation replay — the
+    built-in-operator sibling of ``sessionize_stateful_replay``
+    (which drives the same semantics through Python
+    ``applyInPandasWithState``). Spark merges an event's window
+    [ts, ts+gap) into a session while consecutive windows OVERLAP, so
+    a gap of exactly {_NATIVE_GAP_S}s splits (end-exclusive) — the
+    oracle's lag-split uses >= accordingly, where the stateful twin's
+    uses >; and the native session_end is last_event + gap, not
+    last_event. In append mode a session emits only once the
+    watermark passes its end, so the sentinel row 15 days out flushes
+    every real session; its own session stays in state and is
+    filtered by its negative key.
+
+    State scale: one (user, open-session) aggregate per key in the
+    state store — numRowsTotal is bounded by active sessions within
+    the watermark horizon, and the JVM path has no per-batch Python
+    worker round-trip, which is why this replay runs at the pinned
+    narrow state-store width (REPLAY_SHUFFLE_PARTITIONS) like the
+    other JVM-stateful replays."""
+    from rs_streamloader_spark.streaming.windows import session_window_agg
+
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    sentinel_ts = _sentinel_ts(ev)
+    sentinel = spark.createDataFrame([(_SENTINEL_USER, sentinel_ts)], ev.schema)
+    out = _replay(
+        spark,
+        "session_window",
+        sf_dir,
+        {"events": ev.unionByName(sentinel)},
+        lambda s: session_window_agg(
+            s["events"], gap=f"{_NATIVE_GAP_S} seconds"
+        ),
+    )
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
