@@ -1445,3 +1445,189 @@ def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rate", 6).alias("rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width numeric histogram (binning)
+# ---------------------------------------------------------------------------
+
+@register(
+    "numeric_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bin,
+           CAST(FLOOR(o_totalprice / 25000) AS BIGINT) * 25000.0 AS bin_lo,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (25k-wide bins).
+
+    Scale posture: a single map-side-combinable aggregate on a derived
+    integer key — one scan, one shuffle of ~40 partial rows per task
+    regardless of input size. Bin width is a constant so the bin id is
+    a codegen'd arithmetic expression, never a UDF or a join against a
+    bin table."""
+    t = _t(spark, sf_dir, "orders")
+    bin_ = F.floor(F.col("o_totalprice") / 25000).cast("bigint")
+    return (
+        t["orders"]
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 25000.0).alias("bin_lo"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distribution / dense rank window
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_cume_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(CUME_DIST() OVER w, 6) AS price_cume_dist,
+           DENSE_RANK() OVER w AS price_dense_rank
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    """,
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUME_DIST + DENSE_RANK over a value ordering per group —
+    completes the ranking-window family (rank/percent_rank/ntile are
+    separate catalog entries). cume_dist is a pure count ratio so the
+    6dp rounding matches DuckDB bit-exactly."""
+    t = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+            F.dense_rank().over(w).alias("price_dense_rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval concurrency (sweep-line over session intervals)
+# ---------------------------------------------------------------------------
+
+_CONCURRENCY_GAP_S = 1800
+
+
+@register(
+    "interval_concurrency",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL {_CONCURRENCY_GAP_S} SECOND
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT user_id, MIN(ts) AS s, MAX(ts) AS e
+      FROM (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (
+                 PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM flagged
+      ) GROUP BY user_id, sid
+    ),
+    deltas AS (
+      SELECT s AS ts, 1 AS d FROM sessions
+      UNION ALL
+      SELECT e AS ts, -1 AS d FROM sessions
+    ),
+    swept AS (
+      SELECT ts,
+             SUM(d) OVER (ORDER BY ts, d DESC ROWS UNBOUNDED PRECEDING)
+               AS concurrency
+      FROM deltas
+    )
+    SELECT DATE_TRUNC('hour', ts) AS hour,
+           MAX(concurrency) AS max_concurrent_sessions
+    FROM swept GROUP BY 1
+    """,
+)
+def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent sessions per hour — sweep-line over session
+    intervals (sessionize -> +1/-1 deltas -> running sum -> max/hour).
+    Sessions are closed intervals: at a shared timestamp the +1 sorts
+    before the -1, so a session ending exactly when another starts
+    counts both.
+
+    Scale posture: the oracle's single global running sum is a
+    one-partition window — fine for DuckDB, a serial bottleneck on a
+    cluster. This implementation is the classic TWO-PASS distributed
+    prefix sum: (1) within each hour partition, a running sum ordered
+    by (ts, d DESC); (2) per-hour net totals — a few hundred rows —
+    aggregated, prefix-summed on a single tiny partition, and
+    broadcast back as each hour's starting offset. Concurrency =
+    hour offset + within-hour prefix; the wide window never sees more
+    than one hour of deltas per partition."""
+    t = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    ev = t["events"].select("user_id", "ts")
+    # timestampdiff is timezone-independent on TIMESTAMP_NTZ inputs
+    # (unix_timestamp would route through the session zone)
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(wu)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.expr("timestampdiff(SECOND, prev_ts, ts)")
+                > F.lit(_CONCURRENCY_GAP_S)
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = (
+        flagged.withColumn(
+            "sid",
+            F.sum("new_sess").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    deltas = sessions.select(F.col("s").alias("ts"), F.lit(1).alias("d")).unionAll(
+        sessions.select(F.col("e").alias("ts"), F.lit(-1).alias("d"))
+    )
+    deltas = deltas.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+    w_in = (
+        Window.partitionBy("hour")
+        .orderBy(F.col("ts"), F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = deltas.withColumn("run_in", F.sum("d").over(w_in))
+    # pass 2: per-hour net totals are tiny (one row per hour) — the
+    # global ordering window runs on that reduced set only
+    w_hours = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        deltas.groupBy("hour")
+        .agg(F.sum("d").alias("net"))
+        .withColumn("offset", F.coalesce(F.sum("net").over(w_hours), F.lit(0)))
+        .select("hour", "offset")
+    )
+    return (
+        within.join(F.broadcast(offsets), "hour")
+        .groupBy("hour")
+        .agg(F.max(F.col("offset") + F.col("run_in")).alias("max_concurrent_sessions"))
+        .select("hour", "max_concurrent_sessions")
+    )

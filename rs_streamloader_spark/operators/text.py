@@ -469,3 +469,179 @@ def text_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(logit, 6).alias("quality_logit"),
         F.when(logit > 0, 1).otherwise(0).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (fixed query, corpus-statistics join)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "window", "hash")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 25
+
+
+def _bm25_tf_sql(term: str) -> str:
+    return _marker_count_sql(term)
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id,
+             CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS DOUBLE) AS dl,
+             {", ".join(f"CAST({_bm25_tf_sql(t)} AS DOUBLE) AS tf_{t}" for t in _BM25_TERMS)}
+      FROM documents
+    ),
+    corpus AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl,
+             {", ".join(f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS)}
+      FROM tf
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             {" + ".join(
+                 f"LN((corpus.n_docs - corpus.df_{t} + 0.5) / (corpus.df_{t} + 0.5) + 1.0)"
+                 f" * tf_{t} * ({_BM25_K1} + 1.0)"
+                 f" / (tf_{t} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * tf.dl / corpus.avgdl))"
+                 for t in _BM25_TERMS
+             )} AS score
+      FROM tf CROSS JOIN corpus
+    )
+    SELECT doc_id, ROUND(score, 6) AS bm25_score
+    FROM scored
+    ORDER BY ROUND(score, 6) DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring of a fixed 3-term query against the
+    corpus, top-k by score (k1=1.2, b=0.75). Term frequency is the
+    codegen'd padded-replace occurrence count (identical
+    non-overlapping semantics in both engines, see module docstring);
+    document frequency, N, and avgdl come from ONE corpus aggregate.
+
+    Scale posture: the per-document pass is pure whole-stage-codegen
+    arithmetic (no explode, no UDF); the corpus statistics reduce to a
+    single row cross-joined back (Catalyst broadcasts the 1-row side),
+    so the whole query is two scans of documents, one 1-row shuffle,
+    and a TakeOrderedAndProject for the top-k — no global sort. At
+    100 TB the stats row is still one row; only the scan parallelism
+    grows. Ordering ties break on doc_id; the ORDER BY uses the
+    6dp-ROUNDED score on both sides so the top-k cut is cross-engine
+    stable."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    dl = n_tokens().cast("double")
+    tf_cols = [
+        marker_word_count(term).cast("double").alias(f"tf_{term}")
+        for term in _BM25_TERMS
+    ]
+    tf = t.select("doc_id", dl.alias("dl"), *tf_cols)
+    corpus = tf.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{term}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df_{term}")
+            for term in _BM25_TERMS
+        ],
+    )
+    score = None
+    for term in _BM25_TERMS:
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{term}") + 0.5)
+            / (F.col(f"df_{term}") + 0.5)
+            + 1.0
+        )
+        part = (
+            idf
+            * F.col(f"tf_{term}")
+            * (_BM25_K1 + 1.0)
+            / (
+                F.col(f"tf_{term}")
+                + _BM25_K1
+                * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = part if score is None else score + part
+    return (
+        tf.join(F.broadcast(corpus))
+        .select("doc_id", F.round(score, 6).alias("bm25_score"))
+        .orderBy(F.col("bm25_score").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (token-window splitter for training pipelines)
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 48
+
+
+@register(
+    "text_chunk_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, STR_SPLIT(text, ' ') AS tokens,
+             LEN(STR_SPLIT(text, ' ')) AS n
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, n, UNNEST(GENERATE_SERIES(1, n, {_CHUNK_STRIDE})) AS s
+      FROM toks
+    )
+    SELECT c.doc_id,
+           CAST((c.s - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(LEAST(c.s + {_CHUNK_TOKENS - 1}, c.n) - c.s + 1 AS BIGINT)
+             AS n_chunk_tokens,
+           MD5(ARRAY_TO_STRING(
+             LIST_SLICE(t.tokens, c.s, LEAST(c.s + {_CHUNK_TOKENS - 1}, c.n)), ' '
+           )) AS chunk_hash
+    FROM chunks c JOIN toks t USING (doc_id)
+    """,
+)
+def text_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into
+    64-token windows on a 48-token stride (16-token overlap) — the
+    sample-preparation step between cleaned text and sequence packing
+    in a training pipeline. Emits one row per (doc, window) with the
+    window's token count and an md5 fingerprint of its joined text.
+
+    Scale posture: tokens and start offsets are computed ONCE per row
+    into materialized columns, then explode_outer fans out the start
+    list — the explode_outer + null-filter shape (not plain explode)
+    keeps Catalyst from inferring a size()>0 pre-filter that would
+    re-execute the interpreted sequence() below the exchange (measured
+    17x on the shingle stage, see dedup.py). Per-chunk work is a
+    slice + hash over an already-split array; nothing re-tokenizes.
+    No shuffle at all: scan -> project -> generate -> project."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = t.select(
+        "doc_id",
+        F.split("text", " ").alias("tokens"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    exploded = toks.select(
+        "doc_id",
+        "tokens",
+        "n",
+        F.explode_outer(
+            F.sequence(F.lit(1), F.col("n"), F.lit(_CHUNK_STRIDE))
+        ).alias("s"),
+    ).filter(F.col("s").isNotNull())
+    chunk_end = F.least(F.col("s") + (_CHUNK_TOKENS - 1), F.col("n"))
+    return exploded.select(
+        "doc_id",
+        ((F.col("s") - 1) / _CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+        (chunk_end - F.col("s") + 1).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(F.col("tokens"), F.col("s"), chunk_end - F.col("s") + 1),
+            )
+        ).alias("chunk_hash"),
+    )

@@ -105,3 +105,50 @@ def attribution_join_outer(
         "click_id",
         "click_ts",
     )
+
+
+def stream_static_enrich_agg(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    dim_key: str = "c_custkey",
+    segment_col: str = "c_mktsegment",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Stream-static enrichment join + watermarked tumbling aggregate:
+    each micro-batch inner-joins the stream against a STATIC dimension
+    (no state — the dim is re-resolvable per batch, broadcast when
+    small), then counts/sums per (window, segment, event_type).
+
+    The watermark attaches to the stream BEFORE the join, so rows the
+    inner join drops (unmatched keys, e.g. a flush sentinel) still
+    advance event time and close windows. On a cluster the static side
+    is a broadcast hash join per micro-batch — no shuffle of the
+    stream, no state store for the join itself; only the windowed agg
+    keeps state, bounded by the watermark."""
+    s = stream
+    if s.isStreaming:
+        s = s.withWatermark(ts_col, watermark)
+    d = F.broadcast(dim.select(F.col(dim_key).alias(key), segment_col))
+    return (
+        s.join(d, key)
+        .groupBy(
+            F.window(ts_col, window).alias("win"),
+            F.col(segment_col).alias("segment"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "segment",
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -442,3 +442,54 @@ def session_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_end").cast("timestamp_ntz").alias("session_end"),
         "n_events",
     )
+
+
+_STREAM_STATIC_ORACLE = """
+    SELECT DATE_TRUNC('hour', e.ts) AS window_start,
+           DATE_TRUNC('hour', e.ts) + INTERVAL 1 HOUR AS window_end,
+           c.c_mktsegment AS segment,
+           e.event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e."value"), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2, 3, 4
+"""
+
+
+@register("stream_static_join_replay", oracle=_STREAM_STATIC_ORACLE)
+def stream_static_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment replay: the events stream inner-joins
+    the STATIC customer dimension per micro-batch (broadcast hash
+    join, no join state), then a watermarked hourly window aggregates
+    per (segment, event_type). The flush sentinel's user key (-1)
+    matches no dimension row, so the inner join drops it — but its
+    event time still advances the watermark (the watermark node sits
+    upstream of the join), closing and emitting every real window.
+    The oracle is the equivalent batch join + DATE_TRUNC group; a
+    stream-side shuffle of the static join, double-emitted windows,
+    or a watermark that failed to advance through the dropped
+    sentinel would all break the compare."""
+    from rs_streamloader_spark.session import load_tables
+    from rs_streamloader_spark.streaming.joins import stream_static_enrich_agg
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type", "value")
+    sentinel_ts = _sentinel_ts(ev)
+    sentinel = spark.createDataFrame(
+        [(_SENTINEL_USER, sentinel_ts, "__sentinel", 0.0)], ev.schema
+    )
+    dim = load_tables(spark, sf_dir, "customer")["customer"]
+    out = _replay(
+        spark,
+        "stream_static",
+        sf_dir,
+        {"events": ev.unionByName(sentinel)},
+        lambda s: stream_static_enrich_agg(s["events"], dim),
+    )
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+        "segment",
+        "event_type",
+        "n_events",
+        "total_value",
+    )
