@@ -181,3 +181,50 @@ def test_attribution_join_across_many_microbatches(spark):
         .select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
     )
     assert got == want
+
+
+def test_stream_static_join_across_many_microbatches(spark):
+    """Stream-static enrichment across many batches: every micro-batch
+    re-joins the static dimension, windows accumulate state across
+    batches and emit exactly once when the watermark closes them —
+    output identical to the single-batch replay (itself
+    oracle-checked)."""
+    from rs_streamloader_spark.session import load_tables
+    from rs_streamloader_spark.streaming.joins import stream_static_enrich_agg
+    from rs_streamloader_spark.streaming.replay import (
+        _SENTINEL_USER,
+        _events,
+        _sentinel_ts,
+    )
+
+    ev = _events(spark, SF).select("user_id", "ts", "event_type", "value")
+    sentinel = spark.createDataFrame(
+        [(_SENTINEL_USER, _sentinel_ts(ev), "__sentinel", 0.0)], ev.schema
+    )
+    dim = load_tables(spark, SF, "customer")["customer"]
+    out, n_batches = _run_limited(
+        spark,
+        "stream_static",
+        {"events": ev.unionByName(sentinel)},
+        lambda s: stream_static_enrich_agg(s["events"], dim),
+    )
+    assert n_batches >= N_SLICES, f"only {n_batches} micro-batches ran"
+
+    def norm(df):
+        return sorted(
+            (
+                r.window_start.replace(tzinfo=None),
+                r.window_end.replace(tzinfo=None),
+                r.segment,
+                r.event_type,
+                r.n_events,
+                r.total_value,
+            )
+            for r in df.collect()
+        )
+
+    got = norm(out)
+    want = norm(
+        REGISTRY["stream_static_join_replay"].fn(spark, SF)
+    )
+    assert got == want

@@ -309,3 +309,47 @@ def test_interval_overlap_is_equality_join(spark):
     text = explain_str(df)
     assert "CartesianProduct" not in text
     assert "BroadcastNestedLoopJoin" not in text
+
+
+def test_bm25_takes_ordered_and_broadcasts_stats(spark):
+    """Top-k must plan as TakeOrderedAndProject (no global sort) and
+    the 1-row corpus-stats side must broadcast, not shuffle the
+    document scan."""
+    from rs_streamloader_spark.operators.text import bm25_topk
+
+    df = bm25_topk(spark, SF_SMOKE)
+    text = explain_str(df)
+    assert "TakeOrderedAndProject" in text
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
+
+
+def test_text_chunk_tokens_no_shuffle(spark):
+    """Chunking is scan -> project -> generate -> project: any
+    exchange would mean the fan-out got shuffled for no reason."""
+    from rs_streamloader_spark.operators.text import text_chunk_tokens
+
+    df = text_chunk_tokens(spark, SF_SMOKE)
+    assert shuffle_count(df) == 0, explain_str(df, "simple")
+
+
+def test_interval_concurrency_no_global_window_over_deltas(spark):
+    """The sweep must use the two-pass prefix sum: the per-hour offset
+    table broadcasts back; a single-partition global window over ALL
+    deltas (the oracle's shape) must not appear. Detectable as: no
+    SinglePartition exchange feeding a Window whose input is the
+    un-aggregated delta stream — the only single-partition window
+    allowed is over the per-hour NET aggregate (one row per hour)."""
+    from rs_streamloader_spark.operators.analytic import interval_concurrency
+
+    df = interval_concurrency(spark, SF_SMOKE)
+    text = explain_str(df)
+    assert has_broadcast_join(df), text
+    # the single-partition stretch must sit above a HashAggregate
+    # (hour-net reduction), never directly over the exploded deltas
+    import re as _re
+
+    for m in _re.finditer(r"Exchange SinglePartition[^\n]*", text):
+        tail = text[m.end():]
+        # the window over the singleton partition reads the aggregated
+        # per-hour totals; its child fragment must contain the net agg
+        assert "HashAggregate" in tail[:4000], text
