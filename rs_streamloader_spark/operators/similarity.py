@@ -679,16 +679,59 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SEMDEDUP_THRESHOLD = 0.3
+# adaptive cell refinement: subdivide each argmax cell by sign bits of
+# the (independent-seed) near-dup hyperplane projections until the
+# AVERAGE refined-cell size is ~SEMDEDUP_TARGET_CELL, so the per-cell
+# quadratic candidate work stays bounded as the corpus grows —
+# bits = clamp(ceil(log2(n / (N_HYPERPLANES · target))), 0, max_bits).
+# Identical integer inputs → identical bits in both engines.
+SEMDEDUP_TARGET_CELL = 64
+SEMDEDUP_MAX_BITS = 12  # ≤ len(NEARDUP_HYPERPLANES) sign planes
+
+
+def _semdedup_bits(n: int) -> int:
+    import math
+
+    if n <= 0:
+        return 0
+    raw = math.ceil(math.log2(n / (N_HYPERPLANES * float(SEMDEDUP_TARGET_CELL))))
+    return max(0, min(SEMDEDUP_MAX_BITS, int(raw)))
+
+
+def _duck_adaptive_sign(alias: str) -> str:
+    """Sign bits of the first ``p.bits`` near-dup-hyperplane
+    projections (static SQL over all SEMDEDUP_MAX_BITS planes; the
+    runtime ``p.bits`` value gates each term)."""
+    terms = []
+    for i, hp in enumerate(NEARDUP_HYPERPLANES[:SEMDEDUP_MAX_BITS]):
+        lit = "[" + ", ".join(repr(v) for v in hp) + "]"
+        terms.append(
+            f"CASE WHEN {i} < p.bits AND"
+            f" LIST_DOT_PRODUCT(CAST({alias}.embedding AS DOUBLE[]),"
+            f" CAST({lit} AS DOUBLE[])) > 0 THEN {1 << i} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
 
 
 def _semdedup_oracle() -> str:
     return f"""
-    WITH cells AS (
-      SELECT e.vec_id, {_duck_cell('e')} AS cell, e.embedding FROM embeddings e
+    WITH p AS (
+      SELECT GREATEST(0, LEAST({SEMDEDUP_MAX_BITS},
+               CAST(CEIL(LOG2(COUNT(*)
+                    / ({N_HYPERPLANES} * {SEMDEDUP_TARGET_CELL}.0))) AS INTEGER)
+             )) AS bits
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT e.vec_id, {_duck_cell('e')} AS cell,
+             {_duck_cell('e')} * {1 << SEMDEDUP_MAX_BITS}
+               + {_duck_adaptive_sign('e')} AS rcell,
+             e.embedding
+      FROM embeddings e CROSS JOIN p
     ),
     dominated AS (
       SELECT DISTINCT a.vec_id
-      FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id < a.vec_id
+      FROM cells a JOIN cells b ON a.rcell = b.rcell AND b.vec_id < a.vec_id
       WHERE ROUND({_DUCK_COS}, 6) >= {SEMDEDUP_THRESHOLD}
     )
     SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
@@ -709,28 +752,50 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB posture: this is the published SemDeDup recipe precisely
     BECAUSE it scales — candidate generation is an equality self-join
-    on the cell id, never a global cross join, and the per-cell
-    quadratic work is bounded by cell size. The centroid count is
-    fixed at {N_HYPERPLANES} for this corpus; at real scale it grows
-    ~√n (k-means-trained, see ``ann_ivf_kmeans``'s codebook stage) so
-    cells stay bounded while the plan shape is unchanged. The
+    on a cell id, never a global cross join, and the per-cell
+    quadratic work is bounded by cell size. With a FIXED cell count
+    that bound breaks: 10× corpus → 10× rows per cell → 100×/10 = 10×
+    extra pair work per input row (measured x14 elapsed at k=10 before
+    this refinement). The candidate key is therefore ADAPTIVE: each
+    argmax cell is subdivided by ``bits`` sign bits of independent
+    hyperplane projections, with ``bits`` sized from the corpus count
+    so the average refined cell stays ~{SEMDEDUP_TARGET_CELL} vectors
+    — per-row candidate work is then ~constant at any scale (the
+    production-scale analogue is a k-means codebook whose k grows
+    n/target, see ``ann_ivf_kmeans``). The corpus count is one scalar
+    aggregate (bounded driver data, like the replay sentinel);
+    boundary pairs whose members split across refined cells are the
+    recall cost of any partitioned dedup — each extra bit keeps a
+    ≥-threshold pair together with probability 1-θ/π per plane. The
     dominated-id set joins back as a plain equi-join on vec_id (AQE
-    picks broadcast when it is small).
+    picks broadcast when it is small). The published ``cell`` column
+    stays the argmax cell; refinement only narrows candidate
+    generation, identically in both engines.
 
     Reference surface: none (novel extension operator, SURVEY.md
     §2.5 near-dup family)."""
-    e = _emb_norm_cached(spark, sf_dir).select(
-        "vec_id", _spark_cell(1).alias("cell"), "embedding", "norm"
+    base = _emb_norm_cached(spark, sf_dir)
+    bits = _semdedup_bits(base.count())
+    rcell = (
+        _spark_cell(1).cast("bigint") * (1 << SEMDEDUP_MAX_BITS)
+        + _spark_band(0, bits, "nd_projs").cast("bigint")
+    )
+    e = base.select(
+        "vec_id",
+        _spark_cell(1).alias("cell"),
+        rcell.alias("rcell"),
+        "embedding",
+        "norm",
     )
     a = e.select(
         F.col("vec_id").alias("vec_a"),
-        F.col("cell").alias("cell_a"),
+        F.col("rcell").alias("rcell_a"),
         F.col("embedding").alias("emb_a"),
         F.col("norm").alias("norm_a"),
     )
     b = e.select(
         F.col("vec_id").alias("vec_b"),
-        F.col("cell").alias("cell_b"),
+        F.col("rcell").alias("rcell_b"),
         F.col("embedding").alias("emb_b"),
         F.col("norm").alias("norm_b"),
     )
@@ -738,7 +803,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominated = (
         a.join(
             b,
-            (F.col("cell_a") == F.col("cell_b")) & (F.col("vec_b") < F.col("vec_a")),
+            (F.col("rcell_a") == F.col("rcell_b"))
+            & (F.col("vec_b") < F.col("vec_a")),
         )
         .filter(cos >= SEMDEDUP_THRESHOLD)
         .select(F.col("vec_a").alias("vec_id"))

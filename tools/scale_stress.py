@@ -102,6 +102,15 @@ HEAVY_TAIL = [
     "text_repetition_stats",
     "text_corpus_rarity",
     "retention_cohorts",
+    # round-5/6 additions
+    "dedup_semantic",
+    "domain_mix_sample",
+    "text_chunk_tokens",
+    "bm25_topk",
+    "interval_concurrency",
+    "numeric_histogram",
+    "sessionize_stateful_replay",
+    "stream_static_join_replay",
 ]
 
 # threshold-pair operators over embeddings have intrinsically
@@ -117,6 +126,15 @@ SUPERLINEAR_OUTPUT = {"embedding_near_dup", "embedding_near_dup_lsh"}
 # run measures scan+filter of k× history — i.e. how well the date
 # predicate prunes. Elapsed ≪ k× is the pass signal here.
 DATE_WINDOWED = {"q5_local_supplier_volume"}
+
+# constant-size output by construction at any scale: bm25_topk's query
+# terms exist only in replica 0 (the token-prefix bijection renames
+# every other replica's vocabulary) and the top-k cut is fixed;
+# domain_mix_sample emits one audit row per source and the source
+# label set is scale-invariant; numeric_histogram emits one row per
+# fixed-width bin. Their scaled run measures the full-corpus scan +
+# reduction with a result that must NOT grow.
+CONSTANT_OUTPUT = {"bm25_topk", "domain_mix_sample", "numeric_histogram"}
 
 
 def _replica_signs(i: int) -> list[float]:
@@ -188,20 +206,43 @@ def run_stress(spark, base_sf: str, scaled_sf: str, k: int) -> dict:
     )
     from rs_streamloader_spark.session import clear_stage_cache
 
+    # warm the Python worker pool once: the first Arrow/pandas query
+    # of a session pays worker spawn, which otherwise lands on
+    # whichever replay runs first and distorts its base/scaled ratio
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    _warm = pandas_udf(lambda s: s, "bigint")
+    spark.range(100).select(_warm("id")).count()
+
     out: dict[str, dict] = {}
     for name in HEAVY_TAIL:
         fn = REGISTRY[name].fn
+        # replays run a real streaming job per call with per-session
+        # cold costs (state-store dirs, checkpoint setup) — min-of-2
+        # keeps the steady-state number; batch queries stay single-run
+        # (their plans re-execute identically)
+        runs = 2 if name.endswith("_replay") else 1
         row: dict = {}
         for label, sf in (("base", base_sf), ("scaled", scaled_sf)):
-            clear_stage_cache()
-            df = fn(spark, sf)
+            best = None
+            for _ in range(runs):
+                clear_stage_cache()
+                # fn inside the timer: the *_replay wrappers run their
+                # streaming job eagerly in fn (the returned DataFrame
+                # is a read of the landed output) — timing only the
+                # noop write would measure nothing for them. For lazy
+                # batch queries fn() is plan construction, microseconds.
+                t0 = time.perf_counter()
+                df = fn(spark, sf)
+                df.write.format("noop").mode("overwrite").save()
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            row[f"{label}_sec"] = round(best, 3)
             row[f"{label}_shape"] = {
                 "shuffles": shuffle_count(df),
                 "broadcast": has_broadcast_join(df),
             }
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            row[f"{label}_sec"] = round(time.perf_counter() - t0, 3)
         row["ratio"] = (
             round(row["scaled_sec"] / row["base_sec"], 2)
             if row["base_sec"] > 0
@@ -211,6 +252,8 @@ def run_stress(spark, base_sf: str, scaled_sf: str, k: int) -> dict:
             row["output_growth"] = "superlinear"
         elif name in DATE_WINDOWED:
             row["output_growth"] = "window-constant"
+        elif name in CONSTANT_OUTPUT:
+            row["output_growth"] = "output-constant"
         else:
             row["output_growth"] = "linear"
         row["shape_stable"] = row["base_shape"] == row["scaled_shape"]
