@@ -1631,3 +1631,119 @@ def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.col("offset") + F.col("run_in")).alias("max_concurrent_sessions"))
         .select("hour", "max_concurrent_sessions")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 as-of enrichment (carry-forward join, no range probe)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scd2_asof_enrich",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS BIGINT) AS version
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    tagged AS (
+      SELECT user_id, ts, event_id, 0 AS tag, version,
+             event_type AS state_type, NULL AS "value"
+      FROM changes
+      UNION ALL
+      SELECT user_id, ts, event_id, 1 AS tag, NULL, NULL, "value"
+      FROM events WHERE event_type = 'purchase'
+    ),
+    filled AS (
+      SELECT user_id, ts, event_id, tag, "value",
+             LAST_VALUE(version IGNORE NULLS) OVER w AS version,
+             LAST_VALUE(state_type IGNORE NULLS) OVER w AS state_type
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, tag
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id AS purchase_id,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           version, state_type,
+           ROUND("value", 2) AS purchase_value
+    FROM filled WHERE tag = 1
+    """,
+)
+def scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich purchase events with the SCD2 dimension version valid at
+    purchase time (the ``cdc_scd2_users`` history, joined as-of).
+
+    Scale posture: the naive plan is a range join on
+    valid_from <= ts < valid_to — an interval probe that Spark can only
+    express as a broadcast-nested-loop or a banded equi-join. This
+    implementation uses the warehouse carry-forward idiom instead:
+    UNION the version-open rows with the purchases, sort per user by
+    (ts, event_id, tag), and LAST(... ignorenulls) carries each open
+    version forward onto the purchases that follow it — two shuffles
+    on the SAME user_id key (derive the change log, then window the
+    union), no interval probe, no join at all. A dimension row sharing
+    (ts, event_id) with its own purchase sorts first (tag 0 < 1), so a
+    purchase that itself opens a version sees the version it opened."""
+    t = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        t["events"]
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lit(0).alias("tag"),
+            F.row_number().over(w).cast("bigint").alias("version"),
+            F.col("event_type").alias("state_type"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    purchases = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lit(1).alias("tag"),
+            F.lit(None).cast("bigint").alias("version"),
+            F.lit(None).cast("string").alias("state_type"),
+            "value",
+        )
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = changes.unionByName(purchases).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "tag",
+        "value",
+        F.last("version", ignorenulls=True).over(wf).alias("version_f"),
+        F.last("state_type", ignorenulls=True).over(wf).alias("state_type_f"),
+    )
+    return filled.filter(F.col("tag") == 1).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("version_f").alias("version"),
+        F.col("state_type_f").alias("state_type"),
+        F.round("value", 2).alias("purchase_value"),
+    )

@@ -353,3 +353,17 @@ def test_interval_concurrency_no_global_window_over_deltas(spark):
         # the window over the singleton partition reads the aggregated
         # per-hour totals; its child fragment must contain the net agg
         assert "HashAggregate" in tail[:4000], text
+
+
+def test_scd2_asof_enrich_is_joinless_carry_forward(spark):
+    """The as-of enrichment must be the union + carry-forward shape:
+    two user_id shuffles, zero join operators — never an interval
+    probe (BroadcastNestedLoopJoin) over the SCD2 validity ranges."""
+    from rs_streamloader_spark.operators.analytic import scd2_asof_enrich
+
+    df = scd2_asof_enrich(spark, SF_SMOKE)
+    text = explain_str(df)
+    assert shuffle_count(df) <= 2, explain_str(df, "simple")
+    for op in ("BroadcastNestedLoopJoin", "SortMergeJoin", "CartesianProduct",
+               "BroadcastHashJoin"):
+        assert op not in text, op
