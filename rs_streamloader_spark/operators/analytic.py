@@ -1747,3 +1747,98 @@ def scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("state_type_f").alias("state_type"),
         F.round("value", 2).alias("purchase_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group bounded sampling (hash-ordered top-k per group)
+# ---------------------------------------------------------------------------
+
+_GROUP_SAMPLE_K = 8
+
+
+@register(
+    "group_sample_topk_hash",
+    oracle=f"""
+    SELECT source, doc_id, n_chars
+    FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY MD5(CAST(doc_id AS VARCHAR) || '_smp'), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= {_GROUP_SAMPLE_K}
+    """,
+)
+def group_sample_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group downsampling: keep at most
+    {_GROUP_SAMPLE_K} documents per source, chosen by md5-hash order —
+    the bounded-per-domain sample a curation pipeline takes before
+    expensive per-document processing. Hash order is a seeded uniform
+    shuffle both engines compute identically, unlike rand().
+
+    Scale posture: one shuffle on the group key + a rank filter. On a
+    real cluster the rank-k filter is pushed into the sort as a
+    per-partition top-k (WindowGroupLimit pushes k into the shuffle's
+    map side in Spark 3.5+), so no group ever materializes fully."""
+    t = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("_smp"))), "doc_id"
+    )
+    return (
+        t["documents"]
+        .select("source", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _GROUP_SAMPLE_K)
+        .select("source", "doc_id", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Share-of-total (ratio_to_report window over an aggregate)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_share_of_total",
+    oracle="""
+    WITH per_nation AS (
+      SELECT n.n_name,
+             SUM(o.o_totalprice) AS revenue
+      FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    )
+    SELECT n_name,
+           ROUND(revenue, 2) AS revenue,
+           ROUND(revenue / SUM(revenue) OVER (), 6) AS revenue_share
+    FROM per_nation
+    """,
+)
+def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of global revenue. The
+    share window runs over the AGGREGATED 25-row result, so the
+    single-partition window that computes the global total sees one
+    row per nation — never the fact table. Dims broadcast; the only
+    full-size shuffle is the revenue aggregation."""
+    t = _t(spark, sf_dir, "orders", "customer", "nation")
+    per_nation = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias(
+            "revenue_share"
+        ),
+    )
