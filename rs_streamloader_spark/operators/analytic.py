@@ -1842,3 +1842,65 @@ def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (trapezoidal, per entity)
+# ---------------------------------------------------------------------------
+
+@register(
+    "time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, "value",
+             LAG("value") OVER w AS prev_value,
+             CAST(DATE_DIFF('microseconds', LAG(ts) OVER w, ts) AS BIGINT)
+               AS dt_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           ROUND(SUM((prev_value + "value") / 2.0 * dt_us)
+                 / SUM(dt_us), 4) AS twa_value,
+           CAST(COUNT(*) AS BIGINT) AS n_segments
+    FROM seg
+    WHERE dt_us IS NOT NULL AND dt_us > 0
+    GROUP BY user_id
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's event value (trapezoidal
+    rule over consecutive-event segments) — the hypertable-rollup
+    aggregate for irregularly sampled series, where a plain AVG
+    over-weights bursts. Segment weights are exact integer
+    microseconds (identical in both engines); zero-length segments
+    (same-timestamp events) drop out, matching the integral's measure.
+
+    Scale posture: one shuffle on user_id shared by the lag window and
+    the final aggregate (same partitioning key, no second exchange);
+    per-row work is codegen arithmetic. At 100 TB this is the
+    segment-then-reduce shape a timeseries rollup needs — never a
+    self-join on adjacency."""
+    t = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = t["events"].select(
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lag("ts").over(w).alias("prev_ts"),
+        "ts",
+    ).withColumn(
+        "dt_us", F.expr("timestampdiff(MICROSECOND, prev_ts, ts)").cast("bigint")
+    )
+    return (
+        seg.filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum((F.col("prev_value") + F.col("value")) / 2.0 * F.col("dt_us"))
+                / F.sum("dt_us"),
+                4,
+            ).alias("twa_value"),
+            F.count("*").cast("bigint").alias("n_segments"),
+        )
+    )

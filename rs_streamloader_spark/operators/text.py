@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from rs_streamloader_spark.functions import (
     marker_word_count,
@@ -644,4 +645,59 @@ def text_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.slice(F.col("tokens"), F.col("s"), chunk_end - F.col("s") + 1),
             )
         ).alias("chunk_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary building (top-N terms with stable ids)
+# ---------------------------------------------------------------------------
+
+_VOCAB_N = 100
+
+
+@register(
+    "vocab_topk_ids",
+    oracle=f"""
+    WITH counts AS (
+      SELECT term, COUNT(*) AS term_count
+      FROM (SELECT UNNEST(STR_SPLIT(text, ' ')) AS term FROM documents)
+      WHERE term <> ''
+      GROUP BY term
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY term_count DESC, term) AS BIGINT)
+             AS vocab_id,
+           term, term_count
+    FROM counts
+    ORDER BY term_count DESC, term
+    LIMIT {_VOCAB_N}
+    """,
+)
+def vocab_topk_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-style vocabulary build: global term counts, top
+    {_VOCAB_N} by frequency, each term assigned a stable id in
+    (count DESC, term) order — the id table a training pipeline
+    broadcasts back to encode documents.
+
+    Scale posture: explode fans out to (term, 1) pairs — the classic
+    map-side-combinable shape, one shuffle on the term key; the top-N
+    cut is TakeOrderedAndProject (no global sort of the vocabulary);
+    id assignment windows over the N retained rows only, so the
+    single-partition window touches {_VOCAB_N} rows regardless of
+    corpus size."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    counts = (
+        t.select(
+            F.explode_outer(F.split("text", " ")).alias("term")
+        )
+        .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+        .groupBy("term")
+        .agg(F.count("*").alias("term_count"))
+        .orderBy(F.col("term_count").desc(), "term")
+        .limit(_VOCAB_N)
+    )
+    w = Window.orderBy(F.col("term_count").desc(), "term")
+    return counts.select(
+        F.row_number().over(w).cast("bigint").alias("vocab_id"),
+        "term",
+        "term_count",
     )
