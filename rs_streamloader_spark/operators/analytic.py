@@ -1411,18 +1411,19 @@ def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_source = t.groupBy("source").agg(F.count("*").alias("n")).withColumn(
         "w", w_col
     )
-    tot = per_source.agg(F.sum("w").alias("w_tot"))
-    tmin = (
-        per_source.crossJoin(tot)
-        .agg(
+    # w_tot and T derive from per_source via global windows over the
+    # ~20-row aggregate — one scan feeds everything (the crossJoin
+    # formulation re-derived per_source from scratch for each scalar,
+    # 5 full table scans in the executed plan)
+    wg = Window.partitionBy()
+    rates = (
+        per_source.withColumn("w_tot", F.sum("w").over(wg))
+        .withColumn(
+            "t",
             F.min(
                 (F.col("n").cast("double") * F.col("w_tot")) / F.col("w")
-            ).alias("t")
+            ).over(wg),
         )
-    )
-    rates = (
-        per_source.crossJoin(tot)
-        .crossJoin(tmin)
         .select(
             "source",
             "n",
@@ -1587,13 +1588,17 @@ def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t["events"].select("user_id", "ts")
     # timestampdiff is timezone-independent on TIMESTAMP_NTZ inputs
     # (unix_timestamp would route through the session zone)
+    # MICROSECOND, not SECOND: timestampdiff truncates toward zero, so
+    # a SECOND-unit diff collapses gaps in (1800s, 1801s) to exactly
+    # 1800 and merges sessions the oracle's exact interval compare
+    # splits (a 1800.886s gap exists at sf0.01)
     flagged = ev.withColumn("prev_ts", F.lag("ts").over(wu)).withColumn(
         "new_sess",
         F.when(
             F.col("prev_ts").isNull()
             | (
-                F.expr("timestampdiff(SECOND, prev_ts, ts)")
-                > F.lit(_CONCURRENCY_GAP_S)
+                F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+                > F.lit(_CONCURRENCY_GAP_S * 1_000_000)
             ),
             1,
         ).otherwise(0),

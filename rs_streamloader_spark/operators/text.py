@@ -531,7 +531,16 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the stats row is still one row; only the scan parallelism
     grows. Ordering ties break on doc_id; the ORDER BY uses the
     6dp-ROUNDED score on both sides so the top-k cut is cross-engine
-    stable."""
+    stable.
+
+    Determinism caveat: the idf term uses the natural log (it IS the
+    BM25 formula), the one transcendental in the catalog's oracle
+    surface — Spark's Math.log and DuckDB's LN are each correctly
+    rounded to <=1 ulp but not guaranteed bit-identical across libm
+    builds. The 6dp rounding + rounded-score ordering absorbs a
+    last-ulp disagreement everywhere except a score sitting exactly on
+    a .5e-6 boundary (not present in this corpus; same accepted
+    boundary class as _block_pair_scores' cosine rounding)."""
     t = load_tables(spark, sf_dir, "documents")["documents"]
     dl = n_tokens().cast("double")
     tf_cols = [

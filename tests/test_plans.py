@@ -342,17 +342,17 @@ def test_interval_concurrency_no_global_window_over_deltas(spark):
     from rs_streamloader_spark.operators.analytic import interval_concurrency
 
     df = interval_concurrency(spark, SF_SMOKE)
-    text = explain_str(df)
-    assert has_broadcast_join(df), text
-    # the single-partition stretch must sit above a HashAggregate
-    # (hour-net reduction), never directly over the exploded deltas
-    import re as _re
-
-    for m in _re.finditer(r"Exchange SinglePartition[^\n]*", text):
-        tail = text[m.end():]
-        # the window over the singleton partition reads the aggregated
-        # per-hour totals; its child fragment must contain the net agg
-        assert "HashAggregate" in tail[:4000], text
+    assert has_broadcast_join(df), explain_str(df)
+    # every single-partition exchange must read DIRECTLY from a
+    # HashAggregate (the per-hour net reduction) — in the simple-mode
+    # tree the exchange's child is the next line. A regression to the
+    # oracle's global window would put a Project/Union/Generate (the
+    # raw delta stream) there instead.
+    lines = explain_str(df, "simple").splitlines()
+    exchanges = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+    assert exchanges, "expected a single-partition offset exchange"
+    for i in exchanges:
+        assert "HashAggregate" in lines[i + 1], "\n".join(lines[i : i + 3])
 
 
 def test_scd2_asof_enrich_is_joinless_carry_forward(spark):
