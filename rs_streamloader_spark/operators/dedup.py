@@ -755,3 +755,70 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidates.join(F.broadcast(confirmed_keys), "prefix_hash", "left_semi").select(
         "doc_id", "prefix_hash"
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive triplet mining (anchor / positive / hash-derived negative)
+# ---------------------------------------------------------------------------
+
+@register(
+    "contrastive_triplets",
+    oracle=f"""
+    WITH pairs AS ({_JACCARD_ORACLE}),
+    sized AS (
+      SELECT p.*, c.n_docs
+      FROM pairs p CROSS JOIN (SELECT COUNT(*) AS n_docs FROM documents) c
+    ),
+    step1 AS (
+      SELECT doc_a, doc_b, jaccard, n_docs,
+             (doc_a * 31 + doc_b * 17 + 7) % n_docs AS neg0
+      FROM sized
+    ),
+    step2 AS (
+      SELECT doc_a, doc_b, jaccard, n_docs,
+             CASE WHEN neg0 = doc_a OR neg0 = doc_b
+                  THEN (neg0 + 1) % n_docs ELSE neg0 END AS neg1
+      FROM step1
+    )
+    SELECT doc_a AS anchor_id, doc_b AS positive_id,
+           CAST(CASE WHEN neg1 = doc_a OR neg1 = doc_b
+                     THEN (neg1 + 1) % n_docs ELSE neg1 END AS BIGINT)
+             AS negative_id,
+           ROUND(jaccard, 6) AS pos_jaccard
+    FROM step2
+    """,
+)
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining: every near-dup pair (the
+    cached Jaccard stage) becomes an (anchor, positive, negative)
+    triplet, with the negative drawn deterministically from the corpus
+    by modular hashing of the pair ids — double-bumped past collisions
+    with the anchor/positive (anchor ≠ positive, so two +1 steps
+    always suffice; doc_ids are contiguous 0..n-1 in the testdata).
+
+    Scale posture: zero work beyond the already-shared pair stage —
+    the negative is pure arithmetic on the pair row (no sampling join,
+    no shuffle), and the corpus size is a 1-row broadcast. A real
+    pipeline would swap the modular draw for hash(anchor, epoch) to
+    resample negatives per epoch; the plan shape is identical."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    n_docs = t.agg(F.count("*").alias("n_docs"))
+    pairs = _jaccard_pairs(spark, sf_dir)
+    sized = pairs.join(F.broadcast(n_docs))
+    neg0 = (F.col("doc_a") * 31 + F.col("doc_b") * 17 + 7) % F.col("n_docs")
+    sized = sized.withColumn("neg0", neg0)
+    neg1 = F.when(
+        (F.col("neg0") == F.col("doc_a")) | (F.col("neg0") == F.col("doc_b")),
+        (F.col("neg0") + 1) % F.col("n_docs"),
+    ).otherwise(F.col("neg0"))
+    sized = sized.withColumn("neg1", neg1)
+    neg2 = F.when(
+        (F.col("neg1") == F.col("doc_a")) | (F.col("neg1") == F.col("doc_b")),
+        (F.col("neg1") + 1) % F.col("n_docs"),
+    ).otherwise(F.col("neg1"))
+    return sized.select(
+        F.col("doc_a").alias("anchor_id"),
+        F.col("doc_b").alias("positive_id"),
+        neg2.cast("bigint").alias("negative_id"),
+        F.round("jaccard", 6).alias("pos_jaccard"),
+    )
