@@ -436,3 +436,61 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a_key", "b_key")
         .agg(F.count("*").cast("bigint").alias("n_overlap_days"))
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT purchase_id, user_id, purchase_ts, click_ts, click_id FROM (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+             c.ts AS click_ts, c.event_id AS click_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id ORDER BY c.ts, c.event_id
+             ) AS rn
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join — the LOOKING-AHEAD mirror of ``join_asof``:
+    for each purchase, the user's next click at-or-after the purchase
+    (ties on ts broken by lowest event_id). Together they complete the
+    backward/forward as-of pair every timeseries store exposes.
+
+    Same scalable shape as the backward twin: union both event kinds,
+    ONE shuffle on user_id, and a FIRST(ignorenulls) over the
+    following-rows frame — no per-row range probe. Clicks sort after
+    purchases at equal ts (kind 1 > 0), which places a same-instant
+    click inside the following frame — exactly the at-or-after bound
+    the oracle's ``c.ts >= p.ts`` expresses."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("kind")
+    )
+    unioned = clicks.unionByName(purchases).withColumn(
+        "click_info",
+        F.when(F.col("kind") == 1, F.struct(F.col("ts"), F.col("event_id"))),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    matched = unioned.withColumn(
+        "next_click", F.first("click_info", ignorenulls=True).over(w)
+    )
+    return (
+        matched.filter((F.col("kind") == 0) & F.col("next_click").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("next_click.ts").alias("click_ts"),
+            F.col("next_click.event_id").alias("click_id"),
+        )
+    )
