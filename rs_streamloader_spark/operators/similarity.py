@@ -820,3 +820,41 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("dom").isNull(), 1).otherwise(0).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (vector aggregation)
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_label_centroids",
+    oracle=f"""
+    SELECT label, CAST(pos AS INTEGER) AS dim,
+           ROUND(AVG(CAST(embedding[pos] AS DOUBLE)), 6) AS centroid_val,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) g(pos)
+    GROUP BY 1, 2
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the class-mean
+    vector a classifier prototype / clustering / drift monitor needs.
+    One row per (label, dimension) with the mean component and the
+    vector count.
+
+    Scale posture: posexplode flattens to (label, dim, component) and
+    the mean is a map-side-combinable aggregate on the (label, dim)
+    key — partials shrink each task's contribution to labels×{EMB_DIM}
+    rows regardless of input size, so the shuffle is constant-width at
+    any corpus scale. No collect, no pivot, no per-label filtering
+    pass."""
+    t = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return (
+        spread(t)
+        .select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("dim"))
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"),
+            F.count("*").cast("bigint").alias("n_vectors"),
+        )
+    )
