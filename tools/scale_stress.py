@@ -111,6 +111,12 @@ HEAVY_TAIL = [
     "numeric_histogram",
     "sessionize_stateful_replay",
     "stream_static_join_replay",
+    "scd2_asof_enrich",
+    "join_asof_forward",
+    "contrastive_triplets",
+    "vocab_topk_ids",
+    "time_weighted_avg",
+    "embedding_label_centroids",
 ]
 
 # threshold-pair operators over embeddings have intrinsically
@@ -134,7 +140,14 @@ DATE_WINDOWED = {"q5_local_supplier_volume"}
 # label set is scale-invariant; numeric_histogram emits one row per
 # fixed-width bin. Their scaled run measures the full-corpus scan +
 # reduction with a result that must NOT grow.
-CONSTANT_OUTPUT = {"bm25_topk", "domain_mix_sample", "numeric_histogram"}
+CONSTANT_OUTPUT = {
+    "bm25_topk",
+    "domain_mix_sample",
+    "numeric_histogram",
+    # vocab: top-100 cut is fixed; centroids: labels × 64 dims
+    "vocab_topk_ids",
+    "embedding_label_centroids",
+}
 
 
 def _replica_signs(i: int) -> list[float]:
