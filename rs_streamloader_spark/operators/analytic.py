@@ -1909,3 +1909,100 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_segments"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mode per group (most frequent value, explicit tiebreak)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_mode_per_group",
+    oracle="""
+    SELECT o_orderpriority, event_mode, mode_count FROM (
+      SELECT o.o_orderpriority AS o_orderpriority,
+             e.event_type AS event_mode,
+             COUNT(*) AS mode_count,
+             ROW_NUMBER() OVER (
+               PARTITION BY o.o_orderpriority
+               ORDER BY COUNT(*) DESC, e.event_type
+             ) AS rn
+      FROM events e JOIN orders o ON e.user_id = o.o_custkey
+      GROUP BY 1, 2
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group with an EXPLICIT tiebreak
+    (count DESC, value ASC) — both engines ship a ``mode()`` aggregate,
+    but neither defines tie order, so the deterministic form is
+    count + rank, which also survives a cross-engine compare.
+
+    Scale posture: the (group, value) count is map-side combinable;
+    the rank-1 filter is a WindowGroupLimit over the counted pairs —
+    group cardinality × value cardinality rows, not input rows."""
+    t = _t(spark, sf_dir, "events", "orders")
+    counted = (
+        t["events"]
+        .join(
+            t["orders"].select("o_custkey", "o_orderpriority"),
+            F.col("user_id") == F.col("o_custkey"),
+        )
+        .groupBy("o_orderpriority", F.col("event_type").alias("event_mode"))
+        .agg(F.count("*").alias("mode_count"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("mode_count").desc(), "event_mode"
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderpriority", "event_mode", "mode_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Median absolute deviation (robust dispersion, two sort-aggregates)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_median_abs_deviation",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, MEDIAN("value") AS m
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(MAX(med.m), 4) AS median_value,
+           ROUND(MEDIAN(ABS(e."value" - med.m)), 4) AS mad
+    FROM events e JOIN med ON e.event_type = med.event_type
+    GROUP BY e.event_type
+    """,
+)
+def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust
+    dispersion statistic z-score filtering (``anomaly_zscore``) is
+    sensitive to: MAD ignores the outliers themselves. Built from two
+    exact median aggregates (per-group median, broadcast back, median
+    of absolute residuals) rather than either engine's MAD built-in,
+    so the formula is identical on both sides.
+
+    Scale posture: exact medians are sort-based aggregates — two
+    shuffles on the same group key with a broadcast of the ~5-row
+    median table between them; the classic exact-robust-stats cost.
+    An approx_percentile single-pass variant is the scale dial when
+    exactness can be traded."""
+    t = _t(spark, sf_dir, "events")
+    med = (
+        t["events"]
+        .groupBy("event_type")
+        .agg(F.median("value").alias("m"))
+    )
+    return (
+        t["events"]
+        .join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("m"), 4).alias("median_value"),
+            F.round(F.median(F.abs(F.col("value") - F.col("m"))), 4).alias("mad"),
+        )
+    )
