@@ -2006,3 +2006,120 @@ def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.median(F.abs(F.col("value") - F.col("m"))), 4).alias("mad"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (global quantile binning without a global sort)
+# ---------------------------------------------------------------------------
+
+_EQUIDEPTH_BINS = 10
+
+
+@register(
+    "numeric_histogram_equidepth",
+    oracle=f"""
+    WITH b AS (
+      SELECT QUANTILE_CONT(o_totalprice,
+               [{", ".join(str((i + 1) / 10) for i in range(_EQUIDEPTH_BINS - 1))}])
+             AS bs
+      FROM orders
+    )
+    SELECT CAST(1 + LIST_SUM(LIST_TRANSFORM(b.bs,
+             x -> CASE WHEN o.o_totalprice > x THEN 1 ELSE 0 END))
+           AS BIGINT) AS bin,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(o.o_totalprice), 2) AS bin_min,
+           ROUND(MAX(o.o_totalprice), 2) AS bin_max
+    FROM orders o CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def numeric_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of order totals. The naive plan
+    is NTILE over a global window — a single-partition sort of the
+    whole table. This is the scalable two-pass form: exact decile
+    boundaries from one sort-based percentile AGGREGATE (parallel,
+    combinable), broadcast as a 1-row array, bin assignment as a pure
+    fold over the 9 boundaries — no global window, no single-partition
+    sort of input rows. Both engines interpolate quantiles with the
+    same (n-1)p definition over identical doubles, and a boundary that
+    lands exactly on a data value reproduces it exactly (interpolation
+    weight 0), so bin edges agree."""
+    t = _t(spark, sf_dir, "orders")
+    ps = [(i + 1) / 10 for i in range(_EQUIDEPTH_BINS - 1)]
+    bounds = t["orders"].agg(
+        F.percentile("o_totalprice", F.array(*[F.lit(p) for p in ps])).alias("bs")
+    )
+    bin_ = F.expr(
+        "1 + aggregate(bs, 0, (acc, x) ->"
+        " acc + IF(o_totalprice > x, 1, 0))"
+    ).cast("bigint")
+    return (
+        t["orders"]
+        .join(F.broadcast(bounds))
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (data-quality audit)
+# ---------------------------------------------------------------------------
+
+@register(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_custkey' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(o_custkey) AS n_nonnull,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           ROUND(MIN(o_custkey), 2) AS min_num,
+           ROUND(MAX(o_custkey), 2) AS max_num
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           ROUND(MIN(o_totalprice), 2), ROUND(MAX(o_totalprice), 2)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', COUNT(*), COUNT(o_orderkey),
+           COUNT(DISTINCT o_orderkey),
+           ROUND(MIN(o_orderkey), 2), ROUND(MAX(o_orderkey), 2)
+    FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data-quality profile (row/non-null/distinct counts
+    + numeric range) for a set of columns — the audit a pipeline runs
+    before trusting a new drop of data.
+
+    Scale posture: ONE scan computes every per-column statistic as a
+    single multi-aggregate row (Spark plans count-distincts via
+    expand, still one pass over the data), then a stack() unpivots the
+    1-row result into the per-column report — vs the oracle's
+    three scans, one per column. The profile column list is static;
+    at 100 TB you'd drive it from the schema the same way."""
+    t = _t(spark, sf_dir, "orders")["orders"]
+    cols = ["o_custkey", "o_totalprice", "o_orderkey"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            F.count(c).alias(f"{c}__nonnull"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.round(F.min(F.col(c).cast("double")), 2).alias(f"{c}__min"),
+            F.round(F.max(F.col(c).cast("double")), 2).alias(f"{c}__max"),
+        ]
+    one = t.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__nonnull, {c}__distinct, {c}__min, {c}__max"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) AS"
+        " (column_name, n_rows, n_nonnull, n_distinct, min_num, max_num)"
+    )
