@@ -26,6 +26,23 @@ RANGE_ORDER_MOD = 100  # sample 1/100 orders as range-join probes
 # As-of join (most recent prior click per purchase)
 # ---------------------------------------------------------------------------
 
+def _asof_union(ev: DataFrame) -> DataFrame:
+    """Shared scaffolding for the as-of twins: clicks (kind 1) and
+    purchases (kind 0) unioned, with ``click_info`` carrying the click
+    (ts, event_id) struct and null on purchase rows. Clicks sort after
+    purchases at equal ts via the kind column."""
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("kind")
+    )
+    return clicks.unionByName(purchases).withColumn(
+        "click_info",
+        F.when(F.col("kind") == 1, F.struct(F.col("ts"), F.col("event_id"))),
+    )
+
+
 @register(
     "join_asof",
     oracle="""
@@ -50,21 +67,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan that survives a billion-event table, vs. the oracle's
     quadratic-per-user pair join (fine for DuckDB at test scale)."""
     ev = load_tables(spark, sf_dir, "events")["events"]
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        F.col("ts"),
-        F.col("event_id"),
-        F.lit(1).alias("kind"),  # clicks sort after purchases at equal ts
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts"), F.col("event_id"), F.lit(0).alias("kind")
-    )
-    unioned = clicks.unionByName(purchases).withColumn(
-        "click_info",
-        F.when(
-            F.col("kind") == 1, F.struct(F.col("ts"), F.col("event_id"))
-        ),
-    )
+    unioned = _asof_union(ev)
     # strictly-prior: window ends one row before current; clicks at the
     # same ts sort after purchases (kind 1 > 0) so they're excluded
     w = (
@@ -460,29 +463,26 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     backward/forward as-of pair every timeseries store exposes.
 
     Same scalable shape as the backward twin: union both event kinds,
-    ONE shuffle on user_id, and a FIRST(ignorenulls) over the
-    following-rows frame — no per-row range probe. Clicks sort after
-    purchases at equal ts (kind 1 > 0), which places a same-instant
-    click inside the following frame — exactly the at-or-after bound
-    the oracle's ``c.ts >= p.ts`` expresses."""
+    ONE shuffle on user_id, and a LAST(ignorenulls) over a GROWING
+    frame under a fully REVERSED ordering — "next click after me" is
+    "last click before me when time runs backwards". The reversed
+    growing frame is O(E) per partition (Spark maintains a running
+    aggregate), where the direct rowsBetween(1, unboundedFollowing)
+    formulation executes as UnboundedFollowingWindowFunctionFrame and
+    recomputes the shrinking suffix per row — O(E²) for a heavy user.
+    Clicks sort after purchases at equal ts ascending, so descending
+    they come BEFORE the purchase and land in the growing frame —
+    exactly the at-or-after bound the oracle's ``c.ts >= p.ts``
+    expresses."""
     ev = load_tables(spark, sf_dir, "events")["events"]
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id", F.lit(1).alias("kind")
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", F.lit(0).alias("kind")
-    )
-    unioned = clicks.unionByName(purchases).withColumn(
-        "click_info",
-        F.when(F.col("kind") == 1, F.struct(F.col("ts"), F.col("event_id"))),
-    )
+    unioned = _asof_union(ev)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "kind", "event_id")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col("ts").desc(), F.col("kind").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     matched = unioned.withColumn(
-        "next_click", F.first("click_info", ignorenulls=True).over(w)
+        "next_click", F.last("click_info", ignorenulls=True).over(w)
     )
     return (
         matched.filter((F.col("kind") == 0) & F.col("next_click").isNotNull())

@@ -2020,7 +2020,7 @@ _EQUIDEPTH_BINS = 10
     oracle=f"""
     WITH b AS (
       SELECT QUANTILE_CONT(o_totalprice,
-               [{", ".join(str((i + 1) / 10) for i in range(_EQUIDEPTH_BINS - 1))}])
+               [{", ".join(str((i + 1) / _EQUIDEPTH_BINS) for i in range(_EQUIDEPTH_BINS - 1))}])
              AS bs
       FROM orders
     )
@@ -2046,7 +2046,7 @@ def numeric_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands exactly on a data value reproduces it exactly (interpolation
     weight 0), so bin edges agree."""
     t = _t(spark, sf_dir, "orders")
-    ps = [(i + 1) / 10 for i in range(_EQUIDEPTH_BINS - 1)]
+    ps = [(i + 1) / _EQUIDEPTH_BINS for i in range(_EQUIDEPTH_BINS - 1)]
     bounds = t["orders"].agg(
         F.percentile("o_totalprice", F.array(*[F.lit(p) for p in ps])).alias("bs")
     )

@@ -765,60 +765,96 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contrastive_triplets",
     oracle=f"""
     WITH pairs AS ({_JACCARD_ORACLE}),
-    sized AS (
-      SELECT p.*, c.n_docs
-      FROM pairs p CROSS JOIN (SELECT COUNT(*) AS n_docs FROM documents) c
+    rim AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rk
+      FROM documents
     ),
-    step1 AS (
-      SELECT doc_a, doc_b, jaccard, n_docs,
-             (doc_a * 31 + doc_b * 17 + 7) % n_docs AS neg0
-      FROM sized
+    ranked AS (
+      SELECT p.doc_a, p.doc_b, p.jaccard,
+             ra.rk AS rank_a, rb.rk AS rank_b, c.n_docs
+      FROM pairs p
+        JOIN rim ra ON p.doc_a = ra.doc_id
+        JOIN rim rb ON p.doc_b = rb.doc_id
+        CROSS JOIN (SELECT COUNT(*) AS n_docs FROM documents) c
     ),
-    step2 AS (
-      SELECT doc_a, doc_b, jaccard, n_docs,
-             CASE WHEN neg0 = doc_a OR neg0 = doc_b
-                  THEN (neg0 + 1) % n_docs ELSE neg0 END AS neg1
-      FROM step1
+    s1 AS (
+      SELECT *, (rank_a * 31 + rank_b * 17 + 7) % n_docs AS neg0 FROM ranked
+    ),
+    s2 AS (
+      SELECT *, CASE WHEN neg0 = rank_a OR neg0 = rank_b
+                     THEN (neg0 + 1) % n_docs ELSE neg0 END AS neg1
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *, CASE WHEN neg1 = rank_a OR neg1 = rank_b
+                     THEN (neg1 + 1) % n_docs ELSE neg1 END AS neg2
+      FROM s2
     )
-    SELECT doc_a AS anchor_id, doc_b AS positive_id,
-           CAST(CASE WHEN neg1 = doc_a OR neg1 = doc_b
-                     THEN (neg1 + 1) % n_docs ELSE neg1 END AS BIGINT)
-             AS negative_id,
-           ROUND(jaccard, 6) AS pos_jaccard
-    FROM step2
+    SELECT s3.doc_a AS anchor_id, s3.doc_b AS positive_id,
+           CAST(rn.doc_id AS BIGINT) AS negative_id,
+           ROUND(s3.jaccard, 6) AS pos_jaccard
+    FROM s3 JOIN rim rn ON s3.neg2 = rn.rk
     """,
 )
 def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive training-pair mining: every near-dup pair (the
     cached Jaccard stage) becomes an (anchor, positive, negative)
-    triplet, with the negative drawn deterministically from the corpus
-    by modular hashing of the pair ids — double-bumped past collisions
-    with the anchor/positive (anchor ≠ positive, so two +1 steps
-    always suffice; doc_ids are contiguous 0..n-1 in the testdata).
+    triplet, with the negative drawn deterministically by modular
+    hashing in RANK space over a dense 0..n-1 rim of the corpus ids —
+    double-bumped past collisions with the anchor/positive ranks
+    (anchor ≠ positive, so two +1 steps always suffice). Rank space,
+    not id space: the draw names a real document even when doc_ids
+    are sparse or offset (id-space modular arithmetic silently lands
+    on nonexistent ids the moment the corpus isn't contiguous).
 
-    Scale posture: zero work beyond the already-shared pair stage —
-    the negative is pure arithmetic on the pair row (no sampling join,
-    no shuffle), and the corpus size is a 1-row broadcast. A real
-    pipeline would swap the modular draw for hash(anchor, epoch) to
-    resample negatives per epoch; the plan shape is identical."""
+    Scale posture: beyond the shared pair stage, three broadcast
+    equi-joins against the rank rim (the dictionary-encode table a
+    corpus builds once) and pure arithmetic — no sampling shuffle. A
+    real pipeline would swap the modular draw for hash(anchor, epoch)
+    to resample negatives per epoch; the plan shape is identical."""
+    from pyspark.sql.window import Window
+
     t = load_tables(spark, sf_dir, "documents")["documents"]
     n_docs = t.agg(F.count("*").alias("n_docs"))
+    # dense rank rim 0..n-1 over doc_id order: the modular draw happens
+    # in RANK space so a negative always names a real document even
+    # when doc_ids are sparse/offset (the scaled stress corpus offsets
+    # replicas by 50M). The rim is the dictionary-encode step a corpus
+    # builds once; its global row_number is the sort-once cost (or the
+    # two-pass prefix-sum pattern, see interval_concurrency, at 100 TB).
+    rim = t.select("doc_id").withColumn(
+        "rk", F.row_number().over(Window.orderBy("doc_id")) - 1
+    )
     pairs = _jaccard_pairs(spark, sf_dir)
-    sized = pairs.join(F.broadcast(n_docs))
-    neg0 = (F.col("doc_a") * 31 + F.col("doc_b") * 17 + 7) % F.col("n_docs")
-    sized = sized.withColumn("neg0", neg0)
+    ranked = (
+        pairs.join(
+            F.broadcast(rim.select(F.col("doc_id").alias("doc_a"), F.col("rk").alias("rank_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(rim.select(F.col("doc_id").alias("doc_b"), F.col("rk").alias("rank_b"))),
+            "doc_b",
+        )
+        .join(F.broadcast(n_docs))
+    )
+    neg0 = (F.col("rank_a") * 31 + F.col("rank_b") * 17 + 7) % F.col("n_docs")
+    ranked = ranked.withColumn("neg0", neg0)
     neg1 = F.when(
-        (F.col("neg0") == F.col("doc_a")) | (F.col("neg0") == F.col("doc_b")),
+        (F.col("neg0") == F.col("rank_a")) | (F.col("neg0") == F.col("rank_b")),
         (F.col("neg0") + 1) % F.col("n_docs"),
     ).otherwise(F.col("neg0"))
-    sized = sized.withColumn("neg1", neg1)
+    ranked = ranked.withColumn("neg1", neg1)
     neg2 = F.when(
-        (F.col("neg1") == F.col("doc_a")) | (F.col("neg1") == F.col("doc_b")),
+        (F.col("neg1") == F.col("rank_a")) | (F.col("neg1") == F.col("rank_b")),
         (F.col("neg1") + 1) % F.col("n_docs"),
     ).otherwise(F.col("neg1"))
-    return sized.select(
+    ranked = ranked.withColumn("neg2", neg2)
+    return ranked.join(
+        F.broadcast(rim.select(F.col("rk").alias("neg2"), F.col("doc_id").alias("negative_id"))),
+        "neg2",
+    ).select(
         F.col("doc_a").alias("anchor_id"),
         F.col("doc_b").alias("positive_id"),
-        neg2.cast("bigint").alias("negative_id"),
+        F.col("negative_id").cast("bigint"),
         F.round("jaccard", 6).alias("pos_jaccard"),
     )

@@ -833,6 +833,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(AVG(CAST(embedding[pos] AS DOUBLE)), 6) AS centroid_val,
            CAST(COUNT(*) AS BIGINT) AS n_vectors
     FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) g(pos)
+    WHERE LEN(embedding) = {EMB_DIM}
     GROUP BY 1, 2
     """,
 )
@@ -850,7 +851,12 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass."""
     t = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     return (
+        # explicit width guard: posexplode yields size(embedding) rows
+        # while the oracle's generate_series yields EMB_DIM — identical
+        # only for exactly-EMB_DIM vectors, so enforce the contract on
+        # BOTH sides instead of assuming it
         spread(t)
+        .filter(F.size("embedding") == EMB_DIM)
         .select("label", F.posexplode("embedding").alias("pos0", "v"))
         .groupBy("label", (F.col("pos0") + 1).cast("int").alias("dim"))
         .agg(
