@@ -367,3 +367,16 @@ def test_scd2_asof_enrich_is_joinless_carry_forward(spark):
     for op in ("BroadcastNestedLoopJoin", "SortMergeJoin", "CartesianProduct",
                "BroadcastHashJoin"):
         assert op not in text, op
+
+
+def test_asof_forward_uses_growing_frame(spark):
+    """The forward as-of must keep the reversed-ordering GROWING frame
+    (O(E) running aggregate). A rowsBetween(1, unboundedFollowing)
+    formulation executes as UnboundedFollowingWindowFunctionFrame —
+    O(E^2) per key — and must not reappear."""
+    from rs_streamloader_spark.operators.advanced import join_asof_forward
+
+    df = join_asof_forward(spark, SF_SMOKE)
+    text = explain_str(df).lower()
+    assert "unboundedfollowing" not in text, "shrinking-suffix frame is O(E^2)"
+    assert shuffle_count(df) <= 1
