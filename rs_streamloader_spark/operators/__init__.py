@@ -8,6 +8,7 @@ from rs_streamloader_spark.operators import (  # noqa: F401
     advanced,
     analytic,
     dedup,
+    mining,
     multimodal,
     relational,
     similarity,

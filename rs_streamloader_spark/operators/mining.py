@@ -1,0 +1,663 @@
+"""Corpus/behavior mining operators (SURVEY.md §2.5 north-star
+extensions; no reference analogue — the reference's relational surface
+is SQL shipped to Redshift, see lib/RedshiftLoader.ts:337-393).
+
+The family covers the classic training-data-pipeline analyses that sit
+next to dedup/similarity: TF-IDF term extraction, token co-occurrence
+PMI, bigram language-model counts, shingle containment (subset
+near-dup), plus the behavioral staples (RFM segmentation, activity
+streaks, Markov transitions, Pareto revenue concentration).
+
+Cross-engine determinism rules (same as the rest of the catalog):
+integer arithmetic wherever sums feed comparisons (money in BIGINT
+cents — float partial-sum order differs between engines), natural log
+only as the final scored expression with identical operand order,
+rounded scores as the ordering key for any top-k cut, and global
+windows only over already-reduced aggregates (buckets / labels /
+event types), never over input rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rs_streamloader_spark.operators.registry import register
+from rs_streamloader_spark.session import load_tables, spread
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir, *names)
+
+
+# ---------------------------------------------------------------------------
+# Token stage (non-distinct tokens — TF needs multiplicity, unlike the
+# dedup family's distinct shingles)
+# ---------------------------------------------------------------------------
+
+_TOKENS_SQL = """
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+      FROM documents
+"""
+
+
+def _tokens(t: DataFrame) -> DataFrame:
+    """All tokens per doc with multiplicity (whitespace split). The
+    split/explode runs above ``spread`` so the generate parallelizes
+    over the cluster, mirroring the shingle stage (dedup.py)."""
+    return (
+        spread(t)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k terms per document
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOPK = 3
+
+
+@register(
+    "tfidf_topk_terms",
+    oracle=f"""
+    WITH toks AS ({_TOKENS_SQL}),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok AS term, tf.tf,
+             ROUND(tf.tf * (LN((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0), 6)
+               AS tfidf
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, tfidf, rn AS term_rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term
+             ) AS INT) AS rn
+      FROM scored
+    ) WHERE rn <= {_TFIDF_TOPK}
+    """,
+)
+def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} characteristic terms per document by smoothed TF-IDF
+    (sklearn-style ``ln((1+N)/(1+df)) + 1``, always positive).
+
+    Scale posture: TF is a (doc, term)-keyed aggregate, DF a
+    term-keyed aggregate over TF's (already reduced) output, both
+    map-side combinable; the TF⋈DF join shuffles on the term key only.
+    N travels as a broadcast 1-row aggregate (the bm25_topk pattern,
+    text.py). The per-doc top-k is a doc-partitioned ranking window —
+    WindowGroupLimit pushes the k-cut map-side. The one transcendental
+    (natural log) is the final scored expression with identical
+    operand order in both engines, and the ROUNDED score is the
+    ordering key, so the cut is cross-engine stable (ties broken by
+    term)."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    tf = (
+        _tokens(docs)
+        .groupBy("doc_id", F.col("tok").alias("term"))
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    idf = F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n))
+        .select("doc_id", "term", "tf", F.round(F.col("tf") * idf, 6).alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= _TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "tfidf", "term_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingle containment (subset near-dup: small doc inside a bigger one)
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_THRESHOLD = 0.8
+
+_CONTAIN_SHINGLE_SQL = """
+      SELECT doc_id, UNNEST(LIST_DISTINCT(
+               LIST_TRANSFORM(RANGE(1, LEN(ws) - 1),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+             )) AS sh
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents)
+"""
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH s AS ({_CONTAIN_SHINGLE_SQL}),
+    n AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, i AS n_shared,
+           ROUND(CAST(i AS DOUBLE) / na.n, 6) AS containment_a,
+           ROUND(CAST(i AS DOUBLE) / nb.n, 6) AS containment_b
+    FROM inter
+    JOIN n na ON na.doc_id = doc_a
+    JOIN n nb ON nb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / na.n >= {_CONTAINMENT_THRESHOLD}
+       OR CAST(i AS DOUBLE) / nb.n >= {_CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment |A∩B| / |A| — catches a short
+    document embedded in a longer one, which symmetric Jaccard misses
+    (a 100-token doc fully inside a 10k-token doc has Jaccard ≈ 0.01
+    but containment 1.0). The standard complement to Jaccard dedup in
+    training-data pipelines (same trigram shingles as the dedup
+    family, dedup.py).
+
+    Scale posture: reuses the cached shared shingle stage — the
+    candidate generation is the same inverted-index shingle equality
+    join as ``dedup_ngram_jaccard`` (no cross join, O(near-dups)), and
+    the per-doc shingle counts ride along denormalized so the pair
+    aggregate needs no post-join count lookups."""
+    from rs_streamloader_spark.operators.dedup import _shingles_cached
+
+    s = _shingles_cached(spark, sf_dir)
+    a = s.alias("a")
+    b = s.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.min("a.n").alias("na"),
+            F.min("b.n").alias("nb"),
+        )
+    )
+    cont_a = F.col("n_shared").cast("double") / F.col("na")
+    cont_b = F.col("n_shared").cast("double") / F.col("nb")
+    return (
+        inter.filter((cont_a >= _CONTAINMENT_THRESHOLD) | (cont_b >= _CONTAINMENT_THRESHOLD))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(cont_a, 6).alias("containment_a"),
+            F.round(cont_b, 6).alias("containment_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token co-occurrence PMI (word2vec-era association mining)
+# ---------------------------------------------------------------------------
+
+_PMI_VOCAB = 50
+_PMI_MIN_PAIRS = 5
+
+
+@register(
+    "cooccurrence_pmi",
+    oracle=f"""
+    WITH toks AS ({_TOKENS_SQL}),
+    dt AS (SELECT DISTINCT doc_id, tok FROM toks),
+    vocab AS (
+      SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok
+      ORDER BY df DESC, tok LIMIT {_PMI_VOCAB}
+    ),
+    vt AS (
+      SELECT dt.doc_id, dt.tok, v.df FROM dt JOIN vocab v ON dt.tok = v.tok
+    ),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b,
+             MIN(a.df) AS na, MIN(b.df) AS nb, COUNT(*) AS n_ab
+      FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY a.tok, b.tok
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tok_a, tok_b, n_ab,
+           ROUND(LN((CAST(n_ab AS DOUBLE) / na) * (CAST(n_docs AS DOUBLE) / nb)), 6)
+             AS pmi
+    FROM pairs CROSS JOIN n
+    WHERE n_ab >= {_PMI_MIN_PAIRS}
+    """,
+)
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of token pairs co-occurring in the
+    same document, restricted to the top-{vocab} document-frequency
+    vocabulary — the classic association-mining pass (collocations,
+    embedding co-occurrence matrices).
+
+    Scale posture: the vocabulary cut is ``ORDER BY df DESC LIMIT k``
+    — Spark plans TakeOrderedAndProject (distributed top-k, no
+    single-partition window over the vocabulary), and the tiny vocab
+    broadcasts into the document-token semi-join. The doc-keyed
+    self-join fans out at most C(vocab, 2) pairs per document, so the
+    candidate volume is bounded by construction, not by data luck.
+    PMI's log operand is phrased as a product of two bounded double
+    ratios — identical operand order in both engines, and no bigint
+    product that could overflow at corpus scale."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    dt = _tokens(docs).select("doc_id", "tok").distinct()
+    df = dt.groupBy("tok").agg(F.count("*").alias("df"))
+    vocab = df.orderBy(F.col("df").desc(), "tok").limit(_PMI_VOCAB)
+    vt = dt.join(F.broadcast(vocab), "tok")
+    a = vt.alias("a")
+    b = vt.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") < F.col("b.tok")))
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.min("a.df").alias("na"), F.min("b.df").alias("nb"), F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_PAIRS)
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    pmi = F.log(
+        (F.col("n_ab").cast("double") / F.col("na"))
+        * (F.col("n_docs").cast("double") / F.col("nb"))
+    )
+    return (
+        pairs.join(F.broadcast(n))
+        .select("tok_a", "tok_b", "n_ab", F.round(pmi, 6).alias("pmi"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model counts (conditional next-token probabilities)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_MIN_COUNT = 10
+
+
+@register(
+    "bigram_lm_counts",
+    oracle=f"""
+    WITH bigrams AS (
+      SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ws)),
+                                   i -> [ws[i], ws[i+1]])) AS bg
+      FROM (SELECT STRING_SPLIT(text, ' ') AS ws FROM documents)
+    ),
+    bc AS (
+      SELECT bg[1] AS w1, bg[2] AS w2, COUNT(*) AS n_bigram
+      FROM bigrams GROUP BY 1, 2
+    )
+    SELECT w1, w2, n_bigram, n_w1,
+           ROUND(CAST(n_bigram AS DOUBLE) / n_w1, 6) AS cond_prob
+    FROM (
+      SELECT w1, w2, n_bigram,
+             SUM(n_bigram) OVER (PARTITION BY w1) AS n_w1
+      FROM bc
+    )
+    WHERE n_bigram >= {_BIGRAM_MIN_COUNT}
+    """,
+)
+def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language model: P(w2 | w1) = count(w1 w2) /
+    count(w1 in first position) for every bigram seen ≥ {min} times —
+    the n-gram-LM building block (KenLM-style count collection).
+
+    Scale posture: one explode of per-doc adjacent pairs → a
+    (w1, w2)-keyed combinable aggregate; the denominator is a window
+    over the ALREADY-AGGREGATED bigram table partitioned by w1
+    (distributed across first-words, never over input rows). The
+    ≥{min} support filter applies after the denominator so
+    probabilities stay true conditional mass, not renormalized over
+    survivors."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    ws = F.split(F.col("text"), " ")
+    grams = F.expr(
+        "CASE WHEN size(ws) >= 2 THEN"
+        " transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"
+        " ELSE array() END"
+    )
+    bc = (
+        spread(docs)
+        .select(ws.alias("ws"))
+        .select(F.explode(grams).alias("bg"))
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count("*").alias("n_bigram"))
+    )
+    w = Window.partitionBy("w1")
+    return (
+        bc.withColumn("n_w1", F.sum("n_bigram").over(w))
+        .filter(F.col("n_bigram") >= _BIGRAM_MIN_COUNT)
+        .select(
+            "w1",
+            "w2",
+            "n_bigram",
+            "n_w1",
+            F.round(F.col("n_bigram").cast("double") / F.col("n_w1"), 6).alias("cond_prob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (quantile-banded, no global-sort NTILE)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             DATEDIFF('day', MAX(o_orderdate),
+                      (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT QUANTILE_CONT(recency_days, [0.25, 0.5, 0.75]) AS rb,
+             QUANTILE_CONT(frequency, [0.25, 0.5, 0.75]) AS fb,
+             QUANTILE_CONT(monetary_cents, [0.25, 0.5, 0.75]) AS mb
+      FROM cust
+    )
+    SELECT CAST(1 + LIST_SUM(LIST_TRANSFORM(b.rb,
+             x -> CASE WHEN c.recency_days > x THEN 1 ELSE 0 END)) AS INT)
+             AS recency_band,
+           CAST(1 + LIST_SUM(LIST_TRANSFORM(b.fb,
+             x -> CASE WHEN c.frequency > x THEN 1 ELSE 0 END)) AS INT)
+             AS frequency_band,
+           CAST(1 + LIST_SUM(LIST_TRANSFORM(b.mb,
+             x -> CASE WHEN c.monetary_cents > x THEN 1 ELSE 0 END)) AS INT)
+             AS monetary_band,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c.monetary_cents) / COUNT(*) / 100.0, 2) AS avg_monetary
+    FROM cust c CROSS JOIN b
+    GROUP BY 1, 2, 3
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation into quartile
+    bands — the workhorse customer-analytics rollup.
+
+    Scale posture: per-customer metrics are one combinable aggregate;
+    the quartile boundaries come from one percentile AGGREGATE over
+    the reduced customer table, broadcast as a 1-row array, and band
+    assignment is a pure fold over 3 boundaries — the
+    ``numeric_histogram_equidepth`` pattern (analytic.py), NOT a
+    global-sort NTILE window. Money is summed in BIGINT cents (float
+    partial-sum order differs between engines; integer sums are
+    exact), so boundary comparisons can never flip on a 1-ulp
+    disagreement. Both engines interpolate quantiles with the same
+    (n-1)p definition."""
+    t = _t(spark, sf_dir, "orders")["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cust = t.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(cents).alias("monetary_cents"),
+    )
+    maxd = t.agg(F.max("o_orderdate").alias("max_date"))
+    cust = cust.join(F.broadcast(maxd)).select(
+        F.datediff("max_date", "last_order").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    bounds = cust.agg(
+        F.percentile("recency_days", qs).alias("rb"),
+        F.percentile("frequency", qs).alias("fb"),
+        F.percentile("monetary_cents", qs).alias("mb"),
+    )
+
+    def band(col: str, bs: str):
+        return F.expr(
+            f"1 + aggregate({bs}, 0, (acc, x) -> acc + IF({col} > x, 1, 0))"
+        ).cast("int")
+
+    return (
+        cust.join(F.broadcast(bounds))
+        .groupBy(
+            band("recency_days", "rb").alias("recency_band"),
+            band("frequency", "fb").alias("frequency_band"),
+            band("monetary_cents", "mb").alias("monetary_band"),
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("monetary_cents") / F.count("*") / 100.0, 2).alias("avg_monetary"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: consecutive-day activity streaks
+# ---------------------------------------------------------------------------
+
+@register(
+    "activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    islands AS (
+      SELECT user_id,
+             DATEDIFF('day', DATE '1970-01-01', day)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, island, COUNT(*) AS len
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           SUM(len) AS n_active_days,
+           COUNT(*) AS n_streaks,
+           MAX(len) AS max_streak_days
+    FROM streaks GROUP BY user_id
+    """,
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user — the canonical
+    gaps-and-islands pattern (island key = epoch_day − row_number,
+    constant within a run of consecutive days).
+
+    Scale posture: the only window is partitioned by user_id over
+    DISTINCT activity days (already reduced from raw events by the
+    first aggregate); the island key uses pure integer epoch-day
+    arithmetic, so no interval/timezone semantics can diverge between
+    engines. Two keyed aggregates, both combinable."""
+    t = _t(spark, sf_dir, "events")["events"]
+    days = t.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        (F.datediff("day", F.lit("1970-01-01")).cast("bigint") - F.row_number().over(w)).alias(
+            "island"
+        ),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+        F.max("len").alias("max_streak_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over event types
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    counts AS (
+      SELECT prev_type, event_type, COUNT(*) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, n_transitions,
+           ROUND(CAST(n_transitions AS DOUBLE)
+                 / SUM(n_transitions) OVER (PARTITION BY prev_type), 6)
+             AS transition_prob
+    FROM counts
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — session-modeling /
+    next-action-prediction feature.
+
+    Scale posture: the lag window is partitioned by user (ordered by
+    the total (ts, event_id) key, so ties can't reorder between
+    engines); transition counts are a combinable aggregate over the
+    event-type cross product (|types|² rows), and the row-normalizing
+    window runs over THAT tiny aggregate, not over events."""
+    t = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counts = (
+        t.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double") / F.sum("n_transitions").over(wp), 6
+        ).alias("transition_prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto revenue concentration (distributed prefix sum, integer cents)
+# ---------------------------------------------------------------------------
+
+_PARETO_BUCKET_CENTS = 1_000_000  # $10k revenue bands → bounded bucket count
+
+
+@register(
+    "pareto_customer_share",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev,
+             SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) - rev AS cum_before
+      FROM cust
+    ),
+    tot AS (SELECT SUM(rev) AS total, COUNT(*) AS n FROM cust)
+    SELECT n AS n_customers,
+           ROUND(total / 100.0, 2) AS total_revenue,
+           SUM(CASE WHEN cum_before * 2 < total THEN 1 ELSE 0 END)
+             AS customers_to_50pct,
+           SUM(CASE WHEN cum_before * 5 < total * 4 THEN 1 ELSE 0 END)
+             AS customers_to_80pct,
+           SUM(CASE WHEN cum_before * 10 < total * 9 THEN 1 ELSE 0 END)
+             AS customers_to_90pct
+    FROM ranked CROSS JOIN tot
+    GROUP BY n, total
+    """,
+)
+def pareto_customer_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: how many top customers cover 50 / 80 /
+    90% of total revenue (ABC / Pareto analysis).
+
+    Scale posture: the oracle's single global running sum is a serial
+    one-partition window; this is the TWO-PASS distributed prefix sum
+    (the ``interval_concurrency`` pattern, analytic.py): customers
+    band into fixed $10k revenue buckets, the running sum partitions
+    by bucket, and per-bucket net totals — a bounded-count aggregate —
+    prefix-sum on one tiny partition and broadcast back as bucket
+    offsets. All revenue is BIGINT cents and the threshold tests are
+    pure integer cross-multiplications, so the two engines' different
+    summation orders cannot produce a 1-ulp disagreement at a
+    threshold boundary."""
+    t = _t(spark, sf_dir, "orders")["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cust = t.groupBy("o_custkey").agg(F.sum(cents).alias("rev"))
+    cust = cust.withColumn(
+        "bucket", F.floor(F.col("rev") / F.lit(_PARETO_BUCKET_CENTS)).cast("bigint")
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("rev").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = cust.withColumn("run_in", F.sum("rev").over(w_in))
+    # buckets descend with revenue: offsets accumulate over HIGHER buckets
+    w_b = Window.orderBy(F.col("bucket").desc()).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        cust.groupBy("bucket")
+        .agg(F.sum("rev").alias("net"))
+        .withColumn("offset", F.coalesce(F.sum("net").over(w_b), F.lit(0)))
+        .select("bucket", "offset")
+    )
+    tot = cust.agg(F.sum("rev").alias("total"), F.count("*").alias("n"))
+    cum_before = F.col("offset") + F.col("run_in") - F.col("rev")
+    return (
+        within.join(F.broadcast(offsets), "bucket")
+        .join(F.broadcast(tot))
+        .groupBy(F.col("n").alias("n_customers"), F.round(F.col("total") / 100.0, 2).alias("total_revenue"))
+        .agg(
+            F.sum(F.when(cum_before * 2 < F.col("total"), 1).otherwise(0)).alias(
+                "customers_to_50pct"
+            ),
+            F.sum(F.when(cum_before * 5 < F.col("total") * 4, 1).otherwise(0)).alias(
+                "customers_to_80pct"
+            ),
+            F.sum(F.when(cum_before * 10 < F.col("total") * 9, 1).otherwise(0)).alias(
+                "customers_to_90pct"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Class-balance weights (inverse-frequency sampling weights)
+# ---------------------------------------------------------------------------
+
+@register(
+    "label_balance_weights",
+    oracle="""
+    WITH c AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label)
+    SELECT label, n_vectors,
+           ROUND(CAST((SELECT SUM(n_vectors) FROM c) AS DOUBLE)
+                 / ((SELECT COUNT(*) FROM c) * n_vectors), 6) AS class_weight
+    FROM c
+    """,
+)
+def label_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights ``N / (K · n_label)`` over the
+    embedding labels — the standard balanced-sampling / loss-weighting
+    input for training on skewed class distributions.
+
+    Scale posture: one combinable label aggregate; N and K come from
+    windows over that already-tiny aggregate (|labels| rows), so
+    nothing global touches input rows."""
+    t = _t(spark, sf_dir, "embeddings")["embeddings"]
+    c = t.groupBy("label").agg(F.count("*").alias("n_vectors"))
+    w = Window.partitionBy()
+    return c.select(
+        "label",
+        "n_vectors",
+        F.round(
+            F.sum("n_vectors").over(w).cast("double")
+            / (F.count("*").over(w) * F.col("n_vectors")),
+            6,
+        ).alias("class_weight"),
+    )
