@@ -380,3 +380,72 @@ def test_asof_forward_uses_growing_frame(spark):
     text = explain_str(df).lower()
     assert "unboundedfollowing" not in text, "shrinking-suffix frame is O(E^2)"
     assert shuffle_count(df) <= 1
+
+
+def test_pareto_no_global_window_over_customers(spark):
+    """Pareto concentration must keep the two-pass prefix sum: every
+    single-partition exchange feeds the per-bucket NET aggregate (a
+    bounded-count table), never the raw per-customer stream, and the
+    bucket-offset table comes back as a broadcast join."""
+    from rs_streamloader_spark.operators.mining import pareto_customer_share
+
+    df = pareto_customer_share(spark, SF_SMOKE)
+    assert has_broadcast_join(df), explain_str(df)
+    lines = explain_str(df, "simple").splitlines()
+    exchanges = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+    assert exchanges, "expected a single-partition offset exchange"
+    for i in exchanges:
+        assert "HashAggregate" in lines[i + 1], "\n".join(lines[i : i + 3])
+
+
+def test_cooccurrence_vocab_takes_ordered_and_broadcasts(spark):
+    """The PMI vocabulary cut must plan as a distributed top-k
+    (TakeOrderedAndProject), not a single-partition ranking window
+    over the whole vocabulary, and the 50-row vocab must broadcast
+    into the document-token join."""
+    from rs_streamloader_spark.operators.mining import cooccurrence_pmi
+
+    df = cooccurrence_pmi(spark, SF_SMOKE)
+    text = explain_str(df)
+    assert "TakeOrderedAndProject" in text
+    assert has_broadcast_join(df)
+
+
+def test_tfidf_topk_pushes_window_group_limit(spark):
+    """The per-doc top-k rank filter must push a WindowGroupLimit
+    below the ranking window so only k+ties rows per doc survive the
+    shuffle — not a full rank-then-filter over every (doc, term)."""
+    from rs_streamloader_spark.operators.mining import tfidf_topk_terms
+
+    df = tfidf_topk_terms(spark, SF_SMOKE)
+    assert "WindowGroupLimit" in explain_str(df)
+
+
+def test_bigram_lm_window_sits_on_aggregate(spark):
+    """The P(w2|w1) denominator window must run over the ALREADY
+    aggregated bigram table (partitioned by w1) — raw token rows never
+    enter a window. Detectable as: the Window's input chain contains
+    the bigram HashAggregate, and the whole plan needs at most 3
+    exchanges (spread, bigram agg, w1 re-key)."""
+    from rs_streamloader_spark.operators.mining import bigram_lm_counts
+
+    df = bigram_lm_counts(spark, SF_SMOKE)
+    assert shuffle_count(df) <= 3, explain_str(df, "simple")
+    lines = explain_str(df, "simple").splitlines()
+    win = [i for i, l in enumerate(lines) if re.search(r"\bWindow\b", l)]
+    assert win, "expected a window operator"
+    assert any("HashAggregate" in l for l in lines[win[0]:]), "window must sit above the bigram aggregate"
+
+
+def test_rfm_aggregates_feed_broadcast_no_ntile(spark):
+    """RFM banding must use the percentile-boundary fold, never a
+    global-sort NTILE: no ntile window function in the plan, and the
+    quantile/percentile boundary row reaches the fact side through a
+    broadcast join."""
+    from rs_streamloader_spark.operators.mining import rfm_segments
+
+    df = rfm_segments(spark, SF_SMOKE)
+    text = explain_str(df)
+    # \b keeps this from matching the (desired) percentile aggregates
+    assert not re.search(r"\bntile\(", text.lower())
+    assert has_broadcast_join(df)
