@@ -858,3 +858,41 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("negative_id").cast("bigint"),
         F.round("jaccard", 6).alias("pos_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup graph degree distribution (cluster-health diagnostics)
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_degree_stats",
+    oracle=f"""
+    WITH pairs AS ({_JACCARD_ORACLE}),
+    deg AS (
+      SELECT doc_id, COUNT(*) AS degree FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL
+        SELECT doc_b AS doc_id FROM pairs
+      ) GROUP BY doc_id
+    )
+    SELECT degree, COUNT(*) AS n_docs
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup pair graph — the health
+    check run before trusting connected-components dedup (a fat-tailed
+    degree histogram means a boilerplate/template cluster is about to
+    glue unrelated documents together).
+
+    Scale posture: consumes the CACHED Jaccard pair stage (shared with
+    ``dedup_ngram_jaccard``/``dedup_cluster``), so the expensive join
+    never re-runs; both aggregates are keyed and combinable, and the
+    histogram output is bounded by the max degree, not the corpus."""
+    pairs = _jaccard_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_docs"))

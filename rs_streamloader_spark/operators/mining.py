@@ -661,3 +661,135 @@ def label_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("class_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session duration statistics (companion to interval_concurrency)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 1800
+
+
+@register(
+    "session_duration_stats",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL {_SESSION_GAP_S} SECOND
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT user_id, sid, COUNT(*) AS n_events,
+             DATE_DIFF('microsecond', MIN(ts), MAX(ts)) AS dur_us
+      FROM (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (
+                 PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM flagged
+      ) GROUP BY user_id, sid
+    )
+    SELECT COUNT(*) AS n_sessions,
+           ROUND(SUM(n_events) / COUNT(*), 6) AS avg_events,
+           ROUND(QUANTILE_CONT(dur_us, 0.5) / 1000000.0, 6) AS p50_duration_s,
+           ROUND(QUANTILE_CONT(dur_us, 0.9) / 1000000.0, 6) AS p90_duration_s,
+           ROUND(MAX(dur_us) / 1000000.0, 6) AS max_duration_s
+    FROM sessions
+    """,
+)
+def session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-length distribution (30-min-gap sessionization →
+    event-count mean + duration percentiles) — the dwell-time rollup
+    next to ``interval_concurrency``'s concurrency sweep.
+
+    Scale posture: sessionization windows partition by user; durations
+    are integer microseconds (timestampdiff, no float time math), so
+    the percentile AGGREGATE interpolates over identical integers in
+    both engines — one combinable reduction, no global window over
+    events."""
+    t = _t(spark, sf_dir, "events")["events"]
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    flagged = (
+        t.select("user_id", "ts")
+        .withColumn("prev_ts", F.lag("ts").over(wu))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+                    > F.lit(_SESSION_GAP_S * 1_000_000)
+                ),
+                1,
+            ).otherwise(0),
+        )
+    )
+    sessions = (
+        flagged.withColumn(
+            "sid", F.sum("new_sess").over(wu.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))").alias("dur_us"),
+        )
+    )
+    return sessions.agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.sum("n_events") / F.count("*"), 6).alias("avg_events"),
+        F.round(F.percentile("dur_us", F.lit(0.5)) / 1_000_000.0, 6).alias("p50_duration_s"),
+        F.round(F.percentile("dur_us", F.lit(0.9)) / 1_000_000.0, 6).alias("p90_duration_s"),
+        F.round(F.max("dur_us") / 1_000_000.0, 6).alias("max_duration_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month revenue growth
+# ---------------------------------------------------------------------------
+
+@register(
+    "orders_monthly_growth",
+    oracle="""
+    WITH m AS (
+      SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month,
+             COUNT(*) AS n_orders,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders,
+           ROUND(rev_cents / 100.0, 2) AS revenue,
+           ROUND((rev_cents - LAG(rev_cents) OVER (ORDER BY month))
+                 / CAST(LAG(rev_cents) OVER (ORDER BY month) AS DOUBLE), 6)
+             AS growth_pct
+    FROM m
+    """,
+)
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the reporting staple (monthly
+    rollup + lag ratio; first month's growth is NULL, not zero).
+
+    Scale posture: the lag window is global but runs over the MONTHLY
+    aggregate (one row per month — bounded by the calendar, not the
+    data), matching the catalog rule that global windows only ever see
+    already-reduced aggregates. Revenue sums in BIGINT cents so the
+    growth ratio's operands are exact on both engines."""
+    t = _t(spark, sf_dir, "orders")["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    # formatted string, not DATE — the catalog's TZ-invariant date
+    # output convention (see rollup_time_multigrain)
+    m = t.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month")
+    ).agg(
+        F.count("*").alias("n_orders"), F.sum(cents).alias("rev_cents")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return m.select(
+        "month",
+        "n_orders",
+        F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+        F.round((F.col("rev_cents") - prev) / prev.cast("double"), 6).alias("growth_pct"),
+    )

@@ -864,3 +864,159 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_vectors"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN majority-vote classification (label propagation over the index)
+# ---------------------------------------------------------------------------
+
+@register(
+    "knn_classify_majority",
+    oracle=f"""
+    WITH topk AS (
+      SELECT query_id, true_label, neighbor_label FROM (
+        SELECT a.vec_id AS query_id, a.label AS true_label,
+               b.label AS neighbor_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY ROUND({_DUCK_COS}, 6) DESC, b.vec_id
+               ) AS rn
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {N_QUERIES}
+      ) WHERE rn <= {TOP_K}
+    ),
+    votes AS (
+      SELECT query_id, true_label, neighbor_label, COUNT(*) AS n_votes
+      FROM topk GROUP BY 1, 2, 3
+    )
+    SELECT query_id, true_label,
+           neighbor_label AS predicted_label, n_votes,
+           CASE WHEN neighbor_label = true_label THEN 1 ELSE 0 END AS correct
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY n_votes DESC, neighbor_label
+             ) AS vr
+      FROM votes
+    ) WHERE vr = 1
+    """,
+)
+def knn_classify_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification by majority vote of the {TOP_K} nearest
+    neighbors (cosine) — the label-propagation / weak-labeling pass a
+    training pipeline runs to impute labels or audit label quality.
+
+    Scale posture: identical cost shape to ``ann_topk_bruteforce``
+    (broadcast query side, corpus scored in parallel, rounded-cosine
+    ranking so the k-cut is cross-engine stable); the vote count and
+    the majority pick are windows over the k·|queries| row result,
+    not over the corpus. Vote ties break deterministically by label."""
+    t = _emb_norm_cached(spark, sf_dir)
+    corpus = t.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    queries = t.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    cos = F.round(_dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 6)
+    wk = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    topk = (
+        F.broadcast(queries)
+        .join(corpus, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "true_label", "neighbor_id", "neighbor_label", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= TOP_K)
+    )
+    votes = topk.groupBy("query_id", "true_label", "neighbor_label").agg(
+        F.count("*").alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), "neighbor_label")
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("neighbor_label").alias("predicted_label"),
+            "n_votes",
+            F.when(F.col("neighbor_label") == F.col("true_label"), 1)
+            .otherwise(0)
+            .alias("correct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Symmetric int8 vector quantization (index compression)
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, emb,
+             CASE WHEN LIST_MAX(LIST_TRANSFORM(emb, x -> ABS(x))) = 0 THEN 1.0
+                  ELSE LIST_MAX(LIST_TRANSFORM(emb, x -> ABS(x))) / 127.0
+             END AS scale
+      FROM e
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           ARRAY_TO_STRING(LIST_TRANSFORM(emb, x -> CAST(ROUND(x / scale) AS INT)), ',')
+             AS q_embedding,
+           ROUND(SQRT(LIST_REDUCE(
+             LIST_TRANSFORM(emb, x -> POW(x - ROUND(x / scale) * scale, 2)),
+             (a, b) -> a + b)), 6) AS recon_err
+    FROM s
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (scale = max|x|/127) with
+    the L2 reconstruction error — the standard 4× index-compression
+    step before serving or shipping an ANN index.
+
+    Scale posture: pure per-row array arithmetic inside codegen — no
+    shuffle, no Python, embarrassingly parallel at any corpus size.
+    Determinism: float→double widening is exact, the scale and every
+    quantized component are single IEEE ops in identical order in both
+    engines, and the error sum is a sequential left fold on both sides
+    (Spark ``aggregate``, DuckDB ``list_reduce``) so not even the
+    summation order differs. Zero vectors take scale=1.0 on both sides
+    rather than dividing by zero."""
+    t = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return (
+        spread(t)
+        .withColumn(
+            "maxabs", F.expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+        )
+        .withColumn("scale", F.expr("IF(maxabs = 0D, 1.0D, maxabs / 127.0D)"))
+        .select(
+            "vec_id",
+            F.round("scale", 6).alias("scale"),
+            # CSV string, not array<int>: the driver's value hash (and
+            # the local harness) compares scalars; the int CSV is the
+            # same information with a total-order-comparable encoding
+            F.expr(
+                "array_join(transform(embedding, x ->"
+                " CAST(CAST(round(CAST(x AS DOUBLE) / scale) AS INT) AS STRING)), ',')"
+            ).alias("q_embedding"),
+            F.round(
+                F.expr(
+                    "sqrt(aggregate("
+                    " transform(embedding, x ->"
+                    "   pow(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / scale) * scale, 2)),"
+                    " 0D, (acc, v) -> acc + v))"
+                ),
+                6,
+            ).alias("recon_err"),
+        )
+    )
