@@ -793,3 +793,125 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
         F.round((F.col("rev_cents") - prev) / prev.cast("double"), 6).alias("growth_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+_BASKET_MIN_PAIRS = 3
+
+
+@register(
+    "basket_lift_pairs",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pc AS (SELECT l_partkey, COUNT(*) AS n_part FROM items GROUP BY l_partkey),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_ab,
+           ROUND(CAST(n_ab AS DOUBLE) / n.n_orders, 6) AS support,
+           ROUND(CAST(n_ab AS DOUBLE) / pa.n_part, 6) AS confidence,
+           ROUND((CAST(n_ab AS DOUBLE) / pa.n_part)
+                 * (CAST(n.n_orders AS DOUBLE) / pb.n_part), 6) AS lift
+    FROM pairs
+    JOIN pc pa ON pa.l_partkey = part_a
+    JOIN pc pb ON pb.l_partkey = part_b
+    CROSS JOIN n
+    WHERE n_ab >= {_BASKET_MIN_PAIRS}
+    """,
+)
+def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order line items:
+    support / confidence / lift for part pairs bought together ≥
+    {min} times — the recommendation/affinity staple.
+
+    Scale posture: baskets are orders, so the self-join key is
+    l_orderkey and the fan-out per order is C(items-per-order, 2) —
+    bounded by basket size (≤7 in TPC-H-shaped data), never by corpus
+    size. Part counts join on the part key (keyed shuffle, combinable
+    partials); the order count is a broadcast 1-row aggregate; lift is
+    a product of two bounded double ratios (no bigint product to
+    overflow at scale)."""
+    t = _t(spark, sf_dir, "lineitem")["lineitem"]
+    items = t.select("l_orderkey", "l_partkey").distinct()
+    pc = items.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _BASKET_MIN_PAIRS)
+    )
+    pa = pc.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("na"))
+    pb = pc.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("nb"))
+    return (
+        pairs.join(pa, "part_a")
+        .join(pb, "part_b")
+        .join(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("n_ab").cast("double") / F.col("na"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_ab").cast("double") / F.col("na"))
+                * (F.col("n_orders").cast("double") / F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day / day-of-week seasonality profile
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_hourly_seasonality",
+    oracle="""
+    SELECT DAYOFWEEK(ts) + 1 AS dow,
+           CAST(HOUR(ts) AS INT) AS hour_of_day,
+           COUNT(*) AS n_events,
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / COUNT(*) / 100.0, 6)
+             AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic/value seasonality by (day-of-week, hour-of-day) — the
+    168-cell profile behind load forecasting and anomaly baselines.
+
+    Scale posture: one combinable aggregate to a fixed 168-row output.
+    Cross-engine notes: ``ts`` is TIMESTAMP_NTZ so hour/dow extraction
+    is timezone-free; Spark's dayofweek is 1=Sunday while DuckDB's is
+    0=Sunday, so the oracle shifts by one; the value mean is summed in
+    BIGINT hundredths (the column carries 2 decimals) and divided
+    once, so engine summation order cannot differ."""
+    t = _t(spark, sf_dir, "events")["events"]
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        t.groupBy(
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").cast("int").alias("hour_of_day"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(cents) / F.count("*") / 100.0, 6).alias("avg_value"),
+        )
+    )
