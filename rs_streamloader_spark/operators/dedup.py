@@ -896,3 +896,48 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count("*").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty (per-doc fraction of first-seen shingles)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH s AS ({_SHINGLE_SQL}),
+    first_seen AS (
+      SELECT sh, MIN(doc_id) AS first_doc FROM s GROUP BY sh
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_shingles,
+           SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+    FROM s JOIN first_seen f ON s.sh = f.sh
+    GROUP BY s.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's trigram
+    shingles whose FIRST appearance (lowest doc_id) is this doc — low
+    novelty flags boilerplate/recombined content that pairwise near-dup
+    scores can miss when the copying is many-to-one.
+
+    Scale posture: reuses the cached shared shingle stage; first-seen
+    is a combinable min aggregate on the shingle key, joined back on
+    that same key (both sides partition identically, so AQE plans one
+    co-partitioned join), and the per-doc rollup is a keyed aggregate
+    of exact integers."""
+    s = _shingles_cached(spark, sf_dir)
+    first = s.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        s.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            novel.alias("n_novel"),
+            F.round(novel / F.count("*").cast("double"), 6).alias("novelty"),
+        )
+    )

@@ -915,3 +915,284 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(cents) / F.count("*") / 100.0, 6).alias("avg_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary-classifier evaluation: confusion matrix + precision/recall/F1
+# ---------------------------------------------------------------------------
+
+def _langid_pred_sql() -> str:
+    from rs_streamloader_spark.operators.text import _marker_count_sql
+
+    return (
+        f"CASE WHEN ({_marker_count_sql('the')} + {_marker_count_sql('a')}) * 20"
+        " >= (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)"
+        " THEN 1 ELSE 0 END"
+    )
+
+
+def _confusion_oracle() -> str:
+    return f"""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS actual,
+             {_langid_pred_sql()} AS predicted
+      FROM documents
+    ),
+    cm AS (
+      SELECT SUM(actual * predicted) AS tp,
+             SUM((1 - actual) * predicted) AS fp,
+             SUM(actual * (1 - predicted)) AS fn,
+             SUM((1 - actual) * (1 - predicted)) AS tn
+      FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision_en,
+           ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall_en,
+           ROUND(2.0 * (CAST(tp AS DOUBLE) / (tp + fp))
+                     * (CAST(tp AS DOUBLE) / (tp + fn))
+                 / ((CAST(tp AS DOUBLE) / (tp + fp))
+                    + (CAST(tp AS DOUBLE) / (tp + fn))), 6) AS f1_en,
+           ROUND(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy
+    FROM cm
+    """
+
+
+@register("confusion_matrix_metrics", oracle=_confusion_oracle())
+def confusion_matrix_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation rollup for the marker-word language-ID
+    heuristic vs the labelled ``lang`` column: confusion counts plus
+    precision / recall / F1 / accuracy — the audit every
+    model-filtered data pipeline publishes next to its filter.
+
+    Scale posture: a single combinable aggregate (four conditional
+    sums) to one row; the derived metrics are ratios of exact BIGINT
+    counts with identical operand order in both engines."""
+    from rs_streamloader_spark.functions import marker_word_count, n_tokens
+
+    t = _t(spark, sf_dir, "documents")["documents"]
+    en_markers = marker_word_count("the") + marker_word_count("a")
+    pred = F.when(en_markers * 20 >= n_tokens(), 1).otherwise(0)
+    actual = F.when(F.col("lang") == "en", 1).otherwise(0)
+    cm = t.select(actual.alias("a"), pred.alias("p")).agg(
+        F.sum(F.col("a") * F.col("p")).alias("tp"),
+        F.sum((1 - F.col("a")) * F.col("p")).alias("fp"),
+        F.sum(F.col("a") * (1 - F.col("p"))).alias("fn"),
+        F.sum((1 - F.col("a")) * (1 - F.col("p"))).alias("tn"),
+    )
+    prec = F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))
+    rec = F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(prec, 6).alias("precision_en"),
+        F.round(rec, 6).alias("recall_en"),
+        F.round(2.0 * prec * rec / (prec + rec), 6).alias("f1_en"),
+        F.round(
+            (F.col("tp") + F.col("tn")).cast("double")
+            / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decile lift/gains table for the quality classifier
+# ---------------------------------------------------------------------------
+
+_LIFT_BINS = 10
+
+
+def _lift_oracle() -> str:
+    from rs_streamloader_spark.operators.text import _QL_W, _marker_count_sql
+
+    ps = ", ".join(str((i + 1) / _LIFT_BINS) for i in range(_LIFT_BINS - 1))
+    return f"""
+    WITH f AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             ((({_QL_W[0]} + {_QL_W[1]} *
+                 CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS DOUBLE))
+               + {_QL_W[2]} * (CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                  / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)))
+              + {_QL_W[3]} * (CAST({_marker_count_sql('the')} + {_marker_count_sql('a')} AS DOUBLE)
+                  / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1))) AS score
+      FROM documents
+    ),
+    b AS (SELECT QUANTILE_CONT(score, [{ps}]) AS bs FROM f),
+    binned AS (
+      SELECT CAST(1 + LIST_SUM(LIST_TRANSFORM(b.bs,
+               x -> CASE WHEN f.score > x THEN 1 ELSE 0 END)) AS INT) AS decile,
+             pos
+      FROM f CROSS JOIN b
+    ),
+    g AS (
+      SELECT decile, COUNT(*) AS n_docs, SUM(pos) AS n_pos
+      FROM binned GROUP BY decile
+    ),
+    tot AS (SELECT SUM(n_docs) AS nd, SUM(n_pos) AS np FROM g)
+    SELECT decile, n_docs, n_pos,
+           ROUND(CAST(n_pos AS DOUBLE) / n_docs, 6) AS pos_rate,
+           ROUND((CAST(n_pos AS DOUBLE) / n_docs)
+                 / (CAST(np AS DOUBLE) / nd), 6) AS lift,
+           ROUND(CAST(SUM(n_pos) OVER (ORDER BY decile DESC
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) / np, 6)
+             AS cum_capture
+    FROM g CROSS JOIN tot
+    """
+
+
+@register("decile_lift_table", oracle=_lift_oracle())
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table for the fixed-weight quality classifier
+    (``text_quality_logistic``'s logit) against the en-label: per
+    score decile, the positive rate, lift over the base rate, and the
+    cumulative capture reading from the best decile down — the
+    standard model-quality report before using a classifier to filter
+    training data.
+
+    Scale posture: the logit is pure arithmetic (bit-identical across
+    engines), decile boundaries come from one percentile AGGREGATE
+    broadcast back (the equidepth pattern — no global-sort NTILE), and
+    the lift/capture windows run over the 10-row decile aggregate."""
+    from rs_streamloader_spark.functions import marker_word_count, n_tokens
+    from rs_streamloader_spark.operators.text import _QL_W
+
+    t = _t(spark, sf_dir, "documents")["documents"]
+    ntok = n_tokens()
+    nonspace = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    atl = nonspace.cast("double") / ntok
+    md = (marker_word_count("the") + marker_word_count("a")).cast("double") / ntok
+    w0, w1, w2, w3 = _QL_W
+    score = ((F.lit(w0) + F.lit(w1) * ntok.cast("double")) + F.lit(w2) * atl) + F.lit(w3) * md
+    f = t.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"), score.alias("score")
+    )
+    ps = [(i + 1) / _LIFT_BINS for i in range(_LIFT_BINS - 1)]
+    bounds = f.agg(F.percentile("score", F.array(*[F.lit(p) for p in ps])).alias("bs"))
+    decile = F.expr("1 + aggregate(bs, 0, (acc, x) -> acc + IF(score > x, 1, 0))").cast("int")
+    g = (
+        f.join(F.broadcast(bounds))
+        .groupBy(decile.alias("decile"))
+        .agg(F.count("*").alias("n_docs"), F.sum("pos").alias("n_pos"))
+    )
+    tot = g.agg(F.sum("n_docs").alias("nd"), F.sum("n_pos").alias("np"))
+    w_cum = Window.orderBy(F.col("decile").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        g.join(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_docs",
+            "n_pos",
+            F.round(F.col("n_pos").cast("double") / F.col("n_docs"), 6).alias("pos_rate"),
+            F.round(
+                (F.col("n_pos").cast("double") / F.col("n_docs"))
+                / (F.col("np").cast("double") / F.col("nd")),
+                6,
+            ).alias("lift"),
+            F.round(
+                F.sum("n_pos").over(w_cum).cast("double") / F.col("np"), 6
+            ).alias("cum_capture"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrival-lateness histogram (watermark sizing input)
+# ---------------------------------------------------------------------------
+
+@register(
+    "arrival_lateness_histogram",
+    oracle="""
+    WITH lat AS (
+      SELECT GREATEST(COALESCE(DATE_DIFF('microsecond', ts,
+               MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             ), 0), 0) AS late_us
+      FROM events
+    )
+    SELECT LEAST(late_us // 60000000, 60) AS lateness_minutes,
+           COUNT(*) AS n_events
+    FROM lat GROUP BY 1
+    """,
+)
+def arrival_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time lateness distribution: how far each event's
+    timestamp sits behind the latest event-time already arrived for
+    that user (arrival order = event_id) — the empirical input for
+    choosing a Structured Streaming watermark delay (see
+    streaming/windows.py). Bucketed by minute, capped at 60.
+
+    Scale posture: one window partitioned by user over arrival order,
+    integer-microsecond arithmetic end to end, then a combinable
+    histogram aggregate with a fixed 61-row output."""
+    t = _t(spark, sf_dir, "events")["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late_us = F.greatest(
+        F.coalesce(
+            F.expr("timestampdiff(MICROSECOND, ts, prior_max)"), F.lit(0).cast("bigint")
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    return (
+        t.select("user_id", "event_id", "ts")
+        .withColumn("prior_max", F.max("ts").over(w))
+        .select(late_us.alias("late_us"))
+        .groupBy(
+            F.least(F.expr("late_us div 60000000"), F.lit(60).cast("bigint")).alias(
+                "lateness_minutes"
+            )
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset-card summary statistics per source
+# ---------------------------------------------------------------------------
+
+@register(
+    "dataset_card_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CAST(n_chars AS BIGINT)) AS total_chars,
+           ROUND(SUM(CAST(n_chars AS BIGINT)) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS avg_chars,
+           ROUND(SUM(CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT))
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_tokens,
+           ROUND(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS pct_en,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents GROUP BY source
+    """,
+)
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card summary (doc counts, size, token mean,
+    language mix) — the table a training-data release publishes per
+    subset.
+
+    Scale posture: one combinable aggregate keyed by source; all means
+    are exact integer sums divided once, so engine summation order
+    cannot differ. Output is bounded by the source count."""
+    from rs_streamloader_spark.functions import n_tokens
+
+    t = _t(spark, sf_dir, "documents")["documents"]
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+        F.round(
+            F.sum(F.col("n_chars").cast("bigint")) / F.count("*").cast("double"), 6
+        ).alias("avg_chars"),
+        F.round(F.sum(n_tokens()) / F.count("*").cast("double"), 6).alias("avg_tokens"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("pct_en"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
