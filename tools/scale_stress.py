@@ -117,6 +117,19 @@ HEAVY_TAIL = [
     "vocab_topk_ids",
     "time_weighted_avg",
     "embedding_label_centroids",
+    # round-6 mining/similarity additions
+    "tfidf_topk_terms",
+    "cooccurrence_pmi",
+    "bigram_lm_counts",
+    "dedup_containment",
+    "basket_lift_pairs",
+    "pareto_customer_share",
+    "rfm_segments",
+    "knn_classify_majority",
+    "embedding_quantize_int8",
+    "session_duration_stats",
+    "activity_streaks",
+    "events_hourly_seasonality",
 ]
 
 # threshold-pair operators over embeddings have intrinsically
@@ -147,6 +160,14 @@ CONSTANT_OUTPUT = {
     # vocab: top-100 cut is fixed; centroids: labels × 64 dims
     "vocab_topk_ids",
     "embedding_label_centroids",
+    # fixed-size outputs: top-50-vocab pair matrix, 1-row rollups,
+    # quartile-band grid, 168-cell seasonality, 20-query kNN vote
+    "cooccurrence_pmi",
+    "pareto_customer_share",
+    "rfm_segments",
+    "session_duration_stats",
+    "events_hourly_seasonality",
+    "knn_classify_majority",
 }
 
 
