@@ -1076,11 +1076,15 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(decile.alias("decile"))
         .agg(F.count("*").alias("n_docs"), F.sum("pos").alias("n_pos"))
     )
-    tot = g.agg(F.sum("n_docs").alias("nd"), F.sum("n_pos").alias("np"))
+    # totals as windows over the 10-row decile aggregate — a separate
+    # g.agg() would re-derive the whole scan chain (4 scans, not 2)
+    w_all = Window.partitionBy()
+    g = g.withColumn("nd", F.sum("n_docs").over(w_all)).withColumn(
+        "np", F.sum("n_pos").over(w_all)
+    )
     w_cum = Window.orderBy(F.col("decile").desc()).rowsBetween(Window.unboundedPreceding, 0)
     return (
-        g.join(F.broadcast(tot))
-        .select(
+        g.select(
             "decile",
             "n_docs",
             "n_pos",

@@ -449,3 +449,54 @@ def test_rfm_aggregates_feed_broadcast_no_ntile(spark):
     # \b keeps this from matching the (desired) percentile aggregates
     assert not re.search(r"\bntile\(", text.lower())
     assert has_broadcast_join(df)
+
+
+def test_basket_lift_reuses_item_exchange(spark):
+    """The basket self-join must not scan lineitem twice at full cost:
+    the distinct item list is one exchange that both join sides reuse
+    (ReusedExchange), and the per-order fan-out is bounded by basket
+    size, never corpus size."""
+    from rs_streamloader_spark.operators.mining import basket_lift_pairs
+
+    df = basket_lift_pairs(spark, SF_SMOKE)
+    df.collect()  # exchange reuse is an AQE runtime decision
+    text = explain_str(df)
+    assert "ReusedExchange" in text, "expected the item list exchange to be shared"
+    assert has_broadcast_join(df)  # the 1-row order count
+
+
+def test_lateness_histogram_single_user_window(spark):
+    """Lateness must come from ONE user-partitioned window over
+    arrival order — no global window, no join, and a fixed-size
+    histogram aggregate on top."""
+    from rs_streamloader_spark.operators.mining import arrival_lateness_histogram
+
+    df = arrival_lateness_histogram(spark, SF_SMOKE)
+    text = explain_str(df)
+    assert "Exchange SinglePartition" not in explain_str(df, "simple")
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert op not in text, op
+    assert shuffle_count(df) <= 2, explain_str(df, "simple")
+
+
+def test_decile_lift_windows_only_over_aggregate(spark):
+    """The lift table's only single-partition work is over the decile
+    aggregate (≤10 rows) and the percentile boundary row — the raw
+    document stream must never hit a single-partition exchange
+    un-aggregated."""
+    from rs_streamloader_spark.operators.mining import decile_lift_table
+
+    df = decile_lift_table(spark, SF_SMOKE)
+    lines = explain_str(df, "simple").splitlines()
+    exchanges = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+    assert exchanges
+    # allowed children: a partial aggregate (percentile / global sums)
+    # or the projection of the per-decile aggregate — NEVER a scan,
+    # filter, or expand of raw documents
+    for i in exchanges:
+        child = lines[i + 1]
+        assert re.search(r"HashAggregate|ObjectHashAggregate|Project \[decile", child), (
+            "\n".join(lines[i : i + 3])
+        )
+    # and the raw table is scanned at most twice (scores + boundaries)
+    assert len(re.findall(r"(?:File)?Scan parquet", explain_str(df, "simple"))) <= 2
