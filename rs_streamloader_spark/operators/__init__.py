@@ -12,6 +12,7 @@ from rs_streamloader_spark.operators import (  # noqa: F401
     multimodal,
     relational,
     similarity,
+    stats,
     text,
     tpch,
 )

@@ -1,0 +1,545 @@
+"""Statistical / experimentation / audit operators (SURVEY.md §2.5
+north-star extensions; no reference analogue — the reference's
+relational surface is SQL shipped to Redshift, see
+lib/RedshiftLoader.ts:337-393).
+
+The family covers the measurement side of a large-scale data
+platform: rolling-window distinct reach, inequality and concentration
+metrics (Gini), contingency-table independence tests (chi-square),
+A/B two-proportion z-tests, Kaplan-Meier retention/survival curves,
+naive rolling forecasts with exact integer error terms, and join-key
+skew audits (the thing you run BEFORE picking a 100 TB join
+strategy).
+
+Cross-engine determinism rules (same as the rest of the catalog):
+integer arithmetic wherever sums feed comparisons (money in BIGINT
+cents, error terms as exact integer multiples), transcendentals
+(sqrt/ln/exp) only as the final scored expression with identical
+operand order in both engines, global windows only over
+already-reduced aggregates, and two-pass distributed prefix sums in
+place of any global-sort running total over input-cardinality rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rs_streamloader_spark.operators.registry import register
+from rs_streamloader_spark.session import load_tables
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir, *names)
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window distinct reach (sliding COUNT(DISTINCT) — the window
+# frame Spark/SQL cannot express directly)
+# ---------------------------------------------------------------------------
+
+_REACH_DAYS = 7
+
+
+@register(
+    "sliding_distinct_users",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT STRFTIME(days.d, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT ud.user_id) AS users_7d
+    FROM days JOIN ud
+      ON ud.d BETWEEN days.d - {_REACH_DAYS - 1} AND days.d
+    GROUP BY days.d
+    """,
+)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{n}-day distinct active users per day (rolling reach /
+    WAU). ``COUNT(DISTINCT)`` over a sliding frame is not a legal
+    window aggregate in Spark or ANSI SQL, so the standard rewrite is
+    contribution expansion: each (user, active-day) pair contributes
+    to the {n} calendar days it falls inside.
+
+    Scale posture: the expansion runs AFTER the (user, day) dedup — a
+    combinable aggregate that collapses the raw event stream (the
+    dominant cardinality) down to at most |users|×|days| pairs — so
+    the {n}× explode multiplies the reduced table, not the input. The
+    emitted day is then semi-joined against the broadcast distinct-day
+    set (bounded by the calendar), and the final distinct count
+    shuffles (day, user) pairs once. No global window anywhere."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = ud.select("d").distinct().withColumnRenamed("d", "day")
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.expr(f"sequence(d, date_add(d, {_REACH_DAYS - 1}))")).alias("day"),
+    )
+    return (
+        contrib.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "users_7d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer revenue (two-pass distributed rank)
+# ---------------------------------------------------------------------------
+
+_GINI_BUCKET_CENTS = 1_000_000  # $10k revenue bands, same as pareto
+
+
+@register(
+    "gini_revenue_concentration",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev,
+             ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS rnk
+      FROM cust
+    ),
+    s AS (
+      SELECT SUM(CAST(rnk AS HUGEINT) * rev) AS weighted,
+             SUM(CAST(rev AS HUGEINT)) AS total,
+             COUNT(*) AS n
+      FROM ranked
+    )
+    SELECT n AS n_customers,
+           ROUND(CAST(total AS DOUBLE) / 100.0, 2) AS total_revenue,
+           ROUND(CAST(2 * weighted - (n + 1) * total AS DOUBLE)
+                 / CAST(n * total AS DOUBLE), 6) AS gini
+    FROM s
+    """,
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the standard
+    inequality audit next to the Pareto cut (``pareto_customer_share``,
+    mining.py): G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) with x ascending.
+
+    Scale posture: the oracle's single global ROW_NUMBER is a serial
+    one-partition sort; this is the TWO-PASS distributed rank
+    (``pareto_customer_share``'s prefix-sum pattern): customers band
+    into fixed $10k revenue buckets, ranks are row_numbers WITHIN a
+    bucket plus a broadcast per-bucket count offset (the per-bucket
+    counts — a bounded-cardinality aggregate — prefix-sum on one tiny
+    partition). The rank·revenue dot product accumulates in
+    DECIMAL(38,0)/HUGEINT, so the 10¹⁸-magnitude sum cannot overflow
+    int64 at real scale, and the final division is the only floating
+    step."""
+    t = _t(spark, sf_dir, "orders")["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cust = t.groupBy("o_custkey").agg(F.sum(cents).alias("rev"))
+    cust = cust.withColumn(
+        "bucket", F.floor(F.col("rev") / F.lit(_GINI_BUCKET_CENTS)).cast("bigint")
+    )
+    w_in = Window.partitionBy("bucket").orderBy("rev", "o_custkey")
+    within = cust.withColumn("rn", F.row_number().over(w_in))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        cust.groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("offset", F.coalesce(F.sum("cnt").over(w_b), F.lit(0)))
+        .select("bucket", "offset")
+    )
+    ranked = within.join(F.broadcast(offsets), "bucket").withColumn(
+        "rnk", F.col("offset") + F.col("rn")
+    )
+    s = ranked.agg(
+        F.sum(F.col("rnk").cast("decimal(19,0)") * F.col("rev").cast("decimal(19,0)")).alias(
+            "weighted"
+        ),
+        F.sum(F.col("rev").cast("decimal(19,0)")).alias("total"),
+        F.count("*").alias("n"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.round(F.col("total").cast("double") / 100.0, 2).alias("total_revenue"),
+        F.round(
+            (2 * F.col("weighted") - (F.col("n") + 1) * F.col("total")).cast("double")
+            / (F.col("n") * F.col("total")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence: event type × day-of-week contingency table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chi2_event_type_dow",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(EXTRACT(dow FROM ts) AS INT) AS dow,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT event_type, dow, n,
+             SUM(n) OVER (PARTITION BY event_type) AS row_tot,
+             SUM(n) OVER (PARTITION BY dow) AS col_tot,
+             SUM(n) OVER () AS grand
+      FROM obs
+    ),
+    scored AS (
+      SELECT event_type, dow, n,
+             ROUND(CAST(row_tot * col_tot AS DOUBLE) / grand, 6) AS expected,
+             ROUND(POW(n - CAST(row_tot * col_tot AS DOUBLE) / grand, 2)
+                   / (CAST(row_tot * col_tot AS DOUBLE) / grand), 6) AS chi2_term
+      FROM cells
+    )
+    SELECT event_type, dow, n AS observed, expected, chi2_term,
+           ROUND(SUM(chi2_term) OVER (), 4) AS chi2_total
+    FROM scored
+    """,
+)
+def chi2_event_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and
+    day-of-week: the full contingency table with per-cell expected
+    counts and χ² contributions, plus the table-wide χ² statistic —
+    the seasonality-vs-behavior audit every event pipeline runs.
+
+    Scale posture: one combinable (type, dow) aggregate collapses the
+    stream to ≤ |types|·7 cells; every window (row totals, column
+    totals, grand total, final χ² sum) runs over that already-tiny
+    cell table, never over input rows. Per-cell χ² terms are rounded
+    to 6dp BEFORE the final sum and the total to 4dp, so the two
+    engines' different ~35-term summation orders stay inside the
+    rounding tolerance."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    obs = (
+        ev.select("event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count("*").alias("n"))
+    )
+    cells = (
+        obs.withColumn("row_tot", F.sum("n").over(Window.partitionBy("event_type")))
+        .withColumn("col_tot", F.sum("n").over(Window.partitionBy("dow")))
+        .withColumn("grand", F.sum("n").over(Window.partitionBy()))
+    )
+    expected = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("grand")
+    scored = cells.select(
+        "event_type",
+        "dow",
+        F.col("n").alias("observed"),
+        F.round(expected, 6).alias("expected"),
+        F.round(F.pow(F.col("n") - expected, 2) / expected, 6).alias("chi2_term"),
+    )
+    return scored.withColumn(
+        "chi2_total", F.round(F.sum("chi2_term").over(Window.partitionBy()), 4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B two-proportion z-test (deterministic hash split)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ab_test_proportion_z",
+    oracle="""
+    WITH u AS (
+      SELECT user_id % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    v AS (
+      SELECT variant, COUNT(*) AS n_users, SUM(converted) AS n_converted
+      FROM u GROUP BY variant
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 THEN n_users END) AS n_a,
+        MAX(CASE WHEN variant = 0 THEN n_converted END) AS conv_a,
+        MAX(CASE WHEN variant = 1 THEN n_users END) AS n_b,
+        MAX(CASE WHEN variant = 1 THEN n_converted END) AS conv_b
+      FROM v
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS p_a,
+           ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS p_b,
+           ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 / SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 4) AS z_score
+    FROM wide
+    """,
+)
+def ab_test_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between a deterministic 50/50 user split
+    (variant = user_id mod 2), with the user-DAY as the experiment
+    unit (did that user's day include a purchase?): per-variant
+    conversion rates and the pooled-variance z statistic — the A/B
+    readout every experimentation platform computes. (Per-user
+    lifetime conversion saturates at 1.0 on this corpus — every user
+    eventually purchases — which is exactly the degenerate-pool case
+    the day-grain unit avoids.)
+
+    Scale posture: conversion collapses per user-day first (a
+    combinable MAX aggregate over the raw stream), the variant rollup is a 2-row
+    aggregate, and the z formula is a single driver-free projection
+    over that 2-row table pivoted wide. The one irrational (sqrt) is
+    the final expression with identical operand order in both
+    engines, rounded to 4dp."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    u = (
+        ev.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "converted"
+            )
+        )
+        .select((F.col("user_id") % 2).alias("variant"), "converted")
+    )
+    v = u.groupBy("variant").agg(
+        F.count("*").alias("n_users"), F.sum("converted").alias("n_converted")
+    )
+    wide = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (p_a - p_b) / F.sqrt(
+        pool * (1.0 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return wide.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(z, 4).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival / retention curve over customer lifetimes
+# ---------------------------------------------------------------------------
+
+_KM_CENSOR_DAYS = 90  # still-active horizon: last order within 90d of corpus end
+
+
+@register(
+    "survival_retention_curve",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(FLOOR(DATE_DIFF('day', MIN(o_orderdate), MAX(o_orderdate))
+                        / 30.0) AS BIGINT) AS lifetime_m,
+             CASE WHEN MAX(o_orderdate) >=
+                    (SELECT MAX(o_orderdate) FROM orders)
+                      - INTERVAL {_KM_CENSOR_DAYS} DAY
+                  THEN 1 ELSE 0 END AS censored
+      FROM orders GROUP BY o_custkey
+    ),
+    per_m AS (
+      SELECT lifetime_m AS m,
+             SUM(1 - censored) AS deaths,
+             COUNT(*) AS leaving
+      FROM cust GROUP BY lifetime_m
+    ),
+    risk AS (
+      SELECT m, deaths,
+             SUM(leaving) OVER (ORDER BY m DESC
+                                ROWS UNBOUNDED PRECEDING) AS n_at_risk
+      FROM per_m
+    ),
+    fac AS (
+      SELECT m, deaths, n_at_risk,
+             CAST(n_at_risk - deaths AS DOUBLE) / n_at_risk AS factor
+      FROM risk
+    )
+    SELECT m AS lifetime_month, n_at_risk, deaths,
+           CASE WHEN MIN(factor) OVER (ORDER BY m
+                                       ROWS UNBOUNDED PRECEDING) = 0
+                THEN 0.0
+                ELSE ROUND(EXP(SUM(LN(factor)) OVER (ORDER BY m
+                                     ROWS UNBOUNDED PRECEDING)), 6)
+           END AS survival
+    FROM fac
+    """,
+)
+def survival_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over customer lifetimes (months
+    from first to last order, 30-day months in exact integer-day
+    arithmetic), right-censoring customers still active within
+    {censor}d of the corpus end: S(m) = Π_{{k≤m}} (1 − d_k/n_k) —
+    the churn/retention curve in its standard estimator form.
+
+    Scale posture: lifetimes collapse per customer first (combinable
+    MIN/MAX aggregate), the month rollup is a ≤|months| row table,
+    and every window (reverse-cumulative at-risk counts, the
+    cumulative product) runs over that tiny aggregate. The product is
+    EXP(SUM(LN(factor))) with IDENTICAL per-factor operands in both
+    engines (each factor a single division), guarded by a prefix-MIN
+    so a zero factor short-circuits to exact 0 instead of LN(0) —
+    Spark's LN(0) is NULL, DuckDB's is -inf; the guard makes the
+    difference unobservable."""
+    t = _t(spark, sf_dir, "orders")["orders"]
+    horizon = t.agg(F.max("o_orderdate").alias("end_d"))
+    cust = (
+        t.groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("first_d"), F.max("o_orderdate").alias("last_d"))
+        .join(F.broadcast(horizon))
+        .select(
+            F.floor(F.datediff("last_d", "first_d") / 30).cast("bigint").alias(
+                "lifetime_m"
+            ),
+            F.when(
+                F.col("last_d") >= F.date_sub(F.col("end_d"), _KM_CENSOR_DAYS), 1
+            )
+            .otherwise(0)
+            .alias("censored"),
+        )
+    )
+    per_m = cust.groupBy(F.col("lifetime_m").alias("m")).agg(
+        F.sum(1 - F.col("censored")).alias("deaths"), F.count("*").alias("leaving")
+    )
+    w_desc = Window.orderBy(F.col("m").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = per_m.withColumn("n_at_risk", F.sum("leaving").over(w_desc)).drop("leaving")
+    factor = (F.col("n_at_risk") - F.col("deaths")).cast("double") / F.col("n_at_risk")
+    fac = risk.withColumn("factor", factor)
+    w_asc = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return fac.select(
+        F.col("m").alias("lifetime_month"),
+        "n_at_risk",
+        "deaths",
+        F.when(F.min("factor").over(w_asc) == 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum(F.log("factor")).over(w_asc)), 6))
+        .alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day naive forecast with exact integer error terms
+# ---------------------------------------------------------------------------
+
+_FC_WINDOW = 7
+
+
+@register(
+    "rolling_forecast_error",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders GROUP BY o_orderdate
+    ),
+    wins AS (
+      SELECT d, rev,
+             SUM(rev) OVER (ORDER BY d
+                            ROWS BETWEEN {_FC_WINDOW} PRECEDING AND 1 PRECEDING)
+               AS sum_prev,
+             COUNT(*) OVER (ORDER BY d
+                            ROWS BETWEEN {_FC_WINDOW} PRECEDING AND 1 PRECEDING)
+               AS cnt_prev
+      FROM daily
+    )
+    SELECT STRFTIME(d, '%Y-%m-%d') AS day,
+           ROUND(rev / 100.0, 2) AS revenue,
+           ROUND(sum_prev / {_FC_WINDOW}.0 / 100.0, 4) AS forecast,
+           ABS({_FC_WINDOW} * rev - sum_prev) AS abs_err_x7_cents
+    FROM wins WHERE cnt_prev = {_FC_WINDOW}
+    """,
+)
+def rolling_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive rolling forecast: predict each day's revenue as the mean
+    of the previous {w} observed days and report the absolute error —
+    the backtest primitive under every demand-forecast dashboard. The
+    error column is ``|{w}·actual − Σprev|`` in BIGINT cents: an
+    EXACT integer multiple of the true error, so the comparison
+    carries no floating-point at all.
+
+    Scale posture: the only global-order window runs over the DAILY
+    aggregate (calendar-bounded, ~2.4k rows for 7 years — never input
+    rows), which first collapses via a combinable date-keyed sum in
+    BIGINT cents. The forecast itself divides the exact window sum
+    once, at projection time."""
+    t = _t(spark, sf_dir, "orders")["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    daily = t.groupBy(F.col("o_orderdate").alias("d")).agg(F.sum(cents).alias("rev"))
+    w = Window.orderBy("d").rowsBetween(-_FC_WINDOW, -1)
+    wins = daily.withColumn("sum_prev", F.sum("rev").over(w)).withColumn(
+        "cnt_prev", F.count("*").over(w)
+    )
+    return wins.filter(F.col("cnt_prev") == _FC_WINDOW).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("rev") / 100.0, 2).alias("revenue"),
+        F.round(F.col("sum_prev") / float(_FC_WINDOW) / 100.0, 4).alias("forecast"),
+        F.abs(_FC_WINDOW * F.col("rev") - F.col("sum_prev")).alias("abs_err_x7_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew audit (run this BEFORE picking a join strategy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "key_skew_report",
+    oracle="""
+    WITH k AS (
+      SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey
+    ),
+    top AS (
+      SELECT l_suppkey AS top_key, cnt AS top_key_rows
+      FROM k ORDER BY cnt DESC, l_suppkey LIMIT 1
+    )
+    SELECT SUM(k.cnt) AS n_rows,
+           COUNT(*) AS n_keys,
+           MAX(top.top_key) AS top_key,
+           MAX(top.top_key_rows) AS max_key_rows,
+           ROUND(CAST(SUM(k.cnt) AS DOUBLE) / COUNT(*), 4) AS avg_key_rows,
+           ROUND(QUANTILE_CONT(k.cnt, 0.50), 1) AS p50_key_rows,
+           ROUND(QUANTILE_CONT(k.cnt, 0.99), 1) AS p99_key_rows,
+           ROUND(CAST(MAX(top.top_key_rows) AS DOUBLE)
+                 / (CAST(SUM(k.cnt) AS DOUBLE) / COUNT(*)), 4) AS skew_ratio
+    FROM k CROSS JOIN top
+    """,
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit for ``lineitem.l_suppkey``: row count, key
+    cardinality, the heaviest key and its share vs the mean, and
+    exact p50/p99 per-key frequencies — the diagnostic that decides
+    between a plain shuffle join, AQE skew splitting, and salting
+    (``join_skew_salted``, analytic.py) at 100 TB.
+
+    Scale posture: the per-key histogram is one combinable aggregate;
+    everything downstream (max/argmax/percentiles) reduces the
+    |keys|-row histogram, not the input. The argmax is a min_by over
+    (−cnt, key) — deterministic smallest-key tiebreak matching the
+    oracle's ORDER BY LIMIT 1. Exact percentiles sort only the
+    histogram; at extreme key cardinality swap ``percentile`` for
+    ``percentile_approx`` (same call shape)."""
+    t = _t(spark, sf_dir, "lineitem")["lineitem"]
+    k = t.groupBy("l_suppkey").agg(F.count("*").alias("cnt"))
+    return k.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.expr("min_by(l_suppkey, struct(-cnt, l_suppkey))").alias("top_key"),
+        F.max("cnt").alias("max_key_rows"),
+        F.round(F.sum("cnt").cast("double") / F.count("*"), 4).alias("avg_key_rows"),
+        F.round(F.expr("percentile(cnt, 0.50)"), 1).alias("p50_key_rows"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 1).alias("p99_key_rows"),
+        F.round(
+            F.max("cnt").cast("double") / (F.sum("cnt").cast("double") / F.count("*")),
+            4,
+        ).alias("skew_ratio"),
+    )

@@ -500,3 +500,82 @@ def test_decile_lift_windows_only_over_aggregate(spark):
         )
     # and the raw table is scanned at most twice (scores + boundaries)
     assert len(re.findall(r"(?:File)?Scan parquet", explain_str(df, "simple"))) <= 2
+
+
+def test_sliding_distinct_users_expands_after_dedup(spark):
+    """The 7x contribution explode must sit ABOVE the (user, day)
+    dedup aggregate, never on the raw event stream, and the day set
+    joins back as a broadcast."""
+    from rs_streamloader_spark.operators.stats import sliding_distinct_users
+
+    df = sliding_distinct_users(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert has_broadcast_join(df)
+    lines = text.splitlines()
+    gens = [i for i, l in enumerate(lines) if "Generate explode" in l]
+    assert gens, text
+    # below every explode there must be an aggregate (the dedup)
+    # before any parquet scan
+    for i in gens:
+        below = "\n".join(lines[i:])
+        agg = below.find("HashAggregate")
+        scan = below.find("Scan parquet")
+        assert 0 <= agg < scan, below[:1500]
+
+
+def test_gini_no_global_window_over_customers(spark):
+    """Gini's global rank is the two-pass bucket decomposition: the
+    only single-partition exchange feeds the per-bucket count offsets
+    (a bounded aggregate), never the customer-level rows."""
+    from rs_streamloader_spark.operators.stats import gini_revenue_concentration
+
+    df = gini_revenue_concentration(spark, SF_SMOKE)
+    lines = explain_str(df, "simple").splitlines()
+    exchanges = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+    assert exchanges
+    for i in exchanges:
+        assert re.search(
+            r"HashAggregate|Project", lines[i + 1]
+        ), "\n".join(lines[i : i + 3])
+        # the single-partition subtree must not contain a raw scan
+        # within the next two operators
+        assert "Scan parquet" not in lines[i + 1]
+
+
+def test_chi2_windows_sit_on_cell_aggregate(spark):
+    """Every window (row/col/grand totals, final chi2 sum) runs over
+    the (type, dow) cell aggregate — one scan, one aggregate
+    shuffle, then only tiny-table work."""
+    from rs_streamloader_spark.operators.stats import chi2_event_type_dow
+
+    df = chi2_event_type_dow(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert len(re.findall(r"(?:File)?Scan parquet", text)) == 1
+    lines = text.splitlines()
+    first_window = min(i for i, l in enumerate(lines) if "Window" in l)
+    below = "\n".join(lines[first_window:])
+    assert 0 <= below.find("HashAggregate") < below.find("Scan parquet")
+
+
+def test_key_skew_report_single_scan_histogram(spark):
+    """The skew audit is one scan + one key-histogram shuffle; all
+    stats reduce the histogram (no second pass over the input)."""
+    from rs_streamloader_spark.operators.stats import key_skew_report
+
+    df = key_skew_report(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert len(re.findall(r"(?:File)?Scan parquet", text)) == 1
+    assert shuffle_count(df) <= 3, text
+
+
+def test_survival_windows_only_over_month_aggregate(spark):
+    """The KM curve's cumulative windows run over the per-month
+    aggregate (<=|months| rows); the customer collapse is a
+    combinable aggregate below them."""
+    from rs_streamloader_spark.operators.stats import survival_retention_curve
+
+    df = survival_retention_curve(spark, SF_SMOKE)
+    lines = explain_str(df, "simple").splitlines()
+    first_window = min(i for i, l in enumerate(lines) if "Window" in l)
+    below = "\n".join(lines[first_window:])
+    assert 0 <= below.find("HashAggregate") < below.find("Scan parquet")
