@@ -72,9 +72,11 @@ def main() -> None:
         _jaccard_pairs,
         _shingles_cached,
     )
+    from rs_streamloader_spark.operators.mining import _doc_bigrams_cached
     from rs_streamloader_spark.operators.similarity import (
         _emb_norm_cached,
         _ivf_codebook_cached,
+        _pq_codebook_cached,
     )
     from rs_streamloader_spark.streaming.replay import _events as _replay_events
 
@@ -84,6 +86,8 @@ def main() -> None:
         ("jaccard_pairs", lambda: _jaccard_pairs(spark, SF_DIR)),
         ("emb_norm", lambda: _emb_norm_cached(spark, SF_DIR)),
         ("ivf_codebook", lambda: _ivf_codebook_cached(spark, SF_DIR)),
+        ("pq_codebook", lambda: _pq_codebook_cached(spark, SF_DIR)),
+        ("doc_bigrams", lambda: _doc_bigrams_cached(spark, SF_DIR)),
         ("replay_events", lambda: _replay_events(spark, SF_DIR)),
     ]:
         try:

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rs_streamloader_spark.operators.registry import register
-from rs_streamloader_spark.session import load_tables, spread
+from rs_streamloader_spark.session import load_tables, spread, stage_cached
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
@@ -1199,4 +1199,131 @@ def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pct_en"),
         F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document bigram-LM negative log-likelihood (perplexity-proxy
+# quality scoring — the LM-filtering primitive next to the heuristic
+# text_quality_score)
+# ---------------------------------------------------------------------------
+
+
+def _doc_bigrams_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached (doc, w1, w2, multiplicity) stage: one bigram explode
+    pass over documents feeds both the per-doc scoring and the corpus
+    LM counts (see text_perplexity_bigram). Pre-materialized by
+    bench.py like the shingle/embedding stages."""
+
+    def build() -> DataFrame:
+        docs = _t(spark, sf_dir, "documents")["documents"]
+        ws = F.split(F.col("text"), " ")
+        grams = F.expr(
+            "CASE WHEN size(ws) >= 2 THEN"
+            " transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"
+            " ELSE array() END"
+        )
+        bigrams = (
+            spread(docs)
+            .select("doc_id", ws.alias("ws"))
+            .select("doc_id", F.explode(grams).alias("bg"))
+            .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        )
+        return bigrams.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n"))
+
+    return stage_cached(spark, sf_dir, "perplexity_doc_bigrams", build)
+
+
+@register(
+    "text_perplexity_bigram",
+    oracle="""
+    WITH bigrams AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ws)),
+                                   i -> [ws[i], ws[i+1]])) AS bg
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents)
+    ),
+    db AS (
+      SELECT doc_id, bg[1] AS w1, bg[2] AS w2, COUNT(*) AS n
+      FROM bigrams GROUP BY 1, 2, 3
+    ),
+    bc AS (
+      SELECT w1, w2, COUNT(*) AS c_bigram
+      FROM (SELECT bg[1] AS w1, bg[2] AS w2 FROM bigrams)
+      GROUP BY 1, 2
+    ),
+    wc AS (
+      SELECT w1, SUM(c_bigram) AS c_w1 FROM bc GROUP BY w1
+    ),
+    v AS (
+      SELECT COUNT(DISTINCT tok) AS vocab
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+    ),
+    terms AS (
+      SELECT db.doc_id, db.n,
+             ROUND(-LN((bc.c_bigram + 1.0) / (wc.c_w1 + v.vocab)), 6) AS nll
+      FROM db
+      JOIN bc ON bc.w1 = db.w1 AND bc.w2 = db.w2
+      JOIN wc ON wc.w1 = db.w1
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(n * nll), 6) AS total_nll,
+           ROUND(ROUND(SUM(n * nll), 6) / SUM(n), 6) AS avg_nll
+    FROM terms GROUP BY doc_id
+    """,
+)
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document negative log-likelihood under the corpus's own
+    add-one-smoothed bigram LM: -ln((c(w1 w2)+1)/(c(w1·)+|V|)),
+    summed and averaged per doc — the KenLM-style perplexity filter
+    that ranks fluent text above boilerplate/noise, next to the
+    heuristic ``text_quality_score`` (text.py).
+
+    Scale posture: one bigram explode feeds BOTH the corpus LM counts
+    and the per-doc bigram multiplicities as combinable aggregates;
+    the scoring join shuffles on the (w1, w2) key (the LM table is
+    NOT broadcast — at 100 TB the bigram vocabulary outgrows any
+    broadcast budget), and the first-word totals ride the already-
+    aggregated LM table. The one transcendental (ln) is computed once
+    per DISTINCT (doc, bigram) with identical operand order in both
+    engines, rounded to 6dp before the per-doc sum (exact
+    integer-multiplicity products). The per-doc totals therefore sit
+    ON the 1e-6 grid (never halfway), so re-rounding them to 6dp is
+    summation-order-proof, and the average derives from the
+    ALREADY-ROUNDED total — both engines divide bit-identical
+    doubles. (Rounding the sum to 4dp instead puts grid values on
+    exact half-boundaries and flips the last digit — measured, not
+    hypothetical.)"""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    # cached: ONE explode pass feeds both the per-doc multiplicities
+    # and (via re-aggregation) the corpus LM counts — Catalyst does
+    # not common-subexpression two aggregates over the same Generate
+    db = _doc_bigrams_cached(spark, sf_dir)
+    bc = db.groupBy("w1", "w2").agg(F.sum("n").alias("c_bigram"))
+    wc_w = Window.partitionBy("w1")
+    lm = bc.withColumn("c_w1", F.sum("c_bigram").over(wc_w))
+    vocab = (
+        _tokens(docs)
+        .agg(F.countDistinct("tok").alias("vocab"))
+    )
+    terms = (
+        db.join(lm, ["w1", "w2"])
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "n",
+            F.round(
+                -F.log((F.col("c_bigram") + 1.0) / (F.col("c_w1") + F.col("vocab"))),
+                6,
+            ).alias("nll"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.round(F.sum(F.col("n") * F.col("nll")), 6).alias("total_nll"),
+        F.round(
+            F.round(F.sum(F.col("n") * F.col("nll")), 6) / F.sum("n"), 6
+        ).alias("avg_nll"),
     )

@@ -1020,3 +1020,391 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recon_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding distribution audit (the drift / collapse
+# check run before training on a new embedding batch)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH comp AS (
+      SELECT UNNEST(CAST(embedding AS DOUBLE[])) AS v,
+             CAST(UNNEST(range(0, len(embedding))) AS INT) AS dim
+      FROM embeddings
+    )
+    SELECT dim,
+           COUNT(*) AS n,
+           ROUND(AVG(v), 6) AS mean,
+           ROUND(STDDEV_SAMP(v), 6) AS std,
+           ROUND(MIN(v), 6) AS min_v,
+           ROUND(MAX(v), 6) AS max_v,
+           SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS n_zero
+    FROM comp GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution profile (mean / std / min
+    / max / zero count) — the drift and dimensional-collapse audit
+    (a dead dimension shows std≈0, a scale bug shows outlier max)
+    run before any similarity index is built on a new batch.
+
+    Scale posture: one posexplode fans each vector into (dim, value)
+    pairs and a single combinable dim-keyed aggregate reduces them —
+    the shuffle carries exactly |dims| keys with partial aggregates
+    already merged map-side. Mean and stddev are double sums whose
+    partial-sum order differs between engines; the 6dp rounding
+    absorbs the ~1e-13 divergence (documented catalog-wide
+    tolerance), while min/max/zero-count are exact."""
+    t = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    comp = spread(t).select(
+        F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias(
+            "dim", "v"
+        )
+    )
+    return comp.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("v"), 6).alias("mean"),
+        F.round(F.stddev_samp("v"), 6).alias("std"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).alias("n_zero"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance diverse top-k selection
+# ---------------------------------------------------------------------------
+
+_MMR_K = 8
+_MMR_CAND = 32
+_MMR_QUERY_ID = 0  # deterministic query vector
+# score = 0.7·relevance − 0.3·max-similarity-to-selected
+
+
+@register(
+    "mmr_diverse_topk",
+    oracle=f"""
+    WITH RECURSIVE
+    cand AS (
+      SELECT b.vec_id, ROUND({_DUCK_COS}, 6) AS rel, b.embedding
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id = {_MMR_QUERY_ID}
+      ORDER BY ROUND({_DUCK_COS}, 6) DESC, b.vec_id LIMIT {_MMR_CAND}
+    ),
+    sim AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib, ROUND({_DUCK_COS}, 6) AS s
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    mmr AS (
+      SELECT 1 AS step, [f.vec_id] AS picked,
+             f.vec_id AS vec_id, f.rel AS rel, ROUND(0.7 * f.rel, 6) AS score
+      FROM (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1) f
+      UNION ALL
+      SELECT mmr.step + 1, LIST_APPEND(mmr.picked, nxt.vec_id),
+             nxt.vec_id, nxt.rel, nxt.score
+      FROM mmr, LATERAL (
+        SELECT c.vec_id, c.rel,
+               ROUND(0.7 * c.rel - 0.3 * (
+                 SELECT MAX(s.s) FROM sim s
+                 WHERE s.ia = c.vec_id AND LIST_CONTAINS(mmr.picked, s.ib)
+               ), 6) AS score
+        FROM cand c
+        WHERE NOT LIST_CONTAINS(mmr.picked, c.vec_id)
+        ORDER BY score DESC, c.vec_id LIMIT 1
+      ) nxt
+      WHERE mmr.step < {_MMR_K}
+    )
+    SELECT CAST(step AS INT) AS step, vec_id, rel, score FROM mmr
+    """,
+)
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance: greedily select {k} results for a
+    query that trade relevance against redundancy — score =
+    0.7·cos(query, c) − 0.3·max cos(c, already-selected) — the
+    diversity re-ranker behind search results and RAG context
+    selection (and, at corpus scale, diverse training-sample
+    selection). The DuckDB oracle replicates the greedy recursion as
+    a recursive CTE, so every pick (including tiebreaks) compares
+    exactly.
+
+    Scale posture: the expensive part — relevance scoring over the
+    full corpus and the top-{cand} candidate cut — is fully
+    distributed (broadcast 1-row query, TakeOrderedAndProject cut on
+    the ROUNDED score). The greedy loop is inherently sequential
+    (pick t depends on picks 1..t−1): each of the {k} steps is one
+    tiny distributed argmax over the ≤{cand}-row cached candidate
+    table with the picked-id list broadcast in the filter, collecting
+    exactly ONE row per step — the ``dedup_cluster`` iterative
+    pattern, driver work O(k), never O(corpus). Relevance and
+    pairwise sims are rounded to 6dp once; scores combine those
+    identical doubles identically in both engines."""
+    base = _emb_norm_cached(spark, sf_dir)
+    q = base.filter(F.col("vec_id") == _MMR_QUERY_ID).select(
+        F.col("embedding").alias("emb_q"), F.col("norm").alias("norm_q")
+    )
+    rel = F.round(
+        dot_expr("embedding", "emb_q") / (F.col("norm") * F.col("norm_q")), 6
+    )
+    cand = (
+        base.filter(F.col("vec_id") != _MMR_QUERY_ID)
+        .join(F.broadcast(q))
+        .select("vec_id", "embedding", "norm", rel.alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_CAND)
+        .cache()
+    )
+    a = cand.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = cand.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    sim = (
+        a.join(b, F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.round(
+                dot_expr("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 6
+            ).alias("s"),
+        )
+        .cache()
+    )
+    first = (
+        cand.orderBy(F.col("rel").desc(), "vec_id")
+        .select("vec_id", "rel", F.round(0.7 * F.col("rel"), 6).alias("score"))
+        .first()
+    )
+    picked = [first.vec_id]
+    out = [(1, first.vec_id, first.rel, first.score)]
+    for step in range(2, _MMR_K + 1):
+        nxt = (
+            cand.filter(~F.col("vec_id").isin(picked))
+            .join(
+                sim.filter(F.col("ib").isin(picked)),
+                F.col("ia") == F.col("vec_id"),
+            )
+            .groupBy("vec_id", "rel")
+            .agg(F.max("s").alias("max_s"))
+            .select(
+                "vec_id",
+                "rel",
+                F.round(0.7 * F.col("rel") - 0.3 * F.col("max_s"), 6).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), "vec_id")
+            .first()
+        )
+        picked.append(nxt.vec_id)
+        out.append((step, nxt.vec_id, nxt.rel, nxt.score))
+    cand.unpersist()
+    sim.unpersist()
+    return spark.createDataFrame(
+        out, "step int, vec_id bigint, rel double, score double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ADC search (PQ codes + asymmetric distance)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4        # subspaces
+_PQ_SUBDIM = 16  # dims per subspace (4 x 16 = 64)
+# 16 cells per subspace from a 4-sign-bit init + one Lloyd step
+
+
+def _pq_duck_cells(src: str = "embeddings") -> str:
+    """Shared oracle prefix: per (vector, subspace) subvectors with
+    their sign-bit init cell, trained centroids, and all
+    vector-centroid distances."""
+    return f"""
+    mm AS (SELECT UNNEST(range(0, {_PQ_M})) AS m),
+    sub AS (
+      SELECT e.vec_id, mm.m,
+             LIST_TRANSFORM(e.embedding[mm.m*{_PQ_SUBDIM}+1 : mm.m*{_PQ_SUBDIM}+{_PQ_SUBDIM}],
+                            x -> CAST(x AS DOUBLE)) AS sub
+      FROM {src} e CROSS JOIN mm
+    ),
+    cells AS (
+      SELECT vec_id, m, sub,
+               (CASE WHEN sub[1]  >= 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN sub[5]  >= 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN sub[9]  >= 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN sub[13] >= 0 THEN 8 ELSE 0 END) AS cell
+      FROM sub
+    ),
+    cdims AS (
+      SELECT m, cell, i, ROUND(AVG(v), 6) AS c FROM (
+        SELECT m, cell, UNNEST(sub) AS v,
+               UNNEST(range(1, {_PQ_SUBDIM} + 1)) AS i
+        FROM cells
+      ) GROUP BY m, cell, i
+    ),
+    cb AS (SELECT m, cell, LIST(c ORDER BY i) AS c FROM cdims GROUP BY m, cell),
+    dists AS (
+      SELECT s.vec_id, s.m, cb.cell,
+             ROUND(LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, {_PQ_SUBDIM} + 1),
+                   i -> (s.sub[i] - cb.c[i]) * (s.sub[i] - cb.c[i])), 'sum'), 6) AS d
+      FROM cells s JOIN cb ON cb.m = s.m
+    ),
+    codes AS (
+      SELECT vec_id, m, cell AS code FROM (
+        SELECT vec_id, m, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cell) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    )
+    """
+
+
+def _pq_codebook_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained PQ codebook stage: (subspace, cell) -> 16-dim centroid,
+    ~64 rows (see ann_pq_adc for the training recipe). Cached and
+    pre-materialized by bench.py like the IVF codebook."""
+
+    def build() -> DataFrame:
+        base = _emb_norm_cached(spark, sf_dir)
+        bit = lambda m, j: (
+            f"(CASE WHEN CAST(element_at(embedding, {m * _PQ_SUBDIM + j * 4 + 1})"
+            f" AS DOUBLE) >= 0D THEN {1 << j} ELSE 0 END)"
+        )
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.expr(
+                        f"transform(slice(embedding, {m * _PQ_SUBDIM + 1},"
+                        f" {_PQ_SUBDIM}), x -> CAST(x AS DOUBLE))"
+                    ).alias("sub"),
+                    F.expr(" + ".join(bit(m, j) for j in range(4))).alias("cell"),
+                )
+                for m in range(_PQ_M)
+            ]
+        )
+        exploded = base.select(F.explode(structs).alias("s")).select(
+            "s.m", "s.cell", "s.sub"
+        )
+        cdims = (
+            exploded.select("m", "cell", F.posexplode("sub").alias("i", "v"))
+            .groupBy("m", "cell", "i")
+            .agg(F.round(F.avg("v"), 6).alias("c"))
+        )
+        return (
+            cdims.groupBy("m", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("sc"))
+            .select("m", "cell", F.expr("transform(sc, s -> s.c)").alias("c"))
+        )
+
+    return stage_cached(spark, sf_dir, "pq_codebook", build)
+
+
+@register(
+    "ann_pq_adc",
+    oracle=f"""
+    WITH {_pq_duck_cells()},
+    cw AS (
+      SELECT vec_id,
+             MAX(CASE WHEN m = 0 THEN code END) AS c0,
+             MAX(CASE WHEN m = 1 THEN code END) AS c1,
+             MAX(CASE WHEN m = 2 THEN code END) AS c2,
+             MAX(CASE WHEN m = 3 THEN code END) AS c3
+      FROM codes GROUP BY vec_id
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+             ROUND(p0.d + p1.d + p2.d + p3.d, 6) AS adc_dist
+      FROM (SELECT vec_id FROM embeddings WHERE vec_id < {N_QUERIES}) q
+      JOIN cw x ON x.vec_id <> q.vec_id
+      JOIN dists p0 ON p0.vec_id = q.vec_id AND p0.m = 0 AND p0.cell = x.c0
+      JOIN dists p1 ON p1.vec_id = q.vec_id AND p1.m = 1 AND p1.cell = x.c1
+      JOIN dists p2 ON p2.vec_id = q.vec_id AND p2.m = 2 AND p2.cell = x.c2
+      JOIN dists p3 ON p3.vec_id = q.vec_id AND p3.m = 3 AND p3.cell = x.c3
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+      FROM pairs
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., PAMI 2011): split the
+    64-dim space into {m} 16-dim subspaces, train 16 centroids per
+    subspace (4-sign-bit initial cells + one Lloyd step — the same
+    deterministic training recipe as ``ann_ivf_kmeans``), encode every
+    corpus vector as {m} one-byte codes, and rank queries by
+    ASYMMETRIC distance: the exact query-to-centroid table ({m}×16
+    entries per query) summed along each corpus vector's codes. This
+    is the memory-side scale story the IVF family doesn't cover: the
+    corpus compresses 64 floats → {m} bytes and search never touches
+    raw corpus vectors.
+
+    Scale posture: training reduces the corpus to a 64-row codebook
+    (combinable per-(subspace, cell, dim) means), which collects to
+    the driver and inlines as LITERAL centroid arrays — so corpus
+    ENCODING is a pure zero-shuffle projection (argmin over 16
+    rounded fold-distances per subspace; first-position tiebreak =
+    lowest cell, matching the oracle's ORDER BY d, cell), exactly how
+    a production PQ index writes codes on ingest. The ADC scan
+    broadcasts the {nq}-query partial-distance maps and streams the
+    encoded corpus through one map-side lookup join; the only
+    shuffle is the per-query top-{k} ranking window. Distances fold
+    sequentially in both engines and round to 6dp before every
+    comparison; the 4 partials add in explicit m-order on both
+    sides."""
+    base = _emb_norm_cached(spark, sf_dir)
+    cb_rows = _pq_codebook_cached(spark, sf_dir).collect()
+    cb = {(r["m"], r["cell"]): list(r["c"]) for r in cb_rows}
+    cells = {m: sorted(c for (mm, c) in cb if mm == m) for m in range(_PQ_M)}
+
+    def dist_expr(m: int, cell: int, emb: str = "embedding") -> str:
+        lit = "array(" + ", ".join(f"{v!r}D" for v in cb[(m, cell)]) + ")"
+        return (
+            f"round(aggregate(zip_with(slice({emb}, {m * _PQ_SUBDIM + 1},"
+            f" {_PQ_SUBDIM}), {lit},"
+            f" (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+            f" 0D, (acc, v) -> acc + v), 6)"
+        )
+
+    def darr(m: int) -> str:
+        return "array(" + ", ".join(dist_expr(m, c) for c in cells[m]) + ")"
+
+    def cellarr(m: int) -> str:
+        return "array(" + ", ".join(str(c) for c in cells[m]) + ")"
+
+    def code_expr(m: int) -> str:
+        d = darr(m)
+        return (
+            f"element_at({cellarr(m)},"
+            f" CAST(array_position({d}, array_min({d})) AS INT))"
+        )
+
+    corpus = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[F.expr(code_expr(m)).alias(f"c{m}") for m in range(_PQ_M)],
+    )
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        *[
+            F.expr(f"map_from_arrays({cellarr(m)}, {darr(m)})").alias(f"p{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+    total = F.round(
+        sum(F.expr(f"element_at(p{m}, CAST(c{m} AS INT))") for m in range(_PQ_M)), 6
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        F.broadcast(queries)
+        .join(corpus, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", total.alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )

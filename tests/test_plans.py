@@ -579,3 +579,42 @@ def test_survival_windows_only_over_month_aggregate(spark):
     first_window = min(i for i, l in enumerate(lines) if "Window" in l)
     below = "\n".join(lines[first_window:])
     assert 0 <= below.find("HashAggregate") < below.find("Scan parquet")
+
+
+def test_perplexity_single_bigram_explode_feeds_both_tables(spark):
+    """The corpus LM counts derive from the per-doc bigram aggregate —
+    ONE bigram explode pass over documents, plus the single-column
+    vocab pass (2 document scans total, not 3)."""
+    from rs_streamloader_spark.operators.mining import text_perplexity_bigram
+
+    df = text_perplexity_bigram(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # both consumers (per-doc scoring AND the corpus LM re-aggregate)
+    # read the cached bigram stage, not a fresh explode
+    assert text.count("InMemoryTableScan") >= 2, text
+    assert has_broadcast_join(df)  # the vocab scalar
+
+
+def test_embedding_dim_stats_single_aggregate(spark):
+    """One scan, one posexplode, one combinable dim-keyed aggregate —
+    the shuffle carries |dims| keys of partials, nothing else."""
+    from rs_streamloader_spark.operators.similarity import embedding_dim_stats
+
+    df = embedding_dim_stats(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert len(re.findall(r"(?:File)?Scan parquet", text)) == 1
+    assert text.count("Generate posexplode") == 1
+    assert shuffle_count(df) <= 2, text
+
+
+def test_pq_encoding_is_zero_shuffle_projection(spark):
+    """PQ corpus encoding (codes from literal centroids) must be a
+    pure projection: scan -> project, no exchange below the ADC
+    ranking window, and the query side broadcasts."""
+    from rs_streamloader_spark.operators.similarity import ann_pq_adc
+
+    df = ann_pq_adc(spark, SF_SMOKE)
+    assert has_broadcast_join(df)
+    # the only shuffle is the per-query ranking window (plus AQE's
+    # final read); the encoded corpus streams map-side
+    assert shuffle_count(df) <= 2, explain_str(df, "simple")
