@@ -941,3 +941,115 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(novel / F.count("*").cast("double"), 6).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank centrality over the near-dup graph (boilerplate-hub scoring)
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000_000  # rank mass in integer "micro-rank" units
+_PR_ITERS = 3
+
+
+def _pr_oracle() -> str:
+    base = f"""
+    WITH pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (
+      SELECT deg.u, {_PR_SCALE} // nn.n AS r FROM deg CROSS JOIN nn
+    )
+    """
+    step = """,
+    r{next} AS (
+      SELECT deg.u,
+             (15 * {scale}) // (100 * nn.n)
+             + (85 * COALESCE(s.contrib, 0)) // 100 AS r
+      FROM deg CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.v AS u, SUM(r{cur}.r // deg.d) AS contrib
+        FROM edges e
+        JOIN r{cur} ON r{cur}.u = e.u
+        JOIN deg ON deg.u = e.u
+        GROUP BY e.v
+      ) s ON s.u = deg.u
+    )
+    """
+    steps = "".join(
+        step.format(cur=i, next=i + 1, scale=_PR_SCALE) for i in range(_PR_ITERS)
+    )
+    return (
+        base
+        + steps
+        + f"""
+    SELECT deg.u AS doc_id, deg.d AS degree,
+           CAST(r{_PR_ITERS}.r AS BIGINT) AS pr_micro
+    FROM deg JOIN r{_PR_ITERS} ON r{_PR_ITERS}.u = deg.u
+    """
+    )
+
+
+@register("pagerank_neardup", oracle=_pr_oracle())
+def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, {iters} synchronous iterations) over the
+    undirected near-dup pair graph — ranks the template/boilerplate
+    HUBS that glue unrelated documents together (the docs
+    ``graph_degree_stats`` flags by degree, now weighted by the rank
+    mass flowing through them). All arithmetic is INTEGER: rank mass
+    lives in micro-rank units of 1e-12, per-edge contributions use
+    exact integer division, and the damping update is
+    ``(15·S)//(100·N) + (85·Σ)//100`` — so both engines agree
+    bit-for-bit regardless of summation order (no rounded-double
+    boundary risk anywhere; the floor leak of < 1 unit/edge/round is
+    deterministic and identical cross-engine).
+
+    Scale posture: consumes the CACHED Jaccard pair stage (shared
+    with the whole dedup family); each iteration is one shuffle —
+    contributions group by destination — over the edge list, the
+    classic distributed PageRank layout. Iteration count is FIXED
+    (bounded lineage, no driver sync at all — unlike dedup_cluster's
+    convergence loop, a fixed-depth chain needs no localCheckpoint);
+    degrees and N ride broadcast joins."""
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    # degree rides the edge list once; each iteration then needs only
+    # edges ⋈ rank + the destination aggregate
+    edges_deg = edges.join(deg, "u")
+    nn = deg.agg(F.count("*").alias("n"))
+    r = deg.join(F.broadcast(nn)).select(
+        "u", F.expr(f"{_PR_SCALE} DIV n").alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges_deg.join(r, "u")
+            .select(F.col("v").alias("dst"), F.expr("r DIV d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        r = (
+            deg.join(F.broadcast(nn))
+            .join(contrib, F.col("u") == F.col("dst"), "left")
+            .select(
+                "u",
+                (
+                    F.expr(f"(15 * {_PR_SCALE}) DIV (100 * n)")
+                    + F.expr("(85 * COALESCE(contrib, 0)) DIV 100")
+                ).alias("r"),
+            )
+        )
+    return (
+        deg.join(r, "u")
+        .select(
+            F.col("u").alias("doc_id"),
+            F.col("d").alias("degree"),
+            F.col("r").cast("bigint").alias("pr_micro"),
+        )
+    )

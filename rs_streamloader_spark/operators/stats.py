@@ -543,3 +543,170 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("skew_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit across the star schema
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fk_integrity_audit",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'lineitem' AS child_table, 'l_orderkey' AS fk_col,
+             (SELECT COUNT(*) FROM lineitem) AS n_rows,
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+      UNION ALL
+      SELECT 'lineitem', 'l_partkey',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey))
+      UNION ALL
+      SELECT 'lineitem', 'l_suppkey',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                WHERE s.s_suppkey = l.l_suppkey))
+      UNION ALL
+      SELECT 'orders', 'o_custkey',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'customer', 'c_nationkey',
+             (SELECT COUNT(*) FROM customer),
+             (SELECT COUNT(*) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = c.c_nationkey))
+    )
+    """,
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema's five FK
+    edges: row count and orphan count per relationship — the load
+    gate every warehouse runs after ingest (an orphan count > 0 means
+    a partial load or out-of-order commit upstream).
+
+    Scale posture: each relationship is one LEFT ANTI join on the key
+    (Catalyst turns NOT EXISTS into the same anti join — see
+    ``subquery_exists``) feeding a count aggregate; dimension key
+    sides (nation) broadcast, fact-fact edges (lineitem→orders)
+    shuffle on the join key once. The five per-edge 1-row results
+    union — no data moves twice."""
+    t = _t(
+        spark, sf_dir, "lineitem", "orders", "part", "supplier", "customer", "nation"
+    )
+
+    def edge(child: DataFrame, child_name: str, fk: str, parent: DataFrame, pk: str):
+        total = child.agg(F.count("*").alias("n_rows"))
+        orphans = (
+            child.select(F.col(fk).alias("k"))
+            .join(parent.select(F.col(pk).alias("k")).distinct(), "k", "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+        )
+        return (
+            total.join(orphans)
+            .select(
+                F.lit(child_name).alias("child_table"),
+                F.lit(fk).alias("fk_col"),
+                "n_rows",
+                "n_orphans",
+            )
+        )
+
+    edges = [
+        edge(t["lineitem"], "lineitem", "l_orderkey", t["orders"], "o_orderkey"),
+        edge(t["lineitem"], "lineitem", "l_partkey", t["part"], "p_partkey"),
+        edge(t["lineitem"], "lineitem", "l_suppkey", t["supplier"], "s_suppkey"),
+        edge(t["orders"], "orders", "o_custkey", t["customer"], "c_custkey"),
+        edge(t["customer"], "customer", "c_nationkey", t["nation"], "n_nationkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Signup-to-purchase conversion lag
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "conversion_lag_stats",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT DATE_DIFF('microsecond', first_signup, first_purchase) AS lag_us
+      FROM u
+      WHERE first_signup IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_signup
+    ),
+    tot AS (SELECT COUNT(*) AS n_users FROM u)
+    SELECT tot.n_users,
+           COUNT(*) AS n_converted,
+           ROUND(QUANTILE_CONT(lag_us, 0.5) / 1000000.0, 6) AS p50_lag_s,
+           ROUND(QUANTILE_CONT(lag_us, 0.9) / 1000000.0, 6) AS p90_lag_s,
+           ROUND(MIN(lag_us) / 1000000.0, 6) AS min_lag_s,
+           ROUND(MAX(lag_us) / 1000000.0, 6) AS max_lag_s
+    FROM conv CROSS JOIN tot GROUP BY tot.n_users
+    """,
+)
+def conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert funnel metric: per user, the lag between first
+    signup and first subsequent purchase, reduced to conversion count
+    + exact lag percentiles — the activation-latency readout next to
+    ``funnel_stages``' ordered-step counts.
+
+    Scale posture: one combinable conditional-MIN aggregate collapses
+    the event stream per user; lags are integer microseconds
+    (timestampdiff — no float time math), so the percentile aggregate
+    interpolates identical integers in both engines; the user total
+    rides a broadcast 1-row aggregate."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    conv = u.filter(
+        F.col("first_signup").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_signup"))
+    ).select(
+        F.expr("timestampdiff(MICROSECOND, first_signup, first_purchase)").alias(
+            "lag_us"
+        )
+    )
+    tot = u.agg(F.count("*").alias("n_users"))
+    return (
+        conv.join(F.broadcast(tot))
+        .groupBy("n_users")
+        .agg(
+            F.count("*").alias("n_converted"),
+            F.round(F.percentile("lag_us", F.lit(0.5)) / 1_000_000.0, 6).alias(
+                "p50_lag_s"
+            ),
+            F.round(F.percentile("lag_us", F.lit(0.9)) / 1_000_000.0, 6).alias(
+                "p90_lag_s"
+            ),
+            F.round(F.min("lag_us") / 1_000_000.0, 6).alias("min_lag_s"),
+            F.round(F.max("lag_us") / 1_000_000.0, 6).alias("max_lag_s"),
+        )
+        .select(
+            "n_users", "n_converted", "p50_lag_s", "p90_lag_s", "min_lag_s", "max_lag_s"
+        )
+    )

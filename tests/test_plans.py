@@ -618,3 +618,39 @@ def test_pq_encoding_is_zero_shuffle_projection(spark):
     # the only shuffle is the per-query ranking window (plus AQE's
     # final read); the encoded corpus streams map-side
     assert shuffle_count(df) <= 2, explain_str(df, "simple")
+
+
+def test_pagerank_consumes_cached_pairs_fixed_depth(spark):
+    """PageRank reads the CACHED Jaccard pair stage (no shingle
+    re-join) and its fixed 3-iteration chain stays a bounded plan —
+    per-iteration work is one destination-keyed aggregate."""
+    from rs_streamloader_spark.operators.dedup import pagerank_neardup
+
+    df = pagerank_neardup(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "InMemoryTableScan" in text, text
+    # the shingle self-join must NOT reappear above the cache
+    assert "Scan parquet" not in text.split("InMemoryRelation")[0], text
+
+
+def test_fk_audit_anti_joins_and_broadcasts_dims(spark):
+    """Every FK edge plans as a LEFT ANTI join; small dimension key
+    sides broadcast."""
+    from rs_streamloader_spark.operators.stats import fk_integrity_audit
+
+    df = fk_integrity_audit(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert text.count("LeftAnti") == 5, text
+    assert has_broadcast_join(df)
+
+
+def test_conversion_lag_single_scan_single_aggregate(spark):
+    """The lag rollup collapses events once (conditional-MIN per
+    user); the totals ride a broadcast — 2 logical consumers but one
+    scan pattern each, no window over raw events."""
+    from rs_streamloader_spark.operators.stats import conversion_lag_stats
+
+    df = conversion_lag_stats(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Window" not in text, text
+    assert has_broadcast_join(df)
