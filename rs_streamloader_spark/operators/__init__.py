@@ -10,6 +10,7 @@ from rs_streamloader_spark.operators import (  # noqa: F401
     dedup,
     mining,
     multimodal,
+    quality,
     relational,
     similarity,
     stats,

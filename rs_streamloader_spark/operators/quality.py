@@ -1,0 +1,420 @@
+"""Model-evaluation and data-audit operators (SURVEY.md §2.5
+north-star extensions; no reference analogue — the reference's
+relational surface is SQL shipped to Redshift, see
+lib/RedshiftLoader.ts:337-393).
+
+The family covers the evaluation side of a training-data platform:
+rank-based ROC AUC, score-calibration tables with Brier decomposition,
+Benford first-digit fraud/corruption audits, peak-drawdown telemetry
+alerts, and skyline (Pareto-frontier) queries.
+
+Cross-engine determinism rules (same as the rest of the catalog):
+money in BIGINT cents, rank statistics accumulated in exact integer /
+DECIMAL(38,0) arithmetic with the single floating division last,
+transcendentals (log10) only as final scored expressions with
+identical operand order in both engines, and banded TWO-PASS prefix
+sums/maxes in place of any global-sort window over
+input-cardinality rows (the ``gini_revenue_concentration`` /
+``pareto_customer_share`` pattern, stats.py / mining.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rs_streamloader_spark.operators.registry import register
+from rs_streamloader_spark.session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir, *names)
+
+
+_PRICE_BAND_CENTS = 1_000_000  # $10k score bands → bounded band count
+
+
+def _banded_prefix(
+    per_key: DataFrame, key: str, agg_col: str, how: str, out: str
+) -> DataFrame:
+    """Two-pass distributed prefix aggregate over a per-key table
+    whose cardinality is input-sized: band the key into bounded
+    ``_PRICE_BAND_CENTS`` ranges, window WITHIN a band, and add a
+    broadcast per-band offset (the band-level aggregate — bounded
+    cardinality — prefix-scans on one tiny partition). ``how`` is
+    ``sum`` or ``max``; the exclusive prefix lands in column ``out``.
+    """
+    banded = per_key.withColumn(
+        "band", F.floor(F.col(key) / F.lit(_PRICE_BAND_CENTS)).cast("bigint")
+    )
+    w_in = (
+        Window.partitionBy("band")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    agg_fn = F.sum if how == "sum" else F.max
+    within = banded.withColumn("_within", agg_fn(agg_col).over(w_in))
+    band_tot = banded.groupBy("band").agg(agg_fn(agg_col).alias("_btot"))
+    w_b = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = band_tot.withColumn("_offset", agg_fn("_btot").over(w_b)).select(
+        "band", "_offset"
+    )
+    joined = within.join(F.broadcast(offsets), "band")
+    if how == "sum":
+        expr = F.coalesce(F.col("_offset"), F.lit(0)) + F.coalesce(
+            F.col("_within"), F.lit(0)
+        )
+    else:
+        # greatest() skips nulls (null only when both are), which is
+        # exactly the semantics an exclusive prefix max needs at the
+        # first row of a band / of the whole series.
+        expr = F.greatest(F.col("_offset"), F.col("_within"))
+    return joined.withColumn(out, expr).drop("band", "_within", "_offset")
+
+
+# ---------------------------------------------------------------------------
+# ROC AUC (rank-based Mann-Whitney, exact tie handling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_roc_auc",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS score,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    g AS (
+      SELECT score, SUM(y) AS pos, COUNT(*) - SUM(y) AS neg
+      FROM s GROUP BY score
+    ),
+    c AS (
+      SELECT score, pos, neg,
+             COALESCE(SUM(neg) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below
+      FROM g
+    ),
+    t AS (
+      SELECT SUM(CAST(pos AS HUGEINT) * (2 * neg_below + neg)) AS num2,
+             SUM(pos) AS npos, SUM(neg) AS nneg
+      FROM c
+    )
+    SELECT npos AS n_pos, nneg AS n_neg,
+           ROUND(CAST(num2 AS DOUBLE)
+                 / CAST(2 * npos * nneg AS DOUBLE), 6) AS auc
+    FROM t
+    """,
+)
+def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of "order value predicts urgent priority":
+    score = o_totalprice in cents, positive = priority 1/2. The
+    Mann-Whitney identity with exact tie handling — group rows by
+    distinct score, then AUC = Σ_s pos(s)·(neg_below(s) + neg(s)/2)
+    / (P·N); the half-credit tie term stays integer by accumulating
+    2·numerator.
+
+    Scale posture: the only input-sized stage is the per-score
+    aggregate (combinable; one shuffle on the score key). Its prefix
+    sum of negatives uses the banded two-pass scan (broadcast band
+    offsets; no input-cardinality global window — the oracle's single
+    ORDER BY window is the serial formulation of the same quantity).
+    Products accumulate in DECIMAL(38,0)/HUGEINT so P·N rank sums
+    cannot overflow int64 at real scale; the one floating division is
+    last, rounded to 6dp in both engines."""
+    t = _t(spark, sf_dir, "orders")["orders"]
+    s = t.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("score"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    g = s.groupBy("score").agg(
+        F.sum("y").alias("pos"), (F.count("*") - F.sum("y")).alias("neg")
+    )
+    c = _banded_prefix(g, "score", "neg", "sum", "neg_below")
+    agg = c.agg(
+        F.sum(
+            F.col("pos").cast("decimal(19,0)")
+            * (2 * F.col("neg_below") + F.col("neg")).cast("decimal(19,0)")
+        ).alias("num2"),
+        F.sum("pos").alias("npos"),
+        F.sum("neg").alias("nneg"),
+    )
+    return agg.select(
+        F.col("npos").alias("n_pos"),
+        F.col("nneg").alias("n_neg"),
+        F.round(
+            F.col("num2").cast("double")
+            / (2 * F.col("npos") * F.col("nneg")).cast("double"),
+            6,
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calibration table + Brier score over a deterministic pseudo-model
+# ---------------------------------------------------------------------------
+
+_CAL_HASH_MULT = 2654435761  # Knuth multiplicative hash (fits int64 here)
+_CAL_HASH_MOD = 1_048_576  # 2^20 → p is an exact dyadic rational
+
+
+@register(
+    "ml_calibration_brier",
+    oracle=f"""
+    WITH s AS (
+      SELECT (o_orderkey * {_CAL_HASH_MULT}) % {_CAL_HASH_MOD} AS h,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    p AS (
+      SELECT CAST(h AS DOUBLE) / {_CAL_HASH_MOD} AS p, y FROM s
+    )
+    SELECT CAST(FLOOR(p * 10) AS INT) AS bin,
+           COUNT(*) AS n,
+           ROUND(AVG(p), 6) AS mean_pred,
+           ROUND(AVG(CAST(y AS DOUBLE)), 6) AS pos_rate,
+           ROUND(AVG((p - y) * (p - y)), 6) AS brier
+    FROM p
+    GROUP BY bin
+    """,
+)
+def ml_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration-by-decile table + per-bin Brier score for a
+    deterministic pseudo-model: p = Knuth-hash(o_orderkey) / 2^20 (an
+    exact dyadic rational — bit-identical in both engines), outcome =
+    urgent/high priority. Each bin reports mean predicted probability
+    vs empirical positive rate (the reliability diagram's points) and
+    the mean squared error contribution.
+
+    Scale posture: single combinable aggregate keyed by 10 bins —
+    map-side partials reduce everything before one constant-width
+    shuffle. The hash stays in int64 (orderkey·2654435761 < 2^63 for
+    any realistic key space); p and (p−y)² are exact-dyadic doubles
+    averaged identically in both engines, rounded at 6dp."""
+    t = _t(spark, sf_dir, "orders")["orders"]
+    p = t.select(
+        (
+            (F.col("o_orderkey") * _CAL_HASH_MULT) % _CAL_HASH_MOD
+        ).cast("double").alias("h"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("y"),
+    ).select((F.col("h") / _CAL_HASH_MOD).alias("p"), "y")
+    return (
+        p.groupBy(F.floor(F.col("p") * 10).cast("int").alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("p"), 6).alias("mean_pred"),
+            F.round(F.avg(F.col("y").cast("double")), 6).alias("pos_rate"),
+            F.round(
+                F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))), 6
+            ).alias("brier"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "benford_first_digit",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice > 0
+    ),
+    d AS (
+      SELECT CAST(LEFT(CAST(cents AS VARCHAR), 1) AS INT) AS digit FROM c
+    ),
+    o AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS total FROM o)
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / total, 6) AS obs_share,
+           ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_share,
+           ROUND(
+             POW(n - total * LOG10(1.0 + 1.0 / digit), 2)
+             / (total * LOG10(1.0 + 1.0 / digit)), 4) AS chi2_term
+    FROM o CROSS JOIN t
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals —
+    the standard screen for fabricated or corrupted monetary columns.
+    The digit is taken from the decimal string of the BIGINT cents
+    value (no floating log in the bucketing path), then each digit's
+    observed share is compared against log10(1+1/d) with a chi-square
+    contribution term.
+
+    Scale posture: one combinable aggregate keyed by 9 digits; the
+    1-row total broadcasts back over the 9-row result. log10/pow
+    appear only in the final scored expressions, with identical
+    operand order in both engines (documented transcendental caveat,
+    same policy as bm25_topk); shares round at 6dp, chi² at 4dp."""
+    t = _t(spark, sf_dir, "orders")["orders"]
+    cents = (
+        t.where(F.col("o_totalprice") > 0)
+        .select(F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    )
+    o = cents.groupBy(
+        F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias("digit")
+    ).agg(F.count("*").alias("n"))
+    total = o.agg(F.sum("n").alias("total"))
+    bshare = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        o.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "obs_share"
+            ),
+            F.round(bshare, 6).alias("benford_share"),
+            F.round(
+                F.pow(F.col("n") - F.col("total") * bshare, F.lit(2))
+                / (F.col("total") * bshare),
+                4,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Max drawdown of the daily-revenue series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "max_drawdown_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    run AS (
+      SELECT d, rev,
+             MAX(rev) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM daily
+    )
+    SELECT STRFTIME(d, '%Y-%m-%d') AS trough_day,
+           ROUND(peak / 100.0, 2) AS peak_revenue,
+           ROUND(rev / 100.0, 2) AS trough_revenue,
+           ROUND((peak - rev) / 100.0, 2) AS max_drawdown
+    FROM run
+    ORDER BY peak - rev DESC, d ASC
+    LIMIT 1
+    """,
+)
+def max_drawdown_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest peak-to-trough drop of the daily-revenue series — the
+    telemetry alert "how far below its historical peak did daily
+    revenue ever fall, and when". Running peak via an ordered window,
+    drawdown = peak − value, answer = argmax (earliest day breaking
+    ties).
+
+    Scale posture: the raw scan reduces FIRST to one combinable row
+    per calendar day (bounded: ~2.4k rows over the TPC-H date range,
+    and calendar-bounded at any data scale), so the ordered running-
+    max window and the top-1 sort both run over the tiny aggregate —
+    the same bounded-global-window policy as
+    ``events_hourly_seasonality``. Money stays in BIGINT cents until
+    the final /100 display division."""
+    t = _t(spark, sf_dir, "orders")["orders"]
+    daily = t.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    run = daily.withColumn("peak", F.max("rev").over(w))
+    return (
+        run.orderBy((F.col("peak") - F.col("rev")).desc(), F.col("d").asc())
+        .limit(1)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("trough_day"),
+            F.round(F.col("peak") / 100.0, 2).alias("peak_revenue"),
+            F.round(F.col("rev") / 100.0, 2).alias("trough_revenue"),
+            F.round((F.col("peak") - F.col("rev")) / 100.0, 2).alias(
+                "max_drawdown"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier (price ↑, recency ↑)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skyline_price_recency",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    ),
+    g AS (SELECT cents, MAX(d) AS gd FROM o GROUP BY cents),
+    p AS (
+      SELECT cents, gd,
+             MAX(gd) OVER (ORDER BY cents DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_above
+      FROM g
+    )
+    SELECT o.o_orderkey,
+           ROUND(o.cents / 100.0, 2) AS price,
+           STRFTIME(o.d, '%Y-%m-%d') AS order_date
+    FROM o JOIN p ON o.cents = p.cents
+    WHERE o.d = p.gd AND (p.best_above IS NULL OR o.d > p.best_above)
+    """,
+)
+def skyline_price_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query: orders not dominated on
+    (totalprice ↑, orderdate ↑) — no other order is at least as
+    expensive AND at least as recent with one strict. The classic
+    sort-scan formulation: group by price, keep rows matching their
+    price group's max date whose date strictly beats the running max
+    date over all strictly-higher prices.
+
+    Scale posture: the per-price max-date table is a combinable
+    aggregate (one shuffle on the price key); its descending prefix
+    max uses the banded two-pass scan with broadcast band offsets —
+    the oracle's single ORDER BY DESC window is the serial
+    formulation of the same running max. The frontier filter is one
+    equi-join back on the price key (co-partitioned with the
+    aggregate's shuffle). No O(n²) dominance join anywhere."""
+    t = _t(spark, sf_dir, "orders")["orders"]
+    o = t.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    g = o.groupBy("cents").agg(F.max("d").alias("gd"))
+    # descending prefix max == ascending prefix max over negated key
+    g_neg = g.withColumn("nkey", -F.col("cents"))
+    p = _banded_prefix(g_neg, "nkey", "gd", "max", "best_above").drop("nkey")
+    return (
+        o.join(p, "cents")
+        .where(
+            (F.col("d") == F.col("gd"))
+            & (F.col("best_above").isNull() | (F.col("d") > F.col("best_above")))
+        )
+        .select(
+            "o_orderkey",
+            F.round(F.col("cents") / 100.0, 2).alias("price"),
+            F.date_format("d", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
