@@ -1327,3 +1327,123 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("n") * F.col("nll")), 6) / F.sum("n"), 6
         ).alias("avg_nll"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top event-type trigrams (sequential pattern mining)
+# ---------------------------------------------------------------------------
+
+_TRIGRAM_TOPK = 20
+
+
+@register(
+    "event_trigram_topk",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3, COUNT(*) AS n
+    FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT {_TRIGRAM_TOPK}
+    """,
+)
+def event_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step behavioural sequences: per-user event
+    streams (ordered by ts, event_id tiebreak) slide a trigram window
+    via LEAD, then global trigram counts rank top-{k}. The sequence
+    half of the Markov view ``event_transition_matrix`` gives in
+    pairs.
+
+    Scale posture: the LEAD window partitions by user_id — one shuffle
+    on the natural key, no global ordering. The trigram count is a
+    combinable aggregate over a ≤|event_types|³ key space, and the
+    final top-k compiles to TakeOrderedAndProject (no full sort).
+    Deterministic ties: count desc then lexicographic trigram."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "e1", "e2", "e3")
+        .limit(_TRIGRAM_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (term -> document-frequency + capped postings)
+# ---------------------------------------------------------------------------
+
+_POSTINGS_CAP = 16
+_POSTINGS_TOPK = 100
+
+
+@register(
+    "inverted_postings",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+      FROM documents
+    ),
+    g AS (
+      SELECT term, COUNT(*) AS df,
+             ARRAY_TO_STRING(LIST(doc_id ORDER BY doc_id)[1:{_POSTINGS_CAP}],
+                             ',') AS postings
+      FROM tok WHERE term <> '' GROUP BY term
+    )
+    SELECT term, df, postings
+    FROM g
+    ORDER BY df DESC, term
+    LIMIT {_POSTINGS_TOPK}
+    """,
+)
+def inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: for the {topk} highest-document-frequency
+    terms, the df and the first {cap} doc ids of the posting list
+    (ascending — the on-disk layout a search shard would store).
+
+    Scale posture: the (doc, term) distinct is the only input-sized
+    shuffle (keyed by term+doc). The posting cap is enforced BEFORE
+    collect_list via a per-term row_number window that shares the
+    term-keyed shuffle, so no unbounded array ever materializes — the
+    per-term state is ≤{cap} ids regardless of how hot a term is
+    (collect_list without the cap is the classic skew OOM). Top-{topk}
+    compiles to TakeOrderedAndProject."""
+    t = _t(spark, sf_dir, "documents")["documents"]
+    tok = (
+        spread(t)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    capped = tok.withColumn("rn", F.row_number().over(w))
+    g = (
+        capped.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(F.col("rn") <= _POSTINGS_CAP, F.col("doc_id"))
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+    )
+    return g.orderBy(F.col("df").desc(), "term").limit(_POSTINGS_TOPK)

@@ -710,3 +710,165 @@ def conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users", "n_converted", "p50_lag_s", "p90_lag_s", "min_lag_s", "max_lag_s"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median (quantity-weighted price)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH li AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(ROUND(l_quantity) AS BIGINT) AS w
+      FROM lineitem
+    ),
+    g AS (SELECT cents, SUM(w) AS w FROM li GROUP BY cents),
+    c AS (
+      SELECT cents, w,
+             SUM(w) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      FROM g
+    ),
+    t AS (SELECT SUM(w) AS tot FROM g)
+    SELECT ROUND(MIN(c.cents) / 100.0, 2) AS weighted_median_price,
+           MAX(t.tot) AS total_weight
+    FROM c CROSS JOIN t
+    WHERE 2 * c.cw >= t.tot
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median line price: the smallest price
+    whose inclusive cumulative weight reaches half the total weight
+    (2·cum ≥ total keeps the half exact in integers). The exact
+    counterpart to approximate percentile sketches — the answer a
+    t-digest would approximate, computed distributed.
+
+    Scale posture: weights collapse to one combinable row per distinct
+    price (one shuffle on the price key); the cumulative weight uses
+    the banded two-pass prefix sum (broadcast band offsets — the
+    oracle's single ORDER BY window is the serial formulation). The
+    1-row total broadcasts back; no input-sized sort anywhere."""
+    from rs_streamloader_spark.operators.quality import _banded_prefix
+
+    t = _t(spark, sf_dir, "lineitem")["lineitem"]
+    li = t.select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("w"),
+    )
+    g = li.groupBy("cents").agg(F.sum("w").alias("w"))
+    c = _banded_prefix(g, "cents", "w", "sum", "cum_excl")
+    tot = g.agg(F.sum("w").alias("tot"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .where(2 * (F.col("cum_excl") + F.col("w")) >= F.col("tot"))
+        .agg(
+            F.round(F.min("cents") / 100.0, 2).alias("weighted_median_price"),
+            F.max("tot").alias("total_weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters (bounded-memory frequency estimation)
+# ---------------------------------------------------------------------------
+
+_CMS_ROWS = 4
+_CMS_WIDTH = 64
+_CMS_TOPK = 10
+
+_HEXPOS = "STRPOS('0123456789abcdef', SUBSTR({h}, {i}, 1)) - 1"
+
+
+def _cms_cell_sql() -> str:
+    """DuckDB: CMS cell from the first 2 hex digits of
+    md5('cms{r}|' || user_id) — the same integer Spark's conv()
+    computes — mod the sketch width."""
+    h = "MD5('cms' || CAST(r AS VARCHAR) || '|' || CAST(user_id AS VARCHAR))"
+    return (
+        f"(({_HEXPOS.format(h=h, i=1)}) * 16 + ({_HEXPOS.format(h=h, i=2)}))"
+        f" % {_CMS_WIDTH}"
+    )
+
+
+@register(
+    "heavy_hitters_cms",
+    oracle=f"""
+    WITH ru AS (
+      SELECT user_id, r
+      FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS r) rows
+    ),
+    hc AS (SELECT user_id, r, {_cms_cell_sql()} AS cell FROM ru),
+    sketch AS (SELECT r, cell, COUNT(*) AS c FROM hc GROUP BY r, cell),
+    exact AS (SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id),
+    ucell AS (SELECT DISTINCT user_id, r, cell FROM hc),
+    est AS (
+      SELECT u.user_id, MIN(s.c) AS cms_est
+      FROM ucell u JOIN sketch s ON u.r = s.r AND u.cell = s.cell
+      GROUP BY u.user_id
+    )
+    SELECT e.user_id, e.exact_n, est.cms_est,
+           est.cms_est - e.exact_n AS overcount
+    FROM exact e JOIN est ON e.user_id = est.user_id
+    ORDER BY e.exact_n DESC, e.user_id
+    LIMIT {_CMS_TOPK}
+    """,
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation audited against exact
+    counts: a {rows}×{width} sketch (seeded-md5 cells, identical in
+    both engines) estimates per-user event counts; the top-{k} users
+    by exact count report their CMS estimate and its one-sided
+    overcount — the measurement you run before trusting a sketch at a
+    width/traffic ratio.
+
+    Scale posture: the sketch build is the whole point — each event
+    folds into {rows}·{width} = {cells} counters via a combinable
+    aggregate (map-side partials absorb the 4× explode; zero per-key
+    state). The {cells}-row sketch broadcasts back against the
+    per-user cell table derived from the exact aggregate. At 100 TB
+    the sketch stays {cells} rows no matter the key cardinality —
+    that bounded-memory invariant is what the overcount column
+    prices. Exact join keyed on user_id; top-{k} is
+    TakeOrderedAndProject."""
+    ev = _t(spark, sf_dir, "events")["events"]
+
+    def cell(r_col):
+        hx = F.md5(
+            F.concat(
+                F.lit("cms"),
+                r_col.cast("string"),
+                F.lit("|"),
+                F.col("user_id").cast("string"),
+            )
+        )
+        return F.conv(F.substring(hx, 1, 2), 16, 10).cast("int") % _CMS_WIDTH
+
+    hc = ev.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(i) for i in range(_CMS_ROWS)])).alias("r"),
+    ).select("user_id", "r", cell(F.col("r")).alias("cell"))
+    sketch = hc.groupBy("r", "cell").agg(F.count("*").alias("c"))
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    ucell = exact.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(i) for i in range(_CMS_ROWS)])).alias("r"),
+    ).select("user_id", "r", cell(F.col("r")).alias("cell"))
+    est = (
+        ucell.join(F.broadcast(sketch), ["r", "cell"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(_CMS_TOPK)
+    )

@@ -710,3 +710,59 @@ def vocab_topk_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         "term_count",
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary richness per source (type/token + hapax audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_vocab_richness",
+    oracle="""
+    WITH tok AS (
+      SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS term
+      FROM documents
+    ),
+    tc AS (
+      SELECT source, term, COUNT(*) AS cnt
+      FROM tok WHERE term <> '' GROUP BY source, term
+    )
+    SELECT source,
+           SUM(cnt) AS n_tokens,
+           COUNT(*) AS n_types,
+           SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS type_token_ratio,
+           ROUND(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hapax_share
+    FROM tc
+    GROUP BY source
+    """,
+)
+def text_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary-richness audit per source: token count,
+    distinct-type count, hapax legomena (terms seen exactly once),
+    type/token ratio and hapax share — the screens for synthetic /
+    template-generated text (low TTR) and OCR noise (high hapax).
+
+    Scale posture: two stacked combinable aggregates — (source, term)
+    counts shuffle once on the composite key, then collapse to one
+    row per source. No windows, no distinct-on-raw-tokens (the count
+    IS the distinct), all-JVM codegen."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    tc = (
+        t.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    one = F.when(F.col("cnt") == 1, 1).otherwise(0)
+    return tc.groupBy("source").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(one).alias("n_hapax"),
+        F.round(F.count("*").cast("double") / F.sum("cnt"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(F.sum(one).cast("double") / F.count("*"), 6).alias("hapax_share"),
+    )
