@@ -1053,3 +1053,159 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r").cast("bigint").alias("pr_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle participation over the near-dup graph
+# ---------------------------------------------------------------------------
+
+_TRI_TOPK = 10
+
+
+@register(
+    "triangle_count_neardup",
+    oracle=f"""
+    WITH pairs AS ({_JACCARD_ORACLE}),
+    p AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    tri AS (
+      SELECT p1.a AS x, p1.b AS y, p2.b AS z
+      FROM p p1
+      JOIN p p2 ON p2.a = p1.b
+      JOIN p p3 ON p3.a = p1.a AND p3.b = p2.b
+    ),
+    nodes AS (
+      SELECT x AS doc_id FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT doc_id, COUNT(*) AS n_triangles
+    FROM nodes GROUP BY doc_id
+    ORDER BY n_triangles DESC, doc_id
+    LIMIT {_TRI_TOPK}
+    """,
+)
+def triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation in the near-dup graph (top-{k}
+    by triangle count): dense triangle neighbourhoods mark template
+    families (mutually-similar cliques) vs chain-shaped incidental
+    overlaps — the standard graph signal next to degree
+    (``graph_degree_stats``) and PageRank (``pagerank_neardup``).
+
+    Scale posture: the compact-forward enumeration — edges stored only
+    as (a<b), each triangle found exactly once via two equi-joins on
+    edge endpoints — is the distributed standard (no neighborhood
+    intersection with unbounded per-row arrays). All joins key on doc
+    ids of the (sparse) near-dup edge list, which reuses the family's
+    cached pair stage; the explode is 3 rows per found triangle. The
+    top-{k} compiles to TakeOrderedAndProject."""
+    p = _jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    p1, p2, p3 = p.alias("p1"), p.alias("p2"), p.alias("p3")
+    tri = (
+        p1.join(p2, F.col("p2.a") == F.col("p1.b"))
+        .join(
+            p3,
+            (F.col("p3.a") == F.col("p1.a")) & (F.col("p3.b") == F.col("p2.b")),
+        )
+        .select(
+            F.col("p1.a").alias("x"), F.col("p1.b").alias("y"), F.col("p2.b").alias("z")
+        )
+    )
+    nodes = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("doc_id")
+    )
+    return (
+        nodes.groupBy("doc_id")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "doc_id")
+        .limit(_TRI_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction on the near-dup graph (neighborhood Jaccard)
+# ---------------------------------------------------------------------------
+
+_LINKPRED_TOPK = 20
+
+
+@register(
+    "link_prediction_jaccard",
+    oracle=f"""
+    WITH pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    cand AS (
+      SELECT e1.u AS u, e2.v AS v, COUNT(*) AS common
+      FROM edges e1 JOIN edges e2 ON e2.u = e1.v AND e1.u < e2.v
+      GROUP BY e1.u, e2.v
+    ),
+    miss AS (
+      SELECT c.u, c.v, c.common
+      FROM cand c
+      LEFT JOIN pairs p ON p.doc_a = c.u AND p.doc_b = c.v
+      WHERE p.doc_a IS NULL
+    )
+    SELECT m.u AS doc_a, m.v AS doc_b, m.common AS common_neighbors,
+           ROUND(CAST(m.common AS DOUBLE)
+                 / (du.d + dv.d - m.common), 6) AS nbr_jaccard
+    FROM miss m
+    JOIN deg du ON du.u = m.u
+    JOIN deg dv ON dv.u = m.v
+    ORDER BY nbr_jaccard DESC, doc_a, doc_b
+    LIMIT {_LINKPRED_TOPK}
+    """,
+)
+def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the near-dup graph: non-adjacent doc pairs
+    ranked by neighborhood Jaccard |N(a)∩N(b)| / |N(a)∪N(b)| — pairs
+    whose similarity the pairwise threshold missed but whose shared
+    near-dup neighborhoods imply (the "transitive near-dup" audit for
+    a cluster-merge decision).
+
+    Scale posture: the wedge join (e1.v = e2.u, u<v) enumerates
+    common-neighbor paths through each hub node — O(Σ deg²), bounded
+    on a sparse near-dup graph and skew-handled by AQE on the hub key;
+    no per-node neighbor arrays materialize. Existing edges drop via a
+    LEFT-null anti join on the pair key; degrees attach by joining the
+    tiny degree aggregate. Reuses the family's cached pair stage; the
+    top-{k} compiles to TakeOrderedAndProject."""
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    cand = (
+        e1.join(e2, (F.col("e2.u") == F.col("e1.v")) & (F.col("e1.u") < F.col("e2.v")))
+        .groupBy(F.col("e1.u").alias("u"), F.col("e2.v").alias("v"))
+        .agg(F.count("*").alias("common"))
+    )
+    miss = cand.join(
+        pairs,
+        (F.col("doc_a") == F.col("u")) & (F.col("doc_b") == F.col("v")),
+        "left_anti",
+    )
+    du = deg.select(F.col("u").alias("_u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("_v"), F.col("d").alias("dv"))
+    return (
+        miss.join(du, F.col("u") == F.col("_u"))
+        .join(dv, F.col("v") == F.col("_v"))
+        .select(
+            F.col("u").alias("doc_a"),
+            F.col("v").alias("doc_b"),
+            F.col("common").alias("common_neighbors"),
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common")),
+                6,
+            ).alias("nbr_jaccard"),
+        )
+        .orderBy(F.col("nbr_jaccard").desc(), "doc_a", "doc_b")
+        .limit(_LINKPRED_TOPK)
+    )

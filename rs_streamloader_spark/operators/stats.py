@@ -872,3 +872,123 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_n").desc(), "user_id")
         .limit(_CMS_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# K-minimum-values distinct-count sketch, audited against exact
+# ---------------------------------------------------------------------------
+
+_KMV_K = 32
+
+
+def _kmv_hv_sql() -> str:
+    """DuckDB: uniform in [0,1) from the first 8 hex digits of
+    md5('kmv|' || user_id) — the same 32-bit integer Spark's conv()
+    computes, divided by 2^32."""
+    h = "MD5('kmv|' || CAST(user_id AS VARCHAR))"
+    terms = " + ".join(
+        f"({_HEXPOS.format(h=h, i=i + 1)}) * {16 ** (7 - i)}" for i in range(8)
+    )
+    return f"(({terms}) / 4294967296.0)"
+
+
+@register(
+    "distinct_kmv_estimate",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    h AS (SELECT user_id, {_kmv_hv_sql()} AS hv FROM u),
+    k AS (SELECT hv FROM h ORDER BY hv LIMIT {_KMV_K}),
+    s AS (SELECT COUNT(*) AS kn, MAX(hv) AS uk FROM k),
+    t AS (SELECT COUNT(*) AS exact_n FROM u),
+    est AS (
+      SELECT t.exact_n,
+             CASE WHEN s.kn < {_KMV_K} THEN CAST(s.kn AS DOUBLE)
+                  ELSE ({_KMV_K} - 1) / s.uk END AS raw_est
+      FROM s CROSS JOIN t
+    )
+    SELECT exact_n,
+           ROUND(raw_est, 2) AS kmv_est,
+           ROUND((raw_est - exact_n) / exact_n, 4) AS rel_err
+    FROM est
+    """,
+)
+def distinct_kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values cardinality sketch audited against the exact
+    distinct count: keep the k={k} smallest normalized hashes of the
+    key; estimate = (k−1)/h₍ₖ₎ (falling back to the observed count
+    when fewer than k keys exist — exercised at the smallest SF). The
+    md5-seeded hash is identical in both engines, so the estimate is
+    bit-deterministic, and the rel_err column prices the sketch like
+    ``heavy_hitters_cms`` prices CMS overcounts.
+
+    Scale posture: KMV state is k scalars regardless of cardinality —
+    the distributed form is "k smallest per partition, merge, k
+    smallest again", which is exactly what Spark's
+    TakeOrderedAndProject compiles the ORDER BY hv LIMIT {k} into. The
+    exact count (for the audit column) is the only full-cardinality
+    aggregate."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    u = ev.select("user_id").distinct()
+    hv = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    ).alias("hv")
+    k = u.select(hv).orderBy("hv").limit(_KMV_K)
+    s = k.agg(F.count("*").alias("kn"), F.max("hv").alias("uk"))
+    t = u.agg(F.count("*").alias("exact_n"))
+    raw = F.when(
+        F.col("kn") < _KMV_K, F.col("kn").cast("double")
+    ).otherwise((_KMV_K - 1) / F.col("uk"))
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "exact_n",
+            F.round(raw, 2).alias("kmv_est"),
+            F.round((raw - F.col("exact_n")) / F.col("exact_n"), 4).alias("rel_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated quantile bands per segment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantiles_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.25), 4) AS p25,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.50), 4) AS p50,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.75), 4) AS p75,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.90), 4) AS p90
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated order-value quartile bands (p25/p50/p75/p90)
+    per order priority — the per-segment spread profile next to the
+    global equi-depth histogram (``numeric_histogram_equidepth``).
+
+    Scale posture: one aggregate keyed by the 5 priority classes.
+    Spark's ``percentile`` is an exact linear-interpolation aggregate
+    (same definition as DuckDB's QUANTILE_CONT); it buffers per-group
+    values, which is why the group key must be low-cardinality — for
+    high-cardinality keys the approx_percentile sketch or the banded
+    prefix-sum scan (``weighted_median_price``) is the scale path.
+    Rounded at 4dp: interpolation is a single arithmetic expression on
+    two adjacent sorted values, identical operand order both engines."""
+    t = _t(spark, sf_dir, "orders")["orders"]
+    return t.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.percentile("o_totalprice", F.lit(0.90)), 4).alias("p90"),
+    )

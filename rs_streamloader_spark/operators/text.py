@@ -766,3 +766,77 @@ def text_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sum(one).cast("double") / F.count("*"), 6).alias("hapax_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram detection (per-source high-document-frequency bigrams)
+# ---------------------------------------------------------------------------
+
+_BOILER_MIN_SHARE = 0.05
+_BOILER_TOPK = 50
+
+
+@register(
+    "boilerplate_ngrams",
+    oracle=f"""
+    WITH g AS (
+      SELECT source, doc_id,
+             UNNEST(list_transform(range(1, len(string_split(text, ' '))),
+                    i -> string_split(text, ' ')[i] || ' '
+                         || string_split(text, ' ')[i+1])) AS ngram
+      FROM documents
+    ),
+    bg AS (SELECT DISTINCT source, doc_id, ngram FROM g),
+    df AS (
+      SELECT source, ngram, COUNT(*) AS df
+      FROM bg GROUP BY source, ngram
+    ),
+    nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+    SELECT df.source, df.ngram, df.df, nd.n_docs,
+           ROUND(CAST(df.df AS DOUBLE) / nd.n_docs, 6) AS doc_share
+    FROM df JOIN nd ON nd.source = df.source
+    WHERE CAST(df.df AS DOUBLE) / nd.n_docs >= {_BOILER_MIN_SHARE}
+    ORDER BY doc_share DESC, df.source, df.ngram
+    LIMIT {_BOILER_TOPK}
+    """,
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detector: word bigrams appearing in ≥{share} of a
+    source's documents (C4-style repeated-template screen — the
+    n-grams a cleaning pass would strip before training). Reports
+    document frequency and share per (source, bigram), highest share
+    first.
+
+    Scale posture: per-doc distinct bigrams come from an array
+    pipeline (split → slide → array_distinct) with NO window over raw
+    tokens — the oracle's per-doc LEAD window is the serial
+    formulation; Spark stays inside one generate + combinable
+    (source, ngram) count. The per-source doc count is a tiny
+    broadcast. Top-{k} compiles to TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    ws = F.split(F.col("text"), " ")
+    grams = F.expr(
+        "CASE WHEN size(ws) >= 2 THEN"
+        " transform(sequence(0, size(ws) - 2),"
+        "           i -> concat_ws(' ', ws[i], ws[i+1]))"
+        " ELSE array() END"
+    )
+    bg = (
+        t.select("source", ws.alias("ws"))
+        .select("source", F.array_distinct(grams).alias("gs"))
+        .select("source", F.explode_outer("gs").alias("ngram"))
+        .where(F.col("ngram").isNotNull())
+    )
+    df = bg.groupBy("source", "ngram").agg(F.count("*").alias("df"))
+    nd = t.groupBy("source").agg(F.count("*").alias("n_docs"))
+    share = F.col("df").cast("double") / F.col("n_docs")
+    return (
+        df.join(F.broadcast(nd), "source")
+        .where(share >= _BOILER_MIN_SHARE)
+        .select(
+            "source", "ngram", "df", "n_docs",
+            F.round(share, 6).alias("doc_share"),
+        )
+        .orderBy(F.col("doc_share").desc(), "source", "ngram")
+        .limit(_BOILER_TOPK)
+    )
