@@ -654,3 +654,165 @@ def test_conversion_lag_single_scan_single_aggregate(spark):
     text = explain_str(df, "simple")
     assert "Window" not in text, text
     assert has_broadcast_join(df)
+
+
+# ---------------------------------------------------------------------------
+# round-6 batch 5: eval/audit, sketch, graph, index operators
+# ---------------------------------------------------------------------------
+
+
+def _no_raw_scan_under_single_partition(text: str) -> None:
+    lines = text.splitlines()
+    exchanges = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+    assert exchanges, text
+    for i in exchanges:
+        assert "Scan parquet" not in lines[i + 1], "\n".join(lines[i : i + 3])
+
+
+def test_roc_auc_no_global_window_over_scores(spark):
+    """AUC's rank prefix-sum is the banded two-pass scan: every
+    single-partition exchange feeds a bounded aggregate, never the
+    per-score rows."""
+    from rs_streamloader_spark.operators.quality import ml_roc_auc
+
+    df = ml_roc_auc(spark, SF_SMOKE)
+    _no_raw_scan_under_single_partition(explain_str(df, "simple"))
+
+
+def test_calibration_single_aggregate_no_window(spark):
+    from rs_streamloader_spark.operators.quality import ml_calibration_brier
+
+    df = ml_calibration_brier(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Window" not in text, text
+    assert shuffle_count(df) <= 1, text
+
+
+def test_benford_broadcasts_total(spark):
+    from rs_streamloader_spark.operators.quality import benford_first_digit
+
+    df = benford_first_digit(spark, SF_SMOKE)
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) <= 3, explain_str(df, "simple")
+
+
+def test_drawdown_window_sits_on_daily_aggregate(spark):
+    """The running-max window orders the bounded per-day aggregate,
+    never raw orders; the argmax is a top-1 TakeOrdered."""
+    from rs_streamloader_spark.operators.quality import max_drawdown_revenue
+
+    df = max_drawdown_revenue(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in text, text
+    lines = text.splitlines()
+    wins = [i for i, l in enumerate(lines) if l.lstrip().startswith("+- Window") or "Window [" in l]
+    assert wins, text
+    for i in wins:
+        below = "\n".join(lines[i:])
+        agg = below.find("HashAggregate")
+        scan = below.find("Scan parquet")
+        assert 0 <= agg < scan, below[:1500]
+
+
+def test_skyline_no_global_window_over_prices(spark):
+    from rs_streamloader_spark.operators.quality import skyline_price_recency
+
+    df = skyline_price_recency(spark, SF_SMOKE)
+    _no_raw_scan_under_single_partition(explain_str(df, "simple"))
+
+
+def test_trigram_topk_takes_ordered(spark):
+    from rs_streamloader_spark.operators.mining import event_trigram_topk
+
+    df = event_trigram_topk(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in text, text
+    assert shuffle_count(df) <= 3, text
+
+
+def test_inverted_postings_caps_before_collect(spark):
+    """The posting cap rides the same term-keyed exchange as the
+    collect aggregate — the window's rn filter must appear, and the
+    final top-k is a TakeOrdered, not a global sort."""
+    from rs_streamloader_spark.operators.mining import inverted_postings
+
+    df = inverted_postings(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in text, text
+    assert shuffle_count(df) <= 4, text
+
+
+def test_weighted_median_no_global_window_over_prices(spark):
+    from rs_streamloader_spark.operators.stats import weighted_median_price
+
+    df = weighted_median_price(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    _no_raw_scan_under_single_partition(text)
+    assert has_broadcast_join(df)
+
+
+def test_cms_broadcasts_sketch_and_takes_ordered(spark):
+    from rs_streamloader_spark.operators.stats import heavy_hitters_cms
+
+    df = heavy_hitters_cms(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in text, text
+
+
+def test_vocab_richness_two_stacked_aggregates(spark):
+    from rs_streamloader_spark.operators.text import text_vocab_richness
+
+    df = text_vocab_richness(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Window" not in text, text
+    assert shuffle_count(df) <= 2, text
+
+
+def test_triangles_reuse_cached_pair_stage(spark):
+    from rs_streamloader_spark.operators.dedup import triangle_count_neardup
+
+    df = triangle_count_neardup(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "InMemoryTableScan" in text, text
+    assert "TakeOrderedAndProject" in text, text
+
+
+def test_link_prediction_anti_joins_existing_edges(spark):
+    from rs_streamloader_spark.operators.dedup import link_prediction_jaccard
+
+    df = link_prediction_jaccard(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "InMemoryTableScan" in text, text
+    assert "LeftAnti" in text, text
+    assert "TakeOrderedAndProject" in text, text
+
+
+def test_kmv_takes_ordered_k_smallest(spark):
+    """The k-smallest-hashes cut must compile to TakeOrderedAndProject
+    (per-partition top-k then merge), never a global sort."""
+    from rs_streamloader_spark.operators.stats import distinct_kmv_estimate
+
+    df = distinct_kmv_estimate(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in text, text
+    assert has_broadcast_join(df)
+
+
+def test_quantile_bands_single_aggregate(spark):
+    from rs_streamloader_spark.operators.stats import quantiles_by_priority
+
+    df = quantiles_by_priority(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Window" not in text, text
+    assert shuffle_count(df) <= 1, text
+
+
+def test_boilerplate_broadcasts_doc_counts(spark):
+    from rs_streamloader_spark.operators.text import boilerplate_ngrams
+
+    df = boilerplate_ngrams(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in text, text
+    assert "Window" not in text, text
