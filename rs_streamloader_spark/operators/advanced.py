@@ -494,3 +494,86 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_click.event_id").alias("click_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join (closest event in either direction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    SELECT purchase_id, user_id, purchase_ts, click_ts, click_id, gap_s
+    FROM (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+             c.ts AS click_ts, c.event_id AS click_id,
+             ROUND(ABS(DATE_DIFF('microsecond', p.ts, c.ts)) / 1000000.0, 6)
+               AS gap_s,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY ABS(DATE_DIFF('microsecond', p.ts, c.ts)),
+                        CASE WHEN c.ts < p.ts THEN 0 ELSE 1 END,
+                        CASE WHEN c.ts < p.ts THEN -c.event_id
+                             ELSE c.event_id END
+             ) AS rn
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase') p
+      JOIN (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'click') c
+        ON c.user_id = p.user_id
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join — completes the as-of family (backward
+    ``join_asof``, forward ``join_asof_forward``): for each purchase,
+    the user's click with the smallest |Δt| in EITHER direction.
+    Ties: the earlier (strictly-before) side wins, then the backward
+    candidate's highest / forward candidate's lowest event_id — the
+    deterministic contract the oracle's ORDER BY spells out.
+
+    Scale posture: both directional candidates come from the SAME
+    union + user-keyed window machinery as the as-of twins (growing
+    frames only — the backward pass ascending, the forward pass under
+    reversed ordering, each O(E) per partition), sharing one shuffle
+    on user_id. The winner is a row-local comparison of the two
+    carried structs; no pair join, no range probe, and the oracle's
+    per-purchase full candidate scan is the quadratic serial
+    formulation of the same answer."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    unioned = _asof_union(ev)
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("kind").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    matched = unioned.withColumn(
+        "prev_click", F.last("click_info", ignorenulls=True).over(w_back)
+    ).withColumn("next_click", F.last("click_info", ignorenulls=True).over(w_fwd))
+    prev_gap = F.expr("timestampdiff(MICROSECOND, prev_click.ts, ts)")
+    next_gap = F.expr("timestampdiff(MICROSECOND, ts, next_click.ts)")
+    pick_prev = F.col("prev_click").isNotNull() & (
+        F.col("next_click").isNull() | (prev_gap <= next_gap)
+    )
+    winner = F.when(pick_prev, F.col("prev_click")).otherwise(F.col("next_click"))
+    gap = F.when(pick_prev, prev_gap).otherwise(next_gap)
+    return (
+        matched.filter(
+            (F.col("kind") == 0)
+            & (F.col("prev_click").isNotNull() | F.col("next_click").isNotNull())
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            winner.getField("ts").alias("click_ts"),
+            winner.getField("event_id").alias("click_id"),
+            F.round(gap / 1_000_000.0, 6).alias("gap_s"),
+        )
+    )

@@ -1447,3 +1447,100 @@ def inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return g.orderBy(F.col("df").desc(), "term").limit(_POSTINGS_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Chi-square discriminative terms (feature selection, en vs rest)
+# ---------------------------------------------------------------------------
+
+_CHI2_TOPK = 20
+
+
+@register(
+    "chi2_discriminative_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS term
+      FROM documents
+    ),
+    cls AS (
+      SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+             SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS n_ot
+      FROM documents
+    ),
+    tc AS (
+      SELECT term,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS b
+      FROM tok WHERE term <> '' GROUP BY term
+    )
+    SELECT term, a AS df_en, b AS df_other,
+           ROUND(
+             CAST(n_en + n_ot AS DOUBLE)
+             * POW(CAST(a AS DOUBLE) * (n_ot - b)
+                   - CAST(b AS DOUBLE) * (n_en - a), 2)
+             / (CAST(a + b AS DOUBLE) * (n_en + n_ot - a - b)
+                * n_en * n_ot), 4) AS chi2
+    FROM tc CROSS JOIN cls
+    WHERE a + b > 0 AND n_en + n_ot - a - b > 0
+    ORDER BY chi2 DESC, term
+    LIMIT {_CHI2_TOPK}
+    """,
+)
+def chi2_discriminative_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature selection: the terms whose document
+    frequency most separates English from non-English docs — the
+    2×2 contingency test (term presence × class) ranked by statistic,
+    the classic pre-embedding vocabulary screen.
+
+    Scale posture: per-(doc, term) presence dedups inside one
+    combinable distinct, term-class counts collapse on the term key,
+    and the 1-row class totals broadcast. Counts stay integer; the
+    chi-square is a final scored expression with operands cast to
+    double in identical order in both engines (overflow-proof at any
+    corpus size, same policy as ``chi2_event_type_dow``). Top-{k}
+    compiles to TakeOrderedAndProject."""
+    t = _t(spark, sf_dir, "documents")["documents"]
+    tok = (
+        spread(t)
+        .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    is_en = F.when(F.col("lang") == "en", 1).otherwise(0)
+    cls = t.select(
+        F.sum(is_en).alias("n_en"),
+        F.sum(1 - is_en).alias("n_ot"),
+    )
+    tc = tok.groupBy("term").agg(
+        F.sum(is_en).alias("a"), F.sum(1 - is_en).alias("b")
+    )
+    n = F.col("n_en") + F.col("n_ot")
+    delta = F.col("a").cast("double") * (F.col("n_ot") - F.col("b")) - F.col(
+        "b"
+    ).cast("double") * (F.col("n_en") - F.col("a"))
+    chi2 = (
+        n.cast("double")
+        * F.pow(delta, F.lit(2))
+        / (
+            (F.col("a") + F.col("b")).cast("double")
+            * (n - F.col("a") - F.col("b"))
+            * F.col("n_en")
+            * F.col("n_ot")
+        )
+    )
+    return (
+        tc.crossJoin(F.broadcast(cls))
+        .where(
+            ((F.col("a") + F.col("b")) > 0)
+            & ((n - F.col("a") - F.col("b")) > 0)
+        )
+        .select(
+            "term",
+            F.col("a").alias("df_en"),
+            F.col("b").alias("df_other"),
+            F.round(chi2, 4).alias("chi2"),
+        )
+        .orderBy(F.col("chi2").desc(), "term")
+        .limit(_CHI2_TOPK)
+    )

@@ -992,3 +992,127 @@ def quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
         F.round(F.percentile("o_totalprice", F.lit(0.90)), 4).alias("p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence continuity audit (distributed gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+_GAP_BAND = 1024
+_GAP_TOPK = 20
+
+
+@register(
+    "sequence_gap_audit",
+    oracle=f"""
+    WITH ids AS (
+      SELECT DISTINCT event_id AS id FROM events WHERE event_type = 'click'
+    ),
+    l AS (SELECT id, LAG(id) OVER (ORDER BY id) AS prev FROM ids)
+    SELECT prev + 1 AS gap_start, id - 1 AS gap_end, id - prev - 1 AS n_missing
+    FROM l
+    WHERE prev IS NOT NULL AND id - prev > 1
+    ORDER BY n_missing DESC, gap_start
+    LIMIT {_GAP_TOPK}
+    """,
+)
+def sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-continuity audit: the largest gaps in an id stream
+    that should be continuous — the check for dropped messages in a
+    sequenced ingest. (Run here against the click-event id
+    subsequence, which is guaranteed sparse in the synthetic corpus.)
+
+    Scale posture: the oracle's global LAG is the serial formulation;
+    distributed, ids band into fixed {band}-id ranges so gap detection
+    is (1) a per-band LAG window — one shuffle on the band key, sorts
+    only within bands — plus (2) a band-boundary LAG over the per-band
+    min/max aggregate (input/{band} rows, the bucket-offset pattern).
+    Empty bands need no special case: the boundary lag skips them and
+    the gap spans automatically. Top-{k} is TakeOrderedAndProject."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    ids = (
+        ev.where(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("id"))
+        .distinct()
+        .withColumn("band", F.floor(F.col("id") / _GAP_BAND).cast("bigint"))
+    )
+    w_in = Window.partitionBy("band").orderBy("id")
+    intra = (
+        ids.withColumn("prev", F.lag("id").over(w_in))
+        .where(F.col("prev").isNotNull() & (F.col("id") - F.col("prev") > 1))
+        .select(
+            (F.col("prev") + 1).alias("gap_start"),
+            (F.col("id") - 1).alias("gap_end"),
+            (F.col("id") - F.col("prev") - 1).alias("n_missing"),
+        )
+    )
+    bands = ids.groupBy("band").agg(F.min("id").alias("mn"), F.max("id").alias("mx"))
+    w_b = Window.orderBy("band")
+    inter = (
+        bands.withColumn("prev_mx", F.lag("mx").over(w_b))
+        .where(F.col("prev_mx").isNotNull() & (F.col("mn") - F.col("prev_mx") > 1))
+        .select(
+            (F.col("prev_mx") + 1).alias("gap_start"),
+            (F.col("mn") - 1).alias("gap_end"),
+            (F.col("mn") - F.col("prev_mx") - 1).alias("n_missing"),
+        )
+    )
+    return (
+        intra.unionByName(inter)
+        .orderBy(F.col("n_missing").desc(), "gap_start")
+        .limit(_GAP_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness (product-analytics engagement ratio)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dau_mau_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    daily AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d),
+    davg AS (
+      SELECT STRFTIME(d, '%Y-%m') AS month,
+             AVG(CAST(dau AS DOUBLE)) AS avg_dau
+      FROM daily GROUP BY 1
+    ),
+    mau AS (
+      SELECT STRFTIME(d, '%Y-%m') AS month,
+             COUNT(DISTINCT user_id) AS mau
+      FROM ud GROUP BY 1
+    )
+    SELECT davg.month, ROUND(davg.avg_dau, 6) AS avg_dau, mau.mau,
+           ROUND(davg.avg_dau / mau.mau, 6) AS stickiness
+    FROM davg JOIN mau ON mau.month = davg.month
+    """,
+)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — mean daily active users over
+    monthly active users, the standard engagement-depth ratio.
+
+    Scale posture: everything reduces through the (user, day) dedup
+    first (combinable; collapses the raw event stream), then three
+    stacked bounded aggregates: per-day counts (calendar-bounded),
+    per-month averages, per-month distinct users. The month join is
+    between two calendar-bounded aggregates. Averages are exact
+    integer sums divided once — deterministic across engines."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    daily = ud.groupBy("d").agg(F.count("*").alias("dau"))
+    davg = daily.groupBy(F.date_format("d", "yyyy-MM").alias("month")).agg(
+        F.avg(F.col("dau").cast("double")).alias("avg_dau")
+    )
+    mau = ud.groupBy(F.date_format("d", "yyyy-MM").alias("month")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return davg.join(mau, "month").select(
+        "month",
+        F.round("avg_dau", 6).alias("avg_dau"),
+        "mau",
+        F.round(F.col("avg_dau") / F.col("mau"), 6).alias("stickiness"),
+    )

@@ -840,3 +840,69 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc_share").desc(), "source", "ngram")
         .limit(_BOILER_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution entropy per source (integer-scaled exact sum)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_token_entropy",
+    oracle="""
+    WITH tc AS (
+      SELECT source, tok, COUNT(*) AS cnt FROM (
+        SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> '' GROUP BY source, tok
+    ),
+    tot AS (SELECT source, SUM(cnt) AS total FROM tc GROUP BY source),
+    e AS (
+      SELECT tc.source,
+             CAST(ROUND((CAST(tc.cnt AS DOUBLE) / tot.total)
+                        * LOG2(CAST(tc.cnt AS DOUBLE) / tot.total)
+                        * 1000000000) AS BIGINT) AS e_nano
+      FROM tc JOIN tot ON tot.source = tc.source
+    )
+    SELECT e.source,
+           MAX(tot.total) AS n_tokens,
+           COUNT(*) AS n_types,
+           ROUND(-SUM(e.e_nano) / 1000000000.0, 6) AS entropy_bits,
+           ROUND(POW(2, -SUM(e.e_nano) / 1000000000.0), 4) AS perplexity
+    FROM e JOIN tot ON tot.source = e.source
+    GROUP BY e.source
+    """,
+)
+def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (and 2^H perplexity) of each source's word
+    distribution — the diversity audit that separates template spam
+    (low entropy) from natural corpora, next to
+    ``text_vocab_richness``'s count-based ratios.
+
+    Scale posture: (source, term) counts shuffle once (combinable);
+    per-source totals are a tiny broadcast. Cross-engine determinism
+    for a transcendental SUM: each term's p·log2(p) rounds to integer
+    NANO-entropy units BEFORE summing, so the reduction is exact
+    integer addition in any order — the floating-point-sum-order trap
+    (engines fold in different orders) cannot fire. The final /1e9
+    and pow(2, ·) are single expressions on the exact sum."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    tc = (
+        t.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = tc.groupBy("source").agg(F.sum("cnt").alias("total"))
+    p = F.col("cnt").cast("double") / F.col("total")
+    e = tc.join(F.broadcast(tot), "source").select(
+        "source",
+        "total",
+        F.round(p * F.log2(p) * 1_000_000_000).cast("bigint").alias("e_nano"),
+    )
+    h = -F.sum("e_nano") / 1_000_000_000.0
+    return e.groupBy("source").agg(
+        F.max("total").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.round(h, 6).alias("entropy_bits"),
+        F.round(F.pow(F.lit(2), h), 4).alias("perplexity"),
+    )

@@ -816,3 +816,52 @@ def test_boilerplate_broadcasts_doc_counts(spark):
     assert has_broadcast_join(df)
     assert "TakeOrderedAndProject" in text, text
     assert "Window" not in text, text
+
+
+def test_sequence_gap_bands_and_takes_ordered(spark):
+    """Gap detection sorts only within id bands; the only global
+    ordering is over the per-band aggregate."""
+    from rs_streamloader_spark.operators.stats import sequence_gap_audit
+
+    df = sequence_gap_audit(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in text, text
+    _no_raw_scan_under_single_partition(text)
+
+
+def test_dau_mau_reduces_before_month_join(spark):
+    from rs_streamloader_spark.operators.stats import dau_mau_stickiness
+
+    df = dau_mau_stickiness(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Window" not in text, text
+    assert shuffle_count(df) <= 5, text
+
+
+def test_chi2_terms_broadcast_class_totals(spark):
+    from rs_streamloader_spark.operators.mining import chi2_discriminative_terms
+
+    df = chi2_discriminative_terms(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in text, text
+
+
+def test_entropy_broadcasts_source_totals_no_window(spark):
+    from rs_streamloader_spark.operators.text import source_token_entropy
+
+    df = source_token_entropy(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert has_broadcast_join(df)
+    assert "Window" not in text, text
+
+
+def test_asof_nearest_single_shuffle_no_join(spark):
+    """Both directional candidates ride one user-keyed shuffle; the
+    winner is row-local — no join operator, no range probe."""
+    from rs_streamloader_spark.operators.advanced import join_asof_nearest
+
+    df = join_asof_nearest(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Join" not in text, text
+    assert shuffle_count(df) <= 1, text
