@@ -1116,3 +1116,289 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mau",
         F.round(F.col("avg_dau") / F.col("mau"), 6).alias("stickiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Manual HyperLogLog (m=64), audited against the exact distinct count
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64
+
+
+def _hll_fields_sql() -> tuple[str, str]:
+    """DuckDB: (bucket, rho) from md5('hll|' || user_id) — bucket from
+    the first 2 hex digits mod 64, rho = leading-zeros+1 of the next
+    32 hash bits via the binary-string length identity."""
+    h = "MD5('hll|' || CAST(user_id AS VARCHAR))"
+    b = (
+        f"(({_HEXPOS.format(h=h, i=1)}) * 16 + ({_HEXPOS.format(h=h, i=2)}))"
+        f" % {_HLL_M}"
+    )
+    terms = " + ".join(
+        f"({_HEXPOS.format(h=h, i=i + 3)}) * {16 ** (7 - i)}" for i in range(8)
+    )
+    rho = f"CASE WHEN ({terms}) = 0 THEN 33 ELSE 33 - LENGTH(BIN({terms})) END"
+    return b, rho
+
+
+@register(
+    "distinct_hll_manual",
+    oracle=f"""
+    WITH hr AS (
+      SELECT {_hll_fields_sql()[0]} AS bucket, {_hll_fields_sql()[1]} AS rho
+      FROM events
+    ),
+    regs AS (SELECT bucket, MAX(rho) AS m FROM hr GROUP BY bucket),
+    s AS (
+      SELECT SUM(POW(2.0, -m)) AS z_part, COUNT(*) AS nonempty FROM regs
+    ),
+    t AS (SELECT COUNT(DISTINCT user_id) AS exact_n FROM events),
+    est AS (
+      SELECT t.exact_n,
+             {_HLL_M} - s.nonempty AS zeros,
+             (0.7213 / (1 + 1.079 / {_HLL_M})) * {_HLL_M} * {_HLL_M}
+               / (s.z_part + ({_HLL_M} - s.nonempty)) AS raw
+      FROM s CROSS JOIN t
+    )
+    SELECT exact_n,
+           ROUND(CASE WHEN raw <= 2.5 * {_HLL_M} AND zeros > 0
+                      THEN {_HLL_M} * LN(CAST({_HLL_M} AS DOUBLE) / zeros)
+                      ELSE raw END, 2) AS hll_est,
+           ROUND((CASE WHEN raw <= 2.5 * {_HLL_M} AND zeros > 0
+                       THEN {_HLL_M} * LN(CAST({_HLL_M} AS DOUBLE) / zeros)
+                       ELSE raw END - exact_n) / exact_n, 4) AS rel_err
+    FROM est
+    """,
+)
+def distinct_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog from first principles (m={m} registers), audited
+    against the exact distinct count — the exact-auditable twin of the
+    engine-native ``agg_approx_distinct`` (whose HLL sketch is
+    implementation-defined and therefore rows-only). Register index =
+    6 md5 bits, rho = leading-zeros+1 of the next 32 bits via the
+    binary-string-length identity (no float log in the register path);
+    harmonic-mean estimate with the standard small-range linear
+    count ing correction.
+
+    Scale posture: the register build is one combinable MAX aggregate
+    into {m} keys — constant state at any cardinality, the same
+    bounded-memory invariant ``heavy_hitters_cms`` demonstrates for
+    frequency. Σ2^(−M) sums EXACT DYADIC doubles (each a power of two
+    ≥ 2⁻³³), so the reduction is order-independent — no float-sum
+    trap. The exact count exists only for the audit column."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    h = F.md5(F.concat(F.lit("hll|"), F.col("user_id").cast("string")))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % _HLL_M
+    v = F.conv(F.substring(h, 3, 8), 16, 10).cast("bigint")
+    rho = F.when(v == 0, 33).otherwise(33 - F.length(F.bin(v)))
+    regs = (
+        ev.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    s = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("z_part"),
+        F.count("*").alias("nonempty"),
+    )
+    t = ev.agg(F.countDistinct("user_id").alias("exact_n"))
+    zeros = F.lit(_HLL_M) - F.col("nonempty")
+    raw = (
+        F.lit(0.7213 / (1 + 1.079 / _HLL_M))
+        * _HLL_M
+        * _HLL_M
+        / (F.col("z_part") + zeros)
+    )
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (zeros > 0),
+        _HLL_M * F.log(F.lit(float(_HLL_M)) / zeros),
+    ).otherwise(raw)
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "exact_n",
+            F.round(est, 2).alias("hll_est"),
+            F.round((est - F.col("exact_n")) / F.col("exact_n"), 4).alias(
+                "rel_err"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson-ish bootstrap CI for mean order value
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32
+
+
+@register(
+    "bootstrap_ci_revenue",
+    oracle=f"""
+    WITH ob AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, b
+      FROM orders
+      CROSS JOIN (SELECT UNNEST(RANGE(0, {_BOOT_B})) AS b) bs
+    ),
+    w AS (
+      SELECT b, cents,
+             (({_HEXPOS.format(h="MD5('bs' || CAST(b AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR))", i=1)}) % 2)
+             + (({_HEXPOS.format(h="MD5('bs' || CAST(b AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR))", i=1)}) // 2) % 2
+               AS w
+      FROM ob
+    ),
+    means AS (
+      SELECT b,
+             CAST(SUM(w * cents) AS DOUBLE) / (100.0 * SUM(w)) AS mean_val
+      FROM w GROUP BY b
+    )
+    SELECT COUNT(*) AS n_resamples,
+           ROUND(AVG(mean_val), 4) AS boot_mean,
+           ROUND(QUANTILE_CONT(mean_val, 0.025), 4) AS ci_lo,
+           ROUND(QUANTILE_CONT(mean_val, 0.975), 4) AS ci_hi
+    FROM means
+    """,
+)
+def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for mean order value with
+    DETERMINISTIC resampling: each of B={b} resamples weights every
+    order 0/1/2× (prob ¼/½/¼ — a two-bit "double-or-nothing" Poisson
+    bootstrap, mean weight 1) from seeded md5 bits, so both engines
+    draw the IDENTICAL resamples and the CI is bit-reproducible — the
+    audit-grade variant of an estimator usually left nondeterministic.
+
+    Scale posture: the {b}× expansion feeds a combinable aggregate
+    with {b} keys (map-side partials absorb it; weighted sums stay in
+    BIGINT cents — exact in any reduction order). The quantile
+    interpolation runs over the {b}-row means table. This is the
+    pattern for CI-at-scale: resample-id as aggregate key, never
+    materialized copies of the data."""
+    t = _t(spark, sf_dir, "orders")["orders"]
+    ob = t.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.explode(F.array(*[F.lit(i) for i in range(_BOOT_B)])).alias("b"),
+    )
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("bs"),
+                    F.col("b").cast("string"),
+                    F.lit("|"),
+                    F.col("o_orderkey").cast("string"),
+                )
+            ),
+            1,
+            1,
+        ),
+        16,
+        10,
+    ).cast("int")
+    w = (hv % 2) + (F.floor(hv / 2).cast("int") % 2)
+    means = (
+        ob.select("b", "cents", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (F.sum(F.col("w") * F.col("cents")).cast("double") / (100.0 * F.sum("w"))).alias(
+                "mean_val"
+            )
+        )
+    )
+    return means.agg(
+        F.count("*").alias("n_resamples"),
+        F.round(F.avg("mean_val"), 4).alias("boot_mean"),
+        F.round(F.percentile("mean_val", F.lit(0.025)), 4).alias("ci_lo"),
+        F.round(F.percentile("mean_val", F.lit(0.975)), 4).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 / lag-7 autocorrelation of the daily event-count series
+# ---------------------------------------------------------------------------
+
+
+def _autocorr_sql(lag: int) -> str:
+    return f"""
+      SELECT COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM (
+        SELECT CAST(cnt AS HUGEINT) AS x,
+               CAST(LEAD(cnt, {lag}) OVER (ORDER BY d) AS HUGEINT) AS y
+        FROM daily
+      ) WHERE y IS NOT NULL
+    """
+
+
+@register(
+    "daily_counts_autocorr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt FROM events GROUP BY 1
+    ),
+    l1 AS ({_autocorr_sql(1)}),
+    l7 AS ({_autocorr_sql(7)})
+    SELECT l1.n AS n_pairs_lag1,
+           ROUND((l1.n * l1.sxy - l1.sx * l1.sy)
+                 / SQRT(CAST((l1.n * l1.sxx - l1.sx * l1.sx)
+                        * (l1.n * l1.syy - l1.sy * l1.sy) AS DOUBLE)), 6)
+             AS r_lag1,
+           l7.n AS n_pairs_lag7,
+           ROUND((l7.n * l7.sxy - l7.sx * l7.sy)
+                 / SQRT(CAST((l7.n * l7.sxx - l7.sx * l7.sx)
+                        * (l7.n * l7.syy - l7.sy * l7.sy) AS DOUBLE)), 6)
+             AS r_lag7
+    FROM l1 CROSS JOIN l7
+    """,
+)
+def daily_counts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 Pearson autocorrelation of the daily event
+    count series — the seasonality screen that says whether a weekly
+    cycle exists before fitting anything (pairs with
+    ``events_hourly_seasonality``'s profile view).
+
+    Scale posture: events reduce to the calendar-bounded daily
+    aggregate first; LEAD windows and the five moment sums run over
+    that tiny series. Moments accumulate in DECIMAL(38,0)/HUGEINT
+    (counts² sums overflow int64 at real traffic), and the one
+    floating step is the final normalized ratio, identical operand
+    order in both engines."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("d")
+
+    def moments(lag: int, suffix: str) -> DataFrame:
+        x = F.col("cnt").cast("decimal(19,0)")
+        y = F.lead("cnt", lag).over(w).cast("decimal(19,0)")
+        pairs = daily.select(x.alias("x"), y.alias("y")).where(F.col("y").isNotNull())
+        return pairs.agg(
+            F.count("*").alias(f"n{suffix}"),
+            F.sum("x").alias(f"sx{suffix}"),
+            F.sum("y").alias(f"sy{suffix}"),
+            F.sum(F.col("x") * F.col("y")).alias(f"sxy{suffix}"),
+            F.sum(F.col("x") * F.col("x")).alias(f"sxx{suffix}"),
+            F.sum(F.col("y") * F.col("y")).alias(f"syy{suffix}"),
+        )
+
+    def r(s: str):
+        n = F.col(f"n{s}")
+        num = n * F.col(f"sxy{s}") - F.col(f"sx{s}") * F.col(f"sy{s}")
+        den = F.sqrt(
+            (
+                (n * F.col(f"sxx{s}") - F.col(f"sx{s}") * F.col(f"sx{s}"))
+                * (n * F.col(f"syy{s}") - F.col(f"sy{s}") * F.col(f"sy{s}"))
+            ).cast("double")
+        )
+        return F.round(num.cast("double") / den, 6)
+
+    return (
+        moments(1, "1")
+        .crossJoin(F.broadcast(moments(7, "7")))
+        .select(
+            F.col("n1").alias("n_pairs_lag1"),
+            r("1").alias("r_lag1"),
+            F.col("n7").alias("n_pairs_lag7"),
+            r("7").alias("r_lag7"),
+        )
+    )

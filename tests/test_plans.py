@@ -865,3 +865,44 @@ def test_asof_nearest_single_shuffle_no_join(spark):
     text = explain_str(df, "simple")
     assert "Join" not in text, text
     assert shuffle_count(df) <= 1, text
+
+
+def test_hll_registers_bounded_aggregate(spark):
+    """The register build is one combinable MAX into 64 keys; the
+    exact count rides a broadcast for the audit column only."""
+    from rs_streamloader_spark.operators.stats import distinct_hll_manual
+
+    df = distinct_hll_manual(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert has_broadcast_join(df)
+    assert "Window" not in text, text
+
+
+def test_bootstrap_expansion_feeds_combinable_aggregate(spark):
+    """The 32x resample explode must feed a hash aggregate (map-side
+    partials absorb the expansion), and the quantiles run over the
+    32-row means table."""
+    from rs_streamloader_spark.operators.stats import bootstrap_ci_revenue
+
+    df = bootstrap_ci_revenue(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    lines = text.splitlines()
+    gens = [i for i, l in enumerate(lines) if "Generate explode" in l]
+    assert gens, text
+    above = "\n".join(lines[: gens[0]])
+    assert "HashAggregate" in above, text
+
+
+def test_autocorr_windows_sit_on_daily_aggregate(spark):
+    from rs_streamloader_spark.operators.stats import daily_counts_autocorr
+
+    df = daily_counts_autocorr(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    lines = text.splitlines()
+    wins = [i for i, l in enumerate(lines) if "Window [" in l or l.lstrip().startswith("+- Window")]
+    assert wins, text
+    for i in wins:
+        below = "\n".join(lines[i:])
+        agg = below.find("HashAggregate")
+        scan = below.find("Scan parquet")
+        assert 0 <= agg < scan, below[:1500]

@@ -130,6 +130,26 @@ HEAVY_TAIL = [
     "session_duration_stats",
     "activity_streaks",
     "events_hourly_seasonality",
+    # round-6 batch 5: eval/sketch/graph/index family
+    "ml_roc_auc",
+    "skyline_price_recency",
+    "weighted_median_price",
+    "heavy_hitters_cms",
+    "distinct_kmv_estimate",
+    "sequence_gap_audit",
+    "event_trigram_topk",
+    "inverted_postings",
+    "boilerplate_ngrams",
+    "chi2_discriminative_terms",
+    "source_token_entropy",
+    "text_vocab_richness",
+    "triangle_count_neardup",
+    "link_prediction_jaccard",
+    "join_asof_nearest",
+    "dau_mau_stickiness",
+    "distinct_hll_manual",
+    "bootstrap_ci_revenue",
+    "daily_counts_autocorr",
 ]
 
 # threshold-pair operators over embeddings have intrinsically
@@ -168,6 +188,25 @@ CONSTANT_OUTPUT = {
     "session_duration_stats",
     "events_hourly_seasonality",
     "knn_classify_majority",
+    # 1-row rollups, fixed top-k cuts, per-source/per-priority grids
+    "ml_roc_auc",
+    "weighted_median_price",
+    "heavy_hitters_cms",
+    "distinct_kmv_estimate",
+    "sequence_gap_audit",
+    "event_trigram_topk",
+    "inverted_postings",
+    "boilerplate_ngrams",
+    "chi2_discriminative_terms",
+    "source_token_entropy",
+    "text_vocab_richness",
+    "triangle_count_neardup",
+    "link_prediction_jaccard",
+    # the frontier grows ~log-slowly; replicas add few non-dominated rows
+    "skyline_price_recency",
+    "distinct_hll_manual",
+    "bootstrap_ci_revenue",
+    "daily_counts_autocorr",
 }
 
 
