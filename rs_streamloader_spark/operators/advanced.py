@@ -577,3 +577,49 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(gap / 1_000_000.0, 6).alias("gap_s"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy join (record linkage by edit distance)
+# ---------------------------------------------------------------------------
+
+_FUZZY_MAX_DIST = 1
+
+
+@register(
+    "fuzzy_name_match",
+    oracle=f"""
+    SELECT s.s_name, c.c_name,
+           LEVENSHTEIN(s.s_name, c.c_name) AS edit_dist
+    FROM supplier s
+    JOIN customer c
+      ON SUBSTR(s.s_name, 10, 7) = SUBSTR(c.c_name, 10, 7)
+    WHERE LEVENSHTEIN(s.s_name, c.c_name) <= {_FUZZY_MAX_DIST}
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage via a BLOCKED fuzzy join: supplier↔customer name
+    pairs within unit edit distance, candidate-limited by an equality
+    block on a 7-char id-prefix substring. The standard two-phase
+    shape of entity resolution: cheap blocking key prunes the cross
+    product to co-blocked candidates, expensive edit distance runs
+    only inside blocks.
+
+    Scale posture: the block key turns an O(|S|·|C|) similarity scan
+    into an equi-join (shuffle on the block key; AQE skew-handles hot
+    blocks), with LEVENSHTEIN — identical unit-cost edit distance in
+    both engines — evaluated candidate-pairs-only. This is the same
+    candidate-then-verify pattern as the LSH dedup family, on strings
+    instead of shingle sets."""
+    t = load_tables(spark, sf_dir, "supplier", "customer")
+    s = t["supplier"].select("s_name", F.substring("s_name", 10, 7).alias("blk"))
+    c = t["customer"].select("c_name", F.substring("c_name", 10, 7).alias("blk"))
+    return (
+        s.join(c, "blk")
+        .where(F.levenshtein("s_name", "c_name") <= _FUZZY_MAX_DIST)
+        .select(
+            "s_name",
+            "c_name",
+            F.levenshtein("s_name", "c_name").alias("edit_dist"),
+        )
+    )

@@ -1544,3 +1544,161 @@ def chi2_discriminative_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("chi2").desc(), "term")
         .limit(_CHI2_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily journey entry→exit paths
+# ---------------------------------------------------------------------------
+
+_PATH_TOPK = 10
+
+
+@register(
+    "session_entry_exit_paths",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn_first,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn_last
+      FROM events
+    ),
+    paths AS (
+      SELECT f.user_id, f.d, f.event_type AS entry_type,
+             l.event_type AS exit_type
+      FROM (SELECT * FROM ranked WHERE rn_first = 1) f
+      JOIN (SELECT * FROM ranked WHERE rn_last = 1) l
+        ON l.user_id = f.user_id AND l.d = f.d
+    )
+    SELECT entry_type, exit_type, COUNT(*) AS n_journeys
+    FROM paths
+    GROUP BY entry_type, exit_type
+    ORDER BY n_journeys DESC, entry_type, exit_type
+    LIMIT {_PATH_TOPK}
+    """,
+)
+def session_entry_exit_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top daily-journey paths: which event type users START and END
+    the day with — the entry/exit half of the path-flow (Sankey) view
+    next to ``event_transition_matrix``'s step-pair half.
+
+    Scale posture: one window pass per (user, day) partition computes
+    BOTH endpoint ranks (same shuffle key, ascending + descending
+    orderings share the exchange), endpoints pair row-locally, and
+    path counts collapse to a ≤|event_types|² aggregate.
+    Deterministic endpoints: (ts, event_id) total order. Top-{k}
+    compiles to TakeOrderedAndProject."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    keyed = ev.select(
+        "user_id", F.to_date("ts").alias("d"), "ts", "event_id", "event_type"
+    )
+    w_f = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+    w_l = Window.partitionBy("user_id", "d").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = keyed.select(
+        "user_id",
+        "d",
+        "event_type",
+        F.row_number().over(w_f).alias("rn_first"),
+        F.row_number().over(w_l).alias("rn_last"),
+    )
+    f = ranked.where(F.col("rn_first") == 1).select(
+        "user_id", "d", F.col("event_type").alias("entry_type")
+    )
+    l = ranked.where(F.col("rn_last") == 1).select(
+        "user_id", "d", F.col("event_type").alias("exit_type")
+    )
+    return (
+        f.join(l, ["user_id", "d"])
+        .groupBy("entry_type", "exit_type")
+        .agg(F.count("*").alias("n_journeys"))
+        .orderBy(F.col("n_journeys").desc(), "entry_type", "exit_type")
+        .limit(_PATH_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency slope (log-log OLS in integer nano-units)
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOPN = 50
+
+
+@register(
+    "zipf_slope_fit",
+    oracle=f"""
+    WITH tc AS (
+      SELECT tok, COUNT(*) AS freq FROM (
+        SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> '' GROUP BY tok
+      ORDER BY freq DESC, tok LIMIT {_ZIPF_TOPN}
+    ),
+    xy AS (
+      SELECT CAST(ROUND(LN(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok)
+                               AS DOUBLE)) * 1000000000) AS HUGEINT) AS x,
+             CAST(ROUND(LN(CAST(freq AS DOUBLE)) * 1000000000) AS HUGEINT) AS y
+      FROM tc
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM xy
+    )
+    SELECT n AS n_terms,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope,
+           ROUND(POW(CAST(n * sxy - sx * sy AS DOUBLE), 2)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 4) AS r2
+    FROM s
+    """,
+)
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope (and R²) of log-frequency vs log-rank
+    over the top-{n} corpus terms — natural corpora slope ≈ −1;
+    template/synthetic text flattens or steepens it. Pairs with
+    ``source_token_entropy`` as a corpus-naturalness screen.
+
+    Scale posture: term counts are one combinable shuffle; the top-{n}
+    cut is TakeOrderedAndProject; ranks and the five OLS moments then
+    live on {n} rows. Cross-engine determinism: each log scales to
+    integer NANO-units before summation (the ``source_token_entropy``
+    policy), moments accumulate in DECIMAL/HUGEINT, and the two final
+    ratios are single double expressions."""
+    t = _t(spark, sf_dir, "documents")["documents"]
+    tc = (
+        _tokens(t)
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(_ZIPF_TOPN)
+    )
+    w = Window.orderBy(F.col("freq").desc(), "tok")
+    nano = 1_000_000_000
+    xy = tc.select(
+        F.round(F.log(F.row_number().over(w).cast("double")) * nano)
+        .cast("decimal(19,0)")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")) * nano)
+        .cast("decimal(19,0)")
+        .alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        n.alias("n_terms"),
+        F.round(num / denx, 4).alias("zipf_slope"),
+        F.round(F.pow(num, F.lit(2)) / (denx * deny), 4).alias("r2"),
+    )

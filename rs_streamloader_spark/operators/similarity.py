@@ -1408,3 +1408,89 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid-distance outliers (embedding quality audit)
+# ---------------------------------------------------------------------------
+
+_OUTLIER_TOPK = 3
+
+
+@register(
+    "embedding_outlier_topk",
+    oracle=f"""
+    WITH comp AS (
+      SELECT vec_id, label, CAST(pos AS INTEGER) AS dim,
+             CAST(embedding[pos] AS DOUBLE) AS v
+      FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) g(pos)
+      WHERE LEN(embedding) = {EMB_DIM}
+    ),
+    cent AS (
+      SELECT label, dim, ROUND(AVG(v), 6) AS c FROM comp GROUP BY 1, 2
+    ),
+    terms AS (
+      SELECT comp.vec_id, comp.label,
+             CAST(ROUND((comp.v - cent.c) * (comp.v - cent.c) * 1000000000000)
+                  AS BIGINT) AS t_pico
+      FROM comp JOIN cent ON cent.label = comp.label AND cent.dim = comp.dim
+    ),
+    d AS (
+      SELECT vec_id, label,
+             ROUND(SQRT(SUM(t_pico) / 1000000000000.0), 6) AS dist
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT vec_id, label, dist FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY label ORDER BY dist DESC, vec_id
+             ) AS rn
+      FROM d
+    ) WHERE rn <= {_OUTLIER_TOPK}
+    """,
+)
+def embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality audit: the top-{k} vectors FARTHEST from
+    their label's centroid — mislabeled / out-of-distribution
+    candidates, the audit a curation pass runs before trusting labels
+    (consumes the same class-mean view as
+    ``embedding_label_centroids``).
+
+    Scale posture: centroids are a constant-width (labels×{dim})
+    combinable aggregate that broadcasts back onto the exploded
+    components; per-vector distances are keyed aggregates on vec_id.
+    Cross-engine determinism: centroids round at 6dp first, each
+    squared deviation scales to integer PICO-units before the per-
+    vector sum (exact integer addition in any order — the
+    ``source_token_entropy`` policy), sqrt last. The per-label top-{k}
+    is a WindowGroupLimit-eligible ranking window."""
+    t = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    comp = (
+        spread(t)
+        .filter(F.size("embedding") == EMB_DIM)
+        .select(
+            "vec_id", "label", F.posexplode("embedding").alias("pos0", "v0")
+        )
+        .select(
+            "vec_id",
+            "label",
+            (F.col("pos0") + 1).cast("int").alias("dim"),
+            F.col("v0").cast("double").alias("v"),
+        )
+    )
+    cent = comp.groupBy("label", "dim").agg(F.round(F.avg("v"), 6).alias("c"))
+    terms = comp.join(F.broadcast(cent), ["label", "dim"]).select(
+        "vec_id",
+        "label",
+        F.round((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")) * 1_000_000_000_000)
+        .cast("bigint")
+        .alias("t_pico"),
+    )
+    d = terms.groupBy("vec_id", "label").agg(
+        F.round(F.sqrt(F.sum("t_pico") / 1_000_000_000_000.0), 6).alias("dist")
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist").desc(), "vec_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _OUTLIER_TOPK)
+        .drop("rn")
+    )

@@ -1402,3 +1402,82 @@ def daily_counts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             r("7").alias("r_lag7"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekly seasonality strength (variance decomposition by day-of-week)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weekly_seasonality_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt FROM events GROUP BY 1
+    ),
+    keyed AS (
+      SELECT CAST(EXTRACT(dow FROM d) AS INT) AS dow,
+             CAST(cnt AS HUGEINT) AS x
+      FROM daily
+    ),
+    g AS (
+      SELECT dow, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx FROM keyed
+      GROUP BY dow
+    ),
+    s AS (
+      SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sxx) AS sxx,
+             SUM(sxx - CAST(sx * sx AS DOUBLE) / n) AS ss_within
+      FROM g
+    )
+    SELECT n AS n_days,
+           ROUND((sxx - CAST(sx * sx AS DOUBLE) / n) / n, 4) AS var_total,
+           ROUND(ss_within / n, 4) AS var_within_dow,
+           ROUND(1 - ss_within / (sxx - CAST(sx * sx AS DOUBLE) / n), 6)
+             AS seasonality_strength
+    FROM s
+    """,
+)
+def weekly_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strength of the weekly cycle in daily event volume: the
+    fraction of day-to-day variance explained by day-of-week (1 −
+    SS_within/SS_total — the one-way ANOVA R² with dow as the
+    factor). The scalar decision companion to
+    ``daily_counts_autocorr``'s r_lag7 and
+    ``events_hourly_seasonality``'s full profile.
+
+    Scale posture: events collapse to the calendar-bounded daily
+    aggregate, then to 7 dow groups; moments (Σx, Σx²) stay exact
+    HUGEINT/DECIMAL until the final variance ratios. The only
+    float divisions are per-group sx²/n terms combined over 7 rows —
+    deterministic operand order in both engines."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(F.count("*").alias("cnt"))
+    keyed = daily.select(
+        F.dayofweek("d").alias("dow_raw"),
+        F.col("cnt").cast("decimal(19,0)").alias("x"),
+    ).select((F.col("dow_raw") - 1).alias("dow"), "x")
+    g = keyed.groupBy("dow").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    s = g.agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sxx").alias("sxx"),
+        F.sum(
+            F.col("sxx").cast("double")
+            - (F.col("sx") * F.col("sx")).cast("double") / F.col("n")
+        ).alias("ss_within"),
+    )
+    ss_total = F.col("sxx").cast("double") - (
+        F.col("sx") * F.col("sx")
+    ).cast("double") / F.col("n")
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.round(ss_total / F.col("n"), 4).alias("var_total"),
+        F.round(F.col("ss_within") / F.col("n"), 4).alias("var_within_dow"),
+        F.round(1 - F.col("ss_within") / ss_total, 6).alias(
+            "seasonality_strength"
+        ),
+    )

@@ -906,3 +906,49 @@ def test_autocorr_windows_sit_on_daily_aggregate(spark):
         agg = below.find("HashAggregate")
         scan = below.find("Scan parquet")
         assert 0 <= agg < scan, below[:1500]
+
+
+def test_fuzzy_match_is_blocked_equi_join(spark):
+    """The edit-distance predicate must sit ABOVE an equality join on
+    the block key — never a cartesian product."""
+    from rs_streamloader_spark.operators.advanced import fuzzy_name_match
+
+    df = fuzzy_name_match(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Cartesian" not in text, text
+    assert "NestedLoop" not in text, text
+
+
+def test_journey_paths_share_one_window_exchange(spark):
+    """Both endpoint ranks ride the same (user, day) shuffle; path
+    counts collapse to the tiny type-pair aggregate."""
+    from rs_streamloader_spark.operators.mining import session_entry_exit_paths
+
+    df = session_entry_exit_paths(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in text, text
+    assert shuffle_count(df) <= 3, text
+
+
+def test_zipf_takes_ordered_topn_before_ols(spark):
+    from rs_streamloader_spark.operators.mining import zipf_slope_fit
+
+    df = zipf_slope_fit(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in text, text
+
+
+def test_embedding_outliers_broadcast_centroids(spark):
+    from rs_streamloader_spark.operators.similarity import embedding_outlier_topk
+
+    df = embedding_outlier_topk(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert has_broadcast_join(df)
+
+
+def test_seasonality_strength_no_window(spark):
+    from rs_streamloader_spark.operators.stats import weekly_seasonality_strength
+
+    df = weekly_seasonality_strength(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Window" not in text, text

@@ -150,6 +150,11 @@ HEAVY_TAIL = [
     "distinct_hll_manual",
     "bootstrap_ci_revenue",
     "daily_counts_autocorr",
+    "fuzzy_name_match",
+    "session_entry_exit_paths",
+    "zipf_slope_fit",
+    "embedding_outlier_topk",
+    "weekly_seasonality_strength",
 ]
 
 # threshold-pair operators over embeddings have intrinsically
@@ -207,6 +212,10 @@ CONSTANT_OUTPUT = {
     "distinct_hll_manual",
     "bootstrap_ci_revenue",
     "daily_counts_autocorr",
+    "session_entry_exit_paths",
+    "zipf_slope_fit",
+    "embedding_outlier_topk",
+    "weekly_seasonality_strength",
 }
 
 
