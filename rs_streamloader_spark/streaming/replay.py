@@ -493,3 +493,126 @@ def stream_static_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC upsert through the bucketed native sink
+# ---------------------------------------------------------------------------
+
+_CDC_SLICES = 6
+_CDC_BUCKETS = 8
+
+_CDC_UPSERT_ORACLE = """
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           value AS last_value
+    FROM (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+"""
+
+
+@register("stream_upsert_loader_replay", oracle=_CDC_UPSERT_ORACLE)
+def stream_upsert_loader_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert end-to-end THROUGH THE LOADER: the events
+    stream, time-sliced into {n} files and replayed one file per
+    micro-batch (``maxFilesPerTrigger=1``), foreachBatch-upserts into
+    a BUCKETED native table keyed on user_id with ``dedupe='last'`` —
+    the reference's keyed-upsert load mode (RedshiftLoader.ts:369-384)
+    driven by Structured Streaming instead of a one-shot body. The
+    final table must equal "latest event per user" — checked against
+    the declarative oracle, which makes every piece load-bearing:
+    batch sequencing, per-batch dedupe, bucket-pruned rewrite, and the
+    versioned-commit read.
+
+    Correctness across batches: slices are contiguous in (ts,
+    event_id) order and arrive oldest-first, so the sink's
+    new-row-wins upsert composes to exactly the (ts, event_id)-max row
+    per key — the live-CDC arrival order, same contract as
+    tests/test_multibatch_replay.py.
+
+    Scale posture: each micro-batch's upsert rewrites ONLY the buckets
+    containing that batch's keys (the hash-bucketed layout's delta
+    commit — sinks/native.py), which is the sink behavior that
+    matters at 100 TB: per-batch write cost tracks batch size, not
+    table size."""
+    from pyspark.sql.window import Window as W
+
+    from rs_streamloader_spark.sinks.native import NativeTableSink
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "rs_sl_replay",
+        spark.sparkContext.applicationId,
+        "cdc_upsert",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    in_path = os.path.join(base, "in")
+    # contiguous (ts, event_id) slices, staged oldest-first with
+    # explicitly increasing mtimes (FileStreamSource orders by mtime
+    # with no tiebreak — see tests/test_multibatch_replay.py)
+    import time as _time
+
+    sliced = ev.withColumn(
+        "__slice",
+        F.ntile(_CDC_SLICES).over(W.orderBy("ts", "event_id")),
+    )
+    base_mtime = _time.time() - _CDC_SLICES - 60
+    for i in range(1, _CDC_SLICES + 1):
+        (
+            sliced.filter(F.col("__slice") == i)
+            .drop("__slice")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(in_path)
+        )
+        for name in os.listdir(in_path):
+            full = os.path.join(in_path, name)
+            if os.path.getmtime(full) > base_mtime + i:
+                os.utime(full, (base_mtime + i, base_mtime + i))
+    table_root = os.path.join(base, "table")
+    sink = NativeTableSink(
+        spark, table_root, num_buckets=_CDC_BUCKETS, bucket_by="user_id"
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_path)
+    )
+
+    def land(bdf: DataFrame, _bid: int) -> None:
+        # column order (user_id, ts, event_id, value): dedupe='last'
+        # ranks the non-key columns left-to-right, so the in-batch
+        # winner is the (ts, event_id) max — value never breaks a tie
+        # because (ts, event_id) is unique
+        sink.upsert(
+            bdf.select("user_id", "ts", "event_id", "value"),
+            id_field="user_id",
+            dedupe="last",
+        )
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(land)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    # wall-clock round-trip back to NTZ (exact: Jan–Feb data, no DST
+    # transition — same contract as the other replay wrappers)
+    return sink.read().select(
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
