@@ -1231,6 +1231,16 @@ def distinct_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BOOT_B = 32
 
 
+def _boot_w_sql(b: int) -> str:
+    """DuckDB: resample b's 0/1/2 weight from 2 bits of ONE md5 per
+    order — hex digit b//2, low nibble half for even b, high for odd."""
+    h = "MD5('bs|' || CAST(o_orderkey AS VARCHAR))"
+    d = f"({_HEXPOS.format(h=h, i=b // 2 + 1)})"
+    if b % 2 == 0:
+        return f"({d} % 2 + ({d} // 2) % 2)"
+    return f"(({d} // 4) % 2 + ({d} // 8) % 2)"
+
+
 @register(
     "bootstrap_ci_revenue",
     oracle=f"""
@@ -1242,9 +1252,8 @@ _BOOT_B = 32
     ),
     w AS (
       SELECT b, cents,
-             (({_HEXPOS.format(h="MD5('bs' || CAST(b AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR))", i=1)}) % 2)
-             + (({_HEXPOS.format(h="MD5('bs' || CAST(b AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR))", i=1)}) // 2) % 2
-               AS w
+             CASE {" ".join(f"WHEN b = {b} THEN {_boot_w_sql(b)}" for b in range(_BOOT_B))}
+             END AS w
       FROM ob
     ),
     means AS (
@@ -1263,47 +1272,59 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bootstrap confidence interval for mean order value with
     DETERMINISTIC resampling: each of B={b} resamples weights every
     order 0/1/2× (prob ¼/½/¼ — a two-bit "double-or-nothing" Poisson
-    bootstrap, mean weight 1) from seeded md5 bits, so both engines
-    draw the IDENTICAL resamples and the CI is bit-reproducible — the
-    audit-grade variant of an estimator usually left nondeterministic.
+    bootstrap, mean weight 1), all {b} weights drawn from ONE md5 per
+    order ({b}·2 = 64 hash bits), so both engines draw the IDENTICAL
+    resamples and the CI is bit-reproducible — the audit-grade variant
+    of an estimator usually left nondeterministic.
 
-    Scale posture: the {b}× expansion feeds a combinable aggregate
-    with {b} keys (map-side partials absorb it; weighted sums stay in
-    BIGINT cents — exact in any reduction order). The quantile
-    interpolation runs over the {b}-row means table. This is the
-    pattern for CI-at-scale: resample-id as aggregate key, never
-    materialized copies of the data."""
+    Scale posture: ZERO row expansion — the {b} weighted partial sums
+    are 2·{b} aggregate columns of ONE single-scan aggregate (weighted
+    sums in exact BIGINT cents), computed map-side and merged in one
+    constant-width reduction; the 1-row result unpivots to the
+    {b}-row means table for the quantile interpolation. One md5 per
+    order (the first rewrite hashed per (order, resample): 32× the
+    hash work and a 32× explode — measured 5.6s → this shape at
+    sf0.1). This is the pattern for CI-at-scale: resample-id as an
+    aggregate COLUMN, never materialized copies of the data."""
     t = _t(spark, sf_dir, "orders")["orders"]
-    ob = t.select(
-        "o_orderkey",
+    h = F.md5(F.concat(F.lit("bs|"), F.col("o_orderkey").cast("string")))
+    base = t.select(
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-        F.explode(F.array(*[F.lit(i) for i in range(_BOOT_B)])).alias("b"),
+        # two 32-bit halves: values < 2^32 are exact in the double
+        # divisions below (2^32 ≪ 2^53), so every bit extraction is
+        # exact — a single 64-bit decimal would round at the decimal
+        # division's result scale before floor()
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("hi"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("lo"),
     )
-    hv = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit("bs"),
-                    F.col("b").cast("string"),
-                    F.lit("|"),
-                    F.col("o_orderkey").cast("string"),
-                )
-            ),
-            1,
-            1,
-        ),
-        16,
-        10,
-    ).cast("int")
-    w = (hv % 2) + (F.floor(hv / 2).cast("int") % 2)
-    means = (
-        ob.select("b", "cents", w.alias("w"))
-        .groupBy("b")
-        .agg(
-            (F.sum(F.col("w") * F.col("cents")).cast("double") / (100.0 * F.sum("w"))).alias(
-                "mean_val"
+
+    def w(b: int):
+        # hex digit b//2 of the hash = 4 bits; even b takes the low
+        # bit pair, odd b the high pair — the same bits as the
+        # oracle's STRPOS digit walk
+        half = F.col("hi") if b // 2 < 8 else F.col("lo")
+        pos = b // 2 if b // 2 < 8 else b // 2 - 8
+        shift = 4 * (7 - pos) + (0 if b % 2 == 0 else 2)
+        fld = F.floor(half / F.lit(float(2 ** shift))).cast("bigint")
+        return (fld % 2) + (F.floor(fld / 2).cast("bigint") % 2)
+
+    aggs = []
+    for b in range(_BOOT_B):
+        wb = w(b)
+        aggs.append(F.sum(wb * F.col("cents")).alias(f"sw{b}"))
+        aggs.append(F.sum(wb).alias(f"n{b}"))
+    one = base.agg(*aggs)
+    means = one.select(
+        F.explode(
+            F.array(
+                *[
+                    (F.col(f"sw{b}").cast("double") / (100.0 * F.col(f"n{b}"))).alias(
+                        f"m{b}"
+                    )
+                    for b in range(_BOOT_B)
+                ]
             )
-        )
+        ).alias("mean_val")
     )
     return means.agg(
         F.count("*").alias("n_resamples"),
