@@ -933,3 +933,51 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING() / GROUPING_ID provenance over a rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_id_report",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS gid,
+           COUNT(*) AS n,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS revenue
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
+)
+def grouping_id_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP report with GROUPING()/GROUPING_ID provenance — the
+    column that tells a BI consumer whether a NULL group key means
+    "subtotal row" or "null data" (completes the grouping-sets family
+    next to ``agg_rollup``/``agg_cube``, which emit the keys only).
+    Spark's ``grouping_id()`` bit order (first rollup column = MSB)
+    matches GROUPING(p)·2 + GROUPING(s) exactly.
+
+    Scale posture: one rollup aggregate — Spark expands grouping sets
+    map-side and combines partials per set, one shuffle; revenue in
+    BIGINT cents until the display division."""
+    t = load_tables(spark, sf_dir, "orders")["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        t.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum(cents) / 100.0, 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "gid",
+            "n",
+            "revenue",
+        )
+    )

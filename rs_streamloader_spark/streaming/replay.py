@@ -616,3 +616,87 @@ def stream_upsert_loader_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.col("value").alias("last_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming windowed counts + batch top-k composition
+# ---------------------------------------------------------------------------
+
+_TOPK_PER_WINDOW = 3
+
+_STREAM_TOPK_ORACLE = f"""
+    WITH c AS (
+      SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY n_events DESC, event_type) AS rnk,
+             SUM(n_events) OVER (PARTITION BY window_start) AS tot
+      FROM c
+    )
+    SELECT window_start, event_type, n_events,
+           rnk AS rank,
+           ROUND(CAST(n_events AS DOUBLE) / tot, 6) AS share
+    FROM r WHERE rnk <= {_TOPK_PER_WINDOW}
+"""
+
+
+@register("stream_topk_replay", oracle=_STREAM_TOPK_ORACLE)
+def stream_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-then-batch composition: the watermarked hourly
+    tumbling count stream lands per (window, type) rows, and the
+    top-{k}-per-window ranking plus share-of-window runs as a BATCH
+    window over the landed output — the standard split for "trending
+    now" dashboards, because ranking windows are not a legal streaming
+    operator (rank retraction on late data is unbounded). The oracle
+    checks the fused end-to-end answer, so early- or double-emitted
+    streaming windows break the hash exactly as in
+    ``tumbling_window_replay``.
+
+    Scale posture: the streaming half shuffles on (window, type) with
+    watermark-bounded state; the batch half windows over the
+    |windows|×|types| aggregate, never raw events."""
+    from pyspark.sql.window import Window as W
+
+    from rs_streamloader_spark.streaming.windows import tumbling_window_agg
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    sentinel_ts = _sentinel_ts(ev)
+    sentinel = spark.createDataFrame(
+        [(-1, sentinel_ts, -1, "__sentinel", 0.0)], ev.schema
+    )
+    out = _replay(
+        spark,
+        "stream_topk",
+        sf_dir,
+        {"events": ev.unionByName(sentinel)},
+        lambda s: tumbling_window_agg(s["events"]),
+    )
+    c = out.filter(F.col("event_type") != "__sentinel").select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+    w_rank = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    w_tot = W.partitionBy("window_start")
+    return (
+        c.withColumn("rank", F.row_number().over(w_rank))
+        .withColumn("tot", F.sum("n_events").over(w_tot))
+        .where(F.col("rank") <= _TOPK_PER_WINDOW)
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            "rank",
+            F.round(F.col("n_events").cast("double") / F.col("tot"), 6).alias(
+                "share"
+            ),
+        )
+    )
