@@ -398,10 +398,22 @@ def skyline_price_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate's shuffle). No O(n²) dominance join anywhere."""
     t = _t(spark, sf_dir, "orders")["orders"]
     o = t.select(
-        "o_orderkey",
+        F.col("o_orderkey").alias("id"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
         F.to_date("o_orderdate").alias("d"),
     )
+    return skyline_rows(o).select(
+        F.col("id").alias("o_orderkey"),
+        F.round(F.col("cents") / 100.0, 2).alias("price"),
+        F.date_format("d", "yyyy-MM-dd").alias("order_date"),
+    )
+
+
+def skyline_rows(o: DataFrame) -> DataFrame:
+    """Skyline core (see ``skyline_price_recency``): rows of
+    (id, cents, d) not dominated on (cents ↑, d ↑). Property-tested
+    against the brute-force dominance model in
+    tests/test_properties.py."""
     g = o.groupBy("cents").agg(F.max("d").alias("gd"))
     # descending prefix max == ascending prefix max over negated key
     g_neg = g.withColumn("nkey", -F.col("cents"))
@@ -412,9 +424,5 @@ def skyline_price_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("d") == F.col("gd"))
             & (F.col("best_above").isNull() | (F.col("d") > F.col("best_above")))
         )
-        .select(
-            "o_orderkey",
-            F.round(F.col("cents") / 100.0, 2).alias("price"),
-            F.date_format("d", "yyyy-MM-dd").alias("order_date"),
-        )
+        .select("id", "cents", "d")
     )

@@ -751,21 +751,33 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banded two-pass prefix sum (broadcast band offsets — the
     oracle's single ORDER BY window is the serial formulation). The
     1-row total broadcasts back; no input-sized sort anywhere."""
-    from rs_streamloader_spark.operators.quality import _banded_prefix
-
     t = _t(spark, sf_dir, "lineitem")["lineitem"]
     li = t.select(
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
         F.round(F.col("l_quantity")).cast("bigint").alias("w"),
     )
-    g = li.groupBy("cents").agg(F.sum("w").alias("w"))
+    return weighted_median_of(li).select(
+        F.round(F.col("median_value") / 100.0, 2).alias("weighted_median_price"),
+        F.col("total_weight"),
+    )
+
+
+def weighted_median_of(vw: DataFrame) -> DataFrame:
+    """Weighted-median core (see ``weighted_median_price``): one row
+    (median_value, total_weight) for a (cents, w) DataFrame — the
+    smallest value whose inclusive cumulative weight reaches half the
+    total. Property-tested against the sorted-list model in
+    tests/test_properties.py."""
+    from rs_streamloader_spark.operators.quality import _banded_prefix
+
+    g = vw.groupBy("cents").agg(F.sum("w").alias("w"))
     c = _banded_prefix(g, "cents", "w", "sum", "cum_excl")
     tot = g.agg(F.sum("w").alias("tot"))
     return (
         c.crossJoin(F.broadcast(tot))
         .where(2 * (F.col("cum_excl") + F.col("w")) >= F.col("tot"))
         .agg(
-            F.round(F.min("cents") / 100.0, 2).alias("weighted_median_price"),
+            F.min("cents").alias("median_value"),
             F.max("tot").alias("total_weight"),
         )
     )
@@ -1034,11 +1046,23 @@ def sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == "click")
         .select(F.col("event_id").alias("id"))
         .distinct()
-        .withColumn("band", F.floor(F.col("id") / _GAP_BAND).cast("bigint"))
     )
+    return (
+        gap_rows(ids, _GAP_BAND)
+        .orderBy(F.col("n_missing").desc(), "gap_start")
+        .limit(_GAP_TOPK)
+    )
+
+
+def gap_rows(ids: DataFrame, band: int) -> DataFrame:
+    """Distributed gap detection core (see ``sequence_gap_audit``):
+    one (gap_start, gap_end, n_missing) row per maximal run of ids
+    absent from the distinct ``id`` column. Property-tested against
+    the sorted-list model in tests/test_properties.py."""
+    banded = ids.withColumn("band", F.floor(F.col("id") / band).cast("bigint"))
     w_in = Window.partitionBy("band").orderBy("id")
     intra = (
-        ids.withColumn("prev", F.lag("id").over(w_in))
+        banded.withColumn("prev", F.lag("id").over(w_in))
         .where(F.col("prev").isNotNull() & (F.col("id") - F.col("prev") > 1))
         .select(
             (F.col("prev") + 1).alias("gap_start"),
@@ -1046,7 +1070,9 @@ def sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("id") - F.col("prev") - 1).alias("n_missing"),
         )
     )
-    bands = ids.groupBy("band").agg(F.min("id").alias("mn"), F.max("id").alias("mx"))
+    bands = banded.groupBy("band").agg(
+        F.min("id").alias("mn"), F.max("id").alias("mx")
+    )
     w_b = Window.orderBy("band")
     inter = (
         bands.withColumn("prev_mx", F.lag("mx").over(w_b))
@@ -1057,11 +1083,7 @@ def sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mn") - F.col("prev_mx") - 1).alias("n_missing"),
         )
     )
-    return (
-        intra.unionByName(inter)
-        .orderBy(F.col("n_missing").desc(), "gap_start")
-        .limit(_GAP_TOPK)
-    )
+    return intra.unionByName(inter)
 
 
 # ---------------------------------------------------------------------------

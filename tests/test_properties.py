@@ -236,3 +236,124 @@ class TestSegmentMergeProperties:
             first + [[p, p, 1] for p in points[split:]], gap
         )
         assert second == full
+
+
+class TestSequenceGapModel:
+    """gap_rows vs the sorted-list model: the reported gaps must be
+    exactly the maximal missing runs between min(ids) and max(ids),
+    for any id set — including band-boundary and empty-band gaps."""
+
+    @staticmethod
+    def _model(id_list):
+        s = sorted(set(id_list))
+        return {
+            (prev + 1, cur - 1, cur - prev - 1)
+            for prev, cur in zip(s, s[1:])
+            if cur - prev > 1
+        }
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        id_list=st.lists(
+            st.integers(min_value=0, max_value=40), min_size=1, max_size=25
+        ),
+        band=st.sampled_from([1, 3, 8, 1024]),
+    )
+    def test_matches_sorted_list_model(self, spark, id_list, band):
+        from rs_streamloader_spark.operators.stats import gap_rows
+
+        df = spark.createDataFrame([(i,) for i in set(id_list)], "id: long")
+        got = {
+            (r.gap_start, r.gap_end, r.n_missing) for r in gap_rows(df, band).collect()
+        }
+        assert got == self._model(id_list)
+
+
+class TestSkylineModel:
+    """skyline_rows vs brute-force dominance: a row survives iff no
+    other row is >= on both axes and > on at least one."""
+
+    @staticmethod
+    def _model(rows):
+        out = set()
+        for i, (ida, ca, da) in enumerate(rows):
+            dominated = any(
+                (cb >= ca and db >= da and (cb > ca or db > da))
+                for j, (idb, cb, db) in enumerate(rows)
+                if j != i
+            )
+            if not dominated:
+                out.add(ida)
+        return out
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        points=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=8),
+                st.integers(min_value=0, max_value=8),
+            ),
+            min_size=1,
+            max_size=15,
+        )
+    )
+    def test_matches_bruteforce_dominance(self, spark, points):
+        import datetime
+
+        from rs_streamloader_spark.operators.quality import skyline_rows
+
+        rows = [
+            (i, c, datetime.date(2020, 1, 1) + datetime.timedelta(days=d))
+            for i, (c, d) in enumerate(points)
+        ]
+        df = spark.createDataFrame(rows, "id: long, cents: long, d: date")
+        got = {r.id for r in skyline_rows(df).collect()}
+        model_rows = [(i, c, d) for (i, c, d) in rows]
+        assert got == self._model(model_rows)
+
+
+class TestWeightedMedianModel:
+    """weighted_median_of vs the expanded-list model: the result must
+    equal the lower median of the multiset where value v appears w
+    times."""
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vw=st.lists(
+            st.tuples(
+                st.integers(min_value=-50, max_value=50),
+                st.integers(min_value=1, max_value=5),
+            ),
+            min_size=1,
+            max_size=15,
+        )
+    )
+    def test_matches_expanded_multiset_model(self, spark, vw):
+        from rs_streamloader_spark.operators.stats import weighted_median_of
+
+        df = spark.createDataFrame(vw, "cents: long, w: long")
+        row = weighted_median_of(df).collect()[0]
+        expanded = sorted(v for v, w in vw for _ in range(w))
+        # lower weighted median: smallest v with cum weight*2 >= total
+        total = len(expanded)
+        cum = 0
+        want = None
+        for v in expanded:
+            cum += 1
+            if 2 * cum >= total:
+                want = v
+                break
+        assert row.median_value == want
+        assert row.total_weight == total
