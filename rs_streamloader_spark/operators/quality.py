@@ -150,8 +150,16 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("npos").alias("n_pos"),
         F.col("nneg").alias("n_neg"),
         F.round(
+            # denominator in double BEFORE multiplying: 2·P·N overflows
+            # int64 at ~1e11 orders (the numerator is decimal for the
+            # same reason); the double product is exact to 53 bits,
+            # and the oracle's HUGEINT path rounds identically at 6dp
             F.col("num2").cast("double")
-            / (2 * F.col("npos") * F.col("nneg")).cast("double"),
+            / (
+                2
+                * F.col("npos").cast("double")
+                * F.col("nneg").cast("double")
+            ),
             6,
         ).alias("auc"),
     )
@@ -169,7 +177,8 @@ _CAL_HASH_MOD = 1_048_576  # 2^20 → p is an exact dyadic rational
     "ml_calibration_brier",
     oracle=f"""
     WITH s AS (
-      SELECT (o_orderkey * {_CAL_HASH_MULT}) % {_CAL_HASH_MOD} AS h,
+      SELECT ((o_orderkey % {_CAL_HASH_MOD}) * {_CAL_HASH_MULT})
+               % {_CAL_HASH_MOD} AS h,
              CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                   THEN 1 ELSE 0 END AS y
       FROM orders
@@ -196,13 +205,17 @@ def ml_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: single combinable aggregate keyed by 10 bins —
     map-side partials reduce everything before one constant-width
-    shuffle. The hash stays in int64 (orderkey·2654435761 < 2^63 for
-    any realistic key space); p and (p−y)² are exact-dyadic doubles
-    averaged identically in both engines, rounded at 6dp."""
+    shuffle. The key is reduced mod 2^20 BEFORE the multiply —
+    congruence-equivalent ((k mod m)·c mod m = k·c mod m), but the
+    raw product overflows int64 for keys above ~3.5e9 (TPC-H sf≳600:
+    silent wrap in Spark, range error in DuckDB) while the masked
+    product caps at 2^20·c < 2^62. p and (p−y)² are exact-dyadic
+    doubles averaged identically in both engines, rounded at 6dp."""
     t = _t(spark, sf_dir, "orders")["orders"]
     p = t.select(
         (
-            (F.col("o_orderkey") * _CAL_HASH_MULT) % _CAL_HASH_MOD
+            ((F.col("o_orderkey") % _CAL_HASH_MOD) * _CAL_HASH_MULT)
+            % _CAL_HASH_MOD
         ).cast("double").alias("h"),
         F.when(
             F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)

@@ -292,17 +292,15 @@ _TUMBLING_ORACLE = """
 """
 
 
-@register("tumbling_window_replay", oracle=_TUMBLING_ORACLE)
-def tumbling_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked tumbling-window aggregation replay: append-mode
-    emits a window only once the watermark passes its end, so the
-    sentinel (15 days past the data, a reserved event_type) flushes
-    every real window; its own window stays unemitted in state and is
-    filtered by type. Spark's epoch-aligned ``window('1 hour')``
-    equals the oracle's DATE_TRUNC('hour', ts) bucketing, so the
-    compare is exact — a window emitted early (before its watermark
-    closed) or double-emitted across micro-batches would break the
-    count/sum hash."""
+def _landed_tumbling_counts(
+    spark: SparkSession, sf_dir: str, tag: str
+) -> DataFrame:
+    """Shared streaming stage for the tumbling-count consumers: run
+    the watermarked hourly ``tumbling_window_agg`` under availableNow
+    with the sentinel flush, land the append output, and return it
+    with the sentinel filtered and window bounds cast back to NTZ.
+    Each caller passes its own ``tag`` so the runs stay separately
+    measured (and scratch dirs never collide)."""
     from rs_streamloader_spark.streaming.windows import tumbling_window_agg
 
     ev = _events(spark, sf_dir).select(
@@ -314,7 +312,7 @@ def tumbling_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _replay(
         spark,
-        "tumbling",
+        tag,
         sf_dir,
         {"events": ev.unionByName(sentinel)},
         lambda s: tumbling_window_agg(s["events"]),
@@ -326,6 +324,20 @@ def tumbling_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@register("tumbling_window_replay", oracle=_TUMBLING_ORACLE)
+def tumbling_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation replay: append-mode
+    emits a window only once the watermark passes its end, so the
+    sentinel (15 days past the data, a reserved event_type) flushes
+    every real window; its own window stays unemitted in state and is
+    filtered by type. Spark's epoch-aligned ``window('1 hour')``
+    equals the oracle's DATE_TRUNC('hour', ts) bucketing, so the
+    compare is exact — a window emitted early (before its watermark
+    closed) or double-emitted across micro-batches would break the
+    count/sum hash."""
+    return _landed_tumbling_counts(spark, sf_dir, "tumbling")
 
 
 _SLIDING_ORACLE = """
@@ -557,23 +569,29 @@ def stream_upsert_loader_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with no tiebreak — see tests/test_multibatch_replay.py)
     import time as _time
 
+    # persist the sliced view: the ntile is a global sort of the whole
+    # events table, and without the cache each of the 6 slice writes
+    # would re-scan and re-sort it from scratch
     sliced = ev.withColumn(
         "__slice",
         F.ntile(_CDC_SLICES).over(W.orderBy("ts", "event_id")),
-    )
-    base_mtime = _time.time() - _CDC_SLICES - 60
-    for i in range(1, _CDC_SLICES + 1):
-        (
-            sliced.filter(F.col("__slice") == i)
-            .drop("__slice")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(in_path)
-        )
-        for name in os.listdir(in_path):
-            full = os.path.join(in_path, name)
-            if os.path.getmtime(full) > base_mtime + i:
-                os.utime(full, (base_mtime + i, base_mtime + i))
+    ).persist()
+    try:
+        base_mtime = _time.time() - _CDC_SLICES - 60
+        for i in range(1, _CDC_SLICES + 1):
+            (
+                sliced.filter(F.col("__slice") == i)
+                .drop("__slice")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(in_path)
+            )
+            for name in os.listdir(in_path):
+                full = os.path.join(in_path, name)
+                if os.path.getmtime(full) > base_mtime + i:
+                    os.utime(full, (base_mtime + i, base_mtime + i))
+    finally:
+        sliced.unpersist()
     table_root = os.path.join(base, "table")
     sink = NativeTableSink(
         spark, table_root, num_buckets=_CDC_BUCKETS, bucket_by="user_id"
@@ -661,26 +679,8 @@ def stream_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     |windows|×|types| aggregate, never raw events."""
     from pyspark.sql.window import Window as W
 
-    from rs_streamloader_spark.streaming.windows import tumbling_window_agg
-
-    ev = _events(spark, sf_dir).select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    sentinel_ts = _sentinel_ts(ev)
-    sentinel = spark.createDataFrame(
-        [(-1, sentinel_ts, -1, "__sentinel", 0.0)], ev.schema
-    )
-    out = _replay(
-        spark,
-        "stream_topk",
-        sf_dir,
-        {"events": ev.unionByName(sentinel)},
-        lambda s: tumbling_window_agg(s["events"]),
-    )
-    c = out.filter(F.col("event_type") != "__sentinel").select(
-        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
-        "event_type",
-        "n_events",
+    c = _landed_tumbling_counts(spark, sf_dir, "stream_topk").select(
+        "window_start", "event_type", "n_events"
     )
     w_rank = W.partitionBy("window_start").orderBy(
         F.col("n_events").desc(), "event_type"
