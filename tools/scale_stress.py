@@ -151,6 +151,8 @@ HEAVY_TAIL = [
     "bootstrap_ci_revenue",
     "daily_counts_autocorr",
     "fuzzy_name_match",
+    "stream_upsert_loader_replay",
+    "stream_topk_replay",
     "session_entry_exit_paths",
     "zipf_slope_fit",
     "embedding_outlier_topk",
