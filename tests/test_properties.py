@@ -77,7 +77,17 @@ def test_upsert_compat_keeps_duplicate_update_rows(
     assert got == expected
 
 
-@pytest.mark.parametrize("query", ["time_bucket_agg", "sessionize_events"])
+@pytest.mark.parametrize(
+    "query",
+    [
+        "time_bucket_agg",
+        "sessionize_events",
+        # round-6 additions that emit timestamps / formatted dates
+        "join_asof_nearest",
+        "max_drawdown_revenue",
+        "dau_mau_stickiness",
+    ],
+)
 def test_timestamp_queries_are_timezone_invariant(spark, query):
     """Flipping the session timezone must not change results — all
     timestamp outputs are TIMESTAMP_NTZ or formatted strings (the
