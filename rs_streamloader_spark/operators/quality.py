@@ -439,3 +439,118 @@ def skyline_rows(o: DataFrame) -> DataFrame:
         )
         .select("id", "cents", "d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Smoothed target encoding (m-estimate) per segment
+# ---------------------------------------------------------------------------
+
+_TENC_M = 100
+
+
+@register(
+    "target_encode_segments",
+    oracle=f"""
+    WITH seg AS (
+      SELECT c_mktsegment,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sum_c
+      FROM customer GROUP BY c_mktsegment
+    ),
+    g AS (SELECT SUM(n) AS tot_n, SUM(sum_c) AS tot_c FROM seg)
+    SELECT seg.c_mktsegment, seg.n,
+           ROUND(CAST(seg.sum_c AS DOUBLE) / seg.n / 100.0, 4) AS raw_mean,
+           ROUND((seg.sum_c + {_TENC_M} * (CAST(g.tot_c AS DOUBLE) / g.tot_n))
+                 / (seg.n + {_TENC_M}) / 100.0, 4) AS encoded
+    FROM seg CROSS JOIN g
+    """,
+)
+def target_encode_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed (m-estimate) target encoding of the market segment
+    against account balance: enc = (Σy + m·prior)/(n + m) with the
+    global mean as prior — the leakage-safe categorical encoding a
+    feature pipeline materializes before training, shrunk toward the
+    prior for thin categories.
+
+    Scale posture: per-category sums collapse in one combinable
+    aggregate (BIGINT cents); the global prior is a 1-row broadcast.
+    The encode is a single double expression with identical operand
+    order in both engines, rounded at 4dp."""
+    t = _t(spark, sf_dir, "customer")["customer"]
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    seg = t.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.sum(cents).alias("sum_c")
+    )
+    g = seg.agg(F.sum("n").alias("tot_n"), F.sum("sum_c").alias("tot_c"))
+    prior = F.col("tot_c").cast("double") / F.col("tot_n")
+    return seg.crossJoin(F.broadcast(g)).select(
+        "c_mktsegment",
+        "n",
+        F.round(F.col("sum_c").cast("double") / F.col("n") / 100.0, 4).alias(
+            "raw_mean"
+        ),
+        F.round(
+            (F.col("sum_c") + _TENC_M * prior) / (F.col("n") + _TENC_M) / 100.0,
+            4,
+        ).alias("encoded"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashed feature-cross collision audit
+# ---------------------------------------------------------------------------
+
+_CROSS_BUCKETS = 64
+
+
+@register(
+    "hashed_feature_cross",
+    oracle=f"""
+    WITH x AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             ((STRPOS('0123456789abcdef',
+                      SUBSTR(MD5(CAST(c_nationkey AS VARCHAR) || 'x'
+                                 || c_mktsegment), 1, 1)) - 1) * 16
+              + (STRPOS('0123456789abcdef',
+                        SUBSTR(MD5(CAST(c_nationkey AS VARCHAR) || 'x'
+                                   || c_mktsegment), 2, 1)) - 1))
+               % {_CROSS_BUCKETS} AS bucket
+      FROM customer
+    )
+    SELECT bucket,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT CAST(c_nationkey AS VARCHAR) || 'x' || c_mktsegment)
+             AS n_crosses,
+           CASE WHEN COUNT(DISTINCT CAST(c_nationkey AS VARCHAR) || 'x'
+                           || c_mktsegment) > 1
+                THEN 1 ELSE 0 END AS collided
+    FROM x
+    GROUP BY bucket
+    """,
+)
+def hashed_feature_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing audit for the nation×segment cross: bucket the
+    cross into {b} hash slots (the hashing-trick embedding a trainer
+    would consume) and report, per slot, the row mass and how many
+    DISTINCT crosses collided into it — the measurement that decides
+    whether {b} buckets is too small before a model silently merges
+    features.
+
+    Scale posture: the md5 bucket is row-local codegen; one combinable
+    aggregate on the bucket key ({b} groups) carries both the row
+    count and the distinct-cross count. Same seeded-md5-mod idiom as
+    the sketch family, identical in both engines."""
+    t = _t(spark, sf_dir, "customer")["customer"]
+    cross = F.concat(
+        F.col("c_nationkey").cast("string"), F.lit("x"), F.col("c_mktsegment")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(cross), 1, 2), 16, 10).cast("int")
+        % _CROSS_BUCKETS
+    )
+    x = t.select(cross.alias("cross"), bucket.alias("bucket"))
+    return x.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("cross").alias("n_crosses"),
+        F.when(F.countDistinct("cross") > 1, 1).otherwise(0).alias("collided"),
+    )

@@ -1524,3 +1524,112 @@ def weekly_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonality_strength"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity privacy audit
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment,
+             COUNT(*) AS sz,
+             COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS l_div
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT COUNT(*) AS n_classes,
+           MIN(sz) AS k_anonymity,
+           MIN(l_div) AS l_diversity,
+           SUM(CASE WHEN sz < {_KANON_K} THEN 1 ELSE 0 END) AS n_risky_classes,
+           SUM(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END)
+             AS n_risky_individuals
+    FROM cls
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit before releasing a dataset keyed on
+    quasi-identifiers: k-anonymity (smallest equivalence class over
+    (nation, segment)) and l-diversity (fewest distinct sensitive
+    values — $1k balance bands — within any class), plus how many
+    classes and individuals sit below k={k}.
+
+    Scale posture: one combinable aggregate on the QI tuple (the
+    distinct-sensitive count is a per-class aggregate on the same
+    shuffle), then a 1-row rollup over the bounded class table. Pure
+    integers end to end."""
+    t = _t(spark, sf_dir, "customer")["customer"]
+    cls = t.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("sz"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+        ).alias("l_div"),
+    )
+    risky = F.when(F.col("sz") < _KANON_K, 1).otherwise(0)
+    return cls.agg(
+        F.count("*").alias("n_classes"),
+        F.min("sz").alias("k_anonymity"),
+        F.min("l_div").alias("l_diversity"),
+        F.sum(risky).alias("n_risky_classes"),
+        F.sum(F.when(F.col("sz") < _KANON_K, F.col("sz")).otherwise(0)).alias(
+            "n_risky_individuals"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD-based robust daily anomaly detection
+# ---------------------------------------------------------------------------
+
+_MAD_MULT = 3
+
+
+@register(
+    "anomaly_mad_days",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt FROM events GROUP BY 1
+    ),
+    med AS (SELECT QUANTILE_CONT(cnt, 0.5) AS m FROM daily),
+    mad AS (
+      SELECT QUANTILE_CONT(ABS(daily.cnt - med.m), 0.5) AS mad
+      FROM daily CROSS JOIN med
+    )
+    SELECT STRFTIME(daily.d, '%Y-%m-%d') AS day, daily.cnt,
+           ROUND(ABS(daily.cnt - med.m), 2) AS deviation
+    FROM daily CROSS JOIN med CROSS JOIN mad
+    WHERE ABS(daily.cnt - med.m) > {_MAD_MULT} * mad.mad
+    """,
+)
+def anomaly_mad_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on daily event volume: flag days more
+    than {mult}×MAD from the median — the outlier screen that, unlike
+    ``anomaly_zscore``'s mean/stddev, is not itself dragged by the
+    outliers it hunts (median/MAD have a 50% breakdown point).
+
+    Scale posture: events reduce to the calendar-bounded daily
+    aggregate; median and MAD are two exact percentile aggregates over
+    it, broadcast back as 1-row tables. Identical interpolation
+    (percentile ≡ QUANTILE_CONT) and identical comparison expressions
+    keep the flag set bit-deterministic."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(F.count("*").alias("cnt"))
+    med = daily.agg(F.percentile("cnt", F.lit(0.5)).alias("m"))
+    dev = daily.crossJoin(F.broadcast(med)).withColumn(
+        "adev", F.abs(F.col("cnt") - F.col("m"))
+    )
+    mad = dev.agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .where(F.col("adev") > _MAD_MULT * F.col("mad"))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "cnt",
+            F.round("adev", 2).alias("deviation"),
+        )
+    )

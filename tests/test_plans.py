@@ -952,3 +952,36 @@ def test_seasonality_strength_no_window(spark):
     df = weekly_seasonality_strength(spark, SF_SMOKE)
     text = explain_str(df, "simple")
     assert "Window" not in text, text
+
+
+def test_k_anonymity_two_stacked_aggregates(spark):
+    from rs_streamloader_spark.operators.stats import k_anonymity_audit
+
+    df = k_anonymity_audit(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Window" not in text, text
+
+
+def test_mad_anomaly_broadcasts_median_and_mad(spark):
+    from rs_streamloader_spark.operators.stats import anomaly_mad_days
+
+    df = anomaly_mad_days(spark, SF_SMOKE)
+    assert has_broadcast_join(df)
+
+
+def test_target_encoding_broadcasts_prior(spark):
+    from rs_streamloader_spark.operators.quality import target_encode_segments
+
+    df = target_encode_segments(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert has_broadcast_join(df)
+    assert "Window" not in text, text
+
+
+def test_feature_cross_single_bucket_aggregate(spark):
+    from rs_streamloader_spark.operators.quality import hashed_feature_cross
+
+    df = hashed_feature_cross(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Window" not in text, text
+    assert shuffle_count(df) <= 2, text

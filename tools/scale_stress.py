@@ -157,6 +157,10 @@ HEAVY_TAIL = [
     "zipf_slope_fit",
     "embedding_outlier_topk",
     "weekly_seasonality_strength",
+    "k_anonymity_audit",
+    "anomaly_mad_days",
+    "target_encode_segments",
+    "hashed_feature_cross",
 ]
 
 # threshold-pair operators over embeddings have intrinsically
@@ -218,6 +222,10 @@ CONSTANT_OUTPUT = {
     "zipf_slope_fit",
     "embedding_outlier_topk",
     "weekly_seasonality_strength",
+    "k_anonymity_audit",
+    "anomaly_mad_days",
+    "target_encode_segments",
+    "hashed_feature_cross",
 }
 
 
