@@ -2123,3 +2123,94 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack}) AS"
         " (column_name, n_rows, n_nonnull, n_distinct, min_num, max_num)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-constrained conversion funnel (step timeout)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WINDOW_H = 24
+
+
+@register(
+    "funnel_time_constrained",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+       AND e.ts > v.t_view
+       AND e.ts <= v.t_view + INTERVAL {_FUNNEL_WINDOW_H} HOUR
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+       AND e.ts > c.t_click
+       AND e.ts <= c.t_click + INTERVAL {_FUNNEL_WINDOW_H} HOUR
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT stage, COUNT(*) AS n_users FROM (
+      SELECT v.user_id,
+             CASE WHEN p.user_id IS NOT NULL THEN 3
+                  WHEN c.user_id IS NOT NULL THEN 2
+                  ELSE 1 END AS stage
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+             LEFT JOIN p ON v.user_id = p.user_id
+    ) GROUP BY stage
+    """,
+)
+def funnel_time_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel with a {h}-hour step timeout: each stage must
+    follow the previous within the window (view → click ≤{h}h later →
+    purchase ≤{h}h after the click) — the attribution-window variant
+    of ``funnel_stages`` every product funnel actually ships with.
+
+    Same single-pass shape as the unconstrained twin: ONE shuffle on
+    user_id, a codegen ``aggregate`` fold over the time-sorted event
+    array. The greedy walk with the window guard equals the oracle's
+    bounded min-timestamp chain: events arrive sorted, so the first
+    in-window candidate IS the min, and any candidate past the window
+    can never be followed by an earlier one."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    evs = F.array_sort(F.collect_list(F.struct("ts", "event_type")))
+
+    def mk(stage: int, ts):
+        return F.struct(F.lit(stage).alias("stage"), ts.alias("sts"))
+
+    init = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast("timestamp_ntz").alias("sts")
+    )
+    win = F.expr(f"INTERVAL {_FUNNEL_WINDOW_H} HOURS")
+
+    def step(acc, e):
+        return (
+            F.when(
+                (acc["stage"] == 0) & (e["event_type"] == "view"),
+                mk(1, e["ts"]),
+            )
+            .when(
+                (acc["stage"] == 1)
+                & (e["event_type"] == "click")
+                & (e["ts"] > acc["sts"])
+                & (e["ts"] <= acc["sts"] + win),
+                mk(2, e["ts"]),
+            )
+            .when(
+                (acc["stage"] == 2)
+                & (e["event_type"] == "purchase")
+                & (e["ts"] > acc["sts"])
+                & (e["ts"] <= acc["sts"] + win),
+                mk(3, e["ts"]),
+            )
+            .otherwise(acc)
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .agg(F.aggregate(evs, init, step)["stage"].alias("stage"))
+        .filter(F.col("stage") >= 1)
+        .groupBy("stage")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -1633,3 +1633,222 @@ def anomaly_mad_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("adev", 2).alias("deviation"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Uplift readout by segment (A/B split × day-of-week)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "uplift_by_segment",
+    oracle="""
+    WITH u AS (
+      SELECT user_id % 2 AS variant,
+             CAST(EXTRACT(dow FROM ts) AS INT) AS dow,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY 1, 2, user_id, CAST(ts AS DATE)
+    ),
+    v AS (
+      SELECT dow, variant, COUNT(*) AS n, SUM(converted) AS conv
+      FROM u GROUP BY dow, variant
+    ),
+    wide AS (
+      SELECT dow,
+             MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+             MAX(CASE WHEN variant = 0 THEN conv END) AS conv_a,
+             MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+             MAX(CASE WHEN variant = 1 THEN conv END) AS conv_b
+      FROM v GROUP BY dow
+    )
+    SELECT dow, n_a, n_b,
+           ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS p_a,
+           ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS p_b,
+           ROUND(CAST(conv_b AS DOUBLE) / n_b
+                 - CAST(conv_a AS DOUBLE) / n_a, 6) AS uplift
+    FROM wide
+    """,
+)
+def uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level uplift readout: the A/B split of
+    ``ab_test_proportion_z`` (variant = user_id mod 2, user-day
+    units) broken out by day-of-week — the heterogeneous-treatment
+    view that tells an experimenter WHERE an effect concentrates
+    before averaging it away globally.
+
+    Scale posture: conversion collapses per (user, day, variant)
+    first (combinable MAX over the raw stream), the segment×variant
+    rollup is a 14-row aggregate pivoted wide per segment, and the
+    rate arithmetic is single-expression doubles over exact
+    integers."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    u = (
+        ev.groupBy(
+            (F.col("user_id") % 2).alias("variant"),
+            F.to_date("ts").alias("d"),
+            (F.dayofweek("ts") - 1).alias("dow"),
+            "user_id",
+        )
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    v = u.groupBy("dow", "variant").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = v.groupBy("dow").agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    return wide.select(
+        "dow",
+        "n_a",
+        "n_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(p_b - p_a, 6).alias("uplift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve (cumulative revenue per signup cohort by age)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH fo AS (
+      SELECT o_custkey,
+             MIN(EXTRACT(year FROM o_orderdate) * 12
+                 + EXTRACT(month FROM o_orderdate)) AS cohort_m
+      FROM orders GROUP BY o_custkey
+    ),
+    sz AS (SELECT cohort_m, COUNT(*) AS cohort_size FROM fo GROUP BY cohort_m),
+    rev AS (
+      SELECT fo.cohort_m,
+             EXTRACT(year FROM o.o_orderdate) * 12
+               + EXTRACT(month FROM o.o_orderdate) - fo.cohort_m AS age_m,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders o JOIN fo ON fo.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_m, age_m,
+             SUM(rev_c) OVER (PARTITION BY cohort_m ORDER BY age_m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+      FROM rev
+    )
+    SELECT CAST(cum.cohort_m AS BIGINT) AS cohort_m,
+           CAST(cum.age_m AS BIGINT) AS age_m,
+           sz.cohort_size,
+           ROUND(CAST(cum.cum_c // sz.cohort_size AS BIGINT) / 100.0, 2)
+             AS ltv_per_user
+    FROM cum JOIN sz ON sz.cohort_m = cum.cohort_m
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers cohorted by first-order
+    month; cumulative revenue per cohort member at each month of age —
+    the payback/LTV table that prices acquisition spend
+    (``retention_cohorts``'s revenue sibling).
+
+    Scale posture: first-order month is one combinable MIN per
+    customer; the cohort join keys on custkey (co-partitioned with
+    the orders shuffle); monthly revenue collapses to the bounded
+    (cohort × age) grid BEFORE the cumulative window runs over it;
+    cohort sizes broadcast back. Money stays BIGINT cents until the
+    final display division."""
+    t = _t(spark, sf_dir, "orders")["orders"]
+    month = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    fo = t.groupBy("o_custkey").agg(F.min(month).alias("cohort_m"))
+    sz = fo.groupBy("cohort_m").agg(F.count("*").alias("cohort_size"))
+    rev = (
+        t.join(fo, "o_custkey")
+        .groupBy(
+            "cohort_m", (month - F.col("cohort_m")).alias("age_m")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "rev_c"
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age_m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rev.withColumn("cum_c", F.sum("rev_c").over(w))
+    # integer cents-per-user FIRST (exact `div` in both engines), so
+    # the 2dp display round sees an exactly-2-decimal value — dividing
+    # doubles before rounding put cum/size on half boundaries and
+    # flipped the last digit between engines
+    per_user_cents = F.expr("cum_c div cohort_size")
+    return cum.join(F.broadcast(sz), "cohort_m").select(
+        F.col("cohort_m").cast("bigint").alias("cohort_m"),
+        F.col("age_m").cast("bigint").alias("age_m"),
+        "cohort_size",
+        F.round(per_user_cents / 100.0, 2).alias("ltv_per_user"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning users per month
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "new_vs_returning_users",
+    oracle="""
+    WITH um AS (
+      SELECT DISTINCT user_id,
+             EXTRACT(year FROM ts) * 12 + EXTRACT(month FROM ts) AS m
+      FROM events
+    ),
+    first AS (SELECT user_id, MIN(m) AS first_m FROM um GROUP BY user_id),
+    active AS (SELECT m, COUNT(*) AS active_users FROM um GROUP BY m),
+    new_u AS (SELECT first_m AS m, COUNT(*) AS new_users FROM first GROUP BY 1)
+    SELECT CAST(active.m AS BIGINT) AS month_idx,
+           active.active_users,
+           COALESCE(new_u.new_users, 0) AS new_users,
+           active.active_users - COALESCE(new_u.new_users, 0)
+             AS returning_users,
+           ROUND(CAST(COALESCE(new_u.new_users, 0) AS DOUBLE)
+                 / active.active_users, 6) AS new_share
+    FROM active LEFT JOIN new_u ON new_u.m = active.m
+    """,
+)
+def new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning monthly split: a month's actives decompose
+    into first-ever-seen users and returners — the top-of-dashboard
+    growth decomposition next to ``dau_mau_stickiness`` and
+    ``orders_monthly_growth``.
+
+    Scale posture: the (user, month) dedup collapses the raw stream
+    once; first-seen is a per-user MIN on the same key layout; both
+    monthly rollups are calendar-bounded and join broadcast-small."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    um = ev.select(
+        "user_id", (F.year("ts") * 12 + F.month("ts")).alias("m")
+    ).distinct()
+    first = um.groupBy("user_id").agg(F.min("m").alias("first_m"))
+    active = um.groupBy("m").agg(F.count("*").alias("active_users"))
+    new_u = first.groupBy(F.col("first_m").alias("m")).agg(
+        F.count("*").alias("new_users")
+    )
+    nu = F.coalesce(F.col("new_users"), F.lit(0))
+    return active.join(F.broadcast(new_u), "m", "left").select(
+        F.col("m").cast("bigint").alias("month_idx"),
+        "active_users",
+        nu.alias("new_users"),
+        (F.col("active_users") - nu).alias("returning_users"),
+        F.round(nu.cast("double") / F.col("active_users"), 6).alias("new_share"),
+    )

@@ -985,3 +985,45 @@ def test_feature_cross_single_bucket_aggregate(spark):
     text = explain_str(df, "simple")
     assert "Window" not in text, text
     assert shuffle_count(df) <= 2, text
+
+
+def test_uplift_collapses_user_day_before_pivot(spark):
+    from rs_streamloader_spark.operators.stats import uplift_by_segment
+
+    df = uplift_by_segment(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Window" not in text, text
+
+
+def test_ltv_window_sits_on_cohort_age_grid(spark):
+    """The cumulative window must order the bounded (cohort, age)
+    aggregate, never raw orders; cohort sizes broadcast."""
+    from rs_streamloader_spark.operators.stats import cohort_ltv_curve
+
+    df = cohort_ltv_curve(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert has_broadcast_join(df)
+    lines = text.splitlines()
+    wins = [i for i, l in enumerate(lines) if "Window [" in l or l.lstrip().startswith("+- Window")]
+    assert wins, text
+    for i in wins:
+        below = "\n".join(lines[i:])
+        agg = below.find("HashAggregate")
+        scan = below.find("Scan parquet")
+        assert 0 <= agg < scan, below[:1500]
+
+
+def test_new_returning_broadcasts_monthly_rollups(spark):
+    from rs_streamloader_spark.operators.stats import new_vs_returning_users
+
+    df = new_vs_returning_users(spark, SF_SMOKE)
+    assert has_broadcast_join(df)
+
+
+def test_constrained_funnel_single_scan_two_shuffles(spark):
+    from rs_streamloader_spark.operators.analytic import funnel_time_constrained
+
+    df = funnel_time_constrained(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert text.count("Scan parquet") == 1, text
+    assert shuffle_count(df) <= 2, text

@@ -161,6 +161,10 @@ HEAVY_TAIL = [
     "anomaly_mad_days",
     "target_encode_segments",
     "hashed_feature_cross",
+    "uplift_by_segment",
+    "cohort_ltv_curve",
+    "new_vs_returning_users",
+    "funnel_time_constrained",
 ]
 
 # threshold-pair operators over embeddings have intrinsically
@@ -226,6 +230,8 @@ CONSTANT_OUTPUT = {
     "anomaly_mad_days",
     "target_encode_segments",
     "hashed_feature_cross",
+    "uplift_by_segment",
+    "funnel_time_constrained",
 }
 
 
