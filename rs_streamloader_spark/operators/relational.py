@@ -981,3 +981,211 @@ def grouping_id_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy revenue shares (ratio-to-parent over the snowflake)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_share_hierarchy",
+    oracle="""
+    WITH nat AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    ),
+    reg AS (
+      SELECT region, rev_c, nation,
+             SUM(rev_c) OVER (PARTITION BY region) AS region_c,
+             SUM(rev_c) OVER () AS total_c
+      FROM nat
+    )
+    SELECT region, nation,
+           ROUND(rev_c / 100.0, 2) AS revenue,
+           ROUND(CAST(rev_c AS DOUBLE) / region_c, 6) AS share_of_region,
+           ROUND(CAST(region_c AS DOUBLE) / total_c, 6) AS region_share_total
+    FROM reg
+    """,
+)
+def revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent report over the region→nation hierarchy: each
+    nation's revenue, its share of its region, and the region's share
+    of the grand total — the drill-down table a BI layer derives from
+    one snowflake pass.
+
+    Scale posture: the snowflake joins are a broadcast chain over the
+    orders scan (customer→nation→region are dimension-sized); revenue
+    collapses to the 25-row (region, nation) grid BEFORE the two
+    share windows run over it. Money in BIGINT cents; shares are
+    single double ratios at 6dp."""
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation", "region")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    nat = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey")
+        )
+        .join(
+            F.broadcast(t["region"]), F.col("r_regionkey") == F.col("n_regionkey")
+        )
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(cents).alias("rev_c"))
+    )
+    w_reg = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return nat.select(
+        "region",
+        "nation",
+        F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+        F.round(
+            F.col("rev_c").cast("double") / F.sum("rev_c").over(w_reg), 6
+        ).alias("share_of_region"),
+        F.round(
+            F.sum("rev_c").over(w_reg).cast("double")
+            / F.sum("rev_c").over(w_all),
+            6,
+        ).alias("region_share_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast non-equi dimension join (literal tier table)
+# ---------------------------------------------------------------------------
+
+_PRICE_TIERS = [
+    ("T1_under_50k", 0, 5_000_000),
+    ("T2_50k_100k", 5_000_000, 10_000_000),
+    ("T3_100k_200k", 10_000_000, 20_000_000),
+    ("T4_200k_350k", 20_000_000, 35_000_000),
+    ("T5_over_350k", 35_000_000, None),
+]
+
+
+def _tiers_values_sql() -> str:
+    rows = ", ".join(
+        f"('{n}', {lo}, {'NULL' if hi is None else hi})" for n, lo, hi in _PRICE_TIERS
+    )
+    return f"(VALUES {rows}) AS t(tier, lo, hi)"
+
+
+@register(
+    "price_tier_assignment",
+    oracle=f"""
+    WITH o AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    j AS (
+      SELECT t.tier FROM o
+      JOIN {_tiers_values_sql()}
+        ON o.cents >= t.lo AND (t.hi IS NULL OR o.cents < t.hi)
+    ),
+    c AS (SELECT tier, COUNT(*) AS n FROM j GROUP BY tier),
+    s AS (SELECT SUM(n) AS tot FROM c)
+    SELECT c.tier, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / s.tot, 6) AS share
+    FROM c CROSS JOIN s
+    """,
+)
+def price_tier_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-dimension assignment via a BROADCAST NON-EQUI join: a
+    literal tier table joins on half-open range conditions — the shape
+    every rating/pricing/banding dimension takes when the bands live
+    in a table (maintainable) rather than a CASE expression
+    (hardcoded).
+
+    Scale posture: a range-predicate join has no equi key, so Spark
+    plans BroadcastNestedLoopJoin — which is exactly RIGHT here: the
+    inner side is 5 rows, so the "nested loop" is 5 comparisons per
+    fact row, all codegen, fact side never shuffles. The same
+    predicate against a non-broadcastable band table is the interval-
+    bucketing rewrite (``join_range``). Tier counts then collapse to
+    a 5-row aggregate with a broadcast total."""
+    t = load_tables(spark, sf_dir, "orders")["orders"]
+    tiers = spark.createDataFrame(_PRICE_TIERS, "tier: string, lo: long, hi: long")
+    o = t.select(F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    j = o.join(
+        F.broadcast(tiers),
+        (F.col("cents") >= F.col("lo"))
+        & (F.col("hi").isNull() | (F.col("cents") < F.col("hi"))),
+    )
+    c = j.groupBy("tier").agg(F.count("*").alias("n"))
+    # share via a global window over the 5-row aggregate — a
+    # crossJoin(total) would re-derive the whole join branch for the
+    # 1-row total (two scans instead of one)
+    tot = F.sum("n").over(Window.partitionBy())
+    return c.select(
+        "tier",
+        "n",
+        F.round(F.col("n").cast("double") / tot, 6).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-insensitive table checksum (replication / migration audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "table_checksum_orders",
+    oracle="""
+    WITH rows_n AS (
+      SELECT CAST(o_orderkey AS VARCHAR) || '|'
+             || CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+             || '|' || STRFTIME(o_orderdate, '%Y-%m-%d') || '|'
+             || o_orderstatus || '|' || o_orderpriority AS key
+      FROM orders
+    ),
+    h AS (
+      SELECT
+        (STRPOS('0123456789abcdef', SUBSTR(MD5(key), 1, 1)) - 1) * 16777216
+        + (STRPOS('0123456789abcdef', SUBSTR(MD5(key), 2, 1)) - 1) * 1048576
+        + (STRPOS('0123456789abcdef', SUBSTR(MD5(key), 3, 1)) - 1) * 65536
+        + (STRPOS('0123456789abcdef', SUBSTR(MD5(key), 4, 1)) - 1) * 4096
+        + (STRPOS('0123456789abcdef', SUBSTR(MD5(key), 5, 1)) - 1) * 256
+        + (STRPOS('0123456789abcdef', SUBSTR(MD5(key), 6, 1)) - 1) * 16
+        + (STRPOS('0123456789abcdef', SUBSTR(MD5(key), 7, 1)) - 1) AS hv
+      FROM rows_n
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(hv AS HUGEINT)) AS VARCHAR) AS checksum
+    FROM h
+    """,
+)
+def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content checksum of the orders table: each
+    row canonicalizes (cents, formatted date, exact strings) into a
+    key whose md5 prefix folds into an exact integer sum — the
+    replication/migration audit that answers "are these two copies
+    byte-identical" with one number per side, without sorting or
+    moving the data. The 28-bit per-row term keeps any realistic
+    table's sum far inside exact integer range.
+
+    Scale posture: the canonical-key hash is row-local codegen; the
+    checksum is ONE combinable SUM (exact integer, order-independent
+    by construction — this is why the rows fold to integers rather
+    than summing doubles). Verifying a 100 TB replica costs one scan
+    per side and ships 16 bytes."""
+    t = load_tables(spark, sf_dir, "orders")["orders"]
+    key = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    )
+    hv = F.conv(F.substring(F.md5(key), 1, 7), 16, 10).cast("decimal(19,0)")
+    return t.select(hv.alias("hv")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("hv").cast("decimal(38,0)").cast("string").alias("checksum"),
+    )

@@ -1027,3 +1027,41 @@ def test_constrained_funnel_single_scan_two_shuffles(spark):
     text = explain_str(df, "simple")
     assert text.count("Scan parquet") == 1, text
     assert shuffle_count(df) <= 2, text
+
+
+def test_hierarchy_shares_broadcast_chain_windows_on_grid(spark):
+    """Snowflake dims broadcast; the share windows order the bounded
+    (region, nation) grid, never raw orders."""
+    from rs_streamloader_spark.operators.relational import revenue_share_hierarchy
+
+    df = revenue_share_hierarchy(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert has_broadcast_join(df)
+    lines = text.splitlines()
+    wins = [i for i, l in enumerate(lines) if "Window [" in l or l.lstrip().startswith("+- Window")]
+    assert wins, text
+    for i in wins:
+        below = "\n".join(lines[i:])
+        agg = below.find("HashAggregate")
+        scan = below.find("Scan parquet")
+        assert 0 <= agg < scan, below[:1500]
+
+
+def test_tier_join_is_broadcast_nested_loop(spark):
+    """The 5-row range dimension must plan as BroadcastNestedLoopJoin
+    — the right physical choice for a tiny non-equi inner side."""
+    from rs_streamloader_spark.operators.relational import price_tier_assignment
+
+    df = price_tier_assignment(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" in text, text
+    assert shuffle_count(df) <= 2, text
+
+
+def test_checksum_is_single_combinable_aggregate(spark):
+    from rs_streamloader_spark.operators.relational import table_checksum_orders
+
+    df = table_checksum_orders(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Window" not in text, text
+    assert text.count("Scan parquet") == 1, text

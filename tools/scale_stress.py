@@ -165,6 +165,9 @@ HEAVY_TAIL = [
     "cohort_ltv_curve",
     "new_vs_returning_users",
     "funnel_time_constrained",
+    "revenue_share_hierarchy",
+    "price_tier_assignment",
+    "table_checksum_orders",
 ]
 
 # threshold-pair operators over embeddings have intrinsically
@@ -232,6 +235,9 @@ CONSTANT_OUTPUT = {
     "hashed_feature_cross",
     "uplift_by_segment",
     "funnel_time_constrained",
+    "revenue_share_hierarchy",
+    "price_tier_assignment",
+    "table_checksum_orders",
 }
 
 
