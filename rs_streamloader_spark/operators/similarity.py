@@ -1494,3 +1494,133 @@ def embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _OUTLIER_TOPK)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension quantile profile (embedding distribution audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_dim_quantiles",
+    oracle=f"""
+    SELECT CAST(pos AS INTEGER) AS dim,
+           ROUND(QUANTILE_CONT(CAST(embedding[pos] AS DOUBLE), 0.25), 6)
+             AS p25,
+           ROUND(QUANTILE_CONT(CAST(embedding[pos] AS DOUBLE), 0.50), 6)
+             AS p50,
+           ROUND(QUANTILE_CONT(CAST(embedding[pos] AS DOUBLE), 0.75), 6)
+             AS p75
+    FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) g(pos)
+    WHERE LEN(embedding) = {EMB_DIM}
+    GROUP BY 1
+    """,
+)
+def embedding_dim_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension quartile profile of the embedding distribution —
+    the drift/debug companion to ``embedding_dim_stats``' moment view:
+    quartiles catch the skew and clipping that mean/std smooth over
+    (e.g. a dimension stuck at a quantized ceiling).
+
+    Scale posture: posexplode to (dim, component), then one exact
+    interpolated-percentile aggregate per dimension key ({dim}
+    groups). Identical interpolation (percentile ≡ QUANTILE_CONT) at
+    6dp."""
+    t = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    comp = (
+        spread(t)
+        .filter(F.size("embedding") == EMB_DIM)
+        .select(F.posexplode("embedding").alias("pos0", "v"))
+        .select(
+            (F.col("pos0") + 1).cast("int").alias("dim"),
+            F.col("v").cast("double").alias("v"),
+        )
+    )
+    return comp.groupBy("dim").agg(
+        F.round(F.percentile("v", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("v", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("v", F.lit(0.75)), 6).alias("p75"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free power-iteration step (principal direction estimate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_principal_direction",
+    oracle=f"""
+    WITH comp AS (
+      SELECT vec_id, CAST(pos AS INTEGER) AS dim,
+             CAST(embedding[pos] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) g(pos)
+      WHERE LEN(embedding) = {EMB_DIM}
+    ),
+    dot AS (
+      SELECT vec_id, SUM(CAST(ROUND(x * 1000000000) AS BIGINT)) AS d_nano
+      FROM comp GROUP BY vec_id
+    ),
+    t AS (
+      SELECT comp.dim,
+             SUM(CAST(ROUND((dot.d_nano / 1000000000.0) * comp.x * 1000000)
+                      AS BIGINT)) AS s_micro
+      FROM comp JOIN dot ON dot.vec_id = comp.vec_id
+      GROUP BY comp.dim
+    ),
+    nrm AS (
+      SELECT SQRT(SUM(CAST(s_micro AS HUGEINT) * s_micro)) AS nrm FROM t
+    )
+    SELECT t.dim,
+           ROUND(t.s_micro / nrm.nrm, 6) AS loading
+    FROM t CROSS JOIN nrm
+    """,
+)
+def embedding_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One matrix-free power-iteration step toward the embedding
+    corpus's principal direction: v₁ ∝ Xᵀ(X·v₀) from the uniform seed
+    v₀ = 1 — the building block of distributed PCA (each further step
+    repeats the same two aggregations; the loading vector after one
+    step already exposes the dominant variance axis for drift and
+    anisotropy audits, cf. the IVF/PQ quantizer ops).
+
+    Scale posture: the step is two combinable aggregations — per-row
+    dot products (one shuffle on vec_id... actually none: the dot is
+    row-local over the array; only the dim rollup shuffles into {dim}
+    keys). Cross-engine determinism: the row dot folds to integer
+    NANO-units (v₀ = 1 makes it the component sum), each (dot·xᵢ)
+    term rounds to MICRO-units before the per-dim sum, and the final
+    normalization is one sqrt of an exact integer sum."""
+    t = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    rows = spread(t).filter(F.size("embedding") == EMB_DIM)
+    # v0 = (1,...,1): X·v0 is the per-row component sum — fold to
+    # exact nano-units row-locally (sequential array fold, identical
+    # index order in both engines)
+    d_nano = F.aggregate(
+        "embedding",
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc
+        + F.round(x.cast("double") * 1_000_000_000).cast("bigint"),
+    )
+    comp = rows.select(
+        d_nano.alias("d_nano"), F.posexplode("embedding").alias("pos0", "x0")
+    ).select(
+        "d_nano",
+        (F.col("pos0") + 1).cast("int").alias("dim"),
+        F.col("x0").cast("double").alias("x"),
+    )
+    term = F.round(
+        (F.col("d_nano") / 1_000_000_000.0) * F.col("x") * 1_000_000
+    ).cast("bigint")
+    tt = comp.groupBy("dim").agg(F.sum(term).alias("s_micro"))
+    nrm = tt.agg(
+        F.sqrt(
+            F.sum(
+                F.col("s_micro").cast("decimal(19,0)") * F.col("s_micro")
+            ).cast("double")
+        ).alias("nrm")
+    )
+    return tt.crossJoin(F.broadcast(nrm)).select(
+        "dim",
+        F.round(F.col("s_micro") / F.col("nrm"), 6).alias("loading"),
+    )

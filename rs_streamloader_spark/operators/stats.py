@@ -1852,3 +1852,116 @@ def new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("active_users") - nu).alias("returning_users"),
         F.round(nu.cast("double") / F.col("active_users"), 6).alias("new_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-purchase time distribution (repeat-purchase cadence)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interpurchase_time_stats",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             DATE_DIFF('day', LAG(o_orderdate) OVER w, o_orderdate) AS gap_d
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    g AS (SELECT CAST(gap_d AS BIGINT) AS gap_d FROM seq WHERE gap_d IS NOT NULL)
+    SELECT COUNT(*) AS n_gaps,
+           ROUND(QUANTILE_CONT(gap_d, 0.25), 2) AS p25_days,
+           ROUND(QUANTILE_CONT(gap_d, 0.50), 2) AS p50_days,
+           ROUND(QUANTILE_CONT(gap_d, 0.75), 2) AS p75_days,
+           ROUND(AVG(CAST(gap_d AS DOUBLE)), 4) AS mean_days
+    FROM g
+    """,
+)
+def interpurchase_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the distribution of day gaps between a
+    customer's consecutive orders — the number that calibrates churn
+    windows and re-engagement timing (a 30-day "inactive" flag is
+    meaningless if the p75 gap is 45 days).
+
+    Scale posture: one LAG window per customer partition (single
+    shuffle on the natural key, ties broken by orderkey), gaps as
+    exact integer days, then one global percentile/mean aggregate.
+    The mean is an exact-integer sum divided once."""
+    t = _t(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        t.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).cast("bigint").alias("gap_d")
+        )
+        .where(F.col("gap_d").isNotNull())
+    )
+    return gaps.agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.percentile("gap_d", F.lit(0.25)), 2).alias("p25_days"),
+        F.round(F.percentile("gap_d", F.lit(0.50)), 2).alias("p50_days"),
+        F.round(F.percentile("gap_d", F.lit(0.75)), 2).alias("p75_days"),
+        F.round(F.avg(F.col("gap_d").cast("double")), 4).alias("mean_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness of hourly event traffic (Fano factor + burstiness index)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_burstiness",
+    oracle="""
+    WITH hourly AS (
+      SELECT DATE_TRUNC('hour', ts) AS h, COUNT(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(cnt AS HUGEINT)) AS sx,
+             SUM(CAST(cnt AS HUGEINT) * cnt) AS sxx
+      FROM hourly
+    ),
+    m AS (
+      SELECT n, CAST(sx AS DOUBLE) / n AS mu,
+             CAST(sxx AS DOUBLE) / n
+               - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS var
+      FROM s
+    )
+    SELECT n AS n_hours,
+           ROUND(mu, 4) AS mean_per_hour,
+           ROUND(var / mu, 4) AS fano_factor,
+           ROUND((SQRT(var) - mu) / (SQRT(var) + mu), 6) AS burstiness
+    FROM m
+    """,
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burstiness of the hourly event series: the Fano factor
+    (variance/mean — 1 for a Poisson process, >1 overdispersed) and
+    the Goh–Barabási burstiness index (σ−μ)/(σ+μ) ∈ (−1, 1) — the
+    two scalars that decide whether capacity planning can assume
+    Poisson arrivals.
+
+    Scale posture: events collapse to the calendar-bounded hourly
+    aggregate; moments stay HUGEINT/DECIMAL-exact; the three final
+    expressions are identical-operand-order doubles."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("cnt")
+    )
+    x = F.col("cnt").cast("decimal(19,0)")
+    s = hourly.agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * F.col("cnt")).alias("sxx"),
+    )
+    mu = F.col("sx").cast("double") / F.col("n")
+    var = F.col("sxx").cast("double") / F.col("n") - mu * mu
+    return s.select(
+        F.col("n").alias("n_hours"),
+        F.round(mu, 4).alias("mean_per_hour"),
+        F.round(var / mu, 4).alias("fano_factor"),
+        F.round((F.sqrt(var) - mu) / (F.sqrt(var) + mu), 6).alias("burstiness"),
+    )

@@ -1065,3 +1065,40 @@ def test_checksum_is_single_combinable_aggregate(spark):
     text = explain_str(df, "simple")
     assert "Window" not in text, text
     assert text.count("Scan parquet") == 1, text
+
+
+def test_interpurchase_single_customer_window(spark):
+    from rs_streamloader_spark.operators.stats import interpurchase_time_stats
+
+    df = interpurchase_time_stats(spark, SF_SMOKE)
+    assert shuffle_count(df) <= 2, explain_str(df, "simple")
+
+
+def test_burstiness_no_window(spark):
+    from rs_streamloader_spark.operators.stats import events_burstiness
+
+    df = events_burstiness(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Window" not in text, text
+    assert shuffle_count(df) <= 2, text
+
+
+def test_dim_quantiles_single_aggregate(spark):
+    from rs_streamloader_spark.operators.similarity import embedding_dim_quantiles
+
+    df = embedding_dim_quantiles(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Window" not in text, text
+
+
+def test_principal_direction_two_aggregations(spark):
+    """The power step is two combinable aggregations (per-dim rollup +
+    1-row norm) — no window, no per-row Python."""
+    from rs_streamloader_spark.operators.similarity import (
+        embedding_principal_direction,
+    )
+
+    df = embedding_principal_direction(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Window" not in text, text
+    assert has_broadcast_join(df)

@@ -168,6 +168,10 @@ HEAVY_TAIL = [
     "revenue_share_hierarchy",
     "price_tier_assignment",
     "table_checksum_orders",
+    "interpurchase_time_stats",
+    "events_burstiness",
+    "embedding_dim_quantiles",
+    "embedding_principal_direction",
 ]
 
 # threshold-pair operators over embeddings have intrinsically
@@ -238,6 +242,10 @@ CONSTANT_OUTPUT = {
     "revenue_share_hierarchy",
     "price_tier_assignment",
     "table_checksum_orders",
+    "interpurchase_time_stats",
+    "events_burstiness",
+    "embedding_dim_quantiles",
+    "embedding_principal_direction",
 }
 
 
