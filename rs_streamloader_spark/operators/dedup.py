@@ -1209,3 +1209,149 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("nbr_jaccard").desc(), "doc_a", "doc_b")
         .limit(_LINKPRED_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator audit (estimated vs exact Jaccard on candidates)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_audit_oracle() -> str:
+    mins = ", ".join(
+        f"MIN(MD5('{k}|' || sh)) AS h{k}" for k in range(N_MINHASH)
+    )
+    rows = N_MINHASH // N_BANDS
+    bands = []
+    for b in range(N_BANDS):
+        cat = " || ".join(f"h{b * rows + r}" for r in range(rows))
+        bands.append(
+            f"SELECT doc_id, {b} AS band_idx, MD5({cat}) AS band_val FROM sig"
+        )
+    bands_sql = "\n      UNION ALL\n      ".join(bands)
+    matches = " + ".join(
+        f"CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END" for k in range(N_MINHASH)
+    )
+    return f"""
+    WITH s AS ({_SHINGLE_SQL}),
+    sig AS (SELECT doc_id, {mins} FROM s GROUP BY doc_id),
+    bands AS (
+      {bands_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b, ({matches}) AS n_match
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b
+    ),
+    n AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM cand c
+      JOIN s sa ON sa.doc_id = c.doc_a
+      JOIN s sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT est.doc_a, est.doc_b,
+           ROUND(CAST(est.n_match AS DOUBLE) / {N_MINHASH}, 4) AS est_jaccard,
+           ROUND(CAST(COALESCE(inter.i, 0) AS DOUBLE)
+                 / (na.n + nb.n - COALESCE(inter.i, 0)), 6) AS exact_jaccard,
+           ROUND(ABS(CAST(est.n_match AS DOUBLE) / {N_MINHASH}
+                 - CAST(COALESCE(inter.i, 0) AS DOUBLE)
+                   / (na.n + nb.n - COALESCE(inter.i, 0))), 6) AS abs_err
+    FROM est
+    LEFT JOIN inter ON inter.doc_a = est.doc_a AND inter.doc_b = est.doc_b
+    JOIN n na ON na.doc_id = est.doc_a
+    JOIN n nb ON nb.doc_id = est.doc_b
+    """
+
+
+@register("minhash_estimate_audit", oracle=_minhash_audit_oracle())
+def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator audit: for every LSH candidate pair, the
+    sketch's Jaccard estimate (matching minhashes / {m}) next to the
+    exact shingle Jaccard and the absolute error — pricing the
+    16-permutation sketch exactly as ``heavy_hitters_cms`` prices CMS
+    and ``distinct_kmv_estimate`` prices KMV; with this, every sketch
+    family in the engine ships with its own audit query.
+
+    Scale posture: same stage shapes as ``dedup_minhash_lsh`` (cached
+    shingle stage → signature aggregate → band equality join), plus
+    one signature join pair for the match count (16 column equality
+    checks, codegen) and the candidate-scoped exact verification join.
+    Estimates are exact multiples of 1/{m}; the exact side reuses the
+    denormalized shingle counts."""
+    s = _shingles_cached(spark, sf_dir)
+    sig = s.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("sh")))).alias(f"h{k}")
+            for k in range(N_MINHASH)
+        ]
+    )
+    rows = N_MINHASH // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"h{k}").alias(f"a{k}") for k in range(N_MINHASH)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"h{k}").alias(f"b{k}") for k in range(N_MINHASH)]
+    )
+    n_match = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(N_MINHASH)
+    )
+    est = cand.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", n_match.alias("n_match")
+    )
+    ss_a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh"), F.col("n").alias("na"))
+    ss_b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh"), F.col("n").alias("nb"))
+    inter = (
+        cand.join(ss_a, "doc_a")
+        .join(ss_b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"), F.min("na").alias("na"), F.min("nb").alias("nb"))
+    )
+    # candidates with zero shared shingles (possible in principle)
+    # zero-fill via a left join plus the per-doc counts
+    nd = s.groupBy("doc_id").agg(F.min("n").alias("n"))
+    est_n = (
+        est.join(inter.select("doc_a", "doc_b", "i"), ["doc_a", "doc_b"], "left")
+        .join(nd.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(nd.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn("i0", F.coalesce(F.col("i"), F.lit(0)))
+    )
+    exact = F.col("i0").cast("double") / (F.col("na") + F.col("nb") - F.col("i0"))
+    est_j = F.col("n_match").cast("double") / N_MINHASH
+    return est_n.select(
+        "doc_a",
+        "doc_b",
+        F.round(est_j, 4).alias("est_jaccard"),
+        F.round(exact, 6).alias("exact_jaccard"),
+        F.round(F.abs(est_j - exact), 6).alias("abs_err"),
+    )

@@ -1102,3 +1102,12 @@ def test_principal_direction_two_aggregations(spark):
     text = explain_str(df, "simple")
     assert "Window" not in text, text
     assert has_broadcast_join(df)
+
+
+def test_minhash_audit_reuses_cached_shingles(spark):
+    from rs_streamloader_spark.operators.dedup import minhash_estimate_audit
+
+    df = minhash_estimate_audit(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "InMemoryTableScan" in text, text
+    assert "Cartesian" not in text, text

@@ -172,6 +172,7 @@ HEAVY_TAIL = [
     "events_burstiness",
     "embedding_dim_quantiles",
     "embedding_principal_direction",
+    "minhash_estimate_audit",
 ]
 
 # threshold-pair operators over embeddings have intrinsically
