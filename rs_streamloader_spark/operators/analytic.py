@@ -1030,6 +1030,15 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-user memory is the user's event list — bounded for real user
     activity; a pathological hot key would be salted upstream."""
     ev = _t(spark, sf_dir, "events")["events"]
+    return _funnel_stage_counts(ev, window=None)
+
+
+def _funnel_stage_counts(ev: DataFrame, window) -> DataFrame:
+    """Shared funnel stage machine (``funnel_stages`` /
+    ``funnel_time_constrained``): greedy fold over each user's
+    time-sorted events through view → later click → later purchase;
+    ``window`` (a Column interval or None) additionally bounds each
+    step to land within that interval of the previous one."""
     evs = F.array_sort(F.collect_list(F.struct("ts", "event_type")))
 
     def mk(stage: int, ts):
@@ -1038,6 +1047,12 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     init = F.struct(
         F.lit(0).alias("stage"), F.lit(None).cast("timestamp_ntz").alias("sts")
     )
+
+    def in_window(e, acc):
+        cond = e["ts"] > acc["sts"]
+        if window is not None:
+            cond = cond & (e["ts"] <= acc["sts"] + window)
+        return cond
 
     def step(acc, e):
         return (
@@ -1048,13 +1063,13 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(
                 (acc["stage"] == 1)
                 & (e["event_type"] == "click")
-                & (e["ts"] > acc["sts"]),
+                & in_window(e, acc),
                 mk(2, e["ts"]),
             )
             .when(
                 (acc["stage"] == 2)
                 & (e["event_type"] == "purchase")
-                & (e["ts"] > acc["sts"]),
+                & in_window(e, acc),
                 mk(3, e["ts"]),
             )
             .otherwise(acc)
@@ -2174,43 +2189,6 @@ def funnel_time_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-window candidate IS the min, and any candidate past the window
     can never be followed by an earlier one."""
     ev = _t(spark, sf_dir, "events")["events"]
-    evs = F.array_sort(F.collect_list(F.struct("ts", "event_type")))
-
-    def mk(stage: int, ts):
-        return F.struct(F.lit(stage).alias("stage"), ts.alias("sts"))
-
-    init = F.struct(
-        F.lit(0).alias("stage"), F.lit(None).cast("timestamp_ntz").alias("sts")
-    )
-    win = F.expr(f"INTERVAL {_FUNNEL_WINDOW_H} HOURS")
-
-    def step(acc, e):
-        return (
-            F.when(
-                (acc["stage"] == 0) & (e["event_type"] == "view"),
-                mk(1, e["ts"]),
-            )
-            .when(
-                (acc["stage"] == 1)
-                & (e["event_type"] == "click")
-                & (e["ts"] > acc["sts"])
-                & (e["ts"] <= acc["sts"] + win),
-                mk(2, e["ts"]),
-            )
-            .when(
-                (acc["stage"] == 2)
-                & (e["event_type"] == "purchase")
-                & (e["ts"] > acc["sts"])
-                & (e["ts"] <= acc["sts"] + win),
-                mk(3, e["ts"]),
-            )
-            .otherwise(acc)
-        )
-
-    return (
-        ev.groupBy("user_id")
-        .agg(F.aggregate(evs, init, step)["stage"].alias("stage"))
-        .filter(F.col("stage") >= 1)
-        .groupBy("stage")
-        .agg(F.count("*").alias("n_users"))
+    return _funnel_stage_counts(
+        ev, window=F.expr(f"INTERVAL {_FUNNEL_WINDOW_H} HOURS")
     )

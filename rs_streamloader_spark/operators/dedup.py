@@ -334,6 +334,24 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
+def _minhash_sig_cached(spark: SparkSession, sf_dir: str):
+    """Shared, cached minhash signature aggregate (16 seeded-md5 min
+    columns per doc) — consumed by both ``dedup_minhash_lsh`` and
+    ``minhash_estimate_audit``, so the shingle->signature reduction
+    runs once per (session, sf_dir)."""
+
+    def build():
+        sh = _shingles_cached(spark, sf_dir)
+        return sh.groupBy("doc_id").agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("sh")))).alias(f"h{k}")
+                for k in range(N_MINHASH)
+            ]
+        )
+
+    return stage_cached(spark, sf_dir, "minhash_sig", build)
+
+
 def _minhash_oracle() -> str:
     mins = ",\n             ".join(
         f"MIN(MD5('{k}|' || sh)) AS h{k}" for k in range(N_MINHASH)
@@ -397,12 +415,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate is exact-Jaccard-verified)."""
     s = _shingles_cached(spark, sf_dir)
 
-    sig = s.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("sh")))).alias(f"h{k}")
-            for k in range(N_MINHASH)
-        ]
-    )
+    sig = _minhash_sig_cached(spark, sf_dir)
     rows = N_MINHASH // N_BANDS
     bvals = F.array(
         *[
@@ -1287,12 +1300,7 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Estimates are exact multiples of 1/{m}; the exact side reuses the
     denormalized shingle counts."""
     s = _shingles_cached(spark, sf_dir)
-    sig = s.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("sh")))).alias(f"h{k}")
-            for k in range(N_MINHASH)
-        ]
-    )
+    sig = _minhash_sig_cached(spark, sf_dir)
     rows = N_MINHASH // N_BANDS
     bands = sig.select(
         "doc_id",
@@ -1332,16 +1340,16 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss_a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh"), F.col("n").alias("na"))
     ss_b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh"), F.col("n").alias("nb"))
     inter = (
-        cand.join(ss_a, "doc_a")
-        .join(ss_b, ["doc_b", "sh"])
+        cand.join(ss_a.drop("na"), "doc_a")
+        .join(ss_b.drop("nb"), ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"), F.min("na").alias("na"), F.min("nb").alias("nb"))
+        .agg(F.count("*").alias("i"))
     )
     # candidates with zero shared shingles (possible in principle)
     # zero-fill via a left join plus the per-doc counts
     nd = s.groupBy("doc_id").agg(F.min("n").alias("n"))
     est_n = (
-        est.join(inter.select("doc_a", "doc_b", "i"), ["doc_a", "doc_b"], "left")
+        est.join(inter, ["doc_a", "doc_b"], "left")
         .join(nd.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
         .join(nd.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
         .withColumn("i0", F.coalesce(F.col("i"), F.lit(0)))

@@ -1139,10 +1139,12 @@ def price_tier_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table_checksum_orders",
     oracle="""
     WITH rows_n AS (
-      SELECT CAST(o_orderkey AS VARCHAR) || '|'
-             || CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
-             || '|' || STRFTIME(o_orderdate, '%Y-%m-%d') || '|'
-             || o_orderstatus || '|' || o_orderpriority AS key
+      SELECT COALESCE(CAST(o_orderkey AS VARCHAR), CHR(1)) || '|'
+             || COALESCE(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), CHR(1))
+             || '|' || COALESCE(STRFTIME(o_orderdate, '%Y-%m-%d'), CHR(1))
+             || '|' || COALESCE(o_orderstatus, CHR(1))
+             || '|' || COALESCE(o_orderpriority, CHR(1)) AS key
       FROM orders
     ),
     h AS (
@@ -1176,13 +1178,24 @@ def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     than summing doubles). Verifying a 100 TB replica costs one scan
     per side and ships 16 bytes."""
     t = load_tables(spark, sf_dir, "orders")["orders"]
-    key = F.concat_ws(
-        "|",
-        F.col("o_orderkey").cast("string"),
-        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
-        F.date_format("o_orderdate", "yyyy-MM-dd"),
-        F.col("o_orderstatus"),
-        F.col("o_orderpriority"),
+    # explicit \x01 sentinel per NULL field — concat_ws would silently
+    # SKIP nulls (shortened key: ('F', NULL) collides with (NULL, 'F')
+    # and disagrees with the oracle's ||, which nulls the whole key)
+    nul = F.lit("\x01")
+
+    def fld(c):
+        return F.coalesce(c, nul)
+
+    key = F.concat(
+        fld(F.col("o_orderkey").cast("string")),
+        F.lit("|"),
+        fld(F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string")),
+        F.lit("|"),
+        fld(F.date_format("o_orderdate", "yyyy-MM-dd")),
+        F.lit("|"),
+        fld(F.col("o_orderstatus")),
+        F.lit("|"),
+        fld(F.col("o_orderpriority")),
     )
     hv = F.conv(F.substring(F.md5(key), 1, 7), 16, 10).cast("decimal(19,0)")
     return t.select(hv.alias("hv")).agg(

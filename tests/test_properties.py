@@ -86,6 +86,7 @@ def test_upsert_compat_keeps_duplicate_update_rows(
         "join_asof_nearest",
         "max_drawdown_revenue",
         "dau_mau_stickiness",
+        "anomaly_mad_days",
     ],
 )
 def test_timestamp_queries_are_timezone_invariant(spark, query):

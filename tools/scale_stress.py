@@ -235,7 +235,6 @@ CONSTANT_OUTPUT = {
     "embedding_outlier_topk",
     "weekly_seasonality_strength",
     "k_anonymity_audit",
-    "anomaly_mad_days",
     "target_encode_segments",
     "hashed_feature_cross",
     "uplift_by_segment",
