@@ -1965,3 +1965,236 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var / mu, 4).alias("fano_factor"),
         F.round((F.sqrt(var) - mu) / (F.sqrt(var) + mu), 6).alias("burstiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonal index (ratio-to-moving-average decomposition)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seasonality_dow_index",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt FROM events GROUP BY 1
+    ),
+    ma AS (
+      SELECT d, cnt,
+             SUM(cnt) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS s7,
+             COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS n7
+      FROM daily
+    ),
+    det AS (
+      SELECT CAST(EXTRACT(dow FROM d) AS INT) AS dow,
+             CAST(ROUND(CAST(cnt AS DOUBLE) * n7 * 1000000000 / s7)
+                  AS BIGINT) AS r_nano
+      FROM ma WHERE n7 = 7
+    )
+    SELECT dow, COUNT(*) AS n_days,
+           ROUND(CAST(SUM(r_nano) AS DOUBLE) / COUNT(*) / 1000000000, 6)
+             AS seasonal_index
+    FROM det GROUP BY dow
+    """,
+)
+def seasonality_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical ratio-to-moving-average seasonal indices by
+    day-of-week: each day's count over its centered 7-day moving
+    average, averaged per weekday — index >1 means that weekday runs
+    above trend (the decomposition table behind
+    ``weekly_seasonality_strength``'s single R² scalar). Edge days
+    without a full 7-day window are excluded (n7 = 7), so no partial-
+    window bias.
+
+    Scale posture: the moving-average window orders the
+    calendar-bounded daily aggregate. Cross-engine determinism: each
+    day's detrended ratio is ONE double expression (cnt·7·1e9/s7 over
+    exact integers) rounded to integer NANO-units, so the per-weekday
+    mean is an exact integer sum divided once."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(F.count("*").alias("cnt"))
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    ma = daily.select(
+        "d",
+        "cnt",
+        F.sum("cnt").over(w7).alias("s7"),
+        F.count("*").over(w7).alias("n7"),
+    )
+    det = ma.where(F.col("n7") == 7).select(
+        (F.dayofweek("d") - 1).alias("dow"),
+        F.round(
+            F.col("cnt").cast("double") * F.col("n7") * 1_000_000_000 / F.col("s7")
+        )
+        .cast("bigint")
+        .alias("r_nano"),
+    )
+    return det.groupBy("dow").agg(
+        F.count("*").alias("n_days"),
+        F.round(
+            F.sum("r_nano").cast("double") / F.count("*") / 1_000_000_000, 6
+        ).alias("seasonal_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month revenue movers per nation
+# ---------------------------------------------------------------------------
+
+_MOVERS_TOPK = 10
+
+
+@register(
+    "revenue_movers_mom",
+    oracle=f"""
+    WITH nm AS (
+      SELECT n.n_name AS nation,
+             EXTRACT(year FROM o.o_orderdate) * 12
+               + EXTRACT(month FROM o.o_orderdate) AS m,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    ch AS (
+      SELECT nation, m, rev_c,
+             LAG(rev_c) OVER (PARTITION BY nation ORDER BY m) AS prev_c
+      FROM nm
+    )
+    SELECT nation, CAST(m AS BIGINT) AS month_idx,
+           ROUND(rev_c / 100.0, 2) AS revenue,
+           ROUND(prev_c / 100.0, 2) AS prev_revenue,
+           ROUND((rev_c - prev_c) / 100.0, 2) AS delta
+    FROM ch WHERE prev_c IS NOT NULL
+    ORDER BY ABS(rev_c - prev_c) DESC, nation, m
+    LIMIT {_MOVERS_TOPK}
+    """,
+)
+def revenue_movers_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top month-over-month revenue movers by nation: the {k} largest
+    absolute swings between consecutive months — the "what changed"
+    screen a revenue dashboard opens with (global twin:
+    ``orders_monthly_growth``).
+
+    Scale posture: the snowflake dims broadcast over the orders scan;
+    revenue collapses to the bounded (nation, month) grid BEFORE the
+    per-nation LAG; the top-{k} compiles to TakeOrderedAndProject.
+    Money stays BIGINT cents; consecutive-month deltas are exact
+    integers."""
+    t = _t(spark, sf_dir, "orders", "customer", "nation")
+    nm = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_c"))
+    )
+    w = Window.partitionBy("nation").orderBy("m")
+    ch = nm.withColumn("prev_c", F.lag("rev_c").over(w)).where(
+        F.col("prev_c").isNotNull()
+    )
+    return (
+        ch.select(
+            "nation",
+            F.col("m").cast("bigint").alias("month_idx"),
+            F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+            F.round(F.col("prev_c") / 100.0, 2).alias("prev_revenue"),
+            F.round((F.col("rev_c") - F.col("prev_c")) / 100.0, 2).alias("delta"),
+            F.abs(F.col("rev_c") - F.col("prev_c")).alias("_absd"),
+        )
+        .orderBy(F.col("_absd").desc(), "nation", "month_idx")
+        .limit(_MOVERS_TOPK)
+        .drop("_absd")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discount elasticity screen (quantity response by discount band)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "discount_elasticity",
+    oracle="""
+    WITH li AS (
+      SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct,
+             CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               AS net_c
+      FROM lineitem
+    ),
+    bands AS (
+      SELECT disc_pct, COUNT(*) AS n,
+             SUM(qty) AS sq, SUM(net_c) AS snet
+      FROM li GROUP BY disc_pct
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(disc_pct AS HUGEINT)) AS sx,
+             SUM(CAST(qty AS HUGEINT)) AS sy,
+             SUM(CAST(disc_pct AS HUGEINT) * qty) AS sxy,
+             SUM(CAST(disc_pct AS HUGEINT) * disc_pct) AS sxx,
+             SUM(CAST(qty AS HUGEINT) * qty) AS syy
+      FROM li
+    )
+    SELECT b.disc_pct, b.n,
+           ROUND(CAST(b.sq AS DOUBLE) / b.n, 4) AS avg_qty,
+           ROUND(b.snet / 100.0, 2) AS net_revenue,
+           ROUND((mom.n * mom.sxy - mom.sx * mom.sy)
+                 / SQRT(CAST((mom.n * mom.sxx - mom.sx * mom.sx)
+                        * (mom.n * mom.syy - mom.sy * mom.sy) AS DOUBLE)), 6)
+             AS qty_discount_corr
+    FROM bands b CROSS JOIN mom
+    """,
+)
+def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-effectiveness screen: per discount band, volume and
+    net revenue, plus the global quantity↔discount Pearson
+    correlation — the first-look answer to "do discounts move volume
+    or just give margin away" (q19's pricing cousin, measurement-side).
+
+    Scale posture: two combinable aggregates over one lineitem scan
+    pattern (the ~11-band rollup and the 1-row moment set, which
+    broadcasts back). Moments accumulate HUGEINT/DECIMAL-exact; the
+    correlation is one final double expression."""
+    t = _t(spark, sf_dir, "lineitem")["lineitem"]
+    li = t.select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("net_c"),
+    )
+    bands = li.groupBy("disc_pct").agg(
+        F.count("*").alias("n"),
+        F.sum("qty").alias("sq"),
+        F.sum("net_c").alias("snet"),
+    )
+    x = F.col("disc_pct").cast("decimal(19,0)")
+    y = F.col("qty").cast("decimal(19,0)")
+    mom = li.agg(
+        F.count("*").alias("mn"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * F.col("qty")).alias("sxy"),
+        F.sum(x * F.col("disc_pct")).alias("sxx"),
+        F.sum(y * F.col("qty")).alias("syy"),
+    )
+    num = F.col("mn") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (
+            (F.col("mn") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("mn") * F.col("syy") - F.col("sy") * F.col("sy"))
+        ).cast("double")
+    )
+    return bands.crossJoin(F.broadcast(mom)).select(
+        "disc_pct",
+        "n",
+        F.round(F.col("sq").cast("double") / F.col("n"), 4).alias("avg_qty"),
+        F.round(F.col("snet") / 100.0, 2).alias("net_revenue"),
+        F.round(num.cast("double") / den, 6).alias("qty_discount_corr"),
+    )

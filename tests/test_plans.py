@@ -1111,3 +1111,35 @@ def test_minhash_audit_reuses_cached_shingles(spark):
     text = explain_str(df, "simple")
     assert "InMemoryTableScan" in text, text
     assert "Cartesian" not in text, text
+
+
+def test_seasonal_index_window_on_daily_aggregate(spark):
+    from rs_streamloader_spark.operators.stats import seasonality_dow_index
+
+    df = seasonality_dow_index(spark, SF_SMOKE)
+    lines = explain_str(df, "simple").splitlines()
+    wins = [i for i, l in enumerate(lines) if "Window [" in l or l.lstrip().startswith("+- Window")]
+    assert wins
+    for i in wins:
+        below = "\n".join(lines[i:])
+        agg = below.find("HashAggregate")
+        scan = below.find("Scan parquet")
+        assert 0 <= agg < scan, below[:1500]
+
+
+def test_movers_broadcast_dims_take_ordered(spark):
+    from rs_streamloader_spark.operators.stats import revenue_movers_mom
+
+    df = revenue_movers_mom(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in text, text
+
+
+def test_elasticity_broadcasts_moments(spark):
+    from rs_streamloader_spark.operators.stats import discount_elasticity
+
+    df = discount_elasticity(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert has_broadcast_join(df)
+    assert "Window" not in text, text

@@ -173,6 +173,9 @@ HEAVY_TAIL = [
     "embedding_dim_quantiles",
     "embedding_principal_direction",
     "minhash_estimate_audit",
+    "seasonality_dow_index",
+    "revenue_movers_mom",
+    "discount_elasticity",
 ]
 
 # threshold-pair operators over embeddings have intrinsically
@@ -246,6 +249,9 @@ CONSTANT_OUTPUT = {
     "events_burstiness",
     "embedding_dim_quantiles",
     "embedding_principal_direction",
+    "seasonality_dow_index",
+    "revenue_movers_mom",
+    "discount_elasticity",
 }
 
 
