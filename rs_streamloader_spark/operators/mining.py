@@ -1702,3 +1702,112 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / denx, 4).alias("zipf_slope"),
         F.round(F.pow(num, F.lit(2)) / (denx * deny), 4).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Item-item co-purchase similarity (collaborative-filtering neighbors)
+# ---------------------------------------------------------------------------
+
+_ITEM_TOPK = 3
+
+
+@register(
+    "item_item_cosine_topk",
+    oracle=f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    cnt AS (
+      SELECT l_partkey, COUNT(*) AS n FROM li GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS co_cnt
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT pa AS item, pb AS neighbor, co_cnt FROM pairs
+      UNION ALL
+      SELECT pb AS item, pa AS neighbor, co_cnt FROM pairs
+    ),
+    scored AS (
+      SELECT s.item, s.neighbor, s.co_cnt,
+             CAST(CAST(s.co_cnt AS HUGEINT) * s.co_cnt * 1000000
+                  // (ca.n * cb.n) AS BIGINT) AS cos2_ppm
+      FROM sym s
+      JOIN cnt ca ON ca.l_partkey = s.item
+      JOIN cnt cb ON cb.l_partkey = s.neighbor
+    )
+    SELECT item, neighbor, co_cnt, cos2_ppm, rn AS sim_rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY item ORDER BY cos2_ppm DESC, neighbor
+             ) AS INT) AS rn
+      FROM scored
+    ) WHERE rn <= {_ITEM_TOPK}
+    """,
+)
+def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering neighbors from co-purchase
+    baskets: for every part, the top-{k} parts most often bought in
+    the same order, ranked by squared cosine similarity
+    co² / (n_a·n_b) — the classic Amazon-style item-to-item
+    recommender built purely from order co-occurrence.
+
+    Scale posture: the pair generation is an inverted-index self-join
+    on the order key — fanout is bounded by basket size (≤ ~13 lines
+    per order, quadratic only within a basket, never across), so
+    candidate volume is O(orders·basket²), not O(parts²). The
+    (item, neighbor) aggregate is map-side combinable; per-item
+    top-k is a ranking window the optimizer cuts map-side
+    (WindowGroupLimit). Cross-engine determinism: the score is squared
+    cosine in integer PPM via DECIMAL(38)/HUGEINT floor-division
+    (co² · 1e6 overflows int64 once co ≳ 3e6), ties broken by
+    neighbor key — no float, no sqrt."""
+    li = (
+        _t(spark, sf_dir, "lineitem")["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    cnt = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("co_cnt"))
+    )
+    sym = pairs.select(
+        F.col("pa").alias("item"), F.col("pb").alias("neighbor"), "co_cnt"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("item"), F.col("pa").alias("neighbor"), "co_cnt"
+        )
+    )
+    ca = cnt.select(F.col("l_partkey").alias("item"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("l_partkey").alias("neighbor"), F.col("n").alias("nb"))
+    scored = (
+        sym.join(ca, "item")
+        .join(cb, "neighbor")
+        .select(
+            "item",
+            "neighbor",
+            "co_cnt",
+            F.expr(
+                "CAST(CAST(co_cnt AS DECIMAL(38,0)) * co_cnt * 1000000"
+                " div (na * nb) AS BIGINT)"
+            ).alias("cos2_ppm"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.col("cos2_ppm").desc(), "neighbor")
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= _ITEM_TOPK)
+        .select("item", "neighbor", "co_cnt", "cos2_ppm", "sim_rank")
+    )

@@ -2198,3 +2198,251 @@ def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("snet") / 100.0, 2).alias("net_revenue"),
         F.round(num.cast("double") / den, 6).alias("qty_discount_corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder (Hamilton) proportional allocation
+# ---------------------------------------------------------------------------
+
+_ALLOC_BUDGET = 10_000
+
+
+@register(
+    "allocation_largest_remainder",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1
+    ),
+    q AS (
+      SELECT nation, rev_c,
+             CAST(rev_c AS HUGEINT) * {_ALLOC_BUDGET} AS num,
+             SUM(rev_c) OVER () AS tot
+      FROM rev
+    ),
+    fl AS (
+      SELECT nation, rev_c,
+             CAST(num // tot AS BIGINT) AS floor_alloc,
+             CAST(num % tot AS BIGINT) AS rem
+      FROM q
+    ),
+    rk AS (
+      SELECT *,
+             CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, nation) AS INT) AS rem_rank,
+             {_ALLOC_BUDGET} - SUM(floor_alloc) OVER () AS leftover
+      FROM fl
+    )
+    SELECT nation, rev_c, floor_alloc,
+           CAST(floor_alloc + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM rk
+    """,
+)
+def allocation_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional allocation of a fixed budget (quota of
+    {budget} units) across nations by revenue, using the
+    largest-remainder (Hamilton) method: every nation gets
+    floor(budget·share), and the unallocated remainder units go to the
+    largest fractional remainders — the exact-sum apportionment used
+    for quota sampling, budget splits, and seat allocation.
+
+    Scale posture: the input collapses to a 25-row nation aggregate
+    before any window runs (global windows only over bounded
+    aggregates); the orders⋈customer join shuffles on the natural key
+    while nation broadcasts. Cross-engine determinism: everything is
+    integer — the quota numerator is DECIMAL(38)/HUGEINT (rev_c ·
+    budget overflows int64 at ~1e15 cents), floor and remainder come
+    from integer div/mod, and remainder ties break by nation name."""
+    t = _t(spark, sf_dir, "orders", "customer", "nation")
+    rev = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_c")
+        )
+    )
+    wall = Window.partitionBy()
+    q = rev.select(
+        "nation",
+        "rev_c",
+        F.expr(f"CAST(rev_c AS DECIMAL(38,0)) * {_ALLOC_BUDGET}").alias("num"),
+        F.sum("rev_c").over(wall).alias("tot"),
+    )
+    fl = q.select(
+        "nation",
+        "rev_c",
+        F.expr("CAST(num div tot AS BIGINT)").alias("floor_alloc"),
+        F.expr("CAST(num % tot AS BIGINT)").alias("rem"),
+    )
+    rk = fl.select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.col("rem").desc(), "nation"))
+        .alias("rem_rank"),
+        (F.lit(_ALLOC_BUDGET) - F.sum("floor_alloc").over(wall)).alias("leftover"),
+    )
+    return rk.select(
+        "nation",
+        "rev_c",
+        "floor_alloc",
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exponential-smoothing forecast over the trailing revenue window
+# ---------------------------------------------------------------------------
+
+_SES_DAYS = 16
+
+
+@register(
+    "ses_forecast_daily",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders
+    ),
+    daily AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(o.o_orderdate AS DATE) AS d,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders o CROSS JOIN bounds b
+      WHERE CAST(o.o_orderdate AS DATE) > b.maxd - {_SES_DAYS}
+      GROUP BY 1, 2
+    ),
+    weighted AS (
+      SELECT d2.priority,
+             COUNT(*) AS n_days,
+             SUM(CAST(d2.rev_c AS HUGEINT)
+                 * CAST(POWER(2, {_SES_DAYS - 1} - DATEDIFF('day', d2.d, b.maxd))
+                        AS BIGINT)) AS ws
+      FROM daily d2 CROSS JOIN bounds b
+      GROUP BY 1
+    )
+    SELECT priority, n_days,
+           CAST(ws // {2 ** _SES_DAYS} AS BIGINT) AS forecast_cents
+    FROM weighted
+    """,
+)
+def ses_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-exponential-smoothing (alpha = 1/2) revenue forecast per
+    order priority over the trailing {days}-day window: forecast =
+    sum over the window of 2^-(age+1) * revenue(day), the dyadic SES
+    truncation. Days with no orders contribute zero weight mass
+    — no gap-fill join is needed because 0 revenue adds 0.
+
+    Scale posture: the trailing-window predicate is pushed to the scan
+    (dynamic via a 1-row broadcast of max date), so 100 TB of history
+    prunes to {days} days of partitions; everything after is a 5-row
+    priority aggregate. Cross-engine determinism: weights are exact
+    powers of two applied to integer cents, summed as
+    DECIMAL(38)/HUGEINT (cents · 2^15 · window overflows int64 at
+    ~1e14 daily cents), and the final smoothing divide is a single
+    integer floor-division — no float appears anywhere."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    bounds = orders.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
+    daily = (
+        orders.join(F.broadcast(bounds))
+        .where(F.to_date("o_orderdate") > F.date_sub(F.col("maxd"), _SES_DAYS))
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("d"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_c")
+        )
+    )
+    weighted = (
+        daily.join(F.broadcast(bounds))
+        .groupBy("priority")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum(
+                F.expr(
+                    f"CAST(rev_c AS DECIMAL(38,0)) * CAST(POWER(2, "
+                    f"{_SES_DAYS - 1} - DATEDIFF(maxd, d)) AS BIGINT)"
+                )
+            ).alias("ws"),
+        )
+    )
+    return weighted.select(
+        "priority",
+        "n_days",
+        F.expr(f"CAST(ws div {2 ** _SES_DAYS} AS BIGINT)").alias("forecast_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap-fill of the daily event series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "calendar_fill_daily",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS dmin, MAX(CAST(ts AS DATE)) AS dmax
+      FROM events
+    ),
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, UNNEST(generate_series(b.dmin, b.dmax,
+             INTERVAL 1 DAY))::DATE AS d
+      FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN bounds b
+    )
+    SELECT g.event_type,
+           STRFTIME(g.d, '%Y-%m-%d') AS day,
+           COALESCE(daily.cnt, 0) AS cnt,
+           CASE WHEN daily.cnt IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM grid g
+    LEFT JOIN daily ON daily.event_type = g.event_type AND daily.d = g.d
+    """,
+)
+def calendar_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily event counts: the (event_type × calendar day)
+    grid over the observed date span, zero-filling days with no
+    events — the densification step every charting/forecast consumer
+    needs before a time-series model sees the data.
+
+    Scale posture: events collapse to the calendar-bounded (type, day)
+    aggregate FIRST; the grid is generated from a broadcast 1-row
+    bounds aggregate crossed with the distinct type list (5 rows), so
+    both fill-join sides are days·types — calendar-bounded, never
+    data-sized — and the (type, day) aggregate broadcasts into the
+    preserved grid. Dates leave as formatted strings (TZ
+    invariance)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("cnt")
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("dmin"), F.max(F.to_date("ts")).alias("dmax")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.join(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.expr("sequence(dmin, dmax, interval 1 day)")).alias("d"),
+    )
+    return (
+        grid.join(F.broadcast(daily), ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            F.when(F.col("cnt").isNull(), 1).otherwise(0).alias("is_gap"),
+        )
+    )

@@ -1143,3 +1143,60 @@ def test_elasticity_broadcasts_moments(spark):
     text = explain_str(df, "simple")
     assert has_broadcast_join(df)
     assert "Window" not in text, text
+
+
+def test_allocation_windows_sit_on_nation_aggregate(spark):
+    from rs_streamloader_spark.operators.stats import allocation_largest_remainder
+
+    df = allocation_largest_remainder(spark, SF_SMOKE)
+    lines = explain_str(df, "simple").splitlines()
+    wins = [i for i, l in enumerate(lines) if "Window" in l]
+    assert wins
+    # every (global) window sits above the 25-row nation aggregate,
+    # never directly over order rows
+    for i in wins:
+        below = "\n".join(lines[i:])
+        agg = below.find("HashAggregate")
+        scan = below.find("Scan parquet")
+        assert 0 <= agg < scan, below[:1500]
+
+
+def test_ses_forecast_prunes_to_trailing_window(spark):
+    from rs_streamloader_spark.operators.stats import ses_forecast_daily
+
+    df = ses_forecast_daily(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # the 1-row max-date aggregate broadcasts into the orders scan side
+    assert has_broadcast_join(df)
+    # no window functions at all — pure aggregation pipeline
+    assert "Window" not in text, text
+
+
+def test_calendar_fill_joins_aggregates_only(spark):
+    from rs_streamloader_spark.operators.stats import calendar_fill_daily
+
+    df = calendar_fill_daily(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # the zero-fill is a broadcast join of the (type, day) aggregate
+    # into the generated grid — the raw events table is never joined
+    assert has_broadcast_join(df)
+    lines = text.splitlines()
+    joins = [i for i, l in enumerate(lines) if "Join" in l]
+    for i in joins:
+        below = "\n".join(lines[i:])
+        agg = below.find("HashAggregate")
+        scan = below.find("Scan parquet")
+        assert 0 <= agg < scan, below[:1500]
+
+
+def test_item_item_pairs_join_on_order_key(spark):
+    from rs_streamloader_spark.operators.mining import item_item_cosine_topk
+
+    df = item_item_cosine_topk(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # candidate generation is the bounded basket self-join — an
+    # equi-join on l_orderkey, never a cartesian
+    assert "CartesianProduct" not in text, text
+    assert "l_orderkey" in text
+    # per-item top-k cut pushes map-side
+    assert "WindowGroupLimit" in text, text

@@ -176,6 +176,10 @@ HEAVY_TAIL = [
     "seasonality_dow_index",
     "revenue_movers_mom",
     "discount_elasticity",
+    "allocation_largest_remainder",
+    "ses_forecast_daily",
+    "calendar_fill_daily",
+    "item_item_cosine_topk",
 ]
 
 # threshold-pair operators over embeddings have intrinsically
@@ -252,6 +256,10 @@ CONSTANT_OUTPUT = {
     "seasonality_dow_index",
     "revenue_movers_mom",
     "discount_elasticity",
+    # 25-row nation allocation; 5-row priority forecast (trailing
+    # window keeps only the latest replica's dates)
+    "allocation_largest_remainder",
+    "ses_forecast_daily",
 }
 
 
