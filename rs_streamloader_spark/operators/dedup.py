@@ -1363,3 +1363,119 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exact, 6).alias("exact_jaccard"),
         F.round(F.abs(est_j - exact), 6).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-size distribution over the resolved duplicate clusters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dup_cluster_size_stats",
+    oracle=f"""
+    WITH clusters AS ({_CLUSTER_ORACLE}),
+    per_cluster AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size
+      FROM clusters GROUP BY cluster_id
+    ),
+    docs AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT p.cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(COUNT(*) * p.cluster_size AS BIGINT) AS n_docs_in_size,
+           CAST(CAST(COUNT(*) * p.cluster_size AS HUGEINT) * 1000000
+                // MIN(d.n_docs) AS BIGINT) AS corpus_ppm
+    FROM per_cluster p CROSS JOIN docs d
+    GROUP BY p.cluster_size
+    """,
+)
+def dup_cluster_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: how many near-dup clusters
+    exist at each size, how many documents they tie up, and what
+    fraction of the corpus that is — the report a dedup run actually
+    ships (how much of the corpus is duplicated, and is it many small
+    clusters or a few giant ones).
+
+    Scale posture: sits entirely on ``dedup_cluster``'s resolved
+    labels (shared cached pair graph + label propagation); everything
+    after is two stacked map-side-combinable aggregates (cluster →
+    size, size → histogram) plus a broadcast 1-row corpus count.
+    Cross-engine determinism: all integers; the corpus share leaves as
+    integer PPM via HUGEINT/DECIMAL floor-division."""
+    clusters = dedup_cluster(spark, sf_dir)
+    per_cluster = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    docs = load_tables(spark, sf_dir, "documents")["documents"].agg(
+        F.count("*").alias("n_docs")
+    )
+    return (
+        per_cluster.join(F.broadcast(docs))
+        .groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            (F.count("*") * F.col("cluster_size")).cast("bigint").alias("n_docs_in_size"),
+            F.expr(
+                "CAST(CAST(COUNT(*) * cluster_size AS DECIMAL(38,0)) * 1000000"
+                " div MIN(n_docs) AS BIGINT)"
+            ).alias("corpus_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall audit: minhash-LSH verified pairs vs the exact pair set
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lsh_recall_report",
+    oracle=f"""
+    WITH exact AS ({_JACCARD_ORACLE}),
+    lsh AS ({_minhash_oracle()}),
+    missed AS (
+      SELECT e.doc_a, e.doc_b FROM exact e
+      LEFT JOIN lsh l ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b
+      WHERE l.doc_a IS NULL
+    )
+    SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+           (SELECT COUNT(*) FROM lsh) AS n_lsh,
+           (SELECT COUNT(*) FROM missed) AS n_missed,
+           CAST((SELECT COUNT(*) FROM lsh) * CAST(1000000 AS HUGEINT)
+                // GREATEST((SELECT COUNT(*) FROM exact), 1) AS BIGINT)
+             AS recall_ppm
+    """,
+)
+def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the minhash-LSH dedup path against the exact
+    Jaccard pair set: counts of exact near-dup pairs, LSH-recovered
+    pairs, and pairs the banding missed, plus recall in PPM — the
+    quality gate you run before trusting the approximate path at
+    scale (precision is 1.0 by construction: every LSH candidate is
+    exact-verified before emission).
+
+    Scale posture: both pair sets come from the family's shared cached
+    stages (shingles, signature aggregate, pair graph), so the audit
+    adds one anti-join of two already-reduced pair lists and three
+    1-row counts. Cross-engine determinism: the oracle replicates BOTH
+    algorithms (same md5 minhashes → same bands → same candidates), so
+    the compare is exact — this is a measurement the two engines must
+    agree on bit-for-bit, not a statistical estimate."""
+    exact = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    missed = exact.join(lsh, ["doc_a", "doc_b"], "left_anti")
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_lsh = lsh.agg(F.count("*").alias("n_lsh"))
+    n_missed = missed.agg(F.count("*").alias("n_missed"))
+    return (
+        n_exact.join(F.broadcast(n_lsh))
+        .join(F.broadcast(n_missed))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_missed",
+            F.expr(
+                "CAST(n_lsh * CAST(1000000 AS DECIMAL(38,0))"
+                " div GREATEST(n_exact, 1) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )

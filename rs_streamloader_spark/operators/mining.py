@@ -1811,3 +1811,80 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim_rank") <= _ITEM_TOPK)
         .select("item", "neighbor", "co_cnt", "cos2_ppm", "sim_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (top-k vocab vs corpus token mass)
+# ---------------------------------------------------------------------------
+
+_COVERAGE_KS = (10, 100, 1000)
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH toks AS ({_TOKENS_SQL}),
+    vocab AS (
+      SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ),
+    tot AS (SELECT SUM(cnt) AS total_tokens FROM vocab),
+    top AS (
+      SELECT cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS BIGINT)
+               AS rk
+      FROM vocab ORDER BY cnt DESC, tok LIMIT {max(_COVERAGE_KS)}
+    ),
+    ks AS (SELECT UNNEST(ARRAY{list(_COVERAGE_KS)}) AS k)
+    SELECT ks.k,
+           COALESCE(SUM(top.cnt), 0) AS covered_tokens,
+           MIN(tot.total_tokens) AS total_tokens,
+           CAST(COALESCE(SUM(CAST(top.cnt AS HUGEINT)), 0) * 1000000
+                // MIN(tot.total_tokens) AS BIGINT) AS coverage_ppm
+    FROM ks CROSS JOIN tot
+    LEFT JOIN top ON top.rk <= ks.k
+    GROUP BY ks.k
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of the corpus's total
+    token mass the top-k most frequent terms cover, at k ∈ {ks} — the
+    tokenizer-budget question (how big must a vocab be before OOV mass
+    is negligible) answered before training one.
+
+    Scale posture: term counts are a map-side-combinable aggregate;
+    the top-k cut is an ORDER BY + LIMIT over it, which Spark compiles
+    to TakeOrderedAndProject (no global sort materializes — only
+    max(k) rows cross the wire); the ranking window then runs on that
+    bounded 1000-row set. Total token mass is a 1-row broadcast.
+    Cross-engine determinism: counts are integers, coverage leaves as
+    integer PPM via HUGEINT/DECIMAL floor-division (covered · 1e6
+    overflows int64 past ~9e12 tokens), rank ties break by term."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    vocab = _tokens(docs).groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("total_tokens"))
+    top = (
+        vocab.orderBy(F.col("cnt").desc(), "tok")
+        .limit(max(_COVERAGE_KS))
+        .select(
+            "cnt",
+            F.row_number()
+            .over(Window.partitionBy().orderBy(F.col("cnt").desc(), "tok"))
+            .cast("bigint")
+            .alias("rk"),
+        )
+    )
+    ks = spark.range(0).sparkSession.createDataFrame(
+        [(k,) for k in _COVERAGE_KS], "k bigint"
+    )
+    return (
+        ks.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(top), F.col("rk") <= F.col("k"), "left")
+        .groupBy("k")
+        .agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("covered_tokens"),
+            F.min("total_tokens").alias("total_tokens"),
+            F.expr(
+                "CAST(COALESCE(SUM(CAST(cnt AS DECIMAL(38,0))), 0) * 1000000"
+                " div MIN(total_tokens) AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )

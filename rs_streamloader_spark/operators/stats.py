@@ -2446,3 +2446,154 @@ def calendar_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("cnt").isNull(), 1).otherwise(0).alias("is_gap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution (batch)
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_DAYS = 7
+
+
+@register(
+    "attribution_linear_batch",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT event_id AS pid, user_id, ts AS pts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, event_type AS touch_type, ts AS tts FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    attributed AS (
+      SELECT p.pid, t.touch_type,
+             COUNT(*) OVER (PARTITION BY p.pid) AS n_touches
+      FROM purchases p
+      JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.tts < p.pts
+       AND t.tts >= p.pts - INTERVAL {_ATTR_WINDOW_DAYS} DAY
+    )
+    SELECT touch_type,
+           COUNT(*) AS n_touches,
+           COUNT(DISTINCT pid) AS n_purchases,
+           SUM(1000000 // n_touches) AS credit_micro
+    FROM attributed
+    GROUP BY touch_type
+    """,
+)
+def attribution_linear_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase splits one unit
+    of credit equally across the user's click/view touches in the
+    {days}-day lookback window; credit rolls up per touch channel —
+    the batch twin of the streaming ``attribution_join_outer``
+    (first-touch) operator, completing the attribution family.
+
+    Scale posture: the purchase⋈touch join shuffles both sides on
+    user_id once; fanout is bounded by per-user activity in a 7-day
+    window, and the per-purchase touch count is a window partitioned
+    by purchase id (bounded the same way) — no global window, no
+    driver loop. Cross-engine determinism: credit is integer
+    floor-division micro-units (1e6 // n), so no float division ever
+    disagrees; output is a per-channel integer rollup."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    touches = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("event_type").alias("touch_type"), F.col("ts").alias("tts")
+    )
+    attributed = (
+        purchases.join(touches, "user_id")
+        .where(
+            (F.col("tts") < F.col("pts"))
+            & (F.col("tts") >= F.col("pts") - F.expr(f"INTERVAL {_ATTR_WINDOW_DAYS} DAY"))
+        )
+        .select(
+            "pid",
+            "touch_type",
+            F.count("*").over(Window.partitionBy("pid")).alias("n_touches"),
+        )
+    )
+    return attributed.groupBy("touch_type").agg(
+        F.count("*").alias("n_touches"),
+        F.countDistinct("pid").alias("n_purchases"),
+        F.sum(F.expr("1000000 div n_touches")).alias("credit_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed PERCENTILE_DISC per segment (histogram index math)
+# ---------------------------------------------------------------------------
+
+_PDISC_QS = ((1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75"), (19, 20, "p95"))
+
+
+@register(
+    "percentile_disc_by_segment",
+    oracle=f"""
+    WITH hist AS (
+      SELECT c_mktsegment AS segment,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c,
+             COUNT(*) AS cnt
+      FROM customer GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT segment, bal_c, cnt,
+             SUM(cnt) OVER (PARTITION BY segment ORDER BY bal_c
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY segment) AS n
+      FROM hist
+    ),
+    qs AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"({num}, {den}, '{lbl}')" for num, den, lbl in _PDISC_QS)}
+      ) AS v(q_num, q_den, q_label)
+    )
+    SELECT c.segment, q.q_label, c.bal_c AS value_cents, c.n
+    FROM cum c JOIN qs q
+      ON c.cum >= (c.n * q.q_num + q.q_den - 1) // q.q_den
+     AND c.cum - c.cnt < (c.n * q.q_num + q.q_den - 1) // q.q_den
+    """,
+)
+def percentile_disc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed PERCENTILE_DISC (p25/p50/p75/p95 of customer
+    account balance per market segment) via the value-histogram
+    pattern: the quantile index is located in the cumulative histogram
+    instead of sorting rows — the way exact quantiles survive 100 TB.
+
+    Scale posture: raw rows collapse to a (segment, value) histogram
+    FIRST (map-side combinable); the cumulative window orders the
+    histogram — cardinality = distinct values per segment, not rows —
+    and the quantile probe is a broadcast join of a 4-row literal
+    table. Cross-engine determinism: PERCENTILE_DISC's index
+    ceil(q·n) is computed as exact integer arithmetic
+    (n·num + den − 1) // den on both engines, and the selected value
+    is an actual data element (BIGINT cents) — no interpolation, no
+    float, no reliance on either engine's quantile built-in."""
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    hist = cust.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+    ).agg(F.count("*").alias("cnt"))
+    wseg = Window.partitionBy("segment")
+    cum = hist.select(
+        "segment",
+        "bal_c",
+        "cnt",
+        F.sum("cnt").over(wseg.orderBy("bal_c").rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(wseg).alias("n"),
+    )
+    qs = cust.sparkSession.createDataFrame(
+        [(num, den, lbl) for num, den, lbl in _PDISC_QS],
+        "q_num bigint, q_den bigint, q_label string",
+    )
+    idx = F.expr("(n * q_num + q_den - 1) div q_den")
+    return (
+        cum.join(
+            F.broadcast(qs),
+            (F.col("cum") >= idx) & (F.col("cum") - F.col("cnt") < idx),
+        )
+        .select("segment", "q_label", F.col("bal_c").alias("value_cents"), "n")
+    )

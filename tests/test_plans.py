@@ -1200,3 +1200,66 @@ def test_item_item_pairs_join_on_order_key(spark):
     assert "l_orderkey" in text
     # per-item top-k cut pushes map-side
     assert "WindowGroupLimit" in text, text
+
+
+def test_vocab_coverage_takes_ordered_topk(spark):
+    from rs_streamloader_spark.operators.mining import vocab_coverage_curve
+
+    df = vocab_coverage_curve(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # the top-1000 cut compiles to TakeOrderedAndProject — no global
+    # sort of the vocabulary ever materializes
+    assert "TakeOrderedAndProject" in text, text
+    assert has_broadcast_join(df)
+
+
+def test_attribution_window_partitioned_by_purchase(spark):
+    from rs_streamloader_spark.operators.stats import attribution_linear_batch
+
+    df = attribution_linear_batch(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # the per-purchase touch count window partitions on pid (bounded
+    # fanout), never a global window
+    assert re.search(r"Window \[count\(1\).*partitionBy=\[pid", text) or (
+        "windowspecdefinition(pid" in text
+    ), text
+    assert "CartesianProduct" not in text
+
+
+def test_percentile_disc_windows_on_histogram(spark):
+    from rs_streamloader_spark.operators.stats import percentile_disc_by_segment
+
+    df = percentile_disc_by_segment(spark, SF_SMOKE)
+    lines = explain_str(df, "simple").splitlines()
+    wins = [i for i, l in enumerate(lines) if "Window" in l]
+    assert wins
+    # cumulative windows order the (segment, value) HISTOGRAM — an
+    # aggregate sits between every window and the customer scan
+    for i in wins:
+        below = "\n".join(lines[i:])
+        agg = below.find("HashAggregate")
+        scan = below.find("Scan parquet")
+        assert 0 <= agg < scan, below[:1500]
+    assert has_broadcast_join(df)
+
+
+def test_cluster_size_stats_reuses_cached_pairs(spark):
+    from rs_streamloader_spark.operators.dedup import dup_cluster_size_stats
+
+    df = dup_cluster_size_stats(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # the histogram sits on the propagation result (checkpointed RDD),
+    # never re-deriving the pair graph; the documents scan is pruned
+    # to ZERO columns (1-row corpus count only)
+    assert "ExistingRDD" in text, text
+    assert "ReadSchema: struct<>" in text, text
+
+
+def test_lsh_recall_report_is_anti_join_of_cached_stages(spark):
+    from rs_streamloader_spark.operators.dedup import lsh_recall_report
+
+    df = lsh_recall_report(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "InMemoryTableScan" in text, text
+    # no raw document scan beyond the cached stages
+    assert "CartesianProduct" not in text

@@ -180,6 +180,11 @@ HEAVY_TAIL = [
     "ses_forecast_daily",
     "calendar_fill_daily",
     "item_item_cosine_topk",
+    "vocab_coverage_curve",
+    "attribution_linear_batch",
+    "percentile_disc_by_segment",
+    "dup_cluster_size_stats",
+    "lsh_recall_report",
 ]
 
 # threshold-pair operators over embeddings have intrinsically
@@ -260,6 +265,12 @@ CONSTANT_OUTPUT = {
     # window keeps only the latest replica's dates)
     "allocation_largest_remainder",
     "ses_forecast_daily",
+    # 3-row coverage curve, 2-row channel rollup, 20-cell quantile
+    # grid, 1-row recall audit
+    "vocab_coverage_curve",
+    "attribution_linear_batch",
+    "percentile_disc_by_segment",
+    "lsh_recall_report",
 }
 
 
