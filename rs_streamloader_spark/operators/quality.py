@@ -554,3 +554,151 @@ def hashed_feature_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("cross").alias("n_crosses"),
         F.when(F.countDistinct("cross") > 1, 1).otherwise(0).alias("collided"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule battery (per-rule failure report)
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for")
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             COUNT(*) AS n_words,
+             SUM(LENGTH(tok)) AS n_chars,
+             COUNT(DISTINCT tok) AS n_types,
+             MAX(cnt_per_tok) AS top_tok_cnt,
+             SUM(CASE WHEN tok IN {_GOPHER_STOPWORDS} THEN 1 ELSE 0 END)
+               AS n_stop
+      FROM (
+        SELECT doc_id, tok,
+               COUNT(*) OVER (PARTITION BY doc_id, tok) AS cnt_per_tok
+        FROM toks
+      )
+      GROUP BY doc_id
+    ),
+    flags AS (
+      SELECT doc_id,
+             CASE WHEN n_words < 10 OR n_words > 1000 THEN 1 ELSE 0 END
+               AS word_count_out_of_range,
+             CASE WHEN n_chars * 10 < n_words * 30
+                    OR n_chars * 10 > n_words * 100 THEN 1 ELSE 0 END
+               AS mean_word_length_out_of_range,
+             CASE WHEN n_types * 5 < n_words THEN 1 ELSE 0 END
+               AS low_type_token_ratio,
+             CASE WHEN top_tok_cnt * 5 > n_words THEN 1 ELSE 0 END
+               AS top_token_dominance,
+             CASE WHEN n_stop = 0 THEN 1 ELSE 0 END
+               AS no_stopwords
+      FROM per_doc
+    ),
+    unp AS (
+      SELECT 'word_count_out_of_range' AS rule,
+             SUM(word_count_out_of_range) AS n_failed, COUNT(*) AS n_docs
+      FROM flags
+      UNION ALL
+      SELECT 'mean_word_length_out_of_range',
+             SUM(mean_word_length_out_of_range), COUNT(*) FROM flags
+      UNION ALL
+      SELECT 'low_type_token_ratio',
+             SUM(low_type_token_ratio), COUNT(*) FROM flags
+      UNION ALL
+      SELECT 'top_token_dominance',
+             SUM(top_token_dominance), COUNT(*) FROM flags
+      UNION ALL
+      SELECT 'no_stopwords', SUM(no_stopwords), COUNT(*) FROM flags
+    )
+    SELECT rule, n_failed,
+           CAST(CAST(n_failed AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+             AS fail_ppm
+    FROM unp
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule battery as a per-rule failure report:
+    word-count bounds, mean-word-length bounds, type/token ratio,
+    top-token dominance, and stopword presence — the rule-level
+    breakdown a corpus curator reads to decide WHICH filter is
+    removing documents (``text_quality_score`` gives the combined
+    verdict; this gives the diagnosis).
+
+    Scale posture: one explode over documents feeding one per-doc
+    aggregate (the per-token count rides a (doc, tok)-partitioned
+    window with basket-bounded fanout); rule flags are codegen CASE
+    expressions; the final report is a 5-row unpivot of one
+    map-side-combinable rollup. Cross-engine determinism: every rule
+    threshold is integer cross-multiplication (n_chars·10 < n_words·30
+    instead of mean < 3.0) — no float division anywhere."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    wtok = Window.partitionBy("doc_id", "tok")
+    per_doc = (
+        toks.withColumn("cnt_per_tok", F.count("*").over(wtok))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("tok")).alias("n_chars"),
+            F.countDistinct("tok").alias("n_types"),
+            F.max("cnt_per_tok").alias("top_tok_cnt"),
+            F.sum(
+                F.when(F.col("tok").isin(*_GOPHER_STOPWORDS), 1).otherwise(0)
+            ).alias("n_stop"),
+        )
+    )
+    flags = per_doc.select(
+        F.when((F.col("n_words") < 10) | (F.col("n_words") > 1000), 1)
+        .otherwise(0)
+        .alias("word_count_out_of_range"),
+        F.when(
+            (F.col("n_chars") * 10 < F.col("n_words") * 30)
+            | (F.col("n_chars") * 10 > F.col("n_words") * 100),
+            1,
+        )
+        .otherwise(0)
+        .alias("mean_word_length_out_of_range"),
+        F.when(F.col("n_types") * 5 < F.col("n_words"), 1)
+        .otherwise(0)
+        .alias("low_type_token_ratio"),
+        F.when(F.col("top_tok_cnt") * 5 > F.col("n_words"), 1)
+        .otherwise(0)
+        .alias("top_token_dominance"),
+        F.when(F.col("n_stop") == 0, 1).otherwise(0).alias("no_stopwords"),
+    )
+    rollup = flags.agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum(c).alias(c)
+            for c in (
+                "word_count_out_of_range",
+                "mean_word_length_out_of_range",
+                "low_type_token_ratio",
+                "top_token_dominance",
+                "no_stopwords",
+            )
+        ],
+    )
+    unp = rollup.selectExpr(
+        "stack(5, "
+        "'word_count_out_of_range', word_count_out_of_range, "
+        "'mean_word_length_out_of_range', mean_word_length_out_of_range, "
+        "'low_type_token_ratio', low_type_token_ratio, "
+        "'top_token_dominance', top_token_dominance, "
+        "'no_stopwords', no_stopwords) AS (rule, n_failed)",
+        "n_docs",
+    )
+    return unp.select(
+        "rule",
+        "n_failed",
+        F.expr(
+            "CAST(CAST(n_failed AS DECIMAL(38,0)) * 1000000 div n_docs AS BIGINT)"
+        ).alias("fail_ppm"),
+    )

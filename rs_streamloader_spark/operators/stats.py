@@ -2597,3 +2597,141 @@ def percentile_disc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("segment", "q_label", F.col("bal_c").alias("value_cents"), "n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust stats per event type (histogram-percentile clamp)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_value_winsorized",
+    oracle="""
+    WITH hist AS (
+      SELECT event_type, CAST(ROUND(value * 1000) AS BIGINT) AS v_milli,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, v_milli, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY v_milli
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ),
+    bounds AS (
+      SELECT event_type,
+             MIN(CASE WHEN cum >= (n * 1 + 19) // 20 THEN v_milli END) AS p05,
+             MIN(CASE WHEN cum >= (n * 19 + 19) // 20 THEN v_milli END) AS p95,
+             MIN(n) AS n
+      FROM cum GROUP BY event_type
+    )
+    SELECT h.event_type, b.n, b.p05 AS p05_milli, b.p95 AS p95_milli,
+           CAST(SUM(LEAST(GREATEST(h.v_milli, b.p05), b.p95) * h.cnt) * 1000
+                // b.n AS BIGINT) AS winsorized_mean_micro
+    FROM hist h JOIN bounds b ON b.event_type = h.event_type
+    GROUP BY h.event_type, b.n, b.p05, b.p95
+    """,
+)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of event values per type: values are clamped to
+    the exact [p5, p95] range before averaging — the outlier-robust
+    metric aggregation a telemetry pipeline applies before dashboards
+    (a single corrupt 1e12 reading cannot move the mean).
+
+    Scale posture: raw values quantize to a milli-unit histogram FIRST
+    (bounded by the value range, not row count — map-side combinable);
+    percentile bounds come from the cumulative histogram with exact
+    integer index math (the ``percentile_disc_by_segment`` pattern);
+    the clamp+mean is a second pass over the HISTOGRAM joined to the
+    broadcast 5-row bounds. Cross-engine determinism: quantization,
+    index arithmetic, clamping, and the final mean are all integer
+    (micro-units out, floor-division by n)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    hist = ev.groupBy(
+        "event_type",
+        F.round(F.col("value") * 1000).cast("bigint").alias("v_milli"),
+    ).agg(F.count("*").alias("cnt"))
+    wtype = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "v_milli",
+        "cnt",
+        F.sum("cnt")
+        .over(wtype.orderBy("v_milli").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("cnt").over(wtype).alias("n"),
+    )
+    bounds = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n * 1 + 19) div 20"), F.col("v_milli"))
+        ).alias("p05"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n * 19 + 19) div 20"), F.col("v_milli"))
+        ).alias("p95"),
+        F.min("n").alias("n"),
+    )
+    return (
+        hist.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "n", F.col("p05").alias("p05_milli"), F.col("p95").alias("p95_milli"))
+        .agg(
+            F.expr(
+                "CAST(SUM(LEAST(GREATEST(v_milli, p05), p95) * cnt) * 1000"
+                " div MIN(n) AS BIGINT)"
+            ).alias("winsorized_mean_micro")
+        )
+        .select("event_type", "n", "p05_milli", "p95_milli", "winsorized_mean_micro")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Catalog growth: parts first sold per month + cumulative distinct
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "new_parts_monthly",
+    oracle="""
+    WITH first_sold AS (
+      SELECT l_partkey,
+             MIN(STRFTIME(l_shipdate, '%Y-%m')) AS first_month
+      FROM lineitem GROUP BY 1
+    ),
+    monthly AS (
+      SELECT first_month AS month, COUNT(*) AS new_parts
+      FROM first_sold GROUP BY 1
+    )
+    SELECT month, new_parts,
+           SUM(new_parts) OVER (ORDER BY month
+                                ROWS UNBOUNDED PRECEDING) AS cumulative_parts
+    FROM monthly
+    """,
+)
+def new_parts_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-growth series: parts first sold in each month plus the
+    cumulative distinct catalog size — the assortment-expansion view
+    (``new_vs_returning_users`` for items instead of users).
+
+    Scale posture: first-sale month is a part-keyed MIN aggregate
+    (map-side combinable — never a distinct over (part, month) rows);
+    the cumulative window orders the calendar-bounded monthly
+    aggregate (≤ a few hundred rows at any scale). All integers and
+    formatted month strings — nothing to round."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    first_sold = li.groupBy("l_partkey").agg(
+        F.min(F.date_format("l_shipdate", "yyyy-MM")).alias("first_month")
+    )
+    monthly = first_sold.groupBy(F.col("first_month").alias("month")).agg(
+        F.count("*").alias("new_parts")
+    )
+    return monthly.select(
+        "month",
+        "new_parts",
+        F.sum("new_parts")
+        .over(
+            Window.partitionBy()
+            .orderBy("month")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cumulative_parts"),
+    )

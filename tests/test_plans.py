@@ -1263,3 +1263,46 @@ def test_lsh_recall_report_is_anti_join_of_cached_stages(spark):
     assert "InMemoryTableScan" in text, text
     # no raw document scan beyond the cached stages
     assert "CartesianProduct" not in text
+
+
+def test_gopher_rules_single_explode_no_float_division(spark):
+    from rs_streamloader_spark.operators.quality import quality_gopher_rules
+
+    df = quality_gopher_rules(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # one generate (explode) over documents feeds the whole battery
+    assert text.count("Generate explode") == 1, text
+    # per-token count partitions by (doc, tok) — no global window
+    assert "partitionBy=[]" not in text.replace(
+        "windowspecdefinition()", ""
+    ) or "Window" not in text
+
+
+def test_winsorized_windows_on_quantized_histogram(spark):
+    from rs_streamloader_spark.operators.stats import events_value_winsorized
+
+    df = events_value_winsorized(spark, SF_SMOKE)
+    lines = explain_str(df, "simple").splitlines()
+    wins = [i for i, l in enumerate(lines) if "Window" in l]
+    assert wins
+    # cumulative windows order the milli-unit HISTOGRAM, never raw rows
+    for i in wins:
+        below = "\n".join(lines[i:])
+        agg = below.find("HashAggregate")
+        scan = below.find("Scan parquet")
+        assert 0 <= agg < scan, below[:1500]
+    assert has_broadcast_join(df)
+
+
+def test_new_parts_window_on_monthly_aggregate(spark):
+    from rs_streamloader_spark.operators.stats import new_parts_monthly
+
+    df = new_parts_monthly(spark, SF_SMOKE)
+    lines = explain_str(df, "simple").splitlines()
+    wins = [i for i, l in enumerate(lines) if "Window" in l]
+    assert wins
+    for i in wins:
+        below = "\n".join(lines[i:])
+        agg = below.find("HashAggregate")
+        scan = below.find("Scan parquet")
+        assert 0 <= agg < scan, below[:1500]

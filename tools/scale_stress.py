@@ -185,6 +185,9 @@ HEAVY_TAIL = [
     "percentile_disc_by_segment",
     "dup_cluster_size_stats",
     "lsh_recall_report",
+    "quality_gopher_rules",
+    "events_value_winsorized",
+    "new_parts_monthly",
 ]
 
 # threshold-pair operators over embeddings have intrinsically
@@ -271,6 +274,10 @@ CONSTANT_OUTPUT = {
     "attribution_linear_batch",
     "percentile_disc_by_segment",
     "lsh_recall_report",
+    # 5-rule report; 5-type winsorized rollup (histogram bounded by
+    # the value range, not rows)
+    "quality_gopher_rules",
+    "events_value_winsorized",
 }
 
 
