@@ -1888,3 +1888,95 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM (exact rational arithmetic, D = 3/4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bigram_kneser_ney",
+    oracle=f"""
+    WITH bigrams AS (
+      SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ws)),
+                                   i -> [ws[i], ws[i+1]])) AS bg
+      FROM (SELECT STRING_SPLIT(text, ' ') AS ws FROM documents)
+    ),
+    bc AS (
+      SELECT bg[1] AS w1, bg[2] AS w2, COUNT(*) AS c
+      FROM bigrams GROUP BY 1, 2
+    ),
+    wincols AS (
+      SELECT w1, w2, c,
+             SUM(c) OVER (PARTITION BY w1) AS c1,
+             COUNT(*) OVER (PARTITION BY w1) AS fw,
+             COUNT(*) OVER (PARTITION BY w2) AS bw
+      FROM bc
+    ),
+    t AS (SELECT COUNT(*) AS tt FROM bc)
+    SELECT w1, w2, c,
+           CAST(CAST(c AS HUGEINT) * 1000000000 // c1 AS BIGINT) AS p_mle_nano,
+           CAST(((CAST(4 * c - 3 AS HUGEINT) * tt + 3 * fw * bw)
+                 * 1000000000) // (CAST(4 AS HUGEINT) * c1 * tt) AS BIGINT)
+             AS p_kn_nano
+    FROM wincols CROSS JOIN t
+    WHERE c >= {_BIGRAM_MIN_COUNT}
+    """,
+)
+def bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram LM (absolute discount D = 3/4):
+    P_KN(w2|w1) = (c−D)/c(w1) + D·N1+(w1,·)/c(w1) · N1+(·,w2)/T —
+    the smoothing every serious n-gram LM uses (continuation counts
+    give unseen-context words mass proportional to how many contexts
+    they complete, not raw frequency). Emitted next to the MLE
+    probability for the same bigrams (support ≥ {min}).
+
+    Scale posture: same single explode + combinable (w1,w2) aggregate
+    as ``bigram_lm_counts``; the three count functions are windows
+    over the ALREADY-AGGREGATED bigram table (partitioned by w1 / w2 —
+    distributed across words); the bigram-type total is a broadcast
+    1-row aggregate. Cross-engine determinism: D = 3/4 keeps every
+    term rational, so both probabilities are single HUGEINT/DECIMAL(38)
+    integer floor-divisions to nano-units — the smoothed sum
+    ((4c−3)·T + 3·N1+fw·N1+bw) / (4·c1·T) never touches a float."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    ws = F.split(F.col("text"), " ")
+    grams = F.expr(
+        "CASE WHEN size(ws) >= 2 THEN"
+        " transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"
+        " ELSE array() END"
+    )
+    bc = (
+        spread(docs)
+        .select(ws.alias("ws"))
+        .select(F.explode(grams).alias("bg"))
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count("*").alias("c"))
+    )
+    wincols = bc.select(
+        "w1",
+        "w2",
+        "c",
+        F.sum("c").over(Window.partitionBy("w1")).alias("c1"),
+        F.count("*").over(Window.partitionBy("w1")).alias("fw"),
+        F.count("*").over(Window.partitionBy("w2")).alias("bw"),
+    )
+    t = bc.agg(F.count("*").alias("tt"))
+    return (
+        wincols.join(F.broadcast(t))
+        .filter(F.col("c") >= _BIGRAM_MIN_COUNT)
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.expr(
+                "CAST(CAST(c AS DECIMAL(38,0)) * 1000000000 div c1 AS BIGINT)"
+            ).alias("p_mle_nano"),
+            F.expr(
+                "CAST((CAST(4 * c - 3 AS DECIMAL(38,0)) * tt + 3 * fw * bw)"
+                " * 1000000000 div (CAST(4 AS DECIMAL(38,0)) * c1 * tt)"
+                " AS BIGINT)"
+            ).alias("p_kn_nano"),
+        )
+    )

@@ -2735,3 +2735,165 @@ def new_parts_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("cumulative_parts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling exact median of daily revenue (bounded-window quantile)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_median_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    win AS (
+      SELECT d, rev_c,
+             LIST(rev_c) OVER (ORDER BY d
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS l
+      FROM daily
+    )
+    SELECT STRFTIME(d, '%Y-%m-%d') AS day, rev_c,
+           CAST(LEN(l) AS INT) AS n_window,
+           LIST_SORT(l)[(LEN(l) + 1) // 2] AS rolling_median_cents
+    FROM win
+    """,
+)
+def rolling_median_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day exact median of daily revenue — the robust trend
+    line dashboards draw instead of the outlier-sensitive rolling
+    mean. The window quantile is computed by sorting the ≤7 collected
+    window values and indexing PERCENTILE_DISC's ceil(n/2) — exact,
+    and O(w log w) per output row with w fixed at 7.
+
+    Scale posture: the rolling window orders the calendar-bounded
+    DAILY aggregate (never input rows), so the collected list is ≤7
+    BIGINTs per day — bounded state regardless of order volume.
+    Cross-engine determinism: integer cents in, identical 1-based
+    sorted-list index both sides, dates out as formatted strings."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_c")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-6, 0)
+    win = daily.select(
+        "d", "rev_c", F.sort_array(F.collect_list("rev_c").over(w7)).alias("l")
+    )
+    return win.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "rev_c",
+        F.size("l").alias("n_window"),
+        F.expr("element_at(l, CAST((size(l) + 1) div 2 AS INT))").alias(
+            "rolling_median_cents"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL register MERGE across sources (the mergeable-sketch property)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hll_union_sources",
+    oracle=f"""
+    WITH hr AS (
+      SELECT event_type, {_hll_fields_sql()[0]} AS bucket,
+             {_hll_fields_sql()[1]} AS rho
+      FROM events
+    ),
+    per_type AS (
+      SELECT event_type, bucket, MAX(rho) AS m FROM hr GROUP BY 1, 2
+    ),
+    merged AS (SELECT bucket, MAX(m) AS m FROM per_type GROUP BY bucket),
+    s AS (
+      SELECT SUM(POW(2.0, -m)) AS z_part, COUNT(*) AS nonempty FROM merged
+    ),
+    est AS (
+      SELECT e.n_sources,
+             (SELECT SUM(du) FROM (
+               SELECT COUNT(DISTINCT user_id) AS du FROM events
+               GROUP BY event_type)) AS sum_exact_per_source,
+             e.exact_union,
+             {_HLL_M} - s.nonempty AS zeros,
+             (0.7213 / (1 + 1.079 / {_HLL_M})) * {_HLL_M} * {_HLL_M}
+               / (s.z_part + ({_HLL_M} - s.nonempty)) AS raw
+      FROM s CROSS JOIN
+           (SELECT COUNT(DISTINCT event_type) AS n_sources,
+                   COUNT(DISTINCT user_id) AS exact_union FROM events) e
+    )
+    SELECT n_sources, sum_exact_per_source, exact_union,
+           ROUND(CASE WHEN raw <= 2.5 * {_HLL_M} AND zeros > 0
+                      THEN {_HLL_M} * LN(CAST({_HLL_M} AS DOUBLE) / zeros)
+                      ELSE raw END, 2) AS hll_union_est,
+           ROUND((CASE WHEN raw <= 2.5 * {_HLL_M} AND zeros > 0
+                       THEN {_HLL_M} * LN(CAST({_HLL_M} AS DOUBLE) / zeros)
+                       ELSE raw END - exact_union) / exact_union, 4)
+             AS rel_err
+    FROM est
+    """,
+)
+def hll_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register MERGE: per-event-type HLL sketches unioned by
+    taking the register-wise MAX, vs the exact union distinct and the
+    (overcounting) sum of per-source exacts — the mergeability
+    demonstration that makes sketches viable at 100 TB: per-partition/
+    per-day/per-source sketches combine without re-reading data, which
+    COUNT(DISTINCT) cannot do.
+
+    Scale posture: register build is a (source, bucket)-keyed MAX
+    aggregate (≤ sources × {m} rows), merge is a second {m}-key MAX —
+    constant state at any cardinality. Σ2^(−M) sums exact dyadic
+    doubles (order-independent); the one transcendental (LN in the
+    small-range correction) is a final scored expression with
+    identical operand order in both engines."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    h = F.md5(F.concat(F.lit("hll|"), F.col("user_id").cast("string")))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % _HLL_M
+    v = F.conv(F.substring(h, 3, 8), 16, 10).cast("bigint")
+    rho = F.when(v == 0, 33).otherwise(33 - F.length(F.bin(v)))
+    per_type = (
+        ev.select("event_type", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    merged = per_type.groupBy("bucket").agg(F.max("m").alias("m"))
+    s = merged.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("z_part"),
+        F.count("*").alias("nonempty"),
+    )
+    per_source = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("du")
+    )
+    sums = per_source.agg(
+        F.count("*").alias("n_sources"),
+        F.sum("du").alias("sum_exact_per_source"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_union"))
+    zeros = F.lit(_HLL_M) - F.col("nonempty")
+    raw = (
+        F.lit(0.7213 / (1 + 1.079 / _HLL_M))
+        * _HLL_M
+        * _HLL_M
+        / (F.col("z_part") + zeros)
+    )
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (zeros > 0),
+        _HLL_M * F.log(F.lit(float(_HLL_M)) / zeros),
+    ).otherwise(raw)
+    return (
+        s.join(F.broadcast(sums))
+        .join(F.broadcast(exact))
+        .select(
+            "n_sources",
+            "sum_exact_per_source",
+            "exact_union",
+            F.round(est, 2).alias("hll_union_est"),
+            F.round((est - F.col("exact_union")) / F.col("exact_union"), 4).alias(
+                "rel_err"
+            ),
+        )
+    )

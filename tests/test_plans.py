@@ -1306,3 +1306,45 @@ def test_new_parts_window_on_monthly_aggregate(spark):
         agg = below.find("HashAggregate")
         scan = below.find("Scan parquet")
         assert 0 <= agg < scan, below[:1500]
+
+
+def test_kneser_ney_windows_on_bigram_aggregate(spark):
+    from rs_streamloader_spark.operators.mining import bigram_kneser_ney
+
+    df = bigram_kneser_ney(spark, SF_SMOKE)
+    lines = explain_str(df, "simple").splitlines()
+    wins = [i for i, l in enumerate(lines) if "Window" in l]
+    assert wins
+    # continuation/context counts are windows over the AGGREGATED
+    # bigram table, never over exploded token rows
+    for i in wins:
+        below = "\n".join(lines[i:])
+        agg = below.find("HashAggregate")
+        scan = below.find("Scan parquet")
+        assert 0 <= agg < scan, below[:1500]
+    assert has_broadcast_join(df)
+
+
+def test_rolling_median_window_on_daily_aggregate(spark):
+    from rs_streamloader_spark.operators.stats import rolling_median_daily_revenue
+
+    df = rolling_median_daily_revenue(spark, SF_SMOKE)
+    lines = explain_str(df, "simple").splitlines()
+    wins = [i for i, l in enumerate(lines) if "Window" in l]
+    assert wins
+    for i in wins:
+        below = "\n".join(lines[i:])
+        agg = below.find("HashAggregate")
+        scan = below.find("Scan parquet")
+        assert 0 <= agg < scan, below[:1500]
+
+
+def test_hll_union_two_stacked_register_aggregates(spark):
+    from rs_streamloader_spark.operators.stats import hll_union_sources
+
+    df = hll_union_sources(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # (source, bucket) MAX then bucket MAX — constant sketch state;
+    # exact counts broadcast in, no window anywhere
+    assert "Window" not in text, text
+    assert has_broadcast_join(df)

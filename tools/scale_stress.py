@@ -188,6 +188,9 @@ HEAVY_TAIL = [
     "quality_gopher_rules",
     "events_value_winsorized",
     "new_parts_monthly",
+    "bigram_kneser_ney",
+    "rolling_median_daily_revenue",
+    "hll_union_sources",
 ]
 
 # threshold-pair operators over embeddings have intrinsically
@@ -278,6 +281,10 @@ CONSTANT_OUTPUT = {
     # the value range, not rows)
     "quality_gopher_rules",
     "events_value_winsorized",
+    # 1-row sketch-merge audit; rolling median rides the
+    # calendar-bounded daily grid
+    "hll_union_sources",
+    "rolling_median_daily_revenue",
 }
 
 
