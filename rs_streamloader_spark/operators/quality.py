@@ -702,3 +702,74 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(n_failed AS DECIMAL(38,0)) * 1000000 div n_docs AS BIGINT)"
         ).alias("fail_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto) inventory classification of parts by revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "abc_classification_parts",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS rev_c
+      FROM lineitem GROUP BY 1
+    ),
+    hist AS (
+      SELECT rev_c, SUM(rev_c) AS grp_rev FROM pr GROUP BY rev_c
+    ),
+    cum AS (
+      SELECT rev_c,
+             SUM(grp_rev) OVER (ORDER BY rev_c
+                                ROWS UNBOUNDED PRECEDING) - grp_rev
+               AS cum_below
+      FROM hist
+    ),
+    tot AS (SELECT SUM(rev_c) AS total FROM pr)
+    SELECT p.l_partkey, p.rev_c,
+           CASE WHEN (t.total - c.cum_below) * 5 <= t.total * 4 THEN 'A'
+                WHEN (t.total - c.cum_below) * 20 <= t.total * 19 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM pr p JOIN cum c ON c.rev_c = p.rev_c CROSS JOIN tot t
+    """,
+)
+def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of every part by revenue: parts in
+    the top 80% of cumulative revenue (accumulated from the largest)
+    are class A, the next 15% B, the tail C — the inventory-priority
+    banding behind stocking and curation decisions, emitted PER ITEM
+    (``pareto_customer_share`` reports the thresholds; this labels the
+    catalog).
+
+    Scale posture: per-part revenue is a combinable aggregate; the
+    descending cumulative comes from the banded TWO-PASS prefix over
+    the (distinct revenue value) HISTOGRAM — never a global-sort
+    window over parts — and the classification joins parts back on
+    the revenue value with the 1-row total broadcast. Revenue ties
+    share a histogram cell, so tied parts get the same class
+    deterministically. Cross-engine determinism: all thresholds are
+    integer cross-multiplications of BIGINT cents."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("rev_c")
+    )
+    hist = pr.groupBy("rev_c").agg(F.sum("rev_c").alias("grp_rev"))
+    cum = _banded_prefix(hist, "rev_c", "grp_rev", "sum", "cum_below").select(
+        "rev_c", F.coalesce(F.col("cum_below"), F.lit(0)).alias("cum_below")
+    )
+    tot = pr.agg(F.sum("rev_c").alias("total"))
+    above = F.col("total") - F.col("cum_below")
+    return (
+        pr.join(cum, "rev_c")
+        .join(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "rev_c",
+            F.when(above * 5 <= F.col("total") * 4, "A")
+            .when(above * 20 <= F.col("total") * 19, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )

@@ -1624,3 +1624,106 @@ def embedding_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame
         "dim",
         F.round(F.col("s_micro") / F.col("nrm"), 6).alias("loading"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation audit (retrieval overlap at half dimensions)
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = 32  # truncated prefix length (full vectors are 64-d)
+
+_DUCK_COS32 = (
+    "LIST_DOT_PRODUCT((CAST(a.embedding AS DOUBLE[]))[1:32],"
+    " (CAST(b.embedding AS DOUBLE[]))[1:32])"
+    " / (SQRT(LIST_DOT_PRODUCT((CAST(a.embedding AS DOUBLE[]))[1:32],"
+    " (CAST(a.embedding AS DOUBLE[]))[1:32]))"
+    " * SQRT(LIST_DOT_PRODUCT((CAST(b.embedding AS DOUBLE[]))[1:32],"
+    " (CAST(b.embedding AS DOUBLE[]))[1:32])))"
+)
+
+
+@register(
+    "matryoshka_truncate_audit",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY ROUND({_DUCK_COS}, 6) DESC, b.vec_id
+             ) AS rn_full,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY ROUND({_DUCK_COS32}, 6) DESC, b.vec_id
+             ) AS rn_trunc
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    )
+    SELECT query_id,
+           CAST(SUM(CASE WHEN rn_full <= {TOP_K} AND rn_trunc <= {TOP_K}
+                         THEN 1 ELSE 0 END) AS INT) AS overlap_at_k,
+           {TOP_K} AS k
+    FROM scored GROUP BY query_id
+    """,
+)
+def matryoshka_truncate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation audit: per query, how many of the
+    exact top-{k} cosine neighbors survive when vectors are truncated
+    to their first {d} of 64 dimensions — the measurement behind
+    MRL-style "store half the floats, keep most of the recall"
+    dimension-budget decisions.
+
+    Scale posture: one broadcast of the bounded query set against the
+    corpus scores BOTH metrics in a single pass (no second scan or
+    join); the two ranking windows partition per query with
+    WindowGroupLimit-bounded state. Cross-engine determinism: both
+    cosines are sequential-fold dot products rounded to 6dp before
+    ranking (ties by neighbor id), and the overlap is an integer
+    count."""
+    t = _emb_norm_cached(spark, sf_dir)
+    corpus = t.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+        F.slice("embedding", 1, _MRL_DIMS).alias("emb_b32"),
+    )
+    queries = t.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+        F.slice("embedding", 1, _MRL_DIMS).alias("emb_a32"),
+    )
+    from rs_streamloader_spark.functions.vector import norm_expr
+
+    cos_full = F.round(
+        _dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 6
+    )
+    cos_trunc = F.round(
+        _dot("emb_a32", "emb_b32") / (norm_expr("emb_a32") * norm_expr("emb_b32")),
+        6,
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cos_full.alias("cf"),
+            cos_trunc.alias("ct"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("cf").desc(), "neighbor_id")
+    wt = Window.partitionBy("query_id").orderBy(F.col("ct").desc(), "neighbor_id")
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(wf).alias("rn_full"),
+        F.row_number().over(wt).alias("rn_trunc"),
+    )
+    return ranked.groupBy("query_id").agg(
+        F.sum(
+            F.when((F.col("rn_full") <= TOP_K) & (F.col("rn_trunc") <= TOP_K), 1)
+            .otherwise(0)
+        )
+        .cast("int")
+        .alias("overlap_at_k"),
+        F.lit(TOP_K).alias("k"),
+    )

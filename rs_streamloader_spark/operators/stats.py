@@ -2897,3 +2897,97 @@ def hll_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-native approx_percentile audited against its rank contract
+# ---------------------------------------------------------------------------
+
+_APPROX_B = 10_000  # accuracy parameter → rank error <= n / B
+
+
+@register(
+    "approx_percentile_contract",
+    oracle="""
+    WITH hist AS (
+      SELECT event_type, CAST(ROUND(value * 1000) AS BIGINT) AS v_milli,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, v_milli, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY v_milli
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    )
+    SELECT event_type, MIN(n) AS n,
+           MIN(CASE WHEN cum >= (n + 1) // 2 THEN v_milli END)
+             AS exact_p50_milli,
+           TRUE AS within_contract
+    FROM cum GROUP BY event_type
+    """,
+)
+def approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native ``percentile_approx`` audited against its
+    mathematical contract: the GK-sketch median's RANK must sit within
+    n/{b} of the true median rank. The approximate value itself is
+    engine- (and merge-order-) specific, so what leaves the query is
+    the EXACT median plus the boolean contract verdict — deterministic
+    output wrapped around a nondeterministic sketch, the same pattern
+    a platform uses to monitor its approximate operators in
+    production.
+
+    Scale posture: the exact side is the cumulative milli-unit
+    histogram (bounded by value range); the approx side is Spark's
+    mergeable GK sketch — constant state per partition; the audit
+    joins the sketch's output value back into the histogram to read
+    off its exact rank interval. Oracle: exact median + literal TRUE
+    (the contract is a theorem; a FALSE here is an engine bug and
+    SHOULD fail the driver compare)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    q = ev.select("event_type", F.round(F.col("value") * 1000).cast("bigint").alias("v_milli"))
+    hist = q.groupBy("event_type", "v_milli").agg(F.count("*").alias("cnt"))
+    wtype = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "v_milli",
+        "cnt",
+        F.sum("cnt")
+        .over(wtype.orderBy("v_milli").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("cnt").over(wtype).alias("n"),
+    )
+    approx = q.groupBy("event_type").agg(
+        F.percentile_approx("v_milli", 0.5, _APPROX_B).alias("approx_v")
+    )
+    # rank interval of the approx value: (cum_below, cum_incl]
+    probe = (
+        cum.join(F.broadcast(approx), "event_type")
+        .where(F.col("v_milli") == F.col("approx_v"))
+        .select(
+            "event_type",
+            (F.col("cum") - F.col("cnt")).alias("rank_lo_excl"),
+            F.col("cum").alias("rank_hi"),
+        )
+    )
+    exact = cum.groupBy("event_type").agg(
+        F.min("n").alias("n"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("v_milli"))
+        ).alias("exact_p50_milli"),
+    )
+    t = F.expr("(n + 1) div 2")
+    tol = F.expr(f"n div {_APPROX_B}") + 1
+    return (
+        exact.join(F.broadcast(probe), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "exact_p50_milli",
+            (
+                (F.col("rank_lo_excl") + 1 <= t + tol)
+                & (F.col("rank_hi") >= t - tol)
+            ).alias("within_contract"),
+        )
+    )

@@ -700,3 +700,110 @@ def stream_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL register maintenance (complete-mode bounded aggregation)
+# ---------------------------------------------------------------------------
+
+
+def _replay_complete(
+    spark: SparkSession,
+    tag: str,
+    sf_dir: str,
+    inputs: dict,
+    build,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """``_replay`` variant for COMPLETE-mode aggregations: every
+    micro-batch overwrites the scratch output, so the final read-back
+    is the last full result — legal only when the aggregate state is
+    bounded (here: a fixed register file)."""
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "rs_sl_replay",
+        spark.sparkContext.applicationId,
+        tag,
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    streams = {}
+    for name, df in inputs.items():
+        path = os.path.join(base, f"in_{name}")
+        df.write.parquet(path)
+        reader = spark.readStream.schema(df.schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        streams[name] = reader.parquet(path)
+    out = os.path.join(base, "out")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS)
+    )
+    try:
+        q = (
+            build(streams)
+            .writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("overwrite").parquet(out)
+            )
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.read.parquet(out)
+
+
+def _hll_oracle_registers() -> str:
+    from rs_streamloader_spark.operators.stats import _HLL_M, _hll_fields_sql
+
+    b, rho = _hll_fields_sql()
+    return f"""
+    WITH hr AS (
+      SELECT {b} AS bucket, {rho} AS rho FROM events
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket, CAST(MAX(rho) AS INTEGER) AS m
+    FROM hr GROUP BY bucket
+    """
+
+
+@register("stream_hll_registers_replay", oracle=_hll_oracle_registers())
+def stream_hll_registers_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL register maintenance: the distinct-user sketch's
+    64 registers maintained as a COMPLETE-mode streaming aggregation
+    (register-wise MAX of the rank statistic), replayed under
+    availableNow — the final register file must equal the batch build
+    bit-for-bit (the oracle is the batch register SQL). This is the
+    streaming face of the mergeability property ``hll_union_sources``
+    demonstrates for batch: a live distinct-count dashboard keeps
+    constant state per source regardless of stream cardinality.
+
+    Scale posture: the streaming state is EXACTLY {m} registers (MAX
+    is idempotent and order-independent — safe under any micro-batch
+    slicing); complete-mode re-emission per batch writes {m} rows, not
+    data volume. No watermark is needed because the aggregate never
+    grows past the register file."""
+    from rs_streamloader_spark.operators.stats import _HLL_M
+
+    ev = _events(spark, sf_dir).select("user_id")
+    h = F.md5(F.concat(F.lit("hll|"), F.col("user_id").cast("string")))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % _HLL_M
+    v = F.conv(F.substring(h, 3, 8), 16, 10).cast("bigint")
+    rho = F.when(v == 0, 33).otherwise(33 - F.length(F.bin(v)))
+
+    def build(streams):
+        s = streams["events"]
+        return (
+            s.select(bucket.alias("bucket"), rho.cast("int").alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("m"))
+        )
+
+    out = _replay_complete(spark, "hll_regs", sf_dir, {"events": ev}, build)
+    return out.select(F.col("bucket").cast("int"), F.col("m").cast("int"))

@@ -228,3 +228,44 @@ def test_stream_static_join_across_many_microbatches(spark):
         REGISTRY["stream_static_join_replay"].fn(spark, SF)
     )
     assert got == want
+
+
+def test_hll_registers_across_many_microbatches(spark):
+    """Complete-mode register maintenance must survive real multi-batch
+    incremental aggregation: with maxFilesPerTrigger=1 the register
+    MAXes accumulate across micro-batches, and the final register file
+    must equal the single-batch replay (itself oracle-checked). MAX is
+    idempotent/commutative, so ANY slicing must converge to the same
+    64 registers."""
+    from rs_streamloader_spark.streaming.replay import (
+        _events,
+        _replay_complete,
+        stream_hll_registers_replay,
+    )
+    from rs_streamloader_spark.operators.stats import _HLL_M
+
+    single = {
+        (r["bucket"], r["m"])
+        for r in stream_hll_registers_replay(spark, SF).collect()
+    }
+
+    ev = _events(spark, SF).select("user_id")
+    h = F.md5(F.concat(F.lit("hll|"), F.col("user_id").cast("string")))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % _HLL_M
+    v = F.conv(F.substring(h, 3, 8), 16, 10).cast("bigint")
+    rho = F.when(v == 0, 33).otherwise(33 - F.length(F.bin(v)))
+
+    def build(streams):
+        return (
+            streams["events"]
+            .select(bucket.alias("bucket"), rho.cast("int").alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("m"))
+        )
+
+    multi_df = _replay_complete(
+        spark, "hll_regs_multi", SF, {"events": ev}, build,
+        max_files_per_trigger=1,
+    )
+    multi = {(r["bucket"], r["m"]) for r in multi_df.collect()}
+    assert multi == single and len(single) > 0

@@ -1348,3 +1348,47 @@ def test_hll_union_two_stacked_register_aggregates(spark):
     # exact counts broadcast in, no window anywhere
     assert "Window" not in text, text
     assert has_broadcast_join(df)
+
+
+def test_matryoshka_single_pass_two_rankings(spark):
+    from rs_streamloader_spark.operators.similarity import matryoshka_truncate_audit
+
+    df = matryoshka_truncate_audit(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # one broadcast of the query set scores both metrics — a second
+    # corpus join would double the scan
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in text
+
+
+def test_abc_classification_banded_prefix_no_global_sort(spark):
+    from rs_streamloader_spark.operators.quality import abc_classification_parts
+
+    df = abc_classification_parts(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # the cumulative never runs a single-partition window over parts:
+    # any SinglePartition exchange sits above the bounded band
+    # aggregate, not the per-part table
+    lines = text.splitlines()
+    for i, l in enumerate(lines):
+        if "SinglePartition" in l:
+            below = "\n".join(lines[i:])
+            agg = below.find("HashAggregate")
+            scan = below.find("Scan parquet")
+            assert 0 <= agg < scan, below[:1500]
+    assert has_broadcast_join(df)
+
+
+def test_approx_percentile_contract_histogram_side(spark):
+    from rs_streamloader_spark.operators.stats import approx_percentile_contract
+
+    df = approx_percentile_contract(spark, SF_SMOKE)
+    lines = explain_str(df, "simple").splitlines()
+    wins = [i for i, l in enumerate(lines) if "Window" in l]
+    assert wins
+    for i in wins:
+        below = "\n".join(lines[i:])
+        agg = below.find("HashAggregate")
+        scan = below.find("Scan parquet")
+        assert 0 <= agg < scan, below[:1500]
+    assert has_broadcast_join(df)

@@ -191,6 +191,10 @@ HEAVY_TAIL = [
     "bigram_kneser_ney",
     "rolling_median_daily_revenue",
     "hll_union_sources",
+    "matryoshka_truncate_audit",
+    "abc_classification_parts",
+    "approx_percentile_contract",
+    "stream_hll_registers_replay",
 ]
 
 # threshold-pair operators over embeddings have intrinsically
@@ -285,6 +289,11 @@ CONSTANT_OUTPUT = {
     # calendar-bounded daily grid
     "hll_union_sources",
     "rolling_median_daily_revenue",
+    # bounded query set x top-k overlap; 5-type contract audit; 64
+    # streaming registers
+    "matryoshka_truncate_audit",
+    "approx_percentile_contract",
+    "stream_hll_registers_replay",
 }
 
 
