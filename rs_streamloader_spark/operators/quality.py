@@ -756,8 +756,10 @@ def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("rev_c")
     )
     hist = pr.groupBy("rev_c").agg(F.sum("rev_c").alias("grp_rev"))
+    # _banded_prefix's "sum" path is never NULL (both prefix terms
+    # coalesce to 0 inside the helper)
     cum = _banded_prefix(hist, "rev_c", "grp_rev", "sum", "cum_below").select(
-        "rev_c", F.coalesce(F.col("cum_below"), F.lit(0)).alias("cum_below")
+        "rev_c", "cum_below"
     )
     tot = pr.agg(F.sum("rev_c").alias("total"))
     above = F.col("total") - F.col("cum_below")

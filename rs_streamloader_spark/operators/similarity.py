@@ -1674,8 +1674,11 @@ def matryoshka_truncate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: one broadcast of the bounded query set against the
     corpus scores BOTH metrics in a single pass (no second scan or
-    join); the two ranking windows partition per query with
-    WindowGroupLimit-bounded state. Cross-engine determinism: both
+    join); the two ranking windows partition per query (state bounded
+    to one query's candidate list per task — both ranks must see the
+    full corpus before any cut, so no WindowGroupLimit applies; the
+    rn_full filter then bounds what reaches the overlap aggregate).
+    Cross-engine determinism: both
     cosines are sequential-fold dot products rounded to 6dp before
     ranking (ties by neighbor id), and the overlap is an integer
     count."""
@@ -1713,11 +1716,14 @@ def matryoshka_truncate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wf = Window.partitionBy("query_id").orderBy(F.col("cf").desc(), "neighbor_id")
     wt = Window.partitionBy("query_id").orderBy(F.col("ct").desc(), "neighbor_id")
+    # keep only the full-metric top-k: overlap counts rows in BOTH
+    # top-k sets, and every query retains exactly TOP_K rows, so no
+    # query_id group can vanish
     ranked = scored.select(
         "query_id",
         F.row_number().over(wf).alias("rn_full"),
         F.row_number().over(wt).alias("rn_trunc"),
-    )
+    ).filter(F.col("rn_full") <= TOP_K)
     return ranked.groupBy("query_id").agg(
         F.sum(
             F.when((F.col("rn_full") <= TOP_K) & (F.col("rn_trunc") <= TOP_K), 1)

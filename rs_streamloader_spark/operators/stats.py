@@ -1163,6 +1163,19 @@ def _hll_fields_sql() -> tuple[str, str]:
     return b, rho
 
 
+def _hll_cols():
+    """Spark-side twin of ``_hll_fields_sql``: the (bucket, rho)
+    column pair from the same salted md5 — ONE definition shared by
+    the batch estimator, the union merge, the streaming register
+    replay, and its multibatch test, so the hash recipe cannot drift
+    between faces."""
+    h = F.md5(F.concat(F.lit("hll|"), F.col("user_id").cast("string")))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % _HLL_M
+    v = F.conv(F.substring(h, 3, 8), 16, 10).cast("bigint")
+    rho = F.when(v == 0, 33).otherwise(33 - F.length(F.bin(v)))
+    return bucket, rho
+
+
 @register(
     "distinct_hll_manual",
     oracle=f"""
@@ -1209,10 +1222,7 @@ def distinct_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ 2⁻³³), so the reduction is order-independent — no float-sum
     trap. The exact count exists only for the audit column."""
     ev = _t(spark, sf_dir, "events")["events"]
-    h = F.md5(F.concat(F.lit("hll|"), F.col("user_id").cast("string")))
-    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % _HLL_M
-    v = F.conv(F.substring(h, 3, 8), 16, 10).cast("bigint")
-    rho = F.when(v == 0, 33).otherwise(33 - F.length(F.bin(v)))
+    bucket, rho = _hll_cols()
     regs = (
         ev.select(bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("bucket")
@@ -2627,7 +2637,8 @@ def percentile_disc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cum GROUP BY event_type
     )
     SELECT h.event_type, b.n, b.p05 AS p05_milli, b.p95 AS p95_milli,
-           CAST(SUM(LEAST(GREATEST(h.v_milli, b.p05), b.p95) * h.cnt) * 1000
+           CAST(SUM(CAST(LEAST(GREATEST(h.v_milli, b.p05), b.p95) AS HUGEINT)
+                    * h.cnt) * 1000
                 // b.n AS BIGINT) AS winsorized_mean_micro
     FROM hist h JOIN bounds b ON b.event_type = h.event_type
     GROUP BY h.event_type, b.n, b.p05, b.p95
@@ -2676,7 +2687,8 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "n", F.col("p05").alias("p05_milli"), F.col("p95").alias("p95_milli"))
         .agg(
             F.expr(
-                "CAST(SUM(LEAST(GREATEST(v_milli, p05), p95) * cnt) * 1000"
+                "CAST(SUM(CAST(LEAST(GREATEST(v_milli, p05), p95)"
+                " AS DECIMAL(38,0)) * cnt) * 1000"
                 " div MIN(n) AS BIGINT)"
             ).alias("winsorized_mean_micro")
         )
@@ -2851,10 +2863,7 @@ def hll_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-range correction) is a final scored expression with
     identical operand order in both engines."""
     ev = _t(spark, sf_dir, "events")["events"]
-    h = F.md5(F.concat(F.lit("hll|"), F.col("user_id").cast("string")))
-    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % _HLL_M
-    v = F.conv(F.substring(h, 3, 8), 16, 10).cast("bigint")
-    rho = F.when(v == 0, 33).otherwise(33 - F.length(F.bin(v)))
+    bucket, rho = _hll_cols()
     per_type = (
         ev.select("event_type", bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("event_type", "bucket")

@@ -87,9 +87,18 @@ def _replay(
     inputs: dict[str, DataFrame],
     build,
     shuffle_partitions: int | None = None,
+    output_mode: str = "append",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Write ``inputs`` as parquet sources, run ``build(streams)`` with
-    availableNow, land append output to scratch parquet, read it back."""
+    availableNow, land the output to scratch parquet, read it back.
+
+    ``output_mode="complete"`` switches the landing write to overwrite
+    (each micro-batch re-emits the full result; the final overwrite is
+    the answer) — legal only for bounded-state aggregations.
+    ``max_files_per_trigger`` rate-limits the file source so a replay
+    exercises REAL multi-batch incremental state instead of one big
+    batch."""
     base = os.path.join(
         tempfile.gettempdir(),
         "rs_sl_replay",
@@ -106,7 +115,10 @@ def _replay(
         # coalesce over union(cached scan, one-row sentinel relation)
         # measured 5.9s where the parallel write takes 0.7s
         df.write.parquet(path)
-        streams[name] = spark.readStream.schema(df.schema).parquet(path)
+        reader = spark.readStream.schema(df.schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        streams[name] = reader.parquet(path)
     out = os.path.join(base, "out")
     # a stateful streaming query instantiates one state-store partition
     # per shuffle partition PER stateful operator PER micro-batch — at
@@ -120,13 +132,14 @@ def _replay(
         "spark.sql.shuffle.partitions",
         str(shuffle_partitions or REPLAY_SHUFFLE_PARTITIONS),
     )
+    land_mode = "overwrite" if output_mode == "complete" else "append"
     try:
         q = (
             build(streams)
             .writeStream.foreachBatch(
-                lambda bdf, _bid: bdf.write.mode("append").parquet(out)
+                lambda bdf, _bid: bdf.write.mode(land_mode).parquet(out)
             )
-            .outputMode("append")
+            .outputMode(output_mode)
             .option("checkpointLocation", os.path.join(base, "ckpt"))
             .trigger(availableNow=True)
             .start()
@@ -707,59 +720,6 @@ def stream_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _replay_complete(
-    spark: SparkSession,
-    tag: str,
-    sf_dir: str,
-    inputs: dict,
-    build,
-    max_files_per_trigger: int | None = None,
-) -> DataFrame:
-    """``_replay`` variant for COMPLETE-mode aggregations: every
-    micro-batch overwrites the scratch output, so the final read-back
-    is the last full result — legal only when the aggregate state is
-    bounded (here: a fixed register file)."""
-    import shutil
-    import tempfile
-
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "rs_sl_replay",
-        spark.sparkContext.applicationId,
-        tag,
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    shutil.rmtree(base, ignore_errors=True)
-    streams = {}
-    for name, df in inputs.items():
-        path = os.path.join(base, f"in_{name}")
-        df.write.parquet(path)
-        reader = spark.readStream.schema(df.schema)
-        if max_files_per_trigger is not None:
-            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-        streams[name] = reader.parquet(path)
-    out = os.path.join(base, "out")
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS)
-    )
-    try:
-        q = (
-            build(streams)
-            .writeStream.foreachBatch(
-                lambda bdf, _bid: bdf.write.mode("overwrite").parquet(out)
-            )
-            .outputMode("complete")
-            .option("checkpointLocation", os.path.join(base, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    return spark.read.parquet(out)
-
-
 def _hll_oracle_registers() -> str:
     from rs_streamloader_spark.operators.stats import _HLL_M, _hll_fields_sql
 
@@ -789,13 +749,10 @@ def stream_hll_registers_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     slicing); complete-mode re-emission per batch writes {m} rows, not
     data volume. No watermark is needed because the aggregate never
     grows past the register file."""
-    from rs_streamloader_spark.operators.stats import _HLL_M
+    from rs_streamloader_spark.operators.stats import _hll_cols
 
     ev = _events(spark, sf_dir).select("user_id")
-    h = F.md5(F.concat(F.lit("hll|"), F.col("user_id").cast("string")))
-    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % _HLL_M
-    v = F.conv(F.substring(h, 3, 8), 16, 10).cast("bigint")
-    rho = F.when(v == 0, 33).otherwise(33 - F.length(F.bin(v)))
+    bucket, rho = _hll_cols()
 
     def build(streams):
         s = streams["events"]
@@ -805,5 +762,8 @@ def stream_hll_registers_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("rho").alias("m"))
         )
 
-    out = _replay_complete(spark, "hll_regs", sf_dir, {"events": ev}, build)
+    out = _replay(
+        spark, "hll_regs", sf_dir, {"events": ev}, build,
+        output_mode="complete",
+    )
     return out.select(F.col("bucket").cast("int"), F.col("m").cast("int"))

@@ -239,10 +239,10 @@ def test_hll_registers_across_many_microbatches(spark):
     64 registers."""
     from rs_streamloader_spark.streaming.replay import (
         _events,
-        _replay_complete,
+        _replay,
         stream_hll_registers_replay,
     )
-    from rs_streamloader_spark.operators.stats import _HLL_M
+    from rs_streamloader_spark.operators.stats import _hll_cols
 
     single = {
         (r["bucket"], r["m"])
@@ -250,10 +250,7 @@ def test_hll_registers_across_many_microbatches(spark):
     }
 
     ev = _events(spark, SF).select("user_id")
-    h = F.md5(F.concat(F.lit("hll|"), F.col("user_id").cast("string")))
-    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % _HLL_M
-    v = F.conv(F.substring(h, 3, 8), 16, 10).cast("bigint")
-    rho = F.when(v == 0, 33).otherwise(33 - F.length(F.bin(v)))
+    bucket, rho = _hll_cols()
 
     def build(streams):
         return (
@@ -263,9 +260,9 @@ def test_hll_registers_across_many_microbatches(spark):
             .agg(F.max("rho").alias("m"))
         )
 
-    multi_df = _replay_complete(
+    multi_df = _replay(
         spark, "hll_regs_multi", SF, {"events": ev}, build,
-        max_files_per_trigger=1,
+        output_mode="complete", max_files_per_trigger=1,
     )
     multi = {(r["bucket"], r["m"]) for r in multi_df.collect()}
     assert multi == single and len(single) > 0

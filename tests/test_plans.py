@@ -1272,10 +1272,13 @@ def test_gopher_rules_single_explode_no_float_division(spark):
     text = explain_str(df, "simple")
     # one generate (explode) over documents feeds the whole battery
     assert text.count("Generate explode") == 1, text
-    # per-token count partitions by (doc, tok) — no global window
-    assert "partitionBy=[]" not in text.replace(
-        "windowspecdefinition()", ""
-    ) or "Window" not in text
+    # the per-token count window must stay partitioned by doc_id —
+    # an unpartitioned window over exploded tokens would serialize
+    # the corpus through one task
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", text)
+    assert specs, text
+    for spec in specs:
+        assert "doc_id" in spec, text
 
 
 def test_winsorized_windows_on_quantized_histogram(spark):

@@ -285,10 +285,8 @@ CONSTANT_OUTPUT = {
     # the value range, not rows)
     "quality_gopher_rules",
     "events_value_winsorized",
-    # 1-row sketch-merge audit; rolling median rides the
-    # calendar-bounded daily grid
+    # 1-row sketch-merge audit
     "hll_union_sources",
-    "rolling_median_daily_revenue",
     # bounded query set x top-k overlap; 5-type contract audit; 64
     # streaming registers
     "matryoshka_truncate_audit",
