@@ -2192,3 +2192,92 @@ def funnel_time_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _funnel_stage_counts(
         ev, window=F.expr(f"INTERVAL {_FUNNEL_WINDOW_H} HOURS")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension build from a change-event stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_build_from_events",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                    OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+      SELECT user_id, ts, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM ordered
+    ),
+    versions AS (
+      SELECT user_id, island, MIN(event_type) AS state,
+             MIN(ts) AS valid_from, COUNT(*) AS n_events
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id, state, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+             AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+             IS NULL AS is_current,
+           n_events
+    FROM versions
+    """,
+)
+def scd2_build_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension BUILD from a change-event stream: consecutive
+    same-state runs per user collapse into validity intervals
+    [valid_from, valid_to) with an open-ended current version — the
+    construction side of slowly-changing-dimension handling
+    (``scd2_asof_enrich`` consumes such a table; this produces one
+    from raw events, the standard CDC-to-dimension pipeline step).
+
+    Scale posture: both windows and the island aggregate partition by
+    user_id — one shuffle on the user key serves change detection,
+    island numbering, version rollup, and the valid_to LEAD; nothing
+    is global. Cross-engine determinism: row order within a user is
+    pinned by (ts, event_id); interval bounds leave as TIMESTAMP_NTZ;
+    state within an island is constant (MIN is a formality)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    islands = ordered.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    versions = islands.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("island")
+    return versions.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+        "n_events",
+    )

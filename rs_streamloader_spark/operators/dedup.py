@@ -1479,3 +1479,102 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/test leakage audit: near-dup pairs crossing the dataset split
+# ---------------------------------------------------------------------------
+
+_SPLIT_BUCKET_SQL = (
+    "((STRPOS('0123456789abcdef', SUBSTR(MD5(CAST({id} AS VARCHAR)), 1, 1)) - 1)"
+    " * 16"
+    " + STRPOS('0123456789abcdef', SUBSTR(MD5(CAST({id} AS VARCHAR)), 2, 1)) - 1)"
+    " % 100"
+)
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH pairs AS ({_JACCARD_ORACLE}),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN {_SPLIT_BUCKET_SQL.format(id="doc_id")} < 80 THEN 'train'
+                  WHEN {_SPLIT_BUCKET_SQL.format(id="doc_id")} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    tagged AS (
+      SELECT sa.split AS split_a, sb.split AS split_b
+      FROM pairs p
+      JOIN sp sa ON sa.doc_id = p.doc_a
+      JOIN sp sb ON sb.doc_id = p.doc_b
+    )
+    SELECT COUNT(*) AS n_pairs,
+           SUM(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END)
+             AS n_cross_split,
+           SUM(CASE WHEN (split_a = 'train' AND split_b = 'test')
+                      OR (split_a = 'test' AND split_b = 'train')
+                    THEN 1 ELSE 0 END) AS n_train_test,
+           CAST(CAST(SUM(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END)
+                     AS HUGEINT) * 1000000
+                // GREATEST(COUNT(*), 1) AS BIGINT) AS leak_ppm
+    FROM tagged
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: how many near-duplicate pairs (the
+    exact Jaccard pair set) STRADDLE the deterministic 80/10/10
+    dataset split — each such pair is an eval answer sitting in the
+    training set. This is the audit run after ``dataset_split`` and
+    before training; ``decontaminate_ngram_overlap`` checks a known
+    eval set, this checks the split of the corpus against itself.
+
+    Scale posture: rides the family's shared cached pair graph (no
+    new pair computation); split assignment is the same stateless
+    md5-bucket expression as ``dataset_split`` (row-local codegen)
+    joined onto the two pair endpoints; the verdict is one combinable
+    rollup. Cross-engine determinism: identical md5-bucket walk both
+    sides, integer PPM out."""
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    h = F.md5(F.col("doc_id").cast("string"))
+    byte0 = (
+        (F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1) * 16
+        + F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1))
+        - 1
+    )
+    bucket = byte0 % 100
+    sp = docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    tagged = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")),
+            "doc_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")),
+            "doc_b",
+        )
+    )
+    cross = F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0)
+    tt = F.when(
+        ((F.col("split_a") == "train") & (F.col("split_b") == "test"))
+        | ((F.col("split_a") == "test") & (F.col("split_b") == "train")),
+        1,
+    ).otherwise(0)
+    return tagged.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(cross).alias("n_cross_split"),
+        F.sum(tt).alias("n_train_test"),
+        F.expr(
+            "CAST(CAST(SUM(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END)"
+            " AS DECIMAL(38,0)) * 1000000"
+            " div GREATEST(COUNT(*), 1) AS BIGINT)"
+        ).alias("leak_ppm"),
+    )

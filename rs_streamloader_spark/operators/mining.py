@@ -1980,3 +1980,63 @@ def bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_kn_nano"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-pattern matching over per-day user journeys
+# ---------------------------------------------------------------------------
+
+_SEQ_PATTERN = "v[^e]*c[^e]*p"  # view → click → purchase, no error between
+
+
+@register(
+    "sequence_pattern_match",
+    oracle=f"""
+    WITH seqs AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             STRING_AGG(SUBSTR(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY 1, 2
+    )
+    SELECT STRFTIME(d, '%Y-%m-%d') AS day,
+           COUNT(*) AS n_journeys,
+           SUM(CASE WHEN REGEXP_MATCHES(seq, '{_SEQ_PATTERN}')
+                    THEN 1 ELSE 0 END) AS n_matched,
+           CAST(CAST(SUM(CASE WHEN REGEXP_MATCHES(seq, '{_SEQ_PATTERN}')
+                              THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+                // COUNT(*) AS BIGINT) AS match_ppm
+    FROM seqs GROUP BY d
+    """,
+)
+def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching (MATCH_RECOGNIZE-style) over per-day
+    user journeys: each user-day's events collapse to an ordered
+    initial-letter string, and the pattern ``view → click → purchase
+    with no error in between`` is matched as the regex
+    ``{pattern}`` — regular-expression-over-event-sequences is the
+    funnel generalization (optional steps, exclusions, repetitions)
+    that fixed step-lists cannot express.
+
+    Scale posture: one (user, day)-keyed aggregate builds the
+    journey strings — partitioned by user, bounded by per-user-day
+    activity, no self-join, no window; the daily rollup is a second
+    combinable aggregate over journeys. Cross-engine determinism:
+    journey order is pinned by (ts, event_id) on both sides (struct
+    sort here, ORDER BY inside STRING_AGG there); the five event
+    types have distinct initials; match share is integer PPM."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    seqs = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(ts, event_id,"
+            " substring(event_type, 1, 1) AS i))), x -> x.i), '')"
+        ).alias("seq")
+    )
+    matched = F.when(F.col("seq").rlike(_SEQ_PATTERN), 1).otherwise(0)
+    return seqs.groupBy(F.date_format("d", "yyyy-MM-dd").alias("day")).agg(
+        F.count("*").alias("n_journeys"),
+        F.sum(matched).alias("n_matched"),
+        F.expr(
+            f"CAST(CAST(SUM(CASE WHEN seq RLIKE '{_SEQ_PATTERN}' THEN 1 ELSE 0 END)"
+            " AS DECIMAL(38,0)) * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("match_ppm"),
+    )

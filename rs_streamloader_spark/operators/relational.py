@@ -1202,3 +1202,76 @@ def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("hv").cast("decimal(38,0)").cast("string").alias("checksum"),
     )
+
+
+_CKSUM_BUCKETS = 16
+
+
+@register(
+    "table_checksum_buckets",
+    oracle=f"""
+    WITH rows_n AS (
+      SELECT COALESCE(CAST(o_orderkey AS VARCHAR), CHR(1)) || '|'
+             || COALESCE(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), CHR(1))
+             || '|' || COALESCE(STRFTIME(o_orderdate, '%Y-%m-%d'), CHR(1))
+             || '|' || COALESCE(o_orderstatus, CHR(1))
+             || '|' || COALESCE(o_orderpriority, CHR(1)) AS key,
+             o_orderkey % {_CKSUM_BUCKETS} AS bucket
+      FROM orders
+    ),
+    h AS (
+      SELECT bucket,
+        (STRPOS('0123456789abcdef', SUBSTR(MD5(key), 1, 1)) - 1) * 16777216
+        + (STRPOS('0123456789abcdef', SUBSTR(MD5(key), 2, 1)) - 1) * 1048576
+        + (STRPOS('0123456789abcdef', SUBSTR(MD5(key), 3, 1)) - 1) * 65536
+        + (STRPOS('0123456789abcdef', SUBSTR(MD5(key), 4, 1)) - 1) * 4096
+        + (STRPOS('0123456789abcdef', SUBSTR(MD5(key), 5, 1)) - 1) * 256
+        + (STRPOS('0123456789abcdef', SUBSTR(MD5(key), 6, 1)) - 1) * 16
+        + (STRPOS('0123456789abcdef', SUBSTR(MD5(key), 7, 1)) - 1) AS hv
+      FROM rows_n
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(hv AS HUGEINT)) AS VARCHAR) AS checksum
+    FROM h GROUP BY bucket
+    """,
+)
+def table_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket table checksums: ``table_checksum_orders`` split
+    into {n} key-hash buckets, so a replica mismatch localizes to the
+    divergent bucket(s) and only 1/{n} of the table needs re-sync or
+    re-scan — the incremental-diff protocol every large-table
+    replication/backfill audit runs instead of one all-or-nothing
+    number.
+
+    Scale posture: identical row-local canonical-key hashing, one
+    combinable {n}-group SUM instead of a global one — same single
+    scan, same shuffle volume ({n} tiny rows). Bucket = key mod {n},
+    matching the native sink's bucket layout discipline so a bucketed
+    table can be checksummed bucket-by-bucket in place."""
+    t = load_tables(spark, sf_dir, "orders")["orders"]
+    nul = F.lit("\x01")
+
+    def fld(c):
+        return F.coalesce(c, nul)
+
+    key = F.concat(
+        fld(F.col("o_orderkey").cast("string")),
+        F.lit("|"),
+        fld(F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string")),
+        F.lit("|"),
+        fld(F.date_format("o_orderdate", "yyyy-MM-dd")),
+        F.lit("|"),
+        fld(F.col("o_orderstatus")),
+        F.lit("|"),
+        fld(F.col("o_orderpriority")),
+    )
+    hv = F.conv(F.substring(F.md5(key), 1, 7), 16, 10).cast("decimal(19,0)")
+    return (
+        t.select((F.col("o_orderkey") % _CKSUM_BUCKETS).alias("bucket"), hv.alias("hv"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("hv").cast("decimal(38,0)").cast("string").alias("checksum"),
+        )
+    )

@@ -3000,3 +3000,112 @@ def approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_contract"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter built from first principles, FPR measured exactly
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 16_384  # bits (2^14)
+_BLOOM_K = 4  # hash functions (4 hex chars of one md5 each)
+_PROBE_OFFSET = 100_000_000  # guaranteed non-member key space
+
+
+def _bloom_pos_sql(key: str, j: int) -> str:
+    """DuckDB: hash position j — 4 md5 hex digits walked via STRPOS,
+    mod m (mirrors Spark's conv(substr(h, 4j+1, 4), 16, 10) % m)."""
+    h = f"MD5('bloom|' || CAST({key} AS VARCHAR))"
+    digits = " + ".join(
+        f"(STRPOS('0123456789abcdef', SUBSTR({h}, {4 * j + 1 + i}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"(({digits}) % {_BLOOM_M})"
+
+
+@register(
+    "bloom_filter_fpr",
+    oracle=f"""
+    WITH members AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        {" UNION ALL ".join(f"SELECT {_bloom_pos_sql('k', j)} AS pos FROM members" for j in range(_BLOOM_K))}
+      )
+    ),
+    probes AS (SELECT k + {_PROBE_OFFSET} AS pk FROM members),
+    probe_pos AS (
+      {" UNION ALL ".join(f"SELECT pk, {_bloom_pos_sql('pk', j)} AS pos FROM probes" for j in range(_BLOOM_K))}
+    ),
+    hits AS (
+      SELECT pp.pk, COUNT(b.pos) AS n_hit
+      FROM probe_pos pp LEFT JOIN bits b ON b.pos = pp.pos
+      GROUP BY pp.pk
+    )
+    SELECT (SELECT COUNT(*) FROM members) AS n_members,
+           (SELECT COUNT(*) FROM bits) AS n_bits_set,
+           COUNT(*) AS n_probes,
+           SUM(CASE WHEN n_hit = {_BLOOM_K} THEN 1 ELSE 0 END)
+             AS n_false_positives,
+           CAST(CAST(SUM(CASE WHEN n_hit = {_BLOOM_K} THEN 1 ELSE 0 END)
+                     AS HUGEINT) * 1000000
+                // GREATEST(COUNT(*), 1) AS BIGINT) AS fpr_ppm
+    FROM hits
+    """,
+)
+def bloom_filter_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter from first principles ({m} bits, k={k} salted-md5
+    positions per key), built over the distinct order-customer keys
+    and probed with a guaranteed-non-member key set to measure the
+    FALSE-POSITIVE rate exactly — completing the exactly-audited
+    sketch family (CMS frequency, KMV/HLL cardinality, minhash
+    similarity) with the membership sketch every shuffle-avoiding
+    join prefilter uses.
+
+    Scale posture: the bit set is a distinct-aggregate bounded at {m}
+    rows regardless of member count and BROADCASTS into the probe
+    join; probes fan out k rows each (constant). Cross-engine
+    determinism: bit positions are pure md5 hex arithmetic (conv here,
+    the STRPOS digit walk there); verdicts and the PPM rate are
+    integers."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    members = orders.select(F.col("o_custkey").alias("k")).distinct()
+
+    def pos(key_col: str, j: int):
+        h = F.md5(F.concat(F.lit("bloom|"), F.col(key_col).cast("string")))
+        return (
+            F.conv(F.substring(h, 4 * j + 1, 4), 16, 10).cast("int") % _BLOOM_M
+        )
+
+    bits = (
+        members.select(
+            F.explode(F.array(*[pos("k", j) for j in range(_BLOOM_K)])).alias("pos")
+        )
+        .distinct()
+    )
+    probes = members.select((F.col("k") + _PROBE_OFFSET).alias("pk"))
+    probe_pos = probes.select(
+        "pk",
+        F.explode(F.array(*[pos("pk", j) for j in range(_BLOOM_K)])).alias("pos"),
+    )
+    hits = (
+        probe_pos.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("pk")
+        .agg(F.count("hit").alias("n_hit"))
+    )
+    n_members = members.agg(F.count("*").alias("n_members"))
+    n_bits = bits.agg(F.count("*").alias("n_bits_set"))
+    fp = F.when(F.col("n_hit") == _BLOOM_K, 1).otherwise(0)
+    return (
+        hits.agg(
+            F.count("*").alias("n_probes"),
+            F.sum(fp).alias("n_false_positives"),
+            F.expr(
+                f"CAST(CAST(SUM(CASE WHEN n_hit = {_BLOOM_K} THEN 1 ELSE 0 END)"
+                " AS DECIMAL(38,0)) * 1000000"
+                " div GREATEST(COUNT(*), 1) AS BIGINT)"
+            ).alias("fpr_ppm"),
+        )
+        .join(F.broadcast(n_members))
+        .join(F.broadcast(n_bits))
+        .select("n_members", "n_bits_set", "n_probes", "n_false_positives", "fpr_ppm")
+    )

@@ -1395,3 +1395,53 @@ def test_approx_percentile_contract_histogram_side(spark):
         scan = below.find("Scan parquet")
         assert 0 <= agg < scan, below[:1500]
     assert has_broadcast_join(df)
+
+
+def test_sequence_pattern_two_stacked_aggregates_no_window(spark):
+    from rs_streamloader_spark.operators.mining import sequence_pattern_match
+
+    df = sequence_pattern_match(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # journey build + daily rollup are two stacked aggregates — the
+    # collect_list is keyed by (user, day), never a window
+    assert "Window" not in text, text
+    assert text.count("HashAggregate") + text.count("ObjectHashAggregate") >= 2
+
+
+def test_split_leakage_rides_cached_pairs(spark):
+    from rs_streamloader_spark.operators.dedup import split_leakage_audit
+
+    df = split_leakage_audit(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # the pair graph comes from the cached shared stage
+    assert "InMemoryTableScan" in text, text
+    assert "CartesianProduct" not in text
+
+
+def test_bloom_bits_broadcast_into_probe_join(spark):
+    from rs_streamloader_spark.operators.stats import bloom_filter_fpr
+
+    df = bloom_filter_fpr(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # the bounded bit set broadcasts; the probe side never shuffles
+    # for the membership join
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in text
+
+
+def test_scd2_build_single_user_shuffle(spark):
+    from rs_streamloader_spark.operators.analytic import scd2_build_from_events
+
+    df = scd2_build_from_events(spark, SF_SMOKE)
+    # change detection, island numbering, version rollup, and the
+    # valid_to LEAD all ride ONE shuffle on user_id
+    assert shuffle_count(df) <= 1, explain_str(df, "simple")
+
+
+def test_bucket_checksum_single_combinable_aggregate(spark):
+    from rs_streamloader_spark.operators.relational import table_checksum_buckets
+
+    df = table_checksum_buckets(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Window" not in text
+    assert shuffle_count(df) <= 1, text

@@ -195,6 +195,11 @@ HEAVY_TAIL = [
     "abc_classification_parts",
     "approx_percentile_contract",
     "stream_hll_registers_replay",
+    "sequence_pattern_match",
+    "split_leakage_audit",
+    "bloom_filter_fpr",
+    "scd2_build_from_events",
+    "table_checksum_buckets",
 ]
 
 # threshold-pair operators over embeddings have intrinsically
@@ -292,6 +297,10 @@ CONSTANT_OUTPUT = {
     "matryoshka_truncate_audit",
     "approx_percentile_contract",
     "stream_hll_registers_replay",
+    # 1-row leakage/FPR audits, 16-bucket checksum grid
+    "split_leakage_audit",
+    "bloom_filter_fpr",
+    "table_checksum_buckets",
 }
 
 
