@@ -2281,3 +2281,95 @@ def scd2_build_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(wv).isNull().alias("is_current"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval union: merge overlapping activity intervals per user
+# ---------------------------------------------------------------------------
+
+_ACT_INTERVAL_S = 1800  # each event opens a 30-min activity interval
+
+
+@register(
+    "merge_user_intervals",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL {_ACT_INTERVAL_S} SECOND AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) >= s
+                  THEN 0 ELSE 1 END AS new_iv
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_iv) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           SUM(DATE_DIFF('microsecond', ms, me) // 1000000) AS busy_s,
+           MAX(DATE_DIFF('microsecond', ms, me) // 1000000) AS longest_s
+    FROM merged GROUP BY user_id
+    """,
+)
+def merge_user_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION per user: every event opens a 30-minute activity
+    interval, overlapping intervals merge, and the per-user summary
+    reports merged-interval count, total busy time, and the longest
+    stretch — the range-consolidation primitive behind billing
+    windows, on-call coverage, and machine-utilization reports
+    (``interval_concurrency`` asks how many overlap; this asks how
+    much the union covers).
+
+    Scale posture: the sweep is the classic running-max-of-end
+    detection — one shuffle on user_id carries the cumulative-max
+    window, island numbering, the merge aggregate, and the final
+    rollup. Cross-engine determinism: interval bounds order by
+    (start, end); durations are exact integer microseconds floored to
+    seconds once."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        F.expr(f"ts + INTERVAL {_ACT_INTERVAL_S} SECOND").alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+            >= F.col("s"),
+            0,
+        )
+        .otherwise(1)
+        .alias("new_iv"),
+    )
+    islands = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_iv")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    dur_s = F.expr("timestampdiff(MICROSECOND, ms, me) div 1000000")
+    return merged.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(dur_s).alias("busy_s"),
+        F.max(dur_s).alias("longest_s"),
+    )

@@ -2040,3 +2040,86 @@ def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DECIMAL(38,0)) * 1000000 div COUNT(*) AS BIGINT)"
         ).alias("match_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer step: weighted adjacent-symbol-pair merge candidates
+# ---------------------------------------------------------------------------
+
+_BPE_TOPN = 8
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH wc AS (
+      SELECT tok, COUNT(*) AS cnt FROM ({_TOKENS_SQL}) GROUP BY tok
+    ),
+    pairs AS (
+      SELECT SUBSTR(tok, i, 1) AS left_sym, SUBSTR(tok, i + 1, 1) AS right_sym,
+             cnt
+      FROM wc, UNNEST(RANGE(1, LEN(tok))) AS t(i)
+      WHERE LEN(tok) >= 2
+    ),
+    pc AS (
+      SELECT left_sym, right_sym, SUM(cnt) AS pair_count
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT CAST(ROW_NUMBER() OVER (
+             ORDER BY pair_count DESC, left_sym, right_sym
+           ) AS INT) AS merge_rank,
+           left_sym, right_sym, left_sym || right_sym AS merged, pair_count
+    FROM pc
+    ORDER BY pair_count DESC, left_sym, right_sym
+    LIMIT {_BPE_TOPN}
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-trainer step: the top-{n} adjacent character-pair merge
+    candidates by corpus-weighted frequency — the inner loop of
+    byte-pair-encoding tokenizer training (each training iteration
+    merges the top pair and recounts; this emits the ranked candidate
+    table that step reads).
+
+    Scale posture: pair extraction runs over the WORD-FREQUENCY
+    aggregate (vocab-sized, not corpus-sized — a 100 TB corpus has a
+    bounded distinct-word set), weighted by word counts, so the
+    explode fanout is word length over vocab rows; pair counts are
+    map-side combinable and the top-{n} cut is
+    TakeOrderedAndProject. Cross-engine determinism: counts are
+    integers; rank ties break by the pair itself."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    wc = _tokens(docs).groupBy("tok").agg(F.count("*").alias("cnt"))
+    pairs = (
+        wc.where(F.length("tok") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(tok) - 1),"
+                    " i -> struct(substring(tok, i, 1) AS left_sym,"
+                    " substring(tok, i + 1, 1) AS right_sym))"
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        .select("p.left_sym", "p.right_sym", "cnt")
+    )
+    pc = pairs.groupBy("left_sym", "right_sym").agg(
+        F.sum("cnt").alias("pair_count")
+    )
+    top = pc.orderBy(
+        F.col("pair_count").desc(), "left_sym", "right_sym"
+    ).limit(_BPE_TOPN)
+    return top.select(
+        F.row_number()
+        .over(
+            Window.partitionBy().orderBy(
+                F.col("pair_count").desc(), "left_sym", "right_sym"
+            )
+        )
+        .alias("merge_rank"),
+        "left_sym",
+        "right_sym",
+        F.concat("left_sym", "right_sym").alias("merged"),
+        "pair_count",
+    )

@@ -88,3 +88,32 @@ def test_partition_pruning(spark, tmp_path):
     full = part.count()
     pruned = q.count()
     assert 0 < pruned < full
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Dynamic partition pruning: when the fact table is partitioned
+    on the join key's derived column and the dim side carries a
+    selective filter, the fact scan must receive a runtime pruning
+    subquery (dynamicpruning expression) — at 100 TB this is the
+    difference between scanning one year and scanning the decade."""
+    from rs_streamloader_spark.session import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "orders_by_year")
+    (
+        t["orders"]
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.partitionBy("o_year")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    years = (
+        t["orders"]
+        .select(F.year("o_orderdate").alias("o_year"))
+        .distinct()
+        .withColumn("pick", F.col("o_year") % 3)
+    )
+    dim = years.where(F.col("pick") == 0)
+    joined = fact.join(dim.hint("broadcast"), "o_year").groupBy("o_year").count()
+    text = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in text.lower(), text[:3000]

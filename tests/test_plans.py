@@ -1445,3 +1445,33 @@ def test_bucket_checksum_single_combinable_aggregate(spark):
     text = explain_str(df, "simple")
     assert "Window" not in text
     assert shuffle_count(df) <= 1, text
+
+
+def test_bpe_candidates_vocab_sized_explode_take_ordered(spark):
+    from rs_streamloader_spark.operators.mining import bpe_merge_candidates
+
+    df = bpe_merge_candidates(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # pair extraction explodes the word-frequency AGGREGATE (vocab-
+    # sized), never raw token rows: an aggregate sits between the
+    # generate and the scan
+    lines = text.splitlines()
+    pair_gens = [
+        i for i, l in enumerate(lines) if "Generate" in l and "left_sym" in l
+    ]
+    assert pair_gens, text
+    for i in pair_gens:
+        below = "\n".join(lines[i:])
+        agg = below.find("HashAggregate")
+        scan = below.find("Scan parquet")
+        assert 0 <= agg < scan, below[:1500]
+    assert "TakeOrderedAndProject" in text, text
+
+
+def test_interval_union_single_user_shuffle(spark):
+    from rs_streamloader_spark.operators.analytic import merge_user_intervals
+
+    df = merge_user_intervals(spark, SF_SMOKE)
+    # cumulative-max sweep, island numbering, merge aggregate, and
+    # rollup all ride one shuffle on user_id
+    assert shuffle_count(df) <= 1, explain_str(df, "simple")

@@ -297,10 +297,11 @@ CONSTANT_OUTPUT = {
     "matryoshka_truncate_audit",
     "approx_percentile_contract",
     "stream_hll_registers_replay",
-    # 1-row leakage/FPR audits, 16-bucket checksum grid
+    # 1-row leakage/FPR audits, 16-bucket checksum grid, top-8 BPE cut
     "split_leakage_audit",
     "bloom_filter_fpr",
     "table_checksum_buckets",
+    "bpe_merge_candidates",
 }
 
 
