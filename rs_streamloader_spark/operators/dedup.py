@@ -1578,3 +1578,84 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div GREATEST(COUNT(*), 1) AS BIGINT)"
         ).alias("leak_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash tuning diagnostic: Hamming histogram over band candidates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "simhash_hamming_histogram",
+    oracle=f"""
+    WITH fps AS ({_SIMHASH_SQL}),
+    cand AS (
+      SELECT CAST(BIT_COUNT(XOR(a.fp, b.fp)) AS INTEGER) AS hamming
+      FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+      WHERE (XOR(a.fp, b.fp) & 255) = 0
+         OR ((XOR(a.fp, b.fp) >> 8) & 255) = 0
+         OR ((XOR(a.fp, b.fp) >> 16) & 255) = 0
+         OR ((XOR(a.fp, b.fp) >> 24) & 255) = 0
+    )
+    SELECT hamming, COUNT(*) AS n_pairs,
+           hamming <= {SIMHASH_MAX_HAMMING} AS is_near
+    FROM cand GROUP BY hamming
+    """,
+)
+def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash threshold-tuning diagnostic: the Hamming-distance
+    histogram of every band-colliding candidate pair — the curve an
+    operator reads to pick the near-dup cutoff (a clean corpus shows
+    a gap between the near-dup mass at small distances and the random
+    background around 16) and to see how much candidate volume the
+    banding admits beyond the survivors ``dedup_simhash`` keeps.
+
+    Scale posture: reuses the cached fingerprint stage and the same
+    4×8-bit band equality join with first-matching-band exactly-once
+    emission (no DISTINCT shuffle); the histogram is a ≤33-key
+    combinable aggregate. The oracle generates the identical candidate
+    set by testing the four XOR bytes directly. Cross-engine
+    determinism: pure bit arithmetic and integer counts."""
+    fps = stage_cached(
+        spark, sf_dir, "simhash_fps", lambda: _simhash_fps_plan(spark, sf_dir)
+    )
+    band_cols = [
+        (F.shiftright(F.col("fp"), b * 8) % 256).alias(f"band{b}") for b in range(4)
+    ]
+    banded = fps.select("doc_id", "fp", *band_cols)
+    bands = banded.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("bi"), F.col(f"band{b}").alias("bv"))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "fp", "band.bi", "band.bv")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).cast("int")
+    xf = "(a.fp ^ b.fp)"
+    first_match = F.expr(
+        f"CASE a.bi WHEN 0 THEN true"
+        f" WHEN 1 THEN ({xf} & 255) != 0"
+        f" WHEN 2 THEN ({xf} & 255) != 0 AND (shiftright({xf}, 8) & 255) != 0"
+        f" ELSE ({xf} & 255) != 0 AND (shiftright({xf}, 8) & 255) != 0"
+        f" AND (shiftright({xf}, 16) & 255) != 0 END"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(first_match)
+        .select(hamming.alias("hamming"))
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+        .withColumn("is_near", F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )

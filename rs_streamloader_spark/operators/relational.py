@@ -1275,3 +1275,47 @@ def table_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("hv").cast("decimal(38,0)").cast("string").alias("checksum"),
         )
     )
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection (each nation key kept
+    min(customer-count, supplier-count) times), the bag-semantics
+    sibling the DISTINCT variant cannot express. Spark plans this as
+    a count-matching aggregate join, not a distinct + join — no row
+    explosion, one shuffle per side on the key."""
+    t = _t(spark, sf_dir, "customer", "supplier")
+    return (
+        t["customer"]
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .intersectAll(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (each nation key kept
+    customer-count − supplier-count times when positive): the bag
+    semantics audit queries need when row multiplicity IS the signal
+    (e.g. replica drift counts), completing the set-operator family
+    alongside the DISTINCT variants."""
+    t = _t(spark, sf_dir, "customer", "supplier")
+    return (
+        t["customer"]
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .exceptAll(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+    )

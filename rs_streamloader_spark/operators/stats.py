@@ -3109,3 +3109,67 @@ def bloom_filter_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_bits))
         .select("n_members", "n_bits_set", "n_probes", "n_false_positives", "fpr_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Observability: exact hourly p95 of event values
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hourly_p95_value",
+    oracle="""
+    WITH hist AS (
+      SELECT DATE_TRUNC('hour', ts) AS h,
+             CAST(ROUND(value * 1000) AS BIGINT) AS v_milli,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT h, v_milli, cnt,
+             SUM(cnt) OVER (PARTITION BY h ORDER BY v_milli
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY h) AS n
+      FROM hist
+    )
+    SELECT STRFTIME(h, '%Y-%m-%d %H:00') AS hour, MIN(n) AS n,
+           MIN(CASE WHEN cum >= (n * 19 + 19) // 20 THEN v_milli END)
+             AS p95_milli
+    FROM cum GROUP BY h
+    """,
+)
+def hourly_p95_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE observability query: exact p95 of event values per hour —
+    the latency-dashboard staple, computed exactly at any scale via
+    the per-hour value histogram instead of a sort (approx_percentile
+    is the usual compromise; ``approx_percentile_contract`` shows why
+    it can't be oracle-compared — this one can).
+
+    Scale posture: the histogram is keyed (hour, value) — map-side
+    combinable, bounded by hours × value range; the cumulative window
+    partitions per hour so no global sort exists; output is one row
+    per hour. Cross-engine determinism: integer index arithmetic
+    (ceil(0.95·n)), milli-unit values, hour as a formatted string."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    hist = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("v_milli"),
+    ).agg(F.count("*").alias("cnt"))
+    wh = Window.partitionBy("h")
+    cum = hist.select(
+        "h",
+        "v_milli",
+        "cnt",
+        F.sum("cnt")
+        .over(wh.orderBy("v_milli").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("cnt").over(wh).alias("n"),
+    )
+    return cum.groupBy(
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour")
+    ).agg(
+        F.min("n").alias("n"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n * 19 + 19) div 20"), F.col("v_milli"))
+        ).alias("p95_milli"),
+    )

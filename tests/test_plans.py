@@ -1475,3 +1475,40 @@ def test_interval_union_single_user_shuffle(spark):
     # cumulative-max sweep, island numbering, merge aggregate, and
     # rollup all ride one shuffle on user_id
     assert shuffle_count(df) <= 1, explain_str(df, "simple")
+
+
+def test_set_all_variants_no_cartesian(spark):
+    from rs_streamloader_spark.operators.relational import (
+        set_except_all,
+        set_intersect_all,
+    )
+
+    for fn in (set_intersect_all, set_except_all):
+        df = fn(spark, SF_SMOKE)
+        text = explain_str(df, "simple")
+        # bag semantics compile to count-matching joins/generates,
+        # never a cartesian or row-replicating nested loop
+        assert "CartesianProduct" not in text, text
+
+
+def test_simhash_histogram_reuses_cached_fps(spark):
+    from rs_streamloader_spark.operators.dedup import simhash_hamming_histogram
+
+    df = simhash_hamming_histogram(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "InMemoryTableScan" in text, text
+    assert "CartesianProduct" not in text
+
+
+def test_hourly_p95_windows_on_histogram(spark):
+    from rs_streamloader_spark.operators.stats import hourly_p95_value
+
+    df = hourly_p95_value(spark, SF_SMOKE)
+    lines = explain_str(df, "simple").splitlines()
+    wins = [i for i, l in enumerate(lines) if "Window" in l]
+    assert wins
+    for i in wins:
+        below = "\n".join(lines[i:])
+        agg = below.find("HashAggregate")
+        scan = below.find("Scan parquet")
+        assert 0 <= agg < scan, below[:1500]

@@ -302,6 +302,8 @@ CONSTANT_OUTPUT = {
     "bloom_filter_fpr",
     "table_checksum_buckets",
     "bpe_merge_candidates",
+    # <=33-row Hamming histogram
+    "simhash_hamming_histogram",
 }
 
 
