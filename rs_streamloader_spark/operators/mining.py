@@ -2123,3 +2123,92 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat("left_sym", "right_sym").alias("merged"),
         "pair_count",
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase graph connected components (category discovery)
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_MIN_CO = 3
+
+
+@register(
+    "copurchase_components",
+    oracle=f"""
+    WITH RECURSIVE li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_COPURCHASE_MIN_CO}
+    ),
+    edges AS (
+      SELECT pa AS u, pb AS v FROM pairs
+      UNION ALL
+      SELECT pb, pa FROM pairs
+    ),
+    reach(u, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    labeled AS (
+      SELECT u AS part_id, MIN(label) AS component_id FROM reach GROUP BY u
+    )
+    SELECT part_id, component_id,
+           COUNT(*) OVER (PARTITION BY component_id) AS component_size
+    FROM labeled
+    """,
+)
+def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category discovery: connected components over the co-purchase
+    graph (parts bought together in ≥ {k} orders) — the unsupervised
+    product-grouping a recommender bootstraps from, sharing the
+    ``dedup_cluster`` propagation machinery on a completely different
+    graph (basket co-occurrence instead of text similarity).
+
+    Scale posture: edge generation is the bounded basket self-join
+    (the ``item_item_cosine_topk`` pattern) with a support threshold
+    that keeps the graph sparse; components come from fused 2-hop
+    min-label propagation with one tiny driver sync per step and a
+    loud failure on non-convergence; the size column is a window over
+    the component-keyed LABEL table, not input rows. The oracle
+    recomputes the same components with a recursive CTE."""
+    from rs_streamloader_spark.operators.dedup import propagate_min_labels
+
+    li = (
+        _t(spark, sf_dir, "lineitem")["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= _COPURCHASE_MIN_CO)
+        .select("pa", "pb")
+    )
+    edges = (
+        pairs.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .unionByName(pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+        .cache()
+    )
+    labels = propagate_min_labels(edges)
+    w = Window.partitionBy("component_id")
+    return (
+        labels.select(
+            F.col("u").alias("part_id"), F.col("label").alias("component_id")
+        )
+        .withColumn("component_size", F.count("*").over(w))
+    )

@@ -3173,3 +3173,104 @@ def hourly_p95_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("cum") >= F.expr("(n * 19 + 19) div 20"), F.col("v_milli"))
         ).alias("p95_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index: early-vs-late value distribution drift
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+_PSI_BIN_MILLI = 50_000  # 10 bins of $50 over the ~[0, 500] value range
+_PSI_SPLIT_DAYS = 15
+
+
+@register(
+    "drift_psi_daily",
+    oracle=f"""
+    WITH bounds AS (SELECT MIN(ts) AS t0 FROM events),
+    binned AS (
+      SELECT event_type,
+             CASE WHEN e.ts < b.t0 + INTERVAL {_PSI_SPLIT_DAYS} DAY
+                  THEN 'a' ELSE 'b' END AS era,
+             LEAST(CAST(ROUND(value * 1000) AS BIGINT) // {_PSI_BIN_MILLI},
+                   {_PSI_BINS - 1}) AS bin
+      FROM events e CROSS JOIN bounds b
+    ),
+    cnts AS (
+      SELECT event_type, bin,
+             SUM(CASE WHEN era = 'a' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN era = 'b' THEN 1 ELSE 0 END) AS cb
+      FROM binned GROUP BY 1, 2
+    ),
+    tots AS (
+      SELECT event_type, SUM(ca) AS ta, SUM(cb) AS tb
+      FROM cnts GROUP BY event_type
+    ),
+    terms AS (
+      SELECT c.event_type,
+             CAST(ROUND((CAST(c.ca + 1 AS DOUBLE) / (t.ta + {_PSI_BINS})
+                         - CAST(c.cb + 1 AS DOUBLE) / (t.tb + {_PSI_BINS}))
+                        * LN((CAST(c.ca + 1 AS DOUBLE) / (t.ta + {_PSI_BINS}))
+                             / (CAST(c.cb + 1 AS DOUBLE) / (t.tb + {_PSI_BINS})))
+                        * 1000000000) AS BIGINT) AS term_nano
+      FROM cnts c JOIN tots t ON t.event_type = c.event_type
+    )
+    SELECT event_type,
+           ROUND(SUM(term_nano) / 1000000000.0, 6) AS psi
+    FROM terms GROUP BY event_type
+    """,
+)
+def drift_psi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type: the value
+    distribution of the first {d} days against the rest, over {b}
+    fixed $50 bins with +1 Laplace smoothing — THE production drift
+    monitor (PSI < 0.1 stable, > 0.25 retrain), here exactly
+    reproducible instead of notebook-dependent.
+
+    Scale posture: binning is row-local codegen into a (type, bin)
+    aggregate (bounded at types × {b} cells); the era split predicate
+    derives from a broadcast 1-row MIN(ts); everything after runs on
+    the cell grid. Cross-engine determinism: smoothed p/q are exact
+    rationals evaluated in ONE double expression with identical
+    operand order, each bin term rounded to integer nano-units before
+    the sum (the ``source_token_entropy`` transcendental rule)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    bounds = ev.agg(F.min("ts").alias("t0"))
+    binned = ev.join(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(
+            F.col("ts") < F.expr(f"t0 + INTERVAL {_PSI_SPLIT_DAYS} DAY"), "a"
+        )
+        .otherwise("b")
+        .alias("era"),
+        F.least(
+            F.expr(f"CAST(ROUND(value * 1000) AS BIGINT) div {_PSI_BIN_MILLI}"),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    cnts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("era") == "a", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("era") == "b", 1).otherwise(0)).alias("cb"),
+    )
+    tots = cnts.groupBy("event_type").agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    terms = cnts.join(F.broadcast(tots), "event_type").select(
+        "event_type",
+        F.round(
+            (
+                (F.col("ca") + 1).cast("double") / (F.col("ta") + _PSI_BINS)
+                - (F.col("cb") + 1).cast("double") / (F.col("tb") + _PSI_BINS)
+            )
+            * F.log(
+                ((F.col("ca") + 1).cast("double") / (F.col("ta") + _PSI_BINS))
+                / ((F.col("cb") + 1).cast("double") / (F.col("tb") + _PSI_BINS))
+            )
+            * 1_000_000_000
+        )
+        .cast("bigint")
+        .alias("term_nano"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.round(F.sum("term_nano") / 1_000_000_000.0, 6).alias("psi")
+    )

@@ -906,3 +906,137 @@ def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(h, 6).alias("entropy_bits"),
         F.round(F.pow(F.lit(2), h), 4).alias("perplexity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between source unigram distributions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_js_divergence_sources",
+    oracle="""
+    WITH tc AS (
+      SELECT source, tok, COUNT(*) AS cnt FROM (
+        SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> '' GROUP BY source, tok
+    ),
+    tot AS (SELECT source, SUM(cnt) AS total FROM tc GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(ROUND((
+               (CAST(a.cnt AS DOUBLE) / ta.total)
+               * LN(2.0 * (CAST(a.cnt AS DOUBLE) / ta.total)
+                    / (CAST(a.cnt AS DOUBLE) / ta.total
+                       + CAST(b.cnt AS DOUBLE) / tb.total))
+               + (CAST(b.cnt AS DOUBLE) / tb.total)
+               * LN(2.0 * (CAST(b.cnt AS DOUBLE) / tb.total)
+                    / (CAST(a.cnt AS DOUBLE) / ta.total
+                       + CAST(b.cnt AS DOUBLE) / tb.total))
+             ) * 1000000000) AS BIGINT) AS term_nano,
+             a.cnt AS ca, b.cnt AS cb
+      FROM tc a
+      JOIN tc b ON b.tok = a.tok AND a.source < b.source
+      JOIN tot ta ON ta.source = a.source
+      JOIN tot tb ON tb.source = b.source
+    ),
+    agg AS (
+      SELECT source_a, source_b,
+             SUM(term_nano) AS shared_nano,
+             SUM(ca) AS shared_ca, SUM(cb) AS shared_cb
+      FROM shared GROUP BY 1, 2
+    )
+    SELECT g.source_a, g.source_b,
+           ROUND((g.shared_nano / 1000000000.0
+                  + LN(2.0) * (1.0 - CAST(g.shared_ca AS DOUBLE) / ta.total)
+                  + LN(2.0) * (1.0 - CAST(g.shared_cb AS DOUBLE) / tb.total)
+                 ) / (2.0 * LN(2.0)), 6) AS jsd_bits
+    FROM agg g
+    JOIN tot ta ON ta.source = g.source_a
+    JOIN tot tb ON tb.source = g.source_b
+    """,
+)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (in bits, symmetric, bounded [0,1])
+    between every pair of sources' unigram distributions — the
+    corpus-drift / source-similarity matrix a data-mixing pipeline
+    consults before reweighting domains.
+
+    Scale posture: the (source, token) aggregate is vocab-bounded;
+    the pair join fans each token out to at most sources² rows
+    (sources are a bounded set), and tokens appearing in only one
+    source contribute the closed-form ln2·(unshared mass) correction
+    — computed from exact integer masses, so NO full-outer join is
+    needed. Cross-engine determinism: each shared-token term is one
+    double expression with identical operand order rounded to integer
+    nano-units before summation; the correction is a final expression
+    over exact integer counts."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    tc = (
+        docs
+        .select("source", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = tc.groupBy("source").agg(F.sum("cnt").alias("total"))
+    a = tc.alias("a")
+    b = tc.alias("b")
+    ta = tot.select(F.col("source").alias("source_a"), F.col("total").alias("ta"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("total").alias("tb"))
+    pa = F.col("a.cnt").cast("double") / F.col("ta")
+    pb = F.col("b.cnt").cast("double") / F.col("tb")
+    term = F.round(
+        (pa * F.log(2.0 * pa / (pa + pb)) + pb * F.log(2.0 * pb / (pa + pb)))
+        * 1_000_000_000
+    ).cast("bigint")
+    shared = (
+        a.join(
+            b,
+            (F.col("b.tok") == F.col("a.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("a.cnt").alias("ca"),
+            F.col("b.cnt").alias("cb"),
+        )
+        .join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select("source_a", "source_b", "ta", "tb", "ca", "cb")
+    )
+    pa2 = F.col("ca").cast("double") / F.col("ta")
+    pb2 = F.col("cb").cast("double") / F.col("tb")
+    term2 = F.round(
+        (
+            pa2 * F.log(2.0 * pa2 / (pa2 + pb2))
+            + pb2 * F.log(2.0 * pb2 / (pa2 + pb2))
+        )
+        * 1_000_000_000
+    ).cast("bigint")
+    agg = shared.groupBy("source_a", "source_b").agg(
+        F.sum(term2).alias("shared_nano"),
+        F.sum("ca").alias("shared_ca"),
+        F.sum("cb").alias("shared_cb"),
+    )
+    import math
+
+    ln2 = math.log(2.0)
+    return (
+        agg.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                (
+                    F.col("shared_nano") / 1_000_000_000.0
+                    + ln2 * (1.0 - F.col("shared_ca").cast("double") / F.col("ta"))
+                    + ln2 * (1.0 - F.col("shared_cb").cast("double") / F.col("tb"))
+                )
+                / (2.0 * ln2),
+                6,
+            ).alias("jsd_bits"),
+        )
+    )

@@ -1512,3 +1512,40 @@ def test_hourly_p95_windows_on_histogram(spark):
         agg = below.find("HashAggregate")
         scan = below.find("Scan parquet")
         assert 0 <= agg < scan, below[:1500]
+
+
+def test_psi_terms_on_cell_grid(spark):
+    from rs_streamloader_spark.operators.stats import drift_psi_daily
+
+    df = drift_psi_daily(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert has_broadcast_join(df)
+    # no window anywhere — pure stacked aggregates over the bin grid
+    assert "Window" not in text, text
+
+
+def test_jsd_pair_join_on_vocab_aggregate(spark):
+    from rs_streamloader_spark.operators.text import text_js_divergence_sources
+
+    df = text_js_divergence_sources(spark, SF_SMOKE)
+    lines = explain_str(df, "simple").splitlines()
+    # the tok-keyed pair join joins two AGGREGATES (vocab-bounded),
+    # never raw exploded token rows
+    joins = [i for i, l in enumerate(lines) if "SortMergeJoin" in l or "ShuffledHashJoin" in l]
+    for i in joins:
+        below = "\n".join(lines[i:])
+        agg = below.find("HashAggregate")
+        scan = below.find("Scan parquet")
+        assert 0 <= agg < scan, below[:1500]
+    assert "CartesianProduct" not in explain_str(df, "simple")
+
+
+def test_copurchase_components_sparse_edges(spark):
+    from rs_streamloader_spark.operators.mining import copurchase_components
+
+    df = copurchase_components(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # labels come from the checkpointed propagation result; the size
+    # window sits on the label table
+    assert "ExistingRDD" in text, text
+    assert "CartesianProduct" not in text

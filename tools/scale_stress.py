@@ -302,8 +302,9 @@ CONSTANT_OUTPUT = {
     "bloom_filter_fpr",
     "table_checksum_buckets",
     "bpe_merge_candidates",
-    # <=33-row Hamming histogram
+    # <=33-row Hamming histogram; 5-type PSI grid
     "simhash_hamming_histogram",
+    "drift_psi_daily",
 }
 
 
