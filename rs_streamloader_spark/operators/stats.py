@@ -3274,3 +3274,218 @@ def drift_psi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("event_type").agg(
         F.round(F.sum("term_nano") / 1_000_000_000.0, 6).alias("psi")
     )
+
+
+# ---------------------------------------------------------------------------
+# Price-volume-mix decomposition of month-over-month revenue change
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "price_volume_mix_decomposition",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority AS priority,
+             EXTRACT(year FROM o_orderdate) * 12
+               + EXTRACT(month FROM o_orderdate) AS mth,
+             COUNT(*) AS vol,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT priority, mth, vol, rev_c,
+             LAG(vol) OVER w AS pvol,
+             LAG(rev_c) OVER w AS prev_c
+      FROM m WINDOW w AS (PARTITION BY priority ORDER BY mth)
+    )
+    SELECT priority, CAST(mth AS BIGINT) AS mth,
+           rev_c - prev_c AS delta_c,
+           CAST((CAST(vol - pvol AS HUGEINT) * prev_c) // pvol AS BIGINT)
+             AS volume_effect_c,
+           rev_c - prev_c
+             - CAST((CAST(vol - pvol AS HUGEINT) * prev_c) // pvol AS BIGINT)
+             AS price_mix_effect_c
+    FROM paired
+    WHERE pvol IS NOT NULL AND pvol > 0
+    """,
+)
+def price_volume_mix_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix bridge: each priority's month-over-month
+    revenue change split into the volume effect (order-count change at
+    last month's average price) and the residual price/mix effect —
+    the FP&A waterfall behind every "why did revenue move" review.
+
+    Scale posture: orders collapse to the (priority, month) aggregate
+    before the LAG window runs (grid-bounded); output is one row per
+    transition. Cross-engine determinism: the volume effect is ONE
+    HUGEINT/DECIMAL(38) floor-division ((Δvol·prev_rev) // prev_vol
+    overflows int64 at ~9e18 cent-orders), and the price/mix residual
+    is exact integer subtraction — the bridge reconciles to the penny
+    by construction."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mth"),
+    ).agg(
+        F.count("*").alias("vol"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_c"),
+    )
+    w = Window.partitionBy("priority").orderBy("mth")
+    paired = m.select(
+        "priority",
+        "mth",
+        "vol",
+        "rev_c",
+        F.lag("vol").over(w).alias("pvol"),
+        F.lag("rev_c").over(w).alias("prev_c"),
+    ).where(F.col("pvol").isNotNull() & (F.col("pvol") > 0))
+    vol_eff = F.expr(
+        "CAST((CAST(vol - pvol AS DECIMAL(38,0)) * prev_c) div pvol AS BIGINT)"
+    )
+    return paired.select(
+        "priority",
+        F.col("mth").cast("bigint").alias("mth"),
+        (F.col("rev_c") - F.col("prev_c")).alias("delta_c"),
+        vol_eff.alias("volume_effect_c"),
+        (F.col("rev_c") - F.col("prev_c") - vol_eff).alias("price_mix_effect_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-aggregate pivot (sum + count per pivoted cell)
+# ---------------------------------------------------------------------------
+
+_PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@register(
+    "pivot_multi_agg",
+    oracle=f"""
+    SELECT user_id % 10 AS cohort,
+           {", ".join(
+             f"SUM(CASE WHEN event_type = '{t}' THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS {t}_cents, "
+             f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}_n"
+             for t in _PIVOT_TYPES)}
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per cell (value sum AND event
+    count per type, per user cohort) — the wide-report shape BI tools
+    emit, where Spark's ``pivot`` composes with several agg exprs at
+    once and the column explosion stays bounded by the declared pivot
+    value list.
+
+    Scale posture: one combinable aggregate over the cohort key; the
+    pivot list is DECLARED ({n} types), so no extra distinct-values
+    job runs and the schema is static. Cross-engine determinism:
+    cents and counts are integers; the oracle is the equivalent
+    conditional-aggregation spelling."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    out = (
+        ev.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    # Spark names pivoted columns "<type>_<alias>"; zero-fill empty
+    # cells to match the oracle's SUM(CASE...) = 0 convention
+    cols = [F.col("cohort")]
+    for t in _PIVOT_TYPES:
+        cols.append(F.coalesce(F.col(f"{t}_cents"), F.lit(0)).alias(f"{t}_cents"))
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"{t}_n"))
+    return out.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Daily bounce rate (single-event sessions / sessions)
+# ---------------------------------------------------------------------------
+
+_BOUNCE_GAP_S = 1800
+
+
+@register(
+    "bounce_rate_daily",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL {_BOUNCE_GAP_S} SECOND
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid,
+             ts
+      FROM flagged
+    ),
+    per_sess AS (
+      SELECT user_id, sid, MIN(CAST(ts AS DATE)) AS d, COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT STRFTIME(d, '%Y-%m-%d') AS day,
+           COUNT(*) AS n_sessions,
+           SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+           CAST(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+                * 1000000 // COUNT(*) AS BIGINT) AS bounce_ppm
+    FROM per_sess GROUP BY d
+    """,
+)
+def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of 30-minute-gap sessions containing
+    exactly one event, attributed to the session's start day — the
+    engagement-quality headline next to DAU (``dau_mau_stickiness``)
+    and session length (``session_duration_stats``).
+
+    Scale posture: gap-based sessionization is the single user-key
+    shuffle (LAG + running sum + session rollup on one partitioning);
+    the daily rollup is a second combinable aggregate over sessions.
+    Cross-engine determinism: session order pinned by (ts, event_id),
+    integer PPM out, day as a formatted string."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    flagged = lagged.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+                > _BOUNCE_GAP_S * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_sess")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("sid"),
+    )
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.min(F.to_date("ts")).alias("d"), F.count("*").alias("n_events")
+    )
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return per_sess.groupBy(F.date_format("d", "yyyy-MM-dd").alias("day")).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(bounce).alias("n_bounces"),
+        F.expr(
+            "CAST(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)"
+            " AS DECIMAL(38,0)) * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("bounce_ppm"),
+    )

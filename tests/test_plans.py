@@ -1549,3 +1549,36 @@ def test_copurchase_components_sparse_edges(spark):
     # window sits on the label table
     assert "ExistingRDD" in text, text
     assert "CartesianProduct" not in text
+
+
+def test_pvm_decomposition_window_on_month_grid(spark):
+    from rs_streamloader_spark.operators.stats import price_volume_mix_decomposition
+
+    df = price_volume_mix_decomposition(spark, SF_SMOKE)
+    lines = explain_str(df, "simple").splitlines()
+    wins = [i for i, l in enumerate(lines) if "Window" in l]
+    assert wins
+    for i in wins:
+        below = "\n".join(lines[i:])
+        agg = below.find("HashAggregate")
+        scan = below.find("Scan parquet")
+        assert 0 <= agg < scan, below[:1500]
+
+
+def test_pivot_multi_agg_single_aggregate_no_distinct_job(spark):
+    from rs_streamloader_spark.operators.stats import pivot_multi_agg
+
+    df = pivot_multi_agg(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # declared pivot values → one scan, one aggregate, no extra
+    # distinct-values pass
+    assert len(re.findall(r"(?:File)?Scan parquet", text)) == 1, text
+    assert "Window" not in text
+
+
+def test_bounce_rate_single_user_shuffle_plus_rollup(spark):
+    from rs_streamloader_spark.operators.stats import bounce_rate_daily
+
+    df = bounce_rate_daily(spark, SF_SMOKE)
+    # sessionization shuffle on user_id + the daily rollup shuffle
+    assert shuffle_count(df) <= 2, explain_str(df, "simple")

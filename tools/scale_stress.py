@@ -302,9 +302,10 @@ CONSTANT_OUTPUT = {
     "bloom_filter_fpr",
     "table_checksum_buckets",
     "bpe_merge_candidates",
-    # <=33-row Hamming histogram; 5-type PSI grid
+    # <=33-row Hamming histogram; 5-type PSI grid; 10-cohort pivot
     "simhash_hamming_histogram",
     "drift_psi_daily",
+    "pivot_multi_agg",
 }
 
 
