@@ -778,28 +778,50 @@ def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic dataset split (hash-sharded train/val/test)
 # ---------------------------------------------------------------------------
 
+# ONE definition of the deterministic 80/10/10 content-hash split,
+# shared by ``dataset_split`` and the leakage audit
+# (dedup.split_leakage_audit) so the audited split can never drift
+# from the training split.
+SPLIT_BUCKET_SQL = (
+    "((STRPOS('0123456789abcdef', SUBSTR(MD5(CAST({id} AS VARCHAR)), 1, 1)) - 1)"
+    " * 16"
+    " + STRPOS('0123456789abcdef', SUBSTR(MD5(CAST({id} AS VARCHAR)), 2, 1)) - 1)"
+    " % 100"
+)
+
+
+def split_case_sql(id_expr: str) -> str:
+    """DuckDB CASE expression assigning train/val/test from ``id``."""
+    b = SPLIT_BUCKET_SQL.format(id=id_expr)
+    return (
+        f"CASE WHEN {b} < 80 THEN 'train'"
+        f" WHEN {b} < 90 THEN 'val' ELSE 'test' END"
+    )
+
+
+def split_col(id_col):
+    """Spark column twin of :func:`split_case_sql`."""
+    h = F.md5(id_col.cast("string"))
+    byte0 = (
+        (F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1) * 16
+        + F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1))
+        - 1
+    )
+    bucket = byte0 % 100
+    return (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+
+
 @register(
     "dataset_split",
-    oracle="""
+    oracle=f"""
     SELECT split, COUNT(*) AS n_docs,
            CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
            CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
     FROM (
-      SELECT doc_id,
-             CASE WHEN bucket < 80 THEN 'train'
-                  WHEN bucket < 90 THEN 'val'
-                  ELSE 'test' END AS split
-      FROM (
-        SELECT doc_id,
-               (STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-               + STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
-               AS bucket_raw,
-               (
-                 (STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-                 + STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
-               ) % 100 AS bucket
-        FROM documents
-      )
+      SELECT doc_id, {split_case_sql("doc_id")} AS split
+      FROM documents
     )
     GROUP BY split
     """,
@@ -812,18 +834,8 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning-dependent. This is how a 100 TB corpus is split:
     stateless per row, no global coordination."""
     t = _t(spark, sf_dir, "documents")["documents"]
-    h = F.md5(F.col("doc_id").cast("string"))
-    byte0 = (
-        (F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1) * 16
-        + F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1))
-        - 1
-    )
-    bucket = byte0 % 100
-    split = (
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    )
     return (
-        t.select("doc_id", split.alias("split"))
+        t.select("doc_id", split_col(F.col("doc_id")).alias("split"))
         .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),

@@ -1485,12 +1485,7 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Train/test leakage audit: near-dup pairs crossing the dataset split
 # ---------------------------------------------------------------------------
 
-_SPLIT_BUCKET_SQL = (
-    "((STRPOS('0123456789abcdef', SUBSTR(MD5(CAST({id} AS VARCHAR)), 1, 1)) - 1)"
-    " * 16"
-    " + STRPOS('0123456789abcdef', SUBSTR(MD5(CAST({id} AS VARCHAR)), 2, 1)) - 1)"
-    " % 100"
-)
+from rs_streamloader_spark.operators.analytic import split_case_sql, split_col
 
 
 @register(
@@ -1498,10 +1493,7 @@ _SPLIT_BUCKET_SQL = (
     oracle=f"""
     WITH pairs AS ({_JACCARD_ORACLE}),
     sp AS (
-      SELECT doc_id,
-             CASE WHEN {_SPLIT_BUCKET_SQL.format(id="doc_id")} < 80 THEN 'train'
-                  WHEN {_SPLIT_BUCKET_SQL.format(id="doc_id")} < 90 THEN 'val'
-                  ELSE 'test' END AS split
+      SELECT doc_id, {split_case_sql("doc_id")} AS split
       FROM documents
     ),
     tagged AS (
@@ -1538,20 +1530,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides, integer PPM out."""
     pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    h = F.md5(F.col("doc_id").cast("string"))
-    byte0 = (
-        (F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1) * 16
-        + F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1))
-        - 1
-    )
-    bucket = byte0 % 100
-    sp = docs.select(
-        "doc_id",
-        F.when(bucket < 80, "train")
-        .when(bucket < 90, "val")
-        .otherwise("test")
-        .alias("split"),
-    )
+    sp = docs.select("doc_id", split_col(F.col("doc_id")).alias("split"))
     tagged = (
         pairs.join(
             sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")),

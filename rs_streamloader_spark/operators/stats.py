@@ -3008,7 +3008,9 @@ def approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BLOOM_M = 16_384  # bits (2^14)
 _BLOOM_K = 4  # hash functions (4 hex chars of one md5 each)
-_PROBE_OFFSET = 100_000_000  # guaranteed non-member key space
+# probes are the NEGATED member keys: every key space in play (base
+# testdata and the scale-stress replicas at i*50M offsets) is strictly
+# positive, so -k-1 is structurally never a member at any scale
 
 
 def _bloom_pos_sql(key: str, j: int) -> str:
@@ -3032,7 +3034,7 @@ def _bloom_pos_sql(key: str, j: int) -> str:
         {" UNION ALL ".join(f"SELECT {_bloom_pos_sql('k', j)} AS pos FROM members" for j in range(_BLOOM_K))}
       )
     ),
-    probes AS (SELECT k + {_PROBE_OFFSET} AS pk FROM members),
+    probes AS (SELECT -k - 1 AS pk FROM members),
     probe_pos AS (
       {" UNION ALL ".join(f"SELECT pk, {_bloom_pos_sql('pk', j)} AS pos FROM probes" for j in range(_BLOOM_K))}
     ),
@@ -3041,7 +3043,7 @@ def _bloom_pos_sql(key: str, j: int) -> str:
       FROM probe_pos pp LEFT JOIN bits b ON b.pos = pp.pos
       GROUP BY pp.pk
     )
-    SELECT (SELECT COUNT(*) FROM members) AS n_members,
+    SELECT COUNT(*) AS n_members,
            (SELECT COUNT(*) FROM bits) AS n_bits_set,
            COUNT(*) AS n_probes,
            SUM(CASE WHEN n_hit = {_BLOOM_K} THEN 1 ELSE 0 END)
@@ -3055,7 +3057,7 @@ def _bloom_pos_sql(key: str, j: int) -> str:
 def bloom_filter_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom filter from first principles ({m} bits, k={k} salted-md5
     positions per key), built over the distinct order-customer keys
-    and probed with a guaranteed-non-member key set to measure the
+    and probed with the negated (structurally non-member) key set to measure the
     FALSE-POSITIVE rate exactly — completing the exactly-audited
     sketch family (CMS frequency, KMV/HLL cardinality, minhash
     similarity) with the membership sketch every shuffle-avoiding
@@ -3082,7 +3084,7 @@ def bloom_filter_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    probes = members.select((F.col("k") + _PROBE_OFFSET).alias("pk"))
+    probes = members.select((-F.col("k") - 1).alias("pk"))
     probe_pos = probes.select(
         "pk",
         F.explode(F.array(*[pos("pk", j) for j in range(_BLOOM_K)])).alias("pos"),
@@ -3092,11 +3094,12 @@ def bloom_filter_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pk")
         .agg(F.count("hit").alias("n_hit"))
     )
-    n_members = members.agg(F.count("*").alias("n_members"))
     n_bits = bits.agg(F.count("*").alias("n_bits_set"))
     fp = F.when(F.col("n_hit") == _BLOOM_K, 1).otherwise(0)
     return (
         hits.agg(
+            # probes are a 1:1 map of members, so one count serves both
+            F.count("*").alias("n_members"),
             F.count("*").alias("n_probes"),
             F.sum(fp).alias("n_false_positives"),
             F.expr(
@@ -3105,7 +3108,6 @@ def bloom_filter_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " div GREATEST(COUNT(*), 1) AS BIGINT)"
             ).alias("fpr_ppm"),
         )
-        .join(F.broadcast(n_members))
         .join(F.broadcast(n_bits))
         .select("n_members", "n_bits_set", "n_probes", "n_false_positives", "fpr_ppm")
     )
@@ -3196,11 +3198,23 @@ _PSI_SPLIT_DAYS = 15
                    {_PSI_BINS - 1}) AS bin
       FROM events e CROSS JOIN bounds b
     ),
-    cnts AS (
+    sparse AS (
       SELECT event_type, bin,
              SUM(CASE WHEN era = 'a' THEN 1 ELSE 0 END) AS ca,
              SUM(CASE WHEN era = 'b' THEN 1 ELSE 0 END) AS cb
       FROM binned GROUP BY 1, 2
+    ),
+    cnts AS (
+      -- densify to the FULL type x bin grid: Laplace smoothing
+      -- assumes every one of the {_PSI_BINS} bins contributes a term,
+      -- including bins empty in both eras
+      SELECT g.event_type, g.bin,
+             COALESCE(s.ca, 0) AS ca, COALESCE(s.cb, 0) AS cb
+      FROM (SELECT t.event_type, b.bin
+            FROM (SELECT DISTINCT event_type FROM binned) t
+            CROSS JOIN (SELECT UNNEST(RANGE(0, {_PSI_BINS})) AS bin) b) g
+      LEFT JOIN sparse s
+        ON s.event_type = g.event_type AND s.bin = g.bin
     ),
     tots AS (
       SELECT event_type, SUM(ca) AS ta, SUM(cb) AS tb
@@ -3248,9 +3262,25 @@ def drift_psi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_PSI_BINS - 1),
         ).alias("bin"),
     )
-    cnts = binned.groupBy("event_type", "bin").agg(
+    sparse = binned.groupBy("event_type", "bin").agg(
         F.sum(F.when(F.col("era") == "a", 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("era") == "b", 1).otherwise(0)).alias("cb"),
+    )
+    # densify: jointly-empty bins still carry a smoothed PSI term
+    grid = (
+        sparse.select("event_type")
+        .distinct()
+        .crossJoin(
+            sparse.sparkSession.range(_PSI_BINS).select(
+                F.col("id").alias("bin")
+            )
+        )
+    )
+    cnts = grid.join(F.broadcast(sparse), ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+        F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
     )
     tots = cnts.groupBy("event_type").agg(
         F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
@@ -3410,7 +3440,7 @@ _BOUNCE_GAP_S = 1800
     "bounce_rate_daily",
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
                   OR ts - LAG(ts) OVER w > INTERVAL {_BOUNCE_GAP_S} SECOND
                   THEN 1 ELSE 0 END AS new_sess
@@ -3419,7 +3449,7 @@ _BOUNCE_GAP_S = 1800
     ),
     sess AS (
       SELECT user_id,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sid,
              ts
       FROM flagged
@@ -3450,11 +3480,12 @@ def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")["events"]
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lagged = ev.select(
-        "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+        "user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev_ts")
     )
     flagged = lagged.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             F.col("prev_ts").isNull()
             | (
@@ -3472,7 +3503,7 @@ def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_sess")
         .over(
             Window.partitionBy("user_id")
-            .orderBy("ts")
+            .orderBy("ts", "event_id")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         .alias("sid"),

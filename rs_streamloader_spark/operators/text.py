@@ -847,14 +847,31 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "source_token_entropy",
-    oracle="""
-    WITH tc AS (
+# ONE definition of the (source, token, count) stage — the tokenization
+# contract shared by source_token_entropy and text_js_divergence_sources
+# (and mirrored in their oracles via _SOURCE_TOK_SQL), so "what is a
+# token" cannot drift between the entropy and divergence views.
+_SOURCE_TOK_SQL = """
       SELECT source, tok, COUNT(*) AS cnt FROM (
         SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
       ) WHERE tok <> '' GROUP BY source, tok
-    ),
+"""
+
+
+def _source_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    return (
+        t.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "source_token_entropy",
+    oracle=f"""
+    WITH tc AS ({_SOURCE_TOK_SQL}),
     tot AS (SELECT source, SUM(cnt) AS total FROM tc GROUP BY source),
     e AS (
       SELECT tc.source,
@@ -885,13 +902,7 @@ def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer addition in any order — the floating-point-sum-order trap
     (engines fold in different orders) cannot fire. The final /1e9
     and pow(2, ·) are single expressions on the exact sum."""
-    t = load_tables(spark, sf_dir, "documents")["documents"]
-    tc = (
-        t.select("source", F.explode(F.split("text", " ")).alias("tok"))
-        .where(F.col("tok") != "")
-        .groupBy("source", "tok")
-        .agg(F.count("*").alias("cnt"))
-    )
+    tc = _source_token_counts(spark, sf_dir)
     tot = tc.groupBy("source").agg(F.sum("cnt").alias("total"))
     p = F.col("cnt").cast("double") / F.col("total")
     e = tc.join(F.broadcast(tot), "source").select(
@@ -915,12 +926,8 @@ def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_js_divergence_sources",
-    oracle="""
-    WITH tc AS (
-      SELECT source, tok, COUNT(*) AS cnt FROM (
-        SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
-      ) WHERE tok <> '' GROUP BY source, tok
-    ),
+    oracle=f"""
+    WITH tc AS ({_SOURCE_TOK_SQL}),
     tot AS (SELECT source, SUM(cnt) AS total FROM tc GROUP BY source),
     shared AS (
       SELECT a.source AS source_a, b.source AS source_b,
@@ -971,25 +978,12 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     double expression with identical operand order rounded to integer
     nano-units before summation; the correction is a final expression
     over exact integer counts."""
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
-    tc = (
-        docs
-        .select("source", F.explode(F.split(F.col("text"), " ")).alias("tok"))
-        .where(F.col("tok") != "")
-        .groupBy("source", "tok")
-        .agg(F.count("*").alias("cnt"))
-    )
+    tc = _source_token_counts(spark, sf_dir)
     tot = tc.groupBy("source").agg(F.sum("cnt").alias("total"))
     a = tc.alias("a")
     b = tc.alias("b")
     ta = tot.select(F.col("source").alias("source_a"), F.col("total").alias("ta"))
     tb = tot.select(F.col("source").alias("source_b"), F.col("total").alias("tb"))
-    pa = F.col("a.cnt").cast("double") / F.col("ta")
-    pb = F.col("b.cnt").cast("double") / F.col("tb")
-    term = F.round(
-        (pa * F.log(2.0 * pa / (pa + pb)) + pb * F.log(2.0 * pb / (pa + pb)))
-        * 1_000_000_000
-    ).cast("bigint")
     shared = (
         a.join(
             b,

@@ -1531,7 +1531,12 @@ def test_jsd_pair_join_on_vocab_aggregate(spark):
     lines = explain_str(df, "simple").splitlines()
     # the tok-keyed pair join joins two AGGREGATES (vocab-bounded),
     # never raw exploded token rows
-    joins = [i for i, l in enumerate(lines) if "SortMergeJoin" in l or "ShuffledHashJoin" in l]
+    joins = [
+        i
+        for i, l in enumerate(lines)
+        if "SortMergeJoin" in l or "ShuffledHashJoin" in l or "BroadcastHashJoin" in l
+    ]
+    assert joins, "\n".join(lines)
     for i in joins:
         below = "\n".join(lines[i:])
         agg = below.find("HashAggregate")
