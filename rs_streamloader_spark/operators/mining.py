@@ -1754,33 +1754,39 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     co² / (n_a·n_b) — the classic Amazon-style item-to-item
     recommender built purely from order co-occurrence.
 
-    Scale posture: the pair generation is an inverted-index self-join
-    on the order key — fanout is bounded by basket size (≤ ~13 lines
-    per order, quadratic only within a basket, never across), so
-    candidate volume is O(orders·basket²), not O(parts²). The
+    Scale posture: baskets collapse to sorted distinct-part arrays on
+    ONE order-key shuffle, and pairs explode within each array —
+    fanout is bounded by basket size (≤ ~13 lines per order, quadratic
+    only within a basket, never across), so candidate volume is
+    O(orders·basket²), not O(parts²), with no self-join. The
     (item, neighbor) aggregate is map-side combinable; per-item
     top-k is a ranking window the optimizer cuts map-side
     (WindowGroupLimit). Cross-engine determinism: the score is squared
     cosine in integer PPM via DECIMAL(38)/HUGEINT floor-division
     (co² · 1e6 overflows int64 once co ≳ 3e6), ties broken by
     neighbor key — no float, no sqrt."""
-    li = (
-        _t(spark, sf_dir, "lineitem")["lineitem"]
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    # baskets as sorted distinct-part arrays: ONE shuffle on the order
+    # key replaces the distinct + self-join formulation (the sorted
+    # array makes pa < pb structural, and within-basket pair fanout is
+    # the same bounded basket-squared)
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
-    cnt = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
-    a = li.alias("a")
-    b = li.alias("b")
+    cnt = baskets.select(F.explode("ps").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count("*").alias("n"))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count("*").alias("co_cnt"))
     )
     sym = pairs.select(
@@ -2170,8 +2176,9 @@ def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_cluster`` propagation machinery on a completely different
     graph (basket co-occurrence instead of text similarity).
 
-    Scale posture: edge generation is the bounded basket self-join
-    (the ``item_item_cosine_topk`` pattern) with a support threshold
+    Scale posture: edge generation explodes pairs within sorted
+    basket arrays on one order-key shuffle (the
+    ``item_item_cosine_topk`` pattern) with a support threshold
     that keeps the graph sparse; components come from fused 2-hop
     min-label propagation with one tiny driver sync per step and a
     loud failure on non-convergence; the size column is a window over
@@ -2179,22 +2186,21 @@ def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the same components with a recursive CTE."""
     from rs_streamloader_spark.operators.dedup import propagate_min_labels
 
-    li = (
-        _t(spark, sf_dir, "lineitem")["lineitem"]
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
-    a = li.alias("a")
-    b = li.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count("*").alias("co"))
         .filter(F.col("co") >= _COPURCHASE_MIN_CO)
         .select("pa", "pb")
