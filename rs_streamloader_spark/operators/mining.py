@@ -833,26 +833,36 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     support / confidence / lift for part pairs bought together ≥
     {min} times — the recommendation/affinity staple.
 
-    Scale posture: baskets are orders, so the self-join key is
-    l_orderkey and the fan-out per order is C(items-per-order, 2) —
+    Scale posture: baskets collapse to sorted distinct-part arrays on
+    one order-key shuffle and pairs explode within each array — the
+    fan-out per order is C(items-per-order, 2) —
     bounded by basket size (≤7 in TPC-H-shaped data), never by corpus
     size. Part counts join on the part key (keyed shuffle, combinable
     partials); the order count is a broadcast 1-row aggregate; lift is
     a product of two bounded double ratios (no bigint product to
     overflow at scale)."""
     t = _t(spark, sf_dir, "lineitem")["lineitem"]
-    items = t.select("l_orderkey", "l_partkey").distinct()
-    pc = items.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
-    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    a = items.alias("a")
-    b = items.alias("b")
+    # baskets as sorted distinct-part arrays: one order-key shuffle
+    # serves the pair explode, the part counts, and the basket count
+    # (the item_item_cosine_topk pattern)
+    baskets = t.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pc = baskets.select(F.explode("ps").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count("*").alias("n_part"))
+    n = baskets.agg(F.count("*").alias("n_orders"))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= _BASKET_MIN_PAIRS)
     )
