@@ -1319,3 +1319,69 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_nationkey").alias("nationkey"))
         .exceptAll(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH ek AS (
+      SELECT NULLIF(event_type, 'error') AS k, COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    ),
+    dim AS (
+      SELECT NULLIF(t, 'error') AS k, lbl FROM (VALUES
+        ('click', 'engagement'), ('view', 'engagement'),
+        ('purchase', 'revenue'), ('signup', 'growth'),
+        ('error', 'ops')
+      ) AS v(t, lbl)
+    )
+    SELECT dim.lbl,
+           SUM(CASE WHEN ek.k IS NOT DISTINCT FROM dim.k
+                    THEN ek.n_events ELSE 0 END) AS n_null_safe,
+           SUM(CASE WHEN ek.k = dim.k THEN ek.n_events ELSE 0 END)
+             AS n_plain_eq
+    FROM ek CROSS JOIN dim
+    GROUP BY dim.lbl
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join semantics (``<=>`` / IS NOT DISTINCT
+    FROM): a nullable key (error events nulled out) joined to a dim
+    whose 'ops' row also carries the NULL key — the null-safe count
+    matches NULL↔NULL while plain equality drops those rows, shown
+    side by side per label. NULL join keys are the classic silent
+    row-loss bug in warehouse migrations; this pins the engine's
+    null-matching contract.
+
+    Scale posture: the fact side collapses to a per-key aggregate
+    before the (broadcast, 5-row) dim comparison; both match counts
+    come from ONE pass over the key aggregate. Cross-engine
+    determinism: pure integer counts."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    ek = ev.groupBy(
+        F.expr("NULLIF(event_type, 'error')").alias("ek_k")
+    ).agg(F.count("*").alias("n_events"))
+    dim = ev.sparkSession.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "revenue"),
+            ("signup", "growth"),
+            ("error", "ops"),
+        ],
+        "t string, lbl string",
+    ).select(F.expr("NULLIF(t, 'error')").alias("dim_k"), "lbl")
+    return (
+        ek.crossJoin(F.broadcast(dim))
+        .groupBy("lbl")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ek_k").eqNullSafe(F.col("dim_k")), F.col("n_events")
+                ).otherwise(0)
+            ).alias("n_null_safe"),
+            F.sum(
+                F.when(F.col("ek_k") == F.col("dim_k"), F.col("n_events")).otherwise(0)
+            ).alias("n_plain_eq"),
+        )
+    )

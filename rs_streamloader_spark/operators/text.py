@@ -1034,3 +1034,151 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jsd_bits"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Padding-waste audit for length-bucketed batching
+# ---------------------------------------------------------------------------
+
+_PAD_BUCKET_TOKENS = 64
+_PAD_BATCH_SIZE = 8
+
+
+@register(
+    "padding_waste_audit",
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tok FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, n_tok,
+             CAST((n_tok - 1) // {_PAD_BUCKET_TOKENS} AS BIGINT) AS bucket,
+             CAST((ROW_NUMBER() OVER (
+               PARTITION BY CAST((n_tok - 1) // {_PAD_BUCKET_TOKENS} AS BIGINT)
+               ORDER BY n_tok, doc_id) - 1) // {_PAD_BATCH_SIZE} AS BIGINT)
+               AS batch_id
+      FROM lens
+    ),
+    per_batch AS (
+      SELECT bucket, batch_id, COUNT(*) AS n_docs,
+             SUM(n_tok) AS real_tokens,
+             MAX(n_tok) * COUNT(*) AS padded_tokens
+      FROM bucketed GROUP BY 1, 2
+    )
+    SELECT bucket,
+           COUNT(*) AS n_batches,
+           SUM(real_tokens) AS real_tokens,
+           SUM(padded_tokens) AS padded_tokens,
+           CAST(CAST(SUM(padded_tokens) - SUM(real_tokens) AS HUGEINT)
+                * 1000000 // SUM(padded_tokens) AS BIGINT) AS waste_ppm
+    FROM per_batch GROUP BY bucket
+    """,
+)
+def padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for length-bucketed training batches: docs
+    sort into {w}-token length buckets, fill batches of {b} in length
+    order, and each bucket reports how many pad tokens the batching
+    would burn (batch cost = max-length × batch-size) — the
+    measurement behind bucketed-batching throughput wins.
+
+    Scale posture: doc lengths are row-local; the batch assignment is
+    a ranking window PARTITIONED BY BUCKET (each partition holds one
+    length band, so no global sort — the skew-bounded variant of
+    sequence packing, cf. ``pack_sequences``); batch and bucket
+    rollups are combinable aggregates. Cross-engine determinism:
+    batch fill order is pinned by (length, doc_id); waste is integer
+    PPM."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    lens = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    bucket = F.expr(f"CAST((n_tok - 1) div {_PAD_BUCKET_TOKENS} AS BIGINT)")
+    w = Window.partitionBy(bucket.alias("b")).orderBy("n_tok", "doc_id")
+    bucketed = lens.select(
+        "doc_id",
+        "n_tok",
+        bucket.alias("bucket"),
+        F.expr(
+            f"CAST((ROW_NUMBER() OVER (PARTITION BY"
+            f" CAST((n_tok - 1) div {_PAD_BUCKET_TOKENS} AS BIGINT)"
+            f" ORDER BY n_tok, doc_id) - 1) div {_PAD_BATCH_SIZE} AS BIGINT)"
+        ).alias("batch_id"),
+    )
+    per_batch = bucketed.groupBy("bucket", "batch_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("real_tokens"),
+        (F.max("n_tok") * F.count("*")).alias("padded_tokens"),
+    )
+    return per_batch.groupBy("bucket").agg(
+        F.count("*").alias("n_batches"),
+        F.sum("real_tokens").alias("real_tokens"),
+        F.sum("padded_tokens").alias("padded_tokens"),
+        F.expr(
+            "CAST(CAST(SUM(padded_tokens) - SUM(real_tokens) AS DECIMAL(38,0))"
+            " * 1000000 div SUM(padded_tokens) AS BIGINT)"
+        ).alias("waste_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffling (reproducible data order)
+# ---------------------------------------------------------------------------
+
+_EPOCHS = 3
+_EPOCH_HEAD = 5
+
+
+@register(
+    "epoch_shuffle_order",
+    oracle=f"""
+    WITH epochs AS (SELECT UNNEST(RANGE(0, {_EPOCHS})) AS epoch),
+    ranked AS (
+      SELECT e.epoch, d.doc_id,
+             MD5(CAST(e.epoch AS VARCHAR) || '|' || CAST(d.doc_id AS VARCHAR))
+               AS shuffle_key,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY e.epoch
+               ORDER BY MD5(CAST(e.epoch AS VARCHAR) || '|'
+                            || CAST(d.doc_id AS VARCHAR))
+             ) AS INT) AS pos
+      FROM documents d CROSS JOIN epochs e
+    )
+    SELECT epoch, pos, doc_id FROM ranked WHERE pos <= {_EPOCH_HEAD}
+    """,
+)
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus shuffling: each epoch orders the
+    corpus by md5(epoch | doc_id) — a different but REPRODUCIBLE
+    permutation per epoch (emitting each epoch's first {h} docs as the
+    auditable witness). This is how a 100 TB training run gets
+    shuffled data order that survives restarts, stragglers, and
+    re-runs, where ``rand()``-based shuffles silently differ per
+    attempt.
+
+    Scale posture: the shuffle key is row-local codegen; the head cut
+    per epoch is a bounded ranking window (WindowGroupLimit pushes
+    the cut map-side); epochs fan out via a {n}-row broadcast range.
+    Cross-engine determinism: md5 hex strings order identically
+    everywhere."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    epochs = docs.sparkSession.range(_EPOCHS).select(
+        F.col("id").cast("int").alias("epoch")
+    )
+    key = F.md5(
+        F.concat(
+            F.col("epoch").cast("string"), F.lit("|"), F.col("doc_id").cast("string")
+        )
+    )
+    ranked = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(epochs))
+        .select("epoch", "doc_id", key.alias("shuffle_key"))
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("epoch").orderBy("shuffle_key")
+            ),
+        )
+        .filter(F.col("pos") <= _EPOCH_HEAD)
+    )
+    return ranked.select("epoch", "pos", "doc_id")

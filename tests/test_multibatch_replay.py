@@ -266,3 +266,77 @@ def test_hll_registers_across_many_microbatches(spark):
     )
     multi = {(r["bucket"], r["m"]) for r in multi_df.collect()}
     assert multi == single and len(single) > 0
+
+
+def test_checkpoint_stop_resume_equivalence(spark):
+    """Exactly-once across a mid-stream restart: a watermarked hourly
+    tumbling count is stopped after its first micro-batches, then
+    RESUMED from the same checkpoint with availableNow — the landed
+    output must equal the uninterrupted single-run replay (no lost,
+    duplicated, or re-emitted windows). This is the recovery contract
+    a production streaming job runs on."""
+    import time as _time
+
+    from rs_streamloader_spark.streaming.replay import _events, _sentinel_ts
+    from rs_streamloader_spark.streaming.windows import tumbling_window_agg
+
+    base_ev = _events(spark, SF).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, _sentinel_ts(base_ev), -1, "__sentinel", 0.0)], base_ev.schema
+    )
+    # the sentinel is the latest timestamp, so slicing by ts puts it in
+    # the final file: it flushes every real window at the very end,
+    # exactly like the single-batch replay
+    ev = base_ev.unionByName(sentinel)
+
+    def build(stream):
+        return tumbling_window_agg(stream)
+
+    def run(tag, interrupt):
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "rs_sl_multibatch",
+            spark.sparkContext.applicationId,
+            tag,
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        path = os.path.join(base, "in")
+        _stage_sliced(ev, path)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+
+        def start():
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(path)
+            )
+            return (
+                build(stream)
+                .writeStream.foreachBatch(
+                    lambda bdf, _bid: bdf.write.mode("append").parquet(out)
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        q = start()
+        if interrupt:
+            # stop after the first micro-batch commits, mid-stream
+            while not os.path.isdir(os.path.join(ckpt, "commits")) or not os.listdir(
+                os.path.join(ckpt, "commits")
+            ):
+                _time.sleep(0.1)
+            q.stop()
+            q.awaitTermination()
+            q = start()  # resume from the same checkpoint
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    uninterrupted = {tuple(r) for r in run("ckpt_single", False).collect()}
+    resumed = {tuple(r) for r in run("ckpt_resume", True).collect()}
+    assert resumed == uninterrupted and len(uninterrupted) > 0

@@ -1587,3 +1587,44 @@ def test_bounce_rate_single_user_shuffle_plus_rollup(spark):
     df = bounce_rate_daily(spark, SF_SMOKE)
     # sessionization shuffle on user_id + the daily rollup shuffle
     assert shuffle_count(df) <= 2, explain_str(df, "simple")
+
+
+def test_padding_waste_bucket_partitioned_ranking(spark):
+    from rs_streamloader_spark.operators.text import padding_waste_audit
+
+    df = padding_waste_audit(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # batch assignment ranks WITHIN length buckets — no unpartitioned
+    # window over the corpus
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", text)
+    assert specs, text
+    for spec in specs:
+        assert "n_tok" in spec or "div" in spec or "CAST" in spec, text
+
+
+def test_epoch_shuffle_head_cut_pushes_map_side(spark):
+    from rs_streamloader_spark.operators.text import epoch_shuffle_order
+
+    df = epoch_shuffle_order(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # the per-epoch head is a WindowGroupLimit — each task keeps only
+    # the head before the per-epoch merge (no full corpus sort)
+    assert "WindowGroupLimit" in text, text
+    assert has_broadcast_join(df)
+
+
+def test_null_safe_join_on_key_aggregate(spark):
+    from rs_streamloader_spark.operators.relational import join_null_safe
+
+    df = join_null_safe(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # both match counts come from one pass over the per-key aggregate
+    # crossed with the 5-row literal dim
+    lines = text.splitlines()
+    joins = [i for i, l in enumerate(lines) if "Join" in l]
+    assert joins, text
+    for i in joins:
+        below = "\n".join(lines[i:])
+        agg = below.find("HashAggregate")
+        scan = below.find("Scan parquet")
+        assert 0 <= agg < scan, below[:1500]

@@ -306,6 +306,9 @@ CONSTANT_OUTPUT = {
     "simhash_hamming_histogram",
     "drift_psi_daily",
     "pivot_multi_agg",
+    # 15-row epoch heads, 4-row label rollup
+    "epoch_shuffle_order",
+    "join_null_safe",
 }
 
 
