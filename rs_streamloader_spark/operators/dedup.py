@@ -1638,3 +1638,135 @@ def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .withColumn("is_near", F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact verbatim-span dedup (RefinedWeb-style substring duplication)
+# ---------------------------------------------------------------------------
+
+_SPAN_TOKENS = 16  # verbatim window width in tokens
+
+
+@register(
+    "exact_substring_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, i,
+             MD5(ARRAY_TO_STRING(ws[i + 1:i + {_SPAN_TOKENS}], ' ')) AS h,
+             LEN(ws) AS n_tok
+      FROM toks, UNNEST(RANGE(0, GREATEST(LEN(ws) - {_SPAN_TOKENS} + 1, 0)))
+           AS t(i)
+    ),
+    dup_h AS (
+      SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    flagged AS (
+      SELECT w.doc_id, w.i AS s, w.i + {_SPAN_TOKENS} AS e, w.n_tok
+      FROM wins w JOIN dup_h d ON d.h = w.h
+    ),
+    merged AS (
+      SELECT doc_id, n_tok, island, MIN(s) AS ms, MAX(e) AS me
+      FROM (
+        SELECT doc_id, n_tok, s, e,
+               SUM(new_iv) OVER (PARTITION BY doc_id ORDER BY s, e
+                                 ROWS UNBOUNDED PRECEDING) AS island
+        FROM (
+          SELECT doc_id, n_tok, s, e,
+                 CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) >= s
+                      THEN 0 ELSE 1 END AS new_iv
+          FROM flagged
+        )
+      ) GROUP BY doc_id, n_tok, island
+    )
+    SELECT doc_id,
+           CAST(MAX(n_tok) AS BIGINT) AS n_tok,
+           COUNT(*) AS n_dup_spans,
+           SUM(me - ms) AS dup_tokens,
+           CAST(CAST(SUM(me - ms) AS HUGEINT) * 1000000 // MAX(n_tok)
+                AS BIGINT) AS dup_ppm
+    FROM merged GROUP BY doc_id
+    """,
+)
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact verbatim-substring duplication report (the
+    RefinedWeb/C4 "exact substring dedup" signal): every {w}-token
+    window whose text appears verbatim in ANOTHER document flags its
+    span, overlapping flagged spans merge per document, and each
+    affected document reports its duplicated-token count and share —
+    the per-doc evidence used to cut boilerplate and syndicated text
+    that document-level near-dup (Jaccard/minhash) scores too low to
+    catch.
+
+    Scale posture: windows shuffle as 32-byte md5 keys (never the
+    text); the cross-corpus duplicate test is a combinable
+    distinct-doc count per hash; span consolidation is the
+    running-max interval-UNION sweep partitioned per document
+    (``merge_user_intervals`` machinery — bounded by doc length).
+    Cross-engine determinism: hashes, positions, and PPM shares are
+    exact integers; interval order pins by (start, end)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = spread(docs).select("doc_id", F.split("text", " ").alias("ws"))
+    wins = toks.select(
+        "doc_id",
+        F.size("ws").alias("n_tok"),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(ws) >= {_SPAN_TOKENS} THEN"
+                f" transform(sequence(0, size(ws) - {_SPAN_TOKENS}),"
+                f" i -> struct(i AS i,"
+                f" md5(array_join(slice(ws, i + 1, {_SPAN_TOKENS}), ' ')) AS h))"
+                f" ELSE array() END"
+            )
+        ).alias("w"),
+    ).select("doc_id", "n_tok", "w.i", "w.h")
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    flagged = wins.join(dup_h, "h").select(
+        "doc_id",
+        "n_tok",
+        F.col("i").alias("s"),
+        (F.col("i") + _SPAN_TOKENS).alias("e"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("s", "e")
+    sweep = flagged.select(
+        "doc_id",
+        "n_tok",
+        "s",
+        "e",
+        F.when(
+            F.max("e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+            >= F.col("s"),
+            0,
+        )
+        .otherwise(1)
+        .alias("new_iv"),
+    ).select(
+        "doc_id",
+        "n_tok",
+        "s",
+        "e",
+        F.sum("new_iv")
+        .over(wd.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    merged = sweep.groupBy("doc_id", "n_tok", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("doc_id").agg(
+        F.max("n_tok").cast("bigint").alias("n_tok"),
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("me") - F.col("ms")).alias("dup_tokens"),
+        F.expr(
+            "CAST(CAST(SUM(me - ms) AS DECIMAL(38,0)) * 1000000"
+            " div MAX(n_tok) AS BIGINT)"
+        ).alias("dup_ppm"),
+    )

@@ -775,3 +775,89 @@ def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abc_class"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch (SRM) audit of the dataset split
+# ---------------------------------------------------------------------------
+
+from rs_streamloader_spark.operators.analytic import split_case_sql, split_col
+
+# chi-square 0.95 critical value, df=2, in exact micro-units
+_SRM_CRIT_MICRO = 5_991_465
+
+_SRM_EXP_PCT_SQL = (
+    "CASE split WHEN 'train' THEN 80 WHEN 'val' THEN 10 ELSE 10 END"
+)
+
+
+@register(
+    "ab_srm_check",
+    oracle=f"""
+    WITH sp AS (
+      SELECT {split_case_sql("doc_id")} AS split FROM documents
+    ),
+    obs AS (
+      SELECT split, COUNT(*) AS o, {_SRM_EXP_PCT_SQL} AS exp_pct
+      FROM sp GROUP BY split
+    ),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    terms AS (
+      SELECT obs.split, obs.o, obs.exp_pct,
+             CAST(CAST(100 * obs.o - obs.exp_pct * t.n AS HUGEINT)
+                  * (100 * obs.o - obs.exp_pct * t.n) * 1000000
+                  // (CAST(100 AS HUGEINT) * obs.exp_pct * t.n)
+               AS BIGINT) AS chi2_micro
+      FROM obs CROSS JOIN tot t
+    )
+    SELECT split, o AS observed, CAST(exp_pct AS INT) AS exp_pct, chi2_micro,
+           SUM(chi2_micro) OVER () > {_SRM_CRIT_MICRO} AS srm_detected
+    FROM terms
+    """,
+)
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch audit of the 80/10/10 hash split: the χ²
+    statistic of observed split counts against their expected ratios,
+    with the df=2 0.95 critical-value verdict — the first sanity gate
+    every experimentation platform runs before reading a test (an SRM
+    means the assignment itself is broken; results are void).
+
+    Scale posture: assignment is the shared stateless split
+    expression; everything reduces to a 3-row observed table plus a
+    1-row total (the verdict window runs over those 3 rows).
+    Cross-engine determinism: each χ² term is kept as an exact
+    rational ((100·o − pct·n)² · 1e6) / (100·pct·n) in
+    HUGEINT/DECIMAL(38) floor-division; the verdict compares the
+    exact micro-unit sum to the critical value as integers."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    exp_pct = (
+        F.when(F.col("split") == "train", 80)
+        .when(F.col("split") == "val", 10)
+        .otherwise(10)
+    )
+    obs = (
+        docs.select(split_col(F.col("doc_id")).alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("o"))
+        .withColumn("exp_pct", exp_pct)
+    )
+    tot = obs.agg(F.sum("o").alias("n"))
+    terms = obs.join(F.broadcast(tot)).select(
+        "split",
+        "o",
+        "exp_pct",
+        F.expr(
+            "CAST(CAST(100 * o - exp_pct * n AS DECIMAL(38,0))"
+            " * (100 * o - exp_pct * n) * 1000000"
+            " div (CAST(100 AS DECIMAL(38,0)) * exp_pct * n) AS BIGINT)"
+        ).alias("chi2_micro"),
+    )
+    return terms.select(
+        "split",
+        F.col("o").alias("observed"),
+        F.col("exp_pct").cast("int").alias("exp_pct"),
+        "chi2_micro",
+        (
+            F.sum("chi2_micro").over(Window.partitionBy())
+            > _SRM_CRIT_MICRO
+        ).alias("srm_detected"),
+    )

@@ -1628,3 +1628,36 @@ def test_null_safe_join_on_key_aggregate(spark):
         agg = below.find("HashAggregate")
         scan = below.find("Scan parquet")
         assert 0 <= agg < scan, below[:1500]
+
+
+def test_srm_reduces_to_three_row_grid(spark):
+    from rs_streamloader_spark.operators.quality import ab_srm_check
+
+    df = ab_srm_check(spark, SF_SMOKE)
+    lines = explain_str(df, "simple").splitlines()
+    # the verdict window runs over the 3-row observed table, never
+    # raw docs
+    wins = [i for i, l in enumerate(lines) if "Window" in l]
+    assert wins
+    for i in wins:
+        below = "\n".join(lines[i:])
+        agg = below.find("HashAggregate")
+        scan = below.find("Scan parquet")
+        assert 0 <= agg < scan, below[:1500]
+    assert has_broadcast_join(df)
+
+
+def test_substring_dedup_shuffles_hashes_not_text(spark):
+    from rs_streamloader_spark.operators.dedup import exact_substring_dedup
+
+    df = exact_substring_dedup(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # the duplicate test groups 32-byte md5 keys; the raw text never
+    # crosses an exchange (the only text columns live below the window
+    # generate, pre-shuffle)
+    lines = text.splitlines()
+    exch = [i for i, l in enumerate(lines) if "Exchange" in l]
+    assert exch, text
+    for i in exch:
+        assert " text#" not in lines[i], lines[i]
+    assert "CartesianProduct" not in text

@@ -306,9 +306,10 @@ CONSTANT_OUTPUT = {
     "simhash_hamming_histogram",
     "drift_psi_daily",
     "pivot_multi_agg",
-    # 15-row epoch heads, 4-row label rollup
+    # 15-row epoch heads, 4-row label rollup, 3-row SRM grid
     "epoch_shuffle_order",
     "join_null_safe",
+    "ab_srm_check",
 }
 
 
