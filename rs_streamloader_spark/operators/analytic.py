@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rs_streamloader_spark.operators.registry import register
-from rs_streamloader_spark.session import load_tables
+from rs_streamloader_spark.session import load_tables, spread
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
@@ -2384,4 +2384,159 @@ def merge_user_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_intervals"),
         F.sum(dur_s).alias("busy_s"),
         F.max(dur_s).alias("longest_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified k-fold assignment (per-source folds, hash-ordered)
+# ---------------------------------------------------------------------------
+
+_KFOLDS = 5
+
+
+@register(
+    "stratified_kfold",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY MD5('fold|' || CAST(doc_id AS VARCHAR))
+             ) - 1 AS rk
+      FROM documents
+    )
+    SELECT source, CAST(rk % {_KFOLDS} AS INT) AS fold,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+    FROM ranked GROUP BY source, rk % {_KFOLDS}
+    """,
+)
+def stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified {k}-fold assignment: within every source stratum,
+    docs order by a salted hash and deal round-robin into {k} folds —
+    each fold gets an equal share of EVERY source (plain hash-mod
+    folds only balance in expectation; stratified dealing balances by
+    construction, the difference that matters for small strata).
+    Emits the fold × stratum occupancy plus a language-balance probe.
+
+    Scale posture: the dealing window partitions per source (bounded
+    strata, rank order row-local hash); the occupancy rollup is
+    combinable. Cross-engine determinism: md5 hex ordering and
+    round-robin arithmetic are identical everywhere."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    key = F.md5(F.concat(F.lit("fold|"), F.col("doc_id").cast("string")))
+    ranked = docs.select(
+        "source",
+        "lang",
+        (
+            F.row_number().over(Window.partitionBy("source").orderBy(key)) - 1
+        ).alias("rk"),
+    )
+    return ranked.groupBy(
+        "source", (F.col("rk") % _KFOLDS).cast("int").alias("fold")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend estimator over the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "theil_sen_trend",
+    oracle="""
+    WITH bounds AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+    daily AS (
+      SELECT CAST(o.o_orderdate AS DATE) AS d,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders o CROSS JOIN bounds b
+      WHERE CAST(o.o_orderdate AS DATE) > b.maxd - 365
+      GROUP BY 1
+    ),
+    idx AS (
+      SELECT d, rev_c,
+             CAST(d - (SELECT MIN(d) FROM daily) AS BIGINT) AS t
+      FROM daily
+    ),
+    slopes AS (
+      SELECT CAST((CAST(b.rev_c - a.rev_c AS HUGEINT) * 1000000)
+                  // (b.t - a.t) AS BIGINT) AS slope_micro
+      FROM idx a JOIN idx b ON b.t > a.t
+    ),
+    ranked AS (
+      SELECT slope_micro,
+             ROW_NUMBER() OVER (ORDER BY slope_micro) AS rn,
+             COUNT(*) OVER () AS n
+      FROM slopes
+    )
+    SELECT n AS n_pairs,
+           MIN(CASE WHEN rn = (n + 1) // 2 THEN slope_micro END)
+             AS theil_sen_slope_micro
+    FROM ranked GROUP BY n
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the trailing year's daily revenue:
+    the median of all pairwise slopes (Δrevenue/Δdays) over the daily
+    series — the outlier-immune answer to "is revenue trending up",
+    unmoved by the single holiday spike that drags an OLS fit.
+
+    Scale posture: the trailing-365-day predicate (broadcast max
+    date) bounds the series at ANY data scale, so the pairwise loop
+    is ≤ ~66k pairs regardless of history length; the median comes
+    from the banded two-pass cumulative histogram, never a
+    single-partition ranking sort. Cross-engine determinism: slopes are
+    exact integer micro-units via HUGEINT/DECIMAL(38) floor-division
+    (Δcents·1e6 overflows int64 at ~9e12 daily cents), and the median
+    picks PERCENTILE_DISC's exact element."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    bounds = orders.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
+    daily = (
+        orders.join(F.broadcast(bounds))
+        .where(F.to_date("o_orderdate") > F.date_sub(F.col("maxd"), 365))
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "rev_c"
+            )
+        )
+    )
+    t0 = daily.agg(F.min("d").alias("d0"))
+    idx = daily.join(F.broadcast(t0)).select(
+        "rev_c", F.datediff("d", "d0").cast("bigint").alias("t")
+    )
+    # spread the stream side: the daily aggregate collapses to one
+    # partition, which would serialize the O(days^2) pair loop
+    a = spread(idx, 1).alias("a")
+    b = idx.alias("b")
+    # greatest(…, 1) guards codegen evaluating the projection fused
+    # into the nested-loop consume before the t-ordering condition
+    # drops the diagonal; kept rows always have Δt >= 1
+    slopes = a.join(b, F.col("b.t") > F.col("a.t")).select(
+        F.expr(
+            "CAST((CAST(b.rev_c - a.rev_c AS DECIMAL(38,0)) * 1000000)"
+            " div greatest(b.t - a.t, 1) AS BIGINT)"
+        ).alias("slope_micro")
+    )
+    from rs_streamloader_spark.operators.quality import _banded_prefix
+
+    # median via the banded two-pass cumulative histogram — a global
+    # ranking window would sort every pair in ONE partition
+    hist = slopes.groupBy("slope_micro").agg(F.count("*").alias("cnt"))
+    cum = _banded_prefix(hist, "slope_micro", "cnt", "sum", "cum_below")
+    tot = hist.agg(F.sum("cnt").alias("n"))
+    idx = F.expr("(n + 1) div 2")
+    return (
+        cum.join(F.broadcast(tot))
+        .where(
+            (F.col("cum_below") < idx)
+            & (F.col("cum_below") + F.col("cnt") >= idx)
+        )
+        .select(
+            F.col("n").alias("n_pairs"),
+            F.col("slope_micro").alias("theil_sen_slope_micro"),
+        )
     )

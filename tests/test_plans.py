@@ -1661,3 +1661,30 @@ def test_substring_dedup_shuffles_hashes_not_text(spark):
     for i in exch:
         assert " text#" not in lines[i], lines[i]
     assert "CartesianProduct" not in text
+
+
+def test_stratified_kfold_window_per_source(spark):
+    from rs_streamloader_spark.operators.analytic import stratified_kfold
+
+    df = stratified_kfold(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", text)
+    assert specs, text
+    for spec in specs:
+        assert "source" in spec, text
+
+
+def test_theil_sen_banded_median_no_global_sort(spark):
+    from rs_streamloader_spark.operators.analytic import theil_sen_trend
+
+    df = theil_sen_trend(spark, SF_SMOKE)
+    lines = explain_str(df, "simple").splitlines()
+    # the cumulative histogram's SinglePartition exchange sits above
+    # the bounded band aggregate, never the raw pair stream
+    for i, l in enumerate(lines):
+        if "SinglePartition" in l:
+            below = "\n".join(lines[i:])
+            agg = below.find("HashAggregate")
+            scan = below.find("Scan parquet")
+            assert 0 <= agg < scan, below[:1500]
+    assert has_broadcast_join(df)

@@ -310,6 +310,8 @@ CONSTANT_OUTPUT = {
     "epoch_shuffle_order",
     "join_null_safe",
     "ab_srm_check",
+    # trailing-365-day pair loop -> 1-row slope median
+    "theil_sen_trend",
 }
 
 
