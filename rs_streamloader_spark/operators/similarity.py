@@ -1733,3 +1733,70 @@ def matryoshka_truncate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("overlap_at_k"),
         F.lit(TOP_K).alias("k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction (ColBERT-style) MaxSim scoring over label groups
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "colbert_maxsim_labels",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT b.label, q.qid,
+             MAX(CAST(ROUND(({_DUCK_COS.replace("a.embedding", "q.embedding")})
+                            * 1000000) AS BIGINT)) AS best_micro
+      FROM q JOIN embeddings b ON b.vec_id >= {N_QUERIES}
+      GROUP BY b.label, q.qid
+    )
+    SELECT label, COUNT(*) AS n_query_vecs,
+           SUM(best_micro) AS maxsim_micro
+    FROM scored GROUP BY label
+    """,
+)
+def colbert_maxsim_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style) MaxSim retrieval scoring: the
+    query is a SET of vectors (the {n} query embeddings) and each
+    candidate "document" is the multi-vector set of a label group;
+    score = Σ over query vectors of the best cosine against any
+    group member — the multi-vector retrieval semantics single-vector
+    ANN cannot express, reduced entirely to built-in aggregates.
+
+    Scale posture: the bounded query set broadcasts against the
+    corpus; the (label, query) MAX and per-label SUM are stacked
+    combinable aggregates — no pairwise materialization survives past
+    the map side. Cross-engine determinism: each cosine rounds to
+    integer micro-units BEFORE the MAX, so the max/sum pipeline is
+    exact integer arithmetic."""
+    t = _emb_norm_cached(spark, sf_dir)
+    queries = t.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    corpus = t.filter(F.col("vec_id") >= N_QUERIES).select(
+        "label",
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos_micro = (
+        F.round(
+            _dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b"))
+            * 1_000_000
+        )
+        .cast("bigint")
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus)
+        .groupBy("label", "qid")
+        .agg(F.max(cos_micro).alias("best_micro"))
+    )
+    return scored.groupBy("label").agg(
+        F.count("*").alias("n_query_vecs"),
+        F.sum("best_micro").alias("maxsim_micro"),
+    )

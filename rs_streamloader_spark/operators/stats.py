@@ -3520,3 +3520,92 @@ def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DECIMAL(38,0)) * 1000000 div COUNT(*) AS BIGINT)"
         ).alias("bounce_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audience-overlap (Jaccard) matrix between event types
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "audience_overlap_matrix",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    sizes AS (
+      SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(CAST(p.n_both AS HUGEINT) * 1000000
+                // (sa.n + sb.n - p.n_both) AS BIGINT) AS jaccard_ppm
+    FROM pairs p
+    JOIN sizes sa ON sa.event_type = p.type_a
+    JOIN sizes sb ON sb.event_type = p.type_b
+    """,
+)
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity of the USER SETS
+    behind every pair of event types — the growth-analytics view that
+    answers "are purchasers the same people who click" before any
+    cross-sell targeting.
+
+    Scale posture: users collapse to per-user type arrays on one
+    user-key shuffle and pairs explode within each (≤5-type) array —
+    the basket-array pattern, so candidate volume is O(users · types²)
+    with a bounded type set; per-type sizes come from the same
+    aggregate. Cross-engine determinism: intersection and union are
+    exact integer counts; Jaccard leaves as integer PPM."""
+    from rs_streamloader_spark.session import stage_cached
+
+    # one cached pass builds the per-user type arrays; sizes and the
+    # pair matrix both read it (uncached, each branch re-scans events)
+    baskets = stage_cached(
+        spark,
+        sf_dir,
+        "audience_baskets",
+        lambda: _t(spark, sf_dir, "events")["events"]
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("ts")),
+    )
+    sizes = baskets.select(F.explode("ts").alias("event_type")).groupBy(
+        "event_type"
+    ).agg(F.count("*").alias("n"))
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts, (x, i) ->"
+                    " transform(slice(ts, i + 2, size(ts)),"
+                    " y -> struct(x AS type_a, y AS type_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(CAST(n_both AS DECIMAL(38,0)) * 1000000"
+                " div (n_a + n_b - n_both) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )

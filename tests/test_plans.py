@@ -1688,3 +1688,28 @@ def test_theil_sen_banded_median_no_global_sort(spark):
             scan = below.find("Scan parquet")
             assert 0 <= agg < scan, below[:1500]
     assert has_broadcast_join(df)
+
+
+def test_audience_overlap_basket_arrays_no_self_join(spark):
+    from rs_streamloader_spark.operators.stats import audience_overlap_matrix
+
+    df = audience_overlap_matrix(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # type pairs explode within per-user arrays; sizes broadcast
+    assert "CartesianProduct" not in text
+    assert has_broadcast_join(df)
+    # the cached basket stage feeds sizes AND pairs (the FileScan
+    # text inside InMemoryRelation is the cache's recipe, not a live
+    # re-scan)
+    assert text.count("InMemoryTableScan") >= 2, text
+
+
+def test_maxsim_stacked_aggregates_broadcast_queries(spark):
+    from rs_streamloader_spark.operators.similarity import colbert_maxsim_labels
+
+    df = colbert_maxsim_labels(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert has_broadcast_join(df)
+    # (label, qid) MAX then label SUM — two stacked aggregates, no
+    # window, no pairwise materialization beyond the map side
+    assert "Window" not in text, text

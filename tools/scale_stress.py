@@ -310,8 +310,11 @@ CONSTANT_OUTPUT = {
     "epoch_shuffle_order",
     "join_null_safe",
     "ab_srm_check",
-    # trailing-365-day pair loop -> 1-row slope median
+    # trailing-365-day pair loop -> 1-row slope median; 10-pair type
+    # matrix; 10-label MaxSim rollup
     "theil_sen_trend",
+    "audience_overlap_matrix",
+    "colbert_maxsim_labels",
 }
 
 
