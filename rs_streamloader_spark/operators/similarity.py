@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rs_streamloader_spark.functions.vector import dot_expr, norm_expr
-from rs_streamloader_spark.operators.registry import register
+from rs_streamloader_spark.operators.registry import REGISTRY, register
 from rs_streamloader_spark.session import load_tables, spread, stage_cached
 
 N_QUERIES = 20  # vec_id < 20 are the query set
@@ -1799,4 +1799,87 @@ def colbert_maxsim_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("label").agg(
         F.count("*").alias("n_query_vecs"),
         F.sum("best_micro").alias("maxsim_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall@k curve vs the exact brute-force baseline
+# ---------------------------------------------------------------------------
+
+_RECALL_KS = (1, 5)
+
+
+def _ivf_recall_oracle() -> str:
+    exact_sql = REGISTRY["ann_topk_bruteforce"].oracle
+    ivf_sql = REGISTRY["ann_ivf_kmeans"].oracle
+    ks = ", ".join(str(k) for k in _RECALL_KS)
+    return f"""
+    WITH exact AS ({exact_sql}),
+    ivf AS ({ivf_sql}),
+    nq AS (SELECT COUNT(DISTINCT query_id) AS n_queries FROM exact),
+    hits AS (
+      SELECT e.query_id, e.neighbor_id, e.rank AS r_exact, i.rank AS r_ivf
+      FROM exact e
+      JOIN ivf i ON i.query_id = e.query_id
+                AND i.neighbor_id = e.neighbor_id
+    ),
+    ks AS (SELECT UNNEST(ARRAY[{ks}]) AS k)
+    SELECT ks.k,
+           COALESCE(SUM(CASE WHEN h.r_exact <= ks.k AND h.r_ivf <= ks.k
+                             THEN 1 ELSE 0 END), 0) AS n_hits,
+           MIN(nq.n_queries) AS n_queries,
+           CAST(COALESCE(SUM(CASE WHEN h.r_exact <= ks.k AND h.r_ivf <= ks.k
+                                  THEN 1 ELSE 0 END), 0)
+                * CAST(1000000 AS HUGEINT)
+                // (MIN(nq.n_queries) * ks.k) AS BIGINT) AS recall_ppm
+    FROM ks CROSS JOIN nq LEFT JOIN hits h ON TRUE
+    GROUP BY ks.k
+    """
+
+
+@register("ivf_recall_curve", oracle=_ivf_recall_oracle())
+def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k curve of the trained-IVF index against the exact
+    brute-force baseline, at k ∈ {ks} — the tuning chart an ANN
+    deployment reads to pick nprobe (``lsh_recall_report`` audits the
+    dedup path; this audits retrieval). Both sides are deterministic
+    catalog operators, so the oracle replicates BOTH pipelines and
+    the measurement compares bit-for-bit.
+
+    Scale posture: rides the shared cached embedding/codebook stages
+    of its two constituent queries; the audit itself is a join of two
+    (queries × k)-bounded rank lists. Cross-engine determinism: ranks
+    are integers from 6dp-rounded-cosine windows with id tiebreaks;
+    recall leaves as integer PPM."""
+    exact = ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("r_exact")
+    )
+    ivf = ann_ivf_kmeans(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("r_ivf")
+    )
+    nq = exact.agg(F.countDistinct("query_id").alias("n_queries"))
+    hits = exact.join(ivf, ["query_id", "neighbor_id"])
+    ks = spark.createDataFrame([(k,) for k in _RECALL_KS], "k int")
+    return (
+        ks.crossJoin(F.broadcast(nq))
+        .join(F.broadcast(hits), F.lit(True), "left")
+        .groupBy("k")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("r_exact") <= F.col("k"))
+                        & (F.col("r_ivf") <= F.col("k")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("n_hits"),
+            F.min("n_queries").alias("n_queries"),
+            F.expr(
+                "CAST(COALESCE(SUM(CASE WHEN r_exact <= k AND r_ivf <= k"
+                " THEN 1 ELSE 0 END), 0) * CAST(1000000 AS DECIMAL(38,0))"
+                " div (MIN(n_queries) * k) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
     )

@@ -3609,3 +3609,106 @@ def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Activation + day-N retention per signup cohort week
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "activation_retention_cohorts",
+    oracle="""
+    WITH signups AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    flags AS (
+      SELECT s.user_id, s.signup_ts,
+             MAX(CASE WHEN e.event_type = 'purchase'
+                       AND e.ts > s.signup_ts
+                       AND e.ts <= s.signup_ts + INTERVAL 7 DAY
+                      THEN 1 ELSE 0 END) AS activated_7d,
+             MAX(CASE WHEN e.ts > s.signup_ts
+                       AND e.ts <= s.signup_ts + INTERVAL 1 DAY
+                      THEN 1 ELSE 0 END) AS retained_d1,
+             MAX(CASE WHEN e.ts > s.signup_ts + INTERVAL 6 DAY
+                       AND e.ts <= s.signup_ts + INTERVAL 7 DAY
+                      THEN 1 ELSE 0 END) AS returned_d7
+      FROM signups s JOIN events e ON e.user_id = s.user_id
+      GROUP BY s.user_id, s.signup_ts
+    )
+    SELECT STRFTIME(DATE_TRUNC('week', signup_ts), '%Y-%m-%d') AS cohort_week,
+           COUNT(*) AS n_signups,
+           CAST(CAST(SUM(activated_7d) AS HUGEINT) * 1000000 // COUNT(*)
+                AS BIGINT) AS activation_ppm,
+           CAST(CAST(SUM(retained_d1) AS HUGEINT) * 1000000 // COUNT(*)
+                AS BIGINT) AS retained_d1_ppm,
+           CAST(CAST(SUM(returned_d7) AS HUGEINT) * 1000000 // COUNT(*)
+                AS BIGINT) AS returned_d7_ppm
+    FROM flags GROUP BY 1
+    """,
+)
+def activation_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation and day-N retention per signup cohort week: share of
+    each week's signups who purchase within 7 days (activation), act
+    at all on day 1, and come back in the day-7 window — the PM
+    growth dashboard next to the monthly cohort revenue triangle
+    (``retention_cohorts``/``cohort_ltv_curve``).
+
+    Scale posture: first-signup is a user-keyed MIN aggregate; the
+    flag computation joins events back on the user key ONCE (both
+    sides partition by user_id — one shuffle each) and reduces to one
+    row per user before the weekly rollup. Cross-engine determinism:
+    window membership uses exact timestamp interval comparisons;
+    shares are integer PPM; weeks leave as formatted strings."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    joined = signups.join(ev, "user_id")
+    flags = joined.groupBy("user_id", "signup_ts").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("signup_ts"))
+                & (F.col("ts") <= F.expr("signup_ts + INTERVAL 7 DAY")),
+                1,
+            ).otherwise(0)
+        ).alias("activated_7d"),
+        F.max(
+            F.when(
+                (F.col("ts") > F.col("signup_ts"))
+                & (F.col("ts") <= F.expr("signup_ts + INTERVAL 1 DAY")),
+                1,
+            ).otherwise(0)
+        ).alias("retained_d1"),
+        F.max(
+            F.when(
+                (F.col("ts") > F.expr("signup_ts + INTERVAL 6 DAY"))
+                & (F.col("ts") <= F.expr("signup_ts + INTERVAL 7 DAY")),
+                1,
+            ).otherwise(0)
+        ).alias("returned_d7"),
+    )
+    return flags.groupBy(
+        F.date_format(F.date_trunc("week", "signup_ts"), "yyyy-MM-dd").alias(
+            "cohort_week"
+        )
+    ).agg(
+        F.count("*").alias("n_signups"),
+        F.expr(
+            "CAST(CAST(SUM(activated_7d) AS DECIMAL(38,0)) * 1000000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("activation_ppm"),
+        F.expr(
+            "CAST(CAST(SUM(retained_d1) AS DECIMAL(38,0)) * 1000000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("retained_d1_ppm"),
+        F.expr(
+            "CAST(CAST(SUM(returned_d7) AS DECIMAL(38,0)) * 1000000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("returned_d7_ppm"),
+    )

@@ -1713,3 +1713,22 @@ def test_maxsim_stacked_aggregates_broadcast_queries(spark):
     # (label, qid) MAX then label SUM — two stacked aggregates, no
     # window, no pairwise materialization beyond the map side
     assert "Window" not in text, text
+
+
+def test_ivf_recall_curve_joins_bounded_rank_lists(spark):
+    from rs_streamloader_spark.operators.similarity import ivf_recall_curve
+
+    df = ivf_recall_curve(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in text
+
+
+def test_activation_cohorts_single_user_join(spark):
+    from rs_streamloader_spark.operators.stats import activation_retention_cohorts
+
+    df = activation_retention_cohorts(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # signup MIN + one user-key join + per-user flags + weekly rollup
+    assert "Window" not in text, text
+    assert "CartesianProduct" not in text

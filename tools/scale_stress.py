@@ -315,6 +315,8 @@ CONSTANT_OUTPUT = {
     "theil_sen_trend",
     "audience_overlap_matrix",
     "colbert_maxsim_labels",
+    # 2-row recall curve
+    "ivf_recall_curve",
 }
 
 
