@@ -3712,3 +3712,84 @@ def activation_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div COUNT(*) AS BIGINT)"
         ).alias("returned_d7_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson score interval for per-cohort click-through rate
+# ---------------------------------------------------------------------------
+
+_WILSON_Z = 1.96
+
+
+@register(
+    "ctr_wilson_interval",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id % 10 AS cohort,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+             SUM(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END)
+               AS impressions
+      FROM events GROUP BY 1
+    )
+    SELECT cohort, clicks, impressions,
+           CAST(CAST(clicks AS HUGEINT) * 1000000 // impressions AS BIGINT)
+             AS ctr_ppm,
+           ROUND((CAST(clicks AS DOUBLE) / impressions
+                  + {_WILSON_Z} * {_WILSON_Z} / (2.0 * impressions)
+                  - {_WILSON_Z} * SQRT((CAST(clicks AS DOUBLE) / impressions)
+                        * (1.0 - CAST(clicks AS DOUBLE) / impressions)
+                        / impressions
+                        + {_WILSON_Z} * {_WILSON_Z}
+                          / (4.0 * impressions * impressions)))
+                 / (1.0 + {_WILSON_Z} * {_WILSON_Z} / impressions), 6)
+             AS wilson_low,
+           ROUND((CAST(clicks AS DOUBLE) / impressions
+                  + {_WILSON_Z} * {_WILSON_Z} / (2.0 * impressions)
+                  + {_WILSON_Z} * SQRT((CAST(clicks AS DOUBLE) / impressions)
+                        * (1.0 - CAST(clicks AS DOUBLE) / impressions)
+                        / impressions
+                        + {_WILSON_Z} * {_WILSON_Z}
+                          / (4.0 * impressions * impressions)))
+                 / (1.0 + {_WILSON_Z} * {_WILSON_Z} / impressions), 6)
+             AS wilson_high
+    FROM c
+    """,
+)
+def ctr_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval for click-through rate per user cohort —
+    the ranking-safe CTR bound (sorting by raw CTR promotes 1/1 over
+    980/1000; Wilson's lower bound is how ranked lists, review
+    scores, and experiment readouts handle small n).
+
+    Scale posture: one combinable cohort aggregate; the interval is
+    row-local arithmetic on the 10-row result. Cross-engine
+    determinism: counts and the CTR are exact integers/PPM; each
+    Wilson bound is ONE double expression with identical operand
+    order on both engines, rounded once at the end (the
+    ``events_burstiness`` transcendental rule)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    c = ev.groupBy((F.col("user_id") % 10).alias("cohort")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "clicks"
+        ),
+        F.sum(
+            F.when(F.col("event_type").isin("click", "view"), 1).otherwise(0)
+        ).alias("impressions"),
+    )
+    z = _WILSON_Z
+    p = F.col("clicks").cast("double") / F.col("impressions")
+    nn = F.col("impressions")
+    center = p + z * z / (2.0 * nn)
+    margin = z * F.sqrt(p * (1.0 - p) / nn + z * z / (4.0 * nn * nn))
+    denom = 1.0 + z * z / nn
+    return c.select(
+        "cohort",
+        "clicks",
+        "impressions",
+        F.expr(
+            "CAST(CAST(clicks AS DECIMAL(38,0)) * 1000000 div impressions"
+            " AS BIGINT)"
+        ).alias("ctr_ppm"),
+        F.round((center - margin) / denom, 6).alias("wilson_low"),
+        F.round((center + margin) / denom, 6).alias("wilson_high"),
+    )

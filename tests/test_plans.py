@@ -1732,3 +1732,23 @@ def test_activation_cohorts_single_user_join(spark):
     # signup MIN + one user-key join + per-user flags + weekly rollup
     assert "Window" not in text, text
     assert "CartesianProduct" not in text
+
+
+def test_wilson_single_cohort_aggregate(spark):
+    from rs_streamloader_spark.operators.stats import ctr_wilson_interval
+
+    df = ctr_wilson_interval(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Window" not in text
+    assert len(re.findall(r"(?:File)?Scan parquet", text)) == 1, text
+
+
+def test_multigrain_topn_single_scan_one_expand(spark):
+    from rs_streamloader_spark.operators.advanced import top_supplier_multigrain
+
+    df = top_supplier_multigrain(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # both grains come from ONE lineitem scan via Expand
+    assert len(re.findall(r"Scan parquet [^\n]*lineitem", text)) == 1, text
+    assert "Expand" in text, text
+    assert "WindowGroupLimit" in text, text

@@ -315,8 +315,9 @@ CONSTANT_OUTPUT = {
     "theil_sen_trend",
     "audience_overlap_matrix",
     "colbert_maxsim_labels",
-    # 2-row recall curve
+    # 2-row recall curve; 10-cohort Wilson grid
     "ivf_recall_curve",
+    "ctr_wilson_interval",
 }
 
 
