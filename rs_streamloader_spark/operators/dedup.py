@@ -1709,21 +1709,27 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``merge_user_intervals`` machinery — bounded by doc length).
     Cross-engine determinism: hashes, positions, and PPM shares are
     exact integers; interval order pins by (start, end)."""
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
-    toks = spread(docs).select("doc_id", F.split("text", " ").alias("ws"))
-    wins = toks.select(
-        "doc_id",
-        F.size("ws").alias("n_tok"),
-        F.explode(
-            F.expr(
-                f"CASE WHEN size(ws) >= {_SPAN_TOKENS} THEN"
-                f" transform(sequence(0, size(ws) - {_SPAN_TOKENS}),"
-                f" i -> struct(i AS i,"
-                f" md5(array_join(slice(ws, i + 1, {_SPAN_TOKENS}), ' ')) AS h))"
-                f" ELSE array() END"
-            )
-        ).alias("w"),
-    ).select("doc_id", "n_tok", "w.i", "w.h")
+    def build_wins() -> DataFrame:
+        docs = load_tables(spark, sf_dir, "documents")["documents"]
+        toks = spread(docs).select("doc_id", F.split("text", " ").alias("ws"))
+        return toks.select(
+            "doc_id",
+            F.size("ws").alias("n_tok"),
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(ws) >= {_SPAN_TOKENS} THEN"
+                    f" transform(sequence(0, size(ws) - {_SPAN_TOKENS}),"
+                    f" i -> struct(i AS i,"
+                    f" md5(array_join(slice(ws, i + 1, {_SPAN_TOKENS}), ' ')) AS h))"
+                    f" ELSE array() END"
+                )
+            ).alias("w"),
+        ).select("doc_id", "n_tok", "w.i", "w.h")
+
+    # cached: the window table feeds BOTH the duplicate-hash aggregate
+    # and the flagged join — uncached, the corpus-wide explode+md5 map
+    # work would run twice
+    wins = stage_cached(spark, sf_dir, "substring_windows", build_wins)
     dup_h = (
         wins.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))

@@ -796,9 +796,17 @@ _SRM_EXP_PCT_SQL = (
     WITH sp AS (
       SELECT {split_case_sql("doc_id")} AS split FROM documents
     ),
+    counted AS (
+      SELECT split, COUNT(*) AS o FROM sp GROUP BY split
+    ),
     obs AS (
-      SELECT split, COUNT(*) AS o, {_SRM_EXP_PCT_SQL} AS exp_pct
-      FROM sp GROUP BY split
+      -- densify: a split with ZERO observed docs must still contribute
+      -- its full expected-count term (that is when SRM is worst)
+      SELECT g.split, COALESCE(c.o, 0) AS o,
+             CASE g.split WHEN 'train' THEN 80 WHEN 'val' THEN 10
+                  ELSE 10 END AS exp_pct
+      FROM (VALUES ('train'), ('val'), ('test')) AS g(split)
+      LEFT JOIN counted c ON c.split = g.split
     ),
     tot AS (SELECT SUM(o) AS n FROM obs),
     terms AS (
@@ -834,10 +842,18 @@ def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("split") == "val", 10)
         .otherwise(10)
     )
-    obs = (
+    counted = (
         docs.select(split_col(F.col("doc_id")).alias("split"))
         .groupBy("split")
         .agg(F.count("*").alias("o"))
+    )
+    # densify: zero-count splits still carry their expected-count term
+    grid = docs.sparkSession.createDataFrame(
+        [("train",), ("val",), ("test",)], "split string"
+    )
+    obs = (
+        grid.join(F.broadcast(counted), "split", "left")
+        .select("split", F.coalesce(F.col("o"), F.lit(0)).alias("o"))
         .withColumn("exp_pct", exp_pct)
     )
     tot = obs.agg(F.sum("o").alias("n"))

@@ -1093,7 +1093,6 @@ def padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(F.split("text", " ")).alias("n_tok")
     )
     bucket = F.expr(f"CAST((n_tok - 1) div {_PAD_BUCKET_TOKENS} AS BIGINT)")
-    w = Window.partitionBy(bucket.alias("b")).orderBy("n_tok", "doc_id")
     bucketed = lens.select(
         "doc_id",
         "n_tok",

@@ -313,10 +313,17 @@ def test_checkpoint_stop_resume_equivalence(spark):
                 .option("maxFilesPerTrigger", 1)
                 .parquet(path)
             )
+            # IDEMPOTENT landing: each micro-batch overwrites its own
+            # batch-id dir, so a replayed batch (foreachBatch is
+            # at-least-once when a stop races the commit) rewrites the
+            # same data instead of duplicating it — the production
+            # exactly-once pattern this test verifies end-to-end
             return (
                 build(stream)
                 .writeStream.foreachBatch(
-                    lambda bdf, _bid: bdf.write.mode("append").parquet(out)
+                    lambda bdf, bid: bdf.write.mode("overwrite").parquet(
+                        os.path.join(out, f"b{bid}")
+                    )
                 )
                 .outputMode("append")
                 .option("checkpointLocation", ckpt)
@@ -326,17 +333,26 @@ def test_checkpoint_stop_resume_equivalence(spark):
 
         q = start()
         if interrupt:
-            # stop after the first micro-batch commits, mid-stream
+            # stop after the first micro-batch commits, mid-stream —
+            # bounded wait: a failed batch 0 must FAIL, not hang CI
+            deadline = _time.time() + 120
             while not os.path.isdir(os.path.join(ckpt, "commits")) or not os.listdir(
                 os.path.join(ckpt, "commits")
             ):
+                assert q.exception() is None, q.exception()
+                assert _time.time() < deadline, "no commit within 120s"
                 _time.sleep(0.1)
             q.stop()
             q.awaitTermination()
             q = start()  # resume from the same checkpoint
         q.awaitTermination()
-        return spark.read.parquet(out)
+        return spark.read.parquet(os.path.join(out, "b*"))
 
-    uninterrupted = {tuple(r) for r in run("ckpt_single", False).collect()}
-    resumed = {tuple(r) for r in run("ckpt_resume", True).collect()}
+    from collections import Counter
+
+    # MULTISET compare: a set would silently absorb the duplicated
+    # re-emission this test exists to rule out (foreachBatch+append is
+    # at-least-once if the stop races the commit)
+    uninterrupted = Counter(tuple(r) for r in run("ckpt_single", False).collect())
+    resumed = Counter(tuple(r) for r in run("ckpt_resume", True).collect())
     assert resumed == uninterrupted and len(uninterrupted) > 0
