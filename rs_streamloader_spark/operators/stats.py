@@ -3793,3 +3793,101 @@ def ctr_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - margin) / denom, 6).alias("wilson_low"),
         F.round((center + margin) / denom, 6).alias("wilson_high"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classical OLS trend over the trailing year (Theil-Sen's textbook twin)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ols_daily_revenue_trend",
+    oracle="""
+    WITH bounds AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+    daily AS (
+      SELECT CAST(o.o_orderdate AS DATE) AS d,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders o CROSS JOIN bounds b
+      WHERE CAST(o.o_orderdate AS DATE) > b.maxd - 365
+      GROUP BY 1
+    ),
+    idx AS (
+      SELECT rev_c, CAST(d - (SELECT MIN(d) FROM daily) AS BIGINT) AS t
+      FROM daily
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(t) AS st, SUM(CAST(rev_c AS HUGEINT)) AS sy,
+             SUM(t * t) AS stt,
+             SUM(CAST(t AS HUGEINT) * rev_c) AS sty,
+             SUM(CAST(rev_c AS HUGEINT) * rev_c) AS syy
+      FROM idx
+    )
+    SELECT n,
+           ROUND((CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st), 4)
+             AS ols_slope_cents_per_day,
+           ROUND((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st))
+                    * st) / n, 2) AS ols_intercept_cents,
+           ROUND(POW(CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy, 2)
+                 / ((CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+             AS r_squared
+    FROM m
+    """,
+)
+def ols_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical OLS trend of the trailing year's daily revenue —
+    slope, intercept, and R² from exact integer moments, the textbook
+    twin to ``theil_sen_trend``'s robust median slope (read together:
+    a large gap between the two slopes IS the outlier diagnosis).
+
+    Scale posture: the same trailing-365-day broadcast predicate
+    bounds the series; the five moments are ONE combinable aggregate
+    in HUGEINT/DECIMAL(38) (rev² sums overflow int64 past ~3e9 daily
+    cents); slope/intercept/R² are final double expressions with
+    identical operand order on both engines, rounded once."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    bounds = orders.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
+    daily = (
+        orders.join(F.broadcast(bounds))
+        .where(F.to_date("o_orderdate") > F.date_sub(F.col("maxd"), 365))
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "rev_c"
+            )
+        )
+    )
+    t0 = daily.agg(F.min("d").alias("d0"))
+    idx = daily.join(F.broadcast(t0)).select(
+        "rev_c", F.datediff("d", "d0").cast("bigint").alias("t")
+    )
+    y = F.col("rev_c").cast("decimal(38,0)")
+    m = idx.agg(
+        F.count("*").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(y).alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("rev_c")).alias("sty"),
+        F.sum(y * F.col("rev_c")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    std = F.col("st").cast("double")
+    syd = F.col("sy").cast("double")
+    sttd = F.col("stt").cast("double")
+    styd = F.col("sty").cast("double")
+    syyd = F.col("syy").cast("double")
+    slope = (nd * styd - std * syd) / (nd * sttd - std * std)
+    return m.select(
+        "n",
+        F.round(slope, 4).alias("ols_slope_cents_per_day"),
+        F.round((syd - slope * std) / F.col("n"), 2).alias("ols_intercept_cents"),
+        F.round(
+            F.pow(nd * styd - std * syd, 2)
+            / ((nd * sttd - std * std) * (nd * syyd - syd * syd)),
+            6,
+        ).alias("r_squared"),
+    )

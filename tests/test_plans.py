@@ -1754,3 +1754,12 @@ def test_multigrain_topn_single_scan_one_expand(spark):
     assert len(re.findall(r"Scan parquet [^\n]*lineitem", text)) == 1, text
     assert "Expand" in text, text
     assert "WindowGroupLimit" in text, text
+
+
+def test_ols_trend_single_moment_aggregate_no_window(spark):
+    from rs_streamloader_spark.operators.stats import ols_daily_revenue_trend
+
+    df = ols_daily_revenue_trend(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Window" not in text, text
+    assert has_broadcast_join(df)

@@ -318,6 +318,7 @@ CONSTANT_OUTPUT = {
     # 2-row recall curve; 10-cohort Wilson grid
     "ivf_recall_curve",
     "ctr_wilson_interval",
+    "ols_daily_revenue_trend",
 }
 
 
