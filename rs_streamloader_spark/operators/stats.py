@@ -3891,3 +3891,61 @@ def ols_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-correct rolling sum: RANGE-interval frame vs ROWS frame
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_sum_range_frame",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1
+    )
+    SELECT STRFTIME(d, '%Y-%m-%d') AS day, rev_c,
+           SUM(rev_c) OVER (ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                            AND CURRENT ROW) AS sum_7d_range,
+           SUM(rev_c) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING
+                            AND CURRENT ROW) AS sum_7_rows,
+           SUM(rev_c) OVER (ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                            AND CURRENT ROW)
+             <> SUM(rev_c) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING
+                                 AND CURRENT ROW) AS frames_diverge
+    FROM daily
+    """,
+)
+def rolling_sum_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-correct rolling 7-day revenue: the RANGE-interval frame
+    (true calendar window) next to the naive 7-ROWS frame, with a
+    divergence flag — on a series with MISSING days the ROWS frame
+    silently reaches further back in time, the classic rolling-metric
+    bug this pair of columns makes visible.
+
+    Scale posture: both frames order the calendar-bounded daily
+    aggregate; Spark expresses the interval frame as rangeBetween
+    over the epoch-day integer (exactly the RANGE INTERVAL
+    semantics). Cross-engine determinism: integer cents, day keys are
+    unique so frame membership is unambiguous, dates out as
+    strings."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_c")
+    )
+    epoch_day = F.datediff("d", F.lit("1970-01-01"))
+    w_range = (
+        Window.orderBy(epoch_day.alias("ed")).rangeBetween(-6, 0)
+    )
+    w_rows = Window.orderBy("d").rowsBetween(-6, 0)
+    out = daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "rev_c",
+        F.sum("rev_c").over(w_range).alias("sum_7d_range"),
+        F.sum("rev_c").over(w_rows).alias("sum_7_rows"),
+    )
+    return out.withColumn(
+        "frames_diverge", F.col("sum_7d_range") != F.col("sum_7_rows")
+    )

@@ -1763,3 +1763,17 @@ def test_ols_trend_single_moment_aggregate_no_window(spark):
     text = explain_str(df, "simple")
     assert "Window" not in text, text
     assert has_broadcast_join(df)
+
+
+def test_rolling_range_frame_on_daily_aggregate(spark):
+    from rs_streamloader_spark.operators.stats import rolling_sum_range_frame
+
+    df = rolling_sum_range_frame(spark, SF_SMOKE)
+    lines = explain_str(df, "simple").splitlines()
+    wins = [i for i, l in enumerate(lines) if "Window" in l]
+    assert wins
+    for i in wins:
+        below = "\n".join(lines[i:])
+        agg = below.find("HashAggregate")
+        scan = below.find("Scan parquet")
+        assert 0 <= agg < scan, below[:1500]
