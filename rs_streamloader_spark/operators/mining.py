@@ -2228,3 +2228,68 @@ def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("component_size", F.count("*").over(w))
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget source selection (greedy quality-first curation plan)
+# ---------------------------------------------------------------------------
+
+_TOKEN_BUDGET = 20_000
+
+
+@register(
+    "token_budget_selection",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             SUM(LEN(STRING_SPLIT(text, ' '))) AS n_tokens,
+             -- mean doc length in milli-tokens as the quality proxy
+             CAST(SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS HUGEINT) * 1000)
+                  // COUNT(*) AS BIGINT) AS mean_len_milli
+      FROM documents GROUP BY source
+    ),
+    ranked AS (
+      SELECT *,
+             SUM(n_tokens) OVER (ORDER BY mean_len_milli DESC, source
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM per_source
+    )
+    SELECT source, n_tokens, mean_len_milli, cum_tokens,
+           cum_tokens <= {_TOKEN_BUDGET} AS selected
+    FROM ranked
+    """,
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation plan: sources rank by a quality proxy
+    (mean document length) and are greedily admitted until the
+    cumulative token budget ({b} tokens) is spent — the "which domains
+    make the cut for this training run" planning table every
+    data-mixing decision starts from.
+
+    Scale posture: the corpus collapses to one row per source before
+    any ordering (the cumulative window runs over the bounded source
+    list). Cross-engine determinism: token counts are integers, the
+    quality proxy is an integer floor-division in milli-units, rank
+    ties break by source name, and selection is an integer cumulative
+    threshold."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        F.expr(
+            "CAST(SUM(CAST(size(split(text, ' ')) AS DECIMAL(38,0))"
+            " * 1000) div COUNT(*) AS BIGINT)"
+        ).alias("mean_len_milli"),
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy(F.col("mean_len_milli").desc(), "source")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = per_source.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return ranked.select(
+        "source",
+        "n_tokens",
+        "mean_len_milli",
+        "cum_tokens",
+        (F.col("cum_tokens") <= _TOKEN_BUDGET).alias("selected"),
+    )

@@ -1883,3 +1883,92 @@ def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@5 audit of the IVF ranking (graded companion to recall@k)
+# ---------------------------------------------------------------------------
+
+# 1/log2(pos+1) discount weights, frozen to 9dp so BOTH engines use
+# the same literal (the one transcendental becomes a shared constant)
+_NDCG_W = (1.0, 0.630929754, 0.5, 0.430676558, 0.386852807)
+_NDCG_IDCG_NANO = sum(round((5 - i) * w * 1_000_000_000) for i, w in enumerate(_NDCG_W))
+
+
+def _ndcg_oracle() -> str:
+    exact_sql = REGISTRY["ann_topk_bruteforce"].oracle
+    ivf_sql = REGISTRY["ann_ivf_kmeans"].oracle
+    w_case = " ".join(
+        f"WHEN {i + 1} THEN {w!r}" for i, w in enumerate(_NDCG_W)
+    )
+    return f"""
+    WITH exact AS ({exact_sql}),
+    ivf AS ({ivf_sql}),
+    terms AS (
+      SELECT i.query_id,
+             CAST(ROUND(COALESCE(6 - e.rank, 0)
+                        * CAST((CASE i.rank {w_case} END) AS DOUBLE)
+                        * 1000000000) AS BIGINT) AS term_nano
+      FROM ivf i
+      LEFT JOIN exact e ON e.query_id = i.query_id
+                       AND e.neighbor_id = i.neighbor_id
+      WHERE i.rank <= 5
+    ),
+    per_query AS (
+      SELECT query_id,
+             CAST(CAST(SUM(term_nano) AS HUGEINT) * 1000000
+                  // {_NDCG_IDCG_NANO} AS BIGINT) AS ndcg_ppm
+      FROM terms GROUP BY query_id
+    )
+    SELECT COUNT(*) AS n_queries,
+           CAST(SUM(ndcg_ppm) // COUNT(*) AS BIGINT) AS mean_ndcg_ppm
+    FROM per_query
+    """
+
+
+@register("ivf_ndcg_audit", oracle=_ndcg_oracle())
+def ivf_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of the trained-IVF ranking against brute-force graded
+    relevance (rel = 6 − exact rank for true top-5 neighbors) — the
+    position-sensitive companion to ``ivf_recall_curve``: recall says
+    WHETHER the right neighbors surface, NDCG says whether they
+    surface in the right ORDER.
+
+    Scale posture: rides the same cached stages; the audit joins two
+    (queries × 5)-bounded rank lists. Cross-engine determinism: the
+    log2 discounts are FROZEN 9dp literals shared by both engines, so
+    every DCG term is an exact integer nano-unit product; per-query
+    NDCG and the mean are integer floor-divisions."""
+    exact = ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("r_exact")
+    )
+    ivf = (
+        ann_ivf_kmeans(spark, sf_dir)
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", F.col("rank").alias("r_ivf"))
+    )
+    w_case = F.expr(
+        "CASE r_ivf "
+        + " ".join(f"WHEN {i + 1} THEN {w!r}" for i, w in enumerate(_NDCG_W))
+        + " END"
+    )
+    terms = ivf.join(exact, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        F.round(
+            F.coalesce(F.lit(6) - F.col("r_exact"), F.lit(0)) * w_case * 1_000_000_000
+        )
+        .cast("bigint")
+        .alias("term_nano"),
+    )
+    per_query = terms.groupBy("query_id").agg(
+        F.expr(
+            f"CAST(CAST(SUM(term_nano) AS DECIMAL(38,0)) * 1000000"
+            f" div {_NDCG_IDCG_NANO} AS BIGINT)"
+        ).alias("ndcg_ppm")
+    )
+    return per_query.agg(
+        F.count("*").alias("n_queries"),
+        F.expr("CAST(SUM(ndcg_ppm) div COUNT(*) AS BIGINT)").alias(
+            "mean_ndcg_ppm"
+        ),
+    )

@@ -1777,3 +1777,26 @@ def test_rolling_range_frame_on_daily_aggregate(spark):
         agg = below.find("HashAggregate")
         scan = below.find("Scan parquet")
         assert 0 <= agg < scan, below[:1500]
+
+
+def test_token_budget_window_on_source_aggregate(spark):
+    from rs_streamloader_spark.operators.mining import token_budget_selection
+
+    df = token_budget_selection(spark, SF_SMOKE)
+    lines = explain_str(df, "simple").splitlines()
+    wins = [i for i, l in enumerate(lines) if "Window" in l]
+    assert wins
+    for i in wins:
+        below = "\n".join(lines[i:])
+        agg = below.find("HashAggregate")
+        scan = below.find("Scan parquet")
+        assert 0 <= agg < scan, below[:1500]
+
+
+def test_ndcg_audit_bounded_rank_join(spark):
+    from rs_streamloader_spark.operators.similarity import ivf_ndcg_audit
+
+    df = ivf_ndcg_audit(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "CartesianProduct" not in text
+    assert has_broadcast_join(df)

@@ -319,6 +319,9 @@ CONSTANT_OUTPUT = {
     "ivf_recall_curve",
     "ctr_wilson_interval",
     "ols_daily_revenue_trend",
+    # 20-row source plan; 1-row NDCG rollup
+    "token_budget_selection",
+    "ivf_ndcg_audit",
 }
 
 
