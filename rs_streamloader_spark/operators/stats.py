@@ -3949,3 +3949,153 @@ def rolling_sum_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "frames_diverge", F.col("sum_7d_range") != F.col("sum_7_rows")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between decile-binned continuous features
+# ---------------------------------------------------------------------------
+
+_MI_BINS = 10
+
+
+@register(
+    "price_qty_mutual_info",
+    oracle=f"""
+    WITH vals AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    ph AS (
+      SELECT price_c, COUNT(*) AS cnt FROM vals GROUP BY price_c
+    ),
+    pcum AS (
+      SELECT price_c,
+             SUM(cnt) OVER (ORDER BY price_c ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM ph
+    ),
+    pedges AS (
+      SELECT b.b AS edge_idx,
+             MIN(CASE WHEN cum >= (n * b.b + {_MI_BINS} - 1) // {_MI_BINS}
+                      THEN price_c END) AS edge
+      FROM pcum CROSS JOIN (SELECT UNNEST(RANGE(1, {_MI_BINS})) AS b) b
+      GROUP BY b.b
+    ),
+    binned AS (
+      SELECT (SELECT COUNT(*) FROM pedges e WHERE v.price_c > e.edge)
+               AS price_bin,
+             LEAST((v.qty - 1) // 5, {_MI_BINS - 1}) AS qty_bin
+      FROM vals v
+    ),
+    joint AS (
+      SELECT price_bin, qty_bin, COUNT(*) AS nij FROM binned GROUP BY 1, 2
+    ),
+    marg AS (
+      SELECT j.price_bin, j.qty_bin, j.nij,
+             SUM(j.nij) OVER (PARTITION BY j.price_bin) AS ni,
+             SUM(j.nij) OVER (PARTITION BY j.qty_bin) AS nj,
+             SUM(j.nij) OVER () AS n
+      FROM joint j
+    ),
+    terms AS (
+      SELECT CAST(ROUND((CAST(nij AS DOUBLE) / n)
+                        * LN(CAST(nij AS DOUBLE) * n
+                             / (CAST(ni AS DOUBLE) * nj))
+                        * 1000000000) AS BIGINT) AS t_nano
+      FROM marg
+    )
+    SELECT COUNT(*) AS n_cells,
+           ROUND(SUM(t_nano) / 1000000000.0, 6) AS mutual_info_nats
+    FROM terms
+    """,
+)
+def price_qty_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two CONTINUOUS features (line-item
+    price and quantity), price decile-binned by its exact cumulative
+    histogram and quantity by fixed-width bands — the
+    feature-redundancy measure a feature store computes before
+    admitting correlated columns (χ² audits categorical pairs; MI
+    handles the binned-continuous case).
+
+    Scale posture: price deciles come from the cumulative value
+    histogram with integer index math (the ``percentile_disc``
+    pattern, broadcast as {b}−1 edges); binning is then row-local; the
+    joint table is a ≤{b}×{b} aggregate whose marginals are windows
+    over the CELL GRID. Cross-engine determinism: every MI term is
+    one double expression with identical operand order rounded to
+    integer nano-units before the sum."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    vals = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    from rs_streamloader_spark.operators.quality import _banded_prefix
+
+    ph = vals.groupBy("price_c").agg(F.count("*").alias("cnt"))
+    wall = Window.partitionBy()
+    # banded two-pass prefix: the price-value histogram is bounded by
+    # the price RANGE, but a global-sort window over it would still
+    # serialize one partition — band it like every other exact
+    # percentile in the catalog
+    tot = ph.agg(F.sum("cnt").alias("n"))
+    pcum = (
+        _banded_prefix(ph, "price_c", "cnt", "sum", "cum_below")
+        .join(F.broadcast(tot))
+        .select(
+            "price_c",
+            (F.col("cum_below") + F.col("cnt")).alias("cum"),
+            "n",
+        )
+    )
+    bs = vals.sparkSession.createDataFrame(
+        [(b,) for b in range(1, _MI_BINS)], "b bigint"
+    )
+    pedges = (
+        pcum.crossJoin(F.broadcast(bs))
+        .groupBy("b")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr(f"(n * b + {_MI_BINS} - 1) div {_MI_BINS}"),
+                    F.col("price_c"),
+                )
+            ).alias("edge")
+        )
+    )
+    edges = pedges.agg(
+        F.sort_array(F.collect_list("edge")).alias("edges")
+    )
+    binned = vals.join(F.broadcast(edges)).select(
+        F.expr("size(filter(edges, e -> price_c > e))").alias("price_bin"),
+        F.least(
+            F.expr("(qty - 1) div 5"), F.lit(_MI_BINS - 1).cast("bigint")
+        ).alias("qty_bin"),
+    )
+    joint = binned.groupBy("price_bin", "qty_bin").agg(
+        F.count("*").alias("nij")
+    )
+    marg = joint.select(
+        "nij",
+        F.sum("nij").over(Window.partitionBy("price_bin")).alias("ni"),
+        F.sum("nij").over(Window.partitionBy("qty_bin")).alias("nj"),
+        F.sum("nij").over(wall).alias("n"),
+    )
+    terms = marg.select(
+        F.round(
+            (F.col("nij").cast("double") / F.col("n"))
+            * F.log(
+                F.col("nij").cast("double")
+                * F.col("n")
+                / (F.col("ni").cast("double") * F.col("nj"))
+            )
+            * 1_000_000_000
+        )
+        .cast("bigint")
+        .alias("t_nano")
+    )
+    return terms.agg(
+        F.count("*").alias("n_cells"),
+        F.round(F.sum("t_nano") / 1_000_000_000.0, 6).alias("mutual_info_nats"),
+    )

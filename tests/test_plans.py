@@ -1800,3 +1800,21 @@ def test_ndcg_audit_bounded_rank_join(spark):
     text = explain_str(df, "simple")
     assert "CartesianProduct" not in text
     assert has_broadcast_join(df)
+
+
+def test_mutual_info_marginals_on_cell_grid(spark):
+    from rs_streamloader_spark.operators.stats import price_qty_mutual_info
+
+    df = price_qty_mutual_info(spark, SF_SMOKE)
+    lines = explain_str(df, "simple").splitlines()
+    # the marginal windows run over the <=10x10 JOINT CELL GRID and
+    # the banded prefix over the value histogram — every window sits
+    # above an aggregate
+    wins = [i for i, l in enumerate(lines) if "Window" in l]
+    assert wins
+    for i in wins:
+        below = "\n".join(lines[i:])
+        agg = below.find("HashAggregate")
+        scan = below.find("Scan parquet")
+        assert 0 <= agg < scan, below[:1500]
+    assert has_broadcast_join(df)

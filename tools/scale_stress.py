@@ -319,9 +319,10 @@ CONSTANT_OUTPUT = {
     "ivf_recall_curve",
     "ctr_wilson_interval",
     "ols_daily_revenue_trend",
-    # 20-row source plan; 1-row NDCG rollup
+    # 20-row source plan; 1-row NDCG/MI rollups
     "token_budget_selection",
     "ivf_ndcg_audit",
+    "price_qty_mutual_info",
 }
 
 
