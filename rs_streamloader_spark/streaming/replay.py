@@ -767,3 +767,173 @@ def stream_hll_registers_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
     )
     return out.select(F.col("bucket").cast("int"), F.col("m").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Late-data audit: out-of-order delivery vs the watermark, predicted
+# ---------------------------------------------------------------------------
+
+_LATE_N_SLICES = 6
+# slice 3 (by event time) arrives LAST: everything in it lands after
+# slices 4-6 advanced the watermark past (some of) its windows
+_LATE_ARRIVAL_ORDER = (1, 2, 4, 5, 6, 3)
+_LATE_WATERMARK = "1 hour"
+
+
+@register(
+    "stream_late_data_audit_replay",
+    oracle=f"""
+    WITH sliced AS (
+      SELECT event_type, ts, "value",
+             NTILE({_LATE_N_SLICES}) OVER (ORDER BY ts, event_id) AS slice
+      FROM events
+    ),
+    arr AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"({s}, {p + 1})" for p, s in enumerate(_LATE_ARRIVAL_ORDER))}
+      ) AS m(slice, pos)
+    ),
+    with_pos AS (
+      SELECT s.event_type, s.ts, s."value", a.pos
+      FROM sliced s JOIN arr a ON a.slice = s.slice
+    ),
+    batch_max AS (
+      SELECT pos, MAX(ts) AS mx FROM with_pos GROUP BY pos
+    ),
+    wm AS (
+      -- watermark in force DURING batch p: max event time of the
+      -- batches that already finished, minus the delay
+      SELECT p.pos, MAX(b.mx) - INTERVAL 1 HOUR AS wm_before
+      FROM (SELECT DISTINCT pos FROM arr) p
+      LEFT JOIN batch_max b ON b.pos < p.pos
+      GROUP BY p.pos
+    ),
+    admitted AS (
+      SELECT w.event_type, DATE_TRUNC('hour', w.ts) AS window_start, w."value"
+      FROM with_pos w JOIN wm ON wm.pos = w.pos
+      WHERE wm.wm_before IS NULL
+         OR DATE_TRUNC('hour', w.ts) + INTERVAL 1 HOUR > wm.wm_before
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM("value"), 2) AS total_value
+    FROM admitted GROUP BY 1, 2, 3
+    """,
+)
+def stream_late_data_audit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data semantics, PREDICTED: the events table is delivered
+    as {n} time-contiguous micro-batches with the third slice arriving
+    LAST, so by the time it shows up the watermark (1 hour) has passed
+    most of its windows and Spark must DROP those rows. The oracle
+    simulates the watermark protocol in SQL — per arrival position,
+    watermark = max event time of finished batches minus the delay; a
+    row is admitted iff its window end is still above it — so the
+    compare pins the engine's exact late-data contract, not just the
+    happy path (every other replay delivers in order and loses
+    nothing).
+
+    Scale posture: the streaming job is the same watermarked hourly
+    tumbling aggregate as ``tumbling_window_replay`` (bounded state);
+    the delivery permutation is mtime-ordered single-file batches
+    under maxFilesPerTrigger=1. Cross-engine determinism: slice
+    assignment pins ties by (ts, event_id); admitted-set membership
+    is exact timestamp arithmetic; the one float column follows the
+    tumbling replay's ROUND(SUM, 2) convention."""
+    import time as _time
+
+    from pyspark.sql.window import Window as W
+
+    from rs_streamloader_spark.streaming.windows import tumbling_window_agg
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    sentinel_ts = _sentinel_ts(ev)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "rs_sl_replay",
+        spark.sparkContext.applicationId,
+        "late_audit",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir = os.path.join(base, "in")
+    sliced = ev.withColumn(
+        "__slice", F.ntile(_LATE_N_SLICES).over(W.orderBy("ts", "event_id"))
+    )
+    # write each slice as ONE file, mtimes in ARRIVAL order (the file
+    # source orders by mtime); the sentinel file is newest and flushes
+    # every surviving window at the end
+    base_mtime = _time.time() - _LATE_N_SLICES - 60
+    for pos, slice_id in enumerate(_LATE_ARRIVAL_ORDER, start=1):
+        p = os.path.join(in_dir, f"s{pos}")
+        (
+            sliced.filter(F.col("__slice") == slice_id)
+            .drop("__slice")
+            .coalesce(1)
+            .write.parquet(p)
+        )
+        for name in os.listdir(p):
+            full = os.path.join(p, name)
+            os.utime(full, (base_mtime + pos, base_mtime + pos))
+        for name in os.listdir(p):
+            if name.endswith(".parquet"):
+                os.rename(
+                    os.path.join(p, name), os.path.join(in_dir, f"f{pos}.parquet")
+                )
+        shutil.rmtree(p, ignore_errors=True)
+        os.utime(
+            os.path.join(in_dir, f"f{pos}.parquet"),
+            (base_mtime + pos, base_mtime + pos),
+        )
+    sentinel = spark.createDataFrame(
+        [(-1, sentinel_ts, -1, "__sentinel", 0.0)], ev.schema
+    )
+    sp = os.path.join(base, "sent")
+    sentinel.coalesce(1).write.parquet(sp)
+    for name in os.listdir(sp):
+        if name.endswith(".parquet"):
+            os.rename(
+                os.path.join(sp, name),
+                os.path.join(in_dir, f"f{_LATE_N_SLICES + 1}.parquet"),
+            )
+    shutil.rmtree(sp, ignore_errors=True)
+    os.utime(
+        os.path.join(in_dir, f"f{_LATE_N_SLICES + 1}.parquet"),
+        (base_mtime + _LATE_N_SLICES + 1, base_mtime + _LATE_N_SLICES + 1),
+    )
+
+    out = os.path.join(base, "out")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS)
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            tumbling_window_agg(stream, watermark=_LATE_WATERMARK)
+            .writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    landed = spark.read.parquet(out)
+    return landed.filter(F.col("event_type") != "__sentinel").select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
