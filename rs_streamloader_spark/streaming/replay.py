@@ -127,6 +127,29 @@ def _replay(
     # of state. Pin a small width for the replay (the query captures it
     # at start; the session value is restored immediately). Real
     # deployments size this to state volume, not the batch default.
+    _run_available_now(
+        spark,
+        build(streams),
+        out,
+        os.path.join(base, "ckpt"),
+        shuffle_partitions=shuffle_partitions,
+        output_mode=output_mode,
+    )
+    return spark.read.parquet(out)
+
+
+def _run_available_now(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    out: str,
+    ckpt: str,
+    shuffle_partitions: int | None = None,
+    output_mode: str = "append",
+) -> None:
+    """Shared availableNow runner: pin the replay state-store width,
+    land each micro-batch to parquet (overwrite for complete mode),
+    restore the session width — ONE copy of the harness boilerplate
+    for every replay wrapper."""
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
@@ -135,19 +158,17 @@ def _replay(
     land_mode = "overwrite" if output_mode == "complete" else "append"
     try:
         q = (
-            build(streams)
-            .writeStream.foreachBatch(
+            stream_df.writeStream.foreachBatch(
                 lambda bdf, _bid: bdf.write.mode(land_mode).parquet(out)
             )
             .outputMode(output_mode)
-            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    return spark.read.parquet(out)
 
 
 _DEDUP_ORACLE = """
@@ -802,8 +823,12 @@ _LATE_WATERMARK = "1 hour"
     ),
     wm AS (
       -- watermark in force DURING batch p: max event time of the
-      -- batches that already finished, minus the delay
-      SELECT p.pos, MAX(b.mx) - INTERVAL 1 HOUR AS wm_before
+      -- batches that already finished, FLOORED TO MILLISECONDS
+      -- (Spark's EventTimeStats tracks max event time in ms), minus
+      -- the delay
+      SELECT p.pos,
+             MAKE_TIMESTAMP((EPOCH_US(MAX(b.mx)) // 1000) * 1000)
+               - INTERVAL 1 HOUR AS wm_before
       FROM (SELECT DISTINCT pos FROM arr) p
       LEFT JOIN batch_max b ON b.pos < p.pos
       GROUP BY p.pos
@@ -863,31 +888,24 @@ def stream_late_data_audit_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     sliced = ev.withColumn(
         "__slice", F.ntile(_LATE_N_SLICES).over(W.orderBy("ts", "event_id"))
     )
-    # write each slice as ONE file, mtimes in ARRIVAL order (the file
-    # source orders by mtime); the sentinel file is newest and flushes
-    # every surviving window at the end
+    # ONE partitioned write stages every slice (the per-slice filter
+    # loop re-ran the global ntile sort six times); each slice then
+    # renames to a single file whose mtime encodes ARRIVAL order (the
+    # file source orders by mtime); the sentinel file is newest and
+    # flushes every surviving window at the end
     base_mtime = _time.time() - _LATE_N_SLICES - 60
+    staged = os.path.join(base, "staged")
+    sliced.repartition(1, "__slice").write.partitionBy("__slice").parquet(staged)
     for pos, slice_id in enumerate(_LATE_ARRIVAL_ORDER, start=1):
-        p = os.path.join(in_dir, f"s{pos}")
-        (
-            sliced.filter(F.col("__slice") == slice_id)
-            .drop("__slice")
-            .coalesce(1)
-            .write.parquet(p)
-        )
-        for name in os.listdir(p):
-            full = os.path.join(p, name)
-            os.utime(full, (base_mtime + pos, base_mtime + pos))
-        for name in os.listdir(p):
-            if name.endswith(".parquet"):
-                os.rename(
-                    os.path.join(p, name), os.path.join(in_dir, f"f{pos}.parquet")
-                )
-        shutil.rmtree(p, ignore_errors=True)
-        os.utime(
-            os.path.join(in_dir, f"f{pos}.parquet"),
-            (base_mtime + pos, base_mtime + pos),
-        )
+        part_dir = os.path.join(staged, f"__slice={slice_id}")
+        (part_file,) = [
+            n for n in os.listdir(part_dir) if n.endswith(".parquet")
+        ]
+        dest = os.path.join(in_dir, f"f{pos}.parquet")
+        os.makedirs(in_dir, exist_ok=True)
+        os.rename(os.path.join(part_dir, part_file), dest)
+        os.utime(dest, (base_mtime + pos, base_mtime + pos))
+    shutil.rmtree(staged, ignore_errors=True)
     sentinel = spark.createDataFrame(
         [(-1, sentinel_ts, -1, "__sentinel", 0.0)], ev.schema
     )
@@ -906,29 +924,17 @@ def stream_late_data_audit_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     out = os.path.join(base, "out")
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
     )
-    try:
-        stream = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(in_dir)
-        )
-        q = (
-            tumbling_window_agg(stream, watermark=_LATE_WATERMARK)
-            .writeStream.foreachBatch(
-                lambda bdf, _bid: bdf.write.mode("append").parquet(out)
-            )
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(base, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    _run_available_now(
+        spark,
+        tumbling_window_agg(stream, watermark=_LATE_WATERMARK),
+        out,
+        os.path.join(base, "ckpt"),
+    )
     landed = spark.read.parquet(out)
     return landed.filter(F.col("event_type") != "__sentinel").select(
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),

@@ -200,6 +200,40 @@ HEAVY_TAIL = [
     "bloom_filter_fpr",
     "scd2_build_from_events",
     "table_checksum_buckets",
+
+    # round-6 second-continuation additions (synced to the
+    # SCALE_STRESS_r06.json artifact)
+    "ab_srm_check",
+    "activation_retention_cohorts",
+    "audience_overlap_matrix",
+    "bounce_rate_daily",
+    "bpe_merge_candidates",
+    "colbert_maxsim_labels",
+    "copurchase_components",
+    "ctr_wilson_interval",
+    "drift_psi_daily",
+    "epoch_shuffle_order",
+    "exact_substring_dedup",
+    "hourly_p95_value",
+    "ivf_ndcg_audit",
+    "ivf_recall_curve",
+    "join_null_safe",
+    "merge_user_intervals",
+    "ols_daily_revenue_trend",
+    "padding_waste_audit",
+    "pivot_multi_agg",
+    "price_qty_mutual_info",
+    "price_volume_mix_decomposition",
+    "rolling_sum_range_frame",
+    "set_except_all",
+    "set_intersect_all",
+    "simhash_hamming_histogram",
+    "stratified_kfold",
+    "stream_late_data_audit_replay",
+    "text_js_divergence_sources",
+    "theil_sen_trend",
+    "token_budget_selection",
+    "top_supplier_multigrain",
 ]
 
 # threshold-pair operators over embeddings have intrinsically
