@@ -641,7 +641,7 @@ _MULTIGRAIN_SQL = """
       JOIN nation n ON n.n_nationkey = s.s_nationkey
     ),
     rev AS (
-      SELECT nation, yr, s_suppkey, SUM(cents) AS rev_c
+      SELECT nation, yr, s_suppkey, CAST(SUM(cents) AS BIGINT) AS rev_c
       FROM base
       GROUP BY GROUPING SETS ((nation, s_suppkey), (nation, yr, s_suppkey))
     ),

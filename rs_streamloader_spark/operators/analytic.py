@@ -1590,7 +1590,7 @@ _CONCURRENCY_GAP_S = 1800
       FROM deltas
     )
     SELECT DATE_TRUNC('hour', ts) AS hour,
-           MAX(concurrency) AS max_concurrent_sessions
+           CAST(MAX(concurrency) AS BIGINT) AS max_concurrent_sessions
     FROM swept GROUP BY 1
     """,
 )
@@ -2329,7 +2329,7 @@ _ACT_INTERVAL_S = 1800  # each event opens a 30-min activity interval
     )
     SELECT user_id,
            COUNT(*) AS n_intervals,
-           SUM(DATE_DIFF('microsecond', ms, me) // 1000000) AS busy_s,
+           CAST(SUM(DATE_DIFF('microsecond', ms, me) // 1000000) AS BIGINT) AS busy_s,
            MAX(DATE_DIFF('microsecond', ms, me) // 1000000) AS longest_s
     FROM merged GROUP BY user_id
     """,
@@ -2407,7 +2407,7 @@ _KFOLDS = 5
     )
     SELECT source, CAST(rk % {_KFOLDS} AS INT) AS fold,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
     FROM ranked GROUP BY source, rk % {_KFOLDS}
     """,
 )

@@ -924,7 +924,7 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s.doc_id,
            COUNT(*) AS n_shingles,
-           SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
            ROUND(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
                  / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
     FROM s JOIN first_seen f ON s.sh = f.sh
@@ -1503,11 +1503,10 @@ from rs_streamloader_spark.operators.analytic import split_case_sql, split_col
       JOIN sp sb ON sb.doc_id = p.doc_b
     )
     SELECT COUNT(*) AS n_pairs,
-           SUM(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END)
-             AS n_cross_split,
-           SUM(CASE WHEN (split_a = 'train' AND split_b = 'test')
+           CAST(SUM(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_split,
+           CAST(SUM(CASE WHEN (split_a = 'train' AND split_b = 'test')
                       OR (split_a = 'test' AND split_b = 'train')
-                    THEN 1 ELSE 0 END) AS n_train_test,
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_train_test,
            CAST(CAST(SUM(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END)
                      AS HUGEINT) * 1000000
                 // GREATEST(COUNT(*), 1) AS BIGINT) AS leak_ppm
@@ -1686,7 +1685,7 @@ _SPAN_TOKENS = 16  # verbatim window width in tokens
     SELECT doc_id,
            CAST(MAX(n_tok) AS BIGINT) AS n_tok,
            COUNT(*) AS n_dup_spans,
-           SUM(me - ms) AS dup_tokens,
+           CAST(SUM(me - ms) AS BIGINT) AS dup_tokens,
            CAST(CAST(SUM(me - ms) AS HUGEINT) * 1000000 // MAX(n_tok)
                 AS BIGINT) AS dup_ppm
     FROM merged GROUP BY doc_id

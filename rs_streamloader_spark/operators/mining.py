@@ -292,7 +292,7 @@ _BIGRAM_MIN_COUNT = 10
            ROUND(CAST(n_bigram AS DOUBLE) / n_w1, 6) AS cond_prob
     FROM (
       SELECT w1, w2, n_bigram,
-             SUM(n_bigram) OVER (PARTITION BY w1) AS n_w1
+             CAST(SUM(n_bigram) OVER (PARTITION BY w1) AS BIGINT) AS n_w1
       FROM bc
     )
     WHERE n_bigram >= {_BIGRAM_MIN_COUNT}
@@ -450,7 +450,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM islands GROUP BY user_id, island
     )
     SELECT user_id,
-           SUM(len) AS n_active_days,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
            COUNT(*) AS n_streaks,
            MAX(len) AS max_streak_days
     FROM streaks GROUP BY user_id
@@ -563,12 +563,9 @@ _PARETO_BUCKET_CENTS = 1_000_000  # $10k revenue bands → bounded bucket count
     tot AS (SELECT SUM(rev) AS total, COUNT(*) AS n FROM cust)
     SELECT n AS n_customers,
            ROUND(total / 100.0, 2) AS total_revenue,
-           SUM(CASE WHEN cum_before * 2 < total THEN 1 ELSE 0 END)
-             AS customers_to_50pct,
-           SUM(CASE WHEN cum_before * 5 < total * 4 THEN 1 ELSE 0 END)
-             AS customers_to_80pct,
-           SUM(CASE WHEN cum_before * 10 < total * 9 THEN 1 ELSE 0 END)
-             AS customers_to_90pct
+           CAST(SUM(CASE WHEN cum_before * 2 < total THEN 1 ELSE 0 END) AS BIGINT) AS customers_to_50pct,
+           CAST(SUM(CASE WHEN cum_before * 5 < total * 4 THEN 1 ELSE 0 END) AS BIGINT) AS customers_to_80pct,
+           CAST(SUM(CASE WHEN cum_before * 10 < total * 9 THEN 1 ELSE 0 END) AS BIGINT) AS customers_to_90pct
     FROM ranked CROSS JOIN tot
     GROUP BY n, total
     """,
@@ -949,10 +946,10 @@ def _confusion_oracle() -> str:
       FROM documents
     ),
     cm AS (
-      SELECT SUM(actual * predicted) AS tp,
-             SUM((1 - actual) * predicted) AS fp,
-             SUM(actual * (1 - predicted)) AS fn,
-             SUM((1 - actual) * (1 - predicted)) AS tn
+      SELECT CAST(SUM(actual * predicted) AS BIGINT) AS tp,
+             CAST(SUM((1 - actual) * predicted) AS BIGINT) AS fp,
+             CAST(SUM(actual * (1 - predicted)) AS BIGINT) AS fn,
+             CAST(SUM((1 - actual) * (1 - predicted)) AS BIGINT) AS tn
       FROM scored
     )
     SELECT tp, fp, fn, tn,
@@ -1037,7 +1034,7 @@ def _lift_oracle() -> str:
       FROM f CROSS JOIN b
     ),
     g AS (
-      SELECT decile, COUNT(*) AS n_docs, SUM(pos) AS n_pos
+      SELECT decile, COUNT(*) AS n_docs, CAST(SUM(pos) AS BIGINT) AS n_pos
       FROM binned GROUP BY decile
     ),
     tot AS (SELECT SUM(n_docs) AS nd, SUM(n_pos) AS np FROM g)
@@ -1174,7 +1171,7 @@ def arrival_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CAST(n_chars AS BIGINT)) AS total_chars,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
            ROUND(SUM(CAST(n_chars AS BIGINT)) / CAST(COUNT(*) AS DOUBLE), 6)
              AS avg_chars,
            ROUND(SUM(CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT))
@@ -1484,7 +1481,7 @@ _CHI2_TOPK = 20
              SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS b
       FROM tok WHERE term <> '' GROUP BY term
     )
-    SELECT term, a AS df_en, b AS df_other,
+    SELECT term, CAST(a AS BIGINT) AS df_en, CAST(b AS BIGINT) AS df_other,
            ROUND(
              CAST(n_en + n_ot AS DOUBLE)
              * POW(CAST(a AS DOUBLE) * (n_ot - b)
@@ -1851,8 +1848,8 @@ _COVERAGE_KS = (10, 100, 1000)
     ),
     ks AS (SELECT UNNEST(ARRAY{list(_COVERAGE_KS)}) AS k)
     SELECT ks.k,
-           COALESCE(SUM(top.cnt), 0) AS covered_tokens,
-           MIN(tot.total_tokens) AS total_tokens,
+           CAST(COALESCE(SUM(top.cnt), 0) AS BIGINT) AS covered_tokens,
+           CAST(MIN(tot.total_tokens) AS BIGINT) AS total_tokens,
            CAST(COALESCE(SUM(CAST(top.cnt AS HUGEINT)), 0) * 1000000
                 // MIN(tot.total_tokens) AS BIGINT) AS coverage_ppm
     FROM ks CROSS JOIN tot
@@ -2016,8 +2013,8 @@ _SEQ_PATTERN = "v[^e]*c[^e]*p"  # view → click → purchase, no error between
     )
     SELECT STRFTIME(d, '%Y-%m-%d') AS day,
            COUNT(*) AS n_journeys,
-           SUM(CASE WHEN REGEXP_MATCHES(seq, '{_SEQ_PATTERN}')
-                    THEN 1 ELSE 0 END) AS n_matched,
+           CAST(SUM(CASE WHEN REGEXP_MATCHES(seq, '{_SEQ_PATTERN}')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
            CAST(CAST(SUM(CASE WHEN REGEXP_MATCHES(seq, '{_SEQ_PATTERN}')
                               THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
                 // COUNT(*) AS BIGINT) AS match_ppm
@@ -2078,7 +2075,7 @@ _BPE_TOPN = 8
       WHERE LEN(tok) >= 2
     ),
     pc AS (
-      SELECT left_sym, right_sym, SUM(cnt) AS pair_count
+      SELECT left_sym, right_sym, CAST(SUM(cnt) AS BIGINT) AS pair_count
       FROM pairs GROUP BY 1, 2
     )
     SELECT CAST(ROW_NUMBER() OVER (
@@ -2242,7 +2239,7 @@ _TOKEN_BUDGET = 20_000
     oracle=f"""
     WITH per_source AS (
       SELECT source,
-             SUM(LEN(STRING_SPLIT(text, ' '))) AS n_tokens,
+             CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens,
              -- mean doc length in milli-tokens as the quality proxy
              CAST(SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS HUGEINT) * 1000)
                   // COUNT(*) AS BIGINT) AS mean_len_milli
@@ -2250,8 +2247,8 @@ _TOKEN_BUDGET = 20_000
     ),
     ranked AS (
       SELECT *,
-             SUM(n_tokens) OVER (ORDER BY mean_len_milli DESC, source
-                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             CAST(SUM(n_tokens) OVER (ORDER BY mean_len_milli DESC, source
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
       FROM per_source
     )
     SELECT source, n_tokens, mean_len_milli, cum_tokens,

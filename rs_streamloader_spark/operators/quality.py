@@ -103,7 +103,7 @@ def _banded_prefix(
              SUM(pos) AS npos, SUM(neg) AS nneg
       FROM c
     )
-    SELECT npos AS n_pos, nneg AS n_neg,
+    SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
            ROUND(CAST(num2 AS DOUBLE)
                  / CAST(2 * npos * nneg AS DOUBLE), 6) AS auc
     FROM t
@@ -601,7 +601,7 @@ _GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for")
     ),
     unp AS (
       SELECT 'word_count_out_of_range' AS rule,
-             SUM(word_count_out_of_range) AS n_failed, COUNT(*) AS n_docs
+             CAST(SUM(word_count_out_of_range) AS BIGINT) AS n_failed, COUNT(*) AS n_docs
       FROM flags
       UNION ALL
       SELECT 'mean_word_length_out_of_range',
@@ -615,7 +615,7 @@ _GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for")
       UNION ALL
       SELECT 'no_stopwords', SUM(no_stopwords), COUNT(*) FROM flags
     )
-    SELECT rule, n_failed,
+    SELECT rule, CAST(n_failed AS BIGINT) AS n_failed,
            CAST(CAST(n_failed AS HUGEINT) * 1000000 // n_docs AS BIGINT)
              AS fail_ppm
     FROM unp
@@ -728,7 +728,7 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hist
     ),
     tot AS (SELECT SUM(rev_c) AS total FROM pr)
-    SELECT p.l_partkey, p.rev_c,
+    SELECT p.l_partkey, CAST(p.rev_c AS BIGINT) AS rev_c,
            CASE WHEN (t.total - c.cum_below) * 5 <= t.total * 4 THEN 'A'
                 WHEN (t.total - c.cum_below) * 20 <= t.total * 19 THEN 'B'
                 ELSE 'C' END AS abc_class

@@ -1336,10 +1336,9 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) AS v(t, lbl)
     )
     SELECT dim.lbl,
-           SUM(CASE WHEN ek.k IS NOT DISTINCT FROM dim.k
-                    THEN ek.n_events ELSE 0 END) AS n_null_safe,
-           SUM(CASE WHEN ek.k = dim.k THEN ek.n_events ELSE 0 END)
-             AS n_plain_eq
+           CAST(SUM(CASE WHEN ek.k IS NOT DISTINCT FROM dim.k
+                    THEN ek.n_events ELSE 0 END) AS BIGINT) AS n_null_safe,
+           CAST(SUM(CASE WHEN ek.k = dim.k THEN ek.n_events ELSE 0 END) AS BIGINT) AS n_plain_eq
     FROM ek CROSS JOIN dim
     GROUP BY dim.lbl
     """,

@@ -1042,7 +1042,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(STDDEV_SAMP(v), 6) AS std,
            ROUND(MIN(v), 6) AS min_v,
            ROUND(MAX(v), 6) AS max_v,
-           SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS n_zero
+           CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
     FROM comp GROUP BY dim
     """,
 )
@@ -1754,7 +1754,7 @@ def matryoshka_truncate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY b.label, q.qid
     )
     SELECT label, COUNT(*) AS n_query_vecs,
-           SUM(best_micro) AS maxsim_micro
+           CAST(SUM(best_micro) AS BIGINT) AS maxsim_micro
     FROM scored GROUP BY label
     """,
 )
@@ -1825,8 +1825,8 @@ def _ivf_recall_oracle() -> str:
     ),
     ks AS (SELECT UNNEST(ARRAY[{ks}]) AS k)
     SELECT ks.k,
-           COALESCE(SUM(CASE WHEN h.r_exact <= ks.k AND h.r_ivf <= ks.k
-                             THEN 1 ELSE 0 END), 0) AS n_hits,
+           CAST(COALESCE(SUM(CASE WHEN h.r_exact <= ks.k AND h.r_ivf <= ks.k
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits,
            MIN(nq.n_queries) AS n_queries,
            CAST(COALESCE(SUM(CASE WHEN h.r_exact <= ks.k AND h.r_ivf <= ks.k
                                   THEN 1 ELSE 0 END), 0)

@@ -258,9 +258,9 @@ def chi2_event_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide AS (
       SELECT
         MAX(CASE WHEN variant = 0 THEN n_users END) AS n_a,
-        MAX(CASE WHEN variant = 0 THEN n_converted END) AS conv_a,
+        CAST(MAX(CASE WHEN variant = 0 THEN n_converted END) AS BIGINT) AS conv_a,
         MAX(CASE WHEN variant = 1 THEN n_users END) AS n_b,
-        MAX(CASE WHEN variant = 1 THEN n_converted END) AS conv_b
+        CAST(MAX(CASE WHEN variant = 1 THEN n_converted END) AS BIGINT) AS conv_b
       FROM v
     )
     SELECT n_a, conv_a, n_b, conv_b,
@@ -349,14 +349,14 @@ _KM_CENSOR_DAYS = 90  # still-active horizon: last order within 90d of corpus en
     ),
     per_m AS (
       SELECT lifetime_m AS m,
-             SUM(1 - censored) AS deaths,
+             CAST(SUM(1 - censored) AS BIGINT) AS deaths,
              COUNT(*) AS leaving
       FROM cust GROUP BY lifetime_m
     ),
     risk AS (
       SELECT m, deaths,
-             SUM(leaving) OVER (ORDER BY m DESC
-                                ROWS UNBOUNDED PRECEDING) AS n_at_risk
+             CAST(SUM(leaving) OVER (ORDER BY m DESC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
       FROM per_m
     ),
     fac AS (
@@ -455,7 +455,7 @@ _FC_WINDOW = 7
     SELECT STRFTIME(d, '%Y-%m-%d') AS day,
            ROUND(rev / 100.0, 2) AS revenue,
            ROUND(sum_prev / {_FC_WINDOW}.0 / 100.0, 4) AS forecast,
-           ABS({_FC_WINDOW} * rev - sum_prev) AS abs_err_x7_cents
+           CAST(ABS({_FC_WINDOW} * rev - sum_prev) AS BIGINT) AS abs_err_x7_cents
     FROM wins WHERE cnt_prev = {_FC_WINDOW}
     """,
 )
@@ -502,7 +502,7 @@ def rolling_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_suppkey AS top_key, cnt AS top_key_rows
       FROM k ORDER BY cnt DESC, l_suppkey LIMIT 1
     )
-    SELECT SUM(k.cnt) AS n_rows,
+    SELECT CAST(SUM(k.cnt) AS BIGINT) AS n_rows,
            COUNT(*) AS n_keys,
            MAX(top.top_key) AS top_key,
            MAX(top.top_key_rows) AS max_key_rows,
@@ -734,7 +734,7 @@ def conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t AS (SELECT SUM(w) AS tot FROM g)
     SELECT ROUND(MIN(c.cents) / 100.0, 2) AS weighted_median_price,
-           MAX(t.tot) AS total_weight
+           CAST(MAX(t.tot) AS BIGINT) AS total_weight
     FROM c CROSS JOIN t
     WHERE 2 * c.cw >= t.tot
     """,
@@ -1482,7 +1482,7 @@ def daily_counts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(sxx - CAST(sx * sx AS DOUBLE) / n) AS ss_within
       FROM g
     )
-    SELECT n AS n_days,
+    SELECT CAST(n AS BIGINT) AS n_days,
            ROUND((sxx - CAST(sx * sx AS DOUBLE) / n) / n, 4) AS var_total,
            ROUND(ss_within / n, 4) AS var_within_dow,
            ROUND(1 - ss_within / (sxx - CAST(sx * sx AS DOUBLE) / n), 6)
@@ -1556,9 +1556,8 @@ _KANON_K = 5
     SELECT COUNT(*) AS n_classes,
            MIN(sz) AS k_anonymity,
            MIN(l_div) AS l_diversity,
-           SUM(CASE WHEN sz < {_KANON_K} THEN 1 ELSE 0 END) AS n_risky_classes,
-           SUM(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END)
-             AS n_risky_individuals
+           CAST(SUM(CASE WHEN sz < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_classes,
+           CAST(SUM(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END) AS BIGINT) AS n_risky_individuals
     FROM cls
     """,
 )
@@ -2246,7 +2245,7 @@ _ALLOC_BUDGET = 10_000
              {_ALLOC_BUDGET} - SUM(floor_alloc) OVER () AS leftover
       FROM fl
     )
-    SELECT nation, rev_c, floor_alloc,
+    SELECT nation, CAST(rev_c AS BIGINT) AS rev_c, floor_alloc,
            CAST(floor_alloc + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
                 AS BIGINT) AS alloc
     FROM rk
@@ -2488,7 +2487,7 @@ _ATTR_WINDOW_DAYS = 7
     SELECT touch_type,
            COUNT(*) AS n_touches,
            COUNT(DISTINCT pid) AS n_purchases,
-           SUM(1000000 // n_touches) AS credit_micro
+           CAST(SUM(1000000 // n_touches) AS BIGINT) AS credit_micro
     FROM attributed
     GROUP BY touch_type
     """,
@@ -2553,7 +2552,7 @@ _PDISC_QS = ((1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75"), (19, 20, "p95"))
       SELECT segment, bal_c, cnt,
              SUM(cnt) OVER (PARTITION BY segment ORDER BY bal_c
                             ROWS UNBOUNDED PRECEDING) AS cum,
-             SUM(cnt) OVER (PARTITION BY segment) AS n
+             CAST(SUM(cnt) OVER (PARTITION BY segment) AS BIGINT) AS n
       FROM hist
     ),
     qs AS (
@@ -2626,14 +2625,14 @@ def percentile_disc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, v_milli, cnt,
              SUM(cnt) OVER (PARTITION BY event_type ORDER BY v_milli
                             ROWS UNBOUNDED PRECEDING) AS cum,
-             SUM(cnt) OVER (PARTITION BY event_type) AS n
+             CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
       FROM hist
     ),
     bounds AS (
       SELECT event_type,
              MIN(CASE WHEN cum >= (n * 1 + 19) // 20 THEN v_milli END) AS p05,
              MIN(CASE WHEN cum >= (n * 19 + 19) // 20 THEN v_milli END) AS p95,
-             MIN(n) AS n
+             CAST(MIN(n) AS BIGINT) AS n
       FROM cum GROUP BY event_type
     )
     SELECT h.event_type, b.n, b.p05 AS p05_milli, b.p95 AS p95_milli,
@@ -2714,8 +2713,8 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM first_sold GROUP BY 1
     )
     SELECT month, new_parts,
-           SUM(new_parts) OVER (ORDER BY month
-                                ROWS UNBOUNDED PRECEDING) AS cumulative_parts
+           CAST(SUM(new_parts) OVER (ORDER BY month
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_parts
     FROM monthly
     """,
 )
@@ -2768,9 +2767,9 @@ def new_parts_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS l
       FROM daily
     )
-    SELECT STRFTIME(d, '%Y-%m-%d') AS day, rev_c,
+    SELECT STRFTIME(d, '%Y-%m-%d') AS day, CAST(rev_c AS BIGINT) AS rev_c,
            CAST(LEN(l) AS INT) AS n_window,
-           LIST_SORT(l)[(LEN(l) + 1) // 2] AS rolling_median_cents
+           CAST(LIST_SORT(l)[(LEN(l) + 1) // 2] AS BIGINT) AS rolling_median_cents
     FROM win
     """,
 )
@@ -2826,7 +2825,7 @@ def rolling_median_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     est AS (
       SELECT e.n_sources,
-             (SELECT SUM(du) FROM (
+             (SELECT CAST(SUM(du) AS BIGINT) FROM (
                SELECT COUNT(DISTINCT user_id) AS du FROM events
                GROUP BY event_type)) AS sum_exact_per_source,
              e.exact_union,
@@ -2927,10 +2926,10 @@ _APPROX_B = 10_000  # accuracy parameter → rank error <= n / B
       SELECT event_type, v_milli, cnt,
              SUM(cnt) OVER (PARTITION BY event_type ORDER BY v_milli
                             ROWS UNBOUNDED PRECEDING) AS cum,
-             SUM(cnt) OVER (PARTITION BY event_type) AS n
+             CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
       FROM hist
     )
-    SELECT event_type, MIN(n) AS n,
+    SELECT event_type, CAST(MIN(n) AS BIGINT) AS n,
            MIN(CASE WHEN cum >= (n + 1) // 2 THEN v_milli END)
              AS exact_p50_milli,
            TRUE AS within_contract
@@ -3046,8 +3045,7 @@ def _bloom_pos_sql(key: str, j: int) -> str:
     SELECT COUNT(*) AS n_members,
            (SELECT COUNT(*) FROM bits) AS n_bits_set,
            COUNT(*) AS n_probes,
-           SUM(CASE WHEN n_hit = {_BLOOM_K} THEN 1 ELSE 0 END)
-             AS n_false_positives,
+           CAST(SUM(CASE WHEN n_hit = {_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives,
            CAST(CAST(SUM(CASE WHEN n_hit = {_BLOOM_K} THEN 1 ELSE 0 END)
                      AS HUGEINT) * 1000000
                 // GREATEST(COUNT(*), 1) AS BIGINT) AS fpr_ppm
@@ -3131,10 +3129,10 @@ def bloom_filter_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT h, v_milli, cnt,
              SUM(cnt) OVER (PARTITION BY h ORDER BY v_milli
                             ROWS UNBOUNDED PRECEDING) AS cum,
-             SUM(cnt) OVER (PARTITION BY h) AS n
+             CAST(SUM(cnt) OVER (PARTITION BY h) AS BIGINT) AS n
       FROM hist
     )
-    SELECT STRFTIME(h, '%Y-%m-%d %H:00') AS hour, MIN(n) AS n,
+    SELECT STRFTIME(h, '%Y-%m-%d %H:00') AS hour, CAST(MIN(n) AS BIGINT) AS n,
            MIN(CASE WHEN cum >= (n * 19 + 19) // 20 THEN v_milli END)
              AS p95_milli
     FROM cum GROUP BY h
@@ -3329,12 +3327,12 @@ def drift_psi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m WINDOW w AS (PARTITION BY priority ORDER BY mth)
     )
     SELECT priority, CAST(mth AS BIGINT) AS mth,
-           rev_c - prev_c AS delta_c,
+           CAST(rev_c - prev_c AS BIGINT) AS delta_c,
            CAST((CAST(vol - pvol AS HUGEINT) * prev_c) // pvol AS BIGINT)
              AS volume_effect_c,
-           rev_c - prev_c
+           CAST(rev_c - prev_c
              - CAST((CAST(vol - pvol AS HUGEINT) * prev_c) // pvol AS BIGINT)
-             AS price_mix_effect_c
+             AS BIGINT) AS price_mix_effect_c
     FROM paired
     WHERE pvol IS NOT NULL AND pvol > 0
     """,
@@ -3393,8 +3391,8 @@ _PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
     oracle=f"""
     SELECT user_id % 10 AS cohort,
            {", ".join(
-             f"SUM(CASE WHEN event_type = '{t}' THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS {t}_cents, "
-             f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}_n"
+             f"CAST(SUM(CASE WHEN event_type = '{t}' THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS {t}_cents, "
+             f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}_n"
              for t in _PIVOT_TYPES)}
     FROM events GROUP BY 1
     """,
@@ -3460,7 +3458,7 @@ _BOUNCE_GAP_S = 1800
     )
     SELECT STRFTIME(d, '%Y-%m-%d') AS day,
            COUNT(*) AS n_sessions,
-           SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
            CAST(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS HUGEINT)
                 * 1000000 // COUNT(*) AS BIGINT) AS bounce_ppm
     FROM per_sess GROUP BY d
@@ -3726,9 +3724,8 @@ _WILSON_Z = 1.96
     oracle=f"""
     WITH c AS (
       SELECT user_id % 10 AS cohort,
-             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-             SUM(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END)
-               AS impressions
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+             CAST(SUM(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END) AS BIGINT) AS impressions
       FROM events GROUP BY 1
     )
     SELECT cohort, clicks, impressions,
@@ -3903,14 +3900,14 @@ def ols_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
       FROM orders GROUP BY 1
     )
     SELECT STRFTIME(d, '%Y-%m-%d') AS day, rev_c,
-           SUM(rev_c) OVER (ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING
-                            AND CURRENT ROW) AS sum_7d_range,
-           SUM(rev_c) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING
-                            AND CURRENT ROW) AS sum_7_rows,
+           CAST(SUM(rev_c) OVER (ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS sum_7d_range,
+           CAST(SUM(rev_c) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS sum_7_rows,
            SUM(rev_c) OVER (ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING
                             AND CURRENT ROW)
              <> SUM(rev_c) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING

@@ -729,9 +729,9 @@ def vocab_topk_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok WHERE term <> '' GROUP BY source, term
     )
     SELECT source,
-           SUM(cnt) AS n_tokens,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
            COUNT(*) AS n_types,
-           SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
            ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS type_token_ratio,
            ROUND(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
                  / COUNT(*), 6) AS hapax_share
@@ -881,7 +881,7 @@ def _source_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tc JOIN tot ON tot.source = tc.source
     )
     SELECT e.source,
-           MAX(tot.total) AS n_tokens,
+           CAST(MAX(tot.total) AS BIGINT) AS n_tokens,
            COUNT(*) AS n_types,
            ROUND(-SUM(e.e_nano) / 1000000000.0, 6) AS entropy_bits,
            ROUND(POW(2, -SUM(e.e_nano) / 1000000000.0), 4) AS perplexity
@@ -1061,14 +1061,14 @@ _PAD_BATCH_SIZE = 8
     ),
     per_batch AS (
       SELECT bucket, batch_id, COUNT(*) AS n_docs,
-             SUM(n_tok) AS real_tokens,
-             MAX(n_tok) * COUNT(*) AS padded_tokens
+             CAST(SUM(n_tok) AS BIGINT) AS real_tokens,
+             CAST(MAX(n_tok) * COUNT(*) AS BIGINT) AS padded_tokens
       FROM bucketed GROUP BY 1, 2
     )
     SELECT bucket,
            COUNT(*) AS n_batches,
-           SUM(real_tokens) AS real_tokens,
-           SUM(padded_tokens) AS padded_tokens,
+           CAST(SUM(real_tokens) AS BIGINT) AS real_tokens,
+           CAST(SUM(padded_tokens) AS BIGINT) AS padded_tokens,
            CAST(CAST(SUM(padded_tokens) - SUM(real_tokens) AS HUGEINT)
                 * 1000000 // SUM(padded_tokens) AS BIGINT) AS waste_ppm
     FROM per_batch GROUP BY bucket

@@ -50,6 +50,25 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, name: str) -> None:
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
         f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(oracle_pdf.columns)}"
     )
+    # Dtype-KIND strictness (VERDICT r6 item 2): the driver's exact value-hash
+    # distinguishes 1667 (int64) from 1667.0 (float64), so a lenient local
+    # compare that treats them as equal predicts green where the driver records
+    # red.  Compare pandas dtype kinds per column (int 'i'/'u' vs float 'f' vs
+    # object/bool/datetime) BEFORE value comparison.  Empty frames carry no
+    # representation for the driver to hash, so skip the kind check there
+    # (DuckDB also types empty results differently than populated ones).
+    if len(spark_pdf):
+        kind_mismatch = []
+        for c in sorted(spark_pdf.columns):
+            sk = spark_pdf[c].dtype.kind
+            ok = oracle_pdf[c].dtype.kind
+            sk = "i" if sk == "u" else sk
+            ok = "i" if ok == "u" else ok
+            if sk != ok:
+                kind_mismatch.append((c, str(spark_pdf[c].dtype), str(oracle_pdf[c].dtype)))
+        assert not kind_mismatch, (
+            f"{name}: dtype-kind mismatch (spark vs oracle): {kind_mismatch}"
+        )
     s_rows = _normalize(spark_pdf)
     o_rows = _normalize(oracle_pdf)
     mismatches = [
