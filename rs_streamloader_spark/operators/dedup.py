@@ -176,21 +176,67 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Posting-list (document-frequency) cap for the shared Jaccard pair
+#: stage: shingles shared by more than this many documents are dropped
+#: BEFORE pair generation.  A shingle in k docs contributes k·(k-1)/2
+#: candidate rows, so one boilerplate trigram ("all rights reserved")
+#: shared by millions of pages makes the stage quadratic at corpus
+#: scale; capping df bounds the per-shingle fan-out at ~2M pairs and
+#: drops only shingles that carry ~zero Jaccard signal (standard
+#: near-dup practice; intersections shrink, unions don't, so capped
+#: jaccard is a lower bound).  The cap is far above every test scale's
+#: max df (9 / 7 / 25 at sf0.001/0.01/0.1; ~250 at the 10× stress
+#: replicas), so oracle results are bit-identical there.
+_JACCARD_DF_CAP = 2000
+
+
+def _coshingle_counts_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair shared-shingle counts (doc_a, doc_b, i, na, nb) for
+    every co-shingled doc pair — the shared candidate stage under both
+    Jaccard and containment dedup.
+
+    Basket-array pair generation instead of a shingle self-join: one
+    groupBy(sh) collects the (bounded, df-capped) posting list sorted
+    by doc_id, and in-array combos emit each co-shingled ordered pair
+    exactly once — 2 exchanges total (sh, then pair) vs the join's 3,
+    and the df cap is a trivial size() filter on the posting array.
+    n rides along in the struct, so the per-pair aggregate picks it
+    up with min() instead of two post-agg count joins."""
     s = _shingles_cached(spark, sf_dir)
-    a = s.alias("a")
-    b = s.alias("b")
-    # n rides along on every shingle row, so the per-pair aggregate
-    # picks it up with min() instead of two post-agg count joins
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(
-            F.count("*").alias("i"),
-            F.min("a.n").alias("na"),
-            F.min("b.n").alias("nb"),
-        )
+    postings = (
+        s.groupBy("sh")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= _JACCARD_DF_CAP))
     )
+    pairs = postings.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(docs, (a, i) ->"
+                " transform(slice(docs, i + 2, size(docs) - i - 1), b ->"
+                "   struct(a.doc_id AS doc_a, b.doc_id AS doc_b,"
+                "          a.n AS na, b.n AS nb))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("i"),
+        F.min("na").alias("na"),
+        F.min("nb").alias("nb"),
+    )
+
+
+def _coshingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached shared-shingle pair counts — consumed by the Jaccard
+    family AND ``dedup_containment`` (mining.py), so the expensive
+    pair stage materializes once per sf_dir."""
+    return stage_cached(
+        spark, sf_dir, "coshingle_counts",
+        lambda: _coshingle_counts_plan(spark, sf_dir),
+    )
+
+
+def _jaccard_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inter = _coshingle_counts(spark, sf_dir)
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
         inter.select("doc_a", "doc_b", jac.alias("jaccard"))
@@ -455,8 +501,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
 
+    # shuffle-hash pinned on the candidate side: AQE flips this verify
+    # join between broadcast and shuffle right at the 10× stress scale
+    # (SCALE_STRESS_r06 shape_stable: false); the shuffle-hash shape
+    # with the candidate list as build side is the one that holds at
+    # 100 TB (candidates are O(near-dups) — small relative to shingles
+    # but not provably broadcastable), so choose it, don't luck into it.
     inter = (
-        cand.join(s.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        cand.hint("shuffle_hash")
+        .join(s.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(
             s.alias("sb"),
             (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sb.sh") == F.col("sa.sh")),
@@ -1462,7 +1515,10 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree on bit-for-bit, not a statistical estimate."""
     exact = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    missed = exact.join(lsh, ["doc_a", "doc_b"], "left_anti")
+    # shuffle-hash pinned: both pair lists are O(near-dups) — the same
+    # magnitude, so neither is a safe broadcast at corpus scale; AQE
+    # was flipping this anti-join's shape at 10× (shape_stable: false)
+    missed = exact.join(lsh.hint("shuffle_hash"), ["doc_a", "doc_b"], "left_anti")
     n_exact = exact.agg(F.count("*").alias("n_exact"))
     n_lsh = lsh.agg(F.count("*").alias("n_lsh"))
     n_missed = missed.agg(F.count("*").alias("n_missed"))

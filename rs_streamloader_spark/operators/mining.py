@@ -163,25 +163,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data pipelines (same trigram shingles as the dedup
     family, dedup.py).
 
-    Scale posture: reuses the cached shared shingle stage — the
-    candidate generation is the same inverted-index shingle equality
-    join as ``dedup_ngram_jaccard`` (no cross join, O(near-dups)), and
-    the per-doc shingle counts ride along denormalized so the pair
-    aggregate needs no post-join count lookups."""
-    from rs_streamloader_spark.operators.dedup import _shingles_cached
+    Scale posture: rides the cached shared co-shingle pair-count
+    stage (dedup._coshingle_counts) — basket-array pair generation
+    from df-capped posting lists (no self-join, bounded hot-shingle
+    fan-out), with per-doc shingle counts denormalized so no post-agg
+    count lookups are needed."""
+    from rs_streamloader_spark.operators.dedup import _coshingle_counts
 
-    s = _shingles_cached(spark, sf_dir)
-    a = s.alias("a")
-    b = s.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(
-            F.count("*").alias("n_shared"),
-            F.min("a.n").alias("na"),
-            F.min("b.n").alias("nb"),
-        )
-    )
+    inter = _coshingle_counts(spark, sf_dir).withColumnRenamed("i", "n_shared")
     cont_a = F.col("n_shared").cast("double") / F.col("na")
     cont_b = F.col("n_shared").cast("double") / F.col("nb")
     return (

@@ -785,9 +785,10 @@ from rs_streamloader_spark.operators.analytic import split_case_sql, split_col
 # chi-square 0.95 critical value, df=2, in exact micro-units
 _SRM_CRIT_MICRO = 5_991_465
 
-_SRM_EXP_PCT_SQL = (
-    "CASE split WHEN 'train' THEN 80 WHEN 'val' THEN 10 ELSE 10 END"
-)
+def _srm_exp_pct_sql(col: str) -> str:
+    """Expected split percentages (80/10/10) as a CASE over ``col`` —
+    the single source for both the oracle SQL and the Spark twin."""
+    return f"CASE {col} WHEN 'train' THEN 80 WHEN 'val' THEN 10 ELSE 10 END"
 
 
 @register(
@@ -803,8 +804,7 @@ _SRM_EXP_PCT_SQL = (
       -- densify: a split with ZERO observed docs must still contribute
       -- its full expected-count term (that is when SRM is worst)
       SELECT g.split, COALESCE(c.o, 0) AS o,
-             CASE g.split WHEN 'train' THEN 80 WHEN 'val' THEN 10
-                  ELSE 10 END AS exp_pct
+             {_srm_exp_pct_sql("g.split")} AS exp_pct
       FROM (VALUES ('train'), ('val'), ('test')) AS g(split)
       LEFT JOIN counted c ON c.split = g.split
     ),
@@ -837,11 +837,7 @@ def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     HUGEINT/DECIMAL(38) floor-division; the verdict compares the
     exact micro-unit sum to the critical value as integers."""
     docs = _t(spark, sf_dir, "documents")["documents"]
-    exp_pct = (
-        F.when(F.col("split") == "train", 80)
-        .when(F.col("split") == "val", 10)
-        .otherwise(10)
-    )
+    exp_pct = F.expr(_srm_exp_pct_sql("split"))
     counted = (
         docs.select(split_col(F.col("doc_id")).alias("split"))
         .groupBy("split")

@@ -1019,17 +1019,19 @@ def revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the grand total — the drill-down table a BI layer derives from
     one snowflake pass.
 
-    Scale posture: the snowflake joins are a broadcast chain over the
-    orders scan (customer→nation→region are dimension-sized); revenue
-    collapses to the 25-row (region, nation) grid BEFORE the two
-    share windows run over it. Money in BIGINT cents; shares are
-    single double ratios at 6dp."""
+    Scale posture: nation/region broadcast (dimension-sized); customer
+    grows O(SF), so the orders⋈customer edge is left to AQE (shuffle
+    at scale, broadcast only while customer is actually small) —
+    force-hinting it would OOM a 100 TB run. Revenue collapses to the
+    25-row (region, nation) grid BEFORE the two share windows run over
+    it. Money in BIGINT cents; shares are single double ratios at
+    6dp."""
     t = load_tables(spark, sf_dir, "orders", "customer", "nation", "region")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     nat = (
         t["orders"]
         .join(
-            F.broadcast(t["customer"]),
+            t["customer"],
             F.col("c_custkey") == F.col("o_custkey"),
         )
         .join(

@@ -151,13 +151,29 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_BLOCKS = 8
+# Count-adaptive blocking for the all-pairs scorer: the number of
+# blocks grows with the corpus so each (block_i, block_j) task scores
+# at most a BLOCK_TARGET × BLOCK_TARGET matrix — per-task memory is a
+# CONSTANT (~2048² doubles ≈ 33 MB for the cosine matrix) at any
+# corpus size, instead of (corpus/8)² with the old fixed 8 blocks
+# (which OOMs a task somewhere past ~10⁵ vectors).  Total replicated
+# rows are n·n_blocks ≈ n²/BLOCK_TARGET — inherent to exact all-pairs
+# work, spread over n_blocks² bounded tasks.  Blocking never changes
+# results: every unordered pair is scored in exactly one group.
+BLOCK_TARGET = 2048
+MIN_BLOCKS = 1
+
+
+def _n_blocks(n: int) -> int:
+    import math
+
+    return max(MIN_BLOCKS, math.ceil(n / float(BLOCK_TARGET)))
 
 
 def _block_pair_scores(pdf):
     """One (block_i, block_j) group: numpy matmul over the two blocks'
     matrices, emit id-ordered pairs above threshold. Memory is bounded
-    by 2·(corpus/N_BLOCKS) vectors per group."""
+    by 2·BLOCK_TARGET vectors per group."""
     import numpy as np
     import pandas as pd
 
@@ -204,14 +220,17 @@ def _block_pair_scores(pdf):
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold, via
-    block-partitioned pairwise scoring: vectors hash into N_BLOCKS
-    blocks, each row is replicated to its (min(b,k), max(b,k)) block
-    pairs, and each pair group scores a bounded numpy matrix product
-    (Arrow-batched ``applyInPandas``).
+    block-partitioned pairwise scoring: vectors hash into a
+    count-adaptive number of blocks (ceil(n / BLOCK_TARGET)), each row
+    is replicated to its (min(b,k), max(b,k)) block pairs, and each
+    pair group scores a bounded numpy matrix product (Arrow-batched
+    ``applyInPandas``).
 
     This is the 100 TB shape of exact all-pairs similarity: work and
-    memory per task are bounded by (corpus/N_BLOCKS)², replication
-    factor is N_BLOCKS, no driver involvement. Each unordered pair is
+    memory per task are bounded by BLOCK_TARGET² regardless of corpus
+    size, replication factor is n_blocks, no driver involvement
+    (the one driver-side value is the corpus COUNT, which sizes the
+    blocking). Each unordered pair is
     scored in exactly one group. Results match the all-pairs oracle
     (cosines rounded half-away to 6dp on both sides); the one caveat
     is numpy's BLAS summation order vs the oracle's sequential fold —
@@ -227,13 +246,14 @@ def _block_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     — see its docstring for why scoring everything beats a candidate
     join at this threshold)."""
     t = _emb_norm_cached(spark, sf_dir)
-    base = t.select("vec_id", "embedding", (F.col("vec_id") % N_BLOCKS).alias("blk"))
+    n_blocks = _n_blocks(t.count())  # cached stage — count is a cheap job
+    base = t.select("vec_id", "embedding", (F.col("vec_id") % n_blocks).alias("blk"))
     replicated = base.select(
         "vec_id",
         "embedding",
         F.explode(
             F.expr(
-                f"transform(sequence(0, {N_BLOCKS - 1}), k -> struct("
+                f"transform(sequence(0, {n_blocks - 1}), k -> struct("
                 f" least(blk, k) AS bi, greatest(blk, k) AS bj,"
                 f" CASE WHEN blk <= k THEN 'a' ELSE 'b' END AS side))"
             )
@@ -830,7 +850,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_label_centroids",
     oracle=f"""
     SELECT label, CAST(pos AS INTEGER) AS dim,
-           ROUND(AVG(CAST(embedding[pos] AS DOUBLE)), 6) AS centroid_val,
+           -- exact integer nano-unit accumulation, one divide + round
+           -- (order-independent; same policy as embedding_outlier_topk)
+           ROUND(SUM(CAST(ROUND(CAST(embedding[pos] AS DOUBLE)
+                                * 1000000000) AS BIGINT))
+                 / 1000000000.0 / COUNT(*), 6) AS centroid_val,
            CAST(COUNT(*) AS BIGINT) AS n_vectors
     FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) g(pos)
     WHERE LEN(embedding) = {EMB_DIM}
@@ -860,7 +884,14 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", F.posexplode("embedding").alias("pos0", "v"))
         .groupBy("label", (F.col("pos0") + 1).cast("int").alias("dim"))
         .agg(
-            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"),
+            F.round(
+                F.sum(
+                    F.round(F.col("v").cast("double") * 1_000_000_000).cast("bigint")
+                )
+                / 1_000_000_000.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid_val"),
             F.count("*").cast("bigint").alias("n_vectors"),
         )
     )
@@ -1427,7 +1458,14 @@ _OUTLIER_TOPK = 3
       WHERE LEN(embedding) = {EMB_DIM}
     ),
     cent AS (
-      SELECT label, dim, ROUND(AVG(v), 6) AS c FROM comp GROUP BY 1, 2
+      -- components accumulate as exact integer NANO-units (order-
+      -- independent), one division + one 6dp round at the end: an
+      -- order-dependent AVG could round a half-boundary centroid
+      -- differently across engines/partitionings
+      SELECT label, dim,
+             ROUND(SUM(CAST(ROUND(v * 1000000000) AS BIGINT))
+                   / 1000000000.0 / COUNT(*), 6) AS c
+      FROM comp GROUP BY 1, 2
     ),
     terms AS (
       SELECT comp.vec_id, comp.label,
@@ -1458,7 +1496,9 @@ def embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: centroids are a constant-width (labels×{dim})
     combinable aggregate that broadcasts back onto the exploded
     components; per-vector distances are keyed aggregates on vec_id.
-    Cross-engine determinism: centroids round at 6dp first, each
+    Cross-engine determinism: centroid components accumulate as
+    exact integer nano-units and divide once before the 6dp round
+    (order-independent — no AVG), each
     squared deviation scales to integer PICO-units before the per-
     vector sum (exact integer addition in any order — the
     ``source_token_entropy`` policy), sqrt last. The per-label top-{k}
@@ -1477,7 +1517,14 @@ def embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v0").cast("double").alias("v"),
         )
     )
-    cent = comp.groupBy("label", "dim").agg(F.round(F.avg("v"), 6).alias("c"))
+    cent = comp.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.round(F.col("v") * 1_000_000_000).cast("bigint"))
+            / 1_000_000_000.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("c")
+    )
     terms = comp.join(F.broadcast(cent), ["label", "dim"]).select(
         "vec_id",
         "label",

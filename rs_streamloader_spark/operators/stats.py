@@ -1479,13 +1479,15 @@ def daily_counts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sxx) AS sxx,
-             SUM(sxx - CAST(sx * sx AS DOUBLE) / n) AS ss_within
+             SUM(CAST(ROUND((sxx - CAST(sx * sx AS DOUBLE) / n) * 1000000, 0)
+                      AS BIGINT)) AS ssw_micro
       FROM g
     )
     SELECT CAST(n AS BIGINT) AS n_days,
            ROUND((sxx - CAST(sx * sx AS DOUBLE) / n) / n, 4) AS var_total,
-           ROUND(ss_within / n, 4) AS var_within_dow,
-           ROUND(1 - ss_within / (sxx - CAST(sx * sx AS DOUBLE) / n), 6)
+           ROUND(ssw_micro / 1000000.0 / n, 4) AS var_within_dow,
+           ROUND(1 - (ssw_micro / 1000000.0)
+                     / (sxx - CAST(sx * sx AS DOUBLE) / n), 6)
              AS seasonality_strength
     FROM s
     """,
@@ -1500,9 +1502,11 @@ def weekly_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: events collapse to the calendar-bounded daily
     aggregate, then to 7 dow groups; moments (Σx, Σx²) stay exact
-    HUGEINT/DECIMAL until the final variance ratios. The only
-    float divisions are per-group sx²/n terms combined over 7 rows —
-    deterministic operand order in both engines."""
+    HUGEINT/DECIMAL until the final variance ratios. The per-group
+    sx²/n float terms are rounded to integer micro-units BEFORE the
+    7-row SS_within sum (exact, order-independent integer adds — the
+    source_token_entropy accumulation policy), so no cross-engine
+    float-summation-order exposure remains."""
     ev = _t(spark, sf_dir, "events")["events"]
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(F.count("*").alias("cnt"))
     keyed = daily.select(
@@ -1514,23 +1518,29 @@ def weekly_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").alias("sx"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
+    # each per-dow within-group term is rounded to integer MICRO-units
+    # before the 7-row sum — 7 exact integer adds instead of a float
+    # accumulation whose operand order is engine/partition dependent
+    # (the oracle applies the identical per-term round)
+    term = (
+        F.col("sxx").cast("double")
+        - (F.col("sx") * F.col("sx")).cast("double") / F.col("n")
+    )
     s = g.agg(
         F.sum("n").alias("n"),
         F.sum("sx").alias("sx"),
         F.sum("sxx").alias("sxx"),
-        F.sum(
-            F.col("sxx").cast("double")
-            - (F.col("sx") * F.col("sx")).cast("double") / F.col("n")
-        ).alias("ss_within"),
+        F.sum(F.round(term * 1000000, 0).cast("bigint")).alias("ssw_micro"),
     )
     ss_total = F.col("sxx").cast("double") - (
         F.col("sx") * F.col("sx")
     ).cast("double") / F.col("n")
+    ss_within = F.col("ssw_micro") / 1000000.0
     return s.select(
         F.col("n").alias("n_days"),
         F.round(ss_total / F.col("n"), 4).alias("var_total"),
-        F.round(F.col("ss_within") / F.col("n"), 4).alias("var_within_dow"),
-        F.round(1 - F.col("ss_within") / ss_total, 6).alias(
+        F.round(ss_within / F.col("n"), 4).alias("var_within_dow"),
+        F.round(1 - ss_within / ss_total, 6).alias(
             "seasonality_strength"
         ),
     )
@@ -2086,15 +2096,17 @@ def revenue_movers_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     screen a revenue dashboard opens with (global twin:
     ``orders_monthly_growth``).
 
-    Scale posture: the snowflake dims broadcast over the orders scan;
-    revenue collapses to the bounded (nation, month) grid BEFORE the
-    per-nation LAG; the top-{k} compiles to TakeOrderedAndProject.
-    Money stays BIGINT cents; consecutive-month deltas are exact
-    integers."""
+    Scale posture: nation broadcasts (25 rows); customer grows O(SF),
+    so the orders⋈customer edge is left to AQE (shuffle at scale,
+    broadcast only while customer is actually small) — force-hinting
+    it would OOM a 100 TB run. Revenue collapses to the bounded
+    (nation, month) grid BEFORE the per-nation LAG; the top-{k}
+    compiles to TakeOrderedAndProject. Money stays BIGINT cents;
+    consecutive-month deltas are exact integers."""
     t = _t(spark, sf_dir, "orders", "customer", "nation")
     nm = (
         t["orders"]
-        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),

@@ -1818,3 +1818,23 @@ def test_mutual_info_marginals_on_cell_grid(spark):
         scan = below.find("Scan parquet")
         assert 0 <= agg < scan, below[:1500]
     assert has_broadcast_join(df)
+
+
+def test_jaccard_pairs_basket_generation_df_capped(spark):
+    """The shared Jaccard pair stage must generate candidates from
+    df-capped posting arrays (groupBy sh -> in-array combos), never a
+    shingle self-join: a join has no posting-length bound, so one
+    boilerplate shingle in k docs would emit k^2 rows at corpus scale."""
+    from rs_streamloader_spark.operators.dedup import (
+        _JACCARD_DF_CAP,
+        _jaccard_pairs_plan,
+    )
+
+    df = _jaccard_pairs_plan(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # no join anywhere in the pair stage — candidates come from the
+    # posting-array explode
+    assert "Join" not in text, text
+    assert "Generate explode" in text, text
+    # the df cap is a real size() filter on the collected posting list
+    assert re.search(r"size\(docs.*\) <= %d" % _JACCARD_DF_CAP, text), text
