@@ -510,6 +510,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = (
         cand.hint("shuffle_hash")
         .join(s.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .hint("shuffle_hash")  # 2nd verify join: build on the pair side,
+        # never broadcast the O(corpus) shingle table (1× AQE did)
         .join(
             s.alias("sb"),
             (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sb.sh") == F.col("sa.sh")),
@@ -1387,13 +1389,19 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
         for k in range(N_MINHASH)
     )
-    est = cand.join(sa, "doc_a").join(sb, "doc_b").select(
-        "doc_a", "doc_b", n_match.alias("n_match")
-    )
+    # shuffle-hash pinned throughout: the signature table is O(docs)
+    # and the shingle table O(corpus) — neither is broadcastable at
+    # scale, and AQE was flipping these joins at 10x (shape_stable:
+    # false, SCALE_STRESS_r06); build on the candidate/pair side
+    est = cand.hint("shuffle_hash").join(sa, "doc_a").hint("shuffle_hash").join(
+        sb, "doc_b"
+    ).select("doc_a", "doc_b", n_match.alias("n_match"))
     ss_a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh"), F.col("n").alias("na"))
     ss_b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh"), F.col("n").alias("nb"))
     inter = (
-        cand.join(ss_a.drop("na"), "doc_a")
+        cand.hint("shuffle_hash")
+        .join(ss_a.drop("na"), "doc_a")
+        .hint("shuffle_hash")
         .join(ss_b.drop("nb"), ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("i"))
@@ -1402,7 +1410,7 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zero-fill via a left join plus the per-doc counts
     nd = s.groupBy("doc_id").agg(F.min("n").alias("n"))
     est_n = (
-        est.join(inter, ["doc_a", "doc_b"], "left")
+        est.hint("shuffle_hash").join(inter, ["doc_a", "doc_b"], "left")
         .join(nd.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
         .join(nd.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
         .withColumn("i0", F.coalesce(F.col("i"), F.lit(0)))
