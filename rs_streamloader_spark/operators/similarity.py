@@ -400,7 +400,9 @@ def _ivf_kmeans_oracle() -> str:
       SELECT e.vec_id, e.embedding, {_duck_cell('e')} AS cell FROM embeddings e
     ),
     dims AS (
-      SELECT cell, i, ROUND(AVG(v), 6) AS m
+      SELECT cell, i,
+             ROUND(SUM(CAST(ROUND(v * 1000000000) AS BIGINT))
+                   / 1000000000.0 / COUNT(*), 6) AS m
       FROM (
         SELECT cell,
                UNNEST(CAST(embedding AS DOUBLE[])) AS v,
@@ -454,7 +456,14 @@ def _ivf_codebook_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("i", "v"),
             )
             .groupBy("cell", "i")
-            .agg(F.round(F.avg("v"), 6).alias("m"))
+            # exact nano-unit accumulation (order-independent) — the
+            # embedding-centroid policy, see embedding_label_centroids
+            .agg(F.round(
+                F.sum(F.round(F.col("v") * 1_000_000_000).cast("bigint"))
+                / 1_000_000_000.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("m"))
         )
         cent = (
             dims.groupBy("cell")
@@ -1066,15 +1075,28 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT UNNEST(CAST(embedding AS DOUBLE[])) AS v,
              CAST(UNNEST(range(0, len(embedding))) AS INT) AS dim
       FROM embeddings
+    ),
+    mom AS (
+      -- exact integer nano-unit moments (order-independent sums);
+      -- mean/std derive from (sx, sxx, n) in one fixed double
+      -- expression on both engines
+      SELECT dim, COUNT(*) AS n,
+             SUM(CAST(ROUND(v * 1000000000) AS BIGINT)) AS sx,
+             SUM(CAST(ROUND(v * 1000000000) AS HUGEINT)
+                 * CAST(ROUND(v * 1000000000) AS BIGINT)) AS sxx,
+             ROUND(MIN(v), 6) AS min_v,
+             ROUND(MAX(v), 6) AS max_v,
+             CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+      FROM comp GROUP BY dim
     )
-    SELECT dim,
-           COUNT(*) AS n,
-           ROUND(AVG(v), 6) AS mean,
-           ROUND(STDDEV_SAMP(v), 6) AS std,
-           ROUND(MIN(v), 6) AS min_v,
-           ROUND(MAX(v), 6) AS max_v,
-           CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
-    FROM comp GROUP BY dim
+    SELECT dim, n,
+           ROUND(CAST(sx AS DOUBLE) / 1000000000.0 / n, 6) AS mean,
+           ROUND(SQRT((CAST(sxx AS DOUBLE) / 1e18
+                       - (CAST(sx AS DOUBLE) / 1000000000.0)
+                         * (CAST(sx AS DOUBLE) / 1000000000.0) / n)
+                      / (n - 1)), 6) AS std,
+           min_v, max_v, n_zero
+    FROM mom
     """,
 )
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1086,23 +1108,37 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: one posexplode fans each vector into (dim, value)
     pairs and a single combinable dim-keyed aggregate reduces them —
     the shuffle carries exactly |dims| keys with partial aggregates
-    already merged map-side. Mean and stddev are double sums whose
-    partial-sum order differs between engines; the 6dp rounding
-    absorbs the ~1e-13 divergence (documented catalog-wide
-    tolerance), while min/max/zero-count are exact."""
+    already merged map-side. Mean and stddev derive from exact
+    integer nano-unit moments (sx, sxx — order-independent sums, the
+    embedding-centroid policy) through one fixed double expression on
+    both engines; min/max/zero-count are exact."""
     t = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     comp = spread(t).select(
         F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias(
             "dim", "v"
         )
     )
-    return comp.groupBy("dim").agg(
+    vn = F.round(F.col("v") * 1_000_000_000).cast("bigint")
+    mom = comp.groupBy("dim").agg(
         F.count("*").alias("n"),
-        F.round(F.avg("v"), 6).alias("mean"),
-        F.round(F.stddev_samp("v"), 6).alias("std"),
+        F.sum(vn).alias("sx"),
+        F.sum(vn.cast("decimal(38,0)") * vn).alias("sxx"),
         F.round(F.min("v"), 6).alias("min_v"),
         F.round(F.max("v"), 6).alias("max_v"),
         F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).alias("n_zero"),
+    )
+    sxd = F.col("sx").cast("double") / 1_000_000_000.0
+    sxxd = F.col("sxx").cast("double") / 1e18
+    return mom.select(
+        "dim",
+        "n",
+        F.round(sxd / F.col("n"), 6).alias("mean"),
+        F.round(
+            F.sqrt((sxxd - sxd * sxd / F.col("n")) / (F.col("n") - 1)), 6
+        ).alias("std"),
+        "min_v",
+        "max_v",
+        "n_zero",
     )
 
 
@@ -1272,7 +1308,9 @@ def _pq_duck_cells(src: str = "embeddings") -> str:
       FROM sub
     ),
     cdims AS (
-      SELECT m, cell, i, ROUND(AVG(v), 6) AS c FROM (
+      SELECT m, cell, i,
+             ROUND(SUM(CAST(ROUND(v * 1000000000) AS BIGINT))
+                   / 1000000000.0 / COUNT(*), 6) AS c FROM (
         SELECT m, cell, UNNEST(sub) AS v,
                UNNEST(range(1, {_PQ_SUBDIM} + 1)) AS i
         FROM cells
@@ -1325,7 +1363,13 @@ def _pq_codebook_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         cdims = (
             exploded.select("m", "cell", F.posexplode("sub").alias("i", "v"))
             .groupBy("m", "cell", "i")
-            .agg(F.round(F.avg("v"), 6).alias("c"))
+            # nano-unit accumulation, same policy as the IVF codebook
+            .agg(F.round(
+                F.sum(F.round(F.col("v") * 1_000_000_000).cast("bigint"))
+                / 1_000_000_000.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("c"))
         )
         return (
             cdims.groupBy("m", "cell")
