@@ -69,6 +69,7 @@ def main() -> None:
     # separately: every family member's per-query number then measures
     # the same warm-stage cost (see module docstring)
     from rs_streamloader_spark.operators.dedup import (
+        _coshingle_counts,
         _jaccard_pairs,
         _shingles_cached,
     )
@@ -83,6 +84,7 @@ def main() -> None:
     stage_timings: dict[str, float] = {}
     for stage_name, builder in [
         ("shingles", lambda: _shingles_cached(spark, SF_DIR)),
+        ("coshingle_counts", lambda: _coshingle_counts(spark, SF_DIR)),
         ("jaccard_pairs", lambda: _jaccard_pairs(spark, SF_DIR)),
         ("emb_norm", lambda: _emb_norm_cached(spark, SF_DIR)),
         ("ivf_codebook", lambda: _ivf_codebook_cached(spark, SF_DIR)),

@@ -1484,6 +1484,72 @@ def dup_cluster_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus shrinkage report: per-source doc/token retention after dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_shrinkage_report",
+    oracle=f"""
+    WITH clusters AS ({_CLUSTER_ORACLE}),
+    tagged AS (
+      SELECT d.source,
+             CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_tok,
+             CASE WHEN c.doc_id IS NULL OR c.is_keeper THEN 1 ELSE 0 END
+               AS kept
+      FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(kept) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(kept * n_tok) AS BIGINT) AS tokens_kept,
+           CAST(CAST(SUM(n_tok) - SUM(kept * n_tok) AS HUGEINT) * 1000000
+                // GREATEST(SUM(n_tok), 1) AS BIGINT) AS token_drop_ppm
+    FROM tagged GROUP BY source
+    """,
+)
+def dedup_shrinkage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The number a dedup run actually ships: per-source document and
+    token retention after keep-one-per-cluster resolution — docs /
+    tokens before, docs / tokens surviving (cluster keepers plus
+    untouched singletons), and the token drop in integer PPM. The
+    per-SOURCE grain is the point: boilerplate-heavy sources shrink
+    hardest, and this is the table that reallocates the sampling mix
+    afterwards (``dup_cluster_size_stats`` describes the clusters;
+    this prices the decision).
+
+    Scale posture: rides ``dedup_cluster``'s resolved labels (shared
+    cached pair graph + label propagation). The labels table is
+    O(near-dup docs) — far smaller than the corpus — but not provably
+    broadcastable, so the enrichment is a shuffle-hash join on doc_id
+    with the labels as build side (pinned; AQE may only narrow it to
+    broadcast, never widen the build). Everything after is one
+    combinable source-keyed aggregate. Cross-engine determinism: all
+    integers; the drop rate leaves as PPM via HUGEINT/DECIMAL
+    floor-division."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    clusters = dedup_cluster(spark, sf_dir).select("doc_id", "is_keeper")
+    tagged = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+    ).join(clusters.hint("shuffle_hash"), "doc_id", "left")
+    kept = F.when(F.col("is_keeper").isNull() | F.col("is_keeper"), 1).otherwise(0)
+    per = tagged.select("source", "n_tok", kept.alias("kept"))
+    return per.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("kept").alias("n_docs_kept"),
+        F.sum("n_tok").alias("tokens_total"),
+        F.sum(F.col("kept") * F.col("n_tok")).alias("tokens_kept"),
+        F.expr(
+            "CAST(CAST(sum(n_tok) - sum(kept * n_tok) AS DECIMAL(38,0))"
+            " * 1000000 div GREATEST(sum(n_tok), 1) AS BIGINT)"
+        ).alias("token_drop_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # LSH recall audit: minhash-LSH verified pairs vs the exact pair set
 # ---------------------------------------------------------------------------
 

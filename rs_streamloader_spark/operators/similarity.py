@@ -459,7 +459,9 @@ def _ivf_codebook_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             # exact nano-unit accumulation (order-independent) — the
             # embedding-centroid policy, see embedding_label_centroids
             .agg(F.round(
-                F.sum(F.round(F.col("v") * 1_000_000_000).cast("bigint"))
+                F.sum(
+                    F.round(F.col("v") * 1_000_000_000).cast("decimal(38,0)")
+                )
                 / 1_000_000_000.0
                 / F.count(F.lit(1)),
                 6,
@@ -895,7 +897,8 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.sum(
-                    F.round(F.col("v").cast("double") * 1_000_000_000).cast("bigint")
+                    F.round(F.col("v").cast("double") * 1_000_000_000)
+                    .cast("decimal(38,0)")
                 )
                 / 1_000_000_000.0
                 / F.count(F.lit(1)),
@@ -1121,7 +1124,7 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     vn = F.round(F.col("v") * 1_000_000_000).cast("bigint")
     mom = comp.groupBy("dim").agg(
         F.count("*").alias("n"),
-        F.sum(vn).alias("sx"),
+        F.sum(vn.cast("decimal(38,0)")).alias("sx"),
         F.sum(vn.cast("decimal(38,0)") * vn).alias("sxx"),
         F.round(F.min("v"), 6).alias("min_v"),
         F.round(F.max("v"), 6).alias("max_v"),
@@ -1365,7 +1368,9 @@ def _pq_codebook_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("m", "cell", "i")
             # nano-unit accumulation, same policy as the IVF codebook
             .agg(F.round(
-                F.sum(F.round(F.col("v") * 1_000_000_000).cast("bigint"))
+                F.sum(
+                    F.round(F.col("v") * 1_000_000_000).cast("decimal(38,0)")
+                )
                 / 1_000_000_000.0
                 / F.count(F.lit(1)),
                 6,
@@ -1563,7 +1568,7 @@ def embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent = comp.groupBy("label", "dim").agg(
         F.round(
-            F.sum(F.round(F.col("v") * 1_000_000_000).cast("bigint"))
+            F.sum(F.round(F.col("v") * 1_000_000_000).cast("decimal(38,0)"))
             / 1_000_000_000.0
             / F.count(F.lit(1)),
             6,

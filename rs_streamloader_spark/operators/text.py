@@ -145,6 +145,60 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tokenizer_fertility_by_lang",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,
+             CAST(LEN(regexp_extract_all(
+                    text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+                  AS BIGINT) AS n_pieces
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+           CAST(CAST(SUM(n_pieces) AS HUGEINT) * 1000
+                // GREATEST(SUM(n_words), 1) AS BIGINT) AS fertility_milli
+    FROM per_doc GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (sub-word pieces per whitespace word, in
+    exact integer MILLI-units) per language — the budget multiplier a
+    pipeline applies when a token quota is set in tokenizer pieces but
+    the corpus is measured in words, and the per-language skew audit
+    (high-fertility languages burn quota faster; the number that
+    drives per-language sampling corrections in multilingual mixes).
+    Uses the same BPE-ish regex as ``text_bpe_tokens`` so the two
+    reports share one tokenizer definition.
+
+    Scale posture: a single combinable (lang)-keyed aggregate over
+    per-row integer counts — the shuffle carries |langs| keys of four
+    BIGINTs. Cross-engine determinism: all integers; the ratio leaves
+    as milli-units via HUGEINT/DECIMAL floor-division (never a
+    rounded float divide)."""
+    from rs_streamloader_spark.functions import bpe_ish_tokens
+
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    per_doc = t.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_words"),
+        F.size(bpe_ish_tokens("text")).cast("bigint").alias("n_pieces"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_pieces").alias("n_pieces"),
+        F.expr(
+            "CAST(CAST(sum(n_pieces) AS DECIMAL(38,0)) * 1000"
+            " div GREATEST(sum(n_words), 1) AS BIGINT)"
+        ).alias("fertility_milli"),
+    )
+
+
+@register(
     "doc_fingerprint",
     oracle="""
     SELECT doc_id, MD5(text) AS fingerprint,

@@ -1838,3 +1838,34 @@ def test_jaccard_pairs_basket_generation_df_capped(spark):
     assert "Generate explode" in text, text
     # the df cap is a real size() filter on the collected posting list
     assert re.search(r"size\(docs.*\) <= %d" % _JACCARD_DF_CAP, text), text
+
+
+def test_tokenizer_fertility_single_aggregate(spark):
+    """Fertility is one combinable lang-keyed aggregate over per-row
+    integer counts — no join, text+lang pruned at the scan."""
+    from rs_streamloader_spark.operators.text import tokenizer_fertility_by_lang
+
+    df = tokenizer_fertility_by_lang(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Join" not in text, text
+    assert shuffle_count(df) <= 1, text
+    cols = scan_columns(df)
+    assert cols and all(set(c) <= {"lang", "text"} for c in cols), cols
+
+
+def test_shrinkage_report_pinned_build_side(spark):
+    """The cluster-labels enrichment must be a shuffle-hash join with
+    the labels as build side (pinned — never broadcast or shuffle-sort
+    the corpus-sized side), and the documents scan must prune to the
+    three consumed columns. (The labels input is the already-
+    materialized localCheckpoint of the label propagation, so no
+    InMemoryTableScan appears here — the cached pair graph is consumed
+    inside that propagation.)"""
+    from rs_streamloader_spark.operators.dedup import dedup_shrinkage_report
+
+    df = dedup_shrinkage_report(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "ShuffledHashJoin" in text and "BuildRight" in text, text
+    assert "SortMergeJoin" not in text, text
+    cols = [c for c in scan_columns(df) if "text" in c]
+    assert cols and all(set(c) <= {"doc_id", "text", "source"} for c in cols), cols

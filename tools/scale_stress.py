@@ -88,6 +88,8 @@ TIME_COLS: dict[str, list[str]] = {
 HEAVY_TAIL = [
     "dedup_simhash",
     "dedup_cluster",
+    "dedup_shrinkage_report",
+    "tokenizer_fertility_by_lang",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "embedding_near_dup",
@@ -259,6 +261,9 @@ DATE_WINDOWED = {"q5_local_supplier_volume"}
 # reduction with a result that must NOT grow.
 CONSTANT_OUTPUT = {
     "bm25_topk",
+    # per-source / per-lang rollups: scale-invariant key sets
+    "dedup_shrinkage_report",
+    "tokenizer_fertility_by_lang",
     "domain_mix_sample",
     "numeric_histogram",
     # vocab: top-100 cut is fixed; centroids: labels × 64 dims
