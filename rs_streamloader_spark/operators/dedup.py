@@ -198,15 +198,29 @@ def _coshingle_counts_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Basket-array pair generation instead of a shingle self-join: one
     groupBy(sh) collects the (bounded, df-capped) posting list sorted
     by doc_id, and in-array combos emit each co-shingled ordered pair
-    exactly once — 2 exchanges total (sh, then pair) vs the join's 3,
-    and the df cap is a trivial size() filter on the posting array.
-    n rides along in the struct, so the per-pair aggregate picks it
-    up with min() instead of two post-agg count joins."""
+    exactly once — 2 exchanges total (sh, then pair) vs the join's 3.
+
+    The df cap is enforced BEFORE the posting list is collected: a
+    window count over the sh partition (spill-safe — WindowExec
+    buffers oversized partitions through the external row array, it
+    never holds them in an aggregation buffer) tags every row with
+    its shingle's df, the filter drops singleton and over-cap
+    shingles, and only then does collect_list build arrays — so the
+    aggregation buffer never materializes a mega-hot posting list
+    (a post-collect size() filter would OOM on exactly the
+    boilerplate shingle the cap exists for). The window and the
+    collect share one hash partitioning on sh, so the pre-filter
+    costs no extra exchange — and dropping the (majority) df=1
+    shingles before collection shrinks the collect input. n rides
+    along in the struct, so the per-pair aggregate picks it up with
+    min() instead of two post-agg count joins."""
     s = _shingles_cached(spark, sf_dir)
-    postings = (
-        s.groupBy("sh")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("docs"))
-        .filter((F.size("docs") >= 2) & (F.size("docs") <= _JACCARD_DF_CAP))
+    w = Window.partitionBy("sh")
+    capped = s.withColumn("df", F.count(F.lit(1)).over(w)).filter(
+        (F.col("df") >= 2) & (F.col("df") <= _JACCARD_DF_CAP)
+    )
+    postings = capped.groupBy("sh").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("docs")
     )
     pairs = postings.select(
         F.explode(
@@ -1411,7 +1425,9 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = s.groupBy("doc_id").agg(F.min("n").alias("n"))
     est_n = (
         est.hint("shuffle_hash").join(inter, ["doc_a", "doc_b"], "left")
+        .hint("shuffle_hash")
         .join(nd.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .hint("shuffle_hash")
         .join(nd.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
         .withColumn("i0", F.coalesce(F.col("i"), F.lit(0)))
     )

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from rs_streamloader_spark.functions.vector import dot_expr, norm_expr
+from rs_streamloader_spark.functions.vector import dot_expr, nano_mean, nano_mean_sql, norm_expr
 from rs_streamloader_spark.operators.registry import REGISTRY, register
 from rs_streamloader_spark.session import load_tables, spread, stage_cached
 
@@ -163,6 +163,10 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLOCK_TARGET = 2048
 MIN_BLOCKS = 1
 
+#: embeddings-count memo per (applicationId, sf_dir) — see
+#: _block_exact_pairs
+_COUNT_CACHE: dict = {}
+
 
 def _n_blocks(n: int) -> int:
     import math
@@ -246,7 +250,15 @@ def _block_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     — see its docstring for why scoring everything beats a candidate
     join at this threshold)."""
     t = _emb_norm_cached(spark, sf_dir)
-    n_blocks = _n_blocks(t.count())  # cached stage — count is a cheap job
+    # the corpus count sizes the blocking; memoized per (app, sf_dir)
+    # so constructing this plan repeatedly (catalog sweeps, explain
+    # tooling) triggers the count job once, not per construction
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    n = _COUNT_CACHE.get(ck)
+    if n is None:
+        n = t.count()
+        _COUNT_CACHE[ck] = n
+    n_blocks = _n_blocks(n)
     base = t.select("vec_id", "embedding", (F.col("vec_id") % n_blocks).alias("blk"))
     replicated = base.select(
         "vec_id",
@@ -400,9 +412,7 @@ def _ivf_kmeans_oracle() -> str:
       SELECT e.vec_id, e.embedding, {_duck_cell('e')} AS cell FROM embeddings e
     ),
     dims AS (
-      SELECT cell, i,
-             ROUND(SUM(CAST(ROUND(v * 1000000000) AS BIGINT))
-                   / 1000000000.0 / COUNT(*), 6) AS m
+      SELECT cell, i, {nano_mean_sql("v")} AS m
       FROM (
         SELECT cell,
                UNNEST(CAST(embedding AS DOUBLE[])) AS v,
@@ -456,16 +466,7 @@ def _ivf_codebook_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("i", "v"),
             )
             .groupBy("cell", "i")
-            # exact nano-unit accumulation (order-independent) — the
-            # embedding-centroid policy, see embedding_label_centroids
-            .agg(F.round(
-                F.sum(
-                    F.round(F.col("v") * 1_000_000_000).cast("decimal(38,0)")
-                )
-                / 1_000_000_000.0
-                / F.count(F.lit(1)),
-                6,
-            ).alias("m"))
+            .agg(nano_mean("v").alias("m"))
         )
         cent = (
             dims.groupBy("cell")
@@ -861,11 +862,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_label_centroids",
     oracle=f"""
     SELECT label, CAST(pos AS INTEGER) AS dim,
-           -- exact integer nano-unit accumulation, one divide + round
-           -- (order-independent; same policy as embedding_outlier_topk)
-           ROUND(SUM(CAST(ROUND(CAST(embedding[pos] AS DOUBLE)
-                                * 1000000000) AS BIGINT))
-                 / 1000000000.0 / COUNT(*), 6) AS centroid_val,
+           -- nano-unit mean policy, single-sourced (functions/vector.py)
+           {nano_mean_sql("embedding[pos]")} AS centroid_val,
            CAST(COUNT(*) AS BIGINT) AS n_vectors
     FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) g(pos)
     WHERE LEN(embedding) = {EMB_DIM}
@@ -895,15 +893,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", F.posexplode("embedding").alias("pos0", "v"))
         .groupBy("label", (F.col("pos0") + 1).cast("int").alias("dim"))
         .agg(
-            F.round(
-                F.sum(
-                    F.round(F.col("v").cast("double") * 1_000_000_000)
-                    .cast("decimal(38,0)")
-                )
-                / 1_000_000_000.0
-                / F.count(F.lit(1)),
-                6,
-            ).alias("centroid_val"),
+            nano_mean("v").alias("centroid_val"),
             F.count("*").cast("bigint").alias("n_vectors"),
         )
     )
@@ -1094,10 +1084,13 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT dim, n,
            ROUND(CAST(sx AS DOUBLE) / 1000000000.0 / n, 6) AS mean,
-           ROUND(SQRT((CAST(sxx AS DOUBLE) / 1e18
+           -- GREATEST clamp: a constant-valued dimension cancels to a
+           -- tiny NEGATIVE variance in doubles; DuckDB SQRT(-eps)
+           -- throws and Spark returns NaN (review r7 finding)
+           ROUND(SQRT(GREATEST((CAST(sxx AS DOUBLE) / 1e18
                        - (CAST(sx AS DOUBLE) / 1000000000.0)
                          * (CAST(sx AS DOUBLE) / 1000000000.0) / n)
-                      / (n - 1)), 6) AS std,
+                      / (n - 1), 0)), 6) AS std,
            min_v, max_v, n_zero
     FROM mom
     """,
@@ -1137,7 +1130,13 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(sxd / F.col("n"), 6).alias("mean"),
         F.round(
-            F.sqrt((sxxd - sxd * sxd / F.col("n")) / (F.col("n") - 1)), 6
+            F.sqrt(
+                F.greatest(
+                    (sxxd - sxd * sxd / F.col("n")) / (F.col("n") - 1),
+                    F.lit(0.0),
+                )
+            ),
+            6,
         ).alias("std"),
         "min_v",
         "max_v",
@@ -1311,9 +1310,7 @@ def _pq_duck_cells(src: str = "embeddings") -> str:
       FROM sub
     ),
     cdims AS (
-      SELECT m, cell, i,
-             ROUND(SUM(CAST(ROUND(v * 1000000000) AS BIGINT))
-                   / 1000000000.0 / COUNT(*), 6) AS c FROM (
+      SELECT m, cell, i, {nano_mean_sql("v")} AS c FROM (
         SELECT m, cell, UNNEST(sub) AS v,
                UNNEST(range(1, {_PQ_SUBDIM} + 1)) AS i
         FROM cells
@@ -1366,15 +1363,7 @@ def _pq_codebook_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         cdims = (
             exploded.select("m", "cell", F.posexplode("sub").alias("i", "v"))
             .groupBy("m", "cell", "i")
-            # nano-unit accumulation, same policy as the IVF codebook
-            .agg(F.round(
-                F.sum(
-                    F.round(F.col("v") * 1_000_000_000).cast("decimal(38,0)")
-                )
-                / 1_000_000_000.0
-                / F.count(F.lit(1)),
-                6,
-            ).alias("c"))
+            .agg(nano_mean("v").alias("c"))
         )
         return (
             cdims.groupBy("m", "cell")
@@ -1511,9 +1500,7 @@ _OUTLIER_TOPK = 3
       -- independent), one division + one 6dp round at the end: an
       -- order-dependent AVG could round a half-boundary centroid
       -- differently across engines/partitionings
-      SELECT label, dim,
-             ROUND(SUM(CAST(ROUND(v * 1000000000) AS BIGINT))
-                   / 1000000000.0 / COUNT(*), 6) AS c
+      SELECT label, dim, {nano_mean_sql("v")} AS c
       FROM comp GROUP BY 1, 2
     ),
     terms AS (
@@ -1566,14 +1553,7 @@ def embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v0").cast("double").alias("v"),
         )
     )
-    cent = comp.groupBy("label", "dim").agg(
-        F.round(
-            F.sum(F.round(F.col("v") * 1_000_000_000).cast("decimal(38,0)"))
-            / 1_000_000_000.0
-            / F.count(F.lit(1)),
-            6,
-        ).alias("c")
-    )
+    cent = comp.groupBy("label", "dim").agg(nano_mean("v").alias("c"))
     terms = comp.join(F.broadcast(cent), ["label", "dim"]).select(
         "vec_id",
         "label",

@@ -1479,15 +1479,16 @@ def daily_counts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sxx) AS sxx,
-             SUM(CAST(ROUND((sxx - CAST(sx * sx AS DOUBLE) / n) * 1000000, 0)
-                      AS BIGINT)) AS ssw_micro
+             SUM(CAST(ROUND((sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                             * 1000000, 0) AS BIGINT)) AS ssw_micro
       FROM g
     )
     SELECT CAST(n AS BIGINT) AS n_days,
-           ROUND((sxx - CAST(sx * sx AS DOUBLE) / n) / n, 4) AS var_total,
+           ROUND((sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n, 4)
+             AS var_total,
            ROUND(ssw_micro / 1000000.0 / n, 4) AS var_within_dow,
            ROUND(1 - (ssw_micro / 1000000.0)
-                     / (sxx - CAST(sx * sx AS DOUBLE) / n), 6)
+                     / (sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n), 6)
              AS seasonality_strength
     FROM s
     """,
@@ -1522,9 +1523,13 @@ def weekly_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before the 7-row sum — 7 exact integer adds instead of a float
     # accumulation whose operand order is engine/partition dependent
     # (the oracle applies the identical per-term round)
+    # square AFTER the double cast: a decimal sx*sx product overflows
+    # (ANSI error) once sx exceeds ~3e18, while double(sx) is exact for
+    # any realistic count (< 2^53) and both engines then round the
+    # product identically (review r7 finding)
     term = (
         F.col("sxx").cast("double")
-        - (F.col("sx") * F.col("sx")).cast("double") / F.col("n")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("n")
     )
     s = g.agg(
         F.sum("n").alias("n"),
@@ -1532,9 +1537,9 @@ def weekly_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sxx").alias("sxx"),
         F.sum(F.round(term * 1000000, 0).cast("bigint")).alias("ssw_micro"),
     )
-    ss_total = F.col("sxx").cast("double") - (
-        F.col("sx") * F.col("sx")
-    ).cast("double") / F.col("n")
+    ss_total = F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double") / F.col("n")
     ss_within = F.col("ssw_micro") / 1000000.0
     return s.select(
         F.col("n").alias("n_days"),

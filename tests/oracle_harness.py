@@ -42,6 +42,27 @@ def _normalize(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=repr)
 
 
+def dtype_kind_mismatches(
+    spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame
+) -> list[tuple[str, str, str]]:
+    """Per-column dtype-KIND differences (int vs float vs object vs
+    datetime; unsigned folds into int) between a Spark result and the
+    DuckDB oracle frame — the divergence class the driver's exact
+    value-hash fails on. Empty frames carry no representation for the
+    driver to hash, so they report no mismatches. Shared by
+    ``compare()`` and tools/dtype_sweep.py so the tool and the gate
+    can never disagree."""
+    if not len(spark_pdf):
+        return []
+    out = []
+    for c in sorted(spark_pdf.columns):
+        sk = spark_pdf[c].dtype.kind.replace("u", "i")
+        ok = oracle_pdf[c].dtype.kind.replace("u", "i")
+        if sk != ok:
+            out.append((c, str(spark_pdf[c].dtype), str(oracle_pdf[c].dtype)))
+    return out
+
+
 def compare(spark_df, oracle_pdf: pd.DataFrame, name: str) -> None:
     spark_pdf = spark_df.toPandas()
     assert len(spark_pdf) == len(oracle_pdf), (
@@ -53,22 +74,11 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, name: str) -> None:
     # Dtype-KIND strictness (VERDICT r6 item 2): the driver's exact value-hash
     # distinguishes 1667 (int64) from 1667.0 (float64), so a lenient local
     # compare that treats them as equal predicts green where the driver records
-    # red.  Compare pandas dtype kinds per column (int 'i'/'u' vs float 'f' vs
-    # object/bool/datetime) BEFORE value comparison.  Empty frames carry no
-    # representation for the driver to hash, so skip the kind check there
-    # (DuckDB also types empty results differently than populated ones).
-    if len(spark_pdf):
-        kind_mismatch = []
-        for c in sorted(spark_pdf.columns):
-            sk = spark_pdf[c].dtype.kind
-            ok = oracle_pdf[c].dtype.kind
-            sk = "i" if sk == "u" else sk
-            ok = "i" if ok == "u" else ok
-            if sk != ok:
-                kind_mismatch.append((c, str(spark_pdf[c].dtype), str(oracle_pdf[c].dtype)))
-        assert not kind_mismatch, (
-            f"{name}: dtype-kind mismatch (spark vs oracle): {kind_mismatch}"
-        )
+    # red.
+    kind_mismatch = dtype_kind_mismatches(spark_pdf, oracle_pdf)
+    assert not kind_mismatch, (
+        f"{name}: dtype-kind mismatch (spark vs oracle): {kind_mismatch}"
+    )
     s_rows = _normalize(spark_pdf)
     o_rows = _normalize(oracle_pdf)
     mismatches = [

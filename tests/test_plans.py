@@ -1836,8 +1836,15 @@ def test_jaccard_pairs_basket_generation_df_capped(spark):
     # posting-array explode
     assert "Join" not in text, text
     assert "Generate explode" in text, text
-    # the df cap is a real size() filter on the collected posting list
-    assert re.search(r"size\(docs.*\) <= %d" % _JACCARD_DF_CAP, text), text
+    # the df cap filters BEFORE collect_list (window count over sh) so
+    # a mega-hot posting list never materializes in an agg buffer
+    assert re.search(r"df.* <= %d" % _JACCARD_DF_CAP, text), text
+    lines = text.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window" in l)
+    agg = next(
+        i for i, l in enumerate(lines) if "collect_list" in l and "Aggregate" in l
+    )
+    assert agg < win, text  # window (and its filter) BELOW the collect agg
 
 
 def test_tokenizer_fertility_single_aggregate(spark):

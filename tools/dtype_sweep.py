@@ -27,6 +27,9 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    # bare session ON PURPOSE, like driver_preflight: the external
+    # driver builds its own untuned session, so config assumptions
+    # must not leak into what this sweep observes
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
@@ -37,7 +40,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry
-    from oracle_harness import duck_connection
+    from oracle_harness import dtype_kind_mismatches, duck_connection
 
     q = entry.queries()
     o = entry.oracle_sql()
@@ -54,13 +57,7 @@ def main() -> None:
         try:
             spark_pdf = q[name](spark, sf_dir).toPandas()
             oracle_pdf = con.execute(o[name]).df()
-            mism = []
-            if len(spark_pdf):
-                for c in sorted(spark_pdf.columns):
-                    sk = spark_pdf[c].dtype.kind.replace("u", "i")
-                    ok = oracle_pdf[c].dtype.kind.replace("u", "i")
-                    if sk != ok:
-                        mism.append((c, str(spark_pdf[c].dtype), str(oracle_pdf[c].dtype)))
+            mism = dtype_kind_mismatches(spark_pdf, oracle_pdf)
             dt = time.perf_counter() - t0
             if mism:
                 bad.append(name)
