@@ -244,7 +244,20 @@ HEAVY_TAIL = [
 # pairs (the exact operator's all-pairs work is quadratic by definition;
 # the LSH one's candidate set grows with qualifying pairs). Their
 # elapsed ratio is judged against k² shape, not k.
-SUPERLINEAR_OUTPUT = {"embedding_near_dup", "embedding_near_dup_lsh"}
+# fuzzy_name_match belongs here for a replica-specific reason: the
+# scaled data repeats every s_name/c_name verbatim k times (names are
+# not key columns, so the replica offset never touches them), so its
+# 7-char blocking key collides across replicas and in-block candidate
+# pairs grow k^2 (measured: 100k -> 10M at k=10) even though the
+# match OUTPUT stays constant. On real data distinct entities get
+# distinct blocks; on this data the k^2 candidate work is inherent,
+# so its elapsed is judged against k^2 shape like the embedding pair
+# operators.
+SUPERLINEAR_OUTPUT = {
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "fuzzy_name_match",
+}
 
 # date-windowed queries: the replica time shift leaves only replica 0
 # inside the fixed filter window, so output is CONSTANT and the scaled
