@@ -95,8 +95,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer ⋈ orders ⋈ lineitem with selective dimension filter;
-    customer side broadcast (small), orders⋈lineitem shuffles on
-    orderkey. Top-k plans as TakeOrderedAndProject (no full sort)."""
+    the segment-filtered customer side is broadcast-hinted — correct
+    while that 1/5 slice fits the executor broadcast budget (true at
+    every benchmarked SF); past that, drop the hint and AQE keeps the
+    filtered side as the shuffle-hash build side. orders⋈lineitem
+    shuffles on orderkey. Top-k plans as TakeOrderedAndProject (no
+    full sort)."""
     t = _t(spark, sf_dir, "customer", "orders", "lineitem")
     cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
     return (
@@ -142,8 +146,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snowflake chain: fact tables shuffle-join on keys; all four
-    dimension tables are broadcast. Catalyst collapses the broadcast
+    """Snowflake chain: fact tables shuffle-join on keys; the
+    dimension tables are broadcast-hinted. nation/region are bounded;
+    customer/supplier grow O(SF), so those two hints assume the
+    benchmark budget — past it, drop them and AQE picks shuffle-hash
+    with the dim as build side. Catalyst collapses the broadcast
     chain into one stage over the lineitem scan."""
     t = _t(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
     return (
@@ -305,7 +312,10 @@ def q7_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders×qualifying-customers) BEFORE the orders⋈lineitem shuffle —
     the big exchange moves ~2/25ths of the rows instead of all of
     them — and only the residual (A→B)|(B→A) pairing evaluates
-    post-join."""
+    post-join. The qualifying-supplier/customer broadcasts are 2/25
+    slices of O(SF) tables: correct at benchmark SFs, to be replaced
+    by shuffle-hash (filtered side as build) past the broadcast
+    budget."""
     t = _t(
         spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
     )
