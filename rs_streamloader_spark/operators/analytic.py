@@ -168,9 +168,25 @@ def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "anomaly_zscore",
     oracle="""
-    WITH stats AS (
-      SELECT event_type, AVG("value") AS mu, STDDEV_SAMP("value") AS sigma
+    WITH mom AS (
+      -- exact integer nano-unit moments: mu/sigma derive from
+      -- (sx, sxx, n) in one fixed double expression on both engines,
+      -- so the HARD |z|>3 membership test cannot flip on float
+      -- partial-sum order (the old AVG/STDDEV_SAMP could)
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(ROUND("value" * 1000000000) AS BIGINT)) AS sx,
+             SUM(CAST(ROUND("value" * 1000000000) AS HUGEINT)
+                 * CAST(ROUND("value" * 1000000000) AS BIGINT)) AS sxx
       FROM events GROUP BY event_type
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(sx AS DOUBLE) / 1000000000.0 / n AS mu,
+             SQRT(GREATEST((CAST(sxx AS DOUBLE) / 1e18
+                            - (CAST(sx AS DOUBLE) / 1000000000.0)
+                              * (CAST(sx AS DOUBLE) / 1000000000.0) / n)
+                           / (n - 1), 0)) AS sigma
+      FROM mom
     )
     SELECT e.event_id, e.event_type,
            ROUND(e."value", 2) AS "value",
@@ -183,11 +199,29 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type z-score outliers (|z| > 3): the aggregate side is a
     tiny per-type stats table broadcast back against the event scan —
     two passes over the data but only one shuffle (the stats agg),
-    which is the scalable shape vs. a window over every row."""
+    which is the scalable shape vs. a window over every row. mu/sigma
+    derive from exact integer nano-unit moments (order-independent
+    sums) so the hard |z|>3 membership cannot flip on partial-sum
+    order across engines or partitionings."""
     t = _t(spark, sf_dir, "events")
     ev = t["events"]
-    stats = ev.groupBy("event_type").agg(
-        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    vn = F.round(F.col("value") * 1_000_000_000).cast("bigint")
+    mom = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(vn.cast("decimal(38,0)")).alias("sx"),
+        F.sum(vn.cast("decimal(38,0)") * vn).alias("sxx"),
+    )
+    sxd = F.col("sx").cast("double") / 1_000_000_000.0
+    sxxd = F.col("sxx").cast("double") / 1e18
+    stats = mom.select(
+        "event_type",
+        (sxd / F.col("n")).alias("mu"),
+        F.sqrt(
+            F.greatest(
+                (sxxd - sxd * sxd / F.col("n")) / (F.col("n") - 1),
+                F.lit(0.0),
+            )
+        ).alias("sigma"),
     )
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
     return (
@@ -514,12 +548,20 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Correlated scalar subquery (Catalyst decorrelates into an agg join)
 # ---------------------------------------------------------------------------
 
+# One SQL text runs on BOTH engines (the Spark side is spark.sql of
+# this string). The correlated mean accumulates integer NANO-units in
+# DECIMAL(38,0) — portable to both dialects, order-independent — so
+# the hard `price > mean` membership cannot flip on float partial-sum
+# order (a type whose prices are all equal puts every row exactly ON
+# the boundary, where a 1-ulp AVG difference flips the whole group).
 _ABOVE_TYPE_AVG_SQL = """
 SELECT p.p_partkey, p.p_name, p.p_type,
        ROUND(p.p_retailprice, 2) AS p_retailprice
 FROM part p
 WHERE p.p_retailprice > (
-    SELECT AVG(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type
+    SELECT SUM(CAST(ROUND(p2.p_retailprice * 1000000000) AS DECIMAL(38,0)))
+           / 1000000000.0 / COUNT(*)
+    FROM part p2 WHERE p2.p_type = p.p_type
 )
 """
 
