@@ -147,13 +147,33 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # Pandas-UDF pipeline: driver records rows-only check
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(1, LENGTH(text) + 1),
+                    i -> ASCII(SUBSTR(text, CAST(i AS INTEGER), 1)))) AS b
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_bytes,
+           CAST(SUM(b) AS BIGINT) AS byte_sum,
+           CAST(MIN(b) AS INTEGER) AS byte_min,
+           CAST(MAX(b) AS INTEGER) AS byte_max
+    FROM chars GROUP BY doc_id
+    """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
     ``mapInPandas`` — the decode/resize/frame-sample slot. Repartitions
     by doc_id so batches are balanced; at scale, payload bytes flow
-    executor→Python worker via Arrow without driver involvement."""
+    executor→Python worker via Arrow without driver involvement.
+
+    The decode is the documented deterministic STUB (no media libs in
+    the container), but since it emits byte-level statistics and the
+    documents corpus is ASCII (bytes == characters), the WHOLE
+    pipeline — binary column → Arrow → Python worker → typed rows —
+    is now oracle-checked against a per-character SQL twin, upgrading
+    this from the driver's rows-only check."""
     t = load_tables(spark, sf_dir, "documents")["documents"]
     media = synth_media(t).repartition("doc_id")
     return media.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
