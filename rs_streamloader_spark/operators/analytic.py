@@ -20,6 +20,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from rs_streamloader_spark.functions.moments import (
+    nano_moment_aggs,
+    nano_moment_aggs_sql,
+    nano_mu,
+    nano_mu_sql,
+    nano_sigma_samp,
+    nano_sigma_samp_sql,
+)
 from rs_streamloader_spark.operators.registry import register
 from rs_streamloader_spark.session import load_tables, spread
 
@@ -167,31 +175,30 @@ def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "anomaly_zscore",
-    oracle="""
+    oracle=f"""
     WITH mom AS (
-      -- exact integer nano-unit moments: mu/sigma derive from
-      -- (sx, sxx, n) in one fixed double expression on both engines,
-      -- so the HARD |z|>3 membership test cannot flip on float
-      -- partial-sum order (the old AVG/STDDEV_SAMP could)
-      SELECT event_type, COUNT(*) AS n,
-             SUM(CAST(ROUND("value" * 1000000000) AS BIGINT)) AS sx,
-             SUM(CAST(ROUND("value" * 1000000000) AS HUGEINT)
-                 * CAST(ROUND("value" * 1000000000) AS BIGINT)) AS sxx
+      -- exact integer nano-unit moments (functions/moments.py — the
+      -- single-sourced policy shared with embedding_dim_stats):
+      -- mu/sigma derive from (sx, sxx, n) in one fixed double
+      -- expression on both engines, so the HARD |z|>3 membership test
+      -- cannot flip on float partial-sum order
+      SELECT event_type, {nano_moment_aggs_sql('"value"')}
       FROM events GROUP BY event_type
     ),
     stats AS (
       SELECT event_type,
-             CAST(sx AS DOUBLE) / 1000000000.0 / n AS mu,
-             SQRT(GREATEST((CAST(sxx AS DOUBLE) / 1e18
-                            - (CAST(sx AS DOUBLE) / 1000000000.0)
-                              * (CAST(sx AS DOUBLE) / 1000000000.0) / n)
-                           / (n - 1), 0)) AS sigma
+             {nano_mu_sql()} AS mu,
+             {nano_sigma_samp_sql()} AS sigma
       FROM mom
-    )
+    ),
+    -- zero-variance / single-row groups are DROPPED: a z-score is
+    -- undefined there, and leaving the division in would be an ANSI
+    -- divide-by-zero on the Spark side while DuckDB silently NULLs it
+    usable AS (SELECT * FROM stats WHERE sigma > 0)
     SELECT e.event_id, e.event_type,
            ROUND(e."value", 2) AS "value",
            ROUND((e."value" - s.mu) / s.sigma, 4) AS zscore
-    FROM events e JOIN stats s ON e.event_type = s.event_type
+    FROM events e JOIN usable s ON e.event_type = s.event_type
     WHERE ABS((e."value" - s.mu) / s.sigma) > 3
     """,
 )
@@ -202,27 +209,18 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is the scalable shape vs. a window over every row. mu/sigma
     derive from exact integer nano-unit moments (order-independent
     sums) so the hard |z|>3 membership cannot flip on partial-sum
-    order across engines or partitionings."""
+    order across engines or partitionings. Single-row and
+    zero-variance event types are dropped before scoring (z is
+    undefined there; an unguarded divide would crash under ANSI on
+    the Spark side while DuckDB silently NULLs it)."""
     t = _t(spark, sf_dir, "events")
     ev = t["events"]
-    vn = F.round(F.col("value") * 1_000_000_000).cast("bigint")
-    mom = ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum(vn.cast("decimal(38,0)")).alias("sx"),
-        F.sum(vn.cast("decimal(38,0)") * vn).alias("sxx"),
-    )
-    sxd = F.col("sx").cast("double") / 1_000_000_000.0
-    sxxd = F.col("sxx").cast("double") / 1e18
+    mom = ev.groupBy("event_type").agg(*nano_moment_aggs("value"))
     stats = mom.select(
         "event_type",
-        (sxd / F.col("n")).alias("mu"),
-        F.sqrt(
-            F.greatest(
-                (sxxd - sxd * sxd / F.col("n")) / (F.col("n") - 1),
-                F.lit(0.0),
-            )
-        ).alias("sigma"),
-    )
+        nano_mu().alias("mu"),
+        nano_sigma_samp().alias("sigma"),
+    ).filter(F.col("sigma") > 0)
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
     return (
         ev.join(F.broadcast(stats), "event_type")
@@ -554,13 +552,20 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the hard `price > mean` membership cannot flip on float partial-sum
 # order (a type whose prices are all equal puts every row exactly ON
 # the boundary, where a 1-ulp AVG difference flips the whole group).
+# The exact sum is CAST TO DOUBLE before the division and divided by
+# the DOUBLE literal 1e9: `x / 1000000000.0` is decimal division
+# rounded at scale 6 in Spark but double division in DuckDB — the
+# all-equal boundary case then flips on the representation (measured:
+# 900.070000 decimal vs 900.0699999999999 double). Identical double
+# arithmetic on both engines is the fix.
 _ABOVE_TYPE_AVG_SQL = """
 SELECT p.p_partkey, p.p_name, p.p_type,
        ROUND(p.p_retailprice, 2) AS p_retailprice
 FROM part p
 WHERE p.p_retailprice > (
-    SELECT SUM(CAST(ROUND(p2.p_retailprice * 1000000000) AS DECIMAL(38,0)))
-           / 1000000000.0 / COUNT(*)
+    SELECT CAST(SUM(CAST(ROUND(p2.p_retailprice * 1000000000)
+                         AS DECIMAL(38,0))) AS DOUBLE)
+           / 1e9 / COUNT(*)
     FROM part p2 WHERE p2.p_type = p.p_type
 )
 """

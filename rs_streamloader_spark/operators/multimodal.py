@@ -78,6 +78,11 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     (Arrow batches in, typed rows out, bounded memory per batch).
     """
     for pdf in batches:
+        # empty payloads carry no byte statistics: skip the row
+        # (matches the oracle, whose per-character explode emits no
+        # rows for empty text) instead of crashing min()/max()
+        mask = pdf["payload"].map(len) > 0
+        pdf = pdf[mask]
         payloads = pdf["payload"]
         yield pd.DataFrame(
             {

@@ -24,6 +24,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from rs_streamloader_spark.functions.moments import (
+    nano_moment_aggs,
+    nano_moment_aggs_sql,
+    nano_mu,
+    nano_mu_sql,
+    nano_sigma_samp,
+    nano_sigma_samp_sql,
+)
 from rs_streamloader_spark.functions.vector import dot_expr, nano_mean, nano_mean_sql, norm_expr
 from rs_streamloader_spark.operators.registry import REGISTRY, register
 from rs_streamloader_spark.session import load_tables, spread, stage_cached
@@ -1063,34 +1071,24 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_dim_stats",
-    oracle="""
+    oracle=f"""
     WITH comp AS (
       SELECT UNNEST(CAST(embedding AS DOUBLE[])) AS v,
              CAST(UNNEST(range(0, len(embedding))) AS INT) AS dim
       FROM embeddings
     ),
     mom AS (
-      -- exact integer nano-unit moments (order-independent sums);
-      -- mean/std derive from (sx, sxx, n) in one fixed double
-      -- expression on both engines
-      SELECT dim, COUNT(*) AS n,
-             SUM(CAST(ROUND(v * 1000000000) AS BIGINT)) AS sx,
-             SUM(CAST(ROUND(v * 1000000000) AS HUGEINT)
-                 * CAST(ROUND(v * 1000000000) AS BIGINT)) AS sxx,
+      -- exact integer nano-unit moments (functions/moments.py — the
+      -- single-sourced policy shared with anomaly_zscore)
+      SELECT dim, {nano_moment_aggs_sql("v")},
              ROUND(MIN(v), 6) AS min_v,
              ROUND(MAX(v), 6) AS max_v,
              CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
       FROM comp GROUP BY dim
     )
     SELECT dim, n,
-           ROUND(CAST(sx AS DOUBLE) / 1000000000.0 / n, 6) AS mean,
-           -- GREATEST clamp: a constant-valued dimension cancels to a
-           -- tiny NEGATIVE variance in doubles; DuckDB SQRT(-eps)
-           -- throws and Spark returns NaN (review r7 finding)
-           ROUND(SQRT(GREATEST((CAST(sxx AS DOUBLE) / 1e18
-                       - (CAST(sx AS DOUBLE) / 1000000000.0)
-                         * (CAST(sx AS DOUBLE) / 1000000000.0) / n)
-                      / (n - 1), 0)), 6) AS std,
+           ROUND({nano_mu_sql()}, 6) AS mean,
+           ROUND({nano_sigma_samp_sql()}, 6) AS std,
            min_v, max_v, n_zero
     FROM mom
     """,
@@ -1114,30 +1112,17 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim", "v"
         )
     )
-    vn = F.round(F.col("v") * 1_000_000_000).cast("bigint")
     mom = comp.groupBy("dim").agg(
-        F.count("*").alias("n"),
-        F.sum(vn.cast("decimal(38,0)")).alias("sx"),
-        F.sum(vn.cast("decimal(38,0)") * vn).alias("sxx"),
+        *nano_moment_aggs("v"),
         F.round(F.min("v"), 6).alias("min_v"),
         F.round(F.max("v"), 6).alias("max_v"),
         F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).alias("n_zero"),
     )
-    sxd = F.col("sx").cast("double") / 1_000_000_000.0
-    sxxd = F.col("sxx").cast("double") / 1e18
     return mom.select(
         "dim",
         "n",
-        F.round(sxd / F.col("n"), 6).alias("mean"),
-        F.round(
-            F.sqrt(
-                F.greatest(
-                    (sxxd - sxd * sxd / F.col("n")) / (F.col("n") - 1),
-                    F.lit(0.0),
-                )
-            ),
-            6,
-        ).alias("std"),
+        F.round(nano_mu(), 6).alias("mean"),
+        F.round(nano_sigma_samp(), 6).alias("std"),
         "min_v",
         "max_v",
         "n_zero",

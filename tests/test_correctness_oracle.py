@@ -31,3 +31,21 @@ def test_query_matches_oracle(spark, duck, name):
         return
     oracle_pdf = duck.execute(spec.oracle).fetchdf()
     compare(df, oracle_pdf, name)
+
+
+def test_documents_corpus_is_nonempty_ascii(spark):
+    """The multimodal byte-stat and frame oracles equate CHARACTERS
+    with BYTES — valid only while the documents corpus is non-empty
+    pure ASCII. Pin that invariant so a future testdata change fails
+    loudly here instead of silently skewing those comparisons."""
+    from pyspark.sql import functions as F
+
+    from rs_streamloader_spark.session import load_tables
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE, "documents")["documents"]
+    bad = docs.filter(
+        (F.length("text") == 0)
+        | (F.length("text") != F.octet_length(F.encode("text", "utf-8")))
+    ).count()
+    assert bad == 0

@@ -244,20 +244,18 @@ HEAVY_TAIL = [
 # pairs (the exact operator's all-pairs work is quadratic by definition;
 # the LSH one's candidate set grows with qualifying pairs). Their
 # elapsed ratio is judged against k² shape, not k.
-# fuzzy_name_match belongs here for a replica-specific reason: the
-# scaled data repeats every s_name/c_name verbatim k times (names are
-# not key columns, so the replica offset never touches them), so its
-# 7-char blocking key collides across replicas and in-block candidate
-# pairs grow k^2 (measured: 100k -> 10M at k=10) even though the
-# match OUTPUT stays constant. On real data distinct entities get
-# distinct blocks; on this data the k^2 candidate work is inherent,
-# so its elapsed is judged against k^2 shape like the embedding pair
-# operators.
-SUPERLINEAR_OUTPUT = {
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "fuzzy_name_match",
-}
+SUPERLINEAR_OUTPUT = {"embedding_near_dup", "embedding_near_dup_lsh"}
+
+# superlinear WORK with constant output — distinct from the set above
+# so the artifact field stays truthful: fuzzy_name_match's scaled data
+# repeats every s_name/c_name verbatim k times (names are not key
+# columns, so the replica offset never touches them), making its
+# 7-char blocking key collide across replicas — in-block CANDIDATE
+# pairs grow k^2 (measured: 100k -> 10M at k=10) while the match
+# OUTPUT stays constant. On real data distinct entities get distinct
+# blocks; on this data the k^2 candidate work is inherent, so elapsed
+# is judged against the k^2 shape.
+SUPERLINEAR_WORK = {"fuzzy_name_match"}
 
 # date-windowed queries: the replica time shift leaves only replica 0
 # inside the fixed filter window, so output is CONSTANT and the scaled
@@ -491,6 +489,8 @@ def run_stress(spark, base_sf: str, scaled_sf: str, k: int) -> dict:
         )
         if name in SUPERLINEAR_OUTPUT:
             row["output_growth"] = "superlinear"
+        elif name in SUPERLINEAR_WORK:
+            row["output_growth"] = "superlinear-work"
         elif name in DATE_WINDOWED:
             row["output_growth"] = "window-constant"
         elif name in CONSTANT_OUTPUT:
