@@ -368,3 +368,67 @@ class TestWeightedMedianModel:
                 break
         assert row.median_value == want
         assert row.total_weight == total
+
+
+# ---------------------------------------------------------------------------
+# df-capped co-shingle pair counts vs a brute-force model
+# ---------------------------------------------------------------------------
+
+docs_strategy = st.lists(
+    st.lists(st.integers(min_value=0, max_value=5), min_size=3, max_size=8),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(word_docs=docs_strategy, cap=st.integers(min_value=2, max_value=4))
+def test_coshingle_counts_match_bruteforce_under_cap(
+    spark, monkeypatch, word_docs, cap
+):
+    """The basket-array pair stage with a SMALL df cap equals the
+    brute-force model that drops shingles with df > cap first — the
+    capping branch itself, which the test corpora (max df 25 ≪ 2000)
+    never reach. Tiny vocabulary (6 words) forces hot shingles."""
+    import rs_streamloader_spark.operators.dedup as dd
+
+    texts = [" ".join(str(w) for w in ws) for ws in word_docs]
+
+    # brute-force model: distinct word-trigram shingles per doc,
+    # drop shingles with df > cap, count shared shingles per pair
+    shingles = []
+    for ws in word_docs:
+        gs = {
+            " ".join(str(x) for x in ws[i : i + 3])
+            for i in range(len(ws) - 2)
+        }
+        shingles.append(gs)
+    from collections import Counter
+
+    df_count = Counter(sh for gs in shingles for sh in gs)
+    kept = [
+        {sh for sh in gs if df_count[sh] <= cap} for gs in shingles
+    ]
+    expected = {}
+    for a in range(len(kept)):
+        for b in range(a + 1, len(kept)):
+            i = len(kept[a] & kept[b])
+            if i:
+                expected[(a, b)] = (i, len(shingles[a]), len(shingles[b]))
+
+    monkeypatch.setattr(dd, "_JACCARD_DF_CAP", cap)
+    docs_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    monkeypatch.setattr(
+        dd, "_shingles_cached", lambda _s, _d: dd._shingles(docs_df)
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["i"], r["na"], r["nb"])
+        for r in dd._coshingle_counts_plan(spark, "ignored").collect()
+    }
+    assert got == expected
