@@ -52,3 +52,30 @@ def test_ivf_kmeans_recall_beats_fixed_cells(spark):
     r_trained = len(trained & exact) / len(exact)
     assert r_trained >= r_fixed, (r_trained, r_fixed)
     assert r_trained >= 0.5
+
+
+def test_block_exact_pairs_invariant_to_blocking(spark, monkeypatch):
+    """The all-pairs scorer must return the identical pair set at ANY
+    block count: with the count-adaptive BLOCK_TARGET (2048) the test
+    corpus runs as ONE block, so force multi-block (500 vectors / 100
+    -> 5 blocks, 15 block-pair groups) and require equality with the
+    single-block result — covering the (bi, bj, side) replication and
+    the cross-block id-orientation branch the default path no longer
+    exercises at test scale."""
+    import rs_streamloader_spark.operators.similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+
+    def pairs():
+        sim._COUNT_CACHE.clear()
+        return {
+            (r["vec_a"], r["vec_b"]): r["cosine"]
+            for r in sim._block_exact_pairs(spark, sf).collect()
+        }
+
+    baseline = pairs()
+    monkeypatch.setattr(sim, "BLOCK_TARGET", 100)
+    multi = pairs()
+    sim._COUNT_CACHE.clear()
+    assert multi == baseline
+    assert len(baseline) > 0
