@@ -79,3 +79,21 @@ def test_block_exact_pairs_invariant_to_blocking(spark, monkeypatch):
     sim._COUNT_CACHE.clear()
     assert multi == baseline
     assert len(baseline) > 0
+
+
+def test_dedup_semantic_adaptive_bits_branch(spark, monkeypatch):
+    """Force the cell-subdivision branch (bits > 0), which the real
+    corpus never reaches (500 vectors / (8·64) target → bits 0): with
+    SEMDEDUP_TARGET_CELL=2 both the Spark side (runtime count) and a
+    freshly rendered oracle (SQL COUNT) must derive the same bits and
+    agree exactly on the kept/dropped sets."""
+    import rs_streamloader_spark.operators.similarity as sim
+    from tests.oracle_harness import compare, duck_connection
+
+    monkeypatch.setattr(sim, "SEMDEDUP_TARGET_CELL", 2)
+    sf = "/root/testdata/sf0.001"
+    con = duck_connection(sf)
+    n = con.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    assert sim._semdedup_bits(n) > 0
+    oracle_pdf = con.execute(sim._semdedup_oracle()).df()
+    compare(sim.dedup_semantic(spark, sf), oracle_pdf, "dedup_semantic[bits>0]")
