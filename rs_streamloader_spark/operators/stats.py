@@ -4113,3 +4113,119 @@ def price_qty_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_cells"),
         F.round(F.sum("t_nano") / 1_000_000_000.0, 6).alias("mutual_info_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise Pearson correlation matrix over the lineitem numerics
+# ---------------------------------------------------------------------------
+
+# one spec drives BOTH engines: (column, integer scale that represents
+# the column exactly — quantity is integral, money/rates are 2dp)
+_CORR_COLS = [
+    ("l_quantity", 100),
+    ("l_extendedprice", 100),
+    ("l_discount", 100),
+    ("l_tax", 100),
+]
+_CORR_PAIRS = [
+    (_CORR_COLS[i], _CORR_COLS[j])
+    for i in range(len(_CORR_COLS))
+    for j in range(i + 1, len(_CORR_COLS))
+]
+
+
+def _corr_oracle() -> str:
+    def iu(c, k):
+        return f"CAST(ROUND({c} * {k}) AS BIGINT)"
+
+    sums = []
+    for c, k in _CORR_COLS:
+        sums.append(f"SUM({iu(c, k)}) AS s_{c}")
+        sums.append(f"SUM(CAST({iu(c, k)} AS HUGEINT) * {iu(c, k)}) AS ss_{c}")
+    for (a, ka), (b, kb) in _CORR_PAIRS:
+        sums.append(
+            f"SUM(CAST({iu(a, ka)} AS HUGEINT) * {iu(b, kb)}) AS sp_{a}_{b}"
+        )
+    rows = []
+    for (a, _), (b, _) in _CORR_PAIRS:
+        num = (
+            f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        )
+        var_a = (
+            f"GREATEST(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE), 0)"
+        )
+        var_b = (
+            f"GREATEST(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE), 0)"
+        )
+        rows.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, CAST(n AS BIGINT) AS n,"
+            f" CASE WHEN {var_a} > 0 AND {var_b} > 0 THEN"
+            f" ROUND({num} / (SQRT({var_a}) * SQRT({var_b})), 6) END AS corr"
+            f" FROM mom"
+        )
+    union = "\n      UNION ALL\n      ".join(rows)
+    return f"""
+    WITH mom AS (
+      SELECT COUNT(*) AS n, {", ".join(sums)}
+      FROM lineitem
+    )
+    SELECT * FROM ({union})
+    """
+
+
+@register("numeric_corr_matrix", oracle=_corr_oracle())
+def numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over the lineitem numeric columns
+    (quantity, price, discount, tax) — the feature-redundancy /
+    leakage screen a profiling pass runs before modeling, emitted as
+    the 6-row upper triangle (col_x, col_y, n, corr).
+
+    Scale posture: ONE combinable aggregate computes every moment
+    (n, Σx, Σx², Σxy for all pairs) in a single fact-table pass — a
+    1-row reduction at any corpus size; the 6-row matrix then derives
+    on the driver-free select. Cross-engine determinism: each column
+    is exactly representable at its integer scale (quantity integral,
+    money/rates 2dp → ×100), so every moment is an exact
+    DECIMAL(38,0)/HUGEINT integer sum in any order; r derives through
+    one fixed double expression (scales cancel in r), variances clamp
+    at 0 and zero-variance pairs emit NULL on both engines."""
+    t = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+
+    def iu(c, k):
+        return F.round(F.col(c) * k).cast("bigint")
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c, k in _CORR_COLS:
+        v = iu(c, k)
+        aggs.append(F.sum(v.cast("decimal(38,0)")).alias(f"s_{c}"))
+        aggs.append(F.sum(v.cast("decimal(38,0)") * v).alias(f"ss_{c}"))
+    for (a, ka), (b, kb) in _CORR_PAIRS:
+        aggs.append(
+            F.sum(iu(a, ka).cast("decimal(38,0)") * iu(b, kb)).alias(f"sp_{a}_{b}")
+        )
+    mom = t.agg(*aggs)
+
+    def d(name):
+        return F.col(name).cast("double")
+
+    structs = []
+    for (a, _), (b, _) in _CORR_PAIRS:
+        num = d("n") * d(f"sp_{a}_{b}") - d(f"s_{a}") * d(f"s_{b}")
+        var_a = F.greatest(d("n") * d(f"ss_{a}") - d(f"s_{a}") * d(f"s_{a}"), F.lit(0.0))
+        var_b = F.greatest(d("n") * d(f"ss_{b}") - d(f"s_{b}") * d(f"s_{b}"), F.lit(0.0))
+        corr = F.when(
+            (var_a > 0) & (var_b > 0),
+            F.round(num / (F.sqrt(var_a) * F.sqrt(var_b)), 6),
+        )
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col("n").alias("n"),
+                corr.alias("corr"),
+            )
+        )
+    return mom.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

@@ -1876,3 +1876,20 @@ def test_shrinkage_report_pinned_build_side(spark):
     assert "SortMergeJoin" not in text, text
     cols = [c for c in scan_columns(df) if "text" in c]
     assert cols and all(set(c) <= {"doc_id", "text", "source"} for c in cols), cols
+
+
+def test_corr_matrix_single_pass_reduction(spark):
+    """The whole correlation matrix must be ONE combinable aggregate
+    over one lineitem scan (a 1-row reduction at any corpus size) —
+    no join, no second scan, numeric columns pruned at the scan."""
+    from rs_streamloader_spark.operators.stats import numeric_corr_matrix
+
+    df = numeric_corr_matrix(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Join" not in text, text
+    assert text.count("Scan parquet") == 1, text
+    cols = scan_columns(df)
+    assert cols and all(
+        set(c) <= {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+        for c in cols
+    ), cols

@@ -90,6 +90,7 @@ HEAVY_TAIL = [
     "dedup_cluster",
     "dedup_shrinkage_report",
     "tokenizer_fertility_by_lang",
+    "numeric_corr_matrix",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "embedding_near_dup",
@@ -275,6 +276,8 @@ CONSTANT_OUTPUT = {
     # per-source / per-lang rollups: scale-invariant key sets
     "dedup_shrinkage_report",
     "tokenizer_fertility_by_lang",
+    # fixed 6-row upper triangle from a 1-row moment reduction
+    "numeric_corr_matrix",
     "domain_mix_sample",
     "numeric_histogram",
     # vocab: top-100 cut is fixed; centroids: labels × 64 dims
