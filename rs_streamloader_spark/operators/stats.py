@@ -4229,3 +4229,137 @@ def numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return mom.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation over bounded-cardinality lineitem numerics
+# ---------------------------------------------------------------------------
+
+# bounded-cardinality columns only (quantity 1..50, discount/tax ~11
+# values): their value histograms are tiny, so the average-rank prefix
+# is a window over a BOUNDED aggregate and the rank maps broadcast.
+# l_extendedprice is deliberately excluded — its histogram is O(rows),
+# which would put a global window over unbounded data in the plan.
+_SPEAR_COLS = ["l_quantity", "l_discount", "l_tax"]
+_SPEAR_PAIRS = [
+    (_SPEAR_COLS[i], _SPEAR_COLS[j])
+    for i in range(len(_SPEAR_COLS))
+    for j in range(i + 1, len(_SPEAR_COLS))
+]
+
+
+def _spearman_oracle() -> str:
+    ctes = []
+    for c in _SPEAR_COLS:
+        # doubled average rank (2*below + cnt + 1) stays an exact integer
+        ctes.append(
+            f"h_{c} AS (SELECT {c} AS v, COUNT(*) AS cnt FROM lineitem GROUP BY {c}),\n"
+            f"    r_{c} AS (SELECT v,\n"
+            f"       2 * (SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cnt)\n"
+            f"         + cnt + 1 AS rk2 FROM h_{c})"
+        )
+    sums = ["COUNT(*) AS n"]
+    for c in _SPEAR_COLS:
+        sums.append(f"SUM(r_{c}.rk2) AS s_{c}")
+        sums.append(f"SUM(CAST(r_{c}.rk2 AS HUGEINT) * r_{c}.rk2) AS ss_{c}")
+    for a, b in _SPEAR_PAIRS:
+        sums.append(f"SUM(CAST(r_{a}.rk2 AS HUGEINT) * r_{b}.rk2) AS sp_{a}_{b}")
+    joins = " ".join(f"JOIN r_{c} ON r_{c}.v = l.{c}" for c in _SPEAR_COLS)
+    rows = []
+    for a, b in _SPEAR_PAIRS:
+        num = (
+            f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        )
+        va = (
+            f"GREATEST(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE), 0)"
+        )
+        vb = (
+            f"GREATEST(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE), 0)"
+        )
+        rows.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, CAST(n AS BIGINT) AS n,"
+            f" CASE WHEN {va} > 0 AND {vb} > 0 THEN"
+            f" ROUND({num} / (SQRT({va}) * SQRT({vb})), 6) END AS spearman"
+            f" FROM mom"
+        )
+    union = "\n      UNION ALL\n      ".join(rows)
+    ctes_sql = ",\n    ".join(ctes)
+    return f"""
+    WITH {ctes_sql},
+    mom AS (
+      SELECT {", ".join(sums)}
+      FROM lineitem l {joins}
+    )
+    SELECT * FROM ({union})
+    """
+
+
+@register("spearman_rank_corr", oracle=_spearman_oracle())
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation over the bounded-cardinality lineitem
+    numerics (quantity, discount, tax) — the monotonic-association
+    screen that catches what Pearson (``numeric_corr_matrix``) misses
+    on non-linear relationships, with exact tie handling via average
+    ranks.
+
+    Scale posture: per-column value HISTOGRAMS (≤ ~50 rows — bounded
+    cardinality by construction, see _SPEAR_COLS) carry the
+    average-rank prefix as a window over a bounded aggregate; the
+    tiny rank maps broadcast back onto one fact scan, and every pair
+    moment reduces in ONE combinable aggregate. Cross-engine
+    determinism: the DOUBLED average rank (2·below + cnt + 1) is an
+    exact integer, all moments are exact HUGEINT/DECIMAL(38,0) sums
+    in any order, and rho derives through one fixed double expression
+    (the doubling cancels); zero-variance pairs emit NULL."""
+    t = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    base = t.select(*_SPEAR_COLS)
+    cur = base
+    for c in _SPEAR_COLS:
+        # histogram from the BASE projection — building it from the
+        # progressively joined frame would re-execute earlier joins
+        # inside every histogram scan
+        h = base.groupBy(F.col(c).alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        rk = h.select(
+            "v",
+            (2 * (F.sum("cnt").over(w) - F.col("cnt")) + F.col("cnt") + 1).alias(
+                f"rk2_{c}"
+            ),
+        )
+        cur = cur.join(F.broadcast(rk), cur[c] == rk["v"]).drop("v")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _SPEAR_COLS:
+        rk = F.col(f"rk2_{c}")
+        aggs.append(F.sum(rk.cast("decimal(38,0)")).alias(f"s_{c}"))
+        aggs.append(F.sum(rk.cast("decimal(38,0)") * rk).alias(f"ss_{c}"))
+    for a, b in _SPEAR_PAIRS:
+        aggs.append(
+            F.sum(
+                F.col(f"rk2_{a}").cast("decimal(38,0)") * F.col(f"rk2_{b}")
+            ).alias(f"sp_{a}_{b}")
+        )
+    mom = cur.agg(*aggs)
+
+    def d(name):
+        return F.col(name).cast("double")
+
+    structs = []
+    for a, b in _SPEAR_PAIRS:
+        num = d("n") * d(f"sp_{a}_{b}") - d(f"s_{a}") * d(f"s_{b}")
+        va = F.greatest(d("n") * d(f"ss_{a}") - d(f"s_{a}") * d(f"s_{a}"), F.lit(0.0))
+        vb = F.greatest(d("n") * d(f"ss_{b}") - d(f"s_{b}") * d(f"s_{b}"), F.lit(0.0))
+        rho = F.when(
+            (va > 0) & (vb > 0), F.round(num / (F.sqrt(va) * F.sqrt(vb)), 6)
+        )
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col("n").alias("n"),
+                rho.alias("spearman"),
+            )
+        )
+    return mom.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

@@ -1893,3 +1893,17 @@ def test_corr_matrix_single_pass_reduction(spark):
         set(c) <= {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
         for c in cols
     ), cols
+
+
+def test_spearman_broadcasts_bounded_rank_maps(spark):
+    """Spearman's rank maps come from bounded value histograms and
+    must broadcast back onto ONE fact scan; the pair moments reduce in
+    a single aggregate (no SortMergeJoin anywhere)."""
+    from rs_streamloader_spark.operators.stats import spearman_rank_corr
+
+    df = spearman_rank_corr(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in text, text
+    # fact scans: 1 for the moments + 3 tiny histogram builds
+    assert text.count("Scan parquet") <= 4, text

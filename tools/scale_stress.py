@@ -91,6 +91,7 @@ HEAVY_TAIL = [
     "dedup_shrinkage_report",
     "tokenizer_fertility_by_lang",
     "numeric_corr_matrix",
+    "spearman_rank_corr",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "embedding_near_dup",
@@ -278,6 +279,7 @@ CONSTANT_OUTPUT = {
     "tokenizer_fertility_by_lang",
     # fixed 6-row upper triangle from a 1-row moment reduction
     "numeric_corr_matrix",
+    "spearman_rank_corr",
     "domain_mix_sample",
     "numeric_histogram",
     # vocab: top-100 cut is fixed; centroids: labels × 64 dims
