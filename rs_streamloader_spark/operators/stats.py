@@ -4363,3 +4363,117 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return mom.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V: categorical-categorical association (orders priority × status)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cramers_v_priority_status",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderpriority AS x, o_orderstatus AS y, COUNT(*) AS nij
+      FROM orders GROUP BY 1, 2
+    ),
+    rx AS (SELECT x, SUM(nij) AS ri FROM obs GROUP BY x),
+    cy AS (SELECT y, SUM(nij) AS cj FROM obs GROUP BY y),
+    tot AS (SELECT SUM(nij) AS n FROM obs),
+    -- densify: a ZERO-observed cell still contributes its full
+    -- expected-count term (ri*cj/n), exactly when association is
+    -- strongest — the PSI/SRM zero-cell lesson
+    grid AS (
+      SELECT rx.x, cy.y, rx.ri, cy.cj, COALESCE(obs.nij, 0) AS nij, t.n
+      FROM rx CROSS JOIN cy CROSS JOIN tot t
+      LEFT JOIN obs ON obs.x = rx.x AND obs.y = cy.y
+    ),
+    terms AS (
+      -- chi2 term per cell as exact-int-derived doubles, rounded to
+      -- integer MICRO-units before the (bounded-cell-count) sum
+      SELECT CAST(ROUND(
+               CAST(CAST(n AS HUGEINT) * nij - CAST(ri AS HUGEINT) * cj
+                    AS DOUBLE)
+               * CAST(CAST(n AS HUGEINT) * nij - CAST(ri AS HUGEINT) * cj
+                      AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE))
+               * 1000000) AS BIGINT) AS t_micro,
+             n
+      FROM grid
+    ),
+    kdim AS (
+      SELECT LEAST((SELECT COUNT(*) FROM rx), (SELECT COUNT(*) FROM cy)) AS k
+    )
+    SELECT CAST(MIN(t.n) AS BIGINT) AS n,
+           CAST(SUM(t_micro) AS BIGINT) AS chi2_micro,
+           ROUND(SQRT((SUM(t_micro) / 1000000.0)
+                      / (MIN(t.n) * (MIN(k.k) - 1))), 6) AS cramers_v
+    FROM terms t CROSS JOIN kdim k
+    """,
+)
+def cramers_v_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between order priority and order status — the
+    categorical-categorical association screen completing the trio
+    with Pearson (``numeric_corr_matrix``) and Spearman
+    (``spearman_rank_corr``); the number a profiling pass reads to
+    spot redundant categorical features or leakage.
+
+    Scale posture: one combinable (x, y) contingency aggregate
+    (bounded 5×3 grid), marginals and the zero-cell densification on
+    the bounded grid, a 1-row reduction out. Cross-engine
+    determinism: every count is exact; each χ² cell term is an
+    exact-HUGEINT-derived double rounded to integer micro-units
+    before the bounded sum (the SRM pattern), so no float
+    accumulation order is exposed; V is one fixed double expression
+    on the exact micro-sum."""
+    t = load_tables(spark, sf_dir, "orders")["orders"]
+    obs = (
+        t.groupBy(
+            F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+        ).agg(F.count(F.lit(1)).alias("nij"))
+    ).cache()
+    rx = obs.groupBy("x").agg(F.sum("nij").alias("ri"))
+    cy = obs.groupBy("y").agg(F.sum("nij").alias("cj"))
+    tot = obs.agg(F.sum("nij").alias("n"))
+    grid = (
+        rx.crossJoin(cy)
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["x", "y"], "left")
+        .withColumn("nij", F.coalesce(F.col("nij"), F.lit(0)))
+    )
+    diff = (
+        F.col("n").cast("decimal(38,0)") * F.col("nij")
+        - F.col("ri").cast("decimal(38,0)") * F.col("cj")
+    ).cast("double")
+    term = (
+        diff
+        * diff
+        / (
+            F.col("n").cast("double")
+            * F.col("ri").cast("double")
+            * F.col("cj").cast("double")
+        )
+    )
+    terms = grid.select(
+        F.round(term * 1_000_000).cast("bigint").alias("t_micro"), "n"
+    )
+    k = rx.agg(F.count(F.lit(1)).alias("kx")).crossJoin(
+        cy.agg(F.count(F.lit(1)).alias("ky"))
+    ).select(F.least("kx", "ky").alias("k"))
+    return (
+        terms.agg(
+            F.min("n").alias("n"), F.sum("t_micro").alias("chi2_micro")
+        )
+        .crossJoin(F.broadcast(k))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.col("chi2_micro").cast("bigint").alias("chi2_micro"),
+            F.round(
+                F.sqrt(
+                    (F.col("chi2_micro") / 1_000_000.0)
+                    / (F.col("n") * (F.col("k") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )

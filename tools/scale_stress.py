@@ -92,6 +92,7 @@ HEAVY_TAIL = [
     "tokenizer_fertility_by_lang",
     "numeric_corr_matrix",
     "spearman_rank_corr",
+    "cramers_v_priority_status",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "embedding_near_dup",
@@ -280,6 +281,7 @@ CONSTANT_OUTPUT = {
     # fixed 6-row upper triangle from a 1-row moment reduction
     "numeric_corr_matrix",
     "spearman_rank_corr",
+    "cramers_v_priority_status",
     "domain_mix_sample",
     "numeric_histogram",
     # vocab: top-100 cut is fixed; centroids: labels × 64 dims
