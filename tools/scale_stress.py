@@ -93,6 +93,7 @@ HEAVY_TAIL = [
     "numeric_corr_matrix",
     "spearman_rank_corr",
     "cramers_v_priority_status",
+    "kendall_tau_quantity_discount",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "embedding_near_dup",
@@ -282,6 +283,7 @@ CONSTANT_OUTPUT = {
     "numeric_corr_matrix",
     "spearman_rank_corr",
     "cramers_v_priority_status",
+    "kendall_tau_quantity_discount",
     "domain_mix_sample",
     "numeric_histogram",
     # vocab: top-100 cut is fixed; centroids: labels × 64 dims
