@@ -4585,3 +4585,100 @@ def kendall_tau_quantity_discount(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("tau_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov-Smirnov: click vs view value distributions
+# ---------------------------------------------------------------------------
+
+_KS_A, _KS_B = "click", "view"
+
+
+@register(
+    "ks_test_click_view_value",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(ROUND("value" * 100) AS BIGINT) AS v,
+             SUM(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END) AS cb
+      FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT v,
+             SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+             SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+      FROM h
+    ),
+    tot AS (
+      SELECT SUM(ca) AS na, SUM(cb) AS nb FROM h
+    )
+    SELECT CAST(t.na AS BIGINT) AS n_a,
+           CAST(t.nb AS BIGINT) AS n_b,
+           CAST(MAX(ABS(CAST(c.cum_a AS HUGEINT) * t.nb
+                        - CAST(c.cum_b AS HUGEINT) * t.na)) AS BIGINT)
+             AS d_num,
+           ROUND(CAST(MAX(ABS(CAST(c.cum_a AS HUGEINT) * t.nb
+                              - CAST(c.cum_b AS HUGEINT) * t.na)) AS DOUBLE)
+                 / (CAST(t.na AS DOUBLE) * t.nb), 6) AS ks_d
+    FROM cum c CROSS JOIN tot t
+    GROUP BY t.na, t.nb
+    """,
+)
+def ks_test_click_view_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the click
+    and view value distributions — the distribution-drift test that
+    complements PSI (``psi_value_drift``-style binned divergence) with
+    the EXACT sup-distance, no binning loss: D = max_v |F_a(v) -
+    F_b(v)|, computed as integer cross-products |cum_a·n_b −
+    cum_b·n_a| over the merged value histogram so every comparison is
+    exact until one final double division.
+
+    Scale posture: values collapse to a cents-keyed histogram
+    (combinable), the two inclusive CDFs ride the banded two-pass
+    prefix (window WITHIN bounded cents bands + broadcast band
+    offsets — never a global input-sized sort), and the sup reduces
+    in one aggregate with the 1-row totals broadcast. Cross-engine
+    determinism: all counts and cross-products are exact
+    HUGEINT/DECIMAL(38,0) integers; ks_d is one double division of
+    exact integers, rounded at 6dp."""
+    from rs_streamloader_spark.operators.quality import _banded_prefix
+
+    ev = _t(spark, sf_dir, "events")["events"].filter(
+        F.col("event_type").isin(_KS_A, _KS_B)
+    )
+    h = ev.groupBy(
+        F.round(F.col("value") * 100).cast("bigint").alias("v")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0)).alias("cb"),
+    )
+    cum = _banded_prefix(h, "v", "ca", "sum", "ca_below")
+    cum = _banded_prefix(cum, "v", "cb", "sum", "cb_below")
+    cum = cum.select(
+        (F.col("ca_below") + F.col("ca")).alias("cum_a"),
+        (F.col("cb_below") + F.col("cb")).alias("cum_b"),
+    )
+    tot = h.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    diff = F.abs(
+        F.col("cum_a").cast("decimal(38,0)") * F.col("nb")
+        - F.col("cum_b").cast("decimal(38,0)") * F.col("na")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+            F.max(diff).alias("d"),
+        )
+        .select(
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.col("d").cast("bigint").alias("d_num"),
+            F.round(
+                F.col("d").cast("double")
+                / (F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("ks_d"),
+        )
+    )

@@ -1907,3 +1907,21 @@ def test_spearman_broadcasts_bounded_rank_maps(spark):
     assert "SortMergeJoin" not in text, text
     # fact scans: 1 for the moments + 3 tiny histogram builds
     assert text.count("Scan parquet") <= 4, text
+
+
+def test_ks_test_banded_prefix_no_global_sort(spark):
+    """The KS CDFs must ride the banded two-pass prefix: every Window
+    sits above an aggregate (never over input rows) and the totals
+    broadcast — no global input-sized sort anywhere."""
+    from rs_streamloader_spark.operators.stats import ks_test_click_view_value
+
+    df = ks_test_click_view_value(spark, SF_SMOKE)
+    lines = explain_str(df, "simple").splitlines()
+    wins = [i for i, l in enumerate(lines) if "Window" in l]
+    assert wins
+    for i in wins:
+        below = "\n".join(lines[i:])
+        agg = below.find("HashAggregate")
+        scan = below.find("Scan parquet")
+        assert 0 <= agg < scan, below[:1500]
+    assert has_broadcast_join(df)

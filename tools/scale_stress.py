@@ -94,6 +94,7 @@ HEAVY_TAIL = [
     "spearman_rank_corr",
     "cramers_v_priority_status",
     "kendall_tau_quantity_discount",
+    "ks_test_click_view_value",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "embedding_near_dup",
@@ -284,6 +285,7 @@ CONSTANT_OUTPUT = {
     "spearman_rank_corr",
     "cramers_v_priority_status",
     "kendall_tau_quantity_discount",
+    "ks_test_click_view_value",
     "domain_mix_sample",
     "numeric_histogram",
     # vocab: top-100 cut is fixed; centroids: labels × 64 dims
