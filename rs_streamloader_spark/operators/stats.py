@@ -4682,3 +4682,110 @@ def ks_test_click_view_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_d"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test: click vs view mean value (unequal variances)
+# ---------------------------------------------------------------------------
+
+
+def _welch_oracle() -> str:
+    from rs_streamloader_spark.functions.moments import (
+        nano_moment_aggs_sql,
+        nano_mu_sql,
+        nano_sigma_samp_sql,
+    )
+
+    return f"""
+    WITH mom AS (
+      SELECT event_type, {nano_moment_aggs_sql('"value"')}
+      FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+      GROUP BY event_type
+    ),
+    stats AS (
+      SELECT event_type, n,
+             {nano_mu_sql()} AS mu,
+             {nano_sigma_samp_sql()} AS sigma
+      FROM mom
+    ),
+    sides AS (
+      SELECT MAX(CASE WHEN event_type = '{_KS_A}' THEN n END) AS n_a,
+             MAX(CASE WHEN event_type = '{_KS_A}' THEN mu END) AS mu_a,
+             MAX(CASE WHEN event_type = '{_KS_A}' THEN sigma END) AS s_a,
+             MAX(CASE WHEN event_type = '{_KS_B}' THEN n END) AS n_b,
+             MAX(CASE WHEN event_type = '{_KS_B}' THEN mu END) AS mu_b,
+             MAX(CASE WHEN event_type = '{_KS_B}' THEN sigma END) AS s_b
+      FROM stats
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(mu_a, 6) AS mean_a, ROUND(mu_b, 6) AS mean_b,
+           ROUND((mu_a - mu_b)
+                 / SQRT(s_a * s_a / n_a + s_b * s_b / n_b), 4) AS t_stat,
+           ROUND((s_a * s_a / n_a + s_b * s_b / n_b)
+                 * (s_a * s_a / n_a + s_b * s_b / n_b)
+                 / ((s_a * s_a / n_a) * (s_a * s_a / n_a) / (n_a - 1)
+                    + (s_b * s_b / n_b) * (s_b * s_b / n_b) / (n_b - 1)),
+                 2) AS welch_df
+    FROM sides
+    WHERE s_a > 0 AND s_b > 0
+    """
+
+
+@register("welch_t_click_view", oracle=_welch_oracle())
+def welch_t_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the click and view mean
+    values, with the Welch-Satterthwaite degrees of freedom — the
+    continuous-metric companion to ``ab_test_proportion_z`` (means,
+    not proportions) and the parametric counterpart of the exact KS
+    sup-distance (``ks_test_click_view_value``).
+
+    Scale posture: two combinable moment aggregates (the shared
+    functions/moments.py nano-unit policy — third consumer), then
+    pure 1-row arithmetic. Cross-engine determinism: moments are
+    exact integer sums; mu/sigma/t/df derive through fixed double
+    expressions identical on both engines; zero-variance sides drop
+    the result row rather than dividing by zero (ANSI-safe)."""
+    from rs_streamloader_spark.functions.moments import (
+        nano_moment_aggs,
+        nano_mu,
+        nano_sigma_samp,
+    )
+
+    ev = _t(spark, sf_dir, "events")["events"].filter(
+        F.col("event_type").isin(_KS_A, _KS_B)
+    )
+    mom = ev.groupBy("event_type").agg(*nano_moment_aggs("value"))
+    stats = mom.select(
+        "event_type",
+        F.col("n"),
+        nano_mu().alias("mu"),
+        nano_sigma_samp().alias("sigma"),
+    )
+
+    def side(t, c):
+        return F.max(F.when(F.col("event_type") == t, F.col(c)))
+
+    sides = stats.agg(
+        side(_KS_A, "n").alias("n_a"),
+        side(_KS_A, "mu").alias("mu_a"),
+        side(_KS_A, "sigma").alias("s_a"),
+        side(_KS_B, "n").alias("n_b"),
+        side(_KS_B, "mu").alias("mu_b"),
+        side(_KS_B, "sigma").alias("s_b"),
+    ).filter((F.col("s_a") > 0) & (F.col("s_b") > 0))
+    va = F.col("s_a") * F.col("s_a") / F.col("n_a")
+    vb = F.col("s_b") * F.col("s_b") / F.col("n_b")
+    return sides.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(F.col("mu_a"), 6).alias("mean_a"),
+        F.round(F.col("mu_b"), 6).alias("mean_b"),
+        F.round((F.col("mu_a") - F.col("mu_b")) / F.sqrt(va + vb), 4).alias(
+            "t_stat"
+        ),
+        F.round(
+            (va + vb) * (va + vb)
+            / (va * va / (F.col("n_a") - 1) + vb * vb / (F.col("n_b") - 1)),
+            2,
+        ).alias("welch_df"),
+    )

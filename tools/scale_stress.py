@@ -95,6 +95,7 @@ HEAVY_TAIL = [
     "cramers_v_priority_status",
     "kendall_tau_quantity_discount",
     "ks_test_click_view_value",
+    "welch_t_click_view",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "embedding_near_dup",
@@ -286,6 +287,7 @@ CONSTANT_OUTPUT = {
     "cramers_v_priority_status",
     "kendall_tau_quantity_discount",
     "ks_test_click_view_value",
+    "welch_t_click_view",
     "domain_mix_sample",
     "numeric_histogram",
     # vocab: top-100 cut is fixed; centroids: labels × 64 dims
