@@ -2033,3 +2033,119 @@ def ivf_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_ndcg_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign) quantization recall audit: 64-bit Hamming vs exact cosine
+# ---------------------------------------------------------------------------
+
+
+def _binary_recall_oracle() -> str:
+    def word(alias: str, lo: int, hi: int) -> str:
+        # bits lo..hi-1 of the sign pattern packed into one BIGINT
+        return (
+            f"LIST_AGGREGATE(LIST_TRANSFORM(RANGE({lo + 1}, {hi + 1}),"
+            f" i -> CASE WHEN {alias}.embedding[i] > 0"
+            f" THEN CAST(POWER(2, i - {lo + 1}) AS BIGINT) ELSE 0 END), 'sum')"
+        )
+
+    ham = (
+        f"bit_count(xor({word('a', 0, 32)}, {word('b', 0, 32)}))"
+        f" + bit_count(xor({word('a', 32, 64)}, {word('b', 32, 64)}))"
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND({_DUCK_COS}, 6) AS cosine,
+             {ham} AS hamming
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS r_exact,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY hamming ASC, neighbor_id) AS r_bin
+      FROM pairs
+    )
+    SELECT query_id,
+           CAST(SUM(CASE WHEN r_exact <= {TOP_K} AND r_bin <= {TOP_K}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           ROUND(SUM(CASE WHEN r_exact <= {TOP_K} AND r_bin <= {TOP_K}
+                          THEN 1 ELSE 0 END) / {TOP_K}.0, 4) AS recall
+    FROM ranked GROUP BY query_id
+    """
+
+
+@register("binary_quantize_recall", oracle=_binary_recall_oracle())
+def binary_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} audit of 1-bit (sign) embedding quantization: each
+    vector compresses 64 floats into a 64-bit sign word, retrieval
+    ranks by Hamming distance, and the audit counts how many of the
+    exact cosine top-{k} survive per query — pricing the 256×
+    compression the way ``ivf_recall_curve`` prices IVF probes and
+    ``minhash_estimate_audit`` prices the MinHash sketch.
+
+    Scale posture: sign words pack per row in codegen (two BIGINT
+    words — no bit-63 sign trap), the query side broadcasts, the
+    corpus is scanned once, and both rankings are per-query
+    WindowGroupLimit-eligible windows. Cross-engine determinism:
+    sign bits and Hamming distances are exact integers, the exact
+    ranking orders by the 6dp-rounded fold cosine with neighbor-id
+    tiebreak, and recall is an exact multiple of 1/{k}."""
+    t = _emb_norm_cached(spark, sf_dir)
+
+    def word(col: str, lo: int) -> Column:
+        return F.expr(
+            f"aggregate(transform(slice({col}, {lo + 1}, 32),"
+            f" (x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)),"
+            f" 0L, (acc, v) -> acc + v)"
+        )
+
+    base = t.select(
+        "vec_id",
+        "embedding",
+        "norm",
+        word("embedding", 0).alias("w_lo"),
+        word("embedding", 32).alias("w_hi"),
+    )
+    corpus = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+        F.col("w_lo").alias("b_lo"),
+        F.col("w_hi").alias("b_hi"),
+    )
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+        F.col("w_lo").alias("a_lo"),
+        F.col("w_hi").alias("a_hi"),
+    )
+    cos = F.round(_dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 6)
+    ham = F.bit_count(
+        F.col("a_lo").bitwiseXOR(F.col("b_lo"))
+    ) + F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+    pairs = (
+        F.broadcast(queries)
+        .join(corpus, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"), ham.alias("hamming"))
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    w_bin = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id")
+    )
+    ranked = pairs.select(
+        "query_id",
+        F.row_number().over(w_exact).alias("r_exact"),
+        F.row_number().over(w_bin).alias("r_bin"),
+    )
+    hit = F.when((F.col("r_exact") <= TOP_K) & (F.col("r_bin") <= TOP_K), 1).otherwise(0)
+    return ranked.groupBy("query_id").agg(
+        F.sum(hit).cast("bigint").alias("n_hits"),
+        F.round(F.sum(hit) / float(TOP_K), 4).alias("recall"),
+    )

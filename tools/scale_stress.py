@@ -96,6 +96,7 @@ HEAVY_TAIL = [
     "kendall_tau_quantity_discount",
     "ks_test_click_view_value",
     "welch_t_click_view",
+    "binary_quantize_recall",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "embedding_near_dup",
@@ -288,6 +289,7 @@ CONSTANT_OUTPUT = {
     "kendall_tau_quantity_discount",
     "ks_test_click_view_value",
     "welch_t_click_view",
+    "binary_quantize_recall",
     "domain_mix_sample",
     "numeric_histogram",
     # vocab: top-100 cut is fixed; centroids: labels × 64 dims
