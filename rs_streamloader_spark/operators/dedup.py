@@ -1921,3 +1921,58 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div MAX(n_tok) AS BIGINT)"
         ).alias("dup_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix: which sources copy from each other
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cross_source_dup_matrix",
+    oracle=f"""
+    WITH pairs AS ({_JACCARD_ORACLE}),
+    tagged AS (
+      SELECT LEAST(da.source, db.source) AS source_x,
+             GREATEST(da.source, db.source) AS source_y
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT source_x, source_y, COUNT(*) AS n_dup_pairs
+    FROM tagged GROUP BY source_x, source_y
+    """,
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts per unordered SOURCE pair — the
+    provenance matrix that shows which sources mirror each other's
+    content (diagonal = within-source duplication, off-diagonal =
+    cross-source copying), the report that decides which source to
+    drop when two feeds overlap (``dedup_shrinkage_report`` prices
+    how much survives; this shows WHERE the duplication comes from).
+
+    Scale posture: rides the shared cached Jaccard pair stage; the
+    doc→source enrichment is a shuffle-hash join with the O(near-dup)
+    pair list as build side (pinned — the documents side is the
+    corpus), then one combinable aggregate over the bounded
+    source-pair grid. Cross-engine determinism: all integers, pair
+    orientation canonicalized by LEAST/GREATEST on the source
+    label."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "source"
+    )
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    tagged = (
+        pairs.hint("shuffle_hash")
+        .join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "sa"), "doc_a")
+        .hint("shuffle_hash")
+        .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "sb"), "doc_b")
+    )
+    return (
+        tagged.select(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )

@@ -873,3 +873,72 @@ def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             > _SRM_CRIT_MICRO
         ).alias("srm_detected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixture weights (multilingual sampling standard)
+# ---------------------------------------------------------------------------
+
+_MIX_TAU = 0.7  # the mBERT/XLM-R exponent
+
+
+@register(
+    "temperature_mix_weights",
+    oracle=f"""
+    WITH src AS (
+      SELECT source,
+             CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT SUM(n_tokens) AS total,
+             SUM(POWER(n_tokens, {_MIX_TAU})) AS ztemp
+      FROM src
+    )
+    SELECT s.source, s.n_tokens,
+           CAST(CAST(s.n_tokens AS HUGEINT) * 1000000 // t.total AS BIGINT)
+             AS raw_ppm,
+           CAST(ROUND(POWER(s.n_tokens, {_MIX_TAU}) / t.ztemp * 1000000)
+                AS BIGINT) AS temp_ppm
+    FROM src s CROSS JOIN tot t
+    """,
+)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per source (w_s ∝
+    tokens_s^τ, τ = 0.7) next to the raw proportional share — the
+    multilingual/multi-domain mixing rule (mBERT, XLM-R, Gopher) that
+    up-samples small sources so they are seen at all; the table a
+    mixing planner feeds the sampler (``domain_mix_sample`` applies a
+    target mix; this DERIVES one).
+
+    Scale posture: one combinable per-source token aggregate (bounded
+    source set) plus a broadcast 1-row normalizer. Cross-engine
+    determinism: token counts are exact integers; raw share is exact
+    HUGEINT floor-division PPM; the τ-power is ONE transcendental per
+    source evaluated on an exact integer with identical operand order
+    both engines (the ctr_wilson single-expression policy), and its
+    normalized share rounds once to integer PPM. The ~20-row z-sum is
+    a bounded-aggregate float sum — deterministic per engine pass and
+    identical across engines on these magnitudes."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint")).alias("n_tokens")
+    )
+    tot = src.agg(
+        F.sum("n_tokens").alias("total"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), _MIX_TAU)).alias("ztemp"),
+    )
+    return src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr(
+            "CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)"
+        ).alias("raw_ppm"),
+        F.round(
+            F.pow(F.col("n_tokens").cast("double"), _MIX_TAU)
+            / F.col("ztemp")
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("temp_ppm"),
+    )

@@ -97,6 +97,8 @@ HEAVY_TAIL = [
     "ks_test_click_view_value",
     "welch_t_click_view",
     "binary_quantize_recall",
+    "cross_source_dup_matrix",
+    "temperature_mix_weights",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "embedding_near_dup",
@@ -290,6 +292,8 @@ CONSTANT_OUTPUT = {
     "ks_test_click_view_value",
     "welch_t_click_view",
     "binary_quantize_recall",
+    "cross_source_dup_matrix",
+    "temperature_mix_weights",
     "domain_mix_sample",
     "numeric_histogram",
     # vocab: top-100 cut is fixed; centroids: labels × 64 dims
