@@ -77,3 +77,41 @@ def nano_sigma_samp_sql() -> str:
         f" - (CAST(sx AS DOUBLE) / {_NANO}.0)"
         f" * (CAST(sx AS DOUBLE) / {_NANO}.0) / n) / (n - 1), 0)) END"
     )
+
+
+def pearson_from_moments(n: str, sa: str, sb: str, ssa: str, ssb: str, sab: str) -> Column:
+    """Pearson r (6dp, NULL for a zero-variance side) from exact
+    integer moment COLUMNS: count ``n``, sums ``sa``/``sb``, square
+    sums ``ssa``/``ssb``, cross sum ``sab``. One fixed double
+    expression; the SQL twin is :func:`pearson_from_moments_sql`.
+    Shared by ``numeric_corr_matrix`` (value moments) and
+    ``spearman_rank_corr`` (rank moments)."""
+
+    def d(c: str) -> Column:
+        return F.col(c).cast("double")
+
+    num = d(n) * d(sab) - d(sa) * d(sb)
+    va = F.greatest(d(n) * d(ssa) - d(sa) * d(sa), F.lit(0.0))
+    vb = F.greatest(d(n) * d(ssb) - d(sb) * d(sb), F.lit(0.0))
+    return F.when((va > 0) & (vb > 0), F.round(num / (F.sqrt(va) * F.sqrt(vb)), 6))
+
+
+def pearson_from_moments_sql(n: str, sa: str, sb: str, ssa: str, ssb: str, sab: str) -> str:
+    """DuckDB twin of :func:`pearson_from_moments` as an expression
+    snippet over the same moment columns."""
+    num = (
+        f"(CAST({n} AS DOUBLE) * CAST({sab} AS DOUBLE)"
+        f" - CAST({sa} AS DOUBLE) * CAST({sb} AS DOUBLE))"
+    )
+    va = (
+        f"GREATEST(CAST({n} AS DOUBLE) * CAST({ssa} AS DOUBLE)"
+        f" - CAST({sa} AS DOUBLE) * CAST({sa} AS DOUBLE), 0)"
+    )
+    vb = (
+        f"GREATEST(CAST({n} AS DOUBLE) * CAST({ssb} AS DOUBLE)"
+        f" - CAST({sb} AS DOUBLE) * CAST({sb} AS DOUBLE), 0)"
+    )
+    return (
+        f"CASE WHEN {va} > 0 AND {vb} > 0 THEN"
+        f" ROUND({num} / (SQRT({va}) * SQRT({vb})), 6) END"
+    )

@@ -891,14 +891,20 @@ _MIX_TAU = 0.7  # the mBERT/XLM-R exponent
       FROM documents GROUP BY source
     ),
     tot AS (
+      -- each pow term rounds to integer NANO-units before the sum
+      -- (exact integer adds in any order — the source_token_entropy
+      -- transcendental-sum policy)
       SELECT SUM(n_tokens) AS total,
-             SUM(POWER(n_tokens, {_MIX_TAU})) AS ztemp
+             SUM(CAST(ROUND(POWER(n_tokens, {_MIX_TAU}) * 1000000000)
+                      AS HUGEINT)) AS ztemp_nano
       FROM src
     )
     SELECT s.source, s.n_tokens,
            CAST(CAST(s.n_tokens AS HUGEINT) * 1000000 // t.total AS BIGINT)
              AS raw_ppm,
-           CAST(ROUND(POWER(s.n_tokens, {_MIX_TAU}) / t.ztemp * 1000000)
+           CAST(ROUND(CAST(ROUND(POWER(s.n_tokens, {_MIX_TAU}) * 1000000000)
+                           AS BIGINT)
+                      / CAST(t.ztemp_nano AS DOUBLE) * 1000000)
                 AS BIGINT) AS temp_ppm
     FROM src s CROSS JOIN tot t
     """,
@@ -916,17 +922,20 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism: token counts are exact integers; raw share is exact
     HUGEINT floor-division PPM; the τ-power is ONE transcendental per
     source evaluated on an exact integer with identical operand order
-    both engines (the ctr_wilson single-expression policy), and its
-    normalized share rounds once to integer PPM. The ~20-row z-sum is
-    a bounded-aggregate float sum — deterministic per engine pass and
-    identical across engines on these magnitudes."""
+    both engines (the ctr_wilson single-expression policy), each term
+    rounds to integer NANO-units before the z-sum (exact integer adds
+    in any order — the source_token_entropy policy), and the
+    normalized share rounds once to integer PPM."""
     docs = _t(spark, sf_dir, "documents")["documents"]
     src = docs.groupBy("source").agg(
         F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint")).alias("n_tokens")
     )
+    pw_nano = F.round(
+        F.pow(F.col("n_tokens").cast("double"), _MIX_TAU) * 1_000_000_000
+    ).cast("decimal(38,0)")
     tot = src.agg(
         F.sum("n_tokens").alias("total"),
-        F.sum(F.pow(F.col("n_tokens").cast("double"), _MIX_TAU)).alias("ztemp"),
+        F.sum(pw_nano).alias("ztemp_nano"),
     )
     return src.crossJoin(F.broadcast(tot)).select(
         "source",
@@ -935,8 +944,8 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)"
         ).alias("raw_ppm"),
         F.round(
-            F.pow(F.col("n_tokens").cast("double"), _MIX_TAU)
-            / F.col("ztemp")
+            pw_nano.cast("double")
+            / F.col("ztemp_nano").cast("double")
             * 1_000_000
         )
         .cast("bigint")

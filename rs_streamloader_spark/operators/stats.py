@@ -4146,25 +4146,16 @@ def _corr_oracle() -> str:
         sums.append(
             f"SUM(CAST({iu(a, ka)} AS HUGEINT) * {iu(b, kb)}) AS sp_{a}_{b}"
         )
+    from rs_streamloader_spark.functions.moments import pearson_from_moments_sql
+
     rows = []
     for (a, _), (b, _) in _CORR_PAIRS:
-        num = (
-            f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
-            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
-        )
-        var_a = (
-            f"GREATEST(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
-            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE), 0)"
-        )
-        var_b = (
-            f"GREATEST(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
-            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE), 0)"
+        r = pearson_from_moments_sql(
+            "n", f"s_{a}", f"s_{b}", f"ss_{a}", f"ss_{b}", f"sp_{a}_{b}"
         )
         rows.append(
             f"SELECT '{a}' AS col_x, '{b}' AS col_y, CAST(n AS BIGINT) AS n,"
-            f" CASE WHEN {var_a} > 0 AND {var_b} > 0 THEN"
-            f" ROUND({num} / (SQRT({var_a}) * SQRT({var_b})), 6) END AS corr"
-            f" FROM mom"
+            f" {r} AS corr FROM mom"
         )
     union = "\n      UNION ALL\n      ".join(rows)
     return f"""
@@ -4208,17 +4199,12 @@ def numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     mom = t.agg(*aggs)
 
-    def d(name):
-        return F.col(name).cast("double")
+    from rs_streamloader_spark.functions.moments import pearson_from_moments
 
     structs = []
     for (a, _), (b, _) in _CORR_PAIRS:
-        num = d("n") * d(f"sp_{a}_{b}") - d(f"s_{a}") * d(f"s_{b}")
-        var_a = F.greatest(d("n") * d(f"ss_{a}") - d(f"s_{a}") * d(f"s_{a}"), F.lit(0.0))
-        var_b = F.greatest(d("n") * d(f"ss_{b}") - d(f"s_{b}") * d(f"s_{b}"), F.lit(0.0))
-        corr = F.when(
-            (var_a > 0) & (var_b > 0),
-            F.round(num / (F.sqrt(var_a) * F.sqrt(var_b)), 6),
+        corr = pearson_from_moments(
+            "n", f"s_{a}", f"s_{b}", f"ss_{a}", f"ss_{b}", f"sp_{a}_{b}"
         )
         structs.append(
             F.struct(
@@ -4265,25 +4251,16 @@ def _spearman_oracle() -> str:
     for a, b in _SPEAR_PAIRS:
         sums.append(f"SUM(CAST(r_{a}.rk2 AS HUGEINT) * r_{b}.rk2) AS sp_{a}_{b}")
     joins = " ".join(f"JOIN r_{c} ON r_{c}.v = l.{c}" for c in _SPEAR_COLS)
+    from rs_streamloader_spark.functions.moments import pearson_from_moments_sql
+
     rows = []
     for a, b in _SPEAR_PAIRS:
-        num = (
-            f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
-            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
-        )
-        va = (
-            f"GREATEST(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
-            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE), 0)"
-        )
-        vb = (
-            f"GREATEST(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
-            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE), 0)"
+        r = pearson_from_moments_sql(
+            "n", f"s_{a}", f"s_{b}", f"ss_{a}", f"ss_{b}", f"sp_{a}_{b}"
         )
         rows.append(
             f"SELECT '{a}' AS col_x, '{b}' AS col_y, CAST(n AS BIGINT) AS n,"
-            f" CASE WHEN {va} > 0 AND {vb} > 0 THEN"
-            f" ROUND({num} / (SQRT({va}) * SQRT({vb})), 6) END AS spearman"
-            f" FROM mom"
+            f" {r} AS spearman FROM mom"
         )
     union = "\n      UNION ALL\n      ".join(rows)
     ctes_sql = ",\n    ".join(ctes)
@@ -4343,16 +4320,12 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     mom = cur.agg(*aggs)
 
-    def d(name):
-        return F.col(name).cast("double")
+    from rs_streamloader_spark.functions.moments import pearson_from_moments
 
     structs = []
     for a, b in _SPEAR_PAIRS:
-        num = d("n") * d(f"sp_{a}_{b}") - d(f"s_{a}") * d(f"s_{b}")
-        va = F.greatest(d("n") * d(f"ss_{a}") - d(f"s_{a}") * d(f"s_{a}"), F.lit(0.0))
-        vb = F.greatest(d("n") * d(f"ss_{b}") - d(f"s_{b}") * d(f"s_{b}"), F.lit(0.0))
-        rho = F.when(
-            (va > 0) & (vb > 0), F.round(num / (F.sqrt(va) * F.sqrt(vb)), 6)
+        rho = pearson_from_moments(
+            "n", f"s_{a}", f"s_{b}", f"ss_{a}", f"ss_{b}", f"sp_{a}_{b}"
         )
         structs.append(
             F.struct(
@@ -4406,8 +4379,11 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(MIN(t.n) AS BIGINT) AS n,
            CAST(SUM(t_micro) AS BIGINT) AS chi2_micro,
-           ROUND(SQRT((SUM(t_micro) / 1000000.0)
-                      / (MIN(t.n) * (MIN(k.k) - 1))), 6) AS cramers_v
+           -- k=1 (a single-level column) has no association to
+           -- measure: NULL identically on both engines
+           CASE WHEN MIN(k.k) > 1 AND MIN(t.n) > 0 THEN
+             ROUND(SQRT((SUM(t_micro) / 1000000.0)
+                        / (MIN(t.n) * (MIN(k.k) - 1))), 6) END AS cramers_v
     FROM terms t CROSS JOIN kdim k
     """,
 )
@@ -4468,12 +4444,15 @@ def cramers_v_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n").cast("bigint").alias("n"),
             F.col("chi2_micro").cast("bigint").alias("chi2_micro"),
-            F.round(
-                F.sqrt(
-                    (F.col("chi2_micro") / 1_000_000.0)
-                    / (F.col("n") * (F.col("k") - 1))
+            F.when(
+                (F.col("k") > 1) & (F.col("n") > 0),
+                F.round(
+                    F.sqrt(
+                        (F.col("chi2_micro") / 1_000_000.0)
+                        / (F.col("n") * (F.col("k") - 1))
+                    ),
+                    6,
                 ),
-                6,
             ).alias("cramers_v"),
         )
     )
@@ -4511,11 +4490,18 @@ def cramers_v_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(t.n AS BIGINT) AS n,
            CAST(c.c AS BIGINT) AS concordant,
            CAST(c.d AS BIGINT) AS discordant,
+           -- explicit zero-denominator guard: a constant column makes
+           -- the tie-corrected denominator 0; emit NULL identically
+           -- on both engines (Spark would give NaN, DuckDB NULL)
+           CASE WHEN (CAST(t.n AS DOUBLE) * (t.n - 1) / 2
+                      - CAST(t.tx2 AS DOUBLE) / 2) > 0
+                 AND (CAST(t.n AS DOUBLE) * (t.n - 1) / 2
+                      - CAST(t.ty2 AS DOUBLE) / 2) > 0 THEN
            ROUND((CAST(c.c AS DOUBLE) - CAST(c.d AS DOUBLE))
                  / SQRT((CAST(t.n AS DOUBLE) * (t.n - 1) / 2
                          - CAST(t.tx2 AS DOUBLE) / 2)
                         * (CAST(t.n AS DOUBLE) * (t.n - 1) / 2
-                           - CAST(t.ty2 AS DOUBLE) / 2)), 6) AS tau_b
+                           - CAST(t.ty2 AS DOUBLE) / 2)), 6) END AS tau_b
     FROM conc c CROSS JOIN ties t
     """,
 )
@@ -4575,13 +4561,17 @@ def kendall_tau_quantity_discount(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("n").cast("bigint").alias("n"),
             F.col("c").cast("bigint").alias("concordant"),
             F.col("d").cast("bigint").alias("discordant"),
-            F.round(
-                (F.col("c").cast("double") - F.col("d").cast("double"))
-                / F.sqrt(
-                    (half - F.col("tx2").cast("double") / 2)
-                    * (half - F.col("ty2").cast("double") / 2)
+            F.when(
+                ((half - F.col("tx2").cast("double") / 2) > 0)
+                & ((half - F.col("ty2").cast("double") / 2) > 0),
+                F.round(
+                    (F.col("c").cast("double") - F.col("d").cast("double"))
+                    / F.sqrt(
+                        (half - F.col("tx2").cast("double") / 2)
+                        * (half - F.col("ty2").cast("double") / 2)
+                    ),
+                    6,
                 ),
-                6,
             ).alias("tau_b"),
         )
     )
@@ -4622,6 +4612,7 @@ _KS_A, _KS_B = "click", "view"
                               - CAST(c.cum_b AS HUGEINT) * t.na)) AS DOUBLE)
                  / (CAST(t.na AS DOUBLE) * t.nb), 6) AS ks_d
     FROM cum c CROSS JOIN tot t
+    WHERE t.na > 0 AND t.nb > 0
     GROUP BY t.na, t.nb
     """,
 )
@@ -4664,13 +4655,14 @@ def ks_test_click_view_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_a").cast("decimal(38,0)") * F.col("nb")
         - F.col("cum_b").cast("decimal(38,0)") * F.col("na")
     )
+    # one-sided or empty inputs produce NO row: the filter empties the
+    # totals side and the GROUPED aggregate (unlike a global agg, which
+    # would emit one all-NULL row) then emits nothing — exactly the
+    # oracle's GROUP BY behavior
     return (
-        cum.crossJoin(F.broadcast(tot))
-        .agg(
-            F.min("na").alias("na"),
-            F.min("nb").alias("nb"),
-            F.max(diff).alias("d"),
-        )
+        cum.crossJoin(F.broadcast(tot.filter((F.col("na") > 0) & (F.col("nb") > 0))))
+        .groupBy("na", "nb")
+        .agg(F.max(diff).alias("d"))
         .select(
             F.col("na").cast("bigint").alias("n_a"),
             F.col("nb").cast("bigint").alias("n_b"),
