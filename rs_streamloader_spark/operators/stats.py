@@ -4781,3 +4781,78 @@ def welch_t_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("welch_df"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation curve over daily event counts (lags 1..14)
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 14
+
+
+def _acf_oracle() -> str:
+    from rs_streamloader_spark.functions.moments import pearson_from_moments_sql
+
+    r = pearson_from_moments_sql("n", "s_x", "s_y", "ss_x", "ss_y", "sp")
+    return f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS c
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT g.lag, a.c AS x, b.c AS y
+      FROM daily a
+      CROSS JOIN (SELECT UNNEST(RANGE(1, {_ACF_MAX_LAG} + 1)) AS lag) g
+      JOIN daily b ON b.d = a.d + CAST(g.lag AS INTEGER)
+    ),
+    mom AS (
+      SELECT lag, COUNT(*) AS n,
+             SUM(x) AS s_x, SUM(y) AS s_y,
+             SUM(CAST(x AS HUGEINT) * x) AS ss_x,
+             SUM(CAST(y AS HUGEINT) * y) AS ss_y,
+             SUM(CAST(x AS HUGEINT) * y) AS sp
+      FROM lagged GROUP BY lag
+    )
+    SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           {r} AS acf
+    FROM mom
+    """
+
+
+@register("daily_acf_curve", oracle=_acf_oracle())
+def daily_acf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation FUNCTION of daily event volume at lags 1..14 —
+    the full curve a seasonality detector reads (a spike at lag 7 =
+    weekly cycle), generalizing ``daily_counts_autocorr``'s two fixed
+    lags; fourth consumer of the shared Pearson-from-moments policy.
+
+    Scale posture: events collapse to the calendar-bounded daily
+    aggregate FIRST; the lag fan-out (14×) and self-join run over the
+    bounded daily series, and per-lag moments are one combinable
+    aggregate. Cross-engine determinism: daily counts are exact
+    integers, all moments exact HUGEINT/DECIMAL(38,0) sums, r one
+    fixed double expression (zero-variance windows NULL)."""
+    from rs_streamloader_spark.functions.moments import pearson_from_moments
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lags = daily.select(
+        "d", "c", F.explode(F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG))).alias("lag")
+    ).select(F.expr("date_add(d, lag)").alias("d2"), F.col("c").alias("x"), "lag")
+    other = daily.select(F.col("d").alias("d2"), F.col("c").alias("y"))
+    pairs = lags.join(F.broadcast(other), "d2")
+    mom = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s_x"),
+        F.sum("y").alias("s_y"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("ss_x"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("ss_y"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sp"),
+    )
+    return mom.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        pearson_from_moments("n", "s_x", "s_y", "ss_x", "ss_y", "sp").alias("acf"),
+    )

@@ -97,6 +97,7 @@ HEAVY_TAIL = [
     "ks_test_click_view_value",
     "welch_t_click_view",
     "binary_quantize_recall",
+    "daily_acf_curve",
     "cross_source_dup_matrix",
     "temperature_mix_weights",
     "dedup_minhash_lsh",
@@ -292,6 +293,7 @@ CONSTANT_OUTPUT = {
     "ks_test_click_view_value",
     "welch_t_click_view",
     "binary_quantize_recall",
+    "daily_acf_curve",
     "cross_source_dup_matrix",
     "temperature_mix_weights",
     "domain_mix_sample",
