@@ -1,0 +1,146 @@
+"""Independent numpy validation of the statistics operators.
+
+The DuckDB oracles share their formula templates with the Spark side
+(single-sourced in functions/moments.py — deliberately), so a formula
+error would pass the cross-engine compare on BOTH engines. These tests
+recompute each statistic from scratch in numpy on small constructed
+inputs and require agreement to the operator's published rounding —
+an implementation-independent second opinion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import rs_streamloader_spark.operators.stats as S
+
+_RNG = np.random.RandomState(7)
+_N = 400
+
+
+@pytest.fixture()
+def lineitem_patch(spark, monkeypatch):
+    """Constructed lineitem with known correlations: price follows
+    quantity with noise, discount/tax drawn from small value sets
+    (bounded cardinality, plenty of ties)."""
+    qty = _RNG.randint(1, 51, _N).astype(float)
+    price = np.round(qty * 100 + _RNG.randn(_N) * 120, 2)
+    disc = _RNG.choice(np.round(np.arange(0, 0.11, 0.01), 2), _N)
+    tax = _RNG.choice(np.round(np.arange(0, 0.09, 0.01), 2), _N)
+    pdf = pd.DataFrame(
+        {
+            "l_quantity": qty,
+            "l_extendedprice": price,
+            "l_discount": disc,
+            "l_tax": tax,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(
+        S, "load_tables", lambda _s, _d, *names: {"lineitem": sdf}
+    )
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"lineitem": sdf})
+    return pdf
+
+
+def test_pearson_matches_numpy(spark, lineitem_patch):
+    got = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in S.numeric_corr_matrix(spark, "x").collect()
+    }
+    pdf = lineitem_patch
+    for (a, b), r in got.items():
+        # operator quantizes inputs at x100 — exact for this data
+        expect = np.corrcoef(pdf[a], pdf[b])[0, 1]
+        assert r == pytest.approx(expect, abs=2e-6), (a, b)
+
+
+def _avg_ranks(v: np.ndarray) -> np.ndarray:
+    order = np.argsort(v, kind="mergesort")
+    ranks = np.empty(len(v), dtype=float)
+    sv = v[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    return ranks
+
+
+def test_spearman_matches_numpy(spark, lineitem_patch):
+    got = {
+        (r["col_x"], r["col_y"]): r["spearman"]
+        for r in S.spearman_rank_corr(spark, "x").collect()
+    }
+    pdf = lineitem_patch
+    for (a, b), rho in got.items():
+        expect = np.corrcoef(
+            _avg_ranks(pdf[a].to_numpy()), _avg_ranks(pdf[b].to_numpy())
+        )[0, 1]
+        assert rho == pytest.approx(expect, abs=2e-6), (a, b)
+
+
+def test_kendall_matches_bruteforce(spark, lineitem_patch):
+    row = S.kendall_tau_quantity_discount(spark, "x").collect()[0]
+    pdf = lineitem_patch
+    x = pdf["l_quantity"].to_numpy()
+    y = pdf["l_discount"].to_numpy()
+    sx = np.sign(x[:, None] - x[None, :])
+    sy = np.sign(y[:, None] - y[None, :])
+    iu = np.triu_indices(len(x), 1)
+    prod = (sx * sy)[iu]
+    conc = int((prod > 0).sum())
+    disc = int((prod < 0).sum())
+    n = len(x)
+    n0 = n * (n - 1) / 2
+    tx = sum(c * (c - 1) / 2 for c in pd.Series(x).value_counts())
+    ty = sum(c * (c - 1) / 2 for c in pd.Series(y).value_counts())
+    expect = (conc - disc) / np.sqrt((n0 - tx) * (n0 - ty))
+    assert row["concordant"] == conc and row["discordant"] == disc
+    assert row["tau_b"] == pytest.approx(expect, abs=2e-6)
+
+
+@pytest.fixture()
+def events_patch(spark, monkeypatch):
+    n = 300
+    types = np.where(_RNG.rand(n) < 0.5, "click", "view")
+    value = np.round(np.where(types == "click", 5.0, 6.5) + _RNG.randn(n), 2)
+    pdf = pd.DataFrame(
+        {"event_id": np.arange(n), "event_type": types, "value": value}
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"events": sdf})
+    monkeypatch.setattr(
+        S, "load_tables", lambda _s, _d, *names: {"events": sdf}
+    )
+    return pdf
+
+
+def test_ks_matches_bruteforce(spark, events_patch):
+    row = S.ks_test_click_view_value(spark, "x").collect()[0]
+    pdf = events_patch
+    a = np.sort(pdf.loc[pdf.event_type == "click", "value"].to_numpy())
+    b = np.sort(pdf.loc[pdf.event_type == "view", "value"].to_numpy())
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    expect = np.max(np.abs(fa - fb))
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert row["ks_d"] == pytest.approx(expect, abs=2e-6)
+
+
+def test_welch_matches_numpy(spark, events_patch):
+    row = S.welch_t_click_view(spark, "x").collect()[0]
+    pdf = events_patch
+    a = pdf.loc[pdf.event_type == "click", "value"].to_numpy()
+    b = pdf.loc[pdf.event_type == "view", "value"].to_numpy()
+    va, vb = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+    t = (a.mean() - b.mean()) / np.sqrt(va + vb)
+    df = (va + vb) ** 2 / (va**2 / (len(a) - 1) + vb**2 / (len(b) - 1))
+    assert row["t_stat"] == pytest.approx(t, abs=2e-4)
+    assert row["welch_df"] == pytest.approx(df, abs=0.02)
+    assert row["mean_a"] == pytest.approx(a.mean(), abs=2e-6)
