@@ -144,3 +144,49 @@ def test_welch_matches_numpy(spark, events_patch):
     assert row["t_stat"] == pytest.approx(t, abs=2e-4)
     assert row["welch_df"] == pytest.approx(df, abs=0.02)
     assert row["mean_a"] == pytest.approx(a.mean(), abs=2e-6)
+
+
+def test_cramers_v_matches_numpy(spark, monkeypatch):
+    pri = _RNG.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-LOW", "5-NONE"], 500)
+    # status depends on priority -> nonzero association
+    status = np.where(
+        (_RNG.rand(500) < 0.3) & (pri <= "2-HIGH"), "F",
+        _RNG.choice(["O", "P"], 500),
+    )
+    pdf = pd.DataFrame({"o_orderpriority": pri, "o_orderstatus": status})
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "load_tables", lambda _s, _d, *n: {"orders": sdf})
+    row = S.cramers_v_priority_status(spark, "x").collect()[0]
+    ct = pd.crosstab(pdf.o_orderpriority, pdf.o_orderstatus).to_numpy().astype(float)
+    n = ct.sum()
+    exp = np.outer(ct.sum(1), ct.sum(0)) / n
+    chi2 = ((ct - exp) ** 2 / exp).sum()
+    k = min(ct.shape)
+    expect_v = np.sqrt(chi2 / (n * (k - 1)))
+    assert row["n"] == int(n)
+    assert row["chi2_micro"] == pytest.approx(chi2 * 1e6, abs=len(ct.ravel()) * 0.5 + 1)
+    assert row["cramers_v"] == pytest.approx(expect_v, abs=1e-4)
+
+
+def test_acf_matches_numpy(spark, monkeypatch):
+    days = pd.date_range("2024-01-01", periods=120, freq="D")
+    # weekly cycle + noise in daily counts
+    counts = (50 + 20 * np.sin(np.arange(120) * 2 * np.pi / 7)
+              + _RNG.randint(0, 10, 120)).astype(int)
+    rows = []
+    for d, c in zip(days, counts):
+        rows.extend({"ts": d, "event_id": i} for i in range(int(c)))
+    pdf = pd.DataFrame(rows)
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *n: {"events": sdf})
+    got = {r["lag"]: (r["n_pairs"], r["acf"])
+           for r in S.daily_acf_curve(spark, "x").collect()}
+    x = counts.astype(float)
+    for lag in (1, 7, 14):
+        a, b = x[:-lag], x[lag:]
+        expect = np.corrcoef(a, b)[0, 1]
+        n_pairs, acf = got[lag]
+        assert n_pairs == 120 - lag
+        assert acf == pytest.approx(expect, abs=2e-6), lag
+    # the weekly cycle must actually show: lag-7 acf far above lag-3
+    assert got[7][1] > got[3][1] + 0.3
