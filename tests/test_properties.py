@@ -87,6 +87,11 @@ def test_upsert_compat_keeps_duplicate_update_rows(
         "max_drawdown_revenue",
         "dau_mau_stickiness",
         "anomaly_mad_days",
+        # round-7 additions that BUCKET by the NTZ ts (values would
+        # shift under a TZ-dependent to_date; NTZ makes them invariant)
+        "daily_acf_curve",
+        "ks_test_click_view_value",
+        "welch_t_click_view",
     ],
 )
 def test_timestamp_queries_are_timezone_invariant(spark, query):
