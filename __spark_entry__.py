@@ -36,12 +36,18 @@ def _catalog_order(root: str = _REPO_ROOT) -> list[str]:
     entries), so queries are sorted by the last round in which the
     driver recorded a row for them (never-recorded first), ties in
     registry order — cycling coverage across rounds so every operator
-    accumulates driver evidence."""
+    accumulates driver evidence.
+
+    Queries whose LATEST driver row was red jump the queue entirely:
+    a red row means a fix shipped (or is owed) and the scoreboard
+    should see the re-check next round, not after the full rotation
+    cycles back around."""
     import glob
     import json
     import re
 
     last_seen: dict[str, int] = {}
+    latest_green: dict[str, bool] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
@@ -52,10 +58,31 @@ def _catalog_order(root: str = _REPO_ROOT) -> list[str]:
             continue
         if not isinstance(rows, dict):  # unexpected shape — skip, never crash
             continue
-        for name in rows:
+        for name, rec in rows.items():
+            if rnd >= last_seen.get(name, 0):
+                if isinstance(rec, dict) and rec.get("err") == "no_oracle":
+                    # Rows-only by declared design (or an oracle added
+                    # later) — not a fix-owed red; normal rotation.
+                    green = True
+                else:
+                    green = bool(
+                        isinstance(rec, dict)
+                        and rec.get("rows_match")
+                        and rec.get("schema_match", True)
+                        and rec.get("hash_match", True)
+                        and not rec.get("err")
+                    )
+                latest_green[name] = green
             last_seen[name] = max(last_seen.get(name, 0), rnd)
     order = {name: i for i, name in enumerate(REGISTRY)}
-    return sorted(REGISTRY, key=lambda n: (last_seen.get(n, 0), order[n]))
+    return sorted(
+        REGISTRY,
+        key=lambda n: (
+            latest_green.get(n, True),  # latest-red rows first
+            last_seen.get(n, 0),
+            order[n],
+        ),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
