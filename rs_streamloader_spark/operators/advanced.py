@@ -585,16 +585,41 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FUZZY_MAX_DIST = 1
 
+#: Per-side block-size cap for the fuzzy join: blocks where EITHER
+#: side has more members than this are dropped BEFORE the in-block
+#: candidate join.  A block of s suppliers × c customers contributes
+#: s·c Levenshtein evaluations, so one uninformative blocking key
+#: ("James Smith" in a person-name corpus) makes the stage quadratic
+#: at scale; capping the side count bounds per-block work at CAP² and
+#: drops only blocks whose key carries ~zero linkage signal — the
+#: standard mega-block rule in entity resolution.  The cap is above
+#: every real test scale's max block side (100 at sf0.001/0.01/0.1),
+#: so oracle results are bit-identical there; the 10× stress replicas
+#: (which repeat every name verbatim, inflating each side k×) exceed
+#: it by design — that k²-candidate blow-up is exactly what the cap
+#: exists to bound.
+_FUZZY_BLOCK_CAP = 128
+
 
 @register(
     "fuzzy_name_match",
     oracle=f"""
-    SELECT s.s_name, c.c_name,
-           LEVENSHTEIN(s.s_name, c.c_name) AS edit_dist
-    FROM supplier s
-    JOIN customer c
-      ON SUBSTR(s.s_name, 10, 7) = SUBSTR(c.c_name, 10, 7)
-    WHERE LEVENSHTEIN(s.s_name, c.c_name) <= {_FUZZY_MAX_DIST}
+    WITH sb AS (
+      SELECT s_name, SUBSTR(s_name, 10, 7) AS blk,
+             COUNT(*) OVER (PARTITION BY SUBSTR(s_name, 10, 7)) AS side_cnt
+      FROM supplier
+    ),
+    cb AS (
+      SELECT c_name, SUBSTR(c_name, 10, 7) AS blk,
+             COUNT(*) OVER (PARTITION BY SUBSTR(c_name, 10, 7)) AS side_cnt
+      FROM customer
+    )
+    SELECT sb.s_name, cb.c_name,
+           LEVENSHTEIN(sb.s_name, cb.c_name) AS edit_dist
+    FROM sb JOIN cb ON sb.blk = cb.blk
+    WHERE sb.side_cnt <= {_FUZZY_BLOCK_CAP}
+      AND cb.side_cnt <= {_FUZZY_BLOCK_CAP}
+      AND LEVENSHTEIN(sb.s_name, cb.c_name) <= {_FUZZY_MAX_DIST}
     """,
 )
 def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -608,12 +633,31 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: the block key turns an O(|S|·|C|) similarity scan
     into an equi-join (shuffle on the block key; AQE skew-handles hot
     blocks), with LEVENSHTEIN — identical unit-cost edit distance in
-    both engines — evaluated candidate-pairs-only. This is the same
-    candidate-then-verify pattern as the LSH dedup family, on strings
-    instead of shingle sets."""
+    both engines — evaluated candidate-pairs-only. Mega-blocks (an
+    uninformative key shared by ≫ ``_FUZZY_BLOCK_CAP`` entities) are
+    dropped before the join by a window count over the block key —
+    the same enforce-the-cap-BEFORE-the-expensive-stage pattern as
+    ``_JACCARD_DF_CAP`` (dedup.py): the window shares the join's hash
+    partitioning on blk, so the guard costs no extra exchange, and
+    worst-case per-block work is bounded at CAP² regardless of corpus
+    skew. This is the same candidate-then-verify pattern as the LSH
+    dedup family, on strings instead of shingle sets."""
     t = load_tables(spark, sf_dir, "supplier", "customer")
-    s = t["supplier"].select("s_name", F.substring("s_name", 10, 7).alias("blk"))
-    c = t["customer"].select("c_name", F.substring("c_name", 10, 7).alias("blk"))
+    wb = Window.partitionBy("blk")
+    s = (
+        t["supplier"]
+        .select("s_name", F.substring("s_name", 10, 7).alias("blk"))
+        .withColumn("side_cnt", F.count(F.lit(1)).over(wb))
+        .filter(F.col("side_cnt") <= _FUZZY_BLOCK_CAP)
+        .drop("side_cnt")
+    )
+    c = (
+        t["customer"]
+        .select("c_name", F.substring("c_name", 10, 7).alias("blk"))
+        .withColumn("side_cnt", F.count(F.lit(1)).over(wb))
+        .filter(F.col("side_cnt") <= _FUZZY_BLOCK_CAP)
+        .drop("side_cnt")
+    )
     return (
         s.join(c, "blk")
         .where(F.levenshtein("s_name", "c_name") <= _FUZZY_MAX_DIST)

@@ -919,6 +919,26 @@ def test_fuzzy_match_is_blocked_equi_join(spark):
     assert "NestedLoop" not in text, text
 
 
+def test_fuzzy_match_caps_blocks_before_join(spark):
+    """Mega-block guard: each side carries a window count over the
+    block key with a `side_cnt <= _FUZZY_BLOCK_CAP` filter BEFORE the
+    in-block candidate join (the _JACCARD_DF_CAP pattern on strings),
+    and the window's hash partitioning on blk is REUSED by the join —
+    the guard must not add exchanges beyond the two per-side block
+    shuffles."""
+    from rs_streamloader_spark.operators.advanced import (
+        _FUZZY_BLOCK_CAP,
+        fuzzy_name_match,
+    )
+
+    df = fuzzy_name_match(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert text.count("Window") >= 2, text  # one count window per side
+    assert f"<= {_FUZZY_BLOCK_CAP}" in text, text  # cap filter in plan
+    # window partitioning on blk is reused by the join: 2 exchanges
+    assert shuffle_count(df) <= 2, text
+
+
 def test_journey_paths_share_one_window_exchange(spark):
     """Both endpoint ranks ride the same (user, day) shuffle; path
     counts collapse to the tiny type-pair aggregate."""
