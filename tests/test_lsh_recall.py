@@ -24,11 +24,35 @@ def _pairs(spark, name: str, ca: str, cb: str) -> set[tuple]:
 
 
 def test_embedding_near_dup_lsh_recall(spark):
-    exact = _pairs(spark, "embedding_near_dup", "vec_a", "vec_b")
-    lsh = _pairs(spark, "embedding_near_dup_lsh", "vec_a", "vec_b")
-    assert lsh <= exact  # precision 1.0: candidates are exact-verified
-    recall = len(lsh & exact) / len(exact)
-    assert recall >= 0.9, f"embedding LSH recall {recall:.3f} < 0.9"
+    """Top-K-list recall: the LSH operator emits per-vector top-K
+    neighbor lists; recall is measured against the exact twin's
+    per-vector top-K (derived from its unrestricted pair set). A
+    band-surviving member of the exact top-K can only move UP in rank
+    when a competitor is band-missed, so list recall ≥ per-pair band
+    recall (0.941 measured at sf0.01). Precision stays 1.0: every
+    emitted neighbor must be a true qualifying pair."""
+    from collections import defaultdict
+
+    from rs_streamloader_spark.operators import REGISTRY
+    from rs_streamloader_spark.operators.similarity import NEARDUP_TOP_K
+
+    exact_rows = REGISTRY["embedding_near_dup"].fn(spark, SF).collect()
+    neigh = defaultdict(list)
+    for r in exact_rows:
+        neigh[r["vec_a"]].append((-r["cosine"], r["vec_b"]))
+        neigh[r["vec_b"]].append((-r["cosine"], r["vec_a"]))
+    exact_topk = {
+        (v, nb)
+        for v, lst in neigh.items()
+        for _, nb in sorted(lst)[:NEARDUP_TOP_K]
+    }
+    lsh = _pairs(spark, "embedding_near_dup_lsh", "vec_id", "neighbor_id")
+    exact_undirected = {(r["vec_a"], r["vec_b"]) for r in exact_rows}
+    assert all(
+        (min(a, b), max(a, b)) in exact_undirected for a, b in lsh
+    )  # precision 1.0: every neighbor is exact-verified
+    recall = len(lsh & exact_topk) / len(exact_topk)
+    assert recall >= 0.9, f"embedding LSH top-K recall {recall:.3f} < 0.9"
 
 
 def test_dedup_minhash_lsh_recall(spark):

@@ -189,7 +189,8 @@ def test_embedding_near_dup_lsh_scores_then_filters(spark):
     plus BROADCAST signature joins on the scored pairs — never a
     banded candidate self-join + distinct (measured non-selective at
     this threshold: 73% of all pairs were candidates at a 20k corpus)
-    and never a cartesian product."""
+    and never a cartesian product; the per-vector top-K cut is ONE
+    row_number window over the (cached) banded pair stage."""
     from rs_streamloader_spark.operators.similarity import embedding_near_dup_lsh
 
     df = embedding_near_dup_lsh(spark, SF_SMOKE)
@@ -199,6 +200,7 @@ def test_embedding_near_dup_lsh_scores_then_filters(spark):
     assert has_broadcast_join(df), text  # band signatures broadcast
     assert "FlatMapGroupsInPandas" in text  # the blocked scorer
     assert "HashAggregate" not in text  # no candidate DISTINCT anywhere
+    assert "Window" in text  # the bounded top-K cut
 
 
 def test_ann_ivf_probe_explodes_query_side_only(spark):

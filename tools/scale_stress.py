@@ -248,24 +248,39 @@ HEAVY_TAIL = [
     "top_supplier_multigrain",
 ]
 
-# threshold-pair operators over embeddings have intrinsically
-# SUPERLINEAR output on this data: at cosine 0.35 a few per-mille of
-# RANDOM pairs qualify, so k× corpus → ~k² cross-replica qualifying
-# pairs (the exact operator's all-pairs work is quadratic by definition;
-# the LSH one's candidate set grows with qualifying pairs). Their
-# elapsed ratio is judged against k² shape, not k.
-SUPERLINEAR_OUTPUT = {"embedding_near_dup", "embedding_near_dup_lsh"}
+# UNBOUNDED threshold-pair operators over embeddings have
+# intrinsically SUPERLINEAR output on this data: at cosine 0.35 a few
+# per-mille of RANDOM pairs qualify (~2.8σ of the N(0, 1/64) cosine
+# tail), so k× corpus → ~k² cross-replica qualifying pairs, and ANY
+# scheme with ≥0.9 recall at the threshold must emit ≥90% of that
+# tail — recall and sub-quadratic output are mutually exclusive for
+# the all-pairs semantics. The exact operator keeps those semantics
+# deliberately (it is the oracle baseline); its elapsed is judged
+# against k² shape, not k. The LSH variant was REDEFINED in r8 to the
+# bounded production shape (per-vector top-K: output ≤ K·n, linear by
+# construction) and is growth-MEASURED below instead of labeled here.
+SUPERLINEAR_OUTPUT = {"embedding_near_dup"}
 
 # superlinear WORK with constant output — distinct from the set above
-# so the artifact field stays truthful: fuzzy_name_match's scaled data
-# repeats every s_name/c_name verbatim k times (names are not key
-# columns, so the replica offset never touches them), making its
-# 7-char blocking key collide across replicas — in-block CANDIDATE
-# pairs grow k^2 (measured: 100k -> 10M at k=10) while the match
-# OUTPUT stays constant. On real data distinct entities get distinct
-# blocks; on this data the k^2 candidate work is inherent, so elapsed
-# is judged against the k^2 shape.
-SUPERLINEAR_WORK = {"fuzzy_name_match"}
+# so the artifact field stays truthful. r8: empty — fuzzy_name_match
+# (its former member) now drops blocks over _FUZZY_BLOCK_CAP=128 per
+# side before the in-block join, so the k²-candidate blow-up its
+# verbatim-name replicas used to trigger is bounded by the cap.
+SUPERLINEAR_WORK: set = set()
+
+# growth-MEASURED queries: run_stress counts output rows at both
+# scales and derives output_growth empirically (constant / linear /
+# superlinear against the k factor) instead of trusting a static
+# label. The pair/candidate family lives here because its growth is
+# exactly what the stress exists to check.
+MEASURE_OUTPUT = {
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_containment",
+    "fuzzy_name_match",
+}
 
 # date-windowed queries: the replica time shift leaves only replica 0
 # inside the fixed filter window, so output is CONSTANT and the scaled
@@ -503,12 +518,26 @@ def run_stress(spark, base_sf: str, scaled_sf: str, k: int) -> dict:
                 "shuffles": shuffle_count(df),
                 "broadcast": has_broadcast_join(df),
             }
+            if name in MEASURE_OUTPUT:
+                # outside the timer: count re-executes the plan
+                row[f"{label}_rows"] = df.count()
         row["ratio"] = (
             round(row["scaled_sec"] / row["base_sec"], 2)
             if row["base_sec"] > 0
             else None
         )
-        if name in SUPERLINEAR_OUTPUT:
+        if name in MEASURE_OUTPUT:
+            base_r, scaled_r = row["base_rows"], row["scaled_rows"]
+            row["rows_ratio"] = round(scaled_r / base_r, 2) if base_r else None
+            # empirical growth vs the k replication factor (1.5 slack
+            # for boundary/banding noise)
+            if scaled_r <= max(base_r, 1) * 1.5:
+                row["output_growth"] = "output-constant (measured)"
+            elif scaled_r <= base_r * k * 1.5:
+                row["output_growth"] = "linear (measured)"
+            else:
+                row["output_growth"] = "superlinear (measured)"
+        elif name in SUPERLINEAR_OUTPUT:
             row["output_growth"] = "superlinear"
         elif name in SUPERLINEAR_WORK:
             row["output_growth"] = "superlinear-work"
