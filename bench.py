@@ -143,8 +143,11 @@ def main() -> None:
     full = {
         "metric": "total_query_seconds",
         "value": batch_total,
+        "value_is": "batch_seconds (streaming replays reported separately)",
         "unit": "sec",
         "queries": timings,
+        "batch_seconds": batch_total,
+        "streaming_replay_seconds": replay_total,
         "streaming_replay_total": replay_total,
         "stages": stage_timings,
         "stages_total": round(
@@ -175,11 +178,13 @@ def main() -> None:
     compact = {
         "metric": "total_query_seconds",
         "value": batch_total,
+        "value_is": "batch_seconds",
         "unit": "sec",
         "queries": headline,
         "n_queries": len(timings),
         "n_failed": sum(1 for t in timings.values() if t < 0),
-        "streaming_replay_total": replay_total,
+        "batch_seconds": batch_total,
+        "streaming_replay_seconds": replay_total,
         "stages_total": full["stages_total"],
         "full_detail": "BENCH_FULL.json",
         "sf": sf_val,
