@@ -172,7 +172,14 @@ BLOCK_TARGET = 2048
 MIN_BLOCKS = 1
 
 #: embeddings-count memo per (applicationId, sf_dir) — see
-#: _block_exact_pairs
+#: _block_exact_pairs. ASSUMES sf_dir contents are immutable for the
+#: lifetime of the Spark application (true for the driver's testdata
+#: and every tool in this repo; same assumption the stage_cached
+#: DataFrames make). If data at sf_dir were regenerated mid-session,
+#: results would stay CORRECT — blocking is count-invariant — but a
+#: stale n could size n_blocks under the new corpus and let a block
+#: pair exceed the BLOCK_TARGET² per-task memory bound. Tests that
+#: monkeypatch blocking clear this dict explicitly (ADVICE r7).
 _COUNT_CACHE: dict = {}
 
 
