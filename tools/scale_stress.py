@@ -475,11 +475,6 @@ def run_stress(spark, base_sf: str, scaled_sf: str, k: int) -> dict:
     """Time the heavy tail at both scales (noop write — full plan, no
     driver collect), with plan-shape fingerprints at each scale."""
     from rs_streamloader_spark.operators import REGISTRY
-    from rs_streamloader_spark.plans.inspect import (
-        has_broadcast_join,
-        shuffle_count,
-    )
-    from rs_streamloader_spark.session import clear_stage_cache
 
     # warm the Python worker pool once: the first Arrow/pandas query
     # of a session pays worker spawn, which otherwise lands on
@@ -499,57 +494,76 @@ def run_stress(spark, base_sf: str, scaled_sf: str, k: int) -> dict:
         # (their plans re-execute identically)
         runs = 2 if name.endswith("_replay") else 1
         row: dict = {}
-        for label, sf in (("base", base_sf), ("scaled", scaled_sf)):
-            best = None
-            for _ in range(runs):
-                clear_stage_cache()
-                # fn inside the timer: the *_replay wrappers run their
-                # streaming job eagerly in fn (the returned DataFrame
-                # is a read of the landed output) — timing only the
-                # noop write would measure nothing for them. For lazy
-                # batch queries fn() is plan construction, microseconds.
-                t0 = time.perf_counter()
-                df = fn(spark, sf)
-                df.write.format("noop").mode("overwrite").save()
-                elapsed = time.perf_counter() - t0
-                best = elapsed if best is None else min(best, elapsed)
-            row[f"{label}_sec"] = round(best, 3)
-            row[f"{label}_shape"] = {
-                "shuffles": shuffle_count(df),
-                "broadcast": has_broadcast_join(df),
-            }
-            if name in MEASURE_OUTPUT:
-                # outside the timer: count re-executes the plan
-                row[f"{label}_rows"] = df.count()
-        row["ratio"] = (
-            round(row["scaled_sec"] / row["base_sec"], 2)
-            if row["base_sec"] > 0
-            else None
-        )
-        if name in MEASURE_OUTPUT:
-            base_r, scaled_r = row["base_rows"], row["scaled_rows"]
-            row["rows_ratio"] = round(scaled_r / base_r, 2) if base_r else None
-            # empirical growth vs the k replication factor (1.5 slack
-            # for boundary/banding noise)
-            if scaled_r <= max(base_r, 1) * 1.5:
-                row["output_growth"] = "output-constant (measured)"
-            elif scaled_r <= base_r * k * 1.5:
-                row["output_growth"] = "linear (measured)"
-            else:
-                row["output_growth"] = "superlinear (measured)"
-        elif name in SUPERLINEAR_OUTPUT:
-            row["output_growth"] = "superlinear"
-        elif name in SUPERLINEAR_WORK:
-            row["output_growth"] = "superlinear-work"
-        elif name in DATE_WINDOWED:
-            row["output_growth"] = "window-constant"
-        elif name in CONSTANT_OUTPUT:
-            row["output_growth"] = "output-constant"
-        else:
-            row["output_growth"] = "linear"
-        row["shape_stable"] = row["base_shape"] == row["scaled_shape"]
+        try:
+            _stress_one(spark, name, fn, runs, base_sf, scaled_sf, k, row)
+        except Exception as exc:  # record, keep sweeping the catalog
+            row["err"] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"STRESS FAIL {name}: {row['err']}", file=sys.stderr)
         out[name] = row
+        print(
+            f"STRESS {name}: {json.dumps(row)[:220]}", file=sys.stderr, flush=True
+        )
     return {"k": k, "queries": out}
+
+
+def _stress_one(spark, name, fn, runs, base_sf, scaled_sf, k, row) -> None:
+    """Fill one stress row in place (split out so run_stress can catch
+    per-query failures without losing the rest of a catalog sweep)."""
+    from rs_streamloader_spark.plans.inspect import (
+        has_broadcast_join,
+        shuffle_count,
+    )
+    from rs_streamloader_spark.session import clear_stage_cache
+
+    for label, sf in (("base", base_sf), ("scaled", scaled_sf)):
+        best = None
+        for _ in range(runs):
+            clear_stage_cache()
+            # fn inside the timer: the *_replay wrappers run their
+            # streaming job eagerly in fn (the returned DataFrame
+            # is a read of the landed output) — timing only the
+            # noop write would measure nothing for them. For lazy
+            # batch queries fn() is plan construction, microseconds.
+            t0 = time.perf_counter()
+            df = fn(spark, sf)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        row[f"{label}_sec"] = round(best, 3)
+        row[f"{label}_shape"] = {
+            "shuffles": shuffle_count(df),
+            "broadcast": has_broadcast_join(df),
+        }
+        if name in MEASURE_OUTPUT:
+            # outside the timer: count re-executes the plan
+            row[f"{label}_rows"] = df.count()
+    row["ratio"] = (
+        round(row["scaled_sec"] / row["base_sec"], 2)
+        if row["base_sec"] > 0
+        else None
+    )
+    if name in MEASURE_OUTPUT:
+        base_r, scaled_r = row["base_rows"], row["scaled_rows"]
+        row["rows_ratio"] = round(scaled_r / base_r, 2) if base_r else None
+        # empirical growth vs the k replication factor (1.5 slack
+        # for boundary/banding noise)
+        if scaled_r <= max(base_r, 1) * 1.5:
+            row["output_growth"] = "output-constant (measured)"
+        elif scaled_r <= base_r * k * 1.5:
+            row["output_growth"] = "linear (measured)"
+        else:
+            row["output_growth"] = "superlinear (measured)"
+    elif name in SUPERLINEAR_OUTPUT:
+        row["output_growth"] = "superlinear"
+    elif name in SUPERLINEAR_WORK:
+        row["output_growth"] = "superlinear-work"
+    elif name in DATE_WINDOWED:
+        row["output_growth"] = "window-constant"
+    elif name in CONSTANT_OUTPUT:
+        row["output_growth"] = "output-constant"
+    else:
+        row["output_growth"] = "linear"
+    row["shape_stable"] = row["base_shape"] == row["scaled_shape"]
 
 
 def main() -> None:
