@@ -41,8 +41,16 @@ def _catalog_order(root: str = _REPO_ROOT) -> list[str]:
     Queries whose LATEST driver row was red jump the queue entirely:
     a red row means a fix shipped (or is owed) and the scoreboard
     should see the re-check next round, not after the full rotation
-    cycles back around."""
+    cycles back around.
+
+    A query whose oracle SQL changed since its fingerprint snapshot
+    (tools/oracle_fingerprints.json, written by
+    tools/update_fingerprints.py at each green round-end gate) is
+    treated the same as red: a redefinition invalidates old green
+    evidence, so the scoreboard should re-check it next round even if
+    its last driver row predates the change (ADVICE r8)."""
     import glob
+    import hashlib
     import json
     import re
 
@@ -74,11 +82,35 @@ def _catalog_order(root: str = _REPO_ROOT) -> list[str]:
                     )
                 latest_green[name] = green
             last_seen[name] = max(last_seen.get(name, 0), rnd)
+    snapshot: dict[str, str] = {}
+    try:
+        with open(os.path.join(root, "tools", "oracle_fingerprints.json")) as fh:
+            loaded = json.load(fh)
+        if isinstance(loaded, dict):
+            snapshot = loaded
+    except (OSError, ValueError):
+        pass  # no snapshot yet — fingerprint check is a no-op
+
+    def _fp(name: str) -> str:
+        sql = REGISTRY[name].oracle
+        if sql is None:
+            return "no_oracle"
+        return hashlib.sha256(sql.encode("utf-8")).hexdigest()[:16]
+
+    def _needs_recheck(name: str) -> bool:
+        if not latest_green.get(name, True):
+            return True  # latest driver row red
+        recorded = snapshot.get(name)
+        # oracle redefined since the snapshot → old green evidence is
+        # stale; re-queue like a red row (never-snapshotted = new
+        # query, already first via last_seen=0)
+        return recorded is not None and recorded != _fp(name)
+
     order = {name: i for i, name in enumerate(REGISTRY)}
     return sorted(
         REGISTRY,
         key=lambda n: (
-            latest_green.get(n, True),  # latest-red rows first
+            not _needs_recheck(n),  # red / redefined rows first
             last_seen.get(n, 0),
             order[n],
         ),

@@ -185,6 +185,9 @@ def main() -> None:
         "n_failed": sum(1 for t in timings.values() if t < 0),
         "batch_seconds": batch_total,
         "streaming_replay_seconds": replay_total,
+        # deprecated alias: r07-and-earlier compact artifacts used this
+        # name; kept so round-over-round diff tooling sees both series
+        "streaming_replay_total": replay_total,
         "stages_total": full["stages_total"],
         "full_detail": "BENCH_FULL.json",
         "sf": sf_val,

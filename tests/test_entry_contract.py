@@ -1,5 +1,6 @@
 """Driver-contract tests for __spark_entry__: catalog completeness and
-the least-recently-verified-first sweep order."""
+the least-recently-verified-first sweep order (red rows and redefined
+oracles jump the queue)."""
 
 from __future__ import annotations
 
@@ -7,6 +8,9 @@ import json
 
 import __spark_entry__ as entry
 from rs_streamloader_spark.operators import REGISTRY
+
+GREEN = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+RED = {"rows_match": False, "schema_match": True, "hash_match": False, "err": None}
 
 
 def test_queries_and_oracles_cover_registry():
@@ -19,12 +23,12 @@ def test_queries_and_oracles_cover_registry():
 
 def test_catalog_order_puts_unverified_first(tmp_path):
     names = list(REGISTRY)
-    # simulate: r1 verified the first 3 registry entries, r2 the next 2
+    # simulate: r1 verified the first 3 registry entries green, r2 the next 2
     (tmp_path / "CORRECTNESS_r01.json").write_text(
-        json.dumps({n: {} for n in names[:3]})
+        json.dumps({n: GREEN for n in names[:3]})
     )
     (tmp_path / "CORRECTNESS_r02.json").write_text(
-        json.dumps({n: {} for n in names[3:5]})
+        json.dumps({n: GREEN for n in names[3:5]})
     )
     order = entry._catalog_order(str(tmp_path))
     assert set(order) == set(names)
@@ -32,6 +36,40 @@ def test_catalog_order_puts_unverified_first(tmp_path):
     assert order[: len(names) - 5] == names[5:]
     assert order[len(names) - 5 : len(names) - 2] == names[:3]
     assert order[len(names) - 2 :] == names[3:5]
+
+
+def test_catalog_order_puts_latest_red_first(tmp_path):
+    names = list(REGISTRY)
+    # everything green in r1 so never-sampled doesn't dominate; one red in r2
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: GREEN for n in names})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({names[7]: RED}))
+    order = entry._catalog_order(str(tmp_path))
+    assert order[0] == names[7]
+
+
+def test_catalog_order_requeues_redefined_oracle(tmp_path):
+    """ADVICE r8: a query whose oracle SQL changed since the committed
+    fingerprint snapshot is treated like a red row even if its latest
+    driver row was green."""
+    names = list(REGISTRY)
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: GREEN for n in names})
+    )
+    (tmp_path / "tools").mkdir()
+    from tools.update_fingerprints import oracle_fingerprint
+
+    fps = {n: oracle_fingerprint(REGISTRY[n].oracle) for n in names}
+    target = names[11]
+    fps[target] = "stale:redefined"  # simulate a post-green redefinition
+    (tmp_path / "tools" / "oracle_fingerprints.json").write_text(json.dumps(fps))
+    order = entry._catalog_order(str(tmp_path))
+    assert order[0] == target
+    # with a matching snapshot, nothing is flagged: plain rotation
+    fps[target] = oracle_fingerprint(REGISTRY[target].oracle)
+    (tmp_path / "tools" / "oracle_fingerprints.json").write_text(json.dumps(fps))
+    assert entry._catalog_order(str(tmp_path)) == names
 
 
 def test_catalog_order_without_history_is_registry_order(tmp_path):

@@ -136,3 +136,18 @@ def test_range_join_scales_exactly_linearly(spark, scaled_dir):
     for key, val in base.items():
         for i in range(K):
             assert scaled[key + i * KEY_OFFSET] == val, (key, i)
+
+
+def test_classify_growth_guards_degenerate_base():
+    """ADVICE r8: base_rows == 0 must never be labeled superlinear for
+    a trivial nonzero scaled count (0·k·1.5 == 0 made 0→2 read as
+    'superlinear (measured)')."""
+    from scale_stress import classify_growth
+
+    assert classify_growth(0, 0, 10) == "output-constant (measured)"
+    assert classify_growth(0, 2, 10) == "linear (measured)"
+    assert classify_growth(0, 16, 10) == "indeterminate (base empty)"
+    # non-degenerate bases keep the ratio semantics
+    assert classify_growth(100, 110, 10) == "output-constant (measured)"
+    assert classify_growth(100, 1000, 10) == "linear (measured)"
+    assert classify_growth(100, 5000, 10) == "superlinear (measured)"

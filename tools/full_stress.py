@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Full-catalog 10× scale-stress sweep (VERDICT r7 item 5) plus the
+k=100 heavy-family rehearsal (item 7).
+
+Usage:
+    python tools/full_stress.py sweep [OUT.json]   # all catalog queries at k=10
+    python tools/full_stress.py k100  [OUT.json]   # heavy dedup/ANN six at k=100
+
+``sweep`` orders the run so the rows the verdict watches (the two r8
+redefinitions and the never-stressed statistics family) land first —
+a partially-complete artifact is still evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+_TOOLS_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO_ROOT = os.path.dirname(_TOOLS_DIR)
+for _p in (_REPO_ROOT, _TOOLS_DIR):
+    if _p not in sys.path:
+        sys.path.insert(0, _p)
+
+import scale_stress as ss  # noqa: E402  (lives next to this file)
+
+# rows the r7 verdict explicitly watches: run them first
+PRIORITY = [
+    "embedding_near_dup_lsh",
+    "fuzzy_name_match",
+    "daily_acf_curve",
+    "ks_test_click_view_value",
+    "kendall_tau_quantity_discount",
+    "cramers_v_priority_status",
+]
+
+# the heaviest candidate-pair / graph families for the 100× rehearsal
+HEAVY_K100 = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_containment",
+    "embedding_near_dup_lsh",
+    "item_item_cosine_topk",
+    "pagerank_neardup",
+    "dedup_semantic",
+    "fuzzy_name_match",
+]
+
+
+def main() -> None:
+    from rs_streamloader_spark.operators import REGISTRY
+    from rs_streamloader_spark.session import get_session
+
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "sweep"
+    base_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session(app_name=f"rs_sl_full_stress_{cmd}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if cmd == "sweep":
+        out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+            _REPO_ROOT, "SCALE_STRESS_r09.json"
+        )
+        k = int(os.environ.get("RS_SL_SCALE_K", "10"))
+        scaled_sf = os.environ.get("RS_SL_SCALED_DIR", "/tmp/rs_sl_sf1")
+        names = PRIORITY + [n for n in REGISTRY if n not in PRIORITY]
+        ss.HEAVY_TAIL = names
+        result = ss.run_stress(spark, base_sf, scaled_sf, k)
+    elif cmd == "k100":
+        out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+            _REPO_ROOT, "SCALE_STRESS_r09_k100.json"
+        )
+        k = int(os.environ.get("RS_SL_SCALE_K", "100"))
+        scaled_sf = os.environ.get("RS_SL_SCALED_DIR", "/tmp/rs_sl_sf10")
+        if not os.path.exists(os.path.join(scaled_sf, "lineitem.parquet")):
+            print(f"generating {scaled_sf} at k={k}…", file=sys.stderr, flush=True)
+            ss.make_scaled(spark, base_sf, scaled_sf, k)
+        ss.HEAVY_TAIL = [n for n in HEAVY_K100 if n in REGISTRY]
+        result = ss.run_stress(spark, base_sf, scaled_sf, k)
+    else:
+        raise SystemExit(f"unknown command {cmd!r} (sweep|k100)")
+
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"wrote {len(result['queries'])} rows -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()

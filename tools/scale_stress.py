@@ -412,6 +412,25 @@ CONSTANT_OUTPUT = {
 }
 
 
+def classify_growth(base_r: int, scaled_r: int, k: int) -> str:
+    """Empirical output-growth label vs the k replication factor
+    (1.5 slack for boundary/banding noise). A zero base makes ratio
+    checks meaningless (0·k == 0 would label ANY nonzero scaled count
+    superlinear — ADVICE r8), so classify degenerate bases by
+    absolute scaled rows instead."""
+    if base_r == 0:
+        if scaled_r == 0:
+            return "output-constant (measured)"
+        if scaled_r <= k * 1.5:
+            return "linear (measured)"
+        return "indeterminate (base empty)"
+    if scaled_r <= base_r * 1.5:
+        return "output-constant (measured)"
+    if scaled_r <= base_r * k * 1.5:
+        return "linear (measured)"
+    return "superlinear (measured)"
+
+
 def _replica_signs(i: int) -> list[float]:
     rng = np.random.RandomState(1000 + i)
     return [float(s) for s in rng.choice([-1.0, 1.0], size=EMB_DIM)]
@@ -545,14 +564,7 @@ def _stress_one(spark, name, fn, runs, base_sf, scaled_sf, k, row) -> None:
     if name in MEASURE_OUTPUT:
         base_r, scaled_r = row["base_rows"], row["scaled_rows"]
         row["rows_ratio"] = round(scaled_r / base_r, 2) if base_r else None
-        # empirical growth vs the k replication factor (1.5 slack
-        # for boundary/banding noise)
-        if scaled_r <= max(base_r, 1) * 1.5:
-            row["output_growth"] = "output-constant (measured)"
-        elif scaled_r <= base_r * k * 1.5:
-            row["output_growth"] = "linear (measured)"
-        else:
-            row["output_growth"] = "superlinear (measured)"
+        row["output_growth"] = classify_growth(base_r, scaled_r, k)
     elif name in SUPERLINEAR_OUTPUT:
         row["output_growth"] = "superlinear"
     elif name in SUPERLINEAR_WORK:
