@@ -585,86 +585,110 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FUZZY_MAX_DIST = 1
 
-#: Per-side block-size cap for the fuzzy join: blocks where EITHER
-#: side has more members than this are dropped BEFORE the in-block
-#: candidate join.  A block of s suppliers × c customers contributes
-#: s·c Levenshtein evaluations, so one uninformative blocking key
-#: ("James Smith" in a person-name corpus) makes the stage quadratic
-#: at scale; capping the side count bounds per-block work at CAP² and
-#: drops only blocks whose key carries ~zero linkage signal — the
-#: standard mega-block rule in entity resolution.  The cap is above
-#: every real test scale's max block side (100 at sf0.001/0.01/0.1),
-#: so oracle results are bit-identical there; the 10× stress replicas
-#: (which repeat every name verbatim, inflating each side k×) exceed
-#: it by design — that k²-candidate blow-up is exactly what the cap
-#: exists to bound.
+#: Sub-block size cap for the fuzzy self-join: a block whose member
+#: count exceeds this splits into ⌈count/CAP⌉ deterministic hash
+#: sub-blocks, and candidate pairs form only WITHIN a sub-block.  A
+#: block of n names contributes n² Levenshtein evaluations, so one
+#: uninformative blocking key ("James Smith" in a person-name corpus)
+#: makes the stage quadratic at scale; sub-blocking bounds per-block
+#: work at ~n·CAP (linear in block size) while keeping output from
+#: mega-blocks — the standard entity-resolution alternative to
+#: dropping them outright, at the cost of missing cross-sub-block
+#: pairs (recall trades against bounded work; documented).  The cap
+#: is above every real test scale's max block size (100 at
+#: sf0.001/0.01/0.1), so all pairs are exact there and the sub-block
+#: branch only engages on skewed corpora.
 _FUZZY_BLOCK_CAP = 128
+
+# deterministic sub-block id, identical in both engines: first md5
+# byte of the name modulo the block's sub-block count
+_FUZZY_SUB_SQL = (
+    "((STRPOS('0123456789abcdef', SUBSTR(MD5(s_name), 1, 1)) - 1) * 16"
+    " + STRPOS('0123456789abcdef', SUBSTR(MD5(s_name), 2, 1)) - 1)"
+    f" % ((side_cnt + {_FUZZY_BLOCK_CAP - 1}) // {_FUZZY_BLOCK_CAP})"
+)
 
 
 @register(
     "fuzzy_name_match",
     oracle=f"""
-    WITH sb AS (
+    WITH names AS (SELECT DISTINCT s_name FROM supplier),
+    b AS (
       SELECT s_name, SUBSTR(s_name, 10, 7) AS blk,
              COUNT(*) OVER (PARTITION BY SUBSTR(s_name, 10, 7)) AS side_cnt
-      FROM supplier
+      FROM names
     ),
-    cb AS (
-      SELECT c_name, SUBSTR(c_name, 10, 7) AS blk,
-             COUNT(*) OVER (PARTITION BY SUBSTR(c_name, 10, 7)) AS side_cnt
-      FROM customer
+    sb AS (
+      SELECT s_name, blk, {_FUZZY_SUB_SQL} AS sub
+      FROM b
     )
-    SELECT sb.s_name, cb.c_name,
-           LEVENSHTEIN(sb.s_name, cb.c_name) AS edit_dist
-    FROM sb JOIN cb ON sb.blk = cb.blk
-    WHERE sb.side_cnt <= {_FUZZY_BLOCK_CAP}
-      AND cb.side_cnt <= {_FUZZY_BLOCK_CAP}
-      AND LEVENSHTEIN(sb.s_name, cb.c_name) <= {_FUZZY_MAX_DIST}
+    SELECT a.s_name AS name_a, c.s_name AS name_b,
+           CAST(LEVENSHTEIN(a.s_name, c.s_name) AS INT) AS edit_dist
+    FROM sb a JOIN sb c ON a.blk = c.blk AND a.sub = c.sub
+    WHERE a.s_name < c.s_name
+      AND LEVENSHTEIN(a.s_name, c.s_name) <= {_FUZZY_MAX_DIST}
     """,
 )
 def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Record linkage via a BLOCKED fuzzy join: supplier↔customer name
-    pairs within unit edit distance, candidate-limited by an equality
-    block on a 7-char id-prefix substring. The standard two-phase
+    """Near-duplicate entity-name audit via a BLOCKED fuzzy SELF-join:
+    distinct supplier-name pairs within unit edit distance — the
+    vendor-master dedup screen ("Supplier#000000012" vs
+    "Supplier#000000013" style near-misses) — candidate-limited by an
+    equality block on a 7-char id-prefix substring plus deterministic
+    hash sub-blocking of oversized blocks. The standard two-phase
     shape of entity resolution: cheap blocking key prunes the cross
     product to co-blocked candidates, expensive edit distance runs
-    only inside blocks.
+    only inside (sub-)blocks. Auditing DISTINCT name strings (not
+    rows) keeps the result about the name space itself: row
+    duplication never inflates the pair set.
 
-    Scale posture: the block key turns an O(|S|·|C|) similarity scan
-    into an equi-join (shuffle on the block key; AQE skew-handles hot
-    blocks), with LEVENSHTEIN — identical unit-cost edit distance in
-    both engines — evaluated candidate-pairs-only. Mega-blocks (an
-    uninformative key shared by ≫ ``_FUZZY_BLOCK_CAP`` entities) are
-    dropped before the join by a window count over the block key —
-    the same enforce-the-cap-BEFORE-the-expensive-stage pattern as
-    ``_JACCARD_DF_CAP`` (dedup.py): the window shares the join's hash
-    partitioning on blk, so the guard costs no extra exchange, and
-    worst-case per-block work is bounded at CAP² regardless of corpus
-    skew. This is the same candidate-then-verify pattern as the LSH
-    dedup family, on strings instead of shingle sets."""
-    t = load_tables(spark, sf_dir, "supplier", "customer")
+    Until r9 this was a supplier↔customer cross-linkage whose
+    "Supplier#…"/"Customer#…" prefixes can never be within unit edit
+    distance — correct but VACUOUS (0 rows at every scale). The
+    self-join form has real output at every sf.
+
+    Scale posture: the block key turns an O(n²) similarity scan into
+    an equi-join on (blk, sub) (shuffle on the block key; the hash
+    partitioning on blk also satisfies the join's clustering, so
+    sub-blocking adds no exchange), with LEVENSHTEIN — identical
+    unit-cost edit distance in both engines — evaluated
+    candidate-pairs-only. Mega-blocks (an uninformative key shared by
+    ≫ ``_FUZZY_BLOCK_CAP`` names) are split into deterministic md5
+    sub-blocks by a window count over the block key — the same
+    enforce-the-cap-BEFORE-the-expensive-stage pattern as
+    ``_JACCARD_DF_CAP`` (dedup.py), except skewed keys degrade recall
+    instead of dropping output: per-block work is bounded at ~n·CAP
+    regardless of corpus skew. The shuffle-hash hint pins the
+    self-join's physical shape against AQE broadcast flips (the build
+    side is O(distinct names))."""
+    t = load_tables(spark, sf_dir, "supplier")
     wb = Window.partitionBy("blk")
-    s = (
+    h = F.md5(F.col("s_name"))
+    byte0 = (
+        (F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1) * 16
+        + F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1))
+        - 1
+    )
+    n_sub = F.expr(
+        f"(side_cnt + {_FUZZY_BLOCK_CAP - 1}) div {_FUZZY_BLOCK_CAP}"
+    )
+    sb = (
         t["supplier"]
-        .select("s_name", F.substring("s_name", 10, 7).alias("blk"))
+        .select("s_name")
+        .distinct()
+        .withColumn("blk", F.substring("s_name", 10, 7))
         .withColumn("side_cnt", F.count(F.lit(1)).over(wb))
-        .filter(F.col("side_cnt") <= _FUZZY_BLOCK_CAP)
-        .drop("side_cnt")
+        .select("s_name", "blk", (byte0 % n_sub).alias("sub"))
     )
-    c = (
-        t["customer"]
-        .select("c_name", F.substring("c_name", 10, 7).alias("blk"))
-        .withColumn("side_cnt", F.count(F.lit(1)).over(wb))
-        .filter(F.col("side_cnt") <= _FUZZY_BLOCK_CAP)
-        .drop("side_cnt")
-    )
+    a, c = sb.alias("a"), sb.alias("c")
     return (
-        s.join(c, "blk")
-        .where(F.levenshtein("s_name", "c_name") <= _FUZZY_MAX_DIST)
+        a.join(c.hint("shuffle_hash"), ["blk", "sub"])
+        .where(F.col("a.s_name") < F.col("c.s_name"))
+        .where(F.levenshtein("a.s_name", "c.s_name") <= _FUZZY_MAX_DIST)
         .select(
-            "s_name",
-            "c_name",
-            F.levenshtein("s_name", "c_name").alias("edit_dist"),
+            F.col("a.s_name").alias("name_a"),
+            F.col("c.s_name").alias("name_b"),
+            F.levenshtein("a.s_name", "c.s_name").cast("int").alias("edit_dist"),
         )
     )
 

@@ -190,3 +190,153 @@ def test_acf_matches_numpy(spark, monkeypatch):
         assert acf == pytest.approx(expect, abs=2e-6), lag
     # the weekly cycle must actually show: lag-7 acf far above lag-3
     assert got[7][1] > got[3][1] + 0.3
+
+
+def test_psi_matches_numpy(spark, monkeypatch):
+    """PSI per event type: first-15-days era vs rest over 10 fixed $50
+    bins with +1 Laplace smoothing — recomputed from scratch."""
+    n = 400
+    days = _RNG.randint(0, 30, n)
+    ts = pd.Timestamp("2024-03-01") + pd.to_timedelta(days, unit="D")
+    types = _RNG.choice(["click", "view"], n)
+    # drift the late era upward so PSI is visibly nonzero
+    value = np.round(
+        np.clip(_RNG.rand(n) * 400 + np.where(days >= 15, 60.0, 0.0), 0, 499.9),
+        2,
+    )
+    pdf = pd.DataFrame(
+        {"event_id": np.arange(n), "event_type": types, "ts": ts, "value": value}
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"events": sdf})
+    got = {r["event_type"]: r["psi"] for r in S.drift_psi_daily(spark, "x").collect()}
+
+    bins = np.minimum(np.round(value * 1000).astype(np.int64) // 50_000, 9)
+    era_a = days < 15  # min ts is day 0 by construction
+    for et in ("click", "view"):
+        sel = types == et
+        ca = np.bincount(bins[sel & era_a], minlength=10)[:10]
+        cb = np.bincount(bins[sel & ~era_a], minlength=10)[:10]
+        p = (ca + 1) / (ca.sum() + 10)
+        q = (cb + 1) / (cb.sum() + 10)
+        expect = float(((p - q) * np.log(p / q)).sum())
+        assert got[et] == pytest.approx(expect, abs=1e-5), et
+        assert expect > 0.01  # the constructed drift must register
+
+
+def test_mutual_info_matches_numpy(spark, monkeypatch):
+    """Binned MI between price and quantity, deciles reproduced via
+    the same exact cumulative-histogram rule."""
+    n = 500
+    qty = _RNG.randint(1, 51, n).astype(float)
+    price = np.round(qty * 90 + _RNG.rand(n) * 800, 2)
+    pdf = pd.DataFrame(
+        {
+            "l_quantity": qty,
+            "l_extendedprice": price,
+            "l_discount": np.zeros(n),
+            "l_tax": np.zeros(n),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"lineitem": sdf})
+    row = S.price_qty_mutual_info(spark, "x").collect()[0]
+
+    price_c = np.round(price * 100).astype(np.int64)
+    sorted_pc = np.sort(price_c)
+    edges = []
+    for b in range(1, 10):
+        target = (n * b + 9) // 10  # ceil(n*b/10)
+        # smallest price_c whose cumulative count >= target
+        edges.append(sorted_pc[target - 1])
+    edges = np.array(edges)
+    price_bin = (price_c[:, None] > edges[None, :]).sum(axis=1)
+    qty_bin = np.minimum((qty.astype(np.int64) - 1) // 5, 9)
+    joint = pd.crosstab(price_bin, qty_bin).to_numpy().astype(float)
+    nij = joint[joint > 0]
+    ni = joint.sum(axis=1, keepdims=True).repeat(joint.shape[1], axis=1)[joint > 0]
+    nj = joint.sum(axis=0, keepdims=True).repeat(joint.shape[0], axis=0)[joint > 0]
+    expect = float(((nij / n) * np.log(nij * n / (ni * nj))).sum())
+    assert row["n_cells"] == int((joint > 0).sum())
+    assert row["mutual_info_nats"] == pytest.approx(expect, abs=1e-5)
+    assert expect > 0.2  # qty drives price: MI must be clearly nonzero
+
+
+def test_gini_matches_numpy(spark, monkeypatch):
+    """Gini over per-customer revenue vs the direct sorted-array
+    formula."""
+    n_cust = 200
+    rev = np.round(np.exp(_RNG.randn(n_cust) * 1.2 + 6), 2)  # lognormal
+    pdf = pd.DataFrame(
+        {"o_custkey": np.arange(n_cust), "o_totalprice": rev}
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"orders": sdf})
+    row = S.gini_revenue_concentration(spark, "x").collect()[0]
+    x = np.sort(np.round(rev * 100).astype(np.int64))
+    ranks = np.arange(1, n_cust + 1)
+    expect = float(
+        (2 * (ranks * x).sum() - (n_cust + 1) * x.sum()) / (n_cust * x.sum())
+    )
+    assert row["n_customers"] == n_cust
+    assert row["gini"] == pytest.approx(expect, abs=1e-6)
+    assert 0.3 < expect < 0.9  # lognormal: substantial inequality
+
+
+def test_benford_matches_numpy(spark, monkeypatch):
+    import rs_streamloader_spark.operators.quality as Q
+
+    n = 600
+    # log-uniform totals genuinely follow Benford
+    totals = np.round(10 ** (_RNG.rand(n) * 4 + 1) / 100, 2)
+    totals = totals[totals > 0]
+    pdf = pd.DataFrame({"o_totalprice": totals})
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(Q, "_t", lambda _s, _d, *names: {"orders": sdf})
+    rows = Q.benford_first_digit(spark, "x").collect()
+    cents = np.round(totals * 100).astype(np.int64)
+    first = np.array([int(str(c)[0]) for c in cents])
+    total = len(first)
+    for r in rows:
+        d = r["digit"]
+        nd = int((first == d).sum())
+        b = np.log10(1 + 1 / d)
+        assert r["n"] == nd
+        assert r["obs_share"] == pytest.approx(nd / total, abs=1e-6)
+        assert r["benford_share"] == pytest.approx(b, abs=1e-6)
+        assert r["chi2_term"] == pytest.approx(
+            (nd - total * b) ** 2 / (total * b), abs=5e-4
+        )
+
+
+def test_theil_sen_matches_bruteforce(spark, monkeypatch):
+    import rs_streamloader_spark.operators.analytic as A
+
+    days = pd.date_range("2024-01-01", periods=40, freq="D")
+    rev = 5000 + 37.5 * np.arange(40) + _RNG.randn(40) * 60
+    rev[10] += 50_000  # outlier a robust slope must shrug off
+    rev = np.round(np.abs(rev), 2)
+    pdf = pd.DataFrame({"o_orderdate": days.date, "o_totalprice": rev})
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(A, "_t", lambda _s, _d, *names: {"orders": sdf})
+    row = A.theil_sen_trend(spark, "x").collect()[0]
+
+    rev_c = np.round(rev * 100).astype(np.int64)
+    t = np.arange(40, dtype=np.int64)
+    slopes = []
+    for i in range(40):
+        for j in range(i + 1, 40):
+            num = int(rev_c[j] - rev_c[i]) * 1_000_000
+            dt = int(t[j] - t[i])
+            q = abs(num) // dt
+            slopes.append(q if num >= 0 else -q)  # truncate toward zero
+    slopes.sort()
+    n_pairs = len(slopes)
+    expect = slopes[(n_pairs + 1) // 2 - 1]  # PERCENTILE_DISC element
+    assert row["n_pairs"] == n_pairs
+    assert row["theil_sen_slope_micro"] == expect
+    # slope ≈ the constructed 37.5 $/day = 3750 cents/day, robust to
+    # the injected spike (pairwise-slope noise at σ=$60/day keeps the
+    # median within ~$2/day of truth; the $50k spike alone would drag
+    # an OLS fit by far more)
+    assert abs(row["theil_sen_slope_micro"] / 1e6 - 3750) < 400
