@@ -260,7 +260,13 @@ def scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.regexp_extract("text", "[a-z]+", 0).alias("first_word"),
-            F.size(F.regexp_extract_all("text", F.lit("[0-9]+"))).alias("n_numbers"),
+            # idx=0 (full match) is REQUIRED: the default idx=1 refers to
+            # capture group 1, which "[0-9]+" does not have — Spark raises
+            # INVALID_PARAMETER_VALUE.REGEX_GROUP_INDEX on the first
+            # digit-bearing document (surfaced by SCALE_STRESS_r09 at 10×).
+            F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0))).alias(
+                "n_numbers"
+            ),
             F.regexp_replace("text", "spark", "SPARK").alias("shouted"),
             F.col("text").rlike("join|merge").alias("mentions_join"),
         )

@@ -1,0 +1,190 @@
+"""Anti-vacuity gate: run every regexp/conditional-branch query against a
+CONSTRUCTED corpus engineered so each branch actually fires, and assert the
+branch-bearing output columns take >= 2 distinct values (and cross-engine
+agreement on that corpus).
+
+Why this exists (VERDICT r9, "What's wrong" #1): ``scalar_regexp`` was
+driver-green for nine rounds while one digit away from crashing, because the
+synthetic corpus contains no digits — its ``n_numbers`` column was only ever
+asserted against all-zeros. A query is *vacuously* green when a branch of it
+never executes on the test data; this suite pins every such branch to a
+corpus where it provably takes both sides.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entry
+from tests.oracle_harness import compare
+
+# ---------------------------------------------------------------------------
+# Constructed corpus: every regexp / CASE branch in the catalog's text and
+# event queries takes BOTH sides somewhere in these rows.
+# ---------------------------------------------------------------------------
+
+_DOCS = [
+    # (doc_id, text, lang) — doc_ids are multiples of 10 so scalar_regexp's
+    # `doc_id % 10 = 0` filter keeps them all.
+    # digits + 'spark' + 'join' -> n_numbers>0, shouted!=text, mentions_join
+    (0, "spark version 42 released in 2024 with 3 join fixes", "en"),
+    # no digits / no spark / no join|merge -> the all-negative row
+    (10, "the quick brown fox jumps over a lazy dog", "en"),
+    # many digit runs, 'merge' branch of mentions_join
+    (20, "merge of 1 2 3 4 5 6 7 8 9 batches done", "fr"),
+    # marker-dense English ('the'/'a' >= 5% of tokens) -> langid 'en'
+    (30, "the cat sat on a mat and the dog ate a bone the end", "en"),
+    # zero marker words, labelled en -> langid 'other' (false negative cell)
+    (40, "quarterly revenue projections exceeded expectations significantly", "en"),
+    # marker-dense but labelled fr -> langid 'en' (false positive cell)
+    (50, "the faux ami words flow like a river in the spring", "fr"),
+    # non-en, no markers -> true negative cell
+    (60, "bonjour tout le monde comment allez vous aujourd hui", "fr"),
+    # organic email + phone ON TOP of the seeded pair -> n_emails=2, n_phones=2
+    (70, "reach ops@corp.example.io or 555-1234 for spark support", "en"),
+    # long, high-quality doc (length>=200, >=40 tokens, mean token len 3..8)
+    (
+        80,
+        " ".join(["token%d" % (i % 7) for i in range(50)])
+        + " the pipeline runs the merge and a join across 12 shards",
+        "en",
+    ),
+    # short low-quality doc
+    (90, "tiny", "zh"),
+]
+
+# One user-day that MATCHES view->click->purchase with no error between,
+# one that has an error in between (no match), one with no purchase at all.
+_EVENTS = [
+    # (event_id, ts, user_id, event_type, value)
+    (1, "2024-03-01 08:00:00", 1, "view", 1.0),
+    (2, "2024-03-01 08:05:00", 1, "click", 2.0),
+    (3, "2024-03-01 08:10:00", 1, "purchase", 30.0),
+    (4, "2024-03-01 09:00:00", 2, "view", 1.0),
+    (5, "2024-03-01 09:05:00", 2, "error", 0.0),
+    (6, "2024-03-01 09:10:00", 2, "click", 2.0),
+    (7, "2024-03-01 09:15:00", 2, "purchase", 25.0),
+    (8, "2024-03-02 10:00:00", 3, "view", 1.0),
+    (9, "2024-03-02 10:05:00", 3, "signup", 0.0),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory) -> str:
+    """Write the constructed corpus in the same single-file-parquet layout
+    as /root/testdata/sf*/ so both engines load it unchanged."""
+    d = tmp_path_factory.mktemp("nonvacuity_corpus")
+    docs = pd.DataFrame(
+        [
+            {
+                "doc_id": i,
+                "text": t,
+                "lang": lang,
+                "source": "src%d" % (i % 3),
+                "n_chars": len(t),
+            }
+            for i, t, lang in _DOCS
+        ]
+    )
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False), d / "documents.parquet")
+    ev = pd.DataFrame(
+        [
+            {
+                "event_id": eid,
+                "ts": pd.Timestamp(ts),
+                "user_id": uid,
+                "event_type": et,
+                "value": val,
+                "props": "{}",
+            }
+            for eid, ts, uid, et, val in _EVENTS
+        ]
+    )
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False), d / "events.parquet")
+    return str(d)
+
+
+def _run(spark, corpus_dir: str, name: str) -> pd.DataFrame:
+    """Run catalog query `name` on the constructed corpus, cross-check it
+    against its DuckDB oracle on the SAME corpus, and return the frame."""
+    import duckdb
+
+    df = entry.queries()[name](spark, corpus_dir)
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{corpus_dir}/{t}.parquet')"
+        )
+    oracle_pdf = con.execute(entry.oracle_sql()[name]).df()
+    compare(df, oracle_pdf, f"{name}@constructed")
+    return df.toPandas()
+
+
+def _assert_varies(pdf: pd.DataFrame, name: str, *cols: str) -> None:
+    for c in cols:
+        nun = pdf[c].nunique(dropna=False)
+        assert nun >= 2, (
+            f"{name}.{c} is constant ({pdf[c].iloc[0]!r}) on the constructed "
+            f"corpus — the branch it encodes never fired; vacuous assertion"
+        )
+
+
+def test_scalar_regexp_branches_fire(spark, corpus_dir):
+    pdf = _run(spark, corpus_dir, "scalar_regexp")
+    _assert_varies(pdf, "scalar_regexp", "n_numbers", "mentions_join", "first_word")
+    # the r9 crash class: regexp_extract_all must survive digit-bearing text
+    # and count full matches (idx=0), not a nonexistent capture group.
+    assert pdf["n_numbers"].max() >= 9, pdf["n_numbers"].tolist()
+    assert (pdf["n_numbers"] == 0).any()
+    assert bool(pdf["mentions_join"].any()) and not bool(pdf["mentions_join"].all())
+    # regexp_replace branch: at least one doc actually got rewritten
+    shouted = pdf.set_index("doc_id")["shouted"]
+    assert "SPARK" in shouted.loc[0] and "SPARK" not in shouted.loc[10]
+
+
+def test_text_langid_predicts_both_classes(spark, corpus_dir):
+    pdf = _run(spark, corpus_dir, "text_langid")
+    _assert_varies(pdf, "text_langid", "predicted_lang")
+    assert set(pdf["predicted_lang"]) == {"en", "other"}
+
+
+def test_confusion_matrix_all_four_cells_nonzero(spark, corpus_dir):
+    pdf = _run(spark, corpus_dir, "confusion_matrix_metrics")
+    row = pdf.iloc[0]
+    for cell in ("tp", "fp", "fn", "tn"):
+        assert row[cell] > 0, f"confusion cell {cell} empty — classifier branch vacuous"
+
+
+def test_text_quality_score_varies(spark, corpus_dir):
+    pdf = _run(spark, corpus_dir, "text_quality_score")
+    _assert_varies(pdf, "text_quality_score", "quality_score", "n_tokens")
+    assert pdf["quality_score"].max() == 3 and pdf["quality_score"].min() == 0
+
+
+def test_text_bpe_tokens_distinct_vs_total(spark, corpus_dir):
+    pdf = _run(spark, corpus_dir, "text_bpe_tokens")
+    _assert_varies(pdf, "text_bpe_tokens", "n_pieces", "n_unique_pieces")
+    # repetition-heavy doc 80 must show dedup bite: unique < total somewhere
+    assert (pdf["n_unique_pieces"] < pdf["n_pieces"]).any()
+
+
+def test_text_pii_scrub_counts_organic_pii(spark, corpus_dir):
+    pdf = _run(spark, corpus_dir, "text_pii_scrub")
+    _assert_varies(pdf, "text_pii_scrub", "n_emails", "n_phones")
+    by_id = pdf.set_index("doc_id")
+    # doc 70 carries organic PII on top of the seeded pair
+    assert by_id.loc[70, "n_emails"] == 2 and by_id.loc[70, "n_phones"] == 2
+    assert by_id.loc[10, "n_emails"] == 1 and by_id.loc[10, "n_phones"] == 1
+
+
+def test_sequence_pattern_match_both_outcomes(spark, corpus_dir):
+    pdf = _run(spark, corpus_dir, "sequence_pattern_match")
+    by_day = pdf.set_index("day")
+    # 2024-03-01: one clean v..c..p journey, one error-interrupted journey
+    assert by_day.loc["2024-03-01", "n_matched"] == 1
+    assert by_day.loc["2024-03-01", "n_journeys"] == 2
+    # 2024-03-02: a journey with no purchase at all
+    assert by_day.loc["2024-03-02", "n_matched"] == 0
