@@ -69,9 +69,14 @@ def _catalog_order(root: str = _REPO_ROOT) -> list[str]:
         for name, rec in rows.items():
             if rnd >= last_seen.get(name, 0):
                 if isinstance(rec, dict) and rec.get("err") == "no_oracle":
-                    # Rows-only by declared design (or an oracle added
-                    # later) — not a fix-owed red; normal rotation.
-                    green = True
+                    # Rows-only by declared design — normal rotation.
+                    # But if the query HAS an oracle now (added after
+                    # that row was recorded), the rows-only evidence is
+                    # stale: requeue like a red so the scoreboard gets
+                    # a real hash-checked row next round (VERDICT r9 #7
+                    # — multimodal_features sat on an r5 no_oracle row
+                    # for four rounds after gaining its oracle).
+                    green = name in REGISTRY and REGISTRY[name].oracle is None
                 else:
                     green = bool(
                         isinstance(rec, dict)
@@ -91,11 +96,21 @@ def _catalog_order(root: str = _REPO_ROOT) -> list[str]:
     except (OSError, ValueError):
         pass  # no snapshot yet — fingerprint check is a no-op
 
+    # Single source of truth for the fingerprint scheme: the same
+    # function tools/update_fingerprints.py uses to WRITE the snapshot
+    # (ADVICE r9 — a drifted reimplementation would silently flag every
+    # query as redefined, or none).
+    try:
+        from tools.update_fingerprints import oracle_fingerprint
+    except ImportError:  # driver ran us outside the repo root
+
+        def oracle_fingerprint(sql: str | None) -> str:
+            if sql is None:
+                return "no_oracle"
+            return hashlib.sha256(sql.encode("utf-8")).hexdigest()[:16]
+
     def _fp(name: str) -> str:
-        sql = REGISTRY[name].oracle
-        if sql is None:
-            return "no_oracle"
-        return hashlib.sha256(sql.encode("utf-8")).hexdigest()[:16]
+        return oracle_fingerprint(REGISTRY[name].oracle)
 
     def _needs_recheck(name: str) -> bool:
         if not latest_green.get(name, True):

@@ -600,11 +600,21 @@ _FUZZY_MAX_DIST = 1
 #: branch only engages on skewed corpora.
 _FUZZY_BLOCK_CAP = 128
 
-# deterministic sub-block id, identical in both engines: first md5
-# byte of the name modulo the block's sub-block count
+# Deterministic sub-block id, identical in both engines: the first FOUR
+# md5 hex chars of the name (65536 values) modulo the block's sub-block
+# count.  Width matters: with only one byte (256 values) a block larger
+# than CAP·256 ≈ 33k names would stop splitting — sub-block size would
+# grow as n/256 and per-block work as n²/256.  Four chars push that
+# breakdown point to CAP·65536 ≈ 8.4M names sharing ONE blocking key,
+# beyond any plausible name-prefix block even at 100 TB.
+_FUZZY_SUB_HEX = 4
+
 _FUZZY_SUB_SQL = (
-    "((STRPOS('0123456789abcdef', SUBSTR(MD5(s_name), 1, 1)) - 1) * 16"
-    " + STRPOS('0123456789abcdef', SUBSTR(MD5(s_name), 2, 1)) - 1)"
+    "(((("
+    "STRPOS('0123456789abcdef', SUBSTR(MD5(s_name), 1, 1)) - 1) * 16"
+    " + STRPOS('0123456789abcdef', SUBSTR(MD5(s_name), 2, 1)) - 1) * 16"
+    " + STRPOS('0123456789abcdef', SUBSTR(MD5(s_name), 3, 1)) - 1) * 16"
+    " + STRPOS('0123456789abcdef', SUBSTR(MD5(s_name), 4, 1)) - 1)"
     f" % ((side_cnt + {_FUZZY_BLOCK_CAP - 1}) // {_FUZZY_BLOCK_CAP})"
 )
 
@@ -663,12 +673,11 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is O(distinct names))."""
     t = load_tables(spark, sf_dir, "supplier")
     wb = Window.partitionBy("blk")
-    h = F.md5(F.col("s_name"))
-    byte0 = (
-        (F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1) * 16
-        + F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1))
-        - 1
-    )
+    # conv(hex, 16, 10) == the oracle's STRPOS walk over the same four
+    # lowercase md5 hex chars — both yield the integer in [0, 65536).
+    hash16 = F.conv(
+        F.substring(F.md5(F.col("s_name")), 1, _FUZZY_SUB_HEX), 16, 10
+    ).cast("bigint")
     n_sub = F.expr(
         f"(side_cnt + {_FUZZY_BLOCK_CAP - 1}) div {_FUZZY_BLOCK_CAP}"
     )
@@ -678,7 +687,7 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("blk", F.substring("s_name", 10, 7))
         .withColumn("side_cnt", F.count(F.lit(1)).over(wb))
-        .select("s_name", "blk", (byte0 % n_sub).alias("sub"))
+        .select("s_name", "blk", (hash16 % n_sub).alias("sub"))
     )
     a, c = sb.alias("a"), sb.alias("c")
     return (

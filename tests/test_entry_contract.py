@@ -74,3 +74,29 @@ def test_catalog_order_requeues_redefined_oracle(tmp_path):
 
 def test_catalog_order_without_history_is_registry_order(tmp_path):
     assert entry._catalog_order(str(tmp_path)) == list(REGISTRY)
+
+
+def test_catalog_order_requeues_stale_no_oracle_row(tmp_path):
+    """VERDICT r9 #7: a latest driver row of ``no_oracle`` for a query
+    that NOW carries an oracle is stale rows-only evidence — it must
+    requeue like a red (multimodal_features sat on an r5 no_oracle row
+    for four rounds after gaining its oracle in r7). A no_oracle row
+    for a query that is STILL declared rows-only rotates normally."""
+    names = list(REGISTRY)
+    rows_only = [n for n in names if REGISTRY[n].oracle is None]
+    # pick an oracled query that sits AFTER the rows-only one so the
+    # front-jump is observable as a shift
+    start = names.index(rows_only[0]) if rows_only else 0
+    oracled = next(
+        n for n in names[start:] if REGISTRY[n].oracle is not None
+    )
+    recs = {n: GREEN for n in names}
+    recs[oracled] = {"err": "no_oracle", "rows_match": True}
+    if rows_only:
+        recs[rows_only[0]] = {"err": "no_oracle", "rows_match": True}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(recs))
+    order = entry._catalog_order(str(tmp_path))
+    assert order[0] == oracled
+    if rows_only:  # declared-rows-only stays in plain rotation
+        # (+1: the requeued query jumped from behind it to the front)
+        assert order.index(rows_only[0]) == names.index(rows_only[0]) + 1

@@ -180,6 +180,49 @@ def test_text_pii_scrub_counts_organic_pii(spark, corpus_dir):
     assert by_id.loc[10, "n_emails"] == 1 and by_id.loc[10, "n_phones"] == 1
 
 
+def test_fuzzy_subblock_branch_fires_and_agrees(spark, tmp_path):
+    """The md5 sub-blocking branch of fuzzy_name_match only engages when a
+    block exceeds _FUZZY_BLOCK_CAP members — which never happens on the
+    shipped corpora (max block 100). Construct one 300-name mega-block
+    (n_sub = 3) and assert both engines produce the identical nonzero pair
+    set, i.e. the branch fires AND stays cross-engine deterministic."""
+    import duckdb
+
+    from rs_streamloader_spark.operators.advanced import (
+        _FUZZY_BLOCK_CAP,
+        fuzzy_name_match,
+    )
+
+    names = ["Supplier#BLOCKXX%05d" % i for i in range(300)]
+    assert len({n[9:16] for n in names}) == 1 and len(names) > 2 * _FUZZY_BLOCK_CAP
+    pdf = pd.DataFrame({"s_name": names})
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False), tmp_path / "supplier.parquet"
+    )
+
+    spark_pdf = fuzzy_name_match(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW supplier AS SELECT * FROM read_parquet('{tmp_path}/supplier.parquet')"
+    )
+    oracle_pdf = con.execute(entry.oracle_sql()["fuzzy_name_match"]).df()
+    # sub-blocking must have split the block: fewer pairs than the
+    # unblocked all-pairs answer, but plenty of them
+    assert 0 < len(oracle_pdf)
+    key = lambda f: sorted(map(tuple, f[sorted(f.columns)].itertuples(index=False)))
+    assert key(spark_pdf) == key(oracle_pdf)
+    # n_sub really was > 1: at least one unit-distance pair fell in
+    # different sub-blocks and is (by design) absent from the output
+    all_pairs = con.execute(
+        """
+        WITH n AS (SELECT DISTINCT s_name FROM supplier)
+        SELECT COUNT(*) FROM n a JOIN n b
+        ON a.s_name < b.s_name AND LEVENSHTEIN(a.s_name, b.s_name) <= 1
+        """
+    ).fetchone()[0]
+    assert len(oracle_pdf) < all_pairs
+
+
 def test_sequence_pattern_match_both_outcomes(spark, corpus_dir):
     pdf = _run(spark, corpus_dir, "sequence_pattern_match")
     by_day = pdf.set_index("day")

@@ -921,13 +921,15 @@ def test_fuzzy_match_is_blocked_equi_join(spark):
     assert "NestedLoop" not in text, text
 
 
-def test_fuzzy_match_caps_blocks_before_join(spark):
-    """Mega-block guard: each side carries a window count over the
-    block key with a `side_cnt <= _FUZZY_BLOCK_CAP` filter BEFORE the
-    in-block candidate join (the _JACCARD_DF_CAP pattern on strings),
-    and the window's hash partitioning on blk is REUSED by the join —
-    the guard must not add exchanges beyond the two per-side block
-    shuffles."""
+def test_fuzzy_match_subblocks_before_join(spark):
+    """Mega-block guard, r9 sub-blocking contract: each side carries a
+    window count over the block key, derives `sub = hash %
+    ceil(side_cnt / _FUZZY_BLOCK_CAP)`, and the candidate join clusters
+    on (blk, sub) — so every hash-join build group is bounded at
+    ~_FUZZY_BLOCK_CAP names no matter how skewed the blocking key is.
+    Shape: 3 exchanges per side (distinct, window-on-blk, join-on-
+    (blk, sub)); the two sides are identical subtrees, so AQE collapses
+    the second into a ReusedExchange at runtime."""
     from rs_streamloader_spark.operators.advanced import (
         _FUZZY_BLOCK_CAP,
         fuzzy_name_match,
@@ -936,9 +938,13 @@ def test_fuzzy_match_caps_blocks_before_join(spark):
     df = fuzzy_name_match(spark, SF_SMOKE)
     text = explain_str(df, "simple")
     assert text.count("Window") >= 2, text  # one count window per side
-    assert f"<= {_FUZZY_BLOCK_CAP}" in text, text  # cap filter in plan
-    # window partitioning on blk is reused by the join: 2 exchanges
-    assert shuffle_count(df) <= 2, text
+    # the sub-block divisor sits in the plan on both sides
+    assert text.count(f"div {_FUZZY_BLOCK_CAP}") >= 2, text
+    # the join's clustering is sub-block-aware: build groups stay bounded
+    assert re.search(r"Exchange hashpartitioning\(blk#\d+, sub#\d+", text), text
+    assert "Cartesian" not in text and "NestedLoop" not in text, text
+    # distinct + window + join exchange per side, nothing extra
+    assert shuffle_count(df) <= 6, text
 
 
 def test_journey_paths_share_one_window_exchange(spark):

@@ -59,16 +59,23 @@ def main() -> None:
 
     if cmd == "sweep":
         out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-            _REPO_ROOT, "SCALE_STRESS_r09.json"
+            _REPO_ROOT, "SCALE_STRESS_r10.json"
         )
         k = int(os.environ.get("RS_SL_SCALE_K", "10"))
         scaled_sf = os.environ.get("RS_SL_SCALED_DIR", "/tmp/rs_sl_sf1")
-        names = PRIORITY + [n for n in REGISTRY if n not in PRIORITY]
+        # filter PRIORITY by membership (ADVICE r9): a renamed/removed
+        # priority query must not KeyError-abort the whole sweep
+        names = [n for n in PRIORITY if n in REGISTRY] + [
+            n for n in REGISTRY if n not in PRIORITY
+        ]
+        if not os.path.exists(os.path.join(scaled_sf, "lineitem.parquet")):
+            print(f"generating {scaled_sf} at k={k}…", file=sys.stderr, flush=True)
+            ss.make_scaled(spark, base_sf, scaled_sf, k)
         ss.HEAVY_TAIL = names
         result = ss.run_stress(spark, base_sf, scaled_sf, k)
     elif cmd == "k100":
         out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-            _REPO_ROOT, "SCALE_STRESS_r09_k100.json"
+            _REPO_ROOT, "SCALE_STRESS_r10_k100.json"
         )
         k = int(os.environ.get("RS_SL_SCALE_K", "100"))
         scaled_sf = os.environ.get("RS_SL_SCALED_DIR", "/tmp/rs_sl_sf10")
