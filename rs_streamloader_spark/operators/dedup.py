@@ -1008,14 +1008,18 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: reuses the cached shared shingle stage; first-seen
     is a combinable min aggregate on the shingle key, joined back on
-    that same key (both sides partition identically, so AQE plans one
-    co-partitioned join), and the per-doc rollup is a keyed aggregate
-    of exact integers."""
+    that same key, and the per-doc rollup is a keyed aggregate of
+    exact integers. The join-back is PINNED to a shuffle-hash join
+    (build = the aggregated first-seen side): the first-seen table is
+    O(distinct shingles) — it only fits in a broadcast at toy scale,
+    so letting AQE broadcast it at sf0.1 and shuffle at 10× (the r9
+    stress drift) meant the tested shape was not the 100 TB shape.
+    One plan at every scale; both join inputs shuffle on sh."""
     s = _shingles_cached(spark, sf_dir)
     first = s.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
     return (
-        s.join(first, "sh")
+        s.join(first.hint("shuffle_hash"), "sh")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),

@@ -1279,10 +1279,12 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: one bigram explode feeds BOTH the corpus LM counts
     and the per-doc bigram multiplicities as combinable aggregates;
-    the scoring join shuffles on the (w1, w2) key (the LM table is
-    NOT broadcast — at 100 TB the bigram vocabulary outgrows any
-    broadcast budget), and the first-word totals ride the already-
-    aggregated LM table. The one transcendental (ln) is computed once
+    the scoring join shuffles on the (w1, w2) key — PINNED with a
+    shuffle-hash hint, because the LM table is O(bigram vocabulary)
+    and must NOT be broadcast at 100 TB (AQE broadcast it at sf0.1
+    but not at 10×, the r9 stress drift: the tested base shape was
+    not the scale shape) — and the first-word totals ride the
+    already-aggregated LM table. The one transcendental (ln) is computed once
     per DISTINCT (doc, bigram) with identical operand order in both
     engines, rounded to 6dp before the per-doc sum (exact
     integer-multiplicity products). The per-doc totals therefore sit
@@ -1305,7 +1307,7 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("tok").alias("vocab"))
     )
     terms = (
-        db.join(lm, ["w1", "w2"])
+        db.join(lm.hint("shuffle_hash"), ["w1", "w2"])
         .join(F.broadcast(vocab))
         .select(
             "doc_id",
