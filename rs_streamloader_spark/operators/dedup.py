@@ -505,8 +505,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         " slice(b.bvals, 1, b.band_idx), (x, y) -> x = y), p -> p)"
     )
     cand = (
+        # shuffle-hash pinned: both band-join sides are O(4·docs), so
+        # the base-scale AQE broadcast is not the 100 TB shape (it
+        # flipped at the k=100 rehearsal, SCALE_STRESS_r10_k100)
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -1388,8 +1391,10 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
+        # shuffle-hash pinned for the same reason as dedup_minhash_lsh:
+        # the band table is O(4·docs), never broadcastable at scale
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),

@@ -1797,8 +1797,13 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ca = cnt.select(F.col("l_partkey").alias("item"), F.col("n").alias("na"))
     cb = cnt.select(F.col("l_partkey").alias("neighbor"), F.col("n").alias("nb"))
     scored = (
-        sym.join(ca, "item")
-        .join(cb, "neighbor")
+        # shuffle-hash pinned, build = the per-part count table: it is
+        # O(parts) and grows with the catalog, so the base-scale AQE
+        # broadcast is not the plan that runs at 100 TB (it flipped at
+        # the k=100 rehearsal, SCALE_STRESS_r10_k100); the pair side is
+        # O(orders·basket²) ≫ counts, so counts stay the build side
+        sym.join(ca.hint("shuffle_hash"), "item")
+        .join(cb.hint("shuffle_hash"), "neighbor")
         .select(
             "item",
             "neighbor",

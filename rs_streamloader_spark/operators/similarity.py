@@ -922,8 +922,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = F.round(_dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 6)
     dominated = (
+        # shuffle-hash pinned: both sides of the refined-cell self-join
+        # are the full corpus — AQE broadcast it below ~10× and flipped
+        # at the k=100 rehearsal (SCALE_STRESS_r10_k100); one shape at
+        # every scale, build on the (identical-size) right side
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("rcell_a") == F.col("rcell_b"))
             & (F.col("vec_b") < F.col("vec_a")),
         )
@@ -933,8 +937,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dom", F.lit(1))
     )
     return (
+        # dominated is O(duplicate vectors) — a large corpus fraction on
+        # replica-heavy data, so the flag join-back is pinned shuffle too
+        # (hint sits on the non-preserved side; Spark ignores build
+        # hints on the preserved side of an outer join)
         e.select("vec_id", "cell")
-        .join(dominated, "vec_id", "left")
+        .join(dominated.hint("shuffle_hash"), "vec_id", "left")
         .select(
             "vec_id",
             "cell",
