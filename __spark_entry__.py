@@ -29,6 +29,20 @@ from rs_streamloader_spark.operators import REGISTRY
 SF0001 = "/root/testdata/sf0.001"
 
 
+def oracle_fingerprint(sql: str | None) -> str:
+    """Stable short hash of an oracle definition (``no_oracle`` for
+    rows-only queries, so adding/removing an oracle also re-queues).
+    THE single source of the fingerprint scheme: the snapshot writer
+    (tools/update_fingerprints.py) imports it from here, so the writer
+    and the rotation reader can never drift (ADVICE r9). Lives in this
+    file, not tools/, because the driver loads this file standalone."""
+    import hashlib
+
+    if sql is None:
+        return "no_oracle"
+    return hashlib.sha256(sql.encode("utf-8")).hexdigest()[:16]
+
+
 def _catalog_order(root: str = _REPO_ROOT) -> list[str]:
     """Catalog order for the driver sweep: least-recently-verified
     first. The driver's correctness pass covers a bounded prefix of
@@ -50,7 +64,6 @@ def _catalog_order(root: str = _REPO_ROOT) -> list[str]:
     evidence, so the scoreboard should re-check it next round even if
     its last driver row predates the change (ADVICE r8)."""
     import glob
-    import hashlib
     import json
     import re
 
@@ -95,19 +108,6 @@ def _catalog_order(root: str = _REPO_ROOT) -> list[str]:
             snapshot = loaded
     except (OSError, ValueError):
         pass  # no snapshot yet — fingerprint check is a no-op
-
-    # Single source of truth for the fingerprint scheme: the same
-    # function tools/update_fingerprints.py uses to WRITE the snapshot
-    # (ADVICE r9 — a drifted reimplementation would silently flag every
-    # query as redefined, or none).
-    try:
-        from tools.update_fingerprints import oracle_fingerprint
-    except ImportError:  # driver ran us outside the repo root
-
-        def oracle_fingerprint(sql: str | None) -> str:
-            if sql is None:
-                return "no_oracle"
-            return hashlib.sha256(sql.encode("utf-8")).hexdigest()[:16]
 
     def _fp(name: str) -> str:
         return oracle_fingerprint(REGISTRY[name].oracle)

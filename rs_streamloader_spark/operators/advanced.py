@@ -609,14 +609,22 @@ _FUZZY_BLOCK_CAP = 128
 # beyond any plausible name-prefix block even at 100 TB.
 _FUZZY_SUB_HEX = 4
 
-_FUZZY_SUB_SQL = (
-    "(((("
-    "STRPOS('0123456789abcdef', SUBSTR(MD5(s_name), 1, 1)) - 1) * 16"
-    " + STRPOS('0123456789abcdef', SUBSTR(MD5(s_name), 2, 1)) - 1) * 16"
-    " + STRPOS('0123456789abcdef', SUBSTR(MD5(s_name), 3, 1)) - 1) * 16"
-    " + STRPOS('0123456789abcdef', SUBSTR(MD5(s_name), 4, 1)) - 1)"
-    f" % ((side_cnt + {_FUZZY_BLOCK_CAP - 1}) // {_FUZZY_BLOCK_CAP})"
-)
+
+def _fuzzy_sub_sql(n_hex: int = _FUZZY_SUB_HEX) -> str:
+    """DuckDB STRPOS walk over the first ``n_hex`` md5 hex chars —
+    GENERATED from the same constant the Spark expression uses, so a
+    future width change cannot desynchronize the engines (the 1→4
+    widening would have, had only one side been edited)."""
+    expr = "0"
+    for i in range(1, n_hex + 1):
+        expr = (
+            f"({expr} * 16 + STRPOS('0123456789abcdef',"
+            f" SUBSTR(MD5(s_name), {i}, 1)) - 1)"
+        )
+    return f"{expr} % ((side_cnt + {_FUZZY_BLOCK_CAP - 1}) // {_FUZZY_BLOCK_CAP})"
+
+
+_FUZZY_SUB_SQL = _fuzzy_sub_sql()
 
 
 @register(

@@ -88,7 +88,11 @@ def test_catalog_order_requeues_stale_no_oracle_row(tmp_path):
     # front-jump is observable as a shift
     start = names.index(rows_only[0]) if rows_only else 0
     oracled = next(
-        n for n in names[start:] if REGISTRY[n].oracle is not None
+        (n for n in names[start:] if REGISTRY[n].oracle is not None), None
+    )
+    assert oracled is not None, (
+        "registry has no oracled query after its first rows-only entry — "
+        "rework this test's front-jump observation"
     )
     recs = {n: GREEN for n in names}
     recs[oracled] = {"err": "no_oracle", "rows_match": True}

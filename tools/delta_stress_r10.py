@@ -33,8 +33,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     base_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    # 10× delta, merged into the committed sweep artifact
-    ss.HEAVY_TAIL = PINNED
+    # 10× delta, merged into the committed sweep artifact — refuse to
+    # overwrite good committed rows with err rows from a missing/stale
+    # replica dir (review finding: a cleared /tmp would have done so
+    # while printing success)
+    if not ss.scaled_dir_ready("/tmp/rs_sl_sf1", base_sf, 10):
+        print("generating /tmp/rs_sl_sf1 at k=10…", file=sys.stderr, flush=True)
+        ss.make_scaled(spark, base_sf, "/tmp/rs_sl_sf1", 10)
+    ss.HEAVY_TAIL = PINNED  # run_stress records an err row for unknown names
     delta = ss.run_stress(spark, base_sf, "/tmp/rs_sl_sf1", 10)
     path = os.path.join(_REPO_ROOT, "SCALE_STRESS_r10.json")
     with open(path) as fh:
@@ -46,7 +52,10 @@ def main() -> None:
     print(f"merged {len(delta['queries'])} delta rows -> {path}")
 
     # k=100 rehearsal against the pinned plans
-    ss.HEAVY_TAIL = [n for n in fs.HEAVY_K100]
+    if not ss.scaled_dir_ready("/tmp/rs_sl_sf10", base_sf, 100):
+        print("generating /tmp/rs_sl_sf10 at k=100…", file=sys.stderr, flush=True)
+        ss.make_scaled(spark, base_sf, "/tmp/rs_sl_sf10", 100)
+    ss.HEAVY_TAIL = list(fs.HEAVY_K100)
     result = ss.run_stress(spark, base_sf, "/tmp/rs_sl_sf10", 100)
     out = os.path.join(_REPO_ROOT, "SCALE_STRESS_r10_k100.json")
     with open(out, "w") as fh:

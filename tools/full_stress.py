@@ -68,7 +68,7 @@ def main() -> None:
         names = [n for n in PRIORITY if n in REGISTRY] + [
             n for n in REGISTRY if n not in PRIORITY
         ]
-        if not os.path.exists(os.path.join(scaled_sf, "lineitem.parquet")):
+        if not ss.scaled_dir_ready(scaled_sf, base_sf, k):
             print(f"generating {scaled_sf} at k={k}…", file=sys.stderr, flush=True)
             ss.make_scaled(spark, base_sf, scaled_sf, k)
         ss.HEAVY_TAIL = names
@@ -79,7 +79,7 @@ def main() -> None:
         )
         k = int(os.environ.get("RS_SL_SCALE_K", "100"))
         scaled_sf = os.environ.get("RS_SL_SCALED_DIR", "/tmp/rs_sl_sf10")
-        if not os.path.exists(os.path.join(scaled_sf, "lineitem.parquet")):
+        if not ss.scaled_dir_ready(scaled_sf, base_sf, k):
             print(f"generating {scaled_sf} at k={k}…", file=sys.stderr, flush=True)
             ss.make_scaled(spark, base_sf, scaled_sf, k)
         ss.HEAVY_TAIL = [n for n in HEAVY_K100 if n in REGISTRY]

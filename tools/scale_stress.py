@@ -478,6 +478,9 @@ def make_scaled(spark, src: str, dst: str, k: int) -> None:
     from rs_streamloader_spark.session import load_tables
 
     os.makedirs(dst, exist_ok=True)
+    marker = os.path.join(dst, "_COMPLETE.json")
+    if os.path.exists(marker):
+        os.remove(marker)
     for table in KEYS:
         base = load_tables(spark, src, table)[table]
         if KEYS[table]:
@@ -488,6 +491,24 @@ def make_scaled(spark, src: str, dst: str, k: int) -> None:
         else:
             scaled = base  # shared dimension
         scaled.write.mode("overwrite").parquet(os.path.join(dst, f"{table}.parquet"))
+    # written LAST: its presence (with matching k/src) certifies a full
+    # generation — a lineitem.parquet existence probe passes on a
+    # generation interrupted mid-way (lineitem is written 7th of 10)
+    with open(marker, "w") as fh:
+        json.dump({"k": k, "src": src}, fh)
+
+
+def scaled_dir_ready(dst: str, src: str, k: int) -> bool:
+    """True iff ``dst`` holds a COMPLETE k× replica of ``src`` — i.e.
+    make_scaled finished and was run with the same parameters (a
+    leftover dir from a different k would silently mis-stamp every
+    ratio in the artifact)."""
+    try:
+        with open(os.path.join(dst, "_COMPLETE.json")) as fh:
+            meta = json.load(fh)
+    except (OSError, ValueError):
+        return False
+    return meta.get("k") == k and meta.get("src") == src
 
 
 def run_stress(spark, base_sf: str, scaled_sf: str, k: int) -> dict:
@@ -506,6 +527,12 @@ def run_stress(spark, base_sf: str, scaled_sf: str, k: int) -> dict:
 
     out: dict[str, dict] = {}
     for name in HEAVY_TAIL:
+        # lookup inside the per-query guard below would be better, but
+        # a rename must not abort a half-done sweep either way
+        if name not in REGISTRY:
+            out[name] = {"err": f"KeyError: {name!r} not in REGISTRY"}
+            print(f"STRESS FAIL {name}: not in REGISTRY", file=sys.stderr)
+            continue
         fn = REGISTRY[name].fn
         # replays run a real streaming job per call with per-session
         # cold costs (state-store dirs, checkpoint setup) — min-of-2

@@ -47,14 +47,9 @@ if _REPO_ROOT not in sys.path:
 FP_PATH = os.path.join(_REPO_ROOT, "tools", "oracle_fingerprints.json")
 
 
-def oracle_fingerprint(sql: str | None) -> str:
-    """Stable short hash of an oracle definition (``no_oracle`` for
-    rows-only queries, so adding/removing an oracle also re-queues)."""
-    import hashlib
-
-    if sql is None:
-        return "no_oracle"
-    return hashlib.sha256(sql.encode("utf-8")).hexdigest()[:16]
+# Single-sourced from the driver artifact (which must stay standalone):
+# writer and rotation reader share one scheme by construction.
+from __spark_entry__ import oracle_fingerprint  # noqa: E402
 
 
 def _driver_evidence(root: str) -> tuple[dict[str, tuple[int, bool]], int]:
@@ -105,6 +100,19 @@ def main() -> None:
     for name in REGISTRY:
         cur = oracle_fingerprint(REGISTRY[name].oracle)
         rnd, green = evidence.get(name, (0, False))
+        # A hand-set "stale:…rN…" sentinel means "redefined DURING
+        # round N, after that round's driver run" — a green row from
+        # round < N predates the redefinition and must NOT clear it
+        # (without this, re-running the tool in the same round wiped
+        # the sentinel and vouched the new definition with old
+        # evidence). The sentinel clears once the driver records a
+        # green row in round >= N.
+        sentinel = fps.get(name, "")
+        if sentinel.startswith("stale:"):
+            m = re.search(r"r(\d+)", sentinel)
+            if m and rnd < int(m.group(1)):
+                kept_stale.append(name)
+                continue
         if green and rnd == max_round:
             if fps.get(name) != cur:
                 refreshed += 1
