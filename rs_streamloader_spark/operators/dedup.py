@@ -1890,7 +1890,11 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") >= 2)
         .select("h")
     )
-    flagged = wins.join(dup_h, "h").select(
+    # shuffle-hash pinned: dup_h is O(duplicated windows) — grows with
+    # the corpus, so the base-scale AQE broadcast is not the 100 TB
+    # shape (flipped at the k=100 rehearsal, SCALE_STRESS_r10_k100);
+    # both sides are already hash-clustered on h from the aggregate
+    flagged = wins.join(dup_h.hint("shuffle_hash"), "h").select(
         "doc_id",
         "n_tok",
         F.col("i").alias("s"),

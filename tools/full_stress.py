@@ -35,7 +35,11 @@ PRIORITY = [
     "cramers_v_priority_status",
 ]
 
-# the heaviest candidate-pair / graph families for the 100× rehearsal
+# the heaviest candidate-pair / graph families for the 100× rehearsal,
+# extended (r10) with the remaining families whose scale behavior is
+# load-bearing: simhash banding, suffix-window exact dedup, eval-side
+# decontamination, the two LM/text joins pinned this round, brute-force
+# ANN, bounded-hop connected components, and the split-leakage join
 HEAVY_K100 = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -45,6 +49,14 @@ HEAVY_K100 = [
     "pagerank_neardup",
     "dedup_semantic",
     "fuzzy_name_match",
+    "dedup_simhash",
+    "exact_substring_dedup",
+    "decontaminate_ngram_overlap",
+    "text_perplexity_bigram",
+    "text_ngram_novelty",
+    "ann_topk_bruteforce",
+    "dedup_cluster",
+    "split_leakage_audit",
 ]
 
 
