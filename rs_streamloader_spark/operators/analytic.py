@@ -1725,12 +1725,20 @@ def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scd2_asof_enrich",
     oracle="""
-    WITH ordered AS (
+    WITH dim AS (
+      -- the SCD2 dimension is the NON-purchase event stream: with
+      -- purchases included, every purchase opened (or inherited) a
+      -- 'purchase' version and state_type was constant by
+      -- construction (r10 vacuity scan) — the enrichment enriched
+      -- nothing
+      SELECT * FROM events WHERE event_type <> 'purchase'
+    ),
+    ordered AS (
       SELECT user_id, event_type, ts, event_id,
              LAG(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
              ) AS prev_type
-      FROM events
+      FROM dim
     ),
     changes AS (
       SELECT user_id, event_type, ts, event_id,
@@ -1775,13 +1783,17 @@ def scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_id, tag), and LAST(... ignorenulls) carries each open
     version forward onto the purchases that follow it — two shuffles
     on the SAME user_id key (derive the change log, then window the
-    union), no interval probe, no join at all. A dimension row sharing
-    (ts, event_id) with its own purchase sorts first (tag 0 < 1), so a
-    purchase that itself opens a version sees the version it opened."""
+    union), no interval probe, no join at all. The dimension is the
+    NON-purchase event stream (a purchase never opens its own
+    version — until r10 it did, which made ``state_type`` constant
+    'purchase' by construction, an enrichment that enriched nothing);
+    a purchase with no preceding dimension state reports NULLs, the
+    honest as-of answer."""
     t = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         t["events"]
+        .filter(F.col("event_type") != "purchase")
         .withColumn("prev_type", F.lag("event_type").over(w))
         .filter(
             F.col("prev_type").isNull()

@@ -63,9 +63,10 @@ _EVENTS = [
     (1, "2024-03-01 08:00:00", 1, "view", 1.0),
     (2, "2024-03-01 08:05:00", 1, "click", 2.0),
     (3, "2024-03-01 08:10:00", 1, "purchase", 30.0),
+    # user 2's journey has an error and NO later click: the sequence
+    # pattern must not match, and the purchase's as-of state is 'error'
     (4, "2024-03-01 09:00:00", 2, "view", 1.0),
     (5, "2024-03-01 09:05:00", 2, "error", 0.0),
-    (6, "2024-03-01 09:10:00", 2, "click", 2.0),
     (7, "2024-03-01 09:15:00", 2, "purchase", 25.0),
     (8, "2024-03-02 10:00:00", 3, "view", 1.0),
     (9, "2024-03-02 10:05:00", 3, "signup", 0.0),
@@ -178,6 +179,105 @@ def test_text_pii_scrub_counts_organic_pii(spark, corpus_dir):
     # doc 70 carries organic PII on top of the seeded pair
     assert by_id.loc[70, "n_emails"] == 2 and by_id.loc[70, "n_phones"] == 2
     assert by_id.loc[10, "n_emails"] == 1 and by_id.loc[10, "n_phones"] == 1
+
+
+def test_calendar_fill_gap_branch_fires(spark, corpus_dir):
+    """The zero-fill branch is calendar_fill_daily's entire purpose,
+    yet the shipped corpus has an event of every type on every day
+    (is_gap was constant 0 in the r10 vacuity scan). The constructed
+    events have 4 missing (type, day) cells out of 10."""
+    pdf = _run(spark, corpus_dir, "calendar_fill_daily")
+    _assert_varies(pdf, "calendar_fill_daily", "is_gap", "cnt")
+    assert (pdf["is_gap"] == 1).sum() == 4 and len(pdf) == 10
+    # filled rows are exactly the zero-count rows
+    assert ((pdf["is_gap"] == 1) == (pdf["cnt"] == 0)).all()
+
+
+def test_scd2_enrichment_carries_multiple_states(spark, corpus_dir):
+    """Until r10 every purchase carried state_type='purchase' by
+    construction (the dimension included the purchases themselves).
+    The constructed events give one purchase a 'click' predecessor and
+    one an 'error' predecessor."""
+    pdf = _run(spark, corpus_dir, "scd2_asof_enrich")
+    _assert_varies(pdf, "scd2_asof_enrich", "state_type")
+    assert set(pdf["state_type"]) == {"click", "error"}
+    assert "purchase" not in set(pdf["state_type"])
+
+
+def test_srm_detector_fires_on_skewed_split(spark, tmp_path):
+    """ab_srm_check's srm_detected was constant false on the shipped
+    corpus (the hash split is healthy there — as it should be).
+    Construct a corpus whose doc_ids ALL hash into the 'test' bucket:
+    observed 0/0/n against expected 80/10/10 is the textbook SRM and
+    the verdict must flip to true, identically in both engines."""
+    import duckdb
+    import hashlib
+
+    from rs_streamloader_spark.operators.quality import ab_srm_check
+
+    def bucket(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16) % 100
+
+    ids = [i for i in range(4000) if bucket(i) >= 90][:200]
+    assert len(ids) == 200
+    docs = pd.DataFrame(
+        {"doc_id": ids, "text": ["the a doc"] * len(ids),
+         "lang": ["en"] * len(ids), "source": ["src0"] * len(ids),
+         "n_chars": [9] * len(ids)}
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False), tmp_path / "documents.parquet"
+    )
+    spark_pdf = ab_srm_check(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracle_pdf = con.execute(entry.oracle_sql()["ab_srm_check"]).df()
+    compare(ab_srm_check(spark, str(tmp_path)), oracle_pdf, "ab_srm_check@skewed")
+    assert spark_pdf["srm_detected"].all()
+    by_split = spark_pdf.set_index("split")["observed"]
+    assert by_split["train"] == 0 and by_split["val"] == 0 and by_split["test"] == 200
+
+
+def test_fk_orphan_detector_fires(spark, tmp_path):
+    """fk_integrity_audit's n_orphans was constant 0 on the shipped
+    corpus (referential integrity holds there — as it should). A
+    constructed star schema with one broken reference per edge must
+    count exactly one orphan per edge, identically in both engines."""
+    import duckdb
+
+    from rs_streamloader_spark.operators.stats import fk_integrity_audit
+
+    tables = {
+        "nation": pd.DataFrame({"n_nationkey": [1, 2]}),
+        "customer": pd.DataFrame({"c_custkey": [10, 11], "c_nationkey": [1, 99]}),
+        "supplier": pd.DataFrame({"s_suppkey": [20, 21]}),
+        "part": pd.DataFrame({"p_partkey": [30, 31]}),
+        "orders": pd.DataFrame({"o_orderkey": [40, 41], "o_custkey": [10, 98]}),
+        "lineitem": pd.DataFrame(
+            {
+                "l_orderkey": [40, 97],  # 97: no such order
+                "l_partkey": [30, 96],   # 96: no such part
+                "l_suppkey": [20, 95],   # 95: no such supplier
+            }
+        ),
+    }
+    for name, pdf in tables.items():
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            tmp_path / f"{name}.parquet",
+        )
+    spark_df = fk_integrity_audit(spark, str(tmp_path))
+    con = duckdb.connect()
+    for name in tables:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{tmp_path}/{name}.parquet')"
+        )
+    oracle_pdf = con.execute(entry.oracle_sql()["fk_integrity_audit"]).df()
+    compare(spark_df, oracle_pdf, "fk_integrity_audit@orphans")
+    pdf = spark_df.toPandas().set_index(["child_table", "fk_col"])
+    assert (pdf["n_orphans"] == 1).all(), pdf
 
 
 def test_fuzzy_subblock_branch_fires_and_agrees(spark, tmp_path):

@@ -947,6 +947,45 @@ def test_fuzzy_match_subblocks_before_join(spark):
     assert shuffle_count(df) <= 6, text
 
 
+def test_corpus_sized_join_builds_never_broadcast(spark):
+    """r10 k=100 rehearsal contract: these joins' build sides grow
+    with the corpus (band tables, first-seen/LM/duplicate-hash
+    aggregates, per-part counts, SemDeDup dominated set), so their
+    plans must use the pinned shuffle-hash shape at EVERY scale — the
+    base-scale AQE broadcast each previously got was not the plan that
+    runs at 100 TB (SCALE_STRESS_r10_k100 flips before the pins)."""
+    from rs_streamloader_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        exact_substring_dedup,
+        minhash_estimate_audit,
+        text_ngram_novelty,
+    )
+    from rs_streamloader_spark.operators.mining import (
+        item_item_cosine_topk,
+        text_perplexity_bigram,
+    )
+    from rs_streamloader_spark.operators.similarity import dedup_semantic
+
+    pinned = [
+        dedup_minhash_lsh,
+        minhash_estimate_audit,
+        text_ngram_novelty,
+        exact_substring_dedup,
+        item_item_cosine_topk,
+        dedup_semantic,
+    ]
+    for fn in pinned:
+        df = fn(spark, SF_SMOKE)
+        text = explain_str(df, "simple")
+        assert "BroadcastHashJoin" not in text, (fn.__name__, text)
+        assert "ShuffledHashJoin" in text, (fn.__name__, text)
+    # perplexity keeps ONE legitimate broadcast (the 1-row vocab
+    # scalar); the LM scoring join itself must be shuffle-hash
+    df = text_perplexity_bigram(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "ShuffledHashJoin" in text, text
+
+
 def test_journey_paths_share_one_window_exchange(spark):
     """Both endpoint ranks ride the same (user, day) shuffle; path
     counts collapse to the tiny type-pair aggregate."""
