@@ -181,6 +181,19 @@ def test_text_pii_scrub_counts_organic_pii(spark, corpus_dir):
     assert by_id.loc[10, "n_emails"] == 1 and by_id.loc[10, "n_phones"] == 1
 
 
+def test_corpus_rarity_rare_branch_fires(spark, corpus_dir):
+    """rare_token_frac was constant 0 on the shipped corpus (its small
+    synthetic vocabulary has no token at corpus frequency ≤ the rare
+    cutoff). The constructed corpus is full of once-occurring tokens,
+    so the rare branch takes real values — and not the same one
+    everywhere."""
+    pdf = _run(spark, corpus_dir, "text_corpus_rarity")
+    _assert_varies(
+        pdf, "text_corpus_rarity", "rare_token_frac", "mean_token_corpus_freq"
+    )
+    assert pdf["rare_token_frac"].max() > 0
+
+
 def test_calendar_fill_gap_branch_fires(spark, corpus_dir):
     """The zero-fill branch is calendar_fill_daily's entire purpose,
     yet the shipped corpus has an event of every type on every day
