@@ -951,3 +951,90 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("temp_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rate-based language rebalancing (map-only hash-threshold sampler)
+# ---------------------------------------------------------------------------
+
+_BAL_HEX = 7  # md5 hex digits -> uniform integer in [0, 16^7)
+_BAL_SCALE = 16 ** _BAL_HEX  # 268_435_456
+
+
+def _bal_hash_sql(key: str) -> str:
+    """DuckDB: integer in [0, 16^7) from the first 7 md5 hex digits of
+    the salted key — STRPOS digit walk mirroring Spark's
+    conv(substring(md5, 1, 7), 16, 10)."""
+    h = f"MD5('bal|' || CAST({key} AS VARCHAR))"
+    digits = " + ".join(
+        f"(STRPOS('0123456789abcdef', SUBSTR({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (_BAL_HEX - 1 - i)}"
+        for i in range(_BAL_HEX)
+    )
+    return f"({digits})"
+
+
+@register(
+    "lang_rebalance_sample",
+    oracle=f"""
+    WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    mn AS (SELECT MIN(n) AS m FROM cnt),
+    th AS (
+      SELECT lang,
+             CAST(CAST(m AS HUGEINT) * {_BAL_SCALE} // n AS BIGINT) AS thresh
+      FROM cnt, mn
+    )
+    SELECT d.lang, d.doc_id, d.n_chars
+    FROM documents d JOIN th ON th.lang = d.lang
+    WHERE {_bal_hash_sql('d.doc_id')} < th.thresh
+    """,
+)
+def lang_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-based language rebalancing: downsample every language to
+    the minority language's EXPECTED count via a per-lang acceptance
+    threshold over a deterministic md5 hash of doc_id — the standard
+    class-rebalancing step of a multilingual training-data pipeline
+    (no reference analogue; the reference has no relational surface).
+
+    Contrast with ``sample_stratified`` (fixed k per group via a
+    per-group ROW_NUMBER window — an O(n log n) sort per stratum):
+    this is the shape that survives 100 TB. The per-lang thresholds
+    come from a map-side-combinable count aggregate (rows = #langs),
+    broadcast back onto the corpus scan, and acceptance is a MAP-ONLY
+    filter — no window, no per-group sort, one corpus-wide shuffle
+    total (the count agg). The sample is stable under repartitioning
+    and incremental ingest: membership depends only on (doc_id, lang
+    rates), not on row order or partition layout.
+
+    Cross-engine determinism: acceptance integer = first 7 md5 hex
+    digits (conv here, STRPOS walk in the oracle); thresholds are
+    exact integer floor-division with the count product accumulated in
+    DECIMAL(38,0)/HUGEINT (a 16^7 scale times a 100 TB-scale count
+    overflows int64); strict `<` on both sides. The minority language
+    gets thresh == 16^7 exactly (kept whole)."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    # min over the #langs-row aggregate as a global window (NOT a
+    # second corpus scan — the domain_mix_sample precedent)
+    th = cnt.withColumn(
+        "m", F.min("n").over(Window.partitionBy())
+    ).select(
+        "lang",
+        F.expr(
+            f"CAST(CAST(m AS DECIMAL(38,0)) * {_BAL_SCALE} div n AS BIGINT)"
+        ).alias("thresh"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("bal|"), F.col("doc_id").cast("string"))),
+            1,
+            _BAL_HEX,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.join(F.broadcast(th), "lang")
+        .filter(h < F.col("thresh"))
+        .select("lang", "doc_id", "n_chars")
+    )

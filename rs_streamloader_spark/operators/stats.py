@@ -4856,3 +4856,182 @@ def daily_acf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_pairs"),
         pearson_from_moments("n", "s_x", "s_y", "ss_x", "ss_y", "sp").alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Runtime Bloom-filter join pruning, audited exactly
+# ---------------------------------------------------------------------------
+
+_BJOIN_M = 1024  # bits — small by design so saturation is observable
+_BJOIN_K = 2  # hash positions per key (4 hex chars of one md5 each)
+
+
+def _bjoin_pos_sql(key: str, j: int) -> str:
+    """DuckDB: join-filter hash position j — 4 md5 hex digits walked
+    via STRPOS, mod m (mirrors Spark's conv(substr, 16, 10) % m)."""
+    h = f"MD5('bjoin|' || CAST({key} AS VARCHAR))"
+    digits = " + ".join(
+        f"(STRPOS('0123456789abcdef', SUBSTR({h}, {4 * j + 1 + i}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"(({digits}) % {_BJOIN_M})"
+
+
+@register(
+    "bloom_join_prune_audit",
+    oracle=f"""
+    WITH members AS (
+      SELECT DISTINCT c_custkey AS k FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    ),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        {" UNION ALL ".join(f"SELECT {_bjoin_pos_sql('k', j)} AS pos FROM members" for j in range(_BJOIN_K))}
+      )
+    ),
+    grp AS (SELECT o_custkey AS pk, COUNT(*) AS n_orders FROM orders GROUP BY 1),
+    probe AS (
+      SELECT g.pk, g.n_orders,
+             (b0.pos IS NOT NULL AND b1.pos IS NOT NULL) AS pass,
+             (m.k IS NOT NULL) AS member
+      FROM grp g
+      LEFT JOIN bits b0 ON b0.pos = {_bjoin_pos_sql('g.pk', 0)}
+      LEFT JOIN bits b1 ON b1.pos = {_bjoin_pos_sql('g.pk', 1)}
+      LEFT JOIN members m ON m.k = g.pk
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM members) AS BIGINT)            AS n_member_keys,
+      CAST((SELECT COUNT(*) FROM bits) AS BIGINT)               AS n_bits_set,
+      CAST(COUNT(*) AS BIGINT)                                  AS n_probe_keys,
+      CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)     AS n_pass_keys,
+      CAST(SUM(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END)
+           AS BIGINT)                                           AS n_fp_keys,
+      CAST(SUM(n_orders) AS BIGINT)                             AS n_probe_orders,
+      CAST(SUM(CASE WHEN pass THEN n_orders ELSE 0 END)
+           AS BIGINT)                                           AS n_pass_orders,
+      CAST(SUM(CASE WHEN NOT pass THEN n_orders ELSE 0 END)
+           AS BIGINT)                                           AS n_pruned_orders,
+      CAST(CAST(SUM(CASE WHEN NOT pass THEN n_orders ELSE 0 END) AS HUGEINT)
+           * 1000000 // GREATEST(SUM(n_orders), 1) AS BIGINT)   AS pruned_ppm
+    FROM probe
+    """,
+)
+def bloom_join_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning, audited exactly: the
+    orders→customer(segment='BUILDING') join is prefiltered by a
+    {_BJOIN_M}-bit / k={_BJOIN_K} Bloom filter over the build-side
+    keys — the semi-join reduction Spark's
+    spark.sql.optimizer.runtime.bloomFilter applies — and the audit
+    reports exactly how many probe keys/orders the filter pruned, how
+    many passed, and how many passers were FALSE positives that the
+    exact join must still reject (no reference analogue).
+
+    Plan (the 100 TB shape): the probe side collapses to per-custkey
+    order counts FIRST (map-side-combinable; rows = O(customers), not
+    O(orders)); the bit set is a distinct aggregate bounded at
+    {_BJOIN_M} rows that BROADCASTS into two map-only position joins;
+    only the exact verify join shuffles, on the key-level tables, with
+    a shuffle_hash hint on the member build side (an O(SF) table —
+    never force-broadcast, see the salted-join rule). Bloom has no
+    false negatives, so members always pass (n_pass_keys ≥
+    n_member∩probe) — the invariant the exact verify certifies.
+
+    m is deliberately small so saturation is measurable: at 10×/100×
+    member counts the fill fraction → 1 and pruned_ppm → 0 — the
+    audit's whole point is to MEASURE when the sketch stops paying for
+    itself (production sizes m ∝ expected n, same plan). False
+    positives at small corpora are a corpus property (expected FP ≈
+    probes·fill^k < 1 at sf0.001); the constructed-collision case is
+    pinned in tests/test_nonvacuity.py. Cross-engine determinism: bit
+    positions are pure md5 hex arithmetic (conv here, the STRPOS
+    digit walk in the oracle); every output is an integer with the
+    ppm ratio as DECIMAL(38,0)/HUGEINT floor division."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    members = (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+
+    def pos(key_col: str, j: int):
+        h = F.md5(F.concat(F.lit("bjoin|"), F.col(key_col).cast("string")))
+        return (
+            F.conv(F.substring(h, 4 * j + 1, 4), 16, 10).cast("int") % _BJOIN_M
+        )
+
+    bits = (
+        members.select(
+            F.explode(
+                F.array(*[pos("k", j) for j in range(_BJOIN_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    grp = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("pk"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    # identical broadcast subtrees (no rename) so the second bits
+    # build collapses to a ReusedExchange — one filtered-customer
+    # scan serves both position joins
+    b0 = F.broadcast(bits).alias("b0")
+    b1 = F.broadcast(bits).alias("b1")
+    probe = (
+        grp.withColumn("p0", pos("pk", 0))
+        .withColumn("p1", pos("pk", 1))
+        .join(b0, F.col("p0") == F.col("b0.pos"), "left")
+        .join(b1, F.col("p1") == F.col("b1.pos"), "left")
+        .join(
+            members.withColumn("mk", F.col("k")).hint("shuffle_hash"),
+            F.col("pk") == F.col("k"),
+            "left",
+        )
+        .select(
+            "n_orders",
+            (F.col("b0.pos").isNotNull() & F.col("b1.pos").isNotNull()).alias(
+                "pass"
+            ),
+            F.col("mk").isNotNull().alias("member"),
+        )
+    )
+    n_members = members.agg(F.count(F.lit(1)).cast("bigint").alias("n_member_keys"))
+    n_bits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_bits_set"))
+    agg = probe.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probe_keys"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass_keys"),
+        F.sum(F.when(F.col("pass") & ~F.col("member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fp_keys"),
+        F.sum("n_orders").cast("bigint").alias("n_probe_orders"),
+        F.sum(F.when(F.col("pass"), F.col("n_orders")).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass_orders"),
+        F.sum(F.when(~F.col("pass"), F.col("n_orders")).otherwise(0))
+        .cast("bigint")
+        .alias("n_pruned_orders"),
+        F.expr(
+            "CAST(CAST(SUM(CASE WHEN NOT pass THEN n_orders ELSE 0 END)"
+            " AS DECIMAL(38,0)) * 1000000"
+            " div GREATEST(SUM(n_orders), 1) AS BIGINT)"
+        ).alias("pruned_ppm"),
+    )
+    return (
+        agg.join(F.broadcast(n_members))
+        .join(F.broadcast(n_bits))
+        .select(
+            "n_member_keys",
+            "n_bits_set",
+            "n_probe_keys",
+            "n_pass_keys",
+            "n_fp_keys",
+            "n_probe_orders",
+            "n_pass_orders",
+            "n_pruned_orders",
+            "pruned_ppm",
+        )
+    )

@@ -344,3 +344,71 @@ def test_sequence_pattern_match_both_outcomes(spark, corpus_dir):
     assert by_day.loc["2024-03-01", "n_journeys"] == 2
     # 2024-03-02: a journey with no purchase at all
     assert by_day.loc["2024-03-02", "n_matched"] == 0
+
+
+def test_bloom_join_prune_false_positive_fires(spark, tmp_path):
+    """bloom_join_prune_audit's n_fp_keys is 0 at sf0.001 (expected FP
+    count < 1 — a corpus property, see the docstring). Construct a
+    member set plus a probe key whose BOTH hash positions collide with
+    set bits (found by replaying the exact md5 position arithmetic in
+    Python), so the false-positive branch provably fires and both
+    engines agree on the same corpus."""
+    import hashlib
+
+    import duckdb
+
+    from rs_streamloader_spark.operators.stats import (
+        _BJOIN_K,
+        _BJOIN_M,
+        bloom_join_prune_audit,
+    )
+
+    def positions(key: int) -> list[int]:
+        h = hashlib.md5(b"bjoin|" + str(key).encode()).hexdigest()
+        return [int(h[4 * j : 4 * j + 4], 16) % _BJOIN_M for j in range(_BJOIN_K)]
+
+    members = list(range(1, 201))
+    bits = {p for k in members for p in positions(k)}
+    fp_key = next(
+        k
+        for k in range(1000, 100000)
+        if all(p in bits for p in positions(k))
+    )
+    pruned_key = next(
+        k
+        for k in range(1000, 100000)
+        if not any(p in bits for p in positions(k))
+    )
+    customer = pd.DataFrame(
+        {
+            "c_custkey": members + [fp_key, pruned_key],
+            "c_mktsegment": ["BUILDING"] * len(members) + ["MACHINERY"] * 2,
+        }
+    )
+    orders = pd.DataFrame(
+        {"o_custkey": [members[0], members[1], fp_key, fp_key, pruned_key]}
+    )
+    pq.write_table(
+        pa.Table.from_pandas(customer, preserve_index=False),
+        tmp_path / "customer.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(orders, preserve_index=False),
+        tmp_path / "orders.parquet",
+    )
+
+    spark_df = bloom_join_prune_audit(spark, str(tmp_path))
+    con = duckdb.connect()
+    for name in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{tmp_path}/{name}.parquet')"
+        )
+    oracle_pdf = con.execute(entry.oracle_sql()["bloom_join_prune_audit"]).df()
+    compare(spark_df, oracle_pdf, "bloom_join_prune_audit@collision")
+    row = spark_df.toPandas().iloc[0]
+    # the constructed double-collision key passes the filter yet fails
+    # the exact verify — the false-positive branch fires
+    assert row["n_fp_keys"] == 1, row
+    # and the clean non-member is pruned without ever reaching the join
+    assert row["n_pruned_orders"] == 1, row
+    assert row["n_pass_orders"] == 4, row  # 2 member orders + 2 FP orders

@@ -1992,3 +1992,40 @@ def test_ks_test_banded_prefix_no_global_sort(spark):
         scan = below.find("Scan parquet")
         assert 0 <= agg < scan, below[:1500]
     assert has_broadcast_join(df)
+
+
+def test_lang_rebalance_is_map_only_filter(spark):
+    """Rate-based rebalancing (r10): thresholds come from the tiny
+    per-lang count aggregate (min as a global window over #langs
+    rows, NOT a second corpus scan) and broadcast back onto the
+    corpus probe — acceptance is a map-only filter, no per-group
+    window sort over input-cardinality rows (contrast
+    sample_stratified's fixed-k ROW_NUMBER)."""
+    from rs_streamloader_spark.operators.quality import lang_rebalance_sample
+
+    df = lang_rebalance_sample(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in text, text
+    # one count-agg exchange + one single-partition window over the
+    # #langs-row aggregate; nothing shuffles the corpus rows
+    assert shuffle_count(df) <= 2, text
+    # exactly 2 documents scans: probe + count (min reuses the agg)
+    assert text.count("parquet ") == 2, text
+    # the probe scan reads only the 3 emitted columns
+    assert {"doc_id", "lang", "n_chars"} in scan_columns(df), scan_columns(df)
+
+
+def test_bloom_join_prune_collapses_probe_before_verify(spark):
+    """Runtime bloom join-prune audit (r10): the probe side collapses
+    orders to per-custkey counts FIRST (the orders scan reads only
+    o_custkey), the ≤m-row bit set broadcasts into map-only position
+    joins, and the exact verify join is pinned shuffle-hash — the
+    member side is an O(SF) table that must never be broadcast."""
+    from rs_streamloader_spark.operators.stats import bloom_join_prune_audit
+
+    df = bloom_join_prune_audit(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "ShuffledHashJoin" in text, text
+    assert "SortMergeJoin" not in text, text
+    assert "BroadcastHashJoin" in text, text  # the bits position joins
+    assert {"o_custkey"} in scan_columns(df), scan_columns(df)

@@ -246,6 +246,8 @@ HEAVY_TAIL = [
     "theil_sen_trend",
     "token_budget_selection",
     "top_supplier_multigrain",
+    "lang_rebalance_sample",
+    "bloom_join_prune_audit",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -274,6 +276,9 @@ SUPERLINEAR_WORK: set = set()
 # label. The pair/candidate family lives here because its growth is
 # exactly what the stress exists to check.
 MEASURE_OUTPUT = {
+    # balanced sample: output = #langs × min-lang count — linear in
+    # the corpus; measured so the balance property stays observable
+    "lang_rebalance_sample",
     "embedding_near_dup",
     "embedding_near_dup_lsh",
     "dedup_ngram_jaccard",
@@ -297,6 +302,9 @@ DATE_WINDOWED = {"q5_local_supplier_volume"}
 # reduction with a result that must NOT grow.
 CONSTANT_OUTPUT = {
     "bm25_topk",
+    # 1-row audit; at 10x members the fixed-m bloom saturates and
+    # pruned_ppm -> 0 — measuring that IS the audit's job
+    "bloom_join_prune_audit",
     # per-source / per-lang rollups: scale-invariant key sets
     "dedup_shrinkage_report",
     "tokenizer_fertility_by_lang",
