@@ -759,3 +759,431 @@ def top_supplier_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, identical SQL text on both engines."""
     load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
     return spark.sql(_MULTIGRAIN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Physical layout / optimizer-awareness audits (no reference analogue —
+# the reference ships SQL to Redshift and never reasons about layout,
+# lib/RedshiftLoader.ts:337-393). These are the audits a 100 TB
+# lakehouse runs BEFORE picking a table layout or trusting a join plan.
+# ---------------------------------------------------------------------------
+
+_JCE_EDGES = (
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    # date-grain edge where the uniformity assumption genuinely breaks
+    # (daily volumes vary, so est != exact): the FK edges above are
+    # uniform-by-construction on this corpus and land at exactly 1e6 ppm
+    ("ship_order_date", "lineitem", "CAST(l_shipdate AS DATE)",
+     "orders", "CAST(o_orderdate AS DATE)"),
+)
+
+
+def _jce_edge_sql(edge: str, lt: str, lk: str, rt: str, rk: str) -> str:
+    return f"""
+    SELECT '{edge}' AS edge, n_left, n_right, ndv_left, ndv_right,
+           CAST(CAST(n_left AS HUGEINT) * n_right
+                // GREATEST(ndv_left, ndv_right) AS BIGINT) AS est_rows,
+           exact_rows,
+           CAST(CAST(CAST(n_left AS HUGEINT) * n_right
+                     // GREATEST(ndv_left, ndv_right) AS HUGEINT) * 1000000
+                // GREATEST(exact_rows, 1) AS BIGINT) AS est_err_ppm
+    FROM (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM {lt}) AS n_left,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM {rt}) AS n_right,
+        (SELECT CAST(COUNT(DISTINCT ({lk})) AS BIGINT) FROM {lt}) AS ndv_left,
+        (SELECT CAST(COUNT(DISTINCT ({rk})) AS BIGINT) FROM {rt}) AS ndv_right,
+        (SELECT CAST(COALESCE(SUM(CAST(cl AS HUGEINT) * cr), 0) AS BIGINT)
+         FROM (SELECT ({lk}) AS k, COUNT(*) AS cl FROM {lt} GROUP BY 1) hl
+         JOIN (SELECT ({rk}) AS k, COUNT(*) AS cr FROM {rt} GROUP BY 1) hr
+           USING (k)) AS exact_rows
+    )
+    """
+
+
+@register(
+    "join_cardinality_estimate_audit",
+    oracle=" UNION ALL ".join(_jce_edge_sql(*e) for e in _JCE_EDGES),
+)
+def join_cardinality_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer join-cardinality estimates audited against
+    exact join sizes, one row per star-schema join edge: the textbook
+    containment/uniformity estimate |L|·|R| / max(ndv_L, ndv_R) — what
+    Spark CBO, Catalyst's JoinEstimation, and every System-R
+    descendant compute from table stats — next to the TRUE output
+    cardinality Σ_k n_L(k)·n_R(k), with the over/under-estimate as an
+    exact ppm ratio. This is the audit you run before trusting a CBO
+    plan choice on a new 100 TB dataset: a large est_err_ppm on an
+    edge means the uniformity assumption is wrong there (skew /
+    partial containment) and that join needs a hint or a histogram.
+
+    Scale posture: everything derives from per-key count aggregates
+    (map-side combinable; rows = O(distinct keys), never O(input));
+    the exact size is the product-sum of the two count histograms
+    joined on the key they are already grouped by — Spark reuses the
+    groupBy partitioning, so the join adds no exchange — accumulated
+    in DECIMAL(38,0)/HUGEINT (per-key count products overflow int64
+    at 100 TB). The per-edge rollup is a crossJoin of 1-row
+    aggregates. Cross-engine determinism: pure integer arithmetic,
+    floor division, GREATEST guards on both engines."""
+    t = load_tables(spark, sf_dir, "orders", "customer", "lineitem", "part", "supplier")
+
+    def edge(name: str, lt: str, lk: str, rt: str, rk: str) -> DataFrame:
+        hl = t[lt].groupBy(F.expr(lk).alias("k")).agg(F.count(F.lit(1)).alias("cl"))
+        hr = t[rt].groupBy(F.expr(rk).alias("k")).agg(F.count(F.lit(1)).alias("cr"))
+        left = hl.agg(
+            F.sum("cl").cast("bigint").alias("n_left"),
+            F.count(F.lit(1)).cast("bigint").alias("ndv_left"),
+        )
+        right = hr.agg(
+            F.sum("cr").cast("bigint").alias("n_right"),
+            F.count(F.lit(1)).cast("bigint").alias("ndv_right"),
+        )
+        # both count histograms grow with key cardinality (ndv ~ 2e9 at
+        # 100 TB) — never a broadcast candidate; pin the shape AQE could
+        # flip at base scale (build = right histogram)
+        exact = hl.join(hr.hint("shuffle_hash"), "k").agg(
+            F.coalesce(
+                F.sum(F.col("cl").cast("decimal(38,0)") * F.col("cr")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("exact_rows")
+        )
+        return (
+            left.crossJoin(right)
+            .crossJoin(exact)
+            .select(
+                F.lit(name).alias("edge"),
+                "n_left",
+                "n_right",
+                "ndv_left",
+                "ndv_right",
+                F.expr(
+                    "CAST(CAST(n_left AS DECIMAL(38,0)) * n_right"
+                    " div GREATEST(ndv_left, ndv_right) AS BIGINT)"
+                ).alias("est_rows"),
+                "exact_rows",
+                F.expr(
+                    "CAST(CAST(CAST(n_left AS DECIMAL(38,0)) * n_right"
+                    " div GREATEST(ndv_left, ndv_right) AS DECIMAL(38,0))"
+                    " * 1000000 div GREATEST(exact_rows, 1) AS BIGINT)"
+                ).alias("est_err_ppm"),
+            )
+        )
+
+    out = None
+    for name, lt, lk, rt, rk in _JCE_EDGES:
+        e = edge(name, lt, lk, rt, rk)
+        out = e if out is None else out.unionByName(e)
+    return out
+
+
+_BMI_WORD = 32  # orderkey bits per bitmap word (2^31 fits BIGINT signed)
+
+
+@register(
+    "bitmap_index_intersect",
+    oracle=f"""
+    WITH wa AS (
+      SELECT o_orderkey // {_BMI_WORD} AS w,
+             CAST(SUM(CAST(1 AS BIGINT) << (o_orderkey % {_BMI_WORD})) AS BIGINT)
+               AS bits
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    ),
+    wb AS (
+      SELECT o_orderkey // {_BMI_WORD} AS w,
+             CAST(SUM(CAST(1 AS BIGINT) << (o_orderkey % {_BMI_WORD})) AS BIGINT)
+               AS bits
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM wa) AS n_words_a,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM wb) AS n_words_b,
+      (SELECT CAST(COALESCE(SUM(bit_count(wa.bits)), 0) AS BIGINT) FROM wa)
+        AS card_a,
+      (SELECT CAST(COALESCE(SUM(bit_count(wb.bits)), 0) AS BIGINT) FROM wb)
+        AS card_b,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM wa JOIN wb USING (w)
+       WHERE (wa.bits & wb.bits) <> 0) AS n_words_and,
+      (SELECT CAST(COALESCE(SUM(bit_count(wa.bits & wb.bits)), 0) AS BIGINT)
+       FROM wa JOIN wb USING (w)) AS card_and,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+       WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT')
+        AS exact_and
+    """,
+)
+def bitmap_index_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index conjunctive counting, audited exactly: two
+    predicate bitmaps over the order key space (status='F',
+    priority='1-URGENT') are materialized as {_BMI_WORD}-bit words —
+    word id = key div {_BMI_WORD}, one BIGINT per word holding the
+    membership bits — then the conjunction is popcount(a AND b) summed
+    over the word-aligned join, checked against the exact
+    double-predicate COUNT. This is the roaring-bitmap/bitmap-index
+    evaluation strategy column stores use for multi-predicate point
+    counts; card_and == exact_and is the invariant (bitmaps are an
+    exact index, not a sketch — contrast bloom_join_prune_audit).
+
+    Scale posture: each bitmap build is a map-side-combinable SUM over
+    the filtered scan grouped by word id (words = keys/{_BMI_WORD} —
+    the index is {_BMI_WORD}× smaller than the key universe, and only
+    non-empty words materialize); both builds group on the same word
+    key, so the AND join reuses the groupBy partitioning (no extra
+    exchange); the rollup is 1 row. The key is unique per row
+    (o_orderkey), so SUM of distinct power-of-two terms IS the bitwise
+    OR — no dedup pass needed. Cross-engine determinism: pure integer
+    shifts/AND/popcount; bit {_BMI_WORD - 1} is the largest set, so no
+    signed-overflow edge; counts CAST to BIGINT on both engines."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+
+    def bitmap(cond) -> DataFrame:
+        return (
+            orders.filter(cond)
+            .select(
+                F.expr(f"o_orderkey div {_BMI_WORD}").alias("w"),
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST(o_orderkey % {_BMI_WORD} AS INT))"
+                ).alias("bit"),
+            )
+            .groupBy("w")
+            .agg(F.sum("bit").cast("bigint").alias("bits"))
+        )
+
+    wa = bitmap(F.col("o_orderstatus") == "F")
+    wb = bitmap(F.col("o_orderpriority") == "1-URGENT")
+    meta_a = wa.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words_a"),
+        F.coalesce(F.sum(F.bit_count("bits")), F.lit(0))
+        .cast("bigint")
+        .alias("card_a"),
+    )
+    meta_b = wb.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words_b"),
+        F.coalesce(F.sum(F.bit_count("bits")), F.lit(0))
+        .cast("bigint")
+        .alias("card_b"),
+    )
+    # both word tables grow with the key universe — pin the AND join
+    # against a base-scale broadcast flip (build = the rarer predicate)
+    both = (
+        wa.withColumnRenamed("bits", "ba")
+        .join(wb.withColumnRenamed("bits", "bb").hint("shuffle_hash"), "w")
+        .select(F.expr("ba & bb").alias("band"))
+    )
+    inter = both.agg(
+        F.sum(F.when(F.col("band") != 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_words_and"),
+        F.coalesce(F.sum(F.bit_count("band")), F.lit(0))
+        .cast("bigint")
+        .alias("card_and"),
+    )
+    exact = (
+        orders.filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_and"))
+    )
+    return (
+        meta_a.crossJoin(meta_b)
+        .crossJoin(inter)
+        .crossJoin(exact)
+        .select(
+            "n_words_a",
+            "n_words_b",
+            "card_a",
+            "card_b",
+            "n_words_and",
+            "card_and",
+            "exact_and",
+        )
+    )
+
+
+_ZO_BITS = 8  # bits per normalized key dimension (z-value in [0, 2^16))
+_ZO_FILES_SHIFT = 1024  # z div 1024 -> 64 file cells (2^16 / 2^10)
+_ZO_LIN_DIV = 4  # npk div 4 -> the same 64 cells for the linear layout
+
+
+def _zo_interleave(a: str, b: str, divop: str) -> str:
+    """Bit-interleave expression: z = Σ bit_i(a)·4^i + 2·bit_i(b)·4^i,
+    written as pure div/mod integer arithmetic so one generator serves
+    both engines (``divop`` = 'div' for Spark SQL, '//' for DuckDB)."""
+    terms = []
+    for i in range(_ZO_BITS):
+        terms.append(f"(({a} {divop} {2 ** i}) % 2) * {2 ** (2 * i)}")
+        terms.append(f"(({b} {divop} {2 ** i}) % 2) * {2 ** (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _zo_oracle() -> str:
+    z = _zo_interleave("npk", "nsk", "//")
+    return f"""
+    WITH b AS (
+      SELECT CAST(MIN(l_partkey) AS BIGINT) AS minpk,
+             CAST(MAX(l_partkey) AS BIGINT) AS maxpk,
+             CAST(MIN(l_suppkey) AS BIGINT) AS minsk,
+             CAST(MAX(l_suppkey) AS BIGINT) AS maxsk
+      FROM lineitem
+    ),
+    n AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             (l_partkey - minpk) * {2 ** _ZO_BITS} // (maxpk - minpk + 1) AS npk,
+             (l_suppkey - minsk) * {2 ** _ZO_BITS} // (maxsk - minsk + 1) AS nsk
+      FROM lineitem, b
+    ),
+    fs AS (
+      SELECT 'zorder' AS layout, {z} // {_ZO_FILES_SHIFT} AS file_id,
+             CAST(MIN(pk) AS BIGINT) AS min_pk, CAST(MAX(pk) AS BIGINT) AS max_pk,
+             CAST(MIN(sk) AS BIGINT) AS min_sk, CAST(MAX(sk) AS BIGINT) AS max_sk
+      FROM n GROUP BY 2
+      UNION ALL
+      SELECT 'linear_pk', npk // {_ZO_LIN_DIV},
+             CAST(MIN(pk) AS BIGINT), CAST(MAX(pk) AS BIGINT),
+             CAST(MIN(sk) AS BIGINT), CAST(MAX(sk) AS BIGINT)
+      FROM n GROUP BY 2
+    ),
+    meta AS (SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files FROM fs GROUP BY 1),
+    dpk AS (SELECT DISTINCT l_partkey AS v FROM lineitem),
+    dsk AS (SELECT DISTINCT l_suppkey AS v FROM lineitem),
+    hp AS (
+      SELECT layout, CAST(COUNT(*) AS BIGINT) AS hits_pk
+      FROM dpk JOIN fs ON v BETWEEN min_pk AND max_pk GROUP BY 1
+    ),
+    hs AS (
+      SELECT layout, CAST(COUNT(*) AS BIGINT) AS hits_sk
+      FROM dsk JOIN fs ON v BETWEEN min_sk AND max_sk GROUP BY 1
+    )
+    SELECT meta.layout, n_files,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dpk) AS n_distinct_pk,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dsk) AS n_distinct_sk,
+           CAST(CAST(hits_pk AS HUGEINT) * 1000000
+                // ((SELECT COUNT(*) FROM dpk) * n_files) AS BIGINT)
+             AS scan_frac_pk_ppm,
+           CAST(CAST(hits_sk AS HUGEINT) * 1000000
+                // ((SELECT COUNT(*) FROM dsk) * n_files) AS BIGINT)
+             AS scan_frac_sk_ppm
+    FROM meta JOIN hp ON hp.layout = meta.layout
+    JOIN hs ON hs.layout = meta.layout
+    """
+
+
+@register("zorder_layout_audit", oracle=_zo_oracle())
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness of a Z-ORDER file layout vs a
+    single-key linear layout, measured exactly: lineitem is laid out
+    into 64 file cells two ways — (a) by the top bits of the Morton
+    z-value interleaving the min/max-normalized (l_partkey,
+    l_suppkey) and (b) by partkey range alone — and for each layout
+    the audit computes per-file zone maps (min/max of both keys) and
+    the exact average fraction of files a point query on EITHER key
+    must scan (files whose [min,max] contains the value, averaged
+    over every distinct data value). This is the planning audit
+    behind Delta OPTIMIZE ZORDER / Iceberg sort orders: linear_pk
+    prunes partkey probes to ~1 file but scans every file for a
+    suppkey probe; z-order pays a small partkey regression to make
+    BOTH dimensions prunable. At 100 TB the same numbers ARE the scan
+    cost of the two layouts.
+
+    Scale posture: normalization bounds come from a 1-row broadcast
+    aggregate (min/max scaling keeps the cell assignment map-only and
+    monotonic — no rank, no global sort; key·256 products stay far
+    inside BIGINT); zone maps are a combinable min/max aggregate over
+    ≤64+64 cells; the probe side joins the DISTINCT key values (an
+    O(keys) reduced set, not O(rows)) against the broadcast ≤128-row
+    zone-map table (BroadcastNestedLoopJoin on the range predicate —
+    bounded build side, the price_tier_assignment precedent).
+    Cross-engine determinism: the interleave is generated div/mod
+    arithmetic (same generator renders both engines), every metric is
+    integer with HUGEINT/DECIMAL(38,0) floor division."""
+    li = (
+        load_tables(spark, sf_dir, "lineitem")["lineitem"]
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+    )
+    bounds = li.agg(
+        F.min("pk").cast("bigint").alias("minpk"),
+        F.max("pk").cast("bigint").alias("maxpk"),
+        F.min("sk").cast("bigint").alias("minsk"),
+        F.max("sk").cast("bigint").alias("maxsk"),
+    )
+    n = li.crossJoin(F.broadcast(bounds)).select(
+        "pk",
+        "sk",
+        F.expr(f"(pk - minpk) * {2 ** _ZO_BITS} div (maxpk - minpk + 1)").alias("npk"),
+        F.expr(f"(sk - minsk) * {2 ** _ZO_BITS} div (maxsk - minsk + 1)").alias("nsk"),
+    )
+    z_expr = _zo_interleave("npk", "nsk", "div")
+
+    def zone_maps(file_expr: str, layout: str) -> DataFrame:
+        return (
+            n.withColumn("file_id", F.expr(file_expr))
+            .groupBy("file_id")
+            .agg(
+                F.min("pk").cast("bigint").alias("min_pk"),
+                F.max("pk").cast("bigint").alias("max_pk"),
+                F.min("sk").cast("bigint").alias("min_sk"),
+                F.max("sk").cast("bigint").alias("max_sk"),
+            )
+            .withColumn("layout", F.lit(layout))
+        )
+
+    from rs_streamloader_spark.session import stage_cached
+
+    # the ≤128-row zone-map table feeds three consumers (meta + the two
+    # probe joins) — cache it once per (app, sf_dir), LRU-unpersisted
+    fs = stage_cached(
+        spark,
+        sf_dir,
+        "zorder_zone_maps",
+        lambda: zone_maps(f"{z_expr} div {_ZO_FILES_SHIFT}", "zorder").unionByName(
+            zone_maps(f"npk div {_ZO_LIN_DIV}", "linear_pk")
+        ),
+    )
+    meta = fs.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files")
+    )
+    dpk = li.select(F.col("pk").alias("v")).distinct()
+    dsk = li.select(F.col("sk").alias("v")).distinct()
+    ndpk = dpk.agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct_pk"))
+    ndsk = dsk.agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct_sk"))
+    hp = (
+        dpk.join(
+            F.broadcast(fs),
+            (F.col("v") >= F.col("min_pk")) & (F.col("v") <= F.col("max_pk")),
+        )
+        .groupBy("layout")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits_pk"))
+    )
+    hs = (
+        dsk.join(
+            F.broadcast(fs),
+            (F.col("v") >= F.col("min_sk")) & (F.col("v") <= F.col("max_sk")),
+        )
+        .groupBy("layout")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits_sk"))
+    )
+    return (
+        meta.join(hp, "layout")
+        .join(hs, "layout")
+        .crossJoin(F.broadcast(ndpk))
+        .crossJoin(F.broadcast(ndsk))
+        .select(
+            "layout",
+            "n_files",
+            "n_distinct_pk",
+            "n_distinct_sk",
+            F.expr(
+                "CAST(CAST(hits_pk AS DECIMAL(38,0)) * 1000000"
+                " div (n_distinct_pk * n_files) AS BIGINT)"
+            ).alias("scan_frac_pk_ppm"),
+            F.expr(
+                "CAST(CAST(hits_sk AS DECIMAL(38,0)) * 1000000"
+                " div (n_distinct_sk * n_files) AS BIGINT)"
+            ).alias("scan_frac_sk_ppm"),
+        )
+    )

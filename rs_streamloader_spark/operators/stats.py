@@ -5035,3 +5035,321 @@ def bloom_join_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pruned_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B readout (pre-period covariate adjustment)
+# ---------------------------------------------------------------------------
+
+# var(Y_adj)/var(Y) ratio from exact integer moments; the division is the
+# single final double expression, rendered from ONE shared string so both
+# engines evaluate identical operand order.
+_CUPED_VR_EXPR = (
+    "CASE WHEN vy = 0 THEN NULL ELSE ROUND((1.0 - "
+    "(CAST(vy AS DOUBLE)"
+    " - 2.0 * (CAST(theta_micro AS DOUBLE) / 1000000.0) * CAST(cxy AS DOUBLE)"
+    " + (CAST(theta_micro AS DOUBLE) / 1000000.0)"
+    "   * (CAST(theta_micro AS DOUBLE) / 1000000.0) * CAST(vx AS DOUBLE))"
+    " / CAST(vy AS DOUBLE)) * 100.0, 4) END"
+)
+
+
+@register(
+    "cuped_adjusted_lift",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(MIN(ts) AS DATE)
+             + CAST((CAST(MAX(ts) AS DATE) - CAST(MIN(ts) AS DATE)) // 2
+                    AS INTEGER) AS split_d
+      FROM events
+    ),
+    u AS (
+      SELECT user_id % 2 AS variant,
+             SUM(CASE WHEN event_type = 'purchase'
+                       AND CAST(ts AS DATE) < split_d
+                      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS x_c,
+             SUM(CASE WHEN event_type = 'purchase'
+                       AND CAST(ts AS DATE) >= split_d
+                      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS y_c
+      FROM events, b GROUP BY user_id
+    ),
+    arm AS (
+      SELECT variant,
+             CAST(COUNT(*) AS HUGEINT) AS n_u,
+             CAST(SUM(x_c) AS HUGEINT) AS sx,
+             CAST(SUM(y_c) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x_c AS HUGEINT) * x_c) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y_c AS HUGEINT) * y_c) AS HUGEINT) AS syy,
+             CAST(SUM(CAST(x_c AS HUGEINT) * y_c) AS HUGEINT) AS sxy
+      FROM u GROUP BY variant
+    ),
+    pooled AS (
+      SELECT SUM(n_u) AS p_n, SUM(sx) AS p_sx, SUM(sy) AS p_sy,
+             SUM(sxx) AS p_sxx, SUM(sxy) AS p_sxy
+      FROM arm
+    ),
+    theta AS (
+      SELECT p_n, p_sx,
+             CAST((p_sxy - (p_sx * p_sy // p_n)) * 1000000
+                  // GREATEST(p_sxx - (p_sx * p_sx // p_n), 1) AS BIGINT)
+               AS theta_micro
+      FROM pooled
+    ),
+    scored AS (
+      SELECT variant,
+             CAST(n_u AS BIGINT) AS n_users,
+             CAST(sy * 1000000 // n_u AS BIGINT) AS mean_y_micro,
+             CAST(sy * 1000000 // n_u
+                  - (CAST(theta_micro AS HUGEINT)
+                     * ((sx * p_n - p_sx * n_u) * 1000000 // (n_u * p_n))
+                     // 1000000) AS BIGINT) AS mean_yadj_micro,
+             theta_micro,
+             n_u * syy - sy * sy AS vy,
+             n_u * sxx - sx * sx AS vx,
+             n_u * sxy - sx * sy AS cxy
+      FROM arm, theta
+    )
+    SELECT variant, n_users, mean_y_micro, mean_yadj_micro, theta_micro,
+           {_CUPED_VR_EXPR} AS var_reduction_pct
+    FROM scored
+    """,
+)
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013 —
+    the pre-experiment-covariate adjustment every experimentation
+    platform runs): per deterministic arm (user_id mod 2, the
+    ``ab_test_proportion_z`` split), the raw post-period revenue mean
+    next to the CUPED-adjusted mean Y − θ·(X − E[X]) with X = the
+    user's PRE-period revenue, plus the achieved variance-reduction
+    percentage — the number that says how much experiment runtime the
+    covariate buys. Pre/post split at the corpus midpoint date; θ is
+    the pooled cov(X,Y)/var(X).
+
+    Scale posture: everything reduces per USER first (a combinable
+    conditional-sum aggregate over the raw stream — the dominant
+    cardinality collapses in the map stage); arm moments are a 2-row
+    aggregate; θ and the pooled terms ride a crossJoin of 1-row
+    aggregates; nothing after the per-user rollup scales with data.
+    Cross-engine determinism: money in BIGINT cents, all moments as
+    exact integer sums in DECIMAL(38,0)/HUGEINT, θ as integer
+    micro-units via floor division (both engines truncate toward
+    zero, verified), adjusted means as pure integer expressions; the
+    variance-reduction ratio is the single final double expression
+    rendered from one shared string; n·Σxx−(Σx)² stays ≤~1e32 at
+    100 TB scale — inside DECIMAL(38,0)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    b = ev.agg(
+        F.expr(
+            "date_add(CAST(MIN(ts) AS DATE),"
+            " CAST(datediff(CAST(MAX(ts) AS DATE), CAST(MIN(ts) AS DATE))"
+            " div 2 AS INT))"
+        ).alias("split_d")
+    )
+    cents = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    is_p = F.col("event_type") == "purchase"
+    d = F.to_date("ts")
+    u = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(is_p & (d < F.col("split_d")), cents).otherwise(0)
+            ).alias("x_c"),
+            F.sum(
+                F.when(is_p & (d >= F.col("split_d")), cents).otherwise(0)
+            ).alias("y_c"),
+        )
+        .select((F.col("user_id") % 2).alias("variant"), "x_c", "y_c")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    arm = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_u"),
+        F.sum("x_c").cast("decimal(38,0)").alias("sx"),
+        F.sum("y_c").cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("x_c") * F.col("x_c")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec("y_c") * F.col("y_c")).cast("decimal(38,0)").alias("syy"),
+        F.sum(dec("x_c") * F.col("y_c")).cast("decimal(38,0)").alias("sxy"),
+    )
+    pooled = arm.agg(
+        F.sum("n_u").cast("decimal(38,0)").alias("p_n"),
+        F.sum("sx").cast("decimal(38,0)").alias("p_sx"),
+        F.sum("sy").cast("decimal(38,0)").alias("p_sy"),
+        F.sum("sxx").cast("decimal(38,0)").alias("p_sxx"),
+        F.sum("sxy").cast("decimal(38,0)").alias("p_sxy"),
+    )
+    theta = pooled.select(
+        "p_n",
+        "p_sx",
+        F.expr(
+            "CAST((p_sxy - (p_sx * p_sy div p_n)) * 1000000"
+            " div GREATEST(p_sxx - (p_sx * p_sx div p_n), 1) AS BIGINT)"
+        ).alias("theta_micro"),
+    )
+    scored = arm.crossJoin(F.broadcast(theta)).select(
+        "variant",
+        F.col("n_u").cast("bigint").alias("n_users"),
+        F.expr("CAST(sy * 1000000 div n_u AS BIGINT)").alias("mean_y_micro"),
+        F.expr(
+            "CAST(sy * 1000000 div n_u"
+            " - (CAST(theta_micro AS DECIMAL(38,0))"
+            "    * ((sx * p_n - p_sx * n_u) * 1000000 div (n_u * p_n))"
+            "    div 1000000) AS BIGINT)"
+        ).alias("mean_yadj_micro"),
+        "theta_micro",
+        F.expr("n_u * syy - sy * sy").alias("vy"),
+        F.expr("n_u * sxx - sx * sx").alias("vx"),
+        F.expr("n_u * sxy - sx * sy").alias("cxy"),
+    )
+    return scored.select(
+        "variant",
+        "n_users",
+        "mean_y_micro",
+        "mean_yadj_micro",
+        "theta_micro",
+        F.expr(_CUPED_VR_EXPR).alias("var_reduction_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Median / MAD robust outlier detection (two histogram-index passes)
+# ---------------------------------------------------------------------------
+
+_MAD_K_X10K = 44478  # 3 · 1.4826 (the normal-consistency constant) · 10^4
+
+
+@register(
+    "robust_mad_outliers",
+    oracle=f"""
+    WITH hist AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v_c,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, v_c, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY v_c
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM hist
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN v_c END) AS BIGINT)
+               AS median_cents,
+             CAST(MIN(n) AS BIGINT) AS n
+      FROM cum GROUP BY event_type
+    ),
+    dev AS (
+      SELECT h.event_type, ABS(h.v_c - m.median_cents) AS d,
+             CAST(SUM(h.cnt) AS BIGINT) AS cnt,
+             MIN(m.median_cents) AS median_cents, MIN(m.n) AS n
+      FROM hist h JOIN med m ON m.event_type = h.event_type
+      GROUP BY 1, 2
+    ),
+    dcum AS (
+      SELECT event_type, d, cnt, median_cents, n,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type,
+             CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN d END) AS BIGINT)
+               AS mad_cents,
+             MIN(median_cents) AS median_cents, MIN(n) AS n
+      FROM dcum GROUP BY event_type
+    )
+    SELECT v.event_type, m.n, m.median_cents, m.mad_cents,
+           CAST(SUM(CASE WHEN v.d * 10000 > {_MAD_K_X10K} * m.mad_cents
+                         THEN v.cnt ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(CAST(SUM(CASE WHEN v.d * 10000 > {_MAD_K_X10K} * m.mad_cents
+                              THEN v.cnt ELSE 0 END) AS HUGEINT) * 1000000
+                // m.n AS BIGINT) AS outlier_ppm
+    FROM dev v JOIN mad m ON m.event_type = v.event_type
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier detection per event type: the exact
+    median, the exact median-absolute-deviation, and the count of
+    values beyond the classic 3·1.4826·MAD fence — the
+    outlier-flagging rule telemetry pipelines prefer over z-scores
+    because one corrupt 1e12 reading moves a mean/σ fence but not a
+    median/MAD fence. (Complements ``events_value_winsorized``, which
+    CLAMPS tails; this one COUNTS them against a robust fence.)
+
+    Scale posture: two passes of the ``percentile_disc_by_segment``
+    histogram-index machinery — raw rows collapse to a (type, cents)
+    value histogram FIRST (bounded by the value RANGE, not row
+    count), the median index is located in the cumulative histogram,
+    and the deviation histogram derives from the VALUE histogram (a
+    ≤5-row broadcast of medians onto histogram rows — never a second
+    raw-row pass); windows order histogram cardinality only. The
+    fence test also runs on the histogram. Cross-engine determinism:
+    pure integer — BIGINT cents, the lower-median index (n+1) div 2
+    exactly as in the percentile family, the 1.4826 consistency
+    constant as the exact rational {_MAD_K_X10K}/10⁴ cross-multiplied
+    (d·10⁴ > {_MAD_K_X10K}·MAD), ppm via HUGEINT floor division."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    hist = ev.groupBy(
+        "event_type",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("v_c"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wt = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "v_c",
+        "cnt",
+        F.sum("cnt")
+        .over(wt.orderBy("v_c").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("cnt").over(wt).cast("bigint").alias("n"),
+    )
+    med = cum.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("v_c")))
+        .cast("bigint")
+        .alias("median_cents"),
+        F.min("n").cast("bigint").alias("n"),
+    )
+    dev = (
+        hist.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", F.abs(F.col("v_c") - F.col("median_cents")).alias("d"))
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.min("median_cents").alias("median_cents"),
+            F.min("n").alias("n"),
+        )
+    )
+    dcum = dev.select(
+        "event_type",
+        "d",
+        "cnt",
+        "median_cents",
+        "n",
+        F.sum("cnt")
+        .over(wt.orderBy("d").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    mad = dcum.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("d")))
+        .cast("bigint")
+        .alias("mad_cents"),
+        F.min("median_cents").alias("median_cents"),
+        F.min("n").alias("n"),
+    )
+    flagged = F.when(
+        F.col("d") * 10000 > _MAD_K_X10K * F.col("mad_cents"), F.col("cnt")
+    ).otherwise(0)
+    return (
+        dev.select("event_type", "d", "cnt")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "median_cents", "mad_cents")
+        .agg(
+            F.sum(flagged).cast("bigint").alias("n_outliers"),
+            F.expr(
+                f"CAST(CAST(SUM(CASE WHEN d * 10000 > {_MAD_K_X10K} * mad_cents"
+                f" THEN cnt ELSE 0 END) AS DECIMAL(38,0)) * 1000000"
+                f" div n AS BIGINT)"
+            ).alias("outlier_ppm"),
+        )
+    )

@@ -412,3 +412,85 @@ def test_bloom_join_prune_false_positive_fires(spark, tmp_path):
     # and the clean non-member is pruned without ever reaching the join
     assert row["n_pruned_orders"] == 1, row
     assert row["n_pass_orders"] == 4, row  # 2 member orders + 2 FP orders
+
+
+def test_join_cardinality_audit_detects_skew_and_orphans(spark, tmp_path):
+    """join_cardinality_estimate_audit's est_err_ppm is ~1e6 on the
+    uniform synthetic corpus (the FK edges are exact by construction).
+    Construct a corpus where the uniformity assumption breaks BOTH
+    ways — orphan foreign keys (estimate too HIGH) and a skewed
+    date-date edge (estimate too LOW) — so the audit provably reports
+    real estimation error and both engines agree."""
+    import duckdb
+
+    from rs_streamloader_spark.operators.advanced import (
+        join_cardinality_estimate_audit,
+    )
+
+    # orders reference custkeys 1..100; customer holds 51..150 — equal
+    # ndv on both sides but only half-overlapping key sets, the exact
+    # violation of the containment assumption (est = 2x exact)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(1, 301),
+            "o_custkey": [(i % 100) + 1 for i in range(300)],
+            # 250 of 300 orders land on one hot date (est < exact)
+            "o_orderdate": [
+                pd.Timestamp("2024-03-01")
+                if i < 250
+                else pd.Timestamp("2024-03-02") + pd.Timedelta(days=i % 25)
+                for i in range(300)
+            ],
+        }
+    )
+    customer = pd.DataFrame({"c_custkey": range(51, 151)})
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": [(i % 300) + 1 for i in range(400)],
+            "l_partkey": [(i % 10) + 1 for i in range(400)],
+            "l_suppkey": [(i % 5) + 1 for i in range(400)],
+            "l_shipdate": [
+                pd.Timestamp("2024-03-01")
+                if i < 330
+                else pd.Timestamp("2024-03-02") + pd.Timedelta(days=i % 25)
+                for i in range(400)
+            ],
+        }
+    )
+    part = pd.DataFrame({"p_partkey": range(1, 11)})
+    supplier = pd.DataFrame({"s_suppkey": range(1, 6)})
+    # microsecond precision like the real testdata — nanos would read
+    # as BIGINT under the session's nanosAsLong setting
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    lineitem["l_shipdate"] = lineitem["l_shipdate"].astype("datetime64[us]")
+    for name, pdf in (
+        ("orders", orders),
+        ("customer", customer),
+        ("lineitem", lineitem),
+        ("part", part),
+        ("supplier", supplier),
+    ):
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            tmp_path / f"{name}.parquet",
+        )
+
+    spark_df = join_cardinality_estimate_audit(spark, str(tmp_path))
+    con = duckdb.connect()
+    for name in ("orders", "customer", "lineitem", "part", "supplier"):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{tmp_path}/{name}.parquet')"
+        )
+    oracle_pdf = con.execute(
+        entry.oracle_sql()["join_cardinality_estimate_audit"]
+    ).df()
+    compare(spark_df, oracle_pdf, "join_cardinality_estimate_audit@skew")
+    rows = {r["edge"]: r for r in spark_df.collect()}
+    # half-overlapping key sets: containment over-estimates by 2x
+    oc = rows["orders_customer"]
+    assert oc["est_rows"] > oc["exact_rows"], oc
+    assert oc["est_err_ppm"] == 2_000_000, oc
+    # hot-date concentration: the uniformity assumption under-estimates
+    sd = rows["ship_order_date"]
+    assert sd["est_rows"] < sd["exact_rows"], sd
+    assert sd["est_err_ppm"] <= 200_000, sd

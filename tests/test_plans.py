@@ -2029,3 +2029,81 @@ def test_bloom_join_prune_collapses_probe_before_verify(spark):
     assert "SortMergeJoin" not in text, text
     assert "BroadcastHashJoin" in text, text  # the bits position joins
     assert {"o_custkey"} in scan_columns(df), scan_columns(df)
+
+
+def test_join_cardinality_audit_histogram_joins_pinned(spark):
+    """CBO-estimate audit (r10): the exact-size product-sum joins the
+    two per-key count HISTOGRAMS (rows = ndv, which grows to ~2e9 at
+    100 TB) — pinned shuffle-hash so base-scale AQE can't broadcast a
+    build side that won't fit at scale. The per-edge rollups are
+    crossJoins of 1-row aggregates only."""
+    from rs_streamloader_spark.operators.advanced import (
+        join_cardinality_estimate_audit,
+    )
+
+    df = join_cardinality_estimate_audit(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "ShuffledHashJoin" in text, text
+    assert "SortMergeJoin" not in text, text
+
+
+def test_bitmap_index_word_join_pinned(spark):
+    """Bitmap-index audit (r10): word tables grow with the key
+    universe — the AND join is pinned shuffle-hash; the orders scans
+    for the bitmap builds read only the three referenced columns and
+    push the predicate filters down."""
+    from rs_streamloader_spark.operators.advanced import bitmap_index_intersect
+
+    df = bitmap_index_intersect(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "ShuffledHashJoin" in text, text
+    assert "SortMergeJoin" not in text, text
+    pushed = pushed_filters(df)
+    assert any("o_orderstatus" in p for p in pushed), pushed
+    assert any("o_orderpriority" in p for p in pushed), pushed
+
+
+def test_zorder_audit_zone_maps_broadcast(spark):
+    """Z-order layout audit (r10): normalization bounds ride a 1-row
+    broadcast; the distinct-value probes join the ≤128-row zone-map
+    table as a BROADCAST nested-loop on the range predicate (the
+    price_tier_assignment precedent) — the probe side (O(distinct
+    keys)) is never shuffled by a range join."""
+    from rs_streamloader_spark.operators.advanced import zorder_layout_audit
+
+    df = zorder_layout_audit(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" in text, text
+    assert "CartesianProduct" not in text, text
+    # lineitem scans read only the two key columns
+    assert {"l_partkey", "l_suppkey"} in scan_columns(df), scan_columns(df)
+
+
+def test_cuped_reduces_per_user_before_moments(spark):
+    """CUPED (r10): the raw stream collapses per USER first (combinable
+    conditional sums); arm moments are a 2-row aggregate; θ and the
+    pooled terms ride broadcast 1-row crossJoins. No window over raw
+    rows anywhere, and the events scan reads only the four referenced
+    columns."""
+    from rs_streamloader_spark.operators.stats import cuped_adjusted_lift
+
+    df = cuped_adjusted_lift(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "WindowExec" not in text.replace("WindowGroupLimit", ""), text
+    assert "BroadcastNestedLoopJoin" in text, text  # 1-row theta crossJoin
+    cols = scan_columns(df)
+    assert {"user_id", "ts", "event_type", "value"} in cols, cols
+
+
+def test_mad_outliers_windows_on_histogram_only(spark):
+    """Median/MAD fence (r10): both cumulative windows run over the
+    VALUE/DEVIATION histograms (cardinality = value range, not rows);
+    the median and MAD tables broadcast back onto histogram rows —
+    never onto the raw stream."""
+    from rs_streamloader_spark.operators.stats import robust_mad_outliers
+
+    df = robust_mad_outliers(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert text.count("BroadcastHashJoin") >= 2, text
+    # the only events scan reads just the two referenced columns
+    assert {"event_type", "value"} in scan_columns(df), scan_columns(df)

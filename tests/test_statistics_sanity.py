@@ -340,3 +340,78 @@ def test_theil_sen_matches_bruteforce(spark, monkeypatch):
     # median within ~$2/day of truth; the $50k spike alone would drag
     # an OLS fit by far more)
     assert abs(row["theil_sen_slope_micro"] / 1e6 - 3750) < 400
+
+
+def test_cuped_matches_numpy(spark, monkeypatch):
+    """CUPED θ, adjusted means, and variance reduction recomputed from
+    scratch in float numpy on a constructed corpus with a real pre/post
+    covariate relationship (y = 0.8x + noise, so CUPED must find a
+    large positive variance reduction in BOTH arms)."""
+    n_users = 240
+    x = np.round(np.maximum(_RNG.rand(n_users) * 200 + 20, 0), 2)
+    y = np.round(np.maximum(0.8 * x + _RNG.randn(n_users) * 8 + 30, 0), 2)
+    rows = []
+    for uid in range(n_users):
+        rows.append((uid * 2, pd.Timestamp("2024-01-02"), uid, "purchase", x[uid]))
+        rows.append((uid * 2 + 1, pd.Timestamp("2024-01-28"), uid, "purchase", y[uid]))
+    # pin the corpus date range so the midpoint split lands between them
+    rows.append((10**6, pd.Timestamp("2024-01-01"), 0, "view", 1.0))
+    rows.append((10**6 + 1, pd.Timestamp("2024-01-30"), 0, "view", 1.0))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"events": sdf})
+    got = {r["variant"]: r for r in S.cuped_adjusted_lift(spark, "x").collect()}
+
+    xc = np.round(x * 100)  # exact cents, matching the operator
+    yc = np.round(y * 100)
+    theta = np.cov(xc, yc, bias=True)[0, 1] / np.var(xc)
+    assert got[0]["theta_micro"] / 1e6 == pytest.approx(theta, abs=2e-3)
+    for arm in (0, 1):
+        m = np.arange(n_users) % 2 == arm
+        adj = yc[m].mean() - theta * (xc[m].mean() - xc.mean())
+        assert got[arm]["n_users"] == m.sum()
+        assert got[arm]["mean_y_micro"] / 1e6 == pytest.approx(
+            yc[m].mean(), abs=0.01
+        )
+        assert got[arm]["mean_yadj_micro"] / 1e6 == pytest.approx(adj, abs=0.5)
+        vr = (1 - np.var(yc[m] - theta * xc[m]) / np.var(yc[m])) * 100
+        assert got[arm]["var_reduction_pct"] == pytest.approx(vr, abs=0.05)
+        # the covariate genuinely works on this corpus — not a 0.0% echo
+        assert got[arm]["var_reduction_pct"] > 20
+
+
+def test_mad_outliers_matches_numpy(spark, monkeypatch):
+    """Exact median / MAD / fence counts recomputed in numpy (lower
+    median at index ceil(n/2)-1, matching PERCENTILE_DISC), on a corpus
+    with planted far outliers so the fence branch provably fires."""
+    n = 401
+    base = np.round(_RNG.randn(n) * 2 + 50, 2)
+    base[:5] = [500.0, 499.5, 498.0, -400.0, 497.0]  # planted outliers
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "event_type": ["click"] * n,
+            "value": base,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"events": sdf})
+    row = S.robust_mad_outliers(spark, "x").collect()[0]
+
+    cents = np.round(base * 100).astype(np.int64)
+
+    def lower_median(v: np.ndarray) -> int:
+        s = np.sort(v)
+        return int(s[(len(s) + 1) // 2 - 1])
+
+    med = lower_median(cents)
+    d = np.abs(cents - med)
+    mad = lower_median(d)
+    n_out = int((d * 10000 > S._MAD_K_X10K * mad).sum())
+    assert row["median_cents"] == med
+    assert row["mad_cents"] == mad
+    assert row["n_outliers"] == n_out
+    assert n_out >= 5  # the planted outliers are all caught
+    assert row["outlier_ppm"] == n_out * 1_000_000 // n

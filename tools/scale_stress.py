@@ -248,6 +248,11 @@ HEAVY_TAIL = [
     "top_supplier_multigrain",
     "lang_rebalance_sample",
     "bloom_join_prune_audit",
+    "join_cardinality_estimate_audit",
+    "bitmap_index_intersect",
+    "zorder_layout_audit",
+    "cuped_adjusted_lift",
+    "robust_mad_outliers",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -302,6 +307,13 @@ DATE_WINDOWED = {"q5_local_supplier_volume"}
 # reduction with a result that must NOT grow.
 CONSTANT_OUTPUT = {
     "bm25_topk",
+    # fixed-size audits/readouts: 5 edges / 1 row / 2 layouts / 2 arms /
+    # 5 event types regardless of data volume
+    "join_cardinality_estimate_audit",
+    "bitmap_index_intersect",
+    "zorder_layout_audit",
+    "cuped_adjusted_lift",
+    "robust_mad_outliers",
     # 1-row audit; at 10x members the fixed-m bloom saturates and
     # pruned_ppm -> 0 — measuring that IS the audit's job
     "bloom_join_prune_audit",
