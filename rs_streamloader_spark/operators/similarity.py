@@ -2238,3 +2238,101 @@ def binary_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hit).cast("bigint").alias("n_hits"),
         F.round(F.sum(hit) / float(TOP_K), 4).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training (IVF-cell candidate set)
+# ---------------------------------------------------------------------------
+
+_HN_POS_T = 0.35  # positive-pair cosine threshold (task config; see docstring)
+_HN_K = 4  # hard negatives kept per anchor
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    SELECT anchor_id, n_positives, neg_id, neg_cosine, CAST(rn AS INTEGER) AS neg_rank
+    FROM (
+      SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+             ROUND({_DUCK_COS}, 6) AS neg_cosine,
+             CAST(SUM(CASE WHEN ROUND({_DUCK_COS}, 6) >= {_HN_POS_T}
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY a.vec_id) AS BIGINT) AS n_positives,
+             CASE WHEN ROUND({_DUCK_COS}, 6) < {_HN_POS_T} THEN
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id, (ROUND({_DUCK_COS}, 6) >= {_HN_POS_T})
+                 ORDER BY ROUND({_DUCK_COS}, 6) DESC, b.vec_id
+               ) END AS rn
+      FROM embeddings a JOIN embeddings b
+        ON b.vec_id <> a.vec_id
+       AND {_duck_cell('b')} IN ({_duck_cell('a', 1)}, {_duck_cell('a', 2)})
+      WHERE a.vec_id < {N_QUERIES}
+    ) WHERE rn <= {_HN_K}
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-{_HN_K} most-similar candidates BELOW the positive-pair
+    threshold — the near-misses that make the strongest contrastive
+    negatives (Karpukhin et al.'s DPR recipe; random negatives are too
+    easy, positives must be excluded) — plus the in-probe positive
+    count the curriculum uses to drop anchors with no positive pair.
+    Candidates come from the anchor's nprobe={IVF_NPROBE} IVF cells
+    (the ``ann_ivf_cells`` quantizer), which is exactly how production
+    miners bound the candidate set: mining against the FULL corpus is
+    quadratic; mining within the ANN index's own cells is the
+    industry-standard approximation.
+
+    θ_pos={_HN_POS_T} is task config (the dup/positive threshold of
+    the downstream task); on this corpus it deliberately splits both
+    ways — some anchors have in-probe positives, some have none — so
+    neither branch is vacuous. Scale posture: rides the family's
+    cached norm+projection stage; the tiny anchor side explodes per
+    probe cell and broadcasts; corpus rows stay single-copy,
+    partitioned by cell; both the positive count and the negative
+    ranking are windows over the bounded per-anchor candidate set
+    (WindowGroupLimit cuts the rank at {_HN_K}). Cross-engine
+    determinism: identical sequential-fold dots, 6dp-rounded cosine
+    compared/ordered on both engines, vec_id tiebreak."""
+    base = _emb_norm_cached(spark, sf_dir)
+    corpus = base.withColumn("cell", _spark_cell()).select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+        "cell",
+    )
+    probe_cells = F.array_distinct(
+        F.array(*[_spark_cell(k) for k in range(1, IVF_NPROBE + 1)])
+    )
+    anchors = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("emb_a"),
+            F.col("norm").alias("norm_a"),
+            F.explode(probe_cells).alias("cell"),
+        )
+    )
+    cos = F.round(_dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 6)
+    cand = (
+        F.broadcast(anchors)
+        .join(corpus, ["cell"])
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .select("anchor_id", "neg_id", cos.alias("neg_cosine"))
+    )
+    is_pos = F.col("neg_cosine") >= _HN_POS_T
+    wa = Window.partitionBy("anchor_id")
+    wr = Window.partitionBy("anchor_id", is_pos).orderBy(
+        F.col("neg_cosine").desc(), F.col("neg_id")
+    )
+    return (
+        cand.withColumn(
+            "n_positives",
+            F.sum(F.when(is_pos, 1).otherwise(0)).over(wa).cast("bigint"),
+        )
+        .withColumn(
+            "neg_rank", F.when(~is_pos, F.row_number().over(wr)).cast("int")
+        )
+        .filter(F.col("neg_rank") <= _HN_K)
+        .select("anchor_id", "n_positives", "neg_id", "neg_cosine", "neg_rank")
+    )

@@ -5353,3 +5353,104 @@ def robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("outlier_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-evidence / information-value feature screening
+# ---------------------------------------------------------------------------
+
+# Laplace-smoothed odds ratio, doubled through so every operand is an
+# integer: (n_pos+0.5)/(P+0.5k) over (n_neg+0.5)/(N+0.5k)
+#   = ((2·n_pos+1)·(2N+k)) / ((2·n_neg+1)·(2P+k)).
+# ONE shared expression string renders both engines so the LN argument
+# is built with identical operand order.
+_WOE_EXPR = (
+    "ROUND(LN((CAST(2 * n_pos + 1 AS DOUBLE) * (2 * tot_neg + k))"
+    " / (CAST(2 * n_neg + 1 AS DOUBLE) * (2 * tot_pos + k))), 6)"
+)
+_IV_TERM_EXPR = (
+    "CAST(ROUND((CAST(2 * n_pos + 1 AS DOUBLE) / (2 * tot_pos + k)"
+    " - CAST(2 * n_neg + 1 AS DOUBLE) / (2 * tot_neg + k))"
+    f" * {_WOE_EXPR} * 1000000000) AS BIGINT)"
+)
+
+
+@register(
+    "woe_iv_feature_screen",
+    oracle=f"""
+    WITH cell AS (
+      SELECT o_orderpriority AS feature_value,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pos
+      FROM orders GROUP BY 1
+    ),
+    wide AS (
+      SELECT feature_value, n, n_pos, n - n_pos AS n_neg,
+             CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos,
+             CAST(SUM(n - n_pos) OVER () AS BIGINT) AS tot_neg,
+             CAST(COUNT(*) OVER () AS BIGINT) AS k
+      FROM cell
+    ),
+    t AS (
+      SELECT feature_value, n, n_pos,
+             {_WOE_EXPR} AS woe,
+             {_IV_TERM_EXPR} AS iv_term_nano
+      FROM wide
+    )
+    SELECT feature_value, n, n_pos, woe, iv_term_nano,
+           CAST(SUM(iv_term_nano) OVER () AS BIGINT) AS iv_total_nano
+    FROM t
+    """,
+)
+def woe_iv_feature_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value screening of a
+    categorical feature (o_orderpriority) against a binary label
+    (o_orderstatus = 'F') — the credit-scoring-standard feature
+    usefulness screen (IV < 0.02 → drop the feature before training).
+    Per category: the Laplace-smoothed WOE = ln(pos-share/neg-share)
+    and its IV contribution; iv_total is the feature's score.
+
+    Scale posture: the raw table collapses to a per-category
+    (n, n_pos) combinable aggregate FIRST; totals, k, WOE, IV, and the
+    IV sum are windows/projections over the BOUNDED category table
+    (≤ distinct feature values — the domain_mix precedent for global
+    windows over reduced aggregates). Cross-engine determinism: the
+    0.5 smoothing is doubled through so every LN/division operand is
+    an exact integer; ONE shared expression string renders both
+    engines (identical operand order — {{_WOE_EXPR}}); WOE rounds to
+    6dp; IV terms round to integer NANO-units before the cross-row
+    sum, so partial-order double addition can never move the total
+    (the nano_mean policy)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    cell = orders.groupBy(F.col("o_orderpriority").alias("feature_value")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+    w = Window.partitionBy()
+    wide = cell.select(
+        "feature_value",
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        F.sum("n_pos").over(w).cast("bigint").alias("tot_pos"),
+        F.sum(F.col("n") - F.col("n_pos")).over(w).cast("bigint").alias("tot_neg"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("k"),
+    )
+    t = wide.select(
+        "feature_value",
+        "n",
+        "n_pos",
+        F.expr(_WOE_EXPR).alias("woe"),
+        F.expr(_IV_TERM_EXPR).alias("iv_term_nano"),
+    )
+    return t.select(
+        "feature_value",
+        "n",
+        "n_pos",
+        "woe",
+        "iv_term_nano",
+        F.sum("iv_term_nano").over(w).cast("bigint").alias("iv_total_nano"),
+    )

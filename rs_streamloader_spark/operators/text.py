@@ -595,7 +595,16 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-ulp disagreement everywhere except a score sitting exactly on
     a .5e-6 boundary (not present in this corpus; same accepted
     boundary class as _block_pair_scores' cosine rounding)."""
-    t = load_tables(spark, sf_dir, "documents")["documents"]
+    return (
+        _bm25_scored(load_tables(spark, sf_dir, "documents")["documents"])
+        .orderBy(F.col("bm25_score").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+def _bm25_scored(t: DataFrame) -> DataFrame:
+    """Shared BM25 scorer (bm25_topk + rrf_rank_fusion): the fixed
+    {_BM25_TERMS} query scored per document, 6dp-rounded."""
     dl = n_tokens().cast("double")
     tf_cols = [
         marker_word_count(term).cast("double").alias(f"tf_{term}")
@@ -630,11 +639,8 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         score = part if score is None else score + part
-    return (
-        tf.join(F.broadcast(corpus))
-        .select("doc_id", F.round(score, 6).alias("bm25_score"))
-        .orderBy(F.col("bm25_score").desc(), "doc_id")
-        .limit(_BM25_TOPK)
+    return tf.join(F.broadcast(corpus)).select(
+        "doc_id", F.round(score, 6).alias("bm25_score")
     )
 
 
@@ -1235,3 +1241,173 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") <= _EPOCH_HEAD)
     )
     return ranked.select("epoch", "pos", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of lexical (BM25) and semantic (cosine) retrieval
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al., SIGIR'09)
+_RRF_LIST = 20  # depth of each input ranking
+_RRF_TOPK = 10
+
+_RRF_DUCK_COS = (
+    "LIST_DOT_PRODUCT(CAST(b.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))"
+    " / (SQRT(LIST_DOT_PRODUCT(CAST(b.embedding AS DOUBLE[]),"
+    " CAST(b.embedding AS DOUBLE[])))"
+    " * SQRT(LIST_DOT_PRODUCT(CAST(q.embedding AS DOUBLE[]),"
+    " CAST(q.embedding AS DOUBLE[]))))"
+)
+
+
+@register(
+    "rrf_rank_fusion",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id,
+             CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS DOUBLE) AS dl,
+             {", ".join(f"CAST(__TF_{t}__ AS DOUBLE) AS tf_{t}" for t in _BM25_TERMS)}
+      FROM documents
+    ),
+    corpus AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl,
+             {", ".join(f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS)}
+      FROM tf
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             {" + ".join(
+                 f"LN((corpus.n_docs - corpus.df_{t} + 0.5) / (corpus.df_{t} + 0.5) + 1.0)"
+                 f" * tf_{t} * ({_BM25_K1} + 1.0)"
+                 f" / (tf_{t} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * tf.dl / corpus.avgdl))"
+                 for t in _BM25_TERMS
+             )} AS score
+      FROM tf CROSS JOIN corpus
+    ),
+    lex AS (
+      SELECT doc_id, CAST(rn AS INTEGER) AS lex_rank FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (
+          ORDER BY ROUND(score, 6) DESC, doc_id) AS rn
+        FROM scored
+      ) WHERE rn <= {_RRF_LIST}
+    ),
+    sem AS (
+      SELECT doc_id, CAST(rn AS INTEGER) AS sem_rank FROM (
+        SELECT b.vec_id AS doc_id, ROW_NUMBER() OVER (
+          ORDER BY ROUND({_RRF_DUCK_COS}, 6) DESC, b.vec_id) AS rn
+        FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE b.vec_id <> 0
+      ) WHERE rn <= {_RRF_LIST}
+    )
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           CAST(COALESCE(1000000 // ({_RRF_K} + l.lex_rank), 0)
+                + COALESCE(1000000 // ({_RRF_K} + s.sem_rank), 0) AS BIGINT)
+             AS rrf_micro,
+           l.lex_rank, s.sem_rank
+    FROM lex l FULL OUTER JOIN sem s ON s.doc_id = l.doc_id
+    ORDER BY rrf_micro DESC, doc_id
+    LIMIT {_RRF_TOPK}
+    """.replace(
+        "__TF_spark__", _marker_count_sql("spark")
+    ).replace(
+        "__TF_window__", _marker_count_sql("window")
+    ).replace(
+        "__TF_hash__", _marker_count_sql("hash")
+    ),
+)
+def rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a semantic retrieval
+    ranking (Cormack et al., SIGIR 2009 — the default hybrid-search
+    combiner in Elasticsearch/Vespa/OpenSearch): the fixed BM25 query
+    ranking ({_RRF_LIST} deep, the shared ``_bm25_scored`` scorer) is
+    fused with the cosine ranking against the vec_id=0 query embedding
+    via score = Σ 1/({_RRF_K}+rank), and the top-{_RRF_TOPK} fused
+    documents are returned with their per-list ranks (NULL where a
+    list didn't retrieve the doc — RRF's whole point is graceful
+    single-list membership).
+
+    Scale posture: each input ranking is a TakeOrderedAndProject cut
+    (no global sort); the rank windows then run over the ≤{_RRF_LIST}
+    retained rows only — bounded single-partition windows over reduced
+    data, the catalog's standard top-k shape. The fusion join and
+    final cut touch ≤2·{_RRF_LIST} rows. Cross-engine determinism: the
+    fused score is INTEGER micro-units via floor division (1e6 div
+    ({_RRF_K}+rank)) — float 1/61+1/85 style sums never compare —
+    ranks tie-break on doc_id, cosine/BM25 are 6dp-rounded before
+    ordering (the bm25_topk libm caveat applies)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+
+    lex_top = (
+        _bm25_scored(docs)
+        .orderBy(F.col("bm25_score").desc(), "doc_id")
+        .limit(_RRF_LIST)
+    )
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25_score").desc(), "doc_id"))
+        .cast("int")
+        .alias("lex_rank"),
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cos = F.round(
+        F.expr(
+            "aggregate(zip_with(embedding, q_emb,"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " 0D, (acc, v) -> acc + v)"
+        )
+        / (
+            F.sqrt(
+                F.expr(
+                    "aggregate(transform(embedding,"
+                    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+                    " 0D, (acc, v) -> acc + v)"
+                )
+            )
+            * F.sqrt(
+                F.expr(
+                    "aggregate(transform(q_emb,"
+                    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+                    " 0D, (acc, v) -> acc + v)"
+                )
+            )
+        ),
+        6,
+    )
+    sem_top = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(_RRF_LIST)
+    )
+    sem = sem_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), "doc_id"))
+        .cast("int")
+        .alias("sem_rank"),
+    )
+    return (
+        lex.join(sem, "doc_id", "full")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(
+                    F.expr(f"1000000 div ({_RRF_K} + lex_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 div ({_RRF_K} + sem_rank)"), F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("rrf_micro"),
+            "lex_rank",
+            "sem_rank",
+        )
+        .orderBy(F.col("rrf_micro").desc(), "doc_id")
+        .limit(_RRF_TOPK)
+    )

@@ -2107,3 +2107,42 @@ def test_mad_outliers_windows_on_histogram_only(spark):
     assert text.count("BroadcastHashJoin") >= 2, text
     # the only events scan reads just the two referenced columns
     assert {"event_type", "value"} in scan_columns(df), scan_columns(df)
+
+
+def test_hard_negative_mining_broadcasts_anchor_side(spark):
+    """Hard-negative mining (r10): the exploded anchor side broadcasts
+    into the cell join (corpus rows stay single-copy, partitioned by
+    cell); no cartesian anywhere. (No WindowGroupLimit here by design:
+    the positives-count window needs the FULL per-anchor candidate set
+    before the rank cut, and that set is bounded by the probe cells.)"""
+    from rs_streamloader_spark.operators.similarity import hard_negative_mining
+
+    df = hard_negative_mining(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in text, text
+    assert "CartesianProduct" not in text, text
+    # both windows partition by anchor — never a global window
+    assert "windowspecdefinition(anchor_id" in text, text
+
+
+def test_rrf_fusion_cuts_before_ranking(spark):
+    """RRF fusion (r10): both input rankings are TakeOrderedAndProject
+    cuts (no global sort over input rows); the rank windows and the
+    fusion join then touch <=2x list-depth rows only."""
+    from rs_streamloader_spark.operators.text import rrf_rank_fusion
+
+    df = rrf_rank_fusion(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert text.count("TakeOrderedAndProject") >= 3, text  # 2 lists + final
+    assert "CartesianProduct" not in text, text
+
+
+def test_woe_iv_windows_on_bounded_aggregate(spark):
+    """WOE/IV screen (r10): one combinable per-category aggregate over
+    the scan (reads exactly the 2 referenced columns); every window
+    runs on the <=5-row category table."""
+    from rs_streamloader_spark.operators.stats import woe_iv_feature_screen
+
+    df = woe_iv_feature_screen(spark, SF_SMOKE)
+    assert {"o_orderpriority", "o_orderstatus"} in scan_columns(df), scan_columns(df)
+    assert shuffle_count(df) <= 2, explain_str(df, "simple")

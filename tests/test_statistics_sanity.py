@@ -415,3 +415,46 @@ def test_mad_outliers_matches_numpy(spark, monkeypatch):
     assert row["n_outliers"] == n_out
     assert n_out >= 5  # the planted outliers are all caught
     assert row["outlier_ppm"] == n_out * 1_000_000 // n
+
+
+def test_woe_iv_matches_numpy(spark, monkeypatch):
+    """WOE and IV recomputed from scratch (Laplace-smoothed shares,
+    float formula) on a constructed 3-category table with a strong
+    category-label association, so |IV| is far from 0 and every WOE
+    takes a distinct sign/magnitude."""
+    cats = ["A"] * 200 + ["B"] * 150 + ["C"] * 50
+    pos = [i % 10 < 8 for i in range(200)] + [i % 10 < 3 for i in range(150)] + [
+        i % 10 < 1 for i in range(50)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "o_orderpriority": cats,
+            "o_orderstatus": ["F" if p else "O" for p in pos],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"orders": sdf})
+    rows = {
+        r["feature_value"]: r
+        for r in S.woe_iv_feature_screen(spark, "x").collect()
+    }
+    k = 3
+    P = sum(pos)
+    N = len(pos) - P
+    iv = 0.0
+    for c in ("A", "B", "C"):
+        n = cats.count(c)
+        npos = sum(p for cc, p in zip(cats, pos) if cc == c)
+        nneg = n - npos
+        sp = (npos + 0.5) / (P + 0.5 * k)
+        sn = (nneg + 0.5) / (N + 0.5 * k)
+        woe = np.log(sp / sn)
+        assert rows[c]["n"] == n and rows[c]["n_pos"] == npos
+        assert rows[c]["woe"] == pytest.approx(woe, abs=2e-6)
+        assert rows[c]["iv_term_nano"] / 1e9 == pytest.approx(
+            (sp - sn) * woe, abs=2e-6
+        )
+        iv += (sp - sn) * woe
+    for c in ("A", "B", "C"):
+        assert rows[c]["iv_total_nano"] / 1e9 == pytest.approx(iv, abs=5e-6)
+    assert iv > 0.5  # strong association — the screen keeps this feature

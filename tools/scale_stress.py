@@ -253,6 +253,9 @@ HEAVY_TAIL = [
     "zorder_layout_audit",
     "cuped_adjusted_lift",
     "robust_mad_outliers",
+    "hard_negative_mining",
+    "rrf_rank_fusion",
+    "woe_iv_feature_screen",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -314,6 +317,11 @@ CONSTANT_OUTPUT = {
     "zorder_layout_audit",
     "cuped_adjusted_lift",
     "robust_mad_outliers",
+    # fixed query set x fixed k / fixed fused list depth / bounded
+    # category set
+    "hard_negative_mining",
+    "rrf_rank_fusion",
+    "woe_iv_feature_screen",
     # 1-row audit; at 10x members the fixed-m bloom saturates and
     # pruned_ppm -> 0 — measuring that IS the audit's job
     "bloom_join_prune_audit",
