@@ -1756,7 +1756,7 @@ def uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY o_custkey
     ),
     sz AS (SELECT cohort_m, COUNT(*) AS cohort_size FROM fo GROUP BY cohort_m),
-    rev AS (
+    rev AS MATERIALIZED (
       SELECT fo.cohort_m,
              EXTRACT(year FROM o.o_orderdate) * 12
                + EXTRACT(month FROM o.o_orderdate) - fo.cohort_m AS age_m,
@@ -1886,7 +1886,7 @@ def new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "interpurchase_time_stats",
     oracle="""
-    WITH seq AS (
+    WITH seq AS MATERIALIZED (
       SELECT o_custkey,
              DATE_DIFF('day', LAG(o_orderdate) OVER w, o_orderdate) AS gap_d
       FROM orders
@@ -5453,4 +5453,273 @@ def woe_iv_feature_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "woe",
         "iv_term_nano",
         F.sum("iv_term_nano").over(w).cast("bigint").alias("iv_total_nano"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov-chain removal-effect attribution (absorbing-chain conversion model)
+# ---------------------------------------------------------------------------
+
+_MKV_ITERS = 12  # fixed value-iteration count (spec'd, not "until converged")
+
+
+def _mkv_trans_sql() -> str:
+    """Shared journey→transition CTE block (DuckDB): journeys are
+    (user, day); ordering (ts, event_id); events strictly before the
+    first purchase are the path; the path ends in CONV if the journey
+    purchased, else NULL; purchase-first journeys are START→CONV."""
+    return """
+    ev AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id, event_type,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      FROM events
+    ),
+    j1 AS MATERIALIZED (
+      SELECT user_id, d,
+             MIN(CASE WHEN is_p = 1 THEN ts END) AS fpt,
+             MAX(is_p) AS has_p
+      FROM ev GROUP BY 1, 2
+    ),
+    j2 AS (
+      SELECT e.user_id, e.d, MIN(e.event_id) AS fpe
+      FROM ev e JOIN j1 ON j1.user_id = e.user_id AND j1.d = e.d
+      WHERE e.is_p = 1 AND e.ts = j1.fpt
+      GROUP BY 1, 2
+    ),
+    kept AS MATERIALIZED (
+      SELECT e.user_id, e.d, e.ts, e.event_id, e.event_type, j1.has_p
+      FROM ev e
+      JOIN j1 ON j1.user_id = e.user_id AND j1.d = e.d
+      LEFT JOIN j2 ON j2.user_id = e.user_id AND j2.d = e.d
+      WHERE e.is_p = 0
+        AND (j1.has_p = 0 OR e.ts < j1.fpt
+             OR (e.ts = j1.fpt AND e.event_id < j2.fpe))
+    ),
+    seq AS (
+      SELECT user_id, d, event_type, has_p,
+             LAG(event_type) OVER w AS prev,
+             ROW_NUMBER() OVER (PARTITION BY user_id, d
+                                ORDER BY ts DESC, event_id DESC) AS rn_last
+      FROM kept
+      WINDOW w AS (PARTITION BY user_id, d ORDER BY ts, event_id)
+    ),
+    raw_edges AS (
+      SELECT COALESCE(prev, 'START') AS src, event_type AS dst FROM seq
+      UNION ALL
+      SELECT event_type AS src,
+             CASE WHEN has_p = 1 THEN 'CONV' ELSE 'NULL' END AS dst
+      FROM seq WHERE rn_last = 1
+      UNION ALL
+      SELECT 'START', 'CONV'
+      FROM j1 LEFT JOIN (SELECT DISTINCT user_id, d FROM kept) kk
+        ON kk.user_id = j1.user_id AND kk.d = j1.d
+      WHERE j1.has_p = 1 AND kk.user_id IS NULL
+    ),
+    tr AS MATERIALIZED (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM raw_edges GROUP BY 1, 2
+    ),
+    outd AS MATERIALIZED (SELECT src, CAST(SUM(n) AS BIGINT) AS n_out FROM tr GROUP BY 1),
+    variants AS MATERIALIZED (
+      SELECT '' AS removed
+      UNION ALL
+      SELECT DISTINCT src FROM tr WHERE src <> 'START'
+    ),
+    it0 AS MATERIALIZED (
+      SELECT v.removed, o.src AS state, CAST(0 AS HUGEINT) AS p
+      FROM variants v CROSS JOIN outd o
+    )"""
+
+
+def _mkv_iter_sql(k: int) -> str:
+    """One unrolled value-iteration step: p_{k}(v, s) =
+    Σ_dst n·val(dst) // n_out(s), where val is 1e6 at CONV, 0 at NULL
+    and at the variant's removed state, else the previous iterate."""
+    return f"""
+    it{k} AS MATERIALIZED (
+      SELECT v.removed, o.src AS state,
+             SUM(CAST(tr.n AS HUGEINT) *
+                 CASE WHEN tr.dst = 'CONV' THEN 1000000
+                      WHEN tr.dst = 'NULL' THEN 0
+                      WHEN tr.dst = v.removed THEN 0
+                      ELSE COALESCE(pp.p, 0) END) // MAX(o.n_out) AS p
+      FROM variants v
+      CROSS JOIN outd o
+      JOIN tr ON tr.src = o.src
+      LEFT JOIN it{k - 1} pp
+        ON pp.removed = v.removed AND pp.state = tr.dst
+      GROUP BY 1, 2
+    )"""
+
+
+def _mkv_oracle() -> str:
+    iters = "".join("," + _mkv_iter_sql(k) for k in range(1, _MKV_ITERS + 1))
+    last = f"it{_MKV_ITERS}"
+    return f"""
+    WITH {_mkv_trans_sql()}{iters},
+    base AS (
+      SELECT CAST(p AS BIGINT) AS p_base_ppm FROM {last}
+      WHERE removed = '' AND state = 'START'
+    ),
+    rem AS (
+      SELECT removed AS channel, CAST(p AS BIGINT) AS p_removed_ppm
+      FROM {last} WHERE removed <> '' AND state = 'START'
+    ),
+    eff AS (
+      SELECT channel, p_base_ppm, p_removed_ppm,
+             GREATEST(p_base_ppm - p_removed_ppm, 0) AS removal_effect_ppm
+      FROM rem CROSS JOIN base
+    )
+    SELECT channel, p_base_ppm, p_removed_ppm, removal_effect_ppm,
+           CAST(CAST(removal_effect_ppm AS HUGEINT) * 1000000
+                // GREATEST(SUM(removal_effect_ppm) OVER (), 1) AS BIGINT)
+             AS attribution_ppm
+    FROM eff
+    """
+
+
+@register("markov_attribution_removal", oracle=_mkv_oracle())
+def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution (Anderl et al. 2016 —
+    the data-driven alternative to last-touch/linear rules): user-day
+    journeys become an absorbing Markov chain (channel states +
+    START/CONV/NULL, path truncated at the first purchase), and each
+    channel's credit is its REMOVAL EFFECT — how much the chain's
+    START→CONV absorption probability drops when every visit to that
+    channel is redirected to NULL — normalized into attribution
+    shares. Removal is implemented as pinning the removed state's
+    value to zero inside the value iteration, which is exactly the
+    redirect-to-NULL semantics.
+
+    Scale posture: ALL data-sized work is the distributed transition
+    count (two combinable (user, day) aggregates + one lag window per
+    journey partition — the sessionize shape); the chain itself is
+    BOUNDED at ≤(channels+3)² cells at any corpus size, so the
+    absorption solve collects that ≤36-cell matrix and runs
+    {_MKV_ITERS} fixed value iterations in exact Python integers (the
+    similarity family's 64-row codebook-collect precedent — the only
+    .collect() is the bounded matrix). Cross-engine determinism: the
+    oracle unrolls the SAME {_MKV_ITERS} iterations as chained CTEs in
+    HUGEINT with identical floor divisions per step (all operands
+    non-negative, so // and div agree), probabilities are ppm
+    integers, and the journey/truncation/tiebreak rules are written
+    identically on both sides."""
+    tr = _mkv_transitions(spark, sf_dir)
+    # the chain is bounded at (channels+3)^2 cells at ANY corpus size —
+    # the only collect, same class as the 64-row PQ codebook
+    cells = [(r["src"], r["dst"], r["n"]) for r in tr.collect()]
+    n_out: dict[str, int] = {}
+    for src_s, _, n in cells:
+        n_out[src_s] = n_out.get(src_s, 0) + n
+    channels = sorted(s for s in n_out if s != "START")
+
+    def solve(removed: str) -> int:
+        p = {s: 0 for s in n_out}
+        for _ in range(_MKV_ITERS):
+            new = {}
+            for s in n_out:
+                acc = 0
+                for src, dst, n in cells:
+                    if src != s:
+                        continue
+                    if dst == "CONV":
+                        val = 1_000_000
+                    elif dst == "NULL" or dst == removed:
+                        val = 0
+                    else:
+                        val = p.get(dst, 0)
+                    acc += n * val
+                new[s] = acc // n_out[s]
+            p = new
+        return p["START"]
+
+    p_base = solve("")
+    effects = {c: max(p_base - solve(c), 0) for c in channels}
+    total = max(sum(effects.values()), 1)
+    rows = [
+        (
+            c,
+            p_base,
+            p_base - effects[c] if effects[c] > 0 else solve(c),
+            effects[c],
+            effects[c] * 1_000_000 // total,
+        )
+        for c in channels
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_base_ppm bigint, p_removed_ppm bigint,"
+        " removal_effect_ppm bigint, attribution_ppm bigint",
+    )
+
+
+def _mkv_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed half of the Markov attribution: journey
+    construction + transition counting (the sessionize shape — all
+    windows partitioned per (user, day)), returning the bounded
+    (src, dst, n) matrix."""
+    ev = (
+        _t(spark, sf_dir, "events")["events"]
+        .select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            "ts",
+            "event_id",
+            "event_type",
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+        )
+    )
+    j1 = ev.groupBy("user_id", "d").agg(
+        F.min(F.when(F.col("is_p") == 1, F.col("ts"))).alias("fpt"),
+        F.max("is_p").alias("has_p"),
+    )
+    j2 = (
+        ev.join(j1, ["user_id", "d"])
+        .filter((F.col("is_p") == 1) & (F.col("ts") == F.col("fpt")))
+        .groupBy("user_id", "d")
+        .agg(F.min("event_id").alias("fpe"))
+    )
+    kept = (
+        ev.join(j1, ["user_id", "d"])
+        .join(j2, ["user_id", "d"], "left")
+        .filter(
+            (F.col("is_p") == 0)
+            & (
+                (F.col("has_p") == 0)
+                | (F.col("ts") < F.col("fpt"))
+                | ((F.col("ts") == F.col("fpt")) & (F.col("event_id") < F.col("fpe")))
+            )
+        )
+        .select("user_id", "d", "ts", "event_id", "event_type", "has_p")
+    )
+    w = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+    wl = Window.partitionBy("user_id", "d").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    seq = kept.select(
+        "event_type",
+        "has_p",
+        F.lag("event_type").over(w).alias("prev"),
+        F.row_number().over(wl).alias("rn_last"),
+        "user_id",
+        "d",
+    )
+    steps = seq.select(
+        F.coalesce(F.col("prev"), F.lit("START")).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    ends = seq.filter(F.col("rn_last") == 1).select(
+        F.col("event_type").alias("src"),
+        F.when(F.col("has_p") == 1, F.lit("CONV")).otherwise(F.lit("NULL")).alias("dst"),
+    )
+    pfirst = (
+        j1.filter(F.col("has_p") == 1)
+        .join(kept.select("user_id", "d").distinct(), ["user_id", "d"], "left_anti")
+        .select(F.lit("START").alias("src"), F.lit("CONV").alias("dst"))
+    )
+    return (
+        steps.unionByName(ends)
+        .unionByName(pfirst)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )

@@ -2146,3 +2146,19 @@ def test_woe_iv_windows_on_bounded_aggregate(spark):
     df = woe_iv_feature_screen(spark, SF_SMOKE)
     assert {"o_orderpriority", "o_orderstatus"} in scan_columns(df), scan_columns(df)
     assert shuffle_count(df) <= 2, explain_str(df, "simple")
+
+
+def test_markov_transitions_distributed_shape(spark):
+    """Markov attribution (r10): the data-sized half is the transition
+    count — journey windows partitioned per (user, day), no cartesian,
+    events scan reads only the four referenced columns. (The chain
+    solve itself runs on the collected <=36-cell bounded matrix — the
+    codebook-collect precedent.)"""
+    from rs_streamloader_spark.operators.stats import _mkv_transitions
+
+    df = _mkv_transitions(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "CartesianProduct" not in text, text
+    assert "windowspecdefinition(user_id" in text, text
+    cols = scan_columns(df)
+    assert {"user_id", "ts", "event_id", "event_type"} in cols, cols

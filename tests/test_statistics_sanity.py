@@ -458,3 +458,59 @@ def test_woe_iv_matches_numpy(spark, monkeypatch):
     for c in ("A", "B", "C"):
         assert rows[c]["iv_total_nano"] / 1e9 == pytest.approx(iv, abs=5e-6)
     assert iv > 0.5  # strong association — the screen keeps this feature
+
+
+def test_markov_attribution_matches_hand_solve(spark, monkeypatch):
+    """Removal-effect attribution checked against the closed-form
+    absorption probabilities of a constructed acyclic funnel (value
+    iteration converges exactly within the fixed 12 steps there):
+    40x view->click->purchase, 20x view->drop, 20x click->purchase,
+    10x signup->drop. Closed form: P(conv)=2/3; removing click kills
+    every conversion (effect 2/3), removing view leaves 20/90
+    (effect 4/9), signup contributes nothing (the zero-effect branch
+    fires). Attribution must split 60/40/0."""
+    rows = []
+    eid = 0
+    uid = 0
+
+    def journey(*evts):
+        nonlocal eid, uid
+        uid += 1
+        for i, et in enumerate(evts):
+            rows.append(
+                (
+                    eid,
+                    pd.Timestamp("2024-01-05 10:00:00") + pd.Timedelta(minutes=i),
+                    uid,
+                    et,
+                    1.0,
+                )
+            )
+            eid += 1
+
+    for _ in range(40):
+        journey("view", "click", "purchase")
+    for _ in range(20):
+        journey("view")
+    for _ in range(20):
+        journey("click", "purchase")
+    for _ in range(10):
+        journey("signup")
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"events": sdf})
+    got = {
+        r["channel"]: r
+        for r in S.markov_attribution_removal(spark, "x").collect()
+    }
+    assert set(got) == {"view", "click", "signup"}
+    assert got["click"]["p_base_ppm"] == pytest.approx(666666, abs=5)
+    assert got["click"]["p_removed_ppm"] == 0
+    assert got["view"]["p_removed_ppm"] == pytest.approx(222222, abs=5)
+    assert got["signup"]["removal_effect_ppm"] == 0
+    assert got["signup"]["attribution_ppm"] == 0
+    assert got["click"]["attribution_ppm"] == pytest.approx(600000, abs=10)
+    assert got["view"]["attribution_ppm"] == pytest.approx(400000, abs=10)

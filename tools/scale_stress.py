@@ -256,6 +256,7 @@ HEAVY_TAIL = [
     "hard_negative_mining",
     "rrf_rank_fusion",
     "woe_iv_feature_screen",
+    "markov_attribution_removal",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -322,6 +323,8 @@ CONSTANT_OUTPUT = {
     "hard_negative_mining",
     "rrf_rank_fusion",
     "woe_iv_feature_screen",
+    # one row per channel; the channel set is scale-invariant
+    "markov_attribution_removal",
     # 1-row audit; at 10x members the fixed-m bloom saturates and
     # pruned_ppm -> 0 — measuring that IS the audit's job
     "bloom_join_prune_audit",
