@@ -5605,9 +5605,21 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers, and the journey/truncation/tiebreak rules are written
     identically on both sides."""
     tr = _mkv_transitions(spark, sf_dir)
+    schema = (
+        "channel string, p_base_ppm bigint, p_removed_ppm bigint,"
+        " removal_effect_ppm bigint, attribution_ppm bigint"
+    )
     # the chain is bounded at (channels+3)^2 cells at ANY corpus size —
     # the only collect, same class as the 64-row PQ codebook
     cells = [(r["src"], r["dst"], r["n"]) for r in tr.collect()]
+    if not cells:  # no journeys at all — match the oracle's empty result
+        return spark.range(0).selectExpr(
+            "CAST(NULL AS STRING) AS channel",
+            "CAST(NULL AS BIGINT) AS p_base_ppm",
+            "CAST(NULL AS BIGINT) AS p_removed_ppm",
+            "CAST(NULL AS BIGINT) AS removal_effect_ppm",
+            "CAST(NULL AS BIGINT) AS attribution_ppm",
+        )
     n_out: dict[str, int] = {}
     for src_s, _, n in cells:
         n_out[src_s] = n_out.get(src_s, 0) + n
@@ -5634,23 +5646,16 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         return p["START"]
 
     p_base = solve("")
-    effects = {c: max(p_base - solve(c), 0) for c in channels}
+    removed = {c: solve(c) for c in channels}
+    # removal is monotone (pinning a state to 0 only lowers iterates),
+    # so the clamp is belt-and-braces against per-step flooring
+    effects = {c: max(p_base - removed[c], 0) for c in channels}
     total = max(sum(effects.values()), 1)
     rows = [
-        (
-            c,
-            p_base,
-            p_base - effects[c] if effects[c] > 0 else solve(c),
-            effects[c],
-            effects[c] * 1_000_000 // total,
-        )
+        (c, p_base, removed[c], effects[c], effects[c] * 1_000_000 // total)
         for c in channels
     ]
-    return spark.createDataFrame(
-        rows,
-        "channel string, p_base_ppm bigint, p_removed_ppm bigint,"
-        " removal_effect_ppm bigint, attribution_ppm bigint",
-    )
+    return spark.createDataFrame(rows, schema)
 
 
 def _mkv_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:

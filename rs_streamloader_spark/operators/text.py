@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from rs_streamloader_spark.functions.vector import cosine_expr
 from rs_streamloader_spark.functions import (
     marker_word_count,
     n_tokens,
@@ -540,10 +541,12 @@ def _bm25_tf_sql(term: str) -> str:
     return _marker_count_sql(term)
 
 
-@register(
-    "bm25_topk",
-    oracle=f"""
-    WITH tf AS (
+def _bm25_cte_sql() -> str:
+    """Shared tf/corpus/scored CTE block — the single oracle-side
+    source of the BM25 formula (bm25_topk + rrf_rank_fusion), the twin
+    of the Spark-side ``_bm25_scored``."""
+    return f"""
+    tf AS (
       SELECT doc_id,
              CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS DOUBLE) AS dl,
              {", ".join(f"CAST({_bm25_tf_sql(t)} AS DOUBLE) AS tf_{t}" for t in _BM25_TERMS)}
@@ -563,7 +566,13 @@ def _bm25_tf_sql(term: str) -> str:
                  for t in _BM25_TERMS
              )} AS score
       FROM tf CROSS JOIN corpus
-    )
+    )"""
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH {_bm25_cte_sql()}
     SELECT doc_id, ROUND(score, 6) AS bm25_score
     FROM scored
     ORDER BY ROUND(score, 6) DESC, doc_id
@@ -1263,27 +1272,8 @@ _RRF_DUCK_COS = (
 @register(
     "rrf_rank_fusion",
     oracle=f"""
-    WITH tf AS (
-      SELECT doc_id,
-             CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS DOUBLE) AS dl,
-             {", ".join(f"CAST(__TF_{t}__ AS DOUBLE) AS tf_{t}" for t in _BM25_TERMS)}
-      FROM documents
-    ),
-    corpus AS (
-      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl,
-             {", ".join(f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS)}
-      FROM tf
-    ),
-    scored AS (
-      SELECT tf.doc_id,
-             {" + ".join(
-                 f"LN((corpus.n_docs - corpus.df_{t} + 0.5) / (corpus.df_{t} + 0.5) + 1.0)"
-                 f" * tf_{t} * ({_BM25_K1} + 1.0)"
-                 f" / (tf_{t} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * tf.dl / corpus.avgdl))"
-                 for t in _BM25_TERMS
-             )} AS score
-      FROM tf CROSS JOIN corpus
-    ),
+    WITH {_bm25_cte_sql()}
+    ,
     lex AS (
       SELECT doc_id, CAST(rn AS INTEGER) AS lex_rank FROM (
         SELECT doc_id, ROW_NUMBER() OVER (
@@ -1307,13 +1297,7 @@ _RRF_DUCK_COS = (
     FROM lex l FULL OUTER JOIN sem s ON s.doc_id = l.doc_id
     ORDER BY rrf_micro DESC, doc_id
     LIMIT {_RRF_TOPK}
-    """.replace(
-        "__TF_spark__", _marker_count_sql("spark")
-    ).replace(
-        "__TF_window__", _marker_count_sql("window")
-    ).replace(
-        "__TF_hash__", _marker_count_sql("hash")
-    ),
+    """,
 )
 def rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of a lexical and a semantic retrieval
@@ -1353,30 +1337,7 @@ def rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb")
     )
-    cos = F.round(
-        F.expr(
-            "aggregate(zip_with(embedding, q_emb,"
-            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-            " 0D, (acc, v) -> acc + v)"
-        )
-        / (
-            F.sqrt(
-                F.expr(
-                    "aggregate(transform(embedding,"
-                    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-                    " 0D, (acc, v) -> acc + v)"
-                )
-            )
-            * F.sqrt(
-                F.expr(
-                    "aggregate(transform(q_emb,"
-                    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-                    " 0D, (acc, v) -> acc + v)"
-                )
-            )
-        ),
-        6,
-    )
+    cos = F.round(cosine_expr("embedding", "q_emb"), 6)
     sem_top = (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))

@@ -514,3 +514,15 @@ def test_markov_attribution_matches_hand_solve(spark, monkeypatch):
     assert got["signup"]["attribution_ppm"] == 0
     assert got["click"]["attribution_ppm"] == pytest.approx(600000, abs=10)
     assert got["view"]["attribution_ppm"] == pytest.approx(400000, abs=10)
+
+
+def test_markov_attribution_empty_events(spark, monkeypatch):
+    """Degenerate input: zero events must yield an empty result (the
+    oracle's behavior), not a KeyError from the chain solve."""
+    sdf = spark.createDataFrame(
+        [],
+        "event_id bigint, ts timestamp_ntz, user_id bigint,"
+        " event_type string, value double",
+    )
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"events": sdf})
+    assert S.markov_attribution_removal(spark, "x").count() == 0
