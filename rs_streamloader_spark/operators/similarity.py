@@ -2336,3 +2336,79 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neg_rank") <= _HN_K)
         .select("anchor_id", "n_positives", "neg_id", "neg_cosine", "neg_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source centroid drift matrix (embedding-space domain-shift audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_source_drift",
+    oracle=f"""
+    WITH e AS (
+      SELECT d.source, em.embedding
+      FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id
+    ),
+    dims AS (
+      SELECT source, i, {nano_mean_sql("v")} AS m
+      FROM (
+        SELECT source,
+               UNNEST(CAST(embedding AS DOUBLE[])) AS v,
+               UNNEST(range(1, len(embedding) + 1)) AS i
+        FROM e
+      ) GROUP BY source, i
+    ),
+    cent AS (SELECT source, LIST(m ORDER BY i) AS c FROM dims GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           ROUND(LIST_DOT_PRODUCT(a.c, b.c)
+                 / (SQRT(LIST_DOT_PRODUCT(a.c, a.c))
+                    * SQRT(LIST_DOT_PRODUCT(b.c, b.c))), 6) AS centroid_cosine
+    FROM cent a JOIN cent b ON a.source < b.source
+    """,
+)
+def embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space domain-shift audit: the cosine between every
+    pair of per-SOURCE embedding centroids — the matrix that flags a
+    feed whose content drifted away from the rest of the mix (a
+    centroid pair well below the others means those two sources no
+    longer sample the same distribution; the monitoring complement of
+    ``cross_source_dup_matrix``, which watches OVERLAP).
+
+    Scale posture: the corpus reduces to (source × dim) nano-mean
+    cells FIRST — a combinable aggregate whose output is bounded by
+    #sources·dims, not rows; centroids assemble from that bounded
+    table and the pair matrix is ≤ sources² rows. The doc→embedding id
+    join is key-to-key on two O(SF) tables (never broadcast — pinned
+    shuffle-hash). Cross-engine determinism: centroid components go
+    through the shared nano-mean policy (order-independent exact
+    integer accumulation, 6dp out); the pair cosine is the sequential
+    fold over the SAME 6dp components in dim order on both engines,
+    rounded to 6dp."""
+    t = load_tables(spark, sf_dir, "embeddings", "documents")
+    e = t["embeddings"].join(
+        t["documents"].select("doc_id", "source").hint("shuffle_hash"),
+        F.col("vec_id") == F.col("doc_id"),
+    )
+    dims = (
+        e.select("source", F.posexplode("embedding").alias("i0", "v"))
+        .groupBy("source", (F.col("i0") + 1).alias("i"))
+        .agg(nano_mean("v").alias("m"))
+    )
+    cent = dims.groupBy("source").agg(
+        F.expr("transform(sort_array(collect_list(struct(i, m))), x -> x.m)").alias(
+            "c"
+        )
+    )
+    a = cent.select(F.col("source").alias("source_a"), F.col("c").alias("ca"))
+    b = cent.select(F.col("source").alias("source_b"), F.col("c").alias("cb"))
+    return (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                dot_expr("ca", "cb") / (norm_expr("ca") * norm_expr("cb")), 6
+            ).alias("centroid_cosine"),
+        )
+    )

@@ -5728,3 +5728,115 @@ def _mkv_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift / changepoint monitor over the daily revenue series
+# ---------------------------------------------------------------------------
+
+_CUSUM_K_DIV = 20  # slack k = mu/20 (tolerate ±5% day noise)
+_CUSUM_H_DIV = 2  # alarm threshold h = mu/2 (cumulative half-day excess)
+
+
+@register(
+    "cusum_drift_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    mu AS (
+      SELECT CAST(SUM(rev_c) // COUNT(*) AS BIGINT) AS mu_c FROM daily
+    ),
+    pref AS (
+      SELECT day, rev_c, mu_c,
+             SUM(rev_c - mu_c - mu_c // {_CUSUM_K_DIV})
+               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS p,
+             SUM(rev_c - mu_c + mu_c // {_CUSUM_K_DIV})
+               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS q
+      FROM daily, mu
+    ),
+    ext AS (
+      SELECT day, rev_c, mu_c, p, q,
+             LEAST(MIN(p) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 0)
+               AS pmin,
+             GREATEST(MAX(q) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 0)
+               AS qmax
+      FROM pref
+    )
+    SELECT STRFTIME(day, '%Y-%m-%d') AS day, rev_c,
+           CAST(p - pmin AS BIGINT) AS s_pos,
+           CAST(qmax - q AS BIGINT) AS s_neg,
+           (p - pmin > mu_c // {_CUSUM_H_DIV}) AS alarm_up,
+           (qmax - q > mu_c // {_CUSUM_H_DIV}) AS alarm_down
+    FROM ext
+    """,
+)
+def cusum_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift monitor over the daily revenue series
+    (Page 1954 — the changepoint detector behind most metric-
+    monitoring systems): S⁺ₜ = max(0, S⁺ₜ₋₁ + xₜ − μ − k) accumulates
+    sustained upward excess and alarms when it crosses h; S⁻ mirrors
+    downward. Slack k = μ/{_CUSUM_K_DIV} (±5% day noise tolerated),
+    threshold h = μ/{_CUSUM_H_DIV}. On the steady synthetic corpus the
+    alarm branches stay false — a constructed level-shift corpus pins
+    both firing in tests/test_statistics_sanity.py.
+
+    Scale posture: the raw table collapses to the DAILY grid first (a
+    combinable sum keyed by the calendar — bounded rows at any corpus
+    size); the CUSUM recursion is rewritten as windows — the classic
+    identity S⁺ₜ = Pₜ − min(min_{{j≤t}} Pⱼ, 0) over the prefix sums Pₜ
+    of (xₜ−μ−k) — so the only ordered pass runs over the bounded grid
+    (the rolling_median precedent for global windows on reduced
+    aggregates). Cross-engine determinism: money in BIGINT cents, μ
+    and the slack/threshold as exact floor divisions, alarms as
+    integer comparisons — no float anywhere."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    # mu as a global window over the bounded DAILY grid — not a second
+    # scan of orders (the lang_rebalance_sample precedent)
+    wg = Window.partitionBy()
+    with_mu = daily.select(
+        "day",
+        "rev_c",
+        F.sum("rev_c").over(wg).alias("tot"),
+        F.count(F.lit(1)).over(wg).alias("nd"),
+    ).select(
+        "day",
+        "rev_c",
+        # integer floor division — SUM/COUNT would be double division,
+        # which diverges from the oracle's exact // on 100 TB-scale sums
+        F.expr("CAST(tot div nd AS BIGINT)").alias("mu_c"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pref = with_mu.select(
+        "day",
+        "rev_c",
+        "mu_c",
+        F.sum(F.expr(f"rev_c - mu_c - mu_c div {_CUSUM_K_DIV}")).over(w).alias("p"),
+        F.sum(F.expr(f"rev_c - mu_c + mu_c div {_CUSUM_K_DIV}")).over(w).alias("q"),
+    )
+    ext = pref.select(
+        "day",
+        "rev_c",
+        "mu_c",
+        "p",
+        "q",
+        F.least(F.min("p").over(w), F.lit(0)).alias("pmin"),
+        F.greatest(F.max("q").over(w), F.lit(0)).alias("qmax"),
+    )
+    h = F.expr(f"mu_c div {_CUSUM_H_DIV}")
+    return ext.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "rev_c",
+        (F.col("p") - F.col("pmin")).cast("bigint").alias("s_pos"),
+        (F.col("qmax") - F.col("q")).cast("bigint").alias("s_neg"),
+        (F.col("p") - F.col("pmin") > h).alias("alarm_up"),
+        (F.col("qmax") - F.col("q") > h).alias("alarm_down"),
+    )

@@ -2162,3 +2162,30 @@ def test_markov_transitions_distributed_shape(spark):
     assert "windowspecdefinition(user_id" in text, text
     cols = scan_columns(df)
     assert {"user_id", "ts", "event_id", "event_type"} in cols, cols
+
+
+def test_cusum_windows_on_daily_grid_only(spark):
+    """CUSUM monitor (r10): the raw table collapses to the bounded
+    daily grid before any ordered pass; the orders scan reads exactly
+    the two referenced columns."""
+    from rs_streamloader_spark.operators.stats import cusum_drift_daily
+
+    df = cusum_drift_daily(spark, SF_SMOKE)
+    assert {"o_orderdate", "o_totalprice"} in scan_columns(df), scan_columns(df)
+    # daily agg + the 1-row mu broadcast + single-partition grid window
+    assert shuffle_count(df) <= 3, explain_str(df, "simple")
+
+
+def test_embedding_source_drift_join_pinned(spark):
+    """Source-drift matrix (r10): the doc->embedding id join is two
+    O(SF) tables — pinned shuffle-hash, never broadcast; the pair
+    matrix rides a broadcast of the bounded centroid table; scans read
+    only the referenced columns."""
+    from rs_streamloader_spark.operators.similarity import embedding_source_drift
+
+    df = embedding_source_drift(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "ShuffledHashJoin" in text, text
+    assert "SortMergeJoin" not in text, text
+    cols = scan_columns(df)
+    assert {"doc_id", "source"} in cols, cols

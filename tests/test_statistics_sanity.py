@@ -526,3 +526,54 @@ def test_markov_attribution_empty_events(spark, monkeypatch):
     )
     monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"events": sdf})
     assert S.markov_attribution_removal(spark, "x").count() == 0
+
+
+def test_cusum_detects_planted_level_shift(spark, monkeypatch):
+    """CUSUM recursion (window rewrite) checked against the literal
+    S+/S- recursion in Python on a constructed series with a +60%
+    level shift at day 20 and a -60% dip at day 40 — both alarm
+    branches must fire, and every S value must match the recursion
+    exactly (integer cents)."""
+    days = pd.date_range("2024-01-01", periods=60, freq="D")
+    base = 10_000.00
+    vals = []
+    for i in range(60):
+        v = base + (i % 7) * 13.21  # mild weekly texture
+        if 20 <= i < 30:
+            v += 6_000.0
+        if 40 <= i < 50:
+            v -= 6_000.0
+        vals.append(round(v, 2))
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": range(60),
+            "o_custkey": [1] * 60,
+            "o_orderstatus": ["O"] * 60,
+            "o_totalprice": vals,
+            "o_orderdate": days.astype("datetime64[us]"),
+            "o_orderpriority": ["3-MEDIUM"] * 60,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"orders": sdf})
+    got = (
+        S.cusum_drift_daily(spark, "x")
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+
+    cents = [round(v * 100) for v in vals]
+    mu = sum(cents) // len(cents)
+    k = mu // S._CUSUM_K_DIV
+    h = mu // S._CUSUM_H_DIV
+    sp = sn = 0
+    for i in range(60):
+        sp = max(0, sp + cents[i] - mu - k)
+        sn = max(0, sn + mu - k - cents[i])
+        row = got.iloc[i]
+        assert row["s_pos"] == sp, (i, row["s_pos"], sp)
+        assert row["s_neg"] == sn, (i, row["s_neg"], sn)
+        assert bool(row["alarm_up"]) == (sp > h)
+        assert bool(row["alarm_down"]) == (sn > h)
+    assert got["alarm_up"].any() and got["alarm_down"].any()

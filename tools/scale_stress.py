@@ -257,6 +257,8 @@ HEAVY_TAIL = [
     "rrf_rank_fusion",
     "woe_iv_feature_screen",
     "markov_attribution_removal",
+    "cusum_drift_daily",
+    "embedding_source_drift",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -325,6 +327,8 @@ CONSTANT_OUTPUT = {
     "woe_iv_feature_screen",
     # one row per channel; the channel set is scale-invariant
     "markov_attribution_removal",
+    # bounded source-pair matrix
+    "embedding_source_drift",
     # 1-row audit; at 10x members the fixed-m bloom saturates and
     # pruned_ppm -> 0 — measuring that IS the audit's job
     "bloom_join_prune_audit",
