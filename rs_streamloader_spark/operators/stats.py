@@ -5840,3 +5840,91 @@ def cusum_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p") - F.col("pmin") > h).alias("alarm_up"),
         (F.col("qmax") - F.col("q") > h).alias("alarm_down"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UCB1 arm ranking (adaptive-experimentation readout)
+# ---------------------------------------------------------------------------
+
+# the one transcendental, rendered from a single shared string so both
+# engines evaluate identical operand order: mean + sqrt(2 ln N / n)
+_UCB_EXPR = (
+    "ROUND(CAST(n_conv AS DOUBLE) / n_pulls"
+    " + SQRT(2.0 * LN(CAST(n_total AS DOUBLE)) / n_pulls), 6)"
+)
+
+
+@register(
+    "ucb_arm_ranking",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    arm AS (
+      SELECT event_type AS arm,
+             CAST(COUNT(*) AS BIGINT) AS n_pulls,
+             CAST(SUM(CASE WHEN nxt = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_conv
+      FROM seq WHERE event_type <> 'purchase' GROUP BY 1
+    ),
+    tot AS (
+      SELECT arm, n_pulls, n_conv,
+             CAST(SUM(n_pulls) OVER () AS BIGINT) AS n_total
+      FROM arm
+    )
+    SELECT arm, n_pulls, n_conv, n_total,
+           {_UCB_EXPR} AS ucb_score,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY {_UCB_EXPR} DESC, arm) AS INTEGER) AS ucb_rank
+    FROM tot
+    """,
+)
+def ucb_arm_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 arm ranking (Auer et al. 2002 — the exploration policy
+    behind adaptive experiments and recommender slates): each
+    non-purchase event type is an arm, a pull converts when the
+    user's NEXT event that day is a purchase, and the score is the
+    optimistic bound p̂ + √(2·ln N / n) — low-traffic arms rank above
+    their raw conversion rate (the exploration bonus), which is
+    exactly what the readout is for.
+
+    Scale posture: the per-event LEAD runs inside the (user, day)
+    journey partition (the sessionize shape — no global window over
+    raw rows); arms reduce to a ≤#event-types aggregate and
+    everything after is bounded. Cross-engine determinism: pulls and
+    conversions are exact integers; the single transcendental bound
+    is rendered from ONE shared expression string (identical operand
+    order both engines), rounded to 6dp, with ranking ties broken on
+    the arm name."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("event_type") != "purchase")
+    arm = seq.groupBy(F.col("event_type").alias("arm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pulls"),
+        F.sum(F.when(F.col("nxt") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_conv"),
+    )
+    tot = arm.select(
+        "arm",
+        "n_pulls",
+        "n_conv",
+        F.sum("n_pulls").over(Window.partitionBy()).cast("bigint").alias("n_total"),
+    )
+    return tot.select(
+        "arm",
+        "n_pulls",
+        "n_conv",
+        "n_total",
+        F.expr(_UCB_EXPR).alias("ucb_score"),
+        F.row_number()
+        .over(Window.orderBy(F.expr(_UCB_EXPR).desc(), "arm"))
+        .cast("int")
+        .alias("ucb_rank"),
+    )

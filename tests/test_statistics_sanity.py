@@ -577,3 +577,40 @@ def test_cusum_detects_planted_level_shift(spark, monkeypatch):
         assert bool(row["alarm_up"]) == (sp > h)
         assert bool(row["alarm_down"]) == (sn > h)
     assert got["alarm_up"].any() and got["alarm_down"].any()
+
+
+def test_ucb_exploration_bonus_matches_numpy(spark, monkeypatch):
+    """UCB1 recomputed in numpy on a constructed corpus where a
+    low-traffic arm with a mediocre rate must OUTRANK a high-traffic
+    arm with a better rate — the exploration bonus doing its job."""
+    rows = []
+    eid = 0
+
+    def pulls(arm, n, conv_every, day):
+        nonlocal eid
+        for i in range(n):
+            uid = 10_000 + eid
+            t0 = pd.Timestamp(f"2024-02-{day:02d} 09:00:00")
+            rows.append((eid * 2, t0, uid, arm, 1.0))
+            if i % conv_every == 0:
+                rows.append(
+                    (eid * 2 + 1, t0 + pd.Timedelta(minutes=1), uid, "purchase", 9.9)
+                )
+            eid += 1
+
+    pulls("view", 1000, 4, 1)   # 25% conversion, heavy traffic
+    pulls("click", 10, 5, 2)    # 20% conversion, tiny traffic
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"events": sdf})
+    got = {r["arm"]: r for r in S.ucb_arm_ranking(spark, "x").collect()}
+    N = 1010
+    for arm, n, conv in (("view", 1000, 250), ("click", 10, 2)):
+        expect = conv / n + np.sqrt(2 * np.log(N) / n)
+        assert got[arm]["n_pulls"] == n and got[arm]["n_conv"] == conv
+        assert got[arm]["ucb_score"] == pytest.approx(expect, abs=2e-6)
+    # the tiny arm's bonus flips the ranking despite the worse rate
+    assert got["click"]["ucb_rank"] == 1 and got["view"]["ucb_rank"] == 2

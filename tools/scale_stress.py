@@ -259,6 +259,7 @@ HEAVY_TAIL = [
     "markov_attribution_removal",
     "cusum_drift_daily",
     "embedding_source_drift",
+    "ucb_arm_ranking",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -327,8 +328,9 @@ CONSTANT_OUTPUT = {
     "woe_iv_feature_screen",
     # one row per channel; the channel set is scale-invariant
     "markov_attribution_removal",
-    # bounded source-pair matrix
+    # bounded source-pair matrix / arm set
     "embedding_source_drift",
+    "ucb_arm_ranking",
     # 1-row audit; at 10x members the fixed-m bloom saturates and
     # pruned_ppm -> 0 — measuring that IS the audit's job
     "bloom_join_prune_audit",
