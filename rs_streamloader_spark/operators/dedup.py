@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rs_streamloader_spark.operators.registry import register
+from rs_streamloader_spark.functions import n_tokens, quality_score
 from rs_streamloader_spark.session import load_tables, spread, stage_cached
 
 JACCARD_THRESHOLD = 0.2
@@ -1988,4 +1989,109 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source_x", "source_y")
         .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-copy selection: keep the BEST-quality member per dup cluster
+# ---------------------------------------------------------------------------
+
+_KEEPQ_SQL = (
+    "CASE WHEN LENGTH(text) >= 200 THEN 1 ELSE 0 END"
+    " + CASE WHEN (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) >= 40"
+    "        THEN 1 ELSE 0 END"
+    " + CASE WHEN LENGTH(REPLACE(text, ' ', '')) * 1.0"
+    "             / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)"
+    "             BETWEEN 3 AND 8 THEN 1 ELSE 0 END"
+)
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    labeled AS (
+      SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u
+    ),
+    scored AS (
+      SELECT l.cluster_id, l.doc_id,
+             CAST({_KEEPQ_SQL} AS INTEGER) AS q,
+             CAST(LENGTH(d.text) - LENGTH(REPLACE(d.text, ' ', '')) + 1
+                  AS BIGINT) AS n_tok
+      FROM labeled l JOIN documents d ON d.doc_id = l.doc_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT cluster_id,
+           CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS kept_doc,
+           CAST(MIN(CASE WHEN rn = 1 THEN q END) AS INTEGER) AS kept_quality,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           (MIN(CASE WHEN rn = 1 THEN doc_id END)
+            <> MIN(cluster_id)) AS keeper_differs_from_min_id,
+           CAST(SUM(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) AS BIGINT)
+             AS dropped_tokens
+    FROM ranked GROUP BY cluster_id
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-copy selection within near-dup clusters: instead of
+    ``dedup_cluster``'s keep-min-id rule, keep the HIGHEST-QUALITY
+    member (the shared 0-3 heuristic score, doc_id tiebreak) — the
+    curation policy real pipelines use, since duplicate groups often
+    mix a clean original with truncated/boilerplate copies and min-id
+    keeps an arbitrary one. Per cluster: the kept doc, its score, the
+    member count, whether quality-keep disagreed with min-id-keep
+    (the rows that justify this operator), and the token mass dropped.
+
+    Scale posture: rides the SAME cached Jaccard pair stage and fused
+    min-label propagation as the rest of the graph family (bounded
+    df-capped candidate generation, one ranking window per cluster
+    partition); the quality join touches only clustered docs (a
+    near-dup-sized subset, pinned shuffle-hash on the doc side).
+    Cross-engine determinism: the quality heuristic is the
+    integer-valued shared definition (text_quality_score), ranking
+    ties break on doc_id, all counts BIGINT."""
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .cache()
+    )
+    labels = propagate_min_labels(edges).select(
+        F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    scored = labels.join(
+        docs.select("doc_id", quality_score().alias("q"), n_tokens().alias("n_tok"))
+        .hint("shuffle_hash"),
+        "doc_id",
+    )
+    wr = Window.partitionBy("cluster_id").orderBy(F.col("q").desc(), "doc_id")
+    ranked = scored.withColumn("rn", F.row_number().over(wr))
+    return ranked.groupBy("cluster_id").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id")))
+        .cast("bigint")
+        .alias("kept_doc"),
+        F.min(F.when(F.col("rn") == 1, F.col("q"))).cast("int").alias("kept_quality"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        (
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id")))
+            != F.min("cluster_id")
+        ).alias("keeper_differs_from_min_id"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_tokens"),
     )

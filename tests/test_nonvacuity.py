@@ -494,3 +494,43 @@ def test_join_cardinality_audit_detects_skew_and_orphans(spark, tmp_path):
     sd = rows["ship_order_date"]
     assert sd["est_rows"] < sd["exact_rows"], sd
     assert sd["est_err_ppm"] <= 200_000, sd
+
+
+def test_keep_best_quality_overrides_min_id(spark, tmp_path, monkeypatch):
+    """dedup_keep_best_quality must keep the HIGHER-QUALITY member even
+    when it has the larger doc_id (where min-id keep would differ) —
+    pinned on a literal pair graph + constructed docs, so the rule is
+    tested independently of shingle thresholds."""
+    import rs_streamloader_spark.operators.dedup as D
+
+    good = (
+        "this is a long well formed document with plenty of words "
+    ) * 8  # len >= 200, tokens >= 40, avg token len in band -> q = 3
+    bad = "tiny doc"  # q = 0
+    docs = pd.DataFrame(
+        {
+            "doc_id": [100, 200, 300],
+            "text": [bad, good, good],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(bad), len(good), len(good)],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        tmp_path / "documents.parquet",
+    )
+    pairs = spark.createDataFrame(
+        [(100, 200), (100, 300)], "doc_a bigint, doc_b bigint"
+    )
+    monkeypatch.setattr(D, "_jaccard_pairs", lambda _s, _d: pairs)
+    got = {
+        r["cluster_id"]: r
+        for r in D.dedup_keep_best_quality(spark, str(tmp_path)).collect()
+    }
+    row = got[100]  # cluster id = min doc_id
+    assert row["n_members"] == 3
+    assert row["kept_doc"] == 200  # best quality, doc_id tiebreak
+    assert row["kept_quality"] == 3
+    assert bool(row["keeper_differs_from_min_id"]) is True
+    assert row["dropped_tokens"] > 0

@@ -260,6 +260,7 @@ HEAVY_TAIL = [
     "cusum_drift_daily",
     "embedding_source_drift",
     "ucb_arm_ranking",
+    "dedup_keep_best_quality",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -291,6 +292,9 @@ MEASURE_OUTPUT = {
     # balanced sample: output = #langs × min-lang count — linear in
     # the corpus; measured so the balance property stays observable
     "lang_rebalance_sample",
+    # cluster table: grows with the near-dup population — measured so
+    # the keep-best decision table's growth stays observable
+    "dedup_keep_best_quality",
     "embedding_near_dup",
     "embedding_near_dup_lsh",
     "dedup_ngram_jaccard",
