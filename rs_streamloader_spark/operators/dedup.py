@@ -376,19 +376,33 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     one driver sync per step instead of two; pair graphs from a
     Jaccard threshold are near-cliques (diameter ~2), so one fused
     step typically converges."""
-    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .cache()
-    )
-    labels = propagate_min_labels(edges)
+    labels = _cluster_labels(spark, sf_dir)
     w = Window.partitionBy("cluster_id")
     return (
-        labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
-        .withColumn("cluster_size", F.count("*").over(w))
+        labels.withColumn("cluster_size", F.count("*").over(w))
         .withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
     )
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared cached component-label stage (doc_id, cluster_id) over
+    the Jaccard pair graph — propagate_min_labels runs EAGERLY
+    (per-step driver sync), so every consumer beyond the first
+    (dedup_cluster, dedup_keep_best_quality, catalog sweeps) must read
+    the cache, not re-propagate."""
+
+    def build() -> DataFrame:
+        pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        edges = pairs.select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        ).unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        return propagate_min_labels(edges).select(
+            F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+
+    return stage_cached(spark, sf_dir, "cluster_labels", build)
 
 
 # ---------------------------------------------------------------------------
@@ -2059,26 +2073,19 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: rides the SAME cached Jaccard pair stage and fused
     min-label propagation as the rest of the graph family (bounded
     df-capped candidate generation, one ranking window per cluster
-    partition); the quality join touches only clustered docs (a
-    near-dup-sized subset, pinned shuffle-hash on the doc side).
+    partition); the quality join streams the corpus projection
+    against a shuffle-hash BUILD on the near-dup-sized labels subset
+    (build-on-candidate convention).
     Cross-engine determinism: the quality heuristic is the
     integer-valued shared definition (text_quality_score), ranking
     ties break on doc_id, all counts BIGINT."""
-    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .cache()
-    )
-    labels = propagate_min_labels(edges).select(
-        F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
-    )
+    labels = _cluster_labels(spark, sf_dir)
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    scored = labels.join(
-        docs.select("doc_id", quality_score().alias("q"), n_tokens().alias("n_tok"))
-        .hint("shuffle_hash"),
-        "doc_id",
-    )
+    # build side = the near-dup-sized LABELS subset, never the O(SF)
+    # documents projection (build-on-candidate convention)
+    scored = docs.select(
+        "doc_id", quality_score().alias("q"), n_tokens().alias("n_tok")
+    ).join(labels.hint("shuffle_hash"), "doc_id")
     wr = Window.partitionBy("cluster_id").orderBy(F.col("q").desc(), "doc_id")
     ranked = scored.withColumn("rn", F.row_number().over(wr))
     return ranked.groupBy("cluster_id").agg(

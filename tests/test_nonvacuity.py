@@ -506,7 +506,7 @@ def test_keep_best_quality_overrides_min_id(spark, tmp_path, monkeypatch):
     good = (
         "this is a long well formed document with plenty of words "
     ) * 8  # len >= 200, tokens >= 40, avg token len in band -> q = 3
-    bad = "tiny doc"  # q = 0
+    bad = "aaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbb"  # q = 0 (short, few, long tokens)
     docs = pd.DataFrame(
         {
             "doc_id": [100, 200, 300],

@@ -2189,3 +2189,29 @@ def test_embedding_source_drift_join_pinned(spark):
     assert "SortMergeJoin" not in text, text
     cols = scan_columns(df)
     assert {"doc_id", "source"} in cols, cols
+
+
+def test_ucb_lead_window_is_sessionized(spark):
+    """UCB readout (r10): the LEAD runs inside the (user, day) journey
+    partition — never a global window over raw rows; the events scan
+    reads only the four referenced columns."""
+    from rs_streamloader_spark.operators.stats import ucb_arm_ranking
+
+    df = ucb_arm_ranking(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "windowspecdefinition(user_id" in text, text
+    cols = scan_columns(df)
+    assert {"user_id", "ts", "event_id", "event_type"} in cols, cols
+
+
+def test_keep_best_quality_builds_on_labels_side(spark):
+    """Canonical-copy selection (r10): the quality join is pinned
+    shuffle-hash with the near-dup-sized LABELS subset as the build
+    side (the corpus projection streams); ranking windows partition
+    per cluster."""
+    from rs_streamloader_spark.operators.dedup import dedup_keep_best_quality
+
+    df = dedup_keep_best_quality(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "ShuffledHashJoin" in text, text
+    assert "windowspecdefinition(cluster_id" in text, text
