@@ -57,6 +57,14 @@ HEAVY_K100 = [
     "ann_topk_bruteforce",
     "dedup_cluster",
     "split_leakage_audit",
+    # r10-session additions with a 100x-relevant shape
+    "dedup_keep_best_quality",
+    "lang_rebalance_sample",
+    "embedding_source_drift",
+    "markov_attribution_removal",
+    "bloom_join_prune_audit",
+    "join_cardinality_estimate_audit",
+    "cusum_drift_daily",
 ]
 
 
