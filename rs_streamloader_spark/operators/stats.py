@@ -5928,3 +5928,136 @@ def ucb_arm_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("ucb_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SPRT sequential-stopping audit for the A/B split
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_SPRT_P0 = 0.35  # pre-registered null conversion rate (user-day units)
+_SPRT_P1 = 0.45  # pre-registered alternative (the effect worth shipping)
+# frozen shared literals (the per-rank-constants policy): both engines
+# multiply integer counts by the SAME nano-unit constants, so the LLR
+# path is pure integer arithmetic end to end
+_SPRT_C1_NANO = round(_math.log(_SPRT_P1 / _SPRT_P0) * 1e9)  # per conversion
+_SPRT_C0_NANO = round(_math.log((1 - _SPRT_P1) / (1 - _SPRT_P0)) * 1e9)  # per miss
+_SPRT_A_NANO = round(_math.log(19.0) * 1e9)  # ln((1-β)/α), α=β=0.05
+_SPRT_B_NANO = -_SPRT_A_NANO  # ln(β/(1-α)) — symmetric at α=β
+
+
+@register(
+    "ab_sprt_stopping_audit",
+    oracle=f"""
+    WITH u AS (
+      SELECT CAST(ts AS DATE) AS day,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events WHERE user_id % 2 = 1
+      GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    daily AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n_units,
+             CAST(SUM(conv) AS BIGINT) AS x_conv
+      FROM u GROUP BY day
+    ),
+    llr AS (
+      SELECT day, n_units, x_conv,
+             CAST(x_conv * {_SPRT_C1_NANO}
+                  + (n_units - x_conv) * {_SPRT_C0_NANO} AS BIGINT)
+               AS llr_term_nano
+      FROM daily
+    ),
+    cum AS (
+      SELECT day, n_units, x_conv, llr_term_nano,
+             CAST(SUM(llr_term_nano)
+                  OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_llr_nano
+      FROM llr
+    ),
+    flagged AS (
+      SELECT *,
+             MAX(CASE WHEN cum_llr_nano >= {_SPRT_A_NANO} THEN 1 ELSE 0 END)
+               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS crossed_up,
+             MAX(CASE WHEN cum_llr_nano <= {_SPRT_B_NANO} THEN 1 ELSE 0 END)
+               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS crossed_down
+      FROM cum
+    )
+    SELECT STRFTIME(day, '%Y-%m-%d') AS day, n_units, x_conv,
+           llr_term_nano, cum_llr_nano,
+           CASE WHEN crossed_up = 1 AND crossed_down = 0 THEN 'accept_h1'
+                WHEN crossed_down = 1 AND crossed_up = 0 THEN 'accept_h0'
+                WHEN crossed_up = 1 AND crossed_down = 1 THEN 'both_crossed'
+                ELSE 'continue' END AS verdict
+    FROM flagged
+    """,
+)
+def ab_sprt_stopping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT sequential-stopping audit of the treatment arm (Wald
+    1945 — the "when could we have stopped this experiment" readout):
+    daily user-day conversions accumulate the binomial log-likelihood
+    ratio between the pre-registered H1 (p={_SPRT_P1}) and H0
+    (p={_SPRT_P0}); the verdict turns sticky once the cumulative LLR
+    crosses ln((1−β)/α) (accept H1) or its negative (accept H0) at
+    α=β=0.05. Complements ``ab_test_proportion_z`` (a fixed-horizon
+    test this audit tells you when you could have ended early).
+
+    Scale posture: raw events collapse to user-day conversions, then
+    to the bounded DAILY grid (two combinable aggregates); cumulative
+    LLR and the sticky crossing flags are windows over that grid only.
+    Cross-engine determinism: THE classic frozen-shared-literal shape
+    — both engines multiply integer (conversion, miss) counts by the
+    same precomputed nano-unit LN constants ({_SPRT_C1_NANO} /
+    {_SPRT_C0_NANO}), so no transcendental is ever evaluated inside
+    either engine; boundaries are frozen nano literals; verdicts are
+    integer comparisons."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    u = (
+        ev.filter(F.col("user_id") % 2 == 1)
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    daily = u.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum("conv").cast("bigint").alias("x_conv"),
+    )
+    llr = daily.select(
+        "day",
+        "n_units",
+        "x_conv",
+        F.expr(
+            f"CAST(x_conv * {_SPRT_C1_NANO}"
+            f" + (n_units - x_conv) * {_SPRT_C0_NANO} AS BIGINT)"
+        ).alias("llr_term_nano"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = llr.withColumn(
+        "cum_llr_nano", F.sum("llr_term_nano").over(w).cast("bigint")
+    )
+    flagged = cum.select(
+        "*",
+        F.max(
+            F.when(F.col("cum_llr_nano") >= _SPRT_A_NANO, 1).otherwise(0)
+        ).over(w).alias("crossed_up"),
+        F.max(
+            F.when(F.col("cum_llr_nano") <= _SPRT_B_NANO, 1).otherwise(0)
+        ).over(w).alias("crossed_down"),
+    )
+    verdict = (
+        F.when((F.col("crossed_up") == 1) & (F.col("crossed_down") == 0), "accept_h1")
+        .when((F.col("crossed_down") == 1) & (F.col("crossed_up") == 0), "accept_h0")
+        .when((F.col("crossed_up") == 1) & (F.col("crossed_down") == 1), "both_crossed")
+        .otherwise("continue")
+    )
+    return flagged.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_units",
+        "x_conv",
+        "llr_term_nano",
+        "cum_llr_nano",
+        verdict.alias("verdict"),
+    )

@@ -614,3 +614,41 @@ def test_ucb_exploration_bonus_matches_numpy(spark, monkeypatch):
         assert got[arm]["ucb_score"] == pytest.approx(expect, abs=2e-6)
     # the tiny arm's bonus flips the ranking despite the worse rate
     assert got["click"]["ucb_rank"] == 1 and got["view"]["ucb_rank"] == 2
+
+
+def test_sprt_accepts_h0_on_low_conversion(spark, monkeypatch):
+    """The accept_h0 branch (never reached on the natural corpus, where
+    conversion ≈ 40% > p1) fires on a constructed low-conversion arm,
+    and every LLR term matches math.log recomputed from scratch."""
+    import math
+
+    rows = []
+    eid = 0
+    for day in range(1, 11):
+        for u in range(50):
+            uid = u * 2 + 1  # arm B only (user_id % 2 == 1)
+            ts = pd.Timestamp(f"2024-03-{day:02d} 10:00:00")
+            rows.append((eid, ts, uid, "view", 1.0))
+            eid += 1
+            if u < 5:  # 10% conversion << p0=0.35
+                rows.append((eid, ts + pd.Timedelta(minutes=1), uid, "purchase", 5.0))
+                eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"events": sdf})
+    got = (
+        S.ab_sprt_stopping_audit(spark, "x")
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    c1 = round(math.log(S._SPRT_P1 / S._SPRT_P0) * 1e9)
+    c0 = round(math.log((1 - S._SPRT_P1) / (1 - S._SPRT_P0)) * 1e9)
+    assert (got["n_units"] == 50).all() and (got["x_conv"] == 5).all()
+    assert (got["llr_term_nano"] == 5 * c1 + 45 * c0).all()
+    # cumulative crosses the lower boundary quickly and stays sticky
+    assert got.iloc[0]["verdict"] == "accept_h0"  # |day-1 LLR| > ln 19
+    assert (got["verdict"] == "accept_h0").all()

@@ -261,6 +261,7 @@ HEAVY_TAIL = [
     "embedding_source_drift",
     "ucb_arm_ranking",
     "dedup_keep_best_quality",
+    "ab_sprt_stopping_audit",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
