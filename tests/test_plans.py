@@ -2215,3 +2215,62 @@ def test_keep_best_quality_builds_on_labels_side(spark):
     text = explain_str(df, "simple")
     assert "ShuffledHashJoin" in text, text
     assert "windowspecdefinition(cluster_id" in text, text
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Optimizer awareness (r10): Spark's dynamic partition pruning
+    injects a runtime partition filter into the fact scan when a
+    partitioned table joins a selectively-filtered broadcast dim — the
+    mechanism that makes partitioned 100 TB layouts probe-cheap. This
+    pins that our local build actually plans DPP (so layout decisions
+    justified by it are real), using an independent literal dim (a dim
+    derived from the fact table itself constant-folds instead)."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    p = str(tmp_path / "li_part")
+    li.write.partitionBy("ship_month").parquet(p)
+    part = spark.read.parquet(p)
+    dim = spark.createDataFrame(
+        [("1995-03", "target"), ("1995-04", "other")],
+        "ship_month string, tag string",
+    ).filter(F.col("tag") == "target")
+    j = part.join(F.broadcast(dim), "ship_month").groupBy("ship_month").count()
+    ex = j._jdf.queryExecution().toString()
+    assert "dynamicpruning" in ex.lower(), ex[:2000]
+
+
+def test_runtime_bloom_filter_injection_fires(spark):
+    """Optimizer awareness (r10): with broadcast disabled (the 100 TB
+    big-big join case) Spark injects a bloom_filter_agg semi-join
+    reduction from the selectively-filtered build side into the probe
+    scan — the engine-native counterpart of bloom_join_prune_audit's
+    first-principles sketch. Pins that the feature plans on this build
+    under the conditions it needs (a genuine shuffle join + the
+    application-side size threshold)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        j = (
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        ex = j._jdf.queryExecution().toString()
+        assert "bloom_filter_agg" in ex, ex[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
