@@ -2102,3 +2102,101 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dropped_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded k-core peeling over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3  # fixed peel rounds (spec'd, like pagerank's 3 iterations)
+
+
+def _kcore_oracle() -> str:
+    ctes = [
+        f"""e0 AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    )"""
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        ctes.append(
+            f"""k{r} AS (
+      SELECT u FROM (SELECT u, COUNT(*) AS c FROM e{r - 1} GROUP BY u)
+      WHERE c >= {_KCORE_K}
+    ),
+    e{r} AS (
+      SELECT e.u, e.v FROM e{r - 1} e
+      JOIN k{r} a ON a.u = e.u
+      JOIN k{r} b ON b.u = e.v
+    )"""
+        )
+    selects = " UNION ALL ".join(
+        f"""SELECT {r} AS round,
+           CAST((SELECT COUNT(DISTINCT u) FROM e{r}) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e{r}) // 2 AS BIGINT) AS n_edges"""
+        for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    return (
+        f"WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),\n    "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + selects
+    )
+
+
+@register("kcore_graph_trim", oracle=_kcore_oracle())
+def kcore_graph_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded {_KCORE_K}-core peeling over the near-dup pair graph:
+    {_KCORE_ROUNDS} fixed rounds of drop-degree-<{_KCORE_K} nodes,
+    reporting surviving node/edge counts per round — the graph-
+    densification screen that separates incidental pairwise matches
+    (2-node chains, peeled in round 1) from genuinely replicated
+    content (cliques survive every round). Convergence is visible as
+    consecutive equal rows; a fixed round count keeps the spec
+    engine-replayable (the pagerank_neardup precedent — the oracle
+    unrolls the identical rounds).
+
+    Scale posture: rides the cached df-capped Jaccard pair stage; each
+    round is one combinable degree aggregate + two semi-join trims on
+    the (shrinking) edge list, and the emitted table is
+    {_KCORE_ROUNDS} summary rows; each round's (shrinking) edge list is
+    localCheckpoint-ed so later rounds never re-run earlier trims
+    (counts never touch the driver).
+    Cross-engine determinism: pure integer counts; the symmetric edge
+    list double-counts each undirected edge, halved by exact integer
+    division on both engines."""
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+
+    out = None
+    cur = edges
+    for r in range(1, _KCORE_ROUNDS + 1):
+        keep = (
+            cur.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= _KCORE_K)
+            .select("u")
+        )
+        cur = (
+            cur.join(keep.hint("shuffle_hash"), "u", "left_semi")
+            .join(
+                keep.withColumnRenamed("u", "v").hint("shuffle_hash"),
+                "v",
+                "left_semi",
+            )
+            # truncate lineage per round (propagate_min_labels
+            # precedent): without this, round r's summary re-runs
+            # every earlier round's trim AND the pair stage again
+            .localCheckpoint()
+        )
+        summary = cur.agg(
+            F.lit(r).alias("round"),
+            F.countDistinct("u").cast("bigint").alias("n_nodes"),
+            F.expr("CAST(COUNT(*) div 2 AS BIGINT)").alias("n_edges"),
+        ).select("round", "n_nodes", "n_edges")
+        out = summary if out is None else out.unionByName(summary)
+    return out

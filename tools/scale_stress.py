@@ -262,6 +262,7 @@ HEAVY_TAIL = [
     "ucb_arm_ranking",
     "dedup_keep_best_quality",
     "ab_sprt_stopping_audit",
+    "kcore_graph_trim",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -333,9 +334,10 @@ CONSTANT_OUTPUT = {
     "woe_iv_feature_screen",
     # one row per channel; the channel set is scale-invariant
     "markov_attribution_removal",
-    # bounded source-pair matrix / arm set
+    # bounded source-pair matrix / arm set / fixed peel rounds
     "embedding_source_drift",
     "ucb_arm_ranking",
+    "kcore_graph_trim",
     # 1-row audit; at 10x members the fixed-m bloom saturates and
     # pruned_ppm -> 0 — measuring that IS the audit's job
     "bloom_join_prune_audit",
