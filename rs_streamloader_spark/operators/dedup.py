@@ -2200,3 +2200,153 @@ def kcore_graph_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("round", "n_nodes", "n_edges")
         out = summary if out is None else out.unionByName(summary)
     return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash banding tuning curve (b x r trade-off table)
+# ---------------------------------------------------------------------------
+
+_TUNE_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))  # (bands, rows/band)
+_TUNE_GROUP_CAP = 512  # drop degenerate band groups, REPORTED per config
+
+
+def _tuning_oracle() -> str:
+    mins = ",\n             ".join(
+        f"MIN(MD5('{k}|' || sh)) AS h{k}" for k in range(N_MINHASH)
+    )
+    blocks = []
+    for nb, rows in _TUNE_CONFIGS:
+        band_sel = "\n      UNION ALL\n      ".join(
+            f"SELECT doc_id, {b} AS band_idx,"
+            f" MD5({' || '.join(f'h{b * rows + r}' for r in range(rows))}) AS band_val"
+            f" FROM sig"
+            for b in range(nb)
+        )
+        blocks.append(f"""
+    SELECT {nb} AS bands, {rows} AS rows_per_band,
+           n_candidate_pairs, n_hit_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_exact_pairs,
+           CAST(CAST(n_hit_pairs AS HUGEINT) * 1000000
+                // GREATEST((SELECT COUNT(*) FROM pairs), 1) AS BIGINT)
+             AS recall_ppm,
+           CAST(CAST(n_hit_pairs AS HUGEINT) * 1000000
+                // GREATEST(n_candidate_pairs, 1) AS BIGINT) AS precision_ppm,
+           n_capped_groups
+    FROM (
+      WITH bands_{nb} AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_val) AS g
+        FROM ({band_sel})
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM (SELECT * FROM bands_{nb} WHERE g <= {_TUNE_GROUP_CAP}) a
+        JOIN (SELECT * FROM bands_{nb} WHERE g <= {_TUNE_GROUP_CAP}) b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+      )
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidate_pairs,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cand c
+         JOIN pairs p ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b)
+          AS n_hit_pairs,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+           SELECT DISTINCT band_idx, band_val FROM bands_{nb}
+           WHERE g > {_TUNE_GROUP_CAP})) AS n_capped_groups
+    )""")
+    return f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    s AS ({_SHINGLE_SQL}),
+    sig AS (SELECT doc_id, {mins} FROM s GROUP BY doc_id)
+    {" UNION ALL ".join(blocks)}
+    """
+
+
+@register("minhash_band_tuning_curve", oracle=_tuning_oracle())
+def minhash_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding s-curve as a measured trade-off table: for each
+    (bands × rows-per-band) split of the {N_MINHASH}-hash signature —
+    {_TUNE_CONFIGS} — the candidate-pair volume, how many candidates
+    are true ≥θ near-dups, and recall/precision vs the exact Jaccard
+    pair set. This is the table you read before PICKING a banding
+    config (``lsh_recall_report`` audits the one shipped config; this
+    sweeps the dial): more bands with shorter rows → higher recall but
+    a flood of low-precision candidates to verify, and at 10×/100×
+    the r=1 candidate column is the cost of choosing wrong.
+
+    Scale posture: every config reads the SAME cached signature
+    aggregate (one shingle→minhash reduction for the whole sweep);
+    band groups above {_TUNE_GROUP_CAP} members are dropped BEFORE the
+    self-join via a window count (the spill-safe df-cap pattern) and
+    REPORTED per config in n_capped_groups — a silent cap would make
+    the candidate counts lie. Cross-engine determinism: identical md5
+    band keys, identical cap rule, pure integer counts with
+    HUGEINT/DECIMAL(38,0) ppm floor divisions."""
+    sig = _minhash_sig_cached(spark, sf_dir)
+    exact = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_pairs"))
+
+    out = None
+    for nb, rows in _TUNE_CONFIGS:
+        bands = None
+        for b in range(nb):
+            cat = F.md5(
+                F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+            )
+            sel = sig.select(
+                "doc_id", F.lit(b).alias("band_idx"), cat.alias("band_val")
+            )
+            bands = sel if bands is None else bands.unionByName(sel)
+        wg = Window.partitionBy("band_idx", "band_val")
+        flagged = bands.withColumn("g", F.count(F.lit(1)).over(wg))
+        kept = flagged.filter(F.col("g") <= _TUNE_GROUP_CAP).select(
+            "doc_id", "band_idx", "band_val"
+        )
+        capped = (
+            flagged.filter(F.col("g") > _TUNE_GROUP_CAP)
+            .select("band_idx", "band_val")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_capped_groups"))
+        )
+        cand = (
+            kept.alias("a")
+            .join(
+                kept.alias("b").hint("shuffle_hash"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        n_cand = cand.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs")
+        )
+        n_hit = (
+            cand.join(exact.hint("shuffle_hash"), ["doc_a", "doc_b"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_pairs"))
+        )
+        row = (
+            n_cand.crossJoin(F.broadcast(n_hit))
+            .crossJoin(F.broadcast(n_exact))
+            .crossJoin(F.broadcast(capped))
+            .select(
+                F.lit(nb).alias("bands"),
+                F.lit(rows).alias("rows_per_band"),
+                "n_candidate_pairs",
+                "n_hit_pairs",
+                "n_exact_pairs",
+                F.expr(
+                    "CAST(CAST(n_hit_pairs AS DECIMAL(38,0)) * 1000000"
+                    " div GREATEST(n_exact_pairs, 1) AS BIGINT)"
+                ).alias("recall_ppm"),
+                F.expr(
+                    "CAST(CAST(n_hit_pairs AS DECIMAL(38,0)) * 1000000"
+                    " div GREATEST(n_candidate_pairs, 1) AS BIGINT)"
+                ).alias("precision_ppm"),
+                "n_capped_groups",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

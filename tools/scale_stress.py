@@ -263,6 +263,7 @@ HEAVY_TAIL = [
     "dedup_keep_best_quality",
     "ab_sprt_stopping_audit",
     "kcore_graph_trim",
+    "minhash_band_tuning_curve",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -338,6 +339,8 @@ CONSTANT_OUTPUT = {
     "embedding_source_drift",
     "ucb_arm_ranking",
     "kcore_graph_trim",
+    # 4 fixed config rows; candidate counts inside them are the measure
+    "minhash_band_tuning_curve",
     # 1-row audit; at 10x members the fixed-m bloom saturates and
     # pruned_ppm -> 0 — measuring that IS the audit's job
     "bloom_join_prune_audit",
