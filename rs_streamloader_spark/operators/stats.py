@@ -6061,3 +6061,163 @@ def ab_sprt_stopping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_llr_nano",
         verdict.alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width histogram sketch, quantile-audited
+# ---------------------------------------------------------------------------
+
+_EWH_BINS = 64
+_EWH_QS = ((1, 2, "p50"), (19, 20, "p95"))
+
+
+@register(
+    "equiwidth_hist_quantile_audit",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    ),
+    b AS (
+      SELECT CAST(MIN(c) AS BIGINT) AS lo, CAST(MAX(c) AS BIGINT) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM v
+    ),
+    hist AS (
+      SELECT (c - lo) * {_EWH_BINS} // (hi - lo + 1) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM v, b GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, cnt,
+             SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+      FROM hist
+    ),
+    qs AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"({num}, {den}, '{lbl}')" for num, den, lbl in _EWH_QS)}
+      ) AS t(q_num, q_den, q_label)
+    ),
+    est AS (
+      SELECT q.q_label, b.n,
+             CAST(MIN(b.lo + c.bin * (b.hi - b.lo + 1) // {_EWH_BINS}
+                  + ((b.hi - b.lo + 1) // {_EWH_BINS})
+                    * ((b.n * q.q_num + q.q_den - 1) // q.q_den
+                       - (c.cum - c.cnt))
+                    // c.cnt) AS BIGINT) AS est_cents,
+             CAST(MIN((b.hi - b.lo + 1) // {_EWH_BINS}) AS BIGINT)
+               AS bin_width_cents
+      FROM cum c CROSS JOIN b JOIN qs q
+        ON c.cum >= (b.n * q.q_num + q.q_den - 1) // q.q_den
+       AND c.cum - c.cnt < (b.n * q.q_num + q.q_den - 1) // q.q_den
+      GROUP BY 1, 2
+    ),
+    vh AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY c),
+    vcum AS (
+      SELECT c, cnt, SUM(cnt) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum
+      FROM vh
+    ),
+    exact AS (
+      SELECT q.q_label, CAST(MIN(vc.c) AS BIGINT) AS exact_cents
+      FROM vcum vc CROSS JOIN b JOIN qs q
+        ON vc.cum >= (b.n * q.q_num + q.q_den - 1) // q.q_den
+       AND vc.cum - vc.cnt < (b.n * q.q_num + q.q_den - 1) // q.q_den
+      GROUP BY 1
+    )
+    SELECT e.q_label, e.n, e.est_cents, x.exact_cents,
+           ABS(e.est_cents - x.exact_cents) AS abs_err_cents,
+           e.bin_width_cents,
+           (ABS(e.est_cents - x.exact_cents) <= e.bin_width_cents)
+             AS within_guarantee
+    FROM est e JOIN exact x ON x.q_label = e.q_label
+    """,
+)
+def equiwidth_hist_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram sketch with its accuracy audit:
+    a fixed {_EWH_BINS}-bin count histogram over order totals — the
+    simplest MERGEABLE quantile sketch; Spark's partial aggregation IS
+    the distributed sketch merge, since per-partition bin counts add —
+    answers p50/p95 by integer interpolation inside the located bin,
+    and the audit compares against the EXACT percentile (the
+    ``percentile_disc`` value-histogram machinery), asserting the
+    sketch's theoretical guarantee |est − exact| ≤ bin width. The
+    every-sketch-ships-its-own-audit pattern (bloom_filter_fpr,
+    heavy_hitters_cms, distinct_hll_manual) applied to quantiles.
+
+    Scale posture: TWO combinable aggregates over the scan (the 64-bin
+    sketch and the value-range-bounded exact histogram) plus windows
+    over those bounded tables; bounds ride a 1-row broadcast.
+    Cross-engine determinism: everything is BIGINT cents with floor
+    division — bin assignment, the ceil(q·n) index arithmetic of the
+    percentile family, and the in-bin linear interpolation are all
+    exact integer expressions identical on both engines."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    v = orders.select(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("c"))
+    b = v.agg(
+        F.min("c").cast("bigint").alias("lo"),
+        F.max("c").cast("bigint").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    hist = (
+        v.crossJoin(F.broadcast(b))
+        .groupBy(F.expr(f"(c - lo) * {_EWH_BINS} div (hi - lo + 1)").alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    qs = spark.createDataFrame(
+        [(num, den, lbl) for num, den, lbl in _EWH_QS],
+        "q_num bigint, q_den bigint, q_label string",
+    )
+    idx = F.expr("(n * q_num + q_den - 1) div q_den")
+    est = (
+        cum.crossJoin(F.broadcast(b))
+        .join(
+            F.broadcast(qs),
+            (F.col("cum") >= idx) & (F.col("cum") - F.col("cnt") < idx),
+        )
+        .groupBy("q_label", "n")
+        .agg(
+            F.min(
+                F.expr(
+                    f"lo + bin * (hi - lo + 1) div {_EWH_BINS}"
+                    f" + ((hi - lo + 1) div {_EWH_BINS})"
+                    f" * ((n * q_num + q_den - 1) div q_den - (cum - cnt))"
+                    f" div cnt"
+                )
+            )
+            .cast("bigint")
+            .alias("est_cents"),
+            F.min(F.expr(f"(hi - lo + 1) div {_EWH_BINS}"))
+            .cast("bigint")
+            .alias("bin_width_cents"),
+        )
+    )
+    vh = v.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wv = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    vcum = vh.withColumn("cum", F.sum("cnt").over(wv))
+    exact = (
+        vcum.crossJoin(F.broadcast(b))
+        .join(
+            F.broadcast(qs),
+            (F.col("cum") >= idx) & (F.col("cum") - F.col("cnt") < idx),
+        )
+        .groupBy("q_label")
+        .agg(F.min("c").cast("bigint").alias("exact_cents"))
+    )
+    return (
+        est.join(exact, "q_label")
+        .select(
+            "q_label",
+            "n",
+            "est_cents",
+            "exact_cents",
+            F.abs(F.col("est_cents") - F.col("exact_cents"))
+            .cast("bigint")
+            .alias("abs_err_cents"),
+            "bin_width_cents",
+            (
+                F.abs(F.col("est_cents") - F.col("exact_cents"))
+                <= F.col("bin_width_cents")
+            ).alias("within_guarantee"),
+        )
+    )

@@ -264,6 +264,7 @@ HEAVY_TAIL = [
     "ab_sprt_stopping_audit",
     "kcore_graph_trim",
     "minhash_band_tuning_curve",
+    "equiwidth_hist_quantile_audit",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -341,6 +342,8 @@ CONSTANT_OUTPUT = {
     "kcore_graph_trim",
     # 4 fixed config rows; candidate counts inside them are the measure
     "minhash_band_tuning_curve",
+    # 2 fixed quantile rows
+    "equiwidth_hist_quantile_audit",
     # 1-row audit; at 10x members the fixed-m bloom saturates and
     # pruned_ppm -> 0 — measuring that IS the audit's job
     "bloom_join_prune_audit",
