@@ -2412,3 +2412,144 @@ def embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe recall curve (the ANN latency/recall dial, measured)
+# ---------------------------------------------------------------------------
+
+_NPROBE_SWEEP = (1, 2, 4)
+
+
+def _nprobe_oracle() -> str:
+    exact = f"""
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY ROUND({_DUCK_COS}, 6) DESC, b.vec_id
+               ) AS rn
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {N_QUERIES}
+      ) WHERE rn <= {TOP_K}
+    )"""
+    blocks = []
+    for p in _NPROBE_SWEEP:
+        probe_set = ", ".join(_duck_cell("a", k) for k in range(1, p + 1))
+        blocks.append(f"""
+    SELECT {p} AS nprobe,
+           CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{p}) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id) AS rn
+                FROM cand_{p}
+              ) WHERE rn <= {TOP_K}
+           ) ap JOIN exact e
+             ON e.query_id = ap.query_id AND e.neighbor_id = ap.neighbor_id)
+             AS n_hits""")
+    cands = []
+    for p in _NPROBE_SWEEP:
+        probe_set = ", ".join(_duck_cell("a", k) for k in range(1, p + 1))
+        cands.append(f"""cand_{p} AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND({_DUCK_COS}, 6) AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON b.vec_id <> a.vec_id
+       AND {_duck_cell('b')} IN ({probe_set})
+      WHERE a.vec_id < {N_QUERIES}
+    )""")
+    body = " UNION ALL ".join(blocks)
+    return f"""
+    WITH {exact.strip().lstrip()},
+    {", ".join(cands)},
+    raw AS ({body})
+    SELECT nprobe, n_queries, n_candidates, n_hits,
+           CAST(CAST(n_hits AS HUGEINT) * 1000000
+                // GREATEST({N_QUERIES} * {TOP_K}, 1) AS BIGINT) AS recall_ppm
+    FROM raw
+    """
+
+
+@register("ann_nprobe_recall_curve", oracle=_nprobe_oracle())
+def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF latency/recall dial as a measured table: for nprobe ∈
+    {_NPROBE_SWEEP}, the candidate volume and recall@{TOP_K} of
+    probing the query's nprobe best cells of the fixed coarse
+    quantizer, against the brute-force top-{TOP_K} ground truth — the
+    ANN twin of ``minhash_band_tuning_curve`` (every approximate
+    family ships its tuning curve, not just its shipped-config audit
+    ``ivf_recall_curve``). Candidate volume grows ~linearly with
+    nprobe while recall saturates; where the curve flattens is the
+    nprobe worth paying for at 100 TB.
+
+    Scale posture: every sweep point rides the family's cached
+    norm+projection stage (the per-vector folds run once); the tiny
+    query side explodes per probed cell and broadcasts; corpus rows
+    stay single-copy partitioned by cell; rankings are per-query
+    windows over the bounded candidate sets. Cross-engine
+    determinism: identical sequential-fold dots, 6dp-rounded cosine
+    ordering with vec_id tiebreaks, integer counts and HUGEINT floor
+    ppm."""
+    base = _emb_norm_cached(spark, sf_dir)
+    corpus = base.withColumn("cell", _spark_cell()).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+        "cell",
+    )
+    exact = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    cos = F.round(_dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 6)
+
+    out = None
+    for p in _NPROBE_SWEEP:
+        probe_cells = F.array_distinct(
+            F.array(*[_spark_cell(k) for k in range(1, p + 1)])
+        )
+        queries = (
+            base.filter(F.col("vec_id") < N_QUERIES)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("emb_a"),
+                F.col("norm").alias("norm_a"),
+                F.explode(probe_cells).alias("cell"),
+            )
+        )
+        cand = (
+            F.broadcast(queries)
+            .join(corpus, ["cell"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", cos.alias("cosine"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        approx = cand.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= TOP_K
+        )
+        n_cand = cand.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+        )
+        n_hits = (
+            approx.join(exact.hint("shuffle_hash"), ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+        )
+        row = (
+            n_cand.crossJoin(F.broadcast(n_hits))
+            .select(
+                F.lit(p).alias("nprobe"),
+                F.lit(N_QUERIES).cast("bigint").alias("n_queries"),
+                "n_candidates",
+                "n_hits",
+                F.expr(
+                    f"CAST(CAST(n_hits AS DECIMAL(38,0)) * 1000000"
+                    f" div GREATEST({N_QUERIES * TOP_K}, 1) AS BIGINT)"
+                ).alias("recall_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -265,6 +265,7 @@ HEAVY_TAIL = [
     "kcore_graph_trim",
     "minhash_band_tuning_curve",
     "equiwidth_hist_quantile_audit",
+    "ann_nprobe_recall_curve",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -342,8 +343,9 @@ CONSTANT_OUTPUT = {
     "kcore_graph_trim",
     # 4 fixed config rows; candidate counts inside them are the measure
     "minhash_band_tuning_curve",
-    # 2 fixed quantile rows
+    # 2 fixed quantile rows / 3 fixed nprobe rows
     "equiwidth_hist_quantile_audit",
+    "ann_nprobe_recall_curve",
     # 1-row audit; at 10x members the fixed-m bloom saturates and
     # pruned_ppm -> 0 — measuring that IS the audit's job
     "bloom_join_prune_audit",
