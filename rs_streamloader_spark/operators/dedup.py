@@ -2319,6 +2319,9 @@ def minhash_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
             )
             .distinct()
+            # consumed twice (count + hit semi-join) — checkpoint so the
+            # banded self-join runs once per config, not twice
+            .localCheckpoint()
         )
         n_cand = cand.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs")

@@ -2436,7 +2436,6 @@ def _nprobe_oracle() -> str:
     )"""
     blocks = []
     for p in _NPROBE_SWEEP:
-        probe_set = ", ".join(_duck_cell("a", k) for k in range(1, p + 1))
         blocks.append(f"""
     SELECT {p} AS nprobe,
            CAST({N_QUERIES} AS BIGINT) AS n_queries,
@@ -2524,6 +2523,9 @@ def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(corpus, ["cell"])
             .filter(F.col("neighbor_id") != F.col("query_id"))
             .select("query_id", "neighbor_id", cos.alias("cosine"))
+            # consumed twice (candidate count + the ranked hit join) —
+            # checkpoint so the cell join runs once per sweep point
+            .localCheckpoint()
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id")

@@ -6099,12 +6099,12 @@ _EWH_QS = ((1, 2, "p50"), (19, 20, "p95"))
     ),
     est AS (
       SELECT q.q_label, b.n,
-             CAST(MIN(b.lo + c.bin * (b.hi - b.lo + 1) // {_EWH_BINS}
-                  + ((b.hi - b.lo + 1) // {_EWH_BINS})
+             CAST(MIN(b.lo + (c.bin * (b.hi - b.lo + 1) + {_EWH_BINS - 1}) // {_EWH_BINS}
+                  + (((b.hi - b.lo + 1) + {_EWH_BINS - 1}) // {_EWH_BINS})
                     * ((b.n * q.q_num + q.q_den - 1) // q.q_den
                        - (c.cum - c.cnt))
                     // c.cnt) AS BIGINT) AS est_cents,
-             CAST(MIN((b.hi - b.lo + 1) // {_EWH_BINS}) AS BIGINT)
+             CAST(MIN(((b.hi - b.lo + 1) + {_EWH_BINS - 1}) // {_EWH_BINS}) AS BIGINT)
                AS bin_width_cents
       FROM cum c CROSS JOIN b JOIN qs q
         ON c.cum >= (b.n * q.q_num + q.q_den - 1) // q.q_den
@@ -6146,10 +6146,17 @@ def equiwidth_hist_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale posture: TWO combinable aggregates over the scan (the 64-bin
     sketch and the value-range-bounded exact histogram) plus windows
     over those bounded tables; bounds ride a 1-row broadcast.
-    Cross-engine determinism: everything is BIGINT cents with floor
-    division — bin assignment, the ceil(q·n) index arithmetic of the
-    percentile family, and the in-bin linear interpolation are all
-    exact integer expressions identical on both engines."""
+    The reported bin edge is the CEILING lo + ceil(bin·W/{bins}) (the
+    true smallest value the bin can hold) and the reported width is
+    ceil(W/{bins}) (an upper bound on every actual bin width), so
+    |est − exact| ≤ bin_width is PROVABLE: exact lies in [edge,
+    edge+width−1] and the interpolated estimate in (edge, edge+width]
+    — a floor-edge convention could report a spurious violation on
+    duplicate-heavy bins. Cross-engine determinism: everything is
+    BIGINT cents with floor division — bin assignment, the ceil(q·n)
+    index arithmetic of the percentile family, and the in-bin linear
+    interpolation are all exact integer expressions identical on both
+    engines."""
     orders = _t(spark, sf_dir, "orders")["orders"]
     v = orders.select(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("c"))
     b = v.agg(
@@ -6179,15 +6186,15 @@ def equiwidth_hist_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(
             F.min(
                 F.expr(
-                    f"lo + bin * (hi - lo + 1) div {_EWH_BINS}"
-                    f" + ((hi - lo + 1) div {_EWH_BINS})"
+                    f"lo + (bin * (hi - lo + 1) + {_EWH_BINS - 1}) div {_EWH_BINS}"
+                    f" + (((hi - lo + 1) + {_EWH_BINS - 1}) div {_EWH_BINS})"
                     f" * ((n * q_num + q_den - 1) div q_den - (cum - cnt))"
                     f" div cnt"
                 )
             )
             .cast("bigint")
             .alias("est_cents"),
-            F.min(F.expr(f"(hi - lo + 1) div {_EWH_BINS}"))
+            F.min(F.expr(f"((hi - lo + 1) + {_EWH_BINS - 1}) div {_EWH_BINS}"))
             .cast("bigint")
             .alias("bin_width_cents"),
         )

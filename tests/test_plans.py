@@ -2274,3 +2274,27 @@ def test_runtime_bloom_filter_injection_fires(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_equiwidth_sketch_reads_one_column(spark):
+    """Mergeable histogram sketch (r10): both aggregates are combinable
+    over a scan that reads exactly the one referenced column; windows
+    run over bounded (bin / value-range) tables only."""
+    from rs_streamloader_spark.operators.stats import equiwidth_hist_quantile_audit
+
+    df = equiwidth_hist_quantile_audit(spark, SF_SMOKE)
+    assert {"o_totalprice"} in scan_columns(df), scan_columns(df)
+    assert "CartesianProduct" not in explain_str(df, "simple")
+
+
+def test_tuning_curves_have_no_cartesian(spark):
+    """Both tuning curves (r10): every candidate join is an equality
+    join on band/cell keys — no cartesian anywhere, and the checkpoint
+    cut keeps each sweep point's candidate join single-execution."""
+    from rs_streamloader_spark.operators.dedup import minhash_band_tuning_curve
+    from rs_streamloader_spark.operators.similarity import ann_nprobe_recall_curve
+
+    for fn in (minhash_band_tuning_curve, ann_nprobe_recall_curve):
+        df = fn(spark, SF_SMOKE)
+        text = explain_str(df, "simple")
+        assert "CartesianProduct" not in text, (fn.__name__, text[:1500])

@@ -652,3 +652,35 @@ def test_sprt_accepts_h0_on_low_conversion(spark, monkeypatch):
     # cumulative crosses the lower boundary quickly and stays sticky
     assert got.iloc[0]["verdict"] == "accept_h0"  # |day-1 LLR| > ln 19
     assert (got["verdict"] == "accept_h0").all()
+
+
+def test_equiwidth_guarantee_on_duplicate_heavy_bins(spark, monkeypatch):
+    """Regression for the floor-edge convention (review finding): a
+    duplicate-heavy bin whose true smallest value sits ABOVE the
+    floor(bin·W/bins) edge used to produce a spurious guarantee
+    violation. With ceiling edges/widths the guarantee must hold on
+    this constructed corpus — and the estimate must still be within
+    one (reported) bin width of the exact quantile, checked directly
+    in Python."""
+    import math
+
+    # lo=0, hi=130 cents, mass piled on 0.88 (bin 42 covers 86..88)
+    prices = [0.00, 1.30] + [0.88] * 200 + [0.30] * 50
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": range(len(prices)),
+            "o_totalprice": prices,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"orders": sdf})
+    rows = {r["q_label"]: r for r in S.equiwidth_hist_quantile_audit(spark, "x").collect()}
+    W = 131
+    width = math.ceil(W / S._EWH_BINS)
+    for lbl in ("p50", "p95"):
+        r = rows[lbl]
+        assert r["bin_width_cents"] == width
+        assert abs(r["est_cents"] - r["exact_cents"]) <= width, r
+        assert bool(r["within_guarantee"]) is True, r
+    # the exact quantiles themselves are sane on this corpus
+    assert rows["p50"]["exact_cents"] == 88

@@ -4,7 +4,7 @@ k=100 heavy-family rehearsal (item 7).
 
 Usage:
     python tools/full_stress.py sweep [OUT.json]   # all catalog queries at k=10
-    python tools/full_stress.py k100  [OUT.json]   # heavy dedup/ANN six at k=100
+    python tools/full_stress.py k100  [OUT.json]   # the HEAVY_K100 families at k=100
 
 ``sweep`` orders the run so the rows the verdict watches (the two r8
 redefinitions and the never-stressed statistics family) land first —
@@ -65,6 +65,7 @@ HEAVY_K100 = [
     "bloom_join_prune_audit",
     "join_cardinality_estimate_audit",
     "cusum_drift_daily",
+    "minhash_band_tuning_curve",
 ]
 
 
