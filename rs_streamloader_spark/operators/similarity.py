@@ -347,6 +347,14 @@ def _spark_cell(k: int = 1):
 IVF_NPROBE = 2
 
 
+def _duck_probe_cells(alias: str) -> str:
+    """Oracle IN-list of the anchor's nprobe={IVF_NPROBE} probe cells,
+    rendered from the SAME constant the Spark side uses — a hand-typed
+    2-cell list would silently desync the engines if IVF_NPROBE ever
+    changed (the one-side-edit failure class fuzzy_name_match hit)."""
+    return ", ".join(_duck_cell(alias, k) for k in range(1, IVF_NPROBE + 1))
+
+
 @register(
     "ann_ivf_cells",
     oracle=f"""
@@ -360,7 +368,7 @@ IVF_NPROBE = 2
              ) AS rn
       FROM embeddings a JOIN embeddings b
         ON b.vec_id <> a.vec_id
-       AND {_duck_cell('b')} IN ({_duck_cell('a', 1)}, {_duck_cell('a', 2)})
+       AND {_duck_cell('b')} IN ({_duck_probe_cells('a')})
       WHERE a.vec_id < {N_QUERIES}
     ) WHERE rn <= {TOP_K}
     """,
@@ -2265,7 +2273,7 @@ _HN_K = 4  # hard negatives kept per anchor
                ) END AS rn
       FROM embeddings a JOIN embeddings b
         ON b.vec_id <> a.vec_id
-       AND {_duck_cell('b')} IN ({_duck_cell('a', 1)}, {_duck_cell('a', 2)})
+       AND {_duck_cell('b')} IN ({_duck_probe_cells('a')})
       WHERE a.vec_id < {N_QUERIES}
     ) WHERE rn <= {_HN_K}
     """,

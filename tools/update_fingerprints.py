@@ -107,10 +107,15 @@ def main() -> None:
         # the sentinel and vouched the new definition with old
         # evidence). The sentinel clears once the driver records a
         # green row in round >= N.
+        # Expected sentinel format: "stale:<reason>-rN" where rN is the
+        # round of redefinition. Take the MAX of all rN substrings so a
+        # sentinel mentioning an older round too ("stale:pre-r2-redefined-r10")
+        # parses as 10, not 2 — the first-match version cleared such a
+        # sentinel with stale round-2 evidence.
         sentinel = fps.get(name, "")
         if sentinel.startswith("stale:"):
-            m = re.search(r"r(\d+)", sentinel)
-            if m and rnd < int(m.group(1)):
+            rounds = [int(g) for g in re.findall(r"r(\d+)", sentinel)]
+            if rounds and rnd < max(rounds):
                 kept_stale.append(name)
                 continue
         if green and rnd == max_round:

@@ -39,7 +39,14 @@ def main() -> None:
     for i, name in enumerate(REGISTRY, 1):
         rec: dict = {}
         try:
-            pdf = REGISTRY[name].fn(spark, sf_dir).toPandas()
+            # Pair/candidate-family outputs grow with the corpus; constancy
+            # detection doesn't need the full result, so bound the driver
+            # collect (and say so in the report when the cap bites).
+            _CAP = 100_000
+            pdf = REGISTRY[name].fn(spark, sf_dir).limit(_CAP + 1).toPandas()
+            if len(pdf) > _CAP:
+                pdf = pdf.iloc[:_CAP]
+                rec["truncated_at"] = _CAP
             rec["rows"] = len(pdf)
             rec["constant_cols"] = {
                 c: repr(pdf[c].iloc[0])[:60]
