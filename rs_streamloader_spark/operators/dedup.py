@@ -2274,82 +2274,115 @@ def minhash_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the r=1 candidate column is the cost of choosing wrong.
 
     Scale posture: every config reads the SAME cached signature
-    aggregate (one shingle→minhash reduction for the whole sweep);
-    band groups above {_TUNE_GROUP_CAP} members are dropped BEFORE the
-    self-join via a window count (the spill-safe df-cap pattern) and
-    REPORTED per config in n_capped_groups — a silent cap would make
-    the candidate counts lie. Cross-engine determinism: identical md5
-    band keys, identical cap rule, pure integer counts with
-    HUGEINT/DECIMAL(38,0) ppm floor divisions."""
+    aggregate (one shingle→minhash reduction for the whole sweep), and
+    the whole sweep is ONE banding pass — a single per-doc explode
+    emits (bands, band_idx, band_val) rows for ALL {len(_TUNE_CONFIGS)}
+    configs at once, so there is one window count and one capped
+    self-join keyed by (bands, band_idx, band_val) instead of one of
+    each per config (the r10 shape ran 4× the shuffles for the same
+    answer). Band groups above {_TUNE_GROUP_CAP} members are dropped
+    BEFORE the self-join via the window count (the spill-safe df-cap
+    pattern) and REPORTED per config in n_capped_groups — a silent cap
+    would make the candidate counts lie. Cross-engine determinism:
+    identical md5 band keys, identical cap rule, pure integer counts
+    with HUGEINT/DECIMAL(38,0) ppm floor divisions."""
     sig = _minhash_sig_cached(spark, sf_dir)
     exact = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_pairs"))
 
-    out = None
-    for nb, rows in _TUNE_CONFIGS:
-        bands = None
-        for b in range(nb):
-            cat = F.md5(
+    # One explode covers every (config, band): 16+8+4+2 = 30 entries/doc.
+    entries = [
+        F.struct(
+            F.lit(nb).alias("bands"),
+            F.lit(b).alias("band_idx"),
+            F.md5(
                 F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)])
-            )
-            sel = sig.select(
-                "doc_id", F.lit(b).alias("band_idx"), cat.alias("band_val")
-            )
-            bands = sel if bands is None else bands.unionByName(sel)
-        wg = Window.partitionBy("band_idx", "band_val")
-        flagged = bands.withColumn("g", F.count(F.lit(1)).over(wg))
-        kept = flagged.filter(F.col("g") <= _TUNE_GROUP_CAP).select(
-            "doc_id", "band_idx", "band_val"
+            ).alias("band_val"),
         )
-        capped = (
-            flagged.filter(F.col("g") > _TUNE_GROUP_CAP)
-            .select("band_idx", "band_val")
-            .distinct()
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_capped_groups"))
+        for nb, rows in _TUNE_CONFIGS
+        for b in range(nb)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", "e.bands", "e.band_idx", "e.band_val")
+
+    wg = Window.partitionBy("bands", "band_idx", "band_val")
+    flagged = bands.withColumn("g", F.count(F.lit(1)).over(wg))
+    kept = flagged.filter(F.col("g") <= _TUNE_GROUP_CAP).select(
+        "doc_id", "bands", "band_idx", "band_val"
+    )
+    capped = (
+        flagged.filter(F.col("g") > _TUNE_GROUP_CAP)
+        .select("bands", "band_idx", "band_val")
+        .distinct()
+        .groupBy("bands")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_capped_groups"))
+    )
+    cand = (
+        kept.alias("a")
+        .join(
+            kept.alias("b").hint("shuffle_hash"),
+            (F.col("a.bands") == F.col("b.bands"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        cand = (
-            kept.alias("a")
-            .join(
-                kept.alias("b").hint("shuffle_hash"),
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_val") == F.col("b.band_val"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-            )
-            .distinct()
-            # consumed twice (count + hit semi-join) — checkpoint so the
-            # banded self-join runs once per config, not twice
-            .localCheckpoint()
+        .select(
+            F.col("a.bands").alias("bands"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
         )
-        n_cand = cand.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs")
+        .distinct()
+        # consumed twice (count + hit semi-join) — checkpoint so the
+        # banded self-join runs once for the whole sweep, not twice
+        .localCheckpoint()
+    )
+    n_cand = cand.groupBy("bands").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs")
+    )
+    n_hit = (
+        cand.join(exact.hint("shuffle_hash"), ["doc_a", "doc_b"], "left_semi")
+        .groupBy("bands")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_pairs"))
+    )
+    # 4-row config spine: a config whose candidate set is empty (or
+    # uncapped) still gets its row, with explicit zeros.
+    cfg = spark.createDataFrame(
+        list(_TUNE_CONFIGS), "bands INT, rows_per_band INT"
+    )
+    return (
+        cfg.join(F.broadcast(n_cand), "bands", "left")
+        .join(F.broadcast(n_hit), "bands", "left")
+        .join(F.broadcast(capped), "bands", "left")
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            "bands",
+            "rows_per_band",
+            F.coalesce("n_candidate_pairs", F.lit(0).cast("bigint")).alias(
+                "n_candidate_pairs"
+            ),
+            F.coalesce("n_hit_pairs", F.lit(0).cast("bigint")).alias(
+                "n_hit_pairs"
+            ),
+            "n_exact_pairs",
+            F.coalesce("n_capped_groups", F.lit(0).cast("bigint")).alias(
+                "n_capped_groups"
+            ),
         )
-        n_hit = (
-            cand.join(exact.hint("shuffle_hash"), ["doc_a", "doc_b"], "left_semi")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_pairs"))
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_candidate_pairs",
+            "n_hit_pairs",
+            "n_exact_pairs",
+            F.expr(
+                "CAST(CAST(n_hit_pairs AS DECIMAL(38,0)) * 1000000"
+                " div GREATEST(n_exact_pairs, 1) AS BIGINT)"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CAST(CAST(n_hit_pairs AS DECIMAL(38,0)) * 1000000"
+                " div GREATEST(n_candidate_pairs, 1) AS BIGINT)"
+            ).alias("precision_ppm"),
+            "n_capped_groups",
         )
-        row = (
-            n_cand.crossJoin(F.broadcast(n_hit))
-            .crossJoin(F.broadcast(n_exact))
-            .crossJoin(F.broadcast(capped))
-            .select(
-                F.lit(nb).alias("bands"),
-                F.lit(rows).alias("rows_per_band"),
-                "n_candidate_pairs",
-                "n_hit_pairs",
-                "n_exact_pairs",
-                F.expr(
-                    "CAST(CAST(n_hit_pairs AS DECIMAL(38,0)) * 1000000"
-                    " div GREATEST(n_exact_pairs, 1) AS BIGINT)"
-                ).alias("recall_ppm"),
-                F.expr(
-                    "CAST(CAST(n_hit_pairs AS DECIMAL(38,0)) * 1000000"
-                    " div GREATEST(n_candidate_pairs, 1) AS BIGINT)"
-                ).alias("precision_ppm"),
-                "n_capped_groups",
-            )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
