@@ -605,7 +605,14 @@ def stream_upsert_loader_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # persist the sliced view: the ntile is a global sort of the whole
     # events table, and without the cache each of the 6 slice writes
-    # would re-scan and re-sort it from scratch
+    # would re-scan and re-sort it from scratch.
+    # HARNESS-ONLY single-partition sort, not a product plan: the
+    # unpartitioned ntile FABRICATES the micro-batch arrival order, and
+    # contiguity in (ts, event_id) is load-bearing — slices must arrive
+    # oldest-first for new-row-wins upserts to compose to the per-key
+    # (ts, event_id) max, so hash-band slicing is not a valid
+    # substitute. The measured operator is the streaming upsert, which
+    # never sees this sort.
     sliced = ev.withColumn(
         "__slice",
         F.ntile(_CDC_SLICES).over(W.orderBy("ts", "event_id")),
@@ -885,6 +892,10 @@ def stream_late_data_audit_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     shutil.rmtree(base, ignore_errors=True)
     in_dir = os.path.join(base, "in")
+    # HARNESS-ONLY single-partition sort (see stream_upsert_loader_replay):
+    # the unpartitioned ntile fabricates time-contiguous arrival slices,
+    # which the watermark-protocol oracle depends on — the measured
+    # operator is the watermarked aggregate, not this input prep.
     sliced = ev.withColumn(
         "__slice", F.ntile(_LATE_N_SLICES).over(W.orderBy("ts", "event_id"))
     )

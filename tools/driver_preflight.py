@@ -24,7 +24,11 @@ for p in (_REPO_ROOT, os.path.join(_REPO_ROOT, "tests")):
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    raw_n = sys.argv[1] if len(sys.argv) > 1 else "50"
+    # "all" = the whole catalog, whatever its current size — the
+    # round-end default (VERDICT r10 item 2), so "cumulatively green"
+    # stays "currently green" without hand-updating a count
+    n = 10**9 if raw_n == "all" else int(raw_n)
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
     from pyspark.sql import SparkSession

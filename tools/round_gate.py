@@ -7,9 +7,21 @@ before_join`` failing — the operator rewrite shipped without updating
 its plan guard, and nothing in the process refused the red suite.
 This gate is that refusal. Run it BEFORE declaring a round done:
 
-    python tools/round_gate.py             # pytest + 50-query preflight
+    python tools/round_gate.py             # pytest + FULL-catalog preflight
     python tools/round_gate.py --fast      # pytest only
-    RS_SL_PREFLIGHT_N=286 python tools/round_gate.py   # full catalog
+    RS_SL_PREFLIGHT_N=50 python tools/round_gate.py    # rotation prefix only
+
+The preflight default is the WHOLE catalog (VERDICT r10 item 2): with a
+306-query catalog and a 50-query driver rotation, "green within the
+last 7 rounds" is not "green now" — the ~6 min full sweep is the price
+of the stronger claim at every snapshot.
+
+A bench-regression stage (VERDICT r10 item 7) diffs BENCH_FULL.json
+against the copy committed at the previous round boundary and lists
+every query whose time grew >1.5x (and >0.3s absolute — sub-second
+entries flap with VM noise). It WARNS rather than fails — a slower
+query can be a justified trade — but the listing forces the triage
+that r10 skipped when dedup_semantic shipped 2.4x slower unannotated.
 
 Exit status is 0 only when every stage passes; the last line is a
 single machine-readable verdict so the snapshot script (or a human in
@@ -18,7 +30,9 @@ a hurry) cannot misread partial output as green.
 
 from __future__ import annotations
 
+import json
 import os
+import re
 import subprocess
 import sys
 
@@ -34,6 +48,61 @@ def _run(label: str, cmd: list[str]) -> bool:
     return rc == 0
 
 
+def _prev_round_bench() -> dict | None:
+    """Per-query times from BENCH_FULL.json as committed at the newest
+    round-boundary commit ("round N: verdict/…" or "…snapshot")."""
+    try:
+        log = subprocess.check_output(
+            ["git", "log", "--format=%H %s", "--", "BENCH_FULL.json"],
+            cwd=_REPO_ROOT, text=True,
+        )
+        for line in log.splitlines():
+            sha, _, subject = line.partition(" ")
+            if re.match(r"(round \d+:|Final round)", subject):
+                blob = subprocess.check_output(
+                    ["git", "show", f"{sha}:BENCH_FULL.json"],
+                    cwd=_REPO_ROOT, text=True,
+                )
+                return json.loads(blob).get("queries") or None
+    except (subprocess.CalledProcessError, json.JSONDecodeError, OSError):
+        pass
+    return None
+
+
+def _bench_regressions() -> bool:
+    """List >1.5x per-query deltas vs the previous round's committed
+    BENCH_FULL. Informational (always True): slow can be a justified
+    trade, but it must be LISTED at snapshot time, not discovered by
+    the judge."""
+    cur_path = os.path.join(_REPO_ROOT, "BENCH_FULL.json")
+    try:
+        with open(cur_path) as fh:
+            cur = json.load(fh).get("queries") or {}
+    except (OSError, json.JSONDecodeError):
+        print("== round_gate: bench-diff: no current BENCH_FULL.json — skipped")
+        return True
+    prev = _prev_round_bench()
+    if not prev:
+        print("== round_gate: bench-diff: no prior round BENCH_FULL — skipped")
+        return True
+    flagged = [
+        (name, prev[name], t)
+        for name, t in sorted(cur.items())
+        if name in prev
+        and prev[name] > 0
+        and t > prev[name] * 1.5
+        and t - prev[name] > 0.3
+    ]
+    if flagged:
+        print(f"== round_gate: bench-diff: {len(flagged)} queries >1.5x slower"
+              " than last round — triage before snapshot:")
+        for name, p, c in flagged:
+            print(f"   {name}: {p:.2f}s -> {c:.2f}s ({c / p:.1f}x)")
+    else:
+        print("== round_gate: bench-diff: no >1.5x per-query regressions")
+    return True
+
+
 def main() -> int:
     fast = "--fast" in sys.argv[1:]
     stages: list[tuple[str, list[str]]] = [
@@ -41,12 +110,13 @@ def main() -> int:
                     "--no-header", "-p", "no:cacheprovider"]),
     ]
     if not fast:
-        n = os.environ.get("RS_SL_PREFLIGHT_N", "50")
+        n = os.environ.get("RS_SL_PREFLIGHT_N", "all")
         stages.append(
             ("preflight", [sys.executable,
                            os.path.join(_TOOLS_DIR, "driver_preflight.py"), n])
         )
     ok = all(_run(label, cmd) for label, cmd in stages)
+    _bench_regressions()
     print(f"ROUND_GATE: {'GREEN' if ok else 'RED — do not snapshot'}")
     return 0 if ok else 1
 
