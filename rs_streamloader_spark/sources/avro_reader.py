@@ -1,0 +1,494 @@
+"""Pure-Python Avro Object Container File reader, Spark-distributed.
+
+The reference accepts AVRO COPY bodies (lib/types.ts:24;
+lib/RedshiftLoader.ts:388-393). ``spark-avro`` is an external module —
+absent here and in many stock clusters — so this fallback decodes OCF
+files with a stdlib-only decoder that runs INSIDE executors: the file
+listing parallelizes over ``binaryFile`` rows and each file's blocks
+decode to Arrow batches via ``mapInPandas``. No driver collect of data;
+the one bounded driver read is a ≤256 KiB header prefix of a single
+file for schema inference, and it is skipped entirely when the caller
+passes an explicit schema.
+
+Scale posture: the parallel grain is the FILE (one binaryFile row per
+part), which matches how COPY stages are laid out — many
+``max_records_per_file``-bounded parts, not one monolith. spark-avro
+additionally splits WITHIN a file at sync markers; this fallback does
+not, so a single giant avro file would decode on one core — staged
+parts never are (staging.py fragments them). When the spark-avro jar
+IS on the classpath the caller (copy_reader) uses it instead; this
+module is the degraded-gracefully path, not a replacement.
+
+Decoder coverage (the flat-row COPY surface): all primitives, records,
+enums, fixed, arrays, maps, ``[null, T]`` nullable unions, and the
+date / timestamp-millis / timestamp-micros logical types; ``null`` and
+``deflate`` codecs (both stdlib). Multi-branch non-null unions,
+decimal logical types, and other codecs (snappy/zstd need external
+libs) raise ``LoaderError(AVRO_UNSUPPORTED)`` naming the construct —
+the same clean-gate contract the jar-absent path used to apply to ALL
+avro bodies.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rs_streamloader_spark.errors import LoaderError
+
+AVRO_UNSUPPORTED = "AVRO_UNSUPPORTED"  # shared code with copy_reader
+
+_MAGIC = b"Obj\x01"
+_HEADER_PROBE_BYTES = 256 * 1024
+_BATCH_RECORDS = 10_000
+
+
+# ---------------------------------------------------------------------------
+# binary decoding primitives (Avro spec: zigzag varint longs, LE floats)
+# ---------------------------------------------------------------------------
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def long(self) -> int:
+        buf, pos = self.buf, self.pos
+        shift = n = 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            n |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+        self.pos = pos
+        return (n >> 1) ^ -(n & 1)
+
+    def raw(self, n: int) -> bytes:
+        out = self.buf[self.pos : self.pos + n]
+        if len(out) != n:
+            raise ValueError("truncated avro data")
+        self.pos += n
+        return out
+
+    def bytes_(self) -> bytes:
+        return self.raw(self.long())
+
+    def string(self) -> str:
+        return self.bytes_().decode("utf-8")
+
+
+def _read_header(r: _Reader) -> tuple[dict, str, bytes]:
+    """(writer schema, codec, sync marker) from an OCF header."""
+    if r.raw(4) != _MAGIC:
+        raise ValueError("not an Avro object container file (bad magic)")
+    meta: dict[str, bytes] = {}
+    while True:
+        count = r.long()
+        if count == 0:
+            break
+        if count < 0:  # negative block count: a byte size precedes items
+            count = -count
+            r.long()
+        for _ in range(count):
+            key = r.string()
+            meta[key] = r.bytes_()
+    sync = r.raw(16)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    return schema, codec, sync
+
+
+def _decompress(codec: str, data: bytes) -> bytes:
+    if codec == "null":
+        return data
+    if codec == "deflate":  # raw DEFLATE, no zlib wrapper (spec)
+        return zlib.decompressobj(-15).decompress(data)
+    raise LoaderError(
+        AVRO_UNSUPPORTED,
+        f"avro codec '{codec}' needs an external library; only"
+        " null/deflate decode without one",
+    )
+
+
+# ---------------------------------------------------------------------------
+# schema → (value decoder, Spark type)
+# ---------------------------------------------------------------------------
+def _unsupported(what: str) -> LoaderError:
+    return LoaderError(
+        AVRO_UNSUPPORTED, f"avro construct not supported by the fallback"
+        f" decoder: {what} (install spark-avro for full coverage)"
+    )
+
+
+def _build(schema: Any, names: dict) -> tuple[Callable[[_Reader], Any], T.DataType]:
+    """Recursively compile an Avro schema into (decode fn, Spark type).
+    ``names`` registers named types so in-schema references resolve."""
+    if isinstance(schema, str):
+        if schema in names:
+            return names[schema]
+        prim = {
+            "null": (lambda r: None, T.NullType()),
+            "boolean": (lambda r: r.raw(1) == b"\x01", T.BooleanType()),
+            "int": (lambda r: r.long(), T.IntegerType()),
+            "long": (lambda r: r.long(), T.LongType()),
+            "float": (
+                lambda r: struct.unpack("<f", r.raw(4))[0], T.FloatType()),
+            "double": (
+                lambda r: struct.unpack("<d", r.raw(8))[0], T.DoubleType()),
+            "bytes": (lambda r: r.bytes_(), T.BinaryType()),
+            "string": (lambda r: r.string(), T.StringType()),
+        }
+        if schema not in prim:
+            raise _unsupported(f"type reference '{schema}'")
+        return prim[schema]
+
+    if isinstance(schema, list):  # union
+        branches = [b for b in schema if b != "null"]
+        if len(branches) != 1 or len(schema) > 2:
+            raise _unsupported(f"multi-branch union {schema}")
+        null_idx = schema.index("null") if "null" in schema else -1
+        dec, typ = _build(branches[0], names)
+
+        def union(r: _Reader, dec=dec, null_idx=null_idx):
+            idx = r.long()
+            return None if idx == null_idx else dec(r)
+
+        return union, typ
+
+    if not isinstance(schema, dict):
+        raise _unsupported(repr(schema))
+    t = schema["type"]
+    logical = schema.get("logicalType")
+
+    if logical is not None:
+        if logical == "date" and t == "int":
+            import datetime as _dt
+
+            epoch = _dt.date(1970, 1, 1)
+            return (
+                lambda r: epoch + _dt.timedelta(days=r.long()),
+                T.DateType(),
+            )
+        if logical in ("timestamp-millis", "timestamp-micros") and t == "long":
+            import datetime as _dt
+
+            unit = 1_000 if logical == "timestamp-millis" else 1
+            epoch = _dt.datetime(1970, 1, 1)
+
+            def ts(r: _Reader, unit=unit, epoch=epoch):
+                return epoch + _dt.timedelta(microseconds=r.long() * unit)
+
+            return ts, T.TimestampType()
+        if logical == "decimal":
+            raise _unsupported("decimal logical type")
+        # unknown logical types fall through to the underlying type (spec)
+
+    if t == "record":
+        fields = schema["fields"]
+        compiled: list[tuple[str, Callable]] = []
+        spark_fields: list[T.StructField] = []
+        # pre-register the name for recursive refs (decode resolved later)
+        for f in fields:
+            dec, typ = _build(f["type"], names)
+            compiled.append((f["name"], dec))
+            spark_fields.append(T.StructField(f["name"], typ, True))
+
+        def record(r: _Reader, compiled=tuple(compiled)):
+            return {name: dec(r) for name, dec in compiled}
+
+        out = (record, T.StructType(spark_fields))
+        if "name" in schema:
+            names[schema["name"]] = out
+        return out
+
+    if t == "enum":
+        symbols = list(schema["symbols"])
+        out = (lambda r: symbols[r.long()], T.StringType())
+        if "name" in schema:
+            names[schema["name"]] = out
+        return out
+
+    if t == "fixed":
+        size = int(schema["size"])
+        out = (lambda r: r.raw(size), T.BinaryType())
+        if "name" in schema:
+            names[schema["name"]] = out
+        return out
+
+    if t == "array":
+        dec, typ = _build(schema["items"], names)
+
+        def array(r: _Reader, dec=dec):
+            out = []
+            while True:
+                count = r.long()
+                if count == 0:
+                    return out
+                if count < 0:
+                    count = -count
+                    r.long()  # skip the block byte-size
+                for _ in range(count):
+                    out.append(dec(r))
+
+        return array, T.ArrayType(typ, True)
+
+    if t == "map":
+        dec, typ = _build(schema["values"], names)
+
+        def map_(r: _Reader, dec=dec):
+            out = {}
+            while True:
+                count = r.long()
+                if count == 0:
+                    return out
+                if count < 0:
+                    count = -count
+                    r.long()
+                for _ in range(count):
+                    # key must decode BEFORE the value; d[k()] = v()
+                    # evaluates the RHS first in Python
+                    key = r.string()
+                    out[key] = dec(r)
+
+        return map_, T.MapType(T.StringType(), typ, True)
+
+    if isinstance(t, (dict, list)):  # {"type": <nested schema>} wrapper
+        return _build(t, names)
+    if isinstance(t, str) and t in (
+        "null", "boolean", "int", "long", "float", "double", "bytes", "string"
+    ):
+        return _build(t, names)
+    raise _unsupported(f"type '{t}'")
+
+
+def compile_schema(schema: dict) -> tuple[Callable[[_Reader], Any], T.StructType]:
+    if not (isinstance(schema, dict) and schema.get("type") == "record"):
+        raise _unsupported("top-level schema must be a record for COPY bodies")
+    dec, typ = _build(schema, {})
+    assert isinstance(typ, T.StructType)
+    return dec, typ
+
+
+# ---------------------------------------------------------------------------
+# file-level decode (runs on executors)
+# ---------------------------------------------------------------------------
+def decode_container(raw: bytes, expected_schema: dict | None = None) -> Iterator[list[dict]]:
+    """Yield lists of record dicts from one OCF byte string. Verifies
+    every block's trailing sync marker (corruption check) and, when
+    ``expected_schema`` is given, that the file's writer schema matches
+    the plan's schema — parts of one COPY stage must agree."""
+    r = _Reader(raw)
+    schema, codec, sync = _read_header(r)
+    if expected_schema is not None and schema != expected_schema:
+        raise ValueError(
+            "avro writer schema differs between staged parts: "
+            f"{json.dumps(schema)[:200]} != {json.dumps(expected_schema)[:200]}"
+        )
+    dec, _ = compile_schema(schema)
+    while r.pos < len(r.buf):
+        n_records = r.long()
+        block_len = r.long()
+        block = _decompress(codec, r.raw(block_len))
+        if r.raw(16) != sync:
+            raise ValueError("avro block sync marker mismatch (corrupt file)")
+        br = _Reader(block)
+        out = []
+        for _ in range(n_records):
+            out.append(dec(br))
+            if len(out) >= _BATCH_RECORDS:
+                yield out
+                out = []
+        if out:
+            yield out
+
+
+def _header_of_one_file(spark: SparkSession, path: str) -> tuple[dict, str]:
+    """(writer schema, codec) from ONE staged part: ≤256 KiB of the
+    first listed file cross the executor→driver boundary — bounded
+    like the PQ-codebook collect."""
+    row = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(F.expr(f"substring(content, 1, {_HEADER_PROBE_BYTES})"))
+        .head()
+    )
+    if row is None:
+        raise ValueError(f"no avro files at {path}")
+    schema, codec, _sync = _read_header(_Reader(bytes(row[0])))
+    return schema, codec
+
+
+def read_avro_fallback(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    """DataFrame over avro container files without spark-avro. With an
+    explicit ``schema`` the result is cast/projected to it (COPY
+    columnMap alignment happens downstream in the loader, same as the
+    other formats)."""
+    import pandas as pd
+
+    writer_schema, codec = _header_of_one_file(spark, path)
+    # fail the unsupported-codec / unsupported-construct cases HERE on
+    # the driver as clean LoaderErrors — raised lazily inside
+    # mapInPandas they would surface as opaque PythonExceptions
+    _decompress(codec, b"")
+    _, spark_type = compile_schema(writer_schema)
+    cols = [f.name for f in spark_type.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for raw in pdf["content"]:
+                for records in decode_container(bytes(raw), writer_schema):
+                    yield pd.DataFrame(
+                        {c: [rec[c] for rec in records] for c in cols},
+                        columns=cols,
+                    )
+
+    df = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("content")
+        .mapInPandas(decode, schema=spark_type)
+    )
+    if schema is not None:
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+    return df
+
+
+# ---------------------------------------------------------------------------
+# minimal OCF writer — test/tooling twin of the decoder (kept here so
+# the encode/decode pair stays in one reviewed place; the test suite
+# round-trips through it precisely because no avro library exists in
+# this environment to produce fixtures)
+# ---------------------------------------------------------------------------
+def _w_long(out: io.BytesIO, v: int) -> None:
+    v = (v << 1) ^ (v >> 63)  # zigzag
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.write(bytes([b | 0x80]))
+        else:
+            out.write(bytes([b]))
+            return
+
+
+def _w_bytes(out: io.BytesIO, b: bytes) -> None:
+    _w_long(out, len(b))
+    out.write(b)
+
+
+def _encode_value(out: io.BytesIO, schema: Any, v: Any) -> None:
+    if isinstance(schema, list):  # [null, T]
+        if v is None:
+            _w_long(out, schema.index("null"))
+            return
+        branch = next(i for i, b in enumerate(schema) if b != "null")
+        _w_long(out, branch)
+        _encode_value(out, schema[branch], v)
+        return
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if isinstance(schema, dict) and schema.get("logicalType"):
+        lt = schema["logicalType"]
+        import datetime as _dt
+
+        if lt == "date":
+            _w_long(out, (v - _dt.date(1970, 1, 1)).days)
+            return
+        if lt in ("timestamp-millis", "timestamp-micros"):
+            unit = 1_000 if lt == "timestamp-millis" else 1
+            micros = int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+            _w_long(out, int(round(micros / unit)))
+            return
+    if t == "record":
+        for f in schema["fields"]:
+            _encode_value(out, f["type"], v[f["name"]])
+    elif t == "enum":
+        _w_long(out, schema["symbols"].index(v))
+    elif t == "fixed":
+        out.write(v)
+    elif t == "array":
+        if v:
+            _w_long(out, len(v))
+            for item in v:
+                _encode_value(out, schema["items"], item)
+        _w_long(out, 0)
+    elif t == "map":
+        if v:
+            _w_long(out, len(v))
+            for k, item in v.items():
+                _w_bytes(out, k.encode("utf-8"))
+                _encode_value(out, schema["values"], item)
+        _w_long(out, 0)
+    elif t == "null":
+        pass
+    elif t == "boolean":
+        out.write(b"\x01" if v else b"\x00")
+    elif t in ("int", "long"):
+        _w_long(out, v)
+    elif t == "float":
+        out.write(struct.pack("<f", v))
+    elif t == "double":
+        out.write(struct.pack("<d", v))
+    elif t == "bytes":
+        _w_bytes(out, v)
+    elif t == "string":
+        _w_bytes(out, v.encode("utf-8"))
+    elif isinstance(t, (dict, list)):
+        _encode_value(out, t, v)
+    else:
+        raise _unsupported(f"encoder type '{t}'")
+
+
+def write_container(
+    schema: dict,
+    records: list[dict],
+    codec: str = "null",
+    records_per_block: int = 1 << 60,
+    sync: bytes = b"0123456789abcdef",
+) -> bytes:
+    """Serialize records to OCF bytes (null/deflate codecs)."""
+    out = io.BytesIO()
+    out.write(_MAGIC)
+    meta = {
+        "avro.schema": json.dumps(schema).encode("utf-8"),
+        "avro.codec": codec.encode("utf-8"),
+    }
+    _w_long(out, len(meta))
+    for k, v in meta.items():
+        _w_bytes(out, k.encode("utf-8"))
+        _w_bytes(out, v)
+    _w_long(out, 0)
+    out.write(sync)
+    for i in range(0, max(len(records), 1), records_per_block):
+        chunk = records[i : i + records_per_block]
+        if not chunk:
+            break
+        body = io.BytesIO()
+        for rec in chunk:
+            _encode_value(body, schema, rec)
+        data = body.getvalue()
+        if codec == "deflate":
+            comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+            data = comp.compress(data) + comp.flush()
+        elif codec != "null":
+            raise _unsupported(f"encoder codec '{codec}'")
+        _w_long(out, len(chunk))
+        _w_long(out, len(data))
+        out.write(data)
+        out.write(sync)
+    return out.getvalue()

@@ -1,0 +1,228 @@
+"""Tests for the stdlib-only distributed Avro reader
+(sources/avro_reader.py — VERDICT r10 item 6: "light up the AVRO
+path"). No avro library exists in this environment, so fixtures are
+produced by the module's own ``write_container`` twin; the decode side
+is additionally pinned against hand-computed byte sequences from the
+Avro 1.11 spec so an encoder+decoder that are wrong the same way
+cannot self-certify.
+
+Reference surface: AVRO COPY bodies (lib/types.ts:24;
+lib/RedshiftLoader.ts:388-393)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from rs_streamloader_spark.config import CopySettings
+from rs_streamloader_spark.errors import LoaderError
+from rs_streamloader_spark.sources.avro_reader import (
+    _Reader,
+    compile_schema,
+    decode_container,
+    read_avro_fallback,
+    write_container,
+)
+from rs_streamloader_spark.sources.copy_reader import read_body
+
+FLAT = {
+    "type": "record",
+    "name": "row",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": "double"},
+        {"name": "ok", "type": "boolean"},
+        {"name": "note", "type": ["null", "string"]},
+    ],
+}
+ROWS = [
+    {"id": 1, "name": "a", "score": 1.5, "ok": True, "note": "x"},
+    {"id": 2, "name": "b", "score": -0.25, "ok": False, "note": None},
+    {"id": 3, "name": "", "score": 0.0, "ok": True, "note": "y"},
+]
+
+
+# ---------------------------------------------------------------------------
+# spec-pinned byte-level decode (no round-trip self-certification)
+# ---------------------------------------------------------------------------
+class TestSpecBytes:
+    def test_zigzag_varint_decode_matches_spec_examples(self):
+        # Avro spec "binary encoding" table: 0->00, -1->01, 1->02,
+        # -2->03, 2->04, -64->7f, 64->80 01
+        for raw, expect in [
+            (b"\x00", 0), (b"\x01", -1), (b"\x02", 1), (b"\x03", -2),
+            (b"\x04", 2), (b"\x7f", -64), (b"\x80\x01", 64),
+        ]:
+            assert _Reader(raw).long() == expect
+
+    def test_string_and_record_decode_from_hand_bytes(self):
+        # record {a: long=3, b: string="foo"}: 06 then 06 66 6f 6f
+        dec, typ = compile_schema({
+            "type": "record", "name": "r", "fields": [
+                {"name": "a", "type": "long"},
+                {"name": "b", "type": "string"},
+            ],
+        })
+        assert dec(_Reader(b"\x06\x06foo")) == {"a": 3, "b": "foo"}
+        assert [f.name for f in typ.fields] == ["a", "b"]
+
+    def test_nullable_union_decode_from_hand_bytes(self):
+        # ["null","int"]: branch 0 -> null (00); branch 1 value 5 -> 02 0a
+        dec, _ = compile_schema({
+            "type": "record", "name": "r", "fields": [
+                {"name": "v", "type": ["null", "int"]},
+            ],
+        })
+        assert dec(_Reader(b"\x00")) == {"v": None}
+        assert dec(_Reader(b"\x02\x0a")) == {"v": 5}
+
+
+# ---------------------------------------------------------------------------
+# container round-trips (pure python, no Spark)
+# ---------------------------------------------------------------------------
+class TestContainer:
+    def test_round_trip_null_codec(self):
+        raw = write_container(FLAT, ROWS)
+        got = [r for batch in decode_container(raw) for r in batch]
+        assert got == ROWS
+
+    def test_round_trip_deflate_codec(self):
+        raw = write_container(FLAT, ROWS, codec="deflate")
+        got = [r for batch in decode_container(raw) for r in batch]
+        assert got == ROWS
+        # deflate must actually compress a repetitive corpus
+        big = [{**ROWS[0], "id": i} for i in range(500)]
+        assert len(write_container(FLAT, big, codec="deflate")) < len(
+            write_container(FLAT, big)
+        )
+
+    def test_multi_block_files_decode_completely(self):
+        rows = [{**ROWS[0], "id": i} for i in range(10)]
+        raw = write_container(FLAT, rows, records_per_block=3)
+        got = [r for batch in decode_container(raw) for r in batch]
+        assert [r["id"] for r in got] == list(range(10))
+
+    def test_sync_marker_corruption_detected(self):
+        raw = bytearray(write_container(FLAT, ROWS))
+        raw[-1] ^= 0xFF  # trailing sync byte
+        with pytest.raises(ValueError, match="sync marker"):
+            list(decode_container(bytes(raw)))
+
+    def test_writer_schema_mismatch_detected(self):
+        other = {"type": "record", "name": "r",
+                 "fields": [{"name": "id", "type": "long"}]}
+        raw = write_container(other, [{"id": 1}])
+        with pytest.raises(ValueError, match="schema differs"):
+            list(decode_container(raw, expected_schema=FLAT))
+
+    def test_empty_file_yields_no_records(self):
+        assert list(decode_container(write_container(FLAT, []))) == []
+
+    def test_logical_types_round_trip(self):
+        schema = {"type": "record", "name": "r", "fields": [
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "tms", "type": {
+                "type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "tus", "type": {
+                "type": "long", "logicalType": "timestamp-micros"}},
+        ]}
+        row = {
+            "d": dt.date(2024, 2, 29),
+            "tms": dt.datetime(2024, 2, 29, 12, 30, 0, 250000),
+            "tus": dt.datetime(2024, 2, 29, 12, 30, 0, 250007),
+        }
+        raw = write_container(schema, [row])
+        got = [r for b in decode_container(raw) for r in b]
+        assert got == [row]
+
+    def test_enum_fixed_array_map_round_trip(self):
+        schema = {"type": "record", "name": "r", "fields": [
+            {"name": "e", "type": {
+                "type": "enum", "name": "col", "symbols": ["RED", "BLUE"]}},
+            {"name": "f", "type": {"type": "fixed", "name": "f4", "size": 4}},
+            {"name": "xs", "type": {"type": "array", "items": "int"}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+        ]}
+        row = {"e": "BLUE", "f": b"\x01\x02\x03\x04",
+               "xs": [1, -2, 3], "m": {"k1": 10, "k2": -20}}
+        raw = write_container(schema, [row])
+        got = [r for b in decode_container(raw) for r in b]
+        assert got == [row]
+
+    def test_multi_branch_union_raises_clean_gate(self):
+        schema = {"type": "record", "name": "r", "fields": [
+            {"name": "v", "type": ["int", "string"]},
+        ]}
+        with pytest.raises(LoaderError) as exc:
+            compile_schema(schema)
+        assert exc.value.code == "AVRO_UNSUPPORTED"
+
+    def test_decimal_logical_type_raises_clean_gate(self):
+        schema = {"type": "record", "name": "r", "fields": [
+            {"name": "v", "type": {"type": "bytes", "logicalType": "decimal",
+                                   "precision": 10, "scale": 2}},
+        ]}
+        with pytest.raises(LoaderError) as exc:
+            compile_schema(schema)
+        assert exc.value.code == "AVRO_UNSUPPORTED"
+
+
+# ---------------------------------------------------------------------------
+# the distributed read path
+# ---------------------------------------------------------------------------
+class TestSparkRead:
+    def test_multi_file_distributed_read(self, spark, tmp_path):
+        # files are the parallel grain: each binaryFile row decodes
+        # independently inside mapInPandas
+        for i in range(4):
+            rows = [{**ROWS[0], "id": 100 * i + j} for j in range(25)]
+            (tmp_path / f"part{i}.avro").write_bytes(
+                write_container(FLAT, rows, codec="deflate")
+            )
+        df = read_avro_fallback(spark, str(tmp_path))
+        assert df.count() == 100
+        assert df.schema["id"].dataType.simpleString() == "bigint"
+        assert df.schema["note"].dataType.simpleString() == "string"
+        got = sorted(r["id"] for r in df.collect())
+        assert got == sorted(100 * i + j for i in range(4) for j in range(25))
+
+    def test_explicit_schema_projects_and_casts(self, spark, tmp_path):
+        (tmp_path / "a.avro").write_bytes(write_container(FLAT, ROWS))
+        df = read_avro_fallback(
+            spark, str(tmp_path / "a.avro"), schema="id INT, score DOUBLE"
+        )
+        assert df.columns == ["id", "score"]
+        assert df.schema["id"].dataType.simpleString() == "int"
+        assert {r["id"] for r in df.collect()} == {1, 2, 3}
+
+    def test_nullable_union_nulls_survive_arrow(self, spark, tmp_path):
+        (tmp_path / "a.avro").write_bytes(write_container(FLAT, ROWS))
+        got = {r["id"]: r["note"]
+               for r in read_avro_fallback(spark, str(tmp_path)).collect()}
+        assert got == {1: "x", 2: None, 3: "y"}
+
+    def test_loader_end_to_end_avro_body_to_native_sink(self, spark, tmp_path):
+        """The reference flow: staged AVRO parts COPY into the target
+        (RedshiftLoader.ts:388-393) — here: read_body → Loader.insert
+        → native table."""
+        from rs_streamloader_spark.loader import Loader
+        from rs_streamloader_spark.sinks.native import NativeTableSink
+
+        src_dir = tmp_path / "body"
+        src_dir.mkdir()
+        (src_dir / "p.avro").write_bytes(write_container(FLAT, ROWS))
+        body = read_body(spark, str(src_dir), CopySettings(format="AVRO"))
+        sink = NativeTableSink(spark, str(tmp_path / "tbl"))
+        ld = Loader(
+            spark,
+            options={"table": "wh.avro_facts", "s3_cleanup": "ALWAYS",
+                     "staging_format": "parquet"},
+            staging_root=str(tmp_path / "stage"),
+            sink=sink,
+            body=body,
+        )
+        assert ld.insert() == "SUCCESS"
+        out = {r["id"]: r["name"] for r in sink.read().collect()}
+        assert out == {1: "a", 2: "b", 3: ""}

@@ -249,17 +249,27 @@ def test_parquet_passthrough(spark, tmp_path):
     assert df.count() == 1
 
 
-def test_avro_without_module_raises_clean_loader_error(spark, tmp_path):
-    """AVRO is a valid reference COPY format (lib/types.ts:24) but
-    spark-avro is an external module; the reader must surface a clean
-    LoaderError naming the jar, not Spark's raw lookup failure."""
+def test_avro_unsupported_codec_raises_clean_loader_error(spark, tmp_path):
+    """AVRO is a valid reference COPY format (lib/types.ts:24). The
+    stdlib fallback (r11) decodes null/deflate; anything needing an
+    external lib must still surface a clean driver-side LoaderError,
+    not a lazy executor PythonException."""
     from rs_streamloader_spark.errors import LoaderError
+    from rs_streamloader_spark.sources.avro_reader import write_container
     from rs_streamloader_spark.sources.copy_reader import AVRO_UNSUPPORTED
 
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "id", "type": "long"}]}
+    raw = write_container(schema, [{"id": 1}])
+    # flip the codec metadata value in place: "null" -> "zstd" (same
+    # length, so the length-prefixed OCF metadata stays well-formed)
+    raw = raw.replace(b"\x08null", b"\x08zstd")
+    p = tmp_path / "a.avro"
+    p.write_bytes(raw)
     with pytest.raises(LoaderError) as exc:
-        read_body(spark, str(tmp_path), CopySettings(format="AVRO"))
+        read_body(spark, str(p), CopySettings(format="AVRO")).count()
     assert exc.value.code == AVRO_UNSUPPORTED
-    assert "spark-avro" in str(exc.value)
+    assert "zstd" in str(exc.value)
 
 
 def test_read_body_json_auto_ignorecase_matches_keys(spark, tmp_path):
@@ -350,26 +360,30 @@ def test_ignorecase_parse_and_timeformat_share_budget(spark, tmp_path):
     assert [r["v"] for r in out.collect()] == [1]
 
 
-def test_avro_auto_enables_when_module_present(spark, tmp_path):
-    """The AVRO gate is a classpath probe, not a hardcoded refusal:
-    with spark-avro present the read runs; without it the clean
-    LoaderError fires (VERDICT r2 item 7). This test exercises
-    whichever branch the environment provides."""
-    from rs_streamloader_spark.sources.copy_reader import (
-        AVRO_UNSUPPORTED,
-        avro_supported,
-    )
+def test_avro_reads_via_module_or_fallback(spark, tmp_path):
+    """The AVRO path is a classpath probe, not a hardcoded refusal:
+    with spark-avro present the jar reads; without it the stdlib
+    fallback decoder does (VERDICT r2 item 7 + r10 item 6). Both
+    branches produce the same rows."""
+    from rs_streamloader_spark.sources.avro_reader import write_container
+    from rs_streamloader_spark.sources.copy_reader import avro_supported
 
     if avro_supported(spark):
         src = spark.createDataFrame([(1, "a")], "id INT, v STRING")
         dest = str(tmp_path / "a")
         src.write.format("avro").save(dest)
         got = read_body(spark, dest, CopySettings(format="AVRO"))
-        assert got.count() == 1
     else:
-        with pytest.raises(LoaderError) as exc:
-            read_body(spark, str(tmp_path), CopySettings(format="AVRO"))
-        assert exc.value.code == AVRO_UNSUPPORTED
+        schema = {"type": "record", "name": "r", "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "v", "type": "string"},
+        ]}
+        (tmp_path / "a.avro").write_bytes(
+            write_container(schema, [{"id": 1, "v": "a"}])
+        )
+        got = read_body(spark, str(tmp_path / "a.avro"),
+                        CopySettings(format="AVRO"))
+    assert [(r["id"], r["v"]) for r in got.collect()] == [(1, "a")]
 
 
 def test_ignorecase_engages_on_loader_path(spark, tmp_path):
