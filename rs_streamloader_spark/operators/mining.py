@@ -2286,3 +2286,155 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_tokens",
         (F.col("cum_tokens") <= _TOKEN_BUDGET).alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed-bigram importance resampling)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256  # hashed-feature dimensionality (DSIR uses 10k at web scale)
+_DSIR_TARGET = "src0"  # the "target distribution" corpus slice
+
+
+def _dsir_hexwalk_sql(col: str, n_hex: int = 4) -> str:
+    """DuckDB STRPOS walk over the first ``n_hex`` md5 hex chars of
+    ``col`` — generated from the same constant as the Spark
+    ``conv(substring(md5, 1, 4), 16, 10)`` so the engines cannot
+    desynchronize (the fuzzy_name_match lesson)."""
+    expr = "0"
+    for i in range(1, n_hex + 1):
+        expr = (
+            f"({expr} * 16 + STRPOS('0123456789abcdef',"
+            f" SUBSTR({col}, {i}, 1)) - 1)"
+        )
+    return expr
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH bigrams AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ws)),
+                                   i -> [ws[i], ws[i+1]])) AS bg
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents)
+    ),
+    fx AS (
+      SELECT doc_id, MD5(bg[1] || ' ' || bg[2]) AS h FROM bigrams
+    ),
+    feats AS (
+      SELECT doc_id, {_dsir_hexwalk_sql('h')} % {_DSIR_BUCKETS} AS bkt,
+             COUNT(*) AS cnt
+      FROM fx GROUP BY 1, 2
+    ),
+    fsrc AS (
+      SELECT f.doc_id, d.source, f.bkt, f.cnt
+      FROM feats f JOIN documents d ON d.doc_id = f.doc_id
+    ),
+    buckets AS (
+      SELECT bkt,
+             CAST(SUM(cnt) AS BIGINT) AS c_r,
+             CAST(SUM(CASE WHEN source = '{_DSIR_TARGET}' THEN cnt
+                           ELSE 0 END) AS BIGINT) AS c_t
+      FROM fsrc GROUP BY bkt
+    ),
+    tots AS (
+      SELECT CAST(SUM(c_r) AS BIGINT) AS r_tot,
+             CAST(SUM(c_t) AS BIGINT) AS t_tot
+      FROM buckets
+    ),
+    lm AS (
+      SELECT bkt,
+             CAST(ROUND(LN((CAST(c_t + 1 AS DOUBLE)
+                            * CAST(r_tot + {_DSIR_BUCKETS} AS DOUBLE))
+                           / (CAST(t_tot + {_DSIR_BUCKETS} AS DOUBLE)
+                              * CAST(c_r + 1 AS DOUBLE)))
+                        * 1000000000) AS BIGINT) AS lam_nano
+      FROM buckets CROSS JOIN tots
+    )
+    SELECT f.doc_id, f.source,
+           CAST(SUM(f.cnt) AS BIGINT) AS n_feats,
+           CAST(SUM(f.cnt * lm.lam_nano) AS BIGINT) AS logw_nano,
+           CAST(SUM(f.cnt * lm.lam_nano) AS BIGINT) > 0 AS selected
+    FROM fsrc f JOIN lm ON lm.bkt = f.bkt
+    GROUP BY 1, 2
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): per-document importance weight
+    log(p_target/p_raw) under two add-one-smoothed multinomials over
+    {_DSIR_BUCKETS} HASHED BIGRAM buckets — the published recipe for
+    selecting web-scale pretraining data that "looks like" a small
+    high-quality target corpus (here the '{_DSIR_TARGET}' slice), with
+    ``selected = logw > 0`` as the threshold rule (more target-like
+    than raw-like). The hashing is what makes the method 100 TB-shaped:
+    the LM state is a FIXED {_DSIR_BUCKETS}-row table regardless of
+    corpus size, so scoring is one broadcast join — no vocabulary-sized
+    shuffle, and no global sort anywhere (a top-k selection would need
+    one; the threshold rule is the scale-honest variant).
+
+    Scale posture: rides the SAME cached bigram stage as
+    ``text_perplexity_bigram`` (one explode pass for the family); the
+    doc→source join is pinned shuffle_hash (documents is O(corpus) —
+    AQE would broadcast it at bench scale only, the r10-k100 flip
+    class); per-(doc, bucket) counts are consumed twice (bucket LM +
+    scoring) so the stage is localCheckpointed. Cross-engine
+    determinism: bucket = conv(md5 hex, 16, 10) == the oracle's
+    generated STRPOS walk; ONE transcendental per bucket with
+    identical all-double operand order, rounded to integer nano-units
+    BEFORE the per-doc sum (exact BIGINT products; |λ| ≤ ~21 nats ×
+    1e9 × doc bigram count ≪ 2^63).
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 curation
+    family)."""
+    db = _doc_bigrams_cached(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")["documents"].select("doc_id", "source")
+    bkt = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(" ", "w1", "w2")), 1, 4), 16, 10
+        ).cast("bigint")
+        % _DSIR_BUCKETS
+    )
+    feats = (
+        db.withColumn("bkt", bkt)
+        .groupBy("doc_id", "bkt")
+        .agg(F.sum("n").alias("cnt"))
+        .join(docs.hint("shuffle_hash"), "doc_id")
+        # consumed twice (bucket LM + scoring join) — checkpoint so the
+        # bigram re-aggregation and the doc join run once
+        .localCheckpoint()
+    )
+    buckets = feats.groupBy("bkt").agg(
+        F.sum("cnt").alias("c_r"),
+        F.sum(
+            F.when(F.col("source") == _DSIR_TARGET, F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        ).alias("c_t"),
+    )
+    tots = buckets.agg(
+        F.sum("c_r").alias("r_tot"), F.sum("c_t").alias("t_tot")
+    )
+    lam = F.round(
+        F.log(
+            ((F.col("c_t") + 1).cast("double")
+             * (F.col("r_tot") + _DSIR_BUCKETS).cast("double"))
+            / ((F.col("t_tot") + _DSIR_BUCKETS).cast("double")
+               * (F.col("c_r") + 1).cast("double"))
+        )
+        * 1000000000
+    ).cast("bigint")
+    lm = buckets.crossJoin(F.broadcast(tots)).select(
+        "bkt", lam.alias("lam_nano")
+    )
+    logw = F.sum(F.col("cnt") * F.col("lam_nano")).cast("bigint")
+    return (
+        feats.join(F.broadcast(lm), "bkt")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_feats"),
+            logw.alias("logw_nano"),
+            (logw > 0).alias("selected"),
+        )
+    )

@@ -6228,3 +6228,159 @@ def equiwidth_hist_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("within_guarantee"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval coverage audit
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 1, 10  # alpha = 0.1 -> 90% intervals
+
+
+@register(
+    "conformal_interval_coverage",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderpriority AS priority,
+             o_orderkey % 2 = 0 AS is_cal,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    pred AS (
+      SELECT priority,
+             CAST(COUNT(*) AS BIGINT) AS n_cal,
+             CAST(SUM(cents) // COUNT(*) AS BIGINT) AS yhat_cents
+      FROM base WHERE is_cal GROUP BY priority
+    ),
+    cal_resid AS (
+      SELECT b.priority, ABS(b.cents - p.yhat_cents) AS r
+      FROM base b JOIN pred p ON p.priority = b.priority
+      WHERE b.is_cal
+    ),
+    hist AS (
+      SELECT priority, r, COUNT(*) AS cnt FROM cal_resid GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT priority, r, SUM(cnt) OVER (
+               PARTITION BY priority ORDER BY r
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM hist
+    ),
+    q AS (
+      SELECT c.priority, CAST(MIN(c.r) AS BIGINT) AS q_cents
+      FROM cum c JOIN pred p ON p.priority = c.priority
+      WHERE c.c >= ((p.n_cal + 1) * ({_CONF_ALPHA_DEN} - {_CONF_ALPHA_NUM})
+                    + {_CONF_ALPHA_DEN} - 1) // {_CONF_ALPHA_DEN}
+      GROUP BY c.priority
+    )
+    SELECT b.priority,
+           MIN(p.n_cal) AS n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           MIN(p.yhat_cents) AS yhat_cents,
+           MIN(q.q_cents) AS q_cents,
+           CAST(SUM(CASE WHEN ABS(b.cents - p.yhat_cents) <= q.q_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+           CAST(CAST(SUM(CASE WHEN ABS(b.cents - p.yhat_cents) <= q.q_cents
+                              THEN 1 ELSE 0 END) AS HUGEINT)
+                * 1000000 // COUNT(*) AS BIGINT) AS coverage_ppm
+    FROM base b
+    JOIN pred p ON p.priority = b.priority
+    JOIN q ON q.priority = b.priority
+    WHERE NOT b.is_cal
+    GROUP BY b.priority
+    """,
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction audit (Vovk et al.; the
+    distribution-free interval recipe production ML monitors use):
+    calibrate a per-priority constant predictor (mean total price in
+    exact integer cents) on the even-key half of orders, take the
+    conformal quantile q = the ceil((n_cal+1)·(1−α))-th smallest
+    calibration residual, and measure on the odd-key half what
+    fraction of residuals fall within q. Split conformal guarantees
+    coverage ≥ 1−α = 90% in expectation REGARDLESS of the model or the
+    data distribution — the audit's coverage_ppm column is the
+    empirical check of that guarantee per group.
+
+    Scale posture: the conformal quantile uses the value-histogram
+    pattern (see ``percentile_disc_by_segment``) — calibration rows
+    collapse to a (priority, residual) histogram FIRST, the cumulative
+    window orders the histogram (cardinality = distinct residuals per
+    group, not rows), and the rank probe is exact integer arithmetic.
+    No row-level sort anywhere; the test pass is one shuffle-free
+    aggregate after two broadcast joins of 5-row tables.
+
+    Cross-engine determinism: money in BIGINT cents, the predictor is
+    an integer floor-division, the rank index
+    ((n+1)·(den−num)+den−1) // den is exact on both engines, and
+    coverage is a HUGEINT/DECIMAL ppm floor-division.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("o_orderkey") % 2 == 0).alias("is_cal"),
+        cents.alias("cents"),
+    )
+    pred = (
+        base.filter("is_cal")
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+            F.expr("CAST(SUM(cents) div COUNT(*) AS BIGINT)").alias(
+                "yhat_cents"
+            ),
+        )
+    )
+    cal_resid = (
+        base.filter("is_cal")
+        .join(F.broadcast(pred), "priority")
+        .select("priority", F.abs(F.col("cents") - F.col("yhat_cents")).alias("r"))
+    )
+    hist = cal_resid.groupBy("priority", "r").agg(F.count(F.lit(1)).alias("cnt"))
+    wp = Window.partitionBy("priority")
+    cum = hist.select(
+        "priority",
+        "r",
+        F.sum("cnt")
+        .over(wp.orderBy("r").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("c"),
+    )
+    k = F.expr(
+        f"((n_cal + 1) * ({_CONF_ALPHA_DEN} - {_CONF_ALPHA_NUM})"
+        f" + {_CONF_ALPHA_DEN} - 1) div {_CONF_ALPHA_DEN}"
+    )
+    q = (
+        cum.join(F.broadcast(pred), "priority")
+        .filter(F.col("c") >= k)
+        .groupBy("priority")
+        .agg(F.min("r").cast("bigint").alias("q_cents"))
+    )
+    return (
+        base.filter(~F.col("is_cal"))
+        .join(F.broadcast(pred), "priority")
+        .join(F.broadcast(q), "priority")
+        .groupBy("priority")
+        .agg(
+            F.min("n_cal").alias("n_cal"),
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.min("yhat_cents").alias("yhat_cents"),
+            F.min("q_cents").alias("q_cents"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("yhat_cents"))
+                    <= F.col("q_cents"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("covered"),
+            F.expr(
+                "CAST(CAST(SUM(CASE WHEN ABS(cents - yhat_cents) <= q_cents"
+                " THEN 1 ELSE 0 END) AS DECIMAL(38,0)) * 1000000"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )
