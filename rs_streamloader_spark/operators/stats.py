@@ -6384,3 +6384,244 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley-value channel attribution (observed-coalition variant)
+# ---------------------------------------------------------------------------
+
+_SHAP_CONV = "purchase"  # the conversion event; all other types are channels
+_SHAP_MAX_BITS = 8  # popcount/factorial expressions generated to this width
+_SHAP_FACT = [1, 1, 2, 6, 24, 120, 720, 5040, 40320]
+
+
+def _fact_case(expr: str) -> str:
+    """Factorial lookup as a generated CASE (shared text, both engines
+    parse it identically — no engine factorial built-in involved)."""
+    whens = " ".join(
+        f"WHEN {i} THEN {_SHAP_FACT[i]}" for i in range(_SHAP_MAX_BITS + 1)
+    )
+    return f"(CASE {expr} {whens} END)"
+
+
+def _popcount_sql(expr: str) -> str:
+    """Generated popcount over {_SHAP_MAX_BITS} bits — identical text
+    both engines (DuckDB's bit_count and Spark's differ in argument
+    typing; the generated sum does not)."""
+    return "(" + " + ".join(
+        f"(({expr} >> {i}) & 1)" for i in range(_SHAP_MAX_BITS)
+    ) + ")"
+
+
+@register(
+    "shapley_attribution",
+    oracle=f"""
+    WITH chan AS (
+      SELECT event_type AS channel,
+             1 << CAST(ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS INTEGER)
+               AS bit
+      FROM (SELECT DISTINCT event_type FROM events
+            WHERE event_type <> '{_SHAP_CONV}')
+    ),
+    nchan AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM chan),
+    users AS (
+      SELECT e.user_id,
+             COALESCE(SUM(DISTINCT c.bit), 0) AS mask,
+             MAX(CASE WHEN e.event_type = '{_SHAP_CONV}' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events e LEFT JOIN chan c ON c.channel = e.event_type
+      GROUP BY e.user_id
+    ),
+    v AS (
+      SELECT mask, CAST(SUM(converted) AS BIGINT) AS conv
+      FROM users GROUP BY mask
+    ),
+    terms AS (
+      SELECT ch.channel, n.n, v.mask,
+             (v.conv - COALESCE(v2.conv, 0))
+               * {_fact_case(_popcount_sql('v.mask') + ' - 1')}
+               * {_fact_case('n.n - ' + _popcount_sql('v.mask'))} AS t
+      FROM chan ch
+      CROSS JOIN nchan n
+      JOIN v ON (v.mask & ch.bit) <> 0
+      LEFT JOIN v v2 ON v2.mask = v.mask - ch.bit
+    )
+    SELECT channel,
+           MIN(n) AS n_channels,
+           CAST(COUNT(*) AS BIGINT) AS n_sets,
+           CAST(SUM(t) AS BIGINT) AS phi_scaled,
+           CAST(CAST(SUM(t) AS HUGEINT) * 1000000000
+                // {_fact_case('MIN(n)')} AS BIGINT) AS phi_nano
+    FROM terms GROUP BY channel
+    """,
+)
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value marketing attribution over OBSERVED channel
+    coalitions (Zhao, Mahboobi & Maldonado 2018): the coalition value
+    v(S) is the number of converting users whose pre-conversion
+    channel set is exactly S (unobserved sets contribute 0), and each
+    channel's Shapley value is Σ_{{S∋c}} (v(S)−v(S∖c))·(|S|−1)!(n−|S|)!/n!
+    — the unique credit split satisfying efficiency/symmetry/dummy,
+    next to ``markov_attribution_removal``'s removal-effect variant.
+
+    Scale posture: the corpus collapses to one row per user (one
+    shuffle), then to the ≤2ⁿ-mask coalition table — every join after
+    that is over BOUNDED tables (n = channel count; 2ⁿ masks), the
+    bounded-matrix pattern (Markov-chain precedent). Cross-engine
+    determinism: channel bits from an alphabetical DENSE rank; masks
+    are exact integer bit sums (SUM(DISTINCT bit) ≡ OR for unique
+    powers of two); factorials and popcounts are GENERATED shared CASE
+    text so no engine built-in is trusted; the one division is a
+    HUGEINT/DECIMAL nano floor-division by n! at the very end.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    wch = Window.orderBy("event_type")
+    chan = (
+        ev.filter(F.col("event_type") != _SHAP_CONV)
+        .select("event_type")
+        .distinct()
+        .select(
+            F.col("event_type").alias("channel"),
+            F.expr(
+                "shiftleft(1, CAST(ROW_NUMBER() OVER"
+                " (ORDER BY event_type) - 1 AS INT))"
+            ).alias("bit"),
+        )
+    )
+    nchan = chan.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    users = (
+        ev.join(F.broadcast(chan), ev.event_type == chan.channel, "left")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum_distinct("bit"), F.lit(0)).alias("mask"),
+            F.max(
+                F.when(F.col("event_type") == _SHAP_CONV, 1).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    v = users.groupBy("mask").agg(
+        F.sum("converted").cast("bigint").alias("conv")
+    )
+    v2 = v.select(F.col("mask").alias("mask2"), F.col("conv").alias("conv2"))
+    terms = (
+        chan.crossJoin(F.broadcast(nchan))
+        .join(F.broadcast(v), F.expr("(mask & bit) <> 0"))
+        .join(
+            F.broadcast(v2),
+            F.expr("mask2 = mask - bit"),
+            "left",
+        )
+        .select(
+            "channel",
+            "n",
+            F.expr(
+                f"(conv - COALESCE(conv2, 0))"
+                f" * {_fact_case(_popcount_sql('mask') + ' - 1')}"
+                f" * {_fact_case('n - ' + _popcount_sql('mask'))}"
+            ).alias("t"),
+        )
+    )
+    return terms.groupBy("channel").agg(
+        F.min("n").alias("n_channels"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sets"),
+        F.sum("t").cast("bigint").alias("phi_scaled"),
+        F.expr(
+            "CAST(CAST(SUM(t) AS DECIMAL(38,0)) * 1000000000"
+            f" div {_fact_case('MIN(n)')} AS BIGINT)"
+        ).alias("phi_nano"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B test power analysis: minimum detectable effect per segment
+# ---------------------------------------------------------------------------
+
+# frozen two-sided alpha=0.05 / power=0.80 normal quantiles (shared
+# literals — per-rank-constant rule, never an engine's inverse normal)
+_MDE_Z_ALPHA = "1.959963985"
+_MDE_Z_BETA = "0.8416212336"
+
+
+def _mde_oracle() -> str:
+    from rs_streamloader_spark.functions.moments import (
+        nano_moment_aggs_sql,
+        nano_mu_sql,
+        nano_sigma_samp_sql,
+    )
+
+    return f"""
+    WITH mom AS (
+      SELECT o_orderpriority AS priority, {nano_moment_aggs_sql('o_totalprice')}
+      FROM orders GROUP BY 1
+    ),
+    stats AS (
+      SELECT priority, CAST(n AS BIGINT) AS n,
+             {nano_mu_sql()} AS mu,
+             {nano_sigma_samp_sql()} AS sigma
+      FROM mom
+    )
+    SELECT priority, n,
+           ROUND(mu, 6) AS mean_price,
+           ROUND(sigma, 6) AS sigma_price,
+           ROUND(({_MDE_Z_ALPHA} + {_MDE_Z_BETA}) * sigma
+                 * SQRT(2.0 / (n / 2)), 6) AS mde_abs,
+           CAST(ROUND(({_MDE_Z_ALPHA} + {_MDE_Z_BETA}) * sigma
+                      * SQRT(2.0 / (n / 2)) / mu * 1000000) AS BIGINT)
+             AS mde_rel_ppm
+    FROM stats WHERE n > 1
+    """
+
+
+@register("power_analysis_mde", oracle=_mde_oracle())
+def power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-experiment power analysis per segment: the minimum
+    detectable effect on mean order value at α=0.05 (two-sided) and
+    80% power if the segment's traffic were split 50/50 —
+    MDE = (z_{{α/2}}+z_β)·σ·√(2/(n/2)) — the "is this experiment even
+    worth running here" table next to the post-hoc tests
+    (``welch_t_click_view``, ``ab_test_proportion_z``). Segments whose
+    MDE exceeds plausible lifts need pooling or longer runs; that
+    decision is exactly what this output ranks.
+
+    Scale posture: one combinable moments aggregate per segment
+    (bounded output = segment count); no joins, no windows.
+    Cross-engine determinism: exact integer nano-moments
+    (functions/moments.py policy), z constants are frozen shared
+    literals (never an engine's inverse-normal), n/2 is DOUBLE
+    division in BOTH engines (Spark ``/`` and DuckDB ``/`` both
+    promote — deliberately NOT ``div``/``//``, which would truncate
+    odd n differently from the formula), and every double op has
+    identical operand order.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    from rs_streamloader_spark.functions.moments import (
+        nano_moment_aggs,
+        nano_mu,
+        nano_sigma_samp,
+    )
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    mom = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        *nano_moment_aggs("o_totalprice")
+    )
+    z_sum = F.lit(float(_MDE_Z_ALPHA)) + F.lit(float(_MDE_Z_BETA))
+    stats = mom.select(
+        "priority",
+        F.col("n").cast("bigint").alias("n"),
+        nano_mu().alias("mu"),
+        nano_sigma_samp().alias("sigma"),
+    )
+    mde = z_sum * F.col("sigma") * F.sqrt(2.0 / (F.col("n") / 2).cast("double"))
+    return stats.filter(F.col("n") > 1).select(
+        "priority",
+        "n",
+        F.round("mu", 6).alias("mean_price"),
+        F.round("sigma", 6).alias("sigma_price"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / F.col("mu") * 1000000)
+        .cast("bigint")
+        .alias("mde_rel_ppm"),
+    )
