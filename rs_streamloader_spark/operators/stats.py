@@ -6625,3 +6625,97 @@ def power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mde_rel_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's paradox detector (stratified vs pooled association sign)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "simpson_paradox_detector",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag AS stratum,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(CAST(ROUND(l_discount * 1000000) AS BIGINT)
+                      AS HUGEINT)) AS sa,
+             SUM(CAST(CAST(ROUND(l_quantity * 1000000) AS BIGINT)
+                      AS HUGEINT)) AS sb,
+             SUM(CAST(CAST(ROUND(l_discount * 1000000) AS BIGINT)
+                      AS HUGEINT)
+                 * CAST(ROUND(l_quantity * 1000000) AS BIGINT)) AS sab
+      FROM lineitem GROUP BY 1
+    ),
+    pooled AS (
+      SELECT SUM(n) AS n, SUM(sa) AS sa, SUM(sb) AS sb, SUM(sab) AS sab
+      FROM m
+    ),
+    signs AS (
+      SELECT m.stratum, m.n,
+             CAST(SIGN(m.n * m.sab - m.sa * m.sb) AS INTEGER)
+               AS stratum_sign,
+             CAST(SIGN(p.n * p.sab - p.sa * p.sb) AS INTEGER)
+               AS pooled_sign
+      FROM m CROSS JOIN pooled p
+    )
+    SELECT stratum, n, stratum_sign, pooled_sign,
+           stratum_sign <> 0 AND pooled_sign <> 0
+             AND stratum_sign <> pooled_sign AS simpson_flip
+    FROM signs
+    """,
+)
+def simpson_paradox_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: the SIGN of the discount↔quantity
+    association within each return-flag stratum vs the pooled sign — a
+    stratum whose association points the other way from the aggregate
+    is the textbook aggregation trap (the pooled trend is a weighted
+    mix of within-stratum trends plus a between-stratum confound), and
+    this table is the screen an analyst runs before trusting any
+    corpus-level correlation. The sign of the OLS slope / Pearson
+    numerator n·Σab − Σa·Σb carries the association direction without
+    any division or square root.
+
+    Scale posture: one combinable moments aggregate per stratum
+    (bounded output = return flags), pooled moments derived by SUMMING
+    the per-stratum moments (no second scan), one broadcast of a 1-row
+    table. Cross-engine determinism: values scale to exact integer
+    MICRO-units (discount has 2dp, quantity is integral — micro keeps
+    the n·Σab product within DECIMAL(38)/HUGEINT headroom at 1e11
+    rows, where nano would overflow), the sign is computed on exact
+    integers, and there is no floating-point operation anywhere.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    a = F.round(F.col("l_discount") * 1000000).cast("bigint")
+    b = F.round(F.col("l_quantity") * 1000000).cast("bigint")
+    m = li.groupBy(F.col("l_returnflag").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(a.cast("decimal(38,0)")).alias("sa"),
+        F.sum(b.cast("decimal(38,0)")).alias("sb"),
+        F.sum(a.cast("decimal(38,0)") * b).alias("sab"),
+    )
+    pooled = m.agg(
+        F.sum("n").alias("pn"),
+        F.sum("sa").alias("psa"),
+        F.sum("sb").alias("psb"),
+        F.sum("sab").alias("psab"),
+    )
+    out = m.crossJoin(F.broadcast(pooled)).select(
+        "stratum",
+        "n",
+        F.expr("CAST(SIGN(n * sab - sa * sb) AS INT)").alias("stratum_sign"),
+        F.expr("CAST(SIGN(pn * psab - psa * psb) AS INT)").alias("pooled_sign"),
+    )
+    return out.select(
+        "stratum",
+        "n",
+        "stratum_sign",
+        "pooled_sign",
+        (
+            (F.col("stratum_sign") != 0)
+            & (F.col("pooled_sign") != 0)
+            & (F.col("stratum_sign") != F.col("pooled_sign"))
+        ).alias("simpson_flip"),
+    )

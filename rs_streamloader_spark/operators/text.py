@@ -1372,3 +1372,88 @@ def rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_micro").desc(), "doc_id")
         .limit(_RRF_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Negative-sampling distribution (word2vec unigram^0.75 table)
+# ---------------------------------------------------------------------------
+
+_NEG_TOPK = 50
+
+
+@register(
+    "negative_sampling_table",
+    oracle=f"""
+    WITH counts AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT UNNEST(STR_SPLIT(text, ' ')) AS term FROM documents)
+      WHERE term <> ''
+      GROUP BY term
+    ),
+    weighted AS (
+      SELECT term, freq,
+             CAST(ROUND(SQRT(SQRT(CAST(freq AS DOUBLE) * freq * freq))
+                        * 1000000000) AS BIGINT) AS w_nano
+      FROM counts
+    ),
+    tot AS (SELECT SUM(w_nano) AS z FROM weighted)
+    SELECT term, freq, w_nano,
+           CAST(CAST(w_nano AS HUGEINT) * 1000000 // tot.z AS BIGINT)
+             AS p_ppm
+    FROM weighted CROSS JOIN tot
+    ORDER BY freq DESC, term
+    LIMIT {_NEG_TOPK}
+    """,
+)
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style negative-sampling distribution: unigram counts
+    raised to the 3/4 power and normalized (Mikolov et al. 2013 — the
+    exponent that up-weights rare words enough to make negatives
+    informative), emitted as the top-{_NEG_TOPK} head of the sampling
+    table with each term's probability in ppm. This is the table a
+    training pipeline materializes once and broadcasts to every
+    negative-sampling worker; the normalizer uses the FULL vocabulary
+    even though only the head is emitted.
+
+    Scale posture: map-side-combinable term counts (one shuffle), a
+    1-row normalizer broadcast, and a TakeOrderedAndProject top-K cut
+    — no global sort of the vocabulary. Cross-engine determinism:
+    freq^0.75 is computed as SQRT(SQRT(freq³)) — two IEEE
+    correctly-rounded sqrts over an identically-ordered double product
+    — NEVER POW(x, 0.75), whose exp/ln implementation differs by ulps
+    between engines; each weight rounds to integer nano-units BEFORE
+    the normalizer sum; probabilities are HUGEINT/DECIMAL ppm
+    floor-divisions.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 curation
+    family)."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    counts = (
+        t.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    fd = F.col("freq").cast("double")
+    weighted = counts.select(
+        "term",
+        "freq",
+        F.round(F.sqrt(F.sqrt(fd * F.col("freq") * F.col("freq"))) * 1000000000)
+        .cast("bigint")
+        .alias("w_nano"),
+    )
+    tot = weighted.agg(F.sum("w_nano").alias("z"))
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            "freq",
+            "w_nano",
+            F.expr(
+                "CAST(CAST(w_nano AS DECIMAL(38,0)) * 1000000"
+                " div z AS BIGINT)"
+            ).alias("p_ppm"),
+        )
+        .orderBy(F.col("freq").desc(), "term")
+        .limit(_NEG_TOPK)
+    )
