@@ -2316,3 +2316,69 @@ def test_band_tuning_curve_is_one_banding_pass(spark):
         if "Generate explode" in ln and "band_val" in ln
     ]
     assert len(band_explodes) == 1, (len(band_explodes), text[:1500])
+
+
+# ---------------------------------------------------------------------------
+# r11 additions
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_scoring_join_is_broadcast_of_bounded_lm(spark):
+    """DSIR's whole point at scale: the LM is a FIXED 256-bucket table,
+    so scoring must be a broadcast join — and the doc→source join must
+    NOT be a cartesian."""
+    from rs_streamloader_spark.operators.mining import dsir_importance_weights
+
+    df = dsir_importance_weights(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "CartesianProduct" not in text, text[:1500]
+    assert has_broadcast_join(df)
+
+
+def test_conformal_quantile_uses_histogram_not_row_sort(spark):
+    """The conformal quantile must come from the value-histogram
+    pattern: the only window runs over the (priority, residual)
+    histogram, partitioned by priority — no unpartitioned row-level
+    Sort of the calibration set."""
+    from rs_streamloader_spark.operators.stats import (
+        conformal_interval_coverage,
+    )
+
+    df = conformal_interval_coverage(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "CartesianProduct" not in text, text[:1500]
+    # every Window in the plan is partitioned (no global-order window)
+    for ln in text.splitlines():
+        if "Window" in ln and "windowspecdefinition" in ln:
+            assert "priority" in ln, ln
+
+
+def test_shapley_joins_are_bounded_broadcasts(spark):
+    """Shapley's coalition tables are ≤2^n rows — every join after the
+    per-user collapse must be a broadcast, and exactly one exchange
+    may touch corpus-sized data (the user groupBy)."""
+    from rs_streamloader_spark.operators.stats import shapley_attribution
+
+    df = shapley_attribution(spark, SF_SMOKE)
+    assert has_broadcast_join(df)
+
+
+def test_negative_sampling_topk_is_take_ordered(spark):
+    """The head cut must be TakeOrderedAndProject, not a global sort
+    of the vocabulary."""
+    from rs_streamloader_spark.operators.text import negative_sampling_table
+
+    df = negative_sampling_table(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in text, text[:1500]
+
+
+def test_simpson_detector_is_two_bounded_aggregates(spark):
+    """Pooled moments derive from the per-stratum moments — the plan
+    must scan lineitem exactly once and read only the three needed
+    columns."""
+    from rs_streamloader_spark.operators.stats import simpson_paradox_detector
+
+    df = simpson_paradox_detector(spark, SF_SMOKE)
+    cols = scan_columns(df)
+    assert {"l_returnflag", "l_discount", "l_quantity"} in cols, cols

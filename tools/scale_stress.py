@@ -306,6 +306,9 @@ MEASURE_OUTPUT = {
     "dedup_minhash_lsh",
     "dedup_containment",
     "fuzzy_name_match",
+    # r11: one row per doc-with-bigrams — linear; measured so the
+    # selected-fraction stays observable under replication
+    "dsir_importance_weights",
 }
 
 # date-windowed queries: the replica time shift leaves only replica 0
@@ -461,6 +464,13 @@ CONSTANT_OUTPUT = {
     "token_budget_selection",
     "ivf_ndcg_audit",
     "price_qty_mutual_info",
+    # r11: 4-channel Shapley grid, 5-priority coverage/MDE grids,
+    # 3-flag sign screen, fixed top-50 sampling-table head
+    "shapley_attribution",
+    "conformal_interval_coverage",
+    "power_analysis_mde",
+    "simpson_paradox_detector",
+    "negative_sampling_table",
 }
 
 
