@@ -6323,7 +6323,9 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority"),
         (F.col("o_orderkey") % 2 == 0).alias("is_cal"),
         cents.alias("cents"),
-    )
+        # consumed three times (predictor, calibration residuals, test
+        # coverage) — checkpoint the 3-column projection once
+    ).localCheckpoint()
     pred = (
         base.filter("is_cal")
         .groupBy("priority")
@@ -6440,7 +6442,14 @@ def _popcount_sql(expr: str) -> str:
       SELECT ch.channel, n.n, v.mask,
              (v.conv - COALESCE(v2.conv, 0))
                * {_fact_case(_popcount_sql('v.mask') + ' - 1')}
-               * {_fact_case('n.n - ' + _popcount_sql('v.mask'))} AS t
+               * {_fact_case('n.n - ' + _popcount_sql('v.mask'))}
+             -- guard: >{_SHAP_MAX_BITS} channels would make the generated
+             -- popcount/factorial CASEs yield NULLs that SUM silently
+             -- skips — fail loudly instead of answering wrong
+             + COALESCE(CASE WHEN n.n > {_SHAP_MAX_BITS}
+                             THEN error('shapley_attribution: more than'
+                                        ' {_SHAP_MAX_BITS} channels') END,
+                        0) AS t
       FROM chan ch
       CROSS JOIN nchan n
       JOIN v ON (v.mask & ch.bit) <> 0
@@ -6477,7 +6486,6 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference surface: none (novel extension, SURVEY.md §2.5 stats
     family)."""
     ev = _t(spark, sf_dir, "events")["events"]
-    wch = Window.orderBy("event_type")
     chan = (
         ev.filter(F.col("event_type") != _SHAP_CONV)
         .select("event_type")
@@ -6520,6 +6528,12 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"(conv - COALESCE(conv2, 0))"
                 f" * {_fact_case(_popcount_sql('mask') + ' - 1')}"
                 f" * {_fact_case('n - ' + _popcount_sql('mask'))}"
+                # guard: >MAX_BITS channels would make the generated
+                # popcount/factorial CASEs yield NULLs that SUM silently
+                # skips — raise instead of answering wrong
+                f" + COALESCE(CAST(assert_true(n <= {_SHAP_MAX_BITS},"
+                f" 'shapley_attribution: more than {_SHAP_MAX_BITS}"
+                f" channels') AS BIGINT), 0)"
             ).alias("t"),
         )
     )
@@ -6565,9 +6579,14 @@ def _mde_oracle() -> str:
     SELECT priority, n,
            ROUND(mu, 6) AS mean_price,
            ROUND(sigma, 6) AS sigma_price,
-           ROUND(({_MDE_Z_ALPHA} + {_MDE_Z_BETA}) * sigma
+           -- CAST each z literal to DOUBLE before adding: DuckDB sums
+           -- bare decimal literals EXACTLY, Spark adds doubles — a
+           -- measured 1-ulp divergence on this very pair
+           ROUND((CAST({_MDE_Z_ALPHA} AS DOUBLE)
+                  + CAST({_MDE_Z_BETA} AS DOUBLE)) * sigma
                  * SQRT(2.0 / (n / 2)), 6) AS mde_abs,
-           CAST(ROUND(({_MDE_Z_ALPHA} + {_MDE_Z_BETA}) * sigma
+           CAST(ROUND((CAST({_MDE_Z_ALPHA} AS DOUBLE)
+                       + CAST({_MDE_Z_BETA} AS DOUBLE)) * sigma
                       * SQRT(2.0 / (n / 2)) / mu * 1000000) AS BIGINT)
              AS mde_rel_ppm
     FROM stats WHERE n > 1

@@ -1442,7 +1442,9 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("w_nano"),
     )
-    tot = weighted.agg(F.sum("w_nano").alias("z"))
+    # DECIMAL(38) accumulator: at web scale Σ freq^0.75·1e9 exceeds
+    # int64 (the oracle's SUM already promotes to HUGEINT)
+    tot = weighted.agg(F.sum(F.col("w_nano").cast("decimal(38,0)")).alias("z"))
     return (
         weighted.crossJoin(F.broadcast(tot))
         .select(

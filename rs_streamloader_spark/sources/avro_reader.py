@@ -27,6 +27,11 @@ decimal logical types, and other codecs (snappy/zstd need external
 libs) raise ``LoaderError(AVRO_UNSUPPORTED)`` naming the construct —
 the same clean-gate contract the jar-absent path used to apply to ALL
 avro bodies.
+
+Known divergence from the jar path: a genuine IEEE NaN in a
+float/double field decodes to NULL, because pandas/Arrow use NaN as
+the null sentinel on the mapInPandas boundary. COPY bodies carrying
+literal NaN payloads are not round-trippable through this fallback.
 """
 
 from __future__ import annotations
@@ -42,8 +47,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from rs_streamloader_spark.errors import LoaderError
+from rs_streamloader_spark.sources.copy_reader import AVRO_UNSUPPORTED
 
-AVRO_UNSUPPORTED = "AVRO_UNSUPPORTED"  # shared code with copy_reader
+__all__ = ["AVRO_UNSUPPORTED", "read_avro_fallback", "write_container"]
 
 _MAGIC = b"Obj\x01"
 _HEADER_PROBE_BYTES = 256 * 1024
@@ -183,7 +189,11 @@ def _build(schema: Any, names: dict) -> tuple[Callable[[_Reader], Any], T.DataTy
             import datetime as _dt
 
             unit = 1_000 if logical == "timestamp-millis" else 1
-            epoch = _dt.datetime(1970, 1, 1)
+            # UTC-AWARE epoch: avro timestamps are instants; a naive
+            # datetime would be re-interpreted in the session timezone
+            # by Arrow, shifting the instant vs the spark-avro jar path
+            # whenever spark.sql.session.timeZone is not UTC
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
 
             def ts(r: _Reader, unit=unit, epoch=epoch):
                 return epoch + _dt.timedelta(microseconds=r.long() * unit)
@@ -197,7 +207,10 @@ def _build(schema: Any, names: dict) -> tuple[Callable[[_Reader], Any], T.DataTy
         fields = schema["fields"]
         compiled: list[tuple[str, Callable]] = []
         spark_fields: list[T.StructField] = []
-        # pre-register the name for recursive refs (decode resolved later)
+        # named types register AFTER their fields compile, so SIBLING
+        # references resolve but SELF-referential (recursive) records
+        # raise the clean type-reference gate — Spark rows cannot hold
+        # unbounded recursion anyway
         for f in fields:
             dec, typ = _build(f["type"], names)
             compiled.append((f["name"], dec))
@@ -338,9 +351,12 @@ def read_avro_fallback(
     import pandas as pd
 
     writer_schema, codec = _header_of_one_file(spark, path)
-    # fail the unsupported-codec / unsupported-construct cases HERE on
-    # the driver as clean LoaderErrors — raised lazily inside
-    # mapInPandas they would surface as opaque PythonExceptions
+    # best-effort EARLY gate: the common all-parts-one-codec stage
+    # fails here on the driver as a clean LoaderError. A part with a
+    # DIFFERENT codec (or writer schema) than the probed file still
+    # raises lazily inside mapInPandas, surfacing wrapped in the
+    # executor PythonException — unavoidable without reading every
+    # header up front
     _decompress(codec, b"")
     _, spark_type = compile_schema(writer_schema)
     cols = [f.name for f in spark_type.fields]
@@ -411,7 +427,10 @@ def _encode_value(out: io.BytesIO, schema: Any, v: Any) -> None:
             return
         if lt in ("timestamp-millis", "timestamp-micros"):
             unit = 1_000 if lt == "timestamp-millis" else 1
-            micros = int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+            epoch = _dt.datetime(
+                1970, 1, 1, tzinfo=v.tzinfo and _dt.timezone.utc
+            )
+            micros = int((v - epoch).total_seconds() * 1e6)
             _w_long(out, int(round(micros / unit)))
             return
     if t == "record":

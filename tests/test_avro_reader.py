@@ -128,10 +128,11 @@ class TestContainer:
             {"name": "tus", "type": {
                 "type": "long", "logicalType": "timestamp-micros"}},
         ]}
+        utc = dt.timezone.utc
         row = {
             "d": dt.date(2024, 2, 29),
-            "tms": dt.datetime(2024, 2, 29, 12, 30, 0, 250000),
-            "tus": dt.datetime(2024, 2, 29, 12, 30, 0, 250007),
+            "tms": dt.datetime(2024, 2, 29, 12, 30, 0, 250000, tzinfo=utc),
+            "tus": dt.datetime(2024, 2, 29, 12, 30, 0, 250007, tzinfo=utc),
         }
         raw = write_container(schema, [row])
         got = [r for b in decode_container(raw) for r in b]
@@ -202,6 +203,33 @@ class TestSparkRead:
         got = {r["id"]: r["note"]
                for r in read_avro_fallback(spark, str(tmp_path)).collect()}
         assert got == {1: "x", 2: None, 3: "y"}
+
+    def test_timestamps_are_instants_not_session_local(self, spark, tmp_path):
+        """Avro timestamps are UTC instants; the decoded value must not
+        shift with spark.sql.session.timeZone (the jar path doesn't)."""
+        schema = {"type": "record", "name": "r", "fields": [
+            {"name": "t", "type": {
+                "type": "long", "logicalType": "timestamp-micros"}},
+        ]}
+        micros = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z
+        row = {"t": dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+               + dt.timedelta(microseconds=micros)}
+        (tmp_path / "a.avro").write_bytes(write_container(schema, [row]))
+        from pyspark.sql import functions as F
+
+        old_tz = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            got = {}
+            for tz in ("UTC", "America/New_York"):
+                spark.conf.set("spark.sql.session.timeZone", tz)
+                got[tz] = (
+                    read_avro_fallback(spark, str(tmp_path / "a.avro"))
+                    .select(F.unix_micros("t").alias("u"))
+                    .head()["u"]
+                )
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old_tz)
+        assert got["UTC"] == got["America/New_York"] == micros, got
 
     def test_loader_end_to_end_avro_body_to_native_sink(self, spark, tmp_path):
         """The reference flow: staged AVRO parts COPY into the target
