@@ -66,6 +66,9 @@ HEAVY_K100 = [
     "join_cardinality_estimate_audit",
     "cusum_drift_daily",
     "minhash_band_tuning_curve",
+    # r11: rides the shared bigram stage; the one new op whose work
+    # scales with corpus content rather than a bounded key set
+    "dsir_importance_weights",
 ]
 
 
