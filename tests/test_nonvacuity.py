@@ -346,6 +346,21 @@ def test_sequence_pattern_match_both_outcomes(spark, corpus_dir):
     assert by_day.loc["2024-03-02", "n_matched"] == 0
 
 
+def test_shapley_attribution_asymmetric_credit(spark, corpus_dir):
+    """At sf0.01 every user touches every channel, so all phi columns
+    are constant (VACUITY_r11 flag). On this corpus the coalitions
+    differ — user1 {view,click} converts, user2 {view,error} converts,
+    user3 {view,signup} doesn't — so credit must be ASYMMETRIC:
+    view sits in both converting sets, signup in none."""
+    pdf = _run(spark, corpus_dir, "shapley_attribution").set_index("channel")
+    assert pdf["phi_nano"].nunique() >= 2, pdf
+    assert pdf.loc["view", "phi_nano"] > pdf.loc["signup", "phi_nano"]
+    assert pdf.loc["signup", "phi_nano"] == 0
+    # efficiency-style sanity on observed coalitions: total credit is
+    # positive and view ties-or-beats every other channel
+    assert (pdf["phi_nano"]["view"] >= pdf["phi_nano"]).all()
+
+
 def test_bloom_join_prune_false_positive_fires(spark, tmp_path):
     """bloom_join_prune_audit's n_fp_keys is 0 at sf0.001 (expected FP
     count < 1 — a corpus property, see the docstring). Construct a
