@@ -1187,3 +1187,127 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("scan_frac_sk_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocking-recall audit for the fuzzy-match family
+# ---------------------------------------------------------------------------
+
+_FBR_SAMPLE = 200  # fixed audit sample size — bounded at ANY corpus scale
+
+
+@register(
+    "fuzzy_blocking_recall_audit",
+    oracle=f"""
+    WITH sample AS (
+      SELECT s_name FROM (
+        SELECT DISTINCT s_name FROM supplier
+      ) ORDER BY MD5(s_name), s_name LIMIT {_FBR_SAMPLE}
+    ),
+    truth AS (
+      SELECT a.s_name AS name_a, b.s_name AS name_b
+      FROM sample a JOIN sample b ON a.s_name < b.s_name
+      WHERE LEVENSHTEIN(a.s_name, b.s_name) <= {_FUZZY_MAX_DIST}
+    ),
+    blocked AS (
+      SELECT a.s_name AS name_a, b.s_name AS name_b
+      FROM sample a JOIN sample b
+        ON a.s_name < b.s_name
+       AND SUBSTR(a.s_name, 10, 7) = SUBSTR(b.s_name, 10, 7)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM sample) AS BIGINT) AS n_sample,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
+           CAST((SELECT COUNT(*) FROM blocked) AS BIGINT) AS n_blocked_pairs,
+           CAST((SELECT COUNT(*) FROM truth t
+                 JOIN blocked k ON k.name_a = t.name_a
+                               AND k.name_b = t.name_b) AS BIGINT) AS n_hit,
+           CAST(CAST((SELECT COUNT(*) FROM truth t
+                      JOIN blocked k ON k.name_a = t.name_a
+                                    AND k.name_b = t.name_b) AS HUGEINT)
+                * 1000000
+                // GREATEST((SELECT COUNT(*) FROM truth), 1) AS BIGINT)
+             AS recall_ppm
+    """,
+)
+def fuzzy_blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of ``fuzzy_name_match``'s blocking key against
+    EXACT all-pairs edit distance, on a deterministic md5-ordered
+    sample of {_FBR_SAMPLE} names — the fuzzy family's analogue of
+    ``lsh_recall_report``: every approximate candidate-generation path
+    in this catalog ships its own exact audit, and blocking recall is
+    the number that tells you whether the substring key is dropping
+    true matches (pairs that differ INSIDE the blocking window are the
+    blind spot by construction — recall_ppm measures exactly that).
+
+    Scale posture: the sample is a fixed-size TakeOrderedAndProject
+    cut (md5 order, name tiebreak), so the exact all-pairs stage is
+    {_FBR_SAMPLE}²/2 comparisons at ANY corpus size — the bounded-audit
+    pattern production entity-resolution uses (you can't all-pairs
+    100 TB, you CAN all-pairs a fixed sample and extrapolate); both
+    pair stages are broadcast self-joins of the bounded sample.
+    Cross-engine determinism: md5 sample order with a name tiebreak,
+    LEVENSHTEIN's unit-cost distance is identical in both engines
+    (fuzzy_name_match precedent), counts and ppm floor-divisions are
+    exact integers.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 audit
+    family)."""
+    sup = load_tables(spark, sf_dir, "supplier")["supplier"]
+    sample = (
+        sup.select("s_name")
+        .distinct()
+        .orderBy(F.md5("s_name"), "s_name")
+        .limit(_FBR_SAMPLE)
+        # three consumers (truth join, blocked join, sample count) of a
+        # tiny fixed-size frame
+        .localCheckpoint()
+    )
+    a, b = sample.alias("a"), sample.alias("b")
+    truth = (
+        F.broadcast(a)
+        .join(b, F.col("a.s_name") < F.col("b.s_name"))
+        .where(F.levenshtein("a.s_name", "b.s_name") <= _FUZZY_MAX_DIST)
+        .select(
+            F.col("a.s_name").alias("name_a"), F.col("b.s_name").alias("name_b")
+        )
+    )
+    blocked = (
+        F.broadcast(a)
+        .join(
+            b,
+            (F.col("a.s_name") < F.col("b.s_name"))
+            & (
+                F.substring("a.s_name", 10, 7)
+                == F.substring("b.s_name", 10, 7)
+            ),
+        )
+        .select(
+            F.col("a.s_name").alias("name_a"), F.col("b.s_name").alias("name_b")
+        )
+    )
+    n_sample = sample.agg(F.count(F.lit(1)).cast("bigint").alias("n_sample"))
+    n_truth = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs")
+    )
+    n_blocked = blocked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocked_pairs")
+    )
+    n_hit = (
+        truth.join(F.broadcast(blocked), ["name_a", "name_b"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    return (
+        n_sample.crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(n_blocked))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_sample",
+            "n_true_pairs",
+            "n_blocked_pairs",
+            "n_hit",
+            F.expr(
+                "CAST(CAST(n_hit AS DECIMAL(38,0)) * 1000000"
+                " div GREATEST(n_true_pairs, 1) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )

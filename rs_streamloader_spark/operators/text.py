@@ -1459,3 +1459,107 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "term")
         .limit(_NEG_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization of doc length across sources
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantile_normalize_doclen",
+    oracle="""
+    WITH hist AS (
+      SELECT source, n_chars, COUNT(*) AS cnt
+      FROM documents GROUP BY 1, 2
+    ),
+    hs AS (
+      SELECT source, n_chars, cnt,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY source) AS n_s
+      FROM hist
+    ),
+    pp AS (
+      SELECT n_chars,
+             SUM(pcnt) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pcum
+      FROM (SELECT n_chars, SUM(cnt) AS pcnt FROM hist GROUP BY 1)
+    ),
+    nn AS (SELECT SUM(cnt) AS n FROM hist)
+    SELECT h.source, h.n_chars,
+           CAST(h.cnt AS BIGINT) AS n_docs,
+           CAST(h.cum AS BIGINT) AS src_cum,
+           CAST((CAST(h.cum AS HUGEINT) * nn.n + h.n_s - 1) // h.n_s
+                AS BIGINT) AS target_idx,
+           CAST(MIN(CASE WHEN p.pcum >=
+                           (CAST(h.cum AS HUGEINT) * nn.n + h.n_s - 1)
+                             // h.n_s
+                         THEN p.n_chars END) AS BIGINT) AS pooled_equiv
+    FROM hs h CROSS JOIN nn JOIN pp p ON TRUE
+    GROUP BY h.source, h.n_chars, h.cnt, h.cum, h.n_s, nn.n
+    """,
+)
+def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length across sources (the
+    microarray batch-correction recipe applied to corpus curation):
+    each (source, length) maps to the POOLED length at the same
+    within-source percentile — PERCENTILE_DISC convention, target
+    index ceil(rank·N/n_s) — so per-source length distributions become
+    comparable before length-based filtering. The output is the
+    normalization TABLE (one row per source×distinct-length), which a
+    pipeline broadcast-joins back to documents; emitting it at
+    histogram grain keeps the result bounded by value cardinality,
+    not corpus size.
+
+    Scale posture: the value-histogram pattern end-to-end — raw rows
+    collapse to (source, length) counts first; every window runs over
+    histogram cardinality (the pooled cumulative window is global but
+    over the BOUNDED distinct-length list, the percentile_disc
+    precedent); the index lookup is a bounded-histogram × bounded
+    -histogram band join (cardinality², independent of row count).
+    Cross-engine determinism: pure integer ranks, a DECIMAL(38)/
+    HUGEINT ceil-division for the target index, and the selected
+    pooled value is an actual data element — no interpolation.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 curation
+    family)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    hist = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ws = Window.partitionBy("source")
+    hs = hist.select(
+        "source",
+        "n_chars",
+        "cnt",
+        F.sum("cnt")
+        .over(ws.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("cnt").over(ws).alias("n_s"),
+    )
+    pooled = hist.groupBy("n_chars").agg(F.sum("cnt").alias("pcnt"))
+    wp = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    pp = pooled.select(
+        F.col("n_chars").alias("p_chars"), F.sum("pcnt").over(wp).alias("pcum")
+    )
+    nn = hist.agg(F.sum("cnt").alias("n"))
+    idx = F.expr("CAST((CAST(cum AS DECIMAL(38,0)) * n + n_s - 1) div n_s AS BIGINT)")
+    joined = (
+        hs.crossJoin(F.broadcast(nn))
+        .withColumn("target_idx", idx)
+        .join(
+            F.broadcast(pp),
+            F.col("pcum") >= F.col("target_idx"),
+        )
+    )
+    return joined.groupBy("source", "n_chars", "cnt", "cum", "target_idx").agg(
+        F.min("p_chars").cast("bigint").alias("pooled_equiv")
+    ).select(
+        "source",
+        "n_chars",
+        F.col("cnt").cast("bigint").alias("n_docs"),
+        F.col("cum").cast("bigint").alias("src_cum"),
+        "target_idx",
+        "pooled_equiv",
+    )

@@ -309,6 +309,9 @@ MEASURE_OUTPUT = {
     # r11: one row per doc-with-bigrams — linear; measured so the
     # selected-fraction stays observable under replication
     "dsir_importance_weights",
+    # r11: one row per source×distinct-length — grows with value
+    # cardinality (sublinear), exactly what the measurement shows
+    "quantile_normalize_doclen",
 }
 
 # date-windowed queries: the replica time shift leaves only replica 0
@@ -465,12 +468,14 @@ CONSTANT_OUTPUT = {
     "ivf_ndcg_audit",
     "price_qty_mutual_info",
     # r11: 4-channel Shapley grid, 5-priority coverage/MDE grids,
-    # 3-flag sign screen, fixed top-50 sampling-table head
+    # 3-flag sign screen, fixed top-50 sampling-table head, 1-row
+    # fixed-sample blocking audit
     "shapley_attribution",
     "conformal_interval_coverage",
     "power_analysis_mde",
     "simpson_paradox_detector",
     "negative_sampling_table",
+    "fuzzy_blocking_recall_audit",
 }
 
 
