@@ -182,3 +182,76 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents")["documents"]
     media = synth_media(t).repartition("doc_id")
     return media.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Resize / downsample (the image-thumbnail slot)
+# ---------------------------------------------------------------------------
+
+THUMB_BYTES = 32  # fixed output size — the point of a resize
+
+
+def _resize_thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB resizer (mapInPandas body): a real deployment would decode
+    the image and bilinear-resample to a fixed thumbnail (PIL) — no
+    media libs here, so this nearest-neighbor downsamples the raw BYTE
+    stream to THUMB_BYTES samples instead. The plumbing under audit is
+    identical: variable-size binary in → fixed-size binary out, Arrow
+    both directions, constant memory per row regardless of payload
+    size (the property that makes resize safe at 100 TB)."""
+    import hashlib
+
+    for pdf in batches:
+        out = {"doc_id": [], "n_bytes": [], "thumb": [], "thumb_hash": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            n = len(data)
+            # nearest-neighbor sample grid: position i -> byte at
+            # floor(i*n/THUMB_BYTES); short payloads keep every byte
+            if n >= THUMB_BYTES:
+                thumb = bytes(
+                    data[(i * n) // THUMB_BYTES] for i in range(THUMB_BYTES)
+                )
+            else:
+                thumb = data
+            out["doc_id"].append(doc_id)
+            out["n_bytes"].append(n)
+            out["thumb"].append(thumb)
+            out["thumb_hash"].append(hashlib.md5(thumb).hexdigest())
+        yield pd.DataFrame(out).astype({"doc_id": "int64", "n_bytes": "int32"})
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS INTEGER) AS n_bytes,
+           MD5(CASE WHEN LENGTH(text) >= {THUMB_BYTES} THEN
+                 LIST_AGGREGATE(LIST_TRANSFORM(RANGE(0, {THUMB_BYTES}),
+                   i -> SUBSTR(text,
+                          CAST((i * LENGTH(text)) // {THUMB_BYTES} + 1
+                               AS INTEGER), 1)), 'string_agg', '')
+               ELSE text END) AS thumb_hash
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample over opaque media payloads via ``mapInPandas``
+    — the image-thumbnail slot next to ``multimodal_frames``
+    (frame-sample) and ``multimodal_features`` (feature-extract). The
+    stub nearest-neighbor samples the byte stream to a fixed
+    {THUMB_BYTES}-byte thumbnail; because the documents corpus is
+    ASCII, the sampled thumbnail digest is reproducible in SQL, so the
+    whole variable-in/fixed-out Arrow pipeline is oracle-checked (the
+    binary ``thumb`` column itself is exercised by the Python side and
+    hashed — the hash is the cross-engine witness).
+
+    Scale posture: constant output bytes per row by construction —
+    resize is the operator that caps downstream width; one narrow
+    mapInPandas pass, no shuffle at all."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    media = synth_media(t).repartition("doc_id")
+    return media.mapInPandas(
+        _resize_thumbs,
+        schema="doc_id bigint, n_bytes int, thumb binary, thumb_hash string",
+    ).drop("thumb")
