@@ -65,15 +65,15 @@ def _events(spark, src_dir: str):
     ).select("event_id", "ts", "user_id", "event_type", "value")
 
 
-def _batch(events, round_no: int, new_keys: bool = False):
-    """Deterministic fixed-size batch: the BATCH_KEYS smallest
-    event_ids (present at every scale — replicas offset keys upward),
-    values perturbed per round so each upsert is a real change. With
-    new_keys, shift ids past any replica's range to exercise the
-    additive-append path instead."""
+def _batch(events, round_no: int, new_keys: bool = False, keys: int | None = None):
+    """Deterministic fixed-size batch: the ``keys`` (default
+    BATCH_KEYS) smallest event_ids (present at every scale — replicas
+    offset keys upward), values perturbed per round so each upsert is
+    a real change. With new_keys, shift ids past any replica's range
+    to exercise the additive-append path instead."""
     b = (
         events.orderBy("event_id")
-        .limit(BATCH_KEYS)
+        .limit(keys or BATCH_KEYS)
         .withColumn("value", F.col("value") + F.lit(float(round_no)))
         .withColumn("event_type", F.lit(f"stress_r{round_no}"))
     )
@@ -237,6 +237,41 @@ def run(spark, base_sf: str) -> dict:
     return out
 
 
+def run_batch_size_sweep(spark, src: str, k: int = 10) -> dict:
+    """The OTHER axis of the M3 contract: fix the table (k=10 replica,
+    1M rows, 100 buckets) and sweep the BATCH — upsert cost must grow
+    with batch size (specifically with min(batch_keys, num_buckets) ×
+    bucket size in rewritten bytes), which together with the
+    table-size sweep pins 'cost tracks batch, not table' from both
+    directions."""
+    from rs_streamloader_spark.sinks.native import NativeTableSink
+
+    events = _events(spark, src)
+    out: dict = {}
+    for keys in (10, 100, 1000, 10000):
+        root = os.path.join(WORK, f"bs{keys}")
+        shutil.rmtree(root, ignore_errors=True)
+        tbl = os.path.join(root, "tbl")
+        sink = NativeTableSink(
+            spark, tbl, num_buckets=BUCKETS[k], bucket_by="event_id"
+        )
+        _loader(spark, sink, os.path.join(root, "st_seed"), events).trunc_insert()
+        body = _batch(events, 1, keys=keys)
+        t0 = time.perf_counter()
+        _loader(spark, sink, os.path.join(root, "st_u"), body).upsert(
+            dedupe="last"
+        )
+        nb, nbytes = _touched_buckets(tbl)
+        out[f"keys{keys}"] = {
+            "upsert_s": round(time.perf_counter() - t0, 2),
+            "buckets_touched": nb,
+            "rewritten_bytes": nbytes,
+        }
+        print(f"[batch-sweep keys={keys}] {out[f'keys{keys}']}", flush=True)
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         _REPO_ROOT, "SCALE_STRESS_r11_loader.json"
@@ -247,6 +282,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     base_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     result = run(spark, base_sf)
+    if os.path.isdir(SRC[10]):
+        result["batch_size_sweep_k10"] = run_batch_size_sweep(spark, SRC[10])
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
         fh.write("\n")
