@@ -2571,3 +2571,92 @@ def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# MRR / hit-rate retrieval audit over the exact top-k
+# ---------------------------------------------------------------------------
+
+
+def _mrr_oracle() -> str:
+    exact_sql = REGISTRY["ann_topk_bruteforce"].oracle
+    return f"""
+    WITH exact AS ({exact_sql}),
+    rel AS (
+      SELECT e.query_id, e.rank
+      FROM exact e
+      JOIN embeddings q ON q.vec_id = e.query_id
+      JOIN embeddings n ON n.vec_id = e.neighbor_id
+      WHERE q.label = n.label
+    ),
+    per_q AS (
+      SELECT q.query_id, MIN(r.rank) AS first_rel
+      FROM (SELECT DISTINCT query_id FROM exact) q
+      LEFT JOIN rel r ON r.query_id = q.query_id
+      GROUP BY q.query_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_hit,
+           CAST(SUM(CASE WHEN first_rel = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits_at_1,
+           CAST(SUM(COALESCE(1000000 // first_rel, 0)) // COUNT(*) AS BIGINT)
+             AS mrr_micro
+    FROM per_q
+    """
+
+
+@register("retrieval_mrr_audit", oracle=_mrr_oracle())
+def retrieval_mrr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Reciprocal Rank + hit-rate of the exact top-{TOP_K}
+    neighbor ranking against the label-match relevance proxy — the
+    first-relevant-position companion to ``ivf_ndcg_audit`` (NDCG
+    grades the whole list, MRR grades where the FIRST relevant result
+    lands — the metric RAG/retrieval pipelines actually page on) over
+    the same {N_QUERIES}-query set.
+
+    Scale posture: rides ``ann_topk_bruteforce``'s cached norm stage;
+    the audit works on a (queries × {TOP_K})-bounded rank list; label
+    lookups are broadcast joins against the bounded query/neighbor id
+    sets. Cross-engine determinism: ranks are integers, reciprocal
+    ranks are 1e6-unit integer floor-divisions, the mean is one more
+    floor-division — no floating point anywhere in the metric.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5
+    similarity family)."""
+    t = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    labels = t.select("vec_id", "label")
+    exact = ann_topk_bruteforce(spark, sf_dir)
+    rel = (
+        exact.join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "query_id")
+                        .withColumnRenamed("label", "q_label")),
+            "query_id",
+        )
+        .join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")
+                        .withColumnRenamed("label", "n_label")),
+            "neighbor_id",
+        )
+        .where(F.col("q_label") == F.col("n_label"))
+        .select("query_id", "rank")
+    )
+    per_q = (
+        exact.select("query_id")
+        .distinct()
+        .join(rel.groupBy("query_id").agg(F.min("rank").alias("first_rel")),
+              "query_id", "left")
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum(F.when(F.col("first_rel").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_hit"),
+        F.sum(F.when(F.col("first_rel") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hits_at_1"),
+        F.expr(
+            "CAST(SUM(COALESCE(1000000 div first_rel, 0)) div COUNT(*)"
+            " AS BIGINT)"
+        ).alias("mrr_micro"),
+    )

@@ -6738,3 +6738,166 @@ def simpson_paradox_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("stratum_sign") != F.col("pooled_sign"))
         ).alias("simpson_flip"),
     )
+
+
+# ---------------------------------------------------------------------------
+# O'Brien-Fleming group-sequential monitoring (K=5 looks)
+# ---------------------------------------------------------------------------
+
+# classic O'Brien-Fleming two-sided alpha=0.05, K=5 boundary:
+# z_k = C * sqrt(K/k) with C = 2.0401 (Jennison & Turnbull table) —
+# FROZEN per-look literals, never an engine's sqrt at query time
+_OBF_BOUNDS = ((1, "4.5618"), (2, "3.2257"), (3, "2.6338"),
+               (4, "2.2809"), (5, "2.0401"))
+_OBF_K = len(_OBF_BOUNDS)
+
+
+def _obf_oracle() -> str:
+    bounds = " UNION ALL ".join(
+        f"SELECT {k} AS look, CAST({b} AS DOUBLE) AS z_bound"
+        for k, b in _OBF_BOUNDS
+    )
+    return f"""
+    WITH ud AS (
+      SELECT user_id % 2 AS variant, CAST(ts AS DATE) AS d,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    daily AS (
+      SELECT d, variant, COUNT(*) AS n, SUM(converted) AS conv
+      FROM ud GROUP BY d, variant
+    ),
+    days AS (
+      SELECT d, DENSE_RANK() OVER (ORDER BY d) AS r,
+             COUNT(*) OVER () AS n_days
+      FROM (SELECT DISTINCT d FROM daily)
+    ),
+    bounds AS ({bounds}),
+    cum AS (
+      SELECT b.look, b.z_bound,
+        MAX(dy.r) AS days_included,
+        CAST(SUM(CASE WHEN da.variant = 0 THEN da.n ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN da.variant = 0 THEN da.conv ELSE 0 END) AS BIGINT) AS conv_a,
+        CAST(SUM(CASE WHEN da.variant = 1 THEN da.n ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN da.variant = 1 THEN da.conv ELSE 0 END) AS BIGINT) AS conv_b
+      FROM bounds b
+      JOIN days dy ON dy.r <= (b.look * dy.n_days + {_OBF_K} - 1) // {_OBF_K}
+      JOIN daily da ON da.d = dy.d
+      GROUP BY b.look, b.z_bound
+    ),
+    looks AS (
+      SELECT look, z_bound, days_included, n_a, conv_a, n_b, conv_b,
+        ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+              / SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                     * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                     * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+      FROM cum
+    )
+    SELECT look, CAST(days_included AS BIGINT) AS days_included,
+           n_a, conv_a, n_b, conv_b, z, z_bound,
+           ABS(z) >= z_bound AS crossed,
+           CAST(MAX(CASE WHEN ABS(z) >= z_bound THEN 1 ELSE 0 END)
+                OVER (ORDER BY look
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS INTEGER) = 1 AS stopped
+    FROM looks
+    """
+
+
+@register("obrien_fleming_sequential", oracle=_obf_oracle())
+def obrien_fleming_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O'Brien-Fleming group-sequential monitoring of the A/B split
+    (K={_OBF_K} equally-spaced calendar looks, two-sided α=0.05): the
+    cumulative two-proportion z at each look against the classic OBF
+    boundary C·√(K/k) — conservative early (z₁ bound 4.56), nominal at
+    the final look — with a STICKY stopped flag from the first
+    crossing. Next to ``ab_sprt_stopping_audit`` (fully-sequential
+    SPRT) this is the scheduled-interim-analysis discipline most
+    experimentation platforms actually run.
+
+    Scale posture: conversions collapse to per-(day, variant) counts
+    first (combinable), every subsequent structure is bounded — the
+    day list, the {_OBF_K}-row boundary table, the look×day fan — and
+    the sticky flag windows over {_OBF_K} rows. Cross-engine
+    determinism: boundary values are FROZEN published literals (never
+    an engine sqrt of 5/k), the z formula is the shared
+    ab_test_proportion_z operand order rounded at 6dp, the look cutoff
+    ceil(k·D/K) is exact integer arithmetic, and the crossing compares
+    a 6dp-rounded z to a 4dp literal (an exact tie is impossible on
+    the 1e-6 grid vs 1e-4 grid unless z needs >4dp — the measured z
+    values here are far from the bounds).
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    ud = ev.groupBy(
+        (F.col("user_id") % 2).alias("variant"), F.to_date("ts").alias("d")
+    , F.col("user_id")).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    )
+    daily = ud.groupBy("d", "variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wd = Window.orderBy("d")
+    days = (
+        daily.select("d")
+        .distinct()
+        .select(
+            "d",
+            F.dense_rank().over(wd).alias("r"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n_days"),
+        )
+    )
+    bounds = ev.sparkSession.createDataFrame(
+        [(k, float(b)) for k, b in _OBF_BOUNDS], "look INT, z_bound DOUBLE"
+    )
+    cutoff = F.expr(f"(look * n_days + {_OBF_K} - 1) div {_OBF_K}")
+    cum = (
+        F.broadcast(bounds)
+        .join(F.broadcast(days), F.col("r") <= cutoff)
+        .join(daily, "d")
+        .groupBy("look", "z_bound")
+        .agg(
+            F.max("r").alias("days_included"),
+            F.sum(F.when(F.col("variant") == 0, F.col("n")).otherwise(0))
+            .cast("bigint").alias("n_a"),
+            F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0))
+            .cast("bigint").alias("conv_a"),
+            F.sum(F.when(F.col("variant") == 1, F.col("n")).otherwise(0))
+            .cast("bigint").alias("n_b"),
+            F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0))
+            .cast("bigint").alias("conv_b"),
+        )
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = F.round(
+        (p_a - p_b)
+        / F.sqrt(pool * (1.0 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+        6,
+    )
+    looks = cum.withColumn("z", z)
+    wl = Window.orderBy("look").rowsBetween(Window.unboundedPreceding, 0)
+    return looks.select(
+        "look",
+        F.col("days_included").cast("bigint").alias("days_included"),
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        "z",
+        "z_bound",
+        (F.abs(F.col("z")) >= F.col("z_bound")).alias("crossed"),
+        (
+            F.max(
+                F.when(F.abs(F.col("z")) >= F.col("z_bound"), 1).otherwise(0)
+            ).over(wl)
+            == 1
+        ).alias("stopped"),
+    )

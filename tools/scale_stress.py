@@ -476,6 +476,9 @@ CONSTANT_OUTPUT = {
     "simpson_paradox_detector",
     "negative_sampling_table",
     "fuzzy_blocking_recall_audit",
+    # r11 late: 1-row MRR rollup, 5-look sequential grid
+    "retrieval_mrr_audit",
+    "obrien_fleming_sequential",
 }
 
 
