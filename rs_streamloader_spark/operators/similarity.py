@@ -2616,9 +2616,10 @@ def retrieval_mrr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same {N_QUERIES}-query set.
 
     Scale posture: rides ``ann_topk_bruteforce``'s cached norm stage;
-    the audit works on a (queries × {TOP_K})-bounded rank list; label
-    lookups are broadcast joins against the bounded query/neighbor id
-    sets. Cross-engine determinism: ranks are integers, reciprocal
+    the audit works on a (queries × {TOP_K})-bounded rank list, and
+    the BOUNDED sides broadcast (the rank list and the vec_id-filtered
+    query labels) while the O(corpus) label table streams.
+    Cross-engine determinism: ranks are integers, reciprocal
     ranks are 1e6-unit integer floor-divisions, the mean is one more
     floor-division — no floating point anywhere in the metric.
 
@@ -2626,24 +2627,26 @@ def retrieval_mrr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity family)."""
     t = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     labels = t.select("vec_id", "label")
+    # the bounded sides get broadcast: query labels ({N_QUERIES} rows by
+    # the vec_id filter) and the exact rank list ({N_QUERIES}×{TOP_K}
+    # rows); the O(corpus) label table streams — broadcasting IT would
+    # grow with every replica until the broadcast limit kills the query
+    q_labels = labels.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    # consumed once (the rel join) now that per_q derives its query-id
+    # set from the bounded vec_id filter instead of a second pass
     exact = ann_topk_bruteforce(spark, sf_dir)
     rel = (
-        exact.join(
-            F.broadcast(labels.withColumnRenamed("vec_id", "query_id")
-                        .withColumnRenamed("label", "q_label")),
-            "query_id",
-        )
-        .join(
-            F.broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")
-                        .withColumnRenamed("label", "n_label")),
-            "neighbor_id",
-        )
+        labels.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("label", "n_label")
+        .join(F.broadcast(exact), "neighbor_id")
+        .join(F.broadcast(q_labels), "query_id")
         .where(F.col("q_label") == F.col("n_label"))
         .select("query_id", "rank")
     )
     per_q = (
-        exact.select("query_id")
-        .distinct()
+        q_labels.select("query_id")
         .join(rel.groupBy("query_id").agg(F.min("rank").alias("first_rel")),
               "query_id", "left")
     )
