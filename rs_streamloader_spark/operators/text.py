@@ -1563,3 +1563,165 @@ def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_idx",
         "pooled_equiv",
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document character entropy (compression-proxy quality filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, SUBSTR(text, CAST(i AS INTEGER), 1) AS c
+      FROM documents, (SELECT UNNEST(RANGE(1, 10001)) AS i)
+      WHERE i <= LENGTH(text)
+    ),
+    hist AS (
+      SELECT doc_id, c, COUNT(*) AS cnt,
+             SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS len
+      FROM chars GROUP BY doc_id, c
+    )
+    SELECT doc_id,
+           CAST(MIN(len) AS BIGINT) AS n_chars_used,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           CAST(-SUM(CAST(ROUND((CAST(cnt AS DOUBLE) / len)
+                                * LN(CAST(cnt AS DOUBLE) / len)
+                                * 1000000000) AS BIGINT)) AS BIGINT)
+             AS entropy_nano
+    FROM hist GROUP BY doc_id
+    """,
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats, nano-units)
+    — the compression-proxy quality filter (low entropy ⇒ repetitive
+    boilerplate, near-uniform entropy ⇒ encrypted/binary junk) that
+    complements the token-level repetition stats; production corpus
+    filters (e.g. CCNet-style) bucket documents on exactly this
+    number. Capped at the first 10k characters per doc (a frozen cap
+    shared by both engines) so per-row fan-out is bounded.
+
+    Scale posture: one bounded per-char explode collapses immediately
+    to a (doc, char) histogram (≤ alphabet size per doc); the per-doc
+    window runs over that histogram, not characters. Cross-engine
+    determinism: each −p·ln(p) term computes on the identical double
+    division and rounds to integer nano-units BEFORE the per-doc sum
+    (the transcendental-sum policy).
+
+    Reference surface: none (novel extension, SURVEY.md §2.5
+    text-analysis family)."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    chars = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, least(length(text), 10000)),"
+                    " i -> substring(text, i, 1))"
+                )
+            ).alias("c"),
+        )
+    )
+    wd = Window.partitionBy("doc_id")
+    hist = (
+        chars.groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("len", F.sum("cnt").over(wd))
+    )
+    p = F.col("cnt").cast("double") / F.col("len")
+    term = F.round(p * F.log(p) * 1000000000).cast("bigint")
+    return hist.groupBy("doc_id").agg(
+        F.min("len").cast("bigint").alias("n_chars_used"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+        (-F.sum(term)).cast("bigint").alias("entropy_nano"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement via Gumbel keys
+# ---------------------------------------------------------------------------
+
+_GUMBEL_K = 100  # sample size (fixed top-k cut)
+
+
+def _gumbel_hexwalk_sql(n_hex: int = 4) -> str:
+    """Generated STRPOS walk over the first ``n_hex`` md5 hex chars of
+    the seeded doc key — same-constant twin of the Spark conv()."""
+    expr = "0"
+    for i in range(1, n_hex + 1):
+        expr = (
+            f"({expr} * 16 + STRPOS('0123456789abcdef',"
+            f" SUBSTR(MD5('g|' || CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
+        )
+    return expr
+
+
+@register(
+    "weighted_sample_gumbel",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+             ROUND(LN(CAST(n_chars AS DOUBLE))
+                   - LN(-LN(CAST({_gumbel_hexwalk_sql()} + 1 AS DOUBLE)
+                            / 65537.0)), 6) AS gumbel_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY gumbel_key DESC, doc_id)
+                AS BIGINT) AS rank,
+           doc_id, source, weight, gumbel_key
+    FROM keyed
+    ORDER BY gumbel_key DESC, doc_id
+    LIMIT {_GUMBEL_K}
+    """,
+)
+def weighted_sample_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Gumbel-top-k
+    trick (Efraimidis-Spirakis / Vieira): each doc gets key
+    ln(w) + Gumbel(0,1) with the Gumbel drawn from a deterministic
+    md5-hash uniform, and the top-{_GUMBEL_K} keys are a length-biased
+    sample without replacement — the one-pass distributed way to draw
+    a weighted sample at 100 TB (rejection/sequential methods need
+    coordination; top-k by key needs none, and reproducibility comes
+    free from the hash seed).
+
+    Scale posture: pure per-row codegen arithmetic + a
+    TakeOrderedAndProject top-k — no shuffle beyond the cut, no state.
+    Cross-engine determinism: the uniform is (hash16+1)/65537 from 4
+    md5 hex chars (conv == the oracle's generated STRPOS walk,
+    seeded 'g|'), u ∈ (0,1) strictly so both LNs are finite; the key
+    is one identically-ordered double expression rounded to 6dp, and
+    the ordering uses the ROUNDED key with a doc_id tiebreak (the
+    bm25_topk boundary policy).
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 curation
+    family)."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    h16 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("g|"), F.col("doc_id").cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h16 + 1).cast("double") / 65537.0
+    key = F.round(
+        F.log(F.col("n_chars").cast("double")) - F.log(-F.log(u)), 6
+    )
+    keyed = (
+        t.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            key.alias("gumbel_key"),
+        )
+        .orderBy(F.col("gumbel_key").desc(), "doc_id")
+        .limit(_GUMBEL_K)
+    )
+    w = Window.orderBy(F.col("gumbel_key").desc(), "doc_id")
+    return keyed.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "doc_id",
+        "source",
+        "weight",
+        "gumbel_key",
+    )

@@ -482,6 +482,8 @@ CONSTANT_OUTPUT = {
     "obrien_fleming_sequential",
     "holt_winters_forecast",
     "record_linkage_em_weights",
+    # fixed top-100 weighted sample
+    "weighted_sample_gumbel",
 }
 
 
