@@ -6438,11 +6438,20 @@ def _popcount_sql(expr: str) -> str:
       SELECT mask, CAST(SUM(converted) AS BIGINT) AS conv
       FROM users GROUP BY mask
     ),
+    -- ALL 2^n - 1 nonempty coalitions, not just observed masks
+    -- (ADVICE r11): an unobserved S (v(S)=0) whose subset S\\c IS
+    -- observed still contributes -v(S\\c)*w; enumerating <=255 masks
+    -- makes the sum the exact Shapley value of the declared game.
+    masks AS (
+      SELECT UNNEST(RANGE(1, 1 << CAST(LEAST(n, {_SHAP_MAX_BITS})
+                                       AS INTEGER))) AS mask
+      FROM nchan
+    ),
     terms AS (
-      SELECT ch.channel, n.n, v.mask,
-             (v.conv - COALESCE(v2.conv, 0))
-               * {_fact_case(_popcount_sql('v.mask') + ' - 1')}
-               * {_fact_case('n.n - ' + _popcount_sql('v.mask'))}
+      SELECT ch.channel, n.n, m.mask,
+             (COALESCE(v.conv, 0) - COALESCE(v2.conv, 0))
+               * {_fact_case(_popcount_sql('m.mask') + ' - 1')}
+               * {_fact_case('n.n - ' + _popcount_sql('m.mask'))}
              -- guard: >{_SHAP_MAX_BITS} channels would make the generated
              -- popcount/factorial CASEs yield NULLs that SUM silently
              -- skips — fail loudly instead of answering wrong
@@ -6452,8 +6461,9 @@ def _popcount_sql(expr: str) -> str:
                         0) AS t
       FROM chan ch
       CROSS JOIN nchan n
-      JOIN v ON (v.mask & ch.bit) <> 0
-      LEFT JOIN v v2 ON v2.mask = v.mask - ch.bit
+      JOIN masks m ON (m.mask & ch.bit) <> 0
+      LEFT JOIN v ON v.mask = m.mask
+      LEFT JOIN v v2 ON v2.mask = m.mask - ch.bit
     )
     SELECT channel,
            MIN(n) AS n_channels,
@@ -6465,13 +6475,16 @@ def _popcount_sql(expr: str) -> str:
     """,
 )
 def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Shapley-value marketing attribution over OBSERVED channel
-    coalitions (Zhao, Mahboobi & Maldonado 2018): the coalition value
-    v(S) is the number of converting users whose pre-conversion
-    channel set is exactly S (unobserved sets contribute 0), and each
-    channel's Shapley value is Σ_{{S∋c}} (v(S)−v(S∖c))·(|S|−1)!(n−|S|)!/n!
-    — the unique credit split satisfying efficiency/symmetry/dummy,
-    next to ``markov_attribution_removal``'s removal-effect variant.
+    """EXACT Shapley-value marketing attribution (Zhao, Mahboobi &
+    Maldonado 2018): the coalition value v(S) is the number of
+    converting users whose pre-conversion channel set is exactly S
+    (v(S)=0 for unobserved sets), and each channel's Shapley value is
+    Σ_{{S∋c}} (v(S)−v(S∖c))·(|S|−1)!(n−|S|)!/n! summed over ALL 2ⁿ−1
+    nonempty coalitions — enumerated explicitly (n ≤ 8 gated, ≤255
+    masks), so unobserved S whose subset S∖c IS observed contribute
+    their −v(S∖c) terms and efficiency/symmetry/dummy genuinely hold
+    (ADVICE r11 closed the observed-masks-only truncation). Sits next
+    to ``markov_attribution_removal``'s removal-effect variant.
 
     Scale posture: the corpus collapses to one row per user (one
     shuffle), then to the ≤2ⁿ-mask coalition table — every join after
@@ -6512,10 +6525,23 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = users.groupBy("mask").agg(
         F.sum("converted").cast("bigint").alias("conv")
     )
+    # ALL 2^n - 1 nonempty coalitions (ADVICE r11): unobserved S with an
+    # observed subset S\c still contributes -v(S\c)*w — enumerating the
+    # bounded <=255-mask universe makes this the exact Shapley value.
+    masks = nchan.select(
+        F.explode(
+            F.expr(
+                "sequence(1, shiftleft(1,"
+                f" CAST(LEAST(n, {_SHAP_MAX_BITS}) AS INT)) - 1)"
+            )
+        ).alias("mask")
+    )
+    vS = v.select(F.col("mask").alias("maskS"), F.col("conv").alias("convS"))
     v2 = v.select(F.col("mask").alias("mask2"), F.col("conv").alias("conv2"))
     terms = (
         chan.crossJoin(F.broadcast(nchan))
-        .join(F.broadcast(v), F.expr("(mask & bit) <> 0"))
+        .join(F.broadcast(masks), F.expr("(mask & bit) <> 0"))
+        .join(F.broadcast(vS), F.expr("maskS = mask"), "left")
         .join(
             F.broadcast(v2),
             F.expr("mask2 = mask - bit"),
@@ -6525,7 +6551,7 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "channel",
             "n",
             F.expr(
-                f"(conv - COALESCE(conv2, 0))"
+                f"(COALESCE(convS, 0) - COALESCE(conv2, 0))"
                 f" * {_fact_case(_popcount_sql('mask') + ' - 1')}"
                 f" * {_fact_case('n - ' + _popcount_sql('mask'))}"
                 # guard: >MAX_BITS channels would make the generated

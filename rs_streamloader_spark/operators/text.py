@@ -1612,8 +1612,15 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference surface: none (novel extension, SURVEY.md §2.5
     text-analysis family)."""
     t = load_tables(spark, sf_dir, "documents")["documents"]
+    # Empty-text guard (ADVICE r11): sequence(1, 0) DESCENDS in Spark
+    # (default step -1), which would fabricate two empty-char rows for
+    # a zero-length doc while the oracle's WHERE i <= LENGTH(text)
+    # drops the doc entirely. Filter matches the oracle's implicit
+    # row-drop; current corpora have min length 44, so this is a
+    # latent-divergence guard, not a behavior change on shipped data.
     chars = (
-        t.select(
+        t.where(F.length("text") > 0)
+        .select(
             "doc_id",
             F.explode(
                 F.expr(

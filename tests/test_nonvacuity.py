@@ -549,3 +549,32 @@ def test_keep_best_quality_overrides_min_id(spark, tmp_path, monkeypatch):
     assert row["kept_quality"] == 3
     assert bool(row["keeper_differs_from_min_id"]) is True
     assert row["dropped_tokens"] > 0
+
+
+def test_doc_char_entropy_drops_empty_text(spark, tmp_path):
+    """ADVICE r11: sequence(1, 0) DESCENDS in Spark (default step -1),
+    so a zero-length doc used to fabricate empty-char rows while the
+    DuckDB oracle's WHERE i <= LENGTH(text) dropped the doc. Both
+    engines must now drop it — proven on a corpus that actually
+    contains an empty doc (shipped corpora have min length 44)."""
+    import duckdb
+
+    docs = pd.DataFrame(
+        [
+            {"doc_id": 0, "text": "", "lang": "en", "source": "s0", "n_chars": 0},
+            {"doc_id": 1, "text": "abab", "lang": "en", "source": "s0", "n_chars": 4},
+        ]
+    )
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False), d / "documents.parquet")
+    df = entry.queries()["doc_char_entropy"](spark, str(d))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    oracle_pdf = con.execute(entry.oracle_sql()["doc_char_entropy"]).df()
+    compare(df, oracle_pdf, "doc_char_entropy@empty-text")
+    pdf = df.toPandas()
+    assert set(pdf["doc_id"]) == {1}
+    assert pdf["n_distinct_chars"].iloc[0] == 2

@@ -684,3 +684,69 @@ def test_equiwidth_guarantee_on_duplicate_heavy_bins(spark, monkeypatch):
         assert bool(r["within_guarantee"]) is True, r
     # the exact quantiles themselves are sane on this corpus
     assert rows["p50"]["exact_cents"] == 88
+
+
+def test_shapley_matches_bruteforce(spark, monkeypatch):
+    """Independent brute-force validation of the EXACT Shapley value
+    (ADVICE r11 closed the observed-coalitions-only truncation): the
+    constructed journeys include an unobserved coalition
+    {view, signup} whose subset {view} IS observed, so 'signup' must
+    pick up a NEGATIVE -v({view})·w term the truncated sum dropped.
+    Checks every channel against an itertools enumeration and the
+    efficiency axiom Σφ = v(N) − v(∅)."""
+    from itertools import combinations
+    from math import factorial
+
+    journeys = (
+        [("view",)] * 3  # 3 converters touched only view
+        + [("view", "click")] * 2
+        + [("view", "click", "signup")]
+        + [()]  # converter with NO channel touch: v(∅) = 1
+    )
+    rows = []
+    eid = 0
+    for uid, chans in enumerate(journeys):
+        for c in chans:
+            rows.append((eid, uid, c))
+            eid += 1
+        rows.append((eid, uid, "purchase"))
+        eid += 1
+    # one non-converter so a channel appears without conversion mass
+    rows.append((eid, 99, "click"))
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type"])
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"events": sdf})
+
+    got = {r["channel"]: r for r in S.shapley_attribution(spark, "x").collect()}
+
+    channels = sorted({c for j in journeys for c in j} | {"click"})
+    n = len(channels)
+    v = {}
+    for chans in journeys:
+        v[frozenset(chans)] = v.get(frozenset(chans), 0) + 1
+    phi = {}
+    for c in channels:
+        tot = 0
+        for k in range(1, n + 1):
+            for S_ in combinations(channels, k):
+                if c not in S_:
+                    continue
+                s, sminus = frozenset(S_), frozenset(S_) - {c}
+                tot += (v.get(s, 0) - v.get(sminus, 0)) * factorial(
+                    k - 1
+                ) * factorial(n - k)
+        phi[c] = tot
+    for c in channels:
+        assert got[c]["phi_scaled"] == phi[c], (c, dict(got[c].asDict()), phi)
+        assert got[c]["n_sets"] == 2 ** (n - 1), c
+        # nano value: truncate-toward-zero division by n! (both engines)
+        q = abs(phi[c]) * 10**9 // factorial(n)
+        assert got[c]["phi_nano"] == (q if phi[c] >= 0 else -q), c
+    # the truncation bug's signature: signup's only positive term is the
+    # grand coalition; the unobserved {view,signup}/{click,signup} sets
+    # contribute -v({view})·w / -v({click})·w, driving it negative
+    assert phi["signup"] < 0 and got["signup"]["phi_scaled"] < 0
+    # efficiency: Σφ·n! terms sum to (v(N) - v(∅))·n!
+    assert sum(phi.values()) == (
+        v.get(frozenset(channels), 0) - v.get(frozenset(), 0)
+    ) * factorial(n)
