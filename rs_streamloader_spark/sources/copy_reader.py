@@ -29,6 +29,7 @@ TRUNCATECOLUMNS   ``substring`` projection on string columns
 from __future__ import annotations
 
 import json
+import logging
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,6 +40,7 @@ from rs_streamloader_spark.errors import LoaderError
 
 MAX_ERROR_EXCEEDED = "MAX_ERROR_EXCEEDED"
 AVRO_UNSUPPORTED = "AVRO_UNSUPPORTED"
+_LOG = logging.getLogger(__name__)
 CORRUPT_COL = "_corrupt_record"
 
 _ENCODINGS = {
@@ -299,6 +301,16 @@ def _read_raw(
                 read_avro_fallback,
             )
 
+            # loud by design (ADVICE r11): the fallback is a different
+            # code path than the jar — same results (incl. NaN, now
+            # preserved via mapInArrow), but per-file parallel grain
+            # and stdlib-only codecs; operators should know which
+            # engine decoded their COPY body
+            _LOG.warning(
+                "spark-avro data source not registered; decoding %s with"
+                " the stdlib fallback decoder (per-file parallelism,"
+                " null/deflate codecs only)", path,
+            )
             return read_avro_fallback(spark, path, schema)
         return reader.format(fmt).load(path)
     return reader.format(fmt).load(path)

@@ -254,3 +254,98 @@ class TestSparkRead:
         assert ld.insert() == "SUCCESS"
         out = {r["id"]: r["name"] for r in sink.read().collect()}
         assert out == {1: "a", 2: "b", 3: ""}
+
+
+# ---------------------------------------------------------------------------
+# r12: NaN fidelity, clean header gates, monolith warning
+# ---------------------------------------------------------------------------
+class TestR12Gates:
+    def test_nan_payloads_survive_as_nan(self, spark, tmp_path):
+        """ADVICE r11 (medium): the mapInPandas version decoded IEEE
+        NaN to NULL (pandas null sentinel), silently diverging from
+        the jar path. With mapInArrow + explicitly-typed arrays, NaN
+        must survive as NaN and NULL stay NULL — distinguishable."""
+        import math
+
+        schema = {"type": "record", "name": "r", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "d", "type": "double"},
+            {"name": "f", "type": "float"},
+            {"name": "nd", "type": ["null", "double"]},
+        ]}
+        rows = [
+            {"id": 1, "d": float("nan"), "f": float("nan"), "nd": None},
+            {"id": 2, "d": 2.5, "f": 1.5, "nd": float("nan")},
+        ]
+        (tmp_path / "a.avro").write_bytes(write_container(schema, rows))
+        got = {r["id"]: r for r in
+               read_avro_fallback(spark, str(tmp_path)).collect()}
+        assert math.isnan(got[1]["d"]) and math.isnan(got[1]["f"])
+        assert got[1]["nd"] is None          # real null stays null
+        assert math.isnan(got[2]["nd"])      # NaN in a nullable union
+        assert got[2]["d"] == 2.5
+
+    def test_bad_magic_raises_loader_error_naming_file(self, spark, tmp_path):
+        (tmp_path / "junk.avro").write_bytes(b"PAR1" + b"\x00" * 64)
+        with pytest.raises(LoaderError) as exc:
+            read_avro_fallback(spark, str(tmp_path))
+        assert exc.value.code == "AVRO_UNSUPPORTED"
+        assert "junk.avro" in str(exc.value)
+
+    def test_schema_disagreement_fails_clean_at_prepass(self, spark, tmp_path):
+        """Two parts with different writer schemas must fail as a
+        driver-side LoaderError naming the file (previously: lazy
+        executor PythonException)."""
+        other = {"type": "record", "name": "row", "fields": [
+            {"name": "id", "type": "long"}]}
+        (tmp_path / "a.avro").write_bytes(write_container(FLAT, ROWS))
+        (tmp_path / "b.avro").write_bytes(
+            write_container(other, [{"id": 9}]))
+        with pytest.raises(LoaderError) as exc:
+            read_avro_fallback(spark, str(tmp_path))
+        assert exc.value.code == "AVRO_UNSUPPORTED"
+        assert "differs between parts" in str(exc.value)
+
+    def test_unsupported_codec_in_later_part_fails_clean(self, spark, tmp_path):
+        """A snappy part hiding behind a null-codec first part used to
+        fail lazily in the executor; the pre-pass must gate it on the
+        driver, naming the file."""
+        (tmp_path / "a.avro").write_bytes(write_container(FLAT, ROWS))
+        good = write_container(FLAT, ROWS)
+        # swap the length-prefixed codec value: 0x08"null" -> 0x0c"snappy"
+        patched = good.replace(b"\x08null", b"\x0csnappy", 1)
+        assert patched != good
+        (tmp_path / "b.avro").write_bytes(patched)
+        with pytest.raises(LoaderError) as exc:
+            read_avro_fallback(spark, str(tmp_path))
+        assert exc.value.code == "AVRO_UNSUPPORTED"
+        assert "b.avro" in str(exc.value) and "snappy" in str(exc.value)
+
+    def test_monolith_file_warns_loudly(self, spark, tmp_path, caplog, monkeypatch):
+        """VERDICT r11 item 4: a user-supplied giant OCF decodes on one
+        core (no within-file sync split) — that must be LOUD, not a
+        silent cliff. Threshold patched down so the test file stays
+        small."""
+        import logging as _logging
+
+        import rs_streamloader_spark.sources.avro_reader as ar
+
+        monkeypatch.setattr(ar, "_MONOLITH_WARN_BYTES", 64)
+        (tmp_path / "big.avro").write_bytes(write_container(FLAT, ROWS))
+        with caplog.at_level(_logging.WARNING, logger=ar.__name__):
+            df = read_avro_fallback(spark, str(tmp_path))
+            assert df.count() == len(ROWS)  # warns, still decodes
+        assert any(
+            "big.avro" in r.getMessage() and "ONE core" in r.getMessage()
+            for r in caplog.records
+        ), [r.getMessage() for r in caplog.records]
+
+    def test_small_files_do_not_warn(self, spark, tmp_path, caplog):
+        import logging as _logging
+
+        import rs_streamloader_spark.sources.avro_reader as ar
+
+        (tmp_path / "a.avro").write_bytes(write_container(FLAT, ROWS))
+        with caplog.at_level(_logging.WARNING, logger=ar.__name__):
+            read_avro_fallback(spark, str(tmp_path)).count()
+        assert not [r for r in caplog.records if "ONE core" in r.getMessage()]
