@@ -626,37 +626,75 @@ def _fuzzy_sub_sql(n_hex: int = _FUZZY_SUB_HEX) -> str:
 
 _FUZZY_SUB_SQL = _fuzzy_sub_sql()
 
+#: Deletion-neighborhood cap: variants are generated for the first
+#: this-many character positions (shared bound BOTH engines, so an
+#: over-long name degrades recall identically on each side). Supplier
+#: names are 18 chars at every TPC-H scale; 25 leaves headroom.
+_FUZZY_NAME_MAX = 25
+
+#: One deletion variant per position (i=0 keeps the name itself) —
+#: IDENTICAL text in both engines. FastSS/SymSpell blocking (Bocek et
+#: al. 2007): two strings within edit distance 1 ALWAYS share a
+#: variant (substitution: delete the differing position from both;
+#: indel: the longer's deletion equals the shorter's i=0), so blocking
+#: recall is 100% by pigeonhole — the r11 substring key measured 68%
+#: at sf0.1 because edits INSIDE its 7-char window were invisible.
+_FUZZY_VARIANT_SQL = (
+    "CASE WHEN i = 0 THEN s_name"
+    " ELSE SUBSTRING(s_name, 1, i - 1) || SUBSTRING(s_name, i + 1) END"
+)
+
 
 @register(
     "fuzzy_name_match",
     oracle=f"""
     WITH names AS (SELECT DISTINCT s_name FROM supplier),
+    -- NO distinct on (s_name, blk): a name with repeated characters
+    -- emits the same variant from several deletion positions, and
+    -- BOTH engines must count those duplicate rows identically in
+    -- side_cnt (the cap heuristic) — the pair stage dedups instead.
+    v AS (
+      SELECT s_name, {_FUZZY_VARIANT_SQL} AS blk
+      FROM names, (SELECT UNNEST(RANGE(0, {_FUZZY_NAME_MAX + 1})) AS i)
+      WHERE i <= LEAST(LENGTH(s_name), {_FUZZY_NAME_MAX})
+    ),
     b AS (
-      SELECT s_name, SUBSTR(s_name, 10, 7) AS blk,
-             COUNT(*) OVER (PARTITION BY SUBSTR(s_name, 10, 7)) AS side_cnt
-      FROM names
+      SELECT s_name, blk,
+             COUNT(*) OVER (PARTITION BY blk) AS side_cnt
+      FROM v
     ),
     sb AS (
       SELECT s_name, blk, {_FUZZY_SUB_SQL} AS sub
       FROM b
+    ),
+    cand AS (
+      SELECT DISTINCT a.s_name AS name_a, c.s_name AS name_b
+      FROM sb a JOIN sb c ON a.blk = c.blk AND a.sub = c.sub
+      WHERE a.s_name < c.s_name
     )
-    SELECT a.s_name AS name_a, c.s_name AS name_b,
-           CAST(LEVENSHTEIN(a.s_name, c.s_name) AS INT) AS edit_dist
-    FROM sb a JOIN sb c ON a.blk = c.blk AND a.sub = c.sub
-    WHERE a.s_name < c.s_name
-      AND LEVENSHTEIN(a.s_name, c.s_name) <= {_FUZZY_MAX_DIST}
+    SELECT name_a, name_b,
+           CAST(LEVENSHTEIN(name_a, name_b) AS INT) AS edit_dist
+    FROM cand
+    WHERE LEVENSHTEIN(name_a, name_b) <= {_FUZZY_MAX_DIST}
     """,
 )
 def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate entity-name audit via a BLOCKED fuzzy SELF-join:
     distinct supplier-name pairs within unit edit distance — the
     vendor-master dedup screen ("Supplier#000000012" vs
-    "Supplier#000000013" style near-misses) — candidate-limited by an
-    equality block on a 7-char id-prefix substring plus deterministic
-    hash sub-blocking of oversized blocks. The standard two-phase
-    shape of entity resolution: cheap blocking key prunes the cross
-    product to co-blocked candidates, expensive edit distance runs
-    only inside (sub-)blocks. Auditing DISTINCT name strings (not
+    "Supplier#000000013" style near-misses) — candidate-limited by a
+    FastSS deletion-neighborhood blocking key (every single-character
+    deletion variant of the name, plus the name itself) with
+    deterministic hash sub-blocking of oversized blocks. Two strings
+    within unit edit distance always share a deletion variant
+    (pigeonhole: delete the differing position from both), so blocking
+    recall is 100% BY CONSTRUCTION — replacing the r11 substring key
+    whose own audit (``fuzzy_blocking_recall_audit``) measured 68%
+    recall at sf0.1 (edits inside the 7-char window were invisible;
+    VERDICT r11 item 6). The standard two-phase shape of entity
+    resolution survives: a cheap linear blocking stage (≤26 variants
+    per name) prunes the cross product, expensive edit distance runs
+    only on co-blocked candidates. Auditing DISTINCT name strings (not
     rows) keeps the result about the name space itself: row
     duplication never inflates the pair set.
 
@@ -665,20 +703,21 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance — correct but VACUOUS (0 rows at every scale). The
     self-join form has real output at every sf.
 
-    Scale posture: the block key turns an O(n²) similarity scan into
-    an equi-join on (blk, sub) (shuffle on the block key; the hash
+    Scale posture: variant generation is a linear ≤26× explode that
+    collapses to DISTINCT (name, variant) rows; candidates come from
+    an equi-join on (blk, sub) (shuffle on the variant; the hash
     partitioning on blk also satisfies the join's clustering, so
     sub-blocking adds no exchange), with LEVENSHTEIN — identical
-    unit-cost edit distance in both engines — evaluated
-    candidate-pairs-only. Mega-blocks (an uninformative key shared by
-    ≫ ``_FUZZY_BLOCK_CAP`` names) are split into deterministic md5
-    sub-blocks by a window count over the block key — the same
-    enforce-the-cap-BEFORE-the-expensive-stage pattern as
-    ``_JACCARD_DF_CAP`` (dedup.py), except skewed keys degrade recall
-    instead of dropping output: per-block work is bounded at ~n·CAP
-    regardless of corpus skew. The shuffle-hash hint pins the
-    self-join's physical shape against AQE broadcast flips (the build
-    side is O(distinct names))."""
+    unit-cost edit distance in both engines — evaluated on
+    DISTINCT candidate pairs only (a pair sharing several variants is
+    scored once). Deletion-variant blocks are tiny by construction
+    (names agreeing everywhere but one position), but the
+    ``_FUZZY_BLOCK_CAP`` md5 sub-blocking fuse is kept for
+    pathological corpora — the same enforce-the-cap-BEFORE-the-
+    expensive-stage pattern as ``_JACCARD_DF_CAP`` (dedup.py), where a
+    skewed key degrades recall instead of exploding work. The
+    shuffle-hash hint pins the self-join's physical shape against AQE
+    broadcast flips (the build side is O(distinct variants))."""
     t = load_tables(spark, sf_dir, "supplier")
     wb = Window.partitionBy("blk")
     # conv(hex, 16, 10) == the oracle's STRPOS walk over the same four
@@ -689,24 +728,40 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_sub = F.expr(
         f"(side_cnt + {_FUZZY_BLOCK_CAP - 1}) div {_FUZZY_BLOCK_CAP}"
     )
+    variants = F.explode(
+        F.expr(
+            f"transform(sequence(0, least(length(s_name),"
+            f" {_FUZZY_NAME_MAX})), i -> {_FUZZY_VARIANT_SQL})"
+        )
+    ).alias("blk")
+    # no distinct on (s_name, blk): duplicate variants (repeated chars)
+    # are counted in side_cnt IDENTICALLY to the oracle and collapse in
+    # the candidate distinct; they share the name's hash, so a name
+    # never splits across sub-blocks
     sb = (
         t["supplier"]
         .select("s_name")
         .distinct()
-        .withColumn("blk", F.substring("s_name", 10, 7))
+        .select("s_name", variants)
         .withColumn("side_cnt", F.count(F.lit(1)).over(wb))
         .select("s_name", "blk", (hash16 % n_sub).alias("sub"))
     )
     a, c = sb.alias("a"), sb.alias("c")
-    return (
+    cand = (
         a.join(c.hint("shuffle_hash"), ["blk", "sub"])
         .where(F.col("a.s_name") < F.col("c.s_name"))
-        .where(F.levenshtein("a.s_name", "c.s_name") <= _FUZZY_MAX_DIST)
         .select(
             F.col("a.s_name").alias("name_a"),
             F.col("c.s_name").alias("name_b"),
-            F.levenshtein("a.s_name", "c.s_name").cast("int").alias("edit_dist"),
         )
+        .distinct()
+    )
+    return cand.where(
+        F.levenshtein("name_a", "name_b") <= _FUZZY_MAX_DIST
+    ).select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("int").alias("edit_dist"),
     )
 
 
@@ -1209,11 +1264,15 @@ _FBR_SAMPLE = 200  # fixed audit sample size — bounded at ANY corpus scale
       FROM sample a JOIN sample b ON a.s_name < b.s_name
       WHERE LEVENSHTEIN(a.s_name, b.s_name) <= {_FUZZY_MAX_DIST}
     ),
+    sv AS (
+      SELECT DISTINCT s_name, {_FUZZY_VARIANT_SQL} AS blk
+      FROM sample, (SELECT UNNEST(RANGE(0, {_FUZZY_NAME_MAX + 1})) AS i)
+      WHERE i <= LEAST(LENGTH(s_name), {_FUZZY_NAME_MAX})
+    ),
     blocked AS (
-      SELECT a.s_name AS name_a, b.s_name AS name_b
-      FROM sample a JOIN sample b
-        ON a.s_name < b.s_name
-       AND SUBSTR(a.s_name, 10, 7) = SUBSTR(b.s_name, 10, 7)
+      SELECT DISTINCT a.s_name AS name_a, b.s_name AS name_b
+      FROM sv a JOIN sv b
+        ON a.blk = b.blk AND a.s_name < b.s_name
     )
     SELECT CAST((SELECT COUNT(*) FROM sample) AS BIGINT) AS n_sample,
            CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
@@ -1235,9 +1294,12 @@ def fuzzy_blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample of {_FBR_SAMPLE} names — the fuzzy family's analogue of
     ``lsh_recall_report``: every approximate candidate-generation path
     in this catalog ships its own exact audit, and blocking recall is
-    the number that tells you whether the substring key is dropping
-    true matches (pairs that differ INSIDE the blocking window are the
-    blind spot by construction — recall_ppm measures exactly that).
+    the number that tells you whether the key drops true matches.
+    History: this audit measured the r9-r11 substring key at 68%
+    recall at sf0.1 (edits inside its 7-char window were invisible),
+    which drove the r12 switch to the FastSS deletion-neighborhood
+    key; distance-1 recall is now 100% by pigeonhole and this audit
+    CERTIFIES that instead of merely documenting the gap.
 
     Scale posture: the sample is a fixed-size TakeOrderedAndProject
     cut (md5 order, name tiebreak), so the exact all-pairs stage is
@@ -1271,19 +1333,24 @@ def fuzzy_blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.s_name").alias("name_a"), F.col("b.s_name").alias("name_b")
         )
     )
+    sv = sample.select(
+        "s_name",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, least(length(s_name),"
+                f" {_FUZZY_NAME_MAX})), i -> {_FUZZY_VARIANT_SQL})"
+            )
+        ).alias("blk"),
+    ).distinct()
+    va, vb = sv.alias("a"), sv.alias("b")
     blocked = (
-        F.broadcast(a)
-        .join(
-            b,
-            (F.col("a.s_name") < F.col("b.s_name"))
-            & (
-                F.substring("a.s_name", 10, 7)
-                == F.substring("b.s_name", 10, 7)
-            ),
-        )
+        F.broadcast(va)
+        .join(vb, ["blk"])
+        .where(F.col("a.s_name") < F.col("b.s_name"))
         .select(
             F.col("a.s_name").alias("name_a"), F.col("b.s_name").alias("name_b")
         )
+        .distinct()
     )
     n_sample = sample.agg(F.count(F.lit(1)).cast("bigint").alias("n_sample"))
     n_truth = truth.agg(

@@ -943,8 +943,11 @@ def test_fuzzy_match_subblocks_before_join(spark):
     # the join's clustering is sub-block-aware: build groups stay bounded
     assert re.search(r"Exchange hashpartitioning\(blk#\d+, sub#\d+", text), text
     assert "Cartesian" not in text and "NestedLoop" not in text, text
-    # distinct + window + join exchange per side, nothing extra
-    assert shuffle_count(df) <= 6, text
+    # distinct + window + join exchange per side, plus ONE extra
+    # exchange for the candidate-pair distinct the r12 deletion-
+    # neighborhood key needs (a pair can share several variants); that
+    # small-stream shuffle bought blocking recall 68% -> 100% at sf0.1
+    assert shuffle_count(df) <= 7, text
 
 
 def test_corpus_sized_join_builds_never_broadcast(spark):
