@@ -7055,3 +7055,435 @@ def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "horizon BIGINT, forecast_cents BIGINT, insample_mae_cents BIGINT"
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval for group means
+# ---------------------------------------------------------------------------
+
+_PB_B = 32  # bootstrap replicates
+_PB_HEX = 4  # md5 hex chars -> deterministic uniform in [0, 65536)
+
+
+def _pb_thresholds() -> list[int]:
+    """Cumulative Poisson(1) thresholds scaled to 65536, frozen at
+    module import by the ONE Python process that renders both engine
+    texts — the per-rank-constant rule (never an engine's exp)."""
+    import math as m
+
+    acc, out, fact = 0.0, [], 1
+    for k in range(8):
+        if k > 0:
+            fact *= k
+        acc += m.exp(-1.0) / fact
+        out.append(int(acc * 65536))
+    return out
+
+
+_PB_T = _pb_thresholds()
+
+
+def _pb_w_case(u: str) -> str:
+    """Poisson(1) weight from a uniform in [0, 65536) — identical
+    generated CASE text for both engines."""
+    whens = " ".join(f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_PB_T))
+    return f"(CASE {whens} ELSE {len(_PB_T)} END)"
+
+
+def _pb_hexwalk_sql() -> str:
+    """STRPOS walk over a pre-hoisted md5 column ``h`` (computed once
+    per (row, replicate) in the wu CTE, not once per CASE branch)."""
+    expr = "0"
+    for i in range(1, _PB_HEX + 1):
+        expr = (
+            f"({expr} * 16 + STRPOS('0123456789abcdef',"
+            f" SUBSTR(h, {i}, 1)) - 1)"
+        )
+    return expr
+
+
+_PB_SPARK_U = (
+    "CAST(conv(substring(md5(concat('pb|', CAST(o_orderkey AS STRING),"
+    f" '|', CAST(b AS STRING))), 1, {_PB_HEX}), 16, 10) AS BIGINT)"
+)
+
+
+@register(
+    "poisson_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (SELECT UNNEST(RANGE(0, {_PB_B})) AS b),
+    base AS (
+      SELECT o_orderpriority AS priority, o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    wu AS (
+      SELECT priority, b, cents,
+             MD5('pb|' || CAST(o_orderkey AS VARCHAR) || '|'
+                 || CAST(b AS VARCHAR)) AS h
+      FROM base CROSS JOIN reps
+    ),
+    rep AS (
+      SELECT priority, b,
+             CAST(SUM({_pb_w_case(f'({_pb_hexwalk_sql()})')} * cents)
+                  AS HUGEINT) AS swx,
+             CAST(SUM({_pb_w_case(f'({_pb_hexwalk_sql()})')}) AS BIGINT)
+               AS sw
+      FROM wu
+      GROUP BY priority, b
+    ),
+    means AS (
+      SELECT priority, b,
+             CAST(swx * 1000000 // sw AS BIGINT) AS mean_micro
+      FROM rep WHERE sw > 0
+    ),
+    ranked AS (
+      SELECT priority, b, mean_micro,
+             ROW_NUMBER() OVER (PARTITION BY priority
+                                ORDER BY mean_micro, b) AS rn_lo,
+             ROW_NUMBER() OVER (PARTITION BY priority
+                                ORDER BY mean_micro DESC, b DESC) AS rn_hi,
+             COUNT(*) OVER (PARTITION BY priority) AS n_reps
+      FROM means
+    ),
+    point AS (
+      SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(CAST(SUM(cents) AS HUGEINT) * 1000000 // COUNT(*)
+                  AS BIGINT) AS mean_micro
+      FROM base GROUP BY priority
+    )
+    SELECT p.priority, p.n_orders, p.mean_micro,
+           CAST(MIN(CASE WHEN r.rn_lo = 2 THEN r.mean_micro END)
+                AS BIGINT) AS ci_lo_micro,
+           CAST(MIN(CASE WHEN r.rn_hi = 2 THEN r.mean_micro END)
+                AS BIGINT) AS ci_hi_micro,
+           CAST(MIN(r.n_reps) AS BIGINT) AS n_replicates
+    FROM point p JOIN ranked r ON r.priority = p.priority
+    GROUP BY p.priority, p.n_orders, p.mean_micro
+    """,
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed bootstrap CI for the mean order value per priority
+    via the POISSON bootstrap (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams", Google 2012): instead of resampling n
+    rows with replacement (impossible without global coordination),
+    each row enters replicate b with weight ~ Poisson(1) drawn from a
+    deterministic per-(row, replicate) hash — one map-side pass
+    produces all {_PB_B} replicate means, and the rank-2 / rank-31
+    replicate means bound a ~90% CI. THE way to put error bars on
+    100 TB aggregates: no second pass, no driver state, reproducible
+    from the hash seed.
+
+    Scale posture: a {_PB_B}× row explode feeding ONE partial
+    aggregation (map-side combine collapses to groups × replicates
+    before the shuffle); the window runs over ≤ groups×{_PB_B} rows;
+    the point-estimate join is group-count-sized. Cross-engine
+    determinism: Poisson weights from frozen integer thresholds over a
+    4-hex md5 walk (per-rank-constant rule — never an engine's exp or
+    random()); replicate means are exact HUGEINT/DECIMAL(38)
+    micro-unit floor divisions; rank selection is pinned with (mean, b)
+    tiebreaks; every aggregate casts to BIGINT (dtype-kind rule).
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    base = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    # hoist the uniform into a column: md5/conv evaluate ONCE per
+    # (row, replicate), not once per CASE branch
+    w = _pb_w_case("u")
+    rep = (
+        base.withColumn("b", F.explode(F.expr(f"sequence(0, {_PB_B - 1})")))
+        .withColumn("u", F.expr(_PB_SPARK_U))
+        .groupBy("priority", "b")
+        .agg(
+            F.expr(
+                f"CAST(SUM(CAST({w} AS DECIMAL(38,0)) * cents)"
+                " AS DECIMAL(38,0))"
+            ).alias("swx"),
+            F.expr(f"CAST(SUM({w}) AS BIGINT)").alias("sw"),
+        )
+    )
+    means = rep.where(F.col("sw") > 0).select(
+        "priority",
+        "b",
+        F.expr("CAST(swx * 1000000 div sw AS BIGINT)").alias("mean_micro"),
+    )
+    ranked = means.select(
+        "priority",
+        "b",
+        F.col("mean_micro").alias("rep_mean_micro"),
+        F.row_number()
+        .over(Window.partitionBy("priority").orderBy("mean_micro", "b"))
+        .alias("rn_lo"),
+        F.row_number()
+        .over(
+            Window.partitionBy("priority").orderBy(
+                F.col("mean_micro").desc(), F.col("b").desc()
+            )
+        )
+        .alias("rn_hi"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("priority"))
+        .alias("n_reps"),
+    )
+    point = base.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.expr(
+            "CAST(CAST(SUM(cents) AS DECIMAL(38,0)) * 1000000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("mean_micro"),
+    )
+    return (
+        point.join(F.broadcast(ranked), "priority")
+        .groupBy("priority", "n_orders", "mean_micro")
+        .agg(
+            F.min(F.when(F.col("rn_lo") == 2, F.col("rep_mean_micro")))
+            .cast("bigint")
+            .alias("ci_lo_micro"),
+            F.min(F.when(F.col("rn_hi") == 2, F.col("rep_mean_micro")))
+            .cast("bigint")
+            .alias("ci_hi_micro"),
+            F.min("n_reps").cast("bigint").alias("n_replicates"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) test with exact tie handling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mann_whitney_u",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(ROUND("value" * 100) AS BIGINT) AS v,
+             SUM(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END) AS cb
+      FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, ca, cb, ca + cb AS ct,
+             SUM(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               - (ca + cb) AS before_t
+      FROM h
+    ),
+    agg AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(cb) AS BIGINT) AS nb,
+             CAST(SUM(ca * (2 * before_t + ct + 1)) AS HUGEINT) AS r2a,
+             CAST(SUM(CAST(ct AS HUGEINT) * ct * ct - ct) AS HUGEINT) AS tsum
+      FROM cum
+    )
+    SELECT na AS n_a, nb AS n_b,
+           CAST(r2a - CAST(na AS HUGEINT) * (na + 1) AS BIGINT) AS u2,
+           ROUND(CAST(r2a - CAST(na AS HUGEINT) * (na + 1)
+                      - CAST(na AS HUGEINT) * nb AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * nb), 6) AS rank_biserial_r,
+           ROUND(CAST(r2a - CAST(na AS HUGEINT) * (na + 1)
+                      - CAST(na AS HUGEINT) * nb AS DOUBLE)
+                 / (2.0 * SQRT(
+                     CAST(CAST(na AS HUGEINT) * nb
+                          * (CAST(na + nb + 1 AS HUGEINT) * (na + nb)
+                             * (na + nb - 1) - tsum) AS DOUBLE)
+                     / CAST(12 * CAST(na + nb AS HUGEINT)
+                            * (na + nb - 1) AS DOUBLE))), 6) AS z_approx
+    FROM agg WHERE na > 1 AND nb > 1
+    """,
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) test between the click
+    and view value distributions — the nonparametric complement to
+    ``welch_t_click_view`` (mean shift) and
+    ``ks_test_click_view_value`` (sup-distance): U detects stochastic
+    dominance without normality assumptions. Average-rank ties are
+    handled EXACTLY via the merged value histogram (2·R_A = Σ
+    ca·(2·before + t + 1) keeps rank sums integer), the normal
+    approximation carries the full tie correction Σ(t³−t), and the
+    rank-biserial r = 2U/(n_a·n_b) − 1 is the effect size.
+
+    Scale posture: values collapse to a cents-keyed histogram (one
+    aggregation), the rank walk is a single banded prefix over the
+    bounded histogram, and the output is one row. Cross-engine
+    determinism: every rank/tie quantity is an exact HUGEINT/
+    DECIMAL(38) integer; the ONLY doubles are the final z and r with
+    identical operand order and IEEE SQRT (correctly rounded in both
+    engines), rounded to 6dp.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    h = (
+        ev.where(F.col("event_type").isin(_KS_A, _KS_B))
+        .groupBy(F.round(F.col("value") * 100).cast("bigint").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select(
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("ct"),
+        (F.sum(F.col("ca") + F.col("cb")).over(wv) - (F.col("ca") + F.col("cb"))).alias(
+            "before_t"
+        ),
+    )
+    agg = cum.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.expr(
+            "CAST(SUM(CAST(ca AS DECIMAL(38,0)) * (2 * before_t + ct + 1))"
+            " AS DECIMAL(38,0))"
+        ).alias("r2a"),
+        F.expr(
+            "CAST(SUM(CAST(ct AS DECIMAL(38,0)) * ct * ct - ct)"
+            " AS DECIMAL(38,0))"
+        ).alias("tsum"),
+    )
+    d38 = "DECIMAL(38,0)"
+    # 2*U_A with U_A = R_A - na(na+1)/2 (the click-sample U; the
+    # common scipy convention). U_B = na*nb - U_A.
+    u2 = f"r2a - CAST(na AS {d38}) * (na + 1)"
+    delta = f"({u2}) - CAST(na AS {d38}) * nb"
+    var_num = (
+        f"CAST(na AS {d38}) * nb * (CAST(na + nb + 1 AS {d38}) * (na + nb)"
+        f" * (na + nb - 1) - tsum)"
+    )
+    var_den = f"12 * CAST(na + nb AS {d38}) * (na + nb - 1)"
+    return agg.where("na > 1 AND nb > 1").select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.expr(f"CAST({u2} AS BIGINT)").alias("u2"),
+        F.expr(
+            f"ROUND(CAST({delta} AS DOUBLE)"
+            " / (CAST(na AS DOUBLE) * nb), 6)"
+        ).alias("rank_biserial_r"),
+        F.expr(
+            f"ROUND(CAST({delta} AS DOUBLE)"
+            f" / (2.0 * SQRT(CAST({var_num} AS DOUBLE)"
+            f" / CAST({var_den} AS DOUBLE))), 6)"
+        ).alias("z_approx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Standardized effect size (Cohen's d / Hedges' g)
+# ---------------------------------------------------------------------------
+
+
+def _cohens_d_oracle() -> str:
+    from rs_streamloader_spark.functions.moments import (
+        nano_moment_aggs_sql,
+        nano_mu_sql,
+        nano_sigma_samp_sql,
+    )
+
+    return f"""
+    WITH mom AS (
+      SELECT event_type, {nano_moment_aggs_sql('"value"')}
+      FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+      GROUP BY event_type
+    ),
+    stats AS (
+      SELECT event_type, n,
+             {nano_mu_sql()} AS mu,
+             {nano_sigma_samp_sql()} AS sigma
+      FROM mom
+    ),
+    sides AS (
+      SELECT MAX(CASE WHEN event_type = '{_KS_A}' THEN n END) AS n_a,
+             MAX(CASE WHEN event_type = '{_KS_A}' THEN mu END) AS mu_a,
+             MAX(CASE WHEN event_type = '{_KS_A}' THEN sigma END) AS s_a,
+             MAX(CASE WHEN event_type = '{_KS_B}' THEN n END) AS n_b,
+             MAX(CASE WHEN event_type = '{_KS_B}' THEN mu END) AS mu_b,
+             MAX(CASE WHEN event_type = '{_KS_B}' THEN sigma END) AS s_b
+      FROM stats
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(mu_a - mu_b, 6) AS mean_diff,
+           ROUND(SQRT(((n_a - 1) * s_a * s_a + (n_b - 1) * s_b * s_b)
+                      / (n_a + n_b - 2)), 6) AS pooled_sd,
+           ROUND((mu_a - mu_b)
+                 / SQRT(((n_a - 1) * s_a * s_a + (n_b - 1) * s_b * s_b)
+                        / (n_a + n_b - 2)), 6) AS cohens_d,
+           ROUND((mu_a - mu_b)
+                 / SQRT(((n_a - 1) * s_a * s_a + (n_b - 1) * s_b * s_b)
+                        / (n_a + n_b - 2))
+                 * (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9.0)), 6) AS hedges_g
+    FROM sides
+    WHERE s_a > 0 AND s_b > 0
+    """
+
+
+@register("effect_size_cohens_d", oracle=_cohens_d_oracle())
+def effect_size_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d (pooled-SD standardized mean difference) and the
+    small-sample-corrected Hedges' g between click and view values —
+    the EFFECT SIZE that belongs next to every significance test in
+    this family (``welch_t_click_view`` says whether the shift is
+    real; d says whether it is big enough to matter — the number
+    experiment reviews actually gate on).
+
+    Scale posture: the same two combinable moment aggregates as
+    Welch (functions/moments.py nano-unit policy — another consumer),
+    then 1-row arithmetic. Cross-engine determinism: exact integer
+    moments; fixed double expression order; the Hedges correction
+    factor uses shared double literals; zero-variance sides drop the
+    row (ANSI-safe).
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    from rs_streamloader_spark.functions.moments import (
+        nano_moment_aggs,
+        nano_mu,
+        nano_sigma_samp,
+    )
+
+    ev = _t(spark, sf_dir, "events")["events"].filter(
+        F.col("event_type").isin(_KS_A, _KS_B)
+    )
+    mom = ev.groupBy("event_type").agg(*nano_moment_aggs("value"))
+    stats = mom.select(
+        "event_type",
+        F.col("n"),
+        nano_mu().alias("mu"),
+        nano_sigma_samp().alias("sigma"),
+    )
+
+    def side(t, c):
+        return F.max(F.when(F.col("event_type") == t, F.col(c)))
+
+    sides = stats.agg(
+        side(_KS_A, "n").alias("n_a"),
+        side(_KS_A, "mu").alias("mu_a"),
+        side(_KS_A, "sigma").alias("s_a"),
+        side(_KS_B, "n").alias("n_b"),
+        side(_KS_B, "mu").alias("mu_b"),
+        side(_KS_B, "sigma").alias("s_b"),
+    ).filter((F.col("s_a") > 0) & (F.col("s_b") > 0))
+    pooled = F.sqrt(
+        (
+            (F.col("n_a") - 1) * F.col("s_a") * F.col("s_a")
+            + (F.col("n_b") - 1) * F.col("s_b") * F.col("s_b")
+        )
+        / (F.col("n_a") + F.col("n_b") - 2)
+    )
+    d = (F.col("mu_a") - F.col("mu_b")) / pooled
+    return sides.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(F.col("mu_a") - F.col("mu_b"), 6).alias("mean_diff"),
+        F.round(pooled, 6).alias("pooled_sd"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(
+            d * (F.lit(1.0) - F.lit(3.0) / (4.0 * (F.col("n_a") + F.col("n_b")) - 9.0)),
+            6,
+        ).alias("hedges_g"),
+    )

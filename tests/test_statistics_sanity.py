@@ -750,3 +750,81 @@ def test_shapley_matches_bruteforce(spark, monkeypatch):
     assert sum(phi.values()) == (
         v.get(frozenset(channels), 0) - v.get(frozenset(), 0)
     ) * factorial(n)
+
+
+def test_mann_whitney_matches_bruteforce(spark, events_patch):
+    """Rank-sum recomputed from scratch with average ranks (the
+    module-level _avg_ranks helper) and the tie-corrected normal
+    approximation — the single-sourced histogram walk must agree."""
+    row = S.mann_whitney_u(spark, "x").collect()[0]
+    pdf = events_patch
+    # the operator quantizes at cents — mirror it exactly
+    a = np.round(pdf.loc[pdf.event_type == "click", "value"].to_numpy() * 100)
+    b = np.round(pdf.loc[pdf.event_type == "view", "value"].to_numpy() * 100)
+    na, nb = len(a), len(b)
+    ranks = _avg_ranks(np.concatenate([a, b]))
+    r_a = ranks[:na].sum()
+    u_a = r_a - na * (na + 1) / 2
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert row["u2"] == int(round(2 * u_a))
+    expect_r = 2 * u_a / (na * nb) - 1
+    assert row["rank_biserial_r"] == pytest.approx(expect_r, abs=2e-6)
+    n = na + nb
+    _, t = np.unique(np.concatenate([a, b]), return_counts=True)
+    tie = (t.astype(np.float64) ** 3 - t).sum()
+    sigma = np.sqrt(na * nb * ((n + 1) - tie / (n * (n - 1))) / 12.0)
+    expect_z = (u_a - na * nb / 2) / sigma
+    assert row["z_approx"] == pytest.approx(expect_z, abs=2e-6)
+
+
+def test_poisson_bootstrap_ci_brackets_the_mean(spark, monkeypatch):
+    """Implementation-independent checks on the Poisson bootstrap:
+    the replicate count is full, the CI brackets the point estimate,
+    its width shrinks roughly as 1/sqrt(n), and the point estimate
+    equals the exact mean."""
+    n = 4000
+    vals = np.round(100 + 10 * _RNG.randn(n), 2)
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n),
+            "o_orderpriority": np.where(np.arange(n) % 2 == 0, "1-URGENT", "2-HIGH"),
+            "o_totalprice": vals,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"orders": sdf})
+    rows = {r["priority"]: r for r in S.poisson_bootstrap_ci(spark, "x").collect()}
+    assert set(rows) == {"1-URGENT", "2-HIGH"}
+    for key in rows:
+        r = rows[key]
+        mask = pdf.o_orderpriority == key
+        cents = np.round(pdf.loc[mask, "o_totalprice"].to_numpy() * 100).astype(
+            np.int64
+        )
+        exact_micro = cents.sum() * 1_000_000 // len(cents)
+        assert r["n_orders"] == int(mask.sum())
+        assert r["mean_micro"] == exact_micro
+        assert r["n_replicates"] == 32
+        assert r["ci_lo_micro"] <= r["mean_micro"] <= r["ci_hi_micro"], r
+        # sanity on the width: ~2*1.65*sigma/sqrt(n) in micro-cents,
+        # allow a generous 3x factor either way (32 reps is noisy)
+        sem = cents.std(ddof=1) / np.sqrt(len(cents))
+        width = (r["ci_hi_micro"] - r["ci_lo_micro"]) / 1e6
+        assert 2 * sem / 3 < width < 6 * 2 * sem, (width, sem)
+
+
+def test_cohens_d_matches_numpy(spark, events_patch):
+    row = S.effect_size_cohens_d(spark, "x").collect()[0]
+    pdf = events_patch
+    a = pdf.loc[pdf.event_type == "click", "value"].to_numpy()
+    b = pdf.loc[pdf.event_type == "view", "value"].to_numpy()
+    na, nb = len(a), len(b)
+    pooled = np.sqrt(
+        ((na - 1) * a.var(ddof=1) + (nb - 1) * b.var(ddof=1)) / (na + nb - 2)
+    )
+    d = (a.mean() - b.mean()) / pooled
+    g = d * (1 - 3 / (4 * (na + nb) - 9))
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert row["pooled_sd"] == pytest.approx(pooled, abs=2e-6)
+    assert row["cohens_d"] == pytest.approx(d, abs=2e-6)
+    assert row["hedges_g"] == pytest.approx(g, abs=2e-6)
