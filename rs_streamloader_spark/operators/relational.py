@@ -1396,3 +1396,81 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_plain_eq"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group mode with deterministic tiebreak
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mode_per_group",
+    oracle="""
+    WITH counts AS (
+      SELECT o.o_orderpriority AS priority, l.l_returnflag AS flag,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT priority, flag, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY priority) AS BIGINT)
+               AS total,
+             ROW_NUMBER() OVER (PARTITION BY priority
+                                ORDER BY cnt DESC, flag) AS rn
+      FROM counts
+    )
+    SELECT priority, flag AS modal_flag, cnt AS modal_cnt, total,
+           CAST(CAST(cnt AS HUGEINT) * 1000000 // total AS BIGINT)
+             AS modal_share_ppm
+    FROM ranked WHERE rn = 1
+    """,
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group MODE: the most frequent return flag within each
+    order priority, with the (count DESC, value ASC) tiebreak pinned —
+    SQL has no deterministic MODE() aggregate (engines break ties
+    arbitrarily), so the portable form is count → rank → rn=1, which
+    is also the shape that scales (two shuffles, no global sort).
+
+    Scale posture: the fact join shuffles on orderkey (AQE broadcasts
+    orders' projected columns when small), the count collapses to
+    |groups × modes| rows map-side, and the ranking window runs over
+    that bounded frame. Cross-engine determinism: the tiebreak pins
+    the winner; counts are exact BIGINTs; the share is a HUGEINT/
+    DECIMAL(38) ppm floor division.
+
+    Reference surface: none (novel extension, SURVEY.md §2.4
+    aggregation family)."""
+    t = _t(spark, sf_dir, "lineitem", "orders")
+    counts = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("l_returnflag").alias("flag"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wp = Window.partitionBy("priority")
+    ranked = counts.select(
+        "priority",
+        "flag",
+        "cnt",
+        F.sum("cnt").over(wp).cast("bigint").alias("total"),
+        F.row_number()
+        .over(wp.orderBy(F.col("cnt").desc(), "flag"))
+        .alias("rn"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "priority",
+        F.col("flag").alias("modal_flag"),
+        F.col("cnt").alias("modal_cnt"),
+        "total",
+        F.expr(
+            "CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)"
+        ).alias("modal_share_ppm"),
+    )

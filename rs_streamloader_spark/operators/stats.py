@@ -7487,3 +7487,229 @@ def effect_size_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hedges_g"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier return-time survival (product-limit with censoring)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kaplan_meier_return_time",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    hz AS (SELECT MAX(d) AS horizon FROM ev),
+    spells AS (
+      SELECT CASE WHEN nxt IS NULL THEN horizon - d ELSE nxt - d END AS t,
+             CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS ev
+      FROM (
+        SELECT d, LEAD(d) OVER (PARTITION BY user_id
+                                ORDER BY d, event_id) AS nxt
+        FROM ev
+      ) CROSS JOIN hz
+    ),
+    life AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d_t,
+             CAST(SUM(1 - ev) AS BIGINT) AS c_t
+      FROM spells GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d_t, c_t,
+             CAST((SELECT COUNT(*) FROM spells)
+                  - (SUM(d_t + c_t) OVER (ORDER BY t
+                                          ROWS UNBOUNDED PRECEDING)
+                     - (d_t + c_t)) AS BIGINT) AS n_t
+      FROM life
+    ),
+    km AS (
+      SELECT t, n_t, d_t, c_t,
+             CASE WHEN d_t < n_t
+                  THEN CAST(ROUND(LN(1.0 - CAST(d_t AS DOUBLE) / n_t)
+                                  * 1000000000) AS BIGINT)
+             END AS term
+      FROM risk WHERE d_t > 0
+    )
+    SELECT CAST(t AS BIGINT) AS t_days, n_t AS n_risk, d_t AS n_events,
+           c_t AS n_censored_here,
+           -- S(t) hits exact 0 where d = n (term NULL = ln 0): report
+           -- NULL, not a partial sum that silently skips -inf
+           CAST(CASE WHEN term IS NULL THEN NULL
+                ELSE SUM(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                END AS BIGINT) AS log_surv_nano
+    FROM km
+    """,
+)
+def kaplan_meier_return_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit estimator of the RETURN-TIME
+    distribution: each event opens a spell that "dies" when the user's
+    next event arrives (t = days until return) and is right-CENSORED
+    at the corpus horizon when no next event exists — the censoring-
+    aware answer to "how long until users come back" that a naive gap
+    histogram gets wrong (dropping open spells biases return times
+    short). Output: one row per observed death time with the risk set,
+    deaths, same-day censorings, and the cumulative log-survival
+    ln S(t) = Σ ln(1 − d/n) — reported in LOG space (nano units)
+    because a final exp() is the one operation the cross-engine
+    determinism policy cannot pin to the ulp.
+
+    Scale posture: one LEAD window partitioned by user (the sessionize
+    shuffle), a life-table aggregation to ≤ max-gap rows, and windows
+    over that bounded frame; no joins beyond the 1-row horizon.
+    Cross-engine determinism: spell times are exact integer day
+    diffs; the LEAD order is pinned (date, event_id); each ln term is
+    nano-rounded BEFORE the cumulative sum (transcendental-sum
+    policy); the d = n final row reports NULL log-survival (ln 0)
+    identically on both sides.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    ev = _t(spark, sf_dir, "events")["events"].select(
+        "user_id", "event_id", F.col("ts").cast("date").alias("d")
+    )
+    hz = ev.agg(F.max("d").alias("horizon"))
+    nxt = ev.select(
+        "d",
+        F.lead("d")
+        .over(Window.partitionBy("user_id").orderBy("d", "event_id"))
+        .alias("nxt"),
+    )
+    spells = nxt.crossJoin(F.broadcast(hz)).select(
+        F.when(F.col("nxt").isNull(), F.datediff("horizon", "d"))
+        .otherwise(F.datediff("nxt", "d"))
+        .alias("t"),
+        F.when(F.col("nxt").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    life = spells.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d_t"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("c_t"),
+    )
+    total = spells.agg(F.count(F.lit(1)).cast("bigint").alias("n_spells"))
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = life.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d_t",
+        "c_t",
+        (
+            F.col("n_spells")
+            - (F.sum(F.col("d_t") + F.col("c_t")).over(wt) - (F.col("d_t") + F.col("c_t")))
+        )
+        .cast("bigint")
+        .alias("n_t"),
+    )
+    km = risk.where(F.col("d_t") > 0).select(
+        "t",
+        "n_t",
+        "d_t",
+        "c_t",
+        F.when(
+            F.col("d_t") < F.col("n_t"),
+            F.round(
+                F.log(F.lit(1.0) - F.col("d_t").cast("double") / F.col("n_t"))
+                * 1000000000
+            ).cast("bigint"),
+        ).alias("term"),
+    )
+    return km.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("n_t").alias("n_risk"),
+        F.col("d_t").alias("n_events"),
+        F.col("c_t").alias("n_censored_here"),
+        F.when(F.col("term").isNotNull(), F.sum("term").over(wt))
+        .cast("bigint")
+        .alias("log_surv_nano"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fisher dispersion index of daily event counts (overdispersion audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_count_overdispersion",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT t.event_type, dy.d,
+             CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+      FROM types t CROSS JOIN days dy
+      LEFT JOIN (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+      ) c ON c.event_type = t.event_type AND c.d = dy.d
+    ),
+    mom AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cnt) AS BIGINT) AS sx,
+             CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS sxx
+      FROM counts GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days, sx AS total_events,
+           CAST(CAST(sx AS HUGEINT) * 1000000 // n AS BIGINT)
+             AS mean_per_day_micro,
+           ROUND(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                 / CAST((n - 1) * CAST(sx AS HUGEINT) AS DOUBLE), 6)
+             AS dispersion_index,
+           -- ratio > 1.5 decided on the EXACT rational (2*num > 3*den)
+           2 * (n * sxx - CAST(sx AS HUGEINT) * sx)
+             > 3 * ((n - 1) * CAST(sx AS HUGEINT)) AS overdispersed
+    FROM mom WHERE n > 1 AND sx > 0
+    """,
+)
+def event_count_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher dispersion index (variance-to-mean ratio) of DAILY event
+    counts per event type, on the densified type×day grid (zero-count
+    days included — dropping them understates variance): a Poisson
+    arrival process has index ≈ 1, bursty/clumped traffic ≫ 1 — the
+    standard screen for whether count models (and alert thresholds)
+    can assume Poisson, next to the anomaly/CUSUM detectors. Index
+    computed from exact integer moments as (n·Σx² − (Σx)²)/((n−1)·Σx);
+    the >1.5 overdispersion flag is decided on the exact rational
+    (2·num > 3·den), never on the rounded double.
+
+    Scale posture: one (type, day) count aggregation (map-side
+    combine), densified by a bounded types×days cross join, then one
+    bounded moment aggregation per type. Cross-engine determinism:
+    all-integer moments in HUGEINT/DECIMAL(38); the one double is the
+    final 6dp display ratio; the flag is integer-exact.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    days = ev.select(F.col("ts").cast("date").alias("d")).distinct()
+    types = ev.select("event_type").distinct()
+    raw = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    counts = (
+        types.crossJoin(days)
+        .join(F.broadcast(raw), ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"),
+        )
+    )
+    mom = counts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cnt").cast("bigint").alias("sx"),
+        F.expr("CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0))")
+        .alias("sxx"),
+    )
+    num = "n * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+    den = "(n - 1) * CAST(sx AS DECIMAL(38,0))"
+    return mom.where("n > 1 AND sx > 0").select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("sx").alias("total_events"),
+        F.expr(
+            "CAST(CAST(sx AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"
+        ).alias("mean_per_day_micro"),
+        F.expr(
+            f"ROUND(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE), 6)"
+        ).alias("dispersion_index"),
+        F.expr(f"2 * ({num}) > 3 * ({den})").alias("overdispersed"),
+    )

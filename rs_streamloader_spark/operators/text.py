@@ -1732,3 +1732,229 @@ def weighted_sample_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight",
         "gumbel_key",
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage curve
+# ---------------------------------------------------------------------------
+
+_VC_KS = (1, 2, 4, 8, 16, 32)  # top-K type cuts (frozen curve grid)
+_VC_MAX_K = max(_VC_KS)
+
+
+@register(
+    "tokenizer_vocab_coverage",
+    oracle=f"""
+    WITH counts AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS HUGEINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM counts
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT w, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rn,
+               SUM(cnt) OVER (ORDER BY cnt DESC, w
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM counts
+      ) WHERE rn <= {_VC_MAX_K}
+    ),
+    ks AS (SELECT UNNEST([{', '.join(map(str, _VC_KS))}]) AS k)
+    SELECT CAST(k.k AS BIGINT) AS k,
+           CAST(LEAST(k.k, t.vocab) AS BIGINT) AS top_types,
+           CAST(MAX(CASE WHEN p.rn <= k.k THEN p.cum END) AS BIGINT)
+             AS covered_tokens,
+           CAST(t.total AS BIGINT) AS total_tokens,
+           CAST(MAX(CASE WHEN p.rn <= k.k THEN p.cum END)
+                * CAST(1000000 AS HUGEINT) // t.total AS BIGINT)
+             AS coverage_ppm
+    FROM ks k CROSS JOIN tot t JOIN top p ON p.rn <= k.k
+    GROUP BY k.k, t.vocab, t.total
+    """,
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the share of all token OCCURRENCES
+    covered by the top-K token TYPES, for K on a fixed grid — the
+    first question of tokenizer/vocab design (how big must the vocab
+    be before OOV mass is negligible?) and the Zipf-concentration
+    audit next to ``token_rarity``/``negative_sampling_table``. The
+    grid tops out at {_VC_MAX_K} to stay non-degenerate on the test
+    corpus's bounded vocabulary; at production scale the same curve
+    runs with larger K.
+
+    Scale posture: ONE token-count aggregation (map-side combined,
+    vocab-sized output), a TakeOrderedAndProject top-{_VC_MAX_K} cut,
+    and windows/joins only over that fixed-size frame — the global
+    rank is never materialized beyond K. Cross-engine determinism:
+    (cnt DESC, w) pins every rank and the cumulative sum; counts are
+    exact BIGINTs; coverage_ppm is a HUGEINT/DECIMAL(38) floor
+    division.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5
+    text-analysis family)."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    counts = (
+        t.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = counts.agg(
+        F.expr("CAST(SUM(cnt) AS DECIMAL(38,0))").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    wtop = Window.orderBy(F.col("cnt").desc(), "w")
+    top = (
+        counts.orderBy(F.col("cnt").desc(), "w")
+        .limit(_VC_MAX_K)
+        .select(
+            "w",
+            "cnt",
+            F.row_number().over(wtop).alias("rn"),
+            F.sum("cnt")
+            .over(wtop.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum"),
+        )
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in _VC_KS])).alias("k")
+    )
+    return (
+        ks.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(top), F.col("rn") <= F.col("k"))
+        .groupBy("k", "vocab", "total")
+        .agg(
+            F.max(F.when(F.col("rn") <= F.col("k"), F.col("cum")))
+            .cast("bigint")
+            .alias("covered_tokens"),
+        )
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            F.least("k", "vocab").cast("bigint").alias("top_types"),
+            "covered_tokens",
+            F.col("total").cast("bigint").alias("total_tokens"),
+            F.expr(
+                "CAST(CAST(covered_tokens AS DECIMAL(38,0)) * 1000000"
+                " div total AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character bigram conditional entropy per source
+# ---------------------------------------------------------------------------
+
+_BGE_CAP = 2000  # chars per doc entering the bigram histogram (frozen)
+
+
+@register(
+    "bigram_cond_entropy_by_source",
+    oracle=f"""
+    WITH grams AS (
+      SELECT source, SUBSTR(text, CAST(i AS INTEGER), 1) AS c1,
+             SUBSTR(text, CAST(i + 1 AS INTEGER), 1) AS c2
+      FROM documents, (SELECT UNNEST(RANGE(1, {_BGE_CAP})) AS i)
+      WHERE i <= LENGTH(text) - 1
+    ),
+    big AS (
+      SELECT source, c1, c2, COUNT(*) AS cnt,
+             SUM(COUNT(*)) OVER (PARTITION BY source) AS tot
+      FROM grams GROUP BY source, c1, c2
+    ),
+    h2 AS (
+      SELECT source, CAST(MIN(tot) AS BIGINT) AS n_bigrams,
+             CAST(-SUM(CAST(ROUND((CAST(cnt AS DOUBLE) / tot)
+                                  * LN(CAST(cnt AS DOUBLE) / tot)
+                                  * 1000000000) AS BIGINT)) AS BIGINT)
+               AS h_bigram_nano
+      FROM big GROUP BY source
+    ),
+    uni AS (
+      SELECT source, c1, CAST(SUM(cnt) AS BIGINT) AS cnt,
+             CAST(MIN(tot) AS BIGINT) AS tot
+      FROM big GROUP BY source, c1
+    ),
+    h1 AS (
+      SELECT source,
+             CAST(-SUM(CAST(ROUND((CAST(cnt AS DOUBLE) / tot)
+                                  * LN(CAST(cnt AS DOUBLE) / tot)
+                                  * 1000000000) AS BIGINT)) AS BIGINT)
+               AS h_unigram_nano
+      FROM uni GROUP BY source
+    )
+    SELECT h2.source, h2.n_bigrams, h2.h_bigram_nano, h1.h_unigram_nano,
+           CAST(h2.h_bigram_nano - h1.h_unigram_nano AS BIGINT)
+             AS h_cond_nano
+    FROM h2 JOIN h1 ON h1.source = h2.source
+    """,
+)
+def bigram_cond_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level conditional entropy H(c₂|c₁) = H(c₁,c₂) − H(c₁)
+    per source — the sequential-structure complement of per-document
+    ``doc_char_entropy``: low conditional entropy means characters are
+    highly predictable from their predecessor (templated/boilerplate
+    text, the compression-proxy signal n-gram LMs exploit), and
+    per-source deltas flag sources whose text is structurally
+    different even when their unigram mix matches. First {_BGE_CAP}
+    chars per doc (frozen cap, both engines).
+
+    Scale posture: the bounded per-char explode collapses immediately
+    to a (source, c1, c2) histogram (≤ alphabet² per source) with
+    map-side combine; the unigram histogram derives from the bigram
+    one (no second scan); windows run over the bounded histogram.
+    Cross-engine determinism: each −p·ln p term nano-rounds BEFORE its
+    sum (transcendental-sum policy); n_bigrams ties the two entropies
+    to one shared denominator.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5
+    text-analysis family)."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    grams = t.where(F.length("text") > 1).select(
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, least(length(text) - 1, {_BGE_CAP - 1})),"
+                " i -> struct(substring(text, i, 1) AS c1,"
+                " substring(text, i + 1, 1) AS c2))"
+            )
+        ).alias("g"),
+    ).select("source", "g.c1", "g.c2")
+    ws = Window.partitionBy("source")
+    big = (
+        grams.groupBy("source", "c1", "c2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("tot", F.sum("cnt").over(ws))
+    )
+    term = lambda: F.round(  # noqa: E731 - tiny shared expression
+        (F.col("cnt").cast("double") / F.col("tot"))
+        * F.log(F.col("cnt").cast("double") / F.col("tot"))
+        * 1000000000
+    ).cast("bigint")
+    h2 = big.groupBy("source").agg(
+        F.min("tot").cast("bigint").alias("n_bigrams"),
+        (-F.sum(term())).cast("bigint").alias("h_bigram_nano"),
+    )
+    uni = big.groupBy("source", "c1").agg(
+        F.sum("cnt").cast("bigint").alias("cnt"),
+        F.min("tot").cast("bigint").alias("tot"),
+    )
+    h1 = uni.groupBy("source").agg(
+        (-F.sum(term())).cast("bigint").alias("h_unigram_nano")
+    )
+    return (
+        h2.join(h1, "source")
+        .select(
+            "source",
+            "n_bigrams",
+            "h_bigram_nano",
+            "h_unigram_nano",
+            (F.col("h_bigram_nano") - F.col("h_unigram_nano"))
+            .cast("bigint")
+            .alias("h_cond_nano"),
+        )
+    )

@@ -828,3 +828,35 @@ def test_cohens_d_matches_numpy(spark, events_patch):
     assert row["pooled_sd"] == pytest.approx(pooled, abs=2e-6)
     assert row["cohens_d"] == pytest.approx(d, abs=2e-6)
     assert row["hedges_g"] == pytest.approx(g, abs=2e-6)
+
+
+def test_kaplan_meier_matches_hand_solve(spark, monkeypatch):
+    """Product-limit recomputed from scratch on a constructed event
+    log with known gaps and censoring. Users: u1 events on days
+    0,1,3 (gaps 1,2; open spell censored at horizon-3=7); u2 events
+    on days 0,1 (gap 1; censored at 9); u3 single event day 2
+    (censored at 8); horizon = day 10 (u4's lone event, censored 0)."""
+    import math
+    from datetime import datetime
+
+    ev = []
+    eid = 0
+    for uid, days in [(1, [0, 1, 3]), (2, [0, 1]), (3, [2]), (4, [10])]:
+        for d in days:
+            ev.append((eid, datetime(2024, 1, 1 + d), uid, "view", 1.0))
+            eid += 1
+    pdf = pd.DataFrame(ev, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"events": sdf})
+    rows = {r["t_days"]: r for r in S.kaplan_meier_return_time(spark, "x").collect()}
+    # spells: deaths t=1 (u1:0->1, u2:0->1), t=2 (u1:1->3);
+    # censored t=7 (u1), t=9 (u2), t=8 (u3), t=0 (u4). N=7.
+    # life table (deaths-first, censored-at-t leave after t):
+    # t=0: d=0,c=1 -> no death row. t=1: n=6, d=2. t=2: n=4, d=1.
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_risk"] == 6 and rows[1]["n_events"] == 2
+    assert rows[2]["n_risk"] == 4 and rows[2]["n_events"] == 1
+    exp1 = round(math.log(1 - 2 / 6) * 1e9)
+    exp2 = exp1 + round(math.log(1 - 1 / 4) * 1e9)
+    assert rows[1]["log_surv_nano"] == exp1
+    assert rows[2]["log_surv_nano"] == exp2
