@@ -7713,3 +7713,329 @@ def event_count_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dispersion_index"),
         F.expr(f"2 * ({num}) > 3 * ({den})").alias("overdispersed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman-optimal stratified sample allocation (largest-remainder exact)
+# ---------------------------------------------------------------------------
+
+_NEY_BUDGET = 1000  # total sample budget to allocate (frozen)
+
+
+def _neyman_oracle() -> str:
+    from rs_streamloader_spark.functions.moments import (
+        nano_moment_aggs_sql,
+        nano_sigma_samp_sql,
+    )
+
+    return f"""
+    WITH mom AS (
+      SELECT o_orderpriority AS priority, {nano_moment_aggs_sql('o_totalprice')}
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT priority, CAST(n AS BIGINT) AS n,
+             CAST(ROUND({nano_sigma_samp_sql()} * 1000000) AS BIGINT)
+               AS sigma_micro
+      FROM mom WHERE n > 1
+    ),
+    w AS (
+      SELECT priority, n, sigma_micro,
+             CAST(n AS HUGEINT) * sigma_micro AS wt,
+             SUM(CAST(n AS HUGEINT) * sigma_micro) OVER () AS tot
+      FROM s WHERE sigma_micro > 0
+    ),
+    fl AS (
+      SELECT priority, n, sigma_micro,
+             CAST({_NEY_BUDGET} * wt // tot AS BIGINT) AS base,
+             {_NEY_BUDGET} * wt - ({_NEY_BUDGET} * wt // tot) * tot AS rem,
+             CAST({_NEY_BUDGET} AS BIGINT)
+               - SUM(CAST({_NEY_BUDGET} * wt // tot AS BIGINT)) OVER ()
+               AS leftover
+      FROM w
+    )
+    SELECT priority, n AS n_rows, sigma_micro, base,
+           CAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC,
+                                                    priority) <= leftover
+                            THEN 1 ELSE 0 END AS BIGINT) AS allocation
+    FROM fl
+    """
+
+
+@register("neyman_allocation", oracle=_neyman_oracle())
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation: split a fixed
+    budget of {_NEY_BUDGET} samples across order-priority strata
+    proportionally to N_h·σ_h — the allocation that minimizes the
+    variance of the stratified mean estimator (Neyman 1934), i.e. how
+    an eval/labeling budget SHOULD be spread over heterogeneous
+    segments instead of proportional-to-size. Integer allocations come
+    from the largest-remainder method, so they sum to the budget
+    EXACTLY (floors + ranked remainders; no engine float rounding
+    decides a seat).
+
+    Scale posture: one combinable moment aggregate per stratum, then
+    pure arithmetic over the bounded strata frame. Cross-engine
+    determinism: σ quantized to exact micro units BEFORE weighting;
+    weights/floors/remainders are HUGEINT/DECIMAL(38) integers; the
+    remainder rank is pinned (rem DESC, priority); zero-variance or
+    single-row strata drop out (documented — they need no sample).
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    from rs_streamloader_spark.functions.moments import (
+        nano_moment_aggs,
+        nano_sigma_samp,
+    )
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    mom = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        *nano_moment_aggs("o_totalprice")
+    )
+    s = (
+        mom.where("n > 1")
+        .select(
+            "priority",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(nano_sigma_samp() * 1000000).cast("bigint").alias("sigma_micro"),
+        )
+        .where(F.col("sigma_micro") > 0)
+    )
+    wall = Window.partitionBy()
+    w = s.select(
+        "priority",
+        "n",
+        "sigma_micro",
+        F.expr("CAST(n AS DECIMAL(38,0)) * sigma_micro").alias("wt"),
+    ).withColumn("tot", F.sum("wt").over(wall))
+    fl = w.select(
+        "priority",
+        "n",
+        "sigma_micro",
+        F.expr(f"CAST({_NEY_BUDGET} * wt div tot AS BIGINT)").alias("base"),
+        F.expr(
+            f"{_NEY_BUDGET} * wt - ({_NEY_BUDGET} * wt div tot) * tot"
+        ).alias("rem"),
+    ).withColumn(
+        "leftover",
+        F.lit(_NEY_BUDGET).cast("bigint") - F.sum("base").over(wall),
+    )
+    rn = F.row_number().over(
+        Window.orderBy(F.col("rem").desc(), "priority")
+    )
+    return fl.select(
+        "priority",
+        F.col("n").alias("n_rows"),
+        "sigma_micro",
+        "base",
+        (F.col("base") + F.when(rn <= F.col("leftover"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("allocation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact trimmed mean via histogram prefix walk (robust location)
+# ---------------------------------------------------------------------------
+
+_TRIM_PCT = 5  # percent trimmed from EACH tail
+
+
+@register(
+    "trimmed_mean_robust",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderpriority AS priority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT priority, v, cnt,
+             SUM(cnt) OVER (PARTITION BY priority ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY priority ORDER BY v DESC
+                            ROWS UNBOUNDED PRECEDING) AS rcum,
+             SUM(cnt) OVER (PARTITION BY priority) AS n,
+             SUM(CAST(v AS HUGEINT) * cnt) OVER (PARTITION BY priority)
+               AS total
+      FROM h
+    )
+    SELECT priority, CAST(MIN(n) AS BIGINT) AS n,
+           CAST(MIN(n) * {_TRIM_PCT} // 100 AS BIGINT) AS k_each_side,
+           CAST((MIN(total)
+             - SUM(CASE WHEN cum <= n * {_TRIM_PCT} // 100
+                        THEN CAST(v AS HUGEINT) * cnt
+                        WHEN cum - cnt < n * {_TRIM_PCT} // 100
+                        THEN CAST(v AS HUGEINT)
+                             * (n * {_TRIM_PCT} // 100 - (cum - cnt))
+                        ELSE 0 END)
+             - SUM(CASE WHEN rcum <= n * {_TRIM_PCT} // 100
+                        THEN CAST(v AS HUGEINT) * cnt
+                        WHEN rcum - cnt < n * {_TRIM_PCT} // 100
+                        THEN CAST(v AS HUGEINT)
+                             * (n * {_TRIM_PCT} // 100 - (rcum - cnt))
+                        ELSE 0 END))
+             * 1000000
+             // (MIN(n) - 2 * (MIN(n) * {_TRIM_PCT} // 100)) AS BIGINT)
+             AS trimmed_mean_micro,
+           CAST(MIN(total) * 1000000 // MIN(n) AS BIGINT) AS raw_mean_micro
+    FROM c
+    GROUP BY priority
+    """,
+)
+def trimmed_mean_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact {_TRIM_PCT}%-each-side trimmed mean of order value per
+    priority — the robust location estimate that survives the heavy
+    tails plain AVG drowns in, computed EXACTLY from the cents value
+    histogram: the bottom/top k = ⌊n·{_TRIM_PCT}/100⌋ observations are
+    removed by a cumulative prefix walk with PARTIAL inclusion at the
+    boundary bin (a duplicate-heavy boundary value is split, not
+    dropped whole — the subtlety binned approximations get wrong).
+    Reported next to the raw mean so the trim's effect is visible.
+
+    Scale posture: values collapse to a per-group cents histogram
+    (one aggregation, map-side combined); both tail walks are windows
+    over the bounded histogram; no sort of raw rows anywhere.
+    Cross-engine determinism: all sums/cuts are HUGEINT/DECIMAL(38)
+    integers; micro-unit floor divisions; no doubles at all.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    h = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wp = Window.partitionBy("priority")
+    c = h.select(
+        "priority",
+        "v",
+        "cnt",
+        F.sum("cnt")
+        .over(wp.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("cnt")
+        .over(
+            wp.orderBy(F.col("v").desc()).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("rcum"),
+        F.sum("cnt").over(wp).alias("n"),
+        F.expr(
+            "SUM(CAST(v AS DECIMAL(38,0)) * cnt)"
+            " OVER (PARTITION BY priority)"
+        ).alias("total"),
+    )
+    k = f"n * {_TRIM_PCT} div 100"
+    lo = (
+        f"SUM(CASE WHEN cum <= {k} THEN CAST(v AS DECIMAL(38,0)) * cnt"
+        f" WHEN cum - cnt < {k} THEN CAST(v AS DECIMAL(38,0))"
+        f" * ({k} - (cum - cnt)) ELSE 0 END)"
+    )
+    hi = (
+        f"SUM(CASE WHEN rcum <= {k} THEN CAST(v AS DECIMAL(38,0)) * cnt"
+        f" WHEN rcum - cnt < {k} THEN CAST(v AS DECIMAL(38,0))"
+        f" * ({k} - (rcum - cnt)) ELSE 0 END)"
+    )
+    return c.groupBy("priority").agg(
+        F.min("n").cast("bigint").alias("n"),
+        F.expr(f"CAST(MIN(n) * {_TRIM_PCT} div 100 AS BIGINT)").alias(
+            "k_each_side"
+        ),
+        F.expr(
+            f"CAST((MIN(total) - {lo} - {hi}) * 1000000"
+            f" div (MIN(n) - 2 * (MIN(n) * {_TRIM_PCT} div 100)) AS BIGINT)"
+        ).alias("trimmed_mean_micro"),
+        F.expr(
+            "CAST(MIN(total) * 1000000 div MIN(n) AS BIGINT)"
+        ).alias("raw_mean_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration of supplier revenue per nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "herfindahl_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100) AS BIGINT)) AS HUGEINT) AS cents
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(r.cents) AS BIGINT) AS total_cents,
+           ROUND(CAST(SUM(r.cents * r.cents) AS DOUBLE)
+                 / (CAST(SUM(r.cents) AS DOUBLE) * CAST(SUM(r.cents)
+                                                        AS DOUBLE)), 6)
+             AS hhi,
+           CAST(SUM(r.cents * r.cents) * 10000
+                // (SUM(r.cents) * SUM(r.cents)) AS BIGINT)
+             AS hhi_x10000
+    FROM rev r JOIN nation n ON n.n_nationkey = r.s_nationkey
+    GROUP BY n.n_name
+    HAVING SUM(r.cents) > 0
+    """,
+)
+def herfindahl_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supplier revenue
+    within each nation: HHI = Σ share² over suppliers — the standard
+    market-concentration number (10000·HHI > 2500 is the "highly
+    concentrated" antitrust line) and, for data pipelines, the
+    skew-risk audit for any partition-by-supplier layout
+    (high HHI ⇒ one hot key dominates the nation's volume). Companion
+    to ``gini``-style inequality: HHI weights the LARGEST shares
+    hardest.
+
+    Scale posture: one (nation, supplier) revenue aggregation
+    (map-side combined), then a bounded per-nation reduction; the
+    nation dim broadcasts. Cross-engine determinism: revenue in exact
+    BIGINT cents; Σc² in HUGEINT/DECIMAL(38); hhi_x10000 is an exact
+    integer floor division (the gate-worthy column), the 6dp double is
+    display only with pinned operand order.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    t = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    rev = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)"
+                " * 100) AS BIGINT)) AS DECIMAL(38,0))"
+            ).alias("cents")
+        )
+    )
+    return (
+        rev.join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.expr(
+                "ROUND(CAST(SUM(cents * cents) AS DOUBLE)"
+                " / (CAST(SUM(cents) AS DOUBLE) * CAST(SUM(cents)"
+                " AS DOUBLE)), 6)"
+            ).alias("hhi"),
+            F.expr(
+                "CAST(SUM(cents * cents) * 10000"
+                " div (SUM(cents) * SUM(cents)) AS BIGINT)"
+            ).alias("hhi_x10000"),
+        )
+        .where(F.col("total_cents") > 0)
+    )

@@ -860,3 +860,56 @@ def test_kaplan_meier_matches_hand_solve(spark, monkeypatch):
     exp2 = exp1 + round(math.log(1 - 1 / 4) * 1e9)
     assert rows[1]["log_surv_nano"] == exp1
     assert rows[2]["log_surv_nano"] == exp2
+
+
+def test_trimmed_mean_matches_numpy(spark, monkeypatch):
+    """Exact trimmed mean vs a direct sort-and-slice in numpy,
+    including a duplicate-heavy boundary bin that must be PARTIALLY
+    included (the case whole-bin trimming gets wrong)."""
+    vals = np.concatenate(
+        [
+            np.array([0.01] * 30),  # duplicate-heavy bottom bin
+            np.round(100 + 10 * _RNG.randn(400), 2),
+            np.array([999.99] * 30),
+        ]
+    )
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(len(vals)),
+            "o_orderpriority": "1-URGENT",
+            "o_totalprice": vals,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"orders": sdf})
+    row = S.trimmed_mean_robust(spark, "x").collect()[0]
+    cents = np.sort(np.round(vals * 100).astype(np.int64))
+    n = len(cents)
+    k = n * S._TRIM_PCT // 100
+    kept = cents[k : n - k]
+    assert row["n"] == n and row["k_each_side"] == k
+    assert row["trimmed_mean_micro"] == int(kept.sum()) * 1_000_000 // len(kept)
+    assert row["raw_mean_micro"] == int(cents.sum()) * 1_000_000 // n
+    # the trim must actually move the estimate on this corpus
+    assert row["trimmed_mean_micro"] != row["raw_mean_micro"]
+
+
+def test_neyman_allocation_exactly_exhausts_budget(spark, monkeypatch):
+    """Largest-remainder property: integer allocations sum to the
+    budget exactly, and bigger N*sigma strata never get less."""
+    rows = []
+    okey = 0
+    for pr, n, scale in [("1-U", 500, 5.0), ("2-H", 300, 50.0), ("3-M", 200, 0.5)]:
+        for v in 100 + scale * _RNG.randn(n):
+            rows.append((okey, pr, round(float(v), 2)))
+            okey += 1
+    pdf = pd.DataFrame(rows, columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"orders": sdf})
+    out = {r["priority"]: r for r in S.neyman_allocation(spark, "x").collect()}
+    assert sum(r["allocation"] for r in out.values()) == S._NEY_BUDGET
+    # weights follow N*sigma: the high-sigma mid stratum dominates
+    w = {p: out[p]["n_rows"] * out[p]["sigma_micro"] for p in out}
+    order_by_w = sorted(out, key=lambda p: -w[p])
+    allocs = [out[p]["allocation"] for p in order_by_w]
+    assert allocs == sorted(allocs, reverse=True), (w, allocs)
