@@ -1038,3 +1038,246 @@ def lang_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(h < F.col("thresh"))
         .select("lang", "doc_id", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Average precision (area under the precision-recall curve), exact ties
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pr_auc_average_precision",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS score,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    g AS (
+      SELECT score, CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+      FROM s GROUP BY score
+    ),
+    c AS (
+      SELECT score, pos, neg,
+             SUM(pos) OVER (ORDER BY score DESC
+                            ROWS UNBOUNDED PRECEDING) AS cum_p,
+             SUM(pos + neg) OVER (ORDER BY score DESC
+                                  ROWS UNBOUNDED PRECEDING) AS cum_t
+      FROM g
+    ),
+    tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS npos,
+                   CAST(SUM(neg) AS BIGINT) AS nneg FROM g)
+    SELECT t.npos AS n_pos, t.nneg AS n_neg,
+           CAST(SUM(CASE WHEN c.pos > 0 THEN
+             CAST(ROUND(CAST(c.pos * c.cum_p AS DOUBLE) * 1000000000
+                        / CAST(t.npos * c.cum_t AS DOUBLE)) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS avg_precision_nano,
+           CAST(CAST(t.npos AS HUGEINT) * 1000000 // (t.npos + t.nneg)
+                AS BIGINT) AS prevalence_ppm
+    FROM c CROSS JOIN tot t
+    GROUP BY t.npos, t.nneg
+    """,
+)
+def pr_auc_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (step-interpolated area under the
+    precision-recall curve, the sklearn ``average_precision_score``
+    definition) for "order value predicts urgent priority" — the
+    imbalanced-classes companion to ``ml_roc_auc``: ROC AUC stays
+    rosy when positives are rare, AP collapses toward the prevalence
+    baseline (reported alongside). Ties handled at distinct-score
+    granularity: AP = Σ_s (pos_s/P)·(cum_p_s/cum_t_s) over score
+    groups in descending order, each term nano-rounded BEFORE the sum
+    (the transcendental-sum policy applied to rationals whose exact
+    integers exceed 53-bit doubles).
+
+    Scale posture: one per-score aggregate (combinable), the
+    descending prefix via the banded two-pass scan (no input-sized
+    global window on the Spark side; the oracle's single window is
+    the serial formulation), and a 1-row reduction. Cross-engine
+    determinism: counts exact; each term's double division has pinned
+    operand order; prevalence is a HUGEINT ppm floor division.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 quality
+    family)."""
+    t = _t(spark, sf_dir, "orders")["orders"]
+    s = t.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("score"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    g = s.groupBy("score").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("neg"),
+    )
+    gd = g.withColumn("nscore", -F.col("score")).withColumn(
+        "tot_g", F.col("pos") + F.col("neg")
+    )
+    c1 = _banded_prefix(gd, "nscore", "pos", "sum", "p_before")
+    c2 = _banded_prefix(c1, "nscore", "tot_g", "sum", "t_before")
+    c = c2.select(
+        "pos",
+        "neg",
+        (F.coalesce("p_before", F.lit(0)) + F.col("pos")).alias("cum_p"),
+        (F.coalesce("t_before", F.lit(0)) + F.col("tot_g")).alias("cum_t"),
+    )
+    tot = g.agg(
+        F.sum("pos").cast("bigint").alias("npos"),
+        F.sum("neg").cast("bigint").alias("nneg"),
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .groupBy("npos", "nneg")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN pos > 0 THEN"
+                " CAST(ROUND(CAST(pos * cum_p AS DOUBLE) * 1000000000"
+                " / CAST(npos * cum_t AS DOUBLE)) AS BIGINT)"
+                " ELSE 0 END) AS BIGINT)"
+            ).alias("avg_precision_nano"),
+        )
+        .select(
+            F.col("npos").alias("n_pos"),
+            F.col("nneg").alias("n_neg"),
+            "avg_precision_nano",
+            F.expr(
+                "CAST(CAST(npos AS DECIMAL(38,0)) * 1000000"
+                " div (npos + nneg) AS BIGINT)"
+            ).alias("prevalence_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gains/lift table at decile cutoffs (tie-safe thresholds)
+# ---------------------------------------------------------------------------
+
+_LIFT_DECILES = 10
+
+
+@register(
+    "lift_gain_table",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS score,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    g AS (
+      SELECT score, CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM s GROUP BY score
+    ),
+    c AS (
+      SELECT score,
+             SUM(pos) OVER (ORDER BY score DESC
+                            ROWS UNBOUNDED PRECEDING) AS cum_pos,
+             SUM(cnt) OVER (ORDER BY score DESC
+                            ROWS UNBOUNDED PRECEDING) AS cum_rows
+      FROM g
+    ),
+    tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS npos,
+                   CAST(SUM(cnt) AS BIGINT) AS n FROM g),
+    grid AS (SELECT UNNEST(RANGE(1, {_LIFT_DECILES + 1})) AS d),
+    hit AS (
+      SELECT d, score, cum_pos, cum_rows, npos, n,
+             ROW_NUMBER() OVER (PARTITION BY d
+                                ORDER BY cum_rows DESC) AS rn
+      FROM grid JOIN c ON c.cum_rows <= (SELECT n FROM tot) * d
+                                         // {_LIFT_DECILES}
+      CROSS JOIN tot
+    )
+    SELECT CAST(d AS BIGINT) AS decile, score AS threshold_score,
+           CAST(cum_rows AS BIGINT) AS n_selected,
+           CAST(cum_pos AS BIGINT) AS n_pos_selected,
+           CAST(CAST(cum_pos AS HUGEINT) * 1000000 // cum_rows AS BIGINT)
+             AS precision_ppm,
+           CAST(CAST(cum_pos AS HUGEINT) * 1000000 // npos AS BIGINT)
+             AS recall_ppm,
+           CAST(CAST(cum_pos AS HUGEINT) * n * 1000000
+                // (CAST(cum_rows AS HUGEINT) * npos) AS BIGINT)
+             AS lift_ppm
+    FROM hit WHERE rn = 1
+    """,
+)
+def lift_gain_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table at decile CUTOFFS: for each top-d/10 budget,
+    the largest score threshold whose selection fits the budget, with
+    precision, recall (gain), and lift over prevalence — the
+    targeting table behind "call the top 20%" decisions and, in data
+    curation, "keep the top-X% by quality score" sweeps
+    (``quality_score_topk``'s whole-curve companion). Cuts land on
+    DISTINCT-SCORE boundaries (never splitting a tie group), so the
+    table is deterministic under ties by construction; a decile whose
+    budget is smaller than the first tie group emits no row
+    (documented, identical both engines).
+
+    Scale posture: per-score aggregate (combinable), the descending
+    cumulative via the banded two-pass scan, then a 10-way bounded
+    rank over candidate boundary rows. Cross-engine determinism:
+    all counts exact BIGINTs; every ppm is a HUGEINT/DECIMAL(38)
+    floor division; the per-decile argmax is pinned by cum_rows
+    (strictly increasing, no tiebreak needed).
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 quality
+    family)."""
+    t = _t(spark, sf_dir, "orders")["orders"]
+    s = t.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("score"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    g = s.groupBy("score").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    gd = g.withColumn("nscore", -F.col("score"))
+    c1 = _banded_prefix(gd, "nscore", "pos", "sum", "p_before")
+    c2 = _banded_prefix(c1, "nscore", "cnt", "sum", "r_before")
+    c = c2.select(
+        "score",
+        (F.coalesce("p_before", F.lit(0)) + F.col("pos")).alias("cum_pos"),
+        (F.coalesce("r_before", F.lit(0)) + F.col("cnt")).alias("cum_rows"),
+    )
+    tot = g.agg(
+        F.sum("pos").cast("bigint").alias("npos"),
+        F.sum("cnt").cast("bigint").alias("n"),
+    )
+    grid = spark.range(1, _LIFT_DECILES + 1).select(F.col("id").alias("d"))
+    hit = (
+        grid.crossJoin(F.broadcast(tot))
+        .join(
+            c,
+            F.col("cum_rows")
+            <= F.expr(f"n * d div {_LIFT_DECILES}"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("d").orderBy(F.col("cum_rows").desc())
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    return hit.select(
+        F.col("d").cast("bigint").alias("decile"),
+        F.col("score").alias("threshold_score"),
+        F.col("cum_rows").cast("bigint").alias("n_selected"),
+        F.col("cum_pos").cast("bigint").alias("n_pos_selected"),
+        F.expr(
+            "CAST(CAST(cum_pos AS DECIMAL(38,0)) * 1000000 div cum_rows"
+            " AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CAST(CAST(cum_pos AS DECIMAL(38,0)) * 1000000 div npos"
+            " AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CAST(CAST(cum_pos AS DECIMAL(38,0)) * n * 1000000"
+            " div (CAST(cum_rows AS DECIMAL(38,0)) * npos) AS BIGINT)"
+        ).alias("lift_ppm"),
+    )

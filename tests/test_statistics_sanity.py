@@ -913,3 +913,38 @@ def test_neyman_allocation_exactly_exhausts_budget(spark, monkeypatch):
     order_by_w = sorted(out, key=lambda p: -w[p])
     allocs = [out[p]["allocation"] for p in order_by_w]
     assert allocs == sorted(allocs, reverse=True), (w, allocs)
+
+
+def test_average_precision_matches_sklearn_formula(spark, monkeypatch):
+    """AP recomputed from scratch in numpy with the step definition
+    (sklearn average_precision_score) at distinct-score granularity,
+    on a constructed score/label set WITH tie groups."""
+    scores = np.array([5.0, 5.0, 4.0, 3.0, 3.0, 3.0, 2.0, 1.0, 1.0, 0.5])
+    ys = np.array([1, 0, 1, 1, 0, 0, 0, 1, 0, 0])
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(len(ys)),
+            "o_orderpriority": np.where(ys == 1, "1-URGENT", "5-LOW"),
+            "o_totalprice": scores,
+        }
+    )
+    import rs_streamloader_spark.operators.quality as Q
+
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(Q, "_t", lambda _s, _d, *names: {"orders": sdf})
+    row = Q.pr_auc_average_precision(spark, "x").collect()[0]
+    # numpy: walk distinct scores descending
+    P = int(ys.sum())
+    ap = 0.0
+    cp = ct = 0
+    for v in sorted(set(scores), reverse=True):
+        m = scores == v
+        p, c = int(ys[m].sum()), int(m.sum())
+        cp += p
+        ct += c
+        if p > 0:
+            ap += round((p * cp) * 1e9 / (P * ct))
+    assert row["n_pos"] == P
+    assert row["avg_precision_nano"] == int(ap)
+    # AP of a random ranking ~ prevalence; this ranking is informative
+    assert row["avg_precision_nano"] > row["prevalence_ppm"] * 1000
