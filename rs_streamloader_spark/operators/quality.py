@@ -1281,3 +1281,143 @@ def lift_gain_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(cum_rows AS DECIMAL(38,0)) * npos) AS BIGINT)"
         ).alias("lift_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration via the exact minimax (PAVA) closed form
+# ---------------------------------------------------------------------------
+
+_ISO_BINS = 10
+
+
+@register(
+    "isotonic_calibration_pava",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    ext AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM s),
+    b AS (
+      SELECT LEAST((v - lo) * {_ISO_BINS} // (hi - lo + 1),
+                   {_ISO_BINS - 1}) AS bin, y
+      FROM s CROSS JOIN ext
+    ),
+    binagg AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM b GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin, n, pos,
+             SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+             SUM(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cp
+      FROM binagg
+    ),
+    mins AS (
+      SELECT i.bin AS bin, k.bin AS k,
+             MIN(CAST((j.cp - k.cp + k.pos) AS HUGEINT) * 1000000000
+                 // (j.cn - k.cn + k.n)) AS minv
+      FROM cum i
+      JOIN cum k ON k.bin <= i.bin
+      JOIN cum j ON j.bin >= i.bin
+      GROUP BY i.bin, k.bin
+    )
+    SELECT m.bin AS bin, a.n, a.pos,
+           CAST(CAST(a.pos AS HUGEINT) * 1000000 // a.n AS BIGINT)
+             AS raw_rate_ppm,
+           CAST(MAX(m.minv) AS BIGINT) AS fitted_rate_nano
+    FROM mins m JOIN binagg a ON a.bin = m.bin
+    GROUP BY m.bin, a.n, a.pos
+    """,
+)
+def isotonic_calibration_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of the
+    bin-level positive rate of "order value predicts urgent priority"
+    — exact PAVA, computed NOT by the sequential pool-adjacent-
+    violators loop but by its minimax closed form fitted_i =
+    max_{{k≤i}} min_{{j≥i}} avg(pos over bins k..j) (Robertson/Wright/
+    Dykstra, Thm 1.4.4): with {_ISO_BINS} bins that is a bounded
+    {_ISO_BINS}³ interval enumeration BOTH engines evaluate
+    identically — no driver solve, no recursion, no engine isotonic
+    built-in. The fitted step function is what you'd deploy to map
+    raw score deciles to calibrated probabilities
+    (``ml_calibration_brier``'s reliability diagram, repaired).
+
+    Scale posture: the only input-sized stage is the per-bin count
+    (combinable, {_ISO_BINS}-key shuffle); everything after runs on a
+    {_ISO_BINS}-row frame. Cross-engine determinism: interval
+    averages are quantized to nano by HUGEINT/DECIMAL(38) floor
+    division BEFORE min/max (exact-integer minimax — no double
+    compare anywhere); equal-width binning uses integer div on cents.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 quality
+    family)."""
+    t = _t(spark, sf_dir, "orders")["orders"]
+    s = t.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    ext = s.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    b = s.crossJoin(F.broadcast(ext)).select(
+        F.expr(
+            f"LEAST((v - lo) * {_ISO_BINS} div (hi - lo + 1),"
+            f" {_ISO_BINS - 1})"
+        ).alias("bin"),
+        "y",
+    )
+    binagg = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = binagg.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(wc).alias("cn"),
+        F.sum("pos").over(wc).alias("cp"),
+    )
+    ci = cum.select(F.col("bin").alias("i_bin"))
+    ck = cum.select(
+        F.col("bin").alias("k_bin"),
+        F.col("n").alias("k_n"),
+        F.col("pos").alias("k_pos"),
+        F.col("cn").alias("k_cn"),
+        F.col("cp").alias("k_cp"),
+    )
+    cj = cum.select(
+        F.col("bin").alias("j_bin"),
+        F.col("cn").alias("j_cn"),
+        F.col("cp").alias("j_cp"),
+    )
+    mins = (
+        ci.join(F.broadcast(ck), F.col("k_bin") <= F.col("i_bin"))
+        .join(F.broadcast(cj), F.col("j_bin") >= F.col("i_bin"))
+        .groupBy("i_bin", "k_bin")
+        .agg(
+            F.expr(
+                "MIN(CAST(j_cp - k_cp + k_pos AS DECIMAL(38,0))"
+                " * 1000000000 div (j_cn - k_cn + k_n))"
+            ).alias("minv")
+        )
+    )
+    fit = mins.groupBy("i_bin").agg(
+        F.max("minv").cast("bigint").alias("fitted_rate_nano")
+    )
+    return (
+        binagg.join(fit, binagg.bin == fit.i_bin)
+        .select(
+            "bin",
+            "n",
+            "pos",
+            F.expr(
+                "CAST(CAST(pos AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"
+            ).alias("raw_rate_ppm"),
+            "fitted_rate_nano",
+        )
+    )

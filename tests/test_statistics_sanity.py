@@ -948,3 +948,47 @@ def test_average_precision_matches_sklearn_formula(spark, monkeypatch):
     assert row["avg_precision_nano"] == int(ap)
     # AP of a random ranking ~ prevalence; this ranking is informative
     assert row["avg_precision_nano"] > row["prevalence_ppm"] * 1000
+
+
+def test_isotonic_minimax_equals_sequential_pava(spark, monkeypatch):
+    """The minimax closed form must equal the classic sequential
+    pool-adjacent-violators algorithm (recomputed here from scratch
+    with exact integer pooling) on a constructed violator-heavy
+    input, and the fit must be monotone non-decreasing."""
+    import rs_streamloader_spark.operators.quality as Q
+
+    # 10 equal-width bins over v in [0, 999]; rates go up-down-up
+    rates = [0.1, 0.3, 0.2, 0.2, 0.5, 0.4, 0.35, 0.6, 0.9, 0.7]
+    rows = []
+    okey = 0
+    for b, r in enumerate(rates):
+        for i in range(200):
+            v = b * 100 + (i % 100)  # cents inside bin b
+            y = 1 if (i % 200) < r * 200 else 0
+            rows.append((okey, "1-URGENT" if y else "5-LOW", v / 100.0))
+            okey += 1
+    pdf = pd.DataFrame(rows, columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(Q, "_t", lambda _s, _d, *names: {"orders": sdf})
+    got = {r["bin"]: r for r in Q.isotonic_calibration_pava(spark, "x").collect()}
+
+    # sequential PAVA with exact (pos, n) pooling
+    blocks = [[int(r * 200), 200, [b]] for b, r in enumerate(rates)]
+    i = 0
+    while i < len(blocks) - 1:
+        p1, n1, _ = blocks[i]
+        p2, n2, _ = blocks[i + 1]
+        if p1 * n2 > p2 * n1:  # violator: rate_i > rate_{i+1}
+            blocks[i] = [p1 + p2, n1 + n2, blocks[i][2] + blocks[i + 1][2]]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    expect = {}
+    for p, n, bins in blocks:
+        for b in bins:
+            expect[b] = p * 10**9 // n
+    assert {b: got[b]["fitted_rate_nano"] for b in got} == expect
+    fitted = [got[b]["fitted_rate_nano"] for b in sorted(got)]
+    assert fitted == sorted(fitted)  # monotone
+    assert len(set(fitted)) >= 3  # real pooling structure, not flat
