@@ -1958,3 +1958,104 @@ def bigram_cond_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("h_cond_nano"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hill estimator of the document-length tail exponent, per source
+# ---------------------------------------------------------------------------
+
+_HILL_K = 50  # tail order statistics per source (frozen)
+
+
+@register(
+    "doclen_tail_hill",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS x,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents WHERE n_chars > 0
+    ),
+    tail AS (SELECT * FROM ranked WHERE rn <= {_HILL_K}),
+    xk AS (
+      SELECT source, CAST(MIN(x) AS BIGINT) AS x_k,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM tail GROUP BY source
+    )
+    SELECT t.source, x.k, x.x_k,
+           CAST(SUM(CAST(ROUND(LN(CAST(t.x AS DOUBLE) / x.x_k)
+                                * 1000000000) AS BIGINT)) AS BIGINT)
+             AS sum_log_ratio_nano,
+           CAST(CASE WHEN SUM(CAST(ROUND(LN(CAST(t.x AS DOUBLE) / x.x_k)
+                                         * 1000000000) AS BIGINT)) > 0
+                THEN CAST(x.k - 1 AS HUGEINT) * 1000000000 * 1000000
+                     // SUM(CAST(ROUND(LN(CAST(t.x AS DOUBLE) / x.x_k)
+                                       * 1000000000) AS BIGINT))
+                END AS BIGINT) AS hill_alpha_micro
+    FROM tail t JOIN xk x ON x.source = t.source
+    WHERE t.rn < x.k
+    GROUP BY t.source, x.k, x.x_k
+    """,
+)
+def doclen_tail_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the document-length tail exponent per source:
+    α̂ = (k−1) / Σ_{{i<k}} ln(x_(i)/x_(k)) over the top-{_HILL_K}
+    order statistics — the standard check on whether a corpus's long
+    documents follow the power law that sizing decisions assume
+    (chunk budgets, ``pack_greedy_bins`` bin sizes, shuffle partition
+    caps are all set against this tail; α ≤ 2 means the tail has
+    infinite variance and mean-based capacity planning lies). α
+    reported per source so a heavy-tailed source stands out.
+
+    Scale posture: the per-source top-k is a bounded rank cut (window
+    over the per-source partition; k·sources rows thereafter), never
+    a global sort of the corpus. Cross-engine determinism: the rank
+    is pinned (n_chars DESC, doc_id); each ln ratio nano-rounds
+    BEFORE the sum (transcendental-sum policy); α̂ is one exact
+    HUGEINT/DECIMAL(38) micro floor-division; a degenerate all-equal
+    tail (Σ = 0) reports NULL α identically.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5
+    text-analysis family)."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    ranked = (
+        t.where(F.col("n_chars") > 0)
+        .select(
+            "source",
+            F.col("n_chars").cast("bigint").alias("x"),
+            F.row_number()
+            .over(
+                Window.partitionBy("source").orderBy(
+                    F.col("n_chars").desc(), "doc_id"
+                )
+            )
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= _HILL_K)
+    )
+    xk = ranked.groupBy("source").agg(
+        F.min("x").cast("bigint").alias("x_k"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    term = (
+        F.round(
+            F.log(F.col("x").cast("double") / F.col("x_k")) * 1000000000
+        ).cast("bigint")
+    )
+    return (
+        ranked.join(F.broadcast(xk), "source")
+        .where(F.col("rn") < F.col("k"))
+        .groupBy("source", "k", "x_k")
+        .agg(F.sum(term).cast("bigint").alias("sum_log_ratio_nano"))
+        .select(
+            "source",
+            "k",
+            "x_k",
+            "sum_log_ratio_nano",
+            F.expr(
+                "CAST(CASE WHEN sum_log_ratio_nano > 0 THEN"
+                " CAST(k - 1 AS DECIMAL(38,0)) * 1000000000 * 1000000"
+                " div sum_log_ratio_nano END AS BIGINT)"
+            ).alias("hill_alpha_micro"),
+        )
+    )
