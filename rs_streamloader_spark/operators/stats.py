@@ -7091,37 +7091,42 @@ def _pb_w_case(u: str) -> str:
 
 
 def _pb_hexwalk_sql() -> str:
-    """STRPOS walk over a pre-hoisted md5 column ``h`` (computed once
-    per (row, replicate) in the wu CTE, not once per CASE branch)."""
+    """STRPOS walk over a 4-hex WINDOW of the pre-hoisted md5 column
+    ``h``: one md5 per (row, replicate-GROUP) yields eight uniforms
+    (window w covers hex chars w*4+1 .. w*4+4) — an 8x md5 saving over
+    hashing every (row, replicate) pair."""
     expr = "0"
     for i in range(1, _PB_HEX + 1):
         expr = (
             f"({expr} * 16 + STRPOS('0123456789abcdef',"
-            f" SUBSTR(h, {i}, 1)) - 1)"
+            f" SUBSTR(h, w * 4 + {i}, 1)) - 1)"
         )
     return expr
 
 
+# Spark twin of the window walk: conv() over the same 4-hex slice.
 _PB_SPARK_U = (
-    "CAST(conv(substring(md5(concat('pb|', CAST(o_orderkey AS STRING),"
-    f" '|', CAST(b AS STRING))), 1, {_PB_HEX}), 16, 10) AS BIGINT)"
+    f"CAST(conv(substring(h, w * 4 + 1, {_PB_HEX}), 16, 10) AS BIGINT)"
 )
 
 
 @register(
     "poisson_bootstrap_ci",
     oracle=f"""
-    WITH reps AS (SELECT UNNEST(RANGE(0, {_PB_B})) AS b),
-    base AS (
+    WITH base AS (
       SELECT o_orderpriority AS priority, o_orderkey,
              CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
       FROM orders
     ),
+    wg AS (
+      SELECT priority, cents, g,
+             MD5('pb' || CAST(g AS VARCHAR) || '|'
+                 || CAST(o_orderkey AS VARCHAR)) AS h
+      FROM base CROSS JOIN (SELECT UNNEST(RANGE(0, {_PB_B // 8})) AS g)
+    ),
     wu AS (
-      SELECT priority, b, cents,
-             MD5('pb|' || CAST(o_orderkey AS VARCHAR) || '|'
-                 || CAST(b AS VARCHAR)) AS h
-      FROM base CROSS JOIN reps
+      SELECT priority, cents, g * 8 + w AS b, h, w
+      FROM wg CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS w)
     ),
     rep AS (
       SELECT priority, b,
@@ -7192,19 +7197,32 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    # hoist the uniform into a column: md5/conv evaluate ONCE per
-    # (row, replicate), not once per CASE branch
+    # one md5 per (row, replicate-GROUP): each hash feeds 8 replicates
+    # via disjoint 4-hex windows; the uniform is hoisted so the weight
+    # CASE never re-evaluates it
     w = _pb_w_case("u")
     rep = (
-        base.withColumn("b", F.explode(F.expr(f"sequence(0, {_PB_B - 1})")))
+        base.withColumn(
+            "g", F.explode(F.expr(f"sequence(0, {_PB_B // 8 - 1})"))
+        )
+        .withColumn(
+            "h",
+            F.expr(
+                "md5(concat('pb', CAST(g AS STRING), '|',"
+                " CAST(o_orderkey AS STRING)))"
+            ),
+        )
+        .withColumn("w", F.explode(F.expr("sequence(0, 7)")))
+        .withColumn("b", F.expr("g * 8 + w"))
         .withColumn("u", F.expr(_PB_SPARK_U))
+        .withColumn("pw", F.expr(w))
         .groupBy("priority", "b")
         .agg(
             F.expr(
-                f"CAST(SUM(CAST({w} AS DECIMAL(38,0)) * cents)"
+                "CAST(SUM(CAST(pw AS DECIMAL(38,0)) * cents)"
                 " AS DECIMAL(38,0))"
             ).alias("swx"),
-            F.expr(f"CAST(SUM({w}) AS BIGINT)").alias("sw"),
+            F.expr("CAST(SUM(pw) AS BIGINT)").alias("sw"),
         )
     )
     means = rep.where(F.col("sw") > 0).select(
