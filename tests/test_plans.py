@@ -2385,3 +2385,70 @@ def test_simpson_detector_is_two_bounded_aggregates(spark):
     df = simpson_paradox_detector(spark, SF_SMOKE)
     cols = scan_columns(df)
     assert {"l_returnflag", "l_discount", "l_quantity"} in cols, cols
+
+
+# ---------------------------------------------------------------------------
+# r12 additions
+# ---------------------------------------------------------------------------
+
+
+def test_poisson_bootstrap_partial_agg_before_shuffle(spark):
+    """The 32x replicate explode must collapse map-side: a partial
+    HashAggregate keyed (priority, b) sits below the exchange, so the
+    shuffle carries groups x replicates rows, never the exploded
+    input."""
+    from rs_streamloader_spark.operators.stats import poisson_bootstrap_ci
+
+    df = poisson_bootstrap_ci(spark, SF_SMOKE)
+    text = explain_str(df, "formatted")
+    assert re.search(r"partial_sum", explain_str(df, "simple")) or \
+        "Partial" in text, text[:2000]
+    assert shuffle_count(df) <= 4, explain_str(df, "simple")
+
+
+def test_vocab_coverage_topk_is_take_ordered(spark):
+    """The top-K type cut must be TakeOrderedAndProject, never a
+    global sort of the vocabulary."""
+    from rs_streamloader_spark.operators.text import tokenizer_vocab_coverage
+
+    df = tokenizer_vocab_coverage(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in text, text[:1500]
+
+
+def test_trimmed_mean_is_histogram_not_row_sort(spark):
+    """Tail walks run over the per-group cents histogram: two
+    shuffles (histogram agg + per-group windows), no raw-row sort."""
+    from rs_streamloader_spark.operators.stats import trimmed_mean_robust
+
+    df = trimmed_mean_robust(spark, SF_SMOKE)
+    assert shuffle_count(df) <= 2, explain_str(df, "simple")
+
+
+def test_mann_whitney_prunes_to_two_columns(spark):
+    from rs_streamloader_spark.operators.stats import mann_whitney_u
+
+    df = mann_whitney_u(spark, SF_SMOKE)
+    cols = scan_columns(df)
+    assert {"event_type", "value"} in cols, cols
+
+
+def test_doclen_hill_never_sorts_corpus_globally(spark):
+    """Per-source top-k is a rank cut inside the source partition —
+    the plan may sort within partitions for the window but must not
+    carry a global (all-rows) ordered exchange."""
+    from rs_streamloader_spark.operators.text import doclen_tail_hill
+
+    df = doclen_tail_hill(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "rangepartitioning" not in text.lower(), text[:1500]
+
+
+def test_herfindahl_broadcasts_dims_only(spark):
+    from rs_streamloader_spark.operators.stats import herfindahl_concentration
+
+    df = herfindahl_concentration(spark, SF_SMOKE)
+    assert has_broadcast_join(df)
+    # lineitem (the fact) must never be a broadcast build side
+    text = explain_str(df, "formatted")
+    assert "Cartesian" not in text
