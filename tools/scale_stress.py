@@ -86,6 +86,22 @@ TIME_COLS: dict[str, list[str]] = {
 
 # the heavy tail per BENCH_r02 + the new replay queries' batch cousins
 HEAVY_TAIL = [
+    # round-12 additions
+    "poisson_bootstrap_ci",
+    "mann_whitney_u",
+    "effect_size_cohens_d",
+    "tokenizer_vocab_coverage",
+    "kaplan_meier_return_time",
+    "event_count_overdispersion",
+    "mode_per_group",
+    "bigram_cond_entropy_by_source",
+    "neyman_allocation",
+    "trimmed_mean_robust",
+    "herfindahl_concentration",
+    "pr_auc_average_precision",
+    "lift_gain_table",
+    "isotonic_calibration_pava",
+    "doclen_tail_hill",
     "dedup_simhash",
     "dedup_cluster",
     "dedup_shrinkage_report",
@@ -328,6 +344,22 @@ DATE_WINDOWED = {"q5_local_supplier_volume"}
 # fixed-width bin. Their scaled run measures the full-corpus scan +
 # reduction with a result that must NOT grow.
 CONSTANT_OUTPUT = {
+    # round-12: fixed grids (priorities/deciles/bins/sources/types/
+    # nations/top-K cuts) — output must not grow with the corpus
+    "poisson_bootstrap_ci",
+    "mann_whitney_u",
+    "effect_size_cohens_d",
+    "tokenizer_vocab_coverage",
+    "event_count_overdispersion",
+    "mode_per_group",
+    "bigram_cond_entropy_by_source",
+    "neyman_allocation",
+    "trimmed_mean_robust",
+    "herfindahl_concentration",
+    "pr_auc_average_precision",
+    "lift_gain_table",
+    "isotonic_calibration_pava",
+    "doclen_tail_hill",
     "bm25_topk",
     # fixed-size audits/readouts: 5 edges / 1 row / 2 layouts / 2 arms /
     # 5 event types regardless of data volume
