@@ -7283,6 +7283,7 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END) AS ca,
              SUM(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END) AS cb
       FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+        AND "value" IS NOT NULL
       GROUP BY 1
     ),
     cum AS (
@@ -7337,7 +7338,11 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     family)."""
     ev = _t(spark, sf_dir, "events")["events"]
     h = (
+        # NULL values dropped explicitly: the rank walk ORDER BY v
+        # would otherwise diverge (Spark sorts NULLS FIRST, DuckDB
+        # NULLS LAST) — latent on this corpus (zero NULLs), guarded
         ev.where(F.col("event_type").isin(_KS_A, _KS_B))
+        .where(F.col("value").isNotNull())
         .groupBy(F.round(F.col("value") * 100).cast("bigint").alias("v"))
         .agg(
             F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0)).alias("ca"),
