@@ -578,3 +578,52 @@ def test_doc_char_entropy_drops_empty_text(spark, tmp_path):
     pdf = df.toPandas()
     assert set(pdf["doc_id"]) == {1}
     assert pdf["n_distinct_chars"].iloc[0] == 2
+
+
+def test_overdispersion_fires_on_bursty_corpus(spark, tmp_path):
+    """VACUITY_r12: `overdispersed` is False for every event type on
+    the Poisson-flat synthetic corpus — the >1.5 branch never fires.
+    Constructed corpus: type 'burst' lands all its events on one day
+    of a 4-day span (dispersion ≫ 1.5), type 'steady' spreads 1/day
+    (dispersion ≈ sub-Poisson). Both branches must fire and both
+    engines must agree on the exact-rational flag."""
+    import duckdb
+
+    rows = []
+    eid = 0
+    # steady: one event per day, days 1-4
+    for day in range(1, 5):
+        eid += 1
+        rows.append((eid, f"2024-03-0{day} 08:00:00", 1, "steady", 1.0))
+    # burst: 40 events on day 1, zero on days 2-4 (grid densifies them)
+    for i in range(40):
+        eid += 1
+        rows.append((eid, "2024-03-01 09:00:00", 2, "burst", 1.0))
+    ev = pd.DataFrame(
+        [
+            {
+                "event_id": e,
+                "ts": pd.Timestamp(ts),
+                "user_id": u,
+                "event_type": et,
+                "value": v,
+                "props": "{}",
+            }
+            for e, ts, u, et, v in rows
+        ]
+    )
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False), d / "events.parquet")
+    df = entry.queries()["event_count_overdispersion"](spark, str(d))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    oracle_pdf = con.execute(entry.oracle_sql()["event_count_overdispersion"]).df()
+    compare(df, oracle_pdf, "event_count_overdispersion@bursty")
+    got = {r["event_type"]: r for r in df.collect()}
+    assert bool(got["burst"]["overdispersed"]) is True
+    assert bool(got["steady"]["overdispersed"]) is False
+    # burst: n=4, sx=40, sxx=1600 -> index = (4*1600-1600)/(3*40) = 40
+    assert got["burst"]["dispersion_index"] == 40.0
