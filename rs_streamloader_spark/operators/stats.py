@@ -8062,3 +8062,527 @@ def herfindahl_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("total_cents") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR correction over per-segment proportion tests
+# ---------------------------------------------------------------------------
+
+# The five event types are the FIXED test family (m=5 by contract, the
+# frozen-literal posture of obrien_fleming_sequential): BH critical
+# z-values for ranks k=1..5 at q=0.05 are the published two-sided
+# normal quantiles z_{alpha_k/2} with alpha_k = k*q/m.
+_BH_TYPES = ("click", "error", "purchase", "signup", "view")
+_BH_CRIT = (2.575829, 2.326348, 2.170090, 2.053749, 1.959964)
+_BH_THRESHOLD = 50.0  # success = value > 50
+
+
+def _bh_crit_case(rank_col: str) -> str:
+    whens = " ".join(
+        f"WHEN {k + 1} THEN CAST({z} AS DOUBLE)" for k, z in enumerate(_BH_CRIT)
+    )
+    return f"CASE {rank_col} {whens} END"
+
+
+_BH_Z_SQL = (
+    "ROUND((CAST(s AS DOUBLE) / n - CAST(ss - s AS DOUBLE) / (nn - n))"
+    " / SQRT((CAST(ss AS DOUBLE) / nn) * (1.0 - CAST(ss AS DOUBLE) / nn)"
+    " * (1.0 / n + 1.0 / (nn - n))), 6)"
+)
+
+
+@register(
+    "bh_fdr_correction",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN "value" > {_BH_THRESHOLD} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM events
+      WHERE event_type IN {_BH_TYPES} AND "value" IS NOT NULL
+      GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS nn, SUM(s) AS ss FROM e),
+    z AS (
+      SELECT event_type, n, s, {_BH_Z_SQL} AS z
+      FROM e, tot WHERE n > 0 AND nn - n > 0
+    ),
+    r AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY ABS(z) DESC, event_type)
+                     AS BIGINT) AS p_rank
+      FROM z
+    ),
+    c AS (SELECT *, {_bh_crit_case('p_rank')} AS crit_z FROM r),
+    kmax AS (
+      SELECT COALESCE(MAX(CASE WHEN ABS(z) >= crit_z THEN p_rank END), 0) AS km
+      FROM c
+    )
+    SELECT event_type, n, s AS n_success,
+           CAST(s * 1000000 // n AS BIGINT) AS prop_ppm,
+           z, p_rank, crit_z,
+           (p_rank <= km) AS rejected
+    FROM c, kmax
+    """,
+)
+def bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over the family of five
+    per-event-type two-proportion tests (share of events with value >
+    {thr}, each type vs the pooled rest): the multiple-testing layer
+    every metrics platform needs once it tests more than one segment
+    per release — without it, 5 tests at alpha=0.05 fire a false
+    positive ~23% of the time.
+
+    The BH comparison p_(k) <= k*q/m is performed in Z-SPACE against
+    FROZEN published two-sided normal quantiles (m=5 fixed by
+    contract, q=0.05): |z|_(k) >= z_crit(k) is the identical
+    inequality, and no CDF/transcendental is ever evaluated in either
+    engine — the same frozen-literal posture as
+    ``obrien_fleming_sequential``. z itself uses one IEEE SQRT with
+    identical operand order, rounded to 6dp BEFORE ranking so the
+    cross-engine sort order is decided on identical doubles
+    (event_type breaks ties).
+
+    On the homogeneous synthetic corpus every test accepts (the
+    `rejected` branch is a detector; its positive branch is pinned
+    cross-engine on a constructed corpus with a planted effect in
+    tests/test_nonvacuity.py).
+
+    Scale posture: one combinable 5-row aggregate, a broadcast 1-row
+    total, and windows over the bounded 5-row family — nothing after
+    the first aggregate scales with data.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    e = (
+        ev.where(F.col("event_type").isin(*_BH_TYPES))
+        .where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("value") > _BH_THRESHOLD, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    tot = e.agg(F.sum("n").alias("nn"), F.sum("s").alias("ss"))
+    z = (
+        e.join(F.broadcast(tot))
+        .where("n > 0 AND nn - n > 0")
+        .select("event_type", "n", "s", F.expr(_BH_Z_SQL).alias("z"))
+    )
+    w = Window.orderBy(F.abs(F.col("z")).desc(), "event_type")
+    r = z.select(
+        "*", F.row_number().over(w).cast("bigint").alias("p_rank")
+    ).select("*", F.expr(_bh_crit_case("p_rank")).alias("crit_z"))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    km = F.coalesce(
+        F.max(
+            F.when(F.abs(F.col("z")) >= F.col("crit_z"), F.col("p_rank"))
+        ).over(wall),
+        F.lit(0),
+    )
+    return r.select(
+        "event_type",
+        "n",
+        F.col("s").alias("n_success"),
+        F.expr("CAST(s * 1000000 div n AS BIGINT)").alias("prop_ppm"),
+        "z",
+        "p_rank",
+        "crit_z",
+        (F.col("p_rank") <= km).alias("rejected"),
+    )
+
+
+bh_fdr_correction.__doc__ = bh_fdr_correction.__doc__.format(
+    thr=int(_BH_THRESHOLD)
+)
+
+
+# ---------------------------------------------------------------------------
+# Ratio-metric variance via the delta method (value per event, per variant)
+# ---------------------------------------------------------------------------
+
+_Z975 = 1.959964  # frozen two-sided 95% normal quantile (same as power/CI ops)
+
+
+def _ratio_dm_exprs() -> dict[str, str]:
+    """Delta-method double expressions over the per-variant moment
+    columns (n, sx, sy, sxx, syy, sxy) — ONE shared rendering consumed
+    verbatim by both engines so operand order is identical."""
+    r = "(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))"
+    my = "(CAST(sy AS DOUBLE) / n)"
+    vxx = "((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1))"
+    vyy = "((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1))"
+    vxy = "((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1))"
+    se_delta = (
+        f"(SQRT(({vxx} - 2.0 * {r} * {vxy} + {r} * {r} * {vyy}) / n) / {my})"
+    )
+    se_naive = f"(SQRT({vxx} / n) / {my})"
+    return {
+        "ratio": r,
+        "se_naive": se_naive,
+        "se_delta": se_delta,
+        "ci_lo": f"({r} - {_Z975} * {se_delta})",
+        "ci_hi": f"({r} + {_Z975} * {se_delta})",
+    }
+
+
+def _ratio_dm_select() -> str:
+    x = _ratio_dm_exprs()
+    return (
+        f"ROUND({x['ratio']}, 6) AS ratio_cents_per_event,"
+        f" ROUND({x['se_naive']}, 6) AS se_naive,"
+        f" ROUND({x['se_delta']}, 6) AS se_delta,"
+        f" ROUND({x['ci_lo']}, 6) AS ci_lo,"
+        f" ROUND({x['ci_hi']}, 6) AS ci_hi"
+    )
+
+
+@register(
+    "ratio_metric_delta_method",
+    oracle=f"""
+    WITH u AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+             SUM(CAST(ROUND("value" * 100) AS BIGINT)) AS x,
+             COUNT(*) AS y
+      FROM events WHERE "value" IS NOT NULL
+      GROUP BY user_id
+    ),
+    m AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM u GROUP BY 1
+    )
+    SELECT variant, n AS n_users,
+           CAST(sx AS BIGINT) AS sum_value_cents,
+           CAST(sy AS BIGINT) AS n_events,
+           {_ratio_dm_select()}
+    FROM m WHERE n > 1
+    """,
+)
+def ratio_metric_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error for a RATIO metric (value cents per
+    event, per 50/50 user split): when the denominator is itself
+    random (events per user), the naive SE that conditions on it is
+    wrong — the delta method carries Var(X), Var(Y), AND Cov(X,Y)
+    through Var(X̄/Ȳ) ≈ (σx² − 2R·σxy + R²σy²)/(n·ȳ²). Both SEs are
+    reported so the correction is visible; the 95% CI uses the frozen
+    z=1.959964 literal (no CDF evaluated anywhere).
+
+    Scale posture: per-user totals are ONE combinable aggregate keyed
+    by user (the experiment-unit collapse every CUPED/ratio pipeline
+    does first), then a 2-row moment aggregate in HUGEINT/DECIMAL(38);
+    every double expression is rendered from ONE shared string
+    (functions-style single-sourcing) so operand order is identical
+    cross-engine, rounded once at 6dp.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    u = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("x"),
+            F.count(F.lit(1)).alias("y"),
+        )
+        .select((F.col("user_id") % 2).cast("bigint").alias("variant"), "x", "y")
+    )
+    d38 = "DECIMAL(38,0)"
+    m = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"CAST(SUM(x) AS {d38})").alias("sx"),
+        F.expr(f"CAST(SUM(y) AS {d38})").alias("sy"),
+        F.expr(f"CAST(SUM(CAST(x AS {d38}) * x) AS {d38})").alias("sxx"),
+        F.expr(f"CAST(SUM(CAST(y AS {d38}) * y) AS {d38})").alias("syy"),
+        F.expr(f"CAST(SUM(CAST(x AS {d38}) * y) AS {d38})").alias("sxy"),
+    )
+    x = _ratio_dm_exprs()
+    return m.where("n > 1").select(
+        "variant",
+        F.col("n").alias("n_users"),
+        F.col("sx").cast("bigint").alias("sum_value_cents"),
+        F.col("sy").cast("bigint").alias("n_events"),
+        F.expr(f"ROUND({x['ratio']}, 6)").alias("ratio_cents_per_event"),
+        F.expr(f"ROUND({x['se_naive']}, 6)").alias("se_naive"),
+        F.expr(f"ROUND({x['se_delta']}, 6)").alias("se_delta"),
+        F.expr(f"ROUND({x['ci_lo']}, 6)").alias("ci_lo"),
+        F.expr(f"ROUND({x['ci_hi']}, 6)").alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Additive seasonal decomposition (STL-lite: trend / DOW seasonal / residual)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seasonal_decompose_additive",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT d, rev_c,
+             CAST(strftime(d, '%w') AS INT) AS dow,
+             CASE WHEN LAG(d, 3) OVER (ORDER BY d) IS NOT NULL
+                   AND LEAD(d, 3) OVER (ORDER BY d) IS NOT NULL
+                   AND LEAD(d, 3) OVER (ORDER BY d)
+                       - LAG(d, 3) OVER (ORDER BY d) = 6
+                  THEN SUM(rev_c) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                                        AND 3 FOLLOWING) * 1000 // 7
+             END AS trend_mc
+      FROM daily
+    ),
+    det AS (SELECT *, rev_c * 1000 - trend_mc AS det_mc FROM w),
+    season AS (
+      SELECT dow,
+             CAST(CAST(SUM(det_mc) AS HUGEINT) // COUNT(det_mc) AS BIGINT)
+               AS s_raw_mc
+      FROM det WHERE det_mc IS NOT NULL GROUP BY 1
+    ),
+    adj AS (SELECT CAST(SUM(s_raw_mc) // COUNT(*) AS BIGINT) AS a_mc FROM season)
+    SELECT STRFTIME(det.d, '%Y-%m-%d') AS day, det.dow, det.rev_c,
+           det.trend_mc,
+           season.s_raw_mc - adj.a_mc AS seasonal_mc,
+           det.det_mc - (season.s_raw_mc - adj.a_mc) AS residual_mc
+    FROM det JOIN season ON season.dow = det.dow CROSS JOIN adj
+    """,
+)
+def seasonal_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily revenue (STL-lite):
+    trend = centered 7-day moving average (defined ONLY where the ROW
+    window spans exactly 7 CONTIGUOUS calendar days — on a gapped
+    series the naive ROWS frame silently reaches across the gap, the
+    same failure ``rolling_sum_range_frame`` makes visible), seasonal
+    = per-day-of-week mean of the detrended series re-centered to sum
+    ~zero, residual = the remainder. rev·1000 = trend + seasonal +
+    residual holds EXACTLY by construction (the identity is the
+    sanity pin).
+
+    Scale posture: one combinable daily aggregate, then every window
+    orders the ~2.4k-row calendar-bounded series (the repo's "global
+    windows only over already-reduced aggregates" rule); the DOW
+    seasonal is a broadcast 7-row join back. Cross-engine
+    determinism: everything in integer MILLI-cents via truncating
+    division (both engines truncate toward zero); dow via
+    dayofweek-1 == strftime('%w') (0=Sunday); dates out as strings.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_c")
+    )
+    wd = Window.orderBy("d")
+    w7 = wd.rowsBetween(-3, 3)
+    full = (
+        F.lag("d", 3).over(wd).isNotNull()
+        & F.lead("d", 3).over(wd).isNotNull()
+        & (F.datediff(F.lead("d", 3).over(wd), F.lag("d", 3).over(wd)) == 6)
+    )
+    w = daily.select(
+        "d",
+        "rev_c",
+        (F.dayofweek("d") - 1).cast("int").alias("dow"),
+        F.when(full, F.expr("1")).alias("is_full"),
+        F.sum("rev_c").over(w7).alias("win_sum"),
+    ).select(
+        "d",
+        "rev_c",
+        "dow",
+        F.when(
+            F.col("is_full") == 1, F.expr("win_sum * 1000 div 7")
+        ).alias("trend_mc"),
+    )
+    det = w.select(
+        "*", (F.col("rev_c") * 1000 - F.col("trend_mc")).alias("det_mc")
+    )
+    season = (
+        det.where(F.col("det_mc").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(det_mc) AS DECIMAL(38,0)) div COUNT(det_mc)"
+                " AS BIGINT)"
+            ).alias("s_raw_mc")
+        )
+    )
+    adj = season.agg(
+        F.expr("CAST(SUM(s_raw_mc) div COUNT(*) AS BIGINT)").alias("a_mc")
+    )
+    return (
+        det.join(F.broadcast(season), "dow")
+        .join(F.broadcast(adj))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dow",
+            "rev_c",
+            "trend_mc",
+            (F.col("s_raw_mc") - F.col("a_mc")).alias("seasonal_mc"),
+            (
+                F.col("det_mc") - (F.col("s_raw_mc") - F.col("a_mc"))
+            ).alias("residual_mc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Binary-segmentation changepoint (single best mean shift, exact integers)
+# ---------------------------------------------------------------------------
+
+
+def _ddiv38(a: str, b: str) -> str:
+    """Truncating division of two nonnegative DECIMAL(38,0) expressions
+    that stays DECIMAL (Spark's `div` coerces the quotient to LONG and
+    overflows past ~9.2e18): subtract the remainder, then the exact
+    decimal division has no fraction to round. Caller guarantees a >= 0
+    and b > 0."""
+    return f"CAST((({a}) - (({a}) % ({b}))) / ({b}) AS DECIMAL(38,0))"
+
+
+@register(
+    "changepoint_binseg",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 100
+               AS BIGINT) AS rev_d
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT d,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i,
+             CAST(SUM(CAST(rev_c AS HUGEINT))
+                  OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS c1,
+             CAST(SUM(CAST(rev_d AS HUGEINT))
+                  OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS c1d
+      FROM daily
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rev_c) AS HUGEINT) AS s,
+             CAST(SUM(rev_d) AS HUGEINT) AS sd,
+             CAST(SUM(CAST(rev_d AS HUGEINT) * rev_d) AS HUGEINT) AS s2d
+      FROM daily
+    ),
+    obj AS (
+      SELECT d, i, c1, n, s, sd, s2d,
+             (n * c1d - i * sd) * (n * c1d - i * sd) // (i * (n - i))
+               AS objective
+      FROM seq, tot WHERE i < n
+    ),
+    best AS (
+      SELECT * FROM obj
+      WHERE s2d - sd * sd // n > 0
+      ORDER BY objective DESC, d LIMIT 1
+    )
+    SELECT STRFTIME(d, '%Y-%m-%d') AS split_day,
+           i AS n_left, n - i AS n_right,
+           CAST(c1 * 1000 // i AS BIGINT) AS mean_left_mc,
+           CAST((s - c1) * 1000 // (n - i) AS BIGINT) AS mean_right_mc,
+           CAST((s - c1) * 1000 // (n - i) - c1 * 1000 // i AS BIGINT)
+             AS delta_mc,
+           CAST(objective * 1000000
+                // (n * (s2d - sd * sd // n)) AS BIGINT) AS gain_ppm
+    FROM best
+    """,
+)
+def changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection on daily revenue by binary
+    segmentation: the split τ maximizing the between-segment
+    sum-of-squares gain, via the identity gain(τ) ∝ (n·C(τ) − τ·S)²
+    / (τ·(n−τ)) over prefix sums — the first step of the classic
+    BinSeg/PELT family and the offline counterpart to
+    ``cusum_drift_daily``'s online monitor. gain_ppm normalizes the
+    SSE reduction by total variance (an R²-of-the-split in ppm); on
+    the steady synthetic series it is small — the PLANTED-shift
+    behavior (split lands exactly on the injected break) is pinned by
+    a constructed-corpus test.
+
+    Scale posture: one combinable daily aggregate; the prefix sum and
+    argmax order the calendar-bounded series only; the argmax is a
+    deterministic top-1 cut (objective DESC, day ASC). Cross-engine
+    determinism: the RANKING objective is an exact truncating-division
+    integer computed in whole-DOLLAR units so (n·C − τ·S)² stays
+    inside DECIMAL(38)/HUGEINT even at 100 TB daily revenue (cents
+    would square past 1e38); Spark's LONG-quotient `div` is avoided
+    where the quotient exceeds int64 via the remainder-subtraction
+    decimal division (``_ddiv38``). Output means/deltas in integer
+    milli-CENTS from the full-precision cent prefix sums.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    d38 = "DECIMAL(38,0)"
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_c")
+    ).select("d", "rev_c", F.expr("rev_c div 100").alias("rev_d"))
+    wd = Window.orderBy("d")
+    wcum = wd.rowsBetween(Window.unboundedPreceding, 0)
+    seq = daily.select(
+        "d",
+        F.row_number().over(wd).cast("bigint").alias("i"),
+        F.sum(F.col("rev_c").cast(d38)).over(wcum).cast(d38).alias("c1"),
+        F.sum(F.col("rev_d").cast(d38)).over(wcum).cast(d38).alias("c1d"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"CAST(SUM(rev_c) AS {d38})").alias("s"),
+        F.expr(f"CAST(SUM(rev_d) AS {d38})").alias("sd"),
+        F.expr(f"CAST(SUM(CAST(rev_d AS {d38}) * rev_d) AS {d38})").alias(
+            "s2d"
+        ),
+    )
+    objective = _ddiv38(
+        "(n * c1d - i * sd) * (n * c1d - i * sd)", "CAST(i * (n - i) AS DECIMAL(38,0))"
+    )
+    obj = (
+        seq.join(F.broadcast(tot))
+        .where("i < n")
+        .select(
+            "d",
+            "i",
+            "c1",
+            "n",
+            "s",
+            "sd",
+            "s2d",
+            F.expr(objective).alias("objective"),
+        )
+    )
+    tssd = f"(s2d - {_ddiv38('sd * sd', 'CAST(n AS DECIMAL(38,0))')})"
+    best = (
+        obj.where(F.expr(f"{tssd} > 0"))
+        .orderBy(F.desc("objective"), "d")
+        .limit(1)
+    )
+    return best.select(
+        F.date_format("d", "yyyy-MM-dd").alias("split_day"),
+        F.col("i").alias("n_left"),
+        (F.col("n") - F.col("i")).alias("n_right"),
+        F.expr("CAST(c1 * 1000 div i AS BIGINT)").alias("mean_left_mc"),
+        F.expr("CAST((s - c1) * 1000 div (n - i) AS BIGINT)").alias(
+            "mean_right_mc"
+        ),
+        F.expr(
+            "CAST((s - c1) * 1000 div (n - i) - c1 * 1000 div i AS BIGINT)"
+        ).alias("delta_mc"),
+        F.expr(
+            f"CAST(objective * 1000000 div (n * {tssd}) AS BIGINT)"
+        ).alias("gain_ppm"),
+    )

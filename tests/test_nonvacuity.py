@@ -627,3 +627,52 @@ def test_overdispersion_fires_on_bursty_corpus(spark, tmp_path):
     assert bool(got["steady"]["overdispersed"]) is False
     # burst: n=4, sx=40, sxx=1600 -> index = (4*1600-1600)/(3*40) = 40
     assert got["burst"]["dispersion_index"] == 40.0
+
+
+def test_bh_fdr_rejects_on_planted_effects_cross_engine(spark, tmp_path):
+    """`rejected` is constant-false on the homogeneous synthetic corpus
+    (every per-type test accepts). Constructed corpus: 'click' at an
+    80% success share and 'error' at 10% against a ~36% base — both BH
+    branches must fire AND the full row set must hash-match the DuckDB
+    oracle on the same corpus (the step-up walk crosses engines)."""
+    import duckdb
+
+    shares = {
+        "click": 0.8,
+        "error": 0.1,
+        "purchase": 0.36,
+        "signup": 0.36,
+        "view": 0.38,
+    }
+    rows = []
+    eid = 0
+    for et, share in shares.items():
+        for i in range(300):
+            eid += 1
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": pd.Timestamp("2024-03-01 08:00:00"),
+                    "user_id": eid % 40,
+                    "event_type": et,
+                    "value": 80.0 if i < int(300 * share) else 20.0,
+                    "props": "{}",
+                }
+            )
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False),
+        d / "events.parquet",
+    )
+    df = entry.queries()["bh_fdr_correction"](spark, str(d))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    oracle_pdf = con.execute(entry.oracle_sql()["bh_fdr_correction"]).df()
+    compare(df, oracle_pdf, "bh_fdr_correction@planted")
+    pdf = df.toPandas().set_index("event_type")
+    assert bool(pdf.loc["click", "rejected"]) is True
+    assert bool(pdf.loc["error", "rejected"]) is True
+    assert not bool(pdf.loc["purchase", "rejected"])

@@ -992,3 +992,148 @@ def test_isotonic_minimax_equals_sequential_pava(spark, monkeypatch):
     fitted = [got[b]["fitted_rate_nano"] for b in sorted(got)]
     assert fitted == sorted(fitted)  # monotone
     assert len(set(fitted)) >= 3  # real pooling structure, not flat
+
+
+def test_bh_fdr_matches_bruteforce_and_fires_both_branches(spark, monkeypatch):
+    """BH step-up recomputed from scratch (z-scores via math, ranks,
+    max-k walk) on a corpus with PLANTED effects: 'click' far above
+    the pooled success share, 'error' far below, the rest at base —
+    both the rejected and accepted branches must fire and match the
+    brute-force reject set exactly."""
+    import math
+
+    rows = []
+    eid = 0
+    # planted: click 80% > 50, error 10%, others ~36%
+    shares = {"click": 0.8, "error": 0.1, "purchase": 0.36, "signup": 0.36, "view": 0.38}
+    for et, share in shares.items():
+        for i in range(400):
+            eid += 1
+            rows.append((eid, et, 80.0 if i < int(400 * share) else 20.0))
+    pdf = pd.DataFrame(rows, columns=["event_id", "event_type", "value"])
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"events": sdf})
+    got = {r["event_type"]: r for r in S.bh_fdr_correction(spark, "x").collect()}
+    # brute force
+    cnt = pdf.groupby("event_type").agg(
+        n=("value", "size"), s=("value", lambda v: int((v > 50).sum()))
+    )
+    nn, ss = cnt.n.sum(), cnt.s.sum()
+    zs = {}
+    for et, r in cnt.iterrows():
+        pi, pr, pp = r.s / r.n, (ss - r.s) / (nn - r.n), ss / nn
+        zs[et] = round(
+            (pi - pr) / math.sqrt(pp * (1 - pp) * (1 / r.n + 1 / (nn - r.n))), 6
+        )
+    ranked = sorted(zs, key=lambda et: (-abs(zs[et]), et))
+    km = 0
+    for k, et in enumerate(ranked, 1):
+        if abs(zs[et]) >= S._BH_CRIT[k - 1]:
+            km = k
+    expect_rej = {et for k, et in enumerate(ranked, 1) if k <= km}
+    for et in shares:
+        assert got[et]["z"] == pytest.approx(zs[et], abs=2e-6), et
+        assert got[et]["p_rank"] == ranked.index(et) + 1, et
+        assert bool(got[et]["rejected"]) == (et in expect_rej), et
+    assert {"click", "error"} <= expect_rej
+    assert len(expect_rej) < 5  # accepted branch fires too
+
+
+def test_ratio_delta_method_matches_numpy(spark, monkeypatch):
+    """Delta-method SE recomputed in float numpy from the per-user
+    totals; the naive SE must differ (the constructed corpus has
+    genuine X-Y covariance: heavy users also carry higher values)."""
+    n_users = 500
+    rows = []
+    eid = 0
+    for u in range(n_users):
+        k = 1 + (u % 5)  # events per user 1..5, correlated with value
+        for _ in range(k):
+            eid += 1
+            rows.append((eid, u, round(10.0 * k + 0.25 * (u % 7), 2)))
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "value"])
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"events": sdf})
+    got = {
+        int(r["variant"]): r
+        for r in S.ratio_metric_delta_method(spark, "x").collect()
+    }
+    per_user = pdf.assign(x=np.round(pdf.value * 100)).groupby("user_id").agg(
+        x=("x", "sum"), y=("event_id", "size")
+    )
+    for variant in (0, 1):
+        sub = per_user[per_user.index % 2 == variant]
+        x, y = sub.x.to_numpy(float), sub.y.to_numpy(float)
+        n = len(sub)
+        r = x.sum() / y.sum()
+        my = y.mean()
+        vxx, vyy = x.var(ddof=1), y.var(ddof=1)
+        vxy = np.cov(x, y, ddof=1)[0, 1]
+        se_d = np.sqrt((vxx - 2 * r * vxy + r * r * vyy) / n) / my
+        se_n = np.sqrt(vxx / n) / my
+        row = got[variant]
+        assert row["n_users"] == n
+        assert row["ratio_cents_per_event"] == pytest.approx(r, abs=2e-6)
+        assert row["se_delta"] == pytest.approx(se_d, abs=2e-6)
+        assert row["se_naive"] == pytest.approx(se_n, abs=2e-6)
+        assert row["se_delta"] != row["se_naive"]
+        assert row["ci_lo"] < row["ratio_cents_per_event"] < row["ci_hi"]
+
+
+def _orders_patch(spark, monkeypatch, days):
+    """Constructed orders: one order per (day, amount) pair."""
+    rows = []
+    for i, (day, amount) in enumerate(days):
+        rows.append((i, day, float(amount)))
+    pdf = pd.DataFrame(rows, columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"orders": sdf})
+    return pdf
+
+
+def test_seasonal_decompose_identity_and_planted_cycle(spark, monkeypatch):
+    """On a constructed series with a planted Friday spike: (a) the
+    exact identity rev*1000 = trend + seasonal + residual holds on
+    every full-window day, (b) the spiked DOW carries the largest
+    seasonal term, (c) the first/last 3 days have NULL trend."""
+    days = []
+    base = pd.Timestamp("2024-01-01")  # a Monday
+    for i in range(35):
+        d = base + pd.Timedelta(days=i)
+        amount = 100.0 + 2.0 * i + (70.0 if d.dayofweek == 4 else 0.0)
+        days.append((d.strftime("%Y-%m-%d"), amount))
+    _orders_patch(spark, monkeypatch, days)
+    pdf = S.seasonal_decompose_additive(spark, "x").toPandas()
+    pdf = pdf.sort_values("day").reset_index(drop=True)
+    assert len(pdf) == 35
+    full = pdf[pdf.trend_mc.notna()]
+    assert len(full) == 35 - 6
+    lhs = full.rev_c * 1000
+    rhs = full.trend_mc + full.seasonal_mc + full.residual_mc
+    assert (lhs == rhs).all()
+    # Friday (dow=5 in the 0=Sunday convention) carries the spike
+    seasonal_by_dow = pdf.groupby("dow").seasonal_mc.first()
+    assert seasonal_by_dow.idxmax() == 5
+    assert seasonal_by_dow.loc[5] > 50_000  # ~70 dollars in milli-cents
+    # edges: first and last 3 days have no trend
+    assert pdf.trend_mc.iloc[:3].isna().all()
+    assert pdf.trend_mc.iloc[-3:].isna().all()
+
+
+def test_changepoint_finds_planted_shift(spark, monkeypatch):
+    """Two flat segments (30 days at $10, 30 at $30): the argmax split
+    must land exactly on the boundary with the exact segment means and
+    a gain_ppm near 1e6 (the split explains almost all variance)."""
+    days = []
+    base = pd.Timestamp("2024-01-01")
+    for i in range(60):
+        d = (base + pd.Timedelta(days=i)).strftime("%Y-%m-%d")
+        days.append((d, 10.0 if i < 30 else 30.0))
+    _orders_patch(spark, monkeypatch, days)
+    row = S.changepoint_binseg(spark, "x").collect()[0]
+    assert row["split_day"] == "2024-01-30"
+    assert row["n_left"] == 30 and row["n_right"] == 30
+    assert row["mean_left_mc"] == 10_00 * 1000
+    assert row["mean_right_mc"] == 30_00 * 1000
+    assert row["delta_mc"] == 20_00 * 1000
+    assert row["gain_ppm"] >= 999_000

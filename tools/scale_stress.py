@@ -87,6 +87,10 @@ TIME_COLS: dict[str, list[str]] = {
 # the heavy tail per BENCH_r02 + the new replay queries' batch cousins
 HEAVY_TAIL = [
     # round-12 additions
+    "bh_fdr_correction",
+    "ratio_metric_delta_method",
+    "seasonal_decompose_additive",
+    "changepoint_binseg",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
@@ -346,6 +350,10 @@ DATE_WINDOWED = {"q5_local_supplier_volume"}
 CONSTANT_OUTPUT = {
     # round-12: fixed grids (priorities/deciles/bins/sources/types/
     # nations/top-K cuts) — output must not grow with the corpus
+    # (bh: 5-row fixed family; ratio-dm: 2 variants; binseg: 1 row)
+    "bh_fdr_correction",
+    "ratio_metric_delta_method",
+    "changepoint_binseg",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
