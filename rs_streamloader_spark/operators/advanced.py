@@ -1572,3 +1572,278 @@ def record_linkage_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "field STRING, m_nano BIGINT, u_nano BIGINT, weight_ppm BIGINT,"
         " p_nano BIGINT, n_pairs BIGINT",
     )
+
+
+# ---------------------------------------------------------------------------
+# Compaction bin-packing plan (small-files problem, date-clustered greedy)
+# ---------------------------------------------------------------------------
+
+_COMPACT_ROW_BYTES = 128  # frozen per-row width estimate
+_COMPACT_TARGET = 262_144  # 256 KiB target bin at audit scale
+
+
+@register(
+    "compaction_bin_packing",
+    oracle=f"""
+    WITH files AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) * {_COMPACT_ROW_BYTES} AS BIGINT) AS bytes
+      FROM orders GROUP BY 1
+    ),
+    planned AS (
+      SELECT *,
+             CAST((SUM(bytes) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                   - bytes) // {_COMPACT_TARGET} AS BIGINT) AS bin_id
+      FROM files
+    )
+    SELECT bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           STRFTIME(MIN(d), '%Y-%m-%d') AS first_day,
+           STRFTIME(MAX(d), '%Y-%m-%d') AS last_day,
+           CAST(SUM(bytes) * 1000000 // {_COMPACT_TARGET} AS BIGINT)
+             AS fill_ppm
+    FROM planned GROUP BY bin_id
+    """,
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy compaction plan for the small-files problem: treat each
+    order DAY as one staged file ({row_bytes} B/row frozen estimate)
+    and pack files in date order into {target}-byte bins via the
+    prefix-sum assignment bin = floor(bytes_before / target) — the
+    deterministic first-fit-in-sort-order planner that PRESERVES date
+    clustering (compacting time-partitioned data by hash would destroy
+    the partition pruning ``zorder_layout_audit`` measures). Per-bin
+    fill_ppm exposes the trade: interior bins hover at ~1e6 (full),
+    the tail bin underfills, and any single day larger than the target
+    overflows its bin rather than splitting (greedy never splits a
+    file — visible as fill_ppm > 1e6).
+
+    Scale posture: one combinable daily aggregate; the prefix sum
+    orders the calendar-bounded file list only (the repo's
+    reduced-aggregate global-window rule); the plan output is
+    O(total_bytes / target). Cross-engine determinism: pure integer
+    byte accounting and truncating division everywhere; dates out as
+    strings.
+
+    Reference surface: staging.py:61-79 writes the real staged parts
+    this planner would compact (SURVEY.md §2.5 physical-layout
+    family)."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    files = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) * _COMPACT_ROW_BYTES).cast("bigint").alias("bytes"),
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    planned = files.withColumn(
+        "cum_bytes", F.sum("bytes").over(wcum)
+    ).withColumn(
+        "bin_id",
+        F.expr(f"CAST((cum_bytes - bytes) div {_COMPACT_TARGET} AS BIGINT)"),
+    )
+    return planned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("bytes").cast("bigint").alias("total_bytes"),
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max("d"), "yyyy-MM-dd").alias("last_day"),
+        F.expr(
+            f"CAST(SUM(bytes) * 1000000 div {_COMPACT_TARGET} AS BIGINT)"
+        ).alias("fill_ppm"),
+    )
+
+
+compaction_bin_packing.__doc__ = compaction_bin_packing.__doc__.format(
+    row_bytes=_COMPACT_ROW_BYTES, target=_COMPACT_TARGET
+)
+
+
+# ---------------------------------------------------------------------------
+# Dictionary / RLE encodability audit (per-column, exact run counts)
+# ---------------------------------------------------------------------------
+
+_DICT_BAND = 4096  # keys per band for the distributed run count
+_DICT_RUN_LEN_BITS = 32  # frozen run-length field width in the RLE estimate
+
+
+def _dict_bits_case(n: str) -> str:
+    """Smallest bit width b with 2**b >= n, as a shared CASE ladder
+    (no log2 evaluated in either engine)."""
+    whens = " ".join(
+        f"WHEN {n} <= {1 << b} THEN {b}" for b in range(1, 41)
+    )
+    return f"CASE WHEN {n} <= 1 THEN 0 {whens} END"
+
+
+_DICT_COLS_SQL = {
+    "o_orderstatus": "o_orderstatus",
+    "o_orderpriority": "o_orderpriority",
+    "o_orderdate_str": "STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d')",
+    "o_custkey_str": "CAST(o_custkey AS VARCHAR)",
+}
+
+
+def _dict_audit_oracle() -> str:
+    bits = _dict_bits_case("n_distinct")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS col_name, o_orderkey AS k, {expr} AS val FROM orders"
+        for name, expr in _DICT_COLS_SQL.items()
+    )
+    return f"""
+    WITH cols AS ({unions}),
+    runs AS (
+      SELECT col_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+             CAST(SUM(LENGTH(val)) AS BIGINT) AS raw_bytes,
+             CAST(1 + SUM(CASE WHEN is_change THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_runs
+      FROM (
+        SELECT col_name, val,
+               val IS DISTINCT FROM
+                 LAG(val) OVER (PARTITION BY col_name ORDER BY k)
+               AND LAG(val) OVER (PARTITION BY col_name ORDER BY k)
+                 IS NOT NULL AS is_change
+        FROM cols
+      ) GROUP BY col_name
+    ),
+    uniq AS (
+      SELECT col_name, CAST(SUM(len) AS BIGINT) AS distinct_bytes
+      FROM (SELECT DISTINCT col_name, val, LENGTH(val) AS len FROM cols)
+      GROUP BY col_name
+    ),
+    sized AS (
+      SELECT runs.*, uniq.distinct_bytes, {bits} AS dict_bits
+      FROM runs JOIN uniq USING (col_name)
+    )
+    SELECT col_name, n_rows, n_distinct, dict_bits, n_runs, raw_bytes,
+           CAST(distinct_bytes + (n_rows * dict_bits + 7) // 8 AS BIGINT)
+             AS dict_bytes_est,
+           CAST(distinct_bytes
+                + (n_runs * (dict_bits + {_DICT_RUN_LEN_BITS}) + 7) // 8
+                AS BIGINT) AS rle_dict_bytes_est,
+           CAST((distinct_bytes + (n_rows * dict_bits + 7) // 8) * 1000000
+                // raw_bytes AS BIGINT) AS dict_ratio_ppm,
+           CAST((distinct_bytes
+                 + (n_runs * (dict_bits + {_DICT_RUN_LEN_BITS}) + 7) // 8)
+                * 1000000 // raw_bytes AS BIGINT) AS rle_ratio_ppm
+    FROM sized
+    """
+
+
+@register("dict_encoding_audit", oracle=_dict_audit_oracle())
+def dict_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column dictionary / RLE encodability audit over orders in
+    physical key order: EXACT distinct counts, value-change run
+    counts, and the resulting size estimates (dict = unique bytes +
+    ceil(n·bits/8); RLE-on-dict = unique bytes + ceil(runs·(bits+{rl})
+    /8)) — the numbers that decide whether a column should be
+    dictionary-encoded, run-length encoded, or left plain in the
+    staged parquet parts, and a direct measure of how much a
+    sort-by-key layout would compress (runs ≈ n for a shuffled
+    low-cardinality column vs runs ≈ distinct after sorting).
+
+    Scale posture: the run count NEVER globally sorts the table — rows
+    band by o_orderkey div {band}, each band counts its internal value
+    changes under a per-band window (parallel across bands), and band
+    boundaries contribute via one LAG over the bounded band-summary
+    table (the repo's banded-prefix pattern, ``sequence_gap_audit``).
+    Dict bit width via a shared CASE ladder — no log2 in either
+    engine. Cross-engine determinism: all-integer byte accounting,
+    null-safe change comparisons, string casts rendered identically.
+
+    Reference surface: staging.py gzip/size knobs motivate the audit
+    (SURVEY.md §2.5 physical-layout family)."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    date_str = F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd")
+    cols = None
+    specs = [
+        ("o_orderstatus", F.col("o_orderstatus")),
+        ("o_orderpriority", F.col("o_orderpriority")),
+        ("o_orderdate_str", date_str),
+        ("o_custkey_str", F.col("o_custkey").cast("string")),
+    ]
+    for name, expr in specs:
+        part = orders.select(
+            F.lit(name).alias("col_name"),
+            F.col("o_orderkey").alias("k"),
+            expr.alias("val"),
+        )
+        cols = part if cols is None else cols.unionAll(part)
+    banded = cols.withColumn("band", F.expr(f"k div {_DICT_BAND}"))
+    wband = Window.partitionBy("col_name", "band").orderBy("k")
+    marked = banded.withColumn(
+        "is_change",
+        (~F.col("val").eqNullSafe(F.lag("val").over(wband)))
+        & F.lag("val").over(wband).isNotNull(),
+    )
+    band_sum = marked.groupBy("col_name", "band").agg(
+        F.count(F.lit(1)).alias("b_rows"),
+        F.sum(F.when(F.col("is_change"), 1).otherwise(0)).alias("b_changes"),
+        F.expr("min_by(val, k)").alias("first_val"),
+        F.expr("max_by(val, k)").alias("last_val"),
+        F.sum(F.length("val")).alias("b_bytes"),
+    )
+    wchain = Window.partitionBy("col_name").orderBy("band")
+    chained = band_sum.withColumn(
+        "prev_last", F.lag("last_val").over(wchain)
+    ).withColumn(
+        "boundary_change",
+        F.when(
+            F.col("prev_last").isNotNull()
+            & (~F.col("prev_last").eqNullSafe(F.col("first_val"))),
+            1,
+        ).otherwise(0),
+    )
+    runs = chained.groupBy("col_name").agg(
+        F.sum("b_rows").cast("bigint").alias("n_rows"),
+        (1 + F.sum(F.col("b_changes") + F.col("boundary_change")))
+        .cast("bigint")
+        .alias("n_runs"),
+        F.sum("b_bytes").cast("bigint").alias("raw_bytes"),
+    )
+    uniq = (
+        cols.select("col_name", "val")
+        .distinct()
+        .groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum(F.length("val")).cast("bigint").alias("distinct_bytes"),
+        )
+    )
+    bits = _dict_bits_case("n_distinct")
+    sized = runs.join(uniq, "col_name").withColumn(
+        "dict_bits", F.expr(bits)
+    )
+    return sized.select(
+        "col_name",
+        "n_rows",
+        "n_distinct",
+        "dict_bits",
+        "n_runs",
+        "raw_bytes",
+        F.expr(
+            "CAST(distinct_bytes + (n_rows * dict_bits + 7) div 8 AS BIGINT)"
+        ).alias("dict_bytes_est"),
+        F.expr(
+            "CAST(distinct_bytes"
+            f" + (n_runs * (dict_bits + {_DICT_RUN_LEN_BITS}) + 7) div 8"
+            " AS BIGINT)"
+        ).alias("rle_dict_bytes_est"),
+        F.expr(
+            "CAST((distinct_bytes + (n_rows * dict_bits + 7) div 8) * 1000000"
+            " div raw_bytes AS BIGINT)"
+        ).alias("dict_ratio_ppm"),
+        F.expr(
+            "CAST((distinct_bytes"
+            f" + (n_runs * (dict_bits + {_DICT_RUN_LEN_BITS}) + 7) div 8)"
+            " * 1000000 div raw_bytes AS BIGINT)"
+        ).alias("rle_ratio_ppm"),
+    )
+
+
+dict_encoding_audit.__doc__ = dict_encoding_audit.__doc__.format(
+    rl=_DICT_RUN_LEN_BITS, band=_DICT_BAND
+)

@@ -2386,3 +2386,101 @@ def minhash_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_capped_groups",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the near-dup graph (Newman r over edge endpoints)
+# ---------------------------------------------------------------------------
+
+
+def _assortativity_oracle() -> str:
+    from rs_streamloader_spark.functions.moments import pearson_from_moments_sql
+
+    r_sql = pearson_from_moments_sql("m", "sx", "sy", "sxx", "syy", "sxy")
+    return f"""
+    WITH pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u),
+    ee AS (
+      SELECT du.d AS dx, dv.d AS dy
+      FROM edges e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(dx) AS HUGEINT) AS sx,
+             CAST(SUM(dy) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS syy,
+             CAST(SUM(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy
+      FROM ee
+    )
+    SELECT m AS n_directed_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           {r_sql} AS assortativity_r
+    FROM mom WHERE m > 1
+    """
+
+
+@register("graph_assortativity", oracle=_assortativity_oracle())
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the near-dup pair graph (Newman's r:
+    Pearson correlation of endpoint degrees over every directed edge)
+    — the one-number summary of whether near-dup hubs link to other
+    hubs (assortative templates gluing into super-clusters, r > 0) or
+    to leaves (star-shaped boilerplate radiating from one canonical
+    doc, r < 0). Read next to ``graph_degree_stats`` (the marginal
+    distribution) and ``pagerank_neardup`` (per-node centrality); a
+    strongly negative r is the advance warning that
+    ``dedup_cluster``'s components are stars whose removal decision
+    should key on the hub.
+
+    Scale posture: reuses the family's CACHED pair stage; degrees are
+    one keyed aggregate; the two degree joins key on doc ids of the
+    sparse edge list; the final Pearson is a 1-row exact-integer
+    moment reduction through the SHARED functions/moments policy
+    (fifth consumer). Cross-engine determinism: all moments in
+    HUGEINT/DECIMAL(38); the single double expression is the shared
+    rendering, rounded at 6dp, NULL-guarded for zero-variance
+    (regular) graphs.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 dedup
+    family)."""
+    from rs_streamloader_spark.functions.moments import pearson_from_moments
+
+    pairs = _jaccard_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    deg = edges.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
+    ee = (
+        edges.join(deg.withColumnRenamed("d", "dx"), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("d").alias("dy")), "v"
+        )
+        .select("dx", "dy")
+    )
+    d38 = "DECIMAL(38,0)"
+    mom = ee.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.expr(f"CAST(SUM(dx) AS {d38})").alias("sx"),
+        F.expr(f"CAST(SUM(dy) AS {d38})").alias("sy"),
+        F.expr(f"CAST(SUM(CAST(dx AS {d38}) * dx) AS {d38})").alias("sxx"),
+        F.expr(f"CAST(SUM(CAST(dy AS {d38}) * dy) AS {d38})").alias("syy"),
+        F.expr(f"CAST(SUM(CAST(dx AS {d38}) * dy) AS {d38})").alias("sxy"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    return (
+        mom.where("m > 1")
+        .join(F.broadcast(n_nodes))
+        .select(
+            F.col("m").alias("n_directed_edges"),
+            "n_nodes",
+            pearson_from_moments("m", "sx", "sy", "sxx", "syy", "sxy").alias(
+                "assortativity_r"
+            ),
+        )
+    )

@@ -1137,3 +1137,135 @@ def test_changepoint_finds_planted_shift(spark, monkeypatch):
     assert row["mean_right_mc"] == 30_00 * 1000
     assert row["delta_mc"] == 20_00 * 1000
     assert row["gain_ppm"] >= 999_000
+
+
+def test_assortativity_matches_numpy_on_star_graph(spark, monkeypatch):
+    """On the shipped corpus every near-dup edge joins equal-degree
+    nodes (isolated pairs/cliques) so r degenerates to 1.0 — pin the
+    formula on a constructed star + triangle graph where Newman's r is
+    genuinely NEGATIVE, recomputed from scratch in numpy over the
+    directed edge list."""
+    import rs_streamloader_spark.operators.dedup as D
+
+    # star: hub 1 -> 2,3,4,5 ; triangle: 6-7, 7-8, 6-8
+    und = [(1, 2), (1, 3), (1, 4), (1, 5), (6, 7), (7, 8), (6, 8)]
+    pairs = spark.createDataFrame(und, "doc_a bigint, doc_b bigint")
+    monkeypatch.setattr(D, "_jaccard_pairs", lambda _s, _d: pairs)
+    row = D.graph_assortativity(spark, "x").collect()[0]
+    edges = und + [(b, a) for a, b in und]
+    deg: dict[int, int] = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    dx = np.array([deg[a] for a, _ in edges], dtype=float)
+    dy = np.array([deg[b] for _, b in edges], dtype=float)
+    expect = np.corrcoef(dx, dy)[0, 1]
+    assert expect < 0  # star pulls the correlation negative
+    assert row["n_directed_edges"] == len(edges)
+    assert row["n_nodes"] == len(deg)
+    assert row["assortativity_r"] == pytest.approx(expect, abs=2e-6)
+
+
+def test_compaction_bin_packing_matches_bruteforce(spark, monkeypatch):
+    """Greedy prefix-sum packing recomputed in Python, including an
+    OVERSIZED day that must overflow its bin (fill_ppm > 1e6) rather
+    than split."""
+    import rs_streamloader_spark.operators.advanced as A
+
+    sizes = [10, 700, 300, 2100, 5, 5, 900, 250]  # rows per day
+    days = []
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    okey = 0
+    for i, nrows in enumerate(sizes):
+        d = (base + pd.Timedelta(days=i)).strftime("%Y-%m-%d")
+        days.append((d, nrows))
+        for _ in range(nrows):
+            rows.append((okey, d, 1.0))
+            okey += 1
+    pdf = pd.DataFrame(rows, columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(A, "load_tables", lambda _s, _d, *names: {"orders": sdf})
+    got = {
+        int(r["bin_id"]): r
+        for r in A.compaction_bin_packing(spark, "x").collect()
+    }
+    # brute force
+    target = A._COMPACT_TARGET
+    rb = A._COMPACT_ROW_BYTES
+    cum = 0
+    expect: dict[int, dict] = {}
+    for d, nrows in days:
+        b = nrows * rb
+        bin_id = cum // target
+        e = expect.setdefault(
+            bin_id, {"n_files": 0, "n_rows": 0, "bytes": 0, "first": d, "last": d}
+        )
+        e["n_files"] += 1
+        e["n_rows"] += nrows
+        e["bytes"] += b
+        e["last"] = d
+        cum += b
+    assert set(got) == set(expect)
+    for bin_id, e in expect.items():
+        r = got[bin_id]
+        assert r["n_files"] == e["n_files"]
+        assert r["n_rows"] == e["n_rows"]
+        assert r["total_bytes"] == e["bytes"]
+        assert r["first_day"] == e["first"] and r["last_day"] == e["last"]
+        assert r["fill_ppm"] == e["bytes"] * 1_000_000 // target
+    # the 2100-row day (268800 B > 262144) overflows its bin
+    assert any(r["fill_ppm"] > 1_000_000 for r in got.values())
+
+
+def test_dict_encoding_runs_match_bruteforce_across_bands(spark, monkeypatch):
+    """The banded distributed run count must equal a serial global
+    scan — exercised with a tiny band (7 keys) so every band boundary
+    matters, on a column mixing long runs, boundary-straddling runs,
+    and per-row alternation."""
+    import rs_streamloader_spark.operators.advanced as A
+
+    n = 100
+    status = []
+    for i in range(n):
+        if i < 30:
+            status.append("A")  # one long run across ~4 bands
+        elif i < 60:
+            status.append("B" if (i // 7) % 2 == 0 else "C")  # band-aligned flips
+        else:
+            status.append("D" if i % 2 == 0 else "E")  # alternation
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n),
+            "o_custkey": np.arange(n) % 9,
+            "o_orderstatus": status,
+            "o_orderpriority": ["1-URGENT"] * n,
+            "o_orderdate": pd.Timestamp("2024-01-01"),
+            "o_totalprice": 1.0,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(A, "load_tables", lambda _s, _d, *names: {"orders": sdf})
+    monkeypatch.setattr(A, "_DICT_BAND", 7)
+    got = {
+        r["col_name"]: r for r in A.dict_encoding_audit(spark, "x").collect()
+    }
+
+    def runs_of(vals):
+        r = 1
+        for a, b in zip(vals, vals[1:]):
+            if a != b:
+                r += 1
+        return r
+
+    row = got["o_orderstatus"]
+    assert row["n_rows"] == n
+    assert row["n_distinct"] == 5
+    assert row["dict_bits"] == 3
+    assert row["n_runs"] == runs_of(status)
+    assert row["raw_bytes"] == n  # 1-char values
+    # constant column: a single run, 0 dict bits
+    prio = got["o_orderpriority"]
+    assert prio["n_runs"] == 1 and prio["dict_bits"] == 0
+    # custkey cycles 0..8: every row is a change
+    ck = got["o_custkey_str"]
+    assert ck["n_runs"] == n and ck["n_distinct"] == 9

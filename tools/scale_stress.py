@@ -91,6 +91,9 @@ HEAVY_TAIL = [
     "ratio_metric_delta_method",
     "seasonal_decompose_additive",
     "changepoint_binseg",
+    "graph_assortativity",
+    "compaction_bin_packing",
+    "dict_encoding_audit",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
@@ -350,10 +353,13 @@ DATE_WINDOWED = {"q5_local_supplier_volume"}
 CONSTANT_OUTPUT = {
     # round-12: fixed grids (priorities/deciles/bins/sources/types/
     # nations/top-K cuts) — output must not grow with the corpus
-    # (bh: 5-row fixed family; ratio-dm: 2 variants; binseg: 1 row)
+    # (bh: 5-row fixed family; ratio-dm: 2 variants; binseg: 1 row;
+    # assortativity: 1 row; dict audit: 4 fixed columns)
     "bh_fdr_correction",
     "ratio_metric_delta_method",
     "changepoint_binseg",
+    "graph_assortativity",
+    "dict_encoding_audit",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
