@@ -2663,3 +2663,131 @@ def retrieval_mrr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("mrr_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JL / random-projection distortion audit (8-dim sketch vs exact cosine)
+# ---------------------------------------------------------------------------
+
+_JL_BIN_MICRO = 50_000  # distortion histogram bin width: 0.05 in micro-units
+
+
+def _jl_oracle() -> str:
+    p_exprs = []
+    for i, hp in enumerate(HYPERPLANES):
+        lit = "[" + ", ".join(repr(v) for v in hp) + "]"
+        p_exprs.append(
+            f"LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]),"
+            f" CAST({lit} AS DOUBLE[])) AS p{i}"
+        )
+    dotp = " + ".join(f"a.p{i} * b.p{i}" for i in range(N_HYPERPLANES))
+    norm = lambda al: " + ".join(
+        f"{al}.p{i} * {al}.p{i}" for i in range(N_HYPERPLANES)
+    )
+    return f"""
+    WITH pr AS (
+      SELECT vec_id, embedding,
+             SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm,
+             {', '.join(p_exprs)}
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT CAST(ROUND(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[]))
+                        / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS full_micro,
+             CAST(ROUND(({dotp}) / (SQRT({norm('a')}) * SQRT({norm('b')}))
+                        * 1000000) AS BIGINT) AS proj_micro
+      FROM pr a JOIN pr b ON b.vec_id = a.vec_id + 1
+      WHERE a.nrm > 0 AND b.nrm > 0
+        AND ({norm('a')}) > 0 AND ({norm('b')}) > 0
+    ),
+    d AS (SELECT proj_micro - full_micro AS d_micro FROM pairs)
+    SELECT CAST(d_micro // {_JL_BIN_MICRO} AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(d_micro) // COUNT(*) AS BIGINT) AS mean_signed_micro,
+           CAST(MIN(d_micro) AS BIGINT) AS min_micro,
+           CAST(MAX(d_micro) AS BIGINT) AS max_micro
+    FROM d GROUP BY 1
+    """
+
+
+@register("jl_projection_distortion_audit", oracle=_jl_oracle())
+def jl_projection_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit of the family's shared
+    8-hyperplane sketch: for a deterministic linear pair sample
+    (vec_id, vec_id+1), compare the EXACT 64-dim cosine against the
+    cosine of the 8-dim random projections and histogram the signed
+    error (0.05-wide bins) — the measurement that justifies (or
+    indicts) every downstream consumer of those projections
+    (``ann_lsh_bucketed`` buckets, near-dup bands, IVF cells): an 8×
+    compression that keeps |distortion| inside ±0.3 for most pairs is
+    why sign-bucket recall works at all, and the bin tails show
+    exactly how often it lies.
+
+    Scale posture: the pair sample is an equality self-join on
+    vec_id+1 (one shuffle, exactly n−1 pairs — NEVER all-pairs);
+    projections come from the family's CACHED ``projs`` stage so the
+    64-dim folds are not recomputed; the histogram is a bounded keyed
+    aggregate (|bins| ≤ 81 by construction of cosine ∈ [−1,1]).
+    Cross-engine determinism: both cosines round to integer
+    MICRO-units before the subtraction, bins via truncating division
+    (identical both engines, documented trunc-toward-zero), all
+    outputs integer.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5
+    similarity family)."""
+    t = _emb_norm_cached(spark, sf_dir)
+    proj_dot = (
+        "aggregate(zip_with(projs_a, projs_b, (x, y) -> x * y),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    proj_sq = lambda c: (
+        f"aggregate(zip_with({c}, {c}, (x, y) -> x * y),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    a = t.select(
+        F.col("vec_id").alias("ka"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+        F.col("projs").alias("projs_a"),
+    )
+    b = t.select(
+        (F.col("vec_id") - 1).alias("ka"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+        F.col("projs").alias("projs_b"),
+    )
+    pairs = (
+        a.join(b, "ka")
+        .where(
+            (F.col("norm_a") > 0)
+            & (F.col("norm_b") > 0)
+            & (F.expr(proj_sq("projs_a")) > 0)
+            & (F.expr(proj_sq("projs_b")) > 0)
+        )
+        .select(
+            F.expr(
+                "CAST(ROUND("
+                + "aggregate(zip_with(emb_a, emb_b, (x, y) ->"
+                " CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
+                + " / (norm_a * norm_b) * 1000000) AS BIGINT)"
+            ).alias("full_micro"),
+            F.expr(
+                f"CAST(ROUND(({proj_dot})"
+                f" / (SQRT({proj_sq('projs_a')}) * SQRT({proj_sq('projs_b')}))"
+                " * 1000000) AS BIGINT)"
+            ).alias("proj_micro"),
+        )
+    )
+    d = pairs.select((F.col("proj_micro") - F.col("full_micro")).alias("d_micro"))
+    return d.groupBy(
+        F.expr(f"CAST(d_micro div {_JL_BIN_MICRO} AS BIGINT)").alias("bin_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("CAST(SUM(d_micro) div COUNT(*) AS BIGINT)").alias(
+            "mean_signed_micro"
+        ),
+        F.min("d_micro").cast("bigint").alias("min_micro"),
+        F.max("d_micro").cast("bigint").alias("max_micro"),
+    )

@@ -94,6 +94,7 @@ HEAVY_TAIL = [
     "graph_assortativity",
     "compaction_bin_packing",
     "dict_encoding_audit",
+    "jl_projection_distortion_audit",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
@@ -354,12 +355,14 @@ CONSTANT_OUTPUT = {
     # round-12: fixed grids (priorities/deciles/bins/sources/types/
     # nations/top-K cuts) — output must not grow with the corpus
     # (bh: 5-row fixed family; ratio-dm: 2 variants; binseg: 1 row;
-    # assortativity: 1 row; dict audit: 4 fixed columns)
+    # assortativity: 1 row; dict audit: 4 fixed columns; jl audit:
+    # <= 81 bins by construction of cosine in [-1, 1])
     "bh_fdr_correction",
     "ratio_metric_delta_method",
     "changepoint_binseg",
     "graph_assortativity",
     "dict_encoding_audit",
+    "jl_projection_distortion_audit",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
