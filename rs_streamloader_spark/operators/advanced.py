@@ -1758,20 +1758,28 @@ def dict_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §2.5 physical-layout family)."""
     orders = load_tables(spark, sf_dir, "orders")["orders"]
     date_str = F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd")
-    cols = None
     specs = [
         ("o_orderstatus", F.col("o_orderstatus")),
         ("o_orderpriority", F.col("o_orderpriority")),
         ("o_orderdate_str", date_str),
         ("o_custkey_str", F.col("o_custkey").cast("string")),
     ]
-    for name, expr in specs:
-        part = orders.select(
-            F.lit(name).alias("col_name"),
-            F.col("o_orderkey").alias("k"),
-            expr.alias("val"),
-        )
-        cols = part if cols is None else cols.unionAll(part)
+    # ONE orders scan fanning out to 4 (col_name, val) rows per order
+    # (a union of per-column selects would scan the table 4x), cached
+    # because both the run count and the distinct rollup consume it
+    cols = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("col_name"), expr.alias("val")
+                    )
+                    for name, expr in specs
+                ]
+            )
+        ).alias("cv"),
+    ).select("k", "cv.col_name", "cv.val").cache()
     banded = cols.withColumn("band", F.expr(f"k div {_DICT_BAND}"))
     wband = Window.partitionBy("col_name", "band").orderBy("k")
     marked = banded.withColumn(

@@ -8166,6 +8166,9 @@ def bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("s"),
         )
+        # the 5-row family feeds both the totals and the z rows —
+        # cache it so events is scanned once, not twice
+        .cache()
     )
     tot = e.agg(F.sum("n").alias("nn"), F.sum("s").alias("ss"))
     z = (
@@ -8407,9 +8410,12 @@ def seasonal_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("is_full") == 1, F.expr("win_sum * 1000 div 7")
         ).alias("trend_mc"),
     )
+    # det feeds three consumers (seasonal means, the adjustment, and
+    # the final projection) — cache the bounded (~calendar-length)
+    # daily table so the orders scan + windows run once, not 3x
     det = w.select(
         "*", (F.col("rev_c") * 1000 - F.col("trend_mc")).alias("det_mc")
-    )
+    ).cache()
     season = (
         det.where(F.col("det_mc").isNotNull())
         .groupBy("dow")

