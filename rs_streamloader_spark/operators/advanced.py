@@ -1822,7 +1822,11 @@ def dict_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bits = _dict_bits_case("n_distinct")
-    sized = runs.join(uniq, "col_name").withColumn(
+    # both sides reduce to one row per audited column (4 rows) before
+    # this join — broadcast EXPLICITLY: the planner's pre-execution
+    # estimate for the distinct rollup is corpus-sized, so AQE kept
+    # the broadcast only at base scale (10x stress flipped it)
+    sized = runs.join(F.broadcast(uniq), "col_name").withColumn(
         "dict_bits", F.expr(bits)
     )
     return sized.select(
