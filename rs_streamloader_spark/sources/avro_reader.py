@@ -10,16 +10,23 @@ the one bounded driver read is a ≤256 KiB header prefix of a single
 file for schema inference, and it is skipped entirely when the caller
 passes an explicit schema.
 
-Scale posture: the parallel grain is the FILE (one binaryFile row per
-part), which matches how COPY stages are laid out — many
-``max_records_per_file``-bounded parts, not one monolith. spark-avro
-additionally splits WITHIN a file at sync markers; this fallback does
-not, so a single giant avro file would decode on one core — staged
-parts never are (staging.py fragments them), and a user-supplied file
-over ``_MONOLITH_WARN_BYTES`` triggers a loud log warning naming it
-(VERDICT r11 item 4). When the spark-avro jar IS on the classpath the
-caller (copy_reader) uses it instead; this module is the
-degraded-gracefully path, not a replacement.
+Scale posture: for LOCAL files (the staged-part case in this harness)
+the parallel grain is the SYNC-MARKER SPLIT — each file is tiled into
+``_SPLIT_BYTES`` nominal byte ranges and every task scans forward from
+its range start to the first 16-byte sync marker, then decodes exactly
+the blocks whose preceding marker starts inside its range (the Hadoop
+FileInputFormat ownership convention, so the tiling is exact: no block
+is decoded twice or dropped). A user-supplied monolith therefore
+decodes on ceil(size/_SPLIT_BYTES) cores, closing the r11 one-core
+caveat. The theoretical false-positive of data bytes equal to the sync
+marker is the same one every sync-scanning reader accepts (~n·2⁻¹²⁸)
+and surfaces as a loud decode error, never silent corruption. For
+non-local schemes (s3a/hdfs — executors cannot seek them from Python
+here) the grain stays the FILE via ``binaryFile``, and an oversized
+file triggers the loud warning naming it (VERDICT r11 item 4). When
+the spark-avro jar IS on the classpath the caller (copy_reader) uses
+it instead; this module is the degraded-gracefully path, not a
+replacement.
 
 Decoder coverage (the flat-row COPY surface): all primitives, records,
 enums, fixed, arrays, maps, ``[null, T]`` nullable unions, and the
@@ -331,6 +338,76 @@ def decode_container(raw: bytes, expected_schema: dict | None = None) -> Iterato
 
 
 _MONOLITH_WARN_BYTES = 128 * 1024 * 1024
+#: nominal split size for within-file sync-marker splitting (local
+#: files): one decode task per _SPLIT_BYTES of file, Hadoop-style
+_SPLIT_BYTES = 32 * 1024 * 1024
+
+
+def _decode_range(
+    fs_path: str,
+    start: int,
+    end: int,
+    expected_schema: dict | None = None,
+) -> Iterator[list[dict]]:
+    """Yield record lists for every block OWNED by byte range
+    [start, end) of one local OCF file. Ownership = the block's
+    preceding 16-byte sync marker STARTS inside the range, so nominal
+    ranges tile a file exactly (each block has one preceding marker,
+    each marker start lies in exactly one range). A block may extend
+    past ``end`` — the owner keeps reading; the next range's scan
+    skips to the first marker at or after its own start. Range 0 finds
+    the header's trailing sync the same way (scan from byte 0)."""
+    with open(fs_path, "rb") as fh:
+        fh.seek(0, 2)
+        flen = fh.tell()
+        if start >= flen:
+            return
+        # header parse (bounded prefix): schema agreement + codec + sync
+        fh.seek(0)
+        head = _Reader(fh.read(min(_HEADER_PROBE_BYTES, flen)))
+        schema, codec, sync = _read_header(head)
+        if expected_schema is not None and schema != expected_schema:
+            raise ValueError(
+                "avro writer schema differs between staged parts: "
+                f"{json.dumps(schema)[:200]} != "
+                f"{json.dumps(expected_schema)[:200]}"
+            )
+        dec, _ = compile_schema(schema)
+        # scan [start, end+15] for the first owned marker (a marker
+        # starting at end-1 extends past end — the window covers it)
+        fh.seek(start)
+        window = fh.read(max(end - start, 0) + 16)
+        idx = window.find(sync)
+        if idx < 0 or start + idx >= end:
+            return  # no block starts in this range
+        q = start + idx  # marker start; block begins at q + 16
+        while q < end:
+            fh.seek(q + 16)
+            head_bytes = fh.read(20)  # two varints are <= 20 bytes
+            if not head_bytes:
+                return  # file-trailing sync: no block follows
+            r = _Reader(head_bytes)
+            n_records = r.long()
+            block_len = r.long()
+            fh.seek(q + 16 + r.pos)
+            block = _decompress(codec, fh.read(block_len))
+            next_q = q + 16 + r.pos + block_len
+            fh.seek(next_q)
+            if fh.read(16) != sync:
+                raise ValueError(
+                    "avro block sync marker mismatch (corrupt file or a"
+                    " data false-positive of the split scan)"
+                )
+            br = _Reader(block)
+            out = []
+            for _ in range(n_records):
+                out.append(dec(br))
+                if len(out) >= _BATCH_RECORDS:
+                    yield out
+                    out = []
+            if out:
+                yield out
+            q = next_q
 
 
 def _list_parts(spark: SparkSession, path: str) -> list[tuple[str, int]]:
@@ -364,9 +441,18 @@ def _parse_header_checked(head: bytes, path: str) -> tuple[dict, str]:
     return schema, codec
 
 
+def _parts_are_local(parts: list[tuple[str, int]]) -> bool:
+    """True when every part is a plain/file-scheme path the Python
+    executors can open and seek directly (the precondition for
+    within-file sync-marker splitting)."""
+    from urllib.parse import urlparse
+
+    return all(urlparse(p).scheme in ("", "file") for p, _ in parts)
+
+
 def _headers_prepass(
     spark: SparkSession, path: str
-) -> tuple[dict, str, list[tuple[str, int]]]:
+) -> tuple[dict, str, list[tuple[str, int]], bool]:
     """Validate EVERY part's header up front when the driver can reach
     the files (local paths — the staged-part case in this harness):
     parse each ≤256 KiB header, require one writer schema and one
@@ -386,27 +472,36 @@ def _headers_prepass(
         raise LoaderError(
             AVRO_UNSUPPORTED, f"no avro files at {path} (empty listing)"
         )
+    local = _parts_are_local(parts)
     oversized = [(p, ln) for p, ln in parts if ln > _MONOLITH_WARN_BYTES]
     if oversized:
         worst = max(oversized, key=lambda t: t[1])
-        _LOG.warning(
-            "avro fallback: %d input file(s) exceed %d MiB (largest: %s,"
-            " %.0f MiB). The stdlib decoder parallelizes per FILE and does"
-            " not split within a file at sync markers, so each oversized"
-            " file decodes on ONE core. Staged parts are fragmented by"
-            " max_records_per_file and never hit this; re-fragment"
-            " user-supplied monoliths (or install spark-avro, which splits"
-            " within files) before loading at scale.",
-            len(oversized), _MONOLITH_WARN_BYTES >> 20,
-            worst[0], worst[1] / (1024 * 1024),
-        )
+        if local:
+            _LOG.info(
+                "avro fallback: %d input file(s) exceed %d MiB (largest:"
+                " %s, %.0f MiB) — decoding each in %d MiB sync-marker"
+                " splits (largest file -> %d parallel tasks).",
+                len(oversized), _MONOLITH_WARN_BYTES >> 20,
+                worst[0], worst[1] / (1024 * 1024), _SPLIT_BYTES >> 20,
+                -(-worst[1] // _SPLIT_BYTES),
+            )
+        else:
+            _LOG.warning(
+                "avro fallback: %d input file(s) exceed %d MiB (largest:"
+                " %s, %.0f MiB). On non-local storage the stdlib decoder"
+                " parallelizes per FILE (executors cannot seek %s from"
+                " Python), so each oversized file decodes on ONE core."
+                " Staged parts are fragmented by max_records_per_file and"
+                " never hit this; re-fragment user-supplied monoliths (or"
+                " install spark-avro, which splits within files) before"
+                " loading at scale.",
+                len(oversized), _MONOLITH_WARN_BYTES >> 20,
+                worst[0], worst[1] / (1024 * 1024), worst[0].split(":")[0],
+            )
 
     first_schema: dict | None = None
     first_codec: str | None = None
     first_path = parts[0][0]
-    local = all(
-        urlparse(p).scheme in ("", "file") for p, _ in parts
-    )
     if not local:
         row = (
             spark.read.format("binaryFile")
@@ -418,7 +513,7 @@ def _headers_prepass(
             bytes(row[0]), first_path
         )
         _decompress(first_codec, b"")  # clean early codec gate
-        return first_schema, first_codec, parts
+        return first_schema, first_codec, parts, local
 
     for p, _ln in parts:
         fs_path = urlparse(p).path or p
@@ -439,7 +534,7 @@ def _headers_prepass(
                 "avro writer schema differs between parts: "
                 f"{first_path} != {p}",
             )
-    return first_schema, first_codec, parts
+    return first_schema, first_codec, parts, local
 
 
 def read_avro_fallback(
@@ -450,6 +545,11 @@ def read_avro_fallback(
     columnMap alignment happens downstream in the loader, same as the
     other formats).
 
+    Local files decode in ``_SPLIT_BYTES`` sync-marker splits (one
+    task per split — a monolith parallelizes across cores instead of
+    pinning one); non-local files keep the per-file ``binaryFile``
+    grain (executors cannot seek those schemes from Python here).
+
     The executor boundary is ``mapInArrow`` with explicitly-typed
     ``pyarrow`` arrays — NOT ``mapInPandas`` — so IEEE NaN float/double
     payloads survive as NaN instead of collapsing into the pandas null
@@ -457,47 +557,96 @@ def read_avro_fallback(
     data depending on whether the spark-avro jar is present)."""
     import pyarrow as pa
 
-    writer_schema, _codec, _parts = _headers_prepass(spark, path)
+    writer_schema, _codec, parts, local = _headers_prepass(spark, path)
     _, spark_type = compile_schema(writer_schema)
     cols = [f.name for f in spark_type.fields]
     from pyspark.sql.pandas.types import to_arrow_schema
 
     arrow_schema = to_arrow_schema(spark_type)
 
-    def decode(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
-        for batch in batches:
-            paths = batch.column("path").to_pylist()
-            contents = batch.column("content")
-            for fpath, raw in zip(paths, contents):
-                try:
-                    for records in decode_container(
-                        raw.as_py(), writer_schema
-                    ):
-                        yield pa.RecordBatch.from_arrays(
-                            [
-                                pa.array(
-                                    [rec[c] for rec in records],
-                                    type=arrow_schema.field(i).type,
-                                )
-                                for i, c in enumerate(cols)
-                            ],
-                            schema=arrow_schema,
-                        )
-                except Exception as exc:
-                    # executor-side failures cannot raise LoaderError
-                    # across the Py4J boundary — make the wrapped
-                    # message carry the gate code and the FILE
-                    raise ValueError(
-                        f"{AVRO_UNSUPPORTED}: avro decode failed for"
-                        f" {fpath}: {exc}"
-                    ) from exc
+    def _make_batch(records: list[dict]) -> "pa.RecordBatch":
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(
+                    [rec[c] for rec in records],
+                    type=arrow_schema.field(i).type,
+                )
+                for i, c in enumerate(cols)
+            ],
+            schema=arrow_schema,
+        )
 
-    df = (
-        spark.read.format("binaryFile")
-        .load(path)
-        .select("path", "content")
-        .mapInArrow(decode, schema=spark_type)
-    )
+    if local:
+        from urllib.parse import urlparse
+
+        tasks = []
+        for p, ln in parts:
+            fs_path = urlparse(p).path or p
+            n_splits = max(1, -(-ln // _SPLIT_BYTES))
+            for i in range(n_splits):
+                tasks.append(
+                    (
+                        fs_path,
+                        i * _SPLIT_BYTES,
+                        min((i + 1) * _SPLIT_BYTES, ln),
+                    )
+                )
+
+        def decode_ranges(
+            batches: "Iterator[pa.RecordBatch]",
+        ) -> "Iterator[pa.RecordBatch]":
+            for batch in batches:
+                rows = zip(
+                    batch.column("path").to_pylist(),
+                    batch.column("split_start").to_pylist(),
+                    batch.column("split_end").to_pylist(),
+                )
+                for fpath, s, e in rows:
+                    try:
+                        for records in _decode_range(
+                            fpath, s, e, writer_schema
+                        ):
+                            yield _make_batch(records)
+                    except Exception as exc:
+                        # executor-side failures cannot raise
+                        # LoaderError across the Py4J boundary — make
+                        # the wrapped message carry the gate code, the
+                        # FILE, and the split
+                        raise ValueError(
+                            f"{AVRO_UNSUPPORTED}: avro decode failed"
+                            f" for {fpath}[{s}:{e}]: {exc}"
+                        ) from exc
+
+        task_df = spark.createDataFrame(
+            tasks, "path string, split_start bigint, split_end bigint"
+        ).repartition(len(tasks))
+        df = task_df.mapInArrow(decode_ranges, schema=spark_type)
+    else:
+
+        def decode(
+            batches: "Iterator[pa.RecordBatch]",
+        ) -> "Iterator[pa.RecordBatch]":
+            for batch in batches:
+                paths = batch.column("path").to_pylist()
+                contents = batch.column("content")
+                for fpath, raw in zip(paths, contents):
+                    try:
+                        for records in decode_container(
+                            raw.as_py(), writer_schema
+                        ):
+                            yield _make_batch(records)
+                    except Exception as exc:
+                        raise ValueError(
+                            f"{AVRO_UNSUPPORTED}: avro decode failed for"
+                            f" {fpath}: {exc}"
+                        ) from exc
+
+        df = (
+            spark.read.format("binaryFile")
+            .load(path)
+            .select("path", "content")
+            .mapInArrow(decode, schema=spark_type)
+        )
     if schema is not None:
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)

@@ -321,16 +321,46 @@ class TestR12Gates:
         assert exc.value.code == "AVRO_UNSUPPORTED"
         assert "b.avro" in str(exc.value) and "snappy" in str(exc.value)
 
-    def test_monolith_file_warns_loudly(self, spark, tmp_path, caplog, monkeypatch):
-        """VERDICT r11 item 4: a user-supplied giant OCF decodes on one
-        core (no within-file sync split) — that must be LOUD, not a
-        silent cliff. Threshold patched down so the test file stays
+    def test_monolith_file_splits_into_parallel_tasks(
+        self, spark, tmp_path, caplog, monkeypatch
+    ):
+        """VERDICT r11 item 4, upgraded r12: a local giant OCF no
+        longer decodes on one core — it is tiled into sync-marker
+        splits (one task each), logged at INFO, and decodes
+        completely. Thresholds patched down so the test file stays
         small."""
         import logging as _logging
 
         import rs_streamloader_spark.sources.avro_reader as ar
 
         monkeypatch.setattr(ar, "_MONOLITH_WARN_BYTES", 64)
+        monkeypatch.setattr(ar, "_SPLIT_BYTES", 64)
+        (tmp_path / "big.avro").write_bytes(
+            write_container(FLAT, ROWS, records_per_block=1)
+        )
+        with caplog.at_level(_logging.INFO, logger=ar.__name__):
+            df = read_avro_fallback(spark, str(tmp_path))
+            got = sorted(r["id"] for r in df.collect())
+        assert got == sorted(r["id"] for r in ROWS)
+        assert df.rdd.getNumPartitions() > 1  # genuinely parallel
+        assert any(
+            "big.avro" in r.getMessage() and "splits" in r.getMessage()
+            for r in caplog.records
+        ), [r.getMessage() for r in caplog.records]
+
+    def test_nonlocal_monolith_still_warns_one_core(
+        self, spark, tmp_path, caplog, monkeypatch
+    ):
+        """When the parts are NOT seekable from Python (s3a/hdfs), the
+        per-file grain remains and the oversized warning must stay
+        loud. Locality detection is forced off to exercise that path
+        end-to-end (binaryFile probe + whole-file decode included)."""
+        import logging as _logging
+
+        import rs_streamloader_spark.sources.avro_reader as ar
+
+        monkeypatch.setattr(ar, "_MONOLITH_WARN_BYTES", 64)
+        monkeypatch.setattr(ar, "_parts_are_local", lambda parts: False)
         (tmp_path / "big.avro").write_bytes(write_container(FLAT, ROWS))
         with caplog.at_level(_logging.WARNING, logger=ar.__name__):
             df = read_avro_fallback(spark, str(tmp_path))
@@ -339,6 +369,52 @@ class TestR12Gates:
             "big.avro" in r.getMessage() and "ONE core" in r.getMessage()
             for r in caplog.records
         ), [r.getMessage() for r in caplog.records]
+
+    def test_split_tiling_exact_at_every_split_size(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The sync-scan ownership tiling must be EXACT — no block
+        decoded twice, none dropped — at split sizes smaller than a
+        block, straddling blocks, and larger than the file; including
+        a deflate-coded file and a multi-file mix."""
+        import rs_streamloader_spark.sources.avro_reader as ar
+
+        (tmp_path / "a.avro").write_bytes(
+            write_container(FLAT, ROWS, records_per_block=2)
+        )
+        more = [
+            {
+                "id": 100 + i,
+                "name": f"extra{i}",
+                "score": float(i),
+                "ok": i % 2 == 0,
+                "note": None if i % 3 == 0 else f"n{i}",
+            }
+            for i in range(7)
+        ]
+        (tmp_path / "b.avro").write_bytes(
+            write_container(FLAT, more, codec="deflate", records_per_block=3)
+        )
+        expect = sorted(r["id"] for r in ROWS + more)
+        for split in (17, 64, 200, 10**9):
+            monkeypatch.setattr(ar, "_SPLIT_BYTES", split)
+            got = sorted(
+                r["id"]
+                for r in read_avro_fallback(spark, str(tmp_path)).collect()
+            )
+            assert got == expect, f"split={split}: {got}"
+
+    def test_split_corruption_still_detected(self, spark, tmp_path, monkeypatch):
+        """A flipped byte inside a block body must still fail loudly
+        (sync mismatch / decode error) through the split reader."""
+        import rs_streamloader_spark.sources.avro_reader as ar
+
+        monkeypatch.setattr(ar, "_SPLIT_BYTES", 64)
+        raw = bytearray(write_container(FLAT, ROWS, records_per_block=1))
+        raw[-8] ^= 0xFF  # inside the final 16-byte sync marker
+        (tmp_path / "bad.avro").write_bytes(bytes(raw))
+        with pytest.raises(Exception, match="AVRO_UNSUPPORTED|decode failed"):
+            read_avro_fallback(spark, str(tmp_path)).collect()
 
     def test_small_files_do_not_warn(self, spark, tmp_path, caplog):
         import logging as _logging
