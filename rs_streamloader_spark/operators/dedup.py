@@ -2484,3 +2484,105 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-1 unigram overlap over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+_ROUGE_TOK_SQL = """
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> '' GROUP BY doc_id, tok
+"""
+
+
+@register(
+    "rouge_overlap_neardup",
+    oracle=f"""
+    WITH pairs AS ({_JACCARD_ORACLE}),
+    tok AS ({_ROUGE_TOK_SQL}),
+    lens AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS len FROM tok GROUP BY 1),
+    ov AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(SUM(LEAST(ta.cnt, tb.cnt)) AS BIGINT) AS overlap
+      FROM pairs p
+      JOIN tok ta ON ta.doc_id = p.doc_a
+      JOIN tok tb ON tb.doc_id = p.doc_b AND tb.tok = ta.tok
+      GROUP BY 1, 2
+    )
+    SELECT ov.doc_a, ov.doc_b, overlap, la.len AS len_a, lb.len AS len_b,
+           CAST(overlap * 1000000 // la.len AS BIGINT) AS precision_ppm,
+           CAST(overlap * 1000000 // lb.len AS BIGINT) AS recall_ppm,
+           CAST(overlap * 2000000 // (la.len + lb.len) AS BIGINT) AS f1_ppm
+    FROM ov
+    JOIN lens la ON la.doc_id = ov.doc_a
+    JOIN lens lb ON lb.doc_id = ov.doc_b
+    """,
+)
+def rouge_overlap_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 multiset unigram overlap (precision / recall / F1, ppm)
+    for every near-dup candidate pair: the summarization-eval metric
+    repurposed as a dedup second opinion — a pair with high trigram
+    Jaccard but low unigram F1 is a template (same scaffolding,
+    different content words), while high-F1 pairs are true rewrites.
+    Read next to ``dedup_ngram_jaccard`` (the pair source) and
+    ``dedup_containment`` (directional subset overlap).
+
+    Scale posture: rides the family's CACHED pair stage (sparse edge
+    list); token counts are one combinable per-(doc, token) aggregate;
+    the two overlap joins key on (doc, token) with the pair side
+    hinted shuffle_hash (it grows with the corpus — broadcasting it is
+    the r10 flip class); output is one row per candidate pair (≤ the
+    pair stage's own bounded size). Cross-engine determinism: pure
+    integer token counts and ppm truncating division; multiset overlap
+    via LEAST of exact counts.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 dedup
+    family)."""
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    lens = tok.groupBy("doc_id").agg(F.sum("cnt").cast("bigint").alias("len"))
+    ta = tok.select(
+        F.col("doc_id").alias("doc_a"), "tok", F.col("cnt").alias("cnt_a")
+    )
+    tb = tok.select(
+        F.col("doc_id").alias("doc_b"), "tok", F.col("cnt").alias("cnt_b")
+    )
+    ov = (
+        pairs.hint("shuffle_hash")
+        .join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.least("cnt_a", "cnt_b")).cast("bigint").alias("overlap")
+        )
+    )
+    la = lens.select(F.col("doc_id").alias("doc_a"), F.col("len").alias("len_a"))
+    lb = lens.select(F.col("doc_id").alias("doc_b"), F.col("len").alias("len_b"))
+    return (
+        ov.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "overlap",
+            "len_a",
+            "len_b",
+            F.expr("CAST(overlap * 1000000 div len_a AS BIGINT)").alias(
+                "precision_ppm"
+            ),
+            F.expr("CAST(overlap * 1000000 div len_b AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+            F.expr(
+                "CAST(overlap * 2000000 div (len_a + len_b) AS BIGINT)"
+            ).alias("f1_ppm"),
+        )
+    )

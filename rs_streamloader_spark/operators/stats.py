@@ -8592,3 +8592,205 @@ def changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(objective * 1000000 div (n * {tssd}) AS BIGINT)"
         ).alias("gain_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality indices of customer revenue (T and L, nano-unit exact)
+# ---------------------------------------------------------------------------
+
+_THEIL_RATIO = "((CAST(x AS DOUBLE) * n) / CAST(s AS DOUBLE))"
+_THEIL_T_TERM = (
+    f"CAST(ROUND({_THEIL_RATIO} * LN({_THEIL_RATIO}) * 1000000000)"
+    " AS BIGINT)"
+)
+_THEIL_LN_TERM = f"CAST(ROUND(LN({_THEIL_RATIO}) * 1000000000) AS BIGINT)"
+
+
+@register(
+    "theil_index_revenue",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS s
+      FROM cust WHERE x > 0
+    ),
+    terms AS (
+      SELECT {_THEIL_T_TERM} AS t_nano, {_THEIL_LN_TERM} AS ln_nano
+      FROM cust, tot WHERE x > 0
+    )
+    SELECT (SELECT n FROM tot) AS n_customers,
+           (SELECT CAST(s AS BIGINT) FROM tot) AS total_cents,
+           CAST(SUM(t_nano) // (SELECT n FROM tot) AS BIGINT) AS theil_t_nano,
+           CAST(-SUM(ln_nano) // (SELECT n FROM tot) AS BIGINT)
+             AS theil_l_nano,
+           ROUND(SUM(t_nano) / ((SELECT n FROM tot) * 1000000000.0), 6)
+             AS theil_t,
+           ROUND(-SUM(ln_nano) / ((SELECT n FROM tot) * 1000000000.0), 6)
+             AS theil_l
+    FROM terms
+    """,
+)
+def theil_index_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil inequality indices of per-customer revenue: T =
+    (1/n)Σ(x/μ)ln(x/μ) (top-sensitive) and the mean log deviation L =
+    (1/n)Σln(μ/x) (bottom-sensitive) — the information-theoretic
+    complements to ``gini_revenue_concentration`` (reading T vs L says
+    WHERE the concentration lives, and unlike Gini, Theil decomposes
+    additively across subgroups).
+
+    Scale posture: one combinable per-customer aggregate, a broadcast
+    1-row total, then one map-side term per customer folding into a
+    1-row sum — no sort, no window. Cross-engine determinism: the one
+    LN per row is a single shared expression string with identical
+    operand order, nano-rounded PER TERM before the sum (the
+    ``source_token_entropy`` policy, immune to float sum-order
+    divergence); index division truncates identically.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("x")
+    ).where("x > 0")
+    tot = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("CAST(SUM(x) AS DECIMAL(38,0))").alias("s"),
+    )
+    terms = cust.join(F.broadcast(tot)).select(
+        F.expr(_THEIL_T_TERM).alias("t_nano"),
+        F.expr(_THEIL_LN_TERM).alias("ln_nano"),
+        "n",
+        "s",
+    )
+    return terms.groupBy("n", "s").agg(
+        F.expr("CAST(SUM(t_nano) div n AS BIGINT)").alias("theil_t_nano"),
+        F.expr("CAST(-SUM(ln_nano) div n AS BIGINT)").alias("theil_l_nano"),
+        F.expr("ROUND(SUM(t_nano) / (n * 1e9), 6)").alias("theil_t"),
+        F.expr("ROUND(-SUM(ln_nano) / (n * 1e9), 6)").alias("theil_l"),
+    ).select(
+        F.col("n").alias("n_customers"),
+        F.col("s").cast("bigint").alias("total_cents"),
+        "theil_t_nano",
+        "theil_l_nano",
+        "theil_t",
+        "theil_l",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes shrinkage of per-nation proportions (MoM Beta prior)
+# ---------------------------------------------------------------------------
+
+_EB_MU = "(CAST(sp AS DOUBLE) / (g * 1000000.0))"
+_EB_V = (
+    "((CAST(spp AS DOUBLE) / 1e12 - CAST(sp AS DOUBLE) * sp / (g * 1e12))"
+    " / (g - 1))"
+)
+_EB_K = f"({_EB_MU} * (1.0 - {_EB_MU}) / {_EB_V} - 1.0)"
+
+
+@register(
+    "empirical_bayes_shrinkage",
+    oracle=f"""
+    WITH grp AS (
+      SELECT n.n_name AS nation,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_f
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT *, CAST(n_f * 1000000 // n_orders AS BIGINT) AS p_raw_ppm
+      FROM grp
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS g,
+             CAST(SUM(p_raw_ppm) AS HUGEINT) AS sp,
+             CAST(SUM(CAST(p_raw_ppm AS HUGEINT) * p_raw_ppm) AS HUGEINT)
+               AS spp
+      FROM p
+    )
+    SELECT nation, n_orders, n_f, p_raw_ppm,
+           ROUND({_EB_MU}, 6) AS prior_mean,
+           CASE WHEN g > 1 AND {_EB_V} > 0 AND {_EB_K} > 0
+                THEN ROUND({_EB_K}, 4) END AS prior_strength_k,
+           CASE WHEN g > 1 AND {_EB_V} > 0 AND {_EB_K} > 0
+                THEN ROUND(({_EB_MU} * {_EB_K} + n_f)
+                           / ({_EB_K} + n_orders), 6) END AS p_shrunk
+    FROM p, mom
+    """,
+)
+def empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-nation finished-order shares
+    toward a method-of-moments Beta prior: small nations with extreme
+    raw shares get pulled toward the grand mean in proportion to the
+    prior strength K = μ(1−μ)/v − 1 (the James-Stein-style estimator
+    every leaderboard/segment report should use instead of raw
+    proportions — a 10-order nation at 100% would otherwise outrank
+    every large nation).
+
+    Scale posture: one fact aggregation keyed by nation (dims
+    broadcast), then the prior is fitted on the BOUNDED ~25-row group
+    table (exact ppm-integer moments) and applied row-wise — nothing
+    after the first aggregate scales with data. Cross-engine
+    determinism: group shares as exact ppm integers; μ, v, K, and the
+    posterior mean are single shared double expression strings with
+    identical operand order, rounded once; degenerate priors (v ≤ 0 or
+    K ≤ 0) yield NULL shrinkage in both engines.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    t = _t(spark, sf_dir, "orders", "customer", "nation")
+    grp = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_f"),
+        )
+    )
+    p = grp.select(
+        "*", F.expr("CAST(n_f * 1000000 div n_orders AS BIGINT)").alias("p_raw_ppm")
+    )
+    d38 = "DECIMAL(38,0)"
+    mom = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("g"),
+        F.expr(f"CAST(SUM(p_raw_ppm) AS {d38})").alias("sp"),
+        F.expr(
+            f"CAST(SUM(CAST(p_raw_ppm AS {d38}) * p_raw_ppm) AS {d38})"
+        ).alias("spp"),
+    )
+    guard = f"g > 1 AND {_EB_V} > 0 AND {_EB_K} > 0"
+    return p.join(F.broadcast(mom)).select(
+        "nation",
+        "n_orders",
+        "n_f",
+        "p_raw_ppm",
+        F.expr(f"ROUND({_EB_MU}, 6)").alias("prior_mean"),
+        F.expr(f"CASE WHEN {guard} THEN ROUND({_EB_K}, 4) END").alias(
+            "prior_strength_k"
+        ),
+        F.expr(
+            f"CASE WHEN {guard} THEN ROUND(({_EB_MU} * {_EB_K} + n_f)"
+            f" / ({_EB_K} + n_orders), 6) END"
+        ).alias("p_shrunk"),
+    )

@@ -2532,3 +2532,43 @@ def test_ratio_delta_partial_agg_before_shuffle(spark):
     text = explain_str(df, "formatted")
     assert "Partial" in text or "partial" in explain_str(df, "simple"), text[:2000]
     assert shuffle_count(df) <= 3, explain_str(df, "simple")
+
+
+def test_theil_single_scan_broadcast_total(spark):
+    """Per-customer aggregate once; the 1-row total joins by broadcast;
+    the term fold is map-side into a single-row aggregate."""
+    from rs_streamloader_spark.operators.stats import theil_index_revenue
+
+    df = theil_index_revenue(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert text.count("FileScan") <= 2, text[:2000]  # cust + its total branch
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in text
+
+
+def test_eb_shrinkage_broadcasts_dims_and_moments(spark):
+    """customer/nation dims and the bounded 25-row moment table ride
+    broadcasts; the fact table is never a build side."""
+    from rs_streamloader_spark.operators.stats import empirical_bayes_shrinkage
+
+    df = empirical_bayes_shrinkage(spark, SF_SMOKE)
+    assert has_broadcast_join(df)
+    text = explain_str(df, "formatted")
+    assert "Cartesian" not in text
+
+
+def test_rouge_pair_joins_never_cartesian_or_pair_broadcast(spark):
+    """The (doc, token) joins are equality joins; the pair side grows
+    with the corpus so it must not be broadcast (r10 flip class)."""
+    from rs_streamloader_spark.operators.dedup import rouge_overlap_neardup
+
+    df = rouge_overlap_neardup(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "CartesianProduct" not in text and "BroadcastNestedLoop" not in text
+    # the overlap join keyed on tok must be a shuffled join, not a
+    # broadcast of the corpus-sized token table
+    import re as _re
+
+    assert _re.search(r"ShuffledHashJoin.*doc_a", text) or "SortMergeJoin" in text, (
+        text[:1500]
+    )

@@ -1269,3 +1269,139 @@ def test_dict_encoding_runs_match_bruteforce_across_bands(spark, monkeypatch):
     # custkey cycles 0..8: every row is a change
     ck = got["o_custkey_str"]
     assert ck["n_runs"] == n and ck["n_distinct"] == 9
+
+
+def test_theil_indices_match_numpy(spark, monkeypatch):
+    """Theil T and L recomputed in float numpy from per-customer
+    totals on a deliberately unequal corpus; both nano-unit values and
+    the display doubles must agree to rounding."""
+    rows = []
+    okey = 0
+    amounts = {1: [10.0], 2: [10.0, 10.0], 3: [500.0], 4: [5.0, 2.5, 2.5]}
+    for cust, vals in amounts.items():
+        for v in vals:
+            rows.append((okey, cust, "2024-01-01", v))
+            okey += 1
+    pdf = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"orders": sdf})
+    row = S.theil_index_revenue(spark, "x").collect()[0]
+    x = np.array(
+        [round(sum(v) * 100) for v in amounts.values()], dtype=float
+    )
+    n = len(x)
+    mu = x.mean()
+    t = float(np.mean((x / mu) * np.log(x / mu)))
+    l_ = float(np.mean(np.log(mu / x)))
+    assert row["n_customers"] == n
+    assert row["total_cents"] == int(x.sum())
+    assert row["theil_t"] == pytest.approx(t, abs=2e-6)
+    assert row["theil_l"] == pytest.approx(l_, abs=2e-6)
+    assert row["theil_t"] > 0 and row["theil_l"] > 0  # genuinely unequal
+
+
+def test_eb_shrinkage_matches_numpy_and_shrinks_small_groups(spark, monkeypatch):
+    """MoM Beta prior + posterior means recomputed in numpy; the tiny
+    extreme group must move toward the prior mean far more than the
+    big group."""
+    # nations: big/steady vs tiny/extreme
+    spec = {
+        "ALPHA": (1000, 300),  # n, successes
+        "BETA": (900, 320),
+        "GAMMA": (1100, 310),
+        "TINY": (10, 10),  # 100% raw share on 10 orders
+        "DELTA": (950, 290),
+    }
+    orders, cust, nat = [], [], []
+    okey = 0
+    for i, (name, (n, s)) in enumerate(spec.items()):
+        nat.append((i, name))
+        cust.append((i, i))
+        for j in range(n):
+            orders.append((okey, i, "F" if j < s else "O"))
+            okey += 1
+    o = spark.createDataFrame(
+        orders, "o_orderkey bigint, o_custkey bigint, o_orderstatus string"
+    )
+    c = spark.createDataFrame(cust, "c_custkey bigint, c_nationkey bigint")
+    nt = spark.createDataFrame(nat, "n_nationkey bigint, n_name string")
+    monkeypatch.setattr(
+        S, "_t", lambda _s, _d, *names: {"orders": o, "customer": c, "nation": nt}
+    )
+    got = {
+        r["nation"]: r for r in S.empirical_bayes_shrinkage(spark, "x").collect()
+    }
+    p_ppm = np.array(
+        [s * 1_000_000 // n for n, s in spec.values()], dtype=float
+    )
+    p = p_ppm / 1e6
+    mu = p.mean()
+    v = p.var(ddof=1)
+    k = mu * (1 - mu) / v - 1
+    assert k > 0
+    for name, (n, s) in spec.items():
+        r = got[name]
+        assert r["p_raw_ppm"] == s * 1_000_000 // n
+        assert r["prior_mean"] == pytest.approx(mu, abs=2e-6)
+        assert r["prior_strength_k"] == pytest.approx(k, abs=2e-4)
+        assert r["p_shrunk"] == pytest.approx(
+            (mu * k + s) / (k + n), abs=2e-6
+        ), name
+    # the 10-order 100% nation shrinks hard; the 1000-order one barely
+    tiny_move = abs(got["TINY"]["p_shrunk"] - 1.0)
+    big_move = abs(got["ALPHA"]["p_shrunk"] - 0.3)
+    assert tiny_move > 10 * big_move
+
+
+def test_rouge_overlap_matches_bruteforce(spark, monkeypatch, tmp_path):
+    """Multiset ROUGE-1 recomputed from collections.Counter on a
+    literal pair + constructed docs (repeated tokens exercise the
+    LEAST() multiset clip)."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import rs_streamloader_spark.operators.dedup as D
+
+    texts = {
+        1: "the cat sat on the mat the cat",
+        2: "the cat lay on the mat",
+        3: "completely different words entirely here",
+    }
+    docs = pd.DataFrame(
+        [
+            {"doc_id": k, "text": v, "lang": "en", "source": "s", "n_chars": len(v)}
+            for k, v in texts.items()
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        tmp_path / "documents.parquet",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a bigint, doc_b bigint"
+    )
+    monkeypatch.setattr(D, "_jaccard_pairs", lambda _s, _d: pairs)
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in D.rouge_overlap_neardup(spark, str(tmp_path)).collect()
+    }
+    for a, b in [(1, 2), (1, 3)]:
+        ca, cb = Counter(texts[a].split()), Counter(texts[b].split())
+        ov = sum(min(ca[t], cb[t]) for t in ca)
+        la, lb = sum(ca.values()), sum(cb.values())
+        if ov == 0:
+            assert (a, b) not in got  # both engines drop zero-overlap pairs
+            continue
+        r = got[(a, b)]
+        assert r["overlap"] == ov
+        assert r["len_a"] == la and r["len_b"] == lb
+        assert r["precision_ppm"] == ov * 1_000_000 // la
+        assert r["recall_ppm"] == ov * 1_000_000 // lb
+        assert r["f1_ppm"] == ov * 2_000_000 // (la + lb)
+    assert (1, 3) not in got  # disjoint pair provably dropped
+    # pair (1,2): 'the' appears 3x in a, 2x in b -> clip contributes 2
+    assert got[(1, 2)]["overlap"] == 5

@@ -95,6 +95,9 @@ HEAVY_TAIL = [
     "compaction_bin_packing",
     "dict_encoding_audit",
     "jl_projection_distortion_audit",
+    "theil_index_revenue",
+    "empirical_bayes_shrinkage",
+    "rouge_overlap_neardup",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
@@ -330,6 +333,8 @@ MEASURE_OUTPUT = {
     "dedup_minhash_lsh",
     "dedup_containment",
     "fuzzy_name_match",
+    # r12: one row per near-dup pair — rides the pair stage; measured
+    "rouge_overlap_neardup",
     # r11: one row per doc-with-bigrams — linear; measured so the
     # selected-fraction stays observable under replication
     "dsir_importance_weights",
@@ -363,6 +368,9 @@ CONSTANT_OUTPUT = {
     "graph_assortativity",
     "dict_encoding_audit",
     "jl_projection_distortion_audit",
+    # theil: 1 row; EB shrinkage: bounded nation grid
+    "theil_index_revenue",
+    "empirical_bayes_shrinkage",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
