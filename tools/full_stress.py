@@ -69,6 +69,8 @@ HEAVY_K100 = [
     # r11: rides the shared bigram stage; the one new op whose work
     # scales with corpus content rather than a bounded key set
     "dsir_importance_weights",
+    # r12: the new pair-stage consumer (per-pair token-overlap joins)
+    "rouge_overlap_neardup",
 ]
 
 
