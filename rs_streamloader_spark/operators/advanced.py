@@ -1603,8 +1603,8 @@ _COMPACT_TARGET = 262_144  # 256 KiB target bin at audit scale
            CAST(SUM(bytes) AS BIGINT) AS total_bytes,
            STRFTIME(MIN(d), '%Y-%m-%d') AS first_day,
            STRFTIME(MAX(d), '%Y-%m-%d') AS last_day,
-           CAST(SUM(bytes) * 1000000 // {_COMPACT_TARGET} AS BIGINT)
-             AS fill_ppm
+           CAST(CAST(SUM(bytes) AS HUGEINT) * 1000000
+                // {_COMPACT_TARGET} AS BIGINT) AS fill_ppm
     FROM planned GROUP BY bin_id
     """,
 )
@@ -1650,7 +1650,8 @@ def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("d"), "yyyy-MM-dd").alias("first_day"),
         F.date_format(F.max("d"), "yyyy-MM-dd").alias("last_day"),
         F.expr(
-            f"CAST(SUM(bytes) * 1000000 div {_COMPACT_TARGET} AS BIGINT)"
+            "CAST(CAST(SUM(bytes) AS DECIMAL(38,0)) * 1000000"
+            f" div {_COMPACT_TARGET} AS BIGINT)"
         ).alias("fill_ppm"),
     )
 
@@ -1724,8 +1725,9 @@ def _dict_audit_oracle() -> str:
            CAST(distinct_bytes
                 + (n_runs * (dict_bits + {_DICT_RUN_LEN_BITS}) + 7) // 8
                 AS BIGINT) AS rle_dict_bytes_est,
-           CAST((distinct_bytes + (n_rows * dict_bits + 7) // 8) * 1000000
-                // raw_bytes AS BIGINT) AS dict_ratio_ppm,
+           CAST(CAST(distinct_bytes + (n_rows * dict_bits + 7) // 8
+                     AS HUGEINT) * 1000000 // raw_bytes AS BIGINT)
+             AS dict_ratio_ppm,
            CAST((distinct_bytes
                  + (n_runs * (dict_bits + {_DICT_RUN_LEN_BITS}) + 7) // 8)
                 * 1000000 // raw_bytes AS BIGINT) AS rle_ratio_ppm
@@ -1845,13 +1847,13 @@ def dict_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("rle_dict_bytes_est"),
         F.expr(
-            "CAST((distinct_bytes + (n_rows * dict_bits + 7) div 8) * 1000000"
-            " div raw_bytes AS BIGINT)"
+            "CAST(CAST(distinct_bytes + (n_rows * dict_bits + 7) div 8"
+            " AS DECIMAL(38,0)) * 1000000 div raw_bytes AS BIGINT)"
         ).alias("dict_ratio_ppm"),
         F.expr(
-            "CAST((distinct_bytes"
-            f" + (n_runs * (dict_bits + {_DICT_RUN_LEN_BITS}) + 7) div 8)"
-            " * 1000000 div raw_bytes AS BIGINT)"
+            "CAST(CAST(distinct_bytes"
+            f" + (n_runs * (dict_bits + {_DICT_RUN_LEN_BITS}) + 7) div 8"
+            " AS DECIMAL(38,0)) * 1000000 div raw_bytes AS BIGINT)"
         ).alias("rle_ratio_ppm"),
     )
 

@@ -8118,7 +8118,7 @@ _BH_Z_SQL = (
       FROM c
     )
     SELECT event_type, n, s AS n_success,
-           CAST(s * 1000000 // n AS BIGINT) AS prop_ppm,
+           CAST(CAST(s AS HUGEINT) * 1000000 // n AS BIGINT) AS prop_ppm,
            z, p_rank, crit_z,
            (p_rank <= km) AS rejected
     FROM c, kmax
@@ -8193,7 +8193,9 @@ def bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         F.col("s").alias("n_success"),
-        F.expr("CAST(s * 1000000 div n AS BIGINT)").alias("prop_ppm"),
+        F.expr(
+            "CAST(CAST(s AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"
+        ).alias("prop_ppm"),
         "z",
         "p_rank",
         "crit_z",
@@ -8669,10 +8671,20 @@ def theil_index_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s",
     )
     return terms.groupBy("n", "s").agg(
-        F.expr("CAST(SUM(t_nano) div n AS BIGINT)").alias("theil_t_nano"),
-        F.expr("CAST(-SUM(ln_nano) div n AS BIGINT)").alias("theil_l_nano"),
-        F.expr("ROUND(SUM(t_nano) / (n * 1e9), 6)").alias("theil_t"),
-        F.expr("ROUND(-SUM(ln_nano) / (n * 1e9), 6)").alias("theil_l"),
+        F.expr(
+            "CAST(SUM(CAST(t_nano AS DECIMAL(38,0))) div n AS BIGINT)"
+        ).alias("theil_t_nano"),
+        F.expr(
+            "CAST(-SUM(CAST(ln_nano AS DECIMAL(38,0))) div n AS BIGINT)"
+        ).alias("theil_l_nano"),
+        F.expr(
+            "ROUND(CAST(SUM(CAST(t_nano AS DECIMAL(38,0))) AS DOUBLE)"
+            " / (n * 1e9), 6)"
+        ).alias("theil_t"),
+        F.expr(
+            "ROUND(CAST(-SUM(CAST(ln_nano AS DECIMAL(38,0))) AS DOUBLE)"
+            " / (n * 1e9), 6)"
+        ).alias("theil_l"),
     ).select(
         F.col("n").alias("n_customers"),
         F.col("s").cast("bigint").alias("total_cents"),
@@ -8709,7 +8721,8 @@ _EB_K = f"({_EB_MU} * (1.0 - {_EB_MU}) / {_EB_V} - 1.0)"
       GROUP BY 1
     ),
     p AS (
-      SELECT *, CAST(n_f * 1000000 // n_orders AS BIGINT) AS p_raw_ppm
+      SELECT *, CAST(CAST(n_f AS HUGEINT) * 1000000 // n_orders AS BIGINT)
+        AS p_raw_ppm
       FROM grp
     ),
     mom AS (
@@ -8769,7 +8782,10 @@ def empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     p = grp.select(
-        "*", F.expr("CAST(n_f * 1000000 div n_orders AS BIGINT)").alias("p_raw_ppm")
+        "*", F.expr(
+            "CAST(CAST(n_f AS DECIMAL(38,0)) * 1000000 div n_orders"
+            " AS BIGINT)"
+        ).alias("p_raw_ppm")
     )
     d38 = "DECIMAL(38,0)"
     mom = p.agg(
