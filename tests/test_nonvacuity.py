@@ -294,11 +294,17 @@ def test_fk_orphan_detector_fires(spark, tmp_path):
 
 
 def test_fuzzy_subblock_branch_fires_and_agrees(spark, tmp_path):
-    """The md5 sub-blocking branch of fuzzy_name_match only engages when a
-    block exceeds _FUZZY_BLOCK_CAP members — which never happens on the
-    shipped corpora (max block 100). Construct one 300-name mega-block
-    (n_sub = 3) and assert both engines produce the identical nonzero pair
-    set, i.e. the branch fires AND stays cross-engine deterministic."""
+    """The md5 sub-blocking fuse of fuzzy_name_match engages only when
+    ONE deletion-variant group exceeds _FUZZY_BLOCK_CAP rows — which
+    never happens on shipped corpora, and (since the r12 FastSS
+    redefinition) no longer happens for the old mega-prefix corpus
+    either (a shared 16-char prefix no longer implies a shared block).
+    Construct a true pathological group: 153 names that each produce
+    the SAME variant V by deleting one inserted character, so V's
+    group is over the cap, the fuse splits it, and same-position
+    substitution pairs whose ONLY shared variant is V are (by design)
+    dropped. Both engines must agree on the identical nonzero pair
+    set, and the drop must be observable vs brute force."""
     import duckdb
 
     from rs_streamloader_spark.operators.advanced import (
@@ -306,8 +312,12 @@ def test_fuzzy_subblock_branch_fires_and_agrees(spark, tmp_path):
         fuzzy_name_match,
     )
 
-    names = ["Supplier#BLOCKXX%05d" % i for i in range(300)]
-    assert len({n[9:16] for n in names}) == 1 and len(names) > 2 * _FUZZY_BLOCK_CAP
+    v = "Supplier#BLOCK00"
+    names = sorted(
+        {v[:p] + c + v[p:] for p in range(len(v) + 1) for c in "123456789"}
+    )
+    # every name shares deletion variant v -> one group over the cap
+    assert len(names) > _FUZZY_BLOCK_CAP, len(names)
     pdf = pd.DataFrame({"s_name": names})
     pq.write_table(
         pa.Table.from_pandas(pdf, preserve_index=False), tmp_path / "supplier.parquet"
@@ -319,13 +329,11 @@ def test_fuzzy_subblock_branch_fires_and_agrees(spark, tmp_path):
         f"CREATE VIEW supplier AS SELECT * FROM read_parquet('{tmp_path}/supplier.parquet')"
     )
     oracle_pdf = con.execute(entry.oracle_sql()["fuzzy_name_match"]).df()
-    # sub-blocking must have split the block: fewer pairs than the
-    # unblocked all-pairs answer, but plenty of them
     assert 0 < len(oracle_pdf)
     key = lambda f: sorted(map(tuple, f[sorted(f.columns)].itertuples(index=False)))
     assert key(spark_pdf) == key(oracle_pdf)
-    # n_sub really was > 1: at least one unit-distance pair fell in
-    # different sub-blocks and is (by design) absent from the output
+    # the fuse really dropped pairs: at least one unit-distance pair
+    # whose only shared variant is v fell across sub-blocks
     all_pairs = con.execute(
         """
         WITH n AS (SELECT DISTINCT s_name FROM supplier)
@@ -333,7 +341,7 @@ def test_fuzzy_subblock_branch_fires_and_agrees(spark, tmp_path):
         ON a.s_name < b.s_name AND LEVENSHTEIN(a.s_name, b.s_name) <= 1
         """
     ).fetchone()[0]
-    assert len(oracle_pdf) < all_pairs
+    assert 0 < len(oracle_pdf) < all_pairs
 
 
 def test_sequence_pattern_match_both_outcomes(spark, corpus_dir):
