@@ -2438,3 +2438,100 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (logw > 0).alias("selected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa for the language-ID heuristic (chance-corrected accuracy)
+# ---------------------------------------------------------------------------
+
+
+def _kappa_oracle() -> str:
+    return f"""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS actual,
+             {_langid_pred_sql()} AS predicted
+      FROM documents
+    ),
+    cm AS (
+      SELECT CAST(SUM(actual * predicted) AS BIGINT) AS tp,
+             CAST(SUM((1 - actual) * predicted) AS BIGINT) AS fp,
+             CAST(SUM(actual * (1 - predicted)) AS BIGINT) AS fn,
+             CAST(SUM((1 - actual) * (1 - predicted)) AS BIGINT) AS tn
+      FROM cm_src
+    ),
+    cm_src AS (SELECT * FROM scored)
+    SELECT tp + fp + fn + tn AS n_docs,
+           ROUND(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS po,
+           ROUND((CAST(tp + fp AS DOUBLE) * (tp + fn)
+                  + CAST(fn + tn AS DOUBLE) * (fp + tn))
+                 / (CAST(tp + fp + fn + tn AS DOUBLE)
+                    * (tp + fp + fn + tn)), 6) AS pe,
+           CASE WHEN (CAST(tp + fp AS DOUBLE) * (tp + fn)
+                      + CAST(fn + tn AS DOUBLE) * (fp + tn))
+                     < CAST(tp + fp + fn + tn AS DOUBLE)
+                       * (tp + fp + fn + tn)
+                THEN ROUND((CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn)
+                            - (CAST(tp + fp AS DOUBLE) * (tp + fn)
+                               + CAST(fn + tn AS DOUBLE) * (fp + tn))
+                              / (CAST(tp + fp + fn + tn AS DOUBLE)
+                                 * (tp + fp + fn + tn)))
+                           / (1.0 - (CAST(tp + fp AS DOUBLE) * (tp + fn)
+                                     + CAST(fn + tn AS DOUBLE) * (fp + tn))
+                                    / (CAST(tp + fp + fn + tn AS DOUBLE)
+                                       * (tp + fp + fn + tn))), 6) END
+             AS kappa
+    FROM cm
+    """
+
+
+@register("cohens_kappa_langid", oracle=_kappa_oracle())
+def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the marker-word language-ID heuristic vs the
+    labelled lang column: chance-corrected agreement κ = (p_o − p_e)
+    / (1 − p_e) — the honest version of ``confusion_matrix_metrics``'s
+    accuracy when the classes are imbalanced (a predict-majority
+    heuristic scores high accuracy but κ ≈ 0). NULL when p_e = 1
+    (single-class degenerate, both engines).
+
+    Scale posture: the same single combinable confusion reduction as
+    the confusion-matrix audit (shared predictor SQL —
+    ``_langid_pred_sql`` — so the two readouts can never disagree on
+    what the classifier said); κ is one double expression over the
+    4 exact counts, identical operand order, rounded once.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 text/eval
+    family)."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    scored = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("actual"),
+        F.expr(_langid_pred_sql()).alias("predicted"),
+    )
+    cm = scored.agg(
+        F.sum(F.col("actual") * F.col("predicted")).cast("bigint").alias("tp"),
+        F.sum((1 - F.col("actual")) * F.col("predicted"))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.col("actual") * (1 - F.col("predicted")))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum((1 - F.col("actual")) * (1 - F.col("predicted")))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    n = "(tp + fp + fn + tn)"
+    pe_num = (
+        "(CAST(tp + fp AS DOUBLE) * (tp + fn)"
+        " + CAST(fn + tn AS DOUBLE) * (fp + tn))"
+    )
+    pe_den = f"(CAST({n} AS DOUBLE) * {n})"
+    po = f"(CAST(tp + tn AS DOUBLE) / {n})"
+    pe = f"({pe_num} / {pe_den})"
+    return cm.select(
+        F.expr(f"{n}").cast("bigint").alias("n_docs"),
+        F.expr(f"ROUND({po}, 6)").alias("po"),
+        F.expr(f"ROUND({pe}, 6)").alias("pe"),
+        F.expr(
+            f"CASE WHEN {pe_num} < {pe_den}"
+            f" THEN ROUND(({po} - {pe}) / (1.0 - {pe}), 6) END"
+        ).alias("kappa"),
+    )

@@ -1421,3 +1421,134 @@ def isotonic_calibration_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fitted_rate_nano",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Murphy decomposition of the binned Brier score (REL - RES + UNC)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "brier_murphy_decomposition",
+    oracle=f"""
+    WITH s AS (
+      SELECT ((o_orderkey % {_CAL_HASH_MOD}) * {_CAL_HASH_MULT})
+               % {_CAL_HASH_MOD} AS h,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    b AS (
+      SELECT CAST(h * 10 // {_CAL_HASH_MOD} AS INT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS nk,
+             CAST(SUM(h) AS HUGEINT) AS sh,
+             CAST(SUM(y) AS BIGINT) AS ok
+      FROM s GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(nk) AS BIGINT) AS n, CAST(SUM(ok) AS BIGINT) AS o
+      FROM b
+    ),
+    terms AS (
+      SELECT nk, ok,
+             CAST(ROUND(nk * POW(CAST(sh AS DOUBLE) / (nk * {_CAL_HASH_MOD}.0)
+                                 - CAST(ok AS DOUBLE) / nk, 2)
+                        * 1000000000) AS BIGINT) AS rel_nano,
+             CAST(ROUND(nk * POW(CAST(ok AS DOUBLE) / nk
+                                 - CAST(o AS DOUBLE) / n, 2)
+                        * 1000000000) AS BIGINT) AS res_nano,
+             CAST(ROUND((nk * POW(CAST(sh AS DOUBLE)
+                                  / (nk * {_CAL_HASH_MOD}.0), 2)
+                         - 2 * (CAST(sh AS DOUBLE)
+                                / (nk * {_CAL_HASH_MOD}.0)) * ok + ok)
+                        * 1000000000) AS BIGINT) AS brier_nano
+      FROM b, tot
+    )
+    SELECT (SELECT n FROM tot) AS n_orders,
+           ROUND(SUM(rel_nano) / ((SELECT n FROM tot) * 1e9), 6)
+             AS reliability,
+           ROUND(SUM(res_nano) / ((SELECT n FROM tot) * 1e9), 6)
+             AS resolution,
+           ROUND((SELECT CAST(o AS DOUBLE) / n * (1.0 - CAST(o AS DOUBLE) / n)
+                  FROM tot), 6) AS uncertainty,
+           ROUND(SUM(brier_nano) / ((SELECT n FROM tot) * 1e9), 6)
+             AS brier_binned
+    FROM terms
+    """,
+)
+def brier_murphy_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the decile-binned Brier score:
+    Brier = RELIABILITY − RESOLUTION + UNCERTAINTY — reliability is
+    the calibration error you can fix by recalibrating, resolution is
+    the discrimination you cannot recover once lost, uncertainty is
+    the outcome's intrinsic variance. The table ``ml_calibration_brier``
+    draws is summarized here into the three numbers that say WHY the
+    Brier score is what it is; the identity is exact for the binned
+    forecast (constant within bin by construction) and pinned against
+    numpy in the sanity suite.
+
+    Scale posture: everything reduces to the bounded 10-bin aggregate
+    (exact integer N_k, Σh, O_k per bin) before any double math; the
+    decomposition terms are nano-rounded PER BIN and summed as exact
+    integers (float sum-order immunity over the bin rows), one
+    broadcast of the 1-row totals. The pseudo-model hash is the same
+    masked Knuth multiply as the calibration table (exact dyadic p).
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 quality
+    family)."""
+    t = load_tables(spark, sf_dir, "orders")["orders"]
+    s = t.select(
+        (
+            ((F.col("o_orderkey") % _CAL_HASH_MOD) * _CAL_HASH_MULT)
+            % _CAL_HASH_MOD
+        ).alias("h"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    b = s.groupBy(
+        F.expr(f"CAST(h * 10 div {_CAL_HASH_MOD} AS INT)").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nk"),
+        F.expr("CAST(SUM(h) AS DECIMAL(38,0))").alias("sh"),
+        F.sum("y").cast("bigint").alias("ok"),
+    )
+    tot = b.agg(
+        F.sum("nk").cast("bigint").alias("n"),
+        F.sum("ok").cast("bigint").alias("o"),
+    )
+    fk = f"(CAST(sh AS DOUBLE) / (nk * {_CAL_HASH_MOD}.0))"
+    obar_k = "(CAST(ok AS DOUBLE) / nk)"
+    obar = "(CAST(o AS DOUBLE) / n)"
+    terms = b.join(F.broadcast(tot)).select(
+        "n",
+        "o",
+        F.expr(
+            f"CAST(ROUND(nk * POW({fk} - {obar_k}, 2) * 1000000000)"
+            " AS BIGINT)"
+        ).alias("rel_nano"),
+        F.expr(
+            f"CAST(ROUND(nk * POW({obar_k} - {obar}, 2) * 1000000000)"
+            " AS BIGINT)"
+        ).alias("res_nano"),
+        F.expr(
+            f"CAST(ROUND((nk * POW({fk}, 2) - 2 * {fk} * ok + ok)"
+            " * 1000000000) AS BIGINT)"
+        ).alias("brier_nano"),
+    )
+    return terms.groupBy("n", "o").agg(
+        F.expr("ROUND(SUM(rel_nano) / (n * 1e9), 6)").alias("reliability"),
+        F.expr("ROUND(SUM(res_nano) / (n * 1e9), 6)").alias("resolution"),
+        F.expr(
+            "ROUND(CAST(o AS DOUBLE) / n * (1.0 - CAST(o AS DOUBLE) / n), 6)"
+        ).alias("uncertainty"),
+        F.expr("ROUND(SUM(brier_nano) / (n * 1e9), 6)").alias("brier_binned"),
+    ).select(
+        F.col("n").alias("n_orders"),
+        "reliability",
+        "resolution",
+        "uncertainty",
+        "brier_binned",
+    )

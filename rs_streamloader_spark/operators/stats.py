@@ -8810,3 +8810,208 @@ def empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / ({_EB_K} + n_orders), 6) END"
         ).alias("p_shrunk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve decile points (exact distributed rank + revenue prefix)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lorenz_curve_points",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev,
+             ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS rnk,
+             SUM(CAST(rev AS HUGEINT)) OVER (
+               ORDER BY rev, o_custkey ROWS UNBOUNDED PRECEDING
+             ) AS cumrev
+      FROM cust
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n, CAST(SUM(rev) AS HUGEINT) AS total FROM cust
+    )
+    SELECT CAST(d.d AS BIGINT) AS decile,
+           CAST(r.rnk AS BIGINT) AS rank,
+           CAST(r.cumrev AS BIGINT) AS cum_revenue_cents,
+           CAST(r.cumrev * 1000000 // t.total AS BIGINT) AS cum_share_ppm
+    FROM (SELECT UNNEST(RANGE(1, 11)) AS d) d
+    CROSS JOIN tot t
+    JOIN ranked r ON r.rnk = d.d * t.n // 10
+    WHERE t.total > 0
+    """,
+)
+def lorenz_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at the customer-revenue deciles: for each d/10
+    population cut (poorest-first), the exact cumulative revenue share
+    — the curve whose area deficit IS ``gini_revenue_concentration``
+    and whose top point IS ``pareto_customer_share``; these ten points
+    are what the inequality one-numbers summarize.
+
+    Scale posture: the oracle's single global ROW_NUMBER + running sum
+    is the serial formulation; this side computes BOTH the rank and
+    the revenue prefix with the two-pass banded pattern (row_number /
+    sum within a fixed $10k revenue bucket + broadcast per-bucket
+    offsets), then keeps only the ten boundary ranks via a broadcast
+    10-row join — no input-cardinality global window anywhere.
+    Cross-engine determinism: ranks tie-broken by (rev, custkey)
+    identically; all accounting in BIGINT cents / DECIMAL(38);
+    shares as ppm truncating division.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    t = _t(spark, sf_dir, "orders")["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cust = t.groupBy("o_custkey").agg(F.sum(cents).alias("rev"))
+    cust = cust.withColumn(
+        "bucket",
+        F.floor(F.col("rev") / F.lit(_GINI_BUCKET_CENTS)).cast("bigint"),
+    )
+    w_in = Window.partitionBy("bucket").orderBy("rev", "o_custkey")
+    w_in_sum = w_in.rowsBetween(Window.unboundedPreceding, 0)
+    within = cust.withColumn("rn", F.row_number().over(w_in)).withColumn(
+        "csum", F.sum(F.col("rev").cast("decimal(38,0)")).over(w_in_sum)
+    )
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        cust.groupBy("bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.expr("CAST(SUM(rev) AS DECIMAL(38,0))").alias("bsum"),
+        )
+        .select(
+            "bucket",
+            F.coalesce(F.sum("cnt").over(w_b), F.lit(0)).alias("offset"),
+            F.coalesce(
+                F.sum("bsum").over(w_b), F.lit(0).cast("decimal(38,0)")
+            ).alias("rev_offset"),
+        )
+    )
+    ranked = within.join(F.broadcast(offsets), "bucket").select(
+        (F.col("offset") + F.col("rn")).cast("bigint").alias("rnk"),
+        (F.col("rev_offset") + F.col("csum")).alias("cumrev"),
+    )
+    tot = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(rev) AS DECIMAL(38,0))").alias("total"),
+    )
+    deciles = spark.range(1, 11).select(F.col("id").cast("bigint").alias("d"))
+    bounds = (
+        F.broadcast(deciles)
+        .join(F.broadcast(tot))
+        .where("total > 0")
+        .select("d", F.expr("CAST(d * n div 10 AS BIGINT)").alias("rnk"), "total")
+    )
+    return ranked.join(F.broadcast(bounds), "rnk").select(
+        F.col("d").alias("decile"),
+        F.col("rnk").alias("rank"),
+        F.col("cumrev").cast("bigint").alias("cum_revenue_cents"),
+        F.expr("CAST(cumrev * 1000000 div total AS BIGINT)").alias(
+            "cum_share_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired test: weekday vs weekend conversion per user
+# ---------------------------------------------------------------------------
+
+_MCNEMAR_CRIT_X1E6 = 3_841_459  # chi^2_1 95% critical value x 1e6 (frozen)
+
+
+@register(
+    "mcnemar_weekday_weekend",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase'
+                       AND CAST(EXTRACT(dow FROM ts) AS INT) NOT IN (0, 6)
+                      THEN 1 ELSE 0 END) AS x,
+             MAX(CASE WHEN event_type = 'purchase'
+                       AND CAST(EXTRACT(dow FROM ts) AS INT) IN (0, 6)
+                      THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY user_id
+    ),
+    cm AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(x * y) AS BIGINT) AS both_conv,
+             CAST(SUM(x * (1 - y)) AS BIGINT) AS weekday_only,
+             CAST(SUM((1 - x) * y) AS BIGINT) AS weekend_only,
+             CAST(SUM((1 - x) * (1 - y)) AS BIGINT) AS neither
+      FROM u
+    )
+    SELECT n_users, both_conv, weekday_only, weekend_only, neither,
+           CASE WHEN weekday_only + weekend_only > 0 THEN
+             ROUND(CAST((ABS(weekday_only - weekend_only) - 1)
+                        * (ABS(weekday_only - weekend_only) - 1) AS DOUBLE)
+                   / (weekday_only + weekend_only), 6) END AS chi2_cc,
+           (weekday_only + weekend_only > 0 AND
+            (ABS(weekday_only - weekend_only) - 1)
+            * (ABS(weekday_only - weekend_only) - 1) * 1000000
+            > {_MCNEMAR_CRIT_X1E6} * (weekday_only + weekend_only))
+             AS significant
+    FROM cm
+    """,
+)
+def mcnemar_weekday_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes: does the same user
+    convert on weekdays but not weekends (or vice versa)? Unlike the
+    two-proportion z-test (independent samples), McNemar conditions on
+    the discordant pairs only — the correct test when both exposures
+    are measured on the SAME subject. Continuity-corrected χ² =
+    (|b−c|−1)²/(b+c); the significance verdict is decided on the EXACT
+    cross-multiplied integer inequality against the frozen published
+    χ²₁ 95% critical value (3.841459), never on the rounded double.
+
+    On the uniform synthetic corpus the discordant counts are
+    symmetric (verdict false) — the positive branch is pinned on a
+    constructed corpus with a planted weekday-only cohort.
+
+    Scale posture: one combinable per-user MAX aggregate, then a 1-row
+    reduction — the experiment-unit collapse shape. Weekend via
+    dayofweek conventions proven equal in both engines (Spark
+    dayofweek()∈{{1,7}} ⟺ DuckDB dow∈{{0,6}}).
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    is_purchase = F.col("event_type") == "purchase"
+    wknd = F.dayofweek("ts").isin(1, 7)
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(is_purchase & ~wknd, 1).otherwise(0)).alias("x"),
+        F.max(F.when(is_purchase & wknd, 1).otherwise(0)).alias("y"),
+    )
+    cm = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("both_conv"),
+        F.sum(F.col("x") * (1 - F.col("y"))).cast("bigint").alias(
+            "weekday_only"
+        ),
+        F.sum((1 - F.col("x")) * F.col("y")).cast("bigint").alias(
+            "weekend_only"
+        ),
+        F.sum((1 - F.col("x")) * (1 - F.col("y"))).cast("bigint").alias(
+            "neither"
+        ),
+    )
+    b, c = F.col("weekday_only"), F.col("weekend_only")
+    diff1 = F.abs(b - c) - 1
+    return cm.select(
+        "n_users",
+        "both_conv",
+        "weekday_only",
+        "weekend_only",
+        "neither",
+        F.when(
+            b + c > 0, F.round(diff1.cast("double") * diff1 / (b + c), 6)
+        ).alias("chi2_cc"),
+        (
+            (b + c > 0)
+            & (diff1 * diff1 * 1_000_000 > _MCNEMAR_CRIT_X1E6 * (b + c))
+        ).alias("significant"),
+    )

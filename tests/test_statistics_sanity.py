@@ -1405,3 +1405,149 @@ def test_rouge_overlap_matches_bruteforce(spark, monkeypatch, tmp_path):
     assert (1, 3) not in got  # disjoint pair provably dropped
     # pair (1,2): 'the' appears 3x in a, 2x in b -> clip contributes 2
     assert got[(1, 2)]["overlap"] == 5
+
+
+def test_lorenz_points_match_numpy(spark, monkeypatch):
+    """Decile cumulative shares recomputed by sorting in numpy on a
+    deliberately unequal 40-customer corpus."""
+    rows = []
+    okey = 0
+    revs = {}
+    for cust in range(40):
+        amount = float(2 ** (cust % 8)) + cust * 0.01
+        revs[cust] = round(amount * 100)
+        rows.append((okey, cust, "2024-01-01", amount))
+        okey += 1
+    pdf = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"orders": sdf})
+    got = {r["decile"]: r for r in S.lorenz_curve_points(spark, "x").collect()}
+    order = sorted(revs, key=lambda c: (revs[c], c))
+    x = np.array([revs[c] for c in order], dtype=np.int64)
+    cum = np.cumsum(x)
+    n, total = len(x), int(x.sum())
+    assert set(got) == set(range(1, 11))
+    for d in range(1, 11):
+        rnk = d * n // 10
+        r = got[d]
+        assert r["rank"] == rnk
+        assert r["cum_revenue_cents"] == int(cum[rnk - 1])
+        assert r["cum_share_ppm"] == int(cum[rnk - 1]) * 1_000_000 // total
+    # genuinely bowed curve: median decile holds far under 50% of mass
+    assert got[5]["cum_share_ppm"] < 250_000
+
+
+def test_mcnemar_fires_on_planted_weekday_cohort(spark, monkeypatch):
+    """Planted asymmetry: 40 users purchase ONLY on a weekday, 5 only
+    on a weekend, 10 on both — the exact-integer verdict must flip to
+    significant and chi2 must match the hand formula."""
+    rows = []
+    eid = 0
+    WD, WE = "2024-03-04 10:00:00", "2024-03-02 10:00:00"  # Mon, Sat
+    for u in range(40):
+        eid += 1
+        rows.append((eid, WD, u, "purchase", 1.0))
+    for u in range(40, 45):
+        eid += 1
+        rows.append((eid, WE, u, "purchase", 1.0))
+    for u in range(45, 55):
+        for ts in (WD, WE):
+            eid += 1
+            rows.append((eid, ts, u, "purchase", 1.0))
+    for u in range(55, 70):  # never purchase
+        eid += 1
+        rows.append((eid, WD, u, "view", 1.0))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"events": sdf})
+    row = S.mcnemar_weekday_weekend(spark, "x").collect()[0]
+    assert row["weekday_only"] == 40 and row["weekend_only"] == 5
+    assert row["both_conv"] == 10 and row["neither"] == 15
+    b, c = 40, 5
+    expect = (abs(b - c) - 1) ** 2 / (b + c)
+    assert row["chi2_cc"] == pytest.approx(expect, abs=1e-6)
+    assert bool(row["significant"]) is True
+
+
+def test_brier_murphy_identity_matches_numpy(spark, monkeypatch):
+    """REL − RES + UNC must equal the binned Brier exactly (to nano
+    rounding), and every term must match a from-scratch numpy
+    recompute of the same hash pseudo-model."""
+    import rs_streamloader_spark.operators.quality as Q
+
+    n = 5000
+    keys = np.arange(n, dtype=np.int64)
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": keys,
+            "o_orderpriority": np.where(
+                (keys * 7919) % 100 < 30, "1-URGENT", "3-MEDIUM"
+            ),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(Q, "load_tables", lambda _s, _d, *names: {"orders": sdf})
+    row = Q.brier_murphy_decomposition(spark, "x").collect()[0]
+    h = ((keys % Q._CAL_HASH_MOD) * Q._CAL_HASH_MULT) % Q._CAL_HASH_MOD
+    y = ((keys * 7919) % 100 < 30).astype(float)
+    p = h / Q._CAL_HASH_MOD
+    bins = (h * 10 // Q._CAL_HASH_MOD).astype(int)
+    obar = y.mean()
+    rel = res = brier = 0.0
+    for k in np.unique(bins):
+        m = bins == k
+        fk = p[m].mean()
+        ok = y[m].mean()
+        rel += m.sum() * (fk - ok) ** 2
+        res += m.sum() * (ok - obar) ** 2
+        brier += ((fk - y[m]) ** 2).sum()
+    rel, res, brier = rel / n, res / n, brier / n
+    unc = obar * (1 - obar)
+    assert row["n_orders"] == n
+    assert row["reliability"] == pytest.approx(rel, abs=2e-6)
+    assert row["resolution"] == pytest.approx(res, abs=2e-6)
+    assert row["uncertainty"] == pytest.approx(unc, abs=2e-6)
+    assert row["brier_binned"] == pytest.approx(brier, abs=2e-6)
+    # Murphy identity
+    assert row["brier_binned"] == pytest.approx(
+        row["reliability"] - row["resolution"] + row["uncertainty"], abs=5e-6
+    )
+
+
+def test_cohens_kappa_imbalance_vs_accuracy(spark, monkeypatch):
+    """A predict-majority heuristic on a 9:1 imbalanced corpus gets
+    high accuracy but κ near zero — recomputed from scratch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import rs_streamloader_spark.operators.mining as M
+
+    # marker-dense text => predicted en; plain => predicted other
+    en_text = "the cat sat on a mat and the dog ate a bone"
+    other_text = "quarterly revenue projections exceeded expectations"
+    rows = []
+    for i in range(90):  # en docs, 80 predicted en / 10 predicted other
+        rows.append((i, en_text if i < 80 else other_text, "en"))
+    for i in range(90, 100):  # fr docs, 8 predicted en (false pos)
+        rows.append((i, en_text if i < 98 else other_text, "fr"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    pdf["source"] = "s"
+    pdf["n_chars"] = pdf.text.str.len()
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(M, "_t", lambda _s, _d, *names: {"documents": sdf})
+    row = M.cohens_kappa_langid(spark, "x").collect()[0]
+    tp, fp, fn, tn = 80, 8, 10, 2
+    n = 100
+    po = (tp + tn) / n
+    pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / n**2
+    kappa = (po - pe) / (1 - pe)
+    assert row["n_docs"] == n
+    assert row["po"] == pytest.approx(po, abs=2e-6)
+    assert row["pe"] == pytest.approx(pe, abs=2e-6)
+    assert row["kappa"] == pytest.approx(kappa, abs=2e-6)
+    assert row["po"] > 0.8 and row["kappa"] < 0.2  # the imbalance story

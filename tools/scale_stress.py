@@ -98,6 +98,10 @@ HEAVY_TAIL = [
     "theil_index_revenue",
     "empirical_bayes_shrinkage",
     "rouge_overlap_neardup",
+    "lorenz_curve_points",
+    "mcnemar_weekday_weekend",
+    "brier_murphy_decomposition",
+    "cohens_kappa_langid",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
@@ -368,9 +372,14 @@ CONSTANT_OUTPUT = {
     "graph_assortativity",
     "dict_encoding_audit",
     "jl_projection_distortion_audit",
-    # theil: 1 row; EB shrinkage: bounded nation grid
+    # theil: 1 row; EB shrinkage: bounded nation grid; lorenz: 10
+    # decile rows; mcnemar/murphy/kappa: 1-row reductions
     "theil_index_revenue",
     "empirical_bayes_shrinkage",
+    "lorenz_curve_points",
+    "mcnemar_weekday_weekend",
+    "brier_murphy_decomposition",
+    "cohens_kappa_langid",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
