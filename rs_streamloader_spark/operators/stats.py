@@ -9015,3 +9015,209 @@ def mcnemar_weekday_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (diff1 * diff1 * 1_000_000 > _MCNEMAR_CRIT_X1E6 * (b + c))
         ).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G-test (log-likelihood ratio) of event_type x day-of-week independence
+# ---------------------------------------------------------------------------
+
+# chi^2 95% critical value for df=(5-1)(7-1)=24, in nano units (frozen
+# published literal; the verdict compares exact nano-integer sums)
+_GTEST_CRIT_NANO = 36_415_028_000
+
+
+@register(
+    "g_test_independence",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type, CAST(EXTRACT(dow FROM ts) AS INT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY 1),
+    cols_ AS (SELECT dow, SUM(o) AS c FROM obs GROUP BY 1),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    terms AS (
+      SELECT CAST(ROUND(o * LN(CAST(o AS DOUBLE) * n
+                               / (CAST(r AS DOUBLE) * c))
+                        * 1000000000) AS BIGINT) AS t_nano
+      FROM obs
+      JOIN rows_ USING (event_type) JOIN cols_ USING (dow) CROSS JOIN tot
+      WHERE o > 0
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_events,
+           CAST(2 * SUM(t_nano) AS BIGINT) AS g_nano,
+           ROUND(2 * SUM(t_nano) / 1e9, 6) AS g_statistic,
+           CAST(24 AS BIGINT) AS df,
+           (2 * SUM(t_nano) > {_GTEST_CRIT_NANO}) AS significant
+    FROM terms
+    """,
+)
+def g_test_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (likelihood-ratio) of event_type × day-of-week
+    independence: G = 2·Σ O·ln(O·N/(R·C)) — the information-theoretic
+    twin of ``chi2_event_type_dow`` (G is additive across partitions
+    of the table and is what a mutual-information reading of the same
+    grid measures, G = 2N·MI). The verdict compares the EXACT
+    nano-integer term sum against the frozen published χ²₂₄ 95%
+    critical value — no rounded double enters the decision.
+
+    Scale posture: one combinable (type, dow) count aggregate (35-cell
+    bounded grid), broadcast marginals, per-cell nano-rounded LN terms
+    summed as exact integers (sum-order immunity; the
+    ``source_token_entropy`` policy). Zero-observed cells contribute
+    exactly 0 (standard G-test convention, identical in both
+    engines via the O > 0 filter).
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    obs = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    rows_ = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols_ = obs.groupBy("dow").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    terms = (
+        obs.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "dow")
+        .join(F.broadcast(tot))
+        .where("o > 0")
+        .select(
+            "n",
+            F.expr(
+                "CAST(ROUND(o * LN(CAST(o AS DOUBLE) * n"
+                " / (CAST(r AS DOUBLE) * c)) * 1000000000) AS BIGINT)"
+            ).alias("t_nano"),
+        )
+    )
+    return terms.groupBy("n").agg(
+        F.expr("CAST(2 * SUM(t_nano) AS BIGINT)").alias("g_nano"),
+        F.expr("ROUND(2 * SUM(t_nano) / 1e9, 6)").alias("g_statistic"),
+        F.expr("CAST(24 AS BIGINT)").alias("df"),
+        F.expr(f"2 * SUM(t_nano) > {_GTEST_CRIT_NANO}").alias("significant"),
+    ).select(
+        F.col("n").cast("bigint").alias("n_events"),
+        "g_nano",
+        "g_statistic",
+        "df",
+        "significant",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on daily revenue vs its median
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "runs_test_randomness",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    med AS (
+      SELECT rev_c AS m FROM (
+        SELECT rev_c, ROW_NUMBER() OVER (ORDER BY rev_c, d) AS rnk,
+               COUNT(*) OVER () AS n
+        FROM daily
+      ) WHERE rnk = (n + 1) // 2
+    ),
+    signed AS (
+      SELECT d, (rev_c > (SELECT m FROM med)) AS hi
+      FROM daily WHERE rev_c <> (SELECT m FROM med)
+    ),
+    runs AS (
+      SELECT COUNT(*) AS nn,
+             CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN hi THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+             CAST(1 + SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+               AS r
+      FROM (
+        SELECT hi, hi <> LAG(hi) OVER (ORDER BY d)
+                   AND LAG(hi) OVER (ORDER BY d) IS NOT NULL AS changed
+        FROM signed
+      )
+    )
+    SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+           ROUND(1.0 + 2.0 * n1 * n2 / (n1 + n2), 6) AS expected_runs,
+           ROUND((r - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                 / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / (CAST((n1 + n2) AS DOUBLE) * (n1 + n2)
+                           * (n1 + n2 - 1))), 6) AS z_score
+    FROM runs WHERE n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+    """,
+)
+def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily revenue series vs its
+    (lower) median: too FEW runs means positive autocorrelation
+    (trending/regime days — the thing ``daily_acf_curve`` measures
+    parametrically), too MANY means oscillation; |z| ≲ 2 is consistent
+    with randomness. Median-equal days are excluded (the standard
+    convention, identical both engines via the exact integer
+    comparison).
+
+    Scale posture: one combinable daily aggregate; the rank pick and
+    the run count order the calendar-bounded series only (the
+    reduced-aggregate global-window rule); the z formula is one shared
+    double expression over four exact integers. Cross-engine
+    determinism: the median is the exact lower-median cents value
+    (rank (n+1)/2, ties broken by day), run boundaries are integer
+    comparisons.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_c")
+    )
+    w = Window.orderBy("rev_c", "d")
+    ranked = daily.select(
+        "rev_c",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    med = ranked.where("rnk = (n + 1) div 2").select(
+        F.col("rev_c").alias("m")
+    )
+    signed = (
+        daily.join(F.broadcast(med))
+        .where("rev_c <> m")
+        .select("d", (F.col("rev_c") > F.col("m")).alias("hi"))
+    )
+    wd = Window.orderBy("d")
+    marked = signed.select(
+        "hi",
+        (
+            (F.col("hi") != F.lag("hi").over(wd))
+            & F.lag("hi").over(wd).isNotNull()
+        ).alias("changed"),
+    )
+    runs = marked.agg(
+        F.sum(F.when(F.col("hi"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("hi"), 0).otherwise(1)).cast("bigint").alias("n2"),
+        (1 + F.sum(F.when(F.col("changed"), 1).otherwise(0)))
+        .cast("bigint")
+        .alias("r"),
+    )
+    # 2e0 not 2.0: Spark parses plain decimal literals as DECIMAL,
+    # which would drag the whole expression out of double arithmetic
+    mu = "1e0 + 2e0 * n1 * n2 / (n1 + n2)"
+    var = (
+        "2e0 * n1 * n2 * (2e0 * n1 * n2 - n1 - n2)"
+        " / (CAST((n1 + n2) AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))"
+    )
+    return runs.where("n1 > 0 AND n2 > 0 AND n1 + n2 > 1").select(
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        F.expr(f"ROUND({mu}, 6)").alias("expected_runs"),
+        F.expr(f"ROUND((r - ({mu})) / SQRT({var}), 6)").alias("z_score"),
+    )

@@ -1551,3 +1551,71 @@ def test_cohens_kappa_imbalance_vs_accuracy(spark, monkeypatch):
     assert row["pe"] == pytest.approx(pe, abs=2e-6)
     assert row["kappa"] == pytest.approx(kappa, abs=2e-6)
     assert row["po"] > 0.8 and row["kappa"] < 0.2  # the imbalance story
+
+
+def test_g_test_matches_numpy_and_fires_on_planted_dependence(spark, monkeypatch):
+    """G = 2ΣO·ln(O/E) recomputed in numpy on a corpus where 'error'
+    events are planted on a single day-of-week — the significance
+    branch (constant-false on the uniform corpus) must fire, and every
+    term must match."""
+    rows = []
+    eid = 0
+    # Mon..Sun of one week, 2024-03-04 is a Monday
+    base = pd.Timestamp("2024-03-04")
+    for day in range(7):
+        ts = base + pd.Timedelta(days=day)
+        for et, cnt in (("click", 30), ("view", 30), ("purchase", 20)):
+            for _ in range(cnt):
+                eid += 1
+                rows.append((eid, ts, eid % 50, et, 1.0))
+        # planted: errors happen ONLY on Friday (day 4)
+        if day == 4:
+            for _ in range(80):
+                eid += 1
+                rows.append((eid, ts, eid % 50, "error", 1.0))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"events": sdf})
+    row = S.g_test_independence(spark, "x").collect()[0]
+    ct = pd.crosstab(pdf.event_type, pdf.ts.dt.dayofweek)
+    o = ct.to_numpy(dtype=float)
+    e = np.outer(o.sum(1), o.sum(0)) / o.sum()
+    mask = o > 0
+    g = 2 * (o[mask] * np.log(o[mask] / e[mask])).sum()
+    assert row["n_events"] == len(pdf)
+    assert row["g_statistic"] == pytest.approx(g, abs=5e-5)
+    assert bool(row["significant"]) is True  # planted dependence found
+
+
+def test_runs_test_matches_numpy_on_constructed_series(spark, monkeypatch):
+    """Runs statistic recomputed from scratch on a constructed series
+    with a long trend block (few runs -> negative z)."""
+    days = []
+    base = pd.Timestamp("2024-01-01")
+    # 8 low days, 14 high days, 8 median-valued days (excluded): the
+    # kept sequence is one below-block then one above-block -> R = 2
+    vals = [5.0] * 8 + [30.0] * 14 + [10.0] * 8
+    for i, v in enumerate(vals):
+        days.append(((base + pd.Timedelta(days=i)).strftime("%Y-%m-%d"), v))
+    _orders_patch(spark, monkeypatch, days)
+    row = S.runs_test_randomness(spark, "x").collect()[0]
+    n1, n2, r = row["n_above"], row["n_below"], row["n_runs"]
+    # brute force from the operator's own convention
+    med_sorted = sorted(round(v * 100) for _, v in days)
+    m = med_sorted[(len(med_sorted) + 1) // 2 - 1]
+    kept = [(d, round(v * 100) > m) for d, v in days if round(v * 100) != m]
+    kept.sort()
+    bf_r = 1 + sum(1 for a, b in zip(kept, kept[1:]) if a[1] != b[1])
+    bf_n1 = sum(1 for _, h in kept if h)
+    bf_n2 = len(kept) - bf_n1
+    assert (n1, n2, r) == (bf_n1, bf_n2, bf_r)
+    mu = 1 + 2 * bf_n1 * bf_n2 / (bf_n1 + bf_n2)
+    var = (
+        2 * bf_n1 * bf_n2 * (2 * bf_n1 * bf_n2 - bf_n1 - bf_n2)
+        / ((bf_n1 + bf_n2) ** 2 * (bf_n1 + bf_n2 - 1))
+    )
+    assert row["expected_runs"] == pytest.approx(mu, abs=1e-6)
+    assert row["z_score"] == pytest.approx((bf_r - mu) / var**0.5, abs=1e-6)
+    assert row["z_score"] < -2  # the trend block: far too few runs

@@ -102,6 +102,8 @@ HEAVY_TAIL = [
     "mcnemar_weekday_weekend",
     "brier_murphy_decomposition",
     "cohens_kappa_langid",
+    "g_test_independence",
+    "runs_test_randomness",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
@@ -380,6 +382,8 @@ CONSTANT_OUTPUT = {
     "mcnemar_weekday_weekend",
     "brier_murphy_decomposition",
     "cohens_kappa_langid",
+    "g_test_independence",
+    "runs_test_randomness",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
