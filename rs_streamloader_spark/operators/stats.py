@@ -9221,3 +9221,684 @@ def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ROUND({mu}, 6)").alias("expected_runs"),
         F.expr(f"ROUND((r - ({mu})) / SQRT({var}), 6)").alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H test of o_totalprice across order priorities
+# ---------------------------------------------------------------------------
+
+# the five TPC-H order priorities, pinned in canonical order so the
+# pivoted 5-column expression has a FIXED operand order in both
+# engines (sum-order immunity for the double H expression)
+_KW_PRIORITIES = (
+    "1-URGENT",
+    "2-HIGH",
+    "3-MEDIUM",
+    "4-NOT SPECIFIED",
+    "5-LOW",
+)
+_KW_CRIT = 9.487729  # chi^2_4 95% critical value (frozen published)
+
+
+def _kw_pivot_cols(sql: bool) -> str:
+    """The 5x(n_g, r2_g) MAX(CASE) pivot — textually identical in
+    Spark SQL and DuckDB."""
+    cols = []
+    for i, p in enumerate(_KW_PRIORITIES, start=1):
+        cols.append(
+            f"MAX(CASE WHEN p = '{p}' THEN n_g END) AS n{i},"
+            f" MAX(CASE WHEN p = '{p}' THEN r2_g END) AS r2{i}"
+        )
+    return ", ".join(cols)
+
+
+def _kw_h_exprs() -> tuple[str, str, str]:
+    """(sum_term, h, c) double expressions over the pivoted columns —
+    one fixed operand order shared by both engines."""
+    terms = " + ".join(
+        f"CAST(r2{i} AS DOUBLE) * CAST(r2{i} AS DOUBLE) / n{i}"
+        for i in range(1, 6)
+    )
+    # H = 12/(N(N+1)) * SUM(R_g^2/n_g) - 3(N+1) with R_g = r2_g/2,
+    # so SUM(R^2/n) = sum_term/4 and the 12/4 collapses to 3
+    h = f"3e0 * ({terms}) / (CAST(n AS DOUBLE) * (n + 1)) - 3e0 * (n + 1)"
+    c = "1e0 - CAST(tsum AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n)"
+    return terms, h, c
+
+
+_KW_H_EXPR, _KW_C_EXPR = _kw_h_exprs()[1], _kw_h_exprs()[2]
+
+
+@register(
+    "kruskal_wallis_h",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderpriority AS p,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    vt AS (SELECT v, CAST(SUM(c) AS BIGINT) AS ct FROM h GROUP BY v),
+    cum AS (
+      SELECT v, ct,
+             SUM(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - ct
+               AS before_t
+      FROM vt
+    ),
+    g AS (
+      SELECT p, CAST(SUM(c) AS BIGINT) AS n_g,
+             CAST(SUM(CAST(c AS HUGEINT) * (2 * before_t + ct + 1))
+                  AS HUGEINT) AS r2_g
+      FROM h JOIN cum USING (v) GROUP BY p
+    ),
+    ties AS (
+      SELECT CAST(SUM(CAST(ct AS HUGEINT) * ct * ct - ct) AS HUGEINT)
+               AS tsum
+      FROM vt
+    ),
+    wide AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n, {_kw_pivot_cols(True)}
+      FROM g
+    )
+    SELECT n AS n_orders,
+           CAST(4 AS BIGINT) AS df,
+           ROUND(({_KW_H_EXPR}) / ({_KW_C_EXPR}), 6) AS h_statistic,
+           ROUND({_KW_C_EXPR}, 6) AS tie_correction,
+           (({_KW_H_EXPR}) / ({_KW_C_EXPR})) > {_KW_CRIT} AS significant
+    FROM wide CROSS JOIN ties
+    WHERE n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 AND n5 > 0
+    """,
+)
+def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test: do the five order-priority groups share
+    one o_totalprice distribution? The k-group generalization of
+    ``mann_whitney_u`` — rank-based, normality-free, with EXACT
+    average-rank tie handling via the shared cents-value histogram
+    (2·R_g = Σ c·(2·before + t + 1) keeps every rank sum integer) and
+    the tie correction C = 1 − Σ(t³−t)/(N³−N). Verdict vs the frozen
+    published χ²₄ 95% critical value.
+
+    Scale posture: values collapse to a cents histogram (one
+    combinable aggregation); the rank walk is a single banded prefix
+    over the histogram (the ``mann_whitney_u`` policy); the five
+    groups pivot to ONE row via MAX(CASE) in pinned priority order, so
+    the only double expression has a fixed operand order in both
+    engines (sum-order immunity without nano-term scaffolding).
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    h = orders.groupBy(
+        F.col("o_orderpriority").alias("p"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    vt = h.groupBy("v").agg(F.sum("c").cast("bigint").alias("ct"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vt.select(
+        "v", "ct", (F.sum("ct").over(wv) - F.col("ct")).alias("before_t")
+    )
+    g = (
+        h.join(cum, "v")
+        .groupBy("p")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_g"),
+            F.expr(
+                "CAST(SUM(CAST(c AS DECIMAL(38,0))"
+                " * (2 * before_t + ct + 1)) AS DECIMAL(38,0))"
+            ).alias("r2_g"),
+        )
+    )
+    ties = vt.agg(
+        F.expr(
+            "CAST(SUM(CAST(ct AS DECIMAL(38,0)) * ct * ct - ct)"
+            " AS DECIMAL(38,0))"
+        ).alias("tsum")
+    )
+    wide = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        *[F.expr(e).alias(a) for e, a in _kw_spark_pivot()],
+    )
+    return (
+        wide.join(F.broadcast(ties))
+        .where("n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 AND n5 > 0")
+        .select(
+            F.col("n").alias("n_orders"),
+            F.lit(4).cast("bigint").alias("df"),
+            F.expr(
+                f"ROUND(({_KW_H_EXPR}) / ({_KW_C_EXPR}), 6)"
+            ).alias("h_statistic"),
+            F.expr(f"ROUND({_KW_C_EXPR}, 6)").alias("tie_correction"),
+            F.expr(
+                f"(({_KW_H_EXPR}) / ({_KW_C_EXPR})) > {_KW_CRIT}"
+            ).alias("significant"),
+        )
+    )
+
+
+def _kw_spark_pivot() -> list[tuple[str, str]]:
+    """(expr, alias) pairs for the Spark-side MAX(CASE) pivot."""
+    out = []
+    for i, p in enumerate(_KW_PRIORITIES, start=1):
+        out.append((f"MAX(CASE WHEN p = '{p}' THEN n_g END)", f"n{i}"))
+        out.append((f"MAX(CASE WHEN p = '{p}' THEN r2_g END)", f"r2{i}"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test on ln(o_totalprice)
+# ---------------------------------------------------------------------------
+
+_JB_CRIT = 5.991465  # chi^2_2 95% critical value (frozen published)
+
+# population mu/sigma from the exact (n, sx, sxx) nano moments — one
+# fixed double expression shared by both engines (JB uses POPULATION
+# moments, unlike the sample-sigma policy in functions/moments.py)
+_JB_MU = "CAST(sx AS DOUBLE) / 1e9 / n"
+_JB_SIG = (
+    "SQRT(GREATEST((CAST(sxx AS DOUBLE) / 1e18"
+    " - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9) / n)"
+    " / n, 0e0))"
+)
+_JB_SKEW = "CAST(s3 AS DOUBLE) / n / 1e9"
+_JB_XKURT = "CAST(s4 AS DOUBLE) / n / 1e9 - 3e0"
+_JB_STAT = (
+    f"CAST(n AS DOUBLE) / 6e0 * (({_JB_SKEW}) * ({_JB_SKEW})"
+    f" + ({_JB_XKURT}) * ({_JB_XKURT}) / 4e0)"
+)
+
+
+@register(
+    "jarque_bera_normality",
+    oracle=f"""
+    WITH vals AS (
+      SELECT CAST(ROUND(LN(o_totalprice) * 1000000000) AS BIGINT) AS vn
+      FROM orders WHERE o_totalprice > 0
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n, SUM(vn) AS sx,
+             SUM(CAST(vn AS HUGEINT) * vn) AS sxx
+      FROM vals
+    ),
+    z AS (
+      SELECT n,
+             CAST(ROUND(POW((vn / 1e9 - {_JB_MU}) / ({_JB_SIG}), 3)
+                        * 1000000000) AS BIGINT) AS t3,
+             CAST(ROUND(POW((vn / 1e9 - {_JB_MU}) / ({_JB_SIG}), 4)
+                        * 1000000000) AS BIGINT) AS t4
+      FROM vals CROSS JOIN mom
+    ),
+    agg AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST(SUM(t3) AS HUGEINT) AS s3,
+             CAST(SUM(t4) AS HUGEINT) AS s4
+      FROM z GROUP BY n
+    )
+    SELECT n AS n_orders,
+           ROUND({_JB_SKEW}, 6) AS skewness,
+           ROUND({_JB_XKURT}, 6) AS excess_kurtosis,
+           ROUND({_JB_STAT}, 6) AS jb_statistic,
+           ({_JB_STAT}) > {_JB_CRIT} AS significant
+    FROM agg WHERE n > 1
+    """,
+)
+def jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on ln(o_totalprice): JB =
+    n/6·(S² + (K−3)²/4) from the standardized third and fourth
+    moments, verdict vs the frozen published χ²₂ 95% critical value —
+    the moment-based screen that tells a lognormal-ish revenue column
+    apart from an actually-lognormal one before anyone fits a model
+    that assumes it.
+
+    Scale posture: two combinable passes — exact integer (n, Σx, Σx²)
+    nano moments first (μ and population σ derive through ONE fixed
+    double expression, the functions/moments.py policy), then per-row
+    standardized z³/z⁴ terms nano-rounded to integers and summed
+    exactly (DECIMAL(38)/HUGEINT), so partial-aggregation order can
+    never move the statistic. The 1-row moments broadcast to the
+    second pass; output is one row. POW(x, 3) on a finite double is
+    correctly-rounded-identical in both engines for integer exponents
+    (verified by the shared nano rounding).
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    vals = orders.where("o_totalprice > 0").select(
+        F.round(F.log(F.col("o_totalprice")) * 1_000_000_000)
+        .cast("bigint")
+        .alias("vn")
+    )
+    mom = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vn").alias("sx"),
+        F.expr("SUM(CAST(vn AS DECIMAL(38,0)) * vn)").alias("sxx"),
+    )
+    z = vals.join(F.broadcast(mom)).select(
+        "n",
+        F.expr(
+            f"CAST(ROUND(POW((vn / 1e9 - {_JB_MU}) / ({_JB_SIG}), 3)"
+            " * 1000000000) AS BIGINT)"
+        ).alias("t3"),
+        F.expr(
+            f"CAST(ROUND(POW((vn / 1e9 - {_JB_MU}) / ({_JB_SIG}), 4)"
+            " * 1000000000) AS BIGINT)"
+        ).alias("t4"),
+    )
+    agg = z.groupBy("n").agg(
+        F.expr("CAST(SUM(CAST(t3 AS DECIMAL(38,0))) AS DECIMAL(38,0))").alias(
+            "s3"
+        ),
+        F.expr("CAST(SUM(CAST(t4 AS DECIMAL(38,0))) AS DECIMAL(38,0))").alias(
+            "s4"
+        ),
+    )
+    return agg.where("n > 1").select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.expr(f"ROUND({_JB_SKEW}, 6)").alias("skewness"),
+        F.expr(f"ROUND({_JB_XKURT}, 6)").alias("excess_kurtosis"),
+        F.expr(f"ROUND({_JB_STAT}, 6)").alias("jb_statistic"),
+        F.expr(f"({_JB_STAT}) > {_JB_CRIT}").alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test on daily revenue
+# ---------------------------------------------------------------------------
+
+_MK_Z975 = 1.959964  # frozen two-sided 95% normal quantile
+
+# continuity-corrected z from the exact integers (s, var18 = 18*Var(S))
+_MK_Z = (
+    "CASE WHEN s > 0 THEN (s - 1) / SQRT(CAST(var18 AS DOUBLE) / 18e0)"
+    " WHEN s < 0 THEN (s + 1) / SQRT(CAST(var18 AS DOUBLE) / 18e0)"
+    " ELSE 0e0 END"
+)
+
+
+@register(
+    "mann_kendall_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+                           WHEN b.rev < a.rev THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    ties AS (
+      SELECT CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+                  AS HUGEINT) AS tt,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(t) AS BIGINT) AS n
+      FROM (SELECT COUNT(*) AS t FROM daily GROUP BY rev)
+    ),
+    stat AS (
+      SELECT n, s,
+             CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tt
+                  AS HUGEINT) AS var18
+      FROM pairs CROSS JOIN ties
+    )
+    SELECT n AS n_days, s AS s_statistic,
+           CAST(var18 AS BIGINT) AS var_s_x18,
+           ROUND({_MK_Z}, 6) AS z_score,
+           ABS({_MK_Z}) > {_MK_Z975} AS significant
+    FROM stat WHERE n > 2 AND var18 > 0
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on the daily revenue series:
+    S = Σ_{{i<j}} sign(x_j − x_i) over all day pairs, tie-corrected
+    variance Var(S) = [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18, and the
+    continuity-corrected z — the nonparametric TEST that pairs with
+    ``theil_sen_trend`` (the nonparametric slope ESTIMATE) and
+    ``runs_test_randomness`` (which detects autocorrelation, not
+    monotone direction). var_s_x18 stays the exact 18·Var(S) integer
+    so no division enters the cross-engine surface.
+
+    Scale posture: the pair stage is a self-join of the CALENDAR-
+    BOUNDED daily aggregate (~2.4k rows at any scale factor — the
+    reduced-aggregate rule; at 10×/100× year-shifted stress the day
+    count grows with the calendar, still bounded and broadcast-sized).
+    S and the tie terms are exact integers; z is one fixed double
+    expression.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.d") < F.col("b.d"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.rev") > F.col("a.rev"), 1)
+                .when(F.col("b.rev") < F.col("a.rev"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    ties = (
+        daily.groupBy("rev")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(t AS DECIMAL(38,0)) * (t - 1)"
+                " * (2 * t + 5)) AS DECIMAL(38,0))"
+            ).alias("tt"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("t").cast("bigint").alias("n"),
+        )
+    )
+    stat = pairs.join(F.broadcast(ties)).select(
+        "n",
+        "s",
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5) - tt"
+            " AS DECIMAL(38,0))"
+        ).alias("var18"),
+    )
+    return stat.where("n > 2 AND var18 > 0").select(
+        F.col("n").alias("n_days"),
+        F.col("s").alias("s_statistic"),
+        F.col("var18").cast("bigint").alias("var_s_x18"),
+        F.expr(f"ROUND({_MK_Z}, 6)").alias("z_score"),
+        F.expr(f"ABS({_MK_Z}) > {_MK_Z975}").alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson autocorrelation test on OLS daily-revenue residuals
+# ---------------------------------------------------------------------------
+
+# OLS slope/intercept from the exact integer sums — shared fixed
+# double expressions (the ols_daily_revenue_trend policy)
+_DW_B = (
+    "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+)
+_DW_A = f"(CAST(sy AS DOUBLE) - ({_DW_B}) * sx) / n"
+
+
+@register(
+    "durbin_watson_ols",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1
+    ),
+    xy AS (
+      SELECT d, y, CAST(DATEDIFF('day', (SELECT MIN(d) FROM daily), d)
+                        AS BIGINT) AS x
+      FROM daily
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM xy
+    ),
+    resid AS (
+      SELECT d, CAST(ROUND(y - (({_DW_A}) + ({_DW_B}) * x)) AS BIGINT) AS e
+      FROM xy CROSS JOIN sums
+    ),
+    lagged AS (
+      SELECT e, LAG(e) OVER (ORDER BY d) AS ep FROM resid
+    ),
+    dw AS (
+      SELECT CAST(SUM(CASE WHEN ep IS NOT NULL
+                           THEN CAST(e - ep AS HUGEINT) * (e - ep)
+                           ELSE 0 END) AS HUGEINT) AS num,
+             CAST(SUM(CAST(e AS HUGEINT) * e) AS HUGEINT) AS den,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lagged
+    )
+    SELECT n AS n_days,
+           ROUND(CAST(num AS DOUBLE) / den, 6) AS dw_statistic,
+           ROUND(1e0 - CAST(num AS DOUBLE) / den / 2e0, 6) AS rho1_approx,
+           (CAST(num AS DOUBLE) / den) < 1.5 AS positive_autocorr
+    FROM dw WHERE n > 2 AND den > 0
+    """,
+)
+def durbin_watson_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson test on the residuals of the daily-revenue OLS
+    trend line: DW = Σ(e_t − e_{{t−1}})² / Σe_t² ≈ 2(1 − ρ₁). DW near
+    2 means the trend line's errors are serially independent; DW below
+    the conventional 1.5 rule-of-thumb (frozen here — the exact
+    Durbin-Watson critical tables depend on (n, k) and are not
+    published as one number) flags positive autocorrelation, i.e. the
+    i.i.d. error assumption behind ``ols_daily_revenue_trend``'s CI
+    is violated. rho1_approx = 1 − DW/2 is the implied lag-1
+    residual autocorrelation.
+
+    Scale posture: one combinable daily aggregate; the OLS sums are
+    exact integers (cents × day-index products in DECIMAL(38)); slope/
+    intercept derive through ONE fixed double expression broadcast
+    back; residuals round to integer cents so the DW numerator and
+    denominator are EXACT integer sums (sum-order immune); the lag
+    walk orders the calendar-bounded series only (the reduced-
+    aggregate global-window rule).
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    mind = daily.agg(F.min("d").alias("d0"))
+    xy = daily.join(F.broadcast(mind)).select(
+        "d", "y", F.datediff("d", "d0").cast("bigint").alias("x")
+    )
+    d38 = "DECIMAL(38,0)"
+    sums = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"CAST(SUM(x) AS {d38})").alias("sx"),
+        F.expr(f"CAST(SUM(y) AS {d38})").alias("sy"),
+        F.expr(f"CAST(SUM(CAST(x AS {d38}) * x) AS {d38})").alias("sxx"),
+        F.expr(f"CAST(SUM(CAST(x AS {d38}) * y) AS {d38})").alias("sxy"),
+    )
+    resid = xy.join(F.broadcast(sums)).select(
+        "d",
+        F.expr(
+            f"CAST(ROUND(y - (({_DW_A}) + ({_DW_B}) * x)) AS BIGINT)"
+        ).alias("e"),
+    )
+    wd = Window.orderBy("d")
+    lagged = resid.select("e", F.lag("e").over(wd).alias("ep"))
+    dw = lagged.agg(
+        F.expr(
+            f"CAST(SUM(CASE WHEN ep IS NOT NULL"
+            f" THEN CAST(e - ep AS {d38}) * (e - ep)"
+            f" ELSE 0 END) AS {d38})"
+        ).alias("num"),
+        F.expr(f"CAST(SUM(CAST(e AS {d38}) * e) AS {d38})").alias("den"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return dw.where("n > 2 AND den > 0").select(
+        F.col("n").alias("n_days"),
+        F.expr("ROUND(CAST(num AS DOUBLE) / den, 6)").alias("dw_statistic"),
+        F.expr(
+            "ROUND(1e0 - CAST(num AS DOUBLE) / den / 2e0, 6)"
+        ).alias("rho1_approx"),
+        F.expr("(CAST(num AS DOUBLE) / den) < 1.5").alias(
+            "positive_autocorr"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe (median-based Levene) variance-homogeneity test
+# ---------------------------------------------------------------------------
+
+_BF_CRIT = 2.371932  # F(4, inf) 95% = chi^2_4/4 (frozen; see docstring)
+
+
+def _bf_pivot_cols() -> str:
+    cols = []
+    for i, p in enumerate(_KW_PRIORITIES, start=1):
+        cols.append(
+            f"MAX(CASE WHEN p = '{p}' THEN n_g END) AS n{i},"
+            f" MAX(CASE WHEN p = '{p}' THEN sz END) AS sz{i},"
+            f" MAX(CASE WHEN p = '{p}' THEN szz END) AS szz{i}"
+        )
+    return ", ".join(cols)
+
+
+def _bf_w_expr() -> str:
+    """The Brown-Forsythe W statistic as ONE fixed-operand-order
+    double expression over the pivoted (n_g, Σz, Σz²) columns."""
+    n_tot = " + ".join(f"n{i}" for i in range(1, 6))
+    sz_tot = " + ".join(f"CAST(sz{i} AS DOUBLE)" for i in range(1, 6))
+    # between-group SS = SUM(sz_g^2/n_g) - (SUM sz)^2/N
+    between = (
+        " + ".join(
+            f"CAST(sz{i} AS DOUBLE) * CAST(sz{i} AS DOUBLE) / n{i}"
+            for i in range(1, 6)
+        )
+        + f" - ({sz_tot}) * ({sz_tot}) / ({n_tot})"
+    )
+    # within-group SS = SUM(szz_g - sz_g^2/n_g)
+    within = " + ".join(
+        f"(CAST(szz{i} AS DOUBLE)"
+        f" - CAST(sz{i} AS DOUBLE) * CAST(sz{i} AS DOUBLE) / n{i})"
+        for i in range(1, 6)
+    )
+    return (
+        f"(CAST(({n_tot}) - 5 AS DOUBLE) / 4e0)"
+        f" * ({between}) / ({within})"
+    )
+
+
+_BF_W = _bf_w_expr()
+
+
+@register(
+    "levene_brown_forsythe",
+    oracle=f"""
+    WITH hist AS (
+      SELECT o_orderpriority AS p,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT p, v, c,
+             SUM(c) OVER (PARTITION BY p ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cc,
+             SUM(c) OVER (PARTITION BY p) AS n_g
+      FROM hist
+    ),
+    med AS (
+      SELECT p, MIN(v) AS m FROM cum
+      WHERE cc >= (n_g + 1) // 2 GROUP BY p
+    ),
+    z AS (
+      SELECT o.o_orderpriority AS p,
+             ABS(CAST(ROUND(o.o_totalprice * 100) AS BIGINT) - med.m) AS z
+      FROM orders o JOIN med ON o.o_orderpriority = med.p
+    ),
+    g AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(z) AS HUGEINT) AS sz,
+             CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz
+      FROM z GROUP BY p
+    ),
+    wide AS (SELECT {_bf_pivot_cols()} FROM g)
+    SELECT CAST(n1 + n2 + n3 + n4 + n5 AS BIGINT) AS n_orders,
+           CAST(4 AS BIGINT) AS df1,
+           ROUND({_BF_W}, 6) AS w_statistic,
+           ({_BF_W}) > {_BF_CRIT} AS significant
+    FROM wide
+    WHERE n1 > 1 AND n2 > 1 AND n3 > 1 AND n4 > 1 AND n5 > 1
+    """,
+)
+def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (median-based Levene) of variance
+    homogeneity across the five order priorities: a one-way ANOVA F on
+    z = |x − median_g|. The robust companion to ``kruskal_wallis_h``
+    (which tests LOCATION; this tests SPREAD — Welch-vs-pooled
+    decisions hinge on it). The verdict compares W against the frozen
+    F(4, ∞) 95% critical value = χ²₄/4; the finite-sample F(4, N−5)
+    critical value is strictly larger, so at the N where this engine
+    runs the ∞-df approximation is conservative by < 0.1% and exact in
+    the limit (documented trade; there is no closed-form F quantile to
+    freeze per-N).
+
+    Scale posture: per-group medians come from a banded prefix over
+    the bounded cents histogram (exact lower median, the
+    ``runs_test_randomness`` convention); |deviation| is integer cents
+    so every group's (n, Σz, Σz²) is an EXACT integer triple; the five
+    groups pivot to one row in pinned priority order and W is one
+    fixed-operand-order double expression (sum-order immunity). Two
+    combinable scans of orders, a 5-row broadcast join, one output
+    row.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    hist = orders.groupBy(
+        F.col("o_orderpriority").alias("p"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wp = Window.partitionBy("p").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wg = Window.partitionBy("p")
+    cum = hist.select(
+        "p",
+        "v",
+        F.sum("c").over(wp).alias("cc"),
+        F.sum("c").over(wg).alias("n_g"),
+    )
+    med = (
+        cum.where("cc >= (n_g + 1) div 2")
+        .groupBy("p")
+        .agg(F.min("v").alias("m"))
+    )
+    z = orders.join(
+        F.broadcast(med), orders["o_orderpriority"] == med["p"]
+    ).select(
+        "p",
+        F.abs(
+            F.round(F.col("o_totalprice") * 100).cast("bigint") - F.col("m")
+        ).alias("z"),
+    )
+    d38 = "DECIMAL(38,0)"
+    g = z.groupBy("p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.expr(f"CAST(SUM(z) AS {d38})").alias("sz"),
+        F.expr(f"CAST(SUM(CAST(z AS {d38}) * z) AS {d38})").alias("szz"),
+    )
+    wide = g.agg(*[F.expr(e).alias(a) for e, a in _bf_spark_pivot()])
+    return wide.where(
+        "n1 > 1 AND n2 > 1 AND n3 > 1 AND n4 > 1 AND n5 > 1"
+    ).select(
+        F.expr("CAST(n1 + n2 + n3 + n4 + n5 AS BIGINT)").alias("n_orders"),
+        F.lit(4).cast("bigint").alias("df1"),
+        F.expr(f"ROUND({_BF_W}, 6)").alias("w_statistic"),
+        F.expr(f"({_BF_W}) > {_BF_CRIT}").alias("significant"),
+    )
+
+
+def _bf_spark_pivot() -> list[tuple[str, str]]:
+    out = []
+    for i, p in enumerate(_KW_PRIORITIES, start=1):
+        out.append((f"MAX(CASE WHEN p = '{p}' THEN n_g END)", f"n{i}"))
+        out.append((f"MAX(CASE WHEN p = '{p}' THEN sz END)", f"sz{i}"))
+        out.append((f"MAX(CASE WHEN p = '{p}' THEN szz END)", f"szz{i}"))
+    return out

@@ -2572,3 +2572,67 @@ def test_rouge_pair_joins_never_cartesian_or_pair_broadcast(spark):
     assert _re.search(r"ShuffledHashJoin.*doc_a", text) or "SortMergeJoin" in text, (
         text[:1500]
     )
+
+
+def test_kruskal_wallis_histogram_then_bounded_pivot(spark):
+    """Ranks derive from the cents histogram (combinable partial agg),
+    the 5-group pivot is a 1-row reduction, and nothing range-
+    partitions the raw orders rows."""
+    from rs_streamloader_spark.operators.stats import kruskal_wallis_h
+
+    df = kruskal_wallis_h(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "rangepartitioning" not in text.lower(), text[:1500]
+    cols = scan_columns(df)
+    assert {"o_orderpriority", "o_totalprice"} in cols, cols
+
+
+def test_jarque_bera_two_pass_broadcast_moments(spark):
+    """The 1-row moment pass must broadcast back to the z-term pass —
+    never a shuffled join — and the scan prunes to o_totalprice."""
+    from rs_streamloader_spark.operators.stats import jarque_bera_normality
+
+    df = jarque_bera_normality(spark, SF_SMOKE)
+    assert has_broadcast_join(df), explain_str(df, "simple")[:1500]
+    cols = scan_columns(df)
+    assert {"o_totalprice"} in cols, cols
+
+
+def test_mann_kendall_pair_join_is_broadcast_on_daily_aggregate(spark):
+    """The O(days^2) sign stage must pair the calendar-bounded DAILY
+    aggregate with itself via a broadcast nested loop — the raw orders
+    rows never enter a join."""
+    from rs_streamloader_spark.operators.stats import mann_kendall_trend
+
+    df = mann_kendall_trend(spark, SF_SMOKE)
+    text = explain_str(df, "formatted")
+    assert "BroadcastNestedLoopJoin" in text, text[:2000]
+    # both join inputs are post-aggregate: a HashAggregate feeds the
+    # broadcast exchange, not a raw parquet scan
+    assert "Cartesian" not in text
+
+
+def test_durbin_watson_single_ordered_walk_on_daily_series(spark):
+    """One combinable daily aggregate, broadcast OLS sums, and the lag
+    walk orders the bounded series only (no raw-row range exchange)."""
+    from rs_streamloader_spark.operators.stats import durbin_watson_ols
+
+    df = durbin_watson_ols(spark, SF_SMOKE)
+    assert has_broadcast_join(df), explain_str(df, "simple")[:1500]
+    text = explain_str(df, "simple")
+    # the only rangepartitioning allowed is the day-ordered window on
+    # the calendar-bounded aggregate; the orders scan itself must
+    # contribute a hash aggregate first
+    assert text.lower().count("rangepartitioning") <= 1, text[:1500]
+
+
+def test_brown_forsythe_median_join_is_broadcast(spark):
+    """The 5-row per-priority median table joins back to orders as a
+    broadcast build side; the deviation pass stays a combinable
+    hash aggregate."""
+    from rs_streamloader_spark.operators.stats import levene_brown_forsythe
+
+    df = levene_brown_forsythe(spark, SF_SMOKE)
+    assert has_broadcast_join(df), explain_str(df, "simple")[:1500]
+    cols = scan_columns(df)
+    assert {"o_orderpriority", "o_totalprice"} in cols, cols

@@ -1619,3 +1619,230 @@ def test_runs_test_matches_numpy_on_constructed_series(spark, monkeypatch):
     assert row["expected_runs"] == pytest.approx(mu, abs=1e-6)
     assert row["z_score"] == pytest.approx((bf_r - mu) / var**0.5, abs=1e-6)
     assert row["z_score"] < -2  # the trend block: far too few runs
+
+
+def _prio_orders_patch(spark, monkeypatch, groups):
+    """Constructed orders with the five standard priorities: ``groups``
+    maps priority -> list of o_totalprice values."""
+    rows = []
+    k = 0
+    for p, vals in groups.items():
+        for v in vals:
+            rows.append((k, "1995-06-%02d" % (k % 28 + 1), float(v), p))
+            k += 1
+    pdf = pd.DataFrame(
+        rows,
+        columns=["o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"],
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"orders": sdf})
+    return pdf
+
+
+_PRIOS = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def _kw_brute(groups):
+    """Tie-corrected Kruskal-Wallis H from scratch (average ranks)."""
+    all_v = np.concatenate([np.round(np.array(v) * 100) for v in groups])
+    ranks = _avg_ranks(all_v)
+    n = len(all_v)
+    h, off = 0.0, 0
+    for v in groups:
+        r = ranks[off : off + len(v)]
+        off += len(v)
+        h += r.sum() ** 2 / len(v)
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    _, t = np.unique(all_v, return_counts=True)
+    c = 1.0 - (t**3 - t).sum() / (n**3 - n)
+    return h / c
+
+
+def test_kruskal_wallis_matches_brute_force_and_fires_on_shift(
+    spark, monkeypatch
+):
+    """H recomputed from average ranks on a constructed 5-group corpus
+    with heavy ties; a location-shifted group must flip significant."""
+    rng = np.random.RandomState(11)
+    base = [rng.choice([100, 200, 300, 400, 500], 60) for _ in range(5)]
+    # null case: identical discrete distribution in every group
+    groups = {p: list(v) for p, v in zip(_PRIOS, base)}
+    _prio_orders_patch(spark, monkeypatch, groups)
+    row = S.kruskal_wallis_h(spark, "x").collect()[0]
+    assert row["h_statistic"] == pytest.approx(
+        _kw_brute(list(groups.values())), abs=2e-5
+    )
+    assert bool(row["significant"]) is False
+    # planted shift: one group moved far right
+    groups[_PRIOS[2]] = [v + 5000 for v in base[2]]
+    _prio_orders_patch(spark, monkeypatch, groups)
+    row = S.kruskal_wallis_h(spark, "x").collect()[0]
+    assert row["h_statistic"] == pytest.approx(
+        _kw_brute(list(groups.values())), abs=2e-5
+    )
+    assert bool(row["significant"]) is True
+
+
+def _jb_brute(prices):
+    x = np.log(np.asarray(prices, dtype=float))
+    # mirror the operator's nano quantization of ln(price)
+    x = np.round(x * 1e9) / 1e9
+    mu = x.mean()
+    sig = x.std()  # population
+    z = (x - mu) / sig
+    s = (z**3).mean()
+    k = (z**4).mean()
+    return s, k - 3, len(x) / 6.0 * (s**2 + (k - 3) ** 2 / 4)
+
+
+def test_jarque_bera_matches_numpy_both_branches(spark, monkeypatch):
+    """JB recomputed in numpy: lognormal prices (ln is normal) must
+    NOT reject; exp-of-exponential prices (ln is skewed) must."""
+    rng = np.random.RandomState(23)
+    normal_prices = np.exp(rng.randn(800) * 0.4 + 8.0)
+    days = [("2024-01-%02d" % (i % 28 + 1), p) for i, p in enumerate(normal_prices)]
+    _orders_patch(spark, monkeypatch, days)
+    row = S.jarque_bera_normality(spark, "x").collect()[0]
+    s, xk, jb = _jb_brute(normal_prices)
+    assert row["n_orders"] == 800
+    assert row["skewness"] == pytest.approx(s, abs=5e-5)
+    assert row["excess_kurtosis"] == pytest.approx(xk, abs=5e-5)
+    assert row["jb_statistic"] == pytest.approx(jb, abs=5e-3)
+    assert bool(row["significant"]) is False
+    skew_prices = np.exp(rng.exponential(1.0, 800) + 5.0)
+    days = [("2024-01-%02d" % (i % 28 + 1), p) for i, p in enumerate(skew_prices)]
+    _orders_patch(spark, monkeypatch, days)
+    row = S.jarque_bera_normality(spark, "x").collect()[0]
+    s, xk, jb = _jb_brute(skew_prices)
+    assert row["jb_statistic"] == pytest.approx(jb, rel=1e-4)
+    assert bool(row["significant"]) is True
+
+
+def _mk_brute(vals):
+    v = np.round(np.asarray(vals, dtype=float) * 100)
+    # daily totals: one order per day here, so the series IS vals
+    n = len(v)
+    s = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s += int(np.sign(v[j] - v[i]))
+    _, t = np.unique(v, return_counts=True)
+    var18 = n * (n - 1) * (2 * n + 5) - (t * (t - 1) * (2 * t + 5)).sum()
+    if s > 0:
+        z = (s - 1) / np.sqrt(var18 / 18.0)
+    elif s < 0:
+        z = (s + 1) / np.sqrt(var18 / 18.0)
+    else:
+        z = 0.0
+    return s, var18, z
+
+
+def test_mann_kendall_matches_brute_force_on_planted_trend(
+    spark, monkeypatch
+):
+    """S/var/z recomputed by the O(n^2) loop on a constructed noisy
+    uptrend (significant) and on an alternating series (not)."""
+    base = pd.Timestamp("2024-01-01")
+    rng = np.random.RandomState(5)
+    up = [100 + 3 * i + rng.choice([-2, 0, 2]) for i in range(60)]
+    days = [
+        ((base + pd.Timedelta(days=i)).strftime("%Y-%m-%d"), float(v))
+        for i, v in enumerate(up)
+    ]
+    _orders_patch(spark, monkeypatch, days)
+    row = S.mann_kendall_trend(spark, "x").collect()[0]
+    s, var18, z = _mk_brute(up)
+    assert row["n_days"] == 60
+    assert row["s_statistic"] == s
+    assert row["var_s_x18"] == var18
+    assert row["z_score"] == pytest.approx(z, abs=2e-6)
+    assert bool(row["significant"]) is True
+    flat = [100 + (5 if i % 2 else -5) for i in range(60)]
+    days = [
+        ((base + pd.Timedelta(days=i)).strftime("%Y-%m-%d"), float(v))
+        for i, v in enumerate(flat)
+    ]
+    _orders_patch(spark, monkeypatch, days)
+    row = S.mann_kendall_trend(spark, "x").collect()[0]
+    s, var18, z = _mk_brute(flat)
+    assert row["s_statistic"] == s
+    assert bool(row["significant"]) is False
+
+
+def _dw_brute(vals):
+    y = np.round(np.asarray(vals, dtype=float) * 100)
+    x = np.arange(len(y), dtype=float)
+    n = len(y)
+    b = (n * (x * y).sum() - x.sum() * y.sum()) / (
+        n * (x * x).sum() - x.sum() ** 2
+    )
+    a = (y.sum() - b * x.sum()) / n
+    e = np.round(y - (a + b * x))
+    return ((e[1:] - e[:-1]) ** 2).sum() / (e**2).sum()
+
+
+def test_durbin_watson_matches_numpy_both_branches(spark, monkeypatch):
+    """DW recomputed in numpy: a slow sine wave around the trend line
+    gives strongly autocorrelated residuals (DW << 1.5); independent
+    noise gives DW near 2."""
+    base = pd.Timestamp("2024-01-01")
+    rng = np.random.RandomState(9)
+    slow = [
+        1000 + 2 * i + 300 * np.sin(2 * np.pi * i / 40) for i in range(80)
+    ]
+    days = [
+        ((base + pd.Timedelta(days=i)).strftime("%Y-%m-%d"), float(v))
+        for i, v in enumerate(slow)
+    ]
+    _orders_patch(spark, monkeypatch, days)
+    row = S.durbin_watson_ols(spark, "x").collect()[0]
+    dw = _dw_brute(slow)
+    assert row["n_days"] == 80
+    assert row["dw_statistic"] == pytest.approx(dw, abs=2e-6)
+    assert row["rho1_approx"] == pytest.approx(1 - dw / 2, abs=2e-6)
+    assert bool(row["positive_autocorr"]) is True
+    noise = [1000 + 2 * i + rng.randint(-300, 301) for i in range(80)]
+    days = [
+        ((base + pd.Timedelta(days=i)).strftime("%Y-%m-%d"), float(v))
+        for i, v in enumerate(noise)
+    ]
+    _orders_patch(spark, monkeypatch, days)
+    row = S.durbin_watson_ols(spark, "x").collect()[0]
+    dw = _dw_brute(noise)
+    assert row["dw_statistic"] == pytest.approx(dw, abs=2e-6)
+    assert 1.5 < row["dw_statistic"] < 2.6
+    assert bool(row["positive_autocorr"]) is False
+
+
+def _bf_brute(groups):
+    zs = []
+    for v in groups:
+        c = np.round(np.asarray(v, dtype=float) * 100)
+        m = np.sort(c)[(len(c) + 1) // 2 - 1]  # lower median
+        zs.append(np.abs(c - m))
+    n = sum(len(z) for z in zs)
+    k = len(zs)
+    zbar = np.concatenate(zs).mean()
+    between = sum(len(z) * (z.mean() - zbar) ** 2 for z in zs)
+    within = sum(((z - z.mean()) ** 2).sum() for z in zs)
+    return (n - k) / (k - 1) * between / within
+
+
+def test_brown_forsythe_matches_numpy_both_branches(spark, monkeypatch):
+    """W recomputed in numpy: equal-spread groups must not reject, a
+    variance-inflated group must."""
+    rng = np.random.RandomState(17)
+    base = [list(1000 + rng.randint(-50, 51, 80)) for _ in range(5)]
+    groups = {p: v for p, v in zip(_PRIOS, base)}
+    _prio_orders_patch(spark, monkeypatch, groups)
+    row = S.levene_brown_forsythe(spark, "x").collect()[0]
+    w = _bf_brute(list(groups.values()))
+    assert row["n_orders"] == 400
+    assert row["w_statistic"] == pytest.approx(w, abs=2e-5)
+    assert bool(row["significant"]) is False
+    groups[_PRIOS[4]] = list(1000 + rng.randint(-50, 51, 80) * 8)
+    _prio_orders_patch(spark, monkeypatch, groups)
+    row = S.levene_brown_forsythe(spark, "x").collect()[0]
+    w = _bf_brute(list(groups.values()))
+    assert row["w_statistic"] == pytest.approx(w, abs=2e-5)
+    assert bool(row["significant"]) is True

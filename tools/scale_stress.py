@@ -104,6 +104,12 @@ HEAVY_TAIL = [
     "cohens_kappa_langid",
     "g_test_independence",
     "runs_test_randomness",
+    # round-12 wave 4
+    "kruskal_wallis_h",
+    "jarque_bera_normality",
+    "mann_kendall_trend",
+    "durbin_watson_ols",
+    "levene_brown_forsythe",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
@@ -384,6 +390,13 @@ CONSTANT_OUTPUT = {
     "cohens_kappa_langid",
     "g_test_independence",
     "runs_test_randomness",
+    # round-12 wave 4: 1-row test reductions over fixed group/series
+    # structures (priorities / the calendar-bounded daily series)
+    "kruskal_wallis_h",
+    "jarque_bera_normality",
+    "mann_kendall_trend",
+    "durbin_watson_ols",
+    "levene_brown_forsythe",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
