@@ -9902,3 +9902,342 @@ def _bf_spark_pivot() -> list[tuple[str, str]]:
         out.append((f"MAX(CASE WHEN p = '{p}' THEN sz END)", f"sz{i}"))
         out.append((f"MAX(CASE WHEN p = '{p}' THEN szz END)", f"szz{i}"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard of the return-time distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nelson_aalen_hazard",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    hz AS (SELECT MAX(d) AS horizon FROM ev),
+    spells AS (
+      SELECT CASE WHEN nxt IS NULL THEN horizon - d ELSE nxt - d END AS t,
+             CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS ev
+      FROM (
+        SELECT d, LEAD(d) OVER (PARTITION BY user_id
+                                ORDER BY d, event_id) AS nxt
+        FROM ev
+      ) CROSS JOIN hz
+    ),
+    life AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d_t,
+             CAST(SUM(1 - ev) AS BIGINT) AS c_t
+      FROM spells GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d_t, c_t,
+             CAST((SELECT COUNT(*) FROM spells)
+                  - (SUM(d_t + c_t) OVER (ORDER BY t
+                                          ROWS UNBOUNDED PRECEDING)
+                     - (d_t + c_t)) AS BIGINT) AS n_t
+      FROM life
+    ),
+    na AS (
+      SELECT t, n_t, d_t,
+             CAST(ROUND(CAST(d_t AS DOUBLE) / n_t * 1000000000) AS BIGINT)
+               AS h_term,
+             CAST(ROUND(CAST(d_t AS DOUBLE) * (n_t - d_t)
+                        / (CAST(n_t AS DOUBLE) * n_t * n_t)
+                        * 1000000000) AS BIGINT) AS v_term
+      FROM risk WHERE d_t > 0
+    )
+    SELECT CAST(t AS BIGINT) AS t_days, n_t AS n_risk, d_t AS n_events,
+           CAST(SUM(h_term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_hazard_nano,
+           CAST(SUM(v_term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS var_hazard_nano
+    FROM na
+    """,
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over the same right-
+    censored return-time spells as ``kaplan_meier_return_time``:
+    H(t) = Σ_{{t_i ≤ t}} d_i/n_i with the standard variance estimate
+    Σ d(n−d)/n³. Where KM reports survival in log space (its d = n
+    terminal row is ln 0), the hazard sum is FINITE everywhere — the
+    two views cross-check via S(t) ≈ exp(−H(t)), and H's increments
+    are what a proportional-hazards reading consumes.
+
+    Scale posture: identical to KM — one LEAD window partitioned by
+    user, a life-table aggregation bounded by the max gap in days,
+    windows over that bounded frame only. Cross-engine determinism:
+    each d/n hazard term and d(n−d)/n³ variance term is one fixed
+    double expression nano-rounded BEFORE the cumulative sum
+    (transcendental-sum policy, here applied to rationals so the
+    prefix is an exact integer walk).
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    ev = _t(spark, sf_dir, "events")["events"].select(
+        "user_id", "event_id", F.col("ts").cast("date").alias("d")
+    )
+    hz = ev.agg(F.max("d").alias("horizon"))
+    nxt = ev.select(
+        "d",
+        F.lead("d")
+        .over(Window.partitionBy("user_id").orderBy("d", "event_id"))
+        .alias("nxt"),
+    )
+    spells = nxt.crossJoin(F.broadcast(hz)).select(
+        F.when(F.col("nxt").isNull(), F.datediff("horizon", "d"))
+        .otherwise(F.datediff("nxt", "d"))
+        .alias("t"),
+        F.when(F.col("nxt").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    life = spells.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d_t"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("c_t"),
+    )
+    total = spells.agg(F.count(F.lit(1)).cast("bigint").alias("n_spells"))
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = life.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d_t",
+        (
+            F.col("n_spells")
+            - (
+                F.sum(F.col("d_t") + F.col("c_t")).over(wt)
+                - (F.col("d_t") + F.col("c_t"))
+            )
+        )
+        .cast("bigint")
+        .alias("n_t"),
+    )
+    na = risk.where(F.col("d_t") > 0).select(
+        "t",
+        "n_t",
+        "d_t",
+        F.expr(
+            "CAST(ROUND(CAST(d_t AS DOUBLE) / n_t * 1000000000) AS BIGINT)"
+        ).alias("h_term"),
+        F.expr(
+            "CAST(ROUND(CAST(d_t AS DOUBLE) * (n_t - d_t)"
+            " / (CAST(n_t AS DOUBLE) * n_t * n_t) * 1000000000) AS BIGINT)"
+        ).alias("v_term"),
+    )
+    return na.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("n_t").alias("n_risk"),
+        F.col("d_t").alias("n_events"),
+        F.sum("h_term").over(wt).cast("bigint").alias("cum_hazard_nano"),
+        F.sum("v_term").over(wt).cast("bigint").alias("var_hazard_nano"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test: return-time survival after a click vs after a view
+# ---------------------------------------------------------------------------
+
+_LOGRANK_CHI2_1 = 3.841459  # chi^2_1 95% critical value (frozen)
+
+_LOGRANK_CHI2 = (
+    "(CAST(o1 AS DOUBLE) - CAST(e1n AS DOUBLE) / 1e9)"
+    " * (CAST(o1 AS DOUBLE) - CAST(e1n AS DOUBLE) / 1e9)"
+    " / (CAST(vn AS DOUBLE) / 1e9)"
+)
+
+
+@register(
+    "logrank_test_return_time",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS DATE) AS d
+      FROM events
+    ),
+    hz AS (SELECT MAX(d) AS horizon FROM ev),
+    spells AS (
+      SELECT grp,
+             CASE WHEN nxt IS NULL THEN horizon - d ELSE nxt - d END AS t,
+             CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS e
+      FROM (
+        SELECT event_type AS grp, d,
+               LEAD(d) OVER (PARTITION BY user_id
+                             ORDER BY d, event_id) AS nxt
+        FROM ev
+      ) CROSS JOIN hz
+      WHERE grp IN ('{_KS_A}', '{_KS_B}')
+    ),
+    life AS (
+      SELECT t,
+             CAST(SUM(CASE WHEN grp = '{_KS_A}' THEN e ELSE 0 END)
+                  AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN grp = '{_KS_A}' THEN 1 - e ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN grp = '{_KS_B}' THEN e ELSE 0 END)
+                  AS BIGINT) AS d2,
+             CAST(SUM(CASE WHEN grp = '{_KS_B}' THEN 1 - e ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM spells GROUP BY t
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN grp = '{_KS_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN grp = '{_KS_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nb
+      FROM spells
+    ),
+    risk AS (
+      SELECT t, d1, d2,
+             na - (SUM(d1 + c1) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                   - (d1 + c1)) AS n1,
+             nb - (SUM(d2 + c2) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                   - (d2 + c2)) AS n2
+      FROM life CROSS JOIN tot
+    ),
+    terms AS (
+      SELECT d1,
+             CAST(ROUND(CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2)
+                        * 1000000000) AS BIGINT) AS e1_nano,
+             CAST(ROUND(CAST(d1 + d2 AS DOUBLE) * n1 * n2
+                        * (n1 + n2 - d1 - d2)
+                        / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                           * (n1 + n2 - 1))
+                        * 1000000000) AS BIGINT) AS v_nano
+      FROM risk WHERE d1 + d2 > 0 AND n1 + n2 > 1
+    ),
+    agg AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+             CAST(SUM(e1_nano) AS HUGEINT) AS e1n,
+             CAST(SUM(v_nano) AS HUGEINT) AS vn
+      FROM terms
+    )
+    SELECT (SELECT na FROM tot) AS n_spells_a,
+           (SELECT nb FROM tot) AS n_spells_b,
+           o1 AS observed_a,
+           ROUND(CAST(e1n AS DOUBLE) / 1e9, 6) AS expected_a,
+           ROUND({_LOGRANK_CHI2}, 6) AS chi2_statistic,
+           ({_LOGRANK_CHI2}) > {_LOGRANK_CHI2_1} AS significant
+    FROM agg WHERE vn > 0
+    """,
+)
+def logrank_test_return_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test comparing the return-time survival
+    curves of spells opened by a CLICK vs spells opened by a VIEW —
+    the censoring-aware answer to "do users come back faster after
+    clicking than after viewing?" that a naive mean-gap comparison
+    gets wrong (open spells are right-censored at the horizon, and
+    dropping them biases both means). At every death time the observed
+    click-group deaths are compared against the hypergeometric
+    expectation d·n₁/n; the χ² verdict uses the frozen published χ²₁
+    95% critical value.
+
+    Scale posture: the spell stage is the ``kaplan_meier_return_time``
+    LEAD window (one sessionize-shaped shuffle); the two-group life
+    table is bounded by the max gap in days; the risk-set walk and the
+    O−E/V terms run over that bounded frame only. Cross-engine
+    determinism: observed counts are exact integers; each E and V term
+    is one fixed-operand-order double nano-rounded BEFORE summation;
+    the final χ² is one shared expression over three exact integers.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    ev = _t(spark, sf_dir, "events")["events"].select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("date").alias("d")
+    )
+    hz = ev.agg(F.max("d").alias("horizon"))
+    nxt = ev.select(
+        F.col("event_type").alias("grp"),
+        "d",
+        F.lead("d")
+        .over(Window.partitionBy("user_id").orderBy("d", "event_id"))
+        .alias("nxt"),
+    )
+    spells = (
+        nxt.crossJoin(F.broadcast(hz))
+        .where(F.col("grp").isin(_KS_A, _KS_B))
+        .select(
+            "grp",
+            F.when(F.col("nxt").isNull(), F.datediff("horizon", "d"))
+            .otherwise(F.datediff("nxt", "d"))
+            .alias("t"),
+            F.when(F.col("nxt").isNull(), 0).otherwise(1).alias("e"),
+        )
+    )
+    life = spells.groupBy("t").agg(
+        F.expr(
+            f"CAST(SUM(CASE WHEN grp = '{_KS_A}' THEN e ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("d1"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN grp = '{_KS_A}' THEN 1 - e ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("c1"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN grp = '{_KS_B}' THEN e ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("d2"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN grp = '{_KS_B}' THEN 1 - e ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("c2"),
+    )
+    tot = spells.agg(
+        F.expr(
+            f"CAST(SUM(CASE WHEN grp = '{_KS_A}' THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("na"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN grp = '{_KS_B}' THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("nb"),
+    )
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = life.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d1",
+        "d2",
+        "na",
+        "nb",
+        (
+            F.col("na")
+            - (
+                F.sum(F.col("d1") + F.col("c1")).over(wt)
+                - (F.col("d1") + F.col("c1"))
+            )
+        ).alias("n1"),
+        (
+            F.col("nb")
+            - (
+                F.sum(F.col("d2") + F.col("c2")).over(wt)
+                - (F.col("d2") + F.col("c2"))
+            )
+        ).alias("n2"),
+    )
+    terms = risk.where("d1 + d2 > 0 AND n1 + n2 > 1").select(
+        "na",
+        "nb",
+        "d1",
+        F.expr(
+            "CAST(ROUND(CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2)"
+            " * 1000000000) AS BIGINT)"
+        ).alias("e1_nano"),
+        F.expr(
+            "CAST(ROUND(CAST(d1 + d2 AS DOUBLE) * n1 * n2"
+            " * (n1 + n2 - d1 - d2)"
+            " / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))"
+            " * 1000000000) AS BIGINT)"
+        ).alias("v_nano"),
+    )
+    agg = terms.groupBy("na", "nb").agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.expr("CAST(SUM(CAST(e1_nano AS DECIMAL(38,0))) AS DECIMAL(38,0))").alias(
+            "e1n"
+        ),
+        F.expr("CAST(SUM(CAST(v_nano AS DECIMAL(38,0))) AS DECIMAL(38,0))").alias(
+            "vn"
+        ),
+    )
+    return agg.where("vn > 0").select(
+        F.col("na").alias("n_spells_a"),
+        F.col("nb").alias("n_spells_b"),
+        F.col("o1").alias("observed_a"),
+        F.expr("ROUND(CAST(e1n AS DOUBLE) / 1e9, 6)").alias("expected_a"),
+        F.expr(f"ROUND({_LOGRANK_CHI2}, 6)").alias("chi2_statistic"),
+        F.expr(f"({_LOGRANK_CHI2}) > {_LOGRANK_CHI2_1}").alias("significant"),
+    )

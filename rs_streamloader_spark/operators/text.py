@@ -2059,3 +2059,412 @@ def doclen_tail_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hill_alpha_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hellinger / total-variation distance between source unigram dists
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hellinger_tv_sources",
+    oracle=f"""
+    WITH tc AS ({_SOURCE_TOK_SQL}),
+    tot AS (SELECT source, SUM(cnt) AS total FROM tc GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(ROUND(SQRT((CAST(a.cnt AS DOUBLE) / ta.total)
+                             * (CAST(b.cnt AS DOUBLE) / tb.total))
+                        * 1000000000) AS BIGINT) AS bc_nano,
+             CAST(ROUND(ABS(CAST(a.cnt AS DOUBLE) / ta.total
+                            - CAST(b.cnt AS DOUBLE) / tb.total)
+                        * 1000000000) AS BIGINT) AS tv_nano,
+             a.cnt AS ca, b.cnt AS cb
+      FROM tc a
+      JOIN tc b ON b.tok = a.tok AND a.source < b.source
+      JOIN tot ta ON ta.source = a.source
+      JOIN tot tb ON tb.source = b.source
+    ),
+    agg AS (
+      SELECT source_a, source_b,
+             SUM(bc_nano) AS bc_sum, SUM(tv_nano) AS tv_sum,
+             SUM(ca) AS shared_ca, SUM(cb) AS shared_cb
+      FROM shared GROUP BY 1, 2
+    ),
+    -- the full bounded pair grid: disjoint-vocabulary pairs must
+    -- surface as H=1/TV=1, not silently vanish from the inner join
+    grid AS (
+      SELECT ta.source AS source_a, ta.total AS ta,
+             tb.source AS source_b, tb.total AS tb
+      FROM tot ta JOIN tot tb ON ta.source < tb.source
+    )
+    SELECT p.source_a, p.source_b,
+           ROUND(COALESCE(g.bc_sum, 0) / 1e9, 6) AS bc_coefficient,
+           ROUND(SQRT(GREATEST(1e0 - COALESCE(g.bc_sum, 0) / 1e9, 0e0)), 6)
+             AS hellinger,
+           ROUND((COALESCE(g.tv_sum, 0) / 1e9
+                  + (1e0 - CAST(COALESCE(g.shared_ca, 0) AS DOUBLE) / p.ta)
+                  + (1e0 - CAST(COALESCE(g.shared_cb, 0) AS DOUBLE) / p.tb))
+                 / 2e0, 6) AS tv_distance
+    FROM grid p
+    LEFT JOIN agg g
+      ON g.source_a = p.source_a AND g.source_b = p.source_b
+    """,
+)
+def hellinger_tv_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger distance, Bhattacharyya coefficient, and total-
+    variation distance between every pair of sources' unigram
+    distributions — the three bounded-metric complements to
+    ``text_js_divergence_sources`` (JS is entropy-shaped; Hellinger is
+    the geometric sqrt metric, TV the worst-case-event bound via
+    TV = sup|P(A)−Q(A)|). A domain-mixing pipeline reads TV as "the
+    largest probability gap any token event can see between these two
+    sources".
+
+    Scale posture: identical to the JS operator — the (source, token)
+    aggregate is vocab-bounded, the pair join fans each token to at
+    most sources² rows, and tokens present in only one source
+    contribute closed-form corrections from exact integer masses
+    (|p−0| sums to the unshared mass; sqrt(p·0) contributes 0 to BC),
+    so no full-outer join. Cross-engine determinism: each shared-token
+    term is one fixed-operand-order double rounded to nano integers
+    BEFORE summation; the corrections are final expressions over exact
+    integer counts.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 text
+    family)."""
+    tc = _source_token_counts(spark, sf_dir)
+    tot = tc.groupBy("source").agg(F.sum("cnt").alias("total"))
+    a = tc.alias("a")
+    b = tc.alias("b")
+    ta = tot.select(
+        F.col("source").alias("source_a"), F.col("total").alias("ta")
+    )
+    tb = tot.select(
+        F.col("source").alias("source_b"), F.col("total").alias("tb")
+    )
+    shared = (
+        a.join(
+            b,
+            (F.col("b.tok") == F.col("a.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("a.cnt").alias("ca"),
+            F.col("b.cnt").alias("cb"),
+        )
+        .join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "ca",
+            "cb",
+            F.expr(
+                "CAST(ROUND(SQRT((CAST(ca AS DOUBLE) / ta)"
+                " * (CAST(cb AS DOUBLE) / tb)) * 1000000000) AS BIGINT)"
+            ).alias("bc_nano"),
+            F.expr(
+                "CAST(ROUND(ABS(CAST(ca AS DOUBLE) / ta"
+                " - CAST(cb AS DOUBLE) / tb) * 1000000000) AS BIGINT)"
+            ).alias("tv_nano"),
+        )
+    )
+    agg = shared.groupBy("source_a", "source_b").agg(
+        F.sum("bc_nano").alias("bc_sum"),
+        F.sum("tv_nano").alias("tv_sum"),
+        F.sum("ca").alias("shared_ca"),
+        F.sum("cb").alias("shared_cb"),
+    )
+    # full bounded pair grid: disjoint-vocabulary pairs must surface
+    # as H=1/TV=1, not silently vanish from the inner pair join
+    grid = ta.join(tb, F.col("source_a") < F.col("source_b"))
+    return (
+        F.broadcast(grid)
+        .join(agg, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.expr("ROUND(COALESCE(bc_sum, 0) / 1e9, 6)").alias(
+                "bc_coefficient"
+            ),
+            F.expr(
+                "ROUND(SQRT(GREATEST(1e0 - COALESCE(bc_sum, 0) / 1e9,"
+                " 0e0)), 6)"
+            ).alias("hellinger"),
+            F.expr(
+                "ROUND((COALESCE(tv_sum, 0) / 1e9"
+                " + (1e0 - CAST(COALESCE(shared_ca, 0) AS DOUBLE) / ta)"
+                " + (1e0 - CAST(COALESCE(shared_cb, 0) AS DOUBLE) / tb))"
+                " / 2e0, 6)"
+            ).alias("tv_distance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing unseen-mass estimate per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "good_turing_mass",
+    oracle=f"""
+    WITH tc AS ({_SOURCE_TOK_SQL}),
+    fof AS (
+      SELECT source, cnt AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+      FROM tc GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT source,
+             CAST(SUM(r * n_r) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_r) AS BIGINT) AS vocab,
+             CAST(MAX(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+             CAST(MAX(CASE WHEN r = 2 THEN n_r ELSE 0 END) AS BIGINT)
+               AS n_dis
+      FROM fof GROUP BY source
+    )
+    SELECT source, n_tokens, vocab, n_hapax, n_dis,
+           CAST(CAST(n_hapax AS HUGEINT) * 1000000 // n_tokens AS BIGINT)
+             AS p0_ppm,
+           CASE WHEN n_hapax > 0
+                THEN CAST(CAST(n_dis AS HUGEINT) * 2000000 // n_hapax
+                          AS BIGINT) END AS r1_star_micro
+    FROM agg WHERE n_tokens > 0
+    ORDER BY source
+    """,
+)
+def good_turing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-mass estimate per source: p₀ = N₁/N (the
+    probability the NEXT token drawn from this source is a never-seen
+    type — the quantity Kneser-Ney discounts exist to cover, cf.
+    ``bigram_kneser_ney``) and the Turing-smoothed count for hapaxes
+    r₁* = 2·N₂/N₁. High p0_ppm means the source's vocabulary is still
+    growing fast (cf. ``heaps_law_fit``) and rare-token estimates are
+    unreliable.
+
+    Scale posture: the (source, token) aggregate is vocab-bounded, the
+    frequency-of-frequencies table collapses it to ≤ distinct-count
+    rows per source, and the readout is one bounded row per source.
+    All outputs are exact integers (truncating ppm/micro divisions in
+    DECIMAL(38)/HUGEINT) — zero doubles anywhere.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 text
+    family)."""
+    tc = _source_token_counts(spark, sf_dir)
+    fof = tc.groupBy("source", F.col("cnt").alias("r")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r")
+    )
+    agg = fof.groupBy("source").agg(
+        F.expr("CAST(SUM(r * n_r) AS BIGINT)").alias("n_tokens"),
+        F.sum("n_r").cast("bigint").alias("vocab"),
+        F.expr(
+            "CAST(MAX(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT)"
+        ).alias("n_hapax"),
+        F.expr(
+            "CAST(MAX(CASE WHEN r = 2 THEN n_r ELSE 0 END) AS BIGINT)"
+        ).alias("n_dis"),
+    )
+    return (
+        agg.where("n_tokens > 0")
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            "n_hapax",
+            "n_dis",
+            F.expr(
+                "CAST(CAST(n_hapax AS DECIMAL(38,0)) * 1000000"
+                " div n_tokens AS BIGINT)"
+            ).alias("p0_ppm"),
+            F.expr(
+                "CASE WHEN n_hapax > 0 THEN"
+                " CAST(CAST(n_dis AS DECIMAL(38,0)) * 2000000"
+                " div n_hapax AS BIGINT) END"
+            ).alias("r1_star_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law fit: vocabulary growth V(T) ~ K * T^beta
+# ---------------------------------------------------------------------------
+
+# OLS slope in ln-ln space over the 10 decile points, from the exact
+# nano-rounded ln sums (n = 10 fixed). Both axes carry the same 1e9
+# nano scale, which CANCELS in the slope ratio — the numpy pin test
+# caught an erroneous /1e9 here that both engines had agreed on
+# (the single-sourced-formula trap the pins exist for).
+_HEAPS_BETA = (
+    "(10e0 * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)"
+    " / (10e0 * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)"
+)
+
+
+@register(
+    "heaps_law_fit",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             CAST(LEN(LIST_FILTER(STR_SPLIT(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS tok_cnt
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY doc_id) AS rnk,
+             SUM(tok_cnt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               AS cum_tok
+      FROM docs
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs),
+    bounds AS (
+      SELECT d, r.doc_id AS b_id, r.cum_tok
+      FROM (SELECT CAST(UNNEST(GENERATE_SERIES(1, 10)) AS BIGINT) AS d)
+      CROSS JOIN tot
+      JOIN ranked r ON r.rnk = n * d // 10
+    ),
+    firsts AS (
+      SELECT tok, MIN(doc_id) AS fo FROM (
+        SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> '' GROUP BY tok
+    ),
+    curve AS (
+      SELECT b.d, b.cum_tok AS tokens_prefix,
+             CAST(COUNT(*) AS BIGINT) AS vocab_prefix
+      FROM firsts f JOIN bounds b ON f.fo <= b.b_id
+      GROUP BY 1, 2
+    ),
+    lnpts AS (
+      SELECT d, tokens_prefix, vocab_prefix,
+             CAST(ROUND(LN(CAST(tokens_prefix AS DOUBLE)) * 1000000000)
+                  AS BIGINT) AS lx,
+             CAST(ROUND(LN(CAST(vocab_prefix AS DOUBLE)) * 1000000000)
+                  AS BIGINT) AS ly
+      FROM curve
+    ),
+    fit AS (
+      SELECT CAST(SUM(lx) AS HUGEINT) AS sx, CAST(SUM(ly) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(lx AS HUGEINT) * lx) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(lx AS HUGEINT) * ly) AS HUGEINT) AS sxy
+      FROM lnpts
+    )
+    SELECT p.d AS decile, CAST(p.tokens_prefix AS BIGINT) AS tokens_prefix,
+           p.vocab_prefix,
+           ROUND({_HEAPS_BETA}, 6) AS beta_fit
+    FROM lnpts p CROSS JOIN fit
+    ORDER BY p.d
+    """,
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law fit V(T) ≈ K·T^β: the vocabulary-growth exponent of
+    the corpus, measured at the ten doc-order decile prefixes and
+    fitted by OLS in ln-ln space. β near 1 means vocabulary still
+    grows linearly with tokens (dedup/normalization headroom); β
+    around 0.4-0.6 is typical settled natural text. The doc-prefix
+    curve complements ``good_turing_mass`` (instantaneous unseen
+    probability) and ``vocab_coverage_curve`` (top-K share).
+
+    Scale posture: the doc rank AND the cumulative token prefix come
+    from the two-pass banded pattern (row_number / running sum within
+    a doc_id band + broadcast per-band offsets — the
+    ``lorenz_curve_points`` machinery), so no input-cardinality global
+    window; first-occurrence per token is one combinable MIN; the
+    decile readout joins tokens' first-occurrence doc against a
+    broadcast 10-row boundary table (≤10× vocab fan-in, map-side
+    combinable count). The ln-ln fit runs over TEN bounded points with
+    nano-rounded ln terms summed exactly (sum-order immunity).
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 text
+    family)."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    docs = t.select(
+        "doc_id",
+        F.expr(
+            "CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)"
+        ).alias("tok_cnt"),
+    )
+    docs = docs.withColumn(
+        "bucket", F.floor(F.col("doc_id") / F.lit(1024)).cast("bigint")
+    )
+    w_in = Window.partitionBy("bucket").orderBy("doc_id")
+    w_in_sum = w_in.rowsBetween(Window.unboundedPreceding, 0)
+    within = docs.withColumn("rn", F.row_number().over(w_in)).withColumn(
+        "csum", F.sum(F.col("tok_cnt").cast("decimal(38,0)")).over(w_in_sum)
+    )
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        docs.groupBy("bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.expr("CAST(SUM(tok_cnt) AS DECIMAL(38,0))").alias("bsum"),
+        )
+        .select(
+            "bucket",
+            F.coalesce(F.sum("cnt").over(w_b), F.lit(0)).alias("offset"),
+            F.coalesce(
+                F.sum("bsum").over(w_b), F.lit(0).cast("decimal(38,0)")
+            ).alias("tok_offset"),
+        )
+    )
+    ranked = within.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        (F.col("offset") + F.col("rn")).cast("bigint").alias("rnk"),
+        (F.col("tok_offset") + F.col("csum"))
+        .cast("bigint")
+        .alias("cum_tok"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    deciles = spark.range(1, 11).select(F.col("id").cast("bigint").alias("d"))
+    bounds = (
+        F.broadcast(deciles)
+        .join(F.broadcast(tot))
+        .select("d", F.expr("CAST(n * d div 10 AS BIGINT)").alias("rnk"))
+        .join(ranked, "rnk")
+        .select("d", F.col("doc_id").alias("b_id"), "cum_tok")
+    )
+    firsts = (
+        t.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("fo"))
+    )
+    curve = (
+        firsts.join(F.broadcast(bounds), F.col("fo") <= F.col("b_id"))
+        .groupBy("d", F.col("cum_tok").alias("tokens_prefix"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab_prefix"))
+    )
+    lnpts = curve.select(
+        "d",
+        "tokens_prefix",
+        "vocab_prefix",
+        F.expr(
+            "CAST(ROUND(LN(CAST(tokens_prefix AS DOUBLE)) * 1000000000)"
+            " AS BIGINT)"
+        ).alias("lx"),
+        F.expr(
+            "CAST(ROUND(LN(CAST(vocab_prefix AS DOUBLE)) * 1000000000)"
+            " AS BIGINT)"
+        ).alias("ly"),
+    )
+    d38 = "DECIMAL(38,0)"
+    fit = lnpts.agg(
+        F.expr(f"CAST(SUM(lx) AS {d38})").alias("sx"),
+        F.expr(f"CAST(SUM(ly) AS {d38})").alias("sy"),
+        F.expr(f"CAST(SUM(CAST(lx AS {d38}) * lx) AS {d38})").alias("sxx"),
+        F.expr(f"CAST(SUM(CAST(lx AS {d38}) * ly) AS {d38})").alias("sxy"),
+    )
+    return (
+        lnpts.join(F.broadcast(fit))
+        .select(
+            F.col("d").alias("decile"),
+            F.col("tokens_prefix").cast("bigint").alias("tokens_prefix"),
+            "vocab_prefix",
+            F.expr(f"ROUND({_HEAPS_BETA}, 6)").alias("beta_fit"),
+        )
+        .orderBy("decile")
+    )

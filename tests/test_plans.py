@@ -2636,3 +2636,69 @@ def test_brown_forsythe_median_join_is_broadcast(spark):
     assert has_broadcast_join(df), explain_str(df, "simple")[:1500]
     cols = scan_columns(df)
     assert {"o_orderpriority", "o_totalprice"} in cols, cols
+
+
+def test_hellinger_pair_join_by_token_equality_never_cartesian(spark):
+    """The shared-token stage joins by token equality (hash/SMJ); the
+    only nested-loop is the bounded source-grid inequality pair, and
+    no CartesianProduct appears anywhere."""
+    from rs_streamloader_spark.operators.text import hellinger_tv_sources
+
+    df = hellinger_tv_sources(spark, SF_SMOKE)
+    text = explain_str(df, "formatted")
+    assert "CartesianProduct" not in text, text[:2000]
+    assert "SortMergeJoin" in text or "ShuffledHashJoin" in text or (
+        "BroadcastHashJoin" in text
+    ), text[:2000]
+
+
+def test_good_turing_prunes_and_stays_combinable(spark):
+    """Scan prunes to (source, text); the frequency-of-frequencies
+    reduction is hash aggregates only — no range partitioning."""
+    from rs_streamloader_spark.operators.text import good_turing_mass
+
+    df = good_turing_mass(spark, SF_SMOKE)
+    cols = scan_columns(df)
+    assert {"source", "text"} in cols, cols
+    # the final ORDER BY source on the bounded per-source rollup is
+    # the one permitted ordered exchange
+    text = explain_str(df, "simple")
+    assert text.lower().count("rangepartitioning") <= 1, text[:1500]
+
+
+def test_heaps_rank_is_banded_and_boundary_join_broadcast(spark):
+    """The doc rank uses the banded two-pass (bucket hash partition +
+    bounded bucket-offset window); the decile boundary join is a
+    broadcast; no input-cardinality global row_number."""
+    from rs_streamloader_spark.operators.text import heaps_law_fit
+
+    df = heaps_law_fit(spark, SF_SMOKE)
+    assert has_broadcast_join(df), explain_str(df, "simple")[:1500]
+    text = explain_str(df, "simple")
+    # permitted ordered exchanges: the bucket-offset walk (bounded
+    # bucket table) and the final 10-row ORDER BY decile
+    assert text.lower().count("rangepartitioning") <= 2, text[:2000]
+
+
+def test_nelson_aalen_windows_on_bounded_life_table(spark):
+    """One sessionize shuffle (user-partitioned LEAD); the hazard
+    prefix runs on the gap-bounded life table only."""
+    from rs_streamloader_spark.operators.stats import nelson_aalen_hazard
+
+    df = nelson_aalen_hazard(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # user-LEAD is hashpartitioning; the life-table walk is the one
+    # ordered exchange
+    assert text.lower().count("rangepartitioning") <= 1, text[:1500]
+    assert has_broadcast_join(df), text[:1500]
+
+
+def test_logrank_windows_on_bounded_life_table(spark):
+    from rs_streamloader_spark.operators.stats import (
+        logrank_test_return_time,
+    )
+
+    df = logrank_test_return_time(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert text.lower().count("rangepartitioning") <= 1, text[:1500]
+    assert has_broadcast_join(df), text[:1500]

@@ -1846,3 +1846,294 @@ def test_brown_forsythe_matches_numpy_both_branches(spark, monkeypatch):
     w = _bf_brute(list(groups.values()))
     assert row["w_statistic"] == pytest.approx(w, abs=2e-5)
     assert bool(row["significant"]) is True
+
+
+def _docs_text_patch(spark, monkeypatch, texts_by_source):
+    """Constructed documents for the text-module operators."""
+    import rs_streamloader_spark.operators.text as T
+
+    rows = []
+    i = 0
+    for src, texts in texts_by_source.items():
+        for txt in texts:
+            rows.append((i, txt, "en", src, len(txt)))
+            i += 1
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(
+        T, "load_tables", lambda _s, _d, *names: {"documents": sdf}
+    )
+    return pdf
+
+
+def test_hellinger_tv_matches_counter_brute_force(spark, monkeypatch):
+    """BC/Hellinger/TV recomputed with collections.Counter, including
+    the unshared-mass corrections; disjoint vocabularies must give the
+    exact extremes BC=0, H=1, TV=1."""
+    from collections import Counter
+
+    from rs_streamloader_spark.operators.text import hellinger_tv_sources
+
+    a_texts = ["apple banana apple", "cherry banana banana"]
+    b_texts = ["apple cherry date", "date date elder apple"]
+    c_texts = ["zeta theta iota", "kappa zeta"]
+    _docs_text_patch(
+        spark, monkeypatch, {"sa": a_texts, "sb": b_texts, "sc": c_texts}
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in hellinger_tv_sources(spark, "x").collect()
+    }
+
+    def dist(texts):
+        c = Counter(t for s in texts for t in s.split() if t)
+        n = sum(c.values())
+        return {k: v / n for k, v in c.items()}
+
+    import math
+
+    pa_, pb, pc = dist(a_texts), dist(b_texts), dist(c_texts)
+    for (ka, kb), (p, q) in {
+        ("sa", "sb"): (pa_, pb),
+        ("sa", "sc"): (pa_, pc),
+        ("sb", "sc"): (pb, pc),
+    }.items():
+        toks = set(p) | set(q)
+        bc = sum(math.sqrt(p.get(t, 0) * q.get(t, 0)) for t in toks)
+        tv = 0.5 * sum(abs(p.get(t, 0) - q.get(t, 0)) for t in toks)
+        r = rows[(ka, kb)]
+        assert r["bc_coefficient"] == pytest.approx(bc, abs=2e-6), (ka, kb)
+        assert r["hellinger"] == pytest.approx(
+            math.sqrt(max(1 - bc, 0)), abs=2e-6
+        )
+        assert r["tv_distance"] == pytest.approx(tv, abs=2e-6)
+    # disjoint pair: exact extremes
+    assert rows[("sa", "sc")]["bc_coefficient"] == 0.0
+    assert rows[("sa", "sc")]["hellinger"] == 1.0
+    assert rows[("sa", "sc")]["tv_distance"] == 1.0
+
+
+def test_good_turing_matches_counter_brute_force(spark, monkeypatch):
+    """p0 and r1* recomputed from a constructed frequency spectrum."""
+    from collections import Counter
+
+    from rs_streamloader_spark.operators.text import good_turing_mass
+
+    # 4 hapaxes, 2 dis legomena, 1 token seen 5 times => N = 13
+    text = "a b c d e e f f g g g g g"
+    _docs_text_patch(spark, monkeypatch, {"s1": [text]})
+    row = good_turing_mass(spark, "x").collect()[0]
+    c = Counter(text.split())
+    n = sum(c.values())
+    n1 = sum(1 for v in c.values() if v == 1)
+    n2 = sum(1 for v in c.values() if v == 2)
+    assert row["n_tokens"] == n
+    assert row["vocab"] == len(c)
+    assert row["n_hapax"] == n1
+    assert row["n_dis"] == n2
+    assert row["p0_ppm"] == n1 * 1_000_000 // n
+    assert row["r1_star_micro"] == 2 * n2 * 1_000_000 // n1
+
+
+def test_heaps_law_matches_numpy_fit(spark, monkeypatch):
+    """The decile curve and the ln-ln OLS beta recomputed in numpy on
+    a constructed 20-doc corpus with real vocabulary growth."""
+    from rs_streamloader_spark.operators.text import heaps_law_fit
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(120)]
+    texts = []
+    for i in range(20):
+        # Zipf-flavored draws: early ranks dominate, vocab keeps growing
+        idx = rng.zipf(1.5, 30)
+        toks = [vocab[min(int(j) - 1, 119)] for j in idx]
+        texts.append(" ".join(toks))
+    pdf = _docs_text_patch(spark, monkeypatch, {"s1": texts})
+    got = heaps_law_fit(spark, "x").collect()
+    assert len(got) == 10
+    docs = list(pdf.itertuples())
+    n = len(docs)
+    seen: set = set()
+    toks_cum = 0
+    curve = {}
+    boundaries = {d: n * d // 10 for d in range(1, 11)}
+    pos = 0
+    for doc in sorted(docs, key=lambda r: r.doc_id):
+        toks = [t for t in doc.text.split() if t]
+        toks_cum += len(toks)
+        seen.update(toks)
+        pos += 1
+        for d, b in boundaries.items():
+            if pos == b:
+                curve[d] = (toks_cum, len(seen))
+    xs = np.log([curve[d][0] for d in range(1, 11)])
+    ys = np.log([curve[d][1] for d in range(1, 11)])
+    beta = np.polyfit(xs, ys, 1)[0]
+    for r in got:
+        assert (r["tokens_prefix"], r["vocab_prefix"]) == curve[r["decile"]]
+        assert r["beta_fit"] == pytest.approx(beta, abs=5e-5)
+    assert 0.1 < got[0]["beta_fit"] < 1.0
+
+
+def _events_patch(spark, monkeypatch, rows):
+    """Constructed events: rows of (event_id, ts, user_id, type)."""
+    pdf = pd.DataFrame(
+        [(e, pd.Timestamp(ts), u, ty, 1.0) for e, ts, u, ty in rows],
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"events": sdf})
+    return pdf
+
+
+def _life_table(spells):
+    """(t, ev) spells -> sorted [(t, n_risk, d, c)] life table."""
+    from collections import defaultdict
+
+    d = defaultdict(lambda: [0, 0])
+    for t, e in spells:
+        d[t][0 if e else 1] += 1
+    n = len(spells)
+    out = []
+    for t in sorted(d):
+        dt, ct = d[t]
+        out.append((t, n, dt, ct))
+        n -= dt + ct
+    return out
+
+
+def test_nelson_aalen_matches_hand_life_table(spark, monkeypatch):
+    """H(t) and Var recomputed from a hand-built life table on a
+    3-user corpus with known gaps and censoring."""
+    from rs_streamloader_spark.operators.stats import nelson_aalen_hazard
+
+    rows = [
+        # user 1: events at day 0, 2, 5 -> spells t=2, t=3, censored 5
+        (1, "2024-01-01", 1, "click"),
+        (2, "2024-01-03", 1, "click"),
+        (3, "2024-01-06", 1, "click"),
+        # user 2: events at day 0, 3 -> spell t=3, censored 7
+        (4, "2024-01-01", 2, "view"),
+        (5, "2024-01-04", 2, "view"),
+        # user 3: one event at day 4 -> censored 6
+        (6, "2024-01-05", 3, "view"),
+    ]
+    _events_patch(spark, monkeypatch, rows)
+    got = {r["t_days"]: r for r in nelson_aalen_hazard(spark, "x").collect()}
+    # horizon = 2024-01-10? no: max date = 01-06 + ... horizon is max(d)
+    # = 2024-01-06. spells: u1: 2,3, cens 0; u2: 3, cens 2; u3: cens 1
+    spells = [(2, 1), (3, 1), (0, 0), (3, 1), (2, 0), (1, 0)]
+    life = _life_table(spells)
+    h = v = 0.0
+    expect = {}
+    for t, n, dt, ct in life:
+        if dt > 0:
+            h += round(dt / n * 1e9)
+            v += round(dt * (n - dt) / (n**3) * 1e9)
+            expect[t] = (n, dt, h, v)
+    assert set(got) == set(expect)
+    for t, (n, dt, hh, vv) in expect.items():
+        r = got[t]
+        assert r["n_risk"] == n
+        assert r["n_events"] == dt
+        assert r["cum_hazard_nano"] == hh
+        assert r["var_hazard_nano"] == vv
+
+
+def test_logrank_matches_brute_force_both_branches(spark, monkeypatch):
+    """chi2 recomputed from the two-group life table: clicks that
+    return much faster than views must reject; a symmetric corpus
+    must not."""
+    from rs_streamloader_spark.operators.stats import (
+        logrank_test_return_time,
+    )
+
+    def build(fast_clicks):
+        rows = []
+        eid = 0
+        base = pd.Timestamp("2024-01-01")
+        for u in range(40):
+            eid += 1
+            is_click = u % 2 == 0
+            t0 = base
+            rows.append(
+                (eid, t0.strftime("%Y-%m-%d"), u, "click" if is_click else "view")
+            )
+            # click users return after 1 day, view users after 8 (or
+            # both after u%5+1 days in the symmetric case)
+            if fast_clicks:
+                gap = 1 if is_click else 8
+            else:
+                gap = u % 5 + 1
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    (t0 + pd.Timedelta(days=gap)).strftime("%Y-%m-%d"),
+                    u,
+                    "purchase",  # closes the spell, opens a non-AB spell
+                )
+            )
+        return rows
+
+    def brute(rows):
+        # replicate the operator's spell construction
+        from collections import defaultdict
+
+        by_user = defaultdict(list)
+        for e, ts, u, ty in rows:
+            by_user[u].append((pd.Timestamp(ts).date(), e, ty))
+        horizon = max(pd.Timestamp(ts).date() for _, ts, _, _ in rows)
+        spells = []
+        for u, evs in by_user.items():
+            evs.sort()
+            for i, (d, e, ty) in enumerate(evs):
+                if ty not in ("click", "view"):
+                    continue
+                if i + 1 < len(evs):
+                    spells.append((ty, (evs[i + 1][0] - d).days, 1))
+                else:
+                    spells.append((ty, (horizon - d).days, 0))
+        na = sum(1 for g, _, _ in spells if g == "click")
+        nb = len(spells) - na
+        from collections import defaultdict as dd
+
+        life = dd(lambda: [0, 0, 0, 0])
+        for g, t, e in spells:
+            idx = (0 if e else 1) if g == "click" else (2 if e else 3)
+            life[t][idx] += 1
+        n1, n2 = na, nb
+        o1 = 0
+        e1n = vn = 0
+        for t in sorted(life):
+            d1, c1, d2, c2 = life[t]
+            d = d1 + d2
+            n = n1 + n2
+            if d > 0 and n > 1:
+                o1 += d1
+                e1n += round(d * n1 / n * 1e9)
+                vn += round(
+                    d * n1 * n2 * (n - d) / (n * n * (n - 1)) * 1e9
+                )
+            n1 -= d1 + c1
+            n2 -= d2 + c2
+        chi2 = (o1 - e1n / 1e9) ** 2 / (vn / 1e9)
+        return na, nb, o1, e1n / 1e9, chi2
+
+    rows = build(True)
+    _events_patch(spark, monkeypatch, rows)
+    r = logrank_test_return_time(spark, "x").collect()[0]
+    na, nb, o1, e1, chi2 = brute(rows)
+    assert (r["n_spells_a"], r["n_spells_b"]) == (na, nb)
+    assert r["observed_a"] == o1
+    assert r["expected_a"] == pytest.approx(e1, abs=2e-6)
+    assert r["chi2_statistic"] == pytest.approx(chi2, abs=2e-4)
+    assert bool(r["significant"]) is True
+    rows = build(False)
+    _events_patch(spark, monkeypatch, rows)
+    r = logrank_test_return_time(spark, "x").collect()[0]
+    na, nb, o1, e1, chi2 = brute(rows)
+    assert r["chi2_statistic"] == pytest.approx(chi2, abs=2e-4)
+    assert bool(r["significant"]) is False

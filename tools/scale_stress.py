@@ -110,6 +110,11 @@ HEAVY_TAIL = [
     "mann_kendall_trend",
     "durbin_watson_ols",
     "levene_brown_forsythe",
+    "hellinger_tv_sources",
+    "good_turing_mass",
+    "heaps_law_fit",
+    "nelson_aalen_hazard",
+    "logrank_test_return_time",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
@@ -397,6 +402,13 @@ CONSTANT_OUTPUT = {
     "mann_kendall_trend",
     "durbin_watson_ols",
     "levene_brown_forsythe",
+    # wave-5: bounded source-pair grid / per-source rollup / 10 decile
+    # rows / gap-bounded life tables
+    "hellinger_tv_sources",
+    "good_turing_mass",
+    "heaps_law_fit",
+    "nelson_aalen_hazard",
+    "logrank_test_return_time",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
