@@ -10241,3 +10241,579 @@ def logrank_test_return_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ROUND({_LOGRANK_CHI2}, 6)").alias("chi2_statistic"),
         F.expr(f"({_LOGRANK_CHI2}) > {_LOGRANK_CHI2_1}").alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Individuals / moving-range (I-MR) control chart on daily revenue
+# ---------------------------------------------------------------------------
+
+# the published SPC constant for individuals charts: 3/d2 with
+# d2 = 1.128 rounded to the conventional 2.66 (frozen); the violation
+# verdict cross-multiplies so only INTEGERS are compared:
+#   x > xbar + 2.66 * MRbar  <=>  100*(n-1)*(n*x - sx) > 266*n*smr
+
+
+@register(
+    "individuals_control_chart",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    mr AS (
+      SELECT d, x, ABS(x - LAG(x) OVER (ORDER BY d)) AS mrv FROM daily
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(mrv) AS HUGEINT) AS smr
+      FROM mr
+    ),
+    flags AS (
+      SELECT CAST(SUM(CASE WHEN 100 * (n - 1) * (CAST(n AS HUGEINT) * x - sx)
+                           > 266 * n * smr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_high,
+             CAST(SUM(CASE WHEN 100 * (n - 1) * (CAST(n AS HUGEINT) * x - sx)
+                           < -266 * n * smr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low
+      FROM mr CROSS JOIN sums
+    )
+    SELECT n AS n_days,
+           CAST(sx * 1000000 // n AS BIGINT) AS mean_cents_micro,
+           CAST(smr * 1000000 // (n - 1) AS BIGINT) AS mrbar_cents_micro,
+           ROUND(CAST(sx AS DOUBLE) / n
+                 + 2.66e0 * CAST(smr AS DOUBLE) / (n - 1), 4) AS ucl_cents,
+           ROUND(CAST(sx AS DOUBLE) / n
+                 - 2.66e0 * CAST(smr AS DOUBLE) / (n - 1), 4) AS lcl_cents,
+           f.n_high AS n_violations_high,
+           f.n_low AS n_violations_low
+    FROM sums CROSS JOIN flags f WHERE n > 1
+    """,
+)
+def individuals_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart individuals control chart (I-MR) on daily revenue:
+    center line = the series mean, process sigma estimated from the
+    mean moving range (MRbar/d₂), limits = x̄ ± 2.66·MRbar with the
+    published SPC constant 2.66 = 3/d₂ frozen. Days outside the
+    limits are special-cause signals — the monitoring complement to
+    ``cusum_drift_daily`` (small persistent shifts) and
+    ``anomaly_mad_days`` (robust fences). The violation VERDICTS are
+    decided by exact cross-multiplied integer inequalities (100·(n−1)·
+    (n·x − Σx) vs 266·n·ΣMR), so no double enters any flag.
+
+    Scale posture: one combinable daily aggregate; the moving-range
+    lag orders the calendar-bounded series only; sums broadcast back
+    for the per-day flag pass; one output row. DECIMAL(38) holds the
+    cross-products to ~1e12 daily-cents × 1e5 days.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    wd = Window.orderBy("d")
+    mr = daily.select(
+        "d", "x", F.abs(F.col("x") - F.lag("x").over(wd)).alias("mrv")
+    )
+    d38 = "DECIMAL(38,0)"
+    sums = mr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"CAST(SUM(x) AS {d38})").alias("sx"),
+        F.expr(f"CAST(SUM(mrv) AS {d38})").alias("smr"),
+    )
+    flags = mr.join(F.broadcast(sums)).agg(
+        F.expr(
+            f"CAST(SUM(CASE WHEN 100 * (n - 1) * (CAST(n AS {d38}) * x - sx)"
+            " > 266 * n * smr THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_high"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN 100 * (n - 1) * (CAST(n AS {d38}) * x - sx)"
+            " < -266 * n * smr THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_low"),
+    )
+    return (
+        sums.join(F.broadcast(flags))
+        .where("n > 1")
+        .select(
+            F.col("n").alias("n_days"),
+            F.expr("CAST(sx * 1000000 div n AS BIGINT)").alias(
+                "mean_cents_micro"
+            ),
+            F.expr("CAST(smr * 1000000 div (n - 1) AS BIGINT)").alias(
+                "mrbar_cents_micro"
+            ),
+            F.expr(
+                "ROUND(CAST(sx AS DOUBLE) / n"
+                " + 2.66e0 * CAST(smr AS DOUBLE) / (n - 1), 4)"
+            ).alias("ucl_cents"),
+            F.expr(
+                "ROUND(CAST(sx AS DOUBLE) / n"
+                " - 2.66e0 * CAST(smr AS DOUBLE) / (n - 1), 4)"
+            ).alias("lcl_cents"),
+            F.col("n_high").alias("n_violations_high"),
+            F.col("n_low").alias("n_violations_low"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q test: paired user activity across Mon/Wed/Fri
+# ---------------------------------------------------------------------------
+
+_COCHRAN_Q_CRIT_X1E6 = 5_991_465  # chi^2_2 95% x 1e6 (frozen)
+
+
+@register(
+    "cochran_q_dow",
+    oracle=f"""
+    WITH marks AS (
+      SELECT user_id, CAST(EXTRACT(dow FROM ts) AS INT) AS dow
+      FROM events
+      WHERE CAST(EXTRACT(dow FROM ts) AS INT) IN (1, 3, 5)
+      GROUP BY 1, 2
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    r AS (
+      SELECT u.user_id, CAST(COALESCE(m.cnt, 0) AS BIGINT) AS ri
+      FROM users u LEFT JOIN (
+        SELECT user_id, COUNT(*) AS cnt FROM marks GROUP BY 1
+      ) m ON m.user_id = u.user_id
+    ),
+    rsums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(ri) AS HUGEINT) AS sr,
+             CAST(SUM(ri * ri) AS HUGEINT) AS srr
+      FROM r
+    ),
+    csums AS (
+      SELECT CAST(SUM(CAST(cj AS HUGEINT) * cj) AS HUGEINT) AS scc
+      FROM (SELECT dow, COUNT(*) AS cj FROM marks GROUP BY dow)
+    )
+    SELECT n_users,
+           CAST(sr AS BIGINT) AS total_marks,
+           ROUND(2e0 * (3e0 * CAST(scc AS DOUBLE)
+                        - CAST(sr AS DOUBLE) * sr)
+                 / (3e0 * CAST(sr AS DOUBLE) - CAST(srr AS DOUBLE)), 6)
+             AS q_statistic,
+           CAST(2 AS BIGINT) AS df,
+           (2000000 * (3 * scc - sr * sr)
+            > {_COCHRAN_Q_CRIT_X1E6} * (3 * sr - srr)) AS significant
+    FROM rsums CROSS JOIN csums
+    WHERE 3 * sr - srr > 0
+    """,
+)
+def cochran_q_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test: is a user's propensity to be active the same
+    on Monday, Wednesday and Friday? The k=3 within-subject
+    generalization of ``mcnemar_weekday_weekend`` — each user is their
+    own control (between-user activity differences cancel), so it
+    detects DOW structure a pooled per-day count comparison would
+    confound with heavy-user composition. Q = (k−1)(kΣC_j² − T²) /
+    (kΣR_i − ΣR_i²), df = k−1; the verdict is an exact cross-
+    multiplied integer inequality against the frozen χ²₂ literal —
+    no double enters the decision.
+
+    Scale posture: one (user, dow) distinct aggregate (the mark
+    matrix never materializes beyond its nonzeros), per-user row sums
+    and a 3-row column-sum reduction, one output row. All-zero and
+    all-three users contribute 0 to the denominator by construction —
+    the formula needs no row filtering.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    dow = (F.dayofweek("ts") - 1).cast("int")
+    marks = (
+        ev.select("user_id", dow.alias("dow"))
+        .where(F.col("dow").isin(1, 3, 5))
+        .distinct()
+    )
+    users = ev.select("user_id").distinct()
+    per_user = marks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    r = users.join(per_user, "user_id", "left").select(
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("ri")
+    )
+    d38 = "DECIMAL(38,0)"
+    rsums = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.expr(f"CAST(SUM(ri) AS {d38})").alias("sr"),
+        F.expr(f"CAST(SUM(ri * ri) AS {d38})").alias("srr"),
+    )
+    csums = (
+        marks.groupBy("dow")
+        .agg(F.count(F.lit(1)).alias("cj"))
+        .agg(
+            F.expr(f"CAST(SUM(CAST(cj AS {d38}) * cj) AS {d38})").alias(
+                "scc"
+            )
+        )
+    )
+    return (
+        rsums.join(F.broadcast(csums))
+        .where("3 * sr - srr > 0")
+        .select(
+            "n_users",
+            F.col("sr").cast("bigint").alias("total_marks"),
+            F.expr(
+                "ROUND(2e0 * (3e0 * CAST(scc AS DOUBLE)"
+                " - CAST(sr AS DOUBLE) * sr)"
+                " / (3e0 * CAST(sr AS DOUBLE) - CAST(srr AS DOUBLE)), 6)"
+            ).alias("q_statistic"),
+            F.lit(2).cast("bigint").alias("df"),
+            F.expr(
+                f"2000000 * (3 * scc - sr * sr)"
+                f" > {_COCHRAN_Q_CRIT_X1E6} * (3 * sr - srr)"
+            ).alias("significant"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage trend test: order-status F rate across priorities
+# ---------------------------------------------------------------------------
+
+_CA_CHI2_1_X1E6 = 3_841_459  # chi^2_1 95% x 1e6 (frozen)
+
+# priority -> trend score 1..5 in canonical urgency order, rendered as
+# an identical CASE ladder in both engines
+_CA_SCORE_CASE = "CASE " + " ".join(
+    f"WHEN o_orderpriority = '{p}' THEN {i}"
+    for i, p in enumerate(
+        ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+        start=1,
+    )
+) + " END"
+
+
+@register(
+    "cochran_armitage_trend",
+    oracle=f"""
+    WITH g AS (
+      SELECT {_CA_SCORE_CASE} AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_i,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r_i
+      FROM orders GROUP BY 1
+    ),
+    sums AS (
+      SELECT CAST(SUM(n_i) AS HUGEINT) AS n,
+             CAST(SUM(r_i) AS HUGEINT) AS r,
+             CAST(SUM(s * n_i) AS HUGEINT) AS sn,
+             CAST(SUM(s * r_i) AS HUGEINT) AS sr,
+             CAST(SUM(s * s * n_i) AS HUGEINT) AS ssn
+      FROM g
+    ),
+    stat AS (
+      SELECT CAST(n AS BIGINT) AS n_orders, CAST(r AS BIGINT) AS n_f,
+             CAST(n * sr - r * sn AS HUGEINT) AS tn,
+             CAST(r * (n - r) * (n * ssn - sn * sn) AS HUGEINT) AS varn
+      FROM sums
+    )
+    SELECT n_orders, n_f,
+           ROUND(CASE WHEN tn >= 0 THEN 1e0 ELSE -1e0 END
+                 * SQRT(CAST(tn AS DOUBLE) * tn * n_orders
+                        / CAST(varn AS DOUBLE)), 6) AS z_score,
+           (1000000 * tn * tn * n_orders
+            > {_CA_CHI2_1_X1E6} * varn) AS significant
+    FROM stat WHERE varn > 0
+    """,
+)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for a LINEAR TREND in the finished-order
+    ('F') proportion across the five ordered priorities (scores 1..5):
+    where ``chi2_event_type_dow``-style omnibus tests ask "any
+    difference?", this asks the sharper ordered question "does the
+    rate climb or fall with urgency?" — one df, more power against
+    monotone alternatives. z² = T²N/(R(N−R)(NΣs²n − (Σsn)²)) with
+    T = NΣsr − RΣsn; the verdict is an exact cross-multiplied
+    DECIMAL(38) inequality against the frozen χ²₁ literal (exact to
+    ~1e8 orders before the cross-product nears the 38-digit cap —
+    documented bound, same policy as the MWU variance product).
+
+    Scale posture: ONE combinable 5-row aggregate over orders, then
+    literal arithmetic — no joins, no windows, one output row. The
+    score CASE ladder is shared text in both engines.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    g = orders.groupBy(F.expr(_CA_SCORE_CASE).alias("s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.expr(
+            "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("r_i"),
+    )
+    d38 = "DECIMAL(38,0)"
+    sums = g.agg(
+        F.expr(f"CAST(SUM(n_i) AS {d38})").alias("n"),
+        F.expr(f"CAST(SUM(r_i) AS {d38})").alias("r"),
+        F.expr(f"CAST(SUM(s * n_i) AS {d38})").alias("sn"),
+        F.expr(f"CAST(SUM(s * r_i) AS {d38})").alias("sr"),
+        F.expr(f"CAST(SUM(s * s * n_i) AS {d38})").alias("ssn"),
+    )
+    stat = sums.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("r").cast("bigint").alias("n_f"),
+        F.expr(f"CAST(n * sr - r * sn AS {d38})").alias("tn"),
+        F.expr(
+            f"CAST(r * (n - r) * (n * ssn - sn * sn) AS {d38})"
+        ).alias("varn"),
+    )
+    return stat.where("varn > 0").select(
+        "n_orders",
+        "n_f",
+        F.expr(
+            "ROUND(CASE WHEN tn >= 0 THEN 1e0 ELSE -1e0 END"
+            " * SQRT(CAST(tn AS DOUBLE) * tn * n_orders"
+            " / CAST(varn AS DOUBLE)), 6)"
+        ).alias("z_score"),
+        F.expr(
+            f"1000000 * tn * tn * n_orders > {_CA_CHI2_1_X1E6} * varn"
+        ).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Somers' D and Goodman-Kruskal gamma (ordinal association, asymmetric)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "somers_d_gamma_ordinal",
+    oracle="""
+    WITH grid AS (
+      SELECT l_quantity AS x, l_discount AS y, COUNT(*) AS nij
+      FROM lineitem GROUP BY 1, 2
+    ),
+    conc AS (
+      SELECT
+        CAST(SUM(CASE WHEN b.x > a.x AND b.y > a.y
+                 THEN CAST(a.nij AS HUGEINT) * b.nij ELSE 0 END)
+             AS HUGEINT) AS c,
+        CAST(SUM(CASE WHEN b.x > a.x AND b.y < a.y
+                 THEN CAST(a.nij AS HUGEINT) * b.nij ELSE 0 END)
+             AS HUGEINT) AS d
+      FROM grid a JOIN grid b ON b.x > a.x
+    ),
+    ties AS (
+      SELECT
+        (SELECT CAST(SUM(CAST(rx AS HUGEINT) * (rx - 1)) AS HUGEINT)
+         FROM (SELECT SUM(nij) AS rx FROM grid GROUP BY x)) AS tx2,
+        (SELECT CAST(SUM(CAST(cy AS HUGEINT) * (cy - 1)) AS HUGEINT)
+         FROM (SELECT SUM(nij) AS cy FROM grid GROUP BY y)) AS ty2,
+        (SELECT CAST(SUM(nij) AS HUGEINT) FROM grid) AS n
+    )
+    SELECT CAST(t.n AS BIGINT) AS n,
+           CAST(c.c AS BIGINT) AS concordant,
+           CAST(c.d AS BIGINT) AS discordant,
+           CASE WHEN t.n * (t.n - 1) - t.tx2 > 0 THEN
+             ROUND(2e0 * (CAST(c.c AS DOUBLE) - CAST(c.d AS DOUBLE))
+                   / (CAST(t.n AS DOUBLE) * (t.n - 1)
+                      - CAST(t.tx2 AS DOUBLE)), 6) END AS somers_d_yx,
+           CASE WHEN t.n * (t.n - 1) - t.ty2 > 0 THEN
+             ROUND(2e0 * (CAST(c.c AS DOUBLE) - CAST(c.d AS DOUBLE))
+                   / (CAST(t.n AS DOUBLE) * (t.n - 1)
+                      - CAST(t.ty2 AS DOUBLE)), 6) END AS somers_d_xy,
+           CASE WHEN c.c + c.d > 0 THEN
+             ROUND((CAST(c.c AS DOUBLE) - CAST(c.d AS DOUBLE))
+                   / (CAST(c.c AS DOUBLE) + CAST(c.d AS DOUBLE)), 6)
+           END AS gk_gamma
+    FROM conc c CROSS JOIN ties t
+    """,
+)
+def somers_d_gamma_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Somers' D (both directions) and Goodman-Kruskal gamma between
+    quantity and discount — the ASYMMETRIC ordinal-association family
+    next to the symmetric ``kendall_tau_quantity_discount``: D(Y|X)
+    conditions out pairs tied on the predictor (the right effect size
+    when X predicts Y, e.g. a model score vs an outcome), gamma drops
+    ALL ties (the upper bound of the three). All derive from the SAME
+    concordant/discordant pair masses: D(Y|X) = 2(C−D)/(n(n−1)−Σtx²),
+    gamma = (C−D)/(C+D).
+
+    Scale posture: identical to Kendall — one combinable (x, y)
+    contingency aggregate, a cell-pair join over the bounded ≤550²
+    grid, bounded tie marginals, a 1-row reduction. Every mass is an
+    exact HUGEINT/DECIMAL(38) integer; each coefficient is one fixed
+    double expression; zero-denominator constant columns emit NULL
+    identically on both engines.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    t = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    grid = t.groupBy(
+        F.col("l_quantity").alias("x"), F.col("l_discount").alias("y")
+    ).agg(F.count(F.lit(1)).alias("nij"))
+    a = grid.alias("a")
+    b = grid.alias("b")
+    d38 = "DECIMAL(38,0)"
+    conc = a.join(F.broadcast(b), F.col("b.x") > F.col("a.x")).agg(
+        F.expr(
+            f"CAST(SUM(CASE WHEN b.y > a.y THEN CAST(a.nij AS {d38})"
+            f" * b.nij ELSE 0 END) AS {d38})"
+        ).alias("c"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN b.y < a.y THEN CAST(a.nij AS {d38})"
+            f" * b.nij ELSE 0 END) AS {d38})"
+        ).alias("d"),
+    )
+    tx = grid.groupBy("x").agg(F.sum("nij").alias("rx")).agg(
+        F.expr(f"CAST(SUM(CAST(rx AS {d38}) * (rx - 1)) AS {d38})").alias(
+            "tx2"
+        )
+    )
+    ty = grid.groupBy("y").agg(F.sum("nij").alias("cy")).agg(
+        F.expr(f"CAST(SUM(CAST(cy AS {d38}) * (cy - 1)) AS {d38})").alias(
+            "ty2"
+        )
+    )
+    nn = grid.agg(F.expr(f"CAST(SUM(nij) AS {d38})").alias("n"))
+    return (
+        conc.join(F.broadcast(tx))
+        .join(F.broadcast(ty))
+        .join(F.broadcast(nn))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.col("c").cast("bigint").alias("concordant"),
+            F.col("d").cast("bigint").alias("discordant"),
+            F.expr(
+                "CASE WHEN n * (n - 1) - tx2 > 0 THEN"
+                " ROUND(2e0 * (CAST(c AS DOUBLE) - CAST(d AS DOUBLE))"
+                " / (CAST(n AS DOUBLE) * (n - 1)"
+                " - CAST(tx2 AS DOUBLE)), 6) END"
+            ).alias("somers_d_yx"),
+            F.expr(
+                "CASE WHEN n * (n - 1) - ty2 > 0 THEN"
+                " ROUND(2e0 * (CAST(c AS DOUBLE) - CAST(d AS DOUBLE))"
+                " / (CAST(n AS DOUBLE) * (n - 1)"
+                " - CAST(ty2 AS DOUBLE)), 6) END"
+            ).alias("somers_d_xy"),
+            F.expr(
+                "CASE WHEN c + d > 0 THEN"
+                " ROUND((CAST(c AS DOUBLE) - CAST(d AS DOUBLE))"
+                " / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)), 6) END"
+            ).alias("gk_gamma"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gumbel return levels for daily revenue (method-of-moments EVT)
+# ---------------------------------------------------------------------------
+
+# frozen published constants: sqrt(6)/pi, the Euler-Mascheroni gamma,
+# and the Gumbel reduced variates k_T = -ln(-ln(1 - 1/T)) for the
+# three conventional return periods — all literals shared verbatim by
+# both engines (no transcendental is evaluated at runtime)
+_GUMBEL_SQRT6_PI = 0.7796968
+_GUMBEL_EULER = 0.5772157
+_GUMBEL_KT = {30: 3.3842945, 100: 4.6001492, 365: 5.8985259}
+
+_GUMBEL_MU = (
+    f"(CAST(sx AS DOUBLE) / n"
+    f" - {_GUMBEL_EULER} * ({_GUMBEL_SQRT6_PI} * sig))"
+)
+_GUMBEL_SIG = (
+    "SQRT(GREATEST((CAST(sxx AS DOUBLE)"
+    " - (CAST(sx AS DOUBLE) / n) * sx) / (n - 1), 0e0))"
+)
+
+
+def _gumbel_rows_sql() -> str:
+    rows = ", ".join(f"({t}, {k})" for t, k in _GUMBEL_KT.items())
+    return f"(VALUES {rows}) AS rp(return_period, kt)"
+
+
+@register(
+    "gumbel_return_level",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM daily
+    ),
+    params AS (
+      SELECT n, sig, {_GUMBEL_MU} AS mu,
+             {_GUMBEL_SQRT6_PI} * sig AS beta
+      FROM (SELECT n, sx, {_GUMBEL_SIG} AS sig FROM mom)
+    )
+    SELECT CAST(rp.return_period AS BIGINT) AS return_period,
+           CAST(p.n AS BIGINT) AS n_days,
+           ROUND(p.mu, 4) AS mu_cents,
+           ROUND(p.beta, 4) AS beta_cents,
+           ROUND(p.mu + p.beta * rp.kt, 4) AS return_level_cents
+    FROM params p CROSS JOIN {_gumbel_rows_sql()}
+    WHERE p.n > 1
+    ORDER BY return_period
+    """,
+)
+def gumbel_return_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel (EV-I) return levels for daily revenue by method-of-
+    moments: β = s·√6/π, μ = x̄ − γ·β, and the T-period return level
+    RL(T) = μ + β·k_T with k_T = −ln(−ln(1−1/T)) — "the daily revenue
+    exceeded on average once every T days". The capacity-planning
+    complement to ``max_drawdown_revenue`` (worst realized) and
+    ``doclen_tail_hill`` (tail heaviness): EVT turns two moments into
+    calibrated extreme quantiles. All transcendental constants are
+    FROZEN literals (√6/π, Euler γ, the three k_T) — no LN/EXP runs in
+    either engine at runtime.
+
+    Scale posture: one combinable daily aggregate to exact integer
+    (n, Σx, Σx²) cents moments; μ/β/RL are fixed double expressions
+    over those integers; the 3-row return-period table cross-joins the
+    1-row fit. Output: 3 rows, bounded forever.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    d38 = "DECIMAL(38,0)"
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"CAST(SUM(x) AS {d38})").alias("sx"),
+        F.expr(f"CAST(SUM(CAST(x AS {d38}) * x) AS {d38})").alias("sxx"),
+    )
+    params = mom.select(
+        "n",
+        "sx",
+        F.expr(_GUMBEL_SIG).alias("sig"),
+    ).select(
+        "n",
+        F.col("sig"),
+        F.expr(_GUMBEL_MU).alias("mu"),
+        F.expr(f"{_GUMBEL_SQRT6_PI} * sig").alias("beta"),
+    )
+    rp = spark.createDataFrame(
+        [(t, k) for t, k in _GUMBEL_KT.items()], "return_period long, kt double"
+    )
+    return (
+        params.join(F.broadcast(rp))
+        .where("n > 1")
+        .select(
+            F.col("return_period").cast("bigint"),
+            F.col("n").cast("bigint").alias("n_days"),
+            F.expr("ROUND(mu, 4)").alias("mu_cents"),
+            F.expr("ROUND(beta, 4)").alias("beta_cents"),
+            F.expr("ROUND(mu + beta * kt, 4)").alias("return_level_cents"),
+        )
+        .orderBy("return_period")
+    )

@@ -2702,3 +2702,55 @@ def test_logrank_windows_on_bounded_life_table(spark):
     text = explain_str(df, "simple")
     assert text.lower().count("rangepartitioning") <= 1, text[:1500]
     assert has_broadcast_join(df), text[:1500]
+
+
+def test_individuals_chart_single_daily_aggregate(spark):
+    """One combinable daily aggregate; the MR lag orders the bounded
+    series; sums broadcast back for the flag pass."""
+    from rs_streamloader_spark.operators.stats import (
+        individuals_control_chart,
+    )
+
+    df = individuals_control_chart(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert text.lower().count("rangepartitioning") <= 1, text[:1500]
+    assert has_broadcast_join(df), text[:1500]
+
+
+def test_cochran_q_prunes_to_user_ts(spark):
+    from rs_streamloader_spark.operators.stats import cochran_q_dow
+
+    df = cochran_q_dow(spark, SF_SMOKE)
+    cols = scan_columns(df)
+    assert {"user_id", "ts"} in cols, cols
+
+
+def test_cochran_armitage_is_one_bounded_aggregate(spark):
+    """No joins, no windows — a 5-row aggregate then literal
+    arithmetic."""
+    from rs_streamloader_spark.operators.stats import cochran_armitage_trend
+
+    df = cochran_armitage_trend(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Join" not in text, text[:1500]
+    assert "rangepartitioning" not in text.lower(), text[:1500]
+
+
+def test_somers_cell_pair_join_is_broadcast_on_grid(spark):
+    """The cell-pair stage joins the bounded contingency grid with
+    itself via broadcast — raw lineitem rows never enter a join."""
+    from rs_streamloader_spark.operators.stats import somers_d_gamma_ordinal
+
+    df = somers_d_gamma_ordinal(spark, SF_SMOKE)
+    text = explain_str(df, "formatted")
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
+    assert "CartesianProduct" not in text
+
+
+def test_gumbel_is_one_aggregate_three_rows(spark):
+    from rs_streamloader_spark.operators.stats import gumbel_return_level
+
+    df = gumbel_return_level(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert has_broadcast_join(df), text[:1500]
+    assert text.lower().count("rangepartitioning") <= 1, text[:1500]

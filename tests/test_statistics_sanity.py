@@ -2137,3 +2137,254 @@ def test_logrank_matches_brute_force_both_branches(spark, monkeypatch):
     na, nb, o1, e1, chi2 = brute(rows)
     assert r["chi2_statistic"] == pytest.approx(chi2, abs=2e-4)
     assert bool(r["significant"]) is False
+
+
+def test_individuals_chart_matches_numpy_and_flags_planted_spikes(
+    spark, monkeypatch
+):
+    """Limits and violation counts recomputed in numpy on a series
+    with two planted high spikes and one low spike."""
+    from rs_streamloader_spark.operators.stats import (
+        individuals_control_chart,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    rng = np.random.RandomState(31)
+    vals = list(1000.0 + rng.randint(-20, 21, 60))
+    vals[10] += 500.0
+    vals[30] += 700.0
+    vals[45] -= 600.0
+    days = [
+        ((base + pd.Timedelta(days=i)).strftime("%Y-%m-%d"), float(v))
+        for i, v in enumerate(vals)
+    ]
+    _orders_patch(spark, monkeypatch, days)
+    row = individuals_control_chart(spark, "x").collect()[0]
+    x = np.round(np.array(vals) * 100)
+    n = len(x)
+    xbar = x.mean()
+    mrbar = np.abs(np.diff(x)).mean()
+    ucl, lcl = xbar + 2.66 * mrbar, xbar - 2.66 * mrbar
+    assert row["n_days"] == n
+    assert row["mean_cents_micro"] == int(x.sum() * 1_000_000 // n)
+    assert row["ucl_cents"] == pytest.approx(ucl, abs=1e-3)
+    assert row["lcl_cents"] == pytest.approx(lcl, abs=1e-3)
+    assert row["n_violations_high"] == int((x > ucl).sum()) == 2
+    assert row["n_violations_low"] == int((x < lcl).sum()) == 1
+
+
+def test_cochran_q_matches_brute_force_both_branches(spark, monkeypatch):
+    """Q recomputed from the 0/1 matrix: users active Mon+Wed but
+    never Fri must reject; uniform activity must not."""
+    from rs_streamloader_spark.operators.stats import cochran_q_dow
+
+    def build(skip_friday):
+        rows = []
+        eid = 0
+        # 2024-03-04 Mon, 03-06 Wed, 03-08 Fri
+        days = {"mon": "2024-03-04", "wed": "2024-03-06", "fri": "2024-03-08"}
+        rng = np.random.RandomState(41)
+        for u in range(60):
+            for key, d in days.items():
+                p = 0.1 if (skip_friday and key == "fri") else 0.7
+                if rng.rand() < p:
+                    eid += 1
+                    rows.append((eid, d, u, "click"))
+        # make sure every user exists in events (some may have no marks)
+        for u in range(60):
+            eid += 1
+            rows.append((eid, "2024-03-05", u, "view"))  # Tuesday
+        return rows
+
+    def brute(rows):
+        marks = {}
+        users = set()
+        for e, ts, u, ty in rows:
+            users.add(u)
+            dow = pd.Timestamp(ts).dayofweek  # Mon=0
+            if dow in (0, 2, 4):
+                marks.setdefault(u, set()).add(dow)
+        k = 3
+        ri = {u: len(marks.get(u, ())) for u in users}
+        cj = [
+            sum(1 for u in users if d in marks.get(u, ()))
+            for d in (0, 2, 4)
+        ]
+        t = sum(ri.values())
+        num = (k - 1) * (k * sum(c * c for c in cj) - t * t)
+        den = k * t - sum(v * v for v in ri.values())
+        return len(users), t, num / den
+
+    rows = build(True)
+    _events_patch(spark, monkeypatch, rows)
+    r = cochran_q_dow(spark, "x").collect()[0]
+    nu, t, q = brute(rows)
+    assert r["n_users"] == nu
+    assert r["total_marks"] == t
+    assert r["q_statistic"] == pytest.approx(q, abs=2e-6)
+    assert bool(r["significant"]) is True
+    rows = build(False)
+    _events_patch(spark, monkeypatch, rows)
+    r = cochran_q_dow(spark, "x").collect()[0]
+    nu, t, q = brute(rows)
+    assert r["q_statistic"] == pytest.approx(q, abs=2e-6)
+    assert bool(r["significant"]) is False
+
+
+def _orders_status_patch(spark, monkeypatch, groups):
+    """Constructed orders with priority + status: groups maps priority
+    -> (n_finished, n_other)."""
+    rows = []
+    k = 0
+    for p, (nf, no) in groups.items():
+        for i in range(nf + no):
+            rows.append(
+                (
+                    k,
+                    "1995-06-%02d" % (k % 28 + 1),
+                    100.0,
+                    p,
+                    "F" if i < nf else "O",
+                )
+            )
+            k += 1
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "o_orderpriority",
+            "o_orderstatus",
+        ],
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"orders": sdf})
+    return pdf
+
+
+def test_cochran_armitage_matches_brute_force_both_branches(
+    spark, monkeypatch
+):
+    """z recomputed from scratch: a monotone F-rate gradient across
+    priorities must reject with the right SIGN; flat rates must not."""
+    from rs_streamloader_spark.operators.stats import cochran_armitage_trend
+
+    def brute(groups):
+        s = np.array([1, 2, 3, 4, 5], dtype=float)
+        n = np.array([a + b for a, b in groups.values()], dtype=float)
+        r = np.array([a for a, _ in groups.values()], dtype=float)
+        N, R = n.sum(), r.sum()
+        tn = N * (s * r).sum() - R * (s * n).sum()
+        varn = R * (N - R) * (N * (s * s * n).sum() - (s * n).sum() ** 2)
+        return np.sign(tn) * np.sqrt(tn * tn * N / varn)
+
+    rising = {
+        p: (10 + 15 * i, 90 - 15 * i) for i, p in enumerate(_PRIOS)
+    }  # F-rate 10% -> 70% with urgency falling
+    _orders_status_patch(spark, monkeypatch, rising)
+    r = cochran_armitage_trend(spark, "x").collect()[0]
+    z = brute(rising)
+    assert r["n_orders"] == 500
+    assert r["z_score"] == pytest.approx(z, abs=2e-6)
+    assert z > 0  # score rises with index, rate rises too
+    assert bool(r["significant"]) is True
+    flat = {p: (30, 70) for p in _PRIOS}
+    _orders_status_patch(spark, monkeypatch, flat)
+    r = cochran_armitage_trend(spark, "x").collect()[0]
+    assert r["z_score"] == pytest.approx(0.0, abs=1e-9)
+    assert bool(r["significant"]) is False
+
+
+def test_somers_gamma_match_pair_enumeration(spark, monkeypatch):
+    """D(Y|X), D(X|Y), gamma recomputed by O(n^2) pair enumeration on
+    a small constructed lineitem."""
+    from rs_streamloader_spark.operators.stats import somers_d_gamma_ordinal
+    import rs_streamloader_spark.operators.stats as SS
+
+    rng = np.random.RandomState(13)
+    x = rng.randint(1, 8, 120).astype(float)
+    y = np.round(
+        np.clip(x * 0.01 + rng.choice([0, 0.01, 0.02], 120), 0, 0.1), 2
+    )
+    pdf = pd.DataFrame(
+        {
+            "l_quantity": x,
+            "l_extendedprice": x * 100,
+            "l_discount": y,
+            "l_tax": 0.01,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(
+        SS, "load_tables", lambda _s, _d, *names: {"lineitem": sdf}
+    )
+    row = somers_d_gamma_ordinal(spark, "x").collect()[0]
+    c = d = tx = ty = 0
+    n = len(x)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if x[i] == x[j]:
+                tx += 1
+                continue
+            if y[i] == y[j]:
+                ty += 1
+                continue
+            if (x[i] < x[j]) == (y[i] < y[j]):
+                c += 1
+            else:
+                d += 1
+    # brute force counted ties-on-x first (Somers convention: pairs
+    # tied on BOTH count into tx only here) — recompute marginals the
+    # operator's way instead
+    from collections import Counter
+
+    tx2 = sum(v * (v - 1) for v in Counter(x).values())
+    ty2 = sum(v * (v - 1) for v in Counter(y).values())
+    p2 = n * (n - 1)
+    assert row["n"] == n
+    assert row["concordant"] == c
+    assert row["discordant"] == d
+    assert row["somers_d_yx"] == pytest.approx(
+        2 * (c - d) / (p2 - tx2), abs=2e-6
+    )
+    assert row["somers_d_xy"] == pytest.approx(
+        2 * (c - d) / (p2 - ty2), abs=2e-6
+    )
+    assert row["gk_gamma"] == pytest.approx((c - d) / (c + d), abs=2e-6)
+    assert row["gk_gamma"] > row["somers_d_yx"]  # gamma drops all ties
+
+
+def test_gumbel_matches_numpy_mom_fit(spark, monkeypatch):
+    """mu/beta/return levels recomputed in numpy with the same frozen
+    constants on a constructed skewed series."""
+    import math
+
+    from rs_streamloader_spark.operators.stats import gumbel_return_level
+
+    base = pd.Timestamp("2024-01-01")
+    rng = np.random.RandomState(19)
+    vals = 1000 + rng.gumbel(0, 80, 120)
+    days = [
+        ((base + pd.Timedelta(days=i)).strftime("%Y-%m-%d"), float(v))
+        for i, v in enumerate(vals)
+    ]
+    _orders_patch(spark, monkeypatch, days)
+    rows = {
+        r["return_period"]: r for r in gumbel_return_level(spark, "x").collect()
+    }
+    x = np.round(np.array([v for _, v in days]) * 100)
+    s = x.std(ddof=1)
+    beta = 0.7796968 * s
+    mu = x.mean() - 0.5772157 * beta
+    assert set(rows) == {30, 100, 365}
+    for t, k in ((30, 3.3842945), (100, 4.6001492), (365, 5.8985259)):
+        r = rows[t]
+        assert r["n_days"] == 120
+        assert r["mu_cents"] == pytest.approx(mu, abs=1e-3)
+        assert r["beta_cents"] == pytest.approx(beta, abs=1e-3)
+        assert r["return_level_cents"] == pytest.approx(mu + beta * k, abs=1e-3)
+    # monotone in T, and the 100-day level exceeds the observed max
+    # only if the tail demands it — sanity: levels are ordered
+    assert rows[30]["return_level_cents"] < rows[100]["return_level_cents"]
+    assert rows[100]["return_level_cents"] < rows[365]["return_level_cents"]

@@ -115,6 +115,11 @@ HEAVY_TAIL = [
     "heaps_law_fit",
     "nelson_aalen_hazard",
     "logrank_test_return_time",
+    "individuals_control_chart",
+    "cochran_q_dow",
+    "cochran_armitage_trend",
+    "somers_d_gamma_ordinal",
+    "gumbel_return_level",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
@@ -409,6 +414,11 @@ CONSTANT_OUTPUT = {
     "heaps_law_fit",
     "nelson_aalen_hazard",
     "logrank_test_return_time",
+    "individuals_control_chart",
+    "cochran_q_dow",
+    "cochran_armitage_trend",
+    "somers_d_gamma_ordinal",
+    "gumbel_return_level",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
