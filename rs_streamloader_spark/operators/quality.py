@@ -1552,3 +1552,116 @@ def brier_murphy_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "uncertainty",
         "brier_binned",
     )
+
+
+# ---------------------------------------------------------------------------
+# Expected / maximum calibration error (ECE / MCE) of the pseudo-model
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "calibration_ece",
+    oracle=f"""
+    WITH s AS (
+      SELECT ((o_orderkey % {_CAL_HASH_MOD}) * {_CAL_HASH_MULT})
+               % {_CAL_HASH_MOD} AS h,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    b AS (
+      SELECT CAST(h * 10 // {_CAL_HASH_MOD} AS INT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS nk,
+             CAST(SUM(h) AS HUGEINT) AS sh,
+             CAST(SUM(y) AS BIGINT) AS ok
+      FROM s GROUP BY 1
+    ),
+    terms AS (
+      SELECT bin, nk,
+             CAST(ROUND(ABS(CAST(sh AS DOUBLE) / (nk * {_CAL_HASH_MOD}.0)
+                            - CAST(ok AS DOUBLE) / nk) * 1000000000)
+                  AS BIGINT) AS gap_nano
+      FROM b
+    ),
+    tot AS (SELECT CAST(SUM(nk) AS BIGINT) AS n FROM b),
+    mx AS (
+      SELECT bin AS worst_bin, gap_nano AS mce_nano
+      FROM terms ORDER BY gap_nano DESC, bin ASC LIMIT 1
+    )
+    SELECT (SELECT n FROM tot) AS n_orders,
+           ROUND(SUM(CAST(nk AS HUGEINT) * gap_nano)
+                 / ((SELECT n FROM tot) * 1e9), 6) AS ece,
+           ROUND((SELECT mce_nano FROM mx) / 1e9, 6) AS mce,
+           (SELECT CAST(worst_bin AS BIGINT) FROM mx) AS worst_bin
+    FROM terms
+    """,
+)
+def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected and maximum calibration error of the decile-binned
+    pseudo-model: ECE = Σ (n_k/N)·|p̄_k − ō_k| (the reported-number
+    standard for "is this model calibrated"), MCE the worst bin's gap
+    and which bin it is. Reads the SAME hash pseudo-model and decile
+    binning as ``ml_calibration_brier`` / ``brier_murphy_decomposition``
+    — reliability is the L2 view of the same table; ECE is the L1
+    number dashboards quote.
+
+    Scale posture: one combinable 10-bin aggregate of exact integers;
+    per-bin |gap| is one fixed double expression nano-rounded before
+    the weighted integer sum (sum-order immunity); MCE/worst-bin is a
+    deterministic (gap DESC, bin ASC) top-1 over ten rows. One output
+    row.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 quality
+    family)."""
+    t = load_tables(spark, sf_dir, "orders")["orders"]
+    s = t.select(
+        (
+            ((F.col("o_orderkey") % _CAL_HASH_MOD) * _CAL_HASH_MULT)
+            % _CAL_HASH_MOD
+        ).alias("h"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    b = s.groupBy(
+        F.expr(f"CAST(h * 10 div {_CAL_HASH_MOD} AS INT)").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nk"),
+        F.expr("CAST(SUM(h) AS DECIMAL(38,0))").alias("sh"),
+        F.sum("y").cast("bigint").alias("ok"),
+    )
+    terms = b.select(
+        "bin",
+        "nk",
+        F.expr(
+            f"CAST(ROUND(ABS(CAST(sh AS DOUBLE) / (nk * {_CAL_HASH_MOD}e0)"
+            " - CAST(ok AS DOUBLE) / nk) * 1000000000) AS BIGINT)"
+        ).alias("gap_nano"),
+    )
+    tot = terms.agg(F.sum("nk").cast("bigint").alias("n"))
+    mx = terms.orderBy(F.col("gap_nano").desc(), F.col("bin").asc()).limit(
+        1
+    ).select(
+        F.col("bin").cast("bigint").alias("worst_bin"),
+        F.col("gap_nano").alias("mce_nano"),
+    )
+    agg = terms.agg(
+        F.expr(
+            "CAST(SUM(CAST(nk AS DECIMAL(38,0)) * gap_nano)"
+            " AS DECIMAL(38,0))"
+        ).alias("wsum")
+    )
+    return (
+        agg.join(F.broadcast(tot))
+        .join(F.broadcast(mx))
+        .select(
+            F.col("n").alias("n_orders"),
+            F.expr("ROUND(CAST(wsum AS DOUBLE) / (n * 1e9), 6)").alias(
+                "ece"
+            ),
+            F.expr("ROUND(mce_nano / 1e9, 6)").alias("mce"),
+            "worst_bin",
+        )
+    )

@@ -10817,3 +10817,393 @@ def gumbel_return_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("return_period")
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F across order priorities (location on means)
+# ---------------------------------------------------------------------------
+
+
+def _anova_pivot_cols() -> str:
+    cols = []
+    for i, p in enumerate(_KW_PRIORITIES, start=1):
+        cols.append(
+            f"MAX(CASE WHEN p = '{p}' THEN n_g END) AS n{i},"
+            f" MAX(CASE WHEN p = '{p}' THEN s_g END) AS s{i},"
+            f" MAX(CASE WHEN p = '{p}' THEN ss_g END) AS ss{i}"
+        )
+    return ", ".join(cols)
+
+
+def _anova_exprs() -> tuple[str, str, str]:
+    """(ssb, ssw, n_tot) fixed-operand-order double expressions."""
+    n_tot = " + ".join(f"n{i}" for i in range(1, 6))
+    s_tot = " + ".join(f"CAST(s{i} AS DOUBLE)" for i in range(1, 6))
+    sum_sq_over_n = " + ".join(
+        f"CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE) / n{i}"
+        for i in range(1, 6)
+    )
+    ss_tot = " + ".join(f"CAST(ss{i} AS DOUBLE)" for i in range(1, 6))
+    ssb = f"(({sum_sq_over_n}) - ({s_tot}) * ({s_tot}) / ({n_tot}))"
+    ssw = f"(({ss_tot}) - ({sum_sq_over_n}))"
+    return ssb, ssw, n_tot
+
+
+_ANOVA_SSB, _ANOVA_SSW, _ANOVA_N = _anova_exprs()
+_ANOVA_F = (
+    f"(({_ANOVA_SSB}) / 4e0)"
+    f" / (({_ANOVA_SSW}) / (CAST(({_ANOVA_N}) - 5 AS DOUBLE)))"
+)
+
+
+@register(
+    "anova_oneway_f",
+    oracle=f"""
+    WITH g AS (
+      SELECT o_orderpriority AS p,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS HUGEINT) AS s_g,
+             CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           AS HUGEINT)
+                      * CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS HUGEINT) AS ss_g
+      FROM orders GROUP BY 1
+    ),
+    wide AS (SELECT {_anova_pivot_cols()} FROM g)
+    SELECT CAST({_ANOVA_N} AS BIGINT) AS n_orders,
+           CAST(4 AS BIGINT) AS df1,
+           ROUND({_ANOVA_F}, 6) AS f_statistic,
+           ROUND(({_ANOVA_SSB}) / (({_ANOVA_SSB}) + ({_ANOVA_SSW})), 6)
+             AS eta_squared,
+           ({_ANOVA_F}) > {_BF_CRIT} AS significant
+    FROM wide
+    WHERE n1 > 1 AND n2 > 1 AND n3 > 1 AND n4 > 1 AND n5 > 1
+    """,
+)
+def anova_oneway_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F test of mean o_totalprice across the five order
+    priorities — the parametric LOCATION test completing the triad
+    with ``kruskal_wallis_h`` (rank location) and
+    ``levene_brown_forsythe`` (spread; also the homogeneity
+    precondition this F assumes). η² = SSB/SST is the variance-
+    explained effect size. Verdict vs the frozen F(4, ∞) 95% value =
+    χ²₄/4 (conservative at finite N; same documented trade as the
+    Brown-Forsythe op).
+
+    Scale posture: ONE combinable 5-row aggregate of exact integer
+    cents (n, Σx, Σx²) per group; the five groups pivot to one row in
+    pinned priority order and SSB/SSW/F/η² are fixed-operand-order
+    double expressions over the exact integers (sum-order immunity);
+    no joins, one output row.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    d38 = "DECIMAL(38,0)"
+    g = orders.groupBy(F.col("o_orderpriority").alias("p")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(cents.cast("decimal(38,0)")).alias("s_g"),
+        F.expr(
+            "CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+            f" AS {d38}) * CAST(ROUND(o_totalprice * 100) AS BIGINT))"
+            f" AS {d38})"
+        ).alias("ss_g"),
+    )
+    wide = g.agg(*[F.expr(e).alias(a) for e, a in _anova_spark_pivot()])
+    return wide.where(
+        "n1 > 1 AND n2 > 1 AND n3 > 1 AND n4 > 1 AND n5 > 1"
+    ).select(
+        F.expr(f"CAST({_ANOVA_N} AS BIGINT)").alias("n_orders"),
+        F.lit(4).cast("bigint").alias("df1"),
+        F.expr(f"ROUND({_ANOVA_F}, 6)").alias("f_statistic"),
+        F.expr(
+            f"ROUND(({_ANOVA_SSB}) / (({_ANOVA_SSB}) + ({_ANOVA_SSW})), 6)"
+        ).alias("eta_squared"),
+        F.expr(f"({_ANOVA_F}) > {_BF_CRIT}").alias("significant"),
+    )
+
+
+def _anova_spark_pivot() -> list[tuple[str, str]]:
+    out = []
+    for i, p in enumerate(_KW_PRIORITIES, start=1):
+        out.append((f"MAX(CASE WHEN p = '{p}' THEN n_g END)", f"n{i}"))
+        out.append((f"MAX(CASE WHEN p = '{p}' THEN s_g END)", f"s{i}"))
+        out.append((f"MAX(CASE WHEN p = '{p}' THEN ss_g END)", f"ss{i}"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Anderson-Darling two-sample test (click vs view value distributions)
+# ---------------------------------------------------------------------------
+
+# asymptotic 5% point of the two-sample A^2 statistic (Pettitt 1976,
+# frozen published literal)
+_AD_CRIT = 2.492
+
+
+@register(
+    "anderson_darling_two_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(ROUND("value" * 100) AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+        AND "value" IS NOT NULL
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, ca + cb AS l,
+             SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS m,
+             SUM(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS b
+      FROM h
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(ca + cb) AS BIGINT) AS n
+      FROM h
+    ),
+    terms AS (
+      SELECT CAST(ROUND(CAST(l AS DOUBLE)
+                        * POW(CAST(t.n AS DOUBLE) * c.m
+                              - CAST(t.n_a AS DOUBLE) * c.b, 2)
+                        / (CAST(c.b AS DOUBLE) * (t.n - c.b))
+                        * 1000000000) AS BIGINT) AS t_nano
+      FROM cum c CROSS JOIN tot t
+      WHERE c.b < t.n
+    )
+    SELECT t.n_a, CAST(t.n - t.n_a AS BIGINT) AS n_b,
+           ROUND(SUM(tr.t_nano)
+                 / (CAST(t.n_a AS DOUBLE) * (t.n - t.n_a) * 1e9), 6)
+             AS a2_statistic,
+           (SUM(tr.t_nano)
+            > {_AD_CRIT} * CAST(t.n_a AS HUGEINT) * (t.n - t.n_a)
+              * 1000000000) AS significant
+    FROM terms tr CROSS JOIN tot t
+    GROUP BY t.n_a, t.n
+    HAVING t.n_a > 0 AND t.n - t.n_a > 0
+    """,
+)
+def anderson_darling_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling statistic between the click and
+    view value distributions — the third member of the two-sample
+    trio: KS weights the center (sup-distance), MWU tests location,
+    A² = (1/(nm))Σ l·(N·M − n·B)²/(B(N−B)) up-weights the TAILS,
+    catching distributional drift KS misses when only the extremes
+    move. Discrete (tie-aware) right-ECDF formulation over the pooled
+    cents histogram; verdict vs Pettitt's frozen asymptotic 5% point.
+
+    Scale posture: the ``ks_test_click_view_value`` machinery — values
+    collapse to a cents histogram (combinable), the two inclusive
+    CDFs ride the banded two-pass prefix, each term is one fixed
+    double expression over exact integers nano-rounded BEFORE the sum
+    (sum-order immunity), and the significance compare cross-
+    multiplies into exact integers. One output row.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    from rs_streamloader_spark.operators.quality import _banded_prefix
+
+    ev = _t(spark, sf_dir, "events")["events"].filter(
+        F.col("event_type").isin(_KS_A, _KS_B)
+        & F.col("value").isNotNull()
+    )
+    h = ev.groupBy(
+        F.round(F.col("value") * 100).cast("bigint").alias("v")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    h = h.withColumn("l", F.col("ca") + F.col("cb"))
+    cum = _banded_prefix(h, "v", "ca", "sum", "ca_below")
+    cum = _banded_prefix(cum, "v", "l", "sum", "l_below")
+    cum = cum.select(
+        "l",
+        (F.coalesce(F.col("ca_below"), F.lit(0)) + F.col("ca")).alias("m"),
+        (F.coalesce(F.col("l_below"), F.lit(0)) + F.col("l")).alias("b"),
+    )
+    tot = h.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("l").cast("bigint").alias("n"),
+    )
+    terms = cum.join(F.broadcast(tot)).where("b < n").select(
+        "n_a",
+        "n",
+        F.expr(
+            "CAST(ROUND(CAST(l AS DOUBLE)"
+            " * POW(CAST(n AS DOUBLE) * m - CAST(n_a AS DOUBLE) * b, 2)"
+            " / (CAST(b AS DOUBLE) * (n - b)) * 1000000000) AS BIGINT)"
+        ).alias("t_nano"),
+    )
+    agg = terms.groupBy("n_a", "n").agg(
+        F.expr(
+            "CAST(SUM(CAST(t_nano AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+        ).alias("ts")
+    )
+    return agg.where("n_a > 0 AND n - n_a > 0").select(
+        "n_a",
+        F.expr("CAST(n - n_a AS BIGINT)").alias("n_b"),
+        F.expr(
+            "ROUND(CAST(ts AS DOUBLE)"
+            " / (CAST(n_a AS DOUBLE) * (n - n_a) * 1e9), 6)"
+        ).alias("a2_statistic"),
+        F.expr(
+            f"ts > {_AD_CRIT} * CAST(n_a AS DECIMAL(38,0)) * (n - n_a)"
+            " * 1000000000"
+        ).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Periodogram power of daily revenue at candidate seasonal periods
+# ---------------------------------------------------------------------------
+
+# frozen angular frequencies 2*pi/p — full-precision literals shared
+# verbatim by both engines (the literal IS the definition; truncation
+# is identical on both sides)
+_PERIODOGRAM_W = {
+    7: "0.8975979010256552",
+    14: "0.4487989505128276",
+    30: "0.20943951023931953",
+}
+
+
+def _periodogram_vals_sql() -> str:
+    rows = ", ".join(f"({p}, {w})" for p, w in _PERIODOGRAM_W.items())
+    return f"(VALUES {rows}) AS pp(period, w)"
+
+
+@register(
+    "periodogram_power",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT x, CAST(DATEDIFF('day', (SELECT MIN(d) FROM daily), d)
+                     AS BIGINT) AS t
+      FROM daily
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM idx
+    ),
+    terms AS (
+      SELECT pp.period, m.n, m.sx, m.sxx,
+             CAST(ROUND((i.x - CAST(m.sx AS DOUBLE) / m.n)
+                        * COS(pp.w * i.t)) AS BIGINT) AS tc,
+             CAST(ROUND((i.x - CAST(m.sx AS DOUBLE) / m.n)
+                        * SIN(pp.w * i.t)) AS BIGINT) AS ts
+      FROM idx i CROSS JOIN mom m CROSS JOIN {_periodogram_vals_sql()}
+    ),
+    agg AS (
+      SELECT period, n, sx, sxx,
+             CAST(SUM(tc) AS HUGEINT) AS c, CAST(SUM(ts) AS HUGEINT) AS s
+      FROM terms GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(period AS BIGINT) AS period,
+           CAST(c AS BIGINT) AS cos_sum_cents,
+           CAST(s AS BIGINT) AS sin_sum_cents,
+           ROUND(2e0 * SQRT(CAST(c AS DOUBLE) * c + CAST(s AS DOUBLE) * s)
+                 / n, 4) AS amplitude_cents,
+           ROUND((2e0 / n) * (CAST(c AS DOUBLE) * c + CAST(s AS DOUBLE) * s)
+                 / (CAST(sxx AS DOUBLE)
+                    - (CAST(sx AS DOUBLE) / n) * sx), 6) AS power_share
+    FROM agg WHERE n > 2
+    ORDER BY period
+    """,
+)
+def periodogram_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram power of the daily-revenue series at the three
+    candidate seasonal periods (7/14/30 days): C = Σ(x−x̄)cos(ωt),
+    S = Σ(x−x̄)sin(ωt), fitted-cosine amplitude 2√(C²+S²)/n, and the
+    orthogonality-approximate variance share (2/n)(C²+S²)/SST — the
+    SPECTRAL reading of weekly seasonality next to
+    ``seasonality_dow_index`` (calendar buckets) and
+    ``weekly_seasonality_strength`` (decomposition). A dominant
+    power_share at 7 confirms the week; power at 30 would flag a
+    billing cycle the DOW index cannot see.
+
+    Scale posture: one combinable daily aggregate; the per-day
+    cos/sin terms round to INTEGER CENTS before summation (libm's
+    sub-ulp cos/sin differences are ~1e-7 cents at any revenue scale —
+    ten orders of magnitude under the 0.5-cent rounding threshold —
+    so the exact integer sums are engine-identical); ω literals are
+    frozen. 3 bounded output rows.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    mind = daily.agg(F.min("d").alias("d0"))
+    idx = daily.join(F.broadcast(mind)).select(
+        "x", F.datediff("d", "d0").cast("bigint").alias("t")
+    )
+    d38 = "DECIMAL(38,0)"
+    mom = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"CAST(SUM(x) AS {d38})").alias("sx"),
+        F.expr(f"CAST(SUM(CAST(x AS {d38}) * x) AS {d38})").alias("sxx"),
+    )
+    pp = spark.createDataFrame(
+        [(p, float(w)) for p, w in _PERIODOGRAM_W.items()],
+        "period long, w double",
+    )
+    terms = (
+        idx.join(F.broadcast(mom))
+        .join(F.broadcast(pp))
+        .select(
+            "period",
+            "n",
+            "sx",
+            "sxx",
+            F.expr(
+                "CAST(ROUND((x - CAST(sx AS DOUBLE) / n) * COS(w * t))"
+                " AS BIGINT)"
+            ).alias("tc"),
+            F.expr(
+                "CAST(ROUND((x - CAST(sx AS DOUBLE) / n) * SIN(w * t))"
+                " AS BIGINT)"
+            ).alias("ts"),
+        )
+    )
+    agg = terms.groupBy("period", "n", "sx", "sxx").agg(
+        F.expr(f"CAST(SUM(CAST(tc AS {d38})) AS {d38})").alias("c"),
+        F.expr(f"CAST(SUM(CAST(ts AS {d38})) AS {d38})").alias("s"),
+    )
+    return (
+        agg.where("n > 2")
+        .select(
+            F.col("period").cast("bigint"),
+            F.col("c").cast("bigint").alias("cos_sum_cents"),
+            F.col("s").cast("bigint").alias("sin_sum_cents"),
+            F.expr(
+                "ROUND(2e0 * SQRT(CAST(c AS DOUBLE) * c"
+                " + CAST(s AS DOUBLE) * s) / n, 4)"
+            ).alias("amplitude_cents"),
+            F.expr(
+                "ROUND((2e0 / n) * (CAST(c AS DOUBLE) * c"
+                " + CAST(s AS DOUBLE) * s)"
+                " / (CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) / n) * sx),"
+                " 6)"
+            ).alias("power_share"),
+        )
+        .orderBy("period")
+    )

@@ -2468,3 +2468,102 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Flesch readability scores per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "readability_flesch",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(LEN(LIST_FILTER(STR_SPLIT(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS words,
+             CAST(GREATEST(LEN(regexp_extract_all(text, '[.!?]')), 1)
+                  AS BIGINT) AS sentences,
+             CAST(LEN(regexp_extract_all(LOWER(text), '[aeiouy]+'))
+                  AS BIGINT) AS syllables
+      FROM documents
+    ),
+    agg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(words) AS BIGINT) AS words,
+             CAST(SUM(sentences) AS BIGINT) AS sentences,
+             CAST(SUM(syllables) AS BIGINT) AS syllables
+      FROM per_doc GROUP BY source
+    )
+    SELECT source, n_docs, words, sentences, syllables,
+           ROUND(206.835e0 - 1.015e0 * (CAST(words AS DOUBLE) / sentences)
+                 - 84.6e0 * (CAST(syllables AS DOUBLE) / words), 4)
+             AS flesch_reading_ease,
+           ROUND(0.39e0 * (CAST(words AS DOUBLE) / sentences)
+                 + 11.8e0 * (CAST(syllables AS DOUBLE) / words)
+                 - 15.59e0, 4) AS fk_grade_level
+    FROM agg WHERE words > 0 AND sentences > 0
+    ORDER BY source
+    """,
+)
+def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease and Flesch-Kincaid grade level per source,
+    with the standard published coefficients frozen (206.835/1.015/
+    84.6 and 0.39/11.8/15.59). Syllables are approximated by vowel
+    GROUPS ([aeiouy]+ runs, the classic cheap estimator) and sentences
+    by terminal-punctuation marks clamped to ≥1 per doc — both exact
+    integer counts, so the only doubles are the two final formulas.
+    The readability axis complements ``text_quality_score`` (length/
+    punct ratios) and ``quality_gopher_rules`` for mix curation:
+    a source whose grade level collapses is boilerplate; one that
+    explodes is OCR noise.
+
+    Scale posture: one pass over documents computing three integer
+    regexp counts per doc (JVM-side regexp, no UDF), a combinable
+    per-source aggregate, bounded output rows. Cross-engine
+    determinism: the regex classes are engine-trivial ([.!?], vowel
+    runs), counts are exact integers, the formulas are fixed-operand-
+    order doubles rounded at 4dp.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 text
+    family)."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    per_doc = t.select(
+        "source",
+        F.expr(
+            "CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)"
+        ).alias("words"),
+        F.expr(
+            "CAST(GREATEST(regexp_count(text, '[.!?]'), 1) AS BIGINT)"
+        ).alias("sentences"),
+        F.expr(
+            "CAST(regexp_count(lower(text), '[aeiouy]+') AS BIGINT)"
+        ).alias("syllables"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("words"),
+        F.sum("sentences").cast("bigint").alias("sentences"),
+        F.sum("syllables").cast("bigint").alias("syllables"),
+    )
+    return (
+        agg.where("words > 0 AND sentences > 0")
+        .select(
+            "source",
+            "n_docs",
+            "words",
+            "sentences",
+            "syllables",
+            F.expr(
+                "ROUND(206.835e0 - 1.015e0 * (CAST(words AS DOUBLE)"
+                " / sentences) - 84.6e0 * (CAST(syllables AS DOUBLE)"
+                " / words), 4)"
+            ).alias("flesch_reading_ease"),
+            F.expr(
+                "ROUND(0.39e0 * (CAST(words AS DOUBLE) / sentences)"
+                " + 11.8e0 * (CAST(syllables AS DOUBLE) / words)"
+                " - 15.59e0, 4)"
+            ).alias("fk_grade_level"),
+        )
+        .orderBy("source")
+    )

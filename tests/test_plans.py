@@ -2754,3 +2754,59 @@ def test_gumbel_is_one_aggregate_three_rows(spark):
     text = explain_str(df, "simple")
     assert has_broadcast_join(df), text[:1500]
     assert text.lower().count("rangepartitioning") <= 1, text[:1500]
+
+
+def test_anova_is_one_bounded_aggregate_no_joins(spark):
+    from rs_streamloader_spark.operators.stats import anova_oneway_f
+
+    df = anova_oneway_f(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Join" not in text, text[:1500]
+    assert "rangepartitioning" not in text.lower(), text[:1500]
+
+
+def test_calibration_ece_bounded_bins_and_broadcasts(spark):
+    """10-bin aggregate before any double math; totals/max broadcast;
+    scan prunes to key + priority."""
+    from rs_streamloader_spark.operators.quality import calibration_ece
+
+    df = calibration_ece(spark, SF_SMOKE)
+    assert has_broadcast_join(df), explain_str(df, "simple")[:1500]
+    cols = scan_columns(df)
+    assert {"o_orderkey", "o_orderpriority"} in cols, cols
+
+
+def test_anderson_darling_histogram_banded_prefix(spark):
+    """Same posture as KS: histogram collapse + banded prefix, no
+    input-sized global sort."""
+    from rs_streamloader_spark.operators.stats import (
+        anderson_darling_two_sample,
+    )
+
+    df = anderson_darling_two_sample(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # within-band windows hash-partition by band; the band-offset walk
+    # is the only ordered exchange (x2 for the two prefixes)
+    assert text.lower().count("rangepartitioning") <= 2, text[:2000]
+    assert has_broadcast_join(df), text[:1500]
+
+
+def test_periodogram_single_daily_aggregate_broadcast_freqs(spark):
+    from rs_streamloader_spark.operators.stats import periodogram_power
+
+    df = periodogram_power(spark, SF_SMOKE)
+    assert has_broadcast_join(df), explain_str(df, "simple")[:1500]
+    text = explain_str(df, "simple")
+    assert text.lower().count("rangepartitioning") <= 1, text[:1500]
+
+
+def test_readability_no_udf_combinable_rollup(spark):
+    """Counts are JVM regexp expressions (no Python UDF) and the
+    per-source rollup is a hash aggregate."""
+    from rs_streamloader_spark.operators.text import readability_flesch
+
+    df = readability_flesch(spark, SF_SMOKE)
+    text = explain_str(df, "formatted")
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+    cols = scan_columns(df)
+    assert {"source", "text"} in cols, cols

@@ -2388,3 +2388,212 @@ def test_gumbel_matches_numpy_mom_fit(spark, monkeypatch):
     # only if the tail demands it — sanity: levels are ordered
     assert rows[30]["return_level_cents"] < rows[100]["return_level_cents"]
     assert rows[100]["return_level_cents"] < rows[365]["return_level_cents"]
+
+
+def test_anova_f_matches_numpy_both_branches(spark, monkeypatch):
+    """F and eta^2 recomputed in numpy; a mean-shifted group must
+    reject, identical distributions must not."""
+    from rs_streamloader_spark.operators.stats import anova_oneway_f
+
+    def brute(groups):
+        gs = [np.round(np.array(v) * 100) for v in groups]
+        allv = np.concatenate(gs)
+        ssb = sum(len(g) * (g.mean() - allv.mean()) ** 2 for g in gs)
+        ssw = sum(((g - g.mean()) ** 2).sum() for g in gs)
+        f = (ssb / 4) / (ssw / (len(allv) - 5))
+        return f, ssb / (ssb + ssw)
+
+    rng = np.random.RandomState(29)
+    base = [list(1000 + rng.randint(-100, 101, 80)) for _ in range(5)]
+    groups = {p: v for p, v in zip(_PRIOS, base)}
+    _prio_orders_patch(spark, monkeypatch, groups)
+    r = anova_oneway_f(spark, "x").collect()[0]
+    f, eta = brute(list(groups.values()))
+    assert r["n_orders"] == 400
+    assert r["f_statistic"] == pytest.approx(f, abs=2e-5)
+    assert r["eta_squared"] == pytest.approx(eta, abs=2e-6)
+    assert bool(r["significant"]) is False
+    groups[_PRIOS[1]] = [v + 150 for v in base[1]]
+    _prio_orders_patch(spark, monkeypatch, groups)
+    r = anova_oneway_f(spark, "x").collect()[0]
+    f, eta = brute(list(groups.values()))
+    assert r["f_statistic"] == pytest.approx(f, abs=2e-4)
+    assert bool(r["significant"]) is True
+
+
+def test_calibration_ece_matches_numpy(spark, monkeypatch):
+    """ECE/MCE/worst-bin recomputed from the replicated hash
+    pseudo-model on constructed orders."""
+    import rs_streamloader_spark.operators.quality as Q
+    from rs_streamloader_spark.operators.quality import calibration_ece
+
+    MOD, MULT = 1_048_576, 2654435761
+    rng = np.random.RandomState(37)
+    n = 3000
+    keys = np.arange(1, n + 1) * 7919
+    h = ((keys % MOD) * MULT) % MOD
+    # outcome correlated with the hash score so bins differ
+    y = (rng.rand(n) < 0.2 + 0.6 * h / MOD).astype(int)
+    prios = np.where(y == 1, "1-URGENT", "5-LOW")
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": keys,
+            "o_orderdate": "1995-06-01",
+            "o_totalprice": 100.0,
+            "o_orderpriority": prios,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(
+        Q, "load_tables", lambda _s, _d, *names: {"orders": sdf}
+    )
+    r = calibration_ece(spark, "x").collect()[0]
+    bins = h * 10 // MOD
+    gaps = {}
+    ece = 0.0
+    for b in range(10):
+        m = bins == b
+        if not m.any():
+            continue
+        gap = abs(h[m].mean() / MOD - y[m].mean())
+        gaps[b] = round(gap * 1e9)
+        ece += m.sum() * gaps[b]
+    ece = ece / (n * 1e9)
+    mce_bin = max(gaps, key=lambda b: (gaps[b], -b))
+    assert r["n_orders"] == n
+    assert r["ece"] == pytest.approx(ece, abs=2e-6)
+    assert r["mce"] == pytest.approx(gaps[mce_bin] / 1e9, abs=2e-6)
+    assert r["worst_bin"] == mce_bin
+
+
+def test_anderson_darling_matches_brute_force_both_branches(
+    spark, monkeypatch
+):
+    """A^2 recomputed from explicit pooled ECDFs (independent code
+    path); a tail-shifted sample must reject, identical must not."""
+    from rs_streamloader_spark.operators.stats import (
+        anderson_darling_two_sample,
+    )
+
+    def brute(a_vals, b_vals):
+        a = np.round(np.array(a_vals) * 100)
+        b = np.round(np.array(b_vals) * 100)
+        pooled = np.concatenate([a, b])
+        vs = np.unique(pooled)
+        n, m = len(a), len(b)
+        N = n + m
+        total = 0
+        for v in vs:
+            B = (pooled <= v).sum()
+            if B >= N:
+                continue
+            M = (a <= v).sum()
+            l = (pooled == v).sum()
+            total += round(l * (N * M - n * B) ** 2 / (B * (N - B)) * 1e9)
+        return total / (n * m * 1e9)
+
+    def events(a_vals, b_vals):
+        rows = []
+        eid = 0
+        for v in a_vals:
+            eid += 1
+            rows.append((eid, pd.Timestamp("2024-01-01"), 1, "click", float(v)))
+        for v in b_vals:
+            eid += 1
+            rows.append((eid, pd.Timestamp("2024-01-01"), 2, "view", float(v)))
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        sdf = spark.createDataFrame(pdf)
+        monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"events": sdf})
+
+    rng = np.random.RandomState(43)
+    a_vals = list(rng.gamma(2, 10, 300))
+    b_vals = list(rng.gamma(2, 10, 300) * 1.6)  # scale shift: tails move
+    events(a_vals, b_vals)
+    r = anderson_darling_two_sample(spark, "x").collect()[0]
+    a2 = brute(a_vals, b_vals)
+    assert (r["n_a"], r["n_b"]) == (300, 300)
+    assert r["a2_statistic"] == pytest.approx(a2, abs=2e-5)
+    assert bool(r["significant"]) is True
+    same = list(rng.gamma(2, 10, 300))
+    events(same, [v * 1.001 for v in same])
+    r = anderson_darling_two_sample(spark, "x").collect()[0]
+    assert bool(r["significant"]) is False
+
+
+def test_periodogram_matches_numpy_and_finds_planted_week(
+    spark, monkeypatch
+):
+    """C/S/amplitude/power recomputed in numpy with the same frozen
+    omega; a planted 7-day cosine must dominate power_share."""
+    from rs_streamloader_spark.operators.stats import periodogram_power
+
+    base = pd.Timestamp("2024-01-01")
+    n = 140
+    t = np.arange(n)
+    w7 = 0.8975979010256552
+    vals = 1000 + 200 * np.cos(w7 * t)
+    days = [
+        ((base + pd.Timedelta(days=i)).strftime("%Y-%m-%d"), float(v))
+        for i, v in enumerate(vals)
+    ]
+    _orders_patch(spark, monkeypatch, days)
+    rows = {r["period"]: r for r in periodogram_power(spark, "x").collect()}
+    x = np.round(np.array(vals) * 100)
+    mu = x.sum() / n
+    for p, w in ((7, w7), (14, 0.4487989505128276), (30, 0.20943951023931953)):
+        c = int(np.round((x - mu) * np.cos(w * t)).sum())
+        s = int(np.round((x - mu) * np.sin(w * t)).sum())
+        sst = (x**2).sum() - mu * x.sum()
+        r = rows[p]
+        assert r["cos_sum_cents"] == c, p
+        assert r["sin_sum_cents"] == s, p
+        assert r["amplitude_cents"] == pytest.approx(
+            2 * np.sqrt(c * c + s * s) / n, abs=1e-3
+        )
+        assert r["power_share"] == pytest.approx(
+            2 / n * (c * c + s * s) / sst, abs=2e-6
+        )
+    assert rows[7]["power_share"] > 0.95
+    assert rows[14]["power_share"] < 0.05
+    assert rows[7]["amplitude_cents"] == pytest.approx(20000, rel=0.02)
+
+
+def test_readability_matches_hand_counts_and_orders_complexity(
+    spark, monkeypatch
+):
+    """Counts recomputed by hand; simple text must score easier than
+    polysyllabic text."""
+    from rs_streamloader_spark.operators.text import readability_flesch
+
+    simple = "the cat sat. the dog ran. it is fun!"
+    complex_ = (
+        "organizational multidimensional characterization "
+        "necessitates exhaustive interdisciplinary investigation."
+    )
+    _docs_text_patch(
+        spark, monkeypatch, {"sa": [simple, simple], "sb": [complex_]}
+    )
+    rows = {r["source"]: r for r in readability_flesch(spark, "x").collect()}
+    import re
+
+    def counts(txt):
+        words = len([w for w in txt.split(" ") if w])
+        sents = max(len(re.findall(r"[.!?]", txt)), 1)
+        syls = len(re.findall(r"[aeiouy]+", txt.lower()))
+        return words, sents, syls
+
+    w, s, y = counts(simple)
+    ra = rows["sa"]
+    assert (ra["words"], ra["sentences"], ra["syllables"]) == (
+        2 * w,
+        2 * s,
+        2 * y,
+    )
+    fre = 206.835 - 1.015 * (2 * w / (2 * s)) - 84.6 * (2 * y / (2 * w))
+    assert ra["flesch_reading_ease"] == pytest.approx(fre, abs=1e-3)
+    fk = 0.39 * (w / s) + 11.8 * (y / w) - 15.59
+    assert ra["fk_grade_level"] == pytest.approx(fk, abs=1e-3)
+    assert rows["sa"]["flesch_reading_ease"] > rows["sb"]["flesch_reading_ease"]
+    assert rows["sa"]["fk_grade_level"] < rows["sb"]["fk_grade_level"]

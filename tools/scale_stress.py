@@ -120,6 +120,11 @@ HEAVY_TAIL = [
     "cochran_armitage_trend",
     "somers_d_gamma_ordinal",
     "gumbel_return_level",
+    "anova_oneway_f",
+    "calibration_ece",
+    "anderson_darling_two_sample",
+    "periodogram_power",
+    "readability_flesch",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
@@ -419,6 +424,11 @@ CONSTANT_OUTPUT = {
     "cochran_armitage_trend",
     "somers_d_gamma_ordinal",
     "gumbel_return_level",
+    "anova_oneway_f",
+    "calibration_ece",
+    "anderson_darling_two_sample",
+    "periodogram_power",
+    "readability_flesch",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
