@@ -11207,3 +11207,397 @@ def periodogram_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("period")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau test on daily event counts (lags 1..14)
+# ---------------------------------------------------------------------------
+
+_LB_CHI2_14_NANO = 23_684_791_000  # chi^2_14 95% critical x 1e9 (frozen)
+
+# Box-Jenkins fixed-mean autocorrelation at lag k from the pair sums
+# and the full-series moments — one shared double expression
+_LB_RK = (
+    "(CAST(sp AS DOUBLE) - (CAST(sx AS DOUBLE) / n)"
+    " * (CAST(sxl AS DOUBLE) + syl)"
+    " + cnt * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))"
+    " / (CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) / n) * sx)"
+)
+
+
+@register(
+    "ljung_box_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sxx
+      FROM daily
+    ),
+    pairs AS (
+      SELECT g.lag, a.c AS x, b.c AS y
+      FROM daily a
+      CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 14)) AS lag) g
+      JOIN daily b ON b.d = a.d + CAST(g.lag AS INT)
+    ),
+    lagagg AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(x) AS HUGEINT) AS sxl,
+             CAST(SUM(y) AS HUGEINT) AS syl,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sp
+      FROM pairs GROUP BY lag
+    ),
+    terms AS (
+      SELECT m.n, lag,
+             CAST(ROUND(({_LB_RK}) * ({_LB_RK}) / (m.n - lag)
+                        * 1000000000) AS BIGINT) AS t_nano
+      FROM lagagg CROSS JOIN mom m
+      WHERE m.n > lag AND sxx * m.n > sx * sx
+    )
+    SELECT n AS n_days, CAST(14 AS BIGINT) AS df,
+           ROUND(CAST(n AS DOUBLE) * (n + 2) * SUM(t_nano) / 1e9, 6)
+             AS q_statistic,
+           (CAST(n AS HUGEINT) * (n + 2) * SUM(t_nano)
+            > {_LB_CHI2_14_NANO}) AS significant
+    FROM terms GROUP BY n
+    """,
+)
+def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test over lags 1..14 of daily event
+    volume: Q = n(n+2)Σr_k²/(n−k) vs the frozen χ²₁₄ 95% critical
+    value — the one-number verdict for the ``daily_acf_curve`` it
+    rides beside ("is there ANY autocorrelation structure?"), with
+    the standard fixed-mean Box-Jenkins r_k (full-series mean and
+    variance), not the per-lag-pair Pearson the curve op reports —
+    both conventions documented where they differ. Missing calendar
+    days simply contribute no pair (the ACF op's convention).
+
+    Scale posture: events collapse to the calendar-bounded daily
+    aggregate first; the 14× lag fan-out and self-join run over that
+    bounded series; per-lag sums are exact integers; each r_k² term is
+    nano-rounded BEFORE the cross-lag sum (order immunity over 14
+    rows) and the verdict cross-multiplies into exact integers.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    d38 = "DECIMAL(38,0)"
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"CAST(SUM(c) AS {d38})").alias("sx"),
+        F.expr(f"CAST(SUM(CAST(c AS {d38}) * c) AS {d38})").alias("sxx"),
+    )
+    lags = daily.select(
+        "d",
+        F.col("c").alias("x"),
+        F.explode(F.sequence(F.lit(1), F.lit(14))).alias("lag"),
+    ).select(F.expr("date_add(d, lag)").alias("d2"), "x", "lag")
+    other = daily.select(F.col("d").alias("d2"), F.col("c").alias("y"))
+    pairs = lags.join(F.broadcast(other), "d2")
+    lagagg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.expr(f"CAST(SUM(x) AS {d38})").alias("sxl"),
+        F.expr(f"CAST(SUM(y) AS {d38})").alias("syl"),
+        F.expr(f"CAST(SUM(CAST(x AS {d38}) * y) AS {d38})").alias("sp"),
+    )
+    terms = (
+        lagagg.join(F.broadcast(mom))
+        .where("n > lag AND sxx * n > sx * sx")
+        .select(
+            "n",
+            F.expr(
+                f"CAST(ROUND(({_LB_RK}) * ({_LB_RK}) / (n - lag)"
+                " * 1000000000) AS BIGINT)"
+            ).alias("t_nano"),
+        )
+    )
+    return terms.groupBy("n").agg(
+        F.expr(
+            "ROUND(CAST(n AS DOUBLE) * (n + 2) * SUM(t_nano) / 1e9, 6)"
+        ).alias("q_statistic"),
+        F.expr(
+            f"CAST(n AS DECIMAL(38,0)) * (n + 2) * SUM(t_nano)"
+            f" > {_LB_CHI2_14_NANO}"
+        ).alias("significant"),
+    ).select(
+        F.col("n").alias("n_days"),
+        F.lit(14).cast("bigint").alias("df"),
+        "q_statistic",
+        "significant",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall's W: concordance of yearly nation-revenue rankings
+# ---------------------------------------------------------------------------
+
+_KW_CONC_CHI2_24_X1E6 = 36_415_028  # chi^2_24 95% x 1e6 (frozen)
+
+
+@register(
+    "kendall_w_nation_years",
+    oracle=f"""
+    WITH rev AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+             c.c_nationkey AS nk,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT y.yr, n.n_nationkey AS nk, COALESCE(r.cents, 0) AS cents
+      FROM (SELECT DISTINCT yr FROM rev) y
+      CROSS JOIN nation n
+      LEFT JOIN rev r ON r.yr = y.yr AND r.nk = n.n_nationkey
+    ),
+    ranked AS (
+      SELECT yr, nk,
+             ROW_NUMBER() OVER (PARTITION BY yr ORDER BY cents, nk)
+               AS rnk
+      FROM grid
+    ),
+    dims AS (
+      SELECT CAST(COUNT(DISTINCT yr) AS BIGINT) AS m,
+             CAST(COUNT(DISTINCT nk) AS BIGINT) AS n
+      FROM ranked
+    ),
+    rsums AS (
+      SELECT nk, CAST(SUM(rnk) AS BIGINT) AS ri FROM ranked GROUP BY nk
+    ),
+    s AS (
+      SELECT CAST(SUM(CAST(2 * ri - m * (n + 1) AS HUGEINT)
+                      * (2 * ri - m * (n + 1))) AS HUGEINT) AS t2
+      FROM rsums CROSS JOIN dims
+    )
+    SELECT d.m AS n_years, d.n AS n_nations,
+           ROUND(3e0 * CAST(s.t2 AS DOUBLE)
+                 / (CAST(d.m AS DOUBLE) * d.m
+                    * (CAST(d.n AS DOUBLE) * d.n * d.n - d.n)), 6) AS w,
+           ROUND(3e0 * CAST(s.t2 AS DOUBLE) * (d.n - 1)
+                 / (CAST(d.m AS DOUBLE)
+                    * (CAST(d.n AS DOUBLE) * d.n * d.n - d.n)), 6)
+             AS friedman_chi2,
+           (3000000 * s.t2 * (d.n - 1)
+            > {_KW_CONC_CHI2_24_X1E6} * d.m
+              * (CAST(d.n AS HUGEINT) * d.n * d.n - d.n)) AS significant
+    FROM s CROSS JOIN dims d
+    WHERE d.m > 1 AND d.n > 1
+    """,
+)
+def kendall_w_nation_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W across the order years:
+    do the yearly nation-revenue RANKINGS agree? W = 1 means the
+    market ordering is frozen year over year; W near 0 means yearly
+    reshuffles. Friedman's χ² = m(n−1)W gives the significance verdict
+    against the frozen χ²₂₄ literal (n = 25 nations → df = 24). Ranks
+    are ROW_NUMBER with the pinned (cents, nationkey) tie-break — ties
+    are broken identically in both engines, so the untied W formula is
+    exact (documented convention; zero-revenue nations rank lowest via
+    the densified grid).
+
+    Scale posture: orders⋈customer collapses to the bounded
+    (year, nation) grid FIRST (one combinable aggregate + a broadcast
+    customer-dim join); ranking windows partition by year over ≤25
+    rows; sums are exact integers (2R−m(n+1) keeps everything
+    integral); the verdict cross-multiplies exactly.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    t = _t(spark, sf_dir, "orders", "customer", "nation")
+    orders, customer, nation = t["orders"], t["customer"], t["nation"]
+    rev = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.col("c_nationkey").alias("nk"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    years = rev.select("yr").distinct()
+    grid = (
+        years.crossJoin(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("nk")))
+        )
+        .join(rev, ["yr", "nk"], "left")
+        .select("yr", "nk", F.coalesce("cents", F.lit(0)).alias("cents"))
+    )
+    ranked = grid.select(
+        "yr",
+        "nk",
+        F.row_number()
+        .over(Window.partitionBy("yr").orderBy("cents", "nk"))
+        .alias("rnk"),
+    )
+    dims = ranked.agg(
+        F.countDistinct("yr").cast("bigint").alias("m"),
+        F.countDistinct("nk").cast("bigint").alias("n"),
+    )
+    rsums = ranked.groupBy("nk").agg(F.sum("rnk").cast("bigint").alias("ri"))
+    d38 = "DECIMAL(38,0)"
+    s = rsums.join(F.broadcast(dims)).agg(
+        F.expr(
+            f"CAST(SUM(CAST(2 * ri - m * (n + 1) AS {d38})"
+            f" * (2 * ri - m * (n + 1))) AS {d38})"
+        ).alias("t2")
+    )
+    return (
+        s.join(F.broadcast(dims))
+        .where("m > 1 AND n > 1")
+        .select(
+            F.col("m").alias("n_years"),
+            F.col("n").alias("n_nations"),
+            F.expr(
+                "ROUND(3e0 * CAST(t2 AS DOUBLE)"
+                " / (CAST(m AS DOUBLE) * m"
+                " * (CAST(n AS DOUBLE) * n * n - n)), 6)"
+            ).alias("w"),
+            F.expr(
+                "ROUND(3e0 * CAST(t2 AS DOUBLE) * (n - 1)"
+                " / (CAST(m AS DOUBLE)"
+                " * (CAST(n AS DOUBLE) * n * n - n)), 6)"
+            ).alias("friedman_chi2"),
+            F.expr(
+                f"3000000 * t2 * (n - 1) > {_KW_CONC_CHI2_24_X1E6} * m"
+                f" * (CAST(n AS {d38}) * n * n - n)"
+            ).alias("significant"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Permutation entropy (order 3) of the daily revenue series
+# ---------------------------------------------------------------------------
+
+_PE_LN6 = 1.791759469228055  # ln(6), frozen normalizer
+
+# ordinal pattern of (x1, x2, x3) with the standard tie convention
+# "earlier index is smaller" (so >= compares later against earlier) —
+# identical CASE text in both engines; the digits are each value's
+# rank (1 = smallest) in position order
+_PE_PATTERN_CASE = (
+    "CASE WHEN x2 >= x1 AND x3 >= x1 AND x3 >= x2 THEN '123'"
+    " WHEN x2 >= x1 AND x3 >= x1 THEN '132'"
+    " WHEN x2 < x1 AND x3 >= x1 THEN '213'"
+    " WHEN x2 >= x1 THEN '231'"
+    " WHEN x3 >= x2 THEN '312'"
+    " ELSE '321' END"
+)
+
+
+@register(
+    "permutation_entropy_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    triples AS (
+      SELECT x AS x1,
+             LEAD(x, 1) OVER (ORDER BY d) AS x2,
+             LEAD(x, 2) OVER (ORDER BY d) AS x3
+      FROM daily
+    ),
+    pat AS (
+      SELECT {_PE_PATTERN_CASE} AS pattern, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM triples WHERE x3 IS NOT NULL
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(cnt * LN(CAST(cnt AS DOUBLE))
+                                 * 1000000000) AS BIGINT)) AS HUGEINT)
+               AS snl
+      FROM pat
+    )
+    SELECT p.pattern, p.cnt,
+           CAST(CAST(p.cnt AS HUGEINT) * 1000000 // t.n AS BIGINT)
+             AS share_ppm,
+           ROUND(LN(CAST(t.n AS DOUBLE))
+                 - CAST(t.snl AS DOUBLE) / (t.n * 1e9), 6) AS perm_entropy,
+           ROUND((LN(CAST(t.n AS DOUBLE))
+                  - CAST(t.snl AS DOUBLE) / (t.n * 1e9)) / {_PE_LN6}, 6)
+             AS pe_normalized
+    FROM pat p CROSS JOIN tot t
+    WHERE t.n > 0
+    ORDER BY p.pattern
+    """,
+)
+def permutation_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy (order 3, Bandt-Pompe) of the daily revenue
+    series: the Shannon entropy of the six ordinal patterns of
+    consecutive day triples, normalized by ln 6. Near 1 = the series'
+    local up/down structure is maximally unpredictable (noise-like);
+    low values mean repeating motifs — a complexity one-number that is
+    blind to amplitude (pure ORDER), complementing ``daily_acf_curve``
+    (linear memory) and ``events_burstiness``. The tie convention
+    (earlier index smaller) is pinned into the shared CASE text.
+
+    Scale posture: one combinable daily aggregate; the two LEADs
+    order the calendar-bounded series only; six bounded pattern rows;
+    H uses the ln N − (1/N)Σc·ln c identity with each c·ln c term
+    nano-rounded before the exact integer sum. Output ≤ 6 rows.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    wd = Window.orderBy("d")
+    triples = daily.select(
+        F.col("x").alias("x1"),
+        F.lead("x", 1).over(wd).alias("x2"),
+        F.lead("x", 2).over(wd).alias("x3"),
+    )
+    pat = (
+        triples.where(F.col("x3").isNotNull())
+        .groupBy(F.expr(_PE_PATTERN_CASE).alias("pattern"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    d38 = "DECIMAL(38,0)"
+    tot = pat.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(cnt * LN(CAST(cnt AS DOUBLE))"
+            f" * 1000000000) AS BIGINT)) AS {d38})"
+        ).alias("snl"),
+    )
+    return (
+        pat.join(F.broadcast(tot))
+        .where("n > 0")
+        .select(
+            "pattern",
+            "cnt",
+            F.expr(
+                f"CAST(CAST(cnt AS {d38}) * 1000000 div n AS BIGINT)"
+            ).alias("share_ppm"),
+            F.expr(
+                "ROUND(LN(CAST(n AS DOUBLE))"
+                " - CAST(snl AS DOUBLE) / (n * 1e9), 6)"
+            ).alias("perm_entropy"),
+            F.expr(
+                "ROUND((LN(CAST(n AS DOUBLE))"
+                f" - CAST(snl AS DOUBLE) / (n * 1e9)) / {_PE_LN6}, 6)"
+            ).alias("pe_normalized"),
+        )
+        .orderBy("pattern")
+    )

@@ -2567,3 +2567,89 @@ def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chao1 species-richness estimate per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chao1_richness",
+    oracle=f"""
+    WITH tc AS ({_SOURCE_TOK_SQL}),
+    fof AS (
+      SELECT source, cnt AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+      FROM tc GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT source,
+             CAST(SUM(r * n_r) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_r) AS BIGINT) AS vocab,
+             CAST(MAX(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(MAX(CASE WHEN r = 2 THEN n_r ELSE 0 END) AS BIGINT)
+               AS n2
+      FROM fof GROUP BY source
+    )
+    SELECT source, n_tokens, vocab, n1 AS n_hapax, n2 AS n_dis,
+           CAST(vocab * 1000000
+                + CAST(n1 AS HUGEINT) * (n1 - 1) * 1000000
+                  // (2 * (n2 + 1)) AS BIGINT) AS chao1_micro,
+           CAST(1000000 - CAST(n1 AS HUGEINT) * 1000000 // n_tokens
+                AS BIGINT) AS coverage_ppm
+    FROM agg WHERE n_tokens > 0
+    ORDER BY source
+    """,
+)
+def chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimator per source: the lower-bound
+    extrapolation of TRUE vocabulary size from the observed frequency
+    spectrum, Chao1 = V + N₁(N₁−1)/(2(N₂+1)) (bias-corrected form,
+    defined even when no doubletons exist), plus the Good coverage
+    estimate C = 1 − N₁/N. Where ``good_turing_mass`` answers "what
+    mass will the next draw put on unseen types", Chao1 answers "how
+    many types exist that we have not seen" — the pair brackets a
+    source's vocabulary from both sides for crawl-budget decisions.
+
+    Scale posture: identical to Good-Turing — vocab-bounded (source,
+    token) aggregate, frequency-of-frequencies collapse, one bounded
+    row per source; all outputs exact integers (truncating micro/ppm
+    divisions in HUGEINT/DECIMAL(38)) — zero doubles.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 text
+    family)."""
+    tc = _source_token_counts(spark, sf_dir)
+    fof = tc.groupBy("source", F.col("cnt").alias("r")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r")
+    )
+    agg = fof.groupBy("source").agg(
+        F.expr("CAST(SUM(r * n_r) AS BIGINT)").alias("n_tokens"),
+        F.sum("n_r").cast("bigint").alias("vocab"),
+        F.expr(
+            "CAST(MAX(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT)"
+        ).alias("n1"),
+        F.expr(
+            "CAST(MAX(CASE WHEN r = 2 THEN n_r ELSE 0 END) AS BIGINT)"
+        ).alias("n2"),
+    )
+    d38 = "DECIMAL(38,0)"
+    return (
+        agg.where("n_tokens > 0")
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            F.col("n1").alias("n_hapax"),
+            F.col("n2").alias("n_dis"),
+            F.expr(
+                f"CAST(vocab * 1000000 + CAST(n1 AS {d38}) * (n1 - 1)"
+                " * 1000000 div (2 * (n2 + 1)) AS BIGINT)"
+            ).alias("chao1_micro"),
+            F.expr(
+                f"CAST(1000000 - CAST(n1 AS {d38}) * 1000000 div n_tokens"
+                " AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+        .orderBy("source")
+    )

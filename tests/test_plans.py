@@ -2810,3 +2810,47 @@ def test_readability_no_udf_combinable_rollup(spark):
     assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
     cols = scan_columns(df)
     assert {"source", "text"} in cols, cols
+
+
+def test_ljung_box_lag_join_on_bounded_daily_aggregate(spark):
+    """The 14x lag fan-out joins the calendar-bounded daily aggregate
+    against a broadcast of itself; raw events never enter a join."""
+    from rs_streamloader_spark.operators.stats import ljung_box_test
+
+    df = ljung_box_test(spark, SF_SMOKE)
+    assert has_broadcast_join(df), explain_str(df, "simple")[:1500]
+    text = explain_str(df, "formatted")
+    assert "CartesianProduct" not in text
+
+
+def test_kendall_w_grid_is_bounded_before_ranking(spark):
+    """orders collapses to the (year, nation) grid before any window;
+    the customer dim joins broadcast."""
+    from rs_streamloader_spark.operators.stats import kendall_w_nation_years
+
+    df = kendall_w_nation_years(spark, SF_SMOKE)
+    assert has_broadcast_join(df), explain_str(df, "simple")[:1500]
+    text = explain_str(df, "formatted")
+    assert "CartesianProduct" not in text
+
+
+def test_chao1_prunes_and_stays_combinable(spark):
+    from rs_streamloader_spark.operators.text import chao1_richness
+
+    df = chao1_richness(spark, SF_SMOKE)
+    cols = scan_columns(df)
+    assert {"source", "text"} in cols, cols
+    text = explain_str(df, "simple")
+    assert text.lower().count("rangepartitioning") <= 1, text[:1500]
+
+
+def test_permutation_entropy_windows_on_daily_series_only(spark):
+    from rs_streamloader_spark.operators.stats import (
+        permutation_entropy_daily,
+    )
+
+    df = permutation_entropy_daily(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # the day-ordered LEAD walk + the <=6-row ORDER BY pattern
+    assert text.lower().count("rangepartitioning") <= 2, text[:1500]
+    assert has_broadcast_join(df), text[:1500]

@@ -2597,3 +2597,185 @@ def test_readability_matches_hand_counts_and_orders_complexity(
     assert ra["fk_grade_level"] == pytest.approx(fk, abs=1e-3)
     assert rows["sa"]["flesch_reading_ease"] > rows["sb"]["flesch_reading_ease"]
     assert rows["sa"]["fk_grade_level"] < rows["sb"]["fk_grade_level"]
+
+
+def test_ljung_box_matches_numpy_both_branches(spark, monkeypatch):
+    """Q recomputed with the standard fixed-mean r_k; a 7-day cycle
+    must reject, shuffled noise must not."""
+    from rs_streamloader_spark.operators.stats import ljung_box_test
+
+    def ev_from_counts(counts):
+        rows = []
+        eid = 0
+        base = pd.Timestamp("2024-01-01")
+        for i, c in enumerate(counts):
+            for _ in range(int(c)):
+                eid += 1
+                rows.append(
+                    (eid, base + pd.Timedelta(days=i), eid % 20, "click")
+                )
+        _events_patch(
+            spark,
+            monkeypatch,
+            [(e, ts.strftime("%Y-%m-%d"), u, ty) for e, ts, u, ty in rows],
+        )
+        return np.array(counts, dtype=float)
+
+    def brute(x):
+        n = len(x)
+        mu = x.mean()
+        den = ((x - mu) ** 2).sum()
+        q = 0.0
+        for k in range(1, 15):
+            rk = ((x[:-k] - mu) * (x[k:] - mu)).sum() / den
+            q += round(rk * rk / (n - k) * 1e9)
+        return n * (n + 2) * q / 1e9
+
+    rng = np.random.RandomState(47)
+    weekly = [20 + (15 if i % 7 == 0 else 0) + rng.randint(0, 3) for i in range(84)]
+    x = ev_from_counts(weekly)
+    r = ljung_box_test(spark, "x").collect()[0]
+    assert r["n_days"] == 84
+    assert r["q_statistic"] == pytest.approx(brute(x), abs=2e-4)
+    assert bool(r["significant"]) is True
+    noise = list(rng.randint(18, 23, 84))
+    x = ev_from_counts(noise)
+    r = ljung_box_test(spark, "x").collect()[0]
+    assert r["q_statistic"] == pytest.approx(brute(x), abs=2e-4)
+    assert bool(r["significant"]) is False
+
+
+def test_kendall_w_matches_brute_force_extremes(spark, monkeypatch):
+    """W recomputed from rank sums on constructed (orders, customer,
+    nation): identical yearly rankings give W = 1 (significant);
+    near-reversed rankings push W toward 0."""
+    import rs_streamloader_spark.operators.stats as SS
+    from rs_streamloader_spark.operators.stats import kendall_w_nation_years
+
+    def build(stable):
+        nat = pd.DataFrame(
+            {"n_nationkey": range(6), "n_name": [f"N{i}" for i in range(6)],
+             "n_regionkey": 0}
+        )
+        cust = pd.DataFrame(
+            {"c_custkey": range(6), "c_nationkey": range(6),
+             "c_mktsegment": "BUILDING"}
+        )
+        rows = []
+        ok = 0
+        for y, year in enumerate(("1995", "1996", "1997")):
+            for nk in range(6):
+                ok += 1
+                if stable:
+                    amt = 100.0 * (nk + 1)
+                else:
+                    # reverse the ordering on alternating years
+                    amt = 100.0 * ((nk + 1) if y % 2 == 0 else (6 - nk))
+                rows.append((ok, nk, f"{year}-06-01", amt))
+        orders = pd.DataFrame(
+            rows,
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        tables = {
+            "orders": spark.createDataFrame(orders),
+            "customer": spark.createDataFrame(cust),
+            "nation": spark.createDataFrame(nat),
+        }
+        monkeypatch.setattr(
+            SS, "_t", lambda _s, _d, *names: tables
+        )
+
+    def brute(stable):
+        m, n = 3, 6
+        ranks = np.zeros(n)
+        for y in range(m):
+            if stable or y % 2 == 0:
+                order = list(range(n))
+            else:
+                order = list(range(n - 1, -1, -1))
+            for rank0, nk in enumerate(sorted(range(n), key=lambda k: (
+                (k + 1) if (stable or y % 2 == 0) else (n - k), k))):
+                ranks[nk] += rank0 + 1
+        s = ((2 * ranks - m * (n + 1)) ** 2).sum()
+        w = 3 * s / (m * m * (n**3 - n))
+        return w, m * (n - 1) * w
+
+    build(True)
+    r = kendall_w_nation_years(spark, "x").collect()[0]
+    w, chi2 = brute(True)
+    assert (r["n_years"], r["n_nations"]) == (3, 6)
+    assert r["w"] == pytest.approx(w, abs=2e-6) == 1.0
+    assert r["friedman_chi2"] == pytest.approx(chi2, abs=2e-6)
+    build(False)
+    r = kendall_w_nation_years(spark, "x").collect()[0]
+    w, chi2 = brute(False)
+    assert r["w"] == pytest.approx(w, abs=2e-6)
+    assert r["w"] < 0.2
+
+
+def test_chao1_matches_hand_spectrum(spark, monkeypatch):
+    """Chao1 and coverage recomputed from a constructed frequency
+    spectrum, including the no-doubleton branch."""
+    from rs_streamloader_spark.operators.text import chao1_richness
+
+    # s1: 4 hapax, 2 dis, 1x5 => V=7, chao1 = 7 + 4*3/(2*3) = 9
+    t1 = "a b c d e e f f g g g g g"
+    # s2: 3 hapax, 0 dis => bias-corrected chao1 = 3 + 3*2/2 = 6
+    t2 = "p q r"
+    _docs_text_patch(spark, monkeypatch, {"s1": [t1], "s2": [t2]})
+    rows = {r["source"]: r for r in chao1_richness(spark, "x").collect()}
+    r1 = rows["s1"]
+    assert (r1["vocab"], r1["n_hapax"], r1["n_dis"]) == (7, 4, 2)
+    assert r1["chao1_micro"] == 7 * 10**6 + 4 * 3 * 10**6 // 6
+    assert r1["coverage_ppm"] == 10**6 - 4 * 10**6 // 13
+    r2 = rows["s2"]
+    assert (r2["vocab"], r2["n_hapax"], r2["n_dis"]) == (3, 3, 0)
+    assert r2["chao1_micro"] == 3 * 10**6 + 3 * 2 * 10**6 // 2
+    assert r2["coverage_ppm"] == 10**6 - 3 * 10**6 // 3
+
+
+def test_permutation_entropy_matches_brute_force(spark, monkeypatch):
+    """Patterns and H recomputed from scratch: a monotone ramp is all
+    '123' (H=0); alternating high/low hits the two zigzag patterns."""
+    from rs_streamloader_spark.operators.stats import (
+        permutation_entropy_daily,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+
+    def run(vals):
+        days = [
+            ((base + pd.Timedelta(days=i)).strftime("%Y-%m-%d"), float(v))
+            for i, v in enumerate(vals)
+        ]
+        _orders_patch(spark, monkeypatch, days)
+        return {
+            r["pattern"]: r
+            for r in permutation_entropy_daily(spark, "x").collect()
+        }
+
+    ramp = run([100 + i for i in range(30)])
+    assert set(ramp) == {"123"}
+    assert ramp["123"]["cnt"] == 28
+    assert ramp["123"]["perm_entropy"] == 0.0
+    assert ramp["123"]["pe_normalized"] == 0.0
+
+    zig = run([100 + (50 if i % 2 else 0) for i in range(30)])
+    # triples alternate (low,high,low)='231'? ranks: x1=1,x3=2,x2=3 ->
+    # digits x1,x2,x3 = 1,3,2 = '132'; (high,low,high): x2=1,x1=2,x3=3
+    # -> '213' (x1 rank 2, x2 rank 1, x3 rank 3)
+    assert set(zig) == {"132", "213"}
+    n = sum(r["cnt"] for r in zig.values())
+    h = np.log(n) - sum(
+        round(r["cnt"] * np.log(r["cnt"]) * 1e9) for r in zig.values()
+    ) / (n * 1e9)
+    for r in zig.values():
+        assert r["perm_entropy"] == pytest.approx(h, abs=2e-6)
+        assert r["pe_normalized"] == pytest.approx(h / np.log(6), abs=2e-6)
+
+    rng = np.random.RandomState(53)
+    noisy = run(list(rng.randint(100, 1000, 200)))
+    # noise: high normalized entropy, all/most patterns present
+    some = list(noisy.values())[0]
+    assert some["pe_normalized"] > 0.9
+    assert len(noisy) == 6

@@ -125,6 +125,10 @@ HEAVY_TAIL = [
     "anderson_darling_two_sample",
     "periodogram_power",
     "readability_flesch",
+    "ljung_box_test",
+    "kendall_w_nation_years",
+    "chao1_richness",
+    "permutation_entropy_daily",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
@@ -429,6 +433,10 @@ CONSTANT_OUTPUT = {
     "anderson_darling_two_sample",
     "periodogram_power",
     "readability_flesch",
+    "ljung_box_test",
+    "kendall_w_nation_years",
+    "chao1_richness",
+    "permutation_entropy_daily",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
