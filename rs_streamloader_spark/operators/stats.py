@@ -11601,3 +11601,565 @@ def permutation_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pattern")
     )
+
+
+# ---------------------------------------------------------------------------
+# Atkinson inequality index (epsilon = 2) of customer revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "atkinson_index_2",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1
+    ),
+    terms AS (
+      SELECT rev,
+             CAST(ROUND(1e18 / rev) AS BIGINT) AS inv_atto
+      FROM cust WHERE rev > 0
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rev) AS HUGEINT) AS s,
+             CAST(SUM(inv_atto) AS HUGEINT) AS sinv
+      FROM terms
+    )
+    SELECT n AS n_customers,
+           CAST(s AS BIGINT) AS total_cents,
+           ROUND(CAST(n AS DOUBLE) * 1e18 / CAST(sinv AS DOUBLE), 4)
+             AS harmonic_mean_cents,
+           ROUND(1e0 - (CAST(n AS DOUBLE) * 1e18 / CAST(sinv AS DOUBLE))
+                 / (CAST(s AS DOUBLE) / n), 6) AS atkinson_2
+    FROM agg WHERE n > 0 AND sinv > 0
+    """,
+)
+def atkinson_index_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index at inequality-aversion ε = 2 over
+    per-customer revenue: A₂ = 1 − harmonic_mean/arithmetic_mean —
+    the welfare-theoretic member of the inequality family
+    (``gini_revenue_concentration`` is rank-based,
+    ``theil_index_revenue`` entropy-based; Atkinson answers "what
+    fraction of total revenue could be given up if it were spread
+    evenly, at aversion ε"). ε = 2 is the closed-form case needing NO
+    transcendental: only a reciprocal per customer.
+
+    Scale posture: one per-customer collapse then a single combinable
+    aggregate; each 1/x term is rounded at atto precision (1e18/x on
+    cents keeps ~9 significant digits even for million-dollar
+    customers) and summed exactly; the two means and A₂ are one fixed
+    double expression. One output row.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    d38 = "DECIMAL(38,0)"
+    terms = cust.where("rev > 0").select(
+        "rev",
+        F.expr("CAST(ROUND(1e18 / rev) AS BIGINT)").alias("inv_atto"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"CAST(SUM(rev) AS {d38})").alias("s"),
+        F.expr(f"CAST(SUM(inv_atto) AS {d38})").alias("sinv"),
+    )
+    return agg.where("n > 0 AND sinv > 0").select(
+        F.col("n").alias("n_customers"),
+        F.col("s").cast("bigint").alias("total_cents"),
+        F.expr(
+            "ROUND(CAST(n AS DOUBLE) * 1e18 / CAST(sinv AS DOUBLE), 4)"
+        ).alias("harmonic_mean_cents"),
+        F.expr(
+            "ROUND(1e0 - (CAST(n AS DOUBLE) * 1e18 / CAST(sinv AS DOUBLE))"
+            " / (CAST(s AS DOUBLE) / n), 6)"
+        ).alias("atkinson_2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Palma ratio of customer revenue (top-10% share / bottom-40% share)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "palma_ratio",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT rev,
+             ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS rnk,
+             SUM(rev) OVER (ORDER BY rev, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM cust
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rev) AS HUGEINT) AS total
+      FROM cust
+    ),
+    cuts AS (
+      SELECT
+        CAST(MAX(CASE WHEN rnk = n * 4 // 10 THEN cum END) AS HUGEINT)
+          AS bottom40,
+        CAST(MAX(CASE WHEN rnk = n * 9 // 10 THEN cum END) AS HUGEINT)
+          AS upto90
+      FROM ranked CROSS JOIN tot
+    )
+    SELECT t.n AS n_customers,
+           CAST(c.bottom40 AS BIGINT) AS bottom40_cents,
+           CAST(t.total - c.upto90 AS BIGINT) AS top10_cents,
+           ROUND(CAST(t.total - c.upto90 AS DOUBLE)
+                 / CAST(c.bottom40 AS DOUBLE), 6) AS palma_ratio
+    FROM cuts c CROSS JOIN tot t
+    WHERE c.bottom40 > 0
+    """,
+)
+def palma_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Palma ratio of customer revenue: (top-10% customers' revenue) /
+    (bottom-40% customers' revenue) — the inequality one-number policy
+    analysts quote because the middle 50% share is empirically stable;
+    it reads directly off the same Lorenz geometry as
+    ``lorenz_curve_points`` (= (1−L(0.9))/L(0.4)). Population cuts are
+    the exact rank boundaries ⌊0.4n⌋ and ⌊0.9n⌋ with the pinned
+    (rev, custkey) tie-break.
+
+    Scale posture: per-customer collapse, then the banded two-pass
+    rank + revenue prefix (the ``lorenz_curve_points`` machinery on
+    the Spark side — no input-cardinality global window), and a
+    2-boundary broadcast pick. All accounting in exact BIGINT cents /
+    DECIMAL(38); the final ratio is one double division. One row.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    t = _t(spark, sf_dir, "orders")["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cust = t.groupBy("o_custkey").agg(F.sum(cents).alias("rev"))
+    cust = cust.withColumn(
+        "bucket",
+        F.floor(F.col("rev") / F.lit(_GINI_BUCKET_CENTS)).cast("bigint"),
+    )
+    w_in = Window.partitionBy("bucket").orderBy("rev", "o_custkey")
+    w_in_sum = w_in.rowsBetween(Window.unboundedPreceding, 0)
+    within = cust.withColumn("rn", F.row_number().over(w_in)).withColumn(
+        "csum", F.sum(F.col("rev").cast("decimal(38,0)")).over(w_in_sum)
+    )
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        cust.groupBy("bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.expr("CAST(SUM(rev) AS DECIMAL(38,0))").alias("bsum"),
+        )
+        .select(
+            "bucket",
+            F.coalesce(F.sum("cnt").over(w_b), F.lit(0)).alias("offset"),
+            F.coalesce(
+                F.sum("bsum").over(w_b), F.lit(0).cast("decimal(38,0)")
+            ).alias("rev_offset"),
+        )
+    )
+    ranked = within.join(F.broadcast(offsets), "bucket").select(
+        (F.col("offset") + F.col("rn")).cast("bigint").alias("rnk"),
+        (F.col("rev_offset") + F.col("csum")).alias("cum"),
+    )
+    tot = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("CAST(SUM(rev) AS DECIMAL(38,0))").alias("total"),
+    )
+    cuts = ranked.join(F.broadcast(tot)).agg(
+        F.expr(
+            "CAST(MAX(CASE WHEN rnk = n * 4 div 10 THEN cum END)"
+            " AS DECIMAL(38,0))"
+        ).alias("bottom40"),
+        F.expr(
+            "CAST(MAX(CASE WHEN rnk = n * 9 div 10 THEN cum END)"
+            " AS DECIMAL(38,0))"
+        ).alias("upto90"),
+    )
+    return cuts.join(F.broadcast(tot)).where("bottom40 > 0").select(
+        F.col("n").alias("n_customers"),
+        F.col("bottom40").cast("bigint").alias("bottom40_cents"),
+        F.expr("CAST(total - upto90 AS BIGINT)").alias("top10_cents"),
+        F.expr(
+            "ROUND(CAST(total - upto90 AS DOUBLE)"
+            " / CAST(bottom40 AS DOUBLE), 6)"
+        ).alias("palma_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entropy rate of the per-user event-type Markov chain
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "markov_entropy_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS a,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS b
+      FROM events
+    ),
+    trans AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE b IS NOT NULL GROUP BY 1, 2
+    ),
+    marg AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ra FROM trans GROUP BY a),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM trans),
+    terms AS (
+      SELECT CAST(ROUND(c * LN(CAST(c AS DOUBLE) / ra) * 1000000000)
+                  AS BIGINT) AS t_nano
+      FROM trans JOIN marg USING (a)
+      WHERE c > 0
+    )
+    SELECT (SELECT n FROM tot) AS n_transitions,
+           ROUND(-SUM(t_nano) / ((SELECT n FROM tot) * 1e9), 6)
+             AS entropy_rate_nats,
+           ROUND(-SUM(t_nano) / ((SELECT n FROM tot) * 1e9)
+                 / LN(2e0), 6) AS entropy_rate_bits
+    FROM terms
+    """,
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the empirical per-user event-type Markov chain:
+    H = −Σ_{ij} (c_ij/N)·ln(c_ij/r_i) — the per-step unpredictability
+    of the NEXT action given the current one, i.e. how much the
+    ``event_transition_matrix`` actually constrains behaviour (H equal
+    to the unconditional type entropy = memoryless users; H near 0 =
+    deterministic journeys). Weighting by empirical transition counts
+    makes this the maximum-likelihood plug-in estimate with the
+    visit distribution as the stationary weight.
+
+    Scale posture: one user-partitioned LEAD (the sessionize shuffle),
+    a ≤(types)² bounded transition aggregate, broadcast row marginals,
+    per-cell nano-rounded LN terms summed exactly (the
+    ``source_token_entropy`` policy). One output row.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("b"),
+    )
+    trans = (
+        seq.where(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    marg = trans.groupBy("a").agg(F.sum("c").cast("bigint").alias("ra"))
+    tot = trans.agg(F.sum("c").cast("bigint").alias("n"))
+    terms = (
+        trans.join(F.broadcast(marg), "a")
+        .where("c > 0")
+        .select(
+            F.expr(
+                "CAST(ROUND(c * LN(CAST(c AS DOUBLE) / ra) * 1000000000)"
+                " AS BIGINT)"
+            ).alias("t_nano")
+        )
+    )
+    agg = terms.agg(
+        F.expr("CAST(SUM(CAST(t_nano AS DECIMAL(38,0))) AS DECIMAL(38,0))").alias(
+            "snl"
+        )
+    )
+    return agg.join(F.broadcast(tot)).select(
+        F.col("n").alias("n_transitions"),
+        F.expr("ROUND(-CAST(snl AS DOUBLE) / (n * 1e9), 6)").alias(
+            "entropy_rate_nats"
+        ),
+        F.expr(
+            "ROUND(-CAST(snl AS DOUBLE) / (n * 1e9) / LN(2e0), 6)"
+        ).alias("entropy_rate_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jackknife standard error for the per-variant ratio metric
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "jackknife_ratio_se",
+    oracle=f"""
+    WITH u AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+             CAST(SUM(CAST(ROUND("value" * 100) AS BIGINT)) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE "value" IS NOT NULL
+      GROUP BY user_id
+    ),
+    tot AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy
+      FROM u GROUP BY variant
+    ),
+    loo AS (
+      SELECT u.variant, t.n, t.sx, t.sy,
+             CAST(ROUND(CAST(t.sx - u.x AS DOUBLE) / (t.sy - u.y)
+                        * 1000000000) AS BIGINT) AS r_nano
+      FROM u JOIN tot t ON t.variant = u.variant
+      WHERE t.sy - u.y > 0 AND t.n > 1
+    ),
+    mom AS (
+      SELECT variant, n, sx, sy,
+             CAST(COUNT(*) AS BIGINT) AS nl,
+             CAST(SUM(r_nano) AS HUGEINT) AS sr,
+             CAST(SUM(CAST(r_nano AS HUGEINT) * r_nano) AS HUGEINT) AS srr
+      FROM loo GROUP BY 1, 2, 3, 4
+    )
+    SELECT variant, n AS n_users,
+           ROUND(CAST(sx AS DOUBLE) / sy, 6) AS ratio_cents_per_event,
+           ROUND(SQRT(GREATEST(
+                   (CAST(nl AS DOUBLE) - 1) / nl
+                   * (CAST(srr AS DOUBLE) / 1e18
+                      - (CAST(sr AS DOUBLE) / 1e9)
+                        * (CAST(sr AS DOUBLE) / 1e9) / nl), 0e0)), 6)
+             AS se_jackknife
+    FROM mom WHERE nl = n
+    ORDER BY variant
+    """,
+)
+def jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-user-out jackknife standard error for the per-variant
+    ratio metric (cents per event) — the RESAMPLING cross-check of
+    ``ratio_metric_delta_method``'s analytic SE: SE_jack² =
+    (n−1)/n · Σ(R₍ᵢ₎ − R̄₍·₎)². When the two disagree, the delta
+    linearization is breaking (heavy-tailed per-user denominators) and
+    the jackknife is the one to trust. Deleted-ratio R₍ᵢ₎ =
+    (Σx − xᵢ)/(Σy − yᵢ) needs only the broadcast totals — the whole
+    jackknife is ONE pass, not n reruns.
+
+    Scale posture: per-user collapse (combinable), 2-row totals
+    broadcast back, each deleted ratio nano-rounded to an integer
+    before the (n, Σr, Σr²) moment reduction (sum-order immunity);
+    SE is one fixed double expression. The nl = n guard drops a
+    variant where any leave-one-out denominator hit zero (identical
+    both engines). Two output rows.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    u = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("x"),
+            F.count(F.lit(1)).cast("bigint").alias("y"),
+        )
+        .select((F.col("user_id") % 2).cast("bigint").alias("variant"), "x", "y")
+    )
+    d38 = "DECIMAL(38,0)"
+    tot = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"CAST(SUM(x) AS {d38})").alias("sx"),
+        F.expr(f"CAST(SUM(y) AS {d38})").alias("sy"),
+    )
+    loo = (
+        u.join(F.broadcast(tot), "variant")
+        .where("sy - y > 0 AND n > 1")
+        .select(
+            "variant",
+            "n",
+            "sx",
+            "sy",
+            F.expr(
+                "CAST(ROUND(CAST(sx - x AS DOUBLE) / (sy - y)"
+                " * 1000000000) AS BIGINT)"
+            ).alias("r_nano"),
+        )
+    )
+    mom = loo.groupBy("variant", "n", "sx", "sy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nl"),
+        F.expr(f"CAST(SUM(r_nano) AS {d38})").alias("sr"),
+        F.expr(f"CAST(SUM(CAST(r_nano AS {d38}) * r_nano) AS {d38})").alias(
+            "srr"
+        ),
+    )
+    return (
+        mom.where("nl = n")
+        .select(
+            "variant",
+            F.col("n").alias("n_users"),
+            F.expr("ROUND(CAST(sx AS DOUBLE) / sy, 6)").alias(
+                "ratio_cents_per_event"
+            ),
+            F.expr(
+                "ROUND(SQRT(GREATEST((CAST(nl AS DOUBLE) - 1) / nl"
+                " * (CAST(srr AS DOUBLE) / 1e18"
+                " - (CAST(sr AS DOUBLE) / 1e9)"
+                " * (CAST(sr AS DOUBLE) / 1e9) / nl), 0e0)), 6)"
+            ).alias("se_jackknife"),
+        )
+        .orderBy("variant")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley drift statistic on daily revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "page_hinkley_drift",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM daily_src GROUP BY 1
+    ),
+    pre AS (
+      SELECT d, x,
+             SUM(x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS st,
+             ROW_NUMBER() OVER (ORDER BY d) AS t
+      FROM daily
+    ),
+    terms AS (
+      SELECT d,
+             CAST(ROUND((x - CAST(st AS DOUBLE) / t) * 1000000000)
+                  AS BIGINT) AS dev_nano
+      FROM pre
+    ),
+    walk AS (
+      SELECT d,
+             SUM(dev_nano) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS m
+      FROM terms
+    ),
+    drawup AS (
+      SELECT d, m - MIN(m) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+               AS du
+      FROM walk
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM daily
+    ),
+    peak AS (
+      SELECT CAST(MAX(du) AS BIGINT) AS ph_nano,
+             MIN(CASE WHEN du = (SELECT MAX(du) FROM drawup) THEN d END)
+               AS peak_day
+      FROM drawup
+    )
+    SELECT m.n AS n_days,
+           ROUND(p.ph_nano / 1e9, 4) AS ph_statistic_cents,
+           STRFTIME(p.peak_day, '%Y-%m-%d') AS peak_day,
+           ROUND(p.ph_nano / 1e9
+                 / (SQRT(GREATEST((CAST(m.sxx AS DOUBLE)
+                                   - (CAST(m.sx AS DOUBLE) / m.n) * m.sx)
+                                  / (m.n - 1), 1e0)) * SQRT(CAST(m.n AS DOUBLE))),
+                 6) AS ph_normalized,
+           (p.ph_nano / 1e9
+            / (SQRT(GREATEST((CAST(m.sxx AS DOUBLE)
+                              - (CAST(m.sx AS DOUBLE) / m.n) * m.sx)
+                             / (m.n - 1), 1e0))
+               * SQRT(CAST(m.n AS DOUBLE)))) > 3e0 AS drift_detected
+    FROM peak p CROSS JOIN mom m WHERE m.n > 2
+    """.replace("daily_src", "orders"),
+)
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift statistic (δ = 0 variant) on daily revenue:
+    the cumulative deviation from the RUNNING mean, m_T = Σ(x_t −
+    x̄_{1..t}), and its maximum drawup max_T(m_T − min_{s≤T} m_s) —
+    large when the level SHIFTS mid-series (the running mean lags the
+    new level, deviations accumulate). Self-adapting where
+    ``cusum_drift_daily`` needs a fixed reference window; the
+    alarm normalizes the drawup by σ·√n (a stationary series' drawup
+    is a random-walk functional growing ~σ√n — empirically p95 ≈ 2.0
+    over 200 stationary seeds — so the frozen threshold 3.0 separates
+    real level shifts, which score ≳ 6). peak_day says WHERE the drawup peaked —
+    the change's end, a human-auditable anchor.
+
+    Scale posture: one combinable daily aggregate; every window (the
+    revenue prefix, the deviation walk, the running min) orders the
+    calendar-bounded series only; per-day deviations are nano-rounded
+    BEFORE the exact integer walk, the final ratio is one fixed
+    double. One output row.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    wd = Window.orderBy("d")
+    wcum = wd.rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "d",
+        "x",
+        F.sum("x").over(wcum).alias("st"),
+        F.row_number().over(wd).alias("t"),
+    )
+    terms = pre.select(
+        "d",
+        F.expr(
+            "CAST(ROUND((x - CAST(st AS DOUBLE) / t) * 1000000000)"
+            " AS BIGINT)"
+        ).alias("dev_nano"),
+    )
+    # DECIMAL(38) walk: per-day nano deviations reach ~1e18 at large
+    # daily volumes, so a BIGINT prefix overflows (caught by the 10x
+    # stress; DuckDB auto-widens SUM(BIGINT) to HUGEINT)
+    walk = terms.select(
+        "d",
+        F.sum(F.col("dev_nano").cast("decimal(38,0)")).over(wcum).alias("m"),
+    )
+    drawup = walk.select(
+        "d", (F.col("m") - F.min("m").over(wcum)).alias("du")
+    )
+    d38 = "DECIMAL(38,0)"
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"CAST(SUM(x) AS {d38})").alias("sx"),
+        F.expr(f"CAST(SUM(CAST(x AS {d38}) * x) AS {d38})").alias("sxx"),
+    )
+    mx = drawup.agg(F.max("du").alias("ph_nano"))
+    peak = (
+        drawup.join(F.broadcast(mx), drawup["du"] == mx["ph_nano"])
+        .agg(F.min("d").alias("peak_day"))
+    )
+    sig = (
+        "SQRT(GREATEST((CAST(sxx AS DOUBLE)"
+        " - (CAST(sx AS DOUBLE) / n) * sx) / (n - 1), 1e0))"
+    )
+    return (
+        mx.join(F.broadcast(peak))
+        .join(F.broadcast(mom))
+        .where("n > 2")
+        .select(
+            F.col("n").alias("n_days"),
+            F.expr("ROUND(ph_nano / 1e9, 4)").alias("ph_statistic_cents"),
+            F.date_format("peak_day", "yyyy-MM-dd").alias("peak_day"),
+            F.expr(
+                f"ROUND(ph_nano / 1e9"
+                f" / ({sig} * SQRT(CAST(n AS DOUBLE))), 6)"
+            ).alias("ph_normalized"),
+            F.expr(
+                f"(ph_nano / 1e9 / ({sig} * SQRT(CAST(n AS DOUBLE))))"
+                " > 3e0"
+            ).alias("drift_detected"),
+        )
+    )

@@ -2854,3 +2854,51 @@ def test_permutation_entropy_windows_on_daily_series_only(spark):
     # the day-ordered LEAD walk + the <=6-row ORDER BY pattern
     assert text.lower().count("rangepartitioning") <= 2, text[:1500]
     assert has_broadcast_join(df), text[:1500]
+
+
+def test_atkinson_single_aggregate_no_joins(spark):
+    from rs_streamloader_spark.operators.stats import atkinson_index_2
+
+    df = atkinson_index_2(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Join" not in text, text[:1500]
+    assert "rangepartitioning" not in text.lower(), text[:1500]
+
+
+def test_palma_uses_banded_rank_and_broadcast_cuts(spark):
+    from rs_streamloader_spark.operators.stats import palma_ratio
+
+    df = palma_ratio(spark, SF_SMOKE)
+    assert has_broadcast_join(df), explain_str(df, "simple")[:1500]
+    text = explain_str(df, "simple")
+    # the bucket-offset walk is the one ordered exchange
+    assert text.lower().count("rangepartitioning") <= 1, text[:1500]
+
+
+def test_markov_entropy_bounded_grid_broadcast_marginals(spark):
+    from rs_streamloader_spark.operators.stats import markov_entropy_rate
+
+    df = markov_entropy_rate(spark, SF_SMOKE)
+    assert has_broadcast_join(df), explain_str(df, "simple")[:1500]
+    cols = scan_columns(df)
+    assert {"user_id", "ts", "event_id", "event_type"} in cols, cols
+
+
+def test_jackknife_is_one_pass_broadcast_totals(spark):
+    """The leave-one-out ratios derive from broadcast 2-row totals —
+    one pass over users, never n reruns or a self-join."""
+    from rs_streamloader_spark.operators.stats import jackknife_ratio_se
+
+    df = jackknife_ratio_se(spark, SF_SMOKE)
+    assert has_broadcast_join(df), explain_str(df, "simple")[:1500]
+    text = explain_str(df, "formatted")
+    assert "CartesianProduct" not in text
+
+
+def test_page_hinkley_windows_on_daily_series_only(spark):
+    from rs_streamloader_spark.operators.stats import page_hinkley_drift
+
+    df = page_hinkley_drift(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert text.lower().count("rangepartitioning") <= 3, text[:2000]
+    assert has_broadcast_join(df), text[:1500]

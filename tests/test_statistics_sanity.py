@@ -2779,3 +2779,193 @@ def test_permutation_entropy_matches_brute_force(spark, monkeypatch):
     some = list(noisy.values())[0]
     assert some["pe_normalized"] > 0.9
     assert len(noisy) == 6
+
+
+def test_atkinson_matches_numpy_and_equality_gives_zero(spark, monkeypatch):
+    """A2 = 1 - HM/AM recomputed in numpy; a perfectly equal corpus
+    must give exactly 0."""
+    from rs_streamloader_spark.operators.stats import atkinson_index_2
+
+    def orders_per_cust(revs):
+        rows = []
+        for i, r in enumerate(revs):
+            rows.append((i, "1995-06-01", float(r), i))
+        pdf = pd.DataFrame(
+            rows,
+            columns=["o_orderkey", "o_orderdate", "o_totalprice", "o_custkey"],
+        )
+        sdf = spark.createDataFrame(pdf)
+        monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"orders": sdf})
+
+    rng = np.random.RandomState(59)
+    revs = list(rng.lognormal(5, 1, 300))
+    orders_per_cust(revs)
+    r = atkinson_index_2(spark, "x").collect()[0]
+    c = np.round(np.array(revs) * 100)
+    inv = np.round(1e18 / c)
+    hm = len(c) * 1e18 / inv.sum()
+    a2 = 1 - hm / c.mean()
+    assert r["n_customers"] == 300
+    assert r["harmonic_mean_cents"] == pytest.approx(hm, abs=1e-3)
+    assert r["atkinson_2"] == pytest.approx(a2, abs=2e-6)
+    assert 0 < r["atkinson_2"] < 1
+    orders_per_cust([500.0] * 100)
+    r = atkinson_index_2(spark, "x").collect()[0]
+    assert r["atkinson_2"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_palma_matches_numpy_sort(spark, monkeypatch):
+    """Cut sums recomputed by numpy sort on a skewed corpus."""
+    from rs_streamloader_spark.operators.stats import palma_ratio
+
+    rng = np.random.RandomState(61)
+    revs = list(rng.pareto(1.5, 200) * 100 + 10)
+    rows = [(i, "1995-06-01", float(r), i) for i, r in enumerate(revs)]
+    pdf = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_orderdate", "o_totalprice", "o_custkey"]
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"orders": sdf})
+    r = palma_ratio(spark, "x").collect()[0]
+    c = np.sort(np.round(np.array(revs) * 100))
+    n = len(c)
+    bottom40 = c[: n * 4 // 10].sum()
+    top10 = c[n * 9 // 10 :].sum()
+    assert r["n_customers"] == n
+    assert r["bottom40_cents"] == bottom40
+    assert r["top10_cents"] == top10
+    assert r["palma_ratio"] == pytest.approx(top10 / bottom40, abs=2e-6)
+    assert r["palma_ratio"] > 1  # pareto skew
+
+
+def test_markov_entropy_rate_deterministic_vs_uniform(spark, monkeypatch):
+    """H = 0 for a deterministic cycle; ln(k) for uniform transitions;
+    generic case matches a Counter recompute."""
+    from collections import Counter, defaultdict
+
+    from rs_streamloader_spark.operators.stats import markov_entropy_rate
+
+    def run(rows):
+        _events_patch(spark, monkeypatch, rows)
+        return markov_entropy_rate(spark, "x").collect()[0]
+
+    # deterministic cycle: click -> view -> purchase -> click
+    cyc = ["click", "view", "purchase"]
+    rows = []
+    for i in range(60):
+        rows.append((i + 1, f"2024-01-{i % 28 + 1:02d}", 7, cyc[i % 3]))
+    # order by ts then event_id — use one user, strictly increasing ids
+    rows = [
+        (i + 1, (pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i)).strftime("%Y-%m-%d %H:%M:%S"), 7, cyc[i % 3])
+        for i in range(60)
+    ]
+    r = run(rows)
+    assert r["n_transitions"] == 59
+    assert r["entropy_rate_nats"] == pytest.approx(0.0, abs=1e-9)
+
+    rng = np.random.RandomState(67)
+    types = ["click", "view", "purchase", "error"]
+    rows = [
+        (i + 1, (pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i)).strftime("%Y-%m-%d %H:%M:%S"), 7, types[rng.randint(4)])
+        for i in range(500)
+    ]
+    r = run(rows)
+    seq = [ty for _, _, _, ty in rows]
+    trans = Counter(zip(seq, seq[1:]))
+    marg = defaultdict(int)
+    for (a, _), c in trans.items():
+        marg[a] += c
+    n = sum(trans.values())
+    h = -sum(
+        round(c * np.log(c / marg[a]) * 1e9) for (a, _), c in trans.items()
+    ) / (n * 1e9)
+    assert r["entropy_rate_nats"] == pytest.approx(h, abs=2e-6)
+    assert r["entropy_rate_bits"] == pytest.approx(h / np.log(2), abs=2e-6)
+    assert 1.2 < r["entropy_rate_nats"] < np.log(4) + 0.01
+
+
+def test_jackknife_ratio_se_matches_numpy_loo(spark, monkeypatch):
+    """SE recomputed by the explicit leave-one-out loop; sanity vs the
+    delta-method SE on well-behaved data (same order of magnitude)."""
+    from rs_streamloader_spark.operators.stats import jackknife_ratio_se
+
+    rng = np.random.RandomState(71)
+    rows = []
+    eid = 0
+    per_user = {}
+    for u in range(80):
+        cnt = rng.randint(2, 9)
+        tot = 0
+        for _ in range(cnt):
+            eid += 1
+            v = float(rng.randint(100, 2000)) / 100
+            tot += round(v * 100)
+            rows.append(
+                (eid, "2024-01-%02d" % (eid % 28 + 1), u, "click", v)
+            )
+        per_user[u] = (tot, cnt)
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"events": sdf})
+    got = {r["variant"]: r for r in jackknife_ratio_se(spark, "x").collect()}
+    for variant in (0, 1):
+        xs = np.array([v[0] for u, v in per_user.items() if u % 2 == variant])
+        ys = np.array([v[1] for u, v in per_user.items() if u % 2 == variant])
+        sx, sy, n = xs.sum(), ys.sum(), len(xs)
+        loo = np.round((sx - xs) / (sy - ys) * 1e9)
+        se = np.sqrt(
+            (n - 1) / n * ((loo**2).sum() / 1e18 - (loo.sum() / 1e9) ** 2 / n)
+        )
+        r = got[variant]
+        assert r["n_users"] == n
+        assert r["ratio_cents_per_event"] == pytest.approx(sx / sy, abs=2e-6)
+        assert r["se_jackknife"] == pytest.approx(se, abs=2e-6)
+        assert r["se_jackknife"] > 0
+
+
+def test_page_hinkley_fires_on_level_shift_not_noise(spark, monkeypatch):
+    """PH drawup recomputed in numpy; a mid-series level shift must
+    alarm, stationary noise must not."""
+    from rs_streamloader_spark.operators.stats import page_hinkley_drift
+
+    base = pd.Timestamp("2024-01-01")
+
+    def run(vals):
+        days = [
+            ((base + pd.Timedelta(days=i)).strftime("%Y-%m-%d"), float(v))
+            for i, v in enumerate(vals)
+        ]
+        _orders_patch(spark, monkeypatch, days)
+        return page_hinkley_drift(spark, "x").collect()[0]
+
+    def brute(vals):
+        x = np.round(np.array(vals, dtype=float) * 100)
+        st = np.cumsum(x)
+        t = np.arange(1, len(x) + 1)
+        dev = np.round((x - st / t) * 1e9)
+        m = np.cumsum(dev)
+        du = m - np.minimum.accumulate(m)
+        ph = du.max()
+        sig = max(np.sqrt(((x - x.mean()) ** 2).sum() / (len(x) - 1)), 1.0)
+        return ph, ph / 1e9 / (sig * np.sqrt(len(x)))
+
+    rng = np.random.RandomState(73)
+    shift = list(1000 + rng.randint(-30, 31, 50)) + list(
+        1600 + rng.randint(-30, 31, 50)
+    )
+    r = run(shift)
+    ph, norm = brute(shift)
+    assert r["n_days"] == 100
+    assert r["ph_statistic_cents"] == pytest.approx(ph / 1e9, abs=1e-3)
+    assert r["ph_normalized"] == pytest.approx(norm, abs=2e-5)
+    assert bool(r["drift_detected"]) is True
+    # the drawup peaks well after the day-50 shift point
+    assert r["peak_day"] >= "2024-02-19"
+    flat = list(1000 + rng.randint(-30, 31, 100))
+    r = run(flat)
+    ph, norm = brute(flat)
+    assert r["ph_normalized"] == pytest.approx(norm, abs=2e-5)
+    assert bool(r["drift_detected"]) is False

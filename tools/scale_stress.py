@@ -129,6 +129,11 @@ HEAVY_TAIL = [
     "kendall_w_nation_years",
     "chao1_richness",
     "permutation_entropy_daily",
+    "atkinson_index_2",
+    "palma_ratio",
+    "markov_entropy_rate",
+    "jackknife_ratio_se",
+    "page_hinkley_drift",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
@@ -437,6 +442,11 @@ CONSTANT_OUTPUT = {
     "kendall_w_nation_years",
     "chao1_richness",
     "permutation_entropy_daily",
+    "atkinson_index_2",
+    "palma_ratio",
+    "markov_entropy_rate",
+    "jackknife_ratio_se",
+    "page_hinkley_drift",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
