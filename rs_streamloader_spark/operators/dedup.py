@@ -2586,3 +2586,131 @@ def rouge_overlap_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f1_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Newman modularity of the source partition on the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_modularity_by_source",
+    oracle=f"""
+    WITH pairs AS ({_JACCARD_ORACLE}),
+    lab AS (SELECT doc_id, source FROM documents),
+    edges AS (
+      SELECT la.source AS sa, lb.source AS sb
+      FROM pairs p
+      JOIN lab la ON la.doc_id = p.doc_a
+      JOIN lab lb ON lb.doc_id = p.doc_b
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+    deg AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS d FROM (
+        SELECT sa AS source, COUNT(*) AS c FROM edges GROUP BY 1
+        UNION ALL
+        SELECT sb AS source, COUNT(*) AS c FROM edges GROUP BY 1
+      ) GROUP BY source
+    ),
+    within AS (
+      SELECT sa AS source, CAST(COUNT(*) AS BIGINT) AS e_in
+      FROM edges WHERE sa = sb GROUP BY 1
+    ),
+    terms AS (
+      SELECT d.source,
+             COALESCE(w.e_in, 0) AS e_in, d.d,
+             CAST(ROUND((CAST(COALESCE(w.e_in, 0) AS DOUBLE) / m.m
+                         - (CAST(d.d AS DOUBLE) / (2 * m.m))
+                           * (CAST(d.d AS DOUBLE) / (2 * m.m)))
+                        * 1000000000) AS BIGINT) AS q_nano
+      FROM deg d LEFT JOIN within w ON w.source = d.source
+      CROSS JOIN m
+    )
+    SELECT (SELECT m FROM m) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_sources_touched,
+           CAST(SUM(CASE WHEN e_in > 0 THEN e_in ELSE 0 END) AS BIGINT)
+             AS within_edges,
+           ROUND(SUM(q_nano) / 1e9, 6) AS modularity
+    FROM terms
+    """,
+)
+def graph_modularity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the SOURCE partition over the near-dup
+    pair graph: Q = Σ_s [e_ss/m − (d_s/2m)²]. Q near its maximum means
+    duplication stays inside sources (mirror-heavy crawl, safe to
+    dedup per-source); Q ≈ 0 means near-dups cross source boundaries
+    as much as chance predicts — the one-number companion to
+    ``cross_source_dup_matrix`` (which shows WHICH pairs) and
+    ``graph_assortativity`` (degree mixing, not label mixing).
+
+    Scale posture: rides the shared Jaccard pair stage; two broadcast
+    label joins put a source pair on every edge; everything reduces to
+    the bounded per-source degree/within tables; per-source terms are
+    nano-rounded before the exact cross-source sum (order immunity).
+    One output row.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 dedup
+    family)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    lab = docs.select("doc_id", "source")
+    edges = (
+        pairs.join(
+            F.broadcast(
+                lab.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("source").alias("sa"),
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                lab.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("source").alias("sb"),
+                )
+            ),
+            "doc_b",
+        )
+        .select("sa", "sb")
+    )
+    m = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    deg = (
+        edges.select(F.col("sa").alias("source"))
+        .unionByName(edges.select(F.col("sb").alias("source")))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    within = (
+        edges.where("sa = sb")
+        .groupBy(F.col("sa").alias("source"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+    )
+    terms = (
+        deg.join(F.broadcast(within), "source", "left")
+        .join(F.broadcast(m))
+        .select(
+            "source",
+            F.coalesce("e_in", F.lit(0)).alias("e_in"),
+            "d",
+            F.expr(
+                "CAST(ROUND((CAST(COALESCE(e_in, 0) AS DOUBLE) / m"
+                " - (CAST(d AS DOUBLE) / (2 * m))"
+                " * (CAST(d AS DOUBLE) / (2 * m))) * 1000000000)"
+                " AS BIGINT)"
+            ).alias("q_nano"),
+        )
+    )
+    return terms.join(F.broadcast(m)).groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources_touched"),
+        F.expr(
+            "CAST(SUM(CASE WHEN e_in > 0 THEN e_in ELSE 0 END) AS BIGINT)"
+        ).alias("within_edges"),
+        F.expr("ROUND(SUM(q_nano) / 1e9, 6)").alias("modularity"),
+    ).select(
+        F.col("m").alias("n_edges"),
+        "n_sources_touched",
+        "within_edges",
+        "modularity",
+    )

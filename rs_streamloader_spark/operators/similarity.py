@@ -2791,3 +2791,137 @@ def jl_projection_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFram
         F.min("d_micro").cast("bigint").alias("min_micro"),
         F.max("d_micro").cast("bigint").alias("max_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding anisotropy audit (Ethayarajh-style cone concentration)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_anisotropy_audit",
+    oracle="""
+    WITH comp AS (
+      SELECT UNNEST(CAST(embedding AS DOUBLE[])) AS v,
+             CAST(UNNEST(range(0, len(embedding))) AS INT) AS dim
+      FROM embeddings
+    ),
+    mom AS (
+      SELECT dim, COUNT(*) AS n,
+             SUM(CAST(ROUND(v * 1000000000) AS BIGINT)) AS sx,
+             SUM(CAST(CAST(ROUND(v * 1000000000) AS BIGINT) AS HUGEINT)
+                 * CAST(ROUND(v * 1000000000) AS BIGINT)) AS sxx
+      FROM comp GROUP BY dim
+    ),
+    terms AS (
+      SELECT n,
+             CAST(ROUND((CAST(sx AS DOUBLE) / 1e9 / n)
+                        * (CAST(sx AS DOUBLE) / 1e9 / n)
+                        * 1000000000) AS BIGINT) AS mu2_nano,
+             CAST(ROUND((CAST(sxx AS DOUBLE) / 1e18 / n)
+                        * 1000000000) AS BIGINT) AS e2_nano,
+             CAST(ROUND((CAST(sxx AS DOUBLE) / 1e18
+                         - (CAST(sx AS DOUBLE) / 1e9)
+                           * (CAST(sx AS DOUBLE) / 1e9) / n) / n
+                        * 1000000000) AS BIGINT) AS var_nano
+      FROM mom
+    ),
+    agg AS (
+      SELECT CAST(MIN(n) AS BIGINT) AS n_vectors,
+             CAST(COUNT(*) AS BIGINT) AS n_dims,
+             CAST(SUM(mu2_nano) AS HUGEINT) AS mu_norm2,
+             CAST(SUM(e2_nano) AS HUGEINT) AS mean_norm2,
+             CAST(SUM(var_nano) AS HUGEINT) AS total_var,
+             CAST(MAX(var_nano) AS BIGINT) AS max_var
+      FROM terms
+    )
+    SELECT n_vectors, n_dims,
+           ROUND(mean_norm2 / 1e9, 6) AS mean_norm2,
+           ROUND(mu_norm2 / 1e9, 6) AS mu_norm2,
+           ROUND(CAST(mu_norm2 AS DOUBLE) / mean_norm2, 6)
+             AS anisotropy_ratio,
+           ROUND(CAST(max_var AS DOUBLE) / total_var, 6)
+             AS top_dim_var_share
+    FROM agg WHERE mean_norm2 > 0 AND total_var > 0
+    """,
+)
+def embedding_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy audit of the embedding space: ||μ||²/E[‖x‖²] — the
+    fraction of vector energy living in the COMMON direction
+    (Ethayarajh's cone effect). Near 0 = isotropic (cosine behaves);
+    large = all vectors share a dominant component, which inflates
+    every cosine similarity and quietly poisons ``dedup_semantic`` /
+    ANN thresholds — the do-I-need-to-center check run before any
+    cosine-threshold pipeline. top_dim_var_share adds the
+    dimensional-collapse signal (one dimension carrying most of the
+    variance).
+
+    Scale posture: ONE posexplode pass into the bounded per-dim
+    moment table (the ``embedding_dim_stats`` shuffle: |dims| keys,
+    map-side combined); per-dim μ²/E[v²]/Var terms are nano-rounded
+    before the cross-dim exact sums (order immunity over dims); one
+    output row. No pairwise anything — the mean-vector identity
+    replaces the O(n²) average pairwise cosine.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5
+    similarity family)."""
+    t = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    comp = spread(t).select(
+        F.posexplode(
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        ).alias("dim", "v")
+    )
+    d38 = "DECIMAL(38,0)"
+    mom = comp.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            f"SUM(CAST(CAST(ROUND(v * 1000000000) AS BIGINT) AS {d38}))"
+        ).alias("sx"),
+        F.expr(
+            f"SUM(CAST(CAST(ROUND(v * 1000000000) AS BIGINT) AS {d38})"
+            " * CAST(ROUND(v * 1000000000) AS BIGINT))"
+        ).alias("sxx"),
+    )
+    terms = mom.select(
+        "n",
+        F.expr(
+            "CAST(ROUND((CAST(sx AS DOUBLE) / 1e9 / n)"
+            " * (CAST(sx AS DOUBLE) / 1e9 / n) * 1000000000) AS BIGINT)"
+        ).alias("mu2_nano"),
+        F.expr(
+            "CAST(ROUND((CAST(sxx AS DOUBLE) / 1e18 / n) * 1000000000)"
+            " AS BIGINT)"
+        ).alias("e2_nano"),
+        F.expr(
+            "CAST(ROUND((CAST(sxx AS DOUBLE) / 1e18"
+            " - (CAST(sx AS DOUBLE) / 1e9)"
+            " * (CAST(sx AS DOUBLE) / 1e9) / n) / n * 1000000000)"
+            " AS BIGINT)"
+        ).alias("var_nano"),
+    )
+    agg = terms.agg(
+        F.min("n").cast("bigint").alias("n_vectors"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        F.expr(f"CAST(SUM(CAST(mu2_nano AS {d38})) AS {d38})").alias(
+            "mu_norm2"
+        ),
+        F.expr(f"CAST(SUM(CAST(e2_nano AS {d38})) AS {d38})").alias(
+            "mean_norm2"
+        ),
+        F.expr(f"CAST(SUM(CAST(var_nano AS {d38})) AS {d38})").alias(
+            "total_var"
+        ),
+        F.max("var_nano").alias("max_var"),
+    )
+    return agg.where("mean_norm2 > 0 AND total_var > 0").select(
+        "n_vectors",
+        "n_dims",
+        F.expr("ROUND(mean_norm2 / 1e9, 6)").alias("mean_norm2"),
+        F.expr("ROUND(mu_norm2 / 1e9, 6)").alias("mu_norm2"),
+        F.expr(
+            "ROUND(CAST(mu_norm2 AS DOUBLE) / mean_norm2, 6)"
+        ).alias("anisotropy_ratio"),
+        F.expr(
+            "ROUND(CAST(max_var AS DOUBLE) / total_var, 6)"
+        ).alias("top_dim_var_share"),
+    )

@@ -2902,3 +2902,30 @@ def test_page_hinkley_windows_on_daily_series_only(spark):
     text = explain_str(df, "simple")
     assert text.lower().count("rangepartitioning") <= 3, text[:2000]
     assert has_broadcast_join(df), text[:1500]
+
+
+def test_modularity_rides_pair_stage_broadcast_labels(spark):
+    """Source labels join the pair stage as broadcast build sides; the
+    reduction is a bounded per-source aggregate."""
+    from rs_streamloader_spark.operators.dedup import (
+        graph_modularity_by_source,
+    )
+
+    df = graph_modularity_by_source(spark, SF_SMOKE)
+    assert has_broadcast_join(df), explain_str(df, "simple")[:1500]
+    text = explain_str(df, "formatted")
+    assert "CartesianProduct" not in text
+
+
+def test_anisotropy_one_explode_bounded_dim_aggregate(spark):
+    """One posexplode into the |dims|-key aggregate — no pairwise
+    join, no global sort."""
+    from rs_streamloader_spark.operators.similarity import (
+        embedding_anisotropy_audit,
+    )
+
+    df = embedding_anisotropy_audit(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Generate" in explain_str(df, "formatted")
+    assert "rangepartitioning" not in text.lower(), text[:1500]
+    assert "Join" not in text or "BroadcastHashJoin" not in text, text[:800]

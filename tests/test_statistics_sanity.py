@@ -2969,3 +2969,138 @@ def test_page_hinkley_fires_on_level_shift_not_noise(spark, monkeypatch):
     ph, norm = brute(flat)
     assert r["ph_normalized"] == pytest.approx(norm, abs=2e-5)
     assert bool(r["drift_detected"]) is False
+
+
+def test_graph_modularity_matches_counter_brute_force(spark, monkeypatch):
+    """Q recomputed from the edge list on a constructed corpus:
+    within-source duplication pushes Q toward its partition maximum,
+    cross-source duplication drives it to the chance level."""
+    import rs_streamloader_spark.operators.dedup as D
+    from rs_streamloader_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        graph_modularity_by_source,
+    )
+
+    def build(cross, tag):
+        # near-identical doc groups: each group shares a long shingle
+        # run; group membership decides the edges
+        rows = []
+        did = 0
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        for g in range(6):
+            # fully group-disjoint vocabulary: no cross-group shingles
+            words = [f"g{g}{w}" for w in base.split()]
+            txt = " ".join(words)
+            for k in range(3):
+                if cross:
+                    src = f"s{k}"  # group members spread across sources
+                else:
+                    src = f"s{g % 3}"  # whole group in one source
+                rows.append((did, txt + f" tail{k}", "en", src, len(txt)))
+                did += 1
+        pdf = pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        sdf = spark.createDataFrame(pdf)
+        monkeypatch.setattr(
+            D, "load_tables", lambda _s, _d, *names: {"documents": sdf}
+        )
+        return pdf, f"/fake/{tag}"
+
+    def brute(pdf):
+        from collections import Counter, defaultdict
+
+        def shingles(t):
+            w = t.split()
+            return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+        docs = list(pdf.itertuples())
+        edges = []
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                si, sj = shingles(docs[i].text), shingles(docs[j].text)
+                inter = len(si & sj)
+                jac = inter / (len(si) + len(sj) - inter)
+                if jac >= JACCARD_THRESHOLD:
+                    edges.append((docs[i].source, docs[j].source))
+        m = len(edges)
+        deg = defaultdict(int)
+        within = defaultdict(int)
+        for sa, sb in edges:
+            deg[sa] += 1
+            deg[sb] += 1
+            if sa == sb:
+                within[sa] += 1
+        q = sum(
+            round(
+                (within.get(s, 0) / m - (d / (2 * m)) ** 2) * 1e9
+            )
+            for s, d in deg.items()
+        ) / 1e9
+        return m, q
+
+    pdf, sfd = build(False, "mod_within")
+    r = graph_modularity_by_source(spark, sfd).collect()[0]
+    m, q = brute(pdf)
+    assert r["n_edges"] == m
+    assert r["modularity"] == pytest.approx(q, abs=2e-6)
+    assert r["modularity"] > 0.5
+    assert r["within_edges"] == m
+
+    pdf, sfd = build(True, "mod_cross")
+    r = graph_modularity_by_source(spark, sfd).collect()[0]
+    m, q = brute(pdf)
+    assert r["n_edges"] == m
+    assert r["modularity"] == pytest.approx(q, abs=2e-6)
+    assert r["within_edges"] == 0
+    assert r["modularity"] < 0
+
+
+def test_anisotropy_extremes_and_numpy_match(spark, monkeypatch):
+    """ratio ~ 1 for a shared-direction batch, ~ 0 for centered
+    isotropic noise; all four numbers match a numpy recompute."""
+    import rs_streamloader_spark.operators.similarity as SIM
+    from rs_streamloader_spark.operators.similarity import (
+        embedding_anisotropy_audit,
+    )
+
+    def run(mat, tag):
+        pdf = pd.DataFrame(
+            {
+                "vec_id": range(len(mat)),
+                "embedding": [list(map(float, row)) for row in mat],
+                "label": 0,
+            }
+        )
+        sdf = spark.createDataFrame(pdf)
+        monkeypatch.setattr(
+            SIM, "load_tables", lambda _s, _d, *names: {"embeddings": sdf}
+        )
+        return embedding_anisotropy_audit(spark, f"/fake/{tag}").collect()[0]
+
+    def brute(mat):
+        x = np.round(np.asarray(mat, dtype=float) * 1e9) / 1e9
+        n, d = x.shape
+        mu2 = sum(round(m * m * 1e9) for m in x.mean(0)) / 1e9
+        e2 = sum(round((col**2).mean() * 1e9) for col in x.T) / 1e9
+        var = [round(((col**2).sum() - col.sum() ** 2 / n) / n * 1e9) for col in x.T]
+        return mu2, e2, mu2 / e2, max(var) / sum(var)
+
+    rng = np.random.RandomState(79)
+    base = rng.randn(8)
+    cone = np.tile(base, (200, 1)) + rng.randn(200, 8) * 0.05
+    r = run(cone, "aniso_cone")
+    mu2, e2, ratio, tshare = brute(cone)
+    assert r["n_vectors"] == 200 and r["n_dims"] == 8
+    assert r["mu_norm2"] == pytest.approx(mu2, abs=2e-6)
+    assert r["mean_norm2"] == pytest.approx(e2, abs=2e-6)
+    assert r["anisotropy_ratio"] == pytest.approx(ratio, abs=2e-6)
+    assert r["anisotropy_ratio"] > 0.95
+
+    iso = rng.randn(400, 8)
+    iso -= iso.mean(0)
+    r = run(iso, "aniso_iso")
+    mu2, e2, ratio, tshare = brute(iso)
+    assert r["anisotropy_ratio"] == pytest.approx(ratio, abs=2e-6)
+    assert r["anisotropy_ratio"] < 0.01
+    assert r["top_dim_var_share"] == pytest.approx(tshare, abs=2e-6)

@@ -134,6 +134,8 @@ HEAVY_TAIL = [
     "markov_entropy_rate",
     "jackknife_ratio_se",
     "page_hinkley_drift",
+    "graph_modularity_by_source",
+    "embedding_anisotropy_audit",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
@@ -447,6 +449,8 @@ CONSTANT_OUTPUT = {
     "markov_entropy_rate",
     "jackknife_ratio_se",
     "page_hinkley_drift",
+    "graph_modularity_by_source",
+    "embedding_anisotropy_audit",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
