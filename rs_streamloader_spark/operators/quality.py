@@ -1665,3 +1665,203 @@ def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             "worst_bin",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spiegelhalter's Z calibration test (exact integer formulation)
+# ---------------------------------------------------------------------------
+
+_SPIEGEL_Z975 = 1.959964  # frozen two-sided 95% normal quantile
+
+
+@register(
+    "spiegelhalter_z_calibration",
+    oracle=f"""
+    WITH s AS (
+      SELECT ((o_orderkey % {_CAL_HASH_MOD}) * {_CAL_HASH_MULT})
+               % {_CAL_HASH_MOD} AS h,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    terms AS (
+      SELECT CAST((CAST(y AS HUGEINT) * {_CAL_HASH_MOD} - h)
+                  * ({_CAL_HASH_MOD} - 2 * h) AS HUGEINT) AS num_i,
+             CAST(CAST(({_CAL_HASH_MOD} - 2 * h) AS HUGEINT)
+                  * ({_CAL_HASH_MOD} - 2 * h) * h
+                  * ({_CAL_HASH_MOD} - h) AS HUGEINT) AS den_i
+      FROM s
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(num_i) AS HUGEINT) AS sn,
+             CAST(SUM(den_i) AS HUGEINT) AS sd
+      FROM terms
+    )
+    SELECT n AS n_orders,
+           ROUND(CAST(sn AS DOUBLE) / SQRT(CAST(sd AS DOUBLE)), 6)
+             AS z_score,
+           ABS(CAST(sn AS DOUBLE) / SQRT(CAST(sd AS DOUBLE)))
+             > {_SPIEGEL_Z975} AS miscalibrated
+    FROM agg WHERE sd > 0
+    """,
+)
+def spiegelhalter_z_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spiegelhalter's Z test of calibration for the hash
+    pseudo-model: Z = Σ(y−p)(1−2p) / √Σ(1−2p)²p(1−p) — unlike
+    ``calibration_ece`` (binned, magnitude) this is the UNBINNED
+    significance test ("is the observed miscalibration beyond
+    chance"), sensitive to p-dependent bias that binning averages
+    away. Because p = h/2²⁰ is an exact dyadic rational, BOTH sums are
+    EXACT integers after clearing denominators (num·M² = (yM−h)(M−2h),
+    den·M⁴ = (M−2h)²h(M−h)) — zero doubles until the final ratio;
+    the M²/√M⁴ scale factors cancel exactly.
+
+    Scale posture: one pass, one combinable aggregate, one output
+    row; DECIMAL(38) holds the den sum to ~1e12 rows.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 quality
+    family)."""
+    t = load_tables(spark, sf_dir, "orders")["orders"]
+    M = _CAL_HASH_MOD
+    s = t.select(
+        (
+            ((F.col("o_orderkey") % M) * _CAL_HASH_MULT) % M
+        ).alias("h"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    d38 = "DECIMAL(38,0)"
+    terms = s.select(
+        F.expr(
+            f"CAST((CAST(y AS {d38}) * {M} - h) * ({M} - 2 * h) AS {d38})"
+        ).alias("num_i"),
+        F.expr(
+            f"CAST(CAST(({M} - 2 * h) AS {d38}) * ({M} - 2 * h) * h"
+            f" * ({M} - h) AS {d38})"
+        ).alias("den_i"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"CAST(SUM(num_i) AS {d38})").alias("sn"),
+        F.expr(f"CAST(SUM(den_i) AS {d38})").alias("sd"),
+    )
+    return agg.where("sd > 0").select(
+        F.col("n").alias("n_orders"),
+        F.expr(
+            "ROUND(CAST(sn AS DOUBLE) / SQRT(CAST(sd AS DOUBLE)), 6)"
+        ).alias("z_score"),
+        F.expr(
+            "ABS(CAST(sn AS DOUBLE) / SQRT(CAST(sd AS DOUBLE)))"
+            f" > {_SPIEGEL_Z975}"
+        ).alias("miscalibrated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fleiss' kappa across three deterministic quality raters
+# ---------------------------------------------------------------------------
+
+# the three frozen binary "raters" (heuristic quality signals): long
+# enough / wordy enough / short-word prose — shared CASE text
+_FLEISS_R1 = "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END"
+_FLEISS_R2 = (
+    "CASE WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 >= 50"
+    " THEN 1 ELSE 0 END"
+)
+_FLEISS_R3 = (
+    "CASE WHEN (LENGTH(REPLACE(text, ' ', '')) * 10)"
+    " <= (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) * 60"
+    " THEN 1 ELSE 0 END"
+)
+
+
+@register(
+    "fleiss_kappa_quality_raters",
+    oracle=f"""
+    WITH votes AS (
+      SELECT CAST({_FLEISS_R1} + {_FLEISS_R2} + {_FLEISS_R3} AS BIGINT)
+               AS g
+      FROM documents
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(g) AS HUGEINT) AS sg,
+             -- 6*P_i = g^2 + (3-g)^2 - 3 (exact integers)
+             CAST(SUM(CAST(g AS HUGEINT) * g + (3 - g) * (3 - g) - 3)
+                  AS HUGEINT) AS sp6
+      FROM votes
+    )
+    SELECT n AS n_docs,
+           CAST(sg AS BIGINT) AS n_good_votes,
+           ROUND(CAST(sp6 AS DOUBLE) / (6e0 * n), 6) AS p_bar,
+           ROUND((CAST(sg AS DOUBLE) / (3e0 * n))
+                 * (CAST(sg AS DOUBLE) / (3e0 * n))
+                 + (1e0 - CAST(sg AS DOUBLE) / (3e0 * n))
+                   * (1e0 - CAST(sg AS DOUBLE) / (3e0 * n)), 6) AS p_e,
+           ROUND((CAST(sp6 AS DOUBLE) / (6e0 * n)
+                  - ((CAST(sg AS DOUBLE) / (3e0 * n))
+                     * (CAST(sg AS DOUBLE) / (3e0 * n))
+                     + (1e0 - CAST(sg AS DOUBLE) / (3e0 * n))
+                       * (1e0 - CAST(sg AS DOUBLE) / (3e0 * n))))
+                 / (1e0 - ((CAST(sg AS DOUBLE) / (3e0 * n))
+                           * (CAST(sg AS DOUBLE) / (3e0 * n))
+                           + (1e0 - CAST(sg AS DOUBLE) / (3e0 * n))
+                             * (1e0 - CAST(sg AS DOUBLE) / (3e0 * n)))),
+                 6) AS fleiss_kappa
+    FROM agg
+    WHERE n > 0
+      AND (CAST(sg AS DOUBLE) / (3e0 * n))
+          * (CAST(sg AS DOUBLE) / (3e0 * n))
+          + (1e0 - CAST(sg AS DOUBLE) / (3e0 * n))
+            * (1e0 - CAST(sg AS DOUBLE) / (3e0 * n)) < 1e0
+    """,
+)
+def fleiss_kappa_quality_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa agreement among three deterministic quality
+    "raters" (length ≥ 300 chars; ≥ 50 words; mean word length ≤ 6) on
+    the good/bad verdict per document — the multi-rater
+    generalization of ``cohens_kappa_langid``: high κ means the cheap
+    signals are redundant (one suffices for curation), κ near 0 means
+    they disagree beyond chance and a learned combiner
+    (``text_quality_logistic``) has real signal to add. 6·P_i =
+    g² + (3−g)² − 3 keeps the per-doc agreement an exact integer, so
+    both sums are exact; κ is one fixed double expression.
+
+    Scale posture: one pass over documents (JVM string expressions,
+    no UDF), one combinable aggregate, one output row. The degenerate
+    all-same-vote corpus (P_e = 1) drops the row identically in both
+    engines.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 quality
+    family)."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    votes = t.select(
+        F.expr(
+            f"CAST({_FLEISS_R1} + {_FLEISS_R2} + {_FLEISS_R3} AS BIGINT)"
+        ).alias("g")
+    )
+    d38 = "DECIMAL(38,0)"
+    agg = votes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"CAST(SUM(g) AS {d38})").alias("sg"),
+        F.expr(
+            f"CAST(SUM(CAST(g AS {d38}) * g + (3 - g) * (3 - g) - 3)"
+            f" AS {d38})"
+        ).alias("sp6"),
+    )
+    pg = "(CAST(sg AS DOUBLE) / (3e0 * n))"
+    pe = f"({pg} * {pg} + (1e0 - {pg}) * (1e0 - {pg}))"
+    pbar = "(CAST(sp6 AS DOUBLE) / (6e0 * n))"
+    return agg.where(f"n > 0 AND {pe} < 1e0").select(
+        F.col("n").alias("n_docs"),
+        F.col("sg").cast("bigint").alias("n_good_votes"),
+        F.expr(f"ROUND({pbar}, 6)").alias("p_bar"),
+        F.expr(f"ROUND({pe}, 6)").alias("p_e"),
+        F.expr(
+            f"ROUND(({pbar} - {pe}) / (1e0 - {pe}), 6)"
+        ).alias("fleiss_kappa"),
+    )

@@ -2925,3 +2925,319 @@ def embedding_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ROUND(CAST(max_var AS DOUBLE) / total_var, 6)"
         ).alias("top_dim_var_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette per label (centroid-based)
+# ---------------------------------------------------------------------------
+
+_SIL_COMP_SQL = """
+      SELECT vec_id, label,
+             CAST(UNNEST(range(0, len(embedding))) AS INT) AS dim,
+             UNNEST(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings
+"""
+
+_SIL_CENT_SQL = """
+      SELECT label AS clabel, dim,
+             CAST(SUM(CAST(ROUND(v * 1000000000) AS BIGINT)) AS HUGEINT)
+               AS sxn,
+             COUNT(*) AS n
+      FROM comp GROUP BY 1, 2
+"""
+
+
+@register(
+    "silhouette_simplified_labels",
+    oracle=f"""
+    WITH comp AS ({_SIL_COMP_SQL}),
+    cent AS ({_SIL_CENT_SQL}),
+    d2 AS (
+      SELECT c.vec_id, c.label, ct.clabel,
+             CAST(SUM(CAST(ROUND(
+               (c.v - CAST(ct.sxn AS DOUBLE) / 1e9 / ct.n)
+               * (c.v - CAST(ct.sxn AS DOUBLE) / 1e9 / ct.n)
+               * 1000000000) AS BIGINT)) AS HUGEINT) AS ss_nano
+      FROM comp c JOIN cent ct ON ct.dim = c.dim
+      GROUP BY 1, 2, 3
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             MAX(CASE WHEN clabel = label
+                      THEN SQRT(CAST(ss_nano AS DOUBLE) / 1e9) END) AS a,
+             MIN(CASE WHEN clabel <> label
+                      THEN SQRT(CAST(ss_nano AS DOUBLE) / 1e9) END) AS b
+      FROM d2 GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT label,
+             CAST(ROUND(CASE WHEN GREATEST(a, b) > 0
+                             THEN (b - a) / GREATEST(a, b) ELSE 0e0 END
+                        * 1000000000) AS BIGINT) AS s_nano
+      FROM ab WHERE a IS NOT NULL AND b IS NOT NULL
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(SUM(s_nano) / (COUNT(*) * 1e9), 6) AS mean_silhouette
+    FROM s GROUP BY label ORDER BY label
+    """,
+)
+def silhouette_simplified_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label: a = distance
+    to the OWN label centroid, b = distance to the nearest OTHER
+    centroid, s = (b−a)/max(a,b), averaged per label — the
+    separability report card for the embedding labels that
+    ``embedding_label_centroids`` summarizes and ``knn_classify``
+    consumes, at O(n·k) instead of the O(n²) full silhouette.
+
+    Scale posture: one posexplode; centroids are a bounded
+    (labels×dims) aggregate BROADCAST back; the per-point×centroid
+    distance stage is a k-fan dim join reduced map-side; per-dim
+    squared diffs and the final s are nano-rounded before every exact
+    integer sum (order immunity). Output: one row per label.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5
+    similarity family)."""
+    t = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    comp = spread(t).select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        ).alias("dim", "v"),
+    )
+    d38 = "DECIMAL(38,0)"
+    cent = comp.groupBy(
+        F.col("label").alias("clabel"), "dim"
+    ).agg(
+        F.expr(
+            f"CAST(SUM(CAST(ROUND(v * 1000000000) AS BIGINT)) AS {d38})"
+        ).alias("sxn"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mu = "(CAST(sxn AS DOUBLE) / 1e9 / n)"
+    d2 = (
+        comp.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.expr(
+                f"CAST(SUM(CAST(ROUND((v - {mu}) * (v - {mu})"
+                f" * 1000000000) AS BIGINT)) AS {d38})"
+            ).alias("ss_nano")
+        )
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.expr(
+            "MAX(CASE WHEN clabel = label"
+            " THEN SQRT(CAST(ss_nano AS DOUBLE) / 1e9) END)"
+        ).alias("a"),
+        F.expr(
+            "MIN(CASE WHEN clabel <> label"
+            " THEN SQRT(CAST(ss_nano AS DOUBLE) / 1e9) END)"
+        ).alias("b"),
+    )
+    s = ab.where("a IS NOT NULL AND b IS NOT NULL").select(
+        "label",
+        F.expr(
+            "CAST(ROUND(CASE WHEN GREATEST(a, b) > 0"
+            " THEN (b - a) / GREATEST(a, b) ELSE 0e0 END"
+            " * 1000000000) AS BIGINT)"
+        ).alias("s_nano"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.expr(
+                "ROUND(SUM(s_nano) / (COUNT(*) * 1e9), 6)"
+            ).alias("mean_silhouette"),
+        )
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            "n_vectors",
+            "mean_silhouette",
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Davies-Bouldin index of the label clustering
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "davies_bouldin_labels",
+    oracle=f"""
+    WITH comp AS ({_SIL_COMP_SQL}),
+    cent AS ({_SIL_CENT_SQL}),
+    d2own AS (
+      SELECT c.vec_id, c.label,
+             CAST(SUM(CAST(ROUND(
+               (c.v - CAST(ct.sxn AS DOUBLE) / 1e9 / ct.n)
+               * (c.v - CAST(ct.sxn AS DOUBLE) / 1e9 / ct.n)
+               * 1000000000) AS BIGINT)) AS HUGEINT) AS ss_nano
+      FROM comp c JOIN cent ct ON ct.dim = c.dim AND ct.clabel = c.label
+      GROUP BY 1, 2
+    ),
+    disp AS (
+      SELECT label,
+             CAST(SUM(CAST(ROUND(SQRT(CAST(ss_nano AS DOUBLE) / 1e9)
+                                 * 1000000000) AS BIGINT)) AS HUGEINT)
+               AS sd_nano,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM d2own GROUP BY label
+    ),
+    cd AS (
+      SELECT a.clabel AS li, b.clabel AS lj,
+             SQRT(CAST(SUM(CAST(ROUND(
+               (CAST(a.sxn AS DOUBLE) / 1e9 / a.n
+                - CAST(b.sxn AS DOUBLE) / 1e9 / b.n)
+               * (CAST(a.sxn AS DOUBLE) / 1e9 / a.n
+                  - CAST(b.sxn AS DOUBLE) / 1e9 / b.n)
+               * 1000000000) AS BIGINT)) AS DOUBLE) / 1e9) AS d
+      FROM cent a JOIN cent b ON b.dim = a.dim AND a.clabel < b.clabel
+      GROUP BY 1, 2
+    ),
+    ratios AS (
+      SELECT li AS i, lj AS j,
+             (CAST(di.sd_nano AS DOUBLE) / di.n
+              + CAST(dj.sd_nano AS DOUBLE) / dj.n) / 1e9 / d AS r
+      FROM cd
+      JOIN disp di ON di.label = li
+      JOIN disp dj ON dj.label = lj
+      WHERE d > 0
+    ),
+    dirs AS (
+      SELECT i, j, r FROM ratios
+      UNION ALL
+      SELECT j, i, r FROM ratios
+    ),
+    worst AS (
+      SELECT i, CAST(ROUND(MAX(r) * 1000000000) AS BIGINT) AS mx_nano
+      FROM dirs GROUP BY i
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_labels,
+           ROUND(SUM(mx_nano) / (COUNT(*) * 1e9), 6) AS db_index
+    FROM worst
+    """,
+)
+def davies_bouldin_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin index of the label clustering: for each label
+    the worst (S_i + S_j)/d(c_i, c_j) over the other labels, averaged
+    — lower is better-separated. The one-number companion to
+    ``silhouette_simplified_labels`` (which grades per label): DB
+    penalizes the single most-confusable neighbor pair, so it reacts
+    first when two labels start to merge — the drift alarm for a
+    labeled embedding space.
+
+    Scale posture: one posexplode; dispersions reduce per label with
+    per-point sqrt distances nano-rounded before the exact sums; the
+    centroid-pair distance table is bounded labels² computed entirely
+    from the broadcast (labels×dims) centroid aggregate; the final
+    max/mean runs over bounded rows with nano-rounded ratios
+    (deterministic ties). One output row.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5
+    similarity family)."""
+    t = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    comp = spread(t).select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        ).alias("dim", "v"),
+    )
+    d38 = "DECIMAL(38,0)"
+    cent = comp.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.expr(
+            f"CAST(SUM(CAST(ROUND(v * 1000000000) AS BIGINT)) AS {d38})"
+        ).alias("sxn"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mu = "(CAST(sxn AS DOUBLE) / 1e9 / n)"
+    cent_r = cent.select(
+        "clabel", F.col("dim").alias("cdim"), "sxn", "n"
+    )
+    d2own = (
+        comp.join(
+            F.broadcast(cent_r),
+            (F.col("dim") == F.col("cdim"))
+            & (F.col("label") == F.col("clabel")),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.expr(
+                f"CAST(SUM(CAST(ROUND((v - {mu}) * (v - {mu})"
+                f" * 1000000000) AS BIGINT)) AS {d38})"
+            ).alias("ss_nano")
+        )
+    )
+    disp = d2own.groupBy("label").agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(SQRT(CAST(ss_nano AS DOUBLE) / 1e9)"
+            f" * 1000000000) AS BIGINT)) AS {d38})"
+        ).alias("sd_nano"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    a = cent.select(
+        F.col("clabel").alias("li"), F.col("dim").alias("da"),
+        F.col("sxn").alias("sxa"), F.col("n").alias("na"),
+    )
+    b = cent.select(
+        F.col("clabel").alias("lj"), F.col("dim").alias("db"),
+        F.col("sxn").alias("sxb"), F.col("n").alias("nb"),
+    )
+    mua = "(CAST(sxa AS DOUBLE) / 1e9 / na)"
+    mub = "(CAST(sxb AS DOUBLE) / 1e9 / nb)"
+    cd = (
+        a.join(
+            F.broadcast(b),
+            (F.col("da") == F.col("db")) & (F.col("li") < F.col("lj")),
+        )
+        .groupBy("li", "lj")
+        .agg(
+            F.expr(
+                f"SQRT(CAST(SUM(CAST(ROUND(({mua} - {mub})"
+                f" * ({mua} - {mub}) * 1000000000) AS BIGINT))"
+                f" AS DOUBLE) / 1e9)"
+            ).alias("d")
+        )
+    )
+    di = disp.select(
+        F.col("label").alias("li"),
+        F.col("sd_nano").alias("sdi"),
+        F.col("n").alias("ni"),
+    )
+    dj = disp.select(
+        F.col("label").alias("lj"),
+        F.col("sd_nano").alias("sdj"),
+        F.col("n").alias("nj"),
+    )
+    ratios = (
+        cd.join(F.broadcast(di), "li")
+        .join(F.broadcast(dj), "lj")
+        .where("d > 0")
+        .select(
+            "li",
+            "lj",
+            F.expr(
+                "(CAST(sdi AS DOUBLE) / ni + CAST(sdj AS DOUBLE) / nj)"
+                " / 1e9 / d"
+            ).alias("r"),
+        )
+    )
+    both = ratios.select(
+        F.col("li").alias("i"), F.col("r")
+    ).unionByName(ratios.select(F.col("lj").alias("i"), F.col("r")))
+    worst = both.groupBy("i").agg(
+        F.expr("CAST(ROUND(MAX(r) * 1000000000) AS BIGINT)").alias(
+            "mx_nano"
+        )
+    )
+    return worst.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+        F.expr("ROUND(SUM(mx_nano) / (COUNT(*) * 1e9), 6)").alias(
+            "db_index"
+        ),
+    )

@@ -2929,3 +2929,50 @@ def test_anisotropy_one_explode_bounded_dim_aggregate(spark):
     assert "Generate" in explain_str(df, "formatted")
     assert "rangepartitioning" not in text.lower(), text[:1500]
     assert "Join" not in text or "BroadcastHashJoin" not in text, text[:800]
+
+
+def test_spiegelhalter_one_aggregate_no_joins(spark):
+    from rs_streamloader_spark.operators.quality import (
+        spiegelhalter_z_calibration,
+    )
+
+    df = spiegelhalter_z_calibration(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Join" not in text, text[:1500]
+    cols = scan_columns(df)
+    assert {"o_orderkey", "o_orderpriority"} in cols, cols
+
+
+def test_fleiss_one_pass_no_udf(spark):
+    from rs_streamloader_spark.operators.quality import (
+        fleiss_kappa_quality_raters,
+    )
+
+    df = fleiss_kappa_quality_raters(spark, SF_SMOKE)
+    text = explain_str(df, "formatted")
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+    assert "Join" not in explain_str(df, "simple")[:3000]
+
+
+def test_silhouette_centroids_broadcast_back(spark):
+    """The (labels x dims) centroid aggregate joins back as a
+    broadcast build side; no cartesian, no global sort of points."""
+    from rs_streamloader_spark.operators.similarity import (
+        silhouette_simplified_labels,
+    )
+
+    df = silhouette_simplified_labels(spark, SF_SMOKE)
+    assert has_broadcast_join(df), explain_str(df, "simple")[:1500]
+    text = explain_str(df, "formatted")
+    assert "CartesianProduct" not in text
+
+
+def test_davies_bouldin_bounded_pair_table_broadcasts(spark):
+    from rs_streamloader_spark.operators.similarity import (
+        davies_bouldin_labels,
+    )
+
+    df = davies_bouldin_labels(spark, SF_SMOKE)
+    assert has_broadcast_join(df), explain_str(df, "simple")[:1500]
+    text = explain_str(df, "formatted")
+    assert "CartesianProduct" not in text

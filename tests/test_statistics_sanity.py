@@ -3104,3 +3104,265 @@ def test_anisotropy_extremes_and_numpy_match(spark, monkeypatch):
     assert r["anisotropy_ratio"] == pytest.approx(ratio, abs=2e-6)
     assert r["anisotropy_ratio"] < 0.01
     assert r["top_dim_var_share"] == pytest.approx(tshare, abs=2e-6)
+
+
+def test_spiegelhalter_z_matches_numpy_both_branches(spark, monkeypatch):
+    """Z recomputed from replicated hash p's; a label flip on high-p
+    rows must push |z| past the critical value."""
+    import rs_streamloader_spark.operators.quality as Q
+    from rs_streamloader_spark.operators.quality import (
+        spiegelhalter_z_calibration,
+    )
+
+    MOD, MULT = 1_048_576, 2654435761
+    rng = np.random.RandomState(83)
+    n = 4000
+    keys = np.arange(1, n + 1) * 104729
+    h = ((keys % MOD) * MULT) % MOD
+    p = h / MOD
+
+    def run(y):
+        prios = np.where(y == 1, "1-URGENT", "5-LOW")
+        pdf = pd.DataFrame(
+            {
+                "o_orderkey": keys,
+                "o_orderdate": "1995-06-01",
+                "o_totalprice": 100.0,
+                "o_orderpriority": prios,
+            }
+        )
+        sdf = spark.createDataFrame(pdf)
+        monkeypatch.setattr(
+            Q, "load_tables", lambda _s, _d, *names: {"orders": sdf}
+        )
+        return spiegelhalter_z_calibration(spark, "x").collect()[0]
+
+    def brute(y):
+        num = ((y * MOD - h) * (MOD - 2 * h)).sum()
+        den = ((MOD - 2 * h).astype(object) ** 2 * h * (MOD - h)).sum()
+        return num / np.sqrt(float(den))
+
+    y_cal = (rng.rand(n) < p).astype(np.int64)  # calibrated outcomes
+    r = run(y_cal)
+    z = brute(y_cal)
+    assert r["n_orders"] == n
+    assert r["z_score"] == pytest.approx(z, abs=2e-6)
+    assert bool(r["miscalibrated"]) is False
+    y_bias = (rng.rand(n) < np.clip(p - 0.15, 0, 1)).astype(np.int64)
+    r = run(y_bias)
+    z = brute(y_bias)
+    assert r["z_score"] == pytest.approx(z, abs=2e-6)
+    assert bool(r["miscalibrated"]) is True
+
+
+def test_fleiss_kappa_matches_brute_force_extremes(spark, monkeypatch):
+    """kappa recomputed from the vote matrix: unanimous raters give
+    kappa = 1; independent-ish raters give kappa near 0."""
+    from rs_streamloader_spark.operators.quality import (
+        fleiss_kappa_quality_raters,
+    )
+    import rs_streamloader_spark.operators.quality as Q
+
+    def docs(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        sdf = spark.createDataFrame(pdf)
+        monkeypatch.setattr(
+            Q, "load_tables", lambda _s, _d, *names: {"documents": sdf}
+        )
+
+    def brute(gs):
+        n = len(gs)
+        sp6 = sum(g * g + (3 - g) ** 2 - 3 for g in gs)
+        pbar = sp6 / (6 * n)
+        pg = sum(gs) / (3 * n)
+        pe = pg * pg + (1 - pg) ** 2
+        return (pbar - pe) / (1 - pe)
+
+    # mixed corpus: long wordy short-word docs (3 votes) and short
+    # terse docs (0 votes) -> unanimous agreement, kappa = 1
+    long_doc = " ".join(["word"] * 80)  # 80 words, ~400 chars, len 4
+    short_doc = "supercalifragilistic"  # 1 long word, short text
+    rows = []
+    gs = []
+    for i in range(30):
+        if i % 2 == 0:
+            rows.append((i, long_doc, "en", "s", len(long_doc)))
+            gs.append(3)
+        else:
+            rows.append((i, short_doc, "en", "s", len(short_doc)))
+            gs.append(0)
+    docs(rows)
+    r = fleiss_kappa_quality_raters(spark, "x").collect()[0]
+    assert r["n_docs"] == 30
+    assert r["fleiss_kappa"] == pytest.approx(1.0, abs=1e-6)
+    assert r["fleiss_kappa"] == pytest.approx(brute(gs), abs=2e-6)
+
+    # disagreement corpus: docs engineered to split the raters
+    rng = np.random.RandomState(89)
+    rows = []
+    gs = []
+    for i in range(60):
+        nw = rng.choice([30, 70])          # rater2: words >= 50
+        wlen = rng.choice([3, 8])          # rater3: mean word len <= 6
+        word = "x" * wlen
+        txt = " ".join([word] * nw)
+        if rng.rand() < 0.5:               # rater1: chars >= 300
+            txt = txt + " " + "y" * max(0, 300 - len(txt))
+        rows.append((i, txt, "en", "s", len(txt)))
+        # derive votes from the FINAL text with the operator's exact
+        # definitions (words = spaces + 1)
+        words = txt.count(" ") + 1
+        g = (
+            (len(txt) >= 300)
+            + (words >= 50)
+            + (len(txt.replace(" ", "")) * 10 <= words * 60)
+        )
+        gs.append(int(g))
+    docs(rows)
+    r = fleiss_kappa_quality_raters(spark, "x").collect()[0]
+    # NOTE: n_chars column vs text length must agree for rater1
+    assert r["fleiss_kappa"] == pytest.approx(brute(gs), abs=2e-6)
+    assert abs(r["fleiss_kappa"]) < 0.5
+
+
+def _emb_patch(spark, monkeypatch, mat, labels, tag):
+    import rs_streamloader_spark.operators.similarity as SIM
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(mat)),
+            "embedding": [list(map(float, row)) for row in mat],
+            "label": list(map(int, labels)),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(
+        SIM, "load_tables", lambda _s, _d, *names: {"embeddings": sdf}
+    )
+    return f"/fake/{tag}"
+
+
+def _centroid_frame(mat, labels):
+    x = np.asarray(mat, dtype=float)
+    labs = np.asarray(labels)
+    cents = {}
+    for l in np.unique(labs):
+        sub = np.round(x[labs == l] * 1e9)
+        cents[l] = (sub.sum(0) / 1e9) / len(sub)
+    return x, labs, cents
+
+
+def test_silhouette_separated_vs_merged_clusters(spark, monkeypatch):
+    """Mean silhouette recomputed in numpy with the operator's nano
+    convention; separated blobs score high, overlapping blobs low."""
+    from rs_streamloader_spark.operators.similarity import (
+        silhouette_simplified_labels,
+    )
+
+    def brute(mat, labels):
+        x, labs, cents = _centroid_frame(mat, labels)
+        out = {}
+        for l in np.unique(labs):
+            svals = []
+            for row, rl in zip(x, labs):
+                if rl != l:
+                    continue
+                d = {
+                    cl: np.sqrt(
+                        sum(
+                            round((v - m) ** 2 * 1e9) for v, m in zip(row, c)
+                        )
+                        / 1e9
+                    )
+                    for cl, c in cents.items()
+                }
+                a = d[l]
+                b = min(v for cl, v in d.items() if cl != l)
+                svals.append(
+                    round(
+                        ((b - a) / max(a, b) if max(a, b) > 0 else 0) * 1e9
+                    )
+                )
+            out[l] = sum(svals) / (len(svals) * 1e9)
+        return out
+
+    rng = np.random.RandomState(97)
+    far = np.vstack(
+        [rng.randn(40, 6) * 0.2 + off for off in (0, 8, 16)]
+    )
+    labels = [0] * 40 + [1] * 40 + [2] * 40
+    sfd = _emb_patch(spark, monkeypatch, far, labels, "sil_far")
+    rows = {
+        r["label"]: r
+        for r in silhouette_simplified_labels(spark, sfd).collect()
+    }
+    exp = brute(far, labels)
+    for l, r in rows.items():
+        assert r["n_vectors"] == 40
+        assert r["mean_silhouette"] == pytest.approx(exp[l], abs=2e-6)
+        assert r["mean_silhouette"] > 0.9
+
+    near = np.vstack([rng.randn(40, 6) + off for off in (0, 0.5, 1.0)])
+    sfd = _emb_patch(spark, monkeypatch, near, labels, "sil_near")
+    rows = {
+        r["label"]: r
+        for r in silhouette_simplified_labels(spark, sfd).collect()
+    }
+    exp = brute(near, labels)
+    for l, r in rows.items():
+        assert r["mean_silhouette"] == pytest.approx(exp[l], abs=2e-6)
+        assert r["mean_silhouette"] < 0.5
+
+
+def test_davies_bouldin_orders_separated_below_merged(spark, monkeypatch):
+    """DB recomputed in numpy; separated blobs give a small index,
+    merged blobs a large one."""
+    from rs_streamloader_spark.operators.similarity import (
+        davies_bouldin_labels,
+    )
+
+    def brute(mat, labels):
+        x, labs, cents = _centroid_frame(mat, labels)
+        disp = {}
+        for l in np.unique(labs):
+            ds = []
+            for row, rl in zip(x, labs):
+                if rl != l:
+                    continue
+                d2 = sum(
+                    round((v - m) ** 2 * 1e9) for v, m in zip(row, cents[l])
+                )
+                ds.append(round(np.sqrt(d2 / 1e9) * 1e9))
+            disp[l] = sum(ds) / len(ds) / 1e9
+        ls = sorted(cents)
+        worst = {}
+        for i in ls:
+            rs = []
+            for j in ls:
+                if i == j:
+                    continue
+                dd = np.sqrt(
+                    sum(
+                        round((a - b) ** 2 * 1e9)
+                        for a, b in zip(cents[i], cents[j])
+                    )
+                    / 1e9
+                )
+                rs.append((disp[i] + disp[j]) / dd)
+            worst[i] = round(max(rs) * 1e9)
+        return sum(worst.values()) / (len(ls) * 1e9)
+
+    rng = np.random.RandomState(101)
+    labels = [0] * 40 + [1] * 40 + [2] * 40
+    far = np.vstack([rng.randn(40, 6) * 0.2 + off for off in (0, 8, 16)])
+    sfd = _emb_patch(spark, monkeypatch, far, labels, "db_far")
+    r_far = davies_bouldin_labels(spark, sfd).collect()[0]
+    assert r_far["n_labels"] == 3
+    assert r_far["db_index"] == pytest.approx(brute(far, labels), abs=2e-6)
+    near = np.vstack([rng.randn(40, 6) + off for off in (0, 0.5, 1.0)])
+    sfd = _emb_patch(spark, monkeypatch, near, labels, "db_near")
+    r_near = davies_bouldin_labels(spark, sfd).collect()[0]
+    assert r_near["db_index"] == pytest.approx(brute(near, labels), abs=2e-6)
+    assert r_far["db_index"] < 0.2 < 1.0 < r_near["db_index"]

@@ -136,6 +136,10 @@ HEAVY_TAIL = [
     "page_hinkley_drift",
     "graph_modularity_by_source",
     "embedding_anisotropy_audit",
+    "spiegelhalter_z_calibration",
+    "fleiss_kappa_quality_raters",
+    "silhouette_simplified_labels",
+    "davies_bouldin_labels",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
@@ -451,6 +455,10 @@ CONSTANT_OUTPUT = {
     "page_hinkley_drift",
     "graph_modularity_by_source",
     "embedding_anisotropy_audit",
+    "spiegelhalter_z_calibration",
+    "fleiss_kappa_quality_raters",
+    "silhouette_simplified_labels",
+    "davies_bouldin_labels",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
