@@ -3241,3 +3241,112 @@ def davies_bouldin_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             "db_index"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Effective rank (participation ratio) of the embedding variance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_effective_rank",
+    oracle="""
+    WITH comp AS (
+      SELECT UNNEST(CAST(embedding AS DOUBLE[])) AS v,
+             CAST(UNNEST(range(0, len(embedding))) AS INT) AS dim
+      FROM embeddings
+    ),
+    mom AS (
+      SELECT dim, COUNT(*) AS n,
+             SUM(CAST(ROUND(v * 1000000000) AS BIGINT)) AS sx,
+             SUM(CAST(CAST(ROUND(v * 1000000000) AS BIGINT) AS HUGEINT)
+                 * CAST(ROUND(v * 1000000000) AS BIGINT)) AS sxx
+      FROM comp GROUP BY dim
+    ),
+    vars_ AS (
+      SELECT CAST(ROUND((CAST(sxx AS DOUBLE) / 1e18
+                         - (CAST(sx AS DOUBLE) / 1e9)
+                           * (CAST(sx AS DOUBLE) / 1e9) / n) / n
+                        * 1000000000000) AS BIGINT) AS var_pico
+      FROM mom
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+             CAST(SUM(var_pico) AS HUGEINT) AS sv,
+             CAST(SUM(CAST(var_pico AS HUGEINT) * var_pico) AS HUGEINT)
+               AS svv
+      FROM vars_
+    )
+    SELECT n_dims,
+           ROUND(CAST(sv AS DOUBLE) / 1e12, 6) AS total_variance,
+           ROUND(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                 / CAST(svv AS DOUBLE), 6) AS participation_ratio,
+           ROUND(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                 / CAST(svv AS DOUBLE) / n_dims, 6) AS pr_normalized
+    FROM agg WHERE svv > 0
+    """,
+)
+def embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective rank of the embedding variance via the participation
+    ratio PR = (Σσ²_d)²/Σσ⁴_d — "how many dimensions actually carry
+    variance": PR = d for perfectly isotropic spread, PR → 1 under
+    dimensional collapse. The closed-form no-eigendecomposition
+    companion to ``embedding_principal_direction`` (which finds the
+    top axis) and ``embedding_anisotropy_audit`` (mean-offset energy):
+    diagonal variances bound the spectrum's participation without any
+    iteration. pr_normalized = PR/d is the scale-free health number
+    (matryoshka/truncation decisions read it directly).
+
+    Scale posture: one posexplode into the bounded per-dim moment
+    aggregate; per-dim variances are pico-rounded to integers before
+    the cross-dim exact sums (order immunity); PR is one fixed double
+    expression. One output row.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5
+    similarity family)."""
+    t = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    comp = spread(t).select(
+        F.posexplode(
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        ).alias("dim", "v")
+    )
+    d38 = "DECIMAL(38,0)"
+    mom = comp.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            f"SUM(CAST(CAST(ROUND(v * 1000000000) AS BIGINT) AS {d38}))"
+        ).alias("sx"),
+        F.expr(
+            f"SUM(CAST(CAST(ROUND(v * 1000000000) AS BIGINT) AS {d38})"
+            " * CAST(ROUND(v * 1000000000) AS BIGINT))"
+        ).alias("sxx"),
+    )
+    vars_ = mom.select(
+        F.expr(
+            "CAST(ROUND((CAST(sxx AS DOUBLE) / 1e18"
+            " - (CAST(sx AS DOUBLE) / 1e9)"
+            " * (CAST(sx AS DOUBLE) / 1e9) / n) / n"
+            " * 1000000000000) AS BIGINT)"
+        ).alias("var_pico")
+    )
+    agg = vars_.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        F.expr(f"CAST(SUM(var_pico) AS {d38})").alias("sv"),
+        F.expr(
+            f"CAST(SUM(CAST(var_pico AS {d38}) * var_pico) AS {d38})"
+        ).alias("svv"),
+    )
+    return agg.where("svv > 0").select(
+        "n_dims",
+        F.expr("ROUND(CAST(sv AS DOUBLE) / 1e12, 6)").alias(
+            "total_variance"
+        ),
+        F.expr(
+            "ROUND(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)"
+            " / CAST(svv AS DOUBLE), 6)"
+        ).alias("participation_ratio"),
+        F.expr(
+            "ROUND(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)"
+            " / CAST(svv AS DOUBLE) / n_dims, 6)"
+        ).alias("pr_normalized"),
+    )

@@ -12163,3 +12163,387 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drift_detected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Granger causality (lag 1): do clicks predict next-day purchases?
+# ---------------------------------------------------------------------------
+
+_GRANGER_F_CRIT = 3.841459  # F(1, inf) 95% = chi^2_1 (frozen; see doc)
+
+# Cramer's-rule solution of the 3x3 normal equations for
+# y ~ 1 + y1 + x1, as fixed-operand-order double expressions over the
+# nine exact integer sums (n, sy1, sx1, sy1y1, sx1x1, sy1x1, sy, syy1,
+# syx1, syy). One shared rendering for both engines.
+_G_DET = (
+    "(CAST(n AS DOUBLE) * (CAST(sy1y1 AS DOUBLE) * sx1x1"
+    " - CAST(sy1x1 AS DOUBLE) * sy1x1)"
+    " - CAST(sy1 AS DOUBLE) * (CAST(sy1 AS DOUBLE) * sx1x1"
+    " - CAST(sy1x1 AS DOUBLE) * sx1)"
+    " + CAST(sx1 AS DOUBLE) * (CAST(sy1 AS DOUBLE) * sy1x1"
+    " - CAST(sy1y1 AS DOUBLE) * sx1))"
+)
+_G_B0 = (
+    "((CAST(sy AS DOUBLE) * (CAST(sy1y1 AS DOUBLE) * sx1x1"
+    " - CAST(sy1x1 AS DOUBLE) * sy1x1)"
+    " - CAST(sy1 AS DOUBLE) * (CAST(syy1 AS DOUBLE) * sx1x1"
+    " - CAST(sy1x1 AS DOUBLE) * syx1)"
+    " + CAST(sx1 AS DOUBLE) * (CAST(syy1 AS DOUBLE) * sy1x1"
+    " - CAST(sy1y1 AS DOUBLE) * syx1)) / " + _G_DET + ")"
+)
+_G_B1 = (
+    "((CAST(n AS DOUBLE) * (CAST(syy1 AS DOUBLE) * sx1x1"
+    " - CAST(syx1 AS DOUBLE) * sy1x1)"
+    " - CAST(sy AS DOUBLE) * (CAST(sy1 AS DOUBLE) * sx1x1"
+    " - CAST(sy1x1 AS DOUBLE) * sx1)"
+    " + CAST(sx1 AS DOUBLE) * (CAST(sy1 AS DOUBLE) * syx1"
+    " - CAST(syy1 AS DOUBLE) * sx1)) / " + _G_DET + ")"
+)
+_G_B2 = (
+    "((CAST(n AS DOUBLE) * (CAST(sy1y1 AS DOUBLE) * syx1"
+    " - CAST(sy1x1 AS DOUBLE) * syy1)"
+    " - CAST(sy1 AS DOUBLE) * (CAST(sy1 AS DOUBLE) * syx1"
+    " - CAST(syy1 AS DOUBLE) * sx1)"
+    " + CAST(sy AS DOUBLE) * (CAST(sy1 AS DOUBLE) * sy1x1"
+    " - CAST(sy1y1 AS DOUBLE) * sx1)) / " + _G_DET + ")"
+)
+_G_SSR_U = (
+    "(CAST(syy AS DOUBLE) - (" + _G_B0 + " * sy + " + _G_B1
+    + " * syy1 + " + _G_B2 + " * syx1))"
+)
+# restricted model y ~ 1 + y1
+_G_BR = (
+    "((CAST(n AS DOUBLE) * syy1 - CAST(sy1 AS DOUBLE) * sy)"
+    " / (CAST(n AS DOUBLE) * sy1y1 - CAST(sy1 AS DOUBLE) * sy1))"
+)
+_G_AR = "((CAST(sy AS DOUBLE) - " + _G_BR + " * sy1) / n)"
+_G_SSR_R = (
+    "(CAST(syy AS DOUBLE) - " + _G_AR + " * sy - " + _G_BR + " * syy1)"
+)
+_G_F = (
+    "((" + _G_SSR_R + " - " + _G_SSR_U + ") * (n - 3) / " + _G_SSR_U + ")"
+)
+
+
+@register(
+    "granger_causality_lag1",
+    oracle=f"""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    counts AS (
+      SELECT dy.d,
+             CAST(COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                                    THEN 1 END), 0) AS BIGINT) AS y,
+             CAST(COALESCE(SUM(CASE WHEN e.event_type = 'click'
+                                    THEN 1 END), 0) AS BIGINT) AS x
+      FROM days dy LEFT JOIN events e ON CAST(e.ts AS DATE) = dy.d
+      GROUP BY dy.d
+    ),
+    lagged AS (
+      SELECT y,
+             LAG(y) OVER (ORDER BY d) AS y1,
+             LAG(x) OVER (ORDER BY d) AS x1
+      FROM counts
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y1) AS HUGEINT) AS sy1,
+             CAST(SUM(x1) AS HUGEINT) AS sx1,
+             CAST(SUM(CAST(y1 AS HUGEINT) * y1) AS HUGEINT) AS sy1y1,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS sx1x1,
+             CAST(SUM(CAST(y1 AS HUGEINT) * x1) AS HUGEINT) AS sy1x1,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(y AS HUGEINT) * y1) AS HUGEINT) AS syy1,
+             CAST(SUM(CAST(y AS HUGEINT) * x1) AS HUGEINT) AS syx1,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM lagged WHERE y1 IS NOT NULL
+    )
+    SELECT n AS n_days,
+           ROUND({_G_B2}, 6) AS click_coef,
+           ROUND({_G_SSR_R}, 4) AS ssr_restricted,
+           ROUND({_G_SSR_U}, 4) AS ssr_unrestricted,
+           ROUND({_G_F}, 6) AS f_statistic,
+           ({_G_F}) > {_GRANGER_F_CRIT} AS granger_causal
+    FROM sums
+    WHERE n > 3 AND {_G_DET} <> 0e0 AND ({_G_SSR_U}) > 0e0
+    """,
+)
+def granger_causality_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality at lag 1: does yesterday's CLICK volume
+    predict today's PURCHASE volume beyond what yesterday's purchases
+    already predict? F compares the restricted AR(1) against the
+    unrestricted y ~ 1 + y₋₁ + x₋₁ fit (both solved in closed form —
+    Cramer's rule on the 3×3 normal equations over nine EXACT integer
+    sums). The causal reading is the usual Granger caveat (predictive,
+    not interventional); verdict vs the frozen F(1, ∞) = χ²₁ 95%
+    value (conservative at finite n, the ANOVA-op convention).
+
+    Scale posture: events collapse to the densified calendar-bounded
+    daily (purchase, click) table; one LAG walk over it; ONE
+    combinable 10-sum aggregate; every coefficient/SSR/F is a fixed-
+    operand-order double expression over the exact sums. One output
+    row.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    counts = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.expr(
+            "CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'"
+            " THEN 1 END), 0) AS BIGINT)"
+        ).alias("y"),
+        F.expr(
+            "CAST(COALESCE(SUM(CASE WHEN event_type = 'click'"
+            " THEN 1 END), 0) AS BIGINT)"
+        ).alias("x"),
+    )
+    wd = Window.orderBy("d")
+    lagged = counts.select(
+        "y",
+        F.lag("y").over(wd).alias("y1"),
+        F.lag("x").over(wd).alias("x1"),
+    )
+    d38 = "DECIMAL(38,0)"
+    sums = lagged.where("y1 IS NOT NULL").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"CAST(SUM(y1) AS {d38})").alias("sy1"),
+        F.expr(f"CAST(SUM(x1) AS {d38})").alias("sx1"),
+        F.expr(f"CAST(SUM(CAST(y1 AS {d38}) * y1) AS {d38})").alias("sy1y1"),
+        F.expr(f"CAST(SUM(CAST(x1 AS {d38}) * x1) AS {d38})").alias("sx1x1"),
+        F.expr(f"CAST(SUM(CAST(y1 AS {d38}) * x1) AS {d38})").alias("sy1x1"),
+        F.expr(f"CAST(SUM(y) AS {d38})").alias("sy"),
+        F.expr(f"CAST(SUM(CAST(y AS {d38}) * y1) AS {d38})").alias("syy1"),
+        F.expr(f"CAST(SUM(CAST(y AS {d38}) * x1) AS {d38})").alias("syx1"),
+        F.expr(f"CAST(SUM(CAST(y AS {d38}) * y) AS {d38})").alias("syy"),
+    )
+    return sums.where(
+        f"n > 3 AND {_G_DET} <> 0e0 AND ({_G_SSR_U}) > 0e0"
+    ).select(
+        F.col("n").alias("n_days"),
+        F.expr(f"ROUND({_G_B2}, 6)").alias("click_coef"),
+        F.expr(f"ROUND({_G_SSR_R}, 4)").alias("ssr_restricted"),
+        F.expr(f"ROUND({_G_SSR_U}, 4)").alias("ssr_unrestricted"),
+        F.expr(f"ROUND({_G_F}, 6)").alias("f_statistic"),
+        F.expr(f"({_G_F}) > {_GRANGER_F_CRIT}").alias("granger_causal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Odds ratio: weekend activity vs purchase conversion (per user)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "odds_ratio_weekend_purchase",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             MAX(CASE WHEN CAST(EXTRACT(dow FROM ts) AS INT) IN (0, 6)
+                      THEN 1 ELSE 0 END) AS exposed,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS outcome
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    cells AS (
+      SELECT CAST(SUM(CASE WHEN exposed = 1 AND outcome = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN exposed = 1 AND outcome = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN exposed = 0 AND outcome = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN exposed = 0 AND outcome = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM u
+    )
+    SELECT a, b, c, d,
+           ROUND(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6)
+             AS odds_ratio,
+           ROUND(LN(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                 - 1.959964e0 * SQRT(1e0 / a + 1e0 / b + 1e0 / c
+                                     + 1e0 / d), 6) AS log_or_ci_lo,
+           ROUND(LN(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                 + 1.959964e0 * SQRT(1e0 / a + 1e0 / b + 1e0 / c
+                                     + 1e0 / d), 6) AS log_or_ci_hi,
+           (LN(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+            - 1.959964e0 * SQRT(1e0 / a + 1e0 / b + 1e0 / c + 1e0 / d)
+            > 0e0
+            OR LN(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+               + 1.959964e0 * SQRT(1e0 / a + 1e0 / b + 1e0 / c + 1e0 / d)
+               < 0e0) AS significant
+    FROM cells WHERE a > 0 AND b > 0 AND c > 0 AND d > 0
+    """,
+)
+def odds_ratio_weekend_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio of the per-USER-DAY 2×2 (the active day falls on a
+    weekend × the user purchased that day) with the Woolf log-OR 95% CI — the epidemiology-
+    standard effect size the χ²/z tests in this family do NOT report:
+    OR = ad/bc, SE(ln OR) = √(1/a+1/b+1/c+1/d), significant iff the
+    CI excludes 0 in log space. Complements
+    ``mcnemar_weekday_weekend`` (paired within-user change) with the
+    day-level association strength; the user-day unit keeps all four
+    cells populated on an active corpus where every USER eventually
+    purchases (the degenerate ever-purchased margin found by the
+    vacuity scan).
+
+    Scale posture: one per-(user, day) collapse (combinable MAX
+    flags), one 4-cell reduction, one output row; the only transcendental is a
+    single shared LN with identical operands, all cells exact
+    integers.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    u = ev.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(
+        F.max(
+            F.when(
+                ((F.dayofweek("ts") - 1) % 7).isin(0, 6), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("exposed"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("outcome"),
+    )
+    cells = u.agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN exposed = 1 AND outcome = 1 THEN 1"
+            " ELSE 0 END) AS BIGINT)"
+        ).alias("a"),
+        F.expr(
+            "CAST(SUM(CASE WHEN exposed = 1 AND outcome = 0 THEN 1"
+            " ELSE 0 END) AS BIGINT)"
+        ).alias("b"),
+        F.expr(
+            "CAST(SUM(CASE WHEN exposed = 0 AND outcome = 1 THEN 1"
+            " ELSE 0 END) AS BIGINT)"
+        ).alias("c"),
+        F.expr(
+            "CAST(SUM(CASE WHEN exposed = 0 AND outcome = 0 THEN 1"
+            " ELSE 0 END) AS BIGINT)"
+        ).alias("d"),
+    )
+    lor = "LN(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))"
+    se = "SQRT(1e0 / a + 1e0 / b + 1e0 / c + 1e0 / d)"
+    return cells.where("a > 0 AND b > 0 AND c > 0 AND d > 0").select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(
+            "ROUND(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6)"
+        ).alias("odds_ratio"),
+        F.expr(f"ROUND({lor} - 1.959964e0 * {se}, 6)").alias(
+            "log_or_ci_lo"
+        ),
+        F.expr(f"ROUND({lor} + 1.959964e0 * {se}, 6)").alias(
+            "log_or_ci_hi"
+        ),
+        F.expr(
+            f"({lor} - 1.959964e0 * {se} > 0e0"
+            f" OR {lor} + 1.959964e0 * {se} < 0e0)"
+        ).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture (Chapman) estimate of the active-user population
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "capture_recapture_users",
+    oracle="""
+    WITH hz AS (
+      SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events
+    ),
+    flags AS (
+      SELECT user_id,
+             MAX(CASE WHEN CAST(ts AS DATE) > maxd - 14
+                       AND CAST(ts AS DATE) <= maxd - 7
+                      THEN 1 ELSE 0 END) AS c1,
+             MAX(CASE WHEN CAST(ts AS DATE) > maxd - 7
+                      THEN 1 ELSE 0 END) AS c2
+      FROM events CROSS JOIN hz
+      GROUP BY user_id
+    ),
+    cells AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(SUM(c1 * c2) AS BIGINT) AS m,
+             CAST(COUNT(*) AS BIGINT) AS observed_ever
+      FROM flags
+    )
+    SELECT n1 AS week1_users, n2 AS week2_users, m AS recaptured,
+           observed_ever,
+           CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) // (m + 1) - 1
+                AS BIGINT) AS chapman_estimate,
+           ROUND(SQRT(CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1)
+                           * (n1 - m) * (n2 - m) AS DOUBLE)
+                      / (CAST(CAST(m + 1 AS HUGEINT) * (m + 1)
+                              * (m + 2) AS DOUBLE))), 4) AS chapman_se
+    FROM cells WHERE m > 0
+    """,
+)
+def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the ACTIVE user
+    population from the last two weeks of events: treat week₁ and
+    week₂ activity as two "captures"; N̂ = (n₁+1)(n₂+1)/(m+1) − 1
+    with its standard SE. When N̂ far exceeds ``observed_ever`` the
+    corpus is sampling a much larger population than it sees — the
+    ecology-borrowed answer to "how many users are there REALLY"
+    that DAU/MAU (``dau_mau_stickiness``) cannot give. Assumes
+    capture independence (documented; correlated activity biases N̂
+    low — it is the closed-population lower-bound reading).
+
+    Scale posture: one per-user collapse with two window flags
+    (combinable MAXes, the 1-row horizon broadcast), a 4-integer
+    reduction, one output row. The Chapman point estimate is an exact
+    truncating integer division; only the SE is a (single, shared)
+    double expression.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    hz = ev.agg(F.max(F.col("ts").cast("date")).alias("maxd"))
+    flags = (
+        ev.join(F.broadcast(hz))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("ts").cast("date") > F.date_sub("maxd", 14))
+                    & (F.col("ts").cast("date") <= F.date_sub("maxd", 7)),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("c1"),
+            F.max(
+                F.when(
+                    F.col("ts").cast("date") > F.date_sub("maxd", 7),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("c2"),
+        )
+    )
+    d38 = "DECIMAL(38,0)"
+    cells = flags.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * F.col("c2")).cast("bigint").alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("observed_ever"),
+    )
+    return cells.where("m > 0").select(
+        F.col("n1").alias("week1_users"),
+        F.col("n2").alias("week2_users"),
+        F.col("m").alias("recaptured"),
+        "observed_ever",
+        F.expr(
+            f"CAST(CAST(n1 + 1 AS {d38}) * (n2 + 1) div (m + 1) - 1"
+            " AS BIGINT)"
+        ).alias("chapman_estimate"),
+        F.expr(
+            f"ROUND(SQRT(CAST(CAST(n1 + 1 AS {d38}) * (n2 + 1)"
+            " * (n1 - m) * (n2 - m) AS DOUBLE)"
+            f" / (CAST(CAST(m + 1 AS {d38}) * (m + 1) * (m + 2)"
+            " AS DOUBLE))), 4)"
+        ).alias("chapman_se"),
+    )

@@ -2976,3 +2976,44 @@ def test_davies_bouldin_bounded_pair_table_broadcasts(spark):
     assert has_broadcast_join(df), explain_str(df, "simple")[:1500]
     text = explain_str(df, "formatted")
     assert "CartesianProduct" not in text
+
+
+def test_granger_one_aggregate_over_daily_walk(spark):
+    from rs_streamloader_spark.operators.stats import granger_causality_lag1
+
+    df = granger_causality_lag1(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert text.lower().count("rangepartitioning") <= 1, text[:1500]
+    assert "Join" not in text, text[:1500]
+
+
+def test_effective_rank_one_explode_no_joins(spark):
+    from rs_streamloader_spark.operators.similarity import (
+        embedding_effective_rank,
+    )
+
+    df = embedding_effective_rank(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Join" not in text, text[:1500]
+    assert "rangepartitioning" not in text.lower(), text[:1500]
+
+
+def test_odds_ratio_per_user_collapse_then_reduce(spark):
+    from rs_streamloader_spark.operators.stats import (
+        odds_ratio_weekend_purchase,
+    )
+
+    df = odds_ratio_weekend_purchase(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Join" not in text, text[:1500]
+    cols = scan_columns(df)
+    assert {"user_id", "ts", "event_type"} in cols, cols
+
+
+def test_capture_recapture_broadcast_horizon_only_join(spark):
+    from rs_streamloader_spark.operators.stats import capture_recapture_users
+
+    df = capture_recapture_users(spark, SF_SMOKE)
+    assert has_broadcast_join(df), explain_str(df, "simple")[:1500]
+    text = explain_str(df, "formatted")
+    assert "SortMergeJoin" not in text, text[:1500]

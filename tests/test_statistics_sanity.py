@@ -3366,3 +3366,188 @@ def test_davies_bouldin_orders_separated_below_merged(spark, monkeypatch):
     r_near = davies_bouldin_labels(spark, sfd).collect()[0]
     assert r_near["db_index"] == pytest.approx(brute(near, labels), abs=2e-6)
     assert r_far["db_index"] < 0.2 < 1.0 < r_near["db_index"]
+
+
+def test_granger_matches_numpy_lstsq_both_branches(spark, monkeypatch):
+    """Coefficients/SSRs/F recomputed with numpy lstsq; clicks that
+    drive next-day purchases must flag, independent series must not."""
+    from rs_streamloader_spark.operators.stats import granger_causality_lag1
+
+    def events_from(xs, ys):
+        rows = []
+        eid = 0
+        base = pd.Timestamp("2024-01-01")
+        for i, (x, y) in enumerate(zip(xs, ys)):
+            d = base + pd.Timedelta(days=i)
+            for _ in range(int(x)):
+                eid += 1
+                rows.append((eid, d.strftime("%Y-%m-%d"), eid % 30, "click"))
+            for _ in range(int(y)):
+                eid += 1
+                rows.append(
+                    (eid, d.strftime("%Y-%m-%d"), eid % 30, "purchase")
+                )
+            # keep every day present even with 0 counts
+            eid += 1
+            rows.append((eid, d.strftime("%Y-%m-%d"), eid % 30, "view"))
+        _events_patch(spark, monkeypatch, rows)
+
+    def brute(xs, ys):
+        y = np.array(ys[1:], dtype=float)
+        y1 = np.array(ys[:-1], dtype=float)
+        x1 = np.array(xs[:-1], dtype=float)
+        n = len(y)
+        Xu = np.column_stack([np.ones(n), y1, x1])
+        bu, *_ = np.linalg.lstsq(Xu, y, rcond=None)
+        ssr_u = ((y - Xu @ bu) ** 2).sum()
+        Xr = np.column_stack([np.ones(n), y1])
+        br, *_ = np.linalg.lstsq(Xr, y, rcond=None)
+        ssr_r = ((y - Xr @ br) ** 2).sum()
+        f = (ssr_r - ssr_u) * (n - 3) / ssr_u
+        return bu[2], ssr_r, ssr_u, f
+
+    rng = np.random.RandomState(103)
+    xs = list(rng.randint(5, 40, 90))
+    ys = [10] + [max(0, int(0.8 * xs[i - 1] + rng.randint(-2, 3))) for i in range(1, 90)]
+    events_from(xs, ys)
+    r = granger_causality_lag1(spark, "x").collect()[0]
+    b2, ssr_r, ssr_u, f = brute(xs, ys)
+    assert r["n_days"] == 89
+    assert r["click_coef"] == pytest.approx(b2, abs=2e-5)
+    assert r["ssr_restricted"] == pytest.approx(ssr_r, rel=1e-6)
+    assert r["ssr_unrestricted"] == pytest.approx(ssr_u, rel=1e-6)
+    assert r["f_statistic"] == pytest.approx(f, rel=1e-5)
+    assert bool(r["granger_causal"]) is True
+
+    ys_ind = list(rng.randint(5, 40, 90))
+    events_from(xs, ys_ind)
+    r = granger_causality_lag1(spark, "x").collect()[0]
+    b2, ssr_r, ssr_u, f = brute(xs, ys_ind)
+    assert r["f_statistic"] == pytest.approx(f, rel=1e-4)
+    assert bool(r["granger_causal"]) is False
+
+
+def test_effective_rank_extremes_and_numpy_match(spark, monkeypatch):
+    """PR = d for isotropic dims, -> 1 under collapse; values match a
+    numpy recompute with the pico convention."""
+    from rs_streamloader_spark.operators.similarity import (
+        embedding_effective_rank,
+    )
+
+    def brute(mat):
+        x = np.asarray(mat, dtype=float)
+        n = len(x)
+        xi = np.round(x * 1e9)
+        v = [
+            round(
+                ((col**2).sum() / 1e18 - (col.sum() / 1e9) ** 2 / n) / n * 1e12
+            )
+            for col in xi.T
+        ]
+        sv, svv = sum(v), sum(t * t for t in v)
+        return sv * sv / svv
+
+    rng = np.random.RandomState(107)
+    iso = rng.randn(300, 8)
+    sfd = _emb_patch(spark, monkeypatch, iso, [0] * 300, "er_iso")
+    r = embedding_effective_rank(spark, sfd).collect()[0]
+    assert r["n_dims"] == 8
+    assert r["participation_ratio"] == pytest.approx(brute(iso), abs=2e-5)
+    assert r["participation_ratio"] > 7.5
+    collapsed = np.column_stack(
+        [rng.randn(300) * 3] + [rng.randn(300) * 0.01 for _ in range(7)]
+    )
+    sfd = _emb_patch(spark, monkeypatch, collapsed, [0] * 300, "er_col")
+    r = embedding_effective_rank(spark, sfd).collect()[0]
+    assert r["participation_ratio"] == pytest.approx(
+        brute(collapsed), abs=2e-5
+    )
+    assert r["participation_ratio"] < 1.1
+    assert r["pr_normalized"] < 0.14
+
+
+def test_odds_ratio_matches_hand_cells(spark, monkeypatch):
+    """2x2 cells, OR, and Woolf CI recomputed by hand on a corpus
+    with a planted strong association."""
+    from rs_streamloader_spark.operators.stats import (
+        odds_ratio_weekend_purchase,
+    )
+
+    rows = []
+    eid = 0
+    # user-day units: each user gets one Saturday (2024-03-09) and one
+    # Monday (2024-03-11) active day; purchases land ON those days
+    for u in range(100):
+        eid += 1
+        rows.append((eid, "2024-03-09", u, "view"))
+        eid += 1
+        rows.append((eid, "2024-03-11", u, "view"))
+        if u % 10 < 6:  # weekend day converts for 6/10 users
+            eid += 1
+            rows.append((eid, "2024-03-09", u, "purchase"))
+        if u % 10 < 2:  # weekday day converts for 2/10 users
+            eid += 1
+            rows.append((eid, "2024-03-11", u, "purchase"))
+    _events_patch(spark, monkeypatch, rows)
+    r = odds_ratio_weekend_purchase(spark, "x").collect()[0]
+    a, b = 60, 40   # weekend user-days: 6/10 purchase
+    c, d = 20, 80   # weekday user-days: 2/10
+    orr = a * d / (b * c)
+    se = np.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    assert (r["a"], r["b"], r["c"], r["d"]) == (a, b, c, d)
+    assert r["odds_ratio"] == pytest.approx(orr, abs=2e-6)
+    assert r["log_or_ci_lo"] == pytest.approx(np.log(orr) - 1.959964 * se, abs=2e-6)
+    assert r["log_or_ci_hi"] == pytest.approx(np.log(orr) + 1.959964 * se, abs=2e-6)
+    assert bool(r["significant"]) is True
+
+
+def test_capture_recapture_matches_hand_and_closed_population(
+    spark, monkeypatch
+):
+    """Chapman estimate recomputed by hand; with full overlap the
+    estimate equals the observed population."""
+    from rs_streamloader_spark.operators.stats import capture_recapture_users
+
+    def build(overlap_frac):
+        rows = []
+        eid = 0
+        # horizon anchored at 2024-03-14; week2 = (03-07, 03-14],
+        # week1 = (02-29, 03-07]
+        for u in range(100):
+            in1 = u < 60
+            in2 = (u < int(60 * overlap_frac)) or (u >= 60)
+            if in1:
+                eid += 1
+                rows.append((eid, "2024-03-05", u, "click"))
+            if in2:
+                eid += 1
+                rows.append((eid, "2024-03-10", u, "click"))
+        eid += 1
+        rows.append((eid, "2024-03-14", 0, "view"))  # pin the horizon
+        return rows
+
+    rows = build(0.5)
+    _events_patch(spark, monkeypatch, rows)
+    r = capture_recapture_users(spark, "x").collect()[0]
+    n1 = 60
+    # half of week1 users + users 60..99 (user 0's horizon-pin view
+    # event is already inside its week2 membership)
+    n2 = 30 + 40
+    m = 30
+    est = (n1 + 1) * (n2 + 1) // (m + 1) - 1
+    se = np.sqrt(
+        (n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+        / ((m + 1) ** 2 * (m + 2))
+    )
+    assert (r["week1_users"], r["week2_users"], r["recaptured"]) == (
+        n1,
+        n2,
+        m,
+    )
+    assert r["chapman_estimate"] == est
+    assert r["chapman_se"] == pytest.approx(se, abs=1e-3)
+    # closed population: every week1 user recaptured -> estimate ~ n2
+    rows = build(1.0)
+    _events_patch(spark, monkeypatch, rows)
+    r = capture_recapture_users(spark, "x").collect()[0]
+    assert r["chapman_estimate"] <= r["week2_users"] + 1

@@ -140,6 +140,10 @@ HEAVY_TAIL = [
     "fleiss_kappa_quality_raters",
     "silhouette_simplified_labels",
     "davies_bouldin_labels",
+    "granger_causality_lag1",
+    "embedding_effective_rank",
+    "odds_ratio_weekend_purchase",
+    "capture_recapture_users",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
@@ -459,6 +463,10 @@ CONSTANT_OUTPUT = {
     "fleiss_kappa_quality_raters",
     "silhouette_simplified_labels",
     "davies_bouldin_labels",
+    "granger_causality_lag1",
+    "embedding_effective_rank",
+    "odds_ratio_weekend_purchase",
+    "capture_recapture_users",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
