@@ -12547,3 +12547,319 @@ def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DOUBLE))), 4)"
         ).alias("chapman_se"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Historical VaR / CVaR of daily revenue changes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "value_at_risk_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    diffs AS (
+      SELECT CAST(x - LAG(x) OVER (ORDER BY d) AS BIGINT) AS dx
+      FROM daily
+    ),
+    h AS (
+      SELECT dx, CAST(COUNT(*) AS BIGINT) AS c
+      FROM diffs WHERE dx IS NOT NULL GROUP BY dx
+    ),
+    cum AS (
+      SELECT dx, c,
+             SUM(c) OVER (ORDER BY dx ROWS UNBOUNDED PRECEDING) AS cc
+      FROM h
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+    var_ AS (
+      -- exact lower 5th-percentile change (PERCENTILE_DISC convention:
+      -- smallest dx with cumulative count >= ceil(0.05 n))
+      SELECT MIN(dx) AS var95
+      FROM cum CROSS JOIN tot
+      WHERE cc >= (n + 19) // 20
+    ),
+    tail AS (
+      SELECT CAST(SUM(CAST(c.dx AS HUGEINT) * c.c) AS HUGEINT) AS ts,
+             CAST(SUM(c.c) AS BIGINT) AS tc
+      FROM cum c CROSS JOIN var_ v
+      WHERE c.dx <= v.var95
+    )
+    SELECT t.n AS n_changes,
+           v.var95 AS var95_cents,
+           CAST(ta.ts * 1000000 // ta.tc AS BIGINT) AS cvar95_micro,
+           CAST(ta.tc AS BIGINT) AS n_tail_days
+    FROM var_ v CROSS JOIN tail ta CROSS JOIN tot t
+    WHERE t.n >= 20
+    """,
+)
+def value_at_risk_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical 95% Value-at-Risk and CVaR (expected shortfall) of
+    DAY-OVER-DAY revenue changes: the exact empirical 5th-percentile
+    change (PERCENTILE_DISC convention over the integer-cents
+    histogram) and the exact mean of the tail at or below it — "how
+    bad is a bad day, and how bad are the bad days on average". The
+    risk-family companion to ``max_drawdown_revenue`` (worst
+    cumulative run) and ``gumbel_return_level`` (parametric extreme):
+    CVaR is the coherent one of the three.
+
+    Scale posture: one combinable daily aggregate; the diff walk
+    orders the calendar-bounded series; the quantile pick is the
+    histogram-prefix index (no row sort of raw data); VaR is an exact
+    integer, CVaR an exact truncating micro division. One output row.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    wd = Window.orderBy("d")
+    diffs = daily.select(
+        (F.col("x") - F.lag("x").over(wd)).cast("bigint").alias("dx")
+    ).where(F.col("dx").isNotNull())
+    h = diffs.groupBy("dx").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wv = Window.orderBy("dx").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select("dx", "c", F.sum("c").over(wv).alias("cc"))
+    tot = h.agg(F.sum("c").cast("bigint").alias("n"))
+    var_ = (
+        cum.join(F.broadcast(tot))
+        .where("cc >= (n + 19) div 20")
+        .agg(F.min("dx").alias("var95"))
+    )
+    d38 = "DECIMAL(38,0)"
+    tail = (
+        cum.join(F.broadcast(var_))
+        .where("dx <= var95")
+        .agg(
+            F.expr(f"CAST(SUM(CAST(dx AS {d38}) * c) AS {d38})").alias("ts"),
+            F.sum("c").cast("bigint").alias("tc"),
+        )
+    )
+    return (
+        var_.join(F.broadcast(tail))
+        .join(F.broadcast(tot))
+        .where("n >= 20")
+        .select(
+            F.col("n").alias("n_changes"),
+            F.col("var95").alias("var95_cents"),
+            F.expr("CAST(ts * 1000000 div tc AS BIGINT)").alias(
+                "cvar95_micro"
+            ),
+            F.col("tc").cast("bigint").alias("n_tail_days"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis of daily revenue
+# ---------------------------------------------------------------------------
+
+_HURST_SIZES = (16, 32, 64, 128)
+
+# 4-point OLS slope in ln-ln space over (ln size, ln mean R/S),
+# nano-integer sums (the heaps_law_fit policy; the shared 1e9 scale
+# cancels in the slope ratio)
+_HURST_SLOPE = (
+    "(4e0 * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)"
+    " / (4e0 * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)"
+)
+
+
+@register(
+    "hurst_rs_exponent",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY d) - 1 AS t FROM daily
+    ),
+    blocks AS (
+      SELECT s.s, CAST(i.t // s.s AS BIGINT) AS b, i.t, i.x
+      FROM idx i CROSS JOIN (SELECT UNNEST(ARRAY{list(_HURST_SIZES)}) AS s) s
+    ),
+    stats AS (
+      SELECT s, b, COUNT(*) AS cnt,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM blocks GROUP BY 1, 2
+    ),
+    devwalk AS (
+      SELECT bl.s, bl.b,
+             SUM(CAST(ROUND((bl.x - CAST(st.sx AS DOUBLE) / st.cnt)
+                            * 1000) AS BIGINT))
+               OVER (PARTITION BY bl.s, bl.b ORDER BY bl.t
+                     ROWS UNBOUNDED PRECEDING) AS cum_milli
+      FROM blocks bl JOIN stats st ON st.s = bl.s AND st.b = bl.b
+      WHERE st.cnt = bl.s
+    ),
+    rng AS (
+      SELECT s, b,
+             CAST(MAX(cum_milli) - MIN(cum_milli) AS BIGINT) AS r_milli
+      FROM devwalk GROUP BY 1, 2
+    ),
+    rs AS (
+      SELECT r.s,
+             CAST(ROUND(r.r_milli / 1e3
+                        / SQRT((CAST(st.sxx AS DOUBLE)
+                                - (CAST(st.sx AS DOUBLE) / st.cnt) * st.sx)
+                               / st.cnt)
+                        * 1000000000) AS BIGINT) AS rs_nano
+      FROM rng r JOIN stats st ON st.s = r.s AND st.b = r.b
+      WHERE st.cnt = r.s
+        AND (CAST(st.sxx AS DOUBLE)
+             - (CAST(st.sx AS DOUBLE) / st.cnt) * st.sx) > 0e0
+    ),
+    per_size AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(rs_nano) AS HUGEINT) AS srs
+      FROM rs GROUP BY s
+    ),
+    pts AS (
+      SELECT s, n_blocks,
+             CAST(ROUND(LN(CAST(s AS DOUBLE)) * 1000000000) AS BIGINT)
+               AS lx,
+             CAST(ROUND(LN(CAST(srs AS DOUBLE) / n_blocks / 1e9)
+                        * 1000000000) AS BIGINT) AS ly,
+             ROUND(CAST(srs AS DOUBLE) / n_blocks / 1e9, 6) AS mean_rs
+      FROM per_size WHERE srs > 0
+    ),
+    fit AS (
+      SELECT CAST(SUM(lx) AS HUGEINT) AS sx, CAST(SUM(ly) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(lx AS HUGEINT) * lx) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(lx AS HUGEINT) * ly) AS HUGEINT) AS sxy,
+             CAST(COUNT(*) AS BIGINT) AS npts
+      FROM pts
+    )
+    SELECT p.s AS block_size, p.n_blocks, p.mean_rs,
+           ROUND({_HURST_SLOPE}, 6) AS hurst_exponent
+    FROM pts p CROSS JOIN fit
+    WHERE fit.npts = 4
+    ORDER BY p.s
+    """,
+)
+def hurst_rs_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by classical rescaled-range analysis: for block
+    sizes 16/32/64/128 days, E[R/S] per block (range of cumulative
+    mean-deviations over the block's population std), and H = the
+    ln-ln OLS slope. H ≈ 0.5 is a memoryless walk; H > 0.5 means
+    long-range persistence (trends compound — ``daily_acf_curve``
+    sees short lags, Hurst sees the scaling law); H < 0.5 means
+    mean-reversion. Partial trailing blocks are dropped (cnt = s
+    guard, both engines).
+
+    Scale posture: one combinable daily aggregate; the global
+    ROW_NUMBER orders the CALENDAR-BOUNDED series (reduced-aggregate
+    rule); the 4× block fan-out windows within (size, block)
+    partitions; deviations are milli-cent-rounded before the exact
+    cumulative walk, each block's R/S nano-rounded before the
+    per-size mean, and the 4-point fit uses exact nano ln sums.
+    Output: 4 rows, bounded forever.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    idx = daily.select(
+        "x", (F.row_number().over(Window.orderBy("d")) - 1).alias("t")
+    )
+    sizes = spark.createDataFrame(
+        [(s,) for s in _HURST_SIZES], "s long"
+    )
+    blocks = idx.join(F.broadcast(sizes)).select(
+        "s", F.expr("CAST(t div s AS BIGINT)").alias("b"), "t", "x"
+    )
+    d38 = "DECIMAL(38,0)"
+    stats = blocks.groupBy("s", "b").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.expr(f"CAST(SUM(x) AS {d38})").alias("sx"),
+        F.expr(f"CAST(SUM(CAST(x AS {d38}) * x) AS {d38})").alias("sxx"),
+    )
+    joined = blocks.join(F.broadcast(stats), ["s", "b"]).where("cnt = s")
+    wblk = (
+        Window.partitionBy("s", "b")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    devwalk = joined.select(
+        "s",
+        "b",
+        F.sum(
+            F.expr(
+                "CAST(ROUND((x - CAST(sx AS DOUBLE) / cnt) * 1000)"
+                " AS BIGINT)"
+            )
+        )
+        .over(wblk)
+        .alias("cum_milli"),
+    )
+    rng = devwalk.groupBy("s", "b").agg(
+        (F.max("cum_milli") - F.min("cum_milli"))
+        .cast("bigint")
+        .alias("r_milli")
+    )
+    var_expr = (
+        "(CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) / cnt) * sx)"
+    )
+    rs = (
+        rng.join(F.broadcast(stats), ["s", "b"])
+        .where(f"cnt = s AND {var_expr} > 0e0")
+        .select(
+            "s",
+            F.expr(
+                f"CAST(ROUND(r_milli / 1e3 / SQRT({var_expr} / cnt)"
+                " * 1000000000) AS BIGINT)"
+            ).alias("rs_nano"),
+        )
+    )
+    per_size = rs.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.expr(f"CAST(SUM(rs_nano) AS {d38})").alias("srs"),
+    )
+    pts = per_size.where("srs > 0").select(
+        "s",
+        "n_blocks",
+        F.expr(
+            "CAST(ROUND(LN(CAST(s AS DOUBLE)) * 1000000000) AS BIGINT)"
+        ).alias("lx"),
+        F.expr(
+            "CAST(ROUND(LN(CAST(srs AS DOUBLE) / n_blocks / 1e9)"
+            " * 1000000000) AS BIGINT)"
+        ).alias("ly"),
+        F.expr("ROUND(CAST(srs AS DOUBLE) / n_blocks / 1e9, 6)").alias(
+            "mean_rs"
+        ),
+    )
+    fit = pts.agg(
+        F.expr(f"CAST(SUM(lx) AS {d38})").alias("sx"),
+        F.expr(f"CAST(SUM(ly) AS {d38})").alias("sy"),
+        F.expr(f"CAST(SUM(CAST(lx AS {d38}) * lx) AS {d38})").alias("sxx"),
+        F.expr(f"CAST(SUM(CAST(lx AS {d38}) * ly) AS {d38})").alias("sxy"),
+        F.count(F.lit(1)).cast("bigint").alias("npts"),
+    )
+    return (
+        pts.join(F.broadcast(fit))
+        .where("npts = 4")
+        .select(
+            F.col("s").alias("block_size"),
+            "n_blocks",
+            "mean_rs",
+            F.expr(f"ROUND({_HURST_SLOPE}, 6)").alias("hurst_exponent"),
+        )
+        .orderBy("block_size")
+    )

@@ -3017,3 +3017,25 @@ def test_capture_recapture_broadcast_horizon_only_join(spark):
     assert has_broadcast_join(df), explain_str(df, "simple")[:1500]
     text = explain_str(df, "formatted")
     assert "SortMergeJoin" not in text, text[:1500]
+
+
+def test_var_histogram_prefix_no_raw_sort(spark):
+    from rs_streamloader_spark.operators.stats import value_at_risk_daily
+
+    df = value_at_risk_daily(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # the diff walk + the histogram prefix are the ordered exchanges,
+    # both over the calendar-bounded aggregate
+    assert text.lower().count("rangepartitioning") <= 2, text[:1500]
+    assert has_broadcast_join(df), text[:1500]
+
+
+def test_hurst_windows_partition_by_size_block(spark):
+    from rs_streamloader_spark.operators.stats import hurst_rs_exponent
+
+    df = hurst_rs_exponent(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    # the only global ordered walk is the day ROW_NUMBER on the
+    # bounded daily aggregate (+ the 4-row final ORDER BY)
+    assert text.lower().count("rangepartitioning") <= 2, text[:1800]
+    assert has_broadcast_join(df), text[:1500]

@@ -3551,3 +3551,90 @@ def test_capture_recapture_matches_hand_and_closed_population(
     _events_patch(spark, monkeypatch, rows)
     r = capture_recapture_users(spark, "x").collect()[0]
     assert r["chapman_estimate"] <= r["week2_users"] + 1
+
+
+def test_var_cvar_matches_numpy_sort(spark, monkeypatch):
+    """VaR/CVaR recomputed by numpy sort on a constructed heavy-left-
+    tail series."""
+    from rs_streamloader_spark.operators.stats import value_at_risk_daily
+
+    base = pd.Timestamp("2024-01-01")
+    rng = np.random.RandomState(109)
+    vals = [1000.0]
+    for i in range(120):
+        step = rng.randint(-20, 25)
+        if i % 17 == 0:
+            step -= 300  # planted crash days
+        vals.append(max(10.0, vals[-1] + step))
+    days = [
+        ((base + pd.Timedelta(days=i)).strftime("%Y-%m-%d"), float(v))
+        for i, v in enumerate(vals)
+    ]
+    _orders_patch(spark, monkeypatch, days)
+    r = value_at_risk_daily(spark, "x").collect()[0]
+    x = np.round(np.array(vals) * 100)
+    dx = np.sort(np.diff(x))
+    n = len(dx)
+    k = -(-n // 20)  # ceil(0.05 n)
+    var95 = dx[k - 1]
+    tail = dx[dx <= var95]
+    assert r["n_changes"] == n
+    assert r["var95_cents"] == var95
+    assert r["cvar95_micro"] == int(tail.sum()) * 1_000_000 // len(tail)
+    assert r["n_tail_days"] == len(tail)
+    assert r["var95_cents"] < 0 and r["cvar95_micro"] <= r["var95_cents"] * 1_000_000
+
+
+def test_hurst_matches_numpy_and_separates_persistence(spark, monkeypatch):
+    """R/S and the fitted H recomputed in numpy with the operator's
+    rounding conventions; a persistent (integrated) series scores
+    higher than an alternating (anti-persistent) one."""
+    from rs_streamloader_spark.operators.stats import hurst_rs_exponent
+
+    base = pd.Timestamp("2024-01-01")
+
+    def run(vals, tag):
+        days = [
+            ((base + pd.Timedelta(days=i)).strftime("%Y-%m-%d"), float(v))
+            for i, v in enumerate(vals)
+        ]
+        _orders_patch(spark, monkeypatch, days)
+        return hurst_rs_exponent(spark, "x").collect()
+
+    def brute(vals):
+        x = np.round(np.array(vals, dtype=float) * 100)
+        pts = []
+        for s in (16, 32, 64, 128):
+            rs_vals = []
+            for b in range(len(x) // s):
+                blk = x[b * s : (b + 1) * s]
+                dev = np.round((blk - blk.mean()) * 1000)
+                cum = np.cumsum(dev)
+                r = (cum.max() - cum.min()) / 1e3
+                sd = np.sqrt(((blk - blk.mean()) ** 2).sum() / s)
+                if sd > 0:
+                    rs_vals.append(round(r / sd * 1e9))
+            if rs_vals:
+                pts.append((s, sum(rs_vals) / len(rs_vals) / 1e9))
+        # float dtype: the nano-int products overflow numpy int64
+        lx = np.array([round(np.log(s) * 1e9) for s, _ in pts], dtype=float)
+        ly = np.array([round(np.log(m) * 1e9) for _, m in pts], dtype=float)
+        n = len(pts)
+        slope = (n * (lx * ly).sum() - lx.sum() * ly.sum()) / (
+            n * (lx * lx).sum() - lx.sum() ** 2
+        )
+        return {s: m for s, m in pts}, slope
+
+    rng = np.random.RandomState(113)
+    persistent = list(5000 + np.cumsum(rng.randn(512) * 10))
+    rows = run(persistent, "pers")
+    exp_rs, h_p = brute(persistent)
+    assert len(rows) == 4
+    for r in rows:
+        assert r["mean_rs"] == pytest.approx(exp_rs[r["block_size"]], abs=2e-6)
+        assert r["hurst_exponent"] == pytest.approx(h_p, abs=2e-5)
+    anti = [5000 + (80 if i % 2 else -80) + rng.randint(-5, 6) for i in range(512)]
+    rows = run(anti, "anti")
+    _, h_a = brute(anti)
+    assert rows[0]["hurst_exponent"] == pytest.approx(h_a, abs=2e-5)
+    assert h_a < 0.35 < 0.75 < h_p

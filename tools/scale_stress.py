@@ -144,6 +144,8 @@ HEAVY_TAIL = [
     "embedding_effective_rank",
     "odds_ratio_weekend_purchase",
     "capture_recapture_users",
+    "value_at_risk_daily",
+    "hurst_rs_exponent",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
@@ -467,6 +469,8 @@ CONSTANT_OUTPUT = {
     "embedding_effective_rank",
     "odds_ratio_weekend_purchase",
     "capture_recapture_users",
+    "value_at_risk_daily",
+    "hurst_rs_exponent",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
