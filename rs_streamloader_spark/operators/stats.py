@@ -12863,3 +12863,569 @@ def hurst_rs_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Breusch-Pagan heteroscedasticity test on the daily-revenue OLS
+# ---------------------------------------------------------------------------
+
+_BP_CHI2_1 = 3.841459  # chi^2_1 95% (frozen)
+
+
+@register(
+    "breusch_pagan_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1
+    ),
+    xy AS (
+      SELECT d, y, CAST(DATEDIFF('day', (SELECT MIN(d) FROM daily), d)
+                        AS BIGINT) AS x
+      FROM daily
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM xy
+    ),
+    resid AS (
+      SELECT x, CAST(ROUND(y - (({_DW_A}) + ({_DW_B}) * x)) AS BIGINT) AS e
+      FROM xy CROSS JOIN sums
+    ),
+    scale_ AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(e AS HUGEINT) * e) AS HUGEINT) AS see
+      FROM resid
+    ),
+    u AS (
+      -- standardized squared residuals u = e^2 / (SSR/n), nano-rounded
+      SELECT r.x,
+             CAST(ROUND(CAST(r.e AS DOUBLE) * r.e
+                        / (CAST(s.see AS DOUBLE) / s.n)
+                        * 1000000000) AS BIGINT) AS un
+      FROM resid r CROSS JOIN scale_ s
+    ),
+    bp AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(un) AS HUGEINT) AS su,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * un) AS HUGEINT) AS sxu,
+             CAST(SUM(CAST(un AS HUGEINT) * un) AS HUGEINT) AS suu
+      FROM u
+    )
+    SELECT n AS n_days,
+           ROUND(CAST(n AS DOUBLE)
+                 * POW(CAST(n AS DOUBLE) * sxu
+                       - CAST(sx AS DOUBLE) * su, 2)
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * suu
+                       - CAST(su AS DOUBLE) * su)), 6) AS bp_statistic,
+           (CAST(n AS DOUBLE)
+            * POW(CAST(n AS DOUBLE) * sxu - CAST(sx AS DOUBLE) * su, 2)
+            / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               * (CAST(n AS DOUBLE) * suu - CAST(su AS DOUBLE) * su)))
+             > {_BP_CHI2_1} AS heteroscedastic
+    FROM bp
+    WHERE n > 3 AND (CAST(n AS DOUBLE) * suu - CAST(su AS DOUBLE) * su) > 0e0
+    """,
+)
+def breusch_pagan_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan (Koenker studentized form) heteroscedasticity
+    test on the daily-revenue OLS residuals: BP = n·R² of the
+    standardized squared residuals regressed on the day index —
+    completing the regression-diagnostics trio with
+    ``durbin_watson_ols`` (independence) and
+    ``jarque_bera_normality`` (normality): if the error VARIANCE
+    drifts over time, the trend line's CI is wrong even when the fit
+    looks clean. Verdict vs the frozen χ²₁ 95% value (one auxiliary
+    regressor).
+
+    Scale posture: one combinable daily aggregate; residuals from the
+    broadcast OLS sums; u = e²/(SSR/n) is nano-rounded PER DAY before
+    the exact second-pass sums (order immunity; standardizing keeps u
+    O(1), so no integer-overflow cliff at any revenue scale); BP is
+    one fixed double expression. One output row.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    mind = daily.agg(F.min("d").alias("d0"))
+    xy = daily.join(F.broadcast(mind)).select(
+        "d", "y", F.datediff("d", "d0").cast("bigint").alias("x")
+    )
+    d38 = "DECIMAL(38,0)"
+    sums = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"CAST(SUM(x) AS {d38})").alias("sx"),
+        F.expr(f"CAST(SUM(y) AS {d38})").alias("sy"),
+        F.expr(f"CAST(SUM(CAST(x AS {d38}) * x) AS {d38})").alias("sxx"),
+        F.expr(f"CAST(SUM(CAST(x AS {d38}) * y) AS {d38})").alias("sxy"),
+    )
+    resid = xy.join(F.broadcast(sums)).select(
+        "x",
+        F.expr(
+            f"CAST(ROUND(y - (({_DW_A}) + ({_DW_B}) * x)) AS BIGINT)"
+        ).alias("e"),
+    )
+    scale_ = resid.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+        F.expr(f"CAST(SUM(CAST(e AS {d38}) * e) AS {d38})").alias("see"),
+    )
+    u = resid.join(F.broadcast(scale_)).select(
+        "x",
+        F.expr(
+            "CAST(ROUND(CAST(e AS DOUBLE) * e"
+            " / (CAST(see AS DOUBLE) / ns) * 1000000000) AS BIGINT)"
+        ).alias("un"),
+    )
+    bp = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"CAST(SUM(x) AS {d38})").alias("sx"),
+        F.expr(f"CAST(SUM(un) AS {d38})").alias("su"),
+        F.expr(f"CAST(SUM(CAST(x AS {d38}) * x) AS {d38})").alias("sxx"),
+        F.expr(f"CAST(SUM(CAST(x AS {d38}) * un) AS {d38})").alias("sxu"),
+        F.expr(f"CAST(SUM(CAST(un AS {d38}) * un) AS {d38})").alias("suu"),
+    )
+    bp_expr = (
+        "CAST(n AS DOUBLE)"
+        " * POW(CAST(n AS DOUBLE) * sxu - CAST(sx AS DOUBLE) * su, 2)"
+        " / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        " * (CAST(n AS DOUBLE) * suu - CAST(su AS DOUBLE) * su))"
+    )
+    return bp.where(
+        "n > 3 AND (CAST(n AS DOUBLE) * suu - CAST(su AS DOUBLE) * su)"
+        " > 0e0"
+    ).select(
+        F.col("n").alias("n_days"),
+        F.expr(f"ROUND({bp_expr}, 6)").alias("bp_statistic"),
+        F.expr(f"({bp_expr}) > {_BP_CHI2_1}").alias("heteroscedastic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chow test: structural break in the revenue trend at the midpoint
+# ---------------------------------------------------------------------------
+
+_CHOW_F_CRIT = 2.9957325  # F(2, inf) 95% = chi^2_2 / 2 (frozen)
+
+
+def _chow_ssr(prefix: str) -> str:
+    """SSR of a simple OLS fit from (n, sx, sy, sxx, sxy, syy) sums
+    with column prefix ``prefix`` — one shared fixed expression."""
+    p = prefix
+    b = (
+        f"((CAST(n{p} AS DOUBLE) * sxy{p}"
+        f" - CAST(sx{p} AS DOUBLE) * sy{p})"
+        f" / (CAST(n{p} AS DOUBLE) * sxx{p}"
+        f" - CAST(sx{p} AS DOUBLE) * sx{p}))"
+    )
+    a = f"((CAST(sy{p} AS DOUBLE) - {b} * sx{p}) / n{p})"
+    return (
+        f"(CAST(syy{p} AS DOUBLE) - {a} * sy{p} - {b} * sxy{p})"
+    )
+
+
+_CHOW_F = (
+    "((" + _chow_ssr("p") + " - " + _chow_ssr("1") + " - "
+    + _chow_ssr("2") + ") / 2e0)"
+    " / ((" + _chow_ssr("1") + " + " + _chow_ssr("2") + ")"
+    " / (CAST(np AS DOUBLE) - 4e0))"
+)
+
+
+@register(
+    "chow_test_midpoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1
+    ),
+    xy AS (
+      SELECT y, CAST(DATEDIFF('day', (SELECT MIN(d) FROM daily), d)
+                     AS BIGINT) AS x,
+             ROW_NUMBER() OVER (ORDER BY d) AS rn,
+             COUNT(*) OVER () AS nd
+      FROM daily
+    ),
+    halves AS (
+      SELECT x, y, CASE WHEN rn * 2 <= nd THEN 1 ELSE 2 END AS h FROM xy
+    ),
+    g AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM halves GROUP BY h
+    ),
+    wide AS (
+      SELECT
+        CAST(SUM(n) AS BIGINT) AS np,
+        CAST(SUM(sx) AS HUGEINT) AS sxp, CAST(SUM(sy) AS HUGEINT) AS syp,
+        CAST(SUM(sxx) AS HUGEINT) AS sxxp,
+        CAST(SUM(sxy) AS HUGEINT) AS sxyp,
+        CAST(SUM(syy) AS HUGEINT) AS syyp,
+        MAX(CASE WHEN h = 1 THEN n END) AS n1,
+        MAX(CASE WHEN h = 1 THEN sx END) AS sx1,
+        MAX(CASE WHEN h = 1 THEN sy END) AS sy1,
+        MAX(CASE WHEN h = 1 THEN sxx END) AS sxx1,
+        MAX(CASE WHEN h = 1 THEN sxy END) AS sxy1,
+        MAX(CASE WHEN h = 1 THEN syy END) AS syy1,
+        MAX(CASE WHEN h = 2 THEN n END) AS n2,
+        MAX(CASE WHEN h = 2 THEN sx END) AS sx2,
+        MAX(CASE WHEN h = 2 THEN sy END) AS sy2,
+        MAX(CASE WHEN h = 2 THEN sxx END) AS sxx2,
+        MAX(CASE WHEN h = 2 THEN sxy END) AS sxy2,
+        MAX(CASE WHEN h = 2 THEN syy END) AS syy2
+      FROM g
+    )
+    SELECT np AS n_days,
+           ROUND({_chow_ssr("p")}, 4) AS ssr_pooled,
+           ROUND({_chow_ssr("1")} + {_chow_ssr("2")}, 4) AS ssr_split,
+           ROUND({_CHOW_F}, 6) AS f_statistic,
+           ({_CHOW_F}) > {_CHOW_F_CRIT} AS structural_break
+    FROM wide
+    WHERE n1 > 2 AND n2 > 2 AND ({_chow_ssr("1")} + {_chow_ssr("2")}) > 0e0
+    """,
+)
+def chow_test_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow test for a structural break in the daily-revenue trend at
+    the series MIDPOINT: fit the line pooled and per half, F =
+    ((SSR_p − SSR₁ − SSR₂)/2) / ((SSR₁+SSR₂)/(n−4)) — the TEST for a
+    hypothesized break that ``changepoint_binseg`` locates by search
+    (binseg finds the best cut; Chow says whether a GIVEN cut's
+    improvement is beyond chance). Both halves' OLS derive from the
+    same six exact integer sums via one shared SSR rendering. Verdict vs frozen F(2, ∞) = χ²₂/2
+    (conservative at finite n, the family convention).
+
+    Scale posture: one combinable daily aggregate; the midpoint split
+    uses the calendar-bounded ROW_NUMBER; a 2-row group pivot; every
+    SSR/F is a fixed-operand-order double over exact DECIMAL(38)
+    sums. One output row.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    mind = daily.agg(F.min("d").alias("d0"))
+    wd = Window.orderBy("d")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    xy = daily.join(F.broadcast(mind)).select(
+        "y",
+        F.datediff("d", "d0").cast("bigint").alias("x"),
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("nd"),
+    )
+    halves = xy.select(
+        "x",
+        "y",
+        F.expr("CASE WHEN rn * 2 <= nd THEN 1 ELSE 2 END").alias("h"),
+    )
+    d38 = "DECIMAL(38,0)"
+    g = halves.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"CAST(SUM(x) AS {d38})").alias("sx"),
+        F.expr(f"CAST(SUM(y) AS {d38})").alias("sy"),
+        F.expr(f"CAST(SUM(CAST(x AS {d38}) * x) AS {d38})").alias("sxx"),
+        F.expr(f"CAST(SUM(CAST(x AS {d38}) * y) AS {d38})").alias("sxy"),
+        F.expr(f"CAST(SUM(CAST(y AS {d38}) * y) AS {d38})").alias("syy"),
+    )
+    pivot_exprs = [
+        F.expr("CAST(SUM(n) AS BIGINT)").alias("np"),
+        F.expr(f"CAST(SUM(sx) AS {d38})").alias("sxp"),
+        F.expr(f"CAST(SUM(sy) AS {d38})").alias("syp"),
+        F.expr(f"CAST(SUM(sxx) AS {d38})").alias("sxxp"),
+        F.expr(f"CAST(SUM(sxy) AS {d38})").alias("sxyp"),
+        F.expr(f"CAST(SUM(syy) AS {d38})").alias("syyp"),
+    ]
+    for hh in (1, 2):
+        for c in ("n", "sx", "sy", "sxx", "sxy", "syy"):
+            pivot_exprs.append(
+                F.expr(f"MAX(CASE WHEN h = {hh} THEN {c} END)").alias(
+                    f"{c}{hh}"
+                )
+            )
+    wide = g.agg(*pivot_exprs)
+    return wide.where(
+        f"n1 > 2 AND n2 > 2 AND ({_chow_ssr('1')} + {_chow_ssr('2')}) > 0e0"
+    ).select(
+        F.col("np").alias("n_days"),
+        F.expr(f"ROUND({_chow_ssr('p')}, 4)").alias("ssr_pooled"),
+        F.expr(
+            f"ROUND({_chow_ssr('1')} + {_chow_ssr('2')}, 4)"
+        ).alias("ssr_split"),
+        F.expr(f"ROUND({_CHOW_F}, 6)").alias("f_statistic"),
+        F.expr(f"({_CHOW_F}) > {_CHOW_F_CRIT}").alias("structural_break"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cook's distance: the most influential days for the revenue trend
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cooks_distance_top_days",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1
+    ),
+    xy AS (
+      SELECT d, y, CAST(DATEDIFF('day', (SELECT MIN(d) FROM daily), d)
+                        AS BIGINT) AS x
+      FROM daily
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM xy
+    ),
+    resid AS (
+      SELECT d, x,
+             CAST(ROUND(y - (({_DW_A}) + ({_DW_B}) * x)) AS BIGINT) AS e,
+             n, sx, sxx
+      FROM xy CROSS JOIN sums
+    ),
+    s2 AS (
+      SELECT CAST(SUM(CAST(e AS HUGEINT) * e) AS HUGEINT) AS see,
+             CAST(COUNT(*) AS BIGINT) AS nn
+      FROM resid
+    ),
+    dcook AS (
+      SELECT r.d, r.e,
+             (1e0 / r.n
+              + POW(r.x - CAST(r.sx AS DOUBLE) / r.n, 2)
+                / (CAST(r.sxx AS DOUBLE)
+                   - (CAST(r.sx AS DOUBLE) / r.n) * r.sx)) AS h
+      FROM resid r
+    )
+    SELECT STRFTIME(dc.d, '%Y-%m-%d') AS day,
+           dc.e AS residual_cents,
+           ROUND(dc.h, 6) AS leverage,
+           ROUND(CAST(dc.e AS DOUBLE) * dc.e * dc.h
+                 / (2e0 * (CAST(s.see AS DOUBLE) / (s.nn - 2))
+                    * POW(1e0 - dc.h, 2)), 6) AS cooks_d
+    FROM dcook dc CROSS JOIN s2 s
+    ORDER BY CAST(dc.e AS DOUBLE) * dc.e * dc.h
+             / (2e0 * (CAST(s.see AS DOUBLE) / (s.nn - 2))
+                * POW(1e0 - dc.h, 2)) DESC, dc.d ASC
+    LIMIT 5
+    """,
+)
+def cooks_distance_top_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance for the daily-revenue trend: the five days
+    whose removal would move the fitted line the most, D_i =
+    e_i²·h_ii/(p·s²·(1−h_ii)²) with the simple-regression leverage
+    h_ii = 1/n + (x_i−x̄)²/Sxx and p = 2 — the influence diagnostic
+    completing the OLS audit set (DW/JB/BP test assumptions; Cook's D
+    names the OFFENDING days for a human to inspect). A single
+    outlier day at the series edge (high leverage AND high residual)
+    dominates; the top-5 cut is deterministic (D desc, day asc).
+
+    Scale posture: one combinable daily aggregate, broadcast OLS
+    sums, per-day closed-form leverage — and the cut compiles to
+    TakeOrderedAndProject over the calendar-bounded table (never a
+    global sort of anything input-sized). Five output rows.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    mind = daily.agg(F.min("d").alias("d0"))
+    xy = daily.join(F.broadcast(mind)).select(
+        "d", "y", F.datediff("d", "d0").cast("bigint").alias("x")
+    )
+    d38 = "DECIMAL(38,0)"
+    sums = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"CAST(SUM(x) AS {d38})").alias("sx"),
+        F.expr(f"CAST(SUM(y) AS {d38})").alias("sy"),
+        F.expr(f"CAST(SUM(CAST(x AS {d38}) * x) AS {d38})").alias("sxx"),
+        F.expr(f"CAST(SUM(CAST(x AS {d38}) * y) AS {d38})").alias("sxy"),
+    )
+    resid = xy.join(F.broadcast(sums)).select(
+        "d",
+        "x",
+        F.expr(
+            f"CAST(ROUND(y - (({_DW_A}) + ({_DW_B}) * x)) AS BIGINT)"
+        ).alias("e"),
+        "n",
+        "sx",
+        "sxx",
+    )
+    s2 = resid.agg(
+        F.expr(f"CAST(SUM(CAST(e AS {d38}) * e) AS {d38})").alias("see"),
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+    )
+    h_expr = (
+        "(1e0 / n + POW(x - CAST(sx AS DOUBLE) / n, 2)"
+        " / (CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) / n) * sx))"
+    )
+    d_expr = (
+        f"CAST(e AS DOUBLE) * e * {h_expr}"
+        " / (2e0 * (CAST(see AS DOUBLE) / (nn - 2))"
+        f" * POW(1e0 - {h_expr}, 2))"
+    )
+    return (
+        resid.join(F.broadcast(s2))
+        .orderBy(F.expr(d_expr).desc(), F.col("d").asc())
+        .limit(5)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("e").alias("residual_cents"),
+            F.expr(f"ROUND({h_expr}, 6)").alias("leverage"),
+            F.expr(f"ROUND({d_expr}, 6)").alias("cooks_d"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pettitt changepoint test on daily revenue (rank-based)
+# ---------------------------------------------------------------------------
+
+# ln(2/0.05) = ln(40) x 1e7 (frozen): p = 2 exp(-6K^2/(n^3+n^2)) < .05
+# <=> 6 K^2 > ln(40) (n^3+n^2), cleared by 1e7 into exact integers
+# (the pin caught BOTH an identity-scale and a clearing error here)
+_PETTITT_LN40_X1E7 = 36_888_795
+
+
+@register(
+    "pettitt_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM orders GROUP BY 1
+    ),
+    vt AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS ct FROM daily GROUP BY v),
+    cum AS (
+      SELECT v, ct,
+             SUM(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - ct
+               AS before_t
+      FROM vt
+    ),
+    r2 AS (
+      SELECT dy.d, 2 * c.before_t + c.ct + 1 AS r2v
+      FROM daily dy JOIN cum c ON c.v = dy.v
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    walk AS (
+      SELECT d,
+             SUM(r2v) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+               - ROW_NUMBER() OVER (ORDER BY d) * (n + 1) AS w
+      FROM r2 CROSS JOIN tot
+    ),
+    k AS (
+      SELECT CAST(MAX(ABS(w)) AS BIGINT) AS k2 FROM walk
+    ),
+    peak AS (
+      SELECT MIN(w.d) AS change_day
+      FROM walk w CROSS JOIN k
+      WHERE ABS(w.w) = k.k2
+    )
+    SELECT t.n AS n_days,
+           k.k2 AS k_statistic,
+           STRFTIME(p.change_day, '%Y-%m-%d') AS change_day,
+           -- 6*K^2 > ln40*(n^3+n^2), cleared by 1e7 on both sides
+           (60000000 * CAST(k.k2 AS HUGEINT) * k.k2
+            > {_PETTITT_LN40_X1E7}
+              * (CAST(t.n AS HUGEINT) * t.n * t.n
+                 + CAST(t.n AS HUGEINT) * t.n)) AS significant
+    FROM k CROSS JOIN peak p CROSS JOIN tot t
+    WHERE t.n > 2
+    """,
+)
+def pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt's nonparametric changepoint test on daily revenue:
+    K = max_t |U_t| where U_t is the Mann-Whitney statistic of the
+    before/after-t split, computed WITHOUT the O(n²) pair enumeration
+    via the rank identity |U_t| = |Σ_{{i≤t}}(2r_i) − t(n+1)| (average
+    ranks from the value histogram keep 2r exact, tie pairs cancel —
+    verified against the O(n²) definition in the pin). The rank-based complement to
+    ``changepoint_binseg`` (mean-shift in value space) and the TEST
+    ``page_hinkley_drift`` does not provide; change_day is the
+    deterministic (earliest) argmax. Verdict via the exact cross-
+    multiplied integer form of p = 2·exp(−6K²/(n³+n²)) < 0.05 with
+    the frozen ln 40 literal — no EXP at runtime.
+
+    Scale posture: one combinable daily aggregate; average ranks from
+    a banded histogram prefix; the W walk and argmax run over the
+    calendar-bounded series; all quantities exact integers. One
+    output row.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+    vt = daily.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vt.select(
+        "v", "ct", (F.sum("ct").over(wv) - F.col("ct")).alias("before_t")
+    )
+    r2 = daily.join(cum, "v").select(
+        "d", (2 * F.col("before_t") + F.col("ct") + 1).alias("r2v")
+    )
+    tot = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wd = Window.orderBy("d")
+    wcum = wd.rowsBetween(Window.unboundedPreceding, 0)
+    walk = r2.join(F.broadcast(tot)).select(
+        "d",
+        (
+            F.sum("r2v").over(wcum)
+            - F.row_number().over(wd) * (F.col("n") + 1)
+        ).alias("w"),
+    )
+    k = walk.agg(F.max(F.abs(F.col("w"))).cast("bigint").alias("k2"))
+    peak = (
+        walk.join(F.broadcast(k), F.abs(F.col("w")) == F.col("k2"))
+        .agg(F.min("d").alias("change_day"))
+    )
+    d38 = "DECIMAL(38,0)"
+    return (
+        k.join(F.broadcast(peak))
+        .join(F.broadcast(tot))
+        .where("n > 2")
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("k2").alias("k_statistic"),
+            F.date_format("change_day", "yyyy-MM-dd").alias("change_day"),
+            F.expr(
+                f"60000000 * CAST(k2 AS {d38}) * k2"
+                f" > {_PETTITT_LN40_X1E7}"
+                f" * (CAST(n AS {d38}) * n * n + CAST(n AS {d38}) * n)"
+            ).alias("significant"),
+        )
+    )

@@ -3039,3 +3039,38 @@ def test_hurst_windows_partition_by_size_block(spark):
     # bounded daily aggregate (+ the 4-row final ORDER BY)
     assert text.lower().count("rangepartitioning") <= 2, text[:1800]
     assert has_broadcast_join(df), text[:1500]
+
+
+def test_breusch_pagan_two_pass_broadcast(spark):
+    from rs_streamloader_spark.operators.stats import breusch_pagan_test
+
+    df = breusch_pagan_test(spark, SF_SMOKE)
+    assert has_broadcast_join(df), explain_str(df, "simple")[:1500]
+    text = explain_str(df, "simple")
+    assert text.lower().count("rangepartitioning") <= 1, text[:1500]
+
+
+def test_chow_bounded_pivot_no_raw_join(spark):
+    from rs_streamloader_spark.operators.stats import chow_test_midpoint
+
+    df = chow_test_midpoint(spark, SF_SMOKE)
+    text = explain_str(df, "formatted")
+    assert "CartesianProduct" not in text
+    assert has_broadcast_join(df), explain_str(df, "simple")[:1500]
+
+
+def test_cooks_top5_is_take_ordered(spark):
+    from rs_streamloader_spark.operators.stats import cooks_distance_top_days
+
+    df = cooks_distance_top_days(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in text, text[:1500]
+
+
+def test_pettitt_rank_walk_on_bounded_series(spark):
+    from rs_streamloader_spark.operators.stats import pettitt_test
+
+    df = pettitt_test(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert text.lower().count("rangepartitioning") <= 2, text[:1800]
+    assert has_broadcast_join(df), text[:1500]

@@ -3638,3 +3638,180 @@ def test_hurst_matches_numpy_and_separates_persistence(spark, monkeypatch):
     _, h_a = brute(anti)
     assert rows[0]["hurst_exponent"] == pytest.approx(h_a, abs=2e-5)
     assert h_a < 0.35 < 0.75 < h_p
+
+
+def test_breusch_pagan_matches_numpy_both_branches(spark, monkeypatch):
+    """BP recomputed in numpy; variance that grows along the series
+    must reject, constant variance must not."""
+    from rs_streamloader_spark.operators.stats import breusch_pagan_test
+
+    base = pd.Timestamp("2024-01-01")
+
+    def run(vals):
+        days = [
+            ((base + pd.Timedelta(days=i)).strftime("%Y-%m-%d"), float(v))
+            for i, v in enumerate(vals)
+        ]
+        _orders_patch(spark, monkeypatch, days)
+        return breusch_pagan_test(spark, "x").collect()[0]
+
+    def brute(vals):
+        y = np.round(np.array(vals, dtype=float) * 100)
+        x = np.arange(len(y), dtype=float)
+        n = len(y)
+        b = (n * (x * y).sum() - x.sum() * y.sum()) / (
+            n * (x * x).sum() - x.sum() ** 2
+        )
+        a = (y.sum() - b * x.sum()) / n
+        e = np.round(y - (a + b * x))
+        u = np.round(e * e / ((e * e).sum() / n) * 1e9)
+        sxu = (x * u).sum()
+        r2 = (n * sxu - x.sum() * u.sum()) ** 2 / (
+            (n * (x * x).sum() - x.sum() ** 2)
+            * (n * (u * u).sum() - u.sum() ** 2)
+        )
+        return n * r2
+
+    rng = np.random.RandomState(127)
+    hetero = [1000 + 2 * i + rng.randn() * (5 + i * 2) for i in range(150)]
+    r = run(hetero)
+    assert r["bp_statistic"] == pytest.approx(brute(hetero), rel=1e-5)
+    assert bool(r["heteroscedastic"]) is True
+    homo = [1000 + 2 * i + rng.randn() * 20 for i in range(150)]
+    r = run(homo)
+    assert r["bp_statistic"] == pytest.approx(brute(homo), rel=1e-4)
+    assert bool(r["heteroscedastic"]) is False
+
+
+def test_chow_matches_numpy_both_branches(spark, monkeypatch):
+    """Chow F recomputed with numpy per-half fits; a slope break at
+    the midpoint must reject, a single line must not."""
+    from rs_streamloader_spark.operators.stats import chow_test_midpoint
+
+    base = pd.Timestamp("2024-01-01")
+
+    def run(vals):
+        days = [
+            ((base + pd.Timedelta(days=i)).strftime("%Y-%m-%d"), float(v))
+            for i, v in enumerate(vals)
+        ]
+        _orders_patch(spark, monkeypatch, days)
+        return chow_test_midpoint(spark, "x").collect()[0]
+
+    def ssr(x, y):
+        n = len(y)
+        b = (n * (x * y).sum() - x.sum() * y.sum()) / (
+            n * (x * x).sum() - x.sum() ** 2
+        )
+        a = (y.sum() - b * x.sum()) / n
+        return ((y - (a + b * x)) ** 2).sum()
+
+    def brute(vals):
+        y = np.round(np.array(vals, dtype=float) * 100)
+        x = np.arange(len(y), dtype=float)
+        n = len(y)
+        h = n // 2
+        ssr_p = ssr(x, y)
+        ssr_1 = ssr(x[:h], y[:h])
+        ssr_2 = ssr(x[h:], y[h:])
+        f = ((ssr_p - ssr_1 - ssr_2) / 2) / ((ssr_1 + ssr_2) / (n - 4))
+        return ssr_p, ssr_1 + ssr_2, f
+
+    rng = np.random.RandomState(131)
+    broken = [1000 + 2 * i + rng.randn() * 15 for i in range(80)] + [
+        1160 + 12 * i + rng.randn() * 15 for i in range(80)
+    ]
+    r = run(broken)
+    sp, ss_, f = brute(broken)
+    assert r["n_days"] == 160
+    assert r["ssr_pooled"] == pytest.approx(sp, rel=1e-6)
+    assert r["ssr_split"] == pytest.approx(ss_, rel=1e-6)
+    assert r["f_statistic"] == pytest.approx(f, rel=1e-5)
+    assert bool(r["structural_break"]) is True
+    line = [1000 + 3 * i + rng.randn() * 15 for i in range(160)]
+    r = run(line)
+    _, _, f = brute(line)
+    assert r["f_statistic"] == pytest.approx(f, rel=1e-4)
+    assert bool(r["structural_break"]) is False
+
+
+def test_cooks_distance_finds_planted_outlier(spark, monkeypatch):
+    """The planted high-leverage outlier day must rank first with the
+    numpy-recomputed D."""
+    from rs_streamloader_spark.operators.stats import cooks_distance_top_days
+
+    base = pd.Timestamp("2024-01-01")
+    rng = np.random.RandomState(137)
+    vals = [1000.0 + 2 * i + rng.randn() * 10 for i in range(100)]
+    vals[97] += 1500.0  # high leverage (near the edge) + huge residual
+    days = [
+        ((base + pd.Timedelta(days=i)).strftime("%Y-%m-%d"), float(v))
+        for i, v in enumerate(vals)
+    ]
+    _orders_patch(spark, monkeypatch, days)
+    rows = cooks_distance_top_days(spark, "x").collect()
+    assert len(rows) == 5
+    assert rows[0]["day"] == "2024-04-07"  # day index 97
+    y = np.round(np.array(vals) * 100)
+    x = np.arange(len(y), dtype=float)
+    n = len(y)
+    b = (n * (x * y).sum() - x.sum() * y.sum()) / (
+        n * (x * x).sum() - x.sum() ** 2
+    )
+    a = (y.sum() - b * x.sum()) / n
+    e = np.round(y - (a + b * x))
+    s2 = (e**2).sum() / (n - 2)
+    sxx = (x**2).sum() - x.sum() ** 2 / n
+    h = 1 / n + (x - x.mean()) ** 2 / sxx
+    d = e**2 * h / (2 * s2 * (1 - h) ** 2)
+    assert rows[0]["cooks_d"] == pytest.approx(d[97], rel=1e-5)
+    assert rows[0]["cooks_d"] > 10 * rows[1]["cooks_d"]
+
+
+def test_pettitt_matches_brute_force_both_branches(spark, monkeypatch):
+    """K/change-day/verdict recomputed by the O(n^2) definition on a
+    planted level shift (significant, correct location) and on noise
+    (not significant)."""
+    from rs_streamloader_spark.operators.stats import pettitt_test
+
+    base = pd.Timestamp("2024-01-01")
+
+    def run(vals):
+        days = [
+            ((base + pd.Timedelta(days=i)).strftime("%Y-%m-%d"), float(v))
+            for i, v in enumerate(vals)
+        ]
+        _orders_patch(spark, monkeypatch, days)
+        return pettitt_test(spark, "x").collect()[0]
+
+    def brute(vals):
+        x = np.round(np.array(vals, dtype=float) * 100)
+        n = len(x)
+        best_k = -1
+        best_t = None
+        for t in range(1, n):
+            u = 0
+            for i in range(t):
+                for j in range(t, n):
+                    u += int(np.sign(x[j] - x[i]))
+            if abs(u) > best_k:
+                best_k, best_t = abs(u), t
+        sig = 6 * best_k**2 * 1e7 > 36_888_795 * (n**3 + n**2)
+        return best_k, best_t, sig
+
+    rng = np.random.RandomState(139)
+    shift = list(1000 + rng.randint(-20, 21, 40)) + list(
+        1400 + rng.randint(-20, 21, 40)
+    )
+    r = run(shift)
+    k, t, sig = brute(shift)
+    assert r["n_days"] == 80
+    assert r["k_statistic"] == k
+    # peak lands at the true boundary (day index 39/40 区域)
+    assert "2024-02-05" <= r["change_day"] <= "2024-02-12"
+    assert bool(r["significant"]) is True and sig
+    noise = list(1000 + rng.randint(-20, 21, 80))
+    r = run(noise)
+    k, t, sig = brute(noise)
+    assert r["k_statistic"] == k
+    assert bool(r["significant"]) == sig == False

@@ -146,6 +146,10 @@ HEAVY_TAIL = [
     "capture_recapture_users",
     "value_at_risk_daily",
     "hurst_rs_exponent",
+    "breusch_pagan_test",
+    "chow_test_midpoint",
+    "cooks_distance_top_days",
+    "pettitt_test",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
@@ -471,6 +475,10 @@ CONSTANT_OUTPUT = {
     "capture_recapture_users",
     "value_at_risk_daily",
     "hurst_rs_exponent",
+    "breusch_pagan_test",
+    "chow_test_midpoint",
+    "cooks_distance_top_days",
+    "pettitt_test",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
