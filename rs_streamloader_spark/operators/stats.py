@@ -13429,3 +13429,239 @@ def pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("significant"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank test: weekend vs weekday value per user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wilcoxon_signed_rank",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             AVG(CASE WHEN CAST(EXTRACT(dow FROM ts) AS INT) IN (0, 6)
+                      THEN "value" END) AS we,
+             AVG(CASE WHEN CAST(EXTRACT(dow FROM ts) AS INT) NOT IN (0, 6)
+                      THEN "value" END) AS wd
+      FROM events WHERE "value" IS NOT NULL
+      GROUP BY user_id
+    ),
+    diffs AS (
+      SELECT CAST(ROUND((we - wd) * 1000000) AS BIGINT) AS dm
+      FROM per_user WHERE we IS NOT NULL AND wd IS NOT NULL
+    ),
+    h AS (
+      SELECT ABS(dm) AS ad,
+             CAST(SUM(CASE WHEN dm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+             CAST(SUM(CASE WHEN dm < 0 THEN 1 ELSE 0 END) AS BIGINT) AS cn
+      FROM diffs WHERE dm <> 0 GROUP BY ABS(dm)
+    ),
+    cum AS (
+      SELECT ad, cp, cn, cp + cn AS ct,
+             SUM(cp + cn) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING)
+               - (cp + cn) AS before_t
+      FROM h
+    ),
+    agg AS (
+      SELECT CAST(SUM(cp + cn) AS BIGINT) AS n,
+             CAST(SUM(cp) AS BIGINT) AS n_pos,
+             CAST(SUM(CAST(cp AS HUGEINT) * (2 * before_t + ct + 1))
+                  AS HUGEINT) AS w2p,
+             CAST(SUM(CAST(ct AS HUGEINT) * ct * ct - ct) AS HUGEINT)
+               AS tsum
+      FROM cum
+    )
+    SELECT n AS n_users, n_pos,
+           ROUND(CAST(w2p AS DOUBLE) / 2e0, 1) AS w_plus,
+           ROUND((CAST(w2p AS DOUBLE) / 2e0
+                  - CAST(n AS DOUBLE) * (n + 1) / 4e0)
+                 / SQRT(CAST(n AS DOUBLE) * (n + 1) * (2e0 * n + 1) / 24e0
+                        - CAST(tsum AS DOUBLE) / 48e0), 6) AS z_score,
+           ABS((CAST(w2p AS DOUBLE) / 2e0
+                - CAST(n AS DOUBLE) * (n + 1) / 4e0)
+               / SQRT(CAST(n AS DOUBLE) * (n + 1) * (2e0 * n + 1) / 24e0
+                      - CAST(tsum AS DOUBLE) / 48e0)) > {_MK_Z975}
+             AS significant
+    FROM agg WHERE n > 1
+      AND (CAST(n AS DOUBLE) * (n + 1) * (2e0 * n + 1) / 24e0
+           - CAST(tsum AS DOUBLE) / 48e0) > 0e0
+    """,
+)
+def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on each user's weekend-vs-weekday
+    mean event value — the PAIRED continuous test completing the
+    family (``mann_whitney_u`` is unpaired, ``mcnemar_weekday_weekend``
+    is paired-binary): each user is their own control, so
+    between-user level differences cancel. Zero diffs drop (standard
+    convention), |d| average-ranks come EXACTLY from the micro-unit
+    diff histogram (2·W⁺ = Σ cp(2·before + t + 1) stays integer), the
+    normal approximation carries the full Σ(t³−t)/48 tie correction;
+    verdict vs the frozen two-sided 95% normal quantile.
+
+    Scale posture: one per-user collapse; diffs micro-rounded through
+    ONE shared double expression then histogram-collapsed; the rank
+    walk is a banded prefix over the bounded histogram (the MWU
+    policy); one output row.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    dow = (F.dayofweek("ts") - 1).cast("int")
+    per_user = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.avg(F.when(dow.isin(0, 6), F.col("value"))).alias("we"),
+            F.avg(F.when(~dow.isin(0, 6), F.col("value"))).alias("wd"),
+        )
+    )
+    diffs = per_user.where(
+        "we IS NOT NULL AND wd IS NOT NULL"
+    ).select(
+        F.expr("CAST(ROUND((we - wd) * 1000000) AS BIGINT)").alias("dm")
+    )
+    h = (
+        diffs.where("dm <> 0")
+        .groupBy(F.abs("dm").alias("ad"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN dm > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("cp"),
+            F.expr(
+                "CAST(SUM(CASE WHEN dm < 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("cn"),
+        )
+    )
+    wv = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select(
+        "cp",
+        "cn",
+        (F.col("cp") + F.col("cn")).alias("ct"),
+        (
+            F.sum(F.col("cp") + F.col("cn")).over(wv)
+            - (F.col("cp") + F.col("cn"))
+        ).alias("before_t"),
+    )
+    d38 = "DECIMAL(38,0)"
+    agg = cum.agg(
+        F.expr("CAST(SUM(cp + cn) AS BIGINT)").alias("n"),
+        F.sum("cp").cast("bigint").alias("n_pos"),
+        F.expr(
+            f"CAST(SUM(CAST(cp AS {d38}) * (2 * before_t + ct + 1))"
+            f" AS {d38})"
+        ).alias("w2p"),
+        F.expr(
+            f"CAST(SUM(CAST(ct AS {d38}) * ct * ct - ct) AS {d38})"
+        ).alias("tsum"),
+    )
+    z = (
+        "(CAST(w2p AS DOUBLE) / 2e0"
+        " - CAST(n AS DOUBLE) * (n + 1) / 4e0)"
+        " / SQRT(CAST(n AS DOUBLE) * (n + 1) * (2e0 * n + 1) / 24e0"
+        " - CAST(tsum AS DOUBLE) / 48e0)"
+    )
+    var = (
+        "(CAST(n AS DOUBLE) * (n + 1) * (2e0 * n + 1) / 24e0"
+        " - CAST(tsum AS DOUBLE) / 48e0)"
+    )
+    return agg.where(f"n > 1 AND {var} > 0e0").select(
+        F.col("n").alias("n_users"),
+        "n_pos",
+        F.expr("ROUND(CAST(w2p AS DOUBLE) / 2e0, 1)").alias("w_plus"),
+        F.expr(f"ROUND({z}, 6)").alias("z_score"),
+        F.expr(f"ABS({z}) > {_MK_Z975}").alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# AR(1) mean-reversion half-life of daily revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mean_reversion_half_life",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT x AS y, LAG(x) OVER (ORDER BY d) AS x1 FROM daily
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x1) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM lagged WHERE x1 IS NOT NULL
+    ),
+    fit AS (
+      SELECT n,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS phi
+      FROM sums
+      WHERE (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0e0
+    )
+    SELECT n AS n_days,
+           ROUND(phi, 6) AS ar1_phi,
+           CASE WHEN phi > 0e0 AND phi < 1e0
+                THEN ROUND(-0.6931471805599453e0 / LN(phi), 4) END
+             AS half_life_days,
+           (phi > 0e0 AND phi < 1e0) AS mean_reverting
+    FROM fit WHERE n > 2
+    """,
+)
+def mean_reversion_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) mean-reversion half-life of daily revenue: fit
+    x_t = α + φ·x_{{t−1}}, and for 0 < φ < 1 report ln(½)/ln(φ) — "a
+    shock decays to half in H days", the continuous-time reading of
+    the same persistence ``daily_acf_curve`` shows discretely and
+    ``hurst_rs_exponent`` shows as a scaling law. φ ≥ 1 (random-walk
+    or explosive) yields NULL half-life with the flag false —
+    identical in both engines. The ln 2 numerator is a frozen
+    literal; LN(φ) is one shared-operand transcendental.
+
+    Scale posture: one combinable daily aggregate, one LAG walk over
+    the calendar-bounded series, one 5-sum reduction, fixed double
+    expressions. One output row.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    wd = Window.orderBy("d")
+    lagged = daily.select(
+        F.col("x").alias("y"), F.lag("x").over(wd).alias("x1")
+    ).where("x1 IS NOT NULL")
+    d38 = "DECIMAL(38,0)"
+    sums = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"CAST(SUM(x1) AS {d38})").alias("sx"),
+        F.expr(f"CAST(SUM(y) AS {d38})").alias("sy"),
+        F.expr(f"CAST(SUM(CAST(x1 AS {d38}) * x1) AS {d38})").alias("sxx"),
+        F.expr(f"CAST(SUM(CAST(x1 AS {d38}) * y) AS {d38})").alias("sxy"),
+    )
+    phi = (
+        "((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"
+    )
+    return sums.where(
+        "n > 2 AND (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        " > 0e0"
+    ).select(
+        F.col("n").alias("n_days"),
+        F.expr(f"ROUND({phi}, 6)").alias("ar1_phi"),
+        F.expr(
+            f"CASE WHEN {phi} > 0e0 AND {phi} < 1e0"
+            f" THEN ROUND(-0.6931471805599453e0 / LN({phi}), 4) END"
+        ).alias("half_life_days"),
+        F.expr(f"({phi} > 0e0 AND {phi} < 1e0)").alias("mean_reverting"),
+    )

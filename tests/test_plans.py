@@ -3074,3 +3074,24 @@ def test_pettitt_rank_walk_on_bounded_series(spark):
     text = explain_str(df, "simple")
     assert text.lower().count("rangepartitioning") <= 2, text[:1800]
     assert has_broadcast_join(df), text[:1500]
+
+
+def test_wilcoxon_histogram_rank_walk(spark):
+    from rs_streamloader_spark.operators.stats import wilcoxon_signed_rank
+
+    df = wilcoxon_signed_rank(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert text.lower().count("rangepartitioning") <= 1, text[:1500]
+    cols = scan_columns(df)
+    assert {"user_id", "ts", "value"} in cols, cols
+
+
+def test_mean_reversion_single_walk_no_joins(spark):
+    from rs_streamloader_spark.operators.stats import (
+        mean_reversion_half_life,
+    )
+
+    df = mean_reversion_half_life(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Join" not in text, text[:1500]
+    assert text.lower().count("rangepartitioning") <= 1, text[:1500]

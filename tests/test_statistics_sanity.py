@@ -3815,3 +3815,106 @@ def test_pettitt_matches_brute_force_both_branches(spark, monkeypatch):
     k, t, sig = brute(noise)
     assert r["k_statistic"] == k
     assert bool(r["significant"]) == sig == False
+
+
+def test_wilcoxon_matches_brute_force_both_branches(spark, monkeypatch):
+    """W+/z recomputed with explicit average ranks; a planted weekend
+    uplift must reject, symmetric noise must not."""
+    from rs_streamloader_spark.operators.stats import wilcoxon_signed_rank
+
+    def build(uplift):
+        rows = []
+        eid = 0
+        rng = np.random.RandomState(149)
+        # 2024-03-09 Saturday, 2024-03-11 Monday
+        for u in range(80):
+            base_v = rng.randint(5, 30)
+            we = base_v + (uplift if uplift else rng.choice([-3, 3]))
+            eid += 1
+            rows.append((eid, "2024-03-09", u, "click", float(we)))
+            eid += 1
+            rows.append((eid, "2024-03-11", u, "click", float(base_v)))
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        sdf = spark.createDataFrame(pdf)
+        monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"events": sdf})
+        return pdf
+
+    def brute(pdf):
+        diffs = []
+        for u, grp in pdf.groupby("user_id"):
+            we = grp[grp.ts.dt.dayofweek >= 5].value.mean()
+            wd = grp[grp.ts.dt.dayofweek < 5].value.mean()
+            dm = round((we - wd) * 1e6)
+            if dm != 0:
+                diffs.append(dm)
+        ad = np.abs(diffs)
+        ranks = _avg_ranks(ad.astype(float))
+        wp = ranks[np.array(diffs) > 0].sum()
+        n = len(diffs)
+        _, t = np.unique(ad, return_counts=True)
+        var = n * (n + 1) * (2 * n + 1) / 24 - (t**3 - t).sum() / 48
+        z = (wp - n * (n + 1) / 4) / np.sqrt(var)
+        return n, wp, z
+
+    pdf = build(5)
+    r = wilcoxon_signed_rank(spark, "x").collect()[0]
+    n, wp, z = brute(pdf)
+    assert r["n_users"] == n
+    assert r["w_plus"] == pytest.approx(wp, abs=0.11)
+    assert r["z_score"] == pytest.approx(z, abs=2e-6)
+    assert bool(r["significant"]) is True
+    pdf = build(0)
+    r = wilcoxon_signed_rank(spark, "x").collect()[0]
+    n, wp, z = brute(pdf)
+    assert r["z_score"] == pytest.approx(z, abs=2e-6)
+    assert bool(r["significant"]) is False
+
+
+def test_mean_reversion_matches_numpy_both_regimes(spark, monkeypatch):
+    """phi and half-life recomputed in numpy; a strongly reverting
+    AR(1) gives a short half-life, a random walk flags non-reverting."""
+    from rs_streamloader_spark.operators.stats import (
+        mean_reversion_half_life,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+
+    def run(vals):
+        days = [
+            ((base + pd.Timedelta(days=i)).strftime("%Y-%m-%d"), float(v))
+            for i, v in enumerate(vals)
+        ]
+        _orders_patch(spark, monkeypatch, days)
+        return mean_reversion_half_life(spark, "x").collect()[0]
+
+    def brute(vals):
+        x = np.round(np.array(vals, dtype=float) * 100)
+        y, x1 = x[1:], x[:-1]
+        n = len(y)
+        phi = (n * (x1 * y).sum() - x1.sum() * y.sum()) / (
+            n * (x1 * x1).sum() - x1.sum() ** 2
+        )
+        hl = np.log(0.5) / np.log(phi) if 0 < phi < 1 else None
+        return phi, hl
+
+    rng = np.random.RandomState(151)
+    ar = [1000.0]
+    for _ in range(300):
+        ar.append(1000 + 0.6 * (ar[-1] - 1000) + rng.randn() * 20)
+    r = run(ar)
+    phi, hl = brute(ar)
+    assert r["ar1_phi"] == pytest.approx(phi, abs=2e-6)
+    assert r["half_life_days"] == pytest.approx(hl, abs=2e-3)
+    assert bool(r["mean_reverting"]) is True
+    assert r["half_life_days"] < 3
+    walk = list(10000 + np.cumsum(rng.randn(300) * 5))
+    r = run(walk)
+    phi, hl = brute(walk)
+    assert r["ar1_phi"] == pytest.approx(phi, abs=2e-6)
+    # phi ~ 1: half-life NULL only when phi >= 1; either way it is
+    # far longer than the reverting series' when defined
+    if r["half_life_days"] is not None:
+        assert r["half_life_days"] > 20

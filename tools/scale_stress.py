@@ -150,6 +150,8 @@ HEAVY_TAIL = [
     "chow_test_midpoint",
     "cooks_distance_top_days",
     "pettitt_test",
+    "wilcoxon_signed_rank",
+    "mean_reversion_half_life",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
@@ -479,6 +481,8 @@ CONSTANT_OUTPUT = {
     "chow_test_midpoint",
     "cooks_distance_top_days",
     "pettitt_test",
+    "wilcoxon_signed_rank",
+    "mean_reversion_half_life",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
