@@ -9561,8 +9561,13 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: the pair stage is a self-join of the CALENDAR-
     BOUNDED daily aggregate (~2.4k rows at any scale factor — the
-    reduced-aggregate rule; at 10×/100× year-shifted stress the day
-    count grows with the calendar, still bounded and broadcast-sized).
+    reduced-aggregate rule). Day-pairs grow QUADRATICALLY in the
+    calendar span: real corpora span a fixed few-year calendar at any
+    volume, but the year-shifted k=100 stress dilates it to ~650
+    years and measures 314× elapsed (SCALE_STRESS_r12_k100) — a
+    century-scale series should switch to the Pettitt-style rank
+    identity (S is computable from time-ordered rank prefixes)
+    instead of the pair join.
     S and the tie terms are exact integers; z is one fixed double
     expression.
 

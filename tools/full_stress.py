@@ -71,6 +71,15 @@ HEAVY_K100 = [
     "dsir_importance_weights",
     # r12: the new pair-stage consumer (per-pair token-overlap joins)
     "rouge_overlap_neardup",
+    # r12 continuation: content-scaling additions — vocab-pair stage,
+    # fof rollups, banded doc rank, the pair-graph modularity, and the
+    # day-pair test whose k=100 row documents the year-shift artifact
+    "hellinger_tv_sources",
+    "good_turing_mass",
+    "chao1_richness",
+    "heaps_law_fit",
+    "graph_modularity_by_source",
+    "mann_kendall_trend",
 ]
 
 
