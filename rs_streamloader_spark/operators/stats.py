@@ -13670,3 +13670,491 @@ def mean_reversion_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("half_life_days"),
         F.expr(f"({phi} > 0e0 AND {phi} < 1e0)").alias("mean_reverting"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Diebold-Mariano: naive-1 vs seasonal-naive-7 forecast comparison
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "diebold_mariano_forecasts",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT x,
+             LAG(x, 1) OVER (ORDER BY d) AS p1,
+             LAG(x, 7) OVER (ORDER BY d) AS p7
+      FROM daily
+    ),
+    dt AS (
+      -- loss differential in squared-error, scaled to dollar^2 units
+      -- and rounded to integers (cents^2 would overflow the square)
+      SELECT CAST(ROUND((CAST(x - p1 AS DOUBLE) * (x - p1)
+                         - CAST(x - p7 AS DOUBLE) * (x - p7)) / 1e4)
+                  AS BIGINT) AS dd
+      FROM lagged WHERE p1 IS NOT NULL AND p7 IS NOT NULL
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dd) AS HUGEINT) AS sd,
+             CAST(SUM(CAST(dd AS HUGEINT) * dd) AS HUGEINT) AS sdd
+      FROM dt
+    )
+    SELECT n AS n_days,
+           ROUND(CAST(sd AS DOUBLE) / n, 4) AS mean_loss_diff_usd2,
+           ROUND((CAST(sd AS DOUBLE) / n)
+                 / SQRT(GREATEST((CAST(sdd AS DOUBLE)
+                                  - (CAST(sd AS DOUBLE) / n) * sd)
+                                 / (n - 1), 1e0) / n), 6) AS dm_statistic,
+           ABS((CAST(sd AS DOUBLE) / n)
+               / SQRT(GREATEST((CAST(sdd AS DOUBLE)
+                                - (CAST(sd AS DOUBLE) / n) * sd)
+                               / (n - 1), 1e0) / n)) > {_MK_Z975}
+             AS significant
+    FROM mom WHERE n > 2
+    """,
+)
+def diebold_mariano_forecasts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diebold-Mariano test (lag-0 variance variant, documented)
+    comparing the naive-1 forecast (yesterday) against the
+    seasonal-naive-7 (same weekday last week) for daily revenue:
+    d_t = e₁² − e₇², DM = d̄/√(Var(d)/n). DM significantly NEGATIVE
+    means yesterday beats last-week-same-day (weak weekly
+    seasonality); positive means the weekly anchor wins — the formal
+    verdict on the comparison ``rolling_forecast_error`` only
+    tabulates. Squared-error losses scale to integer dollar² units
+    before the exact sums.
+
+    Scale posture: one combinable daily aggregate, two LAGs over the
+    calendar-bounded series, one 3-sum reduction, fixed double
+    expressions. One output row.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    wd = Window.orderBy("d")
+    lagged = daily.select(
+        "x",
+        F.lag("x", 1).over(wd).alias("p1"),
+        F.lag("x", 7).over(wd).alias("p7"),
+    )
+    dt = lagged.where("p1 IS NOT NULL AND p7 IS NOT NULL").select(
+        F.expr(
+            "CAST(ROUND((CAST(x - p1 AS DOUBLE) * (x - p1)"
+            " - CAST(x - p7 AS DOUBLE) * (x - p7)) / 1e4) AS BIGINT)"
+        ).alias("dd")
+    )
+    d38 = "DECIMAL(38,0)"
+    mom = dt.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"CAST(SUM(dd) AS {d38})").alias("sd"),
+        F.expr(f"CAST(SUM(CAST(dd AS {d38}) * dd) AS {d38})").alias("sdd"),
+    )
+    dm = (
+        "(CAST(sd AS DOUBLE) / n)"
+        " / SQRT(GREATEST((CAST(sdd AS DOUBLE)"
+        " - (CAST(sd AS DOUBLE) / n) * sd) / (n - 1), 1e0) / n)"
+    )
+    return mom.where("n > 2").select(
+        F.col("n").alias("n_days"),
+        F.expr("ROUND(CAST(sd AS DOUBLE) / n, 4)").alias(
+            "mean_loss_diff_usd2"
+        ),
+        F.expr(f"ROUND({dm}, 6)").alias("dm_statistic"),
+        F.expr(f"ABS({dm}) > {_MK_Z975}").alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramér-von Mises and Kuiper two-sample statistics (click vs view)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cvm_kuiper_two_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(ROUND("value" * 100) AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+        AND "value" IS NOT NULL
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, ca + cb AS l,
+             SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ma,
+             SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS mb
+      FROM h
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM h
+    ),
+    terms AS (
+      SELECT c.l,
+             CAST(c.ma AS HUGEINT) * t.nb - CAST(c.mb AS HUGEINT) * t.na
+               AS dnum
+      FROM cum c CROSS JOIN tot t
+    ),
+    agg AS (
+      SELECT CAST(SUM(CAST(l AS HUGEINT) * dnum * dnum) AS HUGEINT)
+               AS w2num,
+             CAST(MAX(dnum) AS BIGINT) AS dplus_num,
+             CAST(-MIN(dnum) AS BIGINT) AS dminus_num
+      FROM terms
+    )
+    SELECT t.na AS n_a, t.nb AS n_b,
+           -- T = (nm/N^2) sum l (F1-F2)^2 = sum l dnum^2 / (nm N^2)
+           -- with F1-F2 = dnum/(na nb)
+           ROUND(CAST(a.w2num AS DOUBLE)
+                 / (CAST(t.na AS DOUBLE) * t.nb
+                    * (CAST(t.na AS DOUBLE) + t.nb)
+                    * (CAST(t.na AS DOUBLE) + t.nb)), 6) AS cvm_t,
+           ROUND((CAST(a.dplus_num AS DOUBLE)
+                  + CAST(a.dminus_num AS DOUBLE))
+                 / (CAST(t.na AS DOUBLE) * t.nb), 6) AS kuiper_v,
+           (CAST(a.w2num AS DOUBLE)
+            / (CAST(t.na AS DOUBLE) * t.nb
+               * (CAST(t.na AS DOUBLE) + t.nb)
+               * (CAST(t.na AS DOUBLE) + t.nb)) > 0.461)
+             AS cvm_significant
+    FROM agg a CROSS JOIN tot t
+    WHERE t.na > 0 AND t.nb > 0
+    """,
+)
+def cvm_kuiper_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér-von Mises T and Kuiper V two-sample statistics between
+    the click and view value distributions — T integrates the SQUARED
+    ECDF gap over the pooled sample (between KS's sup and AD's
+    tail-weighted integral; frozen asymptotic 5% point 0.461), V =
+    D⁺ + D⁻ catches shifts in OPPOSITE directions at different
+    quantiles that cancel in KS's single sup. Both ride the exact
+    integer CDF cross-products of the ``ks_test_click_view_value``
+    histogram — the full two-sample family (KS/AD/CvM/Kuiper/MWU) now
+    reads off one shared stage shape.
+
+    Scale posture: cents histogram collapse, banded prefix, exact
+    HUGEINT/DECIMAL(38) cross-products; T's weighted sum and V's
+    max/min reduce in one aggregate; one output row. The CvM
+    normalization T = Σl·Δnum²/(n_a n_b N²) (with Δnum = m_a·n_b −
+    m_b·n_a) is one fixed double expression — the pin recomputes T
+    from explicit ECDFs, which caught a ×N collapse error in the
+    first draft of this very expression.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    from rs_streamloader_spark.operators.quality import _banded_prefix
+
+    ev = _t(spark, sf_dir, "events")["events"].filter(
+        F.col("event_type").isin(_KS_A, _KS_B)
+        & F.col("value").isNotNull()
+    )
+    h = ev.groupBy(
+        F.round(F.col("value") * 100).cast("bigint").alias("v")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    h = h.withColumn("l", F.col("ca") + F.col("cb"))
+    cum = _banded_prefix(h, "v", "ca", "sum", "ca_below")
+    cum = _banded_prefix(cum, "v", "cb", "sum", "cb_below")
+    cum = cum.select(
+        "l",
+        (F.coalesce(F.col("ca_below"), F.lit(0)) + F.col("ca")).alias("ma"),
+        (F.coalesce(F.col("cb_below"), F.lit(0)) + F.col("cb")).alias("mb"),
+    )
+    tot = h.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    d38 = "DECIMAL(38,0)"
+    terms = cum.join(F.broadcast(tot)).select(
+        "na",
+        "nb",
+        "l",
+        F.expr(
+            f"CAST(ma AS {d38}) * nb - CAST(mb AS {d38}) * na"
+        ).alias("dnum"),
+    )
+    agg = terms.groupBy("na", "nb").agg(
+        F.expr(
+            f"CAST(SUM(CAST(l AS {d38}) * dnum * dnum) AS {d38})"
+        ).alias("w2num"),
+        F.expr("CAST(MAX(dnum) AS BIGINT)").alias("dplus_num"),
+        F.expr("CAST(-MIN(dnum) AS BIGINT)").alias("dminus_num"),
+    )
+    cvm = (
+        "CAST(w2num AS DOUBLE)"
+        " / (CAST(na AS DOUBLE) * nb"
+        " * (CAST(na AS DOUBLE) + nb) * (CAST(na AS DOUBLE) + nb))"
+    )
+    return agg.where("na > 0 AND nb > 0").select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.expr(f"ROUND({cvm}, 6)").alias("cvm_t"),
+        F.expr(
+            "ROUND((CAST(dplus_num AS DOUBLE) + CAST(dminus_num AS DOUBLE))"
+            " / (CAST(na AS DOUBLE) * nb), 6)"
+        ).alias("kuiper_v"),
+        F.expr(f"({cvm}) > 0.461").alias("cvm_significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bartlett's test of variance homogeneity across priorities
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bartlett_test",
+    oracle=f"""
+    WITH g AS (
+      SELECT o_orderpriority AS p,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS HUGEINT) AS s_g,
+             CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           AS HUGEINT)
+                      * CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS HUGEINT) AS ss_g
+      FROM orders GROUP BY 1
+    ),
+    pieces AS (
+      SELECT n_g,
+             (CAST(ss_g AS DOUBLE)
+              - (CAST(s_g AS DOUBLE) / n_g) * s_g) / (n_g - 1) AS var_g
+      FROM g WHERE n_g > 1
+    ),
+    terms AS (
+      SELECT n_g, var_g,
+             CAST(ROUND((n_g - 1) * LN(var_g) * 1000000) AS BIGINT)
+               AS lnvar_micro
+      FROM pieces WHERE var_g > 0e0
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND((n_g - 1) * var_g) AS HUGEINT))
+                  AS HUGEINT) AS pooled_num,
+             CAST(SUM(lnvar_micro) AS HUGEINT) AS slm,
+             CAST(ROUND(SUM(1e0 / (n_g - 1)) * 1000000000) AS BIGINT)
+               AS sinv_nano
+      FROM terms
+    )
+    SELECT n AS n_orders, k AS n_groups,
+           ROUND(((CAST(n AS DOUBLE) - k)
+                  * LN(CAST(pooled_num AS DOUBLE) / (n - k))
+                  - CAST(slm AS DOUBLE) / 1e6)
+                 / (1e0 + (CAST(sinv_nano AS DOUBLE) / 1e9
+                           - 1e0 / (n - k)) / (3e0 * (k - 1))), 6)
+             AS bartlett_chi2,
+           (((CAST(n AS DOUBLE) - k)
+             * LN(CAST(pooled_num AS DOUBLE) / (n - k))
+             - CAST(slm AS DOUBLE) / 1e6)
+            / (1e0 + (CAST(sinv_nano AS DOUBLE) / 1e9
+                      - 1e0 / (n - k)) / (3e0 * (k - 1))))
+             > {_KW_CRIT} AS significant
+    FROM agg WHERE k > 1 AND n > k
+    """,
+)
+def bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of equal variances across the five order
+    priorities — the PARAMETRIC (normality-sensitive) counterpart to
+    ``levene_brown_forsythe``: more powerful under normality, and the
+    DISAGREEMENT between the two is itself diagnostic (Bartlett fires
+    on kurtosis that Brown-Forsythe ignores). χ² = [(N−k)ln s_p² −
+    Σ(n_i−1)ln s_i²]/C with the standard correction C; verdict vs the
+    frozen χ²₄ 95% value. Per-group (n_i−1)ln s_i² terms are
+    micro-rounded before the cross-group exact sum; pooled-variance
+    numerator rounds to integer cents² per group.
+
+    Scale posture: one combinable 5-row aggregate of exact integer
+    cents moments; the rest is bounded-row arithmetic with the only
+    transcendental (LN) evaluated on shared-operand doubles. One
+    output row.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    d38 = "DECIMAL(38,0)"
+    g = orders.groupBy(F.col("o_orderpriority").alias("p")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.expr(
+            f"CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS {d38})"
+        ).alias("s_g"),
+        F.expr(
+            "CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+            f" AS {d38}) * CAST(ROUND(o_totalprice * 100) AS BIGINT))"
+            f" AS {d38})"
+        ).alias("ss_g"),
+    )
+    pieces = g.where("n_g > 1").select(
+        "n_g",
+        F.expr(
+            "(CAST(ss_g AS DOUBLE) - (CAST(s_g AS DOUBLE) / n_g) * s_g)"
+            " / (n_g - 1)"
+        ).alias("var_g"),
+    )
+    terms = pieces.where("var_g > 0e0").select(
+        "n_g",
+        "var_g",
+        F.expr(
+            "CAST(ROUND((n_g - 1) * LN(var_g) * 1000000) AS BIGINT)"
+        ).alias("lnvar_micro"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.expr(
+            f"CAST(SUM(CAST(ROUND((n_g - 1) * var_g) AS {d38}))"
+            f" AS {d38})"
+        ).alias("pooled_num"),
+        F.expr(f"CAST(SUM(lnvar_micro) AS {d38})").alias("slm"),
+        F.expr(
+            "CAST(ROUND(SUM(1e0 / (n_g - 1)) * 1000000000) AS BIGINT)"
+        ).alias("sinv_nano"),
+    )
+    chi2 = (
+        "((CAST(n AS DOUBLE) - k)"
+        " * LN(CAST(pooled_num AS DOUBLE) / (n - k))"
+        " - CAST(slm AS DOUBLE) / 1e6)"
+        " / (1e0 + (CAST(sinv_nano AS DOUBLE) / 1e9 - 1e0 / (n - k))"
+        " / (3e0 * (k - 1)))"
+    )
+    return agg.where("k > 1 AND n > k").select(
+        F.col("n").alias("n_orders"),
+        F.col("k").alias("n_groups"),
+        F.expr(f"ROUND({chi2}, 6)").alias("bartlett_chi2"),
+        F.expr(f"({chi2}) > {_KW_CRIT}").alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KPSS level-stationarity statistic (iid short-run variance variant)
+# ---------------------------------------------------------------------------
+
+_KPSS_CRIT_LEVEL = 0.463  # asymptotic 5% point, level case (frozen)
+
+
+@register(
+    "kpss_level_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM daily
+    ),
+    dev AS (
+      SELECT d,
+             CAST(ROUND((x - CAST(sx AS DOUBLE) / n) * 1000) AS BIGINT)
+               AS dm
+      FROM daily CROSS JOIN mom
+    ),
+    walk AS (
+      SELECT SUM(CAST(dm AS HUGEINT))
+               OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS st
+      FROM dev
+    ),
+    s2 AS (
+      SELECT CAST(SUM(st * st) AS HUGEINT) AS ss2 FROM walk
+    )
+    SELECT m.n AS n_days,
+           ROUND(CAST(s.ss2 AS DOUBLE) / 1e6
+                 / (CAST(m.n AS DOUBLE) * m.n
+                    * ((CAST(m.sxx AS DOUBLE)
+                        - (CAST(m.sx AS DOUBLE) / m.n) * m.sx) / m.n)),
+                 6) AS kpss_statistic,
+           (CAST(s.ss2 AS DOUBLE) / 1e6
+            / (CAST(m.n AS DOUBLE) * m.n
+               * ((CAST(m.sxx AS DOUBLE)
+                   - (CAST(m.sx AS DOUBLE) / m.n) * m.sx) / m.n))
+            > {_KPSS_CRIT_LEVEL}) AS nonstationary
+    FROM s2 s CROSS JOIN mom m
+    WHERE m.n > 2
+      AND (CAST(m.sxx AS DOUBLE) - (CAST(m.sx AS DOUBLE) / m.n) * m.sx)
+          > 0e0
+    """,
+)
+def kpss_level_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS test of LEVEL stationarity for daily revenue (the
+    short-run-iid variance variant, lag 0 — documented): η =
+    ΣS_t²/(n²σ̂²) with S_t the cumulative mean-deviation. KPSS flips
+    the null relative to the trend/changepoint family: here the NULL
+    is stationarity and large η rejects it — run next to
+    ``mann_kendall_trend`` (null: no trend) the two-test combination
+    distinguishes trend-stationary from unit-root behaviour. Verdict
+    vs the frozen asymptotic 5% level point 0.463.
+
+    Scale posture: one combinable daily aggregate; deviations
+    milli-cent-rounded before the exact DECIMAL(38) cumulative walk
+    (the page_hinkley policy — BIGINT would overflow at large daily
+    volumes); ΣS² exact; η one fixed double expression. One output
+    row.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    d38 = "DECIMAL(38,0)"
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"CAST(SUM(x) AS {d38})").alias("sx"),
+        F.expr(f"CAST(SUM(CAST(x AS {d38}) * x) AS {d38})").alias("sxx"),
+    )
+    dev = daily.join(F.broadcast(mom)).select(
+        "d",
+        F.expr(
+            "CAST(ROUND((x - CAST(sx AS DOUBLE) / n) * 1000) AS BIGINT)"
+        ).alias("dm"),
+    )
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    walk = dev.select(
+        F.sum(F.col("dm").cast("decimal(38,0)")).over(wd).alias("st")
+    )
+    s2 = walk.agg(F.expr(f"CAST(SUM(st * st) AS {d38})").alias("ss2"))
+    eta = (
+        "CAST(ss2 AS DOUBLE) / 1e6"
+        " / (CAST(n AS DOUBLE) * n"
+        " * ((CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) / n) * sx) / n))"
+    )
+    return (
+        s2.join(F.broadcast(mom))
+        .where(
+            "n > 2 AND (CAST(sxx AS DOUBLE)"
+            " - (CAST(sx AS DOUBLE) / n) * sx) > 0e0"
+        )
+        .select(
+            F.col("n").alias("n_days"),
+            F.expr(f"ROUND({eta}, 6)").alias("kpss_statistic"),
+            F.expr(f"({eta}) > {_KPSS_CRIT_LEVEL}").alias("nonstationary"),
+        )
+    )

@@ -3095,3 +3095,41 @@ def test_mean_reversion_single_walk_no_joins(spark):
     text = explain_str(df, "simple")
     assert "Join" not in text, text[:1500]
     assert text.lower().count("rangepartitioning") <= 1, text[:1500]
+
+
+def test_diebold_mariano_single_walk(spark):
+    from rs_streamloader_spark.operators.stats import (
+        diebold_mariano_forecasts,
+    )
+
+    df = diebold_mariano_forecasts(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Join" not in text, text[:1500]
+    assert text.lower().count("rangepartitioning") <= 1, text[:1500]
+
+
+def test_cvm_kuiper_shares_ks_histogram_shape(spark):
+    from rs_streamloader_spark.operators.stats import cvm_kuiper_two_sample
+
+    df = cvm_kuiper_two_sample(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert text.lower().count("rangepartitioning") <= 2, text[:2000]
+    assert has_broadcast_join(df), text[:1500]
+
+
+def test_bartlett_one_bounded_aggregate(spark):
+    from rs_streamloader_spark.operators.stats import bartlett_test
+
+    df = bartlett_test(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Join" not in text, text[:1500]
+    assert "rangepartitioning" not in text.lower(), text[:1500]
+
+
+def test_kpss_decimal_walk_on_daily_series(spark):
+    from rs_streamloader_spark.operators.stats import kpss_level_test
+
+    df = kpss_level_test(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert text.lower().count("rangepartitioning") <= 1, text[:1500]
+    assert has_broadcast_join(df), text[:1500]

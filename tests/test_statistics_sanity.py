@@ -3918,3 +3918,184 @@ def test_mean_reversion_matches_numpy_both_regimes(spark, monkeypatch):
     # far longer than the reverting series' when defined
     if r["half_life_days"] is not None:
         assert r["half_life_days"] > 20
+
+
+def test_diebold_mariano_matches_numpy_both_directions(spark, monkeypatch):
+    """DM recomputed in numpy; strong weekly seasonality must favor
+    the 7-day naive (positive DM rejects), a pure trend must favor
+    the 1-day naive."""
+    from rs_streamloader_spark.operators.stats import (
+        diebold_mariano_forecasts,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+
+    def run(vals):
+        days = [
+            ((base + pd.Timedelta(days=i)).strftime("%Y-%m-%d"), float(v))
+            for i, v in enumerate(vals)
+        ]
+        _orders_patch(spark, monkeypatch, days)
+        return diebold_mariano_forecasts(spark, "x").collect()[0]
+
+    def brute(vals):
+        x = np.round(np.array(vals, dtype=float) * 100)
+        y, p1, p7 = x[7:], x[6:-1], x[:-7]
+        dd = np.round(((y - p1) ** 2 - (y - p7) ** 2) / 1e4)
+        n = len(dd)
+        var = max(((dd - dd.mean()) ** 2).sum() / (n - 1), 1.0)
+        return n, dd.mean(), dd.mean() / np.sqrt(var / n)
+
+    rng = np.random.RandomState(157)
+    weekly = [
+        1000 + 400 * (i % 7 == 5) + rng.randint(-10, 11) for i in range(140)
+    ]
+    r = run(weekly)
+    n, md, dm = brute(weekly)
+    assert r["n_days"] == n
+    assert r["mean_loss_diff_usd2"] == pytest.approx(md, rel=1e-6)
+    assert r["dm_statistic"] == pytest.approx(dm, abs=2e-5)
+    assert dm > 0 and bool(r["significant"]) is True
+    trend = [1000 + 15 * i + rng.randint(-10, 11) for i in range(140)]
+    r = run(trend)
+    n, md, dm = brute(trend)
+    assert r["dm_statistic"] == pytest.approx(dm, abs=2e-5)
+    assert dm < 0 and bool(r["significant"]) is True
+
+
+def test_cvm_kuiper_match_explicit_ecdfs(spark, monkeypatch):
+    """T and V recomputed from explicit pooled ECDFs — the recompute
+    that caught a xN collapse error in the first draft; a scale shift
+    must reject CvM, and a variance-only change must show Kuiper >
+    KS-style one-sided gaps."""
+    from rs_streamloader_spark.operators.stats import cvm_kuiper_two_sample
+
+    def events(a_vals, b_vals):
+        rows = []
+        eid = 0
+        for v in a_vals:
+            eid += 1
+            rows.append((eid, "2024-01-01", 1, "click", float(v)))
+        for v in b_vals:
+            eid += 1
+            rows.append((eid, "2024-01-01", 2, "view", float(v)))
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        sdf = spark.createDataFrame(pdf)
+        monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"events": sdf})
+
+    def brute(a_vals, b_vals):
+        a = np.round(np.array(a_vals) * 100)
+        b = np.round(np.array(b_vals) * 100)
+        na, nb = len(a), len(b)
+        N = na + nb
+        vs = np.unique(np.concatenate([a, b]))
+        t_sum = 0
+        dplus = dminus = 0
+        for v in vs:
+            ma = (a <= v).sum()
+            mb = (b <= v).sum()
+            l = (a == v).sum() + (b == v).sum()
+            dnum = ma * nb - mb * na
+            t_sum += l * dnum * dnum
+            dplus = max(dplus, dnum)
+            dminus = max(dminus, -dnum)
+        t = t_sum / (na * nb * N * N)
+        v_stat = (dplus + dminus) / (na * nb)
+        return t, v_stat
+
+    rng = np.random.RandomState(163)
+    a_vals = list(rng.gamma(2, 10, 250))
+    b_vals = list(rng.gamma(2, 10, 250) * 1.5)
+    events(a_vals, b_vals)
+    r = cvm_kuiper_two_sample(spark, "x").collect()[0]
+    t, v = brute(a_vals, b_vals)
+    assert (r["n_a"], r["n_b"]) == (250, 250)
+    assert r["cvm_t"] == pytest.approx(t, abs=2e-6)
+    assert r["kuiper_v"] == pytest.approx(v, abs=2e-6)
+    assert bool(r["cvm_significant"]) is True
+    same = list(rng.gamma(2, 10, 250))
+    events(same, list(np.array(same) * 1.001))
+    r = cvm_kuiper_two_sample(spark, "x").collect()[0]
+    t, v = brute(same, list(np.array(same) * 1.001))
+    assert r["cvm_t"] == pytest.approx(t, abs=2e-6)
+    assert bool(r["cvm_significant"]) is False
+
+
+def test_bartlett_matches_numpy_and_detects_kurtosis_blindspot(
+    spark, monkeypatch
+):
+    """chi2 recomputed in numpy; an inflated-variance group rejects,
+    equal variances do not."""
+    from rs_streamloader_spark.operators.stats import bartlett_test
+
+    def brute(groups):
+        gs = [np.round(np.array(v) * 100) for v in groups]
+        k = len(gs)
+        n = sum(len(g) for g in gs)
+        vars_ = [g.var(ddof=1) for g in gs]
+        lnsum = sum(
+            round((len(g) - 1) * np.log(vv) * 1e6)
+            for g, vv in zip(gs, vars_)
+        ) / 1e6
+        pooled = sum(round((len(g) - 1) * vv) for g, vv in zip(gs, vars_))
+        c = 1 + (
+            sum(round(1 / (len(g) - 1) * 1e9) for g in gs) / 1e9
+            - 1 / (n - k)
+        ) / (3 * (k - 1))
+        return ((n - k) * np.log(pooled / (n - k)) - lnsum) / c
+
+    rng = np.random.RandomState(167)
+    base = [list(1000 + rng.randint(-60, 61, 90)) for _ in range(5)]
+    groups = {p: v for p, v in zip(_PRIOS, base)}
+    _prio_orders_patch(spark, monkeypatch, groups)
+    r = bartlett_test(spark, "x").collect()[0]
+    assert r["n_orders"] == 450 and r["n_groups"] == 5
+    assert r["bartlett_chi2"] == pytest.approx(
+        brute(list(groups.values())), abs=2e-4
+    )
+    assert bool(r["significant"]) is False
+    groups[_PRIOS[0]] = list(1000 + rng.randint(-60, 61, 90) * 5)
+    _prio_orders_patch(spark, monkeypatch, groups)
+    r = bartlett_test(spark, "x").collect()[0]
+    assert r["bartlett_chi2"] == pytest.approx(
+        brute(list(groups.values())), abs=2e-4
+    )
+    assert bool(r["significant"]) is True
+
+
+def test_kpss_matches_numpy_both_regimes(spark, monkeypatch):
+    """eta recomputed in numpy; a random walk rejects stationarity,
+    mean-reverting noise does not."""
+    from rs_streamloader_spark.operators.stats import kpss_level_test
+
+    base = pd.Timestamp("2024-01-01")
+
+    def run(vals):
+        days = [
+            ((base + pd.Timedelta(days=i)).strftime("%Y-%m-%d"), float(v))
+            for i, v in enumerate(vals)
+        ]
+        _orders_patch(spark, monkeypatch, days)
+        return kpss_level_test(spark, "x").collect()[0]
+
+    def brute(vals):
+        x = np.round(np.array(vals, dtype=float) * 100)
+        n = len(x)
+        dm = np.round((x - x.mean()) * 1000)
+        st = np.cumsum(dm)
+        ss2 = (st.astype(object) ** 2).sum()
+        sig2 = ((x - x.mean()) ** 2).sum() / n
+        return float(ss2) / 1e6 / (n * n * sig2)
+
+    rng = np.random.RandomState(173)
+    walk = list(10000 + np.cumsum(rng.randn(400) * 8))
+    r = run(walk)
+    assert r["kpss_statistic"] == pytest.approx(brute(walk), rel=1e-5)
+    assert bool(r["nonstationary"]) is True
+    noise = list(10000 + rng.randn(400) * 50)
+    r = run(noise)
+    assert r["kpss_statistic"] == pytest.approx(brute(noise), rel=1e-5)
+    assert bool(r["nonstationary"]) is False

@@ -152,6 +152,10 @@ HEAVY_TAIL = [
     "pettitt_test",
     "wilcoxon_signed_rank",
     "mean_reversion_half_life",
+    "diebold_mariano_forecasts",
+    "cvm_kuiper_two_sample",
+    "bartlett_test",
+    "kpss_level_test",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
@@ -483,6 +487,10 @@ CONSTANT_OUTPUT = {
     "pettitt_test",
     "wilcoxon_signed_rank",
     "mean_reversion_half_life",
+    "diebold_mariano_forecasts",
+    "cvm_kuiper_two_sample",
+    "bartlett_test",
+    "kpss_level_test",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
