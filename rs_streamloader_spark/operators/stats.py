@@ -14158,3 +14158,286 @@ def kpss_level_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"({eta}) > {_KPSS_CRIT_LEVEL}").alias("nonstationary"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test across order priorities
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "moods_median_test",
+    oracle=f"""
+    WITH vals AS (
+      SELECT o_orderpriority AS p,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    vt AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS ct FROM vals GROUP BY v),
+    cum AS (
+      SELECT v, SUM(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc
+      FROM vt
+    ),
+    tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM vt),
+    med AS (
+      SELECT MIN(v) AS m FROM cum CROSS JOIN tot
+      WHERE cc >= (n + 1) // 2
+    ),
+    counts AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(CASE WHEN v > (SELECT m FROM med)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a_g
+      FROM vals GROUP BY p
+    ),
+    marg AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(a_g) AS BIGINT) AS a
+      FROM counts
+    ),
+    terms AS (
+      SELECT CAST(ROUND((
+               POW(c.a_g - CAST(m.a AS DOUBLE) * c.n_g / m.n, 2)
+               / (CAST(m.a AS DOUBLE) * c.n_g / m.n)
+               + POW((c.n_g - c.a_g)
+                     - CAST(m.n - m.a AS DOUBLE) * c.n_g / m.n, 2)
+                 / (CAST(m.n - m.a AS DOUBLE) * c.n_g / m.n)
+               ) * 1000000000) AS BIGINT) AS t_nano
+      FROM counts c CROSS JOIN marg m
+      WHERE m.a > 0 AND m.a < m.n
+    )
+    SELECT (SELECT n FROM marg) AS n_orders,
+           CAST(4 AS BIGINT) AS df,
+           ROUND(SUM(t_nano) / 1e9, 6) AS chi2_statistic,
+           (SUM(t_nano) > {_KW_CRIT} * 1000000000) AS significant
+    FROM terms
+    """,
+)
+def moods_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: does each priority put the same fraction of
+    orders above the GRAND median price? The bluntest (and most
+    outlier-immune) of the k-sample location tests — only the
+    above/below-median indicator enters, so a single corrupt extreme
+    value cannot move it at all, where ``kruskal_wallis_h`` shifts
+    with every rank and ``anova_oneway_f`` with every cent. χ² over
+    the 5×2 contingency vs expected proportional counts; verdict vs
+    the frozen χ²₄ value on the exact nano term sum.
+
+    Scale posture: the grand median is the exact histogram-prefix
+    pick (the runs-test convention); per-group above/at-or-below
+    counts are one combinable aggregate; per-group χ² terms
+    nano-round before the exact cross-group sum. One output row.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    vals = orders.select(
+        F.col("o_orderpriority").alias("p"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    vt = vals.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vt.select("v", F.sum("ct").over(wv).alias("cc"))
+    tot = vt.agg(F.sum("ct").cast("bigint").alias("n"))
+    med = (
+        cum.join(F.broadcast(tot))
+        .where("cc >= (n + 1) div 2")
+        .agg(F.min("v").alias("m"))
+    )
+    counts = (
+        vals.join(F.broadcast(med))
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+            F.expr(
+                "CAST(SUM(CASE WHEN v > m THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("a_g"),
+        )
+    )
+    marg = counts.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("a_g").cast("bigint").alias("a"),
+    )
+    terms = (
+        counts.join(F.broadcast(marg))
+        .where("a > 0 AND a < n")
+        .select(
+            F.expr(
+                "CAST(ROUND(("
+                "POW(a_g - CAST(a AS DOUBLE) * n_g / n, 2)"
+                " / (CAST(a AS DOUBLE) * n_g / n)"
+                " + POW((n_g - a_g) - CAST(n - a AS DOUBLE) * n_g / n, 2)"
+                " / (CAST(n - a AS DOUBLE) * n_g / n)"
+                ") * 1000000000) AS BIGINT)"
+            ).alias("t_nano"),
+            "n",
+        )
+    )
+    return terms.groupBy("n").agg(
+        F.expr("ROUND(SUM(t_nano) / 1e9, 6)").alias("chi2_statistic"),
+        F.expr(f"SUM(t_nano) > {_KW_CRIT} * 1000000000").alias(
+            "significant"
+        ),
+    ).select(
+        F.col("n").alias("n_orders"),
+        F.lit(4).cast("bigint").alias("df"),
+        "chi2_statistic",
+        "significant",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra ordered-alternative test across priorities
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "jonckheere_terpstra",
+    oracle=f"""
+    WITH vals AS (
+      SELECT {_CA_SCORE_CASE} AS s,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    h AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+             CAST(SUM(CASE WHEN s = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+             CAST(SUM(CASE WHEN s = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+             CAST(SUM(CASE WHEN s = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5
+      FROM vals GROUP BY v
+    ),
+    -- per-value exclusive prefixes per group over the merged value
+    -- order: 2*U_ij summed over all i<j collapses to one fixed
+    -- 5-column expression per value (the MWU banded-prefix pattern,
+    -- never a histogram pair join)
+    cum AS (
+      SELECT c1, c2, c3, c4, c5,
+             SUM(c1) OVER w - c1 AS p1, SUM(c2) OVER w - c2 AS p2,
+             SUM(c3) OVER w - c3 AS p3, SUM(c4) OVER w - c4 AS p4
+      FROM h
+      WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ),
+    pairs AS (
+      SELECT CAST(SUM(
+               CAST(c2 AS HUGEINT) * (2 * p1 + c1)
+               + CAST(c3 AS HUGEINT) * (2 * (p1 + p2) + c1 + c2)
+               + CAST(c4 AS HUGEINT) * (2 * (p1 + p2 + p3)
+                                        + c1 + c2 + c3)
+               + CAST(c5 AS HUGEINT) * (2 * (p1 + p2 + p3 + p4)
+                                        + c1 + c2 + c3 + c4)
+             ) AS HUGEINT) AS j2
+      FROM cum
+    ),
+    gsz2 AS (
+      SELECT 1 AS s, CAST(SUM(c1) AS BIGINT) AS sn FROM h
+      UNION ALL SELECT 2, CAST(SUM(c2) AS BIGINT) FROM h
+      UNION ALL SELECT 3, CAST(SUM(c3) AS BIGINT) FROM h
+      UNION ALL SELECT 4, CAST(SUM(c4) AS BIGINT) FROM h
+      UNION ALL SELECT 5, CAST(SUM(c5) AS BIGINT) FROM h
+    ),
+    sizes AS (
+      SELECT CAST(SUM(sn) AS BIGINT) AS n,
+             CAST(SUM(CAST(sn AS HUGEINT) * sn * (2 * sn + 3))
+                  AS HUGEINT) AS s_term,
+             CAST(SUM(CAST(sn AS HUGEINT) * sn) AS DOUBLE) AS sq2
+      FROM gsz2
+    )
+    SELECT n AS n_orders,
+           ROUND(CAST(j2 AS DOUBLE) / 2e0, 1) AS j_statistic,
+           ROUND((CAST(j2 AS DOUBLE) / 2e0
+                  - (CAST(n AS DOUBLE) * n - sq2) / 4e0)
+                 / SQRT((CAST(n AS DOUBLE) * n * (2e0 * n + 3e0)
+                         - CAST(s_term AS DOUBLE)) / 72e0), 6) AS z_score,
+           ABS((CAST(j2 AS DOUBLE) / 2e0
+                - (CAST(n AS DOUBLE) * n - sq2) / 4e0)
+               / SQRT((CAST(n AS DOUBLE) * n * (2e0 * n + 3e0)
+                       - CAST(s_term AS DOUBLE)) / 72e0)) > {_MK_Z975}
+             AS significant
+    FROM pairs CROSS JOIN sizes
+    WHERE (CAST(n AS DOUBLE) * n * (2e0 * n + 3e0)
+           - CAST(s_term AS DOUBLE)) > 0e0
+    """,
+)
+def jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED location alternative
+    across the five priorities (scores 1..5): J = Σ_{{i<j}} U_ij sums
+    the pairwise Mann-Whitney masses in the hypothesized direction —
+    strictly more powerful than ``kruskal_wallis_h`` when the
+    alternative is monotone (the continuous cousin of
+    ``cochran_armitage_trend``'s binary trend). Tie pairs count ½
+    (2J stays an exact integer from the per-group value histograms);
+    the normal approximation uses the standard no-tie variance
+    [n²(2n+3) − Σnᵢ²(2nᵢ+3)]/72 (documented: price ties are ~0 of
+    pair mass at cents granularity on this data).
+
+    Scale posture: values collapse to ONE merged cents histogram with
+    per-group count columns; all ten pairwise U masses come from one
+    banded-prefix walk via a fixed 5-column expression per value (the
+    MWU pattern — never a histogram pair join, which is quadratic in
+    distinct prices); a 1-row reduction out. 2J and all counts are exact integers; z is one
+    fixed double expression.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    vals = orders.select(
+        F.expr(_CA_SCORE_CASE).alias("s"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    h = vals.groupBy("v").agg(
+        *[
+            F.expr(
+                f"CAST(SUM(CASE WHEN s = {i} THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias(f"c{i}")
+            for i in range(1, 6)
+        ]
+    )
+    d38 = "DECIMAL(38,0)"
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select(
+        *[F.col(f"c{i}") for i in range(1, 6)],
+        *[
+            (F.sum(f"c{i}").over(wv) - F.col(f"c{i}")).alias(f"p{i}")
+            for i in range(1, 5)
+        ],
+    )
+    pairs = cum.agg(
+        F.expr(
+            f"CAST(SUM(CAST(c2 AS {d38}) * (2 * p1 + c1)"
+            f" + CAST(c3 AS {d38}) * (2 * (p1 + p2) + c1 + c2)"
+            f" + CAST(c4 AS {d38}) * (2 * (p1 + p2 + p3) + c1 + c2 + c3)"
+            f" + CAST(c5 AS {d38}) * (2 * (p1 + p2 + p3 + p4)"
+            f" + c1 + c2 + c3 + c4)) AS {d38})"
+        ).alias("j2")
+    )
+    gsz = vals.groupBy("s").agg(F.count(F.lit(1)).alias("sn"))
+    sizes = gsz.agg(
+        F.sum("sn").cast("bigint").alias("n"),
+        F.expr(
+            f"CAST(SUM(CAST(sn AS {d38}) * sn * (2 * sn + 3)) AS {d38})"
+        ).alias("s_term"),
+        F.expr(f"CAST(SUM(CAST(sn AS {d38}) * sn) AS DOUBLE)").alias("sq2"),
+    )
+    z = (
+        "(CAST(j2 AS DOUBLE) / 2e0"
+        " - (CAST(n AS DOUBLE) * n - sq2) / 4e0)"
+        " / SQRT((CAST(n AS DOUBLE) * n * (2e0 * n + 3e0)"
+        " - CAST(s_term AS DOUBLE)) / 72e0)"
+    )
+    var = (
+        "(CAST(n AS DOUBLE) * n * (2e0 * n + 3e0)"
+        " - CAST(s_term AS DOUBLE))"
+    )
+    return (
+        pairs.join(F.broadcast(sizes))
+        .where(f"{var} > 0e0")
+        .select(
+            F.col("n").alias("n_orders"),
+            F.expr("ROUND(CAST(j2 AS DOUBLE) / 2e0, 1)").alias(
+                "j_statistic"
+            ),
+            F.expr(f"ROUND({z}, 6)").alias("z_score"),
+            F.expr(f"ABS({z}) > {_MK_Z975}").alias("significant"),
+        )
+    )

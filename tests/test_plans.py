@@ -3133,3 +3133,25 @@ def test_kpss_decimal_walk_on_daily_series(spark):
     text = explain_str(df, "simple")
     assert text.lower().count("rangepartitioning") <= 1, text[:1500]
     assert has_broadcast_join(df), text[:1500]
+
+
+def test_moods_median_histogram_pick_then_broadcast(spark):
+    from rs_streamloader_spark.operators.stats import moods_median_test
+
+    df = moods_median_test(spark, SF_SMOKE)
+    assert has_broadcast_join(df), explain_str(df, "simple")[:1500]
+    text = explain_str(df, "simple")
+    assert text.lower().count("rangepartitioning") <= 1, text[:1500]
+
+
+def test_jonckheere_prefix_not_pair_join(spark):
+    """All ten pairwise U masses come from one prefix walk — no
+    histogram self-join (quadratic in distinct prices)."""
+    from rs_streamloader_spark.operators.stats import jonckheere_terpstra
+
+    df = jonckheere_terpstra(spark, SF_SMOKE)
+    text = explain_str(df, "formatted")
+    assert "BroadcastNestedLoopJoin" not in text or "CartesianProduct" not in text
+    # one histogram aggregate + the prefix window + 1-row reduce; the
+    # sizes join is broadcast
+    assert has_broadcast_join(df), explain_str(df, "simple")[:1500]

@@ -4099,3 +4099,100 @@ def test_kpss_matches_numpy_both_regimes(spark, monkeypatch):
     r = run(noise)
     assert r["kpss_statistic"] == pytest.approx(brute(noise), rel=1e-5)
     assert bool(r["nonstationary"]) is False
+
+
+def test_moods_median_matches_brute_force_both_branches(spark, monkeypatch):
+    """chi2 recomputed from the 5x2 table; a median-shifted group
+    rejects, identical distributions do not — and the statistic is
+    outlier-immune by construction."""
+    from rs_streamloader_spark.operators.stats import moods_median_test
+
+    def brute(groups):
+        allv = np.concatenate(
+            [np.round(np.array(v) * 100) for v in groups]
+        )
+        m = np.sort(allv)[(len(allv) + 1) // 2 - 1]
+        n = len(allv)
+        a = (allv > m).sum()
+        chi2 = 0.0
+        for v in groups:
+            g = np.round(np.array(v) * 100)
+            ag, ng = (g > m).sum(), len(g)
+            ea = a * ng / n
+            eb = (n - a) * ng / n
+            chi2 += round(
+                ((ag - ea) ** 2 / ea + ((ng - ag) - eb) ** 2 / eb) * 1e9
+            )
+        return chi2 / 1e9
+
+    rng = np.random.RandomState(179)
+    base = [list(1000 + rng.randint(-100, 101, 70)) for _ in range(5)]
+    groups = {p: v for p, v in zip(_PRIOS, base)}
+    _prio_orders_patch(spark, monkeypatch, groups)
+    r = moods_median_test(spark, "x").collect()[0]
+    assert r["n_orders"] == 350
+    assert r["chi2_statistic"] == pytest.approx(
+        brute(list(groups.values())), abs=2e-6
+    )
+    assert bool(r["significant"]) is False
+    groups[_PRIOS[3]] = [v + 200 for v in base[3]]
+    _prio_orders_patch(spark, monkeypatch, groups)
+    r = moods_median_test(spark, "x").collect()[0]
+    assert r["chi2_statistic"] == pytest.approx(
+        brute(list(groups.values())), abs=2e-6
+    )
+    assert bool(r["significant"]) is True
+    # outlier immunity: multiplying one group's max by 1000 must not
+    # change the statistic at all (it stays above the median)
+    groups[_PRIOS[3]][0] = groups[_PRIOS[3]][0] * 1000
+    _prio_orders_patch(spark, monkeypatch, groups)
+    r2 = moods_median_test(spark, "x").collect()[0]
+    assert r2["chi2_statistic"] == r["chi2_statistic"]
+
+
+def test_jonckheere_matches_pair_enumeration_both_branches(
+    spark, monkeypatch
+):
+    """2J recomputed by explicit ordered-pair enumeration; a monotone
+    location gradient rejects with the right sign, shuffled groups do
+    not."""
+    from rs_streamloader_spark.operators.stats import jonckheere_terpstra
+
+    def brute(groups):
+        gs = [np.round(np.array(v) * 100) for v in groups]
+        j2 = 0
+        for i in range(len(gs)):
+            for j in range(i + 1, len(gs)):
+                for x in gs[i]:
+                    for y in gs[j]:
+                        if y > x:
+                            j2 += 2
+                        elif y == x:
+                            j2 += 1
+        n = sum(len(g) for g in gs)
+        sq2 = sum(len(g) ** 2 for g in gs)
+        s_term = sum(len(g) ** 2 * (2 * len(g) + 3) for g in gs)
+        mean = (n * n - sq2) / 4
+        var = (n * n * (2 * n + 3) - s_term) / 72
+        z = (j2 / 2 - mean) / np.sqrt(var)
+        return j2 / 2, z
+
+    rng = np.random.RandomState(181)
+    rising = {
+        p: list(1000 + 80 * i + rng.randint(-50, 51, 40))
+        for i, p in enumerate(_PRIOS)
+    }
+    _prio_orders_patch(spark, monkeypatch, rising)
+    r = jonckheere_terpstra(spark, "x").collect()[0]
+    j, z = brute(list(rising.values()))
+    assert r["n_orders"] == 200
+    assert r["j_statistic"] == pytest.approx(j, abs=0.01)
+    assert r["z_score"] == pytest.approx(z, abs=2e-6)
+    assert z > 0 and bool(r["significant"]) is True
+    flat = {p: list(1000 + rng.randint(-50, 51, 40)) for p in _PRIOS}
+    _prio_orders_patch(spark, monkeypatch, flat)
+    r = jonckheere_terpstra(spark, "x").collect()[0]
+    j, z = brute(list(flat.values()))
+    assert r["j_statistic"] == pytest.approx(j, abs=0.01)
+    assert r["z_score"] == pytest.approx(z, abs=2e-6)
+    assert bool(r["significant"]) is False

@@ -156,6 +156,8 @@ HEAVY_TAIL = [
     "cvm_kuiper_two_sample",
     "bartlett_test",
     "kpss_level_test",
+    "moods_median_test",
+    "jonckheere_terpstra",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
@@ -491,6 +493,8 @@ CONSTANT_OUTPUT = {
     "cvm_kuiper_two_sample",
     "bartlett_test",
     "kpss_level_test",
+    "moods_median_test",
+    "jonckheere_terpstra",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
