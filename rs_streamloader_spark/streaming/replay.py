@@ -954,3 +954,107 @@ def stream_late_data_audit_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_events",
         "total_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming windowed mix-drift (PSI per window vs the corpus mix)
+# ---------------------------------------------------------------------------
+
+_STREAM_PSI_ORACLE = """
+    WITH c AS (
+      SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    wtot AS (
+      SELECT window_start, CAST(SUM(n_events) AS BIGINT) AS wn FROM c
+      GROUP BY 1
+    ),
+    gtot AS (
+      SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS gn FROM c
+      GROUP BY 1
+    ),
+    n AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM c),
+    terms AS (
+      -- densified over the bounded type set: a type absent from a
+      -- window contributes with the 0.5-count Laplace floor
+      SELECT w.window_start, g.event_type, w.wn, g.gn,
+             COALESCE(c.n_events, 0) AS cnt,
+             CAST(ROUND(
+               ((COALESCE(c.n_events, 0) + 0.5e0) / (w.wn + 0.5e0)
+                - (CAST(g.gn AS DOUBLE) + 0.5e0) / (total + 0.5e0))
+               * LN(((COALESCE(c.n_events, 0) + 0.5e0) / (w.wn + 0.5e0))
+                    / ((CAST(g.gn AS DOUBLE) + 0.5e0) / (total + 0.5e0)))
+               * 1000000000) AS BIGINT) AS t_nano
+      FROM wtot w
+      CROSS JOIN gtot g
+      CROSS JOIN n
+      LEFT JOIN c ON c.window_start = w.window_start
+                 AND c.event_type = g.event_type
+    )
+    SELECT window_start,
+           CAST(SUM(t_nano) AS BIGINT) AS psi_nano,
+           ROUND(SUM(t_nano) / 1e9, 6) AS psi,
+           (SUM(t_nano) > 200000000) AS drifted
+    FROM terms GROUP BY window_start
+"""
+
+
+@register("stream_mix_psi_replay", oracle=_STREAM_PSI_ORACLE)
+def stream_mix_psi_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-then-batch mix-drift monitor: the watermarked hourly
+    tumbling counts land from the stream, and each window's event-type
+    MIX is scored against the corpus-wide mix with a Laplace-floored
+    PSI (the per-window twin of ``drift_psi_daily`` — the monitor a
+    streaming pipeline actually pages on, here composed the only
+    legal way since the global reference mix cannot be a streaming
+    aggregate of itself). PSI > 0.2 (the conventional alert level,
+    frozen as an exact nano-integer compare) flags the window.
+
+    Scale posture: the streaming half is the SHARED landed tumbling
+    stage (watermark-bounded state, one shuffle on (window, type));
+    the batch half densifies over the bounded |windows|×|types| grid
+    with broadcast totals, nano-rounds each PSI term BEFORE the
+    per-window exact sum, and never touches raw events. Late/double
+    window emission breaks the count grid and therefore the hash, as
+    in ``tumbling_window_replay``.
+
+    Reference surface: none (novel extension, SURVEY.md §2.4
+    streaming row / §2.5 quality family)."""
+    c = _landed_tumbling_counts(spark, sf_dir, "mix_psi").select(
+        "window_start", "event_type", "n_events"
+    )
+    return _mix_psi_from_counts(c)
+
+
+def _mix_psi_from_counts(c: DataFrame) -> DataFrame:
+    """Batch half of ``stream_mix_psi_replay`` over a landed
+    (window_start, event_type, n_events) table — factored so the
+    formula is pinnable on constructed counts without a streaming
+    run."""
+    wtot = c.groupBy("window_start").agg(
+        F.sum("n_events").cast("bigint").alias("wn")
+    )
+    gtot = c.groupBy("event_type").agg(
+        F.sum("n_events").cast("bigint").alias("gn")
+    )
+    n = c.agg(F.sum("n_events").cast("bigint").alias("total"))
+    grid = wtot.join(F.broadcast(gtot)).join(F.broadcast(n))
+    terms = grid.join(
+        c, ["window_start", "event_type"], "left"
+    ).select(
+        "window_start",
+        F.expr(
+            "CAST(ROUND("
+            "((COALESCE(n_events, 0) + 0.5e0) / (wn + 0.5e0)"
+            " - (CAST(gn AS DOUBLE) + 0.5e0) / (total + 0.5e0))"
+            " * LN(((COALESCE(n_events, 0) + 0.5e0) / (wn + 0.5e0))"
+            " / ((CAST(gn AS DOUBLE) + 0.5e0) / (total + 0.5e0)))"
+            " * 1000000000) AS BIGINT)"
+        ).alias("t_nano"),
+    )
+    return terms.groupBy("window_start").agg(
+        F.sum("t_nano").cast("bigint").alias("psi_nano"),
+        F.expr("ROUND(SUM(t_nano) / 1e9, 6)").alias("psi"),
+        F.expr("SUM(t_nano) > 200000000").alias("drifted"),
+    )

@@ -4196,3 +4196,49 @@ def test_jonckheere_matches_pair_enumeration_both_branches(
     assert r["j_statistic"] == pytest.approx(j, abs=0.01)
     assert r["z_score"] == pytest.approx(z, abs=2e-6)
     assert bool(r["significant"]) is False
+
+
+def test_stream_mix_psi_batch_half_matches_numpy(spark):
+    """The PSI formula recomputed in numpy on constructed landed
+    counts: a window with a flipped mix must flag, a window matching
+    the corpus mix must not, and absent types take the Laplace floor."""
+    from rs_streamloader_spark.streaming.replay import _mix_psi_from_counts
+
+    rows = [
+        # window A: matches the global mix (40 click / 40 view / 20 buy)
+        ("2024-01-01 10:00:00", "click", 40),
+        ("2024-01-01 10:00:00", "view", 40),
+        ("2024-01-01 10:00:00", "purchase", 20),
+        # window B: flipped mix, and 'purchase' entirely absent
+        ("2024-01-01 11:00:00", "click", 5),
+        ("2024-01-01 11:00:00", "view", 95),
+    ]
+    pdf = pd.DataFrame(rows, columns=["window_start", "event_type", "n_events"])
+    pdf["window_start"] = pd.to_datetime(pdf["window_start"])
+    c = spark.createDataFrame(pdf)
+    got = {
+        str(r["window_start"]): r
+        for r in _mix_psi_from_counts(c).collect()
+    }
+
+    types = ["click", "view", "purchase"]
+    g = {t: pdf[pdf.event_type == t].n_events.sum() for t in types}
+    total = sum(g.values())
+    for wname, wdf in pdf.groupby("window_start"):
+        wn = wdf.n_events.sum()
+        psi_nano = 0
+        for t in types:
+            cnt = int(wdf[wdf.event_type == t].n_events.sum())
+            p = (cnt + 0.5) / (wn + 0.5)
+            q = (g[t] + 0.5) / (total + 0.5)
+            psi_nano += round((p - q) * np.log(p / q) * 1e9)
+        r = got[str(wname)]
+        assert r["psi_nano"] == psi_nano
+        assert r["psi"] == pytest.approx(psi_nano / 1e9, abs=2e-6)
+        assert bool(r["drifted"]) == (psi_nano > 200_000_000)
+    # the flipped window is far more drifted than the balanced one
+    assert (
+        got["2024-01-01 11:00:00"]["psi"]
+        > got["2024-01-01 10:00:00"]["psi"]
+    )
+    assert bool(got["2024-01-01 11:00:00"]["drifted"]) is True

@@ -252,6 +252,7 @@ HEAVY_TAIL = [
     "fuzzy_name_match",
     "stream_upsert_loader_replay",
     "stream_topk_replay",
+    "stream_mix_psi_replay",
     "session_entry_exit_paths",
     "zipf_slope_fit",
     "embedding_outlier_topk",
