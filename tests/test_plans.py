@@ -3155,3 +3155,21 @@ def test_jonckheere_prefix_not_pair_join(spark):
     # one histogram aggregate + the prefix window + 1-row reduce; the
     # sizes join is broadcast
     assert has_broadcast_join(df), explain_str(df, "simple")[:1500]
+
+
+def test_negative_binomial_densified_grid_broadcast(spark):
+    from rs_streamloader_spark.operators.stats import negative_binomial_fit
+
+    df = negative_binomial_fit(spark, SF_SMOKE)
+    assert has_broadcast_join(df), explain_str(df, "simple")[:1500]
+    text = explain_str(df, "formatted")
+    assert "CartesianProduct" not in text
+
+
+def test_bimodality_two_pass_broadcast_moments(spark):
+    from rs_streamloader_spark.operators.stats import bimodality_coefficient
+
+    df = bimodality_coefficient(spark, SF_SMOKE)
+    assert has_broadcast_join(df), explain_str(df, "simple")[:1500]
+    cols = scan_columns(df)
+    assert {"value"} in cols or {"value", "event_type"} in cols, cols

@@ -4242,3 +4242,90 @@ def test_stream_mix_psi_batch_half_matches_numpy(spark):
         > got["2024-01-01 10:00:00"]["psi"]
     )
     assert bool(got["2024-01-01 11:00:00"]["drifted"]) is True
+
+
+def test_negative_binomial_fit_matches_numpy_both_branches(
+    spark, monkeypatch
+):
+    """r/p recomputed in numpy; a bursty type fits small r, a
+    Poisson-like type reports NULL parameters."""
+    from rs_streamloader_spark.operators.stats import negative_binomial_fit
+
+    rng = np.random.RandomState(191)
+    rows = []
+    eid = 0
+    base = pd.Timestamp("2024-01-01")
+    counts = {"burst": [], "steady": []}
+    for i in range(90):
+        d = (base + pd.Timedelta(days=i)).strftime("%Y-%m-%d")
+        nb = int(rng.negative_binomial(2, 0.15)) if i % 1 == 0 else 0
+        counts["burst"].append(nb)
+        for _ in range(nb):
+            eid += 1
+            rows.append((eid, d, eid % 40, "burst"))
+        po = int(rng.poisson(8))
+        counts["steady"].append(po)
+        for _ in range(po):
+            eid += 1
+            rows.append((eid, d, eid % 40, "steady"))
+        # keep every day represented
+        eid += 1
+        rows.append((eid, d, eid % 40, "anchor"))
+    _events_patch(spark, monkeypatch, rows)
+    got = {r["event_type"]: r for r in negative_binomial_fit(spark, "x").collect()}
+    for ty in ("burst", "steady"):
+        x = np.array(counts[ty], dtype=float)
+        mu, v = x.mean(), x.var(ddof=1)
+        r = got[ty]
+        assert r["n_days"] == 90
+        assert r["mean_daily"] == pytest.approx(mu, abs=2e-6)
+        assert r["var_daily"] == pytest.approx(v, abs=2e-6)
+        if v > mu:
+            assert r["nb_r"] == pytest.approx(mu * mu / (v - mu), abs=2e-5)
+            assert r["nb_p"] == pytest.approx(mu / v, abs=2e-6)
+            assert bool(r["overdispersed"]) is True
+    assert bool(got["burst"]["overdispersed"]) is True
+    assert got["burst"]["nb_r"] < 5
+
+
+def test_bimodality_coefficient_separates_mixture_from_gaussian(
+    spark, monkeypatch
+):
+    """BC recomputed in numpy; a two-mode mixture must exceed 5/9, a
+    unimodal gaussian must not."""
+    from rs_streamloader_spark.operators.stats import bimodality_coefficient
+
+    def run(vals):
+        rows = [
+            (i + 1, "2024-01-%02d" % (i % 28 + 1), i % 50, "click", float(v))
+            for i, v in enumerate(vals)
+        ]
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        sdf = spark.createDataFrame(pdf)
+        monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"events": sdf})
+        return bimodality_coefficient(spark, "x").collect()[0]
+
+    def brute(vals):
+        x = np.round(np.array(vals) * 1e9) / 1e9
+        z = (x - x.mean()) / x.std()
+        s = (np.round(z**3 * 1e9).sum()) / (len(x) * 1e9)
+        k = (np.round(z**4 * 1e9).sum()) / (len(x) * 1e9)
+        return s, k, (s * s + 1) / k
+
+    rng = np.random.RandomState(193)
+    mixture = list(np.concatenate([rng.randn(400) * 0.5 + 2,
+                                   rng.randn(400) * 0.5 + 8]))
+    r = run(mixture)
+    s, k, bc = brute(mixture)
+    assert r["skewness"] == pytest.approx(s, abs=5e-5)
+    assert r["kurtosis"] == pytest.approx(k, abs=5e-5)
+    assert r["bimodality_coef"] == pytest.approx(bc, abs=5e-5)
+    assert bool(r["bimodal_suspect"]) is True
+    gauss = list(rng.randn(800) * 1.5 + 5)
+    r = run(gauss)
+    s, k, bc = brute(gauss)
+    assert r["bimodality_coef"] == pytest.approx(bc, abs=5e-5)
+    assert bool(r["bimodal_suspect"]) is False

@@ -158,6 +158,8 @@ HEAVY_TAIL = [
     "kpss_level_test",
     "moods_median_test",
     "jonckheere_terpstra",
+    "negative_binomial_fit",
+    "bimodality_coefficient",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
@@ -496,6 +498,8 @@ CONSTANT_OUTPUT = {
     "kpss_level_test",
     "moods_median_test",
     "jonckheere_terpstra",
+    "negative_binomial_fit",
+    "bimodality_coefficient",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
