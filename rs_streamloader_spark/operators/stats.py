@@ -14640,3 +14640,161 @@ def bimodality_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ROUND({bc}, 6)").alias("bimodality_coef"),
         F.expr(f"{bc} > {_BC_UNIFORM}").alias("bimodal_suspect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hoover (Robin Hood) index of customer revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hoover_index",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rev) AS HUGEINT) AS t
+      FROM cust
+    ),
+    terms AS (
+      SELECT CAST(ABS(CAST(rev AS HUGEINT) * n - t) AS HUGEINT) AS dev
+      FROM cust CROSS JOIN tot
+    )
+    SELECT (SELECT n FROM tot) AS n_customers,
+           CAST((SELECT t FROM tot) AS BIGINT) AS total_cents,
+           ROUND(CAST(SUM(dev) AS DOUBLE)
+                 / (2e0 * (SELECT n FROM tot)
+                    * CAST((SELECT t FROM tot) AS DOUBLE)), 6)
+             AS hoover_index
+    FROM terms
+    """,
+)
+def hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hoover (Robin Hood) index of customer revenue: ½Σ|xᵢ/T − 1/n| —
+    the FRACTION OF TOTAL REVENUE that would have to move between
+    customers to equalize them, which is also the maximum vertical
+    gap of the Lorenz curve (``lorenz_curve_points``). The most
+    operationally interpretable member of the inequality family
+    (gini/theil/atkinson/palma): "12% of revenue sits with the wrong
+    customers relative to uniform". Every deviation |x·n − T| is an
+    EXACT integer; one double division at the end.
+
+    Scale posture: per-customer collapse, 1-row totals broadcast,
+    one combinable absolute-deviation sum; no sort, no window, one
+    output row.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    d38 = "DECIMAL(38,0)"
+    tot = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"CAST(SUM(rev) AS {d38})").alias("t"),
+    )
+    terms = cust.join(F.broadcast(tot)).select(
+        "n",
+        "t",
+        F.expr(f"CAST(ABS(CAST(rev AS {d38}) * n - t) AS {d38})").alias(
+            "dev"
+        ),
+    )
+    return terms.groupBy("n", "t").agg(
+        F.expr(
+            "ROUND(CAST(SUM(dev) AS DOUBLE)"
+            " / (2e0 * n * CAST(t AS DOUBLE)), 6)"
+        ).alias("hoover_index")
+    ).select(
+        F.col("n").alias("n_customers"),
+        F.col("t").cast("bigint").alias("total_cents"),
+        "hoover_index",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bowley quartile skewness of order totals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bowley_quartile_skew",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders
+    ),
+    vt AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS ct FROM vals GROUP BY v),
+    cum AS (
+      SELECT v, SUM(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc
+      FROM vt
+    ),
+    tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM vt),
+    q AS (
+      SELECT
+        (SELECT MIN(v) FROM cum CROSS JOIN tot
+         WHERE cc >= (n + 3) // 4) AS q1,
+        (SELECT MIN(v) FROM cum CROSS JOIN tot
+         WHERE cc >= (n + 1) // 2) AS q2,
+        (SELECT MIN(v) FROM cum CROSS JOIN tot
+         WHERE cc >= (3 * n + 1) // 4) AS q3
+    )
+    SELECT (SELECT n FROM tot) AS n_orders,
+           q1 AS q1_cents, q2 AS q2_cents, q3 AS q3_cents,
+           CASE WHEN q3 > q1 THEN
+             ROUND(CAST(q1 + q3 - 2 * q2 AS DOUBLE) / (q3 - q1), 6)
+           END AS bowley_skew
+    FROM q
+    """,
+)
+def bowley_quartile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowley (quartile) skewness of order totals: (Q₁+Q₃−2·Q₂)/
+    (Q₃−Q₁) — the ROBUST skewness that ignores everything outside the
+    quartiles, next to the moment skewness in
+    ``jarque_bera_normality`` (one corrupt extreme value moves the
+    moment version arbitrarily; Bowley not at all). Quartiles are
+    exact PERCENTILE_DISC-convention histogram-index picks (ranks
+    ⌈n/4⌉/⌈n/2⌉/⌈3n/4⌉, same machinery as the median tests); the
+    statistic is one ratio of exact integers. Degenerate IQR = 0
+    reports NULL identically in both engines.
+
+    Scale posture: one cents-histogram collapse, a banded prefix,
+    three broadcast rank picks, one output row; no raw-row sort.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    vals = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v")
+    )
+    vt = vals.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vt.select("v", F.sum("ct").over(wv).alias("cc"))
+    tot = vt.agg(F.sum("ct").cast("bigint").alias("n"))
+    j = cum.join(F.broadcast(tot))
+    q1 = j.where("cc >= (n + 3) div 4").agg(F.min("v").alias("q1"))
+    q2 = j.where("cc >= (n + 1) div 2").agg(F.min("v").alias("q2"))
+    q3 = j.where("cc >= (3 * n + 1) div 4").agg(F.min("v").alias("q3"))
+    return (
+        q1.join(F.broadcast(q2))
+        .join(F.broadcast(q3))
+        .join(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_orders"),
+            F.col("q1").alias("q1_cents"),
+            F.col("q2").alias("q2_cents"),
+            F.col("q3").alias("q3_cents"),
+            F.expr(
+                "CASE WHEN q3 > q1 THEN"
+                " ROUND(CAST(q1 + q3 - 2 * q2 AS DOUBLE) / (q3 - q1), 6)"
+                " END"
+            ).alias("bowley_skew"),
+        )
+    )

@@ -3173,3 +3173,21 @@ def test_bimodality_two_pass_broadcast_moments(spark):
     assert has_broadcast_join(df), explain_str(df, "simple")[:1500]
     cols = scan_columns(df)
     assert {"value"} in cols or {"value", "event_type"} in cols, cols
+
+
+def test_hoover_single_pass_broadcast_totals(spark):
+    from rs_streamloader_spark.operators.stats import hoover_index
+
+    df = hoover_index(spark, SF_SMOKE)
+    assert has_broadcast_join(df), explain_str(df, "simple")[:1500]
+    text = explain_str(df, "simple")
+    assert "rangepartitioning" not in text.lower(), text[:1500]
+
+
+def test_bowley_histogram_picks_no_raw_sort(spark):
+    from rs_streamloader_spark.operators.stats import bowley_quartile_skew
+
+    df = bowley_quartile_skew(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert text.lower().count("rangepartitioning") <= 1, text[:1500]
+    assert has_broadcast_join(df), text[:1500]

@@ -4329,3 +4329,66 @@ def test_bimodality_coefficient_separates_mixture_from_gaussian(
     s, k, bc = brute(gauss)
     assert r["bimodality_coef"] == pytest.approx(bc, abs=5e-5)
     assert bool(r["bimodal_suspect"]) is False
+
+
+def test_hoover_matches_numpy_and_lorenz_max_gap(spark, monkeypatch):
+    """Hoover recomputed in numpy two ways: the deviation formula AND
+    the max Lorenz vertical gap (they must agree); equality gives 0."""
+    from rs_streamloader_spark.operators.stats import hoover_index
+
+    def orders_per_cust(revs):
+        rows = [(i, "1995-06-01", float(r), i) for i, r in enumerate(revs)]
+        pdf = pd.DataFrame(
+            rows,
+            columns=["o_orderkey", "o_orderdate", "o_totalprice", "o_custkey"],
+        )
+        sdf = spark.createDataFrame(pdf)
+        monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"orders": sdf})
+
+    rng = np.random.RandomState(197)
+    revs = list(rng.pareto(1.8, 300) * 100 + 10)
+    orders_per_cust(revs)
+    r = hoover_index(spark, "x").collect()[0]
+    c = np.round(np.array(revs) * 100)
+    n, t = len(c), c.sum()
+    hoover = np.abs(c * n - t).sum() / (2 * n * t)
+    assert r["n_customers"] == n
+    assert r["hoover_index"] == pytest.approx(hoover, abs=2e-6)
+    # Lorenz max-gap identity
+    cs = np.sort(c)
+    lorenz_gap = np.max(np.arange(1, n + 1) / n - np.cumsum(cs) / t)
+    assert r["hoover_index"] == pytest.approx(lorenz_gap, abs=1e-3)
+    orders_per_cust([250.0] * 100)
+    r = hoover_index(spark, "x").collect()[0]
+    assert r["hoover_index"] == 0.0
+
+
+def test_bowley_skew_matches_numpy_and_is_outlier_immune(
+    spark, monkeypatch
+):
+    """Quartiles and skew recomputed with the PERCENTILE_DISC
+    convention; a x1000 outlier must not move it."""
+    from rs_streamloader_spark.operators.stats import bowley_quartile_skew
+
+    rng = np.random.RandomState(199)
+    vals = list(np.round(rng.lognormal(5, 0.8, 500), 2))
+    days = [("1995-06-%02d" % (i % 28 + 1), v) for i, v in enumerate(vals)]
+    _orders_patch(spark, monkeypatch, days)
+    r = bowley_quartile_skew(spark, "x").collect()[0]
+    c = np.sort(np.round(np.array(vals) * 100))
+    n = len(c)
+    q1 = c[-(-n // 4) - 1]
+    q2 = c[-(-n // 2) - 1]
+    q3 = c[-(-(3 * n) // 4) - 1]
+    assert (r["q1_cents"], r["q2_cents"], r["q3_cents"]) == (q1, q2, q3)
+    assert r["bowley_skew"] == pytest.approx(
+        (q1 + q3 - 2 * q2) / (q3 - q1), abs=2e-6
+    )
+    assert r["bowley_skew"] > 0  # lognormal: right-skewed
+    vals2 = list(vals)
+    vals2[0] = vals2[0] * 1000  # corrupt one extreme
+    days = [("1995-06-%02d" % (i % 28 + 1), v) for i, v in enumerate(vals2)]
+    _orders_patch(spark, monkeypatch, days)
+    r2 = bowley_quartile_skew(spark, "x").collect()[0]
+    # identical unless the corrupted value crossed a quartile boundary
+    assert r2["bowley_skew"] == pytest.approx(r["bowley_skew"], abs=1e-3)

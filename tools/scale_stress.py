@@ -160,6 +160,8 @@ HEAVY_TAIL = [
     "jonckheere_terpstra",
     "negative_binomial_fit",
     "bimodality_coefficient",
+    "hoover_index",
+    "bowley_quartile_skew",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
@@ -500,6 +502,8 @@ CONSTANT_OUTPUT = {
     "jonckheere_terpstra",
     "negative_binomial_fit",
     "bimodality_coefficient",
+    "hoover_index",
+    "bowley_quartile_skew",
     "poisson_bootstrap_ci",
     "mann_whitney_u",
     "effect_size_cohens_d",
