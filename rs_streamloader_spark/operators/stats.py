@@ -14744,7 +14744,7 @@ def hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         (SELECT MIN(v) FROM cum CROSS JOIN tot
          WHERE cc >= (n + 1) // 2) AS q2,
         (SELECT MIN(v) FROM cum CROSS JOIN tot
-         WHERE cc >= (3 * n + 1) // 4) AS q3
+         WHERE cc >= (3 * n + 3) // 4) AS q3
     )
     SELECT (SELECT n FROM tot) AS n_orders,
            q1 AS q1_cents, q2 AS q2_cents, q3 AS q3_cents,
@@ -14781,7 +14781,7 @@ def bowley_quartile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = cum.join(F.broadcast(tot))
     q1 = j.where("cc >= (n + 3) div 4").agg(F.min("v").alias("q1"))
     q2 = j.where("cc >= (n + 1) div 2").agg(F.min("v").alias("q2"))
-    q3 = j.where("cc >= (3 * n + 1) div 4").agg(F.min("v").alias("q3"))
+    q3 = j.where("cc >= (3 * n + 3) div 4").agg(F.min("v").alias("q3"))
     return (
         q1.join(F.broadcast(q2))
         .join(F.broadcast(q3))

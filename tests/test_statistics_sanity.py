@@ -4371,20 +4371,27 @@ def test_bowley_skew_matches_numpy_and_is_outlier_immune(
     from rs_streamloader_spark.operators.stats import bowley_quartile_skew
 
     rng = np.random.RandomState(199)
-    vals = list(np.round(rng.lognormal(5, 0.8, 500), 2))
-    days = [("1995-06-%02d" % (i % 28 + 1), v) for i, v in enumerate(vals)]
-    _orders_patch(spark, monkeypatch, days)
-    r = bowley_quartile_skew(spark, "x").collect()[0]
-    c = np.sort(np.round(np.array(vals) * 100))
-    n = len(c)
-    q1 = c[-(-n // 4) - 1]
-    q2 = c[-(-n // 2) - 1]
-    q3 = c[-(-(3 * n) // 4) - 1]
-    assert (r["q1_cents"], r["q2_cents"], r["q3_cents"]) == (q1, q2, q3)
-    assert r["bowley_skew"] == pytest.approx(
-        (q1 + q3 - 2 * q2) / (q3 - q1), abs=2e-6
-    )
-    assert r["bowley_skew"] > 0  # lognormal: right-skewed
+    # n mod 4 in {0, 2, 3}: the ceil(3n/4) Q3 rank differs from the
+    # (3n+1) div 4 convention exactly when n is 2 or 3 (mod 4), so the
+    # 502/503 runs pin the rank convention the n=500 run masks.
+    vals = None
+    for size in (500, 502, 503):
+        vals = list(np.round(rng.lognormal(5, 0.8, size), 2))
+        days = [
+            ("1995-06-%02d" % (i % 28 + 1), v) for i, v in enumerate(vals)
+        ]
+        _orders_patch(spark, monkeypatch, days)
+        r = bowley_quartile_skew(spark, "x").collect()[0]
+        c = np.sort(np.round(np.array(vals) * 100))
+        n = len(c)
+        q1 = c[-(-n // 4) - 1]
+        q2 = c[-(-n // 2) - 1]
+        q3 = c[-(-(3 * n) // 4) - 1]
+        assert (r["q1_cents"], r["q2_cents"], r["q3_cents"]) == (q1, q2, q3)
+        assert r["bowley_skew"] == pytest.approx(
+            (q1 + q3 - 2 * q2) / (q3 - q1), abs=2e-6
+        )
+        assert r["bowley_skew"] > 0  # lognormal: right-skewed
     vals2 = list(vals)
     vals2[0] = vals2[0] * 1000  # corrupt one extreme
     days = [("1995-06-%02d" % (i % 28 + 1), v) for i, v in enumerate(vals2)]
