@@ -3191,3 +3191,44 @@ def test_bowley_histogram_picks_no_raw_sort(spark):
     text = explain_str(df, "simple")
     assert text.lower().count("rangepartitioning") <= 1, text[:1500]
     assert has_broadcast_join(df), text[:1500]
+
+
+def test_multimodal_decode_family_is_map_only(spark):
+    """The real-decode multimodal family (r13) must stay map-only:
+    one documents scan feeding an Arrow MapInPandas stage, ZERO
+    exchanges — at 100 TB the payload bytes must flow executor→Python
+    worker without ever crossing a shuffle."""
+    from rs_streamloader_spark.operators.multimodal import (
+        audio_haar_band_energy,
+        multimodal_features,
+        multimodal_frames,
+        multimodal_resize,
+    )
+
+    for fn in (
+        multimodal_features,
+        multimodal_frames,
+        multimodal_resize,
+        audio_haar_band_energy,
+    ):
+        df = fn(spark, SF_SMOKE)
+        text = explain_str(df, "simple")
+        assert shuffle_count(df) == 0, (fn.__name__, text[:1500])
+        assert "MapInPandas" in text, (fn.__name__, text[:1500])
+        assert len(re.findall(r"(?:File)?Scan parquet", text)) == 1, (
+            fn.__name__,
+            text[:1500],
+        )
+
+
+def test_multimodal_meta_header_parse_is_jvm_codegen(spark):
+    """multimodal_meta's header parsing (magic sniff, little-endian
+    dimension reads, Y4M regexp) must compile into the JVM projection
+    — exactly ONE Python stage (the payload synthesis stand-in), no
+    second Python round-trip for the parse."""
+    from rs_streamloader_spark.operators.multimodal import multimodal_meta
+
+    df = multimodal_meta(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert shuffle_count(df) == 0, text[:1500]
+    assert text.count("MapInPandas") == 1, text[:1500]

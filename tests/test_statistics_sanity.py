@@ -4399,3 +4399,76 @@ def test_bowley_skew_matches_numpy_and_is_outlier_immune(
     r2 = bowley_quartile_skew(spark, "x").collect()[0]
     # identical unless the corrupted value crossed a quartile boundary
     assert r2["bowley_skew"] == pytest.approx(r["bowley_skew"], abs=1e-3)
+
+
+def test_multimodal_pcm_features_match_numpy(spark, monkeypatch):
+    """Third vote on the PCM feature math (the oracle and the Spark
+    path both derive from the synthesis contract; numpy recomputes it
+    from scratch on a constructed corpus): energy, peak, zero
+    crossings and the Haar band split, including a doc engineered so
+    the low band dominates (constant run → E_high = 0 contribution)
+    and one alternating doc where the high band dominates."""
+    import rs_streamloader_spark.operators.multimodal as M
+    from rs_streamloader_spark.operators.multimodal import (
+        audio_haar_band_energy,
+        multimodal_features,
+    )
+
+    texts = [
+        "aaaaaaaaaa",          # constant: zero crossings 0, E_high 0
+        "a_a_a_a_a_",          # ±256 alternation: E_low = 0, max crossings
+        "The quick brown fox!",
+        "`" * 4 + "x" * 4,     # samples exactly 0 (ord 96) in a run
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(
+        M, "load_tables", lambda _s, _d, *names: {"documents": sdf}
+    )
+
+    feats = {r["doc_id"]: r for r in multimodal_features(spark, "x").collect()}
+    haar = {r["doc_id"]: r for r in audio_haar_band_energy(spark, "x").collect()}
+    for i, t in enumerate(texts):
+        s = (np.array([ord(c) for c in t]) - 96) * 256
+        assert feats[i]["n_samples"] == len(s)
+        assert feats[i]["peak_abs"] == int(np.abs(s).max())
+        assert feats[i]["energy"] == int((s.astype("int64") ** 2).sum())
+        nonneg = s >= 0
+        assert feats[i]["zero_cross"] == int((nonneg[1:] != nonneg[:-1]).sum())
+        a = s[0::2][: len(s) // 2] + s[1::2]
+        d = s[0::2][: len(s) // 2] - s[1::2]
+        assert haar[i]["e_low"] == int((a.astype("int64") ** 2).sum())
+        assert haar[i]["e_high"] == int((d.astype("int64") ** 2).sum())
+    # the engineered extremes actually exercise both band branches
+    assert feats[0]["zero_cross"] == 0 and haar[0]["e_high"] == 0
+    assert haar[1]["e_low"] == 0 and haar[1]["high_ratio"] == 1.0
+    assert feats[1]["zero_cross"] == 9
+
+
+def test_multimodal_resize_luminance_matches_numpy(spark, monkeypatch):
+    """The 4x4 nearest-neighbor thumbnail recomputed from scratch in
+    numpy: build the full WxH pixel grid per the synthesis contract,
+    index it with the resize mapping, and check the BT.709 integer
+    luminance sum and dimensions."""
+    import rs_streamloader_spark.operators.multimodal as M
+    from rs_streamloader_spark.operators.multimodal import multimodal_resize
+
+    texts = ["Nearest neighbor needs asymmetry 0123456789", "zyx" * 30]
+    doc_ids = [5, 7]  # W = 8 + id % 9 → 13 and 14 (padding classes differ)
+    pdf = pd.DataFrame({"doc_id": doc_ids, "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(
+        M, "load_tables", lambda _s, _d, *names: {"documents": sdf}
+    )
+    rows = {r["doc_id"]: r for r in multimodal_resize(spark, "x").collect()}
+    for doc_id, t in zip(doc_ids, texts):
+        n = len(t)
+        w, h = 8 + doc_id % 9, 8 + n % 9
+        lum = 0
+        for rp in range(4):
+            for cp in range(4):
+                r0, c0 = (rp * h) // 4, (cp * w) // 4
+                v = ord(t[(r0 * w + c0) % n])
+                lum += 2126 * v + 7152 * ((v + c0) % 256) + 722 * ((v + r0) % 256)
+        assert (rows[doc_id]["width"], rows[doc_id]["height"]) == (w, h)
+        assert rows[doc_id]["thumb_lum_sum"] == lum
