@@ -2714,3 +2714,242 @@ def graph_modularity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "within_edges",
         "modularity",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-run incremental dedup through the native sink (r13)
+# ---------------------------------------------------------------------------
+
+# incoming doc is a duplicate when ≥ this many of the 16 minhash
+# components agree with a store doc (estimated Jaccard ≥ 0.5)
+_INC_MATCH_MIN = 8
+
+
+def _inc_minhash_oracle() -> str:
+    rows = N_MINHASH // N_BANDS
+    mins = ",\n             ".join(
+        f"MIN(MD5('{k}|' || sh)) AS h{k}" for k in range(N_MINHASH)
+    )
+
+    def bands(src: str) -> str:
+        parts = []
+        for b in range(N_BANDS):
+            cat = " || ".join(f"h{b * rows + r}" for r in range(rows))
+            parts.append(
+                f"SELECT doc_id, {b} AS band_idx, MD5({cat}) AS band_val FROM {src}"
+            )
+        return "\n      UNION ALL\n      ".join(parts)
+
+    n_match = " + ".join(
+        f"(CASE WHEN i.h{k} = t.h{k} THEN 1 ELSE 0 END)" for k in range(N_MINHASH)
+    )
+    return f"""
+    WITH s AS ({_SHINGLE_SQL}),
+    sig AS (SELECT doc_id, {mins} FROM s GROUP BY doc_id),
+    store AS (SELECT * FROM sig WHERE doc_id % 2 = 0),
+    inc AS (SELECT * FROM sig WHERE doc_id % 2 = 1),
+    sb AS (
+      {bands("store")}
+    ),
+    ib AS (
+      {bands("inc")}
+    ),
+    cand AS (
+      SELECT DISTINCT i.doc_id AS inc_doc, t.doc_id AS store_doc
+      FROM ib i JOIN sb t
+        ON i.band_idx = t.band_idx AND i.band_val = t.band_val
+    ),
+    scored AS (
+      SELECT c.inc_doc, c.store_doc, {n_match} AS n_match
+      FROM cand c
+      JOIN inc i ON i.doc_id = c.inc_doc
+      JOIN store t ON t.doc_id = c.store_doc
+    ),
+    best AS (
+      SELECT inc_doc, store_doc, n_match,
+             ROW_NUMBER() OVER (PARTITION BY inc_doc
+                                ORDER BY n_match DESC, store_doc) AS rn
+      FROM scored
+    )
+    SELECT i.doc_id,
+           b.store_doc AS matched_doc,
+           CAST(COALESCE(b.n_match, 0) AS INTEGER) AS n_match,
+           ROUND(COALESCE(b.n_match, 0) / 16.0, 6) AS est_jaccard,
+           COALESCE(b.n_match, 0) >= {_INC_MATCH_MIN} AS is_dup
+    FROM inc i
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.inc_doc = i.doc_id
+    """
+
+
+def _band_view(df: DataFrame) -> DataFrame:
+    """(doc_id, h0..h15, bvals, band_idx, band_val) — the exploded
+    banding view carrying the full signature through, so candidate
+    scoring needs no second signature join."""
+    rows = N_MINHASH // N_BANDS
+    hcols = [f"h{k}" for k in range(N_MINHASH)]
+    bvals = F.array(
+        *[
+            F.md5(F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]))
+            for b in range(N_BANDS)
+        ]
+    )
+    return df.select("doc_id", *hcols, bvals.alias("bvals")).select(
+        "doc_id",
+        *hcols,
+        "bvals",
+        F.posexplode("bvals").alias("band_idx", "band_val"),
+    )
+
+
+def _incremental_decision(inc_sigs: DataFrame, store: DataFrame) -> DataFrame:
+    """Batch-vs-store decision table: LSH band candidates against the
+    persisted store (first-matching-band emission), scored by agreeing
+    minhash components, best match per incoming doc, left-joined back
+    so novel docs report n_match = 0. Split out so the plan guard can
+    assert the shuffle-hash pin on the pre-checkpoint plan."""
+    ib = _band_view(inc_sigs).alias("i")
+    tb = _band_view(store).alias("t")
+    first_match = F.expr(
+        "NOT exists(zip_with(slice(i.bvals, 1, i.band_idx),"
+        " slice(t.bvals, 1, t.band_idx), (x, y) -> x = y), p -> p)"
+    )
+    n_match = None
+    for k in range(N_MINHASH):
+        term = (F.col(f"i.h{k}") == F.col(f"t.h{k}")).cast("int")
+        n_match = term if n_match is None else n_match + term
+    scored = (
+        # shuffle-hash pinned: the store side grows with the corpus, so
+        # the base-scale AQE broadcast is never the 100 TB shape (the
+        # r10 k=100 flip class)
+        ib.join(
+            tb.hint("shuffle_hash"),
+            (F.col("i.band_idx") == F.col("t.band_idx"))
+            & (F.col("i.band_val") == F.col("t.band_val")),
+        )
+        .filter(first_match)
+        .select(
+            F.col("i.doc_id").alias("inc_doc"),
+            F.col("t.doc_id").alias("store_doc"),
+            n_match.alias("n_match"),
+        )
+    )
+    best = (
+        scored.groupBy("inc_doc")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_match"), (-F.col("store_doc")).alias("neg_doc")
+                )
+            ).alias("m")
+        )
+        .select(
+            "inc_doc",
+            (-F.col("m.neg_doc")).cast("bigint").alias("matched_doc"),
+            F.col("m.n_match").alias("best_match"),
+        )
+    )
+    return (
+        inc_sigs.select("doc_id")
+        .join(best, F.col("doc_id") == F.col("inc_doc"), "left")
+        .select(
+            "doc_id",
+            "matched_doc",
+            F.coalesce("best_match", F.lit(0)).cast("int").alias("n_match"),
+            F.round(
+                F.coalesce("best_match", F.lit(0)).cast("double") / F.lit(16e0),
+                6,
+            ).alias("est_jaccard"),
+            (F.coalesce("best_match", F.lit(0)) >= _INC_MATCH_MIN).alias(
+                "is_dup"
+            ),
+        )
+    )
+
+
+@register("dedup_incremental_minhash", oracle=_inc_minhash_oracle())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-RUN incremental dedup through the native sink — the
+    production shape for continuous ingestion that single-run dedup
+    never exercises (VERDICT r12 next-round #2): batch 1's minhash
+    signature store is PERSISTED via the ``Loader`` staged-upsert path
+    into a bucketed native table (the reference's keyed-upsert load
+    mode, RedshiftLoader.ts:369-384, applied to signatures instead of
+    rows), then batch 2 lands and is deduped against the table READ
+    BACK FROM DISK — not against an in-session DataFrame — and its own
+    signatures are upserted into the store afterwards, leaving the
+    state the next run needs.
+
+    Batches are the deterministic doc_id-parity split (even → already
+    ingested store, odd → incoming). An incoming doc's candidates come
+    from LSH band equality against the persisted store (first-matching
+    -band emission, no DISTINCT shuffle), scored by the number of
+    agreeing minhash components (estimated Jaccard = n_match/16 — at
+    ingestion time the store holds ONLY signatures, never the original
+    shingles, which is what makes the state O(docs), not O(tokens));
+    best match per doc = max agreement, min store doc on ties; a doc
+    with agreement ≥ {_INC_MATCH_MIN}/16 is a duplicate.
+
+    The oracle replays the identical protocol declaratively (split,
+    band, candidate, score, rank), so the staged write, the bucketed
+    read-back, and the decision math are all load-bearing.
+
+    Scale posture: the store table is hash-bucketed on doc_id, so each
+    run's signature upsert rewrites only the buckets its batch touches
+    (bytes track batch size, not store size — measured in
+    SCALE_STRESS_r12_loader.json); the band join is shuffle-hash
+    pinned (both sides corpus-sized here; at production the incoming
+    side is one batch). The decision table is localCheckpoint-ed
+    (O(batch) narrow rows) before batch 2's upsert retires the store
+    version it was computed from."""
+    import os
+    import shutil
+    import tempfile
+
+    from rs_streamloader_spark.loader import Loader
+    from rs_streamloader_spark.sinks.native import NativeTableSink
+
+    sig = _minhash_sig_cached(spark, sf_dir)
+    store_sigs = sig.where(F.col("doc_id") % 2 == 0)
+    inc_sigs = sig.where(F.col("doc_id") % 2 == 1)
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "rs_sl_incdedup",
+        spark.sparkContext.applicationId,
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    sink = NativeTableSink(
+        spark,
+        os.path.join(base, "sig_store"),
+        num_buckets=16,
+        bucket_by="doc_id",
+    )
+
+    def land(df: DataFrame, stage: str) -> None:
+        loader = Loader(
+            spark,
+            options={
+                "table": "wh.sig_store",
+                "id_field": "doc_id",
+                "staging_format": "parquet",
+                "copy_settings": {"format": "PARQUET"},
+            },
+            sink=sink,
+            staging_root=os.path.join(base, stage),
+        )
+        loader.add_source(df)
+        loader.upsert()
+
+    # run 1: the already-ingested corpus half becomes the persisted store
+    land(store_sigs, "stage_run1")
+    store = sink.read()  # the state batch 2 actually sees: disk, not lineage
+
+    # materialize the decision table BEFORE run 2's upsert retires the
+    # store version its plan reads (O(batch) narrow rows)
+    out = _incremental_decision(inc_sigs, store).localCheckpoint(eager=True)
+
+    # run 2: the incoming batch's signatures join the store — the state
+    # handoff that makes the next run incremental
+    land(inc_sigs, "stage_run2")
+    return out

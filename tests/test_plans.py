@@ -3232,3 +3232,30 @@ def test_multimodal_meta_header_parse_is_jvm_codegen(spark):
     text = explain_str(df, "simple")
     assert shuffle_count(df) == 0, text[:1500]
     assert text.count("MapInPandas") == 1, text[:1500]
+
+
+def test_incremental_dedup_band_join_never_broadcasts_store(spark):
+    """The incremental-dedup band join's store side grows with the
+    ingested corpus — the plan must be the pinned shuffle-hash shape,
+    never a broadcast of the store (the r10 k=100 flip class). Guarded
+    on the pre-checkpoint decision plan with in-memory frames (the
+    registered query returns a checkpoint whose plan is opaque)."""
+    from rs_streamloader_spark.operators.dedup import (
+        N_MINHASH,
+        _incremental_decision,
+    )
+
+    cols = ", ".join(f"h{k} string" for k in range(N_MINHASH))
+    sig = spark.createDataFrame(
+        [tuple([i] + [f"{i + k:032x}" for k in range(N_MINHASH)]) for i in range(40)],
+        f"doc_id bigint, {cols}",
+    )
+    df = _incremental_decision(
+        sig.where("doc_id % 2 = 1"), sig.where("doc_id % 2 = 0")
+    )
+    text = explain_str(df, "simple")
+    assert "ShuffledHashJoin" in text, text[:2000]
+    bands_joins = [
+        ln for ln in text.splitlines() if "BroadcastHashJoin" in ln and "band" in ln
+    ]
+    assert not bands_joins, bands_joins
