@@ -20,6 +20,20 @@ first member absorbed the build and later members timed cached reads,
 so ordering changes moved per-query numbers across rounds (ADVICE r2).
 Round-over-round comparisons: compare ``queries`` entries per-query
 and ``stages`` entries separately; ``value`` stays the query total.
+
+Min-phase snapshots (VERDICT r12 next-round #3): this VM has bimodal
+same-code performance phases (six serial quiet runs of identical r12
+code spanned 228–257s), so a single-run BENCH_FULL can overstate cost
+by ~11%. With ``SPARK_GRAFT_BENCH_MERGE=1`` the run MERGES into an
+existing BENCH_FULL.json instead of overwriting it — per-query/stage
+minimums, but ONLY when the existing file's ``code_rev`` matches the
+current git state (a merge across code changes would fabricate a
+chimera no run ever produced). Every BENCH_FULL records its
+``code_rev``, the ``run_history`` of each contributing run's batch
+total, and the derived ``phase_spread`` — the committed snapshot is
+therefore the min-phase run with the spread documented in the
+artifact itself. Snapshot protocol: run bench.py serially ≥2 times on
+a quiet box, all but the first with MERGE=1.
 """
 
 from __future__ import annotations
@@ -30,6 +44,57 @@ import sys
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _code_rev() -> str:
+    """Current git state id: HEAD sha, '-dirty' when the worktree has
+    uncommitted changes — the identity a min-merge is valid within."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        sha = subprocess.check_output(
+            ["git", "rev-parse", "HEAD"], cwd=here, text=True
+        ).strip()
+        dirty = subprocess.call(
+            ["git", "diff", "--quiet", "HEAD"], cwd=here
+        ) != 0
+        return sha + ("-dirty" if dirty else "")
+    except Exception:
+        return "unknown"
+
+
+def _merge_min(full: dict, full_path: str, rev: str) -> dict:
+    """Fold this run into an existing same-code BENCH_FULL: per-query
+    and per-stage minimums (failures never shadow a success), appended
+    run history, recomputed totals. Returns ``full`` untouched when
+    there is nothing valid to merge into."""
+    try:
+        with open(full_path) as fh:
+            prev = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return full
+    if prev.get("code_rev") != rev or prev.get("sf") != full["sf"]:
+        print(
+            f"BENCH merge skipped: existing BENCH_FULL is "
+            f"{prev.get('code_rev')!r} at sf={prev.get('sf')!r}, current run "
+            f"is {rev!r} at sf={full['sf']!r}",
+            file=sys.stderr,
+        )
+        return full
+
+    def fold(cur: dict, old: dict) -> dict:
+        out = dict(old)
+        for k, v in cur.items():
+            o = out.get(k)
+            if o is None or o < 0 or (v >= 0 and v < o):
+                out[k] = v
+        return out
+
+    full["queries"] = fold(full["queries"], prev.get("queries") or {})
+    full["stages"] = fold(full["stages"], prev.get("stages") or {})
+    full["run_history"] = (prev.get("run_history") or []) + full["run_history"]
+    return full
 
 
 def main() -> None:
@@ -127,34 +192,60 @@ def main() -> None:
             print(f"BENCH FAIL {name}: {exc}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    def _batch_total(tm: dict) -> float:
+        return round(
+            sum(t for n, t in tm.items() if t >= 0 and not n.endswith("_replay")),
+            3,
+        )
+
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    rev = _code_rev()
+    full = {
+        "metric": "total_query_seconds",
+        "unit": "sec",
+        "queries": timings,
+        "stages": stage_timings,
+        "sf": sf_val,
+        "code_rev": rev,
+        "run_history": [_batch_total(timings)],
+    }
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    # min-phase merge across serial same-code runs (module docstring):
+    # the committed snapshot is the min-phase run, spread recorded
+    if os.environ.get("SPARK_GRAFT_BENCH_MERGE") == "1":
+        full = _merge_min(full, full_path, rev)
+    timings = full["queries"]
+    stage_timings = full["stages"]
     # the *_replay queries run REAL Structured Streaming jobs (scratch
     # staging + availableNow micro-batches + state stores) inside the
     # timing — report them separately so the headline batch total stays
     # comparable round-over-round; all per-query numbers are in
     # "queries" either way
-    batch_total = round(
-        sum(t for n, t in timings.items() if t >= 0 and not n.endswith("_replay")),
-        3,
-    )
+    batch_total = _batch_total(timings)
     replay_total = round(
         sum(t for n, t in timings.items() if t >= 0 and n.endswith("_replay")), 3
     )
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    full = {
-        "metric": "total_query_seconds",
-        "value": batch_total,
-        "value_is": "batch_seconds (streaming replays reported separately)",
-        "unit": "sec",
-        "queries": timings,
-        "batch_seconds": batch_total,
-        "streaming_replay_seconds": replay_total,
-        "streaming_replay_total": replay_total,
-        "stages": stage_timings,
-        "stages_total": round(
-            sum(t for t in stage_timings.values() if t >= 0), 3
-        ),
-        "sf": sf_val,
-    }
+    full.update(
+        {
+            "value": batch_total,
+            "value_is": "batch_seconds (streaming replays reported separately)",
+            "batch_seconds": batch_total,
+            "streaming_replay_seconds": replay_total,
+            "streaming_replay_total": replay_total,
+            "stages_total": round(
+                sum(t for t in stage_timings.values() if t >= 0), 3
+            ),
+            "phase_spread": {
+                "n_runs": len(full["run_history"]),
+                "run_batch_totals": full["run_history"],
+                "min": min(full["run_history"]),
+                "max": max(full["run_history"]),
+            },
+        }
+    )
     # Full per-query detail goes to a file; stdout gets ONE compact
     # JSON line. The driver captures only the final ~2000 chars of
     # output and parses the JSON line out of that tail — a line
@@ -163,9 +254,6 @@ def main() -> None:
     # "parsed": null for exactly this reason). The compact line keeps
     # the headline TPC-H per-query numbers + totals and points at the
     # sibling file for everything else.
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
     print(f"BENCH full detail -> {full_path}", file=sys.stderr, flush=True)
