@@ -573,3 +573,297 @@ def audio_haar_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ROUND(CAST(e_high AS DOUBLE) / (e_low + e_high), 6) END"
         ).alias("high_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# image_dhash_dedup — perceptual near-dup buckets over decoded pixels
+# ---------------------------------------------------------------------------
+
+_DH_ROWS = 4
+_DH_COLS = 5  # 5 columns → 4 horizontal comparisons per row → 16 bits
+
+
+def _dhash_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode → REAL BMP decode → dHash: sample a 4x5 luminance grid
+    (nearest neighbor on the 2-D pixel grid), compare horizontally
+    adjacent cells, pack 16 bits."""
+    for pdf in batches:
+        out = {"doc_id": [], "dhash": []}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            w0, h0, grid0 = _image_grid(int(doc_id), text)
+            w, h, grid = decode_bmp(encode_bmp(w0, h0, grid0))
+            lum = [
+                [
+                    2126 * grid[(r * h) // _DH_ROWS][(c * w) // _DH_COLS][0]
+                    + 7152 * grid[(r * h) // _DH_ROWS][(c * w) // _DH_COLS][1]
+                    + 722 * grid[(r * h) // _DH_ROWS][(c * w) // _DH_COLS][2]
+                    for c in range(_DH_COLS)
+                ]
+                for r in range(_DH_ROWS)
+            ]
+            bits = 0
+            for r in range(_DH_ROWS):
+                for c in range(_DH_COLS - 1):
+                    if lum[r][c] > lum[r][c + 1]:
+                        bits |= 1 << (r * (_DH_COLS - 1) + c)
+            out["doc_id"].append(doc_id)
+            out["dhash"].append(bits)
+        yield pd.DataFrame(out).astype({"doc_id": "int64", "dhash": "int32"})
+
+
+@register(
+    "image_dhash_dedup",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, LENGTH(text) AS n,
+             8 + doc_id % 9 AS w, 8 + LENGTH(text) % 9 AS h
+      FROM documents WHERE LENGTH(text) > 0
+    ),
+    cell AS (
+      SELECT doc_id, r, c,
+             2126 * v + 7152 * ((v + sc) % 256) + 722 * ((v + sr) % 256) AS lum
+      FROM (
+        SELECT d.doc_id, r, c,
+               (r * h) // {_DH_ROWS} AS sr, (c * w) // {_DH_COLS} AS sc,
+               ASCII(SUBSTR(text,
+                 CAST(((r * h) // {_DH_ROWS} * w + (c * w) // {_DH_COLS})
+                      % n + 1 AS INTEGER), 1)) AS v
+        FROM d,
+             (SELECT UNNEST(RANGE(0, {_DH_ROWS})) AS r),
+             (SELECT UNNEST(RANGE(0, {_DH_COLS})) AS c)
+      )
+    ),
+    bits AS (
+      SELECT a.doc_id,
+             CAST(SUM(CASE WHEN a.lum > b.lum
+                  THEN CAST(POWER(2, a.r * {_DH_COLS - 1} + a.c) AS BIGINT)
+                  ELSE 0 END) AS INTEGER) AS dhash
+      FROM cell a JOIN cell b
+        ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+      WHERE a.c < {_DH_COLS - 1}
+      GROUP BY a.doc_id
+    )
+    SELECT dhash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+           CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n_pairs
+    FROM bits GROUP BY dhash HAVING COUNT(*) >= 2
+    """,
+)
+def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over REAL decoded pixels — the classic
+    dHash (difference hash): nearest-neighbor sample a 4x5 luminance
+    grid from the decoded bitmap, compare horizontally adjacent cells,
+    pack 16 gradient bits; images whose hashes collide are
+    perceptual-duplicate candidates (gradient structure survives
+    resizing and brightness shifts, which is why dHash is the standard
+    first pass of image dedup pipelines). Output is the BUCKET summary
+    (hash, member count, id range, implied pair count) for buckets
+    with >= 2 members — O(distinct hashes) rows by construction, never
+    the quadratic pair list.
+
+    Scale posture: one map-only decode+hash pass (Arrow both ways),
+    then ONE shuffle on a 16-bit key — at any corpus size the
+    aggregate is bounded by 65,536 groups. The oracle rebuilds every
+    grid cell's luminance from the synthesis contract and packs the
+    same bits in SQL.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5
+    multimodal family)."""
+    hashes = _docs(spark, sf_dir).mapInPandas(
+        _dhash_rows, schema="doc_id bigint, dhash int"
+    )
+    return (
+        hashes.groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.expr(
+                "CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT)"
+            ).alias("n_pairs"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# video_scene_change_detect — frame-to-frame luma cut detection
+# ---------------------------------------------------------------------------
+
+_SCENE_DELTA = 250  # |y_sum[k] - y_sum[k-1]| above this = a cut
+# threshold sits INSIDE the real corpus range (measured max_abs_delta
+# distribution at sf0.01/sf0.1: p50~140, p90~270, max~560), so both
+# the cut and no-cut branches are live on real data — the vacuity
+# scan showed the first-draft 700 never fired (scalar_regexp lesson)
+
+
+def _scene_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {
+            "doc_id": [],
+            "n_frames": [],
+            "n_cuts": [],
+            "max_abs_delta": [],
+        }
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            payload = encode_y4m(_video_frames(text), FRAME_W, FRAME_H)
+            _w, _h, frames = decode_y4m(payload)
+            sums = [sum(p) for p in frames]
+            deltas = [abs(b - a) for a, b in zip(sums, sums[1:])]
+            out["doc_id"].append(doc_id)
+            out["n_frames"].append(len(frames))
+            out["n_cuts"].append(sum(1 for x in deltas if x > _SCENE_DELTA))
+            out["max_abs_delta"].append(max(deltas) if deltas else 0)
+        yield pd.DataFrame(out).astype(
+            {
+                "doc_id": "int64",
+                "n_frames": "int32",
+                "n_cuts": "int32",
+                "max_abs_delta": "int64",
+            }
+        )
+
+
+@register(
+    "video_scene_change_detect",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, LENGTH(text) AS n,
+             LEAST({MAX_FRAMES}, (LENGTH(text) + 63) // 64) AS nf
+      FROM documents WHERE LENGTH(text) > 0
+    ),
+    fs AS (
+      SELECT doc_id, k,
+             SUM(ASCII(SUBSTR(text, CAST((k * 64 + j) % n + 1 AS INTEGER), 1)))
+               AS y_sum
+      FROM d,
+           (SELECT UNNEST(RANGE(0, {MAX_FRAMES})) AS k),
+           (SELECT UNNEST(RANGE(0, 64)) AS j)
+      WHERE k < nf
+      GROUP BY doc_id, k
+    ),
+    dl AS (
+      SELECT doc_id, k, y_sum,
+             ABS(y_sum - LAG(y_sum) OVER (PARTITION BY doc_id ORDER BY k))
+               AS delta
+      FROM fs
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_frames,
+           CAST(SUM(CASE WHEN delta > {_SCENE_DELTA} THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_cuts,
+           CAST(COALESCE(MAX(delta), 0) AS BIGINT) AS max_abs_delta
+    FROM dl GROUP BY doc_id
+    """,
+)
+def video_scene_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over REAL decoded Y4M streams — the
+    standard shot-boundary heuristic (frame-to-frame luma delta above
+    a threshold) over the per-frame Y-plane sums of genuinely decoded
+    frames. Emits per video: frame count, cut count, and the maximum
+    inter-frame delta (the number you'd tune the threshold against).
+    Frame sampling around cuts is the first step of video training
+    -data curation; this is its decision table.
+
+    Scale posture: one map-only decode pass with O(1) output per
+    payload, zero shuffles — frame-sequence state never leaves the
+    Python worker that decoded it. The oracle rebuilds every frame
+    sum from the synthesis contract and runs the identical LAG/delta
+    protocol in SQL.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5
+    multimodal family)."""
+    return _docs(spark, sf_dir).mapInPandas(
+        _scene_rows,
+        schema=(
+            "doc_id bigint, n_frames int, n_cuts int, max_abs_delta bigint"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio_silence_ratio — silence detection / trim audit over decoded PCM
+# ---------------------------------------------------------------------------
+
+_SIL_THRESH = 2048  # |sample| below this counts as silence (8/128 FS)
+
+
+def _silence_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {
+            "doc_id": [],
+            "n_samples": [],
+            "n_silent": [],
+            "lead_trim": [],
+            "trail_trim": [],
+        }
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            payload = encode_wav(_audio_samples(text), WAV_RATE)
+            _rate, _ch, s = decode_wav(payload)
+            loud = [i for i, x in enumerate(s) if abs(x) >= _SIL_THRESH]
+            n = len(s)
+            out["doc_id"].append(doc_id)
+            out["n_samples"].append(n)
+            out["n_silent"].append(n - len(loud))
+            out["lead_trim"].append(loud[0] if loud else n)
+            out["trail_trim"].append(n - 1 - loud[-1] if loud else n)
+        yield pd.DataFrame(out).astype(
+            {
+                "doc_id": "int64",
+                "n_samples": "int32",
+                "n_silent": "int32",
+                "lead_trim": "int32",
+                "trail_trim": "int32",
+            }
+        )
+
+
+@register(
+    "audio_silence_ratio",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, i, n,
+             ABS((ASCII(SUBSTR(text, CAST(i + 1 AS INTEGER), 1)) - 96) * 256)
+               AS a
+      FROM (SELECT doc_id, text, LENGTH(text) AS n FROM documents
+            WHERE LENGTH(text) > 0),
+           (SELECT UNNEST(RANGE(0, (SELECT MAX(LENGTH(text)) FROM documents)))
+              AS i)
+      WHERE i < n
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_samples,
+           CAST(SUM(CASE WHEN a < {_SIL_THRESH} THEN 1 ELSE 0 END) AS INTEGER)
+             AS n_silent,
+           CAST(COALESCE(MIN(CASE WHEN a >= {_SIL_THRESH} THEN i END),
+                         MIN(n)) AS INTEGER) AS lead_trim,
+           CAST(COALESCE(MIN(n) - 1
+                         - MAX(CASE WHEN a >= {_SIL_THRESH} THEN i END),
+                         MIN(n)) AS INTEGER) AS trail_trim
+    FROM s GROUP BY doc_id
+    """,
+)
+def audio_silence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence detection over REAL decoded PCM — the audio-curation
+    trim audit: per clip, how many samples sit below the silence
+    threshold, and how many leading/trailing samples a silence trim
+    would remove (the standard preprocessing step before audio
+    training data is packed; trim lengths are the decision numbers).
+    All-silent clips report lead_trim = trail_trim = n_samples,
+    identically in both engines.
+
+    Scale posture: one map-only decode pass, O(1) output per payload,
+    zero shuffles. The oracle recomputes |sample| straight from the
+    synthesis contract with the same COALESCE conventions.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5
+    multimodal family)."""
+    return _docs(spark, sf_dir).mapInPandas(
+        _silence_rows,
+        schema=(
+            "doc_id bigint, n_samples int, n_silent int,"
+            " lead_trim int, trail_trim int"
+        ),
+    )

@@ -3205,11 +3205,18 @@ def test_multimodal_decode_family_is_map_only(spark):
         multimodal_resize,
     )
 
+    from rs_streamloader_spark.operators.multimodal import (
+        audio_silence_ratio,
+        video_scene_change_detect,
+    )
+
     for fn in (
         multimodal_features,
         multimodal_frames,
         multimodal_resize,
         audio_haar_band_energy,
+        video_scene_change_detect,
+        audio_silence_ratio,
     ):
         df = fn(spark, SF_SMOKE)
         text = explain_str(df, "simple")
@@ -3259,3 +3266,16 @@ def test_incremental_dedup_band_join_never_broadcasts_store(spark):
         ln for ln in text.splitlines() if "BroadcastHashJoin" in ln and "band" in ln
     ]
     assert not bands_joins, bands_joins
+
+
+def test_image_dhash_single_bounded_shuffle(spark):
+    """image_dhash_dedup: one map-only decode+hash pass, then exactly
+    ONE exchange on the 16-bit hash key — the aggregate is bounded by
+    65,536 groups at any corpus size."""
+    from rs_streamloader_spark.operators.multimodal import image_dhash_dedup
+
+    df = image_dhash_dedup(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "MapInPandas" in text, text[:1500]
+    assert shuffle_count(df) <= 1, text[:1500]
+    assert len(re.findall(r"(?:File)?Scan parquet", text)) == 1, text[:1500]

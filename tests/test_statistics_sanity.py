@@ -4472,3 +4472,60 @@ def test_multimodal_resize_luminance_matches_numpy(spark, monkeypatch):
                 lum += 2126 * v + 7152 * ((v + c0) % 256) + 722 * ((v + r0) % 256)
         assert (rows[doc_id]["width"], rows[doc_id]["height"]) == (w, h)
         assert rows[doc_id]["thumb_lum_sum"] == lum
+
+
+def test_multimodal_curation_trio_matches_numpy(spark, monkeypatch):
+    """dHash / scene-cut / silence-trim recomputed from scratch on a
+    constructed corpus with both branches of each detector live: a
+    near-constant doc (zero cuts, mostly silence), a high-contrast doc
+    (cuts fire), and an engineered pair whose dHash MUST collide
+    (identical text, doc_ids chosen with equal W so the pixel grids
+    are identical)."""
+    import rs_streamloader_spark.operators.multimodal as M
+
+    quiet = "a" * 40 + "z" * 100 + "a" * 60   # slab structure: frame deltas
+    flat = "`ab" * 40 + "zzz" + "`ab" * 10     # silence-rich with a loud burst
+    allsil = "`ab" * 30                        # EVERY sample below threshold
+    dup = "The same image twice over different ids 012345"
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 9, 18], "text": [quiet, flat, allsil, dup, dup]}
+    )  # 9 % 9 == 18 % 9 == 0 → same W → identical grids → equal dhash
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(
+        M, "load_tables", lambda _s, _d, *names: {"documents": sdf}
+    )
+
+    # --- scene cuts ---
+    sc = {r["doc_id"]: r for r in
+          M.video_scene_change_detect(spark, "x").collect()}
+    for did, t in [(0, quiet), (1, flat), (2, allsil), (9, dup), (18, dup)]:
+        n = len(t)
+        nf = min(4, -(-n // 64))
+        sums = [sum(ord(t[(k * 64 + j) % n]) for j in range(64))
+                for k in range(nf)]
+        deltas = [abs(b - a) for a, b in zip(sums, sums[1:])]
+        assert sc[did]["n_frames"] == nf
+        assert sc[did]["n_cuts"] == sum(1 for x in deltas if x > 250)
+        assert sc[did]["max_abs_delta"] == (max(deltas) if deltas else 0)
+    assert sc[0]["n_cuts"] > 0       # the slab boundary fires
+    assert sc[2]["n_cuts"] == 0      # periodic text: frames identical
+
+    # --- silence ---
+    si = {r["doc_id"]: r for r in M.audio_silence_ratio(spark, "x").collect()}
+    s_flat = [(ord(c) - 96) * 256 for c in flat]
+    loud = [i for i, x in enumerate(s_flat) if abs(x) >= 2048]
+    assert si[1]["n_silent"] == sum(1 for x in s_flat if abs(x) < 2048)
+    assert si[1]["lead_trim"] == loud[0]
+    assert si[1]["trail_trim"] == len(s_flat) - 1 - loud[-1]
+    assert si[1]["n_silent"] > 0 and si[1]["n_silent"] < len(s_flat)
+    # all-silent branch: trim lengths degenerate to n identically
+    assert si[2]["n_silent"] == si[2]["n_samples"]
+    assert si[2]["lead_trim"] == si[2]["n_samples"]
+    assert si[2]["trail_trim"] == si[2]["n_samples"]
+
+    # --- dHash collision of the engineered identical pair ---
+    dh = M.image_dhash_dedup(spark, "x").collect()
+    buckets = {r["dhash"]: r for r in dh}
+    pair = [r for r in dh if r["n_docs"] >= 2 and r["min_doc"] == 9
+            and r["max_doc"] == 18]
+    assert pair and pair[0]["n_pairs"] == 1, dh
