@@ -409,6 +409,19 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
+def _sigs_of_shingles(sh: DataFrame) -> DataFrame:
+    """Minhash signature aggregate (16 seeded-md5 min columns per doc)
+    over a (doc_id, sh) shingle frame — the one formula shared by the
+    corpus-level cached stage and the per-micro-batch signatures of the
+    streaming incremental-dedup replay."""
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("sh")))).alias(f"h{k}")
+            for k in range(N_MINHASH)
+        ]
+    )
+
+
 def _minhash_sig_cached(spark: SparkSession, sf_dir: str):
     """Shared, cached minhash signature aggregate (16 seeded-md5 min
     columns per doc) — consumed by both ``dedup_minhash_lsh`` and
@@ -416,13 +429,7 @@ def _minhash_sig_cached(spark: SparkSession, sf_dir: str):
     runs once per (session, sf_dir)."""
 
     def build():
-        sh = _shingles_cached(spark, sf_dir)
-        return sh.groupBy("doc_id").agg(
-            *[
-                F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("sh")))).alias(f"h{k}")
-                for k in range(N_MINHASH)
-            ]
-        )
+        return _sigs_of_shingles(_shingles_cached(spark, sf_dir))
 
     return stage_cached(spark, sf_dir, "minhash_sig", build)
 

@@ -1058,3 +1058,205 @@ def _mix_psi_from_counts(c: DataFrame) -> DataFrame:
         F.expr("ROUND(SUM(t_nano) / 1e9, 6)").alias("psi"),
         F.expr("SUM(t_nano) > 200000000").alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming cross-run incremental dedup through the native sink (r13)
+# ---------------------------------------------------------------------------
+
+_INC_DD_SLICES = 4
+
+
+def _inc_dedup_replay_oracle() -> str:
+    """Declarative simulation of the batch-sequenced protocol: the
+    store starts as the even-doc signatures; odd docs arrive in
+    ``(doc_id div 2) % {n}`` slice order, and slice s's candidates are
+    the store plus every odd doc from a STRICTLY EARLIER slice (each
+    batch's signatures are upserted only after its decisions land)."""
+    from rs_streamloader_spark.operators.dedup import (
+        _INC_MATCH_MIN,
+        _SHINGLE_SQL,
+        N_BANDS,
+        N_MINHASH,
+    )
+
+    rows = N_MINHASH // N_BANDS
+    mins = ",\n             ".join(
+        f"MIN(MD5('{k}|' || sh)) AS h{k}" for k in range(N_MINHASH)
+    )
+    bands = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, slc, {b} AS band_idx, "
+        f"MD5({' || '.join(f'h{b * rows + r}' for r in range(rows))}) AS band_val"
+        f" FROM tagged"
+        for b in range(N_BANDS)
+    )
+    n_match = " + ".join(
+        f"(CASE WHEN i.h{k} = t.h{k} THEN 1 ELSE 0 END)"
+        for k in range(N_MINHASH)
+    )
+    return f"""
+    WITH s AS ({_SHINGLE_SQL}),
+    sig AS (SELECT doc_id, {mins} FROM s GROUP BY doc_id),
+    tagged AS (
+      SELECT *, CASE WHEN doc_id % 2 = 0 THEN -1
+                ELSE CAST((doc_id // 2) % {_INC_DD_SLICES} AS INTEGER)
+                END AS slc
+      FROM sig
+    ),
+    bands AS (
+      {bands}
+    ),
+    cand AS (
+      SELECT DISTINCT i.doc_id AS inc_doc, i.slc AS inc_slc,
+             t.doc_id AS store_doc
+      FROM bands i JOIN bands t
+        ON i.band_idx = t.band_idx AND i.band_val = t.band_val
+      WHERE i.slc >= 0 AND (t.slc = -1 OR t.slc < i.slc)
+    ),
+    scored AS (
+      SELECT c.inc_doc, c.store_doc, {n_match} AS n_match
+      FROM cand c
+      JOIN tagged i ON i.doc_id = c.inc_doc
+      JOIN tagged t ON t.doc_id = c.store_doc
+    ),
+    best AS (
+      SELECT inc_doc, store_doc, n_match,
+             ROW_NUMBER() OVER (PARTITION BY inc_doc
+                                ORDER BY n_match DESC, store_doc) AS rn
+      FROM scored
+    )
+    SELECT i.doc_id, i.slc,
+           b.store_doc AS matched_doc,
+           CAST(COALESCE(b.n_match, 0) AS INTEGER) AS n_match,
+           ROUND(COALESCE(b.n_match, 0) / 16.0, 6) AS est_jaccard,
+           COALESCE(b.n_match, 0) >= {_INC_MATCH_MIN} AS is_dup
+    FROM (SELECT doc_id, slc FROM tagged WHERE slc >= 0) i
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.inc_doc = i.doc_id
+    """
+
+
+@register("stream_incremental_dedup_replay", oracle=_inc_dedup_replay_oracle())
+def stream_incremental_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental dedup DRIVEN BY STRUCTURED STREAMING —
+    the continuous-ingestion composition of ``dedup_incremental_
+    minhash`` (operators/dedup.py): the even-doc minhash signature
+    store is persisted through the Loader staged-upsert path into a
+    bucketed native table; the odd docs arrive as a file stream in
+    ``(doc_id div 2) % {n}`` slices under ``maxFilesPerTrigger=1``,
+    and EACH micro-batch (a) computes its own signatures from raw
+    text, (b) writes its dedup decisions against the store AS OF its
+    arrival (the table read back from disk — state, not lineage), and
+    (c) upserts its signatures into the store for the NEXT batch.
+    Sequencing is load-bearing: a doc's candidates are the initial
+    store plus strictly-earlier slices, and the declarative oracle
+    simulates exactly that protocol, so batch ordering, the per-batch
+    decision-before-upsert discipline, and the bucket-pruned rewrites
+    are all checked end-to-end.
+
+    Scale posture: per-batch work is O(batch) (shingle→signature agg,
+    shuffle-hash band join against the store, bucket-pruned upsert);
+    the store holds one 16-column signature row per ingested doc —
+    O(docs) state, never O(tokens)."""
+    from rs_streamloader_spark.loader import Loader
+    from rs_streamloader_spark.operators.dedup import (
+        _incremental_decision,
+        _shingles,
+        _sigs_of_shingles,
+    )
+    from rs_streamloader_spark.session import load_tables
+    from rs_streamloader_spark.sinks.native import NativeTableSink
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "rs_sl_replay",
+        spark.sparkContext.applicationId,
+        "inc_dedup",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    sink = NativeTableSink(
+        spark, os.path.join(base, "store"), num_buckets=16, bucket_by="doc_id"
+    )
+
+    def land_sigs(df: DataFrame, stage: str) -> None:
+        loader = Loader(
+            spark,
+            options={
+                "table": "wh.sig_store",
+                "id_field": "doc_id",
+                "staging_format": "parquet",
+                "copy_settings": {"format": "PARQUET"},
+            },
+            sink=sink,
+            staging_root=os.path.join(base, stage),
+        )
+        loader.add_source(df)
+        loader.upsert()
+
+    # run 0: the already-ingested store
+    land_sigs(
+        _sigs_of_shingles(_shingles(docs.where(F.col("doc_id") % 2 == 0))),
+        "stage_run0",
+    )
+
+    # stage the incoming stream: one file per slice, oldest-first
+    # mtimes (FileStreamSource orders by mtime with no tiebreak)
+    import time as _time
+
+    in_path = os.path.join(base, "in")
+    inc = docs.where(F.col("doc_id") % 2 == 1).withColumn(
+        "slc",
+        F.expr(f"CAST((doc_id div 2) % {_INC_DD_SLICES} AS INT)"),
+    )
+    base_mtime = _time.time() - _INC_DD_SLICES - 60
+    for i in range(_INC_DD_SLICES):
+        inc.filter(F.col("slc") == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_path)
+        for name in os.listdir(in_path):
+            full = os.path.join(in_path, name)
+            if os.path.getmtime(full) > base_mtime + i:
+                os.utime(full, (base_mtime + i, base_mtime + i))
+
+    out_dir = os.path.join(base, "decisions")
+    stream = (
+        spark.readStream.schema(inc.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_path)
+    )
+
+    def land_batch(bdf: DataFrame, bid: int) -> None:
+        # (a) this batch's signatures from raw text — O(batch) work
+        sig_b = _sigs_of_shingles(
+            _shingles(bdf.select("doc_id", "text"))
+        ).localCheckpoint(eager=True)
+        # (b) decisions against the store AS OF arrival (decision
+        # write MUST precede the upsert — the protocol under test)
+        dec = _incremental_decision(sig_b, sink.read())
+        dec.join(bdf.select("doc_id", "slc"), "doc_id").select(
+            "doc_id", "slc", "matched_doc", "n_match", "est_jaccard", "is_dup"
+        ).write.mode("append").parquet(out_dir)
+        # (c) the handoff: this batch joins the store
+        land_sigs(sig_b, f"stage_b{bid}")
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS)
+    )
+    try:
+        q = (
+            stream.writeStream.foreachBatch(land_batch)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "slc", "matched_doc", "n_match", "est_jaccard", "is_dup"
+    )
