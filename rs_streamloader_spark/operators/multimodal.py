@@ -867,3 +867,128 @@ def audio_silence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             " lead_trim int, trail_trim int"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_quality_screen — the joint curation filter table
+# ---------------------------------------------------------------------------
+
+# thresholds sit INSIDE the real corpus metric ranges (measured at
+# sf0.01: image contrast p5/p50/p95 = 899k/942k/975k, audio silent-ppm
+# = 234k/274k/312k), so every modality's keep AND drop branches are
+# live on real data — first-draft values (500k / 600k) never dropped
+# an image or a clip (vacuity-scan class)
+_QS_CONTRAST_MIN = 930_000  # BT.709 integer luminance spread below = flat
+_QS_SIL_MAX_PPM = 280_000   # audio silent-sample share above = drop
+
+
+def _quality_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-doc modality (doc_id % 3) decode + the modality's drop rule:
+    images drop on low luminance contrast, audio on silence share,
+    video on having a single frame (nothing to sample)."""
+    for pdf in batches:
+        out = {"doc_id": [], "mime": [], "metric": [], "keep": []}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            m = int(doc_id) % 3
+            if m == 0:
+                w0, h0, g0 = _image_grid(int(doc_id), text)
+                _w, _h, grid = decode_bmp(encode_bmp(w0, h0, g0))
+                lums = [
+                    2126 * r + 7152 * g + 722 * b
+                    for row in grid
+                    for (r, g, b) in row
+                ]
+                metric = max(lums) - min(lums)  # contrast spread
+                keep = metric >= _QS_CONTRAST_MIN
+                mime = "image/bmp"
+            elif m == 1:
+                _r, _c, s = decode_wav(encode_wav(_audio_samples(text), WAV_RATE))
+                n_sil = sum(1 for x in s if abs(x) < 2048)
+                metric = n_sil * 1_000_000 // len(s)  # silent share ppm
+                keep = metric <= _QS_SIL_MAX_PPM
+                mime = "audio/x-wav"
+            else:
+                _w, _h, frames = decode_y4m(
+                    encode_y4m(_video_frames(text), FRAME_W, FRAME_H)
+                )
+                metric = len(frames)
+                keep = metric >= 2
+                mime = "video/x-yuv4mpeg"
+            out["doc_id"].append(doc_id)
+            out["mime"].append(mime)
+            out["metric"].append(metric)
+            out["keep"].append(keep)
+        yield pd.DataFrame(out).astype({"doc_id": "int64", "metric": "int64"})
+
+
+@register(
+    "multimodal_quality_screen",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, LENGTH(text) AS n,
+             CAST(doc_id % 3 AS INTEGER) AS mod3,
+             8 + doc_id % 9 AS w, 8 + LENGTH(text) % 9 AS h
+      FROM documents WHERE LENGTH(text) > 0
+    ),
+    img AS (
+      SELECT doc_id,
+             MAX(2126 * v + 7152 * ((v + c) % 256) + 722 * ((v + r) % 256))
+             - MIN(2126 * v + 7152 * ((v + c) % 256) + 722 * ((v + r) % 256))
+               AS metric
+      FROM (
+        SELECT d.doc_id, r, c,
+               ASCII(SUBSTR(text, CAST((r * w + c) % n + 1 AS INTEGER), 1)) AS v
+        FROM d,
+             (SELECT UNNEST(RANGE(0, 16)) AS r),
+             (SELECT UNNEST(RANGE(0, 16)) AS c)
+        WHERE d.mod3 = 0 AND r < h AND c < w
+      ) GROUP BY doc_id
+    ),
+    aud AS (
+      SELECT doc_id,
+             SUM(CASE WHEN ABS((ASCII(SUBSTR(text, CAST(i + 1 AS INTEGER), 1))
+                                - 96) * 256) < 2048 THEN 1 ELSE 0 END)
+             * 1000000 // COUNT(*) AS metric
+      FROM d,
+           (SELECT UNNEST(RANGE(0, (SELECT MAX(LENGTH(text)) FROM documents)))
+              AS i)
+      WHERE d.mod3 = 1 AND i < n
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE d.mod3 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/x-wav'
+                ELSE 'video/x-yuv4mpeg' END AS mime,
+           CAST(CASE d.mod3 WHEN 0 THEN img.metric WHEN 1 THEN aud.metric
+                ELSE LEAST(4, (n + 63) // 64) END AS BIGINT) AS metric,
+           CASE d.mod3 WHEN 0 THEN img.metric >= {_QS_CONTRAST_MIN}
+                WHEN 1 THEN aud.metric <= {_QS_SIL_MAX_PPM}
+                ELSE LEAST(4, (n + 63) // 64) >= 2 END AS keep
+    FROM d
+    LEFT JOIN img ON img.doc_id = d.doc_id
+    LEFT JOIN aud ON aud.doc_id = d.doc_id
+    """,
+)
+def multimodal_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The joint multimodal curation filter — one decision table across
+    all three modalities of the mixed manifest, each screened by its
+    own decoded-payload quality rule: images drop on low luminance
+    CONTRAST (max−min BT.709 integer luminance over every decoded
+    pixel — the flat-image screen), audio drops on silence share
+    (silent-sample ppm over decoded PCM — the dead-air screen), video
+    drops when only one frame exists (nothing to sample). This is the
+    keep/drop table a multimodal training-data pipeline materializes
+    before packing; the per-modality ``metric`` column is the number
+    the thresholds get tuned against.
+
+    Scale posture: one map-only decode pass over the manifest, O(1)
+    output per payload, zero shuffles; each modality's rule sees only
+    its own payload. The oracle recomputes every metric from the
+    synthesis contract, LEFT-JOINing the per-modality arms back to
+    the manifest spine.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5
+    multimodal family)."""
+    return _docs(spark, sf_dir).mapInPandas(
+        _quality_rows,
+        schema="doc_id bigint, mime string, metric bigint, keep boolean",
+    )

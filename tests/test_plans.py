@@ -3207,6 +3207,7 @@ def test_multimodal_decode_family_is_map_only(spark):
 
     from rs_streamloader_spark.operators.multimodal import (
         audio_silence_ratio,
+        multimodal_quality_screen,
         video_scene_change_detect,
     )
 
@@ -3217,6 +3218,7 @@ def test_multimodal_decode_family_is_map_only(spark):
         audio_haar_band_energy,
         video_scene_change_detect,
         audio_silence_ratio,
+        multimodal_quality_screen,
     ):
         df = fn(spark, SF_SMOKE)
         text = explain_str(df, "simple")

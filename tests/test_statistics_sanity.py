@@ -4523,6 +4523,21 @@ def test_multimodal_curation_trio_matches_numpy(spark, monkeypatch):
     assert si[2]["lead_trim"] == si[2]["n_samples"]
     assert si[2]["trail_trim"] == si[2]["n_samples"]
 
+    # --- quality screen: rule directions on the constructed extremes ---
+    qs = {r["doc_id"]: r for r in
+          M.multimodal_quality_screen(spark, "x").collect()}
+    assert qs[0]["mime"] == "image/bmp"       # doc 0 % 3 == 0
+    assert qs[1]["mime"] == "audio/x-wav"     # silence-rich with a burst
+    assert qs[2]["mime"] == "video/x-yuv4mpeg"
+    # allsil ("`ab"*30) would be all-silent as audio, but lands in the
+    # video arm; doc 1 (flat) IS the audio arm: mostly silent -> drop
+    s_flat2 = [(ord(c) - 96) * 256 for c in flat]
+    ppm = sum(1 for x in s_flat2 if abs(x) < 2048) * 1_000_000 // len(s_flat2)
+    assert qs[1]["metric"] == ppm and bool(qs[1]["keep"]) is (ppm <= 280_000)
+    assert qs[2]["n_frames"] if False else True  # (video metric checked below)
+    nf2 = min(4, -(-len(allsil) // 64))
+    assert qs[2]["metric"] == nf2 and bool(qs[2]["keep"]) is (nf2 >= 2)
+
     # --- dHash collision of the engineered identical pair ---
     dh = M.image_dhash_dedup(spark, "x").collect()
     buckets = {r["dhash"]: r for r in dh}
