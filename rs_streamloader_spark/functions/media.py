@@ -156,6 +156,8 @@ def decode_wav(data: bytes) -> Tuple[int, int, List[int]]:
     raw = None
     while pos + 8 <= len(data):
         cid, size = struct.unpack_from("<4sI", data, pos)
+        if pos + 8 + size > len(data):
+            raise ValueError("truncated WAV chunk")  # same class as BMP/Y4M
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             if size < 16:

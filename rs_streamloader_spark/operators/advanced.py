@@ -1364,7 +1364,7 @@ def fuzzy_blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.s_name").alias("name_b"),
             F.levenshtein("a.s_name", "b.s_name").alias("d"),
         )
-        .where(F.col("d") <= 2)
+        .where(F.col("d") <= max(2, _FUZZY_MAX_DIST))
         .localCheckpoint()
     )
     truth = dists.where(F.col("d") <= _FUZZY_MAX_DIST).select(

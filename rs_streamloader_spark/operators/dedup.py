@@ -2727,16 +2727,32 @@ def graph_modularity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cross-run incremental dedup through the native sink (r13)
 # ---------------------------------------------------------------------------
 
-# incoming doc is a duplicate when ≥ this many of the 16 minhash
+# incoming doc is a duplicate when at least half the minhash
 # components agree with a store doc (estimated Jaccard ≥ 0.5)
-_INC_MATCH_MIN = 8
+_INC_MATCH_MIN = N_MINHASH // 2
+
+
+def _minhash_mins_sql() -> str:
+    """The signature-aggregate SQL fragment (MIN(MD5('k|'||sh)) AS hk)
+    — single-sourced for every oracle that builds signatures, so a
+    signature-scheme change cannot silently diverge between them."""
+    return ",\n             ".join(
+        f"MIN(MD5('{k}|' || sh)) AS h{k}" for k in range(N_MINHASH)
+    )
+
+
+def _sig_match_sql(a: str = "i", b: str = "t") -> str:
+    """The component-agreement count fragment shared by the
+    incremental-dedup oracles (operators + streaming replay)."""
+    return " + ".join(
+        f"(CASE WHEN {a}.h{k} = {b}.h{k} THEN 1 ELSE 0 END)"
+        for k in range(N_MINHASH)
+    )
 
 
 def _inc_minhash_oracle() -> str:
     rows = N_MINHASH // N_BANDS
-    mins = ",\n             ".join(
-        f"MIN(MD5('{k}|' || sh)) AS h{k}" for k in range(N_MINHASH)
-    )
+    mins = _minhash_mins_sql()
 
     def bands(src: str) -> str:
         parts = []
@@ -2747,9 +2763,7 @@ def _inc_minhash_oracle() -> str:
             )
         return "\n      UNION ALL\n      ".join(parts)
 
-    n_match = " + ".join(
-        f"(CASE WHEN i.h{k} = t.h{k} THEN 1 ELSE 0 END)" for k in range(N_MINHASH)
-    )
+    n_match = _sig_match_sql()
     return f"""
     WITH s AS ({_SHINGLE_SQL}),
     sig AS (SELECT doc_id, {mins} FROM s GROUP BY doc_id),
@@ -2781,7 +2795,7 @@ def _inc_minhash_oracle() -> str:
     SELECT i.doc_id,
            b.store_doc AS matched_doc,
            CAST(COALESCE(b.n_match, 0) AS INTEGER) AS n_match,
-           ROUND(COALESCE(b.n_match, 0) / 16.0, 6) AS est_jaccard,
+           ROUND(COALESCE(b.n_match, 0) / {N_MINHASH}.0, 6) AS est_jaccard,
            COALESCE(b.n_match, 0) >= {_INC_MATCH_MIN} AS is_dup
     FROM inc i
     LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.inc_doc = i.doc_id
@@ -2863,7 +2877,8 @@ def _incremental_decision(inc_sigs: DataFrame, store: DataFrame) -> DataFrame:
             "matched_doc",
             F.coalesce("best_match", F.lit(0)).cast("int").alias("n_match"),
             F.round(
-                F.coalesce("best_match", F.lit(0)).cast("double") / F.lit(16e0),
+                F.coalesce("best_match", F.lit(0)).cast("double")
+                / F.lit(float(N_MINHASH)),
                 6,
             ).alias("est_jaccard"),
             (F.coalesce("best_match", F.lit(0)) >= _INC_MATCH_MIN).alias(

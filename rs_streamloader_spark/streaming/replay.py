@@ -1076,24 +1076,21 @@ def _inc_dedup_replay_oracle() -> str:
     from rs_streamloader_spark.operators.dedup import (
         _INC_MATCH_MIN,
         _SHINGLE_SQL,
+        _minhash_mins_sql,
+        _sig_match_sql,
         N_BANDS,
         N_MINHASH,
     )
 
     rows = N_MINHASH // N_BANDS
-    mins = ",\n             ".join(
-        f"MIN(MD5('{k}|' || sh)) AS h{k}" for k in range(N_MINHASH)
-    )
+    mins = _minhash_mins_sql()
     bands = "\n      UNION ALL\n      ".join(
         f"SELECT doc_id, slc, {b} AS band_idx, "
         f"MD5({' || '.join(f'h{b * rows + r}' for r in range(rows))}) AS band_val"
         f" FROM tagged"
         for b in range(N_BANDS)
     )
-    n_match = " + ".join(
-        f"(CASE WHEN i.h{k} = t.h{k} THEN 1 ELSE 0 END)"
-        for k in range(N_MINHASH)
-    )
+    n_match = _sig_match_sql()
     return f"""
     WITH s AS ({_SHINGLE_SQL}),
     sig AS (SELECT doc_id, {mins} FROM s GROUP BY doc_id),
@@ -1128,7 +1125,7 @@ def _inc_dedup_replay_oracle() -> str:
     SELECT i.doc_id, i.slc,
            b.store_doc AS matched_doc,
            CAST(COALESCE(b.n_match, 0) AS INTEGER) AS n_match,
-           ROUND(COALESCE(b.n_match, 0) / 16.0, 6) AS est_jaccard,
+           ROUND(COALESCE(b.n_match, 0) / {N_MINHASH}.0, 6) AS est_jaccard,
            COALESCE(b.n_match, 0) >= {_INC_MATCH_MIN} AS is_dup
     FROM (SELECT doc_id, slc FROM tagged WHERE slc >= 0) i
     LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.inc_doc = i.doc_id

@@ -4534,7 +4534,6 @@ def test_multimodal_curation_trio_matches_numpy(spark, monkeypatch):
     s_flat2 = [(ord(c) - 96) * 256 for c in flat]
     ppm = sum(1 for x in s_flat2 if abs(x) < 2048) * 1_000_000 // len(s_flat2)
     assert qs[1]["metric"] == ppm and bool(qs[1]["keep"]) is (ppm <= 280_000)
-    assert qs[2]["n_frames"] if False else True  # (video metric checked below)
     nf2 = min(4, -(-len(allsil) // 64))
     assert qs[2]["metric"] == nf2 and bool(qs[2]["keep"]) is (nf2 >= 2)
 
