@@ -149,6 +149,14 @@ def test_wav_odd_chunk_consumes_word_alignment_pad():
     assert decode_wav(data)[2] == [1234]
 
 
+def test_wav_rejects_truncated_chunk():
+    """A chunk whose declared size overruns the file must raise (the
+    silent-clamp alternative yields quietly wrong features) — same
+    corruption class the BMP/Y4M decoders already reject."""
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(_WAV_GOLDEN[:-3])  # data chunk loses its tail
+
+
 def test_wav_rejects_bad_magic_and_non_pcm():
     with pytest.raises(ValueError, match="magic"):
         decode_wav(b"RIFX" + _WAV_GOLDEN[4:])

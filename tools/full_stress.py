@@ -80,6 +80,12 @@ HEAVY_K100 = [
     "heaps_law_fit",
     "graph_modularity_by_source",
     "mann_kendall_trend",
+    # r13: the incremental-dedup pair (store-sized band join + loader
+    # upserts) and the two multimodal ops whose aggregate keys grow
+    # with content (dHash buckets) or whose decode volume is the cost
+    "dedup_incremental_minhash",
+    "image_dhash_dedup",
+    "multimodal_features",
 ]
 
 
