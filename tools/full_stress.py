@@ -80,6 +80,13 @@ HEAVY_K100 = [
     "heaps_law_fit",
     "graph_modularity_by_source",
     "mann_kendall_trend",
+    # r12 continuation ad-hoc entries, now listed so coverage is
+    # reproducible from the list alone
+    "bigram_cond_entropy_by_source",
+    "doc_char_entropy",
+    "poisson_bootstrap_ci",
+    "quantile_normalize_doclen",
+    "tokenizer_vocab_coverage",
     # r13: the incremental-dedup pair (store-sized band join + loader
     # upserts) and the two multimodal ops whose aggregate keys grow
     # with content (dHash buckets) or whose decode volume is the cost
