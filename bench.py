@@ -48,7 +48,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def _code_rev() -> str:
     """Current git state id: HEAD sha, '-dirty' when the worktree has
-    uncommitted changes — the identity a min-merge is valid within."""
+    uncommitted changes — the identity a min-merge is valid within.
+    BENCH_FULL.json itself is excluded from the dirty check: run 1's
+    artifact write must not break run 2's same-code merge (the exact
+    failure the first r13 snapshot attempt hit)."""
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -57,7 +60,9 @@ def _code_rev() -> str:
             ["git", "rev-parse", "HEAD"], cwd=here, text=True
         ).strip()
         dirty = subprocess.call(
-            ["git", "diff", "--quiet", "HEAD"], cwd=here
+            ["git", "diff", "--quiet", "HEAD", "--", ".",
+             ":(exclude)BENCH_FULL.json"],
+            cwd=here,
         ) != 0
         return sha + ("-dirty" if dirty else "")
     except Exception:
