@@ -992,3 +992,108 @@ def multimodal_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         _quality_rows,
         schema="doc_id bigint, mime string, metric bigint, keep boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# image_channel_stats_by_source — decode → distributed bounded rollup
+# ---------------------------------------------------------------------------
+
+
+def _channel_sum_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-doc channel sums over genuinely decoded pixels — the
+    map-side partial of the per-source rollup."""
+    for pdf in batches:
+        out = {
+            "doc_id": [],
+            "source": [],
+            "n_px": [],
+            "r_sum": [],
+            "g_sum": [],
+            "b_sum": [],
+        }
+        for doc_id, text, source in zip(
+            pdf["doc_id"], pdf["text"], pdf["source"]
+        ):
+            w0, h0, g0 = _image_grid(int(doc_id), text)
+            w, h, grid = decode_bmp(encode_bmp(w0, h0, g0))
+            rs = gs = bs = 0
+            for row in grid:
+                for r, g, b in row:
+                    rs += r
+                    gs += g
+                    bs += b
+            out["doc_id"].append(doc_id)
+            out["source"].append(source)
+            out["n_px"].append(w * h)
+            out["r_sum"].append(rs)
+            out["g_sum"].append(gs)
+            out["b_sum"].append(bs)
+        yield pd.DataFrame(out).astype(
+            {"doc_id": "int64", "n_px": "int64", "r_sum": "int64",
+             "g_sum": "int64", "b_sum": "int64"}
+        )
+
+
+@register(
+    "image_channel_stats_by_source",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, source, LENGTH(text) AS n,
+             8 + doc_id % 9 AS w, 8 + LENGTH(text) % 9 AS h
+      FROM documents WHERE LENGTH(text) > 0
+    ),
+    px AS (
+      SELECT d.source, d.doc_id,
+             ASCII(SUBSTR(text, CAST((r * w + c) % n + 1 AS INTEGER), 1)) AS v,
+             r, c
+      FROM d,
+           (SELECT UNNEST(RANGE(0, 16)) AS r),
+           (SELECT UNNEST(RANGE(0, 16)) AS c)
+      WHERE r < h AND c < w
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_images,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS r_sum,
+           CAST(SUM((v + c) % 256) AS BIGINT) AS g_sum,
+           CAST(SUM((v + r) % 256) AS BIGINT) AS b_sum,
+           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS r_mean
+    FROM px GROUP BY source
+    """,
+)
+def image_channel_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE channel statistics over genuinely decoded pixels —
+    the corpus-level color audit (channel means per provenance feed
+    are the cheap screen for feeds whose imagery is systematically
+    dark/tinted/blank before any model sees them). Unlike the per-doc
+    map-only family, this is the decode → SHUFFLE → bounded-aggregate
+    shape: the Python stage emits one row of channel sums per image
+    (the map-side partial), and the JVM aggregates to an
+    O(sources)-row table — at 100 TB the shuffle carries 6 integers
+    per image, never pixels.
+
+    The oracle rebuilds every pixel's channels from the synthesis
+    contract and aggregates the same exact integers; r_mean is the
+    one rounded double, computed from the exact sums in both engines.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5
+    multimodal family)."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    docs = t.select("doc_id", "text", "source").where(F.length("text") > 0)
+    partials = docs.mapInPandas(
+        _channel_sum_rows,
+        schema=(
+            "doc_id bigint, source string, n_px bigint, r_sum bigint,"
+            " g_sum bigint, b_sum bigint"
+        ),
+    )
+    return partials.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum("n_px").cast("bigint").alias("n_pixels"),
+        F.sum("r_sum").cast("bigint").alias("r_sum"),
+        F.sum("g_sum").cast("bigint").alias("g_sum"),
+        F.sum("b_sum").cast("bigint").alias("b_sum"),
+        F.round(
+            F.sum("r_sum").cast("double") / F.sum("n_px").cast("double"), 6
+        ).alias("r_mean"),
+    )

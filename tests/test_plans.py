@@ -3281,3 +3281,18 @@ def test_image_dhash_single_bounded_shuffle(spark):
     assert "MapInPandas" in text, text[:1500]
     assert shuffle_count(df) <= 1, text[:1500]
     assert len(re.findall(r"(?:File)?Scan parquet", text)) == 1, text[:1500]
+
+
+def test_image_channel_rollup_shuffles_partials_not_pixels(spark):
+    """image_channel_stats_by_source: one decode pass emitting per-doc
+    channel-sum partials, then exactly one exchange to the O(sources)
+    aggregate — the shuffle carries 6 integers per image, never
+    pixels."""
+    from rs_streamloader_spark.operators.multimodal import (
+        image_channel_stats_by_source,
+    )
+
+    df = image_channel_stats_by_source(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "MapInPandas" in text, text[:1500]
+    assert shuffle_count(df) <= 1, text[:1500]

@@ -4543,3 +4543,43 @@ def test_multimodal_curation_trio_matches_numpy(spark, monkeypatch):
     pair = [r for r in dh if r["n_docs"] >= 2 and r["min_doc"] == 9
             and r["max_doc"] == 18]
     assert pair and pair[0]["n_pairs"] == 1, dh
+
+
+def test_image_channel_rollup_matches_numpy(spark, monkeypatch):
+    """Per-source channel sums recomputed from scratch: build the full
+    pixel grids per the synthesis contract in numpy and compare the
+    exact integers (two sources, mixed widths/heights)."""
+    import rs_streamloader_spark.operators.multimodal as M
+
+    rows = [
+        (0, "The quick brown fox jumps over everything", "web"),
+        (4, "A different document with its own pixel field", "web"),
+        (7, "Third one lives in the books feed entirely", "books"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(
+        M, "load_tables", lambda _s, _d, *names: {"documents": sdf}
+    )
+    got = {
+        r["source"]: r
+        for r in M.image_channel_stats_by_source(spark, "x").collect()
+    }
+    exp = {}
+    for doc_id, text, source in rows:
+        n = len(text)
+        w, h = 8 + doc_id % 9, 8 + n % 9
+        e = exp.setdefault(source, [0, 0, 0, 0, 0])  # imgs, px, r, g, b
+        e[0] += 1
+        e[1] += w * h
+        for r0 in range(h):
+            for c0 in range(w):
+                v = ord(text[(r0 * w + c0) % n])
+                e[2] += v
+                e[3] += (v + c0) % 256
+                e[4] += (v + r0) % 256
+    for src, (ni, npx, rs, gs, bs) in exp.items():
+        row = got[src]
+        assert (row["n_images"], row["n_pixels"]) == (ni, npx)
+        assert (row["r_sum"], row["g_sum"], row["b_sum"]) == (rs, gs, bs)
+        assert row["r_mean"] == round(rs / npx, 6)
