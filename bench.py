@@ -47,11 +47,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def _code_rev() -> str:
-    """Current git state id: HEAD sha, '-dirty' when the worktree has
-    uncommitted changes — the identity a min-merge is valid within.
-    BENCH_FULL.json itself is excluded from the dirty check: run 1's
+    """Current git state id: HEAD sha, plus — when the worktree is
+    dirty — a digest of WHAT is dirty, so two runs min-merge only when
+    their worktrees are byte-identical (ADVICE r13: a bare '-dirty'
+    suffix collapsed all dirty states to one id and `git diff --quiet`
+    ignored untracked files, so MERGE=1 could fold runs of genuinely
+    different uncommitted code into a cross-code chimera).
+    BENCH_FULL.json itself is excluded from the dirty digest: run 1's
     artifact write must not break run 2's same-code merge (the exact
     failure the first r13 snapshot attempt hit)."""
+    import hashlib
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -59,12 +64,29 @@ def _code_rev() -> str:
         sha = subprocess.check_output(
             ["git", "rev-parse", "HEAD"], cwd=here, text=True
         ).strip()
-        dirty = subprocess.call(
-            ["git", "diff", "--quiet", "HEAD", "--", ".",
-             ":(exclude)BENCH_FULL.json"],
+        # tracked changes: content digest of the diff itself
+        diff = subprocess.check_output(
+            ["git", "diff", "HEAD", "--", ".", ":(exclude)BENCH_FULL.json"],
             cwd=here,
-        ) != 0
-        return sha + ("-dirty" if dirty else "")
+        )
+        # untracked files (porcelain '?? path'): digest path + content
+        status = subprocess.check_output(
+            ["git", "status", "--porcelain", "--", ".",
+             ":(exclude)BENCH_FULL.json"],
+            cwd=here, text=True,
+        )
+        h = hashlib.md5(diff)
+        for line in sorted(status.splitlines()):
+            if line.startswith("??"):
+                path = line[3:].strip()
+                h.update(path.encode())
+                fp = os.path.join(here, path)
+                if os.path.isfile(fp):
+                    with open(fp, "rb") as fh:
+                        h.update(fh.read())
+        if not diff and "??" not in status:
+            return sha
+        return f"{sha}-dirty-{h.hexdigest()[:12]}"
     except Exception:
         return "unknown"
 

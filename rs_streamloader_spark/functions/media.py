@@ -44,6 +44,8 @@ from __future__ import annotations
 import struct
 from typing import List, Sequence, Tuple
 
+import numpy as np
+
 # ---------------------------------------------------------------------------
 # BMP — Windows bitmap, 24bpp uncompressed
 # ---------------------------------------------------------------------------
@@ -58,10 +60,18 @@ def bmp_row_size(width: int) -> int:
     return (3 * width + 3) // 4 * 4
 
 
-def encode_bmp(width: int, height: int, pixels: Sequence[Sequence[Tuple[int, int, int]]]) -> bytes:
-    """Encode a top-down row-major grid of (R, G, B) pixels as a
-    24bpp BI_RGB BMP (positive height → rows written bottom-up, BGR
-    on disk, rows padded to 4 bytes)."""
+def encode_bmp_array(arr: np.ndarray) -> bytes:
+    """Encode a top-down (H, W, 3) RGB integer array as a 24bpp BI_RGB
+    BMP — the vectorized pixel path (VERDICT r13 #1: the per-pixel
+    Python loop was the family's throughput ceiling at megapixel
+    scale). Spec semantics are unchanged: rows written bottom-up
+    (``arr[::-1]``), BGR on disk (``[..., ::-1]``), rows zero-padded
+    to a 4-byte boundary via the strided row buffer. Out-of-byte-range
+    channels raise, matching ``bytes()`` in the scalar encoder."""
+    height, width = int(arr.shape[0]), int(arr.shape[1])
+    a = np.asarray(arr)
+    if a.size and (a.min() < 0 or a.max() > 255):
+        raise ValueError("bytes must be in range(0, 256)")
     row_size = bmp_row_size(width)
     image_size = row_size * height
     offset = 14 + 40
@@ -70,20 +80,29 @@ def encode_bmp(width: int, height: int, pixels: Sequence[Sequence[Tuple[int, int
     out += struct.pack(
         _BMP_INFO_HEADER, 40, width, height, 1, 24, 0, image_size, 2835, 2835, 0, 0
     )
-    pad = b"\x00" * (row_size - 3 * width)
-    for r in range(height - 1, -1, -1):  # bottom-up storage
-        row = pixels[r]
-        for c in range(width):
-            red, green, blue = row[c]
-            out += bytes((blue, green, red))  # BGR on disk
-        out += pad
-    return bytes(out)
+    buf = np.zeros((height, row_size), dtype=np.uint8)  # pad bytes stay 0
+    buf[:, : 3 * width] = (
+        a.astype(np.uint8)[::-1, :, ::-1].reshape(height, 3 * width)
+    )  # bottom-up rows, BGR channels
+    return bytes(out) + buf.tobytes()
 
 
-def decode_bmp(data: bytes) -> Tuple[int, int, List[List[Tuple[int, int, int]]]]:
-    """Decode a 24bpp BI_RGB BMP to (width, height, top-down row-major
-    (R, G, B) grid). Honors the header's pixel-array offset, bottom-up
-    vs top-down (sign of biHeight), BGR order and row padding."""
+def encode_bmp(width: int, height: int, pixels: Sequence[Sequence[Tuple[int, int, int]]]) -> bytes:
+    """Encode a top-down row-major grid of (R, G, B) pixels as a
+    24bpp BI_RGB BMP (positive height → rows written bottom-up, BGR
+    on disk, rows padded to 4 bytes). List-of-tuples wrapper over
+    :func:`encode_bmp_array`."""
+    arr = np.asarray(pixels, dtype=np.int64).reshape(height, width, 3)
+    return encode_bmp_array(arr)
+
+
+def decode_bmp_array(data: bytes) -> Tuple[int, int, np.ndarray]:
+    """Decode a 24bpp BI_RGB BMP to (width, height, top-down (H, W, 3)
+    uint8 RGB array). Honors the header's pixel-array offset,
+    bottom-up vs top-down (sign of biHeight), BGR order and row
+    padding — the same spec walk as the scalar decoder, with the
+    pixel transpose done by ``np.frombuffer`` + stride math instead
+    of a per-pixel loop."""
     if len(data) < 54 or data[:2] != b"BM":
         raise ValueError("not a BMP: bad magic")
     _, _, _, _, offset = struct.unpack_from(_BMP_FILE_HEADER, data, 0)
@@ -112,16 +131,23 @@ def decode_bmp(data: bytes) -> Tuple[int, int, List[List[Tuple[int, int, int]]]]
     row_size = bmp_row_size(width)
     if offset + row_size * height > len(data):
         raise ValueError("truncated BMP pixel array")
-    grid: List[List[Tuple[int, int, int]]] = []
-    for r in range(height):
-        # storage row index for output (top-down) row r
-        sr = r if top_down else height - 1 - r
-        base = offset + sr * row_size
-        row = []
-        for c in range(width):
-            b = base + 3 * c
-            row.append((data[b + 2], data[b + 1], data[b]))  # BGR → RGB
-        grid.append(row)
+    px = np.frombuffer(data, np.uint8, count=row_size * height, offset=offset)
+    # un-pad rows, split channels, BGR → RGB
+    arr = px.reshape(height, row_size)[:, : 3 * width]
+    arr = arr.reshape(height, width, 3)[:, :, ::-1]
+    if not top_down:
+        arr = arr[::-1]  # bottom-up storage → top-down output
+    return width, height, arr
+
+
+def decode_bmp(data: bytes) -> Tuple[int, int, List[List[Tuple[int, int, int]]]]:
+    """Decode a 24bpp BI_RGB BMP to (width, height, top-down row-major
+    (R, G, B) grid). List-of-tuples wrapper over
+    :func:`decode_bmp_array` (the golden-byte tests pin this API)."""
+    width, height, arr = decode_bmp_array(data)
+    grid = [
+        [tuple(int(x) for x in px) for px in row] for row in arr
+    ]
     return width, height, grid
 
 
@@ -130,25 +156,39 @@ def decode_bmp(data: bytes) -> Tuple[int, int, List[List[Tuple[int, int, int]]]]
 # ---------------------------------------------------------------------------
 
 
-def encode_wav(samples: Sequence[int], rate: int = 8000) -> bytes:
-    """Encode mono 16-bit signed PCM samples as a canonical RIFF/WAVE
-    file (fmt + data chunks)."""
-    n = len(samples)
+def encode_wav_array(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Encode mono 16-bit signed PCM samples (integer ndarray) as a
+    canonical RIFF/WAVE file (fmt + data chunks) — the vectorized
+    sample path: one ``astype('<i2').tobytes()`` instead of a
+    struct.pack per run. Out-of-int16-range samples raise, matching
+    ``struct.pack('<h')`` in the scalar encoder."""
+    s = np.asarray(samples)
+    if s.size and (s.min() < -32768 or s.max() > 32767):
+        raise ValueError("short format requires -32768 <= number <= 32767")
+    n = int(s.size)
     data_size = 2 * n
     out = bytearray()
     out += struct.pack("<4sI4s", b"RIFF", 4 + 24 + 8 + data_size, b"WAVE")
     # fmt chunk: PCM(1), mono, rate, byte rate, block align, 16 bits
     out += struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16)
     out += struct.pack("<4sI", b"data", data_size)
-    out += struct.pack(f"<{n}h", *samples)
-    return bytes(out)
+    return bytes(out) + s.astype("<i2").tobytes()
 
 
-def decode_wav(data: bytes) -> Tuple[int, int, List[int]]:
-    """Decode a RIFF/WAVE file to (sample_rate, n_channels, samples),
-    walking the chunk list (LIST/fact/etc. chunks are skipped, odd
-    chunk sizes consume their spec-mandated pad byte). Only
-    PCM (format tag 1) 16-bit is supported — anything else raises."""
+def encode_wav(samples: Sequence[int], rate: int = 8000) -> bytes:
+    """Encode mono 16-bit signed PCM samples as a canonical RIFF/WAVE
+    file (fmt + data chunks). List wrapper over
+    :func:`encode_wav_array`."""
+    return encode_wav_array(np.asarray(list(samples), dtype=np.int64), rate)
+
+
+def decode_wav_array(data: bytes) -> Tuple[int, int, np.ndarray]:
+    """Decode a RIFF/WAVE file to (sample_rate, n_channels, int16
+    ndarray), walking the chunk list (LIST/fact/etc. chunks are
+    skipped, odd chunk sizes consume their spec-mandated pad byte).
+    Only PCM (format tag 1) 16-bit is supported — anything else
+    raises. The chunk walk is O(chunks); the sample unpack is one
+    ``np.frombuffer``."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE magic")
     pos = 12
@@ -172,8 +212,16 @@ def decode_wav(data: bytes) -> Tuple[int, int, List[int]]:
     if audio_format != 1 or bits != 16:
         raise ValueError(f"unsupported WAV: format={audio_format} bits={bits}")
     n = len(raw) // 2
-    samples = list(struct.unpack(f"<{n}h", raw[: 2 * n]))
+    samples = np.frombuffer(raw, dtype="<i2", count=n)
     return rate, n_channels, samples
+
+
+def decode_wav(data: bytes) -> Tuple[int, int, List[int]]:
+    """Decode a RIFF/WAVE file to (sample_rate, n_channels, samples).
+    List wrapper over :func:`decode_wav_array` (the golden-byte tests
+    pin this API)."""
+    rate, n_channels, samples = decode_wav_array(data)
+    return rate, n_channels, [int(x) for x in samples]
 
 
 # ---------------------------------------------------------------------------
@@ -234,3 +282,28 @@ def decode_y4m(data: bytes) -> Tuple[int, int, List[bytes]]:
         frames.append(data[pos : pos + plane])
         pos += plane
     return width, height, frames
+
+
+def encode_y4m_array(frames: np.ndarray, width: int, height: int) -> bytes:
+    """Encode a (n_frames, H*W) integer array of Y planes as a
+    YUV4MPEG2 stream. Out-of-byte-range pixels raise, matching
+    ``bytes()`` in list-built planes."""
+    a = np.asarray(frames).reshape(len(frames), -1)
+    if a.size and (a.min() < 0 or a.max() > 255):
+        raise ValueError("bytes must be in range(0, 256)")
+    return encode_y4m(
+        [row.tobytes() for row in a.astype(np.uint8)], width, height
+    )
+
+
+def decode_y4m_array(data: bytes) -> Tuple[int, int, np.ndarray]:
+    """Decode a YUV4MPEG2 stream to (width, height, (n_frames, H*W)
+    uint8 array) — the same spec walk as :func:`decode_y4m` (frame
+    positions depend on per-frame parameter lines, so the walk stays),
+    with each plane lifted zero-copy via ``np.frombuffer``."""
+    width, height, frames = decode_y4m(data)
+    if not frames:
+        return width, height, np.zeros((0, width * height), np.uint8)
+    return width, height, np.stack(
+        [np.frombuffer(f, np.uint8) for f in frames]
+    )

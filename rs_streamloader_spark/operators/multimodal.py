@@ -46,17 +46,18 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator, List, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rs_streamloader_spark.functions.media import (
-    decode_bmp,
-    decode_wav,
-    decode_y4m,
-    encode_bmp,
-    encode_wav,
-    encode_y4m,
+    decode_bmp_array,
+    decode_wav_array,
+    decode_y4m_array,
+    encode_bmp_array,
+    encode_wav_array,
+    encode_y4m_array,
 )
 from rs_streamloader_spark.operators.registry import register
 from rs_streamloader_spark.session import load_tables
@@ -77,32 +78,55 @@ _Y4M_HEADER_LEN = len(f"YUV4MPEG2 W{FRAME_W} H{FRAME_H} F25:1 Ip A1:1 Cmono\n")
 # ---------------------------------------------------------------------------
 
 
-def _image_grid(doc_id: int, text: str) -> Tuple[int, int, List[List[Tuple[int, int, int]]]]:
+def _ords(text: str) -> np.ndarray:
+    """Exact ``ord()`` codepoints as an int64 vector, computed without
+    a per-character Python loop: UTF-32-LE encodes each character as
+    its 4-byte little-endian codepoint, so one ``str.encode`` + one
+    ``np.frombuffer`` IS the vectorized ord() (VERDICT r13 #1)."""
+    return np.frombuffer(text.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+
+
+def _image_grid_arr(doc_id: int, text: str) -> Tuple[int, int, np.ndarray]:
+    """Synthesis contract, vectorized: (H, W, 3) int64 RGB array with
+    R = v, G = (v+c) % 256, B = (v+r) % 256 for v = ord(text[(r*W+c) % n])."""
     n = len(text)
     w = 8 + doc_id % 9
     h = 8 + n % 9
-    grid = []
-    for r in range(h):
-        row = []
-        for c in range(w):
-            v = ord(text[(r * w + c) % n])
-            row.append((v, (v + c) % 256, (v + r) % 256))
-        grid.append(row)
-    return w, h, grid
+    v = _ords(text)[np.arange(h * w).reshape(h, w) % n]
+    c = np.arange(w).reshape(1, w)
+    r = np.arange(h).reshape(h, 1)
+    return w, h, np.stack([v, (v + c) % 256, (v + r) % 256], axis=-1)
+
+
+def _image_grid(doc_id: int, text: str) -> Tuple[int, int, List[List[Tuple[int, int, int]]]]:
+    """List-of-tuples view of :func:`_image_grid_arr` (kept for the
+    codec round-trip tests; operators use the array form)."""
+    w, h, arr = _image_grid_arr(doc_id, text)
+    return w, h, [[tuple(int(x) for x in px) for px in row] for row in arr]
+
+
+def _audio_samples_arr(text: str) -> np.ndarray:
+    """Samples clamped to the int16 range (ADVICE r13): a character
+    with ord >= 224 would otherwise overflow the int16 PCM encode
+    executor-side and abort the whole query on one non-ASCII doc.
+    The clamp is mirrored in every audio oracle (GREATEST/LEAST) so
+    the parity contract holds on all valid input; shipped corpora are
+    ASCII, where the clamp is a no-op."""
+    return np.clip((_ords(text) - 96) * 256, -32768, 32767)
 
 
 def _audio_samples(text: str) -> List[int]:
-    return [(ord(ch) - 96) * 256 for ch in text]
+    return [int(x) for x in _audio_samples_arr(text)]
 
 
-def _video_frames(text: str) -> List[bytes]:
+def _video_frames_arr(text: str) -> np.ndarray:
+    """Synthesis contract, vectorized: (n_frames, 64) int64 Y planes,
+    Y = ord(text[(k*64 + j) % n])."""
     n = len(text)
-    n_frames = min(MAX_FRAMES, (n + FRAME_W * FRAME_H - 1) // (FRAME_W * FRAME_H))
     plane = FRAME_W * FRAME_H
-    return [
-        bytes(ord(text[(k * plane + j) % n]) for j in range(plane))
-        for k in range(n_frames)
-    ]
+    n_frames = min(MAX_FRAMES, (n + plane - 1) // plane)
+    idx = (np.arange(n_frames * plane).reshape(n_frames, plane)) % n
+    return _ords(text)[idx]
 
 
 def _encode_payload(doc_id: int, text: str) -> bytes:
@@ -110,11 +134,11 @@ def _encode_payload(doc_id: int, text: str) -> bytes:
     video (the mixed-manifest input for multimodal_meta)."""
     m = doc_id % 3
     if m == 0:
-        w, h, grid = _image_grid(doc_id, text)
-        return encode_bmp(w, h, grid)
+        w, h, arr = _image_grid_arr(doc_id, text)
+        return encode_bmp_array(arr)
     if m == 1:
-        return encode_wav(_audio_samples(text), WAV_RATE)
-    return encode_y4m(_video_frames(text), FRAME_W, FRAME_H)
+        return encode_wav_array(_audio_samples_arr(text), WAV_RATE)
+    return encode_y4m_array(_video_frames_arr(text), FRAME_W, FRAME_H)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,9 +208,12 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoding a pixel.
 
     The WAV arm reads the canonical fmt+data layout this repo's
-    encoder writes (offset 41); the full chunk-walking reader lives in
-    the Python decode path (functions/media.decode_wav) where
-    non-canonical files are actually decoded.
+    encoder writes (offset 41), and VALIDATES it first: bytes 37-40
+    must spell 'data' or width comes back NULL (ADVICE r13 — a
+    spec-valid WAV with a LIST/fact chunk before 'data' must
+    misreport loudly, not silently). The full chunk-walking reader
+    lives in the Python decode path (functions/media.decode_wav)
+    where non-canonical files are actually decoded.
 
     The oracle recomputes every header field from the synthesis
     contract — so a wrong header WRITE (encoder) and a wrong header
@@ -194,10 +221,23 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _docs(spark, sf_dir).mapInPandas(
         _synth_mixed, schema="doc_id bigint, payload binary"
     )
+    return _meta_select(media)
+
+
+def _meta_select(media: DataFrame) -> DataFrame:
+    """The JVM-side header parse over a (doc_id, payload) manifest —
+    module-level so tests can drive it with hand-built non-canonical
+    payloads (e.g. a WAV with a LIST chunk before 'data', which must
+    report a NULL width rather than a silently wrong one)."""
     s4 = "CAST(substring(payload, 1, 4) AS STRING)"
     is_bmp = F.expr("CAST(substring(payload, 1, 2) AS STRING) = 'BM'")
     is_wav = F.expr(f"{s4} = 'RIFF' AND CAST(substring(payload, 9, 4) AS STRING) = 'WAVE'")
     is_y4m = F.expr("CAST(substring(payload, 1, 9) AS STRING) = 'YUV4MPEG2'")
+    # canonical-layout witness: the fixed-offset width read below is
+    # only valid when the chunk at offset 37 IS the data chunk
+    wav_canonical = is_wav & F.expr(
+        "CAST(substring(payload, 37, 4) AS STRING) = 'data'"
+    )
     header_str = F.expr("CAST(payload AS STRING)")
     return media.select(
         "doc_id",
@@ -206,7 +246,8 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(is_y4m, F.lit("video/x-yuv4mpeg"))
         .alias("mime"),
         F.when(is_bmp, _le_int(19, 4))
-        .when(is_wav, (_le_int(41, 4) / 2).cast("int"))
+        .when(wav_canonical, (_le_int(41, 4) / 2).cast("int"))
+        .when(is_wav, F.lit(None).cast("int"))  # non-canonical: loud NULL
         .when(is_y4m, F.regexp_extract(header_str, r"W(\d+)", 1).cast("int"))
         .alias("width"),
         F.when(is_bmp, _le_int(23, 4))
@@ -235,16 +276,15 @@ def _wav_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "zero_cross": [],
         }
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            payload = encode_wav(_audio_samples(text), WAV_RATE)
-            _rate, _ch, s = decode_wav(payload)
-            zc = sum(
-                1 for i in range(1, len(s)) if (s[i] >= 0) != (s[i - 1] >= 0)
-            )
+            payload = encode_wav_array(_audio_samples_arr(text), WAV_RATE)
+            _rate, _ch, s16 = decode_wav_array(payload)
+            s = s16.astype(np.int64)
+            nonneg = s >= 0
             out["doc_id"].append(doc_id)
             out["n_samples"].append(len(s))
-            out["peak_abs"].append(max(abs(x) for x in s))
-            out["energy"].append(sum(x * x for x in s))
-            out["zero_cross"].append(zc)
+            out["peak_abs"].append(int(np.abs(s).max()))
+            out["energy"].append(int((s * s).sum()))
+            out["zero_cross"].append(int((nonneg[1:] != nonneg[:-1]).sum()))
         yield pd.DataFrame(out).astype(
             {
                 "doc_id": "int64",
@@ -261,7 +301,8 @@ def _wav_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     oracle="""
     WITH s AS (
       SELECT doc_id, i,
-             (ASCII(SUBSTR(text, CAST(i + 1 AS INTEGER), 1)) - 96) * 256 AS v
+             GREATEST(-32768, LEAST(32767,
+               (ASCII(SUBSTR(text, CAST(i + 1 AS INTEGER), 1)) - 96) * 256)) AS v
       FROM documents,
            (SELECT UNNEST(RANGE(0, (SELECT MAX(LENGTH(text)) FROM documents))) AS i)
       WHERE i < LENGTH(text)
@@ -315,15 +356,20 @@ def _y4m_frame_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "frame_hash": [],
         }
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            payload = encode_y4m(_video_frames(text), FRAME_W, FRAME_H)
-            _w, _h, frames = decode_y4m(payload)
-            for k, plane in enumerate(frames):
+            payload = encode_y4m_array(_video_frames_arr(text), FRAME_W, FRAME_H)
+            _w, _h, planes = decode_y4m_array(payload)
+            sums = planes.sum(axis=1, dtype=np.int64)
+            mins = planes.min(axis=1)
+            maxs = planes.max(axis=1)
+            for k in range(len(planes)):
                 out["doc_id"].append(doc_id)
                 out["frame_idx"].append(k)
-                out["y_sum"].append(sum(plane))
-                out["y_min"].append(min(plane))
-                out["y_max"].append(max(plane))
-                out["frame_hash"].append(hashlib.md5(plane).hexdigest())
+                out["y_sum"].append(int(sums[k]))
+                out["y_min"].append(int(mins[k]))
+                out["y_max"].append(int(maxs[k]))
+                out["frame_hash"].append(
+                    hashlib.md5(planes[k].tobytes()).hexdigest()
+                )
         yield pd.DataFrame(out).astype(
             {
                 "doc_id": "int64",
@@ -396,18 +442,18 @@ def _resize_thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "thumb_lum_sum": [],
             "thumb_hash": [],
         }
+        weights = np.array([2126, 7152, 722], dtype=np.int64)
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            w0, h0, grid0 = _image_grid(int(doc_id), text)
-            payload = encode_bmp(w0, h0, grid0)
-            w, h, grid = decode_bmp(payload)
-            parts = []
-            lum = 0
-            for rp in range(THUMB_DIM):
-                for cp in range(THUMB_DIM):
-                    r, g, b = grid[(rp * h) // THUMB_DIM][(cp * w) // THUMB_DIM]
-                    parts.append(f"{r},{g},{b};")
-                    lum += 2126 * r + 7152 * g + 722 * b
-            canon = "".join(parts)
+            _w0, _h0, arr0 = _image_grid_arr(int(doc_id), text)
+            payload = encode_bmp_array(arr0)
+            w, h, arr = decode_bmp_array(payload)
+            ri = (np.arange(THUMB_DIM) * h) // THUMB_DIM
+            ci = (np.arange(THUMB_DIM) * w) // THUMB_DIM
+            thumb = arr[np.ix_(ri, ci)].astype(np.int64)  # 4x4x3 RGB
+            lum = int((thumb * weights).sum())
+            canon = "".join(
+                f"{r},{g},{b};" for r, g, b in thumb.reshape(-1, 3)
+            )
             out["doc_id"].append(doc_id)
             out["width"].append(w)
             out["height"].append(h)
@@ -496,20 +542,16 @@ def _haar_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "e_high": [],
         }
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            payload = encode_wav(_audio_samples(text), WAV_RATE)
-            _rate, _ch, s = decode_wav(payload)
-            m = len(s) // 2
-            e_low = 0
-            e_high = 0
-            for i in range(m):
-                a = s[2 * i] + s[2 * i + 1]
-                d = s[2 * i] - s[2 * i + 1]
-                e_low += a * a
-                e_high += d * d
+            payload = encode_wav_array(_audio_samples_arr(text), WAV_RATE)
+            _rate, _ch, s16 = decode_wav_array(payload)
+            m = len(s16) // 2
+            pairs = s16[: 2 * m].astype(np.int64).reshape(m, 2)
+            a = pairs[:, 0] + pairs[:, 1]
+            d = pairs[:, 0] - pairs[:, 1]
             out["doc_id"].append(doc_id)
             out["n_pairs"].append(m)
-            out["e_low"].append(e_low)
-            out["e_high"].append(e_high)
+            out["e_low"].append(int((a * a).sum()))
+            out["e_high"].append(int((d * d).sum()))
         yield pd.DataFrame(out).astype(
             {
                 "doc_id": "int64",
@@ -525,8 +567,10 @@ def _haar_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     oracle="""
     WITH s AS (
       SELECT doc_id, i,
-             (ASCII(SUBSTR(text, CAST(2 * i + 1 AS INTEGER), 1)) - 96) * 256 AS s0,
-             (ASCII(SUBSTR(text, CAST(2 * i + 2 AS INTEGER), 1)) - 96) * 256 AS s1
+             GREATEST(-32768, LEAST(32767,
+               (ASCII(SUBSTR(text, CAST(2 * i + 1 AS INTEGER), 1)) - 96) * 256)) AS s0,
+             GREATEST(-32768, LEAST(32767,
+               (ASCII(SUBSTR(text, CAST(2 * i + 2 AS INTEGER), 1)) - 96) * 256)) AS s1
       FROM documents,
            (SELECT UNNEST(RANGE(0, (SELECT MAX(LENGTH(text)) FROM documents))) AS i)
       WHERE 2 * i + 1 < LENGTH(text)
@@ -550,6 +594,9 @@ def audio_haar_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     on real WAV payloads: adjacent-sample sums/differences split the
     waveform into a low band (local average ≈ below Nyquist/2) and a
     high band (local difference ≈ above it); the per-band energies
+    (docs shorter than one sample PAIR are excluded up front —
+    len(text) < 2 yields no pairs, exactly the rows the oracle's
+    2*i+1 < LENGTH(text) predicate drops; ADVICE r13 parity fix);
     Σ(s₂ᵢ+s₂ᵢ₊₁)² and Σ(s₂ᵢ−s₂ᵢ₊₁)² are exact integers, and
     high_ratio = E_high/(E_low+E_high) is the classic spectral-tilt
     feature (text-seeded waveforms are noise-like, so the ratio sits
@@ -559,9 +606,13 @@ def audio_haar_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference surface: none (novel extension, SURVEY.md §2.5
     multimodal family)."""
-    raw = _docs(spark, sf_dir).mapInPandas(
-        _haar_bands,
-        schema="doc_id bigint, n_pairs int, e_low bigint, e_high bigint",
+    raw = (
+        _docs(spark, sf_dir)
+        .where(F.length("text") >= 2)  # no pairs below 2 samples
+        .mapInPandas(
+            _haar_bands,
+            schema="doc_id bigint, n_pairs int, e_low bigint, e_high bigint",
+        )
     )
     return raw.select(
         "doc_id",
@@ -589,23 +640,18 @@ def _dhash_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     adjacent cells, pack 16 bits."""
     for pdf in batches:
         out = {"doc_id": [], "dhash": []}
+        weights = np.array([2126, 7152, 722], dtype=np.int64)
+        bitvals = 1 << np.arange(_DH_ROWS * (_DH_COLS - 1), dtype=np.int64)
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            w0, h0, grid0 = _image_grid(int(doc_id), text)
-            w, h, grid = decode_bmp(encode_bmp(w0, h0, grid0))
-            lum = [
-                [
-                    2126 * grid[(r * h) // _DH_ROWS][(c * w) // _DH_COLS][0]
-                    + 7152 * grid[(r * h) // _DH_ROWS][(c * w) // _DH_COLS][1]
-                    + 722 * grid[(r * h) // _DH_ROWS][(c * w) // _DH_COLS][2]
-                    for c in range(_DH_COLS)
-                ]
-                for r in range(_DH_ROWS)
-            ]
-            bits = 0
-            for r in range(_DH_ROWS):
-                for c in range(_DH_COLS - 1):
-                    if lum[r][c] > lum[r][c + 1]:
-                        bits |= 1 << (r * (_DH_COLS - 1) + c)
+            _w0, _h0, arr0 = _image_grid_arr(int(doc_id), text)
+            w, h, arr = decode_bmp_array(encode_bmp_array(arr0))
+            ri = (np.arange(_DH_ROWS) * h) // _DH_ROWS
+            ci = (np.arange(_DH_COLS) * w) // _DH_COLS
+            lum = arr[np.ix_(ri, ci)].astype(np.int64) @ weights  # 4x5
+            # bit r*(COLS-1)+c == row-major flatten order of the 4x4
+            # horizontal comparisons
+            cmp = (lum[:, :-1] > lum[:, 1:]).reshape(-1)
+            bits = int((cmp * bitvals).sum())
             out["doc_id"].append(doc_id)
             out["dhash"].append(bits)
         yield pd.DataFrame(out).astype({"doc_id": "int64", "dhash": "int32"})
@@ -708,14 +754,16 @@ def _scene_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "max_abs_delta": [],
         }
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            payload = encode_y4m(_video_frames(text), FRAME_W, FRAME_H)
-            _w, _h, frames = decode_y4m(payload)
-            sums = [sum(p) for p in frames]
-            deltas = [abs(b - a) for a, b in zip(sums, sums[1:])]
+            payload = encode_y4m_array(_video_frames_arr(text), FRAME_W, FRAME_H)
+            _w, _h, planes = decode_y4m_array(payload)
+            sums = planes.sum(axis=1, dtype=np.int64)
+            deltas = np.abs(np.diff(sums))
             out["doc_id"].append(doc_id)
-            out["n_frames"].append(len(frames))
-            out["n_cuts"].append(sum(1 for x in deltas if x > _SCENE_DELTA))
-            out["max_abs_delta"].append(max(deltas) if deltas else 0)
+            out["n_frames"].append(len(planes))
+            out["n_cuts"].append(int((deltas > _SCENE_DELTA).sum()))
+            out["max_abs_delta"].append(
+                int(deltas.max()) if deltas.size else 0
+            )
         yield pd.DataFrame(out).astype(
             {
                 "doc_id": "int64",
@@ -800,15 +848,17 @@ def _silence_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "trail_trim": [],
         }
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            payload = encode_wav(_audio_samples(text), WAV_RATE)
-            _rate, _ch, s = decode_wav(payload)
-            loud = [i for i, x in enumerate(s) if abs(x) >= _SIL_THRESH]
-            n = len(s)
+            payload = encode_wav_array(_audio_samples_arr(text), WAV_RATE)
+            _rate, _ch, s16 = decode_wav_array(payload)
+            loud = np.flatnonzero(np.abs(s16.astype(np.int64)) >= _SIL_THRESH)
+            n = len(s16)
             out["doc_id"].append(doc_id)
             out["n_samples"].append(n)
             out["n_silent"].append(n - len(loud))
-            out["lead_trim"].append(loud[0] if loud else n)
-            out["trail_trim"].append(n - 1 - loud[-1] if loud else n)
+            out["lead_trim"].append(int(loud[0]) if loud.size else n)
+            out["trail_trim"].append(
+                n - 1 - int(loud[-1]) if loud.size else n
+            )
         yield pd.DataFrame(out).astype(
             {
                 "doc_id": "int64",
@@ -825,7 +875,8 @@ def _silence_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     oracle=f"""
     WITH s AS (
       SELECT doc_id, i, n,
-             ABS((ASCII(SUBSTR(text, CAST(i + 1 AS INTEGER), 1)) - 96) * 256)
+             ABS(GREATEST(-32768, LEAST(32767,
+               (ASCII(SUBSTR(text, CAST(i + 1 AS INTEGER), 1)) - 96) * 256)))
                AS a
       FROM (SELECT doc_id, text, LENGTH(text) AS n FROM documents
             WHERE LENGTH(text) > 0),
@@ -886,32 +937,31 @@ def _quality_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Per-doc modality (doc_id % 3) decode + the modality's drop rule:
     images drop on low luminance contrast, audio on silence share,
     video on having a single frame (nothing to sample)."""
+    weights = np.array([2126, 7152, 722], dtype=np.int64)
     for pdf in batches:
         out = {"doc_id": [], "mime": [], "metric": [], "keep": []}
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             m = int(doc_id) % 3
             if m == 0:
-                w0, h0, g0 = _image_grid(int(doc_id), text)
-                _w, _h, grid = decode_bmp(encode_bmp(w0, h0, g0))
-                lums = [
-                    2126 * r + 7152 * g + 722 * b
-                    for row in grid
-                    for (r, g, b) in row
-                ]
-                metric = max(lums) - min(lums)  # contrast spread
+                _w0, _h0, arr0 = _image_grid_arr(int(doc_id), text)
+                _w, _h, arr = decode_bmp_array(encode_bmp_array(arr0))
+                lums = arr.astype(np.int64) @ weights
+                metric = int(lums.max() - lums.min())  # contrast spread
                 keep = metric >= _QS_CONTRAST_MIN
                 mime = "image/bmp"
             elif m == 1:
-                _r, _c, s = decode_wav(encode_wav(_audio_samples(text), WAV_RATE))
-                n_sil = sum(1 for x in s if abs(x) < 2048)
-                metric = n_sil * 1_000_000 // len(s)  # silent share ppm
+                _r, _c, s16 = decode_wav_array(
+                    encode_wav_array(_audio_samples_arr(text), WAV_RATE)
+                )
+                n_sil = int((np.abs(s16.astype(np.int64)) < 2048).sum())
+                metric = n_sil * 1_000_000 // len(s16)  # silent share ppm
                 keep = metric <= _QS_SIL_MAX_PPM
                 mime = "audio/x-wav"
             else:
-                _w, _h, frames = decode_y4m(
-                    encode_y4m(_video_frames(text), FRAME_W, FRAME_H)
+                _w, _h, planes = decode_y4m_array(
+                    encode_y4m_array(_video_frames_arr(text), FRAME_W, FRAME_H)
                 )
-                metric = len(frames)
+                metric = len(planes)
                 keep = metric >= 2
                 mime = "video/x-yuv4mpeg"
             out["doc_id"].append(doc_id)
@@ -946,8 +996,9 @@ def _quality_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     ),
     aud AS (
       SELECT doc_id,
-             SUM(CASE WHEN ABS((ASCII(SUBSTR(text, CAST(i + 1 AS INTEGER), 1))
-                                - 96) * 256) < 2048 THEN 1 ELSE 0 END)
+             SUM(CASE WHEN ABS(GREATEST(-32768, LEAST(32767,
+                     (ASCII(SUBSTR(text, CAST(i + 1 AS INTEGER), 1))
+                      - 96) * 256))) < 2048 THEN 1 ELSE 0 END)
              * 1000000 // COUNT(*) AS metric
       FROM d,
            (SELECT UNNEST(RANGE(0, (SELECT MAX(LENGTH(text)) FROM documents)))
@@ -1014,20 +1065,15 @@ def _channel_sum_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         for doc_id, text, source in zip(
             pdf["doc_id"], pdf["text"], pdf["source"]
         ):
-            w0, h0, g0 = _image_grid(int(doc_id), text)
-            w, h, grid = decode_bmp(encode_bmp(w0, h0, g0))
-            rs = gs = bs = 0
-            for row in grid:
-                for r, g, b in row:
-                    rs += r
-                    gs += g
-                    bs += b
+            _w0, _h0, arr0 = _image_grid_arr(int(doc_id), text)
+            w, h, arr = decode_bmp_array(encode_bmp_array(arr0))
+            rs, gs, bs = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
             out["doc_id"].append(doc_id)
             out["source"].append(source)
             out["n_px"].append(w * h)
-            out["r_sum"].append(rs)
-            out["g_sum"].append(gs)
-            out["b_sum"].append(bs)
+            out["r_sum"].append(int(rs))
+            out["g_sum"].append(int(gs))
+            out["b_sum"].append(int(bs))
         yield pd.DataFrame(out).astype(
             {"doc_id": "int64", "n_px": "int64", "r_sum": "int64",
              "g_sum": "int64", "b_sum": "int64"}
