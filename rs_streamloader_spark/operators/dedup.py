@@ -2920,9 +2920,12 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bytes track batch size, not store size — measured in
     SCALE_STRESS_r12_loader.json); the band join is shuffle-hash
     pinned (both sides corpus-sized here; at production the incoming
-    side is one batch). The decision table is localCheckpoint-ed
-    (O(batch) narrow rows) before batch 2's upsert retires the store
-    version it was computed from."""
+    side is one batch). The decision table reads the store under a
+    SNAPSHOT PIN (sink.snapshot(), VERDICT r13 #4): batch 2's upsert
+    commits version N+1 but defers pruning version N's files while
+    the pin is live, so the lazy decision plan stays valid with no
+    caller-side checkpointing — the sink-level contract is pinned by
+    tests/test_snapshot_read.py."""
     import os
     import shutil
     import tempfile
@@ -2965,13 +2968,18 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # run 1: the already-ingested corpus half becomes the persisted store
     land(store_sigs, "stage_run1")
-    store = sink.read()  # the state batch 2 actually sees: disk, not lineage
 
-    # materialize the decision table BEFORE run 2's upsert retires the
-    # store version its plan reads (O(batch) narrow rows)
-    out = _incremental_decision(inc_sigs, store).localCheckpoint(eager=True)
+    # snapshot-pin the store version the decision reads: run 2's
+    # upsert below commits the next version but defers pruning this
+    # one while the pin is live, so the returned lazy plan stays
+    # valid — no localCheckpoint materialization needed. (No further
+    # writes touch this per-invocation scratch table after the pin
+    # releases, so execution any time later resolves the same files.)
+    with sink.snapshot() as snap:
+        store = snap.read()  # the state batch 2 sees: disk, not lineage
+        out = _incremental_decision(inc_sigs, store)
 
-    # run 2: the incoming batch's signatures join the store — the state
-    # handoff that makes the next run incremental
-    land(inc_sigs, "stage_run2")
+        # run 2: the incoming batch's signatures join the store — the
+        # state handoff that makes the next run incremental
+        land(inc_sigs, "stage_run2")
     return out

@@ -68,6 +68,23 @@ the old "concurrent writers must be externally serialized" docstring
 contract into enforced serialization: two racing ``Loader.upsert()``
 calls now apply in some serial order instead of silently losing one
 batch's rewrite.
+
+Snapshot isolation (VERDICT r13 next-round #4): ``snapshot()`` pins
+the current committed version with a marker file under ``_pins/`` at
+the table root; while any unexpired pin exists, replace commits still
+land (writers never block on readers) but PHYSICAL pruning of
+shadowed data is deferred, so a lazy plan built from
+``read()``/``read(version=n)`` under the pin keeps resolving its
+files across concurrent upserts — no caller-side checkpointing
+needed. Version resolution is correct with stale copies present
+(``_bucket_paths`` picks newest-wins), so deferral costs only disk.
+``vacuum()`` reclaims the deferred garbage once pins are released;
+a pin older than ``_PIN_TTL_SEC`` belongs to a crashed reader and is
+ignored and swept (the reader-side mirror of the writer lock's
+stale-steal). This is the Delta/Iceberg snapshot-read analogue for
+the plain-parquet native sink (SURVEY §7 ACID requirement; the
+reference gets the same property from Redshift transactions,
+core.ts:7-60).
 """
 
 from __future__ import annotations
@@ -93,6 +110,10 @@ _LOCK_NAME = "_writer.lock"
 _LOCK_ATTEMPTS = 5  # first try + 4 backoff retries (transaction.py shape)
 _LOCK_BACKOFF_BASE = 1.0  # seconds; sleep base·3ⁿ between attempts
 _LOCK_STALE_SEC = 600.0  # presume a lock this old belongs to a crash
+
+_PINS_DIR = "_pins"
+_PIN_RE = re.compile(r"^pin_(\d+)_(\d+)_[0-9a-f]+$")  # version, epoch
+_PIN_TTL_SEC = 3600.0  # presume a pin this old belongs to a crashed reader
 
 _VERSION_RE = re.compile(r"^v_(\d+)_[0-9a-f]+$")  # full version
 _DELTA_RE = re.compile(r"^d_(\d+)_(?:b(\d+)_)?[0-9a-f]+$")  # replace delta
@@ -142,6 +163,35 @@ def _batch_tag_of(name: str) -> int | None:
         if m and m.group(2) is not None:
             return int(m.group(2))
     return None
+
+
+class SnapshotPin:
+    """Handle for a pinned committed version (``NativeTableSink.
+    snapshot()``): ``read()`` returns the table as of ``version`` and
+    the pin defers physical pruning so that lazy plan stays valid
+    across concurrent upserts. Release with ``release()`` or use as a
+    context manager; a crashed holder's pin expires after
+    ``_PIN_TTL_SEC`` and is swept by the next writer."""
+
+    def __init__(self, sink: "NativeTableSink", version: int, name: str):
+        self.sink = sink
+        self.version = version
+        self._name = name
+        self._released = False
+
+    def read(self) -> DataFrame:
+        return self.sink.read(version=self.version)
+
+    def release(self) -> None:
+        if not self._released:
+            self.sink._release_pin(self._name)
+            self._released = True
+
+    def __enter__(self) -> "SnapshotPin":
+        return self
+
+    def __exit__(self, *_exc) -> None:
+        self.release()
 
 
 class NativeTableSink:
@@ -371,7 +421,9 @@ class NativeTableSink:
         marker. Subdirs without a marker are in-flight or crashed
         writes and are never read — this is what makes appends
         crash-consistent rather than partially visible."""
-        vdir = self.current_path
+        return self._data_paths_of(self.current_path)
+
+    def _data_paths_of(self, vdir: str) -> list[str]:
         fs, jpath, _ = self._fs(vdir)
         paths = []
         fs2, success, _ = self._fs(f"{vdir}/_SUCCESS")
@@ -389,6 +441,104 @@ class NativeTableSink:
         versions = self._committed_versions()
         return versions[-1] if versions else None
 
+    # ------------------------------------------------------------------
+    # snapshot pins (module docstring: snapshot isolation)
+    # ------------------------------------------------------------------
+    def _active_pin_floor(self) -> int | None:
+        """Smallest version named by an unexpired snapshot pin, or
+        None when no live reader holds one. Expired pins (crashed
+        readers) are ignored AND swept — the reader-side mirror of
+        the writer lock's stale-steal."""
+        fs, jdir, _ = self._fs(f"{self.root}/{_PINS_DIR}")
+        if not fs.exists(jdir):
+            return None
+        floor = None
+        now = time.time()
+        for status in fs.listStatus(jdir):
+            m = _PIN_RE.match(status.getPath().getName())
+            if m is None:
+                continue
+            if now - int(m.group(2)) > _PIN_TTL_SEC:
+                fs.delete(status.getPath(), False)
+                continue
+            v = int(m.group(1))
+            floor = v if floor is None else min(floor, v)
+        return floor
+
+    def snapshot(self) -> SnapshotPin:
+        """Pin the current committed version for consistent lazy
+        reads: while the returned handle is live, replace commits
+        still land but physical pruning is deferred, so
+        ``handle.read()`` plans keep resolving their files across
+        concurrent upserts. Pin-then-resolve ordering makes the
+        guarantee exact for any write that begins after ``snapshot()``
+        returns (the pin marker is durably on disk before the writer
+        lists pins at prune time)."""
+        live = self._live()
+        n = live[0] if live is not None else 0
+        name = f"pin_{n}_{int(time.time())}_{uuid.uuid4().hex[:8]}"
+        fs, jdir, _ = self._fs(f"{self.root}/{_PINS_DIR}")
+        fs.mkdirs(jdir)
+        _, jpin, _ = self._fs(f"{self.root}/{_PINS_DIR}/{name}")
+        fs.create(jpin, True).close()
+        return SnapshotPin(self, n, name)
+
+    def _release_pin(self, name: str) -> None:
+        fs, jpin, _ = self._fs(f"{self.root}/{_PINS_DIR}/{name}")
+        try:
+            fs.delete(jpin, False)
+        except Exception:  # pragma: no cover - release is best-effort
+            _LOG.warning("failed to release snapshot pin %s", name)
+
+    @_locked
+    def vacuum(self) -> int:
+        """Physically reclaim data shadowed by newer commits — the
+        deferred-garbage collector for prunes skipped while snapshot
+        pins were live (Delta's VACUUM analogue). No-op while any
+        unexpired pin exists. Returns the number of paths deleted.
+        Never touches: the newest full version (the empty-bucket
+        floor), batch-tagged dirnames (replay markers), or any path
+        the live resolution still references."""
+        if self._active_pin_floor() is not None:
+            return 0
+        versions = self._committed_versions()
+        if not versions:
+            return 0
+        deleted = 0
+        if not self.bucketed:
+            keep_n, keep_name = versions[-1]
+            for vn, name in versions[:-1]:
+                fs, jpath, _ = self._fs(f"{self.root}/{name}")
+                fs.delete(jpath, True)
+                deleted += 1
+            self._retire_below(keep_n - 1, keep_name)  # stale uncommitted
+            return deleted
+        live_paths = {
+            p for lst in self._bucket_paths(versions).values() for p in lst
+        }
+        newest_full = max(
+            (n for n, name in versions if _version_of(name)[1] == FULL),
+            default=None,
+        )
+        newest_n = versions[-1][0]
+        for vn, name in versions:
+            vdir = f"{self.root}/{name}"
+            kind = _version_of(name)[1]
+            for _k, bpath in self._bucket_dirs_of(vdir).items():
+                if bpath not in live_paths:
+                    fs, jpath, _ = self._fs(bpath)
+                    fs.delete(jpath, True)
+                    deleted += 1
+            if (
+                vn < newest_n
+                and not (kind == FULL and vn == newest_full)
+                and _batch_tag_of(name) is None
+                and not self._bucket_dirs_of(vdir)
+            ):
+                fs, jpath, _ = self._fs(vdir)
+                fs.delete(jpath, True)
+        return deleted
+
     def _new_version_path(self, n: int) -> str:
         return f"{self.root}/v_{n}_{uuid.uuid4().hex[:8]}"
 
@@ -403,7 +553,12 @@ class NativeTableSink:
 
     def _retire_below(self, keep_n: int, keep_name: str) -> None:
         """Delete committed and stale uncommitted dirs older than the
-        winner (best-effort; failures leave garbage, never bad reads)."""
+        winner (best-effort; failures leave garbage, never bad reads).
+        Deferred entirely while a snapshot pin is live — a pinned
+        reader's lazy plan references the older files; ``vacuum()``
+        reclaims them after release."""
+        if self._active_pin_floor() is not None:
+            return
         fs, root, _ = self._fs(self.root)
         if not fs.exists(root):
             return
@@ -520,6 +675,11 @@ class NativeTableSink:
         merged_b.write.partitionBy(BUCKET_COL).parquet(path)
         schema = merged_b.drop(BUCKET_COL).schema
         self._save_spec(schema)
+        if self._active_pin_floor() is not None:
+            # a snapshot reader is live: the commit stands (newest
+            # wins at resolution) but physical pruning is deferred so
+            # the pinned plan's files survive; vacuum() reclaims them
+            return
         keep_name = path.rsplit("/", 1)[1]
         touched_set = set(touched)
         for vn, name in versions if versions is not None else self._committed_versions():
@@ -551,13 +711,28 @@ class NativeTableSink:
     def exists(self) -> bool:
         return self._live() is not None
 
-    def read(self) -> DataFrame:
-        # union of committed data roots only — in-flight/crashed append
-        # subdirs are invisible; mergeSchema so appends that widened
-        # the schema surface every column (missing → NULL)
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read the table: the live state by default, or — with
+        ``version=n`` — the committed state as of version n (the
+        snapshot-read half of the ``snapshot()`` pin protocol; pass
+        ``SnapshotPin.version`` or call ``pin.read()``). A version
+        read is only guaranteed stable while a pin at or below that
+        version is live (or no writes happen) — otherwise pruning may
+        have reclaimed the older files.
+
+        Union of committed data roots only — in-flight/crashed append
+        subdirs are invisible; mergeSchema so appends that widened
+        the schema surface every column (missing → NULL)."""
+        versions = None
+        if version is not None:
+            versions = [
+                (vn, name)
+                for vn, name in self._committed_versions()
+                if vn <= version
+            ]
         if self.bucketed:
             paths = sorted(
-                p for lst in self._bucket_paths().values() for p in lst
+                p for lst in self._bucket_paths(versions).values() for p in lst
             )
             df = self._read_buckets(paths)
             if df is not None:
@@ -569,6 +744,15 @@ class NativeTableSink:
                 schema = StructType.fromJson(json.loads(self._spec_schema_json))
                 return self.spark.createDataFrame([], schema)
             raise FileNotFoundError(f"empty bucketed table {self.root} has no schema")
+        if version is not None:
+            if not versions:
+                raise FileNotFoundError(
+                    f"no committed version <= {version} under {self.root}"
+                )
+            vdir = f"{self.root}/{versions[-1][1]}"
+            return self.spark.read.option("mergeSchema", "true").parquet(
+                *self._data_paths_of(vdir)
+            )
         paths = self._committed_data_paths()
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
