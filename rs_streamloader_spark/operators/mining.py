@@ -2135,6 +2135,167 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE trainer LOOP: K merges to a fixed point (not just one step)
+# ---------------------------------------------------------------------------
+
+_BPE_TRAIN_STEPS = 8
+_BPE_SEP = "\x1f"  # symbol delimiter: tokens are whitespace-split, so
+# the unit-separator control char can never occur inside a symbol
+
+
+def _bpe_trained_oracle() -> str:
+    """Unrolled K-step trainer as a CTE chain (the holt_winters
+    bounded-recursion precedent, unrolled because each step needs an
+    argmax over the whole working vocabulary, which a recursive CTE
+    term cannot aggregate): step i extracts weighted adjacent-symbol
+    pairs from representation w{{i-1}}, picks the single best pair
+    (count DESC, then lexicographic), and applies it via REPLACE over
+    the ␟-wrapped symbol string — '␟A␟␟B␟' → '␟AB␟' is exactly the
+    greedy leftmost non-overlapping merge of BPE training, because
+    REPLACE resumes scanning after each replacement."""
+    sep = "CHR(31)"
+    sql = [
+        f"""
+    WITH wc AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ({_TOKENS_SQL}) GROUP BY tok
+    ),
+    w0 AS (
+      SELECT REGEXP_REPLACE(tok, '(.)', {sep} || '\\1' || {sep}, 'g') AS w,
+             cnt
+      FROM wc
+    )"""
+    ]
+    for i in range(1, _BPE_TRAIN_STEPS + 1):
+        sql.append(
+            f""",
+    p{i} AS (
+      SELECT list_extract(syms, j) AS left_sym,
+             list_extract(syms, j + 1) AS right_sym,
+             CAST(SUM(cnt) AS BIGINT) AS pair_count
+      FROM (SELECT STR_SPLIT(TRIM(w, {sep}), {sep} || {sep}) AS syms, cnt
+            FROM w{i - 1}),
+           UNNEST(RANGE(1, LEN(syms))) AS t(j)
+      GROUP BY 1, 2
+    ),
+    b{i} AS (
+      SELECT left_sym, right_sym, left_sym || right_sym AS merged,
+             pair_count
+      FROM p{i} ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
+    ),
+    w{i} AS (
+      SELECT REPLACE(w, {sep} || b.left_sym || {sep} || {sep}
+                        || b.right_sym || {sep},
+                     {sep} || b.merged || {sep}) AS w, cnt
+      FROM w{i - 1}, b{i} b
+    )"""
+        )
+    union = "\n      UNION ALL\n".join(
+        f"      SELECT CAST({i} AS INTEGER) AS step, left_sym, right_sym,"
+        f" merged, pair_count FROM b{i}"
+        for i in range(1, _BPE_TRAIN_STEPS + 1)
+    )
+    sql.append(f"\n{union}")
+    return "".join(sql)
+
+
+@register("bpe_trained_merges", oracle=_bpe_trained_oracle())
+def bpe_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE TRAINING LOOP (VERDICT r13 next-round #5) — K =
+    {_BPE_TRAIN_STEPS} merge iterations to a fixed point, not just the
+    one candidate step ``bpe_merge_candidates`` emits: every
+    iteration counts corpus-weighted adjacent-symbol pairs over the
+    current vocabulary representation, merges THE top pair (ties
+    break lexicographically) into a new symbol everywhere it occurs
+    (greedy leftmost non-overlapping — the BPE application rule), and
+    recounts. The output is the ordered merge table a tokenizer ships:
+    (step, left, right, merged, pair_count) — the missing first stage
+    of the tokenizer pipeline every fertility/coverage query
+    downstream assumes frozen.
+
+    Representation trick shared with the oracle: each word's symbol
+    sequence is a ␟-wrapped string (``␟h␟␟e␟…``); applying merge
+    (A, B) is the literal string REPLACE of ``␟A␟␟B␟`` with
+    ``␟AB␟`` — byte-identical greedy semantics in Spark and DuckDB,
+    JVM-codegen string ops, no UDF.
+
+    Scale posture: the loop is a BOUNDED driver recursion (the
+    holt_winters precedent) — K jobs, each O(vocab): pair explode
+    over the word-frequency aggregate (vocab-sized, never
+    corpus-sized), map-side-combinable pair counts, and a ONE-ROW
+    collect per step (the argmax pair; the only driver-side data).
+    The wrapped vocab is cached once; iteration i replays i-1 cheap
+    string replaces over it. At 100 TB the corpus-sized work happens
+    exactly once (the word count); all K iterations ride the
+    vocab-bounded aggregate.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 text
+    family)."""
+    sep = _BPE_SEP
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    wc = _tokens(docs).groupBy("tok").agg(F.count("*").alias("cnt"))
+    wrapped = wc.select(
+        F.regexp_replace("tok", "(.)", f"{sep}$1{sep}").alias("w"), "cnt"
+    ).cache()
+    try:
+        merges: list[tuple] = []
+        cur = wrapped
+        for step in range(1, _BPE_TRAIN_STEPS + 1):
+            top = (
+                _bpe_pair_counts(cur, sep)
+                .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+                .limit(1)
+                .collect()
+            )
+            if not top:  # vocabulary ran out of pairs before step K
+                break
+            left, right, cnt = (
+                top[0]["left_sym"],
+                top[0]["right_sym"],
+                top[0]["pair_count"],
+            )
+            merges.append((step, left, right, left + right, cnt))
+            cur = cur.select(
+                F.replace(
+                    F.col("w"),
+                    F.lit(f"{sep}{left}{sep}{sep}{right}{sep}"),
+                    F.lit(f"{sep}{left}{right}{sep}"),
+                ).alias("w"),
+                "cnt",
+            )
+        return spark.createDataFrame(
+            merges,
+            "step int, left_sym string, right_sym string,"
+            " merged string, pair_count bigint",
+        )
+    finally:
+        wrapped.unpersist()
+
+
+def _bpe_pair_counts(wdf: DataFrame, sep: str) -> DataFrame:
+    """Weighted adjacent-symbol pair counts over a wrapped-string
+    vocabulary representation — one explode over vocab rows collapsing
+    straight into a combinable (left, right) aggregate."""
+    syms = F.split(F.expr("trim(BOTH '\x1f' FROM w)"), sep + sep)
+    return (
+        wdf.select(syms.alias("syms"), "cnt")
+        .where(F.size("syms") >= 2)  # sequence(1, 0) would descend
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " j -> struct(element_at(syms, j) AS left_sym,"
+                    " element_at(syms, j + 1) AS right_sym))"
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        .groupBy("p.left_sym", "p.right_sym")
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Co-purchase graph connected components (category discovery)
 # ---------------------------------------------------------------------------
 

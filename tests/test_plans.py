@@ -1538,6 +1538,46 @@ def test_bpe_candidates_vocab_sized_explode_take_ordered(spark):
     assert "TakeOrderedAndProject" in text, text
 
 
+def test_bpe_training_iteration_vocab_sized_and_combinable(spark):
+    """The training loop's per-iteration pair count must share the
+    candidate step's shape: explode over the vocab-sized aggregate
+    (never raw tokens) collapsing into a partial-aggregated pair
+    count, and the argmax cut must be TakeOrderedAndProject — the
+    only driver-side data each iteration is that ONE row."""
+    from pyspark.sql import functions as F
+
+    from rs_streamloader_spark.operators.mining import (
+        _BPE_SEP,
+        _bpe_pair_counts,
+        _t,
+        _tokens,
+    )
+
+    docs = _t(spark, SF_SMOKE, "documents")["documents"]
+    wc = _tokens(docs).groupBy("tok").agg(F.count("*").alias("cnt"))
+    wrapped = wc.select(
+        F.regexp_replace("tok", "(.)", f"{_BPE_SEP}$1{_BPE_SEP}").alias("w"),
+        "cnt",
+    )
+    top = (
+        _bpe_pair_counts(wrapped, _BPE_SEP)
+        .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+        .limit(1)
+    )
+    text = explain_str(top, "simple")
+    lines = text.splitlines()
+    pair_gens = [
+        i for i, l in enumerate(lines) if "Generate" in l and "left_sym" in l
+    ]
+    assert pair_gens, text
+    for i in pair_gens:
+        below = "\n".join(lines[i:])
+        agg = below.find("HashAggregate")
+        scan = below.find("Scan parquet")
+        assert 0 <= agg < scan, below[:1500]
+    assert "TakeOrderedAndProject" in text, text
+
+
 def test_interval_union_single_user_shuffle(spark):
     from rs_streamloader_spark.operators.analytic import merge_user_intervals
 

@@ -4583,3 +4583,68 @@ def test_image_channel_rollup_matches_numpy(spark, monkeypatch):
         assert (row["n_images"], row["n_pixels"]) == (ni, npx)
         assert (row["r_sum"], row["g_sum"], row["b_sum"]) == (rs, gs, bs)
         assert row["r_mean"] == round(rs / npx, 6)
+
+
+def test_bpe_trained_merges_matches_hand_run_trainer(spark, monkeypatch):
+    """The K-step BPE training loop pinned against a from-scratch
+    hand-run trainer (dict vocab, greedy leftmost non-overlapping
+    merge application): a third vote independent of both the Spark
+    REPLACE representation and the oracle's unrolled CTE chain. The
+    tiny corpus is engineered so (a) a later iteration's best pair
+    involves a MERGED symbol (the property a single candidate step
+    can never show), and (b) an adjacent-run word ('aaaa') exercises
+    the non-overlap rule."""
+    import rs_streamloader_spark.operators.mining as M
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "aaaa aaaa aa banana",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(M, "_t", lambda _s, _d, *names: {"documents": sdf})
+
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["merged"],
+         r["pair_count"])
+        for r in sorted(
+            M.bpe_trained_merges(spark, "x").collect(),
+            key=lambda r: r["step"],
+        )
+    ]
+
+    # hand-run trainer on the same whitespace tokens
+    from collections import Counter
+
+    wc = Counter(t for s in texts for t in s.split(" "))
+    vocab = {tuple(w): c for w, c in wc.items()}
+    exp = []
+    for step in range(1, M._BPE_TRAIN_STEPS + 1):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (a, b), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        exp.append((step, a, b, a + b, cnt))
+        new_vocab = Counter()
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += c
+        vocab = dict(new_vocab)
+
+    assert got == exp
+    # the loop actually went past single-character pairs: some later
+    # merge consumes a symbol built by an earlier one
+    assert any(len(l) > 1 or len(r) > 1 for _, l, r, _, _ in got)

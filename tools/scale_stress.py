@@ -312,6 +312,7 @@ HEAVY_TAIL = [
     "audience_overlap_matrix",
     "bounce_rate_daily",
     "bpe_merge_candidates",
+    "bpe_trained_merges",
     "colbert_maxsim_labels",
     "copurchase_components",
     "ctr_wilson_interval",
@@ -636,6 +637,7 @@ CONSTANT_OUTPUT = {
     "bloom_filter_fpr",
     "table_checksum_buckets",
     "bpe_merge_candidates",
+    "bpe_trained_merges",
     # <=33-row Hamming histogram; 5-type PSI grid; 10-cohort pivot
     "simhash_hamming_histogram",
     "drift_psi_daily",
