@@ -971,9 +971,11 @@ def _quality_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out).astype({"doc_id": "int64", "metric": "int64"})
 
 
-@register(
-    "multimodal_quality_screen",
-    oracle=f"""
+# the full per-doc decision-table SQL — module constant so the
+# streaming replay (streaming/replay.py stream_multimodal_screen_
+# replay) can wrap the identical metric math around its per-batch
+# rollup instead of duplicating it
+QS_ORACLE = f"""
     WITH d AS (
       SELECT doc_id, text, LENGTH(text) AS n,
              CAST(doc_id % 3 AS INTEGER) AS mod3,
@@ -1017,8 +1019,10 @@ def _quality_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     FROM d
     LEFT JOIN img ON img.doc_id = d.doc_id
     LEFT JOIN aud ON aud.doc_id = d.doc_id
-    """,
-)
+    """
+
+
+@register("multimodal_quality_screen", oracle=QS_ORACLE)
 def multimodal_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The joint multimodal curation filter — one decision table across
     all three modalities of the mixed manifest, each screened by its

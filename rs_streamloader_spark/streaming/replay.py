@@ -1257,3 +1257,130 @@ def stream_incremental_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.read.parquet(out_dir).select(
         "doc_id", "slc", "matched_doc", "n_match", "est_jaccard", "is_dup"
     )
+
+
+# ---------------------------------------------------------------------------
+# 17th replay: multimodal quality screen decoded per micro-batch
+# ---------------------------------------------------------------------------
+
+_MM_SCREEN_SLICES = 4
+
+
+def _mm_screen_oracle() -> str:
+    from rs_streamloader_spark.operators.multimodal import QS_ORACLE
+
+    return f"""
+    WITH scr AS ({QS_ORACLE})
+    SELECT doc_id,
+           CAST(doc_id % {_MM_SCREEN_SLICES} AS INTEGER) AS slc,
+           mime, metric, keep,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) OVER (
+                  PARTITION BY doc_id % {_MM_SCREEN_SLICES}, mime
+                ) AS BIGINT) AS batch_kept,
+           CAST(COUNT(*) OVER (
+                  PARTITION BY doc_id % {_MM_SCREEN_SLICES}, mime
+                ) AS BIGINT) AS batch_total
+    FROM scr
+    """
+
+
+@register("stream_multimodal_screen_replay", oracle=_mm_screen_oracle())
+def stream_multimodal_screen_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal DECODE IN-STREAM (VERDICT r13 next-round #6) — the
+    joint quality screen (operators/multimodal.py: real BMP/WAV/Y4M
+    decode + per-modality keep/drop rules) run PER MICRO-BATCH over a
+    file stream of document payload rows under
+    ``maxFilesPerTrigger=1``: each batch lands its per-doc verdicts
+    PLUS the per-batch-per-modality admission tallies
+    (batch_kept/batch_total) an ingestion monitor logs — so the
+    micro-batch boundary is observable in the result and the oracle
+    must reproduce the batch partitioning, not just the union of
+    verdicts. This covers the decode-under-backpressure path the
+    batch family bypasses: the Arrow-batched mapInPandas decode stage
+    rides inside ``foreachBatch`` exactly as a production landing job
+    would.
+
+    Slices are the deterministic ``doc_id % {_MM_SCREEN_SLICES}``
+    split, one file per slice, mtime-ordered so FileStreamSource
+    delivers them as distinct micro-batches.
+
+    Scale posture: per-batch work is O(batch) map-only decode plus a
+    per-mime 3-group aggregate; no state store (the screen is
+    stateless — the point is the decode path, not windowing), so
+    backpressure tuning is purely maxFilesPerTrigger/file sizing."""
+    from rs_streamloader_spark.operators.multimodal import _quality_rows
+    from rs_streamloader_spark.session import load_tables
+
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .select("doc_id", "text")
+        .where(F.length("text") > 0)
+        .withColumn(
+            "slc", F.expr(f"CAST(doc_id % {_MM_SCREEN_SLICES} AS INT)")
+        )
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "rs_sl_replay",
+        spark.sparkContext.applicationId,
+        "mm_screen",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+
+    # one file per slice, oldest-first mtimes (FileStreamSource orders
+    # by mtime with no tiebreak) — the incremental-dedup staging shape
+    import time as _time
+
+    in_path = os.path.join(base, "in")
+    base_mtime = _time.time() - _MM_SCREEN_SLICES - 60
+    for i in range(_MM_SCREEN_SLICES):
+        docs.filter(F.col("slc") == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_path)
+        for name in os.listdir(in_path):
+            full = os.path.join(in_path, name)
+            if os.path.getmtime(full) > base_mtime + i:
+                os.utime(full, (base_mtime + i, base_mtime + i))
+
+    out_dir = os.path.join(base, "verdicts")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_path)
+    )
+
+    def land_batch(bdf: DataFrame, _bid: int) -> None:
+        scr = bdf.select("doc_id", "text").mapInPandas(
+            _quality_rows,
+            schema="doc_id bigint, mime string, metric bigint, keep boolean",
+        )
+        tally = scr.groupBy("mime").agg(
+            F.sum(F.col("keep").cast("bigint")).alias("batch_kept"),
+            F.count(F.lit(1)).cast("bigint").alias("batch_total"),
+        )
+        scr.join(bdf.select("doc_id", "slc"), "doc_id").join(
+            tally, "mime"
+        ).select(
+            "doc_id", "slc", "mime", "metric", "keep",
+            "batch_kept", "batch_total",
+        ).write.mode("append").parquet(out_dir)
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS)
+    )
+    try:
+        q = (
+            stream.writeStream.foreachBatch(land_batch)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "slc", "mime", "metric", "keep", "batch_kept", "batch_total"
+    )

@@ -356,3 +356,47 @@ def test_checkpoint_stop_resume_equivalence(spark):
     uninterrupted = Counter(tuple(r) for r in run("ckpt_single", False).collect())
     resumed = Counter(tuple(r) for r in run("ckpt_resume", True).collect())
     assert resumed == uninterrupted and len(uninterrupted) > 0
+
+
+def test_multimodal_screen_replay_batch_boundaries(spark):
+    """The 17th replay's micro-batch boundary must be observable and
+    correct: each doc_id%N slice arrives as its own micro-batch
+    (maxFilesPerTrigger=1 over mtime-ordered single-file slices), so
+    the landed batch_kept/batch_total tallies must equal the per-slice
+    per-mime truth, and the per-doc verdicts must equal the
+    batch-mode quality screen (itself oracle-checked)."""
+    from rs_streamloader_spark.operators.multimodal import (
+        multimodal_quality_screen,
+    )
+    from rs_streamloader_spark.streaming.replay import (
+        _MM_SCREEN_SLICES,
+        stream_multimodal_screen_replay,
+    )
+
+    out = stream_multimodal_screen_replay(spark, SF).collect()
+    assert {r["slc"] for r in out} == set(range(_MM_SCREEN_SLICES))
+
+    # per-doc verdicts == batch mode
+    batch = {
+        r["doc_id"]: (r["mime"], r["metric"], r["keep"])
+        for r in multimodal_quality_screen(spark, SF).collect()
+    }
+    assert len(out) == len(batch)
+    for r in out:
+        assert batch[r["doc_id"]] == (r["mime"], r["metric"], r["keep"])
+
+    # batch tallies == per-(slice, mime) truth recomputed from verdicts
+    from collections import Counter
+
+    kept = Counter()
+    total = Counter()
+    for r in out:
+        total[(r["slc"], r["mime"])] += 1
+        kept[(r["slc"], r["mime"])] += bool(r["keep"])
+    for r in out:
+        key = (r["slc"], r["mime"])
+        assert r["batch_total"] == total[key]
+        assert r["batch_kept"] == kept[key]
+    # both admission branches are live somewhere in the stream
+    assert any(r["batch_kept"] < r["batch_total"] for r in out)
+    assert any(r["batch_kept"] > 0 for r in out)

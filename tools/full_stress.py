@@ -93,6 +93,17 @@ HEAVY_K100 = [
     "dedup_incremental_minhash",
     "image_dhash_dedup",
     "multimodal_features",
+    # r14 (VERDICT r13 #3): the streaming half of incremental dedup
+    # (store-growth + bucket-rewrite bytes under micro-batches), the
+    # remaining decode-volume multimodal ops (audio samples scale with
+    # text; the joint screen runs all three decoders), the in-stream
+    # decode replay, and the BPE training loop (vocab scales with the
+    # per-replica token prefixes)
+    "stream_incremental_dedup_replay",
+    "audio_haar_band_energy",
+    "multimodal_quality_screen",
+    "stream_multimodal_screen_replay",
+    "bpe_trained_merges",
 ]
 
 

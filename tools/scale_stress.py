@@ -359,6 +359,8 @@ HEAVY_TAIL = [
     "minhash_band_tuning_curve",
     "equiwidth_hist_quantile_audit",
     "ann_nprobe_recall_curve",
+    # r14: decode-in-stream replay (per-doc verdicts — linear output)
+    "stream_multimodal_screen_replay",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
