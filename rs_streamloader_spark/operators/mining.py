@@ -2231,6 +2231,18 @@ def bpe_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference surface: none (novel extension, SURVEY.md §2.5 text
     family)."""
+    return spark.createDataFrame(
+        _bpe_train_merges(spark, sf_dir),
+        "step int, left_sym string, right_sym string,"
+        " merged string, pair_count bigint",
+    )
+
+
+def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> list:
+    """Run the K-step trainer loop and return the merge rows
+    (step, left, right, merged, pair_count) — shared by
+    ``bpe_trained_merges`` (the table itself) and
+    ``bpe_trained_fertility`` (which re-applies them)."""
     sep = _BPE_SEP
     docs = _t(spark, sf_dir, "documents")["documents"]
     wc = _tokens(docs).groupBy("tok").agg(F.count("*").alias("cnt"))
@@ -2263,13 +2275,130 @@ def bpe_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("w"),
                 "cnt",
             )
-        return spark.createDataFrame(
-            merges,
-            "step int, left_sym string, right_sym string,"
-            " merged string, pair_count bigint",
-        )
+        return merges
     finally:
         wrapped.unpersist()
+
+
+def _bpe_fertility_oracle() -> str:
+    """The trainer chain extended with tok carried through every
+    representation step, ending in per-source fertility under the
+    trained vocab (symbols per word occurrence)."""
+    sep = "CHR(31)"
+    sql = [
+        f"""
+    WITH wc AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ({_TOKENS_SQL}) GROUP BY tok
+    ),
+    w0 AS (
+      SELECT tok,
+             REGEXP_REPLACE(tok, '(.)', {sep} || '\\1' || {sep}, 'g') AS w,
+             cnt
+      FROM wc
+    )"""
+    ]
+    for i in range(1, _BPE_TRAIN_STEPS + 1):
+        sql.append(
+            f""",
+    p{i} AS (
+      SELECT list_extract(syms, j) AS left_sym,
+             list_extract(syms, j + 1) AS right_sym,
+             CAST(SUM(cnt) AS BIGINT) AS pair_count
+      FROM (SELECT STR_SPLIT(TRIM(w, {sep}), {sep} || {sep}) AS syms, cnt
+            FROM w{i - 1}),
+           UNNEST(RANGE(1, LEN(syms))) AS t(j)
+      GROUP BY 1, 2
+    ),
+    b{i} AS (
+      SELECT left_sym, right_sym, left_sym || right_sym AS merged
+      FROM p{i} ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
+    ),
+    w{i} AS (
+      SELECT tok,
+             REPLACE(w, {sep} || b.left_sym || {sep} || {sep}
+                        || b.right_sym || {sep},
+                     {sep} || b.merged || {sep}) AS w, cnt
+      FROM w{i - 1}, b{i} b
+    )"""
+        )
+    k = _BPE_TRAIN_STEPS
+    sql.append(
+        f""",
+    syms AS (
+      SELECT tok,
+             LEN(STR_SPLIT(TRIM(w, {sep}), {sep} || {sep})) AS ns
+      FROM w{k}
+    ),
+    st AS (
+      SELECT source, tok, COUNT(*) AS cnt FROM (
+        SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> '' GROUP BY 1, 2
+    )
+    SELECT st.source,
+           CAST(SUM(st.cnt) AS BIGINT) AS n_words,
+           CAST(SUM(st.cnt * syms.ns) AS BIGINT) AS n_symbols,
+           ROUND(CAST(SUM(st.cnt * syms.ns) AS DOUBLE) / SUM(st.cnt), 6)
+             AS fertility
+    FROM st JOIN syms ON syms.tok = st.tok
+    GROUP BY st.source"""
+    )
+    return "".join(sql)
+
+
+@register("bpe_trained_fertility", oracle=_bpe_fertility_oracle())
+def bpe_trained_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility (symbols per word occurrence) of each SOURCE under
+    the trained K-merge vocabulary — the number the tokenizer loop
+    exists to drive down, now measured per provenance feed: a source
+    whose fertility stays near raw character count is one the trained
+    merges don't cover (out-of-domain spelling, markup, another
+    language) and will cost proportionally more sequence length at
+    training time. Composes the two pipeline stages end-to-end:
+    ``bpe_trained_merges``'s loop produces the merge list, this
+    operator re-applies all K merges to the vocabulary (chained
+    literal REPLACEs over the wrapped representation — same greedy
+    semantics) and joins symbol counts back to per-source word
+    occurrences.
+
+    Scale posture: the training loop's K vocab-bounded jobs plus ONE
+    (source, token) aggregate joined to the vocab-sized symbol-count
+    table — the corpus is scanned twice total (global word counts,
+    per-source word counts), everything else is vocab-bounded.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 text
+    family)."""
+    sep = _BPE_SEP
+    merges = _bpe_train_merges(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    wc = _tokens(docs).groupBy("tok").agg(F.count("*").alias("cnt"))
+    w = F.regexp_replace("tok", "(.)", f"{sep}$1{sep}")
+    for _step, left, right, _merged, _cnt in merges:
+        w = F.replace(
+            w,
+            F.lit(f"{sep}{left}{sep}{sep}{right}{sep}"),
+            F.lit(f"{sep}{left}{right}{sep}"),
+        )
+    # size of the trained symbol sequence per vocab word
+    syms = wc.select(
+        "tok",
+        F.size(
+            F.split(F.trim(w, F.lit(sep)), sep + sep)
+        ).alias("ns"),
+    )
+    st = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return st.join(syms, "tok").groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_words"),
+        F.sum(F.expr("cnt * ns")).cast("bigint").alias("n_symbols"),
+        F.round(
+            F.sum(F.expr("cnt * ns")).cast("double") / F.sum("cnt"), 6
+        ).alias("fertility"),
+    )
 
 
 def _bpe_pair_counts(wdf: DataFrame, sep: str) -> DataFrame:

@@ -1865,3 +1865,83 @@ def fleiss_kappa_quality_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ROUND(({pbar} - {pe}) / (1e0 - {pe}), 6)"
         ).alias("fleiss_kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-class composition audit (script/encoding screen)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "char_class_mix_audit",
+    oracle="""
+    WITH d AS (
+      SELECT source, LENGTH(text) AS n,
+             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[A-Za-z]', '', 'g'))
+               AS n_letter,
+             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g'))
+               AS n_digit,
+             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g'))
+               AS n_space
+      FROM documents WHERE LENGTH(text) > 0
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_chars,
+           CAST(SUM(n_letter) * 1000000 // SUM(n) AS BIGINT) AS letter_ppm,
+           CAST(SUM(n_digit) * 1000000 // SUM(n) AS BIGINT) AS digit_ppm,
+           CAST(SUM(n_space) * 1000000 // SUM(n) AS BIGINT) AS space_ppm,
+           CAST((SUM(n) - SUM(n_letter) - SUM(n_digit) - SUM(n_space))
+                * 1000000 // SUM(n) AS BIGINT) AS other_ppm
+    FROM d GROUP BY source
+    """,
+)
+def char_class_mix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per source — the cheap script /
+    encoding screen a curation pipeline runs before any tokenizer
+    touches the data: per-million rates of ASCII letters, digits,
+    spaces, and everything else (the 'other' bucket is where mojibake,
+    markup soup, and non-Latin scripts land; a feed whose other_ppm
+    jumps is the classic silent-encoding-regression signal). Counts
+    come from length-after-strip deltas — three regexp_replace per
+    doc, all JVM codegen, no explode, no UDF.
+
+    Scale posture: one map-only pass over documents collapsing into a
+    per-source combinable 4-integer aggregate; output is
+    O(sources). Exact integer ppm both engines.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 text
+    family)."""
+    t = _t(spark, sf_dir, "documents")["documents"]
+    d = t.where(F.length("text") > 0).select(
+        "source",
+        F.length("text").alias("n"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[A-Za-z]", ""))
+        ).alias("n_letter"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[0-9]", ""))
+        ).alias("n_digit"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+        ).alias("n_space"),
+    )
+    return d.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_chars"),
+        F.expr("SUM(n_letter) * 1000000 div SUM(n)")
+        .cast("bigint")
+        .alias("letter_ppm"),
+        F.expr("SUM(n_digit) * 1000000 div SUM(n)")
+        .cast("bigint")
+        .alias("digit_ppm"),
+        F.expr("SUM(n_space) * 1000000 div SUM(n)")
+        .cast("bigint")
+        .alias("space_ppm"),
+        F.expr(
+            "(SUM(n) - SUM(n_letter) - SUM(n_digit) - SUM(n_space))"
+            " * 1000000 div SUM(n)"
+        )
+        .cast("bigint")
+        .alias("other_ppm"),
+    )

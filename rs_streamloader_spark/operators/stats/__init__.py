@@ -40,10 +40,11 @@ from rs_streamloader_spark.operators.stats import descriptive as _m1  # noqa: E4
 from rs_streamloader_spark.operators.stats import inference as _m2  # noqa: E402
 from rs_streamloader_spark.operators.stats import hypothesis as _m3  # noqa: E402
 from rs_streamloader_spark.operators.stats import timeseries_risk as _m4  # noqa: E402
+from rs_streamloader_spark.operators.stats import association as _m5  # noqa: E402
 
 # hoist every submodule name (operators, helpers, constants — including
 # underscore names external code imports, e.g. _hll_cols, _SPRT_P0)
-for _m in (_m1, _m2, _m3, _m4):
+for _m in (_m1, _m2, _m3, _m4, _m5):
     for _k, _v in vars(_m).items():
         if not _k.startswith("__") and _k not in ("_S",):
             globals().setdefault(_k, _v)

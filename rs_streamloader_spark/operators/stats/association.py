@@ -1,0 +1,606 @@
+"""stats subject module (r14 additions — binary/categorical
+association, scale tests, agreement, collinearity); see the package
+__init__ for the family docstring and determinism rules."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rs_streamloader_spark.operators.registry import register
+import rs_streamloader_spark.operators.stats as _S
+
+_D38 = "DECIMAL(38,0)"
+
+
+# ---------------------------------------------------------------------------
+# phi / Yule's Q — 2x2 binary association
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "phi_yule_binary_association",
+    oracle="""
+    WITH c AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS x,
+             CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS y,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT CAST(SUM(CASE WHEN x = 1 AND y = 1 THEN n END) AS HUGEINT) AS n11,
+             CAST(SUM(CASE WHEN x = 1 AND y = 0 THEN n END) AS HUGEINT) AS n10,
+             CAST(SUM(CASE WHEN x = 0 AND y = 1 THEN n END) AS HUGEINT) AS n01,
+             CAST(SUM(CASE WHEN x = 0 AND y = 0 THEN n END) AS HUGEINT) AS n00
+      FROM c
+    )
+    SELECT CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+           CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+           ROUND(CAST(n11 * n00 - n10 * n01 AS DOUBLE)
+                 / SQRT(CAST((n11 + n10) * (n01 + n00)
+                             * (n11 + n01) * (n10 + n00) AS DOUBLE)), 6)
+             AS phi,
+           ROUND(CAST(n11 * n00 - n10 * n01 AS DOUBLE)
+                 / CAST(n11 * n00 + n10 * n01 AS DOUBLE), 6) AS yule_q
+    FROM t
+    """,
+)
+def phi_yule_binary_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phi coefficient and Yule's Q over the 2x2 contingency of two
+    binary lineitem facts — returned (l_returnflag = 'R', marginal
+    ~33%) x deep-discounted (l_discount >= 0.05, marginal ~55%), so
+    all four cells are live on real data. Phi is the Pearson
+    correlation of the two indicators (chi2 = n*phi2); Yule's Q is
+    the odds-ratio transform (OR-1)/(OR+1) — the margin-insensitive
+    companion. Both derive from the SAME exact HUGEINT cell counts in
+    one fixed double expression.
+
+    Scale posture: ONE combinable 4-cell aggregate — map-side
+    combine collapses any corpus to 4 rows before the single
+    exchange; the coefficients are a 1-row reduction.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    t = _S._t(spark, sf_dir, "lineitem")["lineitem"]
+    cells = t.groupBy(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("x"),
+        F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("y"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    agg = cells.agg(
+        *[
+            F.expr(
+                f"CAST(SUM(CASE WHEN x = {xv} AND y = {yv} THEN n END)"
+                f" AS {_D38})"
+            ).alias(f"n{xv}{yv}")
+            for xv in (1, 0)
+            for yv in (1, 0)
+        ]
+    )
+    return agg.select(
+        F.col("n11").cast("bigint").alias("n11"),
+        F.col("n10").cast("bigint").alias("n10"),
+        F.col("n01").cast("bigint").alias("n01"),
+        F.col("n00").cast("bigint").alias("n00"),
+        F.expr(
+            "ROUND(CAST(n11 * n00 - n10 * n01 AS DOUBLE)"
+            " / SQRT(CAST((n11 + n10) * (n01 + n00)"
+            " * (n11 + n01) * (n10 + n00) AS DOUBLE)), 6)"
+        ).alias("phi"),
+        F.expr(
+            "ROUND(CAST(n11 * n00 - n10 * n01 AS DOUBLE)"
+            " / CAST(n11 * n00 + n10 * n01 AS DOUBLE), 6)"
+        ).alias("yule_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# relative risk (cohort) with log CI
+# ---------------------------------------------------------------------------
+
+# user-level splits sit BETWEEN the per-user p50 (13) and p75 (15-16)
+# of the error / purchase counts, so all four cohort cells are live on
+# real data (measured at sf0.01 and sf0.1; the "has any event" split
+# is degenerate — every user has every type)
+_RR_ERR_MIN = 14
+_RR_PUR_MIN = 14
+
+
+@register(
+    "relative_risk_cohort",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  >= {_RR_ERR_MIN} THEN 1 ELSE 0 END AS e,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  >= {_RR_PUR_MIN} THEN 1 ELSE 0 END AS o
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(e * o) AS BIGINT) AS a,
+             CAST(SUM(e * (1 - o)) AS BIGINT) AS b,
+             CAST(SUM((1 - e) * o) AS BIGINT) AS c,
+             CAST(SUM((1 - e) * (1 - o)) AS BIGINT) AS d
+      FROM u
+    )
+    SELECT a, b, c, d,
+           ROUND((CAST(a AS DOUBLE) / (a + b))
+                 / (CAST(c AS DOUBLE) / (c + d)), 6) AS rr,
+           ROUND(EXP(LN((CAST(a AS DOUBLE) / (a + b))
+                        / (CAST(c AS DOUBLE) / (c + d)))
+                     - 1.96 * SQRT(1.0 / a - 1.0 / (a + b)
+                                   + 1.0 / c - 1.0 / (c + d))), 6) AS rr_lo,
+           ROUND(EXP(LN((CAST(a AS DOUBLE) / (a + b))
+                        / (CAST(c AS DOUBLE) / (c + d)))
+                     + 1.96 * SQRT(1.0 / a - 1.0 / (a + b)
+                                   + 1.0 / c - 1.0 / (c + d))), 6) AS rr_hi
+    FROM t WHERE a > 0 AND c > 0
+    """,
+)
+def relative_risk_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative risk of the error-prone cohort: do users with >=
+    {_RR_ERR_MIN} error events "convert" to heavy purchasers (>=
+    {_RR_PUR_MIN} purchases) at a different RATE than the rest — the
+    epidemiological cohort effect size (risk ratio, not odds ratio:
+    directly interpretable as "x times as likely") with the standard
+    Katz log-normal 95% CI exp(ln RR ± 1.96·sqrt(1/a − 1/(a+b) + 1/c
+    − 1/(c+d))). A CI excluding 1 is the verdict.
+
+    Scale posture: one user-keyed combinable aggregate (the cohort
+    assignment), one 4-cell reduction; ln/exp/sqrt appear only in the
+    final 1-row expression with identical operand order in both
+    engines.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    ev = _S._t(spark, sf_dir, "events")["events"]
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            >= _RR_ERR_MIN,
+            1,
+        )
+        .otherwise(0)
+        .alias("e"),
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= _RR_PUR_MIN,
+            1,
+        )
+        .otherwise(0)
+        .alias("o"),
+    )
+    t = u.agg(
+        F.sum(F.expr("e * o")).cast("bigint").alias("a"),
+        F.sum(F.expr("e * (1 - o)")).cast("bigint").alias("b"),
+        F.sum(F.expr("(1 - e) * o")).cast("bigint").alias("c"),
+        F.sum(F.expr("(1 - e) * (1 - o)")).cast("bigint").alias("d"),
+    )
+    rr = (
+        "(CAST(a AS DOUBLE) / (a + b)) / (CAST(c AS DOUBLE) / (c + d))"
+    )
+    se = (
+        "SQRT(1.0 / a - 1.0 / (a + b) + 1.0 / c - 1.0 / (c + d))"
+    )
+    return t.where("a > 0 AND c > 0").select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(f"ROUND({rr}, 6)").alias("rr"),
+        F.expr(f"ROUND(EXP(LN({rr}) - 1.96 * {se}), 6)").alias("rr_lo"),
+        F.expr(f"ROUND(EXP(LN({rr}) + 1.96 * {se}), 6)").alias("rr_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ansari-Bradley scale test (click vs view value dispersion)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ansari_bradley_scale_test",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(ROUND("value" * 100) AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM events WHERE event_type IN ('click', 'view')
+        AND "value" IS NOT NULL
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, ca, cb, ca + cb AS ct,
+             SUM(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               - (ca + cb) AS lo0,
+             SUM(ca + cb) OVER () AS nn
+      FROM h
+    ),
+    blocks AS (
+      -- exact averaged Ansari scores per tied block [lo0+1 .. lo0+ct]:
+      -- S(x) = sum_{i<=x} min(i, N+1-i) has the closed form below
+      -- (scores rise to the centre then fall), so the block sum is
+      -- S(hi) - S(lo) — all integer arithmetic
+      SELECT ca, cb, ct, nn,
+             (CASE WHEN lo0 + ct <= (nn + 1) // 2
+                   THEN (lo0 + ct) * (lo0 + ct + 1) // 2
+                   ELSE ((nn + 1) // 2) * ((nn + 1) // 2 + 1) // 2
+                        + (lo0 + ct - (nn + 1) // 2) * (nn + 1)
+                        - ((lo0 + ct) * (lo0 + ct + 1) // 2
+                           - ((nn + 1) // 2) * ((nn + 1) // 2 + 1) // 2)
+              END
+              -
+              CASE WHEN lo0 <= (nn + 1) // 2
+                   THEN lo0 * (lo0 + 1) // 2
+                   ELSE ((nn + 1) // 2) * ((nn + 1) // 2 + 1) // 2
+                        + (lo0 - (nn + 1) // 2) * (nn + 1)
+                        - (lo0 * (lo0 + 1) // 2
+                           - ((nn + 1) // 2) * ((nn + 1) // 2 + 1) // 2)
+              END) AS bsum
+      FROM cum
+    ),
+    agg AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+             CAST(SUM(cb) AS BIGINT) AS n2,
+             MIN(nn) AS nn,
+             SUM(CAST(ca AS DOUBLE) * bsum / ct) AS t1,
+             SUM(CAST(ct AS DOUBLE) * (CAST(bsum AS DOUBLE) / ct)
+                 * (CAST(bsum AS DOUBLE) / ct)) AS ss2,
+             SUM(CAST(bsum AS DOUBLE)) AS stot
+      FROM blocks
+    )
+    SELECT n1, n2,
+           ROUND(t1, 6) AS ab_t,
+           ROUND((t1 - n1 * stot / nn)
+                 / SQRT(CAST(n1 AS DOUBLE) * n2
+                        * (nn * ss2 - stot * stot)
+                        / (CAST(nn AS DOUBLE) * nn * (nn - 1))), 6)
+             AS z_approx
+    FROM agg
+    """,
+)
+def ansari_bradley_scale_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley rank test for a SCALE (dispersion) difference
+    between the click and view value distributions — the spread
+    companion to ``mann_whitney_u`` (location) and
+    ``ks_test_click_view_value`` (shape): scores rise toward the
+    pooled median and fall symmetrically (min(rank, N+1−rank)), so a
+    sample concentrated at the extremes scores LOW. Ties get exact
+    averaged-score handling: per tied block the score sum has a
+    closed integer form (the prefix S(x) = Σ min(i, N+1−i) is
+    quadratic on each side of the centre), and the tie-robust normal
+    approximation z = (T − n1·S̄)/sqrt(n1 n2 (N Σa² − (Σa)²)/(N²(N−1)))
+    uses the realized score moments — no lookup tables, no untied
+    shortcut formulas.
+
+    Scale posture: the value histogram (bounded distinct cents) is
+    one combinable aggregate; the prefix sum is a window over
+    histogram rows; everything after is a 1-row reduction. The one
+    double division (bsum/ct, the averaged block score) happens on
+    bounded-histogram rows with a fixed expression and the final
+    stats round at 6dp.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    ev = _S._t(spark, sf_dir, "events")["events"]
+    h = (
+        ev.where(
+            F.col("event_type").isin("click", "view")
+            & F.col("value").isNotNull()
+        )
+        .groupBy(
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("v")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("ca"),
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("cb"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select(
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("ct"),
+        (F.sum(F.col("ca") + F.col("cb")).over(wcum) - (F.col("ca") + F.col("cb"))).alias("lo0"),
+        F.sum(F.col("ca") + F.col("cb")).over(
+            Window.partitionBy()
+        ).alias("nn"),
+    )
+
+    def _prefix(x: str) -> str:
+        # S(x) = sum_{i<=x} min(i, N+1-i), h = floor((N+1)/2)
+        return (
+            f"(CASE WHEN {x} <= (nn + 1) div 2"
+            f" THEN {x} * ({x} + 1) div 2"
+            f" ELSE ((nn + 1) div 2) * ((nn + 1) div 2 + 1) div 2"
+            f" + ({x} - (nn + 1) div 2) * (nn + 1)"
+            f" - ({x} * ({x} + 1) div 2"
+            f" - ((nn + 1) div 2) * ((nn + 1) div 2 + 1) div 2)"
+            f" END)"
+        )
+
+    blocks = cum.select(
+        "ca",
+        "cb",
+        "ct",
+        "nn",
+        F.expr(f"{_prefix('(lo0 + ct)')} - {_prefix('lo0')}").alias("bsum"),
+    )
+    agg = blocks.agg(
+        F.sum("ca").cast("bigint").alias("n1"),
+        F.sum("cb").cast("bigint").alias("n2"),
+        F.min("nn").alias("nn"),
+        F.sum(F.expr("CAST(ca AS DOUBLE) * bsum / ct")).alias("t1"),
+        F.sum(
+            F.expr(
+                "CAST(ct AS DOUBLE) * (CAST(bsum AS DOUBLE) / ct)"
+                " * (CAST(bsum AS DOUBLE) / ct)"
+            )
+        ).alias("ss2"),
+        F.sum(F.expr("CAST(bsum AS DOUBLE)")).alias("stot"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.expr("ROUND(t1, 6)").alias("ab_t"),
+        F.expr(
+            "ROUND((t1 - n1 * stot / nn)"
+            " / SQRT(CAST(n1 AS DOUBLE) * n2"
+            " * (nn * ss2 - stot * stot)"
+            " / (CAST(nn AS DOUBLE) * nn * (nn - 1))), 6)"
+        ).alias("z_approx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha (nominal, 3 deterministic "raters")
+# ---------------------------------------------------------------------------
+
+# rater thresholds sit INSIDE the measured metric distributions at
+# sf0.01/sf0.1 (vacuity rule): n_chars p25/p50/p75 = 176/300/419;
+# vowels-per-1000-chars = 278/285/293; spaces-per-1000 = 174/178/182
+# — each split lands near its median, so raters genuinely disagree
+_KR_CHARS_MIN = 300
+_KR_VOWEL_PPK_MIN = 285
+_KR_SPACE_PPK_MIN = 178
+
+
+@register(
+    "krippendorff_alpha_nominal",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id,
+             (CASE WHEN LENGTH(text) >= {_KR_CHARS_MIN} THEN 1 ELSE 0 END
+              + CASE WHEN 1000 * LENGTH(REGEXP_REPLACE(LOWER(text),
+                       '[^aeiou]', '', 'g')) // LENGTH(text)
+                       >= {_KR_VOWEL_PPK_MIN} THEN 1 ELSE 0 END
+              + CASE WHEN 1000 * (LENGTH(text) - LENGTH(REGEXP_REPLACE(
+                       text, ' ', '', 'g'))) // LENGTH(text)
+                       >= {_KR_SPACE_PPK_MIN} THEN 1 ELSE 0 END) AS n1
+      FROM documents WHERE LENGTH(text) > 0
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+             CAST(SUM(n1) AS BIGINT) AS tot1,
+             CAST(SUM(2 * n1 * (3 - n1)) AS BIGINT) AS dis
+      FROM r
+    )
+    SELECT n_units, tot1,
+           ROUND(CAST(dis AS DOUBLE) / (n_units * 3 * 2), 6) AS d_o,
+           ROUND(2.0 * tot1 * (3 * n_units - tot1)
+                 / (CAST(3 * n_units AS DOUBLE) * (3 * n_units - 1)), 6)
+             AS d_e,
+           ROUND(1 - (CAST(dis AS DOUBLE) / (n_units * 3 * 2))
+                     / (2.0 * tot1 * (3 * n_units - tot1)
+                        / (CAST(3 * n_units AS DOUBLE)
+                           * (3 * n_units - 1))), 6) AS alpha
+    FROM agg
+    """,
+)
+def krippendorff_alpha_nominal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal, binary) over three deterministic
+    heuristic "raters" per document — length, vowel density, and
+    word-boundary density screens, each thresholded at its corpus
+    median — the reliability coefficient annotation pipelines report
+    when raters are heuristics rather than humans (alpha ~ 0 means
+    the screens agree no better than chance, so a voting ensemble of
+    them adds nothing). D_o is the observed within-unit disagreement
+    Σ_c n_uc(m − n_uc)/(N·m·(m−1)) — for binary categories the cell
+    sum is 2·n_u1·n_u0 (BOTH categories' terms; the numpy pairwise
+    pin caught a draft that summed only the c=1 term, an
+    oracle-invisible factor-2 slip); D_e the chance disagreement
+    2·n_1(n − n_1)/(n(n−1)) over the pooled n = 3N values; alpha =
+    1 − D_o/D_e. Every mass is an exact integer; the three ratios are
+    fixed final expressions.
+
+    Scale posture: one map-only pass computes all three raters per
+    doc (regexp counts, no explode), then a single 3-integer
+    combinable reduction.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    docs = _S._t(spark, sf_dir, "documents")["documents"].where(
+        F.length("text") > 0
+    )
+    n1 = (
+        F.when(F.length("text") >= _KR_CHARS_MIN, 1).otherwise(0)
+        + F.when(
+            1000
+            * F.length(F.regexp_replace(F.lower("text"), "[^aeiou]", ""))
+            / F.length("text")
+            >= _KR_VOWEL_PPK_MIN,
+            1,
+        ).otherwise(0)
+        + F.when(
+            1000
+            * (
+                F.length("text")
+                - F.length(F.regexp_replace("text", " ", ""))
+            )
+            / F.length("text")
+            >= _KR_SPACE_PPK_MIN,
+            1,
+        ).otherwise(0)
+    )
+    agg = docs.select(n1.alias("n1")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum("n1").cast("bigint").alias("tot1"),
+        F.sum(F.expr("2 * n1 * (3 - n1)")).cast("bigint").alias("dis"),
+    )
+    return agg.select(
+        "n_units",
+        "tot1",
+        F.expr(
+            "ROUND(CAST(dis AS DOUBLE) / (n_units * 3 * 2), 6)"
+        ).alias("d_o"),
+        F.expr(
+            "ROUND(2.0 * tot1 * (3 * n_units - tot1)"
+            " / (CAST(3 * n_units AS DOUBLE) * (3 * n_units - 1)), 6)"
+        ).alias("d_e"),
+        F.expr(
+            "ROUND(1 - (CAST(dis AS DOUBLE) / (n_units * 3 * 2))"
+            " / (2.0 * tot1 * (3 * n_units - tot1)"
+            " / (CAST(3 * n_units AS DOUBLE)"
+            " * (3 * n_units - 1))), 6)"
+        ).alias("alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# VIF collinearity audit (3-predictor closed form)
+# ---------------------------------------------------------------------------
+
+
+def _vif_oracle() -> str:
+    corr = {
+        (a, b): (
+            f"(CAST(n AS DOUBLE) * s_{a}{b} - CAST(s_{a} AS DOUBLE) * s_{b})"
+            f" / SQRT((CAST(n AS DOUBLE) * s_{a}{a}"
+            f" - CAST(s_{a} AS DOUBLE) * s_{a})"
+            f" * (CAST(n AS DOUBLE) * s_{b}{b}"
+            f" - CAST(s_{b} AS DOUBLE) * s_{b}))"
+        )
+        for a, b in [("q", "d"), ("q", "t"), ("d", "t")]
+    }
+    r12, r13, r23 = corr[("q", "d")], corr[("q", "t")], corr[("d", "t")]
+
+    def r2(ra: str, rb: str, rc: str) -> str:
+        # R^2 of one predictor on the other two from pairwise corrs:
+        # R^2 = (ra^2 + rb^2 - 2 ra rb rc) / (1 - rc^2)
+        return (
+            f"(({ra}) * ({ra}) + ({rb}) * ({rb})"
+            f" - 2 * ({ra}) * ({rb}) * ({rc}))"
+            f" / (1 - ({rc}) * ({rc}))"
+        )
+
+    rows = [
+        ("quantity", r2(r12, r13, r23)),
+        ("discount", r2(r12, r23, r13)),
+        ("tax", r2(r13, r23, r12)),
+    ]
+    selects = "\n      UNION ALL\n".join(
+        f"      SELECT '{name}' AS predictor,"
+        f" ROUND({expr}, 6) AS r_squared,"
+        f" ROUND(1 / (1 - ({expr})), 6) AS vif FROM m"
+        for name, expr in rows
+    )
+    return f"""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS HUGEINT) AS s_q,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS HUGEINT) AS s_d,
+             CAST(SUM(CAST(ROUND(l_tax * 100) AS BIGINT)) AS HUGEINT) AS s_t,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                      * CAST(ROUND(l_quantity) AS BIGINT)) AS HUGEINT) AS s_qq,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                      * CAST(ROUND(l_discount * 100) AS BIGINT)) AS HUGEINT) AS s_dd,
+             CAST(SUM(CAST(ROUND(l_tax * 100) AS BIGINT)
+                      * CAST(ROUND(l_tax * 100) AS BIGINT)) AS HUGEINT) AS s_tt,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                      * CAST(ROUND(l_discount * 100) AS BIGINT)) AS HUGEINT) AS s_qd,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                      * CAST(ROUND(l_tax * 100) AS BIGINT)) AS HUGEINT) AS s_qt,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                      * CAST(ROUND(l_tax * 100) AS BIGINT)) AS HUGEINT) AS s_dt
+      FROM lineitem
+    )
+{selects}
+    """
+
+
+@register("vif_collinearity_audit", oracle=_vif_oracle())
+def vif_collinearity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-inflation-factor screen over the three lineitem
+    numeric predictors (quantity, discount, tax) — the standard
+    pre-regression collinearity audit: VIF_i = 1/(1 − R²_i) where
+    R²_i regresses predictor i on the other two; with three
+    predictors R² has the closed pairwise-correlation form
+    (r_ab² + r_ac² − 2 r_ab r_ac r_bc)/(1 − r_bc²), so the whole
+    audit reduces to the 9 exact integer moment sums (values held as
+    integer units/cents, products in HUGEINT/DECIMAL(38)) and three
+    fixed double expressions. VIF > 5-10 is the classic drop/combine
+    signal.
+
+    Scale posture: ONE combinable moment aggregate over the fact
+    table (9 integer sums — the map-side-combine shape), then a
+    3-row constant fan-out; no second scan, no join.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    t = _S._t(spark, sf_dir, "lineitem")["lineitem"]
+    q = "CAST(ROUND(l_quantity) AS BIGINT)"
+    d = "CAST(ROUND(l_discount * 100) AS BIGINT)"
+    x = "CAST(ROUND(l_tax * 100) AS BIGINT)"
+    m = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"CAST(SUM({q}) AS {_D38})").alias("s_q"),
+        F.expr(f"CAST(SUM({d}) AS {_D38})").alias("s_d"),
+        F.expr(f"CAST(SUM({x}) AS {_D38})").alias("s_t"),
+        F.expr(f"CAST(SUM({q} * {q}) AS {_D38})").alias("s_qq"),
+        F.expr(f"CAST(SUM({d} * {d}) AS {_D38})").alias("s_dd"),
+        F.expr(f"CAST(SUM({x} * {x}) AS {_D38})").alias("s_tt"),
+        F.expr(f"CAST(SUM({q} * {d}) AS {_D38})").alias("s_qd"),
+        F.expr(f"CAST(SUM({q} * {x}) AS {_D38})").alias("s_qt"),
+        F.expr(f"CAST(SUM({d} * {x}) AS {_D38})").alias("s_dt"),
+    )
+
+    def corr(a: str, b: str) -> str:
+        return (
+            f"(CAST(n AS DOUBLE) * s_{a}{b} - CAST(s_{a} AS DOUBLE) * s_{b})"
+            f" / SQRT((CAST(n AS DOUBLE) * s_{a}{a}"
+            f" - CAST(s_{a} AS DOUBLE) * s_{a})"
+            f" * (CAST(n AS DOUBLE) * s_{b}{b}"
+            f" - CAST(s_{b} AS DOUBLE) * s_{b}))"
+        )
+
+    r12, r13, r23 = corr("q", "d"), corr("q", "t"), corr("d", "t")
+
+    def r2(ra: str, rb: str, rc: str) -> str:
+        return (
+            f"(({ra}) * ({ra}) + ({rb}) * ({rb})"
+            f" - 2 * ({ra}) * ({rb}) * ({rc}))"
+            f" / (1 - ({rc}) * ({rc}))"
+        )
+
+    rows = [
+        ("quantity", r2(r12, r13, r23)),
+        ("discount", r2(r12, r23, r13)),
+        ("tax", r2(r13, r23, r12)),
+    ]
+    out = None
+    for name, expr in rows:
+        sel = m.select(
+            F.lit(name).alias("predictor"),
+            F.expr(f"ROUND({expr}, 6)").alias("r_squared"),
+            F.expr(f"ROUND(1 / (1 - ({expr})), 6)").alias("vif"),
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out

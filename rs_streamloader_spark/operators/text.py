@@ -2653,3 +2653,78 @@ def chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# KL divergence: each source's unigram mix vs the corpus mix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kl_divergence_sources",
+    oracle=f"""
+    WITH tc AS ({_SOURCE_TOK_SQL}),
+    ct AS (SELECT tok, SUM(cnt) AS ctot FROM tc GROUP BY tok),
+    tot AS (SELECT source, SUM(cnt) AS total FROM tc GROUP BY source),
+    n AS (SELECT SUM(cnt) AS grand FROM tc),
+    terms AS (
+      SELECT tc.source,
+             CAST(ROUND((CAST(tc.cnt AS DOUBLE) / tot.total)
+                        * LN((CAST(tc.cnt AS DOUBLE) / tot.total)
+                             / (CAST(ct.ctot AS DOUBLE) / n.grand))
+                        * 1000000000) AS BIGINT) AS t_nano
+      FROM tc
+      JOIN ct ON ct.tok = tc.tok
+      JOIN tot ON tot.source = tc.source
+      CROSS JOIN n
+    )
+    SELECT terms.source,
+           CAST(MAX(tot.total) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,
+           ROUND(SUM(t_nano) / 1000000000.0, 6) AS kl_nats
+    FROM terms JOIN tot ON tot.source = terms.source
+    GROUP BY terms.source
+    """,
+)
+def kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence KL(P_source ‖ P_corpus) of each source's unigram
+    distribution from the corpus-wide mix — the ASYMMETRIC
+    domain-shift number (how many extra nats a corpus-trained code
+    pays on this source) that complements the symmetric pairwise
+    ``text_js_divergence_sources``; it is also exactly each source's
+    per-token contribution to the mixture's information radius, the
+    quantity DSIR-style domain reweighting trades against. Every
+    source token exists in the corpus by construction, so q > 0 and
+    no smoothing is needed.
+
+    Scale posture: the (source, token) aggregate is vocab-bounded;
+    the corpus marginal joins back on the token key (vocab-sized
+    both sides); per-term p·ln(p/q) rounds to integer nano-nats
+    BEFORE summing (the source_token_entropy determinism pattern),
+    so the reduction is exact integer addition in any order.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 text
+    family)."""
+    tc = _source_token_counts(spark, sf_dir)
+    ct = tc.groupBy("tok").agg(F.sum("cnt").alias("ctot"))
+    tot = tc.groupBy("source").agg(F.sum("cnt").alias("total"))
+    grand = tc.agg(F.sum("cnt").alias("grand"))
+    p = F.col("cnt").cast("double") / F.col("total")
+    q = F.col("ctot").cast("double") / F.col("grand")
+    terms = (
+        tc.join(ct, "tok")
+        .join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "total",
+            F.round(p * F.log(p / q) * 1_000_000_000)
+            .cast("bigint")
+            .alias("t_nano"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.max("total").cast("bigint").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.round(F.sum("t_nano") / 1_000_000_000.0, 6).alias("kl_nats"),
+    )

@@ -3336,3 +3336,50 @@ def test_image_channel_rollup_shuffles_partials_not_pixels(spark):
     text = explain_str(df, "simple")
     assert "MapInPandas" in text, text[:1500]
     assert shuffle_count(df) <= 1, text[:1500]
+
+
+def test_r14_association_wave_plan_shapes(spark):
+    """Wave-A shapes: the 2x2 / moment audits are single combinable
+    aggregates (map-side combine, no window, minimal exchanges); the
+    KL join broadcasts the per-source totals; the Krippendorff raters
+    are a map-only pass into one reduction."""
+    import rs_streamloader_spark.operators.stats as S
+    from rs_streamloader_spark.operators.quality import char_class_mix_audit
+    from rs_streamloader_spark.operators.text import kl_divergence_sources
+
+    # phi/yule: grid aggregate + 1-row reduction, no window
+    df = S.phi_yule_binary_association(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Window" not in text
+    assert "partial_count" in explain_str(df, "formatted") or "HashAggregate" in text
+
+    # vif: ONE aggregate over the fact table, no join, no window
+    df = S.vif_collinearity_audit(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Join" not in text.replace("union", "UNION") or "BroadcastNestedLoopJoin" not in text
+    assert "Window" not in text
+    assert text.count("Scan parquet") <= 3  # one per UNION branch
+
+    # krippendorff: map-only raters -> single reduction, no explode
+    df = S.krippendorff_alpha_nominal(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Generate" not in text and "Window" not in text
+    assert shuffle_count(df) <= 1, text
+
+    # char-class audit: map-only pass, one per-source exchange
+    df = char_class_mix_audit(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Generate" not in text
+    assert shuffle_count(df) <= 1, text
+
+    # KL: totals/grand reach the vocab join as broadcasts
+    df = kl_divergence_sources(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "BroadcastExchange" in text, text
+
+    # ansari: histogram aggregate + ONE global window over histogram
+    # rows (bounded), then a 1-row reduction
+    df = S.ansari_bradley_scale_test(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "Window" in text
+    assert "Generate" not in text

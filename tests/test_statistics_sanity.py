@@ -4648,3 +4648,298 @@ def test_bpe_trained_merges_matches_hand_run_trainer(spark, monkeypatch):
     # the loop actually went past single-character pairs: some later
     # merge consumes a symbol built by an earlier one
     assert any(len(l) > 1 or len(r) > 1 for _, l, r, _, _ in got)
+
+
+# ---------------------------------------------------------------------------
+# r14 wave A: association / agreement / collinearity / text mixes
+# ---------------------------------------------------------------------------
+
+
+def test_phi_yule_match_numpy(spark, monkeypatch):
+    flags = np.where(_RNG.rand(300) < 0.4, "R", "N")
+    disc = _RNG.choice(np.round(np.arange(0, 0.11, 0.01), 2), 300)
+    pdf = pd.DataFrame({"l_returnflag": flags, "l_discount": disc})
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"lineitem": sdf})
+    r = S.phi_yule_binary_association(spark, "x").collect()[0]
+    x = (flags == "R").astype(int)
+    y = (disc >= 0.05).astype(int)
+    n11 = int(((x == 1) & (y == 1)).sum())
+    n10 = int(((x == 1) & (y == 0)).sum())
+    n01 = int(((x == 0) & (y == 1)).sum())
+    n00 = int(((x == 0) & (y == 0)).sum())
+    assert (r["n11"], r["n10"], r["n01"], r["n00"]) == (n11, n10, n01, n00)
+    # phi IS the Pearson correlation of the indicators
+    assert r["phi"] == pytest.approx(np.corrcoef(x, y)[0, 1], abs=2e-6)
+    odds = (n11 * n00) / (n10 * n01)
+    assert r["yule_q"] == pytest.approx((odds - 1) / (odds + 1), abs=2e-6)
+
+
+def test_relative_risk_matches_hand_2x2(spark, monkeypatch):
+    # 40 users: engineered per-user error/purchase counts around the
+    # 14-threshold so all four cells are live with known sizes
+    rows = []
+    uid = 0
+    for ne, npu, copies in [(20, 20, 6), (20, 5, 10), (5, 20, 8), (5, 5, 16)]:
+        for _ in range(copies):
+            rows += [(uid, "error")] * ne + [(uid, "purchase")] * npu
+            uid += 1
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type"])
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"events": sdf})
+    r = S.relative_risk_cohort(spark, "x").collect()[0]
+    a, b, c, d = 6, 10, 8, 16
+    assert (r["a"], r["b"], r["c"], r["d"]) == (a, b, c, d)
+    rr = (a / (a + b)) / (c / (c + d))
+    se = np.sqrt(1 / a - 1 / (a + b) + 1 / c - 1 / (c + d))
+    assert r["rr"] == pytest.approx(rr, abs=2e-6)
+    assert r["rr_lo"] == pytest.approx(rr * np.exp(-1.96 * se), abs=2e-6)
+    assert r["rr_hi"] == pytest.approx(rr * np.exp(+1.96 * se), abs=2e-6)
+
+
+def _ab_scores(n: int) -> np.ndarray:
+    i = np.arange(1, n + 1)
+    return np.minimum(i, n + 1 - i).astype(float)
+
+
+def test_ansari_bradley_matches_hand_scores(spark, monkeypatch):
+    """Exact averaged-score AB on constructed data with tied blocks —
+    including one tie block that STRADDLES the score peak, the case a
+    min-of-midrank shortcut gets wrong."""
+    n = 61
+    vals_a = np.concatenate([np.full(9, 5.0), _RNG.randint(1, 30, 21) / 2.0])
+    vals_b = np.concatenate([np.full(9, 5.0), _RNG.randint(1, 30, 22) / 2.0])
+    pdf = pd.DataFrame(
+        {
+            "event_type": ["click"] * len(vals_a) + ["view"] * len(vals_b),
+            "value": np.concatenate([vals_a, vals_b]),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"events": sdf})
+    r = S.ansari_bradley_scale_test(spark, "x").collect()[0]
+
+    # hand computation: positional scores averaged over tied blocks
+    v = np.round(pdf["value"].values * 100).astype(int)
+    grp = (pdf["event_type"] == "click").values
+    nn = len(v)
+    base = _ab_scores(nn)
+    order = np.argsort(v, kind="mergesort")
+    sv = v[order]
+    a_assigned = np.empty(nn)
+    i = 0
+    while i < nn:
+        j = i
+        while j + 1 < nn and sv[j + 1] == sv[i]:
+            j += 1
+        a_assigned[order[i : j + 1]] = base[i : j + 1].mean()
+        i = j + 1
+    t1 = a_assigned[grp].sum()
+    n1, n2 = int(grp.sum()), int((~grp).sum())
+    stot, ss2 = a_assigned.sum(), (a_assigned**2).sum()
+    var = n1 * n2 * (nn * ss2 - stot**2) / (nn**2 * (nn - 1))
+    z = (t1 - n1 * stot / nn) / np.sqrt(var)
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    assert r["ab_t"] == pytest.approx(t1, abs=2e-6)
+    assert r["z_approx"] == pytest.approx(z, abs=2e-6)
+
+
+def test_krippendorff_alpha_matches_pairwise_bruteforce(spark, monkeypatch):
+    """Alpha recomputed via the DEFINITIONAL pairwise route (observed
+    vs expected disagreement over all within-unit and all pooled value
+    pairs) — independent of the operator's n_u1-moment shortcut."""
+    texts = [
+        "short one",
+        "a" * 400,
+        "the quick brown fox " * 20,
+        "eeee aaaa iiii oooo " * 18,
+        "xyz " * 120,
+        "b" * 299 + " " + "e" * 100,
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"documents": sdf})
+    r = S.krippendorff_alpha_nominal(spark, "x").collect()[0]
+
+    units = []
+    for t in texts:
+        n = len(t)
+        r1 = int(n >= 300)
+        r2 = int(1000 * sum(ch in "aeiou" for ch in t.lower()) // n >= 285)
+        r3 = int(1000 * t.count(" ") // n >= 178)
+        units.append([r1, r2, r3])
+    m, N = 3, len(units)
+    # observed disagreement: fraction of ordered within-unit pairs
+    do = sum(
+        sum(1 for i in range(m) for j in range(m) if i != j and u[i] != u[j])
+        for u in units
+    ) / (N * m * (m - 1))
+    pooled = [v for u in units for v in u]
+    n = len(pooled)
+    de = sum(
+        1
+        for i in range(n)
+        for j in range(n)
+        if i != j and pooled[i] != pooled[j]
+    ) / (n * (n - 1))
+    assert r["n_units"] == N
+    assert r["d_o"] == pytest.approx(do, abs=2e-6)
+    assert r["d_e"] == pytest.approx(de, abs=2e-6)
+    assert r["alpha"] == pytest.approx(1 - do / de, abs=2e-6)
+
+
+def test_vif_matches_numpy_regression(spark, monkeypatch):
+    """VIF recomputed by literally running the auxiliary regressions
+    with numpy lstsq (R^2 of each predictor on the other two) —
+    independent of the closed pairwise-correlation form. Predictors
+    engineered collinear: tax tracks quantity + discount."""
+    qty = _RNG.randint(1, 51, 500).astype(float)
+    disc = _RNG.choice(np.round(np.arange(0, 0.11, 0.01), 2), 500)
+    tax = np.round(qty / 500.0 + disc * 0.5 + _RNG.randint(0, 3, 500) / 100.0, 2)
+    pdf = pd.DataFrame(
+        {"l_quantity": qty, "l_discount": disc, "l_tax": tax}
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"lineitem": sdf})
+    got = {r["predictor"]: r for r in S.vif_collinearity_audit(spark, "x").collect()}
+
+    cols = {
+        "quantity": np.round(qty).astype(int),
+        "discount": np.round(disc * 100).astype(int),
+        "tax": np.round(tax * 100).astype(int),
+    }
+    names = list(cols)
+    for tgt in names:
+        others = [c for c in names if c != tgt]
+        X = np.column_stack(
+            [np.ones(500)] + [cols[c].astype(float) for c in others]
+        )
+        y = cols[tgt].astype(float)
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        resid = y - X @ beta
+        r2 = 1 - (resid**2).sum() / ((y - y.mean()) ** 2).sum()
+        assert got[tgt]["r_squared"] == pytest.approx(r2, abs=5e-6), tgt
+        assert got[tgt]["vif"] == pytest.approx(1 / (1 - r2), abs=5e-5), tgt
+    assert got["tax"]["vif"] > 2  # the engineered collinearity is live
+
+
+def test_char_class_and_kl_match_bruteforce(spark, monkeypatch):
+    import rs_streamloader_spark.operators.quality as Q
+    import rs_streamloader_spark.operators.text as T
+
+    texts = [
+        ("s1", "Hello World 123 !!"),
+        ("s1", "pure words only here"),
+        ("s2", "999 000 111 ,,,"),
+        ("s2", "mixed 12 bag %%"),
+    ]
+    pdf = pd.DataFrame(texts, columns=["source", "text"])
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(Q, "_t", lambda _s, _d, *names: {"documents": sdf})
+    monkeypatch.setattr(
+        T, "load_tables", lambda _s, _d, *names: {"documents": sdf}
+    )
+
+    got = {r["source"]: r for r in Q.char_class_mix_audit(spark, "x").collect()}
+    for src in ("s1", "s2"):
+        docs = [t for s, t in texts if s == src]
+        n = sum(len(t) for t in docs)
+        let = sum(ch.isascii() and ch.isalpha() for t in docs for ch in t)
+        dig = sum(ch.isdigit() for t in docs for ch in t)
+        spc = sum(ch == " " for t in docs for ch in t)
+        assert got[src]["n_chars"] == n
+        assert got[src]["letter_ppm"] == let * 1_000_000 // n
+        assert got[src]["digit_ppm"] == dig * 1_000_000 // n
+        assert got[src]["space_ppm"] == spc * 1_000_000 // n
+        assert got[src]["other_ppm"] == (n - let - dig - spc) * 1_000_000 // n
+
+    kl = {r["source"]: r for r in T.kl_divergence_sources(spark, "x").collect()}
+    from collections import Counter
+
+    corpus = Counter(
+        w for _s, t in texts for w in t.split(" ") if w
+    )
+    grand = sum(corpus.values())
+    for src in ("s1", "s2"):
+        cnt = Counter(
+            w for s, t in texts if s == src for w in t.split(" ") if w
+        )
+        tot = sum(cnt.values())
+        expect = sum(
+            (c / tot) * np.log((c / tot) / (corpus[w] / grand))
+            for w, c in cnt.items()
+        )
+        assert kl[src]["n_tokens"] == tot
+        assert kl[src]["kl_nats"] == pytest.approx(expect, abs=2e-6)
+        assert kl[src]["kl_nats"] > 0  # sources genuinely diverge
+
+
+def test_bpe_trained_fertility_matches_hand_apply(spark, monkeypatch):
+    import rs_streamloader_spark.operators.mining as M
+    from collections import Counter
+
+    texts = [
+        ("w1", "low low low lower lowest"),
+        ("w2", "new newer newest low aaaa"),
+    ]
+    pdf = pd.DataFrame(texts, columns=["source", "text"])
+    pdf["doc_id"] = range(len(pdf))
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(M, "_t", lambda _s, _d, *names: {"documents": sdf})
+
+    got = {r["source"]: r for r in M.bpe_trained_fertility(spark, "x").collect()}
+
+    # hand trainer (same as the merges pin), then greedy apply per word
+    wc = Counter(w for _s, t in texts for w in t.split(" ") if w != "")
+    vocab = {tuple(w): c for w, c in wc.items()}
+    merges = []
+    for _step in range(M._BPE_TRAIN_STEPS):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (a, b), _cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((a, b))
+        nv = Counter()
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] += c
+        vocab = dict(nv)
+
+    def apply_all(word: str) -> int:
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    for src in ("w1", "w2"):
+        words = [w for s, t in texts if s == src for w in t.split(" ") if w]
+        nsym = sum(apply_all(w) for w in words)
+        assert got[src]["n_words"] == len(words)
+        assert got[src]["n_symbols"] == nsym
+        assert got[src]["fertility"] == pytest.approx(
+            nsym / len(words), abs=1e-6
+        )
+    # the trained merges genuinely compress: fertility < raw chars/word
+    for src in ("w1", "w2"):
+        words = [w for s, t in texts if s == src for w in t.split(" ") if w]
+        assert got[src]["fertility"] < sum(map(len, words)) / len(words)

@@ -361,6 +361,15 @@ HEAVY_TAIL = [
     "ann_nprobe_recall_curve",
     # r14: decode-in-stream replay (per-doc verdicts — linear output)
     "stream_multimodal_screen_replay",
+    # r14 wave A: association/agreement/collinearity + text mixes
+    "phi_yule_binary_association",
+    "relative_risk_cohort",
+    "ansari_bradley_scale_test",
+    "krippendorff_alpha_nominal",
+    "vif_collinearity_audit",
+    "char_class_mix_audit",
+    "kl_divergence_sources",
+    "bpe_trained_fertility",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -678,6 +687,17 @@ CONSTANT_OUTPUT = {
     "record_linkage_em_weights",
     # fixed top-100 weighted sample
     "weighted_sample_gumbel",
+    # r14 wave A: 1-row 2x2/cohort/scale/agreement stats, 3-row VIF,
+    # O(sources)-row text mixes (source set is fixed), K-row merge
+    # table and O(sources)-row fertility
+    "phi_yule_binary_association",
+    "relative_risk_cohort",
+    "ansari_bradley_scale_test",
+    "krippendorff_alpha_nominal",
+    "vif_collinearity_audit",
+    "char_class_mix_audit",
+    "kl_divergence_sources",
+    "bpe_trained_fertility",
 }
 
 
