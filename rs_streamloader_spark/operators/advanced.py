@@ -1914,3 +1914,112 @@ def dict_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 dict_encoding_audit.__doc__ = dict_encoding_audit.__doc__.format(
     rl=_DICT_RUN_LEN_BITS, band=_DICT_BAND
 )
+
+
+# ---------------------------------------------------------------------------
+# Native-store time travel: snapshot diff across an upsert (r14)
+# ---------------------------------------------------------------------------
+
+_TT_RECALC_MOD = 3  # docs with doc_id % 3 == 0 get a recomputed metric
+_TT_BUMP = 1000
+
+
+@register(
+    "native_store_time_travel_diff",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS q_v1,
+           CAST(CASE WHEN doc_id % {_TT_RECALC_MOD} = 0
+                THEN LENGTH(text) + {_TT_BUMP}
+                ELSE LENGTH(text) END AS BIGINT) AS q_v2,
+           doc_id % {_TT_RECALC_MOD} = 0 AS changed
+    FROM documents WHERE LENGTH(text) > 0
+    """,
+)
+def native_store_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-over-version DIFF of a native quality-metric store —
+    the time-travel read the r14 snapshot API exists for
+    (sinks/native.py snapshot()/read(version=), VERDICT r13 #4): a
+    per-doc quality score lands via upsert (version 1), a recompute
+    batch upserts new scores for every third doc (version 2), and the
+    diff table joins ``read(version=1)`` — resolved THROUGH A LIVE
+    SNAPSHOT PIN while version 2 commits — against the live read.
+    This is the audit a curation pipeline runs after every metric
+    recompute ("what changed and by how much"), and it is exactly the
+    read-version-N-while-writing-N+1 protocol the incremental-dedup
+    operators depend on, here surfaced as an oracle-checked catalog
+    row rather than only a pytest contract. The oracle replays the
+    two-version protocol declaratively, so the staged write, the
+    pinned old-version resolution, and the bucket-pruned second
+    upsert are all load-bearing.
+
+    Scale posture: the store is hash-bucketed on doc_id (the second
+    upsert rewrites only touched buckets); the diff is one
+    bucket-aligned join between two resolutions of the same table;
+    pruning deferred by the pin costs disk, never correctness.
+
+    Reference surface: transactional versioned upsert semantics
+    (RedshiftLoader.ts:369-384; BEGIN..COMMIT core.ts:7-60) re-expressed
+    as snapshot-isolated lake-table reads."""
+    import os
+    import shutil
+    import tempfile
+
+    from rs_streamloader_spark.loader import Loader
+    from rs_streamloader_spark.sinks.native import NativeTableSink
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].where(
+        F.length("text") > 0
+    )
+    v1 = docs.select("doc_id", F.length("text").cast("bigint").alias("q"))
+    recalc = docs.where(F.col("doc_id") % _TT_RECALC_MOD == 0).select(
+        "doc_id",
+        (F.length("text") + _TT_BUMP).cast("bigint").alias("q"),
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "rs_sl_timetravel",
+        spark.sparkContext.applicationId,
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    sink = NativeTableSink(
+        spark,
+        os.path.join(base, "quality_store"),
+        num_buckets=16,
+        bucket_by="doc_id",
+    )
+
+    def land(df: DataFrame, stage: str) -> None:
+        loader = Loader(
+            spark,
+            options={
+                "table": "wh.quality_store",
+                "id_field": "doc_id",
+                "staging_format": "parquet",
+                "copy_settings": {"format": "PARQUET"},
+            },
+            sink=sink,
+            staging_root=os.path.join(base, stage),
+        )
+        loader.add_source(df)
+        loader.upsert()
+
+    land(v1, "stage_v1")
+    with sink.snapshot() as snap:
+        old = snap.read().select(
+            "doc_id", F.col("q").alias("q_v1")
+        )
+        # the recompute batch commits version 2 WHILE the pin holds
+        # version 1's files on disk — the diff plan below executes
+        # after this write and still resolves both versions
+        land(recalc, "stage_v2")
+        new = sink.read().select("doc_id", F.col("q").alias("q_v2"))
+        out = old.join(new, "doc_id").select(
+            "doc_id",
+            "q_v1",
+            "q_v2",
+            (F.col("q_v2") != F.col("q_v1")).alias("changed"),
+        )
+    return out

@@ -1147,3 +1147,200 @@ def image_channel_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("r_sum").cast("double") / F.sum("n_px").cast("double"), 6
         ).alias("r_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# audio_decimate_downsample — 2:1 decimation over decoded PCM
+# ---------------------------------------------------------------------------
+
+
+def _decimate_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {
+            "doc_id": [],
+            "n_out": [],
+            "d_peak_abs": [],
+            "d_zero_cross": [],
+            "stream_hash": [],
+        }
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            payload = encode_wav_array(_audio_samples_arr(text), WAV_RATE)
+            _rate, _ch, s16 = decode_wav_array(payload)
+            m = len(s16) // 2
+            pairs = s16[: 2 * m].astype(np.int64).reshape(m, 2)
+            d = np.floor_divide(pairs[:, 0] + pairs[:, 1], 2)
+            nonneg = d >= 0
+            canon = ";".join(str(int(x)) for x in d)
+            out["doc_id"].append(doc_id)
+            out["n_out"].append(m)
+            out["d_peak_abs"].append(int(np.abs(d).max()))
+            out["d_zero_cross"].append(
+                int((nonneg[1:] != nonneg[:-1]).sum())
+            )
+            out["stream_hash"].append(
+                hashlib.md5(canon.encode("ascii")).hexdigest()
+            )
+        yield pd.DataFrame(out).astype(
+            {
+                "doc_id": "int64",
+                "n_out": "int32",
+                "d_peak_abs": "int32",
+                "d_zero_cross": "int32",
+            }
+        )
+
+
+@register(
+    "audio_decimate_downsample",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, i,
+             CAST(FLOOR((
+               GREATEST(-32768, LEAST(32767,
+                 (ASCII(SUBSTR(text, CAST(2 * i + 1 AS INTEGER), 1)) - 96) * 256))
+               + GREATEST(-32768, LEAST(32767,
+                 (ASCII(SUBSTR(text, CAST(2 * i + 2 AS INTEGER), 1)) - 96) * 256))
+             ) / 2.0) AS BIGINT) AS d
+      FROM documents,
+           (SELECT UNNEST(RANGE(0, (SELECT MAX(LENGTH(text)) FROM documents))) AS i)
+      WHERE 2 * i + 1 < LENGTH(text)
+    ),
+    lagd AS (
+      SELECT doc_id, i, d,
+             LAG(d) OVER (PARTITION BY doc_id ORDER BY i) AS pd
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_out,
+           CAST(MAX(ABS(d)) AS INTEGER) AS d_peak_abs,
+           CAST(SUM(CASE WHEN pd IS NOT NULL AND ((d >= 0) != (pd >= 0))
+                    THEN 1 ELSE 0 END) AS INTEGER) AS d_zero_cross,
+           MD5(STRING_AGG(CAST(d AS VARCHAR), ';' ORDER BY i)) AS stream_hash
+    FROM lagd GROUP BY doc_id
+    """,
+)
+def audio_decimate_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2:1 audio decimation over REAL decoded PCM — the sample-rate
+    reduction step an audio curation pipeline runs before packing
+    (16 kHz corpora feeding 8 kHz models): adjacent-sample mean with
+    floor rounding (the crude-but-standard box anti-alias), then the
+    decimated stream's peak, zero-crossings, and an md5 over the
+    canonical ';'-joined sample string as the byte-exact witness —
+    so a rounding-convention drift (floor vs trunc on negative sums)
+    or an off-by-one pairing breaks the digest, not just a summary
+    stat. FLOOR division is pinned identically in numpy
+    (floor_divide), Spark, and the oracle; docs shorter than one
+    sample pair are excluded like the Haar family.
+
+    Scale posture: one map-only decode pass, O(1) output per payload,
+    zero shuffles.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5
+    multimodal family)."""
+    return (
+        _docs(spark, sf_dir)
+        .where(F.length("text") >= 2)
+        .mapInPandas(
+            _decimate_rows,
+            schema=(
+                "doc_id bigint, n_out int, d_peak_abs int,"
+                " d_zero_cross int, stream_hash string"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# image_luma_histogram_by_source — decode → bounded histogram rollup
+# ---------------------------------------------------------------------------
+
+_LUMA_BINS = 8
+_LUMA_BIN_W = 2_550_000 // _LUMA_BINS + 1  # BT.709 integer lum max = 255*10000
+
+
+def _luma_hist_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    weights = np.array([2126, 7152, 722], dtype=np.int64)
+    for pdf in batches:
+        out = {"source": [], "n_px": []}
+        for b in range(_LUMA_BINS):
+            out[f"h{b}"] = []
+        for doc_id, text, source in zip(
+            pdf["doc_id"], pdf["text"], pdf["source"]
+        ):
+            _w0, _h0, arr0 = _image_grid_arr(int(doc_id), text)
+            w, h, arr = decode_bmp_array(encode_bmp_array(arr0))
+            lum = arr.reshape(-1, 3).astype(np.int64) @ weights
+            hist = np.bincount(
+                np.minimum(lum // _LUMA_BIN_W, _LUMA_BINS - 1),
+                minlength=_LUMA_BINS,
+            )
+            out["source"].append(source)
+            out["n_px"].append(w * h)
+            for b in range(_LUMA_BINS):
+                out[f"h{b}"].append(int(hist[b]))
+        yield pd.DataFrame(out).astype(
+            {"n_px": "int64", **{f"h{b}": "int64" for b in range(_LUMA_BINS)}}
+        )
+
+
+@register(
+    "image_luma_histogram_by_source",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, source, LENGTH(text) AS n,
+             8 + doc_id % 9 AS w, 8 + LENGTH(text) % 9 AS h
+      FROM documents WHERE LENGTH(text) > 0
+    ),
+    px AS (
+      SELECT d.source,
+             LEAST((2126 * v + 7152 * ((v + c) % 256) + 722 * ((v + r) % 256))
+                   // {_LUMA_BIN_W}, {_LUMA_BINS - 1}) AS b
+      FROM (
+        SELECT d.doc_id, d.source, r, c,
+               ASCII(SUBSTR(text, CAST((r * w + c) % n + 1 AS INTEGER), 1)) AS v
+        FROM d,
+             (SELECT UNNEST(RANGE(0, 16)) AS r),
+             (SELECT UNNEST(RANGE(0, 16)) AS c)
+        WHERE r < h AND c < w
+      ) d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           {", ".join(
+             f"CAST(SUM(CASE WHEN b = {b} THEN 1 ELSE 0 END) AS BIGINT)"
+             f" AS h{b}" for b in range(_LUMA_BINS))}
+    FROM px GROUP BY source
+    """,
+)
+def image_luma_histogram_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source luminance HISTOGRAM over genuinely decoded pixels —
+    the exposure/contrast distribution audit next to the channel-mean
+    rollup (``image_channel_stats_by_source``): 8 equal BT.709
+    integer-luminance bins per provenance feed, the shape that
+    reveals a feed gone systematically dark or blown-out even when
+    its MEAN stays normal (a bimodal feed and a mid-gray feed share a
+    mean; they do not share a histogram).
+
+    Scale posture: the Python stage emits one 8-integer histogram
+    PARTIAL per image (np.bincount over the decoded pixel block), the
+    JVM sums partials per source — decode → shuffle of 8 ints per
+    image → O(sources)-row table; pixels never cross an exchange.
+    The oracle rebuilds every pixel's luminance from the synthesis
+    contract and bins with the identical integer division.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5
+    multimodal family)."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    docs = t.select("doc_id", "text", "source").where(F.length("text") > 0)
+    partials = docs.mapInPandas(
+        _luma_hist_rows,
+        schema="source string, n_px bigint, "
+        + ", ".join(f"h{b} bigint" for b in range(_LUMA_BINS)),
+    )
+    return partials.groupBy("source").agg(
+        F.sum("n_px").cast("bigint").alias("n_pixels"),
+        *[
+            F.sum(f"h{b}").cast("bigint").alias(f"h{b}")
+            for b in range(_LUMA_BINS)
+        ],
+    )

@@ -2728,3 +2728,80 @@ def kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_types"),
         F.round(F.sum("t_nano") / 1_000_000_000.0, 6).alias("kl_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Word burstiness (Church-Gale cf/df) — topical-term screen
+# ---------------------------------------------------------------------------
+
+_BURST_MIN_DF = 5  # hapax/near-hapax noise floor (df p50 is far above)
+_BURST_TOPN = 20
+
+
+@register(
+    "word_burstiness_topk",
+    oracle=f"""
+    WITH tc AS (
+      SELECT tok,
+             CAST(COUNT(*) AS BIGINT) AS cf,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> '' GROUP BY tok
+    )
+    SELECT CAST(ROW_NUMBER() OVER (
+             ORDER BY CAST(cf AS DOUBLE) / df DESC, tok) AS INTEGER) AS rank,
+           tok, cf, df,
+           ROUND(CAST(cf AS DOUBLE) / df, 6) AS burstiness
+    FROM tc WHERE df >= {_BURST_MIN_DF}
+    ORDER BY CAST(cf AS DOUBLE) / df DESC, tok
+    LIMIT {_BURST_TOPN}
+    """,
+)
+def word_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale word burstiness — collection frequency over
+    document frequency, the mean occurrences per CONTAINING document:
+    function words hover near cf/df ≈ 1 while topical/template terms
+    repeat heavily within the documents they appear in, which is why
+    burstiness is the classic screen for boilerplate phrases and
+    topical keywords that raw frequency ranks identically. Top-20
+    bursty terms above a df >= 5 noise floor (near-hapax terms
+    have meaninglessly small denominators).
+
+    Scale posture: one token explode collapsing into a combinable
+    (cf, df) vocab aggregate — COUNT + COUNT(DISTINCT doc_id) share
+    the exchange — then a TakeOrderedAndProject head; the ratio is
+    exact-integer-over-integer rounded once, ties broken by the term.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 text
+    family)."""
+    t = load_tables(spark, sf_dir, "documents")["documents"]
+    tc = (
+        t.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(
+            F.count("*").cast("bigint").alias("cf"),
+            F.countDistinct("doc_id").cast("bigint").alias("df"),
+        )
+        .where(F.col("df") >= _BURST_MIN_DF)
+    )
+    top = tc.orderBy(
+        (F.col("cf").cast("double") / F.col("df")).desc(), "tok"
+    ).limit(_BURST_TOPN)
+    return top.select(
+        F.row_number()
+        .over(
+            Window.partitionBy().orderBy(
+                (F.col("cf").cast("double") / F.col("df")).desc(), "tok"
+            )
+        )
+        .cast("int")
+        .alias("rank"),
+        "tok",
+        "cf",
+        "df",
+        F.round(F.col("cf").cast("double") / F.col("df"), 6).alias(
+            "burstiness"
+        ),
+    )

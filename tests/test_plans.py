@@ -3383,3 +3383,27 @@ def test_r14_association_wave_plan_shapes(spark):
     text = explain_str(df, "simple")
     assert "Window" in text
     assert "Generate" not in text
+
+
+def test_r14_wave_b_plan_shapes(spark):
+    """Decimation is map-only (zero shuffles, no Generate); the luma
+    histogram shuffles 8-integer partials (one exchange to the
+    per-source aggregate); burstiness is one vocab aggregate with a
+    TakeOrderedAndProject head."""
+    from rs_streamloader_spark.operators.multimodal import (
+        audio_decimate_downsample,
+        image_luma_histogram_by_source,
+    )
+    from rs_streamloader_spark.operators.text import word_burstiness_topk
+
+    df = audio_decimate_downsample(spark, SF_SMOKE)
+    assert shuffle_count(df) == 0, explain_str(df, "simple")
+
+    df = image_luma_histogram_by_source(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert shuffle_count(df) <= 1, text
+    assert "partial" in explain_str(df, "formatted").lower()  # map-side combine
+
+    df = word_burstiness_topk(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in text or "WindowGroupLimit" in text, text

@@ -4943,3 +4943,124 @@ def test_bpe_trained_fertility_matches_hand_apply(spark, monkeypatch):
     for src in ("w1", "w2"):
         words = [w for s, t in texts if s == src for w in t.split(" ") if w]
         assert got[src]["fertility"] < sum(map(len, words)) / len(words)
+
+
+def test_wave_b_burstiness_decimate_lumahist_match_bruteforce(spark, monkeypatch):
+    import rs_streamloader_spark.operators.multimodal as MM
+    import rs_streamloader_spark.operators.text as T
+    from collections import Counter
+
+    texts = [
+        "spark spark spark shuffle join",   # 'spark' bursts in-doc
+        "spark plan join join join join",
+        "calm words only here today",
+        "spark appears once here too",
+        "join morning and `evening` rows",  # backtick: negative samples
+        "zz top values for peak checks",
+        # low/high codepoints light the EXTREME luma bins (0 and 7)
+        # that the shipped letters-only corpus never reaches, and give
+        # the decimation clamp a live branch (chr(230) clips to 32767)
+        "\x01\x01\x01\x01 " * 8 + chr(230) * 40,
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    pdf["source"] = ["s1", "s1", "s2", "s2", "s1", "s2", "s2"]
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(
+        T, "load_tables", lambda _s, _d, *names: {"documents": sdf}
+    )
+    monkeypatch.setattr(
+        MM, "load_tables", lambda _s, _d, *names: {"documents": sdf}
+    )
+
+    # --- burstiness (df floor lowered not needed: pick terms df>=5?) ---
+    # with 6 docs no term reaches df>=5 except none — so patch the
+    # floor to 2 for the pin corpus via the module constant
+    monkeypatch.setattr(T, "_BURST_MIN_DF", 2)
+    # the oracle string is frozen at import; pin only the Spark side
+    rows = T.word_burstiness_topk(spark, "x").collect()
+    cf = Counter(w for t in texts for w in t.split(" ") if w)
+    df_ = Counter()
+    for t in texts:
+        for w in set(x for x in t.split(" ") if x):
+            df_[w] += 1
+    cand = [
+        (w, cf[w], df_[w], cf[w] / df_[w]) for w in cf if df_[w] >= 2
+    ]
+    cand.sort(key=lambda x: (-x[3], x[0]))
+    expect = cand[:20]
+    got = [(r["tok"], r["cf"], r["df"], r["burstiness"]) for r in rows]
+    assert [(w, c, d) for w, c, d, _ in expect] == [
+        (w, c, d) for w, c, d, _ in got
+    ]
+    for (_, _, _, eb), (_, _, _, gb) in zip(expect, got):
+        assert gb == pytest.approx(eb, abs=1e-6)
+    assert got[0][0] == "join" and got[0][3] > 1.5  # genuinely bursty
+
+    # --- decimation: floor rounding on NEGATIVE sums is the trap ---
+    dec = {r["doc_id"]: r for r in
+           MM.audio_decimate_downsample(spark, "x").collect()}
+    import hashlib
+
+    for i, t in enumerate(texts):
+        s = np.clip((np.array([ord(c) for c in t]) - 96) * 256,
+                    -32768, 32767)
+        m = len(s) // 2
+        d = np.floor_divide(s[: 2 * m : 2] + s[1 : 2 * m : 2], 2)
+        nonneg = d >= 0
+        assert dec[i]["n_out"] == m
+        assert dec[i]["d_peak_abs"] == int(np.abs(d).max())
+        assert dec[i]["d_zero_cross"] == int((nonneg[1:] != nonneg[:-1]).sum())
+        canon = ";".join(str(int(x)) for x in d)
+        assert dec[i]["stream_hash"] == hashlib.md5(
+            canon.encode()).hexdigest()
+    # doc 4 really has a negative-sum pair (backtick+space territory)
+    s4 = (np.array([ord(c) for c in texts[4]]) - 96) * 256
+    assert (s4[: len(s4) // 2 * 2 : 2] + s4[1 : len(s4) // 2 * 2 : 2] < 0).any()
+    # doc 6 really exercises the int16 clamp (chr(230) -> 34304 raw)
+    assert max(ord(c) for c in texts[6]) >= 224
+
+    # --- luma histogram ---
+    hist = {r["source"]: r for r in
+            MM.image_luma_histogram_by_source(spark, "x").collect()}
+    exp = {}
+    for i, t in enumerate(texts):
+        n = len(t)
+        w, h = 8 + i % 9, 8 + n % 9
+        e = exp.setdefault(pdf["source"][i], np.zeros(9, dtype=int))
+        for r0 in range(h):
+            for c0 in range(w):
+                v = ord(t[(r0 * w + c0) % n])
+                lum = 2126 * v + 7152 * ((v + c0) % 256) + 722 * ((v + r0) % 256)
+                e[min(lum // MM._LUMA_BIN_W, 7)] += 1
+                e[8] += 1  # total
+    for src, e in exp.items():
+        row = hist[src]
+        assert row["n_pixels"] == e[8]
+        for b in range(8):
+            assert row[f"h{b}"] == e[b], (src, b)
+    # the constructed extremes really land in the edge bins the
+    # shipped corpus leaves empty
+    assert exp["s2"][0] > 0 and exp["s2"][7] > 0
+
+
+def test_time_travel_diff_exact_on_tiny_corpus(spark, monkeypatch):
+    import rs_streamloader_spark.operators.advanced as A
+
+    texts = ["alpha beta", "gamma", "delta epsilon zeta", "eta", "", "theta"]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(
+        A, "load_tables", lambda _s, _d, *names: {"documents": sdf}
+    )
+    rows = {r["doc_id"]: r for r in
+            A.native_store_time_travel_diff(spark, "x").collect()}
+    assert set(rows) == {0, 1, 2, 3, 5}  # empty doc 4 excluded
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        r = rows[i]
+        assert r["q_v1"] == len(t)
+        if i % 3 == 0:
+            assert r["q_v2"] == len(t) + 1000 and bool(r["changed"])
+        else:
+            assert r["q_v2"] == len(t) and not r["changed"]

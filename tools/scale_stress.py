@@ -370,6 +370,11 @@ HEAVY_TAIL = [
     "char_class_mix_audit",
     "kl_divergence_sources",
     "bpe_trained_fertility",
+    # r14 wave B
+    "word_burstiness_topk",
+    "audio_decimate_downsample",
+    "image_luma_histogram_by_source",
+    "native_store_time_travel_diff",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -698,6 +703,10 @@ CONSTANT_OUTPUT = {
     "char_class_mix_audit",
     "kl_divergence_sources",
     "bpe_trained_fertility",
+    # r14 wave B bounded outputs: top-20 bursty terms, O(sources)
+    # histogram grid (source set fixed)
+    "word_burstiness_topk",
+    "image_luma_histogram_by_source",
 }
 
 
