@@ -159,3 +159,75 @@ def test_incremental_dedup_protocol_shape(spark, tmp_path):
         n = decision.count()  # plan executes AFTER the concurrent write
     assert n == 10  # every incoming sig (0..6 mod) exists in the store
     assert sink.read().count() == 30
+
+
+def test_pinned_reader_races_live_writer_threads(spark, tmp_path):
+    """TRUE concurrency for the snapshot contract (the sequential
+    tests above fix the interleaving; this one doesn't): a writer
+    thread drives successive upserts re-keying the whole table while
+    a reader thread repeatedly pins, reads, and verifies. Every read
+    must be a CONSISTENT committed version — exactly the full key set
+    with every row carrying ONE version's value (never a mix, never a
+    partial bucket set) — and released pins must not block the writer
+    forever (the table keeps advancing)."""
+    import threading
+
+    from pyspark.sql import functions as F2
+
+    sink = NativeTableSink(
+        spark, str(tmp_path / "race"), num_buckets=4, bucket_by="id"
+    )
+    n_keys = 40
+    sink.upsert(
+        spark.range(n_keys).select("id", F2.lit(0).alias("ver")),
+        id_field="id",
+    )
+
+    stop = threading.Event()
+    errors: list[str] = []
+    versions_written = [0]
+
+    def writer():
+        v = 0
+        try:
+            while not stop.is_set() and v < 6:
+                v += 1
+                sink.upsert(
+                    spark.range(n_keys).select(
+                        "id", F2.lit(v).alias("ver")
+                    ),
+                    id_field="id",
+                )
+                versions_written[0] = v
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errors.append(f"writer: {exc}")
+
+    def reader():
+        try:
+            while not stop.is_set():
+                with sink.snapshot() as snap:
+                    rows = snap.read().collect()
+                ids = sorted(r["id"] for r in rows)
+                vers = {r["ver"] for r in rows}
+                if ids != list(range(n_keys)):
+                    errors.append(f"partial key set: {len(ids)} keys")
+                    return
+                if len(vers) != 1:
+                    errors.append(f"torn read across versions: {vers}")
+                    return
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errors.append(f"reader: {exc}")
+
+    wt = threading.Thread(target=writer)
+    rt = threading.Thread(target=reader)
+    wt.start()
+    rt.start()
+    wt.join(timeout=180)
+    stop.set()
+    rt.join(timeout=60)
+    assert not errors, errors
+    assert versions_written[0] == 6  # pins never wedged the writer
+    # quiescent state: the last version won and vacuum reclaims
+    final = {r["ver"] for r in sink.read().collect()}
+    assert final == {6}
+    assert sink.vacuum() >= 0
