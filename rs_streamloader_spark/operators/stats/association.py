@@ -604,3 +604,104 @@ def vif_collinearity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = sel if out is None else out.unionByName(sel)
     return out
+
+
+# ---------------------------------------------------------------------------
+# t-closeness — the third leg of the privacy-audit trio
+# ---------------------------------------------------------------------------
+
+# threshold sits INSIDE the measured per-class TV distribution at BOTH
+# test scales (sf0.01 range 0.165-0.667, sf0.1 range 0.064-0.200), so
+# the close and not-close branches are live on real data at either
+_TCLOSE_T_PPM = 180_000  # t = 0.18 as integer ppm
+
+
+@register(
+    "t_closeness_audit",
+    oracle=f"""
+    WITH cb AS (
+      SELECT c_nationkey AS nk, c_mktsegment AS seg,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    cls AS (SELECT nk, seg, SUM(c) AS sz FROM cb GROUP BY 1, 2),
+    g AS (SELECT v, SUM(c) AS gc FROM cb GROUP BY v),
+    n AS (SELECT SUM(c) AS nn FROM cb)
+    SELECT cb.nk AS c_nationkey, cb.seg AS c_mktsegment,
+           CAST(MIN(cls.sz) AS BIGINT) AS class_size,
+           ROUND((SUM(ABS(cb.c * n.nn - g.gc * cls.sz) - g.gc * cls.sz)
+                  + MIN(cls.sz) * MIN(n.nn))
+                 / (2.0 * MIN(cls.sz) * MIN(n.nn)), 6) AS t_tv,
+           (SUM(ABS(cb.c * n.nn - g.gc * cls.sz) - g.gc * cls.sz)
+            + MIN(cls.sz) * MIN(n.nn)) * 1000000
+             > {2 * _TCLOSE_T_PPM} * MIN(cls.sz) * MIN(n.nn) AS above_t
+    FROM cb
+    JOIN g USING (v)
+    JOIN cls ON cls.nk = cb.nk AND cls.seg = cb.seg
+    CROSS JOIN n
+    GROUP BY cb.nk, cb.seg
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness — the third leg of the release-privacy trio next to
+    ``k_anonymity_audit``'s k and l (same quasi-identifiers: nation x
+    market segment; same sensitive attribute: $1k balance bands): per
+    equivalence class, the total-variation distance ½Σ|p_class −
+    p_global| between the class's sensitive-value distribution and
+    the corpus-wide one. k and l bound RE-IDENTIFICATION; t bounds
+    ATTRIBUTE disclosure — a class can be large and diverse yet still
+    leak ("this class skews rich") if its distribution sits far from
+    global, which is exactly what TV measures. Classes with
+    t > {{t}} (threshold inside the measured TV range at both test
+    scales) are flagged.
+
+    Exactness: TV needs only the bands PRESENT in the class —
+    Σ_all |…| = Σ_present(|c_v·N − g_v·sz| − g_v·sz) + sz·N, so no
+    densifying join; every mass is an exact integer cross-product and
+    the flag is an exact integer ppm inequality; the one double is
+    the final rounded ratio.
+
+    Scale posture: one (QI, band) combinable aggregate, the global
+    band marginal broadcast back onto it, a bounded ≤|QI| output.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 stats
+    family)."""
+    t = _S._t(spark, sf_dir, "customer")["customer"]
+    cb = t.groupBy(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("v"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cls = cb.groupBy("nk", "seg").agg(F.sum("c").alias("sz"))
+    g = cb.groupBy("v").agg(F.sum("c").alias("gc"))
+    n = cb.agg(F.sum("c").alias("nn"))
+    joined = (
+        cb.join(F.broadcast(g), "v")
+        .join(F.broadcast(cls), ["nk", "seg"])
+        .crossJoin(F.broadcast(n))
+    )
+    agg = joined.groupBy("nk", "seg").agg(
+        F.min("sz").alias("sz"),
+        F.min("nn").alias("nn"),
+        F.sum(
+            F.expr("ABS(c * nn - gc * sz) - gc * sz")
+        ).alias("dev"),
+    )
+    return agg.select(
+        F.col("nk").alias("c_nationkey"),
+        F.col("seg").alias("c_mktsegment"),
+        F.col("sz").cast("bigint").alias("class_size"),
+        F.expr(
+            "ROUND(CAST(dev + sz * nn AS DOUBLE)"
+            " / (2e0 * sz * nn), 6)"
+        ).alias("t_tv"),
+        F.expr(
+            f"(dev + sz * nn) * 1000000 > {2 * _TCLOSE_T_PPM} * sz * nn"
+        ).alias("above_t"),
+    )
+
+
+t_closeness_audit.__doc__ = t_closeness_audit.__doc__.format(
+    t=_TCLOSE_T_PPM / 1_000_000
+)

@@ -1384,3 +1384,114 @@ def stream_multimodal_screen_replay(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.read.parquet(out_dir).select(
         "doc_id", "slc", "mime", "metric", "keep", "batch_kept", "batch_total"
     )
+
+
+# ---------------------------------------------------------------------------
+# 18th replay: mergeable quantile sketch maintained by the stream
+# ---------------------------------------------------------------------------
+
+_QSK_BINS = 64
+_QSK_BIN_CENTS = 1000  # frozen $10 bins over [0, $640); top bin clamps
+_QSK_QS = ((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99"))
+
+
+def _qsketch_oracle() -> str:
+    qs_values = ", ".join(f"({n}, {d}, '{l}')" for n, d, l in _QSK_QS)
+    return f"""
+    WITH v AS (
+      SELECT LEAST({_QSK_BINS - 1},
+                   CAST(ROUND("value" * 100) AS BIGINT) // {_QSK_BIN_CENTS})
+               AS bin
+      FROM events WHERE "value" IS NOT NULL
+    ),
+    hist AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY bin),
+    cum AS (
+      SELECT bin, cnt,
+             SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM hist
+    ),
+    qs AS (SELECT * FROM (VALUES {qs_values}) AS t(q_num, q_den, q_label))
+    SELECT q.q_label,
+           CAST(MIN(c.n) AS BIGINT) AS n,
+           CAST(MIN(c.bin) AS INTEGER) AS est_bin,
+           CAST(MIN(c.bin) * {_QSK_BIN_CENTS} AS BIGINT) AS est_lo_cents,
+           CAST((MIN(c.bin) + 1) * {_QSK_BIN_CENTS} AS BIGINT) AS est_hi_cents
+    FROM qs q JOIN cum c
+      ON c.cum >= (c.n * q.q_num + q.q_den - 1) // q.q_den
+     AND c.cum - c.cnt < (c.n * q.q_num + q.q_den - 1) // q.q_den
+    GROUP BY q.q_label
+    """
+
+
+@register("stream_quantile_sketch_replay", oracle=_qsketch_oracle())
+def stream_quantile_sketch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming QUANTILE sketch maintenance — the quantile face of
+    the mergeability story ``stream_hll_registers_replay`` tells for
+    distinct counts: a fixed {bins}-bin equi-width count histogram
+    (frozen ${w} bins — a streaming sketch must fix its domain BEFORE
+    the data, unlike the batch audit that reads min/max first) is
+    maintained as a COMPLETE-mode streaming aggregation, and the
+    landed register file yields p50/p90/p99 bracket estimates whose
+    exact integer rank math the oracle reproduces from the same
+    frozen binning. Counts are associative and order-independent, so
+    the result is invariant to micro-batch slicing — the property
+    that lets a live latency/value dashboard keep O(bins) state at
+    any stream volume.
+
+    Scale posture: streaming state is exactly {bins} counters;
+    complete-mode re-emission writes {bins} rows per batch, never
+    data volume; the quantile pick is a bounded batch-side window
+    over the landed register file."""
+    ev = _events(spark, sf_dir).where(F.col("value").isNotNull()).select("value")
+
+    def build(streams):
+        s = streams["events"]
+        return (
+            s.select(
+                F.expr(
+                    f"LEAST({_QSK_BINS - 1},"
+                    f" CAST(ROUND(value * 100) AS BIGINT)"
+                    f" div {_QSK_BIN_CENTS})"
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    hist = _replay(
+        spark, "qsketch", sf_dir, {"events": ev}, build,
+        output_mode="complete",
+    )
+    from pyspark.sql.window import Window as W
+
+    cum = hist.select(
+        "bin",
+        "cnt",
+        F.sum("cnt")
+        .over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("cnt").over(W.partitionBy()).alias("n"),
+    )
+    qs = spark.createDataFrame(
+        list(_QSK_QS), "q_num int, q_den int, q_label string"
+    )
+    rank = "(n * q_num + q_den - 1) div q_den"
+    return (
+        F.broadcast(qs)
+        .join(cum, F.expr(f"cum >= {rank} AND cum - cnt < {rank}"))
+        .groupBy("q_label")
+        .agg(
+            F.min("n").cast("bigint").alias("n"),
+            F.min("bin").cast("int").alias("est_bin"),
+            (F.min("bin") * _QSK_BIN_CENTS).cast("bigint").alias("est_lo_cents"),
+            ((F.min("bin") + 1) * _QSK_BIN_CENTS)
+            .cast("bigint")
+            .alias("est_hi_cents"),
+        )
+    )
+
+
+stream_quantile_sketch_replay.__doc__ = stream_quantile_sketch_replay.__doc__.format(
+    bins=_QSK_BINS, w=_QSK_BIN_CENTS // 100
+)

@@ -3407,3 +3407,16 @@ def test_r14_wave_b_plan_shapes(spark):
     df = word_burstiness_topk(spark, SF_SMOKE)
     text = explain_str(df, "simple")
     assert "TakeOrderedAndProject" in text or "WindowGroupLimit" in text, text
+
+
+def test_r14_wave_c_plan_shapes(spark):
+    """t-closeness: one (QI, band) aggregate with the global marginal
+    broadcast back on; no window over input rows. The quantile replay
+    builder is a plain combinable count aggregate (mergeable under any
+    micro-batch slicing — the property the replay exists to show)."""
+    import rs_streamloader_spark.operators.stats as S
+
+    df = S.t_closeness_audit(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert "BroadcastExchange" in text, text
+    assert "Window" not in text

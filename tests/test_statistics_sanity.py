@@ -5064,3 +5064,87 @@ def test_time_travel_diff_exact_on_tiny_corpus(spark, monkeypatch):
             assert r["q_v2"] == len(t) + 1000 and bool(r["changed"])
         else:
             assert r["q_v2"] == len(t) and not r["changed"]
+
+
+def test_t_closeness_matches_bruteforce_tv(spark, monkeypatch):
+    """Per-class total variation recomputed definitionally (densified
+    over ALL bands, including the bands a class lacks — the absent-
+    band correction is the part the closed form optimizes away)."""
+    rows = []
+    # class A: all low band; class B: all high band; class C: mirrors
+    # the global mix; sensitive value = acctbal // 1000 band
+    for i in range(20):
+        rows.append((1, "A", 500.0))          # band 0
+    for i in range(20):
+        rows.append((1, "B", 5500.0))         # band 5
+    for i in range(10):
+        rows.append((2, "C", 500.0))
+    for i in range(10):
+        rows.append((2, "C", 5500.0))
+    pdf = pd.DataFrame(
+        rows, columns=["c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(S, "_t", lambda _s, _d, *names: {"customer": sdf})
+    got = {
+        (r["c_nationkey"], r["c_mktsegment"]): r
+        for r in S.t_closeness_audit(spark, "x").collect()
+    }
+    from collections import Counter
+
+    glob = Counter(int(b // 1000) for _n, _s, b in rows)
+    n = len(rows)
+    for key in {(nk, s) for nk, s, _ in rows}:
+        cls = [int(b // 1000) for nk, s, b in rows if (nk, s) == key]
+        cc = Counter(cls)
+        bands = set(glob) | set(cc)
+        tv = 0.5 * sum(
+            abs(cc.get(v, 0) / len(cls) - glob[v] / n) for v in bands
+        )
+        r = got[key]
+        assert r["class_size"] == len(cls)
+        assert r["t_tv"] == pytest.approx(tv, abs=1e-6), key
+        assert bool(r["above_t"]) is (tv > 0.18), key
+    # the construction really exercises both branches + skew poles
+    assert got[(1, "A")]["t_tv"] == pytest.approx(0.5, abs=1e-6)
+    assert got[(2, "C")]["t_tv"] == pytest.approx(0.0, abs=1e-6)
+    assert bool(got[(1, "A")]["above_t"]) and not bool(got[(2, "C")]["above_t"])
+
+
+def test_stream_quantile_sketch_rank_math_matches_numpy(spark, monkeypatch):
+    """The landed-register quantile pick pinned against an explicit
+    numpy recompute: the estimate bracket must CONTAIN the exact
+    ceil-rank order statistic, and the rank math must pick the first
+    bin whose cumulative count reaches ceil(n*q)."""
+    import rs_streamloader_spark.streaming.replay as R
+
+    vals = np.concatenate(
+        [
+            _RNG.uniform(0, 30, 300),     # dense low mass
+            _RNG.uniform(100, 120, 80),   # mid shelf
+            _RNG.uniform(400, 560, 20),   # far tail
+        ]
+    ).round(2)
+    pdf = pd.DataFrame({"value": vals})
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(R, "_events", lambda _s, _d: sdf)
+    rows = {r["q_label"]: r for r in
+            R.stream_quantile_sketch_replay(spark, "x").collect()}
+
+    cents = np.round(vals * 100).astype(int)
+    bins = np.minimum(cents // R._QSK_BIN_CENTS, R._QSK_BINS - 1)
+    n = len(vals)
+    for num, den, label in R._QSK_QS:
+        rank = -(-n * num // den)  # ceil
+        order = np.sort(bins)
+        est_bin = int(order[rank - 1])
+        r = rows[label]
+        assert r["n"] == n
+        assert r["est_bin"] == est_bin, label
+        assert r["est_lo_cents"] == est_bin * R._QSK_BIN_CENTS
+        assert r["est_hi_cents"] == (est_bin + 1) * R._QSK_BIN_CENTS
+        # the bracket contains the exact order statistic
+        exact = np.sort(cents)[rank - 1]
+        assert r["est_lo_cents"] <= exact < r["est_hi_cents"], label
+    # the three quantiles land in three different bins on this shape
+    assert len({r["est_bin"] for r in rows.values()}) == 3

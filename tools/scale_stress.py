@@ -375,6 +375,9 @@ HEAVY_TAIL = [
     "audio_decimate_downsample",
     "image_luma_histogram_by_source",
     "native_store_time_travel_diff",
+    # r14 wave C
+    "t_closeness_audit",
+    "stream_quantile_sketch_replay",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -707,6 +710,9 @@ CONSTANT_OUTPUT = {
     # histogram grid (source set fixed)
     "word_burstiness_topk",
     "image_luma_histogram_by_source",
+    # r14 wave C: bounded 125-class TV grid; 3-row quantile registers
+    "t_closeness_audit",
+    "stream_quantile_sketch_replay",
 }
 
 
