@@ -1344,3 +1344,111 @@ def image_luma_histogram_by_source(spark: SparkSession, sf_dir: str) -> DataFram
             for b in range(_LUMA_BINS)
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# image_blur_laplacian_screen — variance-of-Laplacian sharpness QC
+# ---------------------------------------------------------------------------
+
+# threshold sits INSIDE the measured per-image mean-Laplacian-energy
+# distribution at both test scales (p25 ~1.95e12, p50 ~2.13e12 at
+# sf0.01 AND sf0.1; full range 0.8e12-3.3e12), so the sharp and blurry
+# branches are both live on real data
+_BLUR_MEAN_MIN = 2_000_000_000_000
+
+
+def _lap_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    weights = np.array([2126, 7152, 722], dtype=np.int64)
+    for pdf in batches:
+        out = {"doc_id": [], "n_interior": [], "lap_energy": []}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            _w0, _h0, arr0 = _image_grid_arr(int(doc_id), text)
+            _w, _h, arr = decode_bmp_array(encode_bmp_array(arr0))
+            lum = arr.astype(np.int64) @ weights  # H x W
+            lap = (
+                4 * lum[1:-1, 1:-1]
+                - lum[:-2, 1:-1]
+                - lum[2:, 1:-1]
+                - lum[1:-1, :-2]
+                - lum[1:-1, 2:]
+            )
+            out["doc_id"].append(doc_id)
+            out["n_interior"].append(int(lap.size))
+            out["lap_energy"].append(int((lap * lap).sum()))
+        yield pd.DataFrame(out).astype(
+            {"doc_id": "int64", "n_interior": "int64", "lap_energy": "int64"}
+        )
+
+
+def _qs_lum(r: str, c: str) -> str:
+    v = f"ASCII(SUBSTR(text, CAST((({r}) * w + ({c})) % n + 1 AS INTEGER), 1))"
+    return (
+        f"(2126 * {v} + 7152 * (({v} + ({c})) % 256)"
+        f" + 722 * (({v} + ({r})) % 256))"
+    )
+
+
+@register(
+    "image_blur_laplacian_screen",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, LENGTH(text) AS n,
+             8 + doc_id % 9 AS w, 8 + LENGTH(text) % 9 AS h
+      FROM documents WHERE LENGTH(text) > 0
+    ),
+    lap AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_interior,
+             CAST(SUM(
+               CAST(4 * {_qs_lum('r', 'c')} - {_qs_lum('r-1', 'c')}
+                    - {_qs_lum('r+1', 'c')} - {_qs_lum('r', 'c-1')}
+                    - {_qs_lum('r', 'c+1')} AS BIGINT)
+               * CAST(4 * {_qs_lum('r', 'c')} - {_qs_lum('r-1', 'c')}
+                      - {_qs_lum('r+1', 'c')} - {_qs_lum('r', 'c-1')}
+                      - {_qs_lum('r', 'c+1')} AS BIGINT)
+             ) AS BIGINT) AS lap_energy
+      FROM d,
+           (SELECT UNNEST(RANGE(1, 16)) AS r),
+           (SELECT UNNEST(RANGE(1, 16)) AS c)
+      WHERE r < h - 1 AND c < w - 1
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_interior, lap_energy,
+           lap_energy // n_interior AS lap_mean,
+           lap_energy // n_interior >= {_BLUR_MEAN_MIN} AS is_sharp
+    FROM lap
+    """,
+)
+def image_blur_laplacian_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blur / sharpness screen over REAL decoded pixels — the
+    variance-of-Laplacian detector every image-curation pipeline runs
+    (a blurred image has weak second derivatives, so the energy of
+    the 4-neighbor Laplacian 4·L(r,c) − L(r±1,c) − L(r,c±1) over
+    interior pixels collapses; OpenCV's cv2.Laplacian().var() is the
+    same statistic). Exact integer end to end: BT.709 integer
+    luminance, integer Laplacian, Σ L² as BIGINT (|L| ≤ 2·10⁷ → L² ≤
+    4·10¹⁴, safely in range), mean by integer floor division, and the
+    keep/drop verdict an exact integer compare against a threshold
+    tuned inside the measured real-corpus energy distribution.
+
+    Scale posture: one map-only decode pass (the Laplacian is five
+    numpy slice-shifts over the decoded grid — vectorized, no Python
+    pixel loop), O(1) output per payload, zero shuffles. The oracle
+    rebuilds all five neighbor luminances per interior pixel straight
+    from the synthesis contract.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5
+    multimodal family)."""
+    raw = _docs(spark, sf_dir).mapInPandas(
+        _lap_rows,
+        schema="doc_id bigint, n_interior bigint, lap_energy bigint",
+    )
+    return raw.select(
+        "doc_id",
+        "n_interior",
+        "lap_energy",
+        F.expr("lap_energy div n_interior").alias("lap_mean"),
+        F.expr(f"lap_energy div n_interior >= {_BLUR_MEAN_MIN}").alias(
+            "is_sharp"
+        ),
+    )

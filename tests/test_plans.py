@@ -3420,3 +3420,12 @@ def test_r14_wave_c_plan_shapes(spark):
     text = explain_str(df, "simple")
     assert "BroadcastExchange" in text, text
     assert "Window" not in text
+
+
+def test_blur_screen_map_only(spark):
+    from rs_streamloader_spark.operators.multimodal import (
+        image_blur_laplacian_screen,
+    )
+
+    df = image_blur_laplacian_screen(spark, SF_SMOKE)
+    assert shuffle_count(df) == 0, explain_str(df, "simple")

@@ -5148,3 +5148,48 @@ def test_stream_quantile_sketch_rank_math_matches_numpy(spark, monkeypatch):
         assert r["est_lo_cents"] <= exact < r["est_hi_cents"], label
     # the three quantiles land in three different bins on this shape
     assert len({r["est_bin"] for r in rows.values()}) == 3
+
+
+def test_blur_laplacian_matches_scipy_free_convolution(spark, monkeypatch):
+    """Laplacian energy recomputed from scratch with an explicit
+    double loop over interior pixels (no slicing tricks shared with
+    the operator), on a corpus engineered so both verdict branches
+    fire: a constant doc (flat image -> near-zero interior energy
+    where the wrap seam allows) vs high-variation text."""
+    import rs_streamloader_spark.operators.multimodal as MM
+
+    texts = [
+        "a" * 100,                                   # flat: L = 0-ish
+        "The quick brown fox jumps over lazy dogs!", # busy
+        ("\x01~" * 50),                              # extreme alternation
+    ]
+    pdf = pd.DataFrame({"doc_id": [0, 4, 8], "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(
+        MM, "load_tables", lambda _s, _d, *names: {"documents": sdf}
+    )
+    got = {r["doc_id"]: r for r in
+           MM.image_blur_laplacian_screen(spark, "x").collect()}
+    for doc_id, t in zip([0, 4, 8], texts):
+        n = len(t)
+        w, h = 8 + doc_id % 9, 8 + n % 9
+
+        def lum(r, c):
+            v = ord(t[(r * w + c) % n])
+            return 2126 * v + 7152 * ((v + c) % 256) + 722 * ((v + r) % 256)
+
+        e = 0
+        cnt = 0
+        for r in range(1, h - 1):
+            for c in range(1, w - 1):
+                L = (4 * lum(r, c) - lum(r - 1, c) - lum(r + 1, c)
+                     - lum(r, c - 1) - lum(r, c + 1))
+                e += L * L
+                cnt += 1
+        row = got[doc_id]
+        assert row["n_interior"] == cnt
+        assert row["lap_energy"] == e
+        assert row["lap_mean"] == e // cnt
+        assert bool(row["is_sharp"]) is (e // cnt >= MM._BLUR_MEAN_MIN)
+    # the constant doc is blurry, the alternating doc is sharp
+    assert not bool(got[0]["is_sharp"]) and bool(got[8]["is_sharp"])

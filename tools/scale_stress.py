@@ -378,6 +378,7 @@ HEAVY_TAIL = [
     # r14 wave C
     "t_closeness_audit",
     "stream_quantile_sketch_replay",
+    "image_blur_laplacian_screen",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
