@@ -2013,7 +2013,10 @@ def native_store_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         # the recompute batch commits version 2 WHILE the pin holds
         # version 1's files on disk — the diff plan below executes
-        # after this write and still resolves both versions
+        # after this write and still resolves both versions. renew()
+        # heartbeats the pin across the write so a >TTL recompute
+        # can't have v1 swept from under the diff plan.
+        snap.renew()
         land(recalc, "stage_v2")
         new = sink.read().select("doc_id", F.col("q").alias("q_v2"))
         out = old.join(new, "doc_id").select(

@@ -2979,6 +2979,10 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         store = snap.read()  # the state batch 2 sees: disk, not lineage
         out = _incremental_decision(inc_sigs, store)
 
+        # heartbeat before the long write: at 100 TB the decision plan
+        # can outlive the pin TTL — renew() resets the marker's mtime
+        # so a concurrent writer never sweeps it as crashed
+        snap.renew()
         # run 2: the incoming batch's signatures join the store — the
         # state handoff that makes the next run incremental
         land(inc_sigs, "stage_run2")

@@ -69,22 +69,29 @@ contract into enforced serialization: two racing ``Loader.upsert()``
 calls now apply in some serial order instead of silently losing one
 batch's rewrite.
 
-Snapshot isolation (VERDICT r13 next-round #4): ``snapshot()`` pins
-the current committed version with a marker file under ``_pins/`` at
-the table root; while any unexpired pin exists, replace commits still
-land (writers never block on readers) but PHYSICAL pruning of
-shadowed data is deferred, so a lazy plan built from
-``read()``/``read(version=n)`` under the pin keeps resolving its
-files across concurrent upserts — no caller-side checkpointing
-needed. Version resolution is correct with stale copies present
-(``_bucket_paths`` picks newest-wins), so deferral costs only disk.
-``vacuum()`` reclaims the deferred garbage once pins are released;
-a pin older than ``_PIN_TTL_SEC`` belongs to a crashed reader and is
-ignored and swept (the reader-side mirror of the writer lock's
-stale-steal). This is the Delta/Iceberg snapshot-read analogue for
-the plain-parquet native sink (SURVEY §7 ACID requirement; the
-reference gets the same property from Redshift transactions,
-core.ts:7-60).
+Snapshot isolation (VERDICT r13 next-round #4; hardened per ADVICE
+r14): ``snapshot()`` pins the current committed version with a marker
+file under ``_pins/`` at the table root; while any unexpired pin
+exists, replace commits still land (writers never block on readers)
+but PHYSICAL pruning of shadowed data is deferred, so the lazy plan
+returned by ``pin.read()`` keeps resolving its files across
+concurrent upserts — no caller-side checkpointing needed. Version
+resolution is correct with stale copies present (``_bucket_paths``
+picks newest-wins), so deferral costs only disk. The pin protocol is
+resolve → durably land the marker → RE-verify the live version is
+unchanged (retry on movement, serializing against the writer lock
+after ``_PIN_ATTEMPTS``), which closes both the resolve-vs-prune race
+and the vacuum pin-listing TOCTOU with one reader-side check; the
+verified pin then freezes its resolved data-path set, isolating
+``pin.read()`` even from unbucketed ``insert()`` appends that write
+into the live version dir. ``vacuum()`` reclaims the deferred garbage
+once pins are released; a pin whose marker MTIME is older than
+``_PIN_TTL_SEC`` belongs to a crashed reader and is ignored and swept
+(the reader-side mirror of the writer lock's stale-steal) — live
+long-running readers heartbeat via ``SnapshotPin.renew()``. This is
+the Delta/Iceberg snapshot-read analogue for the plain-parquet native
+sink (SURVEY §7 ACID requirement; the reference gets the same
+property from Redshift transactions, core.ts:7-60).
 """
 
 from __future__ import annotations
@@ -112,8 +119,11 @@ _LOCK_BACKOFF_BASE = 1.0  # seconds; sleep base·3ⁿ between attempts
 _LOCK_STALE_SEC = 600.0  # presume a lock this old belongs to a crash
 
 _PINS_DIR = "_pins"
-_PIN_RE = re.compile(r"^pin_(\d+)_(\d+)_[0-9a-f]+$")  # version, epoch
+_PIN_RE = re.compile(r"^pin_(\d+)_(\d+)_[0-9a-f]+$")  # version, create-epoch
 _PIN_TTL_SEC = 3600.0  # presume a pin this old belongs to a crashed reader
+# snapshot() lock-free resolve→pin→verify attempts before falling back
+# to serializing against the writer lock (only under continuous writes)
+_PIN_ATTEMPTS = 3
 
 _VERSION_RE = re.compile(r"^v_(\d+)_[0-9a-f]+$")  # full version
 _DELTA_RE = re.compile(r"^d_(\d+)_(?:b(\d+)_)?[0-9a-f]+$")  # replace delta
@@ -167,20 +177,44 @@ def _batch_tag_of(name: str) -> int | None:
 
 class SnapshotPin:
     """Handle for a pinned committed version (``NativeTableSink.
-    snapshot()``): ``read()`` returns the table as of ``version`` and
-    the pin defers physical pruning so that lazy plan stays valid
-    across concurrent upserts. Release with ``release()`` or use as a
-    context manager; a crashed holder's pin expires after
-    ``_PIN_TTL_SEC`` and is swept by the next writer."""
+    snapshot()``): ``read()`` returns the table exactly as committed
+    at pin time and the pin defers physical pruning so that lazy plan
+    stays valid across concurrent upserts. Release with ``release()``
+    or use as a context manager.
 
-    def __init__(self, sink: "NativeTableSink", version: int, name: str):
+    The pin freezes the resolved data-path set at creation, so
+    ``read()`` is isolated even from unbucketed ``insert()`` appends
+    (which land new subdirs inside the live version dir without
+    bumping its number — a bare ``read(version=n)`` would see them).
+
+    A pin whose marker mtime is older than ``_PIN_TTL_SEC`` belongs to
+    a presumed-crashed reader and is swept by the next writer; a
+    legitimately long-lived reader (a 100 TB scan can outlive any
+    fixed TTL) calls ``renew()`` periodically — each renewal touches
+    the marker's mtime, resetting the clock."""
+
+    def __init__(
+        self,
+        sink: "NativeTableSink",
+        version: int,
+        name: str,
+        paths: list[str] | None = None,
+    ):
         self.sink = sink
         self.version = version
         self._name = name
+        self._paths = paths
         self._released = False
 
     def read(self) -> DataFrame:
-        return self.sink.read(version=self.version)
+        return self.sink._read_pinned(self)
+
+    def renew(self) -> None:
+        """Heartbeat: reset the pin's TTL clock (marker mtime). Call
+        from long-lived readers so a >TTL plan isn't swept as crashed
+        while it still resolves files."""
+        if not self._released:
+            self.sink._renew_pin(self._name)
 
     def release(self) -> None:
         if not self._released:
@@ -446,9 +480,13 @@ class NativeTableSink:
     # ------------------------------------------------------------------
     def _active_pin_floor(self) -> int | None:
         """Smallest version named by an unexpired snapshot pin, or
-        None when no live reader holds one. Expired pins (crashed
-        readers) are ignored AND swept — the reader-side mirror of
-        the writer lock's stale-steal."""
+        None when no live reader holds one. Expiry is judged by the
+        marker's MTIME — not the creation epoch in its name — so a
+        renewed (``SnapshotPin.renew()``) pin stays live indefinitely
+        while its reader heartbeats; only a pin whose holder stopped
+        touching it for ``_PIN_TTL_SEC`` (a crashed reader) is ignored
+        AND swept — the reader-side mirror of the writer lock's
+        stale-steal."""
         fs, jdir, _ = self._fs(f"{self.root}/{_PINS_DIR}")
         if not fs.exists(jdir):
             return None
@@ -458,30 +496,104 @@ class NativeTableSink:
             m = _PIN_RE.match(status.getPath().getName())
             if m is None:
                 continue
-            if now - int(m.group(2)) > _PIN_TTL_SEC:
+            if now - status.getModificationTime() / 1000.0 > _PIN_TTL_SEC:
                 fs.delete(status.getPath(), False)
                 continue
             v = int(m.group(1))
             floor = v if floor is None else min(floor, v)
         return floor
 
-    def snapshot(self) -> SnapshotPin:
-        """Pin the current committed version for consistent lazy
-        reads: while the returned handle is live, replace commits
-        still land but physical pruning is deferred, so
-        ``handle.read()`` plans keep resolving their files across
-        concurrent upserts. Pin-then-resolve ordering makes the
-        guarantee exact for any write that begins after ``snapshot()``
-        returns (the pin marker is durably on disk before the writer
-        lists pins at prune time)."""
-        live = self._live()
-        n = live[0] if live is not None else 0
+    def _create_pin(self, n: int) -> str:
         name = f"pin_{n}_{int(time.time())}_{uuid.uuid4().hex[:8]}"
         fs, jdir, _ = self._fs(f"{self.root}/{_PINS_DIR}")
         fs.mkdirs(jdir)
         _, jpin, _ = self._fs(f"{self.root}/{_PINS_DIR}/{name}")
         fs.create(jpin, True).close()
-        return SnapshotPin(self, n, name)
+        return name
+
+    def _resolved_paths_at(self, n: int) -> list[str]:
+        """The data roots a read of committed version ``n`` resolves
+        to right now. Called under a verified pin, so the returned
+        paths cannot be pruned while that pin is live."""
+        versions = [
+            (vn, name)
+            for vn, name in self._committed_versions()
+            if vn <= n
+        ]
+        if self.bucketed:
+            return sorted(
+                p
+                for lst in self._bucket_paths(versions).values()
+                for p in lst
+            )
+        if not versions:
+            return []
+        return self._data_paths_of(f"{self.root}/{versions[-1][1]}")
+
+    def snapshot(self) -> SnapshotPin:
+        """Pin the current committed version for consistent lazy
+        reads: while the returned handle is live, replace commits
+        still land but physical pruning is deferred, so
+        ``handle.read()`` plans keep resolving their files across
+        concurrent upserts.
+
+        Ordering (ADVICE r14 #1/#4): resolve the live version, land
+        the pin marker durably, then RE-verify the live version is
+        unchanged. A prune that raced the window (its pin listing ran
+        before our marker landed) is always paired with either a
+        commit newer than the resolved version — which the re-check
+        sees, releasing the stale pin and retrying — or a ``vacuum()``,
+        which by construction never deletes paths the live resolution
+        references (and live == pinned holds after the re-check). So a
+        returned pin's frozen paths are guaranteed resolvable. Under
+        continuous writes the lock-free loop may keep chasing the head
+        version; after ``_PIN_ATTEMPTS`` it serializes one exact
+        resolve+pin against the writer lock instead."""
+        for _ in range(_PIN_ATTEMPTS):
+            live = self._live()
+            n = live[0] if live is not None else 0
+            name = self._create_pin(n)
+            live2 = self._live()
+            if (live2[0] if live2 is not None else 0) == n:
+                return SnapshotPin(
+                    self, n, name, paths=self._resolved_paths_at(n)
+                )
+            self._release_pin(name)  # stale before it could protect
+        with self._writer_lock():
+            # no mutator (commit, prune, vacuum) can run concurrently
+            live = self._live()
+            n = live[0] if live is not None else 0
+            name = self._create_pin(n)
+            return SnapshotPin(
+                self, n, name, paths=self._resolved_paths_at(n)
+            )
+
+    def _read_pinned(self, pin: SnapshotPin) -> DataFrame:
+        if pin._paths:
+            return self.spark.read.option("mergeSchema", "true").parquet(
+                *pin._paths
+            )
+        # table was empty at pin time (version 0 / zero-row versions)
+        if self.bucketed and self._spec_schema_json:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(self._spec_schema_json))
+            return self.spark.createDataFrame([], schema)
+        raise FileNotFoundError(
+            f"snapshot pin at version {pin.version} of {self.root} holds"
+            " no data paths and the table carries no spec schema"
+        )
+
+    def _renew_pin(self, name: str) -> None:
+        """Touch the pin marker's mtime (TTL heartbeat). Prefer an
+        in-place ``setTimes``; fall back to rewriting the (empty)
+        marker, which local/HDFS implement as truncate-in-place — the
+        marker never stops existing."""
+        fs, jpin, _ = self._fs(f"{self.root}/{_PINS_DIR}/{name}")
+        try:
+            fs.setTimes(jpin, int(time.time() * 1000), -1)
+        except Exception:
+            fs.create(jpin, True).close()
 
     def _release_pin(self, name: str) -> None:
         fs, jpin, _ = self._fs(f"{self.root}/{_PINS_DIR}/{name}")
@@ -714,11 +826,15 @@ class NativeTableSink:
     def read(self, version: int | None = None) -> DataFrame:
         """Read the table: the live state by default, or — with
         ``version=n`` — the committed state as of version n (the
-        snapshot-read half of the ``snapshot()`` pin protocol; pass
-        ``SnapshotPin.version`` or call ``pin.read()``). A version
-        read is only guaranteed stable while a pin at or below that
-        version is live (or no writes happen) — otherwise pruning may
-        have reclaimed the older files.
+        snapshot-read half of the ``snapshot()`` pin protocol; prefer
+        ``pin.read()``, which also freezes the resolved paths). A
+        version read is only guaranteed stable while a pin at or below
+        that version is live (or no writes happen) — otherwise pruning
+        may have reclaimed the older files. Unbucketed caveat (ADVICE
+        r14 #2): plain ``insert()`` appends subdirs into the live
+        version dir WITHOUT bumping its number, so an unbucketed
+        ``read(version=n)`` is only stable across trunc/upsert —
+        ``pin.read()``'s frozen path set is isolated from appends too.
 
         Union of committed data roots only — in-flight/crashed append
         subdirs are invisible; mergeSchema so appends that widened
@@ -730,6 +846,15 @@ class NativeTableSink:
                 for vn, name in self._committed_versions()
                 if vn <= version
             ]
+            if not versions and version > 0:
+                # symmetric with the unbucketed branch (ADVICE r14 #3):
+                # a pin invalidated out from under a reader must fail
+                # loudly, never surface as a silent empty table. Only
+                # the explicit version=0 read (pin taken on an empty
+                # table) keeps the spec-schema empty-read semantics.
+                raise FileNotFoundError(
+                    f"no committed version <= {version} under {self.root}"
+                )
         if self.bucketed:
             paths = sorted(
                 p for lst in self._bucket_paths(versions).values() for p in lst

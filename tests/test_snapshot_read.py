@@ -99,6 +99,9 @@ def test_expired_pin_is_ignored_and_swept(spark, bucketed, tmp_path):
     stale_epoch = int(time.time() - _PIN_TTL_SEC - 60)
     stale = pins / f"pin_1_{stale_epoch}_{'0' * 8}"
     stale.touch()
+    # expiry is judged by marker MTIME (so renew() can extend it) —
+    # backdate the mtime to simulate a reader that stopped heartbeating
+    os.utime(stale, (stale_epoch, stale_epoch))
     # the crashed reader's pin neither blocks pruning nor survives it
     sink.upsert(
         spark.range(0, 10).select("id", F.lit("b").alias("val")),
@@ -132,6 +135,114 @@ def test_read_version_before_first_commit_is_empty_bucketed(spark, bucketed):
         id_field="id",
     )
     assert sink.read(version=0).count() == 0  # schema from spec, no rows
+
+
+def test_renewed_old_pin_defers_vacuum_unrenewed_is_swept(
+    spark, bucketed, tmp_path, monkeypatch
+):
+    """Heartbeat contract (VERDICT r14 next-round #2): a pin OLDER
+    than the TTL but actively renewed still defers vacuum — a >1h
+    lazy scan must not have its files reclaimed from under the live
+    plan — while the same-age pin left unrenewed is swept as a
+    crashed reader."""
+    from rs_streamloader_spark.sinks import native as native_mod
+
+    sink = bucketed
+    sink.upsert(
+        spark.range(0, 20).select("id", F.lit("a").alias("val")),
+        id_field="id",
+    )
+    snap = sink.snapshot()
+    sink.upsert(
+        spark.range(0, 20).select("id", F.lit("b").alias("val")),
+        id_field="id",
+    )
+    marker = tmp_path / "t" / _PINS_DIR / snap._name
+    assert marker.exists()
+    monkeypatch.setattr(native_mod, "_PIN_TTL_SEC", 5.0)
+    old = time.time() - 60  # long past the (patched) TTL
+    os.utime(marker, (old, old))
+    snap.renew()  # heartbeat: marker mtime resets to now
+    assert sink.vacuum() == 0  # renewed pin still defers reclaim
+    assert {r["val"] for r in snap.read().collect()} == {"a"}
+    os.utime(marker, (old, old))  # reader "crashes": no more renewals
+    assert sink.vacuum() > 0  # expired pin ignored, garbage reclaimed
+    assert not marker.exists()  # ...and the pin itself swept
+    snap.release()  # no-op on the swept marker; must not raise
+
+
+def test_bucketed_missing_version_read_raises(spark, bucketed):
+    """ADVICE r14 #3: a version>=1 read that resolves NO committed
+    version must fail loudly on the bucketed path (it used to surface
+    as a silent empty DataFrame via the spec-schema fallback), exactly
+    like the unbucketed branch — a pin invalidated by pruning is an
+    error, not an empty table."""
+    sink = bucketed
+    for tag in ("a", "b"):
+        sink.upsert(
+            spark.range(0, 10).select("id", F.lit(tag).alias("val")),
+            id_field="id",
+        )
+    sink.trunc_insert(
+        spark.range(0, 10).select("id", F.lit("c").alias("val"))
+    )
+    sink.vacuum()  # versions 1-2 physically reclaimed (trunc+vacuum)
+    with pytest.raises(FileNotFoundError):
+        sink.read(version=2)
+    # the explicit empty-table semantics survive: version 0 stays empty
+    assert sink.read(version=0).count() == 0
+
+
+def test_pinned_read_isolated_from_unbucketed_insert(spark, tmp_path):
+    """ADVICE r14 #2: unbucketed insert() lands new subdirs inside
+    the LIVE version dir without bumping its number; the pin's frozen
+    path set keeps pin.read() at the committed pre-insert state while
+    a live read sees the appended rows."""
+    sink = NativeTableSink(spark, str(tmp_path / "u"))
+    sink.trunc_insert(
+        spark.range(0, 10).select("id", F.lit("a").alias("val"))
+    )
+    with sink.snapshot() as snap:
+        frozen = snap.read()
+        sink.insert(
+            spark.range(100, 105).select("id", F.lit("late").alias("val"))
+        )
+        assert sink.read().count() == 15  # live read: appended rows in
+        assert frozen.count() == 10  # pinned plan: pre-insert state
+        assert snap.read().count() == 10  # re-read through the pin too
+
+
+def test_snapshot_pin_survives_resolve_race(spark, bucketed, monkeypatch):
+    """ADVICE r14 #1: snapshot() must re-verify after the pin lands.
+    Simulate the race deterministically: a writer commits+prunes
+    between the reader's version resolve and its pin create (the
+    window the old resolve-then-pin ordering left open). The returned
+    pin must name a version whose files still resolve."""
+    from rs_streamloader_spark.sinks.native import NativeTableSink as NTS
+
+    sink = bucketed
+    sink.upsert(
+        spark.range(0, 30).select("id", F.lit("a").alias("val")),
+        id_field="id",
+    )
+    real_create = NTS._create_pin
+    fired = {"n": 0}
+
+    def racing_create(self, n):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            # the writer wins the window: commit v2 AND prune v1's
+            # shadowed buckets before the reader's marker lands
+            self.upsert(
+                spark.range(0, 30).select("id", F.lit("b").alias("val")),
+                id_field="id",
+            )
+        return real_create(self, n)
+
+    monkeypatch.setattr(NTS, "_create_pin", racing_create)
+    with sink.snapshot() as snap:
+        assert snap.version == 2  # retried onto the post-race version
+        assert {r["val"] for r in snap.read().collect()} == {"b"}
 
 
 def test_incremental_dedup_protocol_shape(spark, tmp_path):
