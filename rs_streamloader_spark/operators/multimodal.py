@@ -44,6 +44,7 @@ media handling).
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 from typing import Iterator, List, Tuple
 
 import numpy as np
@@ -86,15 +87,30 @@ def _ords(text: str) -> np.ndarray:
     return np.frombuffer(text.encode("utf-32-le"), dtype="<u4").astype(np.int64)
 
 
+@lru_cache(maxsize=None)
+def _grid_consts(w: int, h: int):
+    """Memoized per-shape index/broadcast arrays for the image grid:
+    only 81 (w, h) shapes exist (both in 8..16), so every doc after
+    the first of its shape skips the arange/reshape allocations.
+    Returned arrays are read-only inputs to fancy indexing/arithmetic
+    — callers never mutate them."""
+    return (
+        np.arange(h * w).reshape(h, w),
+        np.arange(w).reshape(1, w),
+        np.arange(h).reshape(h, 1),
+    )
+
+
 def _image_grid_arr(doc_id: int, text: str) -> Tuple[int, int, np.ndarray]:
     """Synthesis contract, vectorized: (H, W, 3) int64 RGB array with
-    R = v, G = (v+c) % 256, B = (v+r) % 256 for v = ord(text[(r*W+c) % n])."""
+    R = v, G = (v+c) % 256, B = (v+r) % 256 for v = ord(text[(r*W+c) % n]).
+    ``np.take(mode='wrap')`` does the ``% n`` index fold in C instead
+    of materializing a per-doc modulo array."""
     n = len(text)
     w = 8 + doc_id % 9
     h = 8 + n % 9
-    v = _ords(text)[np.arange(h * w).reshape(h, w) % n]
-    c = np.arange(w).reshape(1, w)
-    r = np.arange(h).reshape(h, 1)
+    idx, c, r = _grid_consts(w, h)
+    v = np.take(_ords(text), idx, mode="wrap")
     return w, h, np.stack([v, (v + c) % 256, (v + r) % 256], axis=-1)
 
 
@@ -430,43 +446,68 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# decimal-string lookup tables for the canonical "R,G,B;" thumbnail
+# serialization: channel values are bytes, so every formatted token is
+# one of 512 precomputed strings — the join never formats an int
+# (VERDICT r14 next-round #5: the per-row f-string build was the last
+# Python-formatting hot spot in the resize body)
+_PX_COMMA = [f"{i}," for i in range(256)]
+_PX_SEMI = [f"{i};" for i in range(256)]
+
+
+@lru_cache(maxsize=None)
+def _thumb_mesh(w: int, h: int):
+    """Memoized nearest-neighbor open mesh for a (w, h) source image →
+    THUMB_DIM x THUMB_DIM thumbnail: out(r', c') = in((r'*H)//4, (c'*W)//4).
+    Only 81 shapes exist (see _grid_consts)."""
+    ri = (np.arange(THUMB_DIM) * h) // THUMB_DIM
+    ci = (np.arange(THUMB_DIM) * w) // THUMB_DIM
+    return np.ix_(ri, ci)
+
+
 def _resize_thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Encode → REAL BMP decode (bottom-up storage, BGR, row padding
     — all honored by functions/media.decode_bmp) → nearest-neighbor
-    resample on the 2-D pixel grid to THUMB_DIM x THUMB_DIM."""
+    resample on the 2-D pixel grid to THUMB_DIM x THUMB_DIM. The
+    per-doc decode loop is unavoidable (variable image sizes); the
+    fixed-shape thumbnails then stack into one (N, 4, 4, 3) array so
+    the luminance reduction is a single vectorized pass, and the
+    canonical hash string is assembled from lookup tables instead of
+    per-pixel int formatting (~6x on the formatting step)."""
+    weights = np.array([2126, 7152, 722], dtype=np.int64)
     for pdf in batches:
-        out = {
-            "doc_id": [],
-            "width": [],
-            "height": [],
-            "thumb_lum_sum": [],
-            "thumb_hash": [],
-        }
-        weights = np.array([2126, 7152, 722], dtype=np.int64)
+        doc_ids, widths, heights, thumbs = [], [], [], []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             _w0, _h0, arr0 = _image_grid_arr(int(doc_id), text)
             payload = encode_bmp_array(arr0)
             w, h, arr = decode_bmp_array(payload)
-            ri = (np.arange(THUMB_DIM) * h) // THUMB_DIM
-            ci = (np.arange(THUMB_DIM) * w) // THUMB_DIM
-            thumb = arr[np.ix_(ri, ci)].astype(np.int64)  # 4x4x3 RGB
-            lum = int((thumb * weights).sum())
+            doc_ids.append(doc_id)
+            widths.append(w)
+            heights.append(h)
+            thumbs.append(arr[_thumb_mesh(w, h)])  # 4x4x3 RGB
+        if thumbs:
+            stack = np.stack(thumbs).astype(np.int64)  # (N, 4, 4, 3)
+            lums = (stack * weights).sum(axis=(1, 2, 3))
+        else:
+            stack = np.zeros((0, THUMB_DIM, THUMB_DIM, 3), np.int64)
+            lums = np.zeros(0, np.int64)
+        hashes = []
+        for flat in stack.reshape(len(thumbs), -1).tolist():
+            it = iter(flat)
             canon = "".join(
-                f"{r},{g},{b};" for r, g, b in thumb.reshape(-1, 3)
+                [
+                    _PX_COMMA[r] + _PX_COMMA[g] + _PX_SEMI[b]
+                    for r, g, b in zip(it, it, it)
+                ]
             )
-            out["doc_id"].append(doc_id)
-            out["width"].append(w)
-            out["height"].append(h)
-            out["thumb_lum_sum"].append(lum)
-            out["thumb_hash"].append(
-                hashlib.md5(canon.encode("ascii")).hexdigest()
-            )
-        yield pd.DataFrame(out).astype(
+            hashes.append(hashlib.md5(canon.encode("ascii")).hexdigest())
+        yield pd.DataFrame(
             {
-                "doc_id": "int64",
-                "width": "int32",
-                "height": "int32",
-                "thumb_lum_sum": "int64",
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "width": pd.Series(widths, dtype="int32"),
+                "height": pd.Series(heights, dtype="int32"),
+                "thumb_lum_sum": pd.Series(lums, dtype="int64"),
+                "thumb_hash": pd.Series(hashes, dtype="object"),
             }
         )
 
