@@ -16,6 +16,7 @@ from rs_streamloader_spark.operators import (  # noqa: F401
     stats,
     text,
     tpch,
+    webtext,
 )
 from rs_streamloader_spark.operators.registry import REGISTRY, QuerySpec, register
 from rs_streamloader_spark.streaming import replay  # noqa: F401  (registers replay queries)

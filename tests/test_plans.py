@@ -3429,3 +3429,25 @@ def test_blur_screen_map_only(spark):
 
     df = image_blur_laplacian_screen(spark, SF_SMOKE)
     assert shuffle_count(df) == 0, explain_str(df, "simple")
+
+
+def test_html_extract_family_is_map_only(spark):
+    """The markup family (r15): extraction must stay map-only — one
+    documents scan feeding an Arrow MapInPandas stage, zero
+    exchanges for the per-doc queries (markup bytes never cross a
+    shuffle); the per-source rollup adds exactly its one aggregation
+    exchange over small integer counters."""
+    from rs_streamloader_spark.operators.webtext import (
+        html_boilerplate_density,
+        html_structure_stats,
+        html_text_extract,
+    )
+
+    for fn in (html_text_extract, html_boilerplate_density):
+        df = fn(spark, SF_SMOKE)
+        text = explain_str(df, "simple")
+        assert shuffle_count(df) == 0, (fn.__name__, text[:1500])
+        assert "MapInPandas" in text, (fn.__name__, text[:1500])
+
+    df = html_structure_stats(spark, SF_SMOKE)
+    assert shuffle_count(df) == 1, explain_str(df, "simple")[:1500]

@@ -379,6 +379,11 @@ HEAVY_TAIL = [
     "t_closeness_audit",
     "stream_quantile_sketch_replay",
     "image_blur_laplacian_screen",
+    # r15: HTML extraction family (per-doc parse rows — linear;
+    # structure rollup bounded by the fixed source set)
+    "html_text_extract",
+    "html_boilerplate_density",
+    "html_structure_stats",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -714,6 +719,8 @@ CONSTANT_OUTPUT = {
     # r14 wave C: bounded 125-class TV grid; 3-row quantile registers
     "t_closeness_audit",
     "stream_quantile_sketch_replay",
+    # r15: per-source DOM rollup — source set is fixed
+    "html_structure_stats",
 }
 
 
