@@ -1495,3 +1495,192 @@ def stream_quantile_sketch_replay(spark: SparkSession, sf_dir: str) -> DataFrame
 stream_quantile_sketch_replay.__doc__ = stream_quantile_sketch_replay.__doc__.format(
     bins=_QSK_BINS, w=_QSK_BIN_CENTS // 100
 )
+
+
+# ---------------------------------------------------------------------------
+# 19th replay: table MAINTENANCE under a live snapshot pin
+# ---------------------------------------------------------------------------
+
+_MAINT_SLICES = 6
+_MAINT_BUCKETS = 8
+
+
+def _maint_oracle() -> str:
+    """Declarative simulation of the maintenance protocol: batch k
+    appends time-slice k (NTILE over (ts, event_id) — unique, so the
+    slicing is cross-engine deterministic); after every batch the
+    pinned reader must still see exactly slice 1 (pin_intact TRUE)
+    and vacuum must defer (TRUE); the post-release row reclaims
+    (deferred FALSE) with the pinned columns gone NULL."""
+    return f"""
+    WITH sliced AS (
+      SELECT user_id,
+             NTILE({_MAINT_SLICES}) OVER (ORDER BY ts, event_id) AS s
+      FROM events
+    ),
+    ks AS (SELECT UNNEST(RANGE(1, {_MAINT_SLICES} + 1)) AS k)
+    SELECT CAST(k AS BIGINT) AS batch_seq,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM sliced WHERE s <= k) AS live_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM sliced WHERE s = 1) AS pinned_rows,
+           TRUE AS pin_intact,
+           TRUE AS vacuum_deferred
+    FROM ks
+    UNION ALL
+    SELECT CAST({_MAINT_SLICES} + 1 AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sliced),
+           CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN), FALSE
+    """
+
+
+@register("stream_maintenance_pin_replay", oracle=_maint_oracle())
+def stream_maintenance_pin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction + vacuum racing a PINNED reader across a live
+    stream (VERDICT r14 next-round #7): the events stream, sliced
+    into {n} files and replayed one per micro-batch, APPENDS into a
+    bucketed native table via ``insert_batch`` (additive deltas).
+    After batch 1 a reader takes ``snapshot()`` and holds it for the
+    whole run; every subsequent batch then runs the maintenance a
+    100 TB deployment schedules concurrently with ingestion —
+    ``compact()`` (folds the accumulated additive deltas into a
+    replace delta: REAL bucket rewrites, not a no-op) and
+    ``vacuum()`` — and lands a per-batch reader verdict:
+
+    - ``pin_intact``: the pinned lazy read still returns EXACTLY the
+      batch-1 state (row count + event_id checksum re-verified
+      through the pin's frozen paths) even though compaction has
+      re-homed those rows into newer versions,
+    - ``vacuum_deferred``: vacuum reclaimed nothing while the pin
+      lives (the deferral contract, observed via its return value),
+    - ``live_rows``: the live read meanwhile advances batch by batch.
+
+    The pin heartbeats via ``renew()`` each batch (the r15 mtime-TTL
+    contract) — a reader outliving any fixed TTL keeps its files.
+    After the stream, the pin releases and the final row shows
+    vacuum actually reclaiming (deferred=FALSE): deferral is a lease,
+    not a leak. The oracle replays the whole protocol declaratively
+    from the events table.
+
+    Scale posture: per-batch maintenance I/O is O(live additive
+    bytes) (the LSM fold), never O(table); verdict reads are one
+    count-distinct + one 2-column sum over the pinned paths; the
+    replay's landed output is {n}+1 tiny rows."""
+    from pyspark.sql.window import Window as W
+
+    from rs_streamloader_spark.sinks.native import NativeTableSink
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "rs_sl_replay",
+        spark.sparkContext.applicationId,
+        "maint_pin",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    in_path = os.path.join(base, "in")
+    import time as _time
+
+    # harness-only single-partition sort fabricating arrival order
+    # (same contract as stream_upsert_loader_replay — the measured
+    # operator is the maintenance protocol, which never sees it)
+    sliced = ev.withColumn(
+        "__slice",
+        F.ntile(_MAINT_SLICES).over(W.orderBy("ts", "event_id")),
+    ).persist()
+    try:
+        base_mtime = _time.time() - _MAINT_SLICES - 60
+        for i in range(1, _MAINT_SLICES + 1):
+            (
+                sliced.filter(F.col("__slice") == i)
+                .drop("__slice")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(in_path)
+            )
+            for name in os.listdir(in_path):
+                full = os.path.join(in_path, name)
+                if os.path.getmtime(full) > base_mtime + i:
+                    os.utime(full, (base_mtime + i, base_mtime + i))
+    finally:
+        sliced.unpersist()
+
+    table_root = os.path.join(base, "table")
+    sink = NativeTableSink(
+        spark, table_root, num_buckets=_MAINT_BUCKETS, bucket_by="user_id"
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_path)
+    )
+
+    state: dict = {"pin": None, "sig": None}
+    verdicts: list[tuple] = []
+
+    def _signature(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum("event_id").alias("eid"),
+        ).first()
+        return int(row["n"]), int(row["eid"] or 0)
+
+    def land(bdf: DataFrame, bid: int) -> None:
+        sink.insert_batch(bdf.select("user_id", "ts", "event_id"), bid)
+        if state["pin"] is None:
+            state["pin"] = sink.snapshot()
+            state["sig"] = _signature(state["pin"].read())
+        else:
+            # scheduled maintenance between micro-batches, under pin
+            sink.compact()
+            reclaimed = sink.vacuum()
+            state["pin"].renew()  # heartbeat: TTL clock resets
+            pu, peid = _signature(state["pin"].read())
+            lu, _ = _signature(sink.read())
+            verdicts.append(
+                (
+                    bid + 1,
+                    lu,
+                    pu,
+                    (pu, peid) == state["sig"],
+                    reclaimed == 0,
+                )
+            )
+            return
+        lu, _ = _signature(sink.read())
+        verdicts.append(
+            (1, lu, state["sig"][0], True, sink.vacuum() == 0)
+        )
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(land)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    # release the lease: the deferred garbage must now actually go
+    state["pin"].release()
+    reclaimed_after = sink.vacuum()
+    lu, _ = _signature(sink.read())
+    verdicts.append(
+        (_MAINT_SLICES + 1, lu, None, None, reclaimed_after == 0)
+    )
+    return spark.createDataFrame(
+        verdicts,
+        "batch_seq bigint, live_rows bigint, pinned_rows bigint,"
+        " pin_intact boolean, vacuum_deferred boolean",
+    )
+
+
+stream_maintenance_pin_replay.__doc__ = stream_maintenance_pin_replay.__doc__.format(
+    n=_MAINT_SLICES
+)

@@ -400,3 +400,35 @@ def test_multimodal_screen_replay_batch_boundaries(spark):
     # both admission branches are live somewhere in the stream
     assert any(r["batch_kept"] < r["batch_total"] for r in out)
     assert any(r["batch_kept"] > 0 for r in out)
+
+
+def test_maintenance_under_pin_multibatch(spark):
+    """The 19th replay's protocol end-to-end at smoke scale (VERDICT
+    r14 next-round #7): a pin taken at batch 1 survives compact() +
+    vacuum() running between every subsequent micro-batch — each
+    per-batch verdict row must report the pinned read intact and
+    vacuum deferred — and the post-release row must show vacuum
+    actually reclaiming. This is the multi-batch pin contract:
+    maintenance interleaving with ingestion and a live reader, not
+    just the unit-level pin tests in test_snapshot_read.py."""
+    from rs_streamloader_spark.streaming.replay import (
+        _MAINT_SLICES,
+        stream_maintenance_pin_replay,
+    )
+
+    rows = {
+        r["batch_seq"]: r
+        for r in stream_maintenance_pin_replay(spark, SF).collect()
+    }
+    assert set(rows) == set(range(1, _MAINT_SLICES + 2))
+    for k in range(1, _MAINT_SLICES + 1):
+        assert rows[k]["pin_intact"] is True, rows[k]
+        assert rows[k]["vacuum_deferred"] is True, rows[k]
+    # live view advances monotonically while the pin holds still
+    lives = [rows[k]["live_rows"] for k in range(1, _MAINT_SLICES + 1)]
+    assert lives == sorted(set(lives))  # strictly increasing
+    pinned = {rows[k]["pinned_rows"] for k in range(1, _MAINT_SLICES + 1)}
+    assert len(pinned) == 1  # the pinned state never moved
+    post = rows[_MAINT_SLICES + 1]
+    assert post["vacuum_deferred"] is False  # lease ended, space back
+    assert post["pinned_rows"] is None and post["pin_intact"] is None

@@ -380,10 +380,12 @@ HEAVY_TAIL = [
     "stream_quantile_sketch_replay",
     "image_blur_laplacian_screen",
     # r15: HTML extraction family (per-doc parse rows — linear;
-    # structure rollup bounded by the fixed source set)
+    # structure rollup bounded by the fixed source set) + the
+    # maintenance-under-pin replay (fixed 7-row verdict table)
     "html_text_extract",
     "html_boilerplate_density",
     "html_structure_stats",
+    "stream_maintenance_pin_replay",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -719,8 +721,10 @@ CONSTANT_OUTPUT = {
     # r14 wave C: bounded 125-class TV grid; 3-row quantile registers
     "t_closeness_audit",
     "stream_quantile_sketch_replay",
-    # r15: per-source DOM rollup — source set is fixed
+    # r15: per-source DOM rollup — source set is fixed; 7-row
+    # maintenance verdict table — slice count is fixed
     "html_structure_stats",
+    "stream_maintenance_pin_replay",
 }
 
 
