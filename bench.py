@@ -200,6 +200,10 @@ def main() -> None:
         _shingles_cached,
     )
     from rs_streamloader_spark.operators.mining import _doc_bigrams_cached
+    from rs_streamloader_spark.operators.webtext import (
+        _html_metrics_cached,
+        _md_metrics_cached,
+    )
     from rs_streamloader_spark.operators.similarity import (
         _emb_norm_cached,
         _ivf_codebook_cached,
@@ -216,6 +220,8 @@ def main() -> None:
         ("ivf_codebook", lambda: _ivf_codebook_cached(spark, SF_DIR)),
         ("pq_codebook", lambda: _pq_codebook_cached(spark, SF_DIR)),
         ("doc_bigrams", lambda: _doc_bigrams_cached(spark, SF_DIR)),
+        ("html_metrics", lambda: _html_metrics_cached(spark, SF_DIR)),
+        ("md_metrics", lambda: _md_metrics_cached(spark, SF_DIR)),
         ("replay_events", lambda: _replay_events(spark, SF_DIR)),
     ]:
         try:

@@ -270,3 +270,193 @@ def html_structure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("max_block_depth").alias("depth_sum"),
         F.max("max_block_depth").alias("depth_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markdown ingestion (functions/markdown.py — the second raw format)
+# ---------------------------------------------------------------------------
+
+_MD_SCHEMA = (
+    "doc_id bigint, source string, n_chars_extracted bigint,"
+    " text_md5 string, n_blocks bigint, n_h1 bigint, n_h2 bigint,"
+    " n_h3 bigint, n_blockquotes bigint, n_code_blocks bigint,"
+    " n_code_words bigint, n_code_spans bigint, n_em bigint,"
+    " n_links bigint"
+)
+
+
+def _extract_md_metrics(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    from rs_streamloader_spark.functions.markdown import extract_md, synth_md
+
+    for pdf in batches:
+        rows: dict = {k.split(" ")[0]: [] for k in _MD_SCHEMA.split(", ")}
+        for doc_id, source, text in zip(
+            pdf["doc_id"], pdf["source"], pdf["text"]
+        ):
+            md = extract_md(synth_md(int(doc_id), text))
+            hc = md.heading_counts
+            rows["doc_id"].append(doc_id)
+            rows["source"].append(source)
+            rows["n_chars_extracted"].append(len(md.text))
+            rows["text_md5"].append(
+                hashlib.md5(md.text.encode("utf-8")).hexdigest()
+            )
+            rows["n_blocks"].append(md.n_blocks)
+            rows["n_h1"].append(hc.get(1, 0))
+            rows["n_h2"].append(hc.get(2, 0))
+            rows["n_h3"].append(hc.get(3, 0))
+            rows["n_blockquotes"].append(md.n_blockquotes)
+            rows["n_code_blocks"].append(md.n_code_blocks)
+            rows["n_code_words"].append(md.n_code_words)
+            rows["n_code_spans"].append(md.n_code_spans)
+            rows["n_em"].append(md.n_em)
+            rows["n_links"].append(md.n_links)
+        out = pd.DataFrame(rows)
+        for c in rows:
+            if c != "source" and c != "text_md5":
+                out[c] = out[c].astype("int64")
+        yield out
+
+
+def _md_metrics_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared cached per-doc markdown extraction table."""
+    return stage_cached(
+        spark,
+        sf_dir,
+        "md_metrics",
+        lambda: (
+            load_tables(spark, sf_dir, "documents")["documents"]
+            .select("doc_id", "source", "text")
+            .where(F.length("text") > 0)
+            .mapInPandas(_extract_md_metrics, schema=_MD_SCHEMA)
+        ),
+    )
+
+
+# synthesis-contract CTE for the markdown oracles: block kind and
+# inline-marker cadence re-derived from LENGTH(text) and doc_id via a
+# word-INDEX explode (first-match-wins precedence mirrored exactly)
+_MD_CTE = """
+    WITH d AS (
+      SELECT doc_id, source, text,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                  AS BIGINT) AS n_words,
+             5 + doc_id % 4 AS p_sz
+      FROM documents WHERE LENGTH(text) > 0
+    ),
+    w AS (
+      SELECT doc_id, p_sz, UNNEST(RANGE(0, n_words)) AS i FROM d
+    ),
+    inl AS (
+      SELECT doc_id,
+             SUM(CASE WHEN NOT in_code AND i % 7 = 0
+                      THEN 1 ELSE 0 END) AS n_code_spans,
+             SUM(CASE WHEN NOT in_code AND i % 7 <> 0 AND i % 5 = 2
+                      THEN 1 ELSE 0 END) AS n_em,
+             SUM(CASE WHEN NOT in_code AND i % 7 <> 0 AND i % 5 <> 2
+                           AND i % 9 = 4
+                      THEN 1 ELSE 0 END) AS n_links,
+             SUM(CASE WHEN in_code THEN 1 ELSE 0 END) AS n_code_words
+      FROM (SELECT doc_id, i, ((i // p_sz) % 8) = 6 AS in_code FROM w)
+      GROUP BY doc_id
+    ),
+    blk AS (
+      SELECT doc_id, p_sz,
+             UNNEST(RANGE(0, (n_words + p_sz - 1) // p_sz)) AS k
+      FROM d
+    ),
+    bstat AS (
+      SELECT doc_id,
+             SUM(CASE WHEN k % 8 = 6 THEN 1 ELSE 0 END) AS n_code_blocks,
+             SUM(CASE WHEN k % 8 <> 6 AND k % 5 = 0 AND (k // 5) % 3 = 0
+                      THEN 1 ELSE 0 END) AS n_h1,
+             SUM(CASE WHEN k % 8 <> 6 AND k % 5 = 0 AND (k // 5) % 3 = 1
+                      THEN 1 ELSE 0 END) AS n_h2,
+             SUM(CASE WHEN k % 8 <> 6 AND k % 5 = 0 AND (k // 5) % 3 = 2
+                      THEN 1 ELSE 0 END) AS n_h3,
+             SUM(CASE WHEN k % 8 <> 6 AND k % 5 = 3 THEN 1 ELSE 0 END)
+               AS n_blockquotes
+      FROM blk GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "md_text_extract",
+    oracle=_MD_CTE
+    + """
+    SELECT d.doc_id,
+           d.n_chars AS n_chars_extracted,
+           MD5(d.text) AS text_md5,
+           (d.n_words + d.p_sz - 1) // d.p_sz AS n_blocks,
+           CAST(inl.n_code_spans AS BIGINT) AS n_code_spans,
+           CAST(inl.n_em AS BIGINT) AS n_em,
+           CAST(inl.n_links AS BIGINT) AS n_links
+    FROM d JOIN inl USING (doc_id)
+    """,
+)
+def md_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown → text recovery, byte-exact: strip ATX headings,
+    blockquote prefixes, fenced code blocks, code spans, emphasis and
+    links with the from-spec two-level parser, and prove the joined
+    word stream equals the source document by md5. The inline
+    counters pin the precedence contract (code span > emphasis >
+    link, and NOTHING applies inside a fence) against the oracle's
+    first-match-wins word-index explode — the classic extractor trap
+    of styling leaking into code is a hash break here.
+
+    Scale posture: map-only; the markdown source never crosses an
+    exchange; oracle-side the word explode collapses immediately to
+    per-doc counters."""
+    return _md_metrics_cached(spark, sf_dir).select(
+        "doc_id",
+        "n_chars_extracted",
+        "text_md5",
+        "n_blocks",
+        "n_code_spans",
+        "n_em",
+        "n_links",
+    )
+
+
+@register(
+    "md_structure_by_source",
+    oracle=_MD_CTE
+    + """
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(b.n_h1) AS BIGINT) AS total_h1,
+           CAST(SUM(b.n_h2) AS BIGINT) AS total_h2,
+           CAST(SUM(b.n_h3) AS BIGINT) AS total_h3,
+           CAST(SUM(b.n_blockquotes) AS BIGINT) AS total_blockquotes,
+           CAST(SUM(b.n_code_blocks) AS BIGINT) AS total_code_blocks,
+           CAST(SUM(inl.n_code_words) AS BIGINT) AS total_code_words
+    FROM d
+    JOIN bstat b USING (doc_id)
+    JOIN inl USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def md_structure_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source markdown shape profile: heading-level mix,
+    blockquote and fenced-code-block totals, and the code-word mass
+    (the tokens a code-vs-prose router would divert) — every counter
+    from the real parse, re-derived by the oracle's block-index
+    explode. The signal a curation mix uses to balance docs-vs-code
+    sources before tokenization.
+
+    Scale posture: the family's one shuffle — ≤7 integer counters per
+    doc into a 20-group hash aggregate with map-side combine."""
+    mx = _md_metrics_cached(spark, sf_dir)
+    return mx.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_h1").alias("total_h1"),
+        F.sum("n_h2").alias("total_h2"),
+        F.sum("n_h3").alias("total_h3"),
+        F.sum("n_blockquotes").alias("total_blockquotes"),
+        F.sum("n_code_blocks").alias("total_code_blocks"),
+        F.sum("n_code_words").alias("total_code_words"),
+    )

@@ -3451,3 +3451,18 @@ def test_html_extract_family_is_map_only(spark):
 
     df = html_structure_stats(spark, SF_SMOKE)
     assert shuffle_count(df) == 1, explain_str(df, "simple")[:1500]
+
+
+def test_md_extract_family_plan_shapes(spark):
+    """Markdown family (r15): per-doc extraction map-only, rollup adds
+    exactly its aggregation exchange."""
+    from rs_streamloader_spark.operators.webtext import (
+        md_structure_by_source,
+        md_text_extract,
+    )
+
+    df = md_text_extract(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert shuffle_count(df) == 0, text[:1500]
+    assert "MapInPandas" in text, text[:1500]
+    assert shuffle_count(md_structure_by_source(spark, SF_SMOKE)) == 1

@@ -386,6 +386,10 @@ HEAVY_TAIL = [
     "html_boilerplate_density",
     "html_structure_stats",
     "stream_maintenance_pin_replay",
+    # r15: markdown ingestion (per-doc parse rows — linear; rollup
+    # bounded by the fixed source set)
+    "md_text_extract",
+    "md_structure_by_source",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -721,10 +725,11 @@ CONSTANT_OUTPUT = {
     # r14 wave C: bounded 125-class TV grid; 3-row quantile registers
     "t_closeness_audit",
     "stream_quantile_sketch_replay",
-    # r15: per-source DOM rollup — source set is fixed; 7-row
-    # maintenance verdict table — slice count is fixed
+    # r15: per-source DOM/markdown rollups — source set is fixed;
+    # 7-row maintenance verdict table — slice count is fixed
     "html_structure_stats",
     "stream_maintenance_pin_replay",
+    "md_structure_by_source",
 }
 
 
