@@ -460,3 +460,151 @@ def md_structure_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_code_blocks").alias("total_code_blocks"),
         F.sum("n_code_words").alias("total_code_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL provenance (JVM-only: parse_url stays inside codegen)
+# ---------------------------------------------------------------------------
+
+# synthesis contract for a document's crawl URL — every component
+# derives from (doc_id, source, lang, first word of text):
+#   https://{source}.example.{tld}[:8443 if doc_id%7==0]
+#     /p{(doc_id+1)%10}[/p{(doc_id+2)%10} ...]  (1 + doc_id%3 segments)
+#     /{first word}
+#     [?q={lang}&ref=feed if doc_id%5==2]
+#     [#s1 if doc_id%11==3]
+# with tld = (com, org, net, io)[doc_id % 4]
+_URL_CTE = """
+    WITH d AS (
+      SELECT doc_id, source, lang,
+             STRING_SPLIT(text, ' ')[1] AS slug,
+             ['com', 'org', 'net', 'io'][CAST(doc_id % 4 AS INTEGER) + 1]
+               AS tld,
+             doc_id % 7 = 0 AS has_port,
+             CAST(1 + doc_id % 3 AS BIGINT) AS n_seg,
+             doc_id % 5 = 2 AS has_query,
+             doc_id % 11 = 3 AS has_fragment
+      FROM documents WHERE LENGTH(text) > 0
+    )
+"""
+
+
+def _synth_url():
+    """The Spark-side URL builder (JVM string concat, codegen)."""
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net"), F.lit("io")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    seg = lambda j: F.concat(  # noqa: E731
+        F.lit("/p"), ((F.col("doc_id") + F.lit(j)) % 10).cast("string")
+    )
+    path = F.concat(
+        seg(1),
+        F.when(F.col("doc_id") % 3 >= 1, seg(2)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 >= 2, seg(3)).otherwise(F.lit("")),
+        F.lit("/"),
+        F.element_at(F.split(F.col("text"), " "), 1),
+    )
+    return F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example."),
+        tld,
+        F.when(F.col("doc_id") % 7 == 0, F.lit(":8443")).otherwise(F.lit("")),
+        path,
+        F.when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit("?q="), F.col("lang"), F.lit("&ref=feed")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 3, F.lit("#s1")).otherwise(F.lit("")),
+    )
+
+
+@register(
+    "url_parse_provenance",
+    oracle=_URL_CTE
+    + """
+    SELECT doc_id,
+           source || '.example.' || tld AS host,
+           tld,
+           n_seg + 1 AS path_depth,
+           has_port,
+           has_fragment,
+           CASE WHEN has_query THEN lang ELSE NULL END AS q_param
+    FROM d
+    """,
+)
+def url_parse_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-URL provenance extraction, entirely JVM-side: the URL is
+    synthesized by codegen string concat from the synthesis contract,
+    then DECOMPOSED with Spark's ``parse_url`` (HOST, AUTHORITY for
+    the port check, QUERY key lookup, REF) plus a regexp TLD pull and
+    a path-depth split — the CommonCrawl metadata stage (domain/TLD
+    priors, tracking-param screens) with zero Python in the plan. The
+    oracle rebuilds every component from the contract columns, so a
+    parse_url semantics surprise (port leaking into HOST, fragment
+    kept in PATH, query decoding) is a hash break.
+
+    Scale posture: map-only whole-stage codegen; one scan, no
+    exchange, no Python worker round-trip at all."""
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .select("doc_id", "source", "lang", "text")
+        .where(F.length("text") > 0)
+    )
+    u = docs.select("doc_id", _synth_url().alias("url"))
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    authority = F.parse_url(F.col("url"), F.lit("AUTHORITY"))
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    return u.select(
+        "doc_id",
+        host.alias("host"),
+        F.regexp_extract(host, r"\.([a-z]+)$", 1).alias("tld"),
+        (F.size(F.split(path, "/")) - 1).cast("bigint").alias("path_depth"),
+        authority.contains(":").alias("has_port"),
+        F.parse_url(F.col("url"), F.lit("REF")).isNotNull().alias(
+            "has_fragment"
+        ),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("q")).alias(
+            "q_param"
+        ),
+    )
+
+
+@register(
+    "url_tld_rollup",
+    oracle=_URL_CTE
+    + """
+    SELECT tld,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_hosts,
+           CAST(SUM(CASE WHEN has_port THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_port,
+           CAST(SUM(CASE WHEN has_query THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_query,
+           CAST(SUM(n_seg + 1) AS BIGINT) AS depth_sum
+    FROM d GROUP BY tld
+    """,
+)
+def url_tld_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-TLD crawl rollup over the PARSED provenance (not the
+    contract): doc counts, distinct hosts, port/query shares, path
+    depth mass — the domain-prior table a curation mix keys on. Runs
+    downstream of url_parse_provenance's extraction so a parse bug
+    poisons this rollup too (and the oracle catches it).
+
+    Scale posture: codegen extraction then ONE hash-aggregate
+    exchange of 4 counters + a distinct-host set bounded by the
+    source count."""
+    parsed = url_parse_provenance(spark, sf_dir)
+    return parsed.groupBy("tld").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("host").cast("bigint").alias("n_hosts"),
+        F.sum(F.when(F.col("has_port"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_port"),
+        F.sum(F.when(F.col("q_param").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_query"),
+        F.sum("path_depth").cast("bigint").alias("depth_sum"),
+    )

@@ -3466,3 +3466,22 @@ def test_md_extract_family_plan_shapes(spark):
     assert shuffle_count(df) == 0, text[:1500]
     assert "MapInPandas" in text, text[:1500]
     assert shuffle_count(md_structure_by_source(spark, SF_SMOKE)) == 1
+
+
+def test_url_family_is_jvm_codegen_only(spark):
+    """URL provenance family (r15): synthesis AND parse_url extraction
+    must stay inside whole-stage codegen — zero Python stages in the
+    plan (no MapInPandas, no BatchEvalPython), map-only for the
+    per-doc query; the TLD rollup adds only its aggregate exchanges."""
+    from rs_streamloader_spark.operators.webtext import (
+        url_parse_provenance,
+        url_tld_rollup,
+    )
+
+    df = url_parse_provenance(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert shuffle_count(df) == 0, text[:1500]
+    assert "MapInPandas" not in text and "BatchEvalPython" not in text
+    # codegen'd operators print with the `*` star prefix
+    assert "*(1)" in text or "* Project" in text, text[:600]
+    assert shuffle_count(url_tld_rollup(spark, SF_SMOKE)) <= 2

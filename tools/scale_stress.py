@@ -390,6 +390,10 @@ HEAVY_TAIL = [
     # bounded by the fixed source set)
     "md_text_extract",
     "md_structure_by_source",
+    # r15: JVM-only URL provenance (per-doc rows — linear; TLD
+    # rollup bounded at 4 rows)
+    "url_parse_provenance",
+    "url_tld_rollup",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -730,6 +734,7 @@ CONSTANT_OUTPUT = {
     "html_structure_stats",
     "stream_maintenance_pin_replay",
     "md_structure_by_source",
+    "url_tld_rollup",
 }
 
 
