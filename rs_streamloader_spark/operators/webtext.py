@@ -608,3 +608,148 @@ def url_tld_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_with_query"),
         F.sum("path_depth").cast("bigint").alias("depth_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JSONL ingestion (JVM-only: from_json / get_json_object in codegen)
+# ---------------------------------------------------------------------------
+
+# synthesis contract for a document's JSONL record (all JVM concat):
+#   {"id":<doc_id>,"lang":"<lang>","tags":["t<doc_id%5>","t<(doc_id+1)%7>"],
+#    "meta":{"src":"<source>","q":<doc_id%100>}}
+# with docs doc_id % 13 == 5 CORRUPTED by a leading garbage prefix —
+# the whole-record parse failure a real JSONL feed contains — which
+# PERMISSIVE from_json surfaces as an all-NULL struct.
+_JSONL_CTE = """
+    WITH d AS (
+      SELECT doc_id, source, lang,
+             doc_id % 13 = 5 AS is_malformed,
+             CAST(doc_id % 100 AS BIGINT) AS q_val
+      FROM documents WHERE LENGTH(text) > 0
+    )
+"""
+
+_JSONL_SCHEMA = (
+    "id bigint, lang string, tags array<string>,"
+    " meta struct<src:string, q:bigint>"
+)
+
+
+def _synth_jsonl() -> Column:
+    js = F.concat(
+        F.lit('{"id":'),
+        F.col("doc_id").cast("string"),
+        F.lit(',"lang":"'),
+        F.col("lang"),
+        F.lit('","tags":["t'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('","t'),
+        ((F.col("doc_id") + 1) % 7).cast("string"),
+        F.lit('"],"meta":{"src":"'),
+        F.col("source"),
+        F.lit('","q":'),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit("}}"),
+    )
+    # corruption: leading garbage breaks the WHOLE record (probed:
+    # PERMISSIVE from_json yields all-NULL fields, get_json_object
+    # yields NULL — never a partial parse, unlike tail truncation)
+    return F.when(F.col("doc_id") % 13 == 5, F.concat(F.lit("CORRUPT"), js)).otherwise(js)
+
+
+@register(
+    "jsonl_ingest_extract",
+    oracle=_JSONL_CTE
+    + """
+    SELECT doc_id,
+           CASE WHEN is_malformed THEN NULL ELSE doc_id END AS parsed_id,
+           CASE WHEN is_malformed THEN NULL ELSE lang END AS parsed_lang,
+           CASE WHEN is_malformed THEN NULL
+                ELSE CAST(2 AS INTEGER) END AS n_tags,
+           CASE WHEN is_malformed THEN NULL ELSE q_val END AS q,
+           CASE WHEN is_malformed THEN NULL ELSE q_val END AS q_via_path,
+           is_malformed
+    FROM d
+    """,
+)
+def jsonl_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL record ingestion with malformed-record handling, entirely
+    JVM-side: records synthesized by codegen concat (a deterministic
+    1-in-13 slice carries leading garbage — the torn/garbled lines a
+    real feed contains), then parsed BOTH ways Spark offers —
+    ``from_json`` with an explicit schema (struct/array field pulls)
+    and ``get_json_object`` JSONPath — with malformedness detected as
+    the PERMISSIVE-mode all-NULL parse. The oracle predicts every
+    field from the contract, so a partial-parse surprise, a JSONPath
+    discrepancy between the two APIs, or a silently-swallowed corrupt
+    row is a hash break.
+
+    Scale posture: map-only codegen; no Python stage, no exchange."""
+    return _jsonl_parsed(spark, sf_dir).drop("source")
+
+
+def _jsonl_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared parse plan (source carried through so the audit
+    aggregates without a second scan or a doc_id join)."""
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .select("doc_id", "source", "lang", "text")
+        .where(F.length("text") > 0)
+    )
+    u = docs.select("doc_id", "source", _synth_jsonl().alias("js"))
+    p = F.from_json(F.col("js"), _JSONL_SCHEMA)
+    return u.select(
+        "doc_id",
+        "source",
+        p["id"].alias("parsed_id"),
+        p["lang"].alias("parsed_lang"),
+        F.when(p["id"].isNotNull(), F.size(p["tags"])).alias("n_tags"),
+        p["meta"]["q"].alias("q"),
+        F.get_json_object(F.col("js"), "$.meta.q")
+        .cast("bigint")
+        .alias("q_via_path"),
+        p["id"].isNull().alias("is_malformed"),
+    )
+
+
+@register(
+    "jsonl_corrupt_audit",
+    oracle=_JSONL_CTE
+    + """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN is_malformed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_malformed,
+           CAST((1000000 * SUM(CASE WHEN is_malformed THEN 1 ELSE 0 END))
+             // COUNT(*) AS BIGINT) AS malformed_ppm,
+           CAST(SUM(CASE WHEN is_malformed THEN 0 ELSE q_val END)
+                AS BIGINT) AS q_sum
+    FROM d GROUP BY source
+    """,
+)
+def jsonl_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source JSONL feed health: row/malformed counts, exact
+    integer-ppm corrupt rate, and the parsed-value mass — the ingest
+    dashboard row that decides whether a feed is quarantined. Runs
+    over the PARSED output (not the contract), so detection bugs
+    surface here too.
+
+    Scale posture: codegen parse then one hash-aggregate exchange of
+    3 counters with map-side combine."""
+    return (
+        _jsonl_parsed(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("is_malformed"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_malformed"),
+            F.expr(
+                "(1000000 * sum(CASE WHEN is_malformed THEN 1 ELSE 0 END))"
+                " DIV count(*)"
+            ).alias("malformed_ppm"),
+            F.sum(F.coalesce(F.col("q"), F.lit(0)))
+            .cast("bigint")
+            .alias("q_sum"),
+        )
+    )

@@ -3485,3 +3485,18 @@ def test_url_family_is_jvm_codegen_only(spark):
     # codegen'd operators print with the `*` star prefix
     assert "*(1)" in text or "* Project" in text, text[:600]
     assert shuffle_count(url_tld_rollup(spark, SF_SMOKE)) <= 2
+
+
+def test_jsonl_family_is_jvm_only(spark):
+    """JSONL ingestion (r15): from_json/get_json_object must stay
+    JVM-side — zero Python stages; per-doc extraction map-only."""
+    from rs_streamloader_spark.operators.webtext import (
+        jsonl_corrupt_audit,
+        jsonl_ingest_extract,
+    )
+
+    df = jsonl_ingest_extract(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert shuffle_count(df) == 0, text[:1500]
+    assert "MapInPandas" not in text and "BatchEvalPython" not in text
+    assert shuffle_count(jsonl_corrupt_audit(spark, SF_SMOKE)) == 1

@@ -394,6 +394,10 @@ HEAVY_TAIL = [
     # rollup bounded at 4 rows)
     "url_parse_provenance",
     "url_tld_rollup",
+    # r15: JVM-only JSONL ingest (per-doc rows — linear; audit
+    # bounded by the fixed source set)
+    "jsonl_ingest_extract",
+    "jsonl_corrupt_audit",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -735,6 +739,7 @@ CONSTANT_OUTPUT = {
     "stream_maintenance_pin_replay",
     "md_structure_by_source",
     "url_tld_rollup",
+    "jsonl_corrupt_audit",
 }
 
 
