@@ -753,3 +753,92 @@ def jsonl_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CSV ingestion (JVM-only: from_csv in codegen)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "csv_ingest_extract",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             STRING_SPLIT(text, ' ') AS ws,
+             CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                  AS BIGINT) AS n_words,
+             doc_id % 11 = 4 AS is_malformed,
+             doc_id % 9 = 7 AS is_short
+      FROM documents WHERE LENGTH(text) > 0
+    )
+    SELECT doc_id,
+           CASE WHEN is_malformed THEN NULL ELSE doc_id END AS parsed_id,
+           CASE WHEN n_words >= 2 THEN ws[1] || ',' || ws[2]
+                ELSE ws[1] END AS payload,
+           lang AS parsed_lang,
+           CASE WHEN is_short THEN NULL
+                ELSE CAST(doc_id % 100 AS BIGINT) END AS q,
+           is_malformed,
+           is_short
+    FROM d
+    """,
+)
+def csv_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV record ingestion with the quoting/malformed edge cases a
+    real feed contains, entirely JVM-side. The synthesized line is
+    ``id,"w1,w2",lang,q`` — the payload field is QUOTED and carries an
+    embedded delimiter, the classic naive-split breaker — with two
+    deterministic fault slices: doc_id%11==4 rows carry a non-numeric
+    id (PERMISSIVE type-failure → NULL id, other fields still parse —
+    probed behavior) and doc_id%9==7 rows drop the trailing column
+    (missing → NULL). ``from_csv`` decomposes the line against the
+    schema; the oracle rebuilds every field from the corpus, so a
+    quote-handling surprise, a column-shift on the short rows, or a
+    swallowed type failure is a hash break.
+
+    Scale posture: map-only whole-stage codegen; no Python stage, no
+    exchange."""
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .select("doc_id", "lang", "text")
+        .where(F.length("text") > 0)
+    )
+    words = F.split(F.col("text"), " ")
+    quoted = F.concat(
+        F.lit('"'),
+        F.element_at(words, 1),
+        F.when(
+            F.size(words) >= 2,
+            F.concat(F.lit(","), F.element_at(words, 2)),
+        ).otherwise(F.lit("")),
+        F.lit('"'),
+    )
+    id_field = F.when(
+        F.col("doc_id") % 11 == 4,
+        F.concat(F.lit("X"), F.col("doc_id").cast("string")),
+    ).otherwise(F.col("doc_id").cast("string"))
+    line = F.concat(
+        id_field,
+        F.lit(","),
+        quoted,
+        F.lit(","),
+        F.col("lang"),
+        F.when(
+            F.col("doc_id") % 9 != 7,
+            F.concat(F.lit(","), (F.col("doc_id") % 100).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    u = docs.select("doc_id", line.alias("line"))
+    p = F.from_csv(
+        F.col("line"), "id bigint, payload string, lang string, q bigint"
+    )
+    return u.select(
+        "doc_id",
+        p["id"].alias("parsed_id"),
+        p["payload"].alias("payload"),
+        p["lang"].alias("parsed_lang"),
+        p["q"].alias("q"),
+        p["id"].isNull().alias("is_malformed"),
+        p["q"].isNull().alias("is_short"),
+    )

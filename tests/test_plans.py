@@ -3500,3 +3500,13 @@ def test_jsonl_family_is_jvm_only(spark):
     assert shuffle_count(df) == 0, text[:1500]
     assert "MapInPandas" not in text and "BatchEvalPython" not in text
     assert shuffle_count(jsonl_corrupt_audit(spark, SF_SMOKE)) == 1
+
+
+def test_csv_ingest_is_jvm_only(spark):
+    """CSV ingestion (r15): from_csv stays JVM-side, map-only."""
+    from rs_streamloader_spark.operators.webtext import csv_ingest_extract
+
+    df = csv_ingest_extract(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert shuffle_count(df) == 0, text[:1500]
+    assert "MapInPandas" not in text and "BatchEvalPython" not in text

@@ -398,6 +398,7 @@ HEAVY_TAIL = [
     # bounded by the fixed source set)
     "jsonl_ingest_extract",
     "jsonl_corrupt_audit",
+    "csv_ingest_extract",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
