@@ -705,3 +705,88 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 t_closeness_audit.__doc__ = t_closeness_audit.__doc__.format(
     t=_TCLOSE_T_PPM / 1_000_000
 )
+
+
+# ---------------------------------------------------------------------------
+# dp_histogram_release — Laplace-noised count release (completes the
+# k-anonymity / l-diversity / t-closeness privacy battery with the
+# DP release mechanism itself)
+# ---------------------------------------------------------------------------
+
+
+def _dp_hexwalk_sql(n_hex: int = 4) -> str:
+    """STRPOS walk over the first hex chars of the seeded source key —
+    same-constant twin of the Spark conv() (weighted_sample_gumbel's
+    cross-engine uniform idiom, seeded 'dp|')."""
+    expr = "0"
+    for i in range(1, n_hex + 1):
+        expr = (
+            f"({expr} * 16 + STRPOS('0123456789abcdef',"
+            f" SUBSTR(MD5('dp|' || source), {i}, 1)) - 1)"
+        )
+    return expr
+
+
+@register(
+    "dp_histogram_release",
+    oracle=f"""
+    WITH h AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    u AS (
+      SELECT source, n_docs,
+             CAST({_dp_hexwalk_sql()} + 1 AS DOUBLE) / 65537.0 AS uni
+      FROM h
+    )
+    SELECT source, n_docs,
+           CAST(ROUND(
+             -SIGN(uni - 0.5) * LN(1.0 - 2.0 * ABS(uni - 0.5))
+             * 1000000000) AS BIGINT) AS noise_nano,
+           n_docs * 1000000000 + CAST(ROUND(
+             -SIGN(uni - 0.5) * LN(1.0 - 2.0 * ABS(uni - 0.5))
+             * 1000000000) AS BIGINT) AS released_nano
+    FROM u
+    """,
+)
+def dp_histogram_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private histogram release (ε=1, sensitivity 1
+    → Laplace(b=1)): the per-source doc-count histogram plus Laplace
+    noise drawn by inverse-CDF from a DETERMINISTIC md5-hash uniform
+    — noise = −sign(u−½)·ln(1−2|u−½|)·b — so the release is exactly
+    reproducible cross-engine (the audit property: a DP pipeline must
+    be able to replay its own noise from the seed). u = (hash16+1)/
+    65537 from 4 seeded hex chars is strictly inside (0,1) and never
+    exactly ½ (the numerator is an integer, 65537 odd), so the ln is
+    always finite; nano-unit rounding is the established double-
+    parity contract. n_docs sensitivity is 1 per doc (each doc has
+    one source), the textbook histogram-release setting.
+
+    Scale posture: one hash-aggregate over the fixed source set, then
+    per-group codegen arithmetic — the noise costs nothing at any
+    corpus size.
+
+    Reference surface: none (novel §2.5 privacy extension alongside
+    k_anonymity_audit / t_closeness_audit)."""
+    t = _S.load_tables(spark, sf_dir, "documents")["documents"]
+    h16 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dp|"), F.col("source"))), 1, 4),
+        16,
+        10,
+    ).cast("bigint")
+    uni = (h16 + 1).cast("double") / 65537.0
+    noise = F.round(
+        -F.signum(uni - 0.5)
+        * F.log(1.0 - 2.0 * F.abs(uni - 0.5))
+        * 1000000000
+    ).cast("bigint")
+    return (
+        t.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select(
+            "source",
+            "n_docs",
+            noise.alias("noise_nano"),
+            (F.col("n_docs") * 1000000000 + noise).alias("released_nano"),
+        )
+    )

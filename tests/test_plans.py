@@ -3510,3 +3510,15 @@ def test_csv_ingest_is_jvm_only(spark):
     text = explain_str(df, "simple")
     assert shuffle_count(df) == 0, text[:1500]
     assert "MapInPandas" not in text and "BatchEvalPython" not in text
+
+
+def test_dp_release_single_exchange(spark):
+    """dp_histogram_release (r15): one hash-aggregate over the fixed
+    source set; the noise arithmetic is per-group codegen."""
+    from rs_streamloader_spark.operators.stats.association import (
+        dp_histogram_release,
+    )
+
+    df = dp_histogram_release(spark, SF_SMOKE)
+    assert shuffle_count(df) == 1, explain_str(df, "simple")[:1200]
+    assert "BatchEvalPython" not in explain_str(df, "simple")

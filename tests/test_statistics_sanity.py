@@ -5193,3 +5193,45 @@ def test_blur_laplacian_matches_scipy_free_convolution(spark, monkeypatch):
         assert bool(row["is_sharp"]) is (e // cnt >= MM._BLUR_MEAN_MIN)
     # the constant doc is blurry, the alternating doc is sharp
     assert not bool(got[0]["is_sharp"]) and bool(got[8]["is_sharp"])
+
+
+def test_dp_release_noise_matches_definition(spark):
+    """dp_histogram_release pinned from the DEFINITION (not the
+    implementation's SQL): recompute the seeded md5 uniform and the
+    Laplace inverse-CDF −sign(u−½)·ln(1−2|u−½|) in pure Python per
+    source and require the exact nano-rounded noise — a sign slip, a
+    scale-b slip, or a hash-window slip is invisible to the
+    cross-engine oracle (both sides share the formula) but not to
+    this pin. Also checks the release identity and that the noise
+    actually varies across sources (non-vacuity)."""
+    import hashlib
+    import math
+
+    from rs_streamloader_spark.operators.stats.association import (
+        dp_histogram_release,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r["source"]: r
+        for r in dp_histogram_release(spark, SF_SMOKE).collect()
+    }
+    noises = set()
+    for source, row in rows.items():
+        h16 = int(
+            hashlib.md5(f"dp|{source}".encode()).hexdigest()[:4], 16
+        )
+        u = (h16 + 1) / 65537.0
+        noise = -math.copysign(1.0, u - 0.5) * math.log(
+            1.0 - 2.0 * abs(u - 0.5)
+        )
+        want = round(noise * 1e9)
+        assert row["noise_nano"] == want, (source, row["noise_nano"], want)
+        assert (
+            row["released_nano"]
+            == row["n_docs"] * 1_000_000_000 + row["noise_nano"]
+        )
+        noises.add(row["noise_nano"])
+    assert len(noises) > 1  # the seed genuinely varies by source
+    # both noise signs occur across 20 sources (u straddles 1/2)
+    assert any(n < 0 for n in noises) and any(n > 0 for n in noises)

@@ -399,6 +399,7 @@ HEAVY_TAIL = [
     "jsonl_ingest_extract",
     "jsonl_corrupt_audit",
     "csv_ingest_extract",
+    "dp_histogram_release",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -741,6 +742,7 @@ CONSTANT_OUTPUT = {
     "md_structure_by_source",
     "url_tld_rollup",
     "jsonl_corrupt_audit",
+    "dp_histogram_release",
 }
 
 
