@@ -842,3 +842,101 @@ def csv_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         p["id"].isNull().alias("is_malformed"),
         p["q"].isNull().alias("is_short"),
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt compliance screen (broadcast policy dim over parsed URLs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "robots_compliance_screen",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(SUBSTR(source, 4) AS BIGINT) AS src_k,
+             SUBSTR(STRING_SPLIT(text, ' ')[1], 1, 1) AS slug_head
+      FROM documents WHERE LENGTH(text) > 0
+    ),
+    flagged AS (
+      SELECT source,
+             src_k % 3 = 0 AND slug_head = CHR(97 + CAST(src_k % 26 AS INTEGER))
+               AS blocked
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocked,
+           CAST((1000000 * SUM(CASE WHEN blocked THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS blocked_ppm
+    FROM flagged GROUP BY source
+    """,
+)
+def robots_compliance_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-policy compliance: each host publishes a robots policy —
+    hosts with source index ≡ 0 (mod 3) disallow leaf paths starting
+    with the letter chr(97 + k%26) — and every fetched URL's LEAF
+    path segment (parsed with ``parse_url``/``split``, never the
+    contract columns) is checked against its host's rule via a
+    BROADCAST join of the tiny policy dim. Per-source rollup of blocked fetches in exact
+    integer ppm — the compliance dashboard a crawler operator pages
+    on. The oracle replays rule synthesis + matching declaratively.
+
+    Scale posture: the policy dim is O(hosts) and broadcasts
+    (plan-asserted); the fact side stays map-local until the final
+    counter aggregate — at 100 TB the join costs one hash probe per
+    URL, no fact shuffle."""
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .select("doc_id", "source", "lang", "text")
+        .where(F.length("text") > 0)
+    )
+    urls = docs.select(
+        "doc_id", "source", _synth_url().alias("url")
+    ).withColumn(
+        # the leaf path segment's first character, pulled from the
+        # PARSED URL (the last '/'-split element of PATH), never from
+        # the contract columns
+        "slug_head",
+        F.substring(
+            F.element_at(
+                F.split(F.parse_url(F.col("url"), F.lit("PATH")), "/"), -1
+            ),
+            1,
+            1,
+        ),
+    )
+    # the robots policy dim: one row per host, derived from the
+    # distinct source set (tiny) — disallow rule as described above
+    policy = (
+        docs.select("source")
+        .distinct()
+        .withColumn("src_k", F.substring("source", 4, 10).cast("bigint"))
+        .select(
+            "source",
+            F.when(
+                F.col("src_k") % 3 == 0,
+                F.expr("char(97 + src_k % 26)"),
+            ).alias("disallow_head"),
+        )
+    )
+    joined = urls.join(F.broadcast(policy), "source", "left")
+    return (
+        joined.withColumn(
+            "blocked",
+            F.col("disallow_head").isNotNull()
+            & (F.col("slug_head") == F.col("disallow_head")),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("blocked"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_blocked"),
+            F.expr(
+                "(1000000 * sum(CASE WHEN blocked THEN 1 ELSE 0 END))"
+                " DIV count(*)"
+            ).alias("blocked_ppm"),
+        )
+    )

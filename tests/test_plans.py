@@ -3522,3 +3522,15 @@ def test_dp_release_single_exchange(spark):
     df = dp_histogram_release(spark, SF_SMOKE)
     assert shuffle_count(df) == 1, explain_str(df, "simple")[:1200]
     assert "BatchEvalPython" not in explain_str(df, "simple")
+
+
+def test_robots_screen_broadcasts_policy_dim(spark):
+    """robots_compliance_screen (r15): the O(hosts) policy dim must
+    BROADCAST — a shuffled fact-side join here would move every URL
+    at 100 TB for a 20-row dim."""
+    from rs_streamloader_spark.operators.webtext import (
+        robots_compliance_screen,
+    )
+
+    df = robots_compliance_screen(spark, SF_SMOKE)
+    assert has_broadcast_join(df), explain_str(df, "simple")[:1200]

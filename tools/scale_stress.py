@@ -400,6 +400,7 @@ HEAVY_TAIL = [
     "jsonl_corrupt_audit",
     "csv_ingest_extract",
     "dp_histogram_release",
+    "robots_compliance_screen",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -743,6 +744,7 @@ CONSTANT_OUTPUT = {
     "url_tld_rollup",
     "jsonl_corrupt_audit",
     "dp_histogram_release",
+    "robots_compliance_screen",
 }
 
 
