@@ -940,3 +940,98 @@ def robots_compliance_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("blocked_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mixed-format router (the unified ingest front door)
+# ---------------------------------------------------------------------------
+
+
+def _route_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import json as _json
+
+    from rs_streamloader_spark.functions.markdown import extract_md, synth_md
+
+    for pdf in batches:
+        out = {
+            "doc_id": [],
+            "fmt": [],
+            "n_chars_extracted": [],
+            "text_md5": [],
+        }
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            i = int(doc_id)
+            r = i % 3
+            if r == 0:
+                payload = synth_html(i, text)
+            elif r == 1:
+                payload = synth_md(i, text)
+            else:
+                # corpus text is [a-z ]: no JSON escaping required
+                payload = _json.dumps({"id": i, "text": text})
+            # SNIFF the format from the payload itself — the router
+            # decision a real mixed feed makes; the oracle predicts it
+            # from the synthesis cadence, so a sniff bug is a mismatch
+            head = payload[:1]
+            if head == "<":
+                fmt = "html"
+                recovered = extract_html(payload).text
+            elif head == "{":
+                fmt = "json"
+                try:
+                    recovered = _json.loads(payload).get("text", "")
+                except ValueError:
+                    recovered = ""
+            else:
+                fmt = "md"
+                recovered = extract_md(payload).text
+            out["doc_id"].append(doc_id)
+            out["fmt"].append(fmt)
+            out["n_chars_extracted"].append(len(recovered))
+            out["text_md5"].append(
+                hashlib.md5(recovered.encode("utf-8")).hexdigest()
+            )
+        res = pd.DataFrame(out)
+        res["doc_id"] = res["doc_id"].astype("int64")
+        res["n_chars_extracted"] = res["n_chars_extracted"].astype("int64")
+        yield res
+
+
+@register(
+    "ingest_format_router",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'html'
+                           WHEN 1 THEN 'md'
+                           ELSE 'json' END AS fmt,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_extracted,
+           MD5(text) AS text_md5
+    FROM documents WHERE LENGTH(text) > 0
+    """,
+)
+def ingest_format_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unified ingest front door: a mixed feed where each record
+    is HTML, Markdown, or a JSON envelope (by synthesis cadence), and
+    the router must SNIFF the format from the payload bytes and
+    dispatch to the matching extractor — html.parser walk, the
+    CommonMark-subset walk, or a JSON field pull. Every branch must
+    recover the source text byte-exactly (md5 against the oracle) AND
+    tag the format the oracle independently predicts — a mis-sniff
+    sends a payload down the wrong extractor and breaks both columns
+    at once. This is the capstone over the r15 ingestion wave: one
+    operator exercising all three extraction paths in one pass.
+
+    Scale posture: map-only Arrow-batched pass; payloads never cross
+    an exchange; per-doc output is a tag + digest + counter."""
+    return (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .select("doc_id", "text")
+        .where(F.length("text") > 0)
+        .mapInPandas(
+            _route_extract,
+            schema=(
+                "doc_id bigint, fmt string, n_chars_extracted bigint,"
+                " text_md5 string"
+            ),
+        )
+    )

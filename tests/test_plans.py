@@ -3534,3 +3534,14 @@ def test_robots_screen_broadcasts_policy_dim(spark):
 
     df = robots_compliance_screen(spark, SF_SMOKE)
     assert has_broadcast_join(df), explain_str(df, "simple")[:1200]
+
+
+def test_format_router_is_map_only(spark):
+    """ingest_format_router (r15): one scan, one Arrow stage, zero
+    exchanges — mixed-format payloads never cross a shuffle."""
+    from rs_streamloader_spark.operators.webtext import ingest_format_router
+
+    df = ingest_format_router(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert shuffle_count(df) == 0, text[:1200]
+    assert "MapInPandas" in text

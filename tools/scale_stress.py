@@ -401,6 +401,7 @@ HEAVY_TAIL = [
     "csv_ingest_extract",
     "dp_histogram_release",
     "robots_compliance_screen",
+    "ingest_format_router",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
