@@ -1035,3 +1035,102 @@ def ingest_format_router(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# quarantine load flow (the reference's COPY error path on the native
+# sink: good rows load, bad rows land in an error table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "jsonl_quarantine_loadflow",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, doc_id % 13 = 5 AS is_malformed
+      FROM documents WHERE LENGTH(text) > 0
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN is_malformed THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_loaded,
+           CAST(SUM(CASE WHEN is_malformed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quarantined,
+           SUM(CASE WHEN is_malformed THEN 0 ELSE 1 END)
+             > 20 * SUM(CASE WHEN is_malformed THEN 1 ELSE 0 END)
+             AS within_error_budget
+    FROM d GROUP BY source
+    """,
+)
+def jsonl_quarantine_loadflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's COPY error path (MAXERROR budget +
+    stl_load_errors introspection, core.ts:40-48 / utils.ts:10)
+    re-expressed on the native sink as a QUARANTINE load flow: the
+    JSONL feed parses executor-side, well-formed rows UPSERT into the
+    main table through the full Loader path (staging → manifest →
+    keyed upsert) while malformed rows APPEND into a quarantine
+    table — then both tables are read BACK FROM DISK and rolled up
+    per source, with an error-budget verdict (loaded > 20× quarantined
+    ≈ MAXERROR ~5%). Every count therefore proves the end-to-end
+    write/commit/read path routed each row exactly once — a dropped
+    quarantine row, a double-landed batch, or a malformed row leaking
+    into the main table breaks the oracle.
+
+    Scale posture: the split is one predicate over the parsed stream
+    (computed once, both sinks consume it); each sink write is the
+    loader's bucketed O(batch) path; the rollup reads back fixed-width
+    columns only."""
+    import os
+    import shutil
+    import tempfile
+
+    from rs_streamloader_spark.loader import Loader
+    from rs_streamloader_spark.sinks.native import NativeTableSink
+
+    parsed = _jsonl_parsed(spark, sf_dir).select(
+        "doc_id", "source", "is_malformed"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "rs_sl_quarantine",
+        spark.sparkContext.applicationId,
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    main = NativeTableSink(
+        spark, os.path.join(base, "main"), num_buckets=8, bucket_by="doc_id"
+    )
+    quar = NativeTableSink(spark, os.path.join(base, "quarantine"))
+    loader = Loader(
+        spark,
+        options={
+            "table": "wh.jsonl_main",
+            "id_field": "doc_id",
+            "staging_format": "parquet",
+            "copy_settings": {"format": "PARQUET"},
+        },
+        sink=main,
+        staging_root=os.path.join(base, "stage_main"),
+    )
+    loader.add_source(parsed.where(~F.col("is_malformed")))
+    loader.upsert()
+    quar.insert(parsed.where(F.col("is_malformed")))
+
+    # the verdict reads the LANDED tables, never the in-memory split
+    loaded = main.read().groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_loaded")
+    )
+    quarantined = quar.read().groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_quarantined")
+    )
+    return (
+        loaded.join(quarantined, "source", "full_outer")
+        .select(
+            "source",
+            F.coalesce("n_loaded", F.lit(0)).alias("n_loaded"),
+            F.coalesce("n_quarantined", F.lit(0)).alias("n_quarantined"),
+        )
+        .withColumn(
+            "within_error_budget",
+            F.col("n_loaded") > 20 * F.col("n_quarantined"),
+        )
+    )

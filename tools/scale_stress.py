@@ -402,6 +402,7 @@ HEAVY_TAIL = [
     "dp_histogram_release",
     "robots_compliance_screen",
     "ingest_format_router",
+    "jsonl_quarantine_loadflow",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -746,6 +747,7 @@ CONSTANT_OUTPUT = {
     "jsonl_corrupt_audit",
     "dp_histogram_release",
     "robots_compliance_screen",
+    "jsonl_quarantine_loadflow",
 }
 
 
