@@ -1684,3 +1684,135 @@ def stream_maintenance_pin_replay(spark: SparkSession, sf_dir: str) -> DataFrame
 stream_maintenance_pin_replay.__doc__ = stream_maintenance_pin_replay.__doc__.format(
     n=_MAINT_SLICES
 )
+
+
+# ---------------------------------------------------------------------------
+# 20th replay: mixed-format ingest routing in-stream
+# ---------------------------------------------------------------------------
+
+_ROUTER_SLICES = 5
+
+
+def _router_replay_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(doc_id % {_ROUTER_SLICES} AS BIGINT) AS batch_seq,
+             CASE doc_id % 3 WHEN 0 THEN 'html'
+                             WHEN 1 THEN 'md'
+                             ELSE 'json' END AS fmt,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars
+      FROM documents WHERE LENGTH(text) > 0
+    )
+    SELECT batch_seq, fmt,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_recovered
+    FROM d GROUP BY batch_seq, fmt
+    """
+
+
+@register("stream_format_router_replay", oracle=_router_replay_oracle())
+def stream_format_router_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r15 mixed-format ingest front door IN-STREAM: a file
+    stream of document rows under ``maxFilesPerTrigger=1`` where each
+    micro-batch synthesizes its payloads, SNIFFS each record's format
+    and dispatches to the matching extractor (HTML walk / CommonMark
+    walk / JSON pull — operators/webtext._route_extract riding inside
+    ``foreachBatch``), then lands the per-batch-per-format admission
+    tally via ``insert_batch`` (batchId-keyed, so a replayed batch
+    lands exactly once). chars_recovered totals the byte-exact
+    extraction output, so a mis-sniff or extraction loss in ANY batch
+    breaks the per-batch rollup the oracle predicts.
+
+    Slices are the deterministic ``doc_id % {_ROUTER_SLICES}`` split
+    (batch tallies are order-independent, so the slice key needs no
+    time contiguity), mtime-ordered so FileStreamSource delivers one
+    slice per micro-batch.
+
+    Scale posture: per-batch work is O(batch) map-only parsing plus a
+    3-group tally; the landed table carries ≤ 3·{_ROUTER_SLICES}
+    fixed-width rows; no state store."""
+    from rs_streamloader_spark.operators.webtext import _route_extract
+    from rs_streamloader_spark.session import load_tables
+    from rs_streamloader_spark.sinks.native import NativeTableSink
+
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .select("doc_id", "text")
+        .where(F.length("text") > 0)
+        .withColumn(
+            "slc", F.expr(f"CAST(doc_id % {_ROUTER_SLICES} AS INT)")
+        )
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "rs_sl_replay",
+        spark.sparkContext.applicationId,
+        "fmt_router",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    import time as _time
+
+    in_path = os.path.join(base, "in")
+    base_mtime = _time.time() - _ROUTER_SLICES - 60
+    for i in range(_ROUTER_SLICES):
+        docs.filter(F.col("slc") == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_path)
+        for name in os.listdir(in_path):
+            full = os.path.join(in_path, name)
+            if os.path.getmtime(full) > base_mtime + i:
+                os.utime(full, (base_mtime + i, base_mtime + i))
+
+    sink = NativeTableSink(spark, os.path.join(base, "tallies"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_path)
+    )
+
+    def land_batch(bdf: DataFrame, bid: int) -> None:
+        routed = bdf.select("doc_id", "text").mapInPandas(
+            _route_extract,
+            schema=(
+                "doc_id bigint, fmt string, n_chars_extracted bigint,"
+                " text_md5 string"
+            ),
+        )
+        tally = (
+            routed.join(bdf.select("doc_id", "slc"), "doc_id")
+            .groupBy("slc", "fmt")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars_extracted")
+                .cast("bigint")
+                .alias("chars_recovered"),
+            )
+            .select(
+                F.col("slc").cast("bigint").alias("batch_seq"),
+                "fmt",
+                "n_docs",
+                "chars_recovered",
+            )
+        )
+        sink.insert_batch(tally, bid)
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS)
+    )
+    try:
+        q = (
+            stream.writeStream.foreachBatch(land_batch)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return sink.read().select(
+        "batch_seq", "fmt", "n_docs", "chars_recovered"
+    )

@@ -403,6 +403,7 @@ HEAVY_TAIL = [
     "robots_compliance_screen",
     "ingest_format_router",
     "jsonl_quarantine_loadflow",
+    "stream_format_router_replay",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -748,6 +749,7 @@ CONSTANT_OUTPUT = {
     "dp_histogram_release",
     "robots_compliance_screen",
     "jsonl_quarantine_loadflow",
+    "stream_format_router_replay",
 }
 
 
