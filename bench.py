@@ -200,6 +200,7 @@ def main() -> None:
         _shingles_cached,
     )
     from rs_streamloader_spark.operators.mining import _doc_bigrams_cached
+    from rs_streamloader_spark.operators.mining import _unigram_cached
     from rs_streamloader_spark.operators.webtext import (
         _html_metrics_cached,
         _md_metrics_cached,
@@ -222,6 +223,7 @@ def main() -> None:
         ("doc_bigrams", lambda: _doc_bigrams_cached(spark, SF_DIR)),
         ("html_metrics", lambda: _html_metrics_cached(spark, SF_DIR)),
         ("md_metrics", lambda: _md_metrics_cached(spark, SF_DIR)),
+        ("unigram_em_train", lambda: _unigram_cached(spark, SF_DIR)[0]),
         ("replay_events", lambda: _replay_events(spark, SF_DIR)),
     ]:
         try:

@@ -151,6 +151,17 @@ def stage_cached(spark: SparkSession, sf_dir: str, key: str, build):
         return df
 
 
+# external memo registries cleared alongside the stage cache: families
+# whose shared unit is not one cacheable DataFrame (e.g. the unigram
+# trainer's pair of checkpointed tables) register their dict here so
+# "cold per-operator timing" means cold for them too
+_EXTERNAL_STAGE_CACHES: list = []
+
+
+def register_stage_cache(d: dict) -> None:
+    _EXTERNAL_STAGE_CACHES.append(d)
+
+
 def clear_stage_cache(unpersist: bool = True) -> None:
     """Drop every memoized stage (optionally unpersisting) — used by
     bench runs that need cold per-operator timings."""
@@ -162,6 +173,8 @@ def clear_stage_cache(unpersist: bool = True) -> None:
                     df.unpersist()
                 except Exception:
                     pass
+        for d in _EXTERNAL_STAGE_CACHES:
+            d.clear()
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):

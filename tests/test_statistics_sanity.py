@@ -5235,3 +5235,98 @@ def test_dp_release_noise_matches_definition(spark):
     assert len(noises) > 1  # the seed genuinely varies by source
     # both noise signs occur across 20 sources (u straddles 1/2)
     assert any(n < 0 for n in noises) and any(n > 0 for n in noises)
+
+
+def test_unigram_em_matches_pure_python_definition(spark):
+    """The whole unigram-LM Viterbi-EM training loop recomputed in
+    pure Python FROM THE CONTRACT (seed rule, smoothing, micro-log
+    scores, complete-segmentation argmax with the (fewer-pieces,
+    lexicographic) tie-break, recount, rescore) — both engine
+    implementations share the SQL/DataFrame formulation, so a
+    formulation-level slip (wrong tie order, off-by-one substring,
+    smoothing drift) would be oracle-green and only this pin sees it."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from rs_streamloader_spark.operators.mining import (
+        _UNI_EM_STEPS,
+        _UNI_MAX_PLEN,
+        _UNI_TOPK_MULTI,
+        _unigram_cached,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = pq.read_table(
+        SF_SMOKE + "/documents.parquet", columns=["text"]
+    ).to_pandas()
+    wc = Counter()
+    for t in docs.text:
+        if t:
+            wc.update(t.split(" "))
+
+    # seed vocab
+    sub = Counter()
+    for w, c in wc.items():
+        for p in range(len(w)):
+            for l in range(1, min(_UNI_MAX_PLEN, len(w) - p) + 1):
+                sub[w[p : p + l]] += c
+    singles = {s for s in sub if len(s) == 1}
+    multis = sorted(
+        (s for s in sub if len(s) >= 2), key=lambda s: (-sub[s], s)
+    )[:_UNI_TOPK_MULTI]
+    vocab = {s: sub[s] for s in singles | set(multis)}
+
+    def rescore(cnts):
+        tot = float(sum(c + 1 for c in cnts.values()))
+        return {
+            s: round(math.log((c + 1) / tot) * 1e6)
+            for s, c in cnts.items()
+        }
+
+    def segs(w):
+        if not w:
+            return [()]
+        out = []
+        for l in range(1, min(_UNI_MAX_PLEN, len(w)) + 1):
+            if w[:l] in vocab:
+                for rest in segs(w[l:]):
+                    out.append((w[:l],) + rest)
+        return out
+
+    scores = rescore(vocab)
+    best = {}
+    for _ in range(_UNI_EM_STEPS):
+        best = {
+            w: min(
+                segs(w),
+                key=lambda sg: (
+                    -sum(scores[p] for p in sg),
+                    len(sg),
+                    "|".join(sg),
+                ),
+            )
+            for w in wc
+        }
+        cnts = {s: 0 for s in vocab}
+        for w, sg in best.items():
+            for p in sg:
+                cnts[p] += wc[w]
+        scores = rescore(cnts)
+        final_cnts = cnts
+
+    got_vocab, got_fert = _unigram_cached(spark, SF_SMOKE)
+    gv = {r["piece"]: (r["cnt"], r["score"]) for r in got_vocab.collect()}
+    assert set(gv) == set(vocab)
+    for s in vocab:
+        assert gv[s] == (final_cnts[s], scores[s]), (s, gv[s])
+    gf = {
+        r["word"]: (r["word_cnt"], r["n_pieces"], r["seg"])
+        for r in got_fert.collect()
+    }
+    assert set(gf) == set(wc)
+    for w in wc:
+        assert gf[w] == (wc[w], len(best[w]), "|".join(best[w])), (w, gf[w])
+    # non-vacuity: the trainer actually learned multi-char pieces
+    assert any(len(p) > 1 and c > 0 for p, (c, _s) in gv.items())

@@ -404,6 +404,9 @@ HEAVY_TAIL = [
     "ingest_format_router",
     "jsonl_quarantine_loadflow",
     "stream_format_router_replay",
+    # r15: unigram-LM EM trainer (fixed vocab/word tables)
+    "unigram_lm_em_vocab",
+    "unigram_lm_fertility",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -750,6 +753,8 @@ CONSTANT_OUTPUT = {
     "robots_compliance_screen",
     "jsonl_quarantine_loadflow",
     "stream_format_router_replay",
+    "unigram_lm_em_vocab",
+    "unigram_lm_fertility",
 }
 
 
