@@ -176,3 +176,40 @@ def test_round_trip_random_shapes():
             text = " ".join(f"w{i}x" for i in range(n))
             ex = extract_html(synth_html(doc_id, text))
             assert ex.text == text, (doc_id, n)
+
+
+# ---------------------------------------------------------------------------
+# property-based round-trip + crash-safety (hypothesis)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    _words = st.lists(
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=9),
+        min_size=1,
+        max_size=60,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(doc_id=st.integers(min_value=0, max_value=10**9), words=_words)
+    def test_html_round_trip_property(doc_id, words):
+        """Byte-exact recovery for ARBITRARY word lists and doc_ids —
+        every paragraph/link/entity/heading cadence combination, not
+        just the shipped corpus."""
+        text = " ".join(words)
+        assert extract_html(synth_html(doc_id, text)).text == text
+
+    @settings(max_examples=150, deadline=None)
+    @given(payload=st.text(max_size=300))
+    def test_extractor_never_raises_on_garbage(payload):
+        """The tokenizer walk must survive arbitrary text input (the
+        browser error-recovery posture) — no exception, ever."""
+        extract_html(payload)

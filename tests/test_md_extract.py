@@ -107,3 +107,37 @@ def test_empty_fence_counts_block_not_words():
     res = extract_md("```\n```")
     assert res.n_code_blocks == 1 and res.n_code_words == 0
     assert res.text == ""
+
+
+# ---------------------------------------------------------------------------
+# property-based round-trip + crash-safety (hypothesis)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    _words = st.lists(
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=9),
+        min_size=1,
+        max_size=60,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(doc_id=st.integers(min_value=0, max_value=10**9), words=_words)
+    def test_md_round_trip_property(doc_id, words):
+        """Byte-exact recovery for ARBITRARY word lists/doc_ids —
+        every block-kind/inline-marker/fence cadence combination."""
+        text = " ".join(words)
+        assert extract_md(synth_md(doc_id, text)).text == text
+
+    @settings(max_examples=150, deadline=None)
+    @given(payload=st.text(max_size=300))
+    def test_md_extractor_never_raises_on_garbage(payload):
+        extract_md(payload)
