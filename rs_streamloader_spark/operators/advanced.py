@@ -2026,3 +2026,92 @@ def native_store_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("q_v2") != F.col("q_v1")).alias("changed"),
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# native_store_manifest_interop — the open-manifest export consumed back
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "native_store_manifest_interop",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS q_sum
+    FROM documents WHERE LENGTH(text) > 0
+    GROUP BY source
+    """,
+)
+def native_store_manifest_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r15 open-manifest interop surface as an oracle-checked
+    catalog row (sinks/native.py export_manifest/read_manifest;
+    pytest proves DuckDB can consume the same manifest): a quality
+    table lands via the full Loader path into a bucketed native
+    store, ``export_manifest()`` snapshots the committed version as a
+    plain JSON file listing, and the result is computed from the
+    MANIFEST-mediated read — not from the sink's own resolution — so
+    the file listing, the schema record, and the snapshot semantics
+    are all load-bearing for the hash. This is the hand-off a
+    non-Spark downstream (DuckDB dashboards, pandas notebooks, Trino)
+    uses to read the exact committed state of a 100 TB native table.
+
+    Scale posture: manifest size is O(files), built from the same
+    driver-side listing every commit already performs; the read plan
+    is identical to the sink's own (same parquet paths).
+
+    Reference surface: the manifest-mediated hand-off mirrors the
+    reference's staged-manifest COPY contract (staging manifest with
+    mandatory entries, utils.ts:151-162) pointed at readers instead
+    of Redshift."""
+    import os
+    import shutil
+    import tempfile
+
+    from rs_streamloader_spark.loader import Loader
+    from rs_streamloader_spark.sinks.native import (
+        NativeTableSink,
+        read_manifest,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].where(
+        F.length("text") > 0
+    )
+    rows = docs.select(
+        "doc_id", "source", F.length("text").cast("bigint").alias("q")
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "rs_sl_manifest",
+        spark.sparkContext.applicationId,
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    sink = NativeTableSink(
+        spark,
+        os.path.join(base, "quality_store"),
+        num_buckets=16,
+        bucket_by="doc_id",
+    )
+    loader = Loader(
+        spark,
+        options={
+            "table": "wh.quality_store",
+            "id_field": "doc_id",
+            "staging_format": "parquet",
+            "copy_settings": {"format": "PARQUET"},
+        },
+        sink=sink,
+        staging_root=os.path.join(base, "stage"),
+    )
+    loader.add_source(rows)
+    loader.upsert()
+    manifest = sink.export_manifest()
+    return (
+        read_manifest(spark, manifest)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("q").cast("bigint").alias("q_sum"),
+        )
+    )

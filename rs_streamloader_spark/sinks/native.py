@@ -584,6 +584,73 @@ class NativeTableSink:
             " no data paths and the table carries no spec schema"
         )
 
+    def export_manifest(self, version: int | None = None) -> str:
+        """Write an OPEN manifest for the committed state — the
+        interop half of the lake contract (SURVEY §7: Delta/Iceberg
+        are unavailable in-container; semantics live in this sink, so
+        interop is a FILE LISTING problem). The manifest is a plain
+        JSON document under ``{root}/_manifest/`` naming the table
+        version, the Spark schema (JSON form), and every parquet data
+        file the version resolves to — enough for ANY parquet-capable
+        engine (DuckDB, Trino, pandas) to read the exact committed
+        snapshot with no knowledge of the version-directory protocol
+        (tests/test_manifest_export.py consumes one from DuckDB and
+        checks row parity). Conceptually the single-commit analogue
+        of a Delta _delta_log entry or an Iceberg manifest list.
+
+        A manifest is a SNAPSHOT of physical paths: it stays valid
+        exactly as long as those files live — export under a
+        ``snapshot()`` pin (and renew it) to hold them; after release
+        + vacuum an old manifest may name reclaimed files, the same
+        lifetime rule external Delta readers live by. Returns the
+        manifest file path."""
+        live = self._live()
+        n = (
+            version
+            if version is not None
+            else (live[0] if live is not None else 0)
+        )
+        paths = self._resolved_paths_at(n)
+        files: list[dict] = []
+        for p in paths:
+            fs, jp, _ = self._fs(p)
+            for status in fs.listStatus(jp):
+                fname = status.getPath().getName()
+                if status.isDirectory() or not fname.endswith(".parquet"):
+                    continue
+                files.append(
+                    {"path": f"{p}/{fname}", "bytes": status.getLen()}
+                )
+        schema_json = self._spec_schema_json
+        if schema_json is None and paths:
+            schema_json = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*paths)
+                .schema.json()
+            )
+        payload = json.dumps(
+            {
+                "format": "rs-streamloader-native-manifest/1",
+                "table_root": self.root,
+                "version": n,
+                "bucketed": self.bucketed,
+                "schema": schema_json,
+                "files": sorted(files, key=lambda f: f["path"]),
+            },
+            indent=1,
+            sort_keys=True,
+        )
+        out = f"{self.root}/_manifest/v{n}_{uuid.uuid4().hex[:8]}.json"
+        fs, jdir, _ = self._fs(f"{self.root}/_manifest")
+        fs.mkdirs(jdir)
+        fs2, jout, _ = self._fs(out)
+        stream = fs2.create(jout, True)
+        try:
+            stream.write(bytearray(payload.encode("utf-8")))
+        finally:
+            stream.close()
+        return out
+
     def _renew_pin(self, name: str) -> None:
         """Touch the pin marker's mtime (TTL heartbeat). Prefer an
         in-place ``setTimes``; fall back to rewriting the (empty)
@@ -1187,3 +1254,27 @@ class NativeTableSink:
             self._write_delta(merged, live[0] + 1, touched, versions=versions)
         finally:
             upd_b.unpersist()
+
+
+def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
+    """Consume an exported manifest from Spark: read exactly the
+    listed parquet files (mergeSchema for evolved snapshots). The
+    engine-agnostic twin is trivial — any reader that can open JSON
+    and parquet implements this in ten lines, which is the point."""
+    from rs_streamloader_spark.staging import _fs_and_path
+
+    fs, jp, jvm = _fs_and_path(spark, manifest_path)
+    stream = fs.open(jp)
+    try:
+        raw = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    m = json.loads(bytes(raw).decode("utf-8"))
+    files = [f["path"] for f in m["files"]]
+    if not files:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(m["schema"]))
+        )
+    return spark.read.option("mergeSchema", "true").parquet(*files)

@@ -407,6 +407,7 @@ HEAVY_TAIL = [
     # r15: unigram-LM EM trainer (fixed vocab/word tables)
     "unigram_lm_em_vocab",
     "unigram_lm_fertility",
+    "native_store_manifest_interop",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -755,6 +756,7 @@ CONSTANT_OUTPUT = {
     "stream_format_router_replay",
     "unigram_lm_em_vocab",
     "unigram_lm_fertility",
+    "native_store_manifest_interop",
 }
 
 
