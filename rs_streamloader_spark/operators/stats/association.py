@@ -790,3 +790,90 @@ def dp_histogram_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs") * 1000000000 + noise).alias("released_nano"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# benford_first_digit_audit — synthetic/fabricated-data screen
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "benford_first_digit_audit",
+    oracle="""
+    WITH v AS (
+      SELECT SUBSTR(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS d
+      FROM lineitem WHERE l_extendedprice > 0
+    ),
+    obs AS (
+      SELECT CAST(d AS BIGINT) AS digit, CAST(COUNT(*) AS BIGINT) AS n
+      FROM v GROUP BY d
+    ),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM obs),
+    g AS (
+      SELECT CAST(UNNEST(RANGE(1, 10)) AS BIGINT) AS digit
+    )
+    SELECT g.digit,
+           CAST(COALESCE(obs.n, 0) AS BIGINT) AS n,
+           CAST(ROUND((LN(1e0 + 1e0 / g.digit) / LN(1e1))
+                      * 1000000000) AS BIGINT) AS benford_p_nano,
+           CAST(ROUND(
+             (CAST(COALESCE(obs.n, 0) AS DOUBLE)
+              - (SELECT t FROM tot) * (LN(1e0 + 1e0 / g.digit) / LN(1e1)))
+             * (CAST(COALESCE(obs.n, 0) AS DOUBLE)
+              - (SELECT t FROM tot) * (LN(1e0 + 1e0 / g.digit) / LN(1e1)))
+             / ((SELECT t FROM tot) * (LN(1e0 + 1e0 / g.digit) / LN(1e1)))
+             * 1000000) AS BIGINT) AS chi2_term_micro
+    FROM g LEFT JOIN obs ON obs.digit = g.digit
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over line-item prices — the
+    classic fabricated/synthetic-data screen (naturally-occurring
+    multiplicative amounts follow P(d) = log10(1 + 1/d); generated or
+    tampered columns don't, and THIS corpus's uniform synthetic
+    prices rightly light the audit up). First digits are extracted
+    arithmetically-exactly (integer cents → decimal string → first
+    char, identical cross-engine — never float log10 on the value),
+    and the per-digit χ² terms against the Benford expectation are
+    micro-unit integers over the shared double expression
+    LN(1+1/d)/LN(10).
+
+    Scale posture: one map-side-combined 9-group aggregate; the
+    Benford grid is a fixed 9-row densify.
+
+    Reference surface: none (novel §2.5 data-quality extension)."""
+    li = _S.load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    obs = (
+        li.where(F.col("l_extendedprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("bigint")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    grid = spark.range(1, 10).select(F.col("id").alias("digit"))
+    tot = obs.agg(F.sum("n").cast("double").alias("t"))
+    p = F.log(1e0 + 1e0 / F.col("digit")) / F.log(F.lit(1e1))
+    exp = F.col("t") * p
+    n_d = F.coalesce(F.col("n"), F.lit(0)).cast("double")
+    return (
+        grid.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.round(p * 1000000000).cast("bigint").alias("benford_p_nano"),
+            F.round((n_d - exp) * (n_d - exp) / exp * 1000000)
+            .cast("bigint")
+            .alias("chi2_term_micro"),
+        )
+    )

@@ -5330,3 +5330,43 @@ def test_unigram_em_matches_pure_python_definition(spark):
         assert gf[w] == (wc[w], len(best[w]), "|".join(best[w])), (w, gf[w])
     # non-vacuity: the trainer actually learned multi-char pieces
     assert any(len(p) > 1 and c > 0 for p, (c, _s) in gv.items())
+
+
+def test_benford_audit_matches_numpy(spark):
+    """Benford audit pinned from the definition: exact first-digit
+    histogram + χ² terms recomputed with numpy over the raw parquet
+    column (both engine sides share the SQL formulation; the pin does
+    not)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from rs_streamloader_spark.operators.stats.association import (
+        benford_first_digit_audit,
+    )
+    from tests.conftest import SF_SMOKE
+
+    prices = pq.read_table(
+        SF_SMOKE + "/lineitem.parquet", columns=["l_extendedprice"]
+    ).to_pandas()["l_extendedprice"]
+    digits = [
+        int(str(int(round(p * 100)))[0]) for p in prices if p > 0
+    ]
+    n_tot = float(len(digits))
+    got = {
+        r["digit"]: r
+        for r in benford_first_digit_audit(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(range(1, 10))
+    for d in range(1, 10):
+        n_d = digits.count(d)
+        p_b = math.log(1 + 1 / d) / math.log(10)
+        exp = n_tot * p_b
+        assert got[d]["n"] == n_d, d
+        assert got[d]["benford_p_nano"] == round(p_b * 1e9)
+        assert got[d]["chi2_term_micro"] == round(
+            (n_d - exp) ** 2 / exp * 1e6
+        ), d
+    # non-vacuity: the synthetic uniform prices genuinely violate
+    # Benford (at least one digit's χ² term is enormous)
+    assert max(r["chi2_term_micro"] for r in got.values()) > 10_000_000

@@ -408,6 +408,7 @@ HEAVY_TAIL = [
     "unigram_lm_em_vocab",
     "unigram_lm_fertility",
     "native_store_manifest_interop",
+    "benford_first_digit_audit",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -757,6 +758,7 @@ CONSTANT_OUTPUT = {
     "unigram_lm_em_vocab",
     "unigram_lm_fertility",
     "native_store_manifest_interop",
+    "benford_first_digit_audit",
 }
 
 
