@@ -805,7 +805,7 @@ def dp_histogram_release(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS VARCHAR), 1, 1) AS d
       FROM lineitem WHERE l_extendedprice > 0
     ),
-    obs AS (
+    obs AS MATERIALIZED (
       SELECT CAST(d AS BIGINT) AS digit, CAST(COUNT(*) AS BIGINT) AS n
       FROM v GROUP BY d
     ),
@@ -860,14 +860,20 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+    from pyspark.sql.window import Window as W
+
     grid = spark.range(1, 10).select(F.col("id").alias("digit"))
-    tot = obs.agg(F.sum("n").cast("double").alias("t"))
     p = F.log(1e0 + 1e0 / F.col("digit")) / F.log(F.lit(1e1))
-    exp = F.col("t") * p
     n_d = F.coalesce(F.col("n"), F.lit(0)).cast("double")
+    # the grand total comes from an unpartitioned window over the
+    # 9-row densified grid — ONE lineitem scan; a second obs.agg()
+    # branch made Spark re-aggregate the fact table and the k=100
+    # stress flipped a shuffle on it (AQE stopped reusing the
+    # exchange at scale)
+    t = F.sum(n_d).over(W.partitionBy())
+    exp = t * p
     return (
         grid.join(obs, "digit", "left")
-        .crossJoin(F.broadcast(tot))
         .select(
             "digit",
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
