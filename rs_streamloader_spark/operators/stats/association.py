@@ -872,8 +872,11 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange at scale)
     t = F.sum(n_d).over(W.partitionBy())
     exp = t * p
+    # obs is structurally <= 9 rows (grouped by first digit) but its
+    # pre-AQE size ESTIMATE scales with the fact scan, so the planner
+    # dropped the broadcast at the k=100 stress — pin it explicitly
     return (
-        grid.join(obs, "digit", "left")
+        grid.join(F.broadcast(obs), "digit", "left")
         .select(
             "digit",
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
