@@ -154,6 +154,24 @@ def _version_of(name: str) -> tuple[int, str] | None:
     return None
 
 
+def _list_status_safe(fs, jpath):
+    """``fs.listStatus`` that treats a concurrently-deleted directory
+    as empty. Every resolver walk (committed versions, bucket dirs,
+    append subdirs) can race a writer's prune of SHADOWED copies —
+    newest-wins resolution never needs the vanishing dirs, but the
+    walk still touches them, and the exists()-then-list window let a
+    ``FileNotFoundException`` escape (caught live by the snapshot
+    thread-race test once snapshot() started freezing its path set).
+    Deleted-mid-walk ≡ already-pruned, so empty is the correct
+    answer; any other error still raises."""
+    try:
+        return fs.listStatus(jpath)
+    except Exception as exc:  # py4j wraps the java IOException
+        if "FileNotFoundException" in str(exc):
+            return []
+        raise
+
+
 def _locked(method):
     """Run a mutating sink method under the table writer lock."""
     import functools
@@ -423,7 +441,7 @@ class NativeTableSink:
         if not fs.exists(root):
             return []
         out = []
-        for status in fs.listStatus(root):
+        for status in _list_status_safe(fs, root):
             if not status.isDirectory():
                 continue
             name = status.getPath().getName()
@@ -436,7 +454,7 @@ class NativeTableSink:
             if not committed:
                 # tables created by insert()/insert_batch() carry the
                 # marker inside their first write subdir
-                for sub in fs.listStatus(status.getPath()):
+                for sub in _list_status_safe(fs, status.getPath()):
                     if sub.isDirectory():
                         fs3, s3, _ = self._fs(
                             f"{vdir}/{sub.getPath().getName()}/_SUCCESS"
@@ -463,7 +481,7 @@ class NativeTableSink:
         fs2, success, _ = self._fs(f"{vdir}/_SUCCESS")
         if fs2.exists(success):
             paths.append(vdir)
-        for status in fs.listStatus(jpath):
+        for status in _list_status_safe(fs, jpath):
             if status.isDirectory():
                 sub = status.getPath().getName()
                 fs3, s3, _ = self._fs(f"{vdir}/{sub}/_SUCCESS")
@@ -492,7 +510,7 @@ class NativeTableSink:
             return None
         floor = None
         now = time.time()
-        for status in fs.listStatus(jdir):
+        for status in _list_status_safe(fs, jdir):
             m = _PIN_RE.match(status.getPath().getName())
             if m is None:
                 continue
@@ -614,7 +632,7 @@ class NativeTableSink:
         files: list[dict] = []
         for p in paths:
             fs, jp, _ = self._fs(p)
-            for status in fs.listStatus(jp):
+            for status in _list_status_safe(fs, jp):
                 fname = status.getPath().getName()
                 if status.isDirectory() or not fname.endswith(".parquet"):
                     continue
@@ -772,7 +790,7 @@ class NativeTableSink:
         out = {}
         if not fs.exists(jpath):
             return out
-        for status in fs.listStatus(jpath):
+        for status in _list_status_safe(fs, jpath):
             if status.isDirectory():
                 name = status.getPath().getName()
                 if name.startswith(BUCKET_COL + "="):
