@@ -845,6 +845,219 @@ def csv_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# XML ingestion (JVM-only: Spark 4's native from_xml + the xpath_*
+# battery in codegen — the sixth and last raw format)
+# ---------------------------------------------------------------------------
+
+# synthesis contract for a document's XML record (all JVM concat):
+#   <doc id="<doc_id>"><lang><lang></lang>
+#     <tags><t>t<doc_id%7></t> [... 1 + doc_id%3 <t> children total,
+#           values t<(doc_id+j)%7>]</tags>
+#     <meta src="<source>" q="<doc_id%100>"/>
+#     <slug>w1&amp;w2</slug>          (w1/w2 = first two words; just w1
+#                                      when the doc has a single word)
+#     <mark>&#<97+doc_id%26>;</mark>  (numeric charref → a letter)
+#   </doc>
+# with docs doc_id % 17 == 9 TRUNCATED after '<tags>' (unclosed
+# element — probed: from_xml PERMISSIVE yields the all-NULL struct;
+# xpath_* THROWS on malformed input, so every xpath pull is gated
+# behind a lazily-evaluated CASE WHEN).
+_XML_CTE = """
+    WITH d AS (
+      SELECT doc_id, source, lang,
+             STRING_SPLIT(text, ' ') AS ws,
+             CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                  AS BIGINT) AS n_words,
+             doc_id % 17 = 9 AS is_malformed,
+             CAST(doc_id % 100 AS BIGINT) AS q_val,
+             CAST(1 + doc_id % 3 AS BIGINT) AS n_t
+      FROM documents WHERE LENGTH(text) > 0
+    )
+"""
+
+_XML_SCHEMA = (
+    "_id bigint, lang string, tags struct<t:array<string>>,"
+    " meta struct<_src:string, _q:bigint>, slug string, mark string"
+)
+
+
+def _synth_xml() -> Column:
+    """The Spark-side XML record builder (JVM string concat, codegen)."""
+    words = F.split(F.col("text"), " ")
+    slug = F.concat(
+        F.element_at(words, 1),
+        F.when(
+            F.size(words) >= 2,
+            F.concat(F.lit("&amp;"), F.element_at(words, 2)),
+        ).otherwise(F.lit("")),
+    )
+    t = lambda j: F.concat(  # noqa: E731
+        F.lit("<t>t"),
+        ((F.col("doc_id") + F.lit(j)) % 7).cast("string"),
+        F.lit("</t>"),
+    )
+    head = F.concat(
+        F.lit('<doc id="'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><lang>'),
+        F.col("lang"),
+        F.lit("</lang><tags>"),
+    )
+    rest = F.concat(
+        t(0),
+        F.when(F.col("doc_id") % 3 >= 1, t(1)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 >= 2, t(2)).otherwise(F.lit("")),
+        F.lit('</tags><meta src="'),
+        F.col("source"),
+        F.lit('" q="'),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit('"/><slug>'),
+        slug,
+        F.lit("</slug><mark>&#"),
+        (F.col("doc_id") % 26 + 97).cast("string"),
+        F.lit(";</mark></doc>"),
+    )
+    # truncation fault slice: the torn record a real XML feed contains
+    return F.when(F.col("doc_id") % 17 == 9, head).otherwise(
+        F.concat(head, rest)
+    )
+
+
+def _xml_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared parse plan (source carried through for the rollup)."""
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .select("doc_id", "source", "lang", "text")
+        .where(F.length("text") > 0)
+    )
+    u = docs.select("doc_id", "source", _synth_xml().alias("x"))
+    p = F.from_xml(F.col("x"), _XML_SCHEMA)
+    return u.select(
+        "doc_id",
+        "source",
+        "x",
+        p["_id"].alias("parsed_id"),
+        p["lang"].alias("parsed_lang"),
+        F.when(p["_id"].isNotNull(), F.size(p["tags"]["t"])).alias("n_tags"),
+        p["meta"]["_q"].alias("q"),
+        # the OTHER XML API: XPath attribute pull — gated behind the
+        # parse verdict because xpath_* throws on malformed input
+        # (CASE WHEN branches evaluate lazily per row in codegen)
+        F.when(
+            p["_id"].isNotNull(),
+            F.expr("xpath_long(x, '/doc/meta/@q')"),
+        ).alias("q_via_xpath"),
+        p["slug"].alias("slug_decoded"),
+        p["mark"].alias("mark_char"),
+        p["_id"].isNull().alias("is_malformed"),
+    )
+
+
+@register(
+    "xml_ingest_extract",
+    oracle=_XML_CTE
+    + """
+    SELECT doc_id,
+           CASE WHEN is_malformed THEN NULL ELSE doc_id END AS parsed_id,
+           CASE WHEN is_malformed THEN NULL ELSE lang END AS parsed_lang,
+           CASE WHEN is_malformed THEN NULL
+                ELSE CAST(n_t AS INTEGER) END AS n_tags,
+           CASE WHEN is_malformed THEN NULL ELSE q_val END AS q,
+           CASE WHEN is_malformed THEN NULL ELSE q_val END AS q_via_xpath,
+           CASE WHEN is_malformed THEN NULL
+                WHEN n_words >= 2 THEN ws[1] || '&' || ws[2]
+                ELSE ws[1] END AS slug_decoded,
+           CASE WHEN is_malformed THEN NULL
+                ELSE CHR(97 + CAST(doc_id % 26 AS INTEGER)) END AS mark_char,
+           is_malformed
+    FROM d
+    """,
+)
+def xml_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML record ingestion with malformed-record handling, entirely
+    JVM-side: records synthesized by codegen concat (a deterministic
+    1-in-17 slice is TRUNCATED mid-element — the torn record a real
+    feed contains), then parsed BOTH ways Spark offers — the native
+    ``from_xml`` with an explicit schema (root/nested attributes via
+    the ``_`` prefix, repeated ``<t>`` children into an array field)
+    and the ``xpath_long`` attribute pull, the latter gated behind the
+    parse verdict because xpath THROWS on malformed XML (probed). The
+    entity contract is pinned twice per doc: ``&amp;`` inside the slug
+    and a per-doc numeric charref ``&#97+k;`` whose decoded letter the
+    oracle re-derives — an undecoded entity, a partial-parse surprise,
+    or a swallowed torn record is a hash break.
+
+    Scale posture: map-only whole-stage codegen; no Python stage, no
+    exchange."""
+    return _xml_parsed(spark, sf_dir).drop("source", "x")
+
+
+@register(
+    "xml_xpath_structure",
+    oracle=_XML_CTE
+    + """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN is_malformed THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_wellformed,
+           CAST(SUM(CASE WHEN is_malformed THEN 0 ELSE n_t END) AS BIGINT)
+             AS total_t_tags,
+           CAST(SUM(CASE WHEN is_malformed THEN 0 ELSE q_val END) AS BIGINT)
+             AS q_sum,
+           CAST(SUM(CASE WHEN is_malformed THEN 0
+                         WHEN n_words >= 2
+                           THEN LENGTH(ws[1]) + 1 + LENGTH(ws[2])
+                         ELSE LENGTH(ws[1]) END) AS BIGINT) AS slug_chars
+    FROM d GROUP BY source
+    """,
+)
+def xml_xpath_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source XML feed rollup computed through the XPATH battery
+    (the API the from_xml query doesn't lean on): repeated-element
+    counts via ``count(/doc/tags/t)``, the attribute mass via
+    ``xpath_long``, and the DECODED slug byte mass via
+    ``xpath_string`` — each gated by a cheap structural well-formedness
+    prefilter (``endswith '</doc>'``, the sniff a real router runs
+    before spending a parse; the torn slice is exactly the complement,
+    so the gate itself is oracle-checked via n_wellformed). An XPath
+    miscount, an entity left undecoded, or a gate slip breaks the hash.
+
+    Scale posture: codegen extraction then ONE hash-aggregate exchange
+    of 4 counters into the fixed source grid with map-side combine."""
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .select("doc_id", "source", "lang", "text")
+        .where(F.length("text") > 0)
+    )
+    u = docs.select("doc_id", "source", _synth_xml().alias("x"))
+    wf = F.col("x").endswith("</doc>")
+    gated = lambda e: F.when(wf, F.expr(e))  # noqa: E731
+    return (
+        u.select(
+            "source",
+            wf.alias("wf"),
+            gated("xpath_long(x, 'count(/doc/tags/t)')").alias("nt"),
+            gated("xpath_long(x, '/doc/meta/@q')").alias("qv"),
+            gated("length(xpath_string(x, '/doc/slug'))").alias("sl"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("wf"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_wellformed"),
+            F.sum(F.coalesce("nt", F.lit(0))).cast("bigint").alias(
+                "total_t_tags"
+            ),
+            F.sum(F.coalesce("qv", F.lit(0))).cast("bigint").alias("q_sum"),
+            F.sum(F.coalesce("sl", F.lit(0)))
+            .cast("bigint")
+            .alias("slug_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # robots.txt compliance screen (broadcast policy dim over parsed URLs)
 # ---------------------------------------------------------------------------
 

@@ -3512,6 +3512,22 @@ def test_csv_ingest_is_jvm_only(spark):
     assert "MapInPandas" not in text and "BatchEvalPython" not in text
 
 
+def test_xml_family_is_jvm_only(spark):
+    """XML ingestion (r15): from_xml + the xpath battery must stay
+    JVM-side — zero Python stages; per-doc extraction map-only; the
+    xpath rollup adds only its aggregate exchange."""
+    from rs_streamloader_spark.operators.webtext import (
+        xml_ingest_extract,
+        xml_xpath_structure,
+    )
+
+    df = xml_ingest_extract(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert shuffle_count(df) == 0, text[:1500]
+    assert "MapInPandas" not in text and "BatchEvalPython" not in text
+    assert shuffle_count(xml_xpath_structure(spark, SF_SMOKE)) == 1
+
+
 def test_dp_release_single_exchange(spark):
     """dp_histogram_release (r15): one hash-aggregate over the fixed
     source set; the noise arithmetic is per-group codegen."""

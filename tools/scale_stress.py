@@ -409,6 +409,10 @@ HEAVY_TAIL = [
     "unigram_lm_fertility",
     "native_store_manifest_interop",
     "benford_first_digit_audit",
+    # r15: JVM-only XML ingest (per-doc rows — linear; the xpath
+    # rollup bounded by the fixed source set)
+    "xml_ingest_extract",
+    "xml_xpath_structure",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -759,6 +763,7 @@ CONSTANT_OUTPUT = {
     "unigram_lm_fertility",
     "native_store_manifest_interop",
     "benford_first_digit_audit",
+    "xml_xpath_structure",
 }
 
 
