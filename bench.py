@@ -201,6 +201,7 @@ def main() -> None:
     )
     from rs_streamloader_spark.operators.mining import _doc_bigrams_cached
     from rs_streamloader_spark.operators.mining import _unigram_cached
+    from rs_streamloader_spark.operators.mining import _wp_merges_cached
     from rs_streamloader_spark.operators.webtext import (
         _html_metrics_cached,
         _md_metrics_cached,
@@ -224,6 +225,12 @@ def main() -> None:
         ("html_metrics", lambda: _html_metrics_cached(spark, SF_DIR)),
         ("md_metrics", lambda: _md_metrics_cached(spark, SF_DIR)),
         ("unigram_em_train", lambda: _unigram_cached(spark, SF_DIR)[0]),
+        # the WordPiece trainer memo is a driver-side list; wrap it in
+        # a 1-row frame so the shared noop-write path times it
+        (
+            "wordpiece_train",
+            lambda: spark.range(len(_wp_merges_cached(spark, SF_DIR)) or 1),
+        ),
         ("replay_events", lambda: _replay_events(spark, SF_DIR)),
     ]:
         try:

@@ -2425,6 +2425,337 @@ def _bpe_pair_counts(wdf: DataFrame, sep: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# WordPiece trainer LOOP: likelihood-scored merges with ## continuation
+# prefixes — the third tokenizer-trainer family (BPE picks max pair
+# COUNT; WordPiece picks max count(ab)/(count(a)*count(b)))
+# ---------------------------------------------------------------------------
+
+_WP_TRAIN_STEPS = 6
+# 12-digit fixed-point likelihood score: the argmax compares
+#   floor(pair_count * 10^12 / (left_count * right_count))
+# as an EXACT integer on both engines (DECIMAL(38,0) in Spark,
+# HUGEINT in DuckDB) — no float enters the training loop, so the
+# selection is bit-deterministic cross-engine; ties break
+# lexicographically on (left, right).
+_WP_SCORE_SCALE = 1_000_000_000_000
+
+
+def _wp_wrap() -> Column:
+    """Initial WordPiece representation of a vocab word: first char
+    plain, every subsequent char as a ``##``-prefixed continuation
+    symbol, each symbol ␟-wrapped (the BPE REPLACE-merge trick)."""
+    sep = _BPE_SEP
+    return F.concat(
+        F.lit(sep),
+        F.substring("tok", 1, 1),
+        F.lit(sep),
+        F.regexp_replace(
+            F.expr("substring(tok, 2)"), "(.)", f"{sep}##$1{sep}"
+        ),
+    )
+
+
+def _wp_merge_symbol(left: str, right: str) -> str:
+    """WordPiece merged symbol: the right side is never word-initial,
+    so it always carries the ``##`` prefix, which the merge absorbs
+    into the left side's prefix (a + ##b = ab, ##a + ##b = ##ab)."""
+    assert right.startswith("##"), right
+    return left + right[2:]
+
+
+def _wp_train_merges(spark: SparkSession, sf_dir: str) -> list:
+    """Run the K-step WordPiece trainer and return the merge rows
+    (step, left, right, merged, pair_count, score_scaled) — shared by
+    ``wordpiece_trained_merges`` and ``wordpiece_trained_fertility``
+    through the trainer memo."""
+    sep = _BPE_SEP
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    wc = (
+        _tokens(docs)
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wrapped = wc.select(_wp_wrap().alias("w"), "cnt").cache()
+    try:
+        merges: list[tuple] = []
+        cur = wrapped
+        for step in range(1, _WP_TRAIN_STEPS + 1):
+            syms = cur.select(
+                F.split(F.trim(F.col("w"), F.lit(sep)), sep + sep).alias(
+                    "syms"
+                ),
+                "cnt",
+            )
+            uni = (
+                syms.select(F.explode("syms").alias("s"), "cnt")
+                .groupBy("s")
+                .agg(F.sum("cnt").alias("ucnt"))
+            )
+            pairs = _bpe_pair_counts(cur, sep)
+            top = (
+                pairs.join(
+                    F.broadcast(
+                        uni.select(
+                            F.col("s").alias("left_sym"),
+                            F.col("ucnt").alias("lcnt"),
+                        )
+                    ),
+                    "left_sym",
+                )
+                .join(
+                    F.broadcast(
+                        uni.select(
+                            F.col("s").alias("right_sym"),
+                            F.col("ucnt").alias("rcnt"),
+                        )
+                    ),
+                    "right_sym",
+                )
+                .withColumn(
+                    "score_scaled",
+                    F.expr(
+                        f"CAST(pair_count AS DECIMAL(38,0))"
+                        f" * {_WP_SCORE_SCALE}"
+                        " DIV (CAST(lcnt AS DECIMAL(38,0)) * rcnt)"
+                    ),
+                )
+                .orderBy(
+                    F.col("score_scaled").desc(), "left_sym", "right_sym"
+                )
+                .limit(1)
+                .collect()
+            )
+            if not top:  # vocabulary ran out of pairs before step K
+                break
+            left, right = top[0]["left_sym"], top[0]["right_sym"]
+            merged = _wp_merge_symbol(left, right)
+            merges.append(
+                (
+                    step,
+                    left,
+                    right,
+                    merged,
+                    top[0]["pair_count"],
+                    top[0]["score_scaled"],
+                )
+            )
+            cur = cur.select(
+                F.replace(
+                    F.col("w"),
+                    F.lit(f"{sep}{left}{sep}{sep}{right}{sep}"),
+                    F.lit(f"{sep}{merged}{sep}"),
+                ).alias("w"),
+                "cnt",
+            )
+        return merges
+    finally:
+        wrapped.unpersist()
+
+
+_WP_CACHE: dict = {}
+
+from rs_streamloader_spark.session import register_stage_cache as _rsc_wp  # noqa: E402
+
+_rsc_wp(_WP_CACHE)  # clear_stage_cache() must reset the trainer memo too
+
+
+def _wp_merges_cached(spark: SparkSession, sf_dir: str) -> list:
+    """Memoized merge list per (application, sf_dir): both registered
+    queries replay the same trained table, so a catalog sweep trains
+    once (the _UNI_CACHE precedent — the unit is a driver-side list,
+    not a cacheable plan)."""
+    k = (spark.sparkContext.applicationId, sf_dir, "wp")
+    if k not in _WP_CACHE:
+        _WP_CACHE[k] = _wp_train_merges(spark, sf_dir)
+    return _WP_CACHE[k]
+
+
+def _wp_oracle_chain(carry_tok: bool) -> str:
+    """Unrolled K-step trainer CTE chain (the bpe_trained precedent —
+    unrolled because each step's argmax aggregates the whole working
+    vocabulary): step i splits representation w{i-1}, counts weighted
+    unigram symbols AND adjacent pairs, scores every pair with the
+    exact fixed-point likelihood, picks one (score DESC, then
+    lexicographic), and applies it via the ␟-REPLACE. MATERIALIZED
+    per-step frames keep DuckDB from re-deriving the chain per
+    reference (the unigram-trainer lesson)."""
+    sep = "CHR(31)"
+    tok_col = "tok, " if carry_tok else ""
+    sql = [
+        f"""
+    WITH wc AS MATERIALIZED (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ({_TOKENS_SQL}) WHERE tok <> '' GROUP BY tok
+    ),
+    w0 AS (
+      SELECT {tok_col}{sep} || SUBSTR(tok, 1, 1) || {sep} ||
+             REGEXP_REPLACE(SUBSTR(tok, 2), '(.)',
+                            {sep} || '##\\1' || {sep}, 'g') AS w,
+             cnt
+      FROM wc
+    )"""
+    ]
+    for i in range(1, _WP_TRAIN_STEPS + 1):
+        sql.append(
+            f""",
+    s{i} AS MATERIALIZED (
+      SELECT STR_SPLIT(TRIM(w, {sep}), {sep} || {sep}) AS syms, cnt
+      FROM w{i - 1}
+    ),
+    u{i} AS MATERIALIZED (
+      SELECT s, CAST(SUM(cnt) AS BIGINT) AS ucnt
+      FROM (SELECT UNNEST(syms) AS s, cnt FROM s{i}) GROUP BY s
+    ),
+    p{i} AS (
+      SELECT list_extract(syms, j) AS left_sym,
+             list_extract(syms, j + 1) AS right_sym,
+             CAST(SUM(cnt) AS BIGINT) AS pair_count
+      FROM s{i}, UNNEST(RANGE(1, LEN(syms))) AS t(j)
+      GROUP BY 1, 2
+    ),
+    b{i} AS (
+      SELECT left_sym, right_sym,
+             left_sym || SUBSTR(right_sym, 3) AS merged,
+             pair_count,
+             CAST(CAST(pair_count AS HUGEINT) * {_WP_SCORE_SCALE}
+                  // (CAST(ul.ucnt AS HUGEINT) * ur.ucnt)
+                  AS BIGINT) AS score_scaled
+      FROM p{i}
+      JOIN u{i} ul ON ul.s = p{i}.left_sym
+      JOIN u{i} ur ON ur.s = p{i}.right_sym
+      ORDER BY score_scaled DESC, left_sym, right_sym LIMIT 1
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT {tok_col}REPLACE(w, {sep} || b.left_sym || {sep} || {sep}
+                        || b.right_sym || {sep},
+                     {sep} || b.merged || {sep}) AS w, cnt
+      FROM w{i - 1}, b{i} b
+    )"""
+        )
+    return "".join(sql)
+
+
+def _wp_trained_oracle() -> str:
+    union = "\n      UNION ALL\n".join(
+        f"      SELECT CAST({i} AS INTEGER) AS step, left_sym, right_sym,"
+        f" merged, pair_count, score_scaled FROM b{i}"
+        for i in range(1, _WP_TRAIN_STEPS + 1)
+    )
+    return _wp_oracle_chain(carry_tok=False) + "\n" + union
+
+
+@register("wordpiece_trained_merges", oracle=_wp_trained_oracle())
+def wordpiece_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WordPiece TRAINING LOOP — K = {_WP_TRAIN_STEPS} merge
+    iterations with the LIKELIHOOD selection rule that distinguishes
+    WordPiece (Schuster & Nakajima 2012 / BERT) from BPE: each step
+    scores every adjacent symbol pair by count(ab) / (count(a) ·
+    count(b)) — the language-model likelihood gain of the merge — and
+    merges the top-scoring pair, carrying real ``##`` continuation
+    prefixes (a + ##b = ab, ##a + ##b = ##ab). Rare-but-exclusive
+    pairs beat frequent-but-promiscuous ones, which is exactly the
+    behavioral difference from ``bpe_trained_merges`` on the same
+    corpus (asserted in tests/test_statistics_sanity.py).
+
+    No float enters the loop: the score is the exact integer
+    floor(pair·10^12 / (left·right)) — DECIMAL(38,0) in Spark,
+    HUGEINT in DuckDB — so the argmax is bit-deterministic
+    cross-engine; ties break lexicographically.
+
+    Scale posture: the bpe_trained posture — K bounded driver
+    iterations, each O(vocab): one symbol explode feeds BOTH the
+    unigram and the pair aggregates, the two unigram lookups ride
+    broadcast joins (vocab-symbol-bounded), and the only driver-side
+    data is the ONE-ROW argmax per step. The corpus-sized work (word
+    count) happens exactly once.
+
+    Reference surface: none (novel extension, SURVEY.md §2.5 text
+    family)."""
+    return spark.createDataFrame(
+        _wp_merges_cached(spark, sf_dir),
+        "step int, left_sym string, right_sym string, merged string,"
+        " pair_count bigint, score_scaled bigint",
+    )
+
+
+def _wp_fertility_oracle() -> str:
+    k = _WP_TRAIN_STEPS
+    return (
+        _wp_oracle_chain(carry_tok=True)
+        + f""",
+    syms_f AS (
+      SELECT tok,
+             LEN(STR_SPLIT(TRIM(w, CHR(31)), CHR(31) || CHR(31))) AS ns
+      FROM w{k}
+    ),
+    st AS (
+      SELECT source, tok, COUNT(*) AS cnt FROM (
+        SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> '' GROUP BY 1, 2
+    )
+    SELECT st.source,
+           CAST(SUM(st.cnt) AS BIGINT) AS n_words,
+           CAST(SUM(st.cnt * syms_f.ns) AS BIGINT) AS n_symbols,
+           ROUND(CAST(SUM(st.cnt * syms_f.ns) AS DOUBLE) / SUM(st.cnt), 6)
+             AS fertility
+    FROM st JOIN syms_f ON syms_f.tok = st.tok
+    GROUP BY st.source"""
+    )
+
+
+@register("wordpiece_trained_fertility", oracle=_wp_fertility_oracle())
+def wordpiece_trained_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source fertility under the trained WordPiece vocabulary —
+    the same readout as ``bpe_trained_fertility`` but under the
+    likelihood-selected merges, so the two tables side-by-side show
+    what the selection rule buys per provenance feed (WordPiece
+    spends its merge budget on exclusive pairs; BPE on frequent
+    ones). Re-applies all K trained merges to the wrapped vocabulary
+    (chained literal REPLACEs — same greedy semantics) and joins
+    symbol counts back to per-source word occurrences.
+
+    Scale posture: the trainer memo means a catalog sweep trains
+    once; this query then adds ONE (source, token) corpus aggregate
+    joined to the vocab-sized symbol-count table."""
+    sep = _BPE_SEP
+    merges = _wp_merges_cached(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    wc = (
+        _tokens(docs)
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = _wp_wrap()
+    for _step, left, right, merged, _cnt, _score in merges:
+        w = F.replace(
+            w,
+            F.lit(f"{sep}{left}{sep}{sep}{right}{sep}"),
+            F.lit(f"{sep}{merged}{sep}"),
+        )
+    syms = wc.select(
+        "tok",
+        F.size(F.split(F.trim(w, F.lit(sep)), sep + sep)).alias("ns"),
+    )
+    st = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return st.join(syms, "tok").groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_words"),
+        F.sum(F.expr("cnt * ns")).cast("bigint").alias("n_symbols"),
+        F.round(
+            F.sum(F.expr("cnt * ns")).cast("double") / F.sum("cnt"), 6
+        ).alias("fertility"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Co-purchase graph connected components (category discovery)
 # ---------------------------------------------------------------------------
 

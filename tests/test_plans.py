@@ -1578,6 +1578,73 @@ def test_bpe_training_iteration_vocab_sized_and_combinable(spark):
     assert "TakeOrderedAndProject" in text, text
 
 
+def test_wordpiece_iteration_broadcast_unigrams_take_ordered(spark):
+    """The WordPiece loop's per-iteration argmax plan: the two
+    unigram-count lookups (vocab-symbol-bounded) must ride BROADCAST
+    joins — a shuffled join here would exchange the pair table twice
+    per training step — and the 1-row argmax must be
+    TakeOrderedAndProject, with no float in the scoring expression
+    (the DECIMAL(38,0) fixed-point contract)."""
+    from pyspark.sql import functions as F
+
+    from rs_streamloader_spark.operators.mining import (
+        _BPE_SEP,
+        _WP_SCORE_SCALE,
+        _bpe_pair_counts,
+        _t,
+        _tokens,
+        _wp_wrap,
+    )
+
+    docs = _t(spark, SF_SMOKE, "documents")["documents"]
+    wc = (
+        _tokens(docs)
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wrapped = wc.select(_wp_wrap().alias("w"), "cnt")
+    syms = wrapped.select(
+        F.split(F.trim(F.col("w"), F.lit(_BPE_SEP)), _BPE_SEP * 2).alias(
+            "syms"
+        ),
+        "cnt",
+    )
+    uni = (
+        syms.select(F.explode("syms").alias("s"), "cnt")
+        .groupBy("s")
+        .agg(F.sum("cnt").alias("ucnt"))
+    )
+    top = (
+        _bpe_pair_counts(wrapped, _BPE_SEP)
+        .join(
+            F.broadcast(
+                uni.select(F.col("s").alias("left_sym"), F.col("ucnt").alias("lcnt"))
+            ),
+            "left_sym",
+        )
+        .join(
+            F.broadcast(
+                uni.select(F.col("s").alias("right_sym"), F.col("ucnt").alias("rcnt"))
+            ),
+            "right_sym",
+        )
+        .withColumn(
+            "score_scaled",
+            F.expr(
+                f"CAST(pair_count AS DECIMAL(38,0)) * {_WP_SCORE_SCALE}"
+                " DIV (CAST(lcnt AS DECIMAL(38,0)) * rcnt)"
+            ),
+        )
+        .orderBy(F.col("score_scaled").desc(), "left_sym", "right_sym")
+        .limit(1)
+    )
+    text = explain_str(top, "simple")
+    assert text.count("BroadcastHashJoin") >= 2, text[:2000]
+    assert "SortMergeJoin" not in text, text[:2000]
+    assert "TakeOrderedAndProject" in text, text[:800]
+
+
 def test_interval_union_single_user_shuffle(spark):
     from rs_streamloader_spark.operators.analytic import merge_user_intervals
 

@@ -4945,6 +4945,155 @@ def test_bpe_trained_fertility_matches_hand_apply(spark, monkeypatch):
         assert got[src]["fertility"] < sum(map(len, words)) / len(words)
 
 
+def _hand_wordpiece(texts: list[str], k: int):
+    """From-scratch WordPiece trainer: ##-prefixed continuation
+    symbols, EXACT Fraction likelihood argmax (count(ab) /
+    (count(a)·count(b))), lexicographic tie-break, greedy leftmost
+    non-overlapping application. Returns (merge_rows, final_vocab)
+    where merge_rows mirror the operator's output tuple shape. Exact
+    fractions (not the operator's 10^12 fixed point) make this a
+    strictly stronger vote: a fixed-point collision that flipped a
+    selection would fail the pin."""
+    from collections import Counter
+    from fractions import Fraction
+
+    wc = Counter(w for t in texts for w in t.split(" ") if w != "")
+    vocab: dict[tuple, int] = {}
+    for w, c in wc.items():
+        syms = (w[0],) + tuple("##" + ch for ch in w[1:])
+        vocab[syms] = vocab.get(syms, 0) + c
+    rows = []
+    for step in range(1, k + 1):
+        pc: Counter = Counter()
+        uc: Counter = Counter()
+        for syms, c in vocab.items():
+            for s in syms:
+                uc[s] += c
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (a, b), cnt = min(
+            pc.items(),
+            key=lambda kv: (
+                -Fraction(kv[1], uc[kv[0][0]] * uc[kv[0][1]]),
+                kv[0][0],
+                kv[0][1],
+            ),
+        )
+        merged = a + b[2:]
+        rows.append(
+            (step, a, b, merged, cnt, cnt * 10**12 // (uc[a] * uc[b]))
+        )
+        nv: Counter = Counter()
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] += c
+        vocab = dict(nv)
+    return rows, vocab
+
+
+def test_wordpiece_trained_merges_match_hand_run_trainer(spark, monkeypatch):
+    """The K-step WordPiece loop pinned against a from-scratch
+    hand-run trainer using EXACT Fraction likelihood scores — a third
+    vote independent of the Spark fixed-point plan and the oracle's
+    unrolled CTE chain. The corpus is engineered so (a) the first pick
+    is a RARE-but-exclusive pair a count-argmax (BPE) would never take
+    first, (b) a later merge CONSUMES an earlier merged symbol, and
+    (c) a ##+## merge exercises prefix absorption."""
+    import rs_streamloader_spark.operators.mining as M
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "qz qz qzy",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(M, "_t", lambda _s, _d, *names: {"documents": sdf})
+
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["merged"],
+         r["pair_count"], r["score_scaled"])
+        for r in sorted(
+            M.wordpiece_trained_merges(spark, "x_wp_merges").collect(),
+            key=lambda r: r["step"],
+        )
+    ]
+    exp, _ = _hand_wordpiece(texts, M._WP_TRAIN_STEPS)
+    assert got == exp
+
+    # (b) some merge consumes a previously-merged multi-char symbol
+    assert any(
+        len(l.lstrip("#")) > 1 or len(r.lstrip("#")) > 1
+        for _, l, r, _, _, _ in got
+    )
+    # (c) a continuation+continuation merge kept its ## prefix
+    assert any(m.startswith("##") for _, _, _, m, _, _ in got)
+
+    # the SELECTION RULE genuinely diverges from BPE on this corpus:
+    # BPE's count-argmax opens elsewhere than WordPiece's
+    # likelihood-argmax (surface pair, prefixes stripped)
+    bpe = M._bpe_train_merges(spark, "x_wp_merges_bpe")
+    assert (got[0][1].lstrip("#"), got[0][2].lstrip("#")) != (
+        bpe[0][1],
+        bpe[0][2],
+    )
+
+
+def test_wordpiece_trained_fertility_matches_hand_apply(spark, monkeypatch):
+    import rs_streamloader_spark.operators.mining as M
+
+    texts = [
+        ("w1", "low low low lower lowest qz"),
+        ("w2", "new newer newest low qz qzy"),
+    ]
+    pdf = pd.DataFrame(texts, columns=["source", "text"])
+    pdf["doc_id"] = range(len(pdf))
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(M, "_t", lambda _s, _d, *names: {"documents": sdf})
+
+    got = {
+        r["source"]: r
+        for r in M.wordpiece_trained_fertility(spark, "x_wp_fert").collect()
+    }
+
+    rows, _ = _hand_wordpiece([t for _s, t in texts], M._WP_TRAIN_STEPS)
+    merges = [(l, r, m) for _st, l, r, m, _c, _sc in rows]
+
+    def apply_all(word: str) -> int:
+        syms = [word[0]] + ["##" + ch for ch in word[1:]]
+        for a, b, m in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    for src in ("w1", "w2"):
+        words = [w for s, t in texts if s == src for w in t.split(" ") if w]
+        nsym = sum(apply_all(w) for w in words)
+        assert got[src]["n_words"] == len(words)
+        assert got[src]["n_symbols"] == nsym
+        assert got[src]["fertility"] == pytest.approx(
+            nsym / len(words), abs=1e-6
+        )
+        # the trained merges genuinely compress
+        assert got[src]["fertility"] < sum(map(len, words)) / len(words)
+
+
 def test_wave_b_burstiness_decimate_lumahist_match_bruteforce(spark, monkeypatch):
     import rs_streamloader_spark.operators.multimodal as MM
     import rs_streamloader_spark.operators.text as T

@@ -413,6 +413,9 @@ HEAVY_TAIL = [
     # rollup bounded by the fixed source set)
     "xml_ingest_extract",
     "xml_xpath_structure",
+    # r15: WordPiece trainer (K vocab-bounded iterations; fertility
+    # is the corpus-facing member — the bpe_trained precedent)
+    "wordpiece_trained_fertility",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -764,6 +767,9 @@ CONSTANT_OUTPUT = {
     "native_store_manifest_interop",
     "benford_first_digit_audit",
     "xml_xpath_structure",
+    # K-row merge table / per-source fertility — both fixed-size
+    "wordpiece_trained_merges",
+    "wordpiece_trained_fertility",
 }
 
 
