@@ -205,6 +205,7 @@ def main() -> None:
     from rs_streamloader_spark.operators.webtext import (
         _html_metrics_cached,
         _md_metrics_cached,
+        _warc_metrics_cached,
     )
     from rs_streamloader_spark.operators.similarity import (
         _emb_norm_cached,
@@ -224,6 +225,7 @@ def main() -> None:
         ("doc_bigrams", lambda: _doc_bigrams_cached(spark, SF_DIR)),
         ("html_metrics", lambda: _html_metrics_cached(spark, SF_DIR)),
         ("md_metrics", lambda: _md_metrics_cached(spark, SF_DIR)),
+        ("warc_metrics", lambda: _warc_metrics_cached(spark, SF_DIR)),
         ("unigram_em_train", lambda: _unigram_cached(spark, SF_DIR)[0]),
         # the WordPiece trainer memo is a driver-side list; wrap it in
         # a 1-row frame so the shared noop-write path times it

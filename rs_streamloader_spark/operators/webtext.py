@@ -1347,3 +1347,296 @@ def jsonl_quarantine_loadflow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_loaded") > 20 * F.col("n_quarantined"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC/1.0 capture ingestion (functions/warc.py — the seventh raw
+# format and the one a pretraining corpus PHYSICALLY arrives in:
+# Common Crawl ships WARC. Text recovery traverses three layers —
+# WARC framing -> HTTP message -> HTML markup — so one slipped byte
+# at any layer breaks the md5 gate.)
+# ---------------------------------------------------------------------------
+
+_WARC_SCHEMA = (
+    "doc_id bigint, source string, n_records bigint, warc_bytes bigint,"
+    " req_content_length bigint, resp_content_length bigint,"
+    " html_hdr_bytes bigint, text_md5 string"
+)
+
+
+def _extract_warc_metrics(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """synth → from-spec record walk → HTTP strip → HTML extract.
+    Every emitted number comes from the PARSE (what a real crawl
+    ingest sees), never from the synthesis formulas the oracle
+    recomputes — that asymmetry is what makes the compare a test."""
+    import re
+
+    from rs_streamloader_spark.functions.warc import parse_warc, synth_warc
+
+    cl_re = re.compile(r"Content-Length: (\d+)")
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "doc_id", "source", "n_records", "warc_bytes",
+            "req_content_length", "resp_content_length",
+            "html_hdr_bytes", "text_md5",
+        )}
+        for doc_id, source, text in zip(
+            pdf["doc_id"], pdf["source"], pdf["text"]
+        ):
+            cap = synth_warc(int(doc_id), source, text)
+            recs = parse_warc(cap)
+            by_type = {r.rec_type: r for r in recs}
+            resp = by_type["response"]
+            hdr_end = resp.payload.find("\r\n\r\n")
+            m = cl_re.search(resp.payload[: hdr_end + 2])
+            html = resp.payload[hdr_end + 4 :]
+            ex = extract_html(html)
+            rows["doc_id"].append(doc_id)
+            rows["source"].append(source)
+            rows["n_records"].append(len(recs))
+            rows["warc_bytes"].append(len(cap))
+            rows["req_content_length"].append(
+                int(by_type["request"].headers["content-length"])
+            )
+            rows["resp_content_length"].append(
+                int(resp.headers["content-length"])
+            )
+            rows["html_hdr_bytes"].append(int(m.group(1)) if m else -1)
+            rows["text_md5"].append(
+                hashlib.md5(ex.text.encode("utf-8")).hexdigest()
+            )
+        out = pd.DataFrame(rows)
+        for c in (
+            "doc_id", "n_records", "warc_bytes", "req_content_length",
+            "resp_content_length", "html_hdr_bytes",
+        ):
+            out[c] = out[c].astype("int64")
+        yield out
+
+
+def _warc_metrics_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared cached per-doc capture-parse table for the family."""
+    return stage_cached(
+        spark,
+        sf_dir,
+        "warc_metrics",
+        lambda: (
+            load_tables(spark, sf_dir, "documents")["documents"]
+            .select("doc_id", "source", "text")
+            .where(F.length("text") > 0)
+            .mapInPandas(_extract_warc_metrics, schema=_WARC_SCHEMA)
+        ),
+    )
+
+
+# closed-form WARC byte accounting on top of the HTML contract CTE
+# (functions/warc.py module docstring pins every constant; validated
+# off-Spark over all 5000 sf0.1 docs before these operators existed)
+_WARC_CTE = _CONTRACT_CTE + """
+    , w AS (
+      SELECT *,
+             LENGTH(CAST(doc_id AS VARCHAR)) AS l_id,
+             LENGTH(source) AS l_src
+      FROM b
+    ),
+    w2 AS (
+      SELECT *,
+             20 + l_src + l_id AS uri_len,
+             66 + l_id + l_src AS req_pl,
+             77 + LENGTH(CAST(html_bytes AS VARCHAR)) + html_bytes
+               AS resp_pl
+      FROM w
+    ),
+    w3 AS (
+      SELECT *,
+             211 + uri_len + LENGTH(CAST(req_pl AS VARCHAR))
+                 + req_pl + 4 AS rec2_len,
+             213 + uri_len + LENGTH(CAST(resp_pl AS VARCHAR))
+                 + resp_pl + 4 AS rec3_len
+      FROM w2
+    ),
+    wb AS (
+      SELECT *, 245 + rec2_len + rec3_len AS warc_bytes FROM w3
+    )
+"""
+
+
+@register(
+    "warc_ingest_extract",
+    oracle=_WARC_CTE
+    + """
+    SELECT doc_id,
+           CAST(3 AS BIGINT) AS n_records,
+           CAST(warc_bytes AS BIGINT) AS warc_bytes,
+           CAST(req_pl AS BIGINT) AS req_content_length,
+           CAST(resp_pl AS BIGINT) AS resp_content_length,
+           CAST(html_bytes AS BIGINT) AS html_hdr_bytes,
+           MD5(text) AS text_md5
+    FROM wb
+    """,
+)
+def warc_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC capture → document recovery, byte-exact through three
+    layers: walk the ISO-28500 record framing (declared-length reads,
+    never content scans), strip the HTTP/1.1 response headers, parse
+    the entity HTML with the stdlib walk, and prove the recovered text
+    equals the source document by md5. The oracle recomputes every
+    byte count (record framing overhead, HTTP header width, the
+    markup.py html_bytes formula) in closed form from LENGTH(text) /
+    LENGTH(source) / doc_id — so a framing slip, an off-by-one payload
+    read, a header-width bug, or a markup leak each breaks its own
+    column.
+
+    Scale posture: map-only Arrow-batched pass — captures are built
+    and parsed inside one Python stage and reduce to 6 integers + a
+    16-byte digest per doc; no shuffle ever carries a capture. At
+    100 TB this is the classic embarrassingly-parallel Common Crawl
+    extraction shape (one WARC file per task, zero exchanges)."""
+    return _warc_metrics_cached(spark, sf_dir).select(
+        "doc_id", "n_records", "warc_bytes", "req_content_length",
+        "resp_content_length", "html_hdr_bytes", "text_md5",
+    )
+
+
+@register(
+    "warc_source_rollup",
+    oracle=_WARC_CTE
+    + """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(warc_bytes) AS BIGINT) AS total_warc_bytes,
+           CAST(SUM(req_pl) AS BIGINT) AS total_req_payload,
+           CAST(SUM(resp_pl) AS BIGINT) AS total_resp_payload,
+           CAST(MAX(resp_pl) AS BIGINT) AS max_resp_payload,
+           CAST((1000000 * SUM(html_bytes)) // SUM(warc_bytes)
+                AS BIGINT) AS content_share_ppm
+    FROM wb GROUP BY source
+    """,
+)
+def warc_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host capture accounting: total capture bytes, request/
+    response payload volumes, the largest response, and the content
+    share (entity bytes over capture bytes, exact integer ppm) — the
+    crawl-storage dashboard that tells an operator how much of each
+    host's captured volume is actual page content vs protocol
+    framing. All inputs are PARSED header values off the shared
+    capture-parse stage; the oracle rebuilds them from the contract.
+
+    Scale posture: the family's one shuffle — 5 integer columns per
+    doc into a 20-group hash aggregate with map-side combine."""
+    mx = _warc_metrics_cached(spark, sf_dir)
+    return mx.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("warc_bytes").cast("bigint").alias("total_warc_bytes"),
+        F.sum("req_content_length").cast("bigint").alias(
+            "total_req_payload"
+        ),
+        F.sum("resp_content_length").cast("bigint").alias(
+            "total_resp_payload"
+        ),
+        F.max("resp_content_length").cast("bigint").alias(
+            "max_resp_payload"
+        ),
+        F.expr(
+            "(1000000 * sum(html_hdr_bytes)) DIV sum(warc_bytes)"
+        ).alias("content_share_ppm"),
+    )
+
+
+def _extract_warc_faults(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Fault-injected capture parse: docs on the doc_id % 17 == 3
+    slice lose their final 5 + (doc_id % 7) * 3 chars (an interrupted
+    crawl write). The parser must flag EXACTLY the response record of
+    exactly those docs as truncated — detection comes from the
+    declared-length read coming up short, never from the slice rule."""
+    from rs_streamloader_spark.functions.warc import parse_warc, synth_warc
+
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "doc_id", "source", "n_records_parsed", "is_truncated",
+            "clean_recovered",
+        )}
+        for doc_id, source, text in zip(
+            pdf["doc_id"], pdf["source"], pdf["text"]
+        ):
+            i = int(doc_id)
+            tail = 5 + (i % 7) * 3 if i % 17 == 3 else 0
+            cap = synth_warc(i, source, text, truncate_tail=tail)
+            recs = parse_warc(cap)
+            truncated = any(r.truncated for r in recs)
+            clean_ok = False
+            if not truncated:
+                resp = next(r for r in recs if r.rec_type == "response")
+                html = resp.payload[resp.payload.find("\r\n\r\n") + 4 :]
+                clean_ok = extract_html(html).text == text
+            rows["doc_id"].append(doc_id)
+            rows["source"].append(source)
+            rows["n_records_parsed"].append(len(recs))
+            rows["is_truncated"].append(truncated)
+            rows["clean_recovered"].append(clean_ok)
+        out = pd.DataFrame(rows)
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["n_records_parsed"] = out["n_records_parsed"].astype("int64")
+        yield out
+
+
+@register(
+    "warc_truncation_audit",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, doc_id % 17 = 3 AS is_fault
+      FROM documents WHERE LENGTH(text) > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(3 * COUNT(*) AS BIGINT) AS n_records_parsed,
+           CAST(SUM(CASE WHEN is_fault THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truncated,
+           CAST(SUM(CASE WHEN is_fault THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_clean_recovered
+    FROM d GROUP BY source
+    """,
+)
+def warc_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted-crawl QC: a slice of captures (doc_id % 17 == 3 —
+    17 is coprime to the 20-source cadence, so the slice cuts across
+    every host) is tail-truncated mid-payload, and the per-host audit
+    counts captures the PARSER flagged truncated plus clean captures
+    that recovered byte-exactly. The truncation signal is the
+    declared Content-Length read coming up short — the oracle instead
+    predicts the slice from the fault rule, so a parser that misses a
+    short read (or flags a clean one) breaks the count; a tail cut of
+    ≤ 18 chars only removes closing markup, so md5-equality would NOT
+    detect it — the length check is the only honest signal, which is
+    exactly what this audit pins. Records-parsed stays 3 per doc:
+    framing must survive payload loss (the spec's resynchronization
+    guarantee for a short FINAL record).
+
+    Scale posture: map-only parse → 2 integers + 2 booleans per doc
+    → 20-group rollup with map-side combine."""
+    parsed = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .select("doc_id", "source", "text")
+        .where(F.length("text") > 0)
+        .mapInPandas(
+            _extract_warc_faults,
+            schema=(
+                "doc_id bigint, source string, n_records_parsed bigint,"
+                " is_truncated boolean, clean_recovered boolean"
+            ),
+        )
+    )
+    return parsed.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_records_parsed").cast("bigint").alias("n_records_parsed"),
+        F.sum(F.when(F.col("is_truncated"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_truncated"),
+        F.sum(F.when(F.col("clean_recovered"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clean_recovered"),
+    )

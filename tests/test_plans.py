@@ -3628,3 +3628,27 @@ def test_format_router_is_map_only(spark):
     text = explain_str(df, "simple")
     assert shuffle_count(df) == 0, text[:1200]
     assert "MapInPandas" in text
+
+
+def test_warc_family_plan_shapes(spark):
+    """WARC capture family (r15): the capture parse is map-only — one
+    documents scan feeding an Arrow MapInPandas stage, zero exchanges
+    for the per-doc query (captures never cross a shuffle); each
+    per-source rollup adds exactly its one aggregation exchange over
+    fixed-width integer counters."""
+    from rs_streamloader_spark.operators.webtext import (
+        warc_ingest_extract,
+        warc_source_rollup,
+        warc_truncation_audit,
+    )
+
+    df = warc_ingest_extract(spark, SF_SMOKE)
+    text = explain_str(df, "simple")
+    assert shuffle_count(df) == 0, text[:1500]
+    assert "MapInPandas" in text, text[:1500]
+
+    for fn in (warc_source_rollup, warc_truncation_audit):
+        df = fn(spark, SF_SMOKE)
+        assert shuffle_count(df) == 1, (
+            fn.__name__, explain_str(df, "simple")[:1500],
+        )
