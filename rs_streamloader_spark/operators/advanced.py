@@ -2115,3 +2115,118 @@ def native_store_manifest_interop(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("q").cast("bigint").alias("q_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# native_store_manifest_pruning — zone-map file skipping through the
+# open manifest (the r15 pruning half of the lake-interop surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "native_store_manifest_pruning",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS q,
+             doc_id // 16 AS band
+      FROM documents WHERE LENGTH(text) > 0
+    ),
+    p AS (SELECT MAX(doc_id) // 4 AS hi FROM d),
+    kb AS (SELECT DISTINCT band FROM d, p WHERE doc_id <= hi)
+    SELECT
+      (SELECT CAST(COUNT(DISTINCT band) AS BIGINT) FROM d)
+        AS files_total,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM kb) AS files_scanned,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM d
+        WHERE band IN (SELECT band FROM kb)) AS rows_scanned,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM d, p WHERE doc_id <= hi)
+        AS rows_matched,
+      (SELECT CAST(SUM(q) AS BIGINT) FROM d, p WHERE doc_id <= hi)
+        AS chars_matched
+    """,
+)
+def native_store_manifest_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Zone-map file skipping through the open manifest: the corpus is
+    exported RANGE-CLUSTERED (one file per doc_id band of 16 — the
+    repartition-by-value + partitionBy layout, so each parquet file's
+    footer min/max brackets one band), ``write_directory_manifest``
+    records per-file zone maps from a distributed FOOTER-ONLY pass,
+    and a selective range read (doc_id ≤ max/4) goes through
+    ``prune_manifest_files``: files whose recorded range cannot
+    intersect are NEVER OPENED. The result row carries the pruning
+    accounting (files total vs scanned) next to the row-level answer
+    from the pruned read + residual predicate — the oracle recomputes
+    all five numbers declaratively from the band arithmetic, so a
+    zone-map off-by-one (an open/closed interval slip), a file-listing
+    miss, or a residual-filter gap each breaks its own column. This is
+    how a 100 TB table answers a narrow range query by opening 3 files
+    instead of 3000 — the Delta file-stats / Iceberg metrics behavior,
+    implemented on the open manifest any engine can replicate.
+
+    Scale posture: the stats pass reads parquet FOOTERS in executors
+    (O(files) metadata, never a data scan); the skipping decision is
+    a pure O(files) driver computation off the JSON; the data read
+    scans only surviving files. The one collect is a 1-row MAX
+    aggregate fixing the predicate bound.
+
+    Reference surface: none (the reference's manifest is a staging
+    COPY list, utils.ts:151-162 — no statistics; this is the novel
+    lake-layer extension on top of it)."""
+    import os
+    import shutil
+    import tempfile
+
+    from rs_streamloader_spark.sinks.native import (
+        load_manifest,
+        prune_manifest_files,
+        read_manifest,
+        write_directory_manifest,
+    )
+
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .where(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.length("text").cast("bigint").alias("q"),
+            F.expr("doc_id DIV 16").alias("band"),
+        )
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "rs_sl_zonemap",
+        spark.sparkContext.applicationId,
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    d = os.path.join(base, "ranged")
+    # one file per band: repartition by VALUE co-locates each band in
+    # exactly one task; partitionBy then writes it as that dir's one
+    # file — the deterministic range-clustered layout the oracle's
+    # band arithmetic mirrors
+    docs.repartition("band").write.partitionBy("band").parquet(d)
+    mp = write_directory_manifest(spark, d, stats_columns=["doc_id"])
+
+    # the predicate bound: one 1-row aggregate collect (bounded)
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] // 4
+    manifest = load_manifest(spark, mp)
+    kept, total = prune_manifest_files(manifest, "doc_id", None, hi)
+    pruned = read_manifest(spark, mp, prune=("doc_id", None, hi))
+    cond = F.col("doc_id") <= F.lit(hi)
+    return pruned.agg(
+        F.count("*").cast("bigint").alias("rows_scanned"),
+        F.sum(F.when(cond, 1).otherwise(0))
+        .cast("bigint")
+        .alias("rows_matched"),
+        F.sum(F.when(cond, F.col("q")).otherwise(0))
+        .cast("bigint")
+        .alias("chars_matched"),
+    ).select(
+        F.lit(total).cast("bigint").alias("files_total"),
+        F.lit(len(kept)).cast("bigint").alias("files_scanned"),
+        "rows_scanned",
+        "rows_matched",
+        "chars_matched",
+    )

@@ -602,7 +602,11 @@ class NativeTableSink:
             " no data paths and the table carries no spec schema"
         )
 
-    def export_manifest(self, version: int | None = None) -> str:
+    def export_manifest(
+        self,
+        version: int | None = None,
+        stats_columns: list[str] | None = None,
+    ) -> str:
         """Write an OPEN manifest for the committed state — the
         interop half of the lake contract (SURVEY §7: Delta/Iceberg
         are unavailable in-container; semantics live in this sink, so
@@ -621,7 +625,17 @@ class NativeTableSink:
         ``snapshot()`` pin (and renew it) to hold them; after release
         + vacuum an old manifest may name reclaimed files, the same
         lifetime rule external Delta readers live by. Returns the
-        manifest file path."""
+        manifest file path.
+
+        ``stats_columns`` additionally records per-file column
+        min/max ZONE MAPS (parquet-footer reads in executors — see
+        :func:`collect_file_stats`) so manifest consumers can skip
+        files via :func:`prune_manifest_files` — the Delta
+        file-stats / Iceberg manifest-metrics analogue. Note the
+        sink's bucketing hashes keys across buckets, so zone maps on
+        the BUCKET key are useless by construction; they earn their
+        keep on naturally-clustered columns (event time, append
+        sequence) or range-clustered exports."""
         live = self._live()
         n = (
             version
@@ -646,6 +660,15 @@ class NativeTableSink:
                 .parquet(*paths)
                 .schema.json()
             )
+        if stats_columns and files:
+            stats = collect_file_stats(
+                self.spark,
+                [f["path"] for f in files],
+                list(stats_columns),
+            )
+            for f in files:
+                if f["path"] in stats:
+                    f["stats"] = stats[f["path"]]
         payload = json.dumps(
             {
                 "format": "rs-streamloader-native-manifest/1",
@@ -653,6 +676,7 @@ class NativeTableSink:
                 "version": n,
                 "bucketed": self.bucketed,
                 "schema": schema_json,
+                "stats_columns": list(stats_columns or []),
                 "files": sorted(files, key=lambda f: f["path"]),
             },
             indent=1,
@@ -1274,11 +1298,9 @@ class NativeTableSink:
             upd_b.unpersist()
 
 
-def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
-    """Consume an exported manifest from Spark: read exactly the
-    listed parquet files (mergeSchema for evolved snapshots). The
-    engine-agnostic twin is trivial — any reader that can open JSON
-    and parquet implements this in ten lines, which is the point."""
+def load_manifest(spark: SparkSession, manifest_path: str) -> dict:
+    """Read a manifest JSON file back into a dict (the reader half of
+    the open format — usable from any filesystem Spark can reach)."""
     from rs_streamloader_spark.staging import _fs_and_path
 
     fs, jp, jvm = _fs_and_path(spark, manifest_path)
@@ -1287,8 +1309,225 @@ def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
         raw = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
     finally:
         stream.close()
-    m = json.loads(bytes(raw).decode("utf-8"))
-    files = [f["path"] for f in m["files"]]
+    return json.loads(bytes(raw).decode("utf-8"))
+
+
+def collect_file_stats(
+    spark: SparkSession, paths: list[str], stats_columns: list[str]
+) -> dict:
+    """Per-file column min/max ZONE MAPS for a parquet file list —
+    the pruning metadata a manifest carries so readers can skip files
+    (Delta file stats / Iceberg manifest metrics analogue).
+
+    Primary path reads parquet FOOTERS only (pyarrow row-group
+    statistics, ~KB per file) and runs IN EXECUTORS over a
+    parallelized path list — at 100 TB this is an O(files)
+    metadata-weight job, never a data scan. If any footer is
+    unreadable from Python (non-posix filesystem, stats disabled),
+    falls back to one column-pruned Spark scan grouped by input file —
+    heavier but still reads only the stat columns. Columns whose
+    statistics are absent are simply omitted for that file (absent ⇒
+    unprunable ⇒ always read — the safe direction)."""
+    if not paths or not stats_columns:
+        return {}
+    wanted = list(stats_columns)
+
+    def _norm(p: str) -> str:
+        # file:///x, file:/x and /x all name the same local file
+        if p.startswith("file:"):
+            p = p[5:]
+        while p.startswith("//"):
+            p = p[1:]
+        return p
+
+    def _footer_stats(it):
+        import pyarrow.parquet as pq
+
+        for p in it:
+            local = _norm(p)
+            out = {}
+            md = pq.ParquetFile(local).metadata
+            idx = {
+                md.schema.column(j).name: j
+                for j in range(md.num_columns)
+            }
+            for col in wanted:
+                j = idx.get(col)
+                if j is None:
+                    continue
+                lo = hi = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(j).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes):
+                        mn = mn.decode("utf-8", "replace")
+                        mx = mx.decode("utf-8", "replace")
+                    lo = mn if lo is None else min(lo, mn)
+                    hi = mx if hi is None else max(hi, mx)
+                if ok and lo is not None:
+                    out[col] = {"min": lo, "max": hi}
+            yield (p, out)
+
+    try:
+        n_slices = max(1, min(len(paths), 64))
+        pairs = (
+            spark.sparkContext.parallelize(paths, n_slices)
+            .mapPartitions(_footer_stats)
+            .collect()
+        )
+        return {p: st for p, st in pairs if st}
+    except Exception:
+        _LOG.warning(
+            "footer-stats pass failed; falling back to a column-pruned"
+            " scan for manifest zone maps"
+        )
+        df = spark.read.parquet(*paths)
+        present = [c for c in wanted if c in df.columns]
+        if not present:
+            return {}
+        aggs = []
+        for c in present:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+        rows = (
+            df.groupBy(F.input_file_name().alias("__path"))
+            .agg(*aggs)
+            .collect()
+        )
+        stats: dict = {}
+        by_path = {_norm(p): p for p in paths}
+        for r in rows:
+            key = by_path.get(_norm(r["__path"]), r["__path"])
+            st = {}
+            for c in present:
+                mn, mx = r[f"__mn_{c}"], r[f"__mx_{c}"]
+                if mn is not None:
+                    st[c] = {"min": mn, "max": mx}
+            if st:
+                stats[key] = st
+        return stats
+
+
+def prune_manifest_files(
+    manifest: dict,
+    column: str,
+    lo=None,
+    hi=None,
+) -> tuple[list[str], int]:
+    """File-skipping against manifest zone maps: keep every file whose
+    ``column`` [min, max] range intersects the CLOSED interval
+    [lo, hi] (``None`` = unbounded on that side), plus every file with
+    no recorded stats for the column — absence of evidence never
+    prunes. Pure function (no Spark), so the skipping decision is
+    unit-testable and any engine can replicate it from the JSON alone.
+    Returns ``(kept_paths, total_files)``."""
+    kept: list[str] = []
+    files = manifest["files"]
+    for f in files:
+        st = (f.get("stats") or {}).get(column)
+        if st is None:
+            kept.append(f["path"])
+            continue
+        if lo is not None and st["max"] < lo:
+            continue
+        if hi is not None and st["min"] > hi:
+            continue
+        kept.append(f["path"])
+    return kept, len(files)
+
+
+def write_directory_manifest(
+    spark: SparkSession,
+    data_dir: str,
+    stats_columns: list[str] | None = None,
+) -> str:
+    """Export an open manifest (same format as
+    ``NativeTableSink.export_manifest``) over an ARBITRARY parquet
+    directory tree — recursive file listing + optional zone-map stats.
+    This is the interop story for layouts the sink does not own:
+    range-clustered exports, ``partitionBy`` trees, third-party
+    dumps. Returns the manifest file path (under
+    ``{data_dir}/_manifest/``)."""
+    from rs_streamloader_spark.staging import _fs_and_path
+
+    fs, jroot, _ = _fs_and_path(spark, data_dir)
+    files: list[dict] = []
+
+    def _walk(jpath):
+        for status in _list_status_safe(fs, jpath):
+            name = status.getPath().getName()
+            if status.isDirectory():
+                if not name.startswith("_"):
+                    _walk(status.getPath())
+            elif name.endswith(".parquet"):
+                files.append(
+                    {
+                        "path": status.getPath().toUri().getPath(),
+                        "bytes": status.getLen(),
+                    }
+                )
+
+    _walk(jroot)
+    files.sort(key=lambda f: f["path"])
+    paths = [f["path"] for f in files]
+    if stats_columns and paths:
+        stats = collect_file_stats(spark, paths, stats_columns)
+        for f in files:
+            if f["path"] in stats:
+                f["stats"] = stats[f["path"]]
+    schema_json = (
+        spark.read.option("mergeSchema", "true").parquet(*paths).schema.json()
+        if paths
+        else None
+    )
+    payload = json.dumps(
+        {
+            "format": "rs-streamloader-native-manifest/1",
+            "table_root": data_dir,
+            "version": 0,
+            "bucketed": False,
+            "schema": schema_json,
+            "stats_columns": list(stats_columns or []),
+            "files": files,
+        },
+        indent=1,
+        sort_keys=True,
+    )
+    out = f"{data_dir}/_manifest/dir_{uuid.uuid4().hex[:8]}.json"
+    fs.mkdirs(_fs_and_path(spark, f"{data_dir}/_manifest")[1])
+    stream = fs.create(_fs_and_path(spark, out)[1], True)
+    try:
+        stream.write(bytearray(payload.encode("utf-8")))
+    finally:
+        stream.close()
+    return out
+
+
+def read_manifest(
+    spark: SparkSession,
+    manifest_path: str,
+    prune: tuple | None = None,
+) -> DataFrame:
+    """Consume an exported manifest from Spark: read exactly the
+    listed parquet files (mergeSchema for evolved snapshots). The
+    engine-agnostic twin is trivial — any reader that can open JSON
+    and parquet implements this in ten lines, which is the point.
+
+    ``prune=(column, lo, hi)`` applies zone-map file skipping via
+    :func:`prune_manifest_files` before the read — files whose
+    recorded [min, max] for ``column`` cannot intersect [lo, hi] are
+    never opened. The residual row-level predicate is still the
+    caller's job (zone maps bound files, not rows)."""
+    m = load_manifest(spark, manifest_path)
+    if prune is not None:
+        column, lo, hi = prune
+        files, _ = prune_manifest_files(m, column, lo, hi)
+    else:
+        files = [f["path"] for f in m["files"]]
     if not files:
         from pyspark.sql.types import StructType
 
