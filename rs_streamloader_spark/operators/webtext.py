@@ -1640,3 +1640,217 @@ def warc_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_clean_recovered"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pretrain_pipeline_e2e — the full ingest-to-admission pipeline in one
+# operator: WARC capture -> 3-layer extraction -> Gopher-style quality
+# screens on the RECOVERED text -> exact-hash dedup -> per-source tally
+# ---------------------------------------------------------------------------
+
+_PIPE_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for")
+
+_PIPE_SCHEMA = (
+    "doc_id bigint, source string, n_words bigint, n_chars_tok bigint,"
+    " n_types bigint, top_tok_cnt bigint, n_stop bigint,"
+    " text_bytes bigint, html_bytes bigint, text_md5 string"
+)
+
+
+def _pipeline_metrics(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Capture → recovery → token statistics, all computed from the
+    RECOVERED text (never the source column) — so a recovery bug at
+    any of the three layers poisons every downstream metric and the
+    oracle (which recomputes from the original text) catches it."""
+    from collections import Counter
+
+    from rs_streamloader_spark.functions.warc import parse_warc, synth_warc
+
+    stop = set(_PIPE_STOPWORDS)
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "doc_id", "source", "n_words", "n_chars_tok", "n_types",
+            "top_tok_cnt", "n_stop", "text_bytes", "html_bytes",
+            "text_md5",
+        )}
+        for doc_id, source, text in zip(
+            pdf["doc_id"], pdf["source"], pdf["text"]
+        ):
+            cap = synth_warc(int(doc_id), source, text)
+            resp = next(
+                r for r in parse_warc(cap) if r.rec_type == "response"
+            )
+            html = resp.payload[resp.payload.find("\r\n\r\n") + 4 :]
+            recovered = extract_html(html).text
+            words = recovered.split(" ")
+            counts = Counter(words)
+            rows["doc_id"].append(doc_id)
+            rows["source"].append(source)
+            rows["n_words"].append(len(words))
+            rows["n_chars_tok"].append(sum(len(w) for w in words))
+            rows["n_types"].append(len(counts))
+            rows["top_tok_cnt"].append(max(counts.values()))
+            rows["n_stop"].append(sum(counts[s] for s in stop & counts.keys()))
+            rows["text_bytes"].append(len(recovered))
+            rows["html_bytes"].append(len(html))
+            rows["text_md5"].append(
+                hashlib.md5(recovered.encode("utf-8")).hexdigest()
+            )
+        out = pd.DataFrame(rows)
+        for c in (
+            "doc_id", "n_words", "n_chars_tok", "n_types", "top_tok_cnt",
+            "n_stop", "text_bytes", "html_bytes",
+        ):
+            out[c] = out[c].astype("int64")
+        yield out
+
+
+@register(
+    "pretrain_pipeline_e2e",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, text,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                  AS BIGINT) AS n_words_c,
+             4 + doc_id % 5 AS p_sz, 3 + doc_id % 4 AS l_strd
+      FROM documents WHERE LENGTH(text) > 0
+    ),
+    m AS (
+      SELECT *,
+             (n_words_c + p_sz - 1) // p_sz AS n_paras,
+             (n_words_c - 1) // l_strd + 1 AS n_links,
+             (n_words_c - 1) // 4 AS n_ent
+      FROM d
+    ),
+    s AS (
+      SELECT *,
+             (n_paras - 1) // 7 + 1 AS n_h2,
+             3 * (n_paras // 3)
+               + CASE WHEN n_paras % 3 = 2 THEN 1 ELSE 0 END AS n_div
+      FROM m
+    ),
+    hb AS (
+      SELECT *,
+             88 + LENGTH(CAST(doc_id AS VARCHAR)) + n_chars
+                + 7 * n_paras + 2 * n_h2 + 11 * n_div
+                + 16 * n_links + 4 * n_ent AS html_bytes
+      FROM s
+    ),
+    toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+      FROM documents WHERE LENGTH(text) > 0
+    ),
+    pd AS (
+      SELECT doc_id,
+             COUNT(*) AS n_words,
+             SUM(LENGTH(tok)) AS n_chars_tok,
+             COUNT(DISTINCT tok) AS n_types,
+             MAX(cnt_per_tok) AS top_tok_cnt,
+             SUM(CASE WHEN tok IN {_PIPE_STOPWORDS} THEN 1 ELSE 0 END)
+               AS n_stop
+      FROM (
+        SELECT doc_id, tok,
+               COUNT(*) OVER (PARTITION BY doc_id, tok) AS cnt_per_tok
+        FROM toks
+      )
+      GROUP BY doc_id
+    ),
+    f AS (
+      SELECT hb.doc_id, hb.source, hb.text, hb.n_chars, hb.html_bytes,
+             pd.n_words,
+             (pd.n_words BETWEEN 10 AND 1000
+              AND pd.n_chars_tok * 10 >= pd.n_words * 30
+              AND pd.n_chars_tok * 10 <= pd.n_words * 100
+              AND 100 * hb.n_chars >= 35 * hb.html_bytes
+              AND pd.n_stop > 0) AS pass
+      FROM hb JOIN pd ON hb.doc_id = pd.doc_id
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY MD5(text), pass ORDER BY doc_id
+             ) AS rn
+      FROM f
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN NOT pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality_rejected,
+           CAST(SUM(CASE WHEN pass AND rn > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_dropped,
+           CAST(SUM(CASE WHEN pass AND rn = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_admitted,
+           CAST(SUM(CASE WHEN pass AND rn = 1 THEN n_words ELSE 0 END)
+                AS BIGINT) AS admitted_tokens
+    FROM r GROUP BY source
+    """,
+)
+def pretrain_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining ingest pipeline as ONE oracle-checked
+    operator — the shape every real 100 TB corpus build runs nightly:
+
+    1. **Ingest**: WARC captures parse through the from-spec record
+       walker; the HTTP entity HTML parses through the stdlib walk;
+       every downstream number is computed from the RECOVERED text.
+    2. **Quality screens** (computed JVM-side over the emitted
+       counters, all integer cross-multiplied): Gopher word-count
+       bounds [10, 1000], mean word length [3, 10], the boilerplate
+       density floor (text ≥ 0.35 × markup — the html family's
+       corpus-median screen), and stopword presence.
+    3. **Exact dedup** among admitted docs: first-by-doc_id per
+       recovered-text md5 wins; later copies drop (the dup branch is
+       corpus-live at sf0.1 and pinned by a constructed-corpus test
+       at compare scale).
+    4. **Admission tally** per source: rejected / dup-dropped /
+       admitted doc counts + admitted token mass — the numbers that
+       decide the next crawl's source mix.
+
+    The oracle replays all four stages declaratively from the
+    original text + synthesis contract, so a recovery bug, a
+    threshold slip, a dedup-ordering bug, or a tally miss each breaks
+    the hash.
+
+    Scale posture: stage 1 is map-only (captures never cross an
+    exchange — per-doc output is 8 integers + a digest); dedup is one
+    hash-partitioned window on (md5, pass); the tally is a 20-group
+    map-side-combinable rollup. Three total exchanges of fixed-width
+    rows, independent of document size."""
+    mx = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .select("doc_id", "source", "text")
+        .where(F.length("text") > 0)
+        .mapInPandas(_pipeline_metrics, schema=_PIPE_SCHEMA)
+    )
+    flagged = mx.withColumn(
+        "pass",
+        F.col("n_words").between(10, 1000)
+        & (F.col("n_chars_tok") * 10 >= F.col("n_words") * 30)
+        & (F.col("n_chars_tok") * 10 <= F.col("n_words") * 100)
+        & (F.lit(100) * F.col("text_bytes") >= F.lit(35) * F.col("html_bytes"))
+        & (F.col("n_stop") > 0),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("text_md5", "pass").orderBy("doc_id")
+    ranked = flagged.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(~F.col("pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_quality_rejected"),
+        F.sum(F.when(F.col("pass") & (F.col("rn") > 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_dropped"),
+        F.sum(F.when(F.col("pass") & (F.col("rn") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_admitted"),
+        F.sum(
+            F.when(F.col("pass") & (F.col("rn") == 1), F.col("n_words"))
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("admitted_tokens"),
+    )
