@@ -2805,3 +2805,429 @@ def word_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "burstiness"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact 1-D Wasserstein (earth mover's) distance between source
+# doc-length distributions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wasserstein_doclen_sources",
+    oracle="""
+    WITH d AS (
+      SELECT source, CAST(LENGTH(text) AS BIGINT) AS v
+      FROM documents WHERE LENGTH(text) > 0
+    ),
+    h AS (SELECT source, v, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+    n AS (SELECT source, SUM(cnt) AS n_s FROM h GROUP BY 1),
+    gg AS (
+      SELECT v, LEAD(v) OVER (ORDER BY v) - v AS gap
+      FROM (SELECT DISTINCT v FROM h)
+    ),
+    dens AS (
+      SELECT s.source, gg.v, gg.gap, COALESCE(h.cnt, 0) AS cnt
+      FROM (SELECT DISTINCT source FROM h) s
+      CROSS JOIN gg
+      LEFT JOIN h ON h.source = s.source AND h.v = gg.v
+    ),
+    c AS (
+      SELECT source, v, gap,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS cum
+      FROM dens
+    ),
+    p AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             ABS(CAST(a.cum AS HUGEINT) * nb.n_s
+                 - CAST(b.cum AS HUGEINT) * na.n_s)
+               * COALESCE(a.gap, 0) AS term,
+             na.n_s AS n_a, nb.n_s AS n_b
+      FROM c a
+      JOIN c b ON b.v = a.v AND a.source < b.source
+      JOIN n na ON na.source = a.source
+      JOIN n nb ON nb.source = b.source
+    )
+    SELECT source_a, source_b,
+           CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           CAST((1000000 * SUM(term)) // (MAX(n_a) * MAX(n_b))
+                AS BIGINT) AS w1_micro
+    FROM p GROUP BY 1, 2
+    """,
+)
+def wasserstein_doclen_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT 1-D Wasserstein-1 (earth mover's) distance between every
+    source pair's document-length distributions — the transport-cost
+    complement to the Hellinger/TV/JS family: W1 = ∫|F_a − F_b| dv is
+    the minimum characters-per-document of probability mass movement
+    to turn one length profile into the other, so it SEES how far
+    apart two distributions are (a source shifted +200 chars scores
+    200), where TV only sees that they differ. The curation read: W1
+    between a source's snapshot and its trailing profile is the drift
+    alarm that ranks sources by how much re-mixing they need.
+
+    Exactness: on the merged step-function grid the CDF difference is
+    |cum_a·n_b − cum_b·n_a| / (n_a·n_b) over each inter-value gap —
+    every term is an exact integer (DECIMAL(38) products against the
+    int64 edge at web scale), summed then integer-divided to
+    micro-units once per pair. No float enters either engine.
+
+    Scale posture: one map-side-combinable (source, length) histogram
+    is the only corpus-sized pass; everything after runs on the
+    distinct-length grid × sources frame (bounded by the length
+    domain, ~500 rows here, ~1e5 at any real corpus) — the pair join
+    fans to grid × sources² bounded rows and the global LEAD window
+    sits above a tiny aggregate. Cross-check: w1_micro is symmetric,
+    zero on the diagonal by construction, and bounded by the length
+    range × 1e6 (asserted in tests/test_statistics_sanity.py)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"].where(
+        F.length("text") > 0
+    )
+    h = (
+        docs.select(
+            "source", F.length("text").cast("bigint").alias("v")
+        )
+        .groupBy("source", "v")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n = h.groupBy("source").agg(F.sum("cnt").alias("n_s"))
+    grid = (
+        h.select("v")
+        .distinct()
+        .withColumn("gap", F.lead("v").over(Window.orderBy("v")) - F.col("v"))
+    )
+    dens = (
+        n.select("source")
+        .crossJoin(F.broadcast(grid))
+        .join(h, ["source", "v"], "left")
+        .select(
+            "source", "v", "gap", F.coalesce("cnt", F.lit(0)).alias("cnt")
+        )
+    )
+    c = dens.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy("source")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    na = n.select(
+        F.col("source").alias("source_a"),
+        F.col("n_s").alias("n_a"),
+    )
+    nb = n.select(
+        F.col("source").alias("source_b"),
+        F.col("n_s").alias("n_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.v") == F.col("a.v"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("a.v").alias("v"),
+            F.col("a.gap").alias("gap"),
+            F.col("a.cum").alias("cum_a"),
+            F.col("b.cum").alias("cum_b"),
+        )
+        .join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .withColumn(
+            "term",
+            F.expr(
+                "abs(CAST(cum_a AS DECIMAL(38,0)) * n_b"
+                " - CAST(cum_b AS DECIMAL(38,0)) * n_a)"
+                " * COALESCE(gap, 0)"
+            ),
+        )
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.max("n_a").cast("bigint").alias("n_a"),
+        F.max("n_b").cast("bigint").alias("n_b"),
+        F.expr(
+            "CAST((1000000 * sum(term)) DIV (CAST(max(n_a) AS DECIMAL(38,0))"
+            " * max(n_b)) AS BIGINT)"
+        ).alias("w1_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (gaps-and-islands phrases, degree/frequency
+# word scores) — fully relational in both engines
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for")
+_RAKE_MAX_PHRASE = 6
+_RAKE_TOPK = 15
+
+
+@register(
+    "rake_keyword_topk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             UNNEST(list_transform(
+               range(1, len(string_split(text, ' ')) + 1),
+               i -> {{'pos': i, 'tok': string_split(text, ' ')[i]}})) AS u
+      FROM documents WHERE LENGTH(text) > 0
+    ),
+    toks AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM t),
+    ns AS (
+      SELECT doc_id, pos, tok FROM toks
+      WHERE tok NOT IN {_RAKE_STOPWORDS}
+    ),
+    isl AS (
+      SELECT doc_id, pos, tok,
+             pos - ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY pos) AS island
+      FROM ns
+    ),
+    ph AS (
+      SELECT doc_id, island,
+             STRING_AGG(tok, ' ' ORDER BY pos) AS phrase,
+             COUNT(*) AS plen
+      FROM isl GROUP BY 1, 2
+    ),
+    mem AS (
+      SELECT isl.doc_id, isl.island, isl.tok, ph.phrase, ph.plen
+      FROM isl JOIN ph USING (doc_id, island)
+      WHERE ph.plen <= {_RAKE_MAX_PHRASE}
+    ),
+    ws AS (
+      SELECT tok, COUNT(*) AS freq, SUM(plen) AS deg
+      FROM mem GROUP BY tok
+    ),
+    psc AS (
+      SELECT mem.doc_id, mem.island, mem.phrase, mem.plen,
+             SUM((1000000 * ws.deg) // ws.freq) AS s
+      FROM mem JOIN ws USING (tok)
+      GROUP BY 1, 2, 3, 4
+    ),
+    agg AS (
+      SELECT phrase,
+             CAST(MAX(plen) AS BIGINT) AS n_words,
+             CAST(COUNT(*) AS BIGINT) AS n_occur,
+             CAST(MAX(s) AS BIGINT) AS score_micro
+      FROM psc GROUP BY phrase
+    )
+    SELECT phrase, n_words, n_occur, score_micro
+    FROM agg
+    QUALIFY ROW_NUMBER() OVER (ORDER BY score_micro DESC, phrase)
+            <= {_RAKE_TOPK}
+    """,
+)
+def rake_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010), fully relational:
+    candidate phrases are maximal stopword-delimited token runs
+    (gaps-and-islands: pos − ROW_NUMBER per doc), each word scores
+    deg/freq (deg = Σ phrase-length over its occurrences, freq = its
+    occurrence count), and a phrase scores the sum of its member-word
+    scores — the corpus's top-{_RAKE_TOPK} multi-word keyphrases with
+    occurrence counts. The classic lightweight keyphrase extractor a
+    curation pipeline runs per source to label what a corpus is
+    ABOUT; phrases longer than {_RAKE_MAX_PHRASE} tokens are dropped
+    (the standard RAKE candidate cap). Determinism: each per-word
+    term is (10⁶·deg) DIV freq — integer division before summation,
+    identical in both engines; the top-k cut orders by (score DESC,
+    phrase).
+
+    Scale posture: one explode feeds one per-doc window (doc-bounded
+    partitions), phrase assembly is a (doc, island) aggregate, word
+    stats collapse to the vocabulary grid with map-side combine, and
+    the member↔stats join is hinted shuffle-hash (the build side
+    grows with vocabulary — the r10 broadcast-flip class); the final
+    cut is TakeOrderedAndProject over the bounded phrase table."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"].where(
+        F.length("text") > 0
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    ns = toks.where(~F.col("tok").isin(*_RAKE_STOPWORDS))
+    isl = ns.withColumn(
+        "island",
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("pos")
+        ),
+    )
+    ph = isl.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "tok"))
+            ).getField("tok"),
+            " ",
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    )
+    mem = isl.join(ph, ["doc_id", "island"]).where(
+        F.col("plen") <= _RAKE_MAX_PHRASE
+    )
+    ws = mem.groupBy("tok").agg(
+        F.count("*").alias("freq"), F.sum("plen").alias("deg")
+    )
+    psc = (
+        mem.join(ws.hint("shuffle_hash"), "tok")
+        .groupBy("doc_id", "island", "phrase", "plen")
+        .agg(
+            F.sum(F.expr("(1000000 * deg) DIV freq")).alias("s")
+        )
+    )
+    agg = psc.groupBy("phrase").agg(
+        F.max("plen").cast("bigint").alias("n_words"),
+        F.count("*").cast("bigint").alias("n_occur"),
+        F.max("s").cast("bigint").alias("score_micro"),
+    )
+    return agg.orderBy(
+        F.col("score_micro").desc(), F.col("phrase")
+    ).limit(_RAKE_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# curriculum phase audit — difficulty-ordered corpus phases WITHOUT a
+# global sort (banded histogram-index rank, the repo's exact-quantile
+# pattern), vs the oracle's naive NTILE
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_PHASES = 5
+
+
+@register(
+    "curriculum_phase_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(LENGTH(text) AS BIGINT) AS v,
+             CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                  AS BIGINT) AS n_words
+      FROM documents WHERE LENGTH(text) > 0
+    ),
+    p AS (
+      SELECT *,
+             NTILE({_CURRICULUM_PHASES}) OVER (ORDER BY v, doc_id)
+               AS phase
+      FROM d
+    ),
+    a AS (
+      SELECT phase,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS tokens,
+             CAST(MIN(v) AS BIGINT) AS len_min,
+             CAST(MAX(v) AS BIGINT) AS len_max,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM p GROUP BY phase
+    )
+    SELECT phase, n_docs, tokens, len_min, len_max, n_sources,
+           CAST(SUM(tokens) OVER (ORDER BY phase) AS BIGINT)
+             AS cum_tokens
+    FROM a
+    """,
+)
+def curriculum_phase_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: the corpus sequenced easy→hard by a
+    difficulty score (document length here — the canonical proxy; any
+    per-doc score plugs into the same rank machinery) and cut into
+    {_CURRICULUM_PHASES} NTILE phases, with the per-phase composition
+    a curriculum-training run schedules against: doc/token mass,
+    difficulty range, source diversity, cumulative token budget.
+
+    The scale story IS the operator: the oracle computes the naive
+    global NTILE (one total sort), while the Spark side derives the
+    identical global rank with NO global sort — a bounded
+    (length, count) histogram gives each length its cumulative offset
+    (window over the ~500-row grid), each doc adds its within-length
+    row_number (partitions bounded by ties), and NTILE's
+    ceil/floor bucket split is applied as a closed-form expression on
+    the rank. Exactly the banded-prefix pattern the percentile family
+    uses; a rank slip of one anywhere in the corpus moves a boundary
+    doc across phases and breaks the hash.
+
+    Scale posture: one map-side-combinable histogram + one
+    tie-bounded per-length window; the grid window and the 5-row
+    phase rollup are driver-scale; no corpus-wide single-partition
+    stretch anywhere (plan-guarded)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"].where(
+        F.length("text") > 0
+    )
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("bigint").alias("v"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", ""))
+            + 1
+        )
+        .cast("bigint")
+        .alias("n_words"),
+    )
+    h = d.groupBy("v").agg(F.count("*").alias("cnt"))
+    grid = h.select(
+        "v",
+        (
+            F.sum("cnt").over(
+                Window.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            - F.col("cnt")
+        ).alias("cum_prev"),
+    )
+    total = d.agg(F.count("*").alias("n_total"))
+    ranked = (
+        d.withColumn(
+            "rn_in_v",
+            F.row_number().over(
+                Window.partitionBy("v").orderBy("doc_id")
+            ),
+        )
+        .join(F.broadcast(grid), "v")
+        .crossJoin(F.broadcast(total))
+        .withColumn("rnk", F.col("cum_prev") + F.col("rn_in_v"))
+        .withColumn(
+            # NTILE(k): first (N mod k) buckets take ceil(N/k) rows
+            "phase",
+            F.expr(
+                f"CASE WHEN rnk <= (n_total DIV {_CURRICULUM_PHASES} + 1)"
+                f" * (n_total % {_CURRICULUM_PHASES})"
+                f" THEN (rnk - 1) DIV (n_total DIV {_CURRICULUM_PHASES} + 1) + 1"
+                f" ELSE n_total % {_CURRICULUM_PHASES}"
+                f" + (rnk - (n_total DIV {_CURRICULUM_PHASES} + 1)"
+                f" * (n_total % {_CURRICULUM_PHASES}) - 1)"
+                f" DIV (n_total DIV {_CURRICULUM_PHASES}) + 1 END"
+            ).cast("int"),
+        )
+    )
+    a = ranked.groupBy("phase").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("tokens"),
+        F.min("v").cast("bigint").alias("len_min"),
+        F.max("v").cast("bigint").alias("len_max"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    return a.select(
+        "phase",
+        "n_docs",
+        "tokens",
+        "len_min",
+        "len_max",
+        "n_sources",
+        F.sum("tokens")
+        .over(
+            Window.orderBy("phase").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("bigint")
+        .alias("cum_tokens"),
+    )

@@ -3652,3 +3652,57 @@ def test_warc_family_plan_shapes(spark):
         assert shuffle_count(df) == 1, (
             fn.__name__, explain_str(df, "simple")[:1500],
         )
+
+
+def test_wasserstein_runs_on_bounded_grid(spark):
+    """W1 must never join or window the raw corpus: the only
+    corpus-sized pass is the (source, length) histogram — every
+    single-partition exchange (the grid LEAD window) reads directly
+    from an aggregate, and the pair join is a real equi-join, never a
+    cartesian/nested-loop."""
+    from rs_streamloader_spark.operators.text import (
+        wasserstein_doclen_sources,
+    )
+
+    df = wasserstein_doclen_sources(spark, SF_SMOKE)
+    text = explain_str(df)
+    for op in ("CartesianProduct",):
+        assert op not in text, op
+    lines = explain_str(df, "simple").splitlines()
+    exchanges = [
+        i for i, l in enumerate(lines) if "Exchange SinglePartition" in l
+    ]
+    assert exchanges, "expected the bounded grid window exchange"
+    for i in exchanges:
+        assert "HashAggregate" in lines[i + 1], "\n".join(lines[i : i + 3])
+
+
+def test_rake_pins_shuffle_hash_and_topk_cut(spark):
+    """The member↔word-stats join build side grows with vocabulary —
+    pinned shuffle-hash (the r10 broadcast-flip class); the final cut
+    compiles to TakeOrderedAndProject, never a global sort."""
+    from rs_streamloader_spark.operators.text import rake_keyword_topk
+
+    df = rake_keyword_topk(spark, SF_SMOKE)
+    text = explain_str(df)
+    assert "ShuffledHashJoin" in text, text[:2000]
+    assert "TakeOrderedAndProject" in text, text[:2000]
+
+
+def test_curriculum_rank_has_no_global_sort(spark):
+    """The global NTILE rank must come from the histogram-index
+    two-pass: per-length windows (tie-bounded partitions) + a bounded
+    grid cumsum — never a corpus-wide single-partition sort. Every
+    SinglePartition exchange must read from an aggregate."""
+    from rs_streamloader_spark.operators.text import (
+        curriculum_phase_audit,
+    )
+
+    df = curriculum_phase_audit(spark, SF_SMOKE)
+    lines = explain_str(df, "simple").splitlines()
+    exchanges = [
+        i for i, l in enumerate(lines) if "Exchange SinglePartition" in l
+    ]
+    for i in exchanges:
+        assert "HashAggregate" in lines[i + 1], "\n".join(lines[i : i + 3])
+    assert has_broadcast_join(df), explain_str(df)

@@ -5519,3 +5519,118 @@ def test_benford_audit_matches_numpy(spark):
     # non-vacuity: the synthetic uniform prices genuinely violate
     # Benford (at least one digit's χ² term is enormous)
     assert max(r["chi2_term_micro"] for r in got.values()) > 10_000_000
+
+
+def test_wasserstein_doclen_matches_numpy_definition(spark):
+    """W1 pinned from the definition: for each source pair, compute
+    the earth mover's distance over raw parquet lengths with numpy
+    (mean |sorted-quantile| integral == CDF-area form) and check the
+    micro-unit integer the engines agreed on. The pin shares NO code
+    with either engine side — a grid slip, a cum/total swap, or a gap
+    off-by-one both engines replicate would land here."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rs_streamloader_spark.operators.text import (
+        wasserstein_doclen_sources,
+    )
+    from tests.conftest import SF_SMOKE
+
+    t = pq.read_table(
+        SF_SMOKE + "/documents.parquet", columns=["source", "text"]
+    ).to_pandas()
+    t = t[t["text"].str.len() > 0]
+    t["v"] = t["text"].str.len().astype("int64")
+    by_src = {s: np.sort(g["v"].to_numpy()) for s, g in t.groupby("source")}
+
+    def w1(xs, ys):
+        # CDF-area form on the merged grid (independent of the
+        # engines' cum*n cross-multiplication formulation)
+        grid = np.unique(np.concatenate([xs, ys]))
+        fa = np.searchsorted(xs, grid, side="right") / len(xs)
+        fb = np.searchsorted(ys, grid, side="right") / len(ys)
+        gaps = np.diff(grid)
+        return float(np.sum(np.abs(fa[:-1] - fb[:-1]) * gaps))
+
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in wasserstein_doclen_sources(spark, SF_SMOKE).collect()
+    }
+    srcs = sorted(by_src)
+    assert len(got) == len(srcs) * (len(srcs) - 1) // 2
+    checked_nonzero = 0
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            r = got[(sa, sb)]
+            assert r["n_a"] == len(by_src[sa]) and r["n_b"] == len(
+                by_src[sb]
+            )
+            expect = w1(by_src[sa], by_src[sb])
+            # engine value is floor(1e6 * exact-rational); the numpy
+            # float is within one ulp of the rational, so the integers
+            # differ by at most 1
+            assert abs(r["w1_micro"] - int(expect * 1e6)) <= 1, (sa, sb)
+            if r["w1_micro"] > 0:
+                checked_nonzero += 1
+    # non-vacuity: the distances genuinely vary across pairs
+    assert checked_nonzero >= 3
+
+
+def test_curriculum_ntile_closed_form_matches_duckdb_on_edges(
+    spark, tmp_path
+):
+    """The distributed-rank NTILE closed form vs DuckDB's native NTILE
+    on the awkward shapes: N == k (all buckets 1), N % k != 0 (mixed
+    ceil/floor buckets), and heavy length TIES straddling a bucket
+    boundary (rank order inside a tie is doc_id in both engines)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry
+
+    cases = [
+        ["abc def"] * 1 + ["a b"] * 1 + ["xx yy zz"] * 3,  # N=5=k
+        ["w" * (3 + i % 4) for i in range(13)],            # N=13, ties
+        ["same text here"] * 12,                           # one giant tie
+    ]
+    for ci, texts in enumerate(cases):
+        d = tmp_path / f"cur{ci}"
+        d.mkdir()
+        docs = pd.DataFrame(
+            [
+                {
+                    "doc_id": i * 3,
+                    "text": t,
+                    "lang": "en",
+                    "source": f"src{i % 4}",
+                    "n_chars": len(t),
+                }
+                for i, t in enumerate(texts)
+            ]
+        )
+        pq.write_table(
+            pa.Table.from_pandas(docs, preserve_index=False),
+            d / "documents.parquet",
+        )
+        got = (
+            entry.queries()["curriculum_phase_audit"](spark, str(d))
+            .toPandas()
+            .sort_values("phase")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM"
+            f" read_parquet('{d}/documents.parquet')"
+        )
+        want = (
+            con.execute(entry.oracle_sql()["curriculum_phase_audit"])
+            .df()
+            .sort_values("phase")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype("int64"), want.astype("int64"), check_dtype=False
+        ), ci
