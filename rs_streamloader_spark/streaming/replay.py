@@ -1816,3 +1816,153 @@ def stream_format_router_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read().select(
         "batch_seq", "fmt", "n_docs", "chars_recovered"
     )
+
+
+_WARC_SLICES = 6
+
+
+def _warc_replay_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(doc_id % {_WARC_SLICES} AS BIGINT) AS batch_seq,
+             doc_id % 17 = 3 AS is_fault,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars
+      FROM documents WHERE LENGTH(text) > 0
+    )
+    SELECT batch_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN is_fault THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truncated,
+           CAST(SUM(CASE WHEN is_fault THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_clean_recovered,
+           CAST(SUM(CASE WHEN is_fault THEN 0 ELSE n_chars END)
+                AS BIGINT) AS chars_clean
+    FROM d GROUP BY batch_seq
+    """
+
+
+@register("stream_warc_ingest_replay", oracle=_warc_replay_oracle())
+def stream_warc_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 21st replay: WARC capture ingestion IN-STREAM — the shape a
+    live crawl feed actually takes (captures arrive continuously;
+    interrupted writes arrive WITH them). Each micro-batch under
+    ``maxFilesPerTrigger=1`` synthesizes its captures (the
+    ``doc_id % 17`` slice tail-truncated mid-payload), walks the
+    ISO-28500 framing, flags short declared-length reads, verifies
+    clean captures recover the document byte-exactly through all
+    three layers, and lands the per-batch admission/quarantine tally
+    via ``insert_batch`` (batchId-keyed — a replayed batch lands
+    exactly once). The oracle predicts every batch's split from the
+    fault rule, so a parser that misses a short read in ANY batch, or
+    a recovery break, or a double-landed batch each break a row.
+
+    Scale posture: per-batch work is O(batch) map-only capture
+    parsing; the landed table holds {_WARC_SLICES} fixed-width rows;
+    no state store — the quarantine discipline lives in the
+    exactly-once landing protocol."""
+    from rs_streamloader_spark.operators.webtext import (
+        _extract_warc_faults,
+    )
+    from rs_streamloader_spark.session import load_tables
+    from rs_streamloader_spark.sinks.native import NativeTableSink
+
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .select("doc_id", "source", "text")
+        .where(F.length("text") > 0)
+        .withColumn(
+            "slc", F.expr(f"CAST(doc_id % {_WARC_SLICES} AS INT)")
+        )
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "rs_sl_replay",
+        spark.sparkContext.applicationId,
+        "warc_ingest",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    import time as _time
+
+    in_path = os.path.join(base, "in")
+    base_mtime = _time.time() - _WARC_SLICES - 60
+    for i in range(_WARC_SLICES):
+        docs.filter(F.col("slc") == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_path)
+        for name in os.listdir(in_path):
+            full = os.path.join(in_path, name)
+            if os.path.getmtime(full) > base_mtime + i:
+                os.utime(full, (base_mtime + i, base_mtime + i))
+
+    sink = NativeTableSink(spark, os.path.join(base, "tallies"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_path)
+    )
+
+    def land_batch(bdf: DataFrame, bid: int) -> None:
+        parsed = bdf.select("doc_id", "source", "text").mapInPandas(
+            _extract_warc_faults,
+            schema=(
+                "doc_id bigint, source string, n_records_parsed bigint,"
+                " is_truncated boolean, clean_recovered boolean"
+            ),
+        )
+        tally = (
+            parsed.join(
+                bdf.select(
+                    "doc_id",
+                    "slc",
+                    F.length("text").cast("bigint").alias("n_chars"),
+                ),
+                "doc_id",
+            )
+            .groupBy("slc")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum(F.when(F.col("is_truncated"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_truncated"),
+                F.sum(F.when(F.col("clean_recovered"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_clean_recovered"),
+                F.sum(
+                    F.when(
+                        F.col("clean_recovered"), F.col("n_chars")
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("chars_clean"),
+            )
+            .select(
+                F.col("slc").cast("bigint").alias("batch_seq"),
+                "n_docs",
+                "n_truncated",
+                "n_clean_recovered",
+                "chars_clean",
+            )
+        )
+        sink.insert_batch(tally, bid)
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS)
+    )
+    try:
+        q = (
+            stream.writeStream.foreachBatch(land_batch)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return sink.read().select(
+        "batch_seq", "n_docs", "n_truncated", "n_clean_recovered",
+        "chars_clean",
+    )

@@ -432,3 +432,26 @@ def test_maintenance_under_pin_multibatch(spark):
     post = rows[_MAINT_SLICES + 1]
     assert post["vacuum_deferred"] is False  # lease ended, space back
     assert post["pinned_rows"] is None and post["pin_intact"] is None
+
+
+def test_warc_ingest_replay_batch_boundaries(spark):
+    """The 21st replay genuinely crosses micro-batch boundaries: all
+    6 slices land as distinct batch rows, every batch contains BOTH
+    truncated and clean captures (the fault slice cuts across every
+    batch because 17 is coprime to 6), and per-batch clean counts
+    reconcile with docs minus faults."""
+    from rs_streamloader_spark.streaming.replay import (
+        _WARC_SLICES,
+        stream_warc_ingest_replay,
+    )
+
+    rows = {
+        r["batch_seq"]: r
+        for r in stream_warc_ingest_replay(spark, SF).collect()
+    }
+    assert set(rows) == set(range(_WARC_SLICES))
+    for k, r in rows.items():
+        assert r["n_truncated"] > 0, (k, r)
+        assert r["n_clean_recovered"] > 0, (k, r)
+        assert r["n_docs"] == r["n_truncated"] + r["n_clean_recovered"], r
+        assert r["chars_clean"] > 0, r
