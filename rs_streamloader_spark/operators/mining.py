@@ -1230,9 +1230,10 @@ def _doc_bigrams_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stage_cached(spark, sf_dir, "perplexity_doc_bigrams", build)
 
 
-@register(
-    "text_perplexity_bigram",
-    oracle="""
+# the bigram-LM scoring CTE chain, single-sourced between the per-doc
+# perplexity oracle and the CCNet bucket oracle (byte-identical render
+# keeps the committed fingerprint)
+_PPX_TERMS_CTE = """
     WITH bigrams AS (
       SELECT doc_id,
              UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ws)),
@@ -1262,7 +1263,13 @@ def _doc_bigrams_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN bc ON bc.w1 = db.w1 AND bc.w2 = db.w2
       JOIN wc ON wc.w1 = db.w1
       CROSS JOIN v
-    )
+    )"""
+
+
+@register(
+    "text_perplexity_bigram",
+    oracle=_PPX_TERMS_CTE
+    + """
     SELECT doc_id,
            CAST(SUM(n) AS BIGINT) AS n_bigrams,
            ROUND(SUM(n * nll), 6) AS total_nll,
@@ -1294,6 +1301,13 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles. (Rounding the sum to 4dp instead puts grid values on
     exact half-boundaries and flips the last digit — measured, not
     hypothetical.)"""
+    return _doc_nll(spark, sf_dir)
+
+
+def _doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (n_bigrams, total_nll, avg_nll) under the corpus
+    add-one bigram LM — the scoring core shared by
+    ``text_perplexity_bigram`` and ``ccnet_perplexity_buckets``."""
     docs = _t(spark, sf_dir, "documents")["documents"]
     # cached: ONE explode pass feeds both the per-doc multiplicities
     # and (via re-aggregation) the corpus LM counts — Catalyst does
@@ -1324,6 +1338,87 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.round(F.sum(F.col("n") * F.col("nll")), 6) / F.sum("n"), 6
         ).alias("avg_nll"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+_CCNET_HEAD = 3.375  # corpus ~p33 of avg_nll (measured at sf0.01)
+_CCNET_MIDDLE = 3.40  # corpus ~p66
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=_PPX_TERMS_CTE
+    + f"""
+    , perdoc AS (
+      SELECT doc_id,
+             CAST(SUM(n) AS BIGINT) AS n_bigrams,
+             ROUND(ROUND(SUM(n * nll), 6) / SUM(n), 6) AS avg_nll
+      FROM terms GROUP BY doc_id
+    ),
+    lab AS (
+      SELECT d.source,
+             CASE WHEN p.avg_nll < {_CCNET_HEAD} THEN 'head'
+                  WHEN p.avg_nll < {_CCNET_MIDDLE} THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             p.n_bigrams
+      FROM perdoc p JOIN documents d ON d.doc_id = p.doc_id
+    )
+    SELECT source, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS bigram_mass,
+           CAST((1000000 * COUNT(*))
+                // SUM(COUNT(*)) OVER (PARTITION BY source)
+                AS BIGINT) AS share_ppm
+    FROM lab GROUP BY source, bucket
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): every
+    document scores under the corpus's own bigram LM and lands in the
+    head / middle / tail bucket by fixed cutoffs ({_CCNET_HEAD} /
+    {_CCNET_MIDDLE} avg-NLL — the measured corpus tertiles, so all
+    three buckets are live at every sf), rolled up per source with
+    bucket shares in exact integer ppm. The CCNet recipe trains on
+    head+middle and drops tail; the per-source share table is the
+    mixing decision input. Cutoffs compare the ALREADY-ROUNDED 6dp
+    avg_nll (bit-identical cross-engine per the perplexity
+    operator's determinism argument), so the bucket assignment is
+    exact — no percentile machinery runs at query time.
+
+    Scale posture: identical to ``text_perplexity_bigram`` (shared
+    scoring core + cached bigram stage, shuffle-hash-pinned LM join)
+    plus one doc_id join to recover the source column and a
+    60-group rollup; the share window runs over the bounded
+    (source × bucket) grid."""
+    perdoc = _doc_nll(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "source"
+    )
+    lab = perdoc.join(docs, "doc_id").select(
+        "source",
+        F.when(F.col("avg_nll") < _CCNET_HEAD, "head")
+        .when(F.col("avg_nll") < _CCNET_MIDDLE, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        "n_bigrams",
+    )
+    agg = lab.groupBy("source", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_bigrams").cast("bigint").alias("bigram_mass"),
+    )
+    return agg.select(
+        "source",
+        "bucket",
+        "n_docs",
+        "bigram_mass",
+        F.expr(
+            "CAST((1000000 * n_docs) DIV sum(n_docs)"
+            " OVER (PARTITION BY source) AS BIGINT)"
+        ).alias("share_ppm"),
     )
 
 

@@ -85,3 +85,67 @@ def test_pipeline_plan_shape(spark):
     text = df._jdf.queryExecution().executedPlan().toString()
     assert text.count("Exchange") <= 3, text[:2000]
     assert text.count("MapInPandas") == 1, text[:2000]
+
+
+def test_incremental_agg_max_fold_keeps_earlier_max(spark, tmp_path):
+    """IVM non-additive-fold pin: a LATER batch carrying a SMALLER
+    max_doc_id must not regress the stored max (greatest() fold, not
+    last-write-wins). Constructed ids: doc 200 arrives in batch 2,
+    doc 140 in batch 3 — the final row must keep 200. Cross-engine
+    compared on the same corpus."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry
+
+    rows = [
+        # source sA: batch0 (id 0), batch2 (id 200), batch3 (id 140)
+        (0, "sA", "alpha beta gamma"),
+        (200, "sA", "delta epsilon"),
+        (140, "sA", "zeta eta theta iota"),
+        # source sB: strictly increasing ids across batches 0/1
+        (3, "sB", "one two"),
+        (23, "sB", "three four five"),
+    ]
+    d = tmp_path / "ivm"
+    d.mkdir()
+    docs = pd.DataFrame(
+        [
+            {
+                "doc_id": i,
+                "text": t,
+                "lang": "en",
+                "source": s,
+                "n_chars": len(t),
+            }
+            for i, s, t in rows
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        d / "documents.parquet",
+    )
+    got = {
+        r["source"]: r
+        for r in entry.queries()["native_store_incremental_agg"](
+            spark, str(d)
+        ).collect()
+    }
+    assert got["sA"]["max_doc_id"] == 200  # later batch had 140
+    assert got["sA"]["n_docs"] == 3
+    assert got["sB"]["n_docs"] == 2
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{d}/documents.parquet')"
+    )
+    want = con.execute(
+        entry.oracle_sql()["native_store_incremental_agg"]
+    ).df()
+    for _, w in want.iterrows():
+        g = got[w["source"]]
+        assert (g["n_docs"], g["chars_sum"], g["max_doc_id"]) == (
+            w["n_docs"], w["chars_sum"], w["max_doc_id"],
+        ), w["source"]

@@ -416,6 +416,24 @@ HEAVY_TAIL = [
     # r15: WordPiece trainer (K vocab-bounded iterations; fertility
     # is the corpus-facing member — the bpe_trained precedent)
     "wordpiece_trained_fertility",
+    # r15 second wave: WARC capture family (per-doc parse rows —
+    # linear; rollups bounded by the fixed source set), the manifest
+    # zone-map prune (1 row), the pipeline capstone (per-source), the
+    # Wasserstein pair grid / RAKE top-k / curriculum phases (all
+    # bounded), and the 21st replay (fixed slice count)
+    "warc_ingest_extract",
+    "warc_source_rollup",
+    "warc_truncation_audit",
+    "native_store_manifest_pruning",
+    "pretrain_pipeline_e2e",
+    "wasserstein_doclen_sources",
+    "rake_keyword_topk",
+    "curriculum_phase_audit",
+    "stream_warc_ingest_replay",
+    # r15 third wave: CCNet bucket grid (sources x 3) and the IVM
+    # running-aggregate table (per-source)
+    "ccnet_perplexity_buckets",
+    "native_store_incremental_agg",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -770,6 +788,21 @@ CONSTANT_OUTPUT = {
     # K-row merge table / per-source fertility — both fixed-size
     "wordpiece_trained_merges",
     "wordpiece_trained_fertility",
+    # r15 second wave: per-source WARC rollups (source set fixed),
+    # 1-row prune accounting, per-source pipeline tally, sources²
+    # Wasserstein grid, top-15 RAKE cut, 5 curriculum phases, 6-row
+    # replay tally
+    "warc_source_rollup",
+    "warc_truncation_audit",
+    "native_store_manifest_pruning",
+    "pretrain_pipeline_e2e",
+    "wasserstein_doclen_sources",
+    "rake_keyword_topk",
+    "curriculum_phase_audit",
+    "stream_warc_ingest_replay",
+    # r15 third wave: bounded (source x bucket) grid / per-source table
+    "ccnet_perplexity_buckets",
+    "native_store_incremental_agg",
 }
 
 
