@@ -1854,3 +1854,165 @@ def pretrain_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("admitted_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup — the crawl-frontier dedup stage: messy
+# fetch URLs normalize to canonical identities before content fetch
+# ---------------------------------------------------------------------------
+
+
+def _synth_messy_url():
+    """Codegen fetch-URL builder: canonical identity
+    ``https://{source}.example.{tld}/item/{doc_id DIV 40}`` dressed in
+    deterministic crawl mess — %3 uppercases the host's middle label,
+    %5 adds the default :443 port, %7 a trailing slash, %2 tracking
+    params, %11 a fragment. doc_id DIV 40 pairs consecutive same-
+    source ids (20 | 40), so real duplicate identities exist in every
+    source."""
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net"), F.lit("io")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    host = F.concat(
+        F.col("source"),
+        F.when(F.col("doc_id") % 3 == 1, F.lit(".EXAMPLE.")).otherwise(
+            F.lit(".example.")
+        ),
+        tld,
+    )
+    return F.concat(
+        F.lit("https://"),
+        host,
+        F.when(F.col("doc_id") % 5 == 1, F.lit(":443")).otherwise(
+            F.lit("")
+        ),
+        F.lit("/item/"),
+        F.expr("CAST(doc_id DIV 40 AS STRING)"),
+        F.when(F.col("doc_id") % 7 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.lit("?utm_source=feed&utm_campaign=x"),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 1, F.lit("#frag")).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             ['com', 'org', 'net', 'io'][CAST(doc_id % 4 AS INTEGER) + 1]
+               AS tld
+      FROM documents WHERE LENGTH(text) > 0
+    ),
+    c AS (
+      SELECT doc_id,
+             'https://' || source || '.example.' || tld || '/item/'
+               || CAST(doc_id // 40 AS VARCHAR) AS canon
+      FROM d
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canonical,
+           CAST(COUNT(*) - COUNT(DISTINCT canon) AS BIGINT)
+             AS n_dup_fetches,
+           CAST((1000000 * (COUNT(*) - COUNT(DISTINCT canon)))
+                // COUNT(*) AS BIGINT) AS dup_ppm,
+           CAST(SUM(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_upper_hosts,
+           CAST(SUM(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_default_ports,
+           CAST(SUM(CASE WHEN doc_id % 7 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_trailing_slashes,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tracking_queries,
+           CAST(SUM(CASE WHEN doc_id % 11 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fragments,
+           MIN(canon) AS sample_canon
+    FROM c JOIN d USING (doc_id)
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl-frontier stage that runs
+    BEFORE any content fetch: every messy fetch URL (mixed-case host,
+    default :443 port, trailing slash, utm tracking params, fragment)
+    normalizes to its canonical identity via ``parse_url`` +
+    string ops, ENTIRELY in JVM codegen, and the frontier dedupes on
+    the canonical form. Every count is measured on the PARSED side:
+    each mess kind is detected from the URL text (a case-sensitive
+    host compare, an AUTHORITY port probe, a path-suffix probe, a
+    utm-prefixed QUERY param, a REF probe) while the oracle predicts
+    it from the synthesis cadence — so a canonicalization bug splits
+    duplicate identities (n_canonical too high), a detection bug
+    breaks its own counter, and a recompose bug breaks the
+    byte-compared sample_canon.
+
+    Scale posture: map-only codegen canonicalization; the dedup
+    measure is one COUNT DISTINCT over the canonical key (the same
+    partial-aggregate shape dedup_exact uses); single-row output."""
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .select("doc_id", "source", "text")
+        .where(F.length("text") > 0)
+    )
+    u = docs.select("doc_id", _synth_messy_url().alias("url"))
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    authority = F.parse_url(F.col("url"), F.lit("AUTHORITY"))
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    query = F.parse_url(F.col("url"), F.lit("QUERY"))
+    ref = F.parse_url(F.col("url"), F.lit("REF"))
+    parsed = u.select(
+        "doc_id",
+        host.alias("host"),
+        authority.alias("authority"),
+        path.alias("path"),
+        query.alias("query"),
+        ref.alias("ref"),
+    ).select(
+        "doc_id",
+        # canonical recompose: lowercase host, default port gone (HOST
+        # already excludes it — the port probe is AUTHORITY's job),
+        # trailing slash stripped, utm-only query dropped, no fragment
+        F.concat(
+            F.lit("https://"),
+            F.lower(F.col("host")),
+            F.regexp_replace(F.col("path"), "/$", ""),
+        ).alias("canon"),
+        (F.col("host") != F.lower(F.col("host"))).alias("was_upper"),
+        F.col("authority").contains(":443").alias("had_port"),
+        F.col("path").endswith("/").alias("had_slash"),
+        F.coalesce(
+            F.col("query").startswith("utm_"), F.lit(False)
+        ).alias("had_utm"),
+        F.col("ref").isNotNull().alias("had_frag"),
+    )
+    return parsed.agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.countDistinct("canon").cast("bigint").alias("n_canonical"),
+        (F.count("*") - F.countDistinct("canon"))
+        .cast("bigint")
+        .alias("n_dup_fetches"),
+        F.expr(
+            "CAST((1000000 * (count(*) - count(DISTINCT canon)))"
+            " DIV count(*) AS BIGINT)"
+        ).alias("dup_ppm"),
+        F.sum(F.when(F.col("was_upper"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_upper_hosts"),
+        F.sum(F.when(F.col("had_port"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_default_ports"),
+        F.sum(F.when(F.col("had_slash"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_trailing_slashes"),
+        F.sum(F.when(F.col("had_utm"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tracking_queries"),
+        F.sum(F.when(F.col("had_frag"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fragments"),
+        F.min("canon").alias("sample_canon"),
+    )

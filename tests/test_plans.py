@@ -3706,3 +3706,16 @@ def test_curriculum_rank_has_no_global_sort(spark):
     for i in exchanges:
         assert "HashAggregate" in lines[i + 1], "\n".join(lines[i : i + 3])
     assert has_broadcast_join(df), explain_str(df)
+
+
+def test_url_canonical_dedup_is_jvm_only(spark):
+    """Canonicalization must stay whole-stage codegen: zero Python
+    stages, map-only into the single aggregate."""
+    from rs_streamloader_spark.operators.webtext import (
+        dedup_url_canonical,
+    )
+
+    df = dedup_url_canonical(spark, SF_SMOKE)
+    text = explain_str(df)
+    assert "MapInPandas" not in text and "BatchEvalPython" not in text
+    assert shuffle_count(df) <= 2, explain_str(df, "simple")[:1500]

@@ -104,6 +104,31 @@ HEAVY_K100 = [
     "multimodal_quality_screen",
     "stream_multimodal_screen_replay",
     "bpe_trained_merges",
+    # r15: the raw-ingestion wave (parse volume scales with text), the
+    # trainer loops, and the router/replay capstones — listed so the
+    # committed k=100 coverage reproduces from this list alone
+    "html_text_extract",
+    "html_boilerplate_density",
+    "html_structure_stats",
+    "md_text_extract",
+    "jsonl_ingest_extract",
+    "csv_ingest_extract",
+    "xml_ingest_extract",
+    "xml_xpath_structure",
+    "ingest_format_router",
+    "stream_format_router_replay",
+    "unigram_lm_em_vocab",
+    "unigram_lm_fertility",
+    "wordpiece_trained_merges",
+    "wordpiece_trained_fertility",
+    # r15 second/third waves: WARC capture parse (3-layer decode
+    # volume), the pipeline capstone (parse + dedup window), the
+    # in-stream WARC replay, and the CCNet bucket consumer of the
+    # bigram-LM join
+    "warc_ingest_extract",
+    "pretrain_pipeline_e2e",
+    "stream_warc_ingest_replay",
+    "ccnet_perplexity_buckets",
 ]
 
 

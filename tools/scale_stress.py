@@ -434,6 +434,7 @@ HEAVY_TAIL = [
     # running-aggregate table (per-source)
     "ccnet_perplexity_buckets",
     "native_store_incremental_agg",
+    "dedup_url_canonical",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -803,6 +804,7 @@ CONSTANT_OUTPUT = {
     # r15 third wave: bounded (source x bucket) grid / per-source table
     "ccnet_perplexity_buckets",
     "native_store_incremental_agg",
+    "dedup_url_canonical",
 }
 
 
