@@ -3350,3 +3350,231 @@ def embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(svv AS DOUBLE) / n_dims, 6)"
         ).alias("pr_normalized"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliced Wasserstein distance between source embedding distributions
+# ---------------------------------------------------------------------------
+
+_SW_SLICES = 4
+_SW_BIN_NANO = 50_000_000  # 0.05 projection units per bin
+_SW_OFFSET = 64_000_000_000  # |p_nano| <= 64e9, so buckets stay >= 0
+
+
+def _sw_sign_sql(k: str, i: str) -> str:
+    """DuckDB ±1 from the first md5 hex digit's parity of 'sw|k:i' —
+    mirrors Spark's conv(substring(md5(...), 1, 1), 16, 10) % 2."""
+    h = f"MD5('sw|' || CAST({k} AS VARCHAR) || ':' || CAST({i} AS VARCHAR))"
+    return (
+        f"(CASE WHEN (STRPOS('0123456789abcdef', SUBSTR({h}, 1, 1)) - 1)"
+        f" % 2 = 0 THEN 1 ELSE -1 END)"
+    )
+
+
+@register(
+    "sliced_wasserstein_embeddings",
+    oracle=f"""
+    WITH e AS (
+      SELECT em.vec_id, d.source,
+             UNNEST(list_transform(
+               range(1, len(em.embedding) + 1),
+               i -> {{'i': i,
+                     'v': CAST(ROUND(em.embedding[i] * 1000000000)
+                               AS BIGINT)}})) AS u
+      FROM embeddings em
+      JOIN documents d ON d.doc_id = em.vec_id
+    ),
+    sl AS (SELECT UNNEST(range({_SW_SLICES})) AS k),
+    p AS (
+      SELECT e.vec_id, e.source, sl.k,
+             SUM({_sw_sign_sql('sl.k', 'u.i')} * u.v) AS p_nano
+      FROM e CROSS JOIN sl
+      GROUP BY 1, 2, 3
+    ),
+    h AS (
+      SELECT source, k,
+             CAST((p_nano + {_SW_OFFSET}) // {_SW_BIN_NANO} AS BIGINT)
+               AS b,
+             COUNT(*) AS cnt
+      FROM p GROUP BY 1, 2, 3
+    ),
+    n AS (SELECT source, SUM(cnt) / {_SW_SLICES} AS n_s
+          FROM h GROUP BY source),
+    gg AS (
+      SELECT k, b, LEAD(b) OVER (PARTITION BY k ORDER BY b) - b AS gap
+      FROM (SELECT DISTINCT k, b FROM h)
+    ),
+    dens AS (
+      SELECT s.source, gg.k, gg.b, gg.gap, COALESCE(h.cnt, 0) AS cnt
+      FROM (SELECT DISTINCT source FROM h) s
+      CROSS JOIN gg
+      LEFT JOIN h ON h.source = s.source AND h.k = gg.k AND h.b = gg.b
+    ),
+    c AS (
+      SELECT source, k, b, gap,
+             SUM(cnt) OVER (PARTITION BY source, k ORDER BY b) AS cum
+      FROM dens
+    ),
+    pr AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             ABS(CAST(a.cum AS HUGEINT) * nb.n_s
+                 - CAST(b.cum AS HUGEINT) * na.n_s)
+               * COALESCE(a.gap, 0) AS term,
+             na.n_s AS n_a, nb.n_s AS n_b
+      FROM c a
+      JOIN c b ON b.k = a.k AND b.b = a.b AND a.source < b.source
+      JOIN n na ON na.source = a.source
+      JOIN n nb ON nb.source = b.source
+    )
+    SELECT source_a, source_b,
+           CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           CAST((1000000 * SUM(term))
+                // ({_SW_SLICES} * MAX(n_a) * MAX(n_b))
+                AS BIGINT) AS sw_micro
+    FROM pr GROUP BY 1, 2
+    """,
+)
+def sliced_wasserstein_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sliced Wasserstein distance between every source pair's
+    EMBEDDING distributions — the distribution-level drift metric the
+    centroid-cosine matrix cannot see (two sources with identical
+    centroids but different spreads read 0 there; sliced-W1 sees the
+    shape). Each of {_SW_SLICES} fixed Rademacher directions (signs
+    from md5 parity, identical in both engines) projects every vector
+    to an EXACT nano-integer scalar (signed sum of nano-rounded
+    components — integer accumulation, so no float summation-order
+    hazard exists); projections bin at 0.05 width (the documented
+    resolution bound: |SW − binned-SW| ≤ bin width) and the exact 1-D
+    W1 runs per slice on the bounded bucket grid via the
+    cum-cross-multiplication machinery, averaged over slices in one
+    integer division.
+
+    Scale posture: the per-vector work is one explode collapsing
+    map-side to {_SW_SLICES} integer projections per vector; the
+    histogram is a bounded (source × slice × ~200-bucket) grid and
+    everything downstream — densify, cumsum, pair join — runs on that
+    grid, never on vectors. The doc→embedding join is key-to-key
+    shuffle-hash (never broadcast). numpy definitional pin in
+    tests/test_statistics_sanity.py."""
+    t = load_tables(spark, sf_dir, "embeddings", "documents")
+    e = (
+        t["embeddings"]
+        .join(
+            t["documents"].select("doc_id", "source").hint("shuffle_hash"),
+            F.col("vec_id") == F.col("doc_id"),
+        )
+        .select(
+            "vec_id",
+            "source",
+            F.posexplode("embedding").alias("i0", "v"),
+        )
+        .select(
+            "vec_id",
+            "source",
+            (F.col("i0") + 1).alias("i"),
+            F.expr("CAST(ROUND(v * 1000000000) AS BIGINT)").alias("vn"),
+        )
+    )
+    sl = spark.range(_SW_SLICES).select(F.col("id").alias("k"))
+    p = (
+        e.crossJoin(F.broadcast(sl))
+        .select(
+            "vec_id",
+            "source",
+            "k",
+            (
+                F.expr(
+                    "CASE WHEN conv(substring(md5(concat('sw|', CAST(k AS STRING),"
+                    " ':', CAST(i AS STRING))), 1, 1), 16, 10) % 2 = 0"
+                    " THEN 1 ELSE -1 END"
+                )
+                * F.col("vn")
+            ).alias("term"),
+        )
+        .groupBy("vec_id", "source", "k")
+        .agg(F.sum("term").alias("p_nano"))
+    )
+    h = (
+        p.select(
+            "source",
+            "k",
+            F.expr(
+                f"CAST((p_nano + {_SW_OFFSET}) DIV {_SW_BIN_NANO} AS BIGINT)"
+            ).alias("b"),
+        )
+        .groupBy("source", "k", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n = h.groupBy("source").agg(
+        (F.sum("cnt") / _SW_SLICES).cast("bigint").alias("n_s")
+    )
+    gg = (
+        h.select("k", "b")
+        .distinct()
+        .withColumn(
+            "gap",
+            F.lead("b").over(Window.partitionBy("k").orderBy("b"))
+            - F.col("b"),
+        )
+    )
+    dens = (
+        n.select("source")
+        .crossJoin(F.broadcast(gg))
+        .join(h, ["source", "k", "b"], "left")
+        .select(
+            "source", "k", "b", "gap",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+    )
+    c = dens.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy("source", "k")
+            .orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    a = c.alias("a")
+    bb = c.alias("b")
+    na = n.select(
+        F.col("source").alias("source_a"), F.col("n_s").alias("n_a")
+    )
+    nb = n.select(
+        F.col("source").alias("source_b"), F.col("n_s").alias("n_b")
+    )
+    pairs = (
+        a.join(
+            bb,
+            (F.col("b.k") == F.col("a.k"))
+            & (F.col("b.b") == F.col("a.b"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("a.gap").alias("gap"),
+            F.col("a.cum").alias("cum_a"),
+            F.col("b.cum").alias("cum_b"),
+        )
+        .join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .withColumn(
+            "term",
+            F.expr(
+                "abs(CAST(cum_a AS DECIMAL(38,0)) * n_b"
+                " - CAST(cum_b AS DECIMAL(38,0)) * n_a)"
+                " * COALESCE(gap, 0)"
+            ),
+        )
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.max("n_a").cast("bigint").alias("n_a"),
+        F.max("n_b").cast("bigint").alias("n_b"),
+        F.expr(
+            f"CAST((1000000 * sum(term)) DIV ({_SW_SLICES}"
+            " * CAST(max(n_a) AS DECIMAL(38,0)) * max(n_b)) AS BIGINT)"
+        ).alias("sw_micro"),
+    )

@@ -3719,3 +3719,25 @@ def test_url_canonical_dedup_is_jvm_only(spark):
     text = explain_str(df)
     assert "MapInPandas" not in text and "BatchEvalPython" not in text
     assert shuffle_count(df) <= 2, explain_str(df, "simple")[:1500]
+
+
+def test_sliced_wasserstein_runs_on_bounded_grid(spark):
+    """Per-vector work must collapse to integer projections map-side;
+    everything after runs on the bounded (source, slice, bucket) grid
+    — every SinglePartition exchange reads from an aggregate and the
+    doc→embedding join is never broadcast (key-to-key on two O(SF)
+    tables)."""
+    from rs_streamloader_spark.operators.similarity import (
+        sliced_wasserstein_embeddings,
+    )
+
+    df = sliced_wasserstein_embeddings(spark, SF_SMOKE)
+    text = explain_str(df)
+    assert "CartesianProduct" not in text
+    lines = explain_str(df, "simple").splitlines()
+    for i, l in enumerate(lines):
+        if "Exchange SinglePartition" in l:
+            assert "HashAggregate" in lines[i + 1], "\n".join(
+                lines[i : i + 3]
+            )
+    assert "ShuffledHashJoin" in text, text[:1500]

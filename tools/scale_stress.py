@@ -435,6 +435,7 @@ HEAVY_TAIL = [
     "ccnet_perplexity_buckets",
     "native_store_incremental_agg",
     "dedup_url_canonical",
+    "sliced_wasserstein_embeddings",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -805,6 +806,7 @@ CONSTANT_OUTPUT = {
     "ccnet_perplexity_buckets",
     "native_store_incremental_agg",
     "dedup_url_canonical",
+    "sliced_wasserstein_embeddings",
 }
 
 
