@@ -1966,3 +1966,250 @@ def stream_warc_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_seq", "n_docs", "n_truncated", "n_clean_recovered",
         "chars_clean",
     )
+
+
+_DRIFT_SLICES = 5
+_DRIFT_BINS = 64
+_DRIFT_BIN_CENTS = 1000  # $10 bins over [0, $640); top bin clamps
+_DRIFT_ALERT_BINS2 = 20  # noise-normalized alert level, bins^2 units
+
+
+def _drift_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT NTILE({_DRIFT_SLICES}) OVER (ORDER BY ts, event_id)
+               AS slice,
+             LEAST({_DRIFT_BINS} - 1, GREATEST(0,
+               CAST(FLOOR(value * 100 / {_DRIFT_BIN_CENTS}) AS BIGINT)))
+               AS bin
+      FROM events
+    ),
+    slices AS (SELECT DISTINCT slice FROM e),
+    bins AS (SELECT UNNEST(range({_DRIFT_BINS})) AS bin),
+    h AS (SELECT slice, bin, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+    g AS (
+      SELECT s.slice, b.bin, COALESCE(h.cnt, 0) AS cnt
+      FROM slices s CROSS JOIN bins b
+      LEFT JOIN h ON h.slice = s.slice AND h.bin = b.bin
+    ),
+    g2 AS (
+      SELECT slice, bin, cnt,
+             COALESCE(SUM(cnt) OVER (PARTITION BY bin ORDER BY slice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cnt_hist
+      FROM g
+    ),
+    c AS (
+      SELECT slice, bin,
+             SUM(cnt) OVER (PARTITION BY slice ORDER BY bin) AS cum_s,
+             SUM(cnt_hist) OVER (PARTITION BY slice ORDER BY bin)
+               AS cum_h,
+             SUM(cnt) OVER (PARTITION BY slice) AS n_s,
+             SUM(cnt_hist) OVER (PARTITION BY slice) AS n_h
+      FROM g2
+    ),
+    w AS (
+      SELECT slice,
+             CAST(MAX(n_s) AS BIGINT) AS n_events,
+             CAST(MAX(n_h) AS BIGINT) AS n_history,
+             CAST((1000000 * SUM(ABS(cum_s * n_h - cum_h * n_s)))
+                  // (MAX(n_s) * MAX(n_h)) AS BIGINT) AS w1_micro
+      FROM c WHERE n_h > 0 GROUP BY slice
+    )
+    SELECT CAST(slice AS BIGINT) AS batch_seq,
+           n_events, n_history, w1_micro,
+           CAST(w1_micro AS HUGEINT) * w1_micro * n_events * n_history
+             > CAST({_DRIFT_ALERT_BINS2} AS HUGEINT) * 1000000000000
+               * (n_events + n_history) AS drift_alert
+    FROM w
+    """
+
+
+@register("stream_drift_monitor_replay", oracle=_drift_oracle())
+def stream_drift_monitor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 22nd replay: a streaming DISTRIBUTION-DRIFT monitor — each
+    micro-batch's value distribution is compared against the
+    ACCUMULATED history by exact 1-D Wasserstein distance over a
+    frozen 64-bin histogram, and a noise-normalized alert fires when
+    W1² · (n_s·n_h)/(n_s+n_h) exceeds {_DRIFT_ALERT_BINS2} bins²
+    (raw W1 shrinks as 1/√n, so a fixed raw threshold either always
+    fires at small batches or never at large ones — the normalized
+    statistic is scale-free, and BOTH verdict branches are live at
+    both compare scales, measured before the threshold froze). The
+    history state is a 64-row per-bin count table maintained through
+    the native sink by the IVM merge protocol (read back from disk
+    every batch); verdicts land batchId-keyed exactly-once. The
+    oracle replays the slice-sequenced protocol declaratively:
+    history-before-batch via a per-bin running window, the same
+    integer cross-multiplied CDF terms, the same alert compare.
+
+    Scale posture: per-batch work is one map-side-combinable 64-bin
+    histogram + 64-row joins/windows for the W1; state is O(bins)
+    regardless of stream length — the mergeable-histogram property
+    that makes the monitor viable on an unbounded 100 TB stream.
+    First batch has no history and lands no verdict row."""
+    from pyspark.sql.window import Window as W
+
+    from rs_streamloader_spark.sinks.native import NativeTableSink
+
+    ev = _events(spark, sf_dir).select("ts", "event_id", "value")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "rs_sl_replay",
+        spark.sparkContext.applicationId,
+        "drift_mon",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    in_path = os.path.join(base, "in")
+    import time as _time
+
+    # harness-only single-partition sort fabricating arrival order
+    # (the measured operator is the drift protocol, which never sees
+    # it — same contract as stream_maintenance_pin_replay)
+    sliced = ev.withColumn(
+        "slc", F.ntile(_DRIFT_SLICES).over(W.orderBy("ts", "event_id"))
+    ).persist()
+    try:
+        base_mtime = _time.time() - _DRIFT_SLICES - 60
+        for i in range(1, _DRIFT_SLICES + 1):
+            (
+                sliced.filter(F.col("slc") == i)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(in_path)
+            )
+            for name in os.listdir(in_path):
+                full = os.path.join(in_path, name)
+                if os.path.getmtime(full) > base_mtime + i:
+                    os.utime(full, (base_mtime + i, base_mtime + i))
+    finally:
+        sliced.unpersist()
+
+    hist_store = NativeTableSink(spark, os.path.join(base, "hist"))
+    verdicts = NativeTableSink(spark, os.path.join(base, "verdicts"))
+    bins = spark.range(_DRIFT_BINS).select(F.col("id").alias("bin"))
+    stream = (
+        spark.readStream.schema(
+            sliced.select("ts", "event_id", "value", "slc").schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_path)
+    )
+
+    def land(bdf: DataFrame, bid: int) -> None:
+        seq = bdf.agg(F.max("slc")).first()[0]
+        hist = (
+            bdf.select(
+                F.expr(
+                    f"LEAST({_DRIFT_BINS} - 1, GREATEST(0,"
+                    f" CAST(FLOOR(value * 100 / {_DRIFT_BIN_CENTS})"
+                    " AS BIGINT)))"
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count("*").alias("cnt"))
+        )
+        dense = (
+            bins.join(hist, "bin", "left")
+            .select("bin", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        try:
+            prior = hist_store.read().select("bin", "cnt")
+            n_h = prior.agg(F.sum("cnt")).first()[0] or 0
+        except Exception:
+            prior, n_h = None, 0
+        if n_h > 0:
+            joined = dense.join(
+                prior.withColumnRenamed("cnt", "cnt_h"), "bin", "left"
+            ).select(
+                "bin",
+                "cnt",
+                F.coalesce("cnt_h", F.lit(0)).alias("cnt_h"),
+            )
+            wb = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+            cums = joined.select(
+                F.sum("cnt").over(wb).alias("cum_s"),
+                F.sum("cnt_h").over(wb).alias("cum_h"),
+            )
+            row = (
+                cums.crossJoin(
+                    F.broadcast(
+                        joined.agg(
+                            F.sum("cnt").alias("n_s"),
+                            F.sum("cnt_h").alias("n_hh"),
+                        )
+                    )
+                )
+                .agg(
+                    F.max("n_s").alias("n_s"),
+                    F.max("n_hh").alias("n_hh"),
+                    F.expr(
+                        "CAST((1000000 * sum(abs(CAST(cum_s AS"
+                        " DECIMAL(38,0)) * n_hh - CAST(cum_h AS"
+                        " DECIMAL(38,0)) * n_s))) DIV"
+                        " (CAST(max(n_s) AS DECIMAL(38,0))"
+                        " * max(n_hh)) AS BIGINT)"
+                    ).alias("w1_micro"),
+                )
+                .first()
+            )
+            verdict = spark.createDataFrame(
+                [
+                    (
+                        int(seq),
+                        int(row["n_s"]),
+                        int(row["n_hh"]),
+                        int(row["w1_micro"]),
+                    )
+                ],
+                "batch_seq bigint, n_events bigint, n_history bigint,"
+                " w1_micro bigint",
+            ).withColumn(
+                "drift_alert",
+                F.expr(
+                    "CAST(w1_micro AS DECIMAL(38,0)) * w1_micro"
+                    " * n_events * n_history"
+                    f" > CAST({_DRIFT_ALERT_BINS2} AS DECIMAL(38,0))"
+                    " * 1000000000000 * (n_events + n_history)"
+                ),
+            )
+            verdicts.insert_batch(verdict, bid)
+        # IVM fold of the batch histogram into the history store
+        if n_h > 0:
+            merged = (
+                dense.join(
+                    prior.withColumnRenamed("cnt", "cnt_h"), "bin", "left"
+                )
+                .select(
+                    "bin",
+                    (
+                        F.col("cnt")
+                        + F.coalesce(F.col("cnt_h"), F.lit(0))
+                    ).alias("cnt"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        else:
+            merged = dense
+        hist_store.upsert(merged, id_field="bin")
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS)
+    )
+    try:
+        q = (
+            stream.writeStream.foreachBatch(land)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return verdicts.read().select(
+        "batch_seq", "n_events", "n_history", "w1_micro", "drift_alert"
+    )

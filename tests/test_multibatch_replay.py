@@ -455,3 +455,25 @@ def test_warc_ingest_replay_batch_boundaries(spark):
         assert r["n_clean_recovered"] > 0, (k, r)
         assert r["n_docs"] == r["n_truncated"] + r["n_clean_recovered"], r
         assert r["chars_clean"] > 0, r
+
+
+def test_drift_monitor_replay_batch_boundaries(spark):
+    """The 22nd replay: 4 verdict rows (first batch has no history),
+    history grows monotonically batch over batch (the IVM fold), and
+    BOTH alert branches fire at this scale (threshold measured inside
+    the per-slice W1 range before it froze)."""
+    from rs_streamloader_spark.streaming.replay import (
+        _DRIFT_SLICES,
+        stream_drift_monitor_replay,
+    )
+
+    rows = {
+        r["batch_seq"]: r
+        for r in stream_drift_monitor_replay(spark, SF).collect()
+    }
+    assert set(rows) == set(range(2, _DRIFT_SLICES + 1))
+    hist = [rows[k]["n_history"] for k in sorted(rows)]
+    assert hist == sorted(hist) and hist[0] < hist[-1]
+    verdicts = {rows[k]["drift_alert"] for k in rows}
+    assert verdicts == {True, False}, rows
+    assert all(r["w1_micro"] > 0 for r in rows.values())

@@ -129,6 +129,10 @@ HEAVY_K100 = [
     "pretrain_pipeline_e2e",
     "stream_warc_ingest_replay",
     "ccnet_perplexity_buckets",
+    # linear per-vector projection work feeding the bounded slice grid
+    "sliced_wasserstein_embeddings",
+    # O(bins) state drift monitor — k100 exercises per-batch volume
+    "stream_drift_monitor_replay",
 ]
 
 

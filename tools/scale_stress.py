@@ -436,6 +436,7 @@ HEAVY_TAIL = [
     "native_store_incremental_agg",
     "dedup_url_canonical",
     "sliced_wasserstein_embeddings",
+    "stream_drift_monitor_replay",
 ]
 
 # UNBOUNDED threshold-pair operators over embeddings have
@@ -807,6 +808,7 @@ CONSTANT_OUTPUT = {
     "native_store_incremental_agg",
     "dedup_url_canonical",
     "sliced_wasserstein_embeddings",
+    "stream_drift_monitor_replay",
 }
 
 
