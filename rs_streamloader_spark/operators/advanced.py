@@ -2126,10 +2126,15 @@ def native_store_manifest_interop(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "native_store_manifest_pruning",
     oracle="""
-    WITH d AS (
-      SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS q,
-             doc_id // 16 AS band
+    WITH d0 AS (
+      SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS q
       FROM documents WHERE LENGTH(text) > 0
+    ),
+    wdt AS (
+      SELECT GREATEST(16, (MAX(doc_id) + 1) // 32) AS w FROM d0
+    ),
+    d AS (
+      SELECT doc_id, q, doc_id // w AS band FROM d0, wdt
     ),
     p AS (SELECT MAX(doc_id) // 4 AS hi FROM d),
     kb AS (SELECT DISTINCT band FROM d, p WHERE doc_id <= hi)
@@ -2149,9 +2154,10 @@ def native_store_manifest_pruning(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Zone-map file skipping through the open manifest: the corpus is
-    exported RANGE-CLUSTERED (one file per doc_id band of 16 — the
-    repartition-by-value + partitionBy layout, so each parquet file's
-    footer min/max brackets one band), ``write_directory_manifest``
+    exported RANGE-CLUSTERED (one file per doc_id band, band width
+    sized from the corpus so the layout stays ~32 files at ANY scale
+    — the repartition-by-value + partitionBy layout, so each parquet
+    file's footer min/max brackets one band), ``write_directory_manifest``
     records per-file zone maps from a distributed FOOTER-ONLY pass,
     and a selective range read (doc_id ≤ max/4) goes through
     ``prune_manifest_files``: files whose recorded range cannot
@@ -2185,15 +2191,22 @@ def native_store_manifest_pruning(
         write_directory_manifest,
     )
 
-    docs = (
+    base_docs = (
         load_tables(spark, sf_dir, "documents")["documents"]
         .where(F.length("text") > 0)
         .select(
             "doc_id",
             F.length("text").cast("bigint").alias("q"),
-            F.expr("doc_id DIV 16").alias("band"),
         )
     )
+    # band width tracks the corpus so the layout is always ~32 files:
+    # a fixed width would mean one file per 16 ids — 100x the corpus,
+    # 100x the files, the classic small-files failure. ONE 1-row max
+    # collect fixes both the width and the predicate bound.
+    max_id = base_docs.agg(F.max("doc_id")).collect()[0][0]
+    w = max(16, (max_id + 1) // 32)
+    hi = max_id // 4
+    docs = base_docs.withColumn("band", F.expr(f"doc_id DIV {w}"))
     base = os.path.join(
         tempfile.gettempdir(),
         "rs_sl_zonemap",
@@ -2208,9 +2221,6 @@ def native_store_manifest_pruning(
     # band arithmetic mirrors
     docs.repartition("band").write.partitionBy("band").parquet(d)
     mp = write_directory_manifest(spark, d, stats_columns=["doc_id"])
-
-    # the predicate bound: one 1-row aggregate collect (bounded)
-    hi = docs.agg(F.max("doc_id")).collect()[0][0] // 4
     manifest = load_manifest(spark, mp)
     kept, total = prune_manifest_files(manifest, "doc_id", None, hi)
     pruned = read_manifest(spark, mp, prune=("doc_id", None, hi))
