@@ -12,6 +12,11 @@ from pyspark.sql import functions as F
 # word pieces: runs of letters, runs of digits, or single other glyphs
 BPE_ISH_PATTERN = r"[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
+# the Gopher-style stopword set shared by every quality screen that
+# interpolates it into oracle SQL (quality_gopher_rules, RAKE, the
+# pipeline capstone) — ONE definition so the screens cannot drift
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for")
+
 
 def n_tokens(text: str | Column = "text") -> Column:
     """Whitespace token count via the length/replace identity — stays

@@ -184,6 +184,13 @@ def parse_warc(capture: str) -> List[WarcRecord]:
             # reject framing that was valid until the cut
             lines = lines[:-1]
         if not lines[0].startswith("WARC/"):
+            if truncated_header and "WARC/1.0".startswith(lines[0]):
+                # the capture ended inside the version line itself —
+                # tail truncation per the module contract (flagged,
+                # never raised), not framing damage: a walker that
+                # got here advanced only by declared lengths
+                records.append(WarcRecord("", {}, "", True))
+                break
             raise WarcFormatError(
                 f"bad record magic at offset {pos}: {lines[0][:40]!r}"
             )

@@ -560,7 +560,9 @@ def hashed_feature_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Gopher-style quality rule battery (per-rule failure report)
 # ---------------------------------------------------------------------------
 
-_GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for")
+from rs_streamloader_spark.functions.text_functions import (
+    GOPHER_STOPWORDS as _GOPHER_STOPWORDS,
+)
 
 
 @register(

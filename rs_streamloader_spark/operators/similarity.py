@@ -33,6 +33,10 @@ from rs_streamloader_spark.functions.moments import (
     nano_sigma_samp_sql,
 )
 from rs_streamloader_spark.functions.vector import dot_expr, nano_mean, nano_mean_sql, norm_expr
+from rs_streamloader_spark.functions.wasserstein import (
+    w1_pair_cte_sql,
+    w1_pair_micro,
+)
 from rs_streamloader_spark.operators.registry import REGISTRY, register
 from rs_streamloader_spark.session import load_tables, spread, stage_cached
 
@@ -3394,46 +3398,16 @@ def _sw_sign_sql(k: str, i: str) -> str:
     h AS (
       SELECT source, k,
              CAST((p_nano + {_SW_OFFSET}) // {_SW_BIN_NANO} AS BIGINT)
-               AS b,
+               AS v,
              COUNT(*) AS cnt
       FROM p GROUP BY 1, 2, 3
     ),
-    n AS (SELECT source, SUM(cnt) / {_SW_SLICES} AS n_s
+    n AS (SELECT source, SUM(cnt) // {_SW_SLICES} AS n_s
           FROM h GROUP BY source),
-    gg AS (
-      SELECT k, b, LEAD(b) OVER (PARTITION BY k ORDER BY b) - b AS gap
-      FROM (SELECT DISTINCT k, b FROM h)
+"""
+    + w1_pair_cte_sql(["k"], scale_div=_SW_SLICES).replace(
+        "AS w1_micro", "AS sw_micro"
     ),
-    dens AS (
-      SELECT s.source, gg.k, gg.b, gg.gap, COALESCE(h.cnt, 0) AS cnt
-      FROM (SELECT DISTINCT source FROM h) s
-      CROSS JOIN gg
-      LEFT JOIN h ON h.source = s.source AND h.k = gg.k AND h.b = gg.b
-    ),
-    c AS (
-      SELECT source, k, b, gap,
-             SUM(cnt) OVER (PARTITION BY source, k ORDER BY b) AS cum
-      FROM dens
-    ),
-    pr AS (
-      SELECT a.source AS source_a, b.source AS source_b,
-             ABS(CAST(a.cum AS HUGEINT) * nb.n_s
-                 - CAST(b.cum AS HUGEINT) * na.n_s)
-               * COALESCE(a.gap, 0) AS term,
-             na.n_s AS n_a, nb.n_s AS n_b
-      FROM c a
-      JOIN c b ON b.k = a.k AND b.b = a.b AND a.source < b.source
-      JOIN n na ON na.source = a.source
-      JOIN n nb ON nb.source = b.source
-    )
-    SELECT source_a, source_b,
-           CAST(MAX(n_a) AS BIGINT) AS n_a,
-           CAST(MAX(n_b) AS BIGINT) AS n_b,
-           CAST((1000000 * SUM(term))
-                // ({_SW_SLICES} * MAX(n_a) * MAX(n_b))
-                AS BIGINT) AS sw_micro
-    FROM pr GROUP BY 1, 2
-    """,
 )
 def sliced_wasserstein_embeddings(
     spark: SparkSession, sf_dir: str
@@ -3448,9 +3422,9 @@ def sliced_wasserstein_embeddings(
     components — integer accumulation, so no float summation-order
     hazard exists); projections bin at 0.05 width (the documented
     resolution bound: |SW − binned-SW| ≤ bin width) and the exact 1-D
-    W1 runs per slice on the bounded bucket grid via the
-    cum-cross-multiplication machinery, averaged over slices in one
-    integer division.
+    W1 runs per slice via the SHARED pair machinery in
+    functions/wasserstein.py (single-sourced with the doclen W1 on
+    both engine sides), averaged over slices in one integer division.
 
     Scale posture: the per-vector work is one explode collapsing
     map-side to {_SW_SLICES} integer projections per vector; the
@@ -3503,78 +3477,14 @@ def sliced_wasserstein_embeddings(
             "k",
             F.expr(
                 f"CAST((p_nano + {_SW_OFFSET}) DIV {_SW_BIN_NANO} AS BIGINT)"
-            ).alias("b"),
+            ).alias("v"),
         )
-        .groupBy("source", "k", "b")
+        .groupBy("source", "k", "v")
         .agg(F.count("*").alias("cnt"))
     )
     n = h.groupBy("source").agg(
-        (F.sum("cnt") / _SW_SLICES).cast("bigint").alias("n_s")
+        F.expr(f"sum(cnt) DIV {_SW_SLICES}").alias("n_s")
     )
-    gg = (
-        h.select("k", "b")
-        .distinct()
-        .withColumn(
-            "gap",
-            F.lead("b").over(Window.partitionBy("k").orderBy("b"))
-            - F.col("b"),
-        )
-    )
-    dens = (
-        n.select("source")
-        .crossJoin(F.broadcast(gg))
-        .join(h, ["source", "k", "b"], "left")
-        .select(
-            "source", "k", "b", "gap",
-            F.coalesce("cnt", F.lit(0)).alias("cnt"),
-        )
-    )
-    c = dens.withColumn(
-        "cum",
-        F.sum("cnt").over(
-            Window.partitionBy("source", "k")
-            .orderBy("b")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    a = c.alias("a")
-    bb = c.alias("b")
-    na = n.select(
-        F.col("source").alias("source_a"), F.col("n_s").alias("n_a")
-    )
-    nb = n.select(
-        F.col("source").alias("source_b"), F.col("n_s").alias("n_b")
-    )
-    pairs = (
-        a.join(
-            bb,
-            (F.col("b.k") == F.col("a.k"))
-            & (F.col("b.b") == F.col("a.b"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .select(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-            F.col("a.gap").alias("gap"),
-            F.col("a.cum").alias("cum_a"),
-            F.col("b.cum").alias("cum_b"),
-        )
-        .join(F.broadcast(na), "source_a")
-        .join(F.broadcast(nb), "source_b")
-        .withColumn(
-            "term",
-            F.expr(
-                "abs(CAST(cum_a AS DECIMAL(38,0)) * n_b"
-                " - CAST(cum_b AS DECIMAL(38,0)) * n_a)"
-                " * COALESCE(gap, 0)"
-            ),
-        )
-    )
-    return pairs.groupBy("source_a", "source_b").agg(
-        F.max("n_a").cast("bigint").alias("n_a"),
-        F.max("n_b").cast("bigint").alias("n_b"),
-        F.expr(
-            f"CAST((1000000 * sum(term)) DIV ({_SW_SLICES}"
-            " * CAST(max(n_a) AS DECIMAL(38,0)) * max(n_b)) AS BIGINT)"
-        ).alias("sw_micro"),
-    )
+    return w1_pair_micro(
+        h, n, part_cols=["k"], scale_div=_SW_SLICES
+    ).withColumnRenamed("w1_micro", "sw_micro")

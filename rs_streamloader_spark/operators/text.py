@@ -20,6 +20,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rs_streamloader_spark.functions.vector import cosine_expr
+from rs_streamloader_spark.functions.wasserstein import (
+    w1_pair_cte_sql,
+    w1_pair_micro,
+)
 from rs_streamloader_spark.functions import (
     marker_word_count,
     n_tokens,
@@ -2822,39 +2826,8 @@ def word_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     h AS (SELECT source, v, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
     n AS (SELECT source, SUM(cnt) AS n_s FROM h GROUP BY 1),
-    gg AS (
-      SELECT v, LEAD(v) OVER (ORDER BY v) - v AS gap
-      FROM (SELECT DISTINCT v FROM h)
-    ),
-    dens AS (
-      SELECT s.source, gg.v, gg.gap, COALESCE(h.cnt, 0) AS cnt
-      FROM (SELECT DISTINCT source FROM h) s
-      CROSS JOIN gg
-      LEFT JOIN h ON h.source = s.source AND h.v = gg.v
-    ),
-    c AS (
-      SELECT source, v, gap,
-             SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS cum
-      FROM dens
-    ),
-    p AS (
-      SELECT a.source AS source_a, b.source AS source_b,
-             ABS(CAST(a.cum AS HUGEINT) * nb.n_s
-                 - CAST(b.cum AS HUGEINT) * na.n_s)
-               * COALESCE(a.gap, 0) AS term,
-             na.n_s AS n_a, nb.n_s AS n_b
-      FROM c a
-      JOIN c b ON b.v = a.v AND a.source < b.source
-      JOIN n na ON na.source = a.source
-      JOIN n nb ON nb.source = b.source
-    )
-    SELECT source_a, source_b,
-           CAST(MAX(n_a) AS BIGINT) AS n_a,
-           CAST(MAX(n_b) AS BIGINT) AS n_b,
-           CAST((1000000 * SUM(term)) // (MAX(n_a) * MAX(n_b))
-                AS BIGINT) AS w1_micro
-    FROM p GROUP BY 1, 2
-    """,
+"""
+    + w1_pair_cte_sql([]),
 )
 def wasserstein_doclen_sources(
     spark: SparkSession, sf_dir: str
@@ -2869,11 +2842,12 @@ def wasserstein_doclen_sources(
     between a source's snapshot and its trailing profile is the drift
     alarm that ranks sources by how much re-mixing they need.
 
-    Exactness: on the merged step-function grid the CDF difference is
-    |cum_a·n_b − cum_b·n_a| / (n_a·n_b) over each inter-value gap —
-    every term is an exact integer (DECIMAL(38) products against the
-    int64 edge at web scale), summed then integer-divided to
-    micro-units once per pair. No float enters either engine.
+    Exactness and the pair machinery live in
+    functions/wasserstein.py (single-sourced with the sliced-W
+    embedding operator on BOTH engine sides): every term is an exact
+    integer — DECIMAL(38)/HUGEINT cross-products over the merged step
+    grid, one floor division to micro-units per pair. No float enters
+    either engine.
 
     Scale posture: one map-side-combinable (source, length) histogram
     is the only corpus-sized pass; everything after runs on the
@@ -2882,7 +2856,8 @@ def wasserstein_doclen_sources(
     fans to grid × sources² bounded rows and the global LEAD window
     sits above a tiny aggregate. Cross-check: w1_micro is symmetric,
     zero on the diagonal by construction, and bounded by the length
-    range × 1e6 (asserted in tests/test_statistics_sanity.py)."""
+    range × 1e6 (numpy CDF-area pin in
+    tests/test_statistics_sanity.py)."""
     docs = load_tables(spark, sf_dir, "documents")["documents"].where(
         F.length("text") > 0
     )
@@ -2894,70 +2869,7 @@ def wasserstein_doclen_sources(
         .agg(F.count("*").alias("cnt"))
     )
     n = h.groupBy("source").agg(F.sum("cnt").alias("n_s"))
-    grid = (
-        h.select("v")
-        .distinct()
-        .withColumn("gap", F.lead("v").over(Window.orderBy("v")) - F.col("v"))
-    )
-    dens = (
-        n.select("source")
-        .crossJoin(F.broadcast(grid))
-        .join(h, ["source", "v"], "left")
-        .select(
-            "source", "v", "gap", F.coalesce("cnt", F.lit(0)).alias("cnt")
-        )
-    )
-    c = dens.withColumn(
-        "cum",
-        F.sum("cnt").over(
-            Window.partitionBy("source")
-            .orderBy("v")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    a = c.alias("a")
-    b = c.alias("b")
-    na = n.select(
-        F.col("source").alias("source_a"),
-        F.col("n_s").alias("n_a"),
-    )
-    nb = n.select(
-        F.col("source").alias("source_b"),
-        F.col("n_s").alias("n_b"),
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("b.v") == F.col("a.v"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .select(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-            F.col("a.v").alias("v"),
-            F.col("a.gap").alias("gap"),
-            F.col("a.cum").alias("cum_a"),
-            F.col("b.cum").alias("cum_b"),
-        )
-        .join(F.broadcast(na), "source_a")
-        .join(F.broadcast(nb), "source_b")
-        .withColumn(
-            "term",
-            F.expr(
-                "abs(CAST(cum_a AS DECIMAL(38,0)) * n_b"
-                " - CAST(cum_b AS DECIMAL(38,0)) * n_a)"
-                " * COALESCE(gap, 0)"
-            ),
-        )
-    )
-    return pairs.groupBy("source_a", "source_b").agg(
-        F.max("n_a").cast("bigint").alias("n_a"),
-        F.max("n_b").cast("bigint").alias("n_b"),
-        F.expr(
-            "CAST((1000000 * sum(term)) DIV (CAST(max(n_a) AS DECIMAL(38,0))"
-            " * max(n_b)) AS BIGINT)"
-        ).alias("w1_micro"),
-    )
+    return w1_pair_micro(h, n, part_cols=[])
 
 
 # ---------------------------------------------------------------------------
@@ -2965,7 +2877,9 @@ def wasserstein_doclen_sources(
 # word scores) — fully relational in both engines
 # ---------------------------------------------------------------------------
 
-_RAKE_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for")
+from rs_streamloader_spark.functions.text_functions import (
+    GOPHER_STOPWORDS as _RAKE_STOPWORDS,
+)
 _RAKE_MAX_PHRASE = 6
 _RAKE_TOPK = 15
 

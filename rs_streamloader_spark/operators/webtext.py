@@ -1648,7 +1648,9 @@ def warc_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # screens on the RECOVERED text -> exact-hash dedup -> per-source tally
 # ---------------------------------------------------------------------------
 
-_PIPE_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for")
+from rs_streamloader_spark.functions.text_functions import (
+    GOPHER_STOPWORDS as _PIPE_STOPWORDS,
+)
 
 _PIPE_SCHEMA = (
     "doc_id bigint, source string, n_words bigint, n_chars_tok bigint,"
@@ -1709,37 +1711,13 @@ def _pipeline_metrics(
 
 @register(
     "pretrain_pipeline_e2e",
-    oracle=f"""
-    WITH d AS (
-      SELECT doc_id, source, text,
-             CAST(LENGTH(text) AS BIGINT) AS n_chars,
-             CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
-                  AS BIGINT) AS n_words_c,
-             4 + doc_id % 5 AS p_sz, 3 + doc_id % 4 AS l_strd
-      FROM documents WHERE LENGTH(text) > 0
-    ),
-    m AS (
-      SELECT *,
-             (n_words_c + p_sz - 1) // p_sz AS n_paras,
-             (n_words_c - 1) // l_strd + 1 AS n_links,
-             (n_words_c - 1) // 4 AS n_ent
-      FROM d
-    ),
-    s AS (
-      SELECT *,
-             (n_paras - 1) // 7 + 1 AS n_h2,
-             3 * (n_paras // 3)
-               + CASE WHEN n_paras % 3 = 2 THEN 1 ELSE 0 END AS n_div
-      FROM m
-    ),
-    hb AS (
-      SELECT *,
-             88 + LENGTH(CAST(doc_id AS VARCHAR)) + n_chars
-                + 7 * n_paras + 2 * n_h2 + 11 * n_div
-                + 16 * n_links + 4 * n_ent AS html_bytes
-      FROM s
-    ),
-    toks AS (
+    # the markup byte-accounting comes from the SAME _CONTRACT_CTE the
+    # whole HTML family shares (one definition of html_bytes — a
+    # contract change cannot silently diverge this oracle from the
+    # others); only the token statistics and pipeline stages are new
+    oracle=_CONTRACT_CTE
+    + f"""
+    , toks AS (
       SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
       FROM documents WHERE LENGTH(text) > 0
     ),
@@ -1759,14 +1737,14 @@ def _pipeline_metrics(
       GROUP BY doc_id
     ),
     f AS (
-      SELECT hb.doc_id, hb.source, hb.text, hb.n_chars, hb.html_bytes,
-             pd.n_words,
+      SELECT b.doc_id, b.source, b.text, b.n_chars, b.html_bytes,
+             pd.n_words AS tok_words,
              (pd.n_words BETWEEN 10 AND 1000
               AND pd.n_chars_tok * 10 >= pd.n_words * 30
               AND pd.n_chars_tok * 10 <= pd.n_words * 100
-              AND 100 * hb.n_chars >= 35 * hb.html_bytes
+              AND 100 * b.n_chars >= 35 * b.html_bytes
               AND pd.n_stop > 0) AS pass
-      FROM hb JOIN pd ON hb.doc_id = pd.doc_id
+      FROM b JOIN pd ON b.doc_id = pd.doc_id
     ),
     r AS (
       SELECT *,
@@ -1783,7 +1761,7 @@ def _pipeline_metrics(
                 AS BIGINT) AS n_dup_dropped,
            CAST(SUM(CASE WHEN pass AND rn = 1 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_admitted,
-           CAST(SUM(CASE WHEN pass AND rn = 1 THEN n_words ELSE 0 END)
+           CAST(SUM(CASE WHEN pass AND rn = 1 THEN tok_words ELSE 0 END)
                 AS BIGINT) AS admitted_tokens
     FROM r GROUP BY source
     """,

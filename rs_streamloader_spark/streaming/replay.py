@@ -2036,9 +2036,12 @@ def stream_drift_monitor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     fires at small batches or never at large ones — the normalized
     statistic is scale-free, and BOTH verdict branches are live at
     both compare scales, measured before the threshold froze). The
-    history state is a 64-row per-bin count table maintained through
-    the native sink by the IVM merge protocol (read back from disk
-    every batch); verdicts land batchId-keyed exactly-once. The
+    history state is an append-only batch-tagged histogram LOG in the
+    native sink — per-batch 64-bin partials landed batchId-keyed, so
+    a foreachBatch retry can never fold a batch twice (the classic
+    IVM double-merge bug a read-modify-write formulation invites);
+    the pre-batch history is the aggregate of strictly-earlier
+    partials read back from disk. Verdicts land batchId-keyed too. The
     oracle replays the slice-sequenced protocol declaratively:
     history-before-batch via a per-bin running window, the same
     integer cross-multiplied CDF terms, the same alert compare.
@@ -2112,16 +2115,33 @@ def stream_drift_monitor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         dense = (
             bins.join(hist, "bin", "left")
-            .select("bin", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+            .select(
+                F.lit(int(seq)).cast("bigint").alias("src_batch"),
+                "bin",
+                F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            )
             .localCheckpoint(eager=True)
         )
+        # history = the aggregate of every PRIOR batch's landed
+        # histogram. The per-batch histograms land batchId-keyed
+        # (below), so a foreachBatch RETRY folds nothing twice — the
+        # review-caught IVM double-merge hazard of the previous
+        # read-modify-write formulation. FileNotFoundError is the one
+        # legitimate "no history yet" signal (a never-committed
+        # store); any other read failure must surface loudly, never
+        # silently reset the accumulated history.
         try:
-            prior = hist_store.read().select("bin", "cnt")
+            prior = (
+                hist_store.read()
+                .where(F.col("src_batch") < F.lit(int(seq)))
+                .groupBy("bin")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
             n_h = prior.agg(F.sum("cnt")).first()[0] or 0
-        except Exception:
+        except FileNotFoundError:
             prior, n_h = None, 0
         if n_h > 0:
-            joined = dense.join(
+            joined = dense.select("bin", "cnt").join(
                 prior.withColumnRenamed("cnt", "cnt_h"), "bin", "left"
             ).select(
                 "bin",
@@ -2176,24 +2196,10 @@ def stream_drift_monitor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
             verdicts.insert_batch(verdict, bid)
-        # IVM fold of the batch histogram into the history store
-        if n_h > 0:
-            merged = (
-                dense.join(
-                    prior.withColumnRenamed("cnt", "cnt_h"), "bin", "left"
-                )
-                .select(
-                    "bin",
-                    (
-                        F.col("cnt")
-                        + F.coalesce(F.col("cnt_h"), F.lit(0))
-                    ).alias("cnt"),
-                )
-                .localCheckpoint(eager=True)
-            )
-        else:
-            merged = dense
-        hist_store.upsert(merged, id_field="bin")
+        # land THIS batch's histogram batchId-keyed: the history log
+        # is append-only mergeable partials (O(bins·batches) tiny
+        # rows), and replays are exactly-once by construction
+        hist_store.insert_batch(dense, bid)
 
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(

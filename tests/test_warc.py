@@ -282,3 +282,26 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_truncation_into_final_magic_is_flagged_not_raised():
+    """A tail cut landing INSIDE the final record's 'WARC/1.0'
+    version line is still tail truncation (the module contract:
+    flagged, never raised) — only mid-capture framing damage raises."""
+    cap = _one_record("abcdefgh") + _one_record("tail")
+    # cut so only 'WAR' of record 2's magic survives
+    cut = cap.find("WARC/1.0", 1) + 3
+    recs = parse_warc(cap[:cut])
+    assert len(recs) == 2
+    assert not recs[0].truncated and recs[0].payload == "abcdefgh"
+    assert recs[1].truncated and recs[1].payload == ""
+
+
+def test_every_tail_cut_depth_parses_without_raising():
+    """Exhaustive contract check: EVERY possible tail-truncation depth
+    of a full 3-record capture either parses clean or yields
+    truncated records — never a WarcFormatError."""
+    cap = synth_warc(7, "src7", "aa bb cc dd ee ff gg hh")
+    for cut in range(len(cap)):
+        recs = parse_warc(cap[:cut])  # must not raise
+        assert len(recs) <= 3
