@@ -175,6 +175,34 @@ def clear_stage_cache(unpersist: bool = True) -> None:
                     pass
         for d in _EXTERNAL_STAGE_CACHES:
             d.clear()
+        _TABLE_CACHE.clear()
+
+
+# Analyzed-plan memo for the base tables: building a parquet
+# DataFrame costs a file listing + footer schema resolution every
+# call (~0.2s/table measured at sf0.1), and every catalog query
+# constructs its inputs through load_tables — so a 474-query sweep
+# paid that setup thousands of times (guide §1.2: per-task work after
+# algorithm; this is per-QUERY work that isn't work at all). The memo
+# plays the role a metastore catalog plays on a real cluster: table
+# METADATA (path set + schema) resolves once per (application,
+# sf_dir, table). No data is cached or persisted — the returned plan
+# re-scans parquet on every action, exactly as before.
+_TABLE_CACHE: OrderedDict = OrderedDict()
+_TABLE_CACHE_MAX = 256
+# name -> (appId, sf_dir) the temp view currently points at: view
+# re-registration costs ~30ms of catalog round-trips per table, so
+# skip it when the view already points at exactly this table
+_VIEW_REG: dict = {}
+
+
+def clear_table_cache() -> None:
+    """Drop the table-plan memo (paired with clear_stage_cache for
+    cold-session semantics; also the escape hatch for a caller that
+    rewrites a table directory in place mid-session)."""
+    with _STAGE_LOCK:
+        _TABLE_CACHE.clear()
+        _VIEW_REG.clear()
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
@@ -187,9 +215,27 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     are micro-aligned, so this matches DuckDB's own NANOS→micros
     conversion exactly)."""
     out = {}
+    app_id = spark.sparkContext.applicationId
     for name in names:
-        df = _read_parquet_nanos_safe(spark, os.path.join(sf_dir, f"{name}.parquet"))
-        df.createOrReplaceTempView(name)
+        key = (app_id, sf_dir, name)
+        with _STAGE_LOCK:
+            df = _TABLE_CACHE.get(key)
+            if df is not None:
+                _TABLE_CACHE.move_to_end(key)
+        if df is None:
+            df = _read_parquet_nanos_safe(
+                spark, os.path.join(sf_dir, f"{name}.parquet")
+            )
+            with _STAGE_LOCK:
+                _TABLE_CACHE[key] = df
+                while len(_TABLE_CACHE) > _TABLE_CACHE_MAX:
+                    _TABLE_CACHE.popitem(last=False)
+        with _STAGE_LOCK:
+            stale = _VIEW_REG.get(name) != key
+            if stale:
+                _VIEW_REG[name] = key
+        if stale:
+            df.createOrReplaceTempView(name)
         out[name] = df
     return out
 

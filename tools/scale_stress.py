@@ -896,6 +896,11 @@ def make_scaled(spark, src: str, dst: str, k: int) -> None:
     # generation interrupted mid-way (lineitem is written 7th of 10)
     with open(marker, "w") as fh:
         json.dump({"k": k, "src": src}, fh)
+    # the table-plan memo may hold dst's PREVIOUS file listing if this
+    # regenerated an existing replica dir within one session
+    from rs_streamloader_spark.session import clear_table_cache
+
+    clear_table_cache()
 
 
 def scaled_dir_ready(dst: str, src: str, k: int) -> bool:
