@@ -1298,13 +1298,18 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full corpus and the top-{cand} candidate cut — is fully
     distributed (broadcast 1-row query, TakeOrderedAndProject cut on
     the ROUNDED score). The greedy loop is inherently sequential
-    (pick t depends on picks 1..t−1): each of the {k} steps is one
-    tiny distributed argmax over the ≤{cand}-row cached candidate
-    table with the picked-id list broadcast in the filter, collecting
-    exactly ONE row per step — the ``dedup_cluster`` iterative
-    pattern, driver work O(k), never O(corpus). Relevance and
-    pairwise sims are rounded to 6dp once; scores combine those
-    identical doubles identically in both engines."""
+    (pick t depends on picks 1..t−1) and runs over a CONSTANT-bounded
+    set (≤{cand} candidates, ≤{cand}² sims — corpus-size-independent
+    by construction), so both tables are collected ONCE and the
+    recursion runs driver-side: 2 jobs total instead of 2 per pick
+    (r15: the per-step distributed argmax was pure scheduler
+    overhead — the argmax input was the same ≤{cand}-row cached
+    table every step). Relevance and pairwise sims are rounded to
+    6dp IN SPARK before collection; the driver combines those
+    identical doubles with the same 0.7/0.3 IEEE arithmetic and a
+    BigDecimal-equivalent HALF_UP 6dp round, so every pick
+    (including tiebreaks) still compares exactly against the
+    oracle's recursive CTE."""
     base = _emb_norm_cached(spark, sf_dir)
     q = base.filter(F.col("vec_id") == _MMR_QUERY_ID).select(
         F.col("embedding").alias("emb_q"), F.col("norm").alias("norm_q")
@@ -1330,45 +1335,49 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("norm").alias("norm_b"),
     )
-    sim = (
-        a.join(b, F.col("ia") != F.col("ib"))
-        .select(
-            "ia",
-            "ib",
-            F.round(
-                dot_expr("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 6
-            ).alias("s"),
+    sim = a.join(b, F.col("ia") != F.col("ib")).select(
+        "ia",
+        "ib",
+        F.round(
+            dot_expr("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 6
+        ).alias("s"),
+    )
+    # Collect the two constant-bounded tables once (≤ _MMR_CAND rels,
+    # ≤ _MMR_CAND² pre-rounded sims) and run the greedy recursion on
+    # the driver — every double below was produced and 6dp-rounded by
+    # Spark, so pick arithmetic matches the old per-step distributed
+    # argmax bit for bit.
+    try:
+        rel_of = {r["vec_id"]: r["rel"] for r in cand.select("vec_id", "rel").collect()}
+        s_of: dict[tuple, float] = {
+            (r["ia"], r["ib"]): r["s"] for r in sim.collect()
+        }
+    finally:
+        cand.unpersist()
+
+    def _r6(x: float) -> float:
+        # Spark's round(double, 6): BigDecimal.valueOf(x) (shortest
+        # decimal repr — identical to Python repr) + HALF_UP at 6dp
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
         )
-        .cache()
-    )
-    first = (
-        cand.orderBy(F.col("rel").desc(), "vec_id")
-        .select("vec_id", "rel", F.round(0.7 * F.col("rel"), 6).alias("score"))
-        .first()
-    )
-    picked = [first.vec_id]
-    out = [(1, first.vec_id, first.rel, first.score)]
+
+    first_id = min(rel_of, key=lambda v: (-rel_of[v], v))
+    picked = [first_id]
+    out = [(1, first_id, rel_of[first_id], _r6(0.7 * rel_of[first_id]))]
     for step in range(2, _MMR_K + 1):
-        nxt = (
-            cand.filter(~F.col("vec_id").isin(picked))
-            .join(
-                sim.filter(F.col("ib").isin(picked)),
-                F.col("ia") == F.col("vec_id"),
-            )
-            .groupBy("vec_id", "rel")
-            .agg(F.max("s").alias("max_s"))
-            .select(
-                "vec_id",
-                "rel",
-                F.round(0.7 * F.col("rel") - 0.3 * F.col("max_s"), 6).alias("score"),
-            )
-            .orderBy(F.col("score").desc(), "vec_id")
-            .first()
-        )
-        picked.append(nxt.vec_id)
-        out.append((step, nxt.vec_id, nxt.rel, nxt.score))
-    cand.unpersist()
-    sim.unpersist()
+        best = None
+        for v, rel_v in rel_of.items():
+            if v in picked:
+                continue
+            max_s = max(s_of[(v, p)] for p in picked)
+            score = _r6(0.7 * rel_v - 0.3 * max_s)
+            if best is None or (-score, v) < (-best[0], best[1]):
+                best = (score, v, rel_v)
+        picked.append(best[1])
+        out.append((step, best[1], best[2], best[0]))
     return spark.createDataFrame(
         out, "step int, vec_id bigint, rel double, score double"
     )
