@@ -87,6 +87,12 @@ def main() -> None:
             spark.sparkContext.setJobDescription(None)
     total = sum(t for t in results.values() if t >= 0)
     print(f"TOTAL {total:.3f}s over {len(results)} queries", flush=True)
+    out_json = opts.get("json")
+    if out_json:
+        import json
+
+        with open(os.path.join(_REPO_ROOT, out_json), "w") as fh:
+            json.dump(results, fh, indent=1, sort_keys=True)
 
 
 if __name__ == "__main__":
