@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from rs_streamloader_spark.functions.markup import extract_html, synth_html
 from rs_streamloader_spark.operators.registry import register
-from rs_streamloader_spark.session import load_tables, stage_cached
+from rs_streamloader_spark.session import load_tables, spread, stage_cached
 
 _METRIC_SCHEMA = (
     "doc_id bigint, source string, n_chars_extracted bigint,"
@@ -116,10 +116,16 @@ def _html_metrics_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "html_metrics",
         lambda: (
-            load_tables(spark, sf_dir, "documents")["documents"]
-            .select("doc_id", "source", "text")
-            .where(F.length("text") > 0)
-            .mapInPandas(_extract_metrics, schema=_METRIC_SCHEMA)
+            # spread: the per-doc synth+parse in _extract_metrics is
+            # pure-Python work, but a small corpus scans as ONE split
+            # (sf0.1 documents is a single 594 KB file) — without the
+            # widen the whole family's parse stage runs single-task.
+            # No-op once the scan yields >= core splits (guide §2/§4).
+            spread(
+                load_tables(spark, sf_dir, "documents")["documents"]
+                .select("doc_id", "source", "text")
+                .where(F.length("text") > 0)
+            ).mapInPandas(_extract_metrics, schema=_METRIC_SCHEMA)
         ),
     )
 
@@ -327,10 +333,12 @@ def _md_metrics_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "md_metrics",
         lambda: (
-            load_tables(spark, sf_dir, "documents")["documents"]
-            .select("doc_id", "source", "text")
-            .where(F.length("text") > 0)
-            .mapInPandas(_extract_md_metrics, schema=_MD_SCHEMA)
+            # spread: same single-split rationale as _html_metrics_cached
+            spread(
+                load_tables(spark, sf_dir, "documents")["documents"]
+                .select("doc_id", "source", "text")
+                .where(F.length("text") > 0)
+            ).mapInPandas(_extract_md_metrics, schema=_MD_SCHEMA)
         ),
     )
 
@@ -1236,17 +1244,16 @@ def ingest_format_router(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: map-only Arrow-batched pass; payloads never cross
     an exchange; per-doc output is a tag + digest + counter."""
-    return (
+    return spread(
         load_tables(spark, sf_dir, "documents")["documents"]
         .select("doc_id", "text")
         .where(F.length("text") > 0)
-        .mapInPandas(
-            _route_extract,
-            schema=(
-                "doc_id bigint, fmt string, n_chars_extracted bigint,"
-                " text_md5 string"
-            ),
-        )
+    ).mapInPandas(
+        _route_extract,
+        schema=(
+            "doc_id bigint, fmt string, n_chars_extracted bigint,"
+            " text_md5 string"
+        ),
     )
 
 
@@ -1423,10 +1430,12 @@ def _warc_metrics_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "warc_metrics",
         lambda: (
-            load_tables(spark, sf_dir, "documents")["documents"]
-            .select("doc_id", "source", "text")
-            .where(F.length("text") > 0)
-            .mapInPandas(_extract_warc_metrics, schema=_WARC_SCHEMA)
+            # spread: same single-split rationale as _html_metrics_cached
+            spread(
+                load_tables(spark, sf_dir, "documents")["documents"]
+                .select("doc_id", "source", "text")
+                .where(F.length("text") > 0)
+            ).mapInPandas(_extract_warc_metrics, schema=_WARC_SCHEMA)
         ),
     )
 
@@ -1618,17 +1627,16 @@ def warc_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: map-only parse → 2 integers + 2 booleans per doc
     → 20-group rollup with map-side combine."""
-    parsed = (
+    parsed = spread(
         load_tables(spark, sf_dir, "documents")["documents"]
         .select("doc_id", "source", "text")
         .where(F.length("text") > 0)
-        .mapInPandas(
-            _extract_warc_faults,
-            schema=(
-                "doc_id bigint, source string, n_records_parsed bigint,"
-                " is_truncated boolean, clean_recovered boolean"
-            ),
-        )
+    ).mapInPandas(
+        _extract_warc_faults,
+        schema=(
+            "doc_id bigint, source string, n_records_parsed bigint,"
+            " is_truncated boolean, clean_recovered boolean"
+        ),
     )
     return parsed.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -1796,12 +1804,11 @@ def pretrain_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitioned window on (md5, pass); the tally is a 20-group
     map-side-combinable rollup. Three total exchanges of fixed-width
     rows, independent of document size."""
-    mx = (
+    mx = spread(
         load_tables(spark, sf_dir, "documents")["documents"]
         .select("doc_id", "source", "text")
         .where(F.length("text") > 0)
-        .mapInPandas(_pipeline_metrics, schema=_PIPE_SCHEMA)
-    )
+    ).mapInPandas(_pipeline_metrics, schema=_PIPE_SCHEMA)
     flagged = mx.withColumn(
         "pass",
         F.col("n_words").between(10, 1000)
