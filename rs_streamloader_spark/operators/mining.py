@@ -2575,6 +2575,21 @@ def _wp_train_merges(spark: SparkSession, sf_dir: str) -> list:
     try:
         merges: list[tuple] = []
         cur = wrapped
+        # per step, ONE tagged aggregate job replaces the previous
+        # four (symbol agg + two broadcast builds + join/sort/collect):
+        # symbol counts (tag 0) and adjacent-pair counts (tag 1) come
+        # out of a single explode + map-side-combinable SUM, and the
+        # argmax runs driver-side over the collected aggregate. The
+        # collect stays BOUNDED BY CONSTRUCTION, corpus-independent:
+        # rows <= |symbol alphabet| + |distinct adjacent symbol
+        # pairs| <= A + A^2 with A <= initial charset + K merges —
+        # the same boundedness the previous 1-row argmax relied on
+        # (the sorted pair aggregate it collected from was this very
+        # table). The likelihood score is the identical exact integer
+        # floor-division (Python int // == Spark DECIMAL DIV on
+        # positives) and the (score DESC, left, right) tiebreak is the
+        # identical binary string order (UTF-8 byte order == code
+        # point order), so the emitted merge list is byte-equal.
         for step in range(1, _WP_TRAIN_STEPS + 1):
             syms = cur.select(
                 F.split(F.trim(F.col("w"), F.lit(sep)), sep + sep).alias(
@@ -2582,58 +2597,46 @@ def _wp_train_merges(spark: SparkSession, sf_dir: str) -> list:
                 ),
                 "cnt",
             )
-            uni = (
-                syms.select(F.explode("syms").alias("s"), "cnt")
-                .groupBy("s")
-                .agg(F.sum("cnt").alias("ucnt"))
-            )
-            pairs = _bpe_pair_counts(cur, sep)
-            top = (
-                pairs.join(
-                    F.broadcast(
-                        uni.select(
-                            F.col("s").alias("left_sym"),
-                            F.col("ucnt").alias("lcnt"),
-                        )
-                    ),
-                    "left_sym",
-                )
-                .join(
-                    F.broadcast(
-                        uni.select(
-                            F.col("s").alias("right_sym"),
-                            F.col("ucnt").alias("rcnt"),
-                        )
-                    ),
-                    "right_sym",
-                )
-                .withColumn(
-                    "score_scaled",
+            tagged = syms.select(
+                F.explode(
                     F.expr(
-                        f"CAST(pair_count AS DECIMAL(38,0))"
-                        f" * {_WP_SCORE_SCALE}"
-                        " DIV (CAST(lcnt AS DECIMAL(38,0)) * rcnt)"
-                    ),
-                )
-                .orderBy(
-                    F.col("score_scaled").desc(), "left_sym", "right_sym"
-                )
-                .limit(1)
+                        "concat("
+                        " transform(syms, s ->"
+                        "   struct(0 AS tag, s AS l, '' AS r)),"
+                        " CASE WHEN size(syms) >= 2 THEN"
+                        "   transform(sequence(1, size(syms) - 1), j ->"
+                        "     struct(1 AS tag, element_at(syms, j) AS l,"
+                        "            element_at(syms, j + 1) AS r))"
+                        " ELSE slice(transform(syms, s ->"
+                        "   struct(1 AS tag, s AS l, s AS r)), 1, 0)"
+                        " END)"
+                    )
+                ).alias("e"),
+                "cnt",
+            )
+            rows = (
+                tagged.groupBy("e.tag", "e.l", "e.r")
+                .agg(F.sum("cnt").alias("c"))
                 .collect()
             )
-            if not top:  # vocabulary ran out of pairs before step K
+            ucnt = {r["l"]: r["c"] for r in rows if r["tag"] == 0}
+            cands = [r for r in rows if r["tag"] == 1]
+            if not cands:  # vocabulary ran out of pairs before step K
                 break
-            left, right = top[0]["left_sym"], top[0]["right_sym"]
+            best_key = None
+            best = None
+            for r in cands:
+                score = (r["c"] * _WP_SCORE_SCALE) // (
+                    ucnt[r["l"]] * ucnt[r["r"]]
+                )
+                key = (-score, r["l"], r["r"])
+                if best_key is None or key < best_key:
+                    best_key = key
+                    best = (r["l"], r["r"], r["c"], score)
+            left, right, pair_count, score_scaled = best
             merged = _wp_merge_symbol(left, right)
             merges.append(
-                (
-                    step,
-                    left,
-                    right,
-                    merged,
-                    top[0]["pair_count"],
-                    top[0]["score_scaled"],
-                )
+                (step, left, right, merged, pair_count, score_scaled)
             )
             cur = cur.select(
                 F.replace(
@@ -2759,11 +2762,13 @@ def wordpiece_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine; ties break lexicographically.
 
     Scale posture: the bpe_trained posture — K bounded driver
-    iterations, each O(vocab): one symbol explode feeds BOTH the
-    unigram and the pair aggregates, the two unigram lookups ride
-    broadcast joins (vocab-symbol-bounded), and the only driver-side
-    data is the ONE-ROW argmax per step. The corpus-sized work (word
-    count) happens exactly once.
+    iterations, each O(vocab): ONE tagged explode + map-side
+    combinable SUM produces the symbol (tag 0) and adjacent-pair
+    (tag 1) aggregates together, and the driver argmax runs over that
+    collected aggregate — bounded by construction at
+    |alphabet| + |alphabet|² rows with alphabet <= initial charset +
+    K merges, corpus-independent. The corpus-sized work (word count)
+    happens exactly once.
 
     Reference surface: none (novel extension, SURVEY.md §2.5 text
     family)."""
