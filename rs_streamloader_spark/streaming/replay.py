@@ -1626,6 +1626,21 @@ def stream_maintenance_pin_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         ).first()
         return int(row["n"]), int(row["eid"] or 0)
 
+    def _signatures(pinned: DataFrame, live: DataFrame):
+        """Both reader verdicts in ONE Spark job: union the pinned and
+        live reads under a side tag and aggregate per side — the same
+        two (count, sum) signatures, minus one scheduler round-trip
+        per micro-batch (they were two sequential .first() jobs)."""
+        rows = (
+            pinned.select(F.lit(0).alias("side"), "event_id")
+            .unionByName(live.select(F.lit(1).alias("side"), "event_id"))
+            .groupBy("side")
+            .agg(F.count("*").alias("n"), F.sum("event_id").alias("eid"))
+            .collect()
+        )
+        by = {int(r["side"]): (int(r["n"]), int(r["eid"] or 0)) for r in rows}
+        return by.get(0, (0, 0)), by.get(1, (0, 0))
+
     def land(bdf: DataFrame, bid: int) -> None:
         sink.insert_batch(bdf.select("user_id", "ts", "event_id"), bid)
         if state["pin"] is None:
@@ -1636,8 +1651,9 @@ def stream_maintenance_pin_replay(spark: SparkSession, sf_dir: str) -> DataFrame
             sink.compact()
             reclaimed = sink.vacuum()
             state["pin"].renew()  # heartbeat: TTL clock resets
-            pu, peid = _signature(state["pin"].read())
-            lu, _ = _signature(sink.read())
+            (pu, peid), (lu, _leid) = _signatures(
+                state["pin"].read(), sink.read()
+            )
             verdicts.append(
                 (
                     bid + 1,
