@@ -2063,9 +2063,19 @@ def stream_drift_monitor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cross-multiplied CDF terms, the same alert compare.
 
     Scale posture: per-batch work is one map-side-combinable 64-bin
-    histogram + 64-row joins/windows for the W1; state is O(bins)
-    regardless of stream length — the mergeable-histogram property
-    that makes the monitor viable on an unbounded 100 TB stream.
+    histogram whose ≤{_DRIFT_BINS}-row result is collected (bounded BY
+    CONSTRUCTION — bin ∈ [0, {_DRIFT_BINS}), the MMR/WordPiece bounded-
+    collect precedent), the prior-history read-back collected the same
+    way, and the exact integer W1 + cross-multiplied CDF fold runs
+    driver-side on Python ints (arbitrary precision — the DECIMAL(38)
+    guards are subsumed); state is O(bins) regardless of stream length
+    — the mergeable-histogram property that makes the monitor viable
+    on an unbounded 100 TB stream. The r15 optimization pass replaced
+    the 4 per-batch Spark jobs (seq scalar, densify localCheckpoint,
+    history-total scalar, join+window W1 aggregate) with those 2
+    bounded collects — protocol unchanged: the history still comes
+    from the DISK read-back of strictly-earlier batchId-keyed partials,
+    and both landings still ride ``insert_batch``.
     First batch has no history and lands no verdict row."""
     from pyspark.sql.window import Window as W
 
@@ -2085,29 +2095,25 @@ def stream_drift_monitor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # harness-only single-partition sort fabricating arrival order
     # (the measured operator is the drift protocol, which never sees
-    # it — same contract as stream_maintenance_pin_replay)
+    # it — same contract as stream_maintenance_pin_replay). r15 opt:
+    # ONE partitioned write lands all slices (repartition-by-value puts
+    # each slice in one task, partitionBy makes it that dir's one
+    # file) instead of {_DRIFT_SLICES} sequential filter+coalesce(1)
+    # scans of the sorted frame; per-slice mtimes then fabricate the
+    # same oldest-first arrival order for maxFilesPerTrigger=1.
     sliced = ev.withColumn(
         "slc", F.ntile(_DRIFT_SLICES).over(W.orderBy("ts", "event_id"))
-    ).persist()
-    try:
-        base_mtime = _time.time() - _DRIFT_SLICES - 60
-        for i in range(1, _DRIFT_SLICES + 1):
-            (
-                sliced.filter(F.col("slc") == i)
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(in_path)
-            )
-            for name in os.listdir(in_path):
-                full = os.path.join(in_path, name)
-                if os.path.getmtime(full) > base_mtime + i:
-                    os.utime(full, (base_mtime + i, base_mtime + i))
-    finally:
-        sliced.unpersist()
+    )
+    sliced.repartition("slc").write.partitionBy("slc").parquet(in_path)
+    base_mtime = _time.time() - _DRIFT_SLICES - 60
+    for i in range(1, _DRIFT_SLICES + 1):
+        slc_dir = os.path.join(in_path, f"slc={i}")
+        for name in os.listdir(slc_dir):
+            full = os.path.join(slc_dir, name)
+            os.utime(full, (base_mtime + i, base_mtime + i))
 
     hist_store = NativeTableSink(spark, os.path.join(base, "hist"))
     verdicts = NativeTableSink(spark, os.path.join(base, "verdicts"))
-    bins = spark.range(_DRIFT_BINS).select(F.col("id").alias("bin"))
     stream = (
         spark.readStream.schema(
             sliced.select("ts", "event_id", "value", "slc").schema
@@ -2117,89 +2123,64 @@ def stream_drift_monitor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def land(bdf: DataFrame, bid: int) -> None:
-        seq = bdf.agg(F.max("slc")).first()[0]
-        hist = (
-            bdf.select(
+        # ONE job: the batch's ≤{bins}-row histogram (bounded by
+        # construction) + the slice tag, collected to the driver
+        rows = (
+            bdf.groupBy(
                 F.expr(
                     f"LEAST({_DRIFT_BINS} - 1, GREATEST(0,"
                     f" CAST(FLOOR(value * 100 / {_DRIFT_BIN_CENTS})"
                     " AS BIGINT)))"
                 ).alias("bin")
             )
-            .groupBy("bin")
-            .agg(F.count("*").alias("cnt"))
+            .agg(F.count("*").alias("cnt"), F.max("slc").alias("mslc"))
+            .collect()
         )
-        dense = (
-            bins.join(hist, "bin", "left")
-            .select(
-                F.lit(int(seq)).cast("bigint").alias("src_batch"),
-                "bin",
-                F.coalesce("cnt", F.lit(0)).alias("cnt"),
-            )
-            .localCheckpoint(eager=True)
+        if not rows:  # a truly empty batch folds nothing
+            return
+        seq = int(max(r["mslc"] for r in rows))
+        cnts = {int(r["bin"]): int(r["cnt"]) for r in rows}
+        dense = spark.createDataFrame(
+            [(seq, b, cnts.get(b, 0)) for b in range(_DRIFT_BINS)],
+            "src_batch bigint, bin bigint, cnt bigint",
         )
         # history = the aggregate of every PRIOR batch's landed
-        # histogram. The per-batch histograms land batchId-keyed
-        # (below), so a foreachBatch RETRY folds nothing twice — the
-        # review-caught IVM double-merge hazard of the previous
-        # read-modify-write formulation. FileNotFoundError is the one
-        # legitimate "no history yet" signal (a never-committed
-        # store); any other read failure must surface loudly, never
-        # silently reset the accumulated history.
+        # histogram, read back FROM DISK and collected (≤ bins rows).
+        # The per-batch histograms land batchId-keyed (below), so a
+        # foreachBatch RETRY folds nothing twice — the review-caught
+        # IVM double-merge hazard of the previous read-modify-write
+        # formulation. FileNotFoundError is the one legitimate "no
+        # history yet" signal (a never-committed store); any other
+        # read failure must surface loudly, never silently reset the
+        # accumulated history.
         try:
-            prior = (
-                hist_store.read()
-                .where(F.col("src_batch") < F.lit(int(seq)))
-                .groupBy("bin")
-                .agg(F.sum("cnt").alias("cnt"))
-            )
-            n_h = prior.agg(F.sum("cnt")).first()[0] or 0
+            hist_cnts = {
+                int(r["bin"]): int(r["cnt"])
+                for r in (
+                    hist_store.read()
+                    .where(F.col("src_batch") < F.lit(seq))
+                    .groupBy("bin")
+                    .agg(F.sum("cnt").alias("cnt"))
+                    .collect()
+                )
+            }
+            n_h = sum(hist_cnts.values())
         except FileNotFoundError:
-            prior, n_h = None, 0
+            hist_cnts, n_h = {}, 0
         if n_h > 0:
-            joined = dense.select("bin", "cnt").join(
-                prior.withColumnRenamed("cnt", "cnt_h"), "bin", "left"
-            ).select(
-                "bin",
-                "cnt",
-                F.coalesce("cnt_h", F.lit(0)).alias("cnt_h"),
-            )
-            wb = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
-            cums = joined.select(
-                F.sum("cnt").over(wb).alias("cum_s"),
-                F.sum("cnt_h").over(wb).alias("cum_h"),
-            )
-            row = (
-                cums.crossJoin(
-                    F.broadcast(
-                        joined.agg(
-                            F.sum("cnt").alias("n_s"),
-                            F.sum("cnt_h").alias("n_hh"),
-                        )
-                    )
-                )
-                .agg(
-                    F.max("n_s").alias("n_s"),
-                    F.max("n_hh").alias("n_hh"),
-                    F.expr(
-                        "CAST((1000000 * sum(abs(CAST(cum_s AS"
-                        " DECIMAL(38,0)) * n_hh - CAST(cum_h AS"
-                        " DECIMAL(38,0)) * n_s))) DIV"
-                        " (CAST(max(n_s) AS DECIMAL(38,0))"
-                        " * max(n_hh)) AS BIGINT)"
-                    ).alias("w1_micro"),
-                )
-                .first()
-            )
+            # exact integer W1 on the two dense 64-bin vectors —
+            # Python ints are arbitrary precision, so the cross-
+            # multiplied CDF terms that needed DECIMAL(38) in-plan
+            # are exact here by construction
+            n_s = sum(cnts.values())
+            cum_s = cum_h = acc = 0
+            for b in range(_DRIFT_BINS):
+                cum_s += cnts.get(b, 0)
+                cum_h += hist_cnts.get(b, 0)
+                acc += abs(cum_s * n_h - cum_h * n_s)
+            w1_micro = (1000000 * acc) // (n_s * n_h)
             verdict = spark.createDataFrame(
-                [
-                    (
-                        int(seq),
-                        int(row["n_s"]),
-                        int(row["n_hh"]),
-                        int(row["w1_micro"]),
-                    )
-                ],
+                [(seq, n_s, n_h, w1_micro)],
                 "batch_seq bigint, n_events bigint, n_history bigint,"
                 " w1_micro bigint",
             ).withColumn(
