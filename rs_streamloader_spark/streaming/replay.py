@@ -171,6 +171,55 @@ def _run_available_now(
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
+def _stage_sliced(
+    df: DataFrame,
+    slice_col: str,
+    slice_values,
+    in_path: str,
+    flatten: bool = False,
+) -> None:
+    """Stage a replay's sliced input in ONE write (r15 opt): the
+    repartition-by-value puts each slice in one task and partitionBy
+    lands it as that dir's single file, replacing the per-slice
+    filter+coalesce(1) append loop that re-scanned (and for the
+    ntile-sliced replays re-sorted) the input once per slice. Ascending
+    per-slice mtimes then fabricate the oldest-first arrival order
+    maxFilesPerTrigger=1 replays depend on (FileStreamSource orders by
+    mtime with no tiebreak — tests/test_multibatch_replay.py).
+
+    ``flatten=True`` moves the staged files out of their partition
+    dirs into ``in_path`` root: a partitioned layout APPENDS the
+    partition column to every micro-batch even when the reader schema
+    omits it (measured), so replays whose stream schema must not carry
+    the slice column get root-level files holding exactly the
+    partitionBy-stripped data columns — the same bytes-on-disk shape
+    the old drop-then-write loop produced."""
+    import time as _time
+
+    df.repartition(slice_col).write.partitionBy(slice_col).parquet(in_path)
+    base_mtime = _time.time() - len(list(slice_values)) - 60
+    for pos, v in enumerate(sorted(slice_values), start=1):
+        slc_dir = os.path.join(in_path, f"{slice_col}={v}")
+        # only the visible data files: Hadoop's hidden .crc siblings
+        # must stay hidden (a rename dropping the leading dot would
+        # surface them to the file source as unreadable inputs)
+        names = sorted(
+            n for n in os.listdir(slc_dir) if not n.startswith((".", "_"))
+        )
+        if flatten:
+            moved = []
+            for name in names:
+                dest = os.path.join(in_path, f"s{pos:04d}_{name}")
+                os.rename(os.path.join(slc_dir, name), dest)
+                moved.append(dest)
+            shutil.rmtree(slc_dir)
+            targets = moved
+        else:
+            targets = [os.path.join(slc_dir, n) for n in names]
+        for full in targets:
+            os.utime(full, (base_mtime + pos, base_mtime + pos))
+
+
 _DEDUP_ORACLE = """
     SELECT event_id, user_id, event_type, ts, value FROM events
 """
@@ -600,39 +649,22 @@ def stream_upsert_loader_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_path = os.path.join(base, "in")
     # contiguous (ts, event_id) slices, staged oldest-first with
     # explicitly increasing mtimes (FileStreamSource orders by mtime
-    # with no tiebreak — see tests/test_multibatch_replay.py)
-    import time as _time
-
-    # persist the sliced view: the ntile is a global sort of the whole
-    # events table, and without the cache each of the 6 slice writes
-    # would re-scan and re-sort it from scratch.
+    # with no tiebreak — see tests/test_multibatch_replay.py).
     # HARNESS-ONLY single-partition sort, not a product plan: the
     # unpartitioned ntile FABRICATES the micro-batch arrival order, and
     # contiguity in (ts, event_id) is load-bearing — slices must arrive
     # oldest-first for new-row-wins upserts to compose to the per-key
     # (ts, event_id) max, so hash-band slicing is not a valid
     # substitute. The measured operator is the streaming upsert, which
-    # never sees this sort.
+    # never sees this sort. Staged in ONE write (flattened: the stream
+    # schema must not carry the slice column) — see _stage_sliced.
     sliced = ev.withColumn(
         "__slice",
         F.ntile(_CDC_SLICES).over(W.orderBy("ts", "event_id")),
-    ).persist()
-    try:
-        base_mtime = _time.time() - _CDC_SLICES - 60
-        for i in range(1, _CDC_SLICES + 1):
-            (
-                sliced.filter(F.col("__slice") == i)
-                .drop("__slice")
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(in_path)
-            )
-            for name in os.listdir(in_path):
-                full = os.path.join(in_path, name)
-                if os.path.getmtime(full) > base_mtime + i:
-                    os.utime(full, (base_mtime + i, base_mtime + i))
-    finally:
-        sliced.unpersist()
+    )
+    _stage_sliced(
+        sliced, "__slice", range(1, _CDC_SLICES + 1), in_path, flatten=True
+    )
     table_root = os.path.join(base, "table")
     sink = NativeTableSink(
         spark, table_root, num_buckets=_CDC_BUCKETS, bucket_by="user_id"
@@ -1200,23 +1232,13 @@ def stream_incremental_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     # stage the incoming stream: one file per slice, oldest-first
-    # mtimes (FileStreamSource orders by mtime with no tiebreak)
-    import time as _time
-
+    # mtimes, one write (_stage_sliced)
     in_path = os.path.join(base, "in")
     inc = docs.where(F.col("doc_id") % 2 == 1).withColumn(
         "slc",
         F.expr(f"CAST((doc_id div 2) % {_INC_DD_SLICES} AS INT)"),
     )
-    base_mtime = _time.time() - _INC_DD_SLICES - 60
-    for i in range(_INC_DD_SLICES):
-        inc.filter(F.col("slc") == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(in_path)
-        for name in os.listdir(in_path):
-            full = os.path.join(in_path, name)
-            if os.path.getmtime(full) > base_mtime + i:
-                os.utime(full, (base_mtime + i, base_mtime + i))
+    _stage_sliced(inc, "slc", range(_INC_DD_SLICES), in_path)
 
     out_dir = os.path.join(base, "decisions")
     stream = (
@@ -1328,20 +1350,10 @@ def stream_multimodal_screen_replay(spark: SparkSession, sf_dir: str) -> DataFra
     )
     shutil.rmtree(base, ignore_errors=True)
 
-    # one file per slice, oldest-first mtimes (FileStreamSource orders
-    # by mtime with no tiebreak) — the incremental-dedup staging shape
-    import time as _time
-
+    # one file per slice, oldest-first mtimes, one write — the
+    # incremental-dedup staging shape (_stage_sliced)
     in_path = os.path.join(base, "in")
-    base_mtime = _time.time() - _MM_SCREEN_SLICES - 60
-    for i in range(_MM_SCREEN_SLICES):
-        docs.filter(F.col("slc") == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(in_path)
-        for name in os.listdir(in_path):
-            full = os.path.join(in_path, name)
-            if os.path.getmtime(full) > base_mtime + i:
-                os.utime(full, (base_mtime + i, base_mtime + i))
+    _stage_sliced(docs, "slc", range(_MM_SCREEN_SLICES), in_path)
 
     out_dir = os.path.join(base, "verdicts")
     stream = (
@@ -1580,31 +1592,18 @@ def stream_maintenance_pin_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     shutil.rmtree(base, ignore_errors=True)
     in_path = os.path.join(base, "in")
-    import time as _time
-
     # harness-only single-partition sort fabricating arrival order
     # (same contract as stream_upsert_loader_replay — the measured
-    # operator is the maintenance protocol, which never sees it)
+    # operator is the maintenance protocol, which never sees it).
+    # Staged in ONE write, flattened: the stream schema must not
+    # carry the slice column (_stage_sliced).
     sliced = ev.withColumn(
         "__slice",
         F.ntile(_MAINT_SLICES).over(W.orderBy("ts", "event_id")),
-    ).persist()
-    try:
-        base_mtime = _time.time() - _MAINT_SLICES - 60
-        for i in range(1, _MAINT_SLICES + 1):
-            (
-                sliced.filter(F.col("__slice") == i)
-                .drop("__slice")
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(in_path)
-            )
-            for name in os.listdir(in_path):
-                full = os.path.join(in_path, name)
-                if os.path.getmtime(full) > base_mtime + i:
-                    os.utime(full, (base_mtime + i, base_mtime + i))
-    finally:
-        sliced.unpersist()
+    )
+    _stage_sliced(
+        sliced, "__slice", range(1, _MAINT_SLICES + 1), in_path, flatten=True
+    )
 
     table_root = os.path.join(base, "table")
     sink = NativeTableSink(
@@ -1768,18 +1767,8 @@ def stream_format_router_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.basename(os.path.normpath(sf_dir)),
     )
     shutil.rmtree(base, ignore_errors=True)
-    import time as _time
-
     in_path = os.path.join(base, "in")
-    base_mtime = _time.time() - _ROUTER_SLICES - 60
-    for i in range(_ROUTER_SLICES):
-        docs.filter(F.col("slc") == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(in_path)
-        for name in os.listdir(in_path):
-            full = os.path.join(in_path, name)
-            if os.path.getmtime(full) > base_mtime + i:
-                os.utime(full, (base_mtime + i, base_mtime + i))
+    _stage_sliced(docs, "slc", range(_ROUTER_SLICES), in_path)
 
     sink = NativeTableSink(spark, os.path.join(base, "tallies"))
     stream = (
@@ -1899,18 +1888,8 @@ def stream_warc_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.basename(os.path.normpath(sf_dir)),
     )
     shutil.rmtree(base, ignore_errors=True)
-    import time as _time
-
     in_path = os.path.join(base, "in")
-    base_mtime = _time.time() - _WARC_SLICES - 60
-    for i in range(_WARC_SLICES):
-        docs.filter(F.col("slc") == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(in_path)
-        for name in os.listdir(in_path):
-            full = os.path.join(in_path, name)
-            if os.path.getmtime(full) > base_mtime + i:
-                os.utime(full, (base_mtime + i, base_mtime + i))
+    _stage_sliced(docs, "slc", range(_WARC_SLICES), in_path)
 
     sink = NativeTableSink(spark, os.path.join(base, "tallies"))
     stream = (
@@ -2091,26 +2070,15 @@ def stream_drift_monitor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     in_path = os.path.join(base, "in")
-    import time as _time
-
     # harness-only single-partition sort fabricating arrival order
     # (the measured operator is the drift protocol, which never sees
-    # it — same contract as stream_maintenance_pin_replay). r15 opt:
-    # ONE partitioned write lands all slices (repartition-by-value puts
-    # each slice in one task, partitionBy makes it that dir's one
-    # file) instead of {_DRIFT_SLICES} sequential filter+coalesce(1)
-    # scans of the sorted frame; per-slice mtimes then fabricate the
-    # same oldest-first arrival order for maxFilesPerTrigger=1.
+    # it — same contract as stream_maintenance_pin_replay). Staged in
+    # ONE write (_stage_sliced) instead of {_DRIFT_SLICES} sequential
+    # filter+coalesce(1) scans of the sorted frame.
     sliced = ev.withColumn(
         "slc", F.ntile(_DRIFT_SLICES).over(W.orderBy("ts", "event_id"))
     )
-    sliced.repartition("slc").write.partitionBy("slc").parquet(in_path)
-    base_mtime = _time.time() - _DRIFT_SLICES - 60
-    for i in range(1, _DRIFT_SLICES + 1):
-        slc_dir = os.path.join(in_path, f"slc={i}")
-        for name in os.listdir(slc_dir):
-            full = os.path.join(slc_dir, name)
-            os.utime(full, (base_mtime + i, base_mtime + i))
+    _stage_sliced(sliced, "slc", range(1, _DRIFT_SLICES + 1), in_path)
 
     hist_store = NativeTableSink(spark, os.path.join(base, "hist"))
     verdicts = NativeTableSink(spark, os.path.join(base, "verdicts"))
