@@ -47,6 +47,16 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # DataFrame call-site capture (spark.python.sql.dataFrameDebugging,
+        # default on) wraps EVERY PySpark DataFrame/Column API call in up
+        # to 3 extra py4j round-trips + a Python stack walk purely to
+        # enrich error messages with the Python call site. Plan
+        # CONSTRUCTION is pure driver-side py4j chatter at any cluster
+        # size, and profiling showed it was ~35% of sub-second catalog
+        # query cost, ~40% of it this wrapper (A/B: 3.47s -> 2.25s build
+        # over a fixed 30-query tail sample, min-of-2x3 alternating
+        # processes). Production posture: fast plans, plain stack traces.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
