@@ -1123,17 +1123,28 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the whole dedup family); each iteration is one shuffle —
     contributions group by destination — over the edge list, the
     classic distributed PageRank layout. Iteration count is FIXED
-    (bounded lineage, no driver sync at all — unlike dedup_cluster's
-    convergence loop, a fixed-depth chain needs no localCheckpoint);
-    degrees and N ride broadcast joins."""
+    (no driver sync at all); the degree table and the degree-carrying
+    edge list are lazily localCheckpoint-ed: every iteration (and the
+    final join) re-references them, and without the checkpoint the
+    physical plan re-derived deg from the edge union once per
+    reference (0 ReusedExchange in the measured plan — 3 redundant
+    edge-list aggregations+joins, which at 100 TB are redundant full
+    shuffles of the graph). Materializing the link structure once and
+    iterating rank against it is the canonical distributed PageRank
+    layout (r15 opt: 3.86 → 1.16s at sf0.1, rows equal); degrees and
+    N ride broadcast joins."""
     pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    deg = (
+        edges.groupBy("u")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)
+    )
     # degree rides the edge list once; each iteration then needs only
     # edges ⋈ rank + the destination aggregate
-    edges_deg = edges.join(deg, "u")
+    edges_deg = edges.join(deg, "u").localCheckpoint(eager=False)
     nn = deg.agg(F.count("*").alias("n"))
     r = deg.join(F.broadcast(nn)).select(
         "u", F.expr(f"{_PR_SCALE} DIV n").alias("r")

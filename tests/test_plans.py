@@ -623,16 +623,29 @@ def test_pq_encoding_is_zero_shuffle_projection(spark):
 
 
 def test_pagerank_consumes_cached_pairs_fixed_depth(spark):
-    """PageRank reads the CACHED Jaccard pair stage (no shingle
-    re-join) and its fixed 3-iteration chain stays a bounded plan —
-    per-iteration work is one destination-keyed aggregate."""
-    from rs_streamloader_spark.operators.dedup import pagerank_neardup
+    """PageRank iterates against the ONCE-materialized link structure:
+    deg and edges_deg are lazily localCheckpoint-ed (r15 opt — without
+    it the plan re-derived the degree aggregate from the edge union
+    once per iteration, 0 ReusedExchange), so the visible plan reads
+    them as ExistingRDD scans and never re-scans the corpus; the
+    checkpointed lineage itself consumes the CACHED Jaccard pair
+    stage (no shingle re-join)."""
+    from rs_streamloader_spark.operators.dedup import (
+        _jaccard_pairs,
+        pagerank_neardup,
+    )
 
     df = pagerank_neardup(spark, SF_SMOKE)
     text = explain_str(df, "simple")
-    assert "InMemoryTableScan" in text, text
-    # the shingle self-join must NOT reappear above the cache
-    assert "Scan parquet" not in text.split("InMemoryRelation")[0], text
+    # iteration chain runs on the checkpointed link structure
+    assert "Scan ExistingRDD" in text, text
+    # no corpus re-scan anywhere above the materialized stages
+    assert "Scan parquet" not in text, text
+    # the pair stage feeding the checkpoint is the cached family stage
+    pairs_text = explain_str(
+        _jaccard_pairs(spark, SF_SMOKE).select("doc_a", "doc_b"), "simple"
+    )
+    assert "InMemoryTableScan" in pairs_text, pairs_text
 
 
 def test_fk_audit_anti_joins_and_broadcasts_dims(spark):
