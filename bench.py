@@ -199,6 +199,7 @@ def main() -> None:
         _jaccard_pairs,
         _shingles_cached,
     )
+    from rs_streamloader_spark.operators.mining import _bpe_merges_cached
     from rs_streamloader_spark.operators.mining import _doc_bigrams_cached
     from rs_streamloader_spark.operators.mining import _unigram_cached
     from rs_streamloader_spark.operators.mining import _wp_merges_cached
@@ -232,6 +233,12 @@ def main() -> None:
         (
             "wordpiece_train",
             lambda: spark.range(len(_wp_merges_cached(spark, SF_DIR)) or 1),
+        ),
+        # the BPE trainer memo is a driver-side list too (r15: both BPE
+        # queries share one training run instead of re-training)
+        (
+            "bpe_train",
+            lambda: spark.range(len(_bpe_merges_cached(spark, SF_DIR)) or 1),
         ),
         ("replay_events", lambda: _replay_events(spark, SF_DIR)),
     ]:

@@ -2327,10 +2327,31 @@ def bpe_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference surface: none (novel extension, SURVEY.md §2.5 text
     family)."""
     return spark.createDataFrame(
-        _bpe_train_merges(spark, sf_dir),
+        _bpe_merges_cached(spark, sf_dir),
         "step int, left_sym string, right_sym string,"
         " merged string, pair_count bigint",
     )
+
+
+_BPE_CACHE: dict = {}
+
+from rs_streamloader_spark.session import register_stage_cache as _rsc_bpe  # noqa: E402
+
+_rsc_bpe(_BPE_CACHE)  # clear_stage_cache() must reset the trainer memo too
+
+
+def _bpe_merges_cached(spark: SparkSession, sf_dir: str) -> list:
+    """Memoized trainer run per (application, sf_dir): both registered
+    BPE queries consume the same merge table, so a catalog sweep
+    trains once instead of once per consumer (the _WP_CACHE /
+    _UNI_CACHE precedent — the unit is a driver-side list, not a
+    cacheable DataFrame). r15 opt: bpe_trained_fertility previously
+    re-ran the full K-step loop (K corpus-independent jobs + the
+    corpus-sized word count) that bpe_trained_merges had just run."""
+    k = (spark.sparkContext.applicationId, sf_dir)
+    if k not in _BPE_CACHE:
+        _BPE_CACHE[k] = _bpe_train_merges(spark, sf_dir)
+    return _BPE_CACHE[k]
 
 
 def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> list:
@@ -2464,7 +2485,7 @@ def bpe_trained_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference surface: none (novel extension, SURVEY.md §2.5 text
     family)."""
     sep = _BPE_SEP
-    merges = _bpe_train_merges(spark, sf_dir)
+    merges = _bpe_merges_cached(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents")["documents"]
     wc = _tokens(docs).groupBy("tok").agg(F.count("*").alias("cnt"))
     w = F.regexp_replace("tok", "(.)", f"{sep}$1{sep}")

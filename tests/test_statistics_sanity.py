@@ -4609,7 +4609,7 @@ def test_bpe_trained_merges_matches_hand_run_trainer(spark, monkeypatch):
         (r["step"], r["left_sym"], r["right_sym"], r["merged"],
          r["pair_count"])
         for r in sorted(
-            M.bpe_trained_merges(spark, "x").collect(),
+            M.bpe_trained_merges(spark, "x_bpe_merges").collect(),
             key=lambda r: r["step"],
         )
     ]
@@ -4887,7 +4887,7 @@ def test_bpe_trained_fertility_matches_hand_apply(spark, monkeypatch):
     sdf = spark.createDataFrame(pdf)
     monkeypatch.setattr(M, "_t", lambda _s, _d, *names: {"documents": sdf})
 
-    got = {r["source"]: r for r in M.bpe_trained_fertility(spark, "x").collect()}
+    got = {r["source"]: r for r in M.bpe_trained_fertility(spark, "x_bpe_fert").collect()}
 
     # hand trainer (same as the merges pin), then greedy apply per word
     wc = Counter(w for _s, t in texts for w in t.split(" ") if w != "")
