@@ -127,7 +127,15 @@ def _parse_bytes(v: str) -> int:
 # lock deadlocks the nested acquisition on the same thread
 _STAGE_CACHE: OrderedDict = OrderedDict()
 _STAGE_LOCK = threading.RLock()
-_STAGE_CACHE_MAX = 16
+# Capacity must exceed the catalog's distinct stage count (18 as of
+# r15) or a full sweep GUARANTEES mid-run evictions: an evicted stage
+# is silently rebuilt inside whichever query touches it next (r15
+# measured the replay_events rebuild re-paying the nanos-fallback
+# probe mid-bench). 32 = headroom over the 18 live keys; env-tunable
+# for memory-constrained deployments, still LRU-bounded so a
+# long-lived session spanning many sf_dirs cannot pin unbounded
+# executor storage.
+_STAGE_CACHE_MAX = int(os.environ.get("SPARK_GRAFT_STAGE_CACHE_MAX", "32"))
 
 
 def stage_cached(spark: SparkSession, sf_dir: str, key: str, build):
