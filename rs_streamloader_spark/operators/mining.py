@@ -2347,7 +2347,14 @@ def _bpe_merges_cached(spark: SparkSession, sf_dir: str) -> list:
     _UNI_CACHE precedent — the unit is a driver-side list, not a
     cacheable DataFrame). r15 opt: bpe_trained_fertility previously
     re-ran the full K-step loop (K corpus-independent jobs + the
-    corpus-sized word count) that bpe_trained_merges had just run."""
+    corpus-sized word count) that bpe_trained_merges had just run.
+
+    Staleness contract (ADVICE r15): the key is (applicationId,
+    sf_dir) — NOT a data fingerprint — so regenerating the data under
+    the same sf_dir within one session serves the pre-regeneration
+    merges, exactly like _WP_CACHE/_UNI_CACHE and the stage cache.
+    In-session regeneration must call ``clear_stage_cache()`` (as
+    tools/scale_stress.py does), which resets this memo too."""
     k = (spark.sparkContext.applicationId, sf_dir)
     if k not in _BPE_CACHE:
         _BPE_CACHE[k] = _bpe_train_merges(spark, sf_dir)

@@ -135,7 +135,20 @@ _STAGE_LOCK = threading.RLock()
 # for memory-constrained deployments, still LRU-bounded so a
 # long-lived session spanning many sf_dirs cannot pin unbounded
 # executor storage.
-_STAGE_CACHE_MAX = int(os.environ.get("SPARK_GRAFT_STAGE_CACHE_MAX", "32"))
+def _stage_cache_max() -> int:
+    """Parse SPARK_GRAFT_STAGE_CACHE_MAX defensively (ADVICE r15): a
+    non-integer value falls back to the default instead of crashing
+    module import, and the floor of 18 (the catalog's live stage-key
+    count) keeps a too-small override from silently reintroducing the
+    guaranteed mid-sweep eviction documented above."""
+    try:
+        v = int(os.environ.get("SPARK_GRAFT_STAGE_CACHE_MAX", "32"))
+    except ValueError:
+        return 32
+    return max(v, 18)
+
+
+_STAGE_CACHE_MAX = _stage_cache_max()
 
 
 def stage_cached(spark: SparkSession, sf_dir: str, key: str, build):

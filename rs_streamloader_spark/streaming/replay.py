@@ -200,6 +200,12 @@ def _stage_sliced(
     base_mtime = _time.time() - len(list(slice_values)) - 60
     for pos, v in enumerate(sorted(slice_values), start=1):
         slc_dir = os.path.join(in_path, f"{slice_col}={v}")
+        if not os.path.isdir(slc_dir):
+            # a slice value with zero rows gets no partition dir; the
+            # old per-slice loop wrote an empty file and moved on —
+            # skip it the same way (ADVICE r15: modulo-sliced replays
+            # can hit this at tiny scale)
+            continue
         # only the visible data files: Hadoop's hidden .crc siblings
         # must stay hidden (a rename dropping the leading dot would
         # surface them to the file source as unreadable inputs)
@@ -2104,6 +2110,9 @@ def stream_drift_monitor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("cnt"), F.max("slc").alias("mslc"))
             .collect()
         )
+        # a NULL value bins to NULL: drop it, as the old
+        # bins-join densify silently did (ADVICE r15)
+        rows = [r for r in rows if r["bin"] is not None]
         if not rows:  # a truly empty batch folds nothing
             return
         seq = int(max(r["mslc"] for r in rows))

@@ -75,3 +75,58 @@ def test_corrupt_anchor_is_not_defended(tmp_path):
     with open(anchor, "w") as fh:
         fh.write("{not json")
     assert bench._artifact_path(_full("bbbb", [240.0]), anchor) == anchor
+
+
+# --- seeded per-pass query order (VERDICT r15 next-round #1) ---------
+
+
+def test_pass_order_is_a_permutation():
+    names = [f"q{i:03d}" for i in range(100)]
+    order = bench._pass_order(names, seed=42, pass_idx=0)
+    assert sorted(order) == names
+    assert order != names  # 100 items: an identity shuffle is 1/100!
+
+
+def test_pass_order_deterministic_per_seed_and_pass():
+    names = [f"q{i:03d}" for i in range(50)]
+    assert bench._pass_order(names, 7, 1) == bench._pass_order(names, 7, 1)
+
+
+def test_pass_order_differs_across_passes_and_seeds():
+    names = [f"q{i:03d}" for i in range(50)]
+    assert bench._pass_order(names, 7, 0) != bench._pass_order(names, 7, 1)
+    assert bench._pass_order(names, 7, 0) != bench._pass_order(names, 8, 0)
+
+
+def test_merge_min_folds_clock_and_seeds(tmp_path):
+    anchor = str(tmp_path / "BENCH_FULL.json")
+    with open(anchor, "w") as fh:
+        json.dump(
+            {
+                "code_rev": "aaaa",
+                "sf": 0.1,
+                "queries": {"q1": 1.5, "q2": -1.0},
+                "stages": {},
+                "run_history": [100.0],
+                "order_seeds": [11],
+                "query_clock": {"q1": [0.0, 50.0], "q2": [25.0, 75.0]},
+            },
+            fh,
+        )
+    cur = {
+        "code_rev": "aaaa",
+        "sf": 0.1,
+        "queries": {"q1": 2.0, "q2": 0.8},
+        "stages": {},
+        "run_history": [90.0],
+        "order_seeds": [22],
+        "query_clock": {"q1": [1.0], "q2": [40.0]},
+    }
+    out = bench._merge_min(cur, anchor, "aaaa")
+    assert out["queries"] == {"q1": 1.5, "q2": 0.8}  # min; -1 never wins
+    assert out["run_history"] == [100.0, 90.0]
+    assert out["order_seeds"] == [11, 22]
+    assert out["query_clock"] == {
+        "q1": [0.0, 50.0, 1.0],
+        "q2": [25.0, 75.0, 40.0],
+    }
