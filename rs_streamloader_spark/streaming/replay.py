@@ -41,14 +41,47 @@ from rs_streamloader_spark.streaming.windows import streaming_dedup
 
 _SENTINEL_USER = -1
 
-# default shuffle/state-store width pinned for replay runs (see
-# _replay). Right for the JVM-side stateful operators (stream-stream
-# join, dedup), whose per-partition state work is trivial and whose
-# cost is store open/commit cycles; the applyInPandasWithState replay
-# overrides back to the session width because its per-batch work is
-# Python per-group processing, which NEEDS the parallelism (measured
-# 8.2s at 32 partitions vs 12.8s at 4).
+# fallback shuffle/state-store width for replay runs when the input
+# size probe fails (see _replay_width). Right for the JVM-side
+# stateful operators (stream-stream join, dedup), whose per-partition
+# state work is trivial and whose cost is store open/commit cycles;
+# the applyInPandasWithState replay overrides back to the session
+# width because its per-batch work is Python per-group processing,
+# which NEEDS the parallelism (measured 8.2s at 32 partitions vs
+# 12.8s at 4).
 REPLAY_SHUFFLE_PARTITIONS = 4
+
+# scale-adaptive width target (guide §2: derive partitioning from
+# input size, never pin a constant tuned for one machine): one
+# shuffle/state partition per this many input bytes, floored at 1,
+# capped at the session width. A stateful streaming query pays one
+# state-store open/commit cycle per partition PER stateful operator
+# PER micro-batch, so over-wide stores dominate kilobyte-scale
+# micro-batches (r16 A/B over 7 replays, interleaved min-of-3:
+# width 4 = 54.6s vs width 1 = 45.0s at sf0.1, where the probe
+# derives 1); at deployment scale the same derivation widens toward
+# the session default because the staged input is TB-sized.
+_REPLAY_PARTITION_BYTES = int(
+    os.environ.get("SPARK_GRAFT_REPLAY_PARTITION_BYTES", str(64 * 1024 * 1024))
+)
+
+
+def _replay_width(spark: SparkSession, inputs) -> int:
+    """Derive the replay's shuffle/state-store width from the staged
+    input volume: ceil(total optimized-plan bytes / target bytes per
+    partition), floored at 1 and capped at the session width. The size
+    probe is driver-side plan metadata (the ``spread()`` probe
+    precedent) — no job runs. Falls back to the pinned
+    REPLAY_SHUFFLE_PARTITIONS when stats are unavailable."""
+    try:
+        total = 0
+        for df in inputs:
+            raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            total += raw if isinstance(raw, int) else int(raw.toString())
+        session_w = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        return max(1, min(session_w, -(-total // _REPLAY_PARTITION_BYTES)))
+    except Exception:
+        return REPLAY_SHUFFLE_PARTITIONS
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,15 +157,17 @@ def _replay(
     # per shuffle partition PER stateful operator PER micro-batch — at
     # the session default (32 here, 200 on a real cluster) a bounded
     # replay pays ~32 store open/commit cycles × batches for kilobytes
-    # of state. Pin a small width for the replay (the query captures it
-    # at start; the session value is restored immediately). Real
-    # deployments size this to state volume, not the batch default.
+    # of state. Derive the width from the staged input volume
+    # (_replay_width: input-size-adaptive, 1 at kilobyte scale, the
+    # session width at deployment scale); the query captures it at
+    # start and the session value is restored immediately.
     _run_available_now(
         spark,
         build(streams),
         out,
         os.path.join(base, "ckpt"),
-        shuffle_partitions=shuffle_partitions,
+        shuffle_partitions=shuffle_partitions
+        or _replay_width(spark, inputs.values()),
         output_mode=output_mode,
     )
     return spark.read.parquet(out)
@@ -693,7 +728,9 @@ def stream_upsert_loader_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_replay_width(spark, [ev]))
+    )
     try:
         q = (
             stream.writeStream.foreachBatch(land)
@@ -983,6 +1020,7 @@ def stream_late_data_audit_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         tumbling_window_agg(stream, watermark=_LATE_WATERMARK),
         out,
         os.path.join(base, "ckpt"),
+        shuffle_partitions=_replay_width(spark, [ev]),
     )
     landed = spark.read.parquet(out)
     return landed.filter(F.col("event_type") != "__sentinel").select(
@@ -1269,7 +1307,7 @@ def stream_incremental_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFra
 
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS)
+        "spark.sql.shuffle.partitions", str(_replay_width(spark, [inc]))
     )
     try:
         q = (
@@ -1386,7 +1424,7 @@ def stream_multimodal_screen_replay(spark: SparkSession, sf_dir: str) -> DataFra
 
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS)
+        "spark.sql.shuffle.partitions", str(_replay_width(spark, [docs]))
     )
     try:
         q = (
@@ -1675,7 +1713,9 @@ def stream_maintenance_pin_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_replay_width(spark, [ev]))
+    )
     try:
         q = (
             stream.writeStream.foreachBatch(land)
@@ -1811,7 +1851,7 @@ def stream_format_router_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS)
+        "spark.sql.shuffle.partitions", str(_replay_width(spark, [docs]))
     )
     try:
         q = (
@@ -1950,7 +1990,7 @@ def stream_warc_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS)
+        "spark.sql.shuffle.partitions", str(_replay_width(spark, [docs]))
     )
     try:
         q = (
@@ -2177,7 +2217,7 @@ def stream_drift_monitor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS)
+        "spark.sql.shuffle.partitions", str(_replay_width(spark, [ev]))
     )
     try:
         q = (
