@@ -3367,7 +3367,21 @@ def _unigram_em_tables(spark: SparkSession, sf_dir: str):
       weighted by corpus word count; M-step rescores THE SAME vocab
       (no pruning — smoothing keeps dead pieces at the floor;
       documented simplification vs SentencePiece's EM+prune)
+
+    Execution shape (the WordPiece-trainer posture): the vocab is
+    |alphabet| + K rows BY CONSTRUCTION, so its counts live
+    driver-side; each EM step runs ONE Spark job — segment-select +
+    piece recount as a single aggregate over the word×composition
+    frame with the current scores folded in as a literal map — whose
+    bounded (≤ vocab-sized) piece-count result is collected, then
+    rescored driver-side with Spark-identical HALF_UP micro-log
+    rounding. Words and candidates stay distributed (the word vocab
+    is NOT bounded at scale); only vocab-bounded aggregates cross
+    to the driver.
     """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
     from pyspark.sql.window import Window as W
 
     docs = _t(spark, sf_dir, "documents")["documents"]
@@ -3386,23 +3400,18 @@ def _unigram_em_tables(spark: SparkSession, sf_dir: str):
         _uni_compositions(), "wlen int, seg_id int, idx int, start int, l int"
     )
 
-    def scored(cnt_df):
-        """(piece, plen, cnt) → + micro-log score over the shared
-        smoothed total (broadcast 1-row join)."""
-        tot = cnt_df.agg(
-            F.sum(F.col("cnt") + 1).cast("double").alias("tot")
+    def _score_py(cnt: int, tot: float) -> int:
+        # Spark's ROUND on a double: BigDecimal of the shortest
+        # decimal repr (== Python repr), HALF_UP at scale 0 — same
+        # idiom as the MMR driver-side recursion
+        x = math.log((cnt + 1) / tot) * 1000000.0
+        return int(
+            Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
         )
-        return cnt_df.crossJoin(F.broadcast(tot)).select(
-            "piece",
-            "plen",
-            "cnt",
-            F.round(
-                F.log((F.col("cnt") + 1).cast("double") / F.col("tot"))
-                * 1000000
-            )
-            .cast("bigint")
-            .alias("score"),
-        )
+
+    def rescore(counts: list[tuple[str, int, int]]) -> dict[str, int]:
+        tot = float(sum(c + 1 for _, _, c in counts))
+        return {p: _score_py(c, tot) for p, _, c in counts}
 
     # seed: every substring occurrence of length 1..P, corpus-weighted
     subs = wc.select(
@@ -3432,10 +3441,14 @@ def _unigram_em_tables(spark: SparkSession, sf_dir: str):
         .filter(F.col("rn") <= _UNI_TOPK_MULTI)
         .drop("rn")
     )
-    pieces = scored(singles.unionByName(multis)).localCheckpoint()
+    # ONE bounded collect: |alphabet| singles + K multis by contract
+    vocab0 = sorted(
+        (r["piece"], r["plen"], r["cnt"])
+        for r in singles.unionByName(multis).collect()
+    )
 
     # every candidate (word, seg_id, idx) piece — static per corpus,
-    # reused by all iterations (only the score table changes)
+    # reused by all iterations (only the score map changes)
     cand = (
         wc.join(parts, "wlen")
         .select(
@@ -3447,30 +3460,31 @@ def _unigram_em_tables(spark: SparkSession, sf_dir: str):
         )
         .localCheckpoint()
     )
-    n_parts = cand.groupBy("word", "seg_id").agg(
-        F.count(F.lit(1)).alias("n_need")
-    )
 
+    counts = vocab0
+    scores = rescore(counts)
     best_seg = None
     for _t_iter in range(1, _UNI_EM_STEPS + 1):
-        scored_cand = cand.join(
-            F.broadcast(pieces.select("piece", "score")), "piece"
-        )
+        # current scores as a literal map: a missing piece scores
+        # NULL, so n_ok == n_pieces ⟺ complete segmentation (the
+        # former inner-join + n_need check, without either join)
+        smap = F.create_map(
+            *[F.lit(x) for kv in sorted(scores.items()) for x in kv]
+        ).cast("map<string,bigint>")
         seg_tot = (
-            scored_cand.groupBy("word", "cnt", "seg_id")
+            cand.withColumn("s", F.element_at(smap, F.col("piece")))
+            .groupBy("word", "cnt", "seg_id")
             .agg(
-                F.sum("score").alias("total"),
+                F.sum("s").alias("total"),
                 F.count(F.lit(1)).alias("n_pieces"),
-                F.array_join(
-                    F.expr(
-                        "transform(array_sort(collect_list(struct(idx,"
-                        " piece))), x -> x.piece)"
-                    ),
-                    "|",
-                ).alias("seg"),
+                F.count("s").alias("n_ok"),
+                F.expr(
+                    "transform(array_sort(collect_list(struct(idx,"
+                    " piece))), x -> x.piece)"
+                ).alias("ps"),
             )
-            .join(n_parts, ["word", "seg_id"])
-            .filter(F.col("n_pieces") == F.col("n_need"))  # complete only
+            .filter(F.col("n_ok") == F.col("n_pieces"))  # complete only
+            .withColumn("seg", F.array_join("ps", "|"))
         )
         w_best = W.partitionBy("word").orderBy(
             F.col("total").desc(), F.col("n_pieces").asc(), F.col("seg").asc()
@@ -3478,28 +3492,28 @@ def _unigram_em_tables(spark: SparkSession, sf_dir: str):
         best_seg = (
             seg_tot.withColumn("rn", F.row_number().over(w_best))
             .filter(F.col("rn") == 1)
-            .select("word", "cnt", "seg_id", "n_pieces", "seg")
-            .localCheckpoint()
+            .select("word", "cnt", "seg_id", "n_pieces", "ps", "seg")
         )
-        # M-step: recount pieces along best segmentations, rescore
-        counts = (
-            pieces.select("piece", "plen")
-            .join(
-                best_seg.select("word", "seg_id")
-                .join(cand, ["word", "seg_id"])
-                .groupBy("piece")
-                .agg(F.sum("cnt").cast("bigint").alias("used")),
-                "piece",
-                "left",
-            )
-            .select(
-                "piece",
-                "plen",
-                F.coalesce("used", F.lit(0)).cast("bigint").alias("cnt"),
-            )
-        )
-        pieces = scored(counts).localCheckpoint()
+        if _t_iter == _UNI_EM_STEPS:
+            # the final E-step doubles as the fertility table; pin it
+            # so the recount below and the query read share one run
+            best_seg = best_seg.localCheckpoint()
+        # M-step: recount pieces along best segmentations (vocab-
+        # bounded by construction: pieces ⊆ vocab), rescore driver-side
+        used = {
+            r["piece"]: r["used"]
+            for r in best_seg.select("cnt", F.explode("ps").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("cnt").cast("bigint").alias("used"))
+            .collect()
+        }
+        counts = [(p, pl, used.get(p, 0)) for p, pl, _ in vocab0]
+        scores = rescore(counts)
 
+    pieces = spark.createDataFrame(
+        [(p, pl, c, scores[p]) for p, pl, c in counts],
+        "piece string, plen int, cnt bigint, score bigint",
+    )
     fert = best_seg.select(
         "word",
         F.col("cnt").alias("word_cnt"),
@@ -3650,9 +3664,11 @@ def unigram_lm_em_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties break by (fewer pieces, lexicographic segmentation).
 
     Scale posture: the corpus-sized work is ONE word count; every EM
-    iteration rides the word-vocab × composition frame (thousands of
-    rows), with the score table broadcast. At 100 TB the iterations
-    cost the same as at 1 GB — the BPE-trainer posture.
+    iteration is ONE job over the word-vocab × composition frame with
+    the (|alphabet|+K)-bounded score table folded in as a literal
+    map, collecting only the vocab-bounded piece counts. At 100 TB
+    the iterations cost the same as at 1 GB — the BPE-trainer
+    posture.
 
     Reference surface: none (novel extension, SURVEY.md §2.5 text
     family)."""
