@@ -223,6 +223,11 @@ class SnapshotPin:
         self._name = name
         self._paths = paths
         self._released = False
+        # freeze the spec schema alongside the path set: a pinned
+        # read then needs no mergeSchema footer sweep (one Spark job
+        # per read), and the schema is exactly the table's declared
+        # schema as of pin time — immune to later widening
+        self._spec_json = sink._spec_schema_json if sink.bucketed else None
 
     def read(self) -> DataFrame:
         return self.sink._read_pinned(self)
@@ -588,6 +593,13 @@ class NativeTableSink:
 
     def _read_pinned(self, pin: SnapshotPin) -> DataFrame:
         if pin._paths:
+            if pin._spec_json:
+                # the spec frozen at pin creation: the declared
+                # schema as of pin time, no footer-sweep job
+                from pyspark.sql.types import StructType
+
+                schema = StructType.fromJson(json.loads(pin._spec_json))
+                return self.spark.read.schema(schema).parquet(*pin._paths)
             return self.spark.read.option("mergeSchema", "true").parquet(
                 *pin._paths
             )
@@ -879,9 +891,27 @@ class NativeTableSink:
             for r in bucketed_df.select(BUCKET_COL).distinct().collect()
         )
 
-    def _read_buckets(self, paths: list[str]) -> DataFrame | None:
+    def _read_buckets(
+        self, paths: list[str], current: bool = False
+    ) -> DataFrame | None:
+        """Union the given bucket data roots. ``current`` marks a read
+        of the LIVE table state (upsert/compact target reads, the
+        version-less ``read()``): there the persisted spec schema —
+        the monotone union of every schema ever written, and already
+        what an EMPTY bucketed table read returns — is applied
+        directly, skipping the mergeSchema footer sweep (a Spark job
+        reading EVERY live file's footer per call; at 100 TB that is
+        a full footer scan of every touched bucket to relearn a
+        schema the spec records in O(1)). Version-pinned reads keep
+        mergeSchema so a time-travel schema stays that of the files
+        as of that version, not today's widened spec."""
         if not paths:
             return None
+        if current and self._spec_schema_json:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(self._spec_schema_json))
+            return self.spark.read.schema(schema).parquet(*paths)
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def _write_full(self, df: DataFrame, n: int) -> None:
@@ -985,7 +1015,7 @@ class NativeTableSink:
             paths = sorted(
                 p for lst in self._bucket_paths(versions).values() for p in lst
             )
-            df = self._read_buckets(paths)
+            df = self._read_buckets(paths, current=version is None)
             if df is not None:
                 return df
             # empty bucketed table: schema comes from the spec
@@ -1172,7 +1202,7 @@ class NativeTableSink:
             return
         live_n = versions[-1][0]
         content = self._read_buckets(
-            [p for k in additive_buckets for p in paths[k]]
+            [p for k in additive_buckets for p in paths[k]], current=True
         )
         self._write_delta(
             self._with_bucket(content),
@@ -1297,7 +1327,7 @@ class NativeTableSink:
             versions = self._committed_versions()
             won = self._bucket_paths(versions)
             target = self._read_buckets(
-                [p for k in touched for p in won.get(k, [])]
+                [p for k in touched for p in won.get(k, [])], current=True
             )
             if target is None:
                 merged = upd_b

@@ -154,6 +154,36 @@ class TestBucketedLayout:
         assert set(got.columns) == {"id", "payload", "score"}
         assert got.filter("id = 1").collect()[0].score is None
 
+    def test_current_read_uses_spec_schema_without_footer_merge(
+        self, spark, sink
+    ):
+        """A version-less read of the live state must come back with
+        the persisted spec schema applied directly (no mergeSchema
+        footer-sweep job), NULL-filling files written before a drift
+        widened the spec — while a version-pinned read keeps the
+        merged schema of that version's own files."""
+        sink.upsert(_rows(spark, [1, 2]), id_field="id")
+        wider = spark.createDataFrame(
+            [(3, "w_3", 9.5)], "id INT, payload STRING, score DOUBLE"
+        )
+        sink.insert(wider)
+        got = sink.read()
+        # schema comes from the spec (monotone union), in spec order
+        from pyspark.sql.types import StructType
+        import json as _json
+
+        spec = StructType.fromJson(_json.loads(sink._spec_schema_json))
+        assert got.schema == spec
+        rows = {r.id: (r.payload, r.score) for r in got.collect()}
+        assert rows == {
+            1: ("base_1", None),
+            2: ("base_2", None),
+            3: ("w_3", 9.5),
+        }
+        # time travel at version 1 still reflects that version's files
+        v1 = sink.read(version=1)
+        assert set(v1.columns) == {"id", "payload"}
+
 
 class TestAppendAndReplayContracts:
     """Regression tests for the exactly-once + O(batch) append
