@@ -98,6 +98,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 import re
 import threading
 import time
@@ -832,7 +833,26 @@ class NativeTableSink:
         file-per-bucket contract. Write parallelism is bounded by
         num_buckets, which is the bucketed-table sizing knob itself
         (production tables size num_buckets to data volume; within-
-        bucket file splitting stays available via maxRecordsPerFile)."""
+        bucket file splitting stays available via maxRecordsPerFile).
+
+        ``SPARK_GRAFT_BUCKET_WRITE_FANOUT`` (default 1) bounds extra
+        write parallelism for deployments where a hot bucket's delta
+        would serialize through one task: m > 1 salts the cluster key
+        deterministically (key-hash mod m — guide §2.5: never
+        rand()), writing ≤ m files per bucket through m× the tasks.
+        Measured locally (r16 A/B, m=4): −7% and 3× the file count at
+        sf0.1, so the one-file-per-bucket default stands; the knob is
+        the 100 TB escape hatch, not a local tuning."""
+        fanout = max(1, int(os.environ.get(
+            "SPARK_GRAFT_BUCKET_WRITE_FANOUT", "1") or 1))
+        if fanout > 1:
+            salt = F.pmod(
+                F.xxhash64(F.col(self.bucket_by).cast("string")),
+                F.lit(fanout),
+            )
+            return bucketed_df.repartition(
+                self.num_buckets * fanout, F.col(BUCKET_COL), salt
+            )
         return bucketed_df.repartition(BUCKET_COL)
 
     def _bucket_dirs_of(self, vdir: str) -> dict[int, str]:

@@ -184,6 +184,28 @@ class TestBucketedLayout:
         v1 = sink.read(version=1)
         assert set(v1.columns) == {"id", "payload"}
 
+    def test_bucket_write_fanout_bounds_files_per_bucket(
+        self, spark, sink, monkeypatch
+    ):
+        """With SPARK_GRAFT_BUCKET_WRITE_FANOUT=m, a bucketed write
+        may produce up to m files per bucket (hot-bucket write
+        parallelism at scale) — never the tasks×buckets explosion —
+        and reads are unchanged."""
+        m = 3
+        monkeypatch.setenv("SPARK_GRAFT_BUCKET_WRITE_FANOUT", str(m))
+        sink.upsert(_rows(spark, range(200)), id_field="id")
+        root = sink.root
+        (full,) = _version_dirs(root)
+        for b in _bucket_subdirs(root, full):
+            files = [
+                f
+                for f in os.listdir(os.path.join(root, full, b))
+                if f.endswith(".parquet")
+            ]
+            assert 1 <= len(files) <= m
+        got = {r.id: r.payload for r in sink.read().collect()}
+        assert got == {i: f"base_{i}" for i in range(200)}
+
 
 class TestAppendAndReplayContracts:
     """Regression tests for the exactly-once + O(batch) append
